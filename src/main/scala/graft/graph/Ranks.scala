@@ -1,0 +1,149 @@
+package graft.graph
+
+import org.apache.spark.graphx._
+import scala.reflect.ClassTag
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph centrality layer (SURVEY §2.8).
+  *
+  * Reference runs Neo4j GDS PageRank / ArticleRank over the
+  * country–trades subgraph (`preprocess_upload_neo4j.py:401-447`,
+  * maxIterations=20, dampingFactor=0.85, unweighted). Here:
+  *
+  *  - vertices/edges come in as DataFrames (name-keyed); vertex ids
+  *    are `xxhash64(name)` — deterministic, no extra zipWithIndex pass,
+  *    collision-checked by the caller's key-uniqueness assert.
+  *  - PageRank: custom aggregateMessages loop with GDS's exact
+  *    delta-propagation semantics (see powerIterate scaladoc) —
+  *    verified BIT-EXACT against the reference's golden output, which
+  *    plain power iteration from init 1.0 misses by ~4%.
+  *  - ArticleRank: no GraphX built-in — same loop with denominator
+  *    `outDeg(u) + avgOutDeg` (published GDS variant).
+  *
+  * Both are implemented as one aggregateMessages + join per
+  * superstep — at 1000 executors this is the standard Pregel shuffle
+  * pattern; edge partitioning via `EdgePartition2D` caps replication
+  * at 2·sqrt(P). 20 iterations == 20 shuffles, unavoidable for exact
+  * parity with the reference's fixed-iteration config.
+  */
+object Ranks {
+
+  /** name-keyed edge list -> GraphX graph.
+    *
+    * `vertices`: optional explicit vertex table (single `name`
+    * column). When given, edges whose endpoints are absent are
+    * DROPPED — the reference's Cypher `MATCH..MATCH..MERGE` edge
+    * upload silently skips unmatched endpoints (J7 inner-join
+    * semantics, `preprocess_upload_neo4j.py:291-293`) — and isolated
+    * vertices still participate (rank (1-d) sinks). When None, the
+    * vertex set is the edge endpoints. */
+  def graphFromNames(edges: DataFrame, src: String, dst: String,
+      vertices: Option[DataFrame] = None): Graph[String, Double] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val vertDf = vertices match {
+      case Some(v) => v.select(col("name")).distinct()
+      case None => edges.select(col(src).as("name"))
+        .unionByName(edges.select(col(dst).as("name")))
+        .distinct()
+    }
+    val edgeDf = vertices match {
+      case Some(_) => edges
+        .join(broadcast(vertDf.select(col("name").as(src))), Seq(src), "left_semi")
+        .join(broadcast(vertDf.select(col("name").as(dst))), Seq(dst), "left_semi")
+      case None => edges
+    }
+    val edgeRdd = edgeDf
+      .select(xxhash64(col(src)).as("srcId"), xxhash64(col(dst)).as("dstId"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1.0) }
+    val vertRdd = vertDf
+      .select(xxhash64(col("name")).as("id"), col("name"))
+      .as[(Long, String)].rdd
+    Graph(vertRdd, edgeRdd, defaultVertexAttr = "",
+        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+  }
+
+  /** Fixed-iteration unweighted PageRank (GDS `gds.pageRank` parity:
+    * init 1.0, pr' = (1-d) + d·Σ pr/outDeg, no dangling
+    * redistribution). */
+  def pageRank[VD: ClassTag](g: Graph[VD, Double], iters: Int = 20,
+      damping: Double = 0.85): VertexRDD[Double] =
+    powerIterate(g, iters, damping, uniformDenominator = None)
+
+  /** ArticleRank (GDS `gds.articleRank` defaults: damping 0.85, 20
+    * iterations): neighbor contribution divided by
+    * `outDeg(u) + avgOutDeg` instead of `outDeg(u)`. */
+  def articleRank[VD: ClassTag](g: Graph[VD, Double], iters: Int = 20,
+      damping: Double = 0.85): VertexRDD[Double] = {
+    val degSum = g.outDegrees.map(_._2.toLong).fold(0L)(_ + _)
+    val avgOutDeg = degSum.toDouble / g.numVertices
+    powerIterate(g, iters, damping, uniformDenominator = Some(avgOutDeg))
+  }
+
+  /** Shared rank core. `uniformDenominator` = None -> PageRank
+    * (divide by outDeg); Some(avg) -> ArticleRank (divide by
+    * outDeg + avg).
+    *
+    * SEMANTICS (verified bit-exact against the reference's golden GDS
+    * output): GDS evaluates these as Pregel DELTA propagation —
+    * superstep 0 initializes every rank to (1-d) and sends the first
+    * deltas, so `maxIterations = n` yields the truncated power series
+    *   rank = (1-d) · Σ_{k=0..n-1} (d·Mᵀ)^k · 1
+    * i.e. n-1 message-propagation rounds — NOT n steps of classic
+    * power iteration from init 1.0 (that differs by the d^n·M^n·1
+    * head term, ~4% at n=20). We accumulate (rank, term) per vertex:
+    * term' = d · Σ_in term(u)/denom(u); rank' = rank + term'. */
+  private def powerIterate[VD: ClassTag](g: Graph[VD, Double], iters: Int,
+      damping: Double, uniformDenominator: Option[Double]): VertexRDD[Double] = {
+    val add = uniformDenominator.getOrElse(0.0)
+    // vertex attr = (rank, lastTerm, 1/denominator); denom fixed
+    var rankGraph: Graph[(Double, Double, Double), Double] = g
+      .outerJoinVertices(g.outDegrees) { (_, _, deg) =>
+        val denom = deg.getOrElse(0) + add
+        val init = 1.0 - damping
+        (init, init, if (denom > 0) 1.0 / denom else 0.0)
+      }.cache()
+
+    var i = 1
+    while (i < iters) {
+      val msgs: VertexRDD[Double] = rankGraph.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr._2 * ctx.srcAttr._3),
+        _ + _, TripletFields.Src)
+      val prev = rankGraph
+      rankGraph = rankGraph.outerJoinVertices(msgs) { (_, attr, msg) =>
+        val term = damping * msg.getOrElse(0.0)
+        (attr._1 + term, term, attr._3)
+      }.cache()
+      // Materialize the EDGE view (not just vertices) before
+      // unpersisting the parent — the replicated vertex view hangs off
+      // the edges, and leaving it lazy makes each iteration recompute
+      // the whole lineage (quadratic blowup). Same pattern as
+      // org.apache.spark.graphx.lib.PageRank.runWithOptions.
+      rankGraph.edges.foreachPartition(_ => ())
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+      i += 1
+    }
+    rankGraph.vertices.mapValues(_._1)
+  }
+
+  /** Ranks joined back to names (G5): DataFrame(name, pagerank,
+    * articlerank). */
+  def rankTable(edges: DataFrame, src: String, dst: String,
+      iters: Int = 20, damping: Double = 0.85,
+      vertices: Option[DataFrame] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = graphFromNames(edges, src, dst, vertices).cache()
+    val pr = pageRank(g, iters, damping)
+    val ar = articleRank(g, iters, damping)
+    val names = g.vertices.map { case (id, n) => (id, n) }.toDF("id", "name")
+    val prDf = pr.map { case (id, v) => (id, v) }.toDF("id", "pagerank")
+    val arDf = ar.map { case (id, v) => (id, v) }.toDF("id", "articlerank")
+    names.join(prDf, "id").join(arDf, "id").drop("id")
+  }
+}

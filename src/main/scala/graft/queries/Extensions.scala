@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventsStreaming
+
+/** LLM-training-data pipeline operators (dedup / similarity / text
+  * analysis / multimodal / event-time windows) over the driver's
+  * `documents`, `embeddings`, `events` tables — each with a DuckDB
+  * oracle that mirrors the exact same md5-based deterministic
+  * algorithm, so the driver's hash gate verifies them end-to-end.
+  *
+  * Oracle-generation note: the LSH/minhash/simhash/hyperplane oracles
+  * are *generated* SQL (same seeds, same coefficients, same fold
+  * order) — the SQL is data-independent and engine-portable.
+  */
+object Extensions {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------------------- text analysis --------------------
+
+  val textStats: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishTokenCount(col("text")).as("n_bpeish"),
+      punctRatio(col("text")).as("punct_ratio"),
+      stopwordRatio(col("text"), "en").as("stop_ratio_en"),
+      qualityScore(col("text")).as("quality"))
+
+  private val duckToks =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+  private val duckToksLower =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+  private def duckStopHits(lang: String): String = {
+    val words = TextFunctions.stopwords(lang).map(w => s"'$w'").mkString(",")
+    s"len(list_filter($duckToksLower, t -> t IN ($words)))"
+  }
+
+  val textStatsSql: String = {
+    val nt = s"len($duckToks)"
+    val nb = "len(regexp_extract_all(text, '[[:alpha:]]+|[[:digit:]]+|[^[:alpha:][:digit:][:space:]]'))"
+    val pr = s"CASE WHEN length(text) > 0 THEN round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)/length(text), 6) ELSE 0.0 END"
+    val sr = s"CASE WHEN $nt > 0 THEN round(CAST(${duckStopHits("en")} AS DOUBLE)/$nt, 6) ELSE 0.0 END"
+    val q = s"round(least(CAST($nt AS DOUBLE)/50.0, 1.0)*0.4 + (1.0 - $pr)*0.3 + least($sr*2.0, 1.0)*0.3, 6)"
+    s"SELECT doc_id, $nt AS n_tokens, $nb AS n_bpeish, $pr AS punct_ratio, $sr AS stop_ratio_en, $q AS quality FROM documents"
+  }
+
+  val langId: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("tagged"),
+      langIdHeuristic(col("text")).as("predicted"))
+
+  val langIdSql: String = {
+    val langs = TextFunctions.stopwords.keys.toSeq.sorted
+    val hits = langs.map(l => s"${duckStopHits(l)} AS h_$l").mkString(", ")
+    val gm = s"greatest(${langs.map(l => s"h_$l").mkString(",")})"
+    val pick = langs.map(l => s"WHEN h_$l = _gm THEN '$l'").mkString(" ")
+    s"WITH t AS (SELECT doc_id, lang, $hits FROM documents), " +
+      s"g AS (SELECT *, $gm AS _gm FROM t) " +
+      s"SELECT doc_id, lang AS tagged, CASE WHEN _gm = 0 THEN 'und' $pick END AS predicted FROM g"
+  }
+
+  val fingerprint: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      fingerprintMd5(col("text")).as("fp"),
+      rollingHash(col("text")).as("rhash"))
+
+  private val duckNormText = s"array_to_string($duckToksLower, ' ')"
+
+  val fingerprintSql: String =
+    s"SELECT doc_id, md5($duckNormText) AS fp, " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($duckNormText, ''), c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a*31 + b) % 1000000007) AS rhash " +
+      "FROM documents"
+
+  // -------------------- dedup --------------------
+
+  val exactDedup: Q = (s, d) =>
+    Dedup.exactDedup(Tables.documents(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("source"))
+
+  val exactDedupSql: String =
+    s"SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER " +
+      s"(PARTITION BY md5($duckNormText) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
+
+  // shared shingle SQL fragments (3-gram over lowercased tokens)
+  private val duckShingles =
+    s"CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2), " +
+      s"i -> array_to_string(list_slice(t, i, i+2), ' ')) ELSE []::VARCHAR[] END"
+
+  val ngramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.7, shingleN = 3)
+
+  val ngramJaccardSql: String =
+    s"WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, list_distinct($duckShingles) AS s FROM toks), " +
+      "inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh), " +
+      "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1, b.sz AS s2, count(*) AS inter " +
+      "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY ALL) " +
+      "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
+      "round(CAST(inter AS DOUBLE)/(s1 + s2 - inter), 6) AS jaccard, " +
+      "CAST(inter AS DOUBLE)/(s1 + s2 - inter) AS _j FROM p) WHERE _j >= 0.7"
+
+  private val MINHASH_BANDS = 4
+  private val MINHASH_RPB = 3
+
+  val minhashPairs: Q = (s, d) =>
+    Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.7, shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+
+  val minhashPairsSql: String = {
+    val sigElems = (0 until MINHASH_BANDS * MINHASH_RPB).map(seed =>
+      s"coalesce(list_min(list_transform(s, x -> md5('$seed:' || x))), 'zz_empty')")
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until MINHASH_BANDS).map(b => s"($b)").mkString(",")
+    s"WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"shl AS (SELECT doc_id, $duckShingles AS s FROM toks), " +
+      s"sig AS (SELECT doc_id, $sigElems AS sg FROM shl), " +
+      s"bands AS (SELECT doc_id, bb.band AS band, array_to_string(list_slice(sg, bb.band*$MINHASH_RPB + 1, bb.band*$MINHASH_RPB + $MINHASH_RPB), '|') AS bucket " +
+      s"FROM sig, (VALUES $bandRows) bb(band)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      "dsh AS (SELECT doc_id, list_distinct(s) AS ds FROM shl) " +
+      "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
+      "round(CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE)/len(list_distinct(list_concat(x.ds, y.ds))), 6) AS jaccard, " +
+      "CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE)/len(list_distinct(list_concat(x.ds, y.ds))) AS _j " +
+      "FROM cand JOIN dsh x ON id1 = x.doc_id JOIN dsh y ON id2 = y.doc_id) WHERE _j >= 0.7"
+  }
+
+  val simhashPairs: Q = (s, d) =>
+    Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
+
+  val simhashPairsSql: String = {
+    // same 60-bit md5-derived simhash, generated for DuckDB
+    val h = "CAST(CAST('0x' || substr(md5('sh:' || tk), 1, 15) AS UBIGINT) AS BIGINT)"
+    val sig =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 59), b -> " +
+        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a | b)"
+    val bandRows = (0 until 4).map(q => s"($q)").mkString(",")
+    s"WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"hsh AS (SELECT doc_id, list_transform(t, tk -> $h) AS hs FROM toks), " +
+      s"sg AS (SELECT doc_id, $sig AS sig FROM hsh), " +
+      s"bands AS (SELECT doc_id, sig, bb.band AS band, (sig >> (bb.band*15)) & 32767 AS bucket FROM sg, (VALUES $bandRows) bb(band)), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, " +
+      "bit_count(xor(a.sig, b.sig)) AS hamming FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) " +
+      "SELECT id1, id2, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3"
+  }
+
+  // -------------------- embeddings --------------------
+
+  private val EMB_DIMS = 64
+  private val ANN_BITS = 8
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  val embedTopK: Q = (s, d) =>
+    Similarity.bruteForceTopK(
+      Tables.embeddings(s, d), queriesDf(s, d), k = 10)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+
+  private val duckCos =
+    "round(list_dot_product(ed, qd)/(sqrt(list_dot_product(ed, ed))*sqrt(list_dot_product(qd, qd))), 6)"
+
+  val embedTopKSql: String =
+    "WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd FROM embeddings WHERE vec_id % 50 = 0), " +
+      s"sc AS (SELECT q_id, vec_id, $duckCos AS score FROM c, q), " +
+      "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
+
+  /** Generated sign-signature SQL: bit b set iff Σ_d vec[d]·coef(b,d) ≥ 0,
+    * with the same literal coefficients the Scala side folds in. */
+  private def duckSignature(vecExpr: String): String = {
+    val bitTerms = (0 until ANN_BITS).map { b =>
+      val proj = (0 until EMB_DIMS).map { dd =>
+        s"CAST($vecExpr[${dd + 1}] AS DOUBLE)*${Similarity.planeCoef(b, dd)}"
+      }.mkString(" + ")
+      s"(CASE WHEN $proj >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    bitTerms.mkString("(", " | ", ")")
+  }
+
+  val embedAnn: Q = (s, d) =>
+    Similarity.lshTopK(
+      Tables.embeddings(s, d), queriesDf(s, d), k = 10, bits = ANN_BITS, dims = EMB_DIMS)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+
+  val embedAnnSql: String =
+    s"WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed, ${duckSignature("embedding")} AS sig FROM embeddings), " +
+      s"q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd, ${duckSignature("embedding")} AS sig FROM embeddings WHERE vec_id % 50 = 0), " +
+      s"sc AS (SELECT q_id, c.vec_id AS vec_id, $duckCos AS score FROM c JOIN q ON c.sig = q.sig), " +
+      "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
+
+  val embedNearDup: Q = (s, d) =>
+    Similarity.embeddingNearDupPairs(
+      Tables.embeddings(s, d), threshold = 0.4, bits = ANN_BITS, dims = EMB_DIMS)
+
+  val embedNearDupSql: String =
+    s"WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, ${duckSignature("embedding")} AS sig FROM embeddings), " +
+      "p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+      "round(list_dot_product(a.e, b.e)/(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e))), 6) AS cosine " +
+      "FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id) " +
+      "SELECT id1, id2, cosine FROM p WHERE cosine >= 0.4"
+
+  // -------------------- multimodal --------------------
+
+  val mediaFeatures: Q = (s, d) => {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("format"), col("n_bytes"),
+        col("first_byte"), col("last_byte"), col("byte_sum_mod"))
+  }
+
+  val mediaFeaturesSql: String =
+    "SELECT doc_id AS media_id, 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format, " +
+      "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+      "unicode(substr(text, 1, 1)) AS first_byte, " +
+      "unicode(substr(text, length(text), 1)) AS last_byte, " +
+      "list_sum(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))) % 1000000007 AS byte_sum_mod " +
+      "FROM documents"
+
+  val frameSample: Q = (s, d) => {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    Multimodal.sampleFrames(media, frameBytes = 16, everyNth = 2)
+      .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+  }
+
+  val frameSampleSql: String =
+    "WITH m AS (SELECT doc_id AS media_id, text, CAST(floor(strlen(text)/16) AS INT) AS n FROM documents), " +
+      "f AS (SELECT media_id, text, unnest(range(0, n, 2)) AS frame_idx FROM m WHERE n > 0) " +
+      "SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, md5(substr(text, CAST(frame_idx AS INT)*16 + 1, 16)) AS frame_md5 FROM f"
+
+  // -------------------- event-time windows --------------------
+
+  val windowAgg: Q = (s, d) =>
+    EventsStreaming.windowedAggBatch(Tables.events(s, d))
+      .select(unix_timestamp(col("win_start")).as("win_start_epoch"),
+        col("event_type"), col("n"), col("total"))
+
+  val windowAggSql: String =
+    "SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS win_start_epoch, " +
+      "event_type, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total " +
+      "FROM events GROUP BY 1, 2"
+
+  val sessionize: Q = (s, d) =>
+    EventsStreaming.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("start_epoch"),
+        unix_timestamp(col("session_end")).as("end_epoch"),
+        col("n_events"), col("total_value"))
+
+  val sessionizeSql: String =
+    "WITH e AS (SELECT user_id, ts, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
+      "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
+      "m AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS brk FROM e), " +
+      "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM m) " +
+      "SELECT user_id, MIN(sec) AS start_epoch, MAX(sec) AS end_epoch, COUNT(*) AS n_events, " +
+      "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value " +
+      "FROM g GROUP BY user_id, sess"
+
+  // -------------------- registry --------------------
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> textStats,
+    "q_lang_id" -> langId,
+    "q_fingerprint" -> fingerprint,
+    "q_exact_dedup" -> exactDedup,
+    "q_ngram_jaccard" -> ngramJaccard,
+    "q_minhash_pairs" -> minhashPairs,
+    "q_simhash_pairs" -> simhashPairs,
+    "q_embed_topk" -> embedTopK,
+    "q_embed_ann" -> embedAnn,
+    "q_embed_neardup" -> embedNearDup,
+    "q_media_features" -> mediaFeatures,
+    "q_frame_sample" -> frameSample,
+    "q_window_agg" -> windowAgg,
+    "q_sessionize" -> sessionize)
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> textStatsSql,
+    "q_lang_id" -> langIdSql,
+    "q_fingerprint" -> fingerprintSql,
+    "q_exact_dedup" -> exactDedupSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_minhash_pairs" -> minhashPairsSql,
+    "q_simhash_pairs" -> simhashPairsSql,
+    "q_embed_topk" -> embedTopKSql,
+    "q_embed_ann" -> embedAnnSql,
+    "q_embed_neardup" -> embedNearDupSql,
+    "q_media_features" -> mediaFeaturesSql,
+    "q_frame_sample" -> frameSampleSql,
+    "q_window_agg" -> windowAggSql,
+    "q_sessionize" -> sessionizeSql)
+}

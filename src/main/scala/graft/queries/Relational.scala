@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.FactbookFunctions._
+import graft.operators.EtlOps
+
+/** SURVEY §2 relational operator inventory exercised over the
+  * driver's synthetic tables, one query per operator family, each
+  * paired with ANSI SQL for the DuckDB oracle (SparkEntry.oracleSql).
+  *
+  * Conventions for oracle-hash parity:
+  *  - double-sum aggregates go through DECIMAL (exact, order-
+  *    independent) and cast back to double;
+  *  - every query has a deterministic row set (no LIMIT without a
+  *    total order);
+  *  - computed columns aliased identically in Spark and SQL.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S5+P1 — scan with projection + pushed filter. */
+  val scanProject: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  val scanProjectSql: String =
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45"
+
+  /** P2 — regex row filter (reference `scrape_cia.py:60`). */
+  val filterRegex: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_name").rlike("^[bcs].*t$"))
+      .select(col("p_partkey"), col("p_name"))
+
+  val filterRegexSql: String =
+    "SELECT p_partkey, p_name FROM part WHERE regexp_matches(p_name, '^[bcs].*t$')"
+
+  /** P3+P4 — null-validity + equality predicates
+    * (`preprocess_upload_neo4j.py:118,178-179`). */
+  val filterEq: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+
+  val filterEqSql: String =
+    "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders " +
+      "WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL"
+
+  /** P5 — conditional masked update (`df.loc[mask, col] = ...`). */
+  val maskedUpdate: Q = (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      when(col("c_acctbal") < 0, lit("DEBT"))
+        .when(col("c_mktsegment") === "BUILDING", lit("BLD"))
+        .otherwise(col("c_mktsegment")).as("segment"))
+
+  val maskedUpdateSql: String =
+    "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'DEBT' " +
+      "WHEN c_mktsegment = 'BUILDING' THEN 'BLD' ELSE c_mktsegment END AS segment " +
+      "FROM customer"
+
+  /** P6+P7+P10 — rename / drop / cast. */
+  val renameCast: Q = (s, d) =>
+    Tables.supplier(s, d)
+      .withColumnRenamed("s_name", "supplier_name")
+      .withColumn("acctbal_cents", (col("s_acctbal") * 100).cast("long"))
+      .drop("s_acctbal", "s_nationkey")
+
+  // trunc(): Spark's double->long cast truncates toward zero while
+  // DuckDB's CAST rounds — make the oracle truncate explicitly.
+  val renameCastSql: String =
+    "SELECT s_suppkey, s_name AS supplier_name, " +
+      "CAST(trunc(s_acctbal * 100) AS BIGINT) AS acctbal_cents FROM supplier"
+
+  /** P8+P9 — literal columns + null fill with defaults. */
+  val litFill: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      lit("factbook").as("src"),
+      coalesce(col("o_orderpriority"), lit("NONE")).as("priority"))
+
+  val litFillSql: String =
+    "SELECT o_orderkey, 'factbook' AS src, COALESCE(o_orderpriority, 'NONE') AS priority FROM orders"
+
+  /** F1 — currency parser over synthesized factbook-style strings
+    * (`scrape_cia.py:22-38`): unit multipliers, comma full-form,
+    * non-`$` reject. Strings built integer-exactly from order keys so
+    * the oracle constructs identical input. */
+  val currencyParse: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("_amt", floor(col("o_totalprice")).cast("long"))
+      .withColumn("txt",
+        when(col("o_orderkey") % 4 === 0,
+          concat(lit("$"), col("_amt"), lit(".5 million (2020 est.)")))
+        .when(col("o_orderkey") % 4 === 1,
+          concat(lit("$"), col("_amt"), lit(" billion (2019 est.)")))
+        .when(col("o_orderkey") % 4 === 2,
+          lit("$2,732,370,000,000 (2020 est.)"))
+        .otherwise(lit("NA")))
+      .select(col("o_orderkey"), col("txt"),
+        currencyToDollars(col("txt")).as("dollars"))
+
+  val currencyParseSql: String =
+    "WITH t AS (SELECT o_orderkey, CASE " +
+      "WHEN o_orderkey % 4 = 0 THEN '$' || CAST(FLOOR(o_totalprice) AS BIGINT) || '.5 million (2020 est.)' " +
+      "WHEN o_orderkey % 4 = 1 THEN '$' || CAST(FLOOR(o_totalprice) AS BIGINT) || ' billion (2019 est.)' " +
+      "WHEN o_orderkey % 4 = 2 THEN '$2,732,370,000,000 (2020 est.)' " +
+      "ELSE 'NA' END AS txt FROM orders) " +
+      "SELECT o_orderkey, txt, CASE WHEN regexp_matches(txt, '^\\$\\d') THEN " +
+      "TRY_CAST(regexp_replace(string_split(ltrim(txt, '$'), ' ')[1], ',', '', 'g') AS DOUBLE) * " +
+      "(CASE string_split(ltrim(txt, '$'), ' ')[2] WHEN 'million' THEN 1e6 WHEN 'billion' THEN 1e9 " +
+      "WHEN 'trillion' THEN 1e12 ELSE 1 END) END AS dollars FROM t"
+
+  /** F2 — year extraction from "(YYYY est.)" text. */
+  val yearExtract: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("txt",
+        concat(col("o_orderpriority"), lit(" ("), year(col("o_orderdate")), lit(" est.)")))
+      .select(col("o_orderkey"), yearFromParen(col("txt")).as("yr"))
+
+  val yearExtractSql: String =
+    "SELECT o_orderkey, TRY_CAST(regexp_extract(o_orderpriority || ' (' || year(o_orderdate) || ' est.)', '\\((\\d{4})', 1) AS DOUBLE) AS yr FROM orders"
+
+  /** F3 — trailing-percentage parser (`scrape_cia.py:118-129`),
+    * including the "almost entirely" -> 0.9 rule. */
+  val percentageParse: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("txt",
+        when(col("c_custkey") % 7 === 0, concat(lit("almost entirely "), col("c_name")))
+          .otherwise(concat(col("c_name"), lit(" "), (col("c_custkey") % 100).cast("int"), lit("%"))))
+      .select(col("c_custkey"),
+        trailingPercentage(col("txt")).as("pct"),
+        partnerName(col("txt")).as("partner"))
+
+  val percentageParseSql: String =
+    "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 " +
+      "THEN 'almost entirely ' || c_name " +
+      "ELSE c_name || ' ' || CAST(CAST(c_custkey % 100 AS INT) AS VARCHAR) || '%' END AS txt FROM customer) " +
+      "SELECT c_custkey, " +
+      "CASE WHEN txt LIKE '%almost entirely%' THEN 0.9 " +
+      "WHEN regexp_extract(txt, '(\\d+)%$', 1) <> '' THEN TRY_CAST(regexp_extract(txt, '(\\d+)%$', 1) AS DOUBLE) / 100.0 END AS pct, " +
+      "CASE WHEN regexp_matches(txt, '\\d+%$') THEN trim(regexp_replace(txt, '\\s+\\S+$', '')) " +
+      "WHEN txt LIKE '%almost entirely%' THEN trim(regexp_replace(txt, 'almost entirely', '')) ELSE txt END AS partner FROM t"
+
+  /** F6 — entity canonicalization as CASE chain. */
+  val canonicalize: Q = (s, d) =>
+    Tables.nation(s, d).select(
+      col("n_nationkey"),
+      canonicalCountry(col("n_name")).as("name"))
+
+  val canonicalizeSql: String =
+    "SELECT n_nationkey, CASE WHEN n_name = 'US' THEN 'United States' " +
+      "WHEN n_name = 'Untied States' THEN 'United States' " +
+      "WHEN n_name = 'Korea, North' THEN 'North Korea' " +
+      "WHEN n_name = 'Korea, South' THEN 'South Korea' ELSE n_name END AS name FROM nation"
+
+  /** F8+F9 — ratio arithmetic + unit scaling after a broadcast join. */
+  val ratioScale: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val totals = o.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,2)")).as("_tot"))
+    o.join(broadcast(totals), Seq("o_custkey"))
+      .select(col("o_orderkey"),
+        round(col("o_totalprice").cast("decimal(20,2)") / col("_tot"), 6)
+          .cast("double").as("share"),
+        toBillionsR3(col("o_totalprice")).as("price_bn"))
+  }
+
+  val ratioScaleSql: String =
+    "WITH t AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS _tot FROM orders GROUP BY o_custkey) " +
+      "SELECT o_orderkey, CAST(ROUND(CAST(o_totalprice AS DECIMAL(20,2)) / _tot, 6) AS DOUBLE) AS share, " +
+      "ROUND(o_totalprice / 1e9, 3) AS price_bn FROM orders JOIN t USING (o_custkey)"
+
+  /** A-family — grouped aggregation with decimal-exact sums (the
+    * flagship q1-style agg; partial aggregation map-side for free). */
+  val aggGroup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,6)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  val aggGroupSql: String =
+    "SELECT l_returnflag, l_linestatus, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, " +
+      "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue, " +
+      "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+
+  /** J1/J2 — chained dimension joins (broadcast at any fact scale). */
+  val joinDims: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(20,2)")).cast("double").as("total_bal"))
+
+  val joinDimsSql: String =
+    "SELECT r_name, n_name, COUNT(*) AS n_customers, " +
+      "CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS total_bal " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name"
+
+  /** J7 — edge-endpoint resolution as inner joins (unmatched endpoints
+    * silently drop, Cypher MATCH..MERGE semantics). */
+  val joinEdges: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val su = Tables.supplier(s, d)
+    val pa = Tables.part(s, d).filter(col("p_size") <= 20)
+    li.join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(pa, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_name"), col("p_name"))
+  }
+
+  val joinEdgesSql: String =
+    "SELECT l_orderkey, l_linenumber, s_name, p_name FROM lineitem " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN part ON l_partkey = p_partkey WHERE p_size <= 20"
+
+  /** W1 — latest-per-group via single-shuffle window
+    * (`preprocess_upload_neo4j.py:139-140`). */
+  val latestPerGroup: Q = (s, d) =>
+    EtlOps.latestPerGroup(
+      Tables.orders(s, d).withColumn("_input_row_id", col("o_orderkey")),
+      Seq("o_custkey"), "o_orderdate")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+
+  val latestPerGroupSql: String =
+    "SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
+      "SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC) AS rn FROM orders) WHERE rn = 1"
+
+  /** W2 — conflict-resolving dedup on a composite key
+    * (`preprocess_upload_neo4j.py:181-182`). */
+  val conflictDedup: Q = (s, d) =>
+    EtlOps.dedupByOrder(
+      Tables.lineitem(s, d),
+      Seq("l_partkey", "l_suppkey"),
+      Seq(desc_nulls_last("l_shipdate"), desc_nulls_last("l_extendedprice"),
+        asc("l_orderkey"), asc("l_linenumber")))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+
+  val conflictDedupSql: String =
+    "SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (" +
+      "SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey " +
+      "ORDER BY l_shipdate DESC NULLS LAST, l_extendedprice DESC NULLS LAST, " +
+      "l_orderkey ASC, l_linenumber ASC) AS rn FROM lineitem) WHERE rn = 1"
+
+  /** W3 — group-wise min-rank descending (pandas rank("min") == RANK()). */
+  val groupRank: Q = (s, d) =>
+    EtlOps.groupRankDesc(Tables.orders(s, d), "o_custkey", "o_totalprice", "trade_rank")
+      .select(col("o_custkey"), col("o_orderkey"), col("trade_rank"))
+
+  val groupRankSql: String =
+    "SELECT o_custkey, o_orderkey, CAST(RANK() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_totalprice DESC NULLS LAST) AS DOUBLE) AS trade_rank FROM orders"
+
+  /** W4 — ordinal rank by list position via posexplode
+    * (`scrape_cia.py:214`). */
+  val ordinalExplode: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"), posexplode(split(col("p_type"), " ")))
+      .select(col("p_partkey"), (col("pos") + 1).cast("long").as("rank"), col("col").as("tok"))
+
+  // DuckDB zips parallel unnests in one SELECT (no WITH ORDINALITY)
+  val ordinalExplodeSql: String =
+    "SELECT p_partkey, CAST(unnest(generate_series(1, len(p))) AS BIGINT) AS rank, " +
+      "unnest(p) AS tok FROM (SELECT p_partkey, string_split(p_type, ' ') AS p FROM part)"
+
+  /** W5+W6 — global top-k with a total order. */
+  val topK: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(50)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  val topKSql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders " +
+      "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50"
+
+  /** U1 — union of role-renamed frames
+    * (`preprocess_upload_neo4j.py:176`). */
+  val unionRoles: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val exp = o.select(col("o_orderkey").as("id"), lit("exports").as("trade_type"),
+      col("o_totalprice").as("amount"))
+    val imp = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("id"), lit("imports").as("trade_type"),
+        col("o_totalprice").as("amount"))
+    exp.unionByName(imp)
+  }
+
+  val unionRolesSql: String =
+    "SELECT o_orderkey AS id, 'exports' AS trade_type, o_totalprice AS amount FROM orders " +
+      "UNION ALL SELECT o_orderkey AS id, 'imports' AS trade_type, o_totalprice AS amount " +
+      "FROM orders WHERE o_orderstatus = 'O'"
+
+  /** A1 — set-collect aggregation, sorted + joined for deterministic
+    * compare (`preprocess_upload_neo4j.py:204-208`). */
+  val collectSet: Q = (s, d) =>
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(array_join(array_sort(collect_set(col("p_type"))), "|").as("types"))
+
+  val collectSetSql: String =
+    "SELECT p_brand, array_to_string(list_sort(list(DISTINCT p_type)), '|') AS types " +
+      "FROM part GROUP BY p_brand"
+
+  /** A2 — distinct. */
+  val distinctPairs: Q = (s, d) =>
+    Tables.orders(s, d).select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+
+  val distinctPairsSql: String =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+  /** A3 — keyed dedup with deterministic survivor (MERGE-by-key
+    * upsert semantics). */
+  val mergeDedup: Q = (s, d) =>
+    EtlOps.dedupByOrder(Tables.customer(s, d), Seq("c_nationkey"),
+      Seq(asc("c_custkey")))
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"))
+
+  val mergeDedupSql: String =
+    "SELECT c_nationkey, c_custkey, c_name FROM (" +
+      "SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey ASC) AS rn " +
+      "FROM customer) WHERE rn = 1"
+
+  /** All relational queries + oracles. */
+  val queries: Map[String, Q] = Map(
+    "q_scan_project" -> scanProject,
+    "q_filter_regex" -> filterRegex,
+    "q_filter_eq" -> filterEq,
+    "q_masked_update" -> maskedUpdate,
+    "q_rename_cast" -> renameCast,
+    "q_lit_fill" -> litFill,
+    "q_currency_parse" -> currencyParse,
+    "q_year_extract" -> yearExtract,
+    "q_percentage_parse" -> percentageParse,
+    "q_canonicalize" -> canonicalize,
+    "q_ratio_scale" -> ratioScale,
+    "q_agg_group" -> aggGroup,
+    "q_join_dims" -> joinDims,
+    "q_join_edges" -> joinEdges,
+    "q_latest_per_group" -> latestPerGroup,
+    "q_conflict_dedup" -> conflictDedup,
+    "q_group_rank" -> groupRank,
+    "q_ordinal_explode" -> ordinalExplode,
+    "q_topk" -> topK,
+    "q_union_roles" -> unionRoles,
+    "q_collect_set" -> collectSet,
+    "q_distinct" -> distinctPairs,
+    "q_merge_dedup" -> mergeDedup)
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" -> scanProjectSql,
+    "q_filter_regex" -> filterRegexSql,
+    "q_filter_eq" -> filterEqSql,
+    "q_masked_update" -> maskedUpdateSql,
+    "q_rename_cast" -> renameCastSql,
+    "q_lit_fill" -> litFillSql,
+    "q_currency_parse" -> currencyParseSql,
+    "q_year_extract" -> yearExtractSql,
+    "q_percentage_parse" -> percentageParseSql,
+    "q_canonicalize" -> canonicalizeSql,
+    "q_ratio_scale" -> ratioScaleSql,
+    "q_agg_group" -> aggGroupSql,
+    "q_join_dims" -> joinDimsSql,
+    "q_join_edges" -> joinEdgesSql,
+    "q_latest_per_group" -> latestPerGroupSql,
+    "q_conflict_dedup" -> conflictDedupSql,
+    "q_group_rank" -> groupRankSql,
+    "q_ordinal_explode" -> ordinalExplodeSql,
+    "q_topk" -> topKSql,
+    "q_union_roles" -> unionRolesSql,
+    "q_collect_set" -> collectSetSql,
+    "q_distinct" -> distinctPairsSql,
+    "q_merge_dedup" -> mergeDedupSql)
+}

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (SURVEY §2.9 —
+  * designed-for capability; the reference is batch-only).
+  *
+  * Shapes provided:
+  *  - event-time tumbling-window aggregation with a watermark (the
+  *    canonical readStream → window().agg → writeStream pipeline);
+  *  - stateful sessionization via flatMapGroupsWithState (custom
+  *    per-key state, event-time timeout);
+  *  - batch-equivalent forms of both, used by the correctness oracle
+  *    (same logical result as running the stream to completion with
+  *    Trigger.AvailableNow).
+  *
+  * At scale: state is keyed by (window/user), so the state store
+  * shards with the shuffle partitioning; the watermark bounds state
+  * size; no per-batch collects.
+  */
+object EventsStreaming {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a parquet directory. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 5-minute window counts/sums per event_type with a
+    * 10-minute watermark. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,2)")).cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Batch-equivalent of windowedAgg (what the finished stream
+    * equals); used for the DuckDB-oracle check. */
+  def windowedAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,2)")).cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Run the streaming aggregation to completion over static input
+    * (Trigger.AvailableNow) and return the result table. */
+  def runWindowedAggToCompletion(spark: SparkSession, eventsDir: String,
+      checkpoint: String): DataFrame = {
+    val q = windowedAgg(readEventsStream(spark, eventsDir))
+      .writeStream
+      .format("memory")
+      .queryName("events_windowed")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("events_windowed")
+  }
+
+  // ---------------- sessionization ----------------
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Stateful sessionization: events for a user belong to one session
+    * while gaps stay ≤ `gapMinutes`; a session closes when the
+    * event-time watermark passes its end + gap. Custom state via
+    * flatMapGroupsWithState (SURVEY §2.9 mapping).
+    *
+    * Session identity works on floored epoch-SECONDS, matching the
+    * batch form's `unix_timestamp` arithmetic exactly, so
+    * stream-to-completion ⊆ batch gaps-and-islands holds precisely. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapSec = gapMinutes * 60L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil).map(s =>
+              Session(user, new java.sql.Timestamp(s.start * 1000L),
+                new java.sql.Timestamp(s.last * 1000L), s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            // merge new events into open sessions (events may arrive
+            // in any order within the batch — sort by ts)
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var sessions = state.getOption.getOrElse(Nil)
+            for (e <- sorted) {
+              val t = Math.floorDiv(e.ts.getTime, 1000L)
+              sessions.find(s => t >= s.start - gapSec && t <= s.last + gapSec) match {
+                case Some(s) =>
+                  val merged = SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.total + e.value)
+                  sessions = merged :: sessions.filterNot(_ == s)
+                case None =>
+                  sessions = SessionState(t, t, 1, e.value) :: sessions
+              }
+            }
+            state.update(sessions)
+            val horizon = (sessions.map(_.last).max + gapSec + 1) * 1000L
+            state.setTimeoutTimestamp(horizon)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch-equivalent sessionization via the gaps-and-islands window
+    * pattern (lag + cumulative sum) — same sessions as the stream
+    * produces once the watermark passes everything. SQL-expressible,
+    * so this is the oracle form. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("_prev")) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("_sess", sum(col("_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("_sess"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,2)")).cast("double").as("total_value"))
+      .drop("_sess")
+  }
+}

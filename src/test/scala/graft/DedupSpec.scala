@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "The  Quick   Brown Fox jumps over the lazy dog"), // dup modulo case/space
+    (4L, "the quick brown fox jumps over the sleepy dog"),  // near-dup (1 token)
+    (5L, "completely different content about spark engines entirely"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized content") {
+    val got = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 4L, 5L)) // 2 and 3 collapse into 1
+  }
+
+  test("ngram jaccard finds the near-dup pair, skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngram jaccard exact value") {
+    val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // 3-shingles: {a b c, b c d} vs {a b c, b c e} -> 1 / 3
+    val got = Dedup.ngramJaccardPairs(two, "doc_id", "text", threshold = 0.1)
+      .select("jaccard").as[Double].collect()
+    assert(got.toSeq == Seq(0.333333))
+  }
+
+  test("minhash LSH candidates include identical docs; verified pairs carry jaccard=1") {
+    val got = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, 2L, 1.0)))
+    assert(got.contains((1L, 3L, 1.0))) // normalization collapses case/space
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs have distance 0; near-dups small distance") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash60(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) == sigs(3L))
+    val d14 = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    val d15 = java.lang.Long.bitCount(sigs(1L) ^ sigs(5L))
+    assert(d14 < d15, s"near-dup hamming $d14 should beat unrelated $d15")
+  }
+
+  test("simhash near-dup pairs at maxDist keeps exact dups") {
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((2L, 3L)))
+  }
+
+  test("shingles: short docs yield empty array, no crash") {
+    val got = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(TextFunctions.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(got.head.isEmpty)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (10L, "abcdefghijklmnopqrstuvwxyz0123456789ABCD", "en", "s1", 40L),
+    (11L, "short", "en", "s1", 5L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("media table has binary payload + typed metadata") {
+    val m = Multimodal.mediaFromDocuments(docs)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val row = m.filter(col("media_id") === 10L).collect()(0)
+    assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8")
+      .startsWith("abcdef"))
+  }
+
+  test("extractFeatures: deterministic stub features via mapPartitions") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(10L).n_bytes == 40L)
+    assert(feats(10L).first_byte == 'a'.toInt)
+    assert(feats(10L).last_byte == 'D'.toInt)
+    assert(feats(10L).byte_sum_mod ==
+      "abcdefghijklmnopqrstuvwxyz0123456789ABCD".map(_.toLong).sum % 1000000007L)
+  }
+
+  test("sampleFrames slices every nth fixed-size frame") {
+    val m = Multimodal.mediaFromDocuments(docs)
+    val frames = Multimodal.sampleFrames(m, frameBytes = 16, everyNth = 2)
+      .select("media_id", "frame_idx", "frame")
+      .as[(Long, Int, Array[Byte])].collect()
+    val byDoc = frames.groupBy(_._1)
+    // 40 bytes -> 2 full frames (idx 0,1), every 2nd -> idx 0 only
+    assert(byDoc(10L).map(_._2).toSeq == Seq(0))
+    assert(new String(byDoc(10L).head._3, "UTF-8") == "abcdefghijklmnop")
+    assert(!byDoc.contains(11L)) // too short for any frame
+  }
+}

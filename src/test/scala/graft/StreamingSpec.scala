@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStreaming
+
+/** Structured Streaming parity: running the stream to completion over
+  * static input must equal the batch form of the same query. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val eventsDir: String = {
+    // re-write the driver's events (nanos ts) as micros parquet so the
+    // streaming source can use the declared TimestampType schema
+    val dir = Files.createTempDirectory("graft-events").toString
+    graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed agg: stream-to-completion == batch") {
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val streamed = EventsStreaming.runWindowedAggToCompletion(spark, eventsDir, ckpt)
+      .select("win_start", "event_type", "n", "total")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventsStreaming.windowedAggBatch(
+      spark.read.parquet(eventsDir))
+      .select("win_start", "event_type", "n", "total")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionizeBatch: gaps-and-islands on crafted data") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(20), 3.0), // session 1
+      (1L, ts(120), 4.0),                                      // session 2 (100min gap)
+      (2L, ts(5), 5.0))                                        // user 2, one session
+      .toDF("user_id", "ts", "value")
+    val got = EventsStreaming.sessionizeBatch(ev, gapMinutes = 30)
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 3L, 6.0), (1L, 1L, 4.0), (2L, 1L, 5.0)))
+  }
+
+  test("stateful sessionize emits closed sessions matching batch") {
+    val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
+    val evStream = spark.readStream.schema(EventsStreaming.eventSchema)
+      .parquet(eventsDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[EventsStreaming.Ev]
+    val q = EventsStreaming.sessionize(evStream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions_out")
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("start_s"),
+        col("n_events").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = EventsStreaming.sessionizeBatch(
+      spark.read.parquet(eventsDir), gapMinutes = 30)
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("start_s"),
+        col("n_events").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    // the stream only closes sessions the final watermark passed;
+    // everything it emitted must be a real batch session
+    assert(streamed.subsetOf(batch))
+    assert(streamed.nonEmpty)
+  }
+}
