@@ -1,0 +1,340 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (with `doGenCode`) for the engine's two
+  * hottest scalar kernels. Both are pure single-pass Java loops over
+  * the input array — replacing deep higher-order-function trees whose
+  * generated code re-scanned the array per bit (SimHash: 60×) or
+  * unrolled 512 literal multiply-adds (hyperplane signature).
+  * Semantics are IDENTICAL to the portable md5-based definitions in
+  * TextFunctions/Dedup/Similarity, so the DuckDB oracles still match
+  * bit-for-bit.
+  *
+  * Registered via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.GraftExtensions`) as
+  * `graft_simhash60(tokens)` and `graft_hyperplane_sig(vec, bits)`.
+  */
+object NativeKernels {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val shPrefix = "sh:".getBytes("UTF-8")
+
+  /** 60-bit simhash over a token array — identical to
+    * Dedup.simhash60's HOF form (md5("sh:"+tok) first 15 hex chars as
+    * the per-token hash). */
+  def simhash60(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val md = md5Local.get()
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        md.update(shPrefix)
+        md.update(tokens.getUTF8String(i).getBytes)
+        val dig = md.digest()
+        // first 15 hex chars = bytes 0..6 + high nibble of byte 7
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((dig(7) & 0xf0L) >> 4)
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+
+  /** Deterministic hyperplane coefficients, cached per bit count —
+    * exactly Similarity.planeCoef. */
+  private val coefCache = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def coefs(bits: Int, dims: Int): Array[Array[Double]] =
+    coefCache.computeIfAbsent((bits, dims), { _ =>
+      Array.tabulate(bits, dims)((b, d) => graft.operators.Similarity.planeCoef(b, d))
+    })
+
+  /** Sign signature of a float/double vector under the deterministic
+    * hyperplanes — identical to Similarity.signSignature (same
+    * left-to-right summation order, so the same doubles). */
+  def hyperplaneSig(vec: ArrayData, bits: Int): Long = {
+    val n = vec.numElements()
+    val cs = coefs(bits, n)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      val row = cs(b)
+      var proj = 0.0
+      var d = 0
+      while (d < n) { proj += vec.getFloat(d).toDouble * row(d); d += 1 }
+      if (proj >= 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def toHex(dig: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((dig(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(dig(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Word n-gram shingles joined by spaces — identical to
+    * TextFunctions.shingles applied to the token array (tokens are
+    * expected lowercased/non-empty; short docs → empty array). */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    val out = new Array[Any](cnt - n + 1)
+    val space = UTF8String.fromString(" ")
+    i = 0
+    while (i <= cnt - n) {
+      var s = toks(i)
+      var j = 1
+      while (j < n) { s = UTF8String.concat(s, space, toks(i + j)); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature over pre-computed shingles: element k = min
+    * over shingles of hex(md5("k:" + shingle)); "zz_empty" sentinel
+    * for shingle-less docs. Identical to Dedup.minhashSignature
+    * (hex-string lexicographic min == unsigned-byte digest min). */
+  def minhashSig(shingleArr: ArrayData, numHashes: Int): ArrayData = {
+    val n = shingleArr.numElements()
+    if (n == 0) {
+      val z = UTF8String.fromString("zz_empty")
+      return new GenericArrayData(Array.tabulate[Any](numHashes)(_ => z))
+    }
+    val md = md5Local.get()
+    val mins = Array.fill[Array[Byte]](numHashes)(null)
+    val shingleBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { shingleBytes(i) = shingleArr.getUTF8String(i).getBytes; i += 1 }
+    var k = 0
+    while (k < numHashes) {
+      val prefix = (k.toString + ":").getBytes("UTF-8")
+      var best: Array[Byte] = null
+      i = 0
+      while (i < n) {
+        md.reset()
+        md.update(prefix)
+        md.update(shingleBytes(i))
+        val dig = md.digest()
+        if (best == null || unsignedLess(dig, best)) best = dig
+        i += 1
+      }
+      mins(k) = best
+      k += 1
+    }
+    new GenericArrayData(mins.map(d => toHex(d): Any))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  /** Float-array dot product in double precision, left-to-right —
+    * identical to Similarity.dot's zip_with/aggregate fold (null on
+    * length mismatch, like zip_with's null padding poisons the sum). */
+  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Rabin–Karp rolling hash over the characters of an already
+    * normalized string — identical to TextFunctions.rollingHash's
+    * fold ((acc*31 + codepoint) mod 1e9+7, left to right). Input is
+    * ASCII in practice; iterate unicode codepoints to match `ascii()`
+    * per split character. */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** `graft_simhash60(tokens array<string>) -> bigint` */
+case class SimHash60Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  protected override def nullSafeEval(input: Any): Any =
+    NativeKernels.simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Expr =
+    copy(child = newChild)
+}
+
+/** `graft_hyperplane_sig(vec array<float>, bits int) -> bigint`;
+  * `bits` must be a foldable int literal. */
+case class HyperplaneSigExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  protected override def nullSafeEval(input: Any): Any =
+    NativeKernels.hyperplaneSig(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.hyperplaneSig($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+}
+
+/** `graft_shingles(tokens array<string>, n) -> array<string>` */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  protected override def nullSafeEval(input: Any): Any =
+    NativeKernels.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(shingles array<string>, numHashes) -> array<string>` */
+case class MinhashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    NativeKernels.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.minhashSig($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+/** `graft_dot(a array<float>, b array<float>) -> double` */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double _gd = graft.functions.NativeKernels.dotFF($a, $b);
+         |if (_gd == null) { ${ev.isNull} = true; } else { ${ev.value} = _gd.doubleValue(); }
+       """.stripMargin
+    })
+    res
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
+}
+
+/** `graft_rolling_hash(s string) -> bigint` */
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    NativeKernels.rollingHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.rollingHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
+/** Session extension registering the native functions:
+  * `spark.sql.extensions=graft.GraftExtensions` (root alias below). */
+class GraftFunctionExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def reg(ext: SparkSessionExtensions, name: String, arity: Int)(
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.size == arity, s"$name expects $arity args")
+        builder(children)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case x if x.foldable => x.eval().asInstanceOf[Number].intValue()
+    case _ => throw new IllegalArgumentException(s"$what must be a literal int")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    reg(ext, "graft_simhash60", 1)(c => SimHash60Expr(c.head))
+    reg(ext, "graft_hyperplane_sig", 2)(c =>
+      HyperplaneSigExpr(c.head, litInt(c(1), "bits")))
+    reg(ext, "graft_shingles", 2)(c =>
+      ShinglesExpr(c.head, litInt(c(1), "n")))
+    reg(ext, "graft_minhash", 2)(c =>
+      MinhashSigExpr(c.head, litInt(c(1), "numHashes")))
+    reg(ext, "graft_rolling_hash", 1)(c => RollingHashExpr(c.head))
+    reg(ext, "graft_dot", 2)(c => DotProductExpr(c.head, c(1)))
+  }
+}

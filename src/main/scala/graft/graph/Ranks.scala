@@ -40,7 +40,8 @@ object Ranks {
     * vertices still participate (rank (1-d) sinks). When None, the
     * vertex set is the edge endpoints. */
   def graphFromNames(edges: DataFrame, src: String, dst: String,
-      vertices: Option[DataFrame] = None): Graph[String, Double] = {
+      vertices: Option[DataFrame] = None,
+      numParts: Option[Int] = None): Graph[String, Double] = {
     val spark = edges.sparkSession
     import spark.implicits._
     val vertDf = vertices match {
@@ -55,12 +56,21 @@ object Ranks {
         .join(broadcast(vertDf.select(col("name").as(dst))), Seq(dst), "left_semi")
       case None => edges
     }
-    val edgeRdd = edgeDf
+    var edgeRdd = edgeDf
       .select(xxhash64(col(src)).as("srcId"), xxhash64(col(dst)).as("dstId"))
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1.0) }
-    val vertRdd = vertDf
+    var vertRdd = vertDf
       .select(xxhash64(col("name")).as("id"), col("name"))
       .as[(Long, String)].rdd
+    // Partition the GRAPH by its own size, not the SQL side's
+    // parallelism: a Pregel superstep is a full stage per iteration,
+    // so a small graph (e.g. a nation-level rollup) on hundreds of
+    // partitions pays hundreds of empty tasks × iterations. Scale-up
+    // keeps ~50k edges/partition up to the cluster's parallelism.
+    numParts.foreach { p =>
+      edgeRdd = edgeRdd.coalesce(p)
+      vertRdd = vertRdd.coalesce(p)
+    }
     Graph(vertRdd, edgeRdd, defaultVertexAttr = "",
         edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
         vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
@@ -128,22 +138,85 @@ object Ranks {
       prev.edges.unpersist(blocking = false)
       i += 1
     }
-    rankGraph.vertices.mapValues(_._1)
+    // materialize the result independently, then free the iteration
+    // graph — callers keep a small cached vertex RDD, not the whole
+    // edge-replicated graph
+    val result = rankGraph.vertices.mapValues(_._1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    rankGraph.unpersistVertices(blocking = false)
+    rankGraph.edges.unpersist(blocking = false)
+    result
   }
 
   /** Ranks joined back to names (G5): DataFrame(name, pagerank,
     * articlerank). */
+  /** Fused PageRank + ArticleRank: one superstep carries both
+    * (term_pr, term_ar) messages, so 20 iterations cost 20 shuffles
+    * instead of 40. Each rank is numerically IDENTICAL to running its
+    * own loop (independent accumulators, same fold order). */
+  def combinedRanks[VD: ClassTag](g: Graph[VD, Double], iters: Int,
+      damping: Double): VertexRDD[(Double, Double)] = {
+    val degSum = g.outDegrees.map(_._2.toLong).fold(0L)(_ + _)
+    val avgOutDeg = degSum.toDouble / g.numVertices
+    val init = 1.0 - damping
+    // attr = (prRank, prTerm, invDegPr, arRank, arTerm, invDegAr)
+    var rankGraph: Graph[(Double, Double, Double, Double, Double, Double), Double] = g
+      .outerJoinVertices(g.outDegrees) { (_, _, deg) =>
+        val d = deg.getOrElse(0)
+        (init, init, if (d > 0) 1.0 / d else 0.0,
+          init, init, if (d + avgOutDeg > 0) 1.0 / (d + avgOutDeg) else 0.0)
+      }.cache()
+    var i = 1
+    while (i < iters) {
+      val msgs = rankGraph.aggregateMessages[(Double, Double)](
+        ctx => ctx.sendToDst((ctx.srcAttr._2 * ctx.srcAttr._3,
+          ctx.srcAttr._5 * ctx.srcAttr._6)),
+        (a, b) => (a._1 + b._1, a._2 + b._2), TripletFields.Src)
+      val prev = rankGraph
+      rankGraph = rankGraph.outerJoinVertices(msgs) { (_, attr, msg) =>
+        val (mPr, mAr) = msg.getOrElse((0.0, 0.0))
+        val tPr = damping * mPr
+        val tAr = damping * mAr
+        (attr._1 + tPr, tPr, attr._3, attr._4 + tAr, tAr, attr._6)
+      }.cache()
+      rankGraph.edges.foreachPartition(_ => ())
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+      i += 1
+    }
+    val result = rankGraph.vertices.mapValues(a => (a._1, a._4))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    rankGraph.unpersistVertices(blocking = false)
+    rankGraph.edges.unpersist(blocking = false)
+    result
+  }
+
   def rankTable(edges: DataFrame, src: String, dst: String,
       iters: Int = 20, damping: Double = 0.85,
       vertices: Option[DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val g = graphFromNames(edges, src, dst, vertices).cache()
-    val pr = pageRank(g, iters, damping)
-    val ar = articleRank(g, iters, damping)
+    // cache the (aggregated, small) edge table: graph construction
+    // evaluates it several times (edge RDD, vertex union, outDegrees) —
+    // without this each pass re-runs the full upstream SQL pipeline
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count() // also materializes the cache
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 50000L + 1L)).toInt
+    val g = graphFromNames(e, src, dst, vertices, Some(parts)).cache()
+    val both = combinedRanks(g, iters, damping)
     val names = g.vertices.map { case (id, n) => (id, n) }.toDF("id", "name")
-    val prDf = pr.map { case (id, v) => (id, v) }.toDF("id", "pagerank")
-    val arDf = ar.map { case (id, v) => (id, v) }.toDF("id", "articlerank")
-    names.join(prDf, "id").join(arDf, "id").drop("id")
+    val ranksDf = both.map { case (id, (p, a)) => (id, p, a) }
+      .toDF("id", "pagerank", "articlerank")
+    val out = names.join(ranksDf, "id").drop("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the heavyweight inputs
+    both.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out
   }
 }

@@ -28,6 +28,29 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Shingle column via the native codegen kernel when registered
+    * (Spark HOFs are interpreted — CodegenFallback — so the native
+    * expression is the per-row fast path), else the portable HOF.
+    * Same strings either way. */
+  def shinglesAuto(df: DataFrame, textCol: String, n: Int): Column =
+    if (df.sparkSession.catalog.functionExists("graft_shingles"))
+      call_function("graft_shingles", tokens(lower(col(textCol))), lit(n))
+    else shingles(col(textCol), n)
+
+  private def minhashAuto(df: DataFrame, textCol: String, shingleN: Int,
+      numHashes: Int): Column =
+    if (df.sparkSession.catalog.functionExists("graft_minhash"))
+      call_function("graft_minhash", shinglesAuto(df, textCol, shingleN), lit(numHashes))
+    else minhashSignature(col(textCol), shingleN, numHashes)
+
+  /** Spread per-row-heavy compute across the cluster: small single-file
+    * benchmark inputs arrive as one scan split, which would serialize
+    * the hash kernels on one core. Cost: one round-robin shuffle of the
+    * (tiny relative to compute) input. Real 100 TB inputs already have
+    * thousands of splits — this keeps the small-file case honest. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup: keep the lowest-`idCol` row per normalized-content
     * fingerprint. One shuffle, deterministic survivor. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -63,15 +86,17 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, numHashes).as("_sig"))
+    val withSig = spread(df).select(col(idCol).as("id"),
+      minhashAuto(df, textCol, shingleN, numHashes).as("_sig"))
     val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => array_join(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "|"))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id1"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id2"))
-    a.join(b, Seq("band", "bucket"))
+    // shuffle-hash: the banded index is corpus-sized — never a
+    // driver-side broadcast build, at any scale
+    a.hint("shuffle_hash").join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
@@ -82,10 +107,12 @@ object Dedup {
       threshold: Double, shingleN: Int = 3,
       bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, shingleN, bands, rowsPerBand)
-    val sh = df.select(col(idCol).as("_jid"),
-      array_distinct(shingles(col(textCol), shingleN)).as("_sh"))
+    val sh = spread(df).select(col(idCol).as("_jid"),
+      array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
     cands
+      .hint("shuffle_hash")
       .join(sh.withColumnRenamed("_jid", "id1").withColumnRenamed("_sh", "_sh1"), Seq("id1"))
+      .hint("shuffle_hash")
       .join(sh.withColumnRenamed("_jid", "id2").withColumnRenamed("_sh", "_sh2"), Seq("id2"))
       .withColumn("jaccard", jaccardArr(col("_sh1"), col("_sh2")))
       .filter(col("jaccard") >= threshold)
@@ -110,8 +137,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleN)).as("_sh"))
+    val sh = spread(df).select(col(idCol).as("id"),
+      array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
       .withColumn("_size", size(col("_sh")))
     val inv = sh.select(col("id"), col("_size"), explode(col("_sh")).as("shingle"))
     val invF =
@@ -122,7 +149,7 @@ object Dedup {
       }
     val a = invF.select(col("shingle"), col("id").as("id1"), col("_size").as("_s1"))
     val b = invF.select(col("shingle"), col("id").as("id2"), col("_size").as("_s2"))
-    a.join(b, Seq("shingle"))
+    a.hint("shuffle_hash").join(b, Seq("shingle"))
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"), col("_s1"), col("_s2"))
       .agg(count(lit(1)).as("_inter"))
@@ -152,20 +179,29 @@ object Dedup {
     conv(substring(md5(concat(lit("sh:"), t).cast("binary")), 1, 15), 16, 10)
       .cast("long")
 
+  /** simhash60 via the native codegen expression when the session has
+    * GraftExtensions registered (single md5 pass per token vs 60
+    * array re-scans in the HOF form); falls back to the portable HOF
+    * otherwise. Same bits either way. */
+  def simhash60Auto(df: DataFrame, textCol: String): Column =
+    if (df.sparkSession.catalog.functionExists("graft_simhash60"))
+      call_function("graft_simhash60", tokens(lower(col(textCol))))
+    else simhash60(col(textCol))
+
   /** SimHash near-dup pairs with Hamming ≤ maxDist, candidates via
     * 4-way band pigeonhole (any pair within Hamming 3 shares at least
     * one intact 15-bit quarter). Verified with exact
     * `bit_count(xor)`. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash60(col(textCol)).as("sig"))
+    val sigs = spread(df).select(col(idCol).as("id"), simhash60Auto(df, textCol).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("sig"), q * 15).bitwiseAND(lit((1L << 15) - 1))): _*)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("_sig1"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("_sig2"))
-    a.join(b, Seq("band", "bucket"))
+    a.hint("shuffle_hash").join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         call_function("bit_count", col("_sig1").bitwiseXOR(col("_sig2")))

@@ -37,20 +37,43 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
+  /** cosine via the native `graft_dot` kernel when the session has
+    * GraftExtensions registered (the zip_with/aggregate HOF path is
+    * interpreted per element); identical doubles (same fold order). */
+  def cosineAuto(df: DataFrame, a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("graft_dot")) {
+      def d(x: Column, y: Column) = call_function("graft_dot", x, y)
+      round(d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b))), 6)
+    } else cosine(a, b)
+
+  /** Spread per-row-heavy vector compute across all cores (single-file
+    * benchmark inputs arrive as one scan split). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine. `queries` must be broadcast-sized. Ties broken
     * by corpus id for determinism. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val scored = corpus.join(broadcast(queries))
-      .withColumn("score", cosine(col(vecCol), col(qVecCol)))
+    val scored = spread(corpus).join(broadcast(queries))
+      .withColumn("score", cosineAuto(corpus, col(vecCol), col(qVecCol)))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col(qIdCol), col(idCol), col("score"), col("_rn").as("rank"))
   }
+
+  /** signSignature via the native codegen expression when the session
+    * has GraftExtensions registered (tight loop over a cached coef
+    * matrix vs 512 unrolled literal multiply-adds in generated code);
+    * identical doubles either way (same fold order). */
+  def signSignatureAuto(df: DataFrame, vec: Column, bits: Int, dims: Int): Column =
+    if (df.sparkSession.catalog.functionExists("graft_hyperplane_sig"))
+      call_function("graft_hyperplane_sig", vec, lit(bits))
+    else signSignature(vec, bits, dims)
 
   /** Random-hyperplane sign signature of width `bits`: bit i is the
     * sign of the dot product with pseudo-random hyperplane i. The
@@ -84,10 +107,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dims: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val c = corpus.withColumn("_sig", signSignature(col(vecCol), bits, dims))
-    val q = queries.withColumn("_sig", signSignature(col(qVecCol), bits, dims))
+    val c = spread(corpus).withColumn("_sig", signSignatureAuto(corpus, col(vecCol), bits, dims))
+    val q = queries.withColumn("_sig", signSignatureAuto(queries, col(qVecCol), bits, dims))
     val scored = c.join(broadcast(q), Seq("_sig"))
-      .withColumn("score", cosine(col(vecCol), col(qVecCol)))
+      .withColumn("score", cosineAuto(corpus, col(vecCol), col(qVecCol)))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
     scored.withColumn("_rn", row_number().over(w))
@@ -101,13 +124,13 @@ object Similarity {
     * `bits` this is a high-recall blocking key). */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double, bits: Int, dims: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("_v"))
-      .withColumn("_sig", signSignature(col("_v"), bits, dims))
+    val sig = spread(df).select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .withColumn("_sig", signSignatureAuto(df, col("_v"), bits, dims))
     val a = sig.select(col("_sig"), col("id").as("id1"), col("_v").as("_v1"))
     val b = sig.select(col("_sig"), col("id").as("id2"), col("_v").as("_v2"))
     a.join(b, Seq("_sig"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", cosine(col("_v1"), col("_v2")))
+      .withColumn("cosine", cosineAuto(df, col("_v1"), col("_v2")))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }

@@ -25,8 +25,13 @@ object Extensions {
 
   // -------------------- text analysis --------------------
 
+  /** Spread per-row-heavy text compute across all cores (single-file
+    * inputs arrive as one scan split). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   val textStats: Q = (s, d) =>
-    Tables.documents(s, d).select(
+    spread(Tables.documents(s, d)).select(
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
       bpeishTokenCount(col("text")).as("n_bpeish"),
@@ -54,7 +59,7 @@ object Extensions {
   }
 
   val langId: Q = (s, d) =>
-    Tables.documents(s, d).select(
+    spread(Tables.documents(s, d)).select(
       col("doc_id"), col("lang").as("tagged"),
       langIdHeuristic(col("text")).as("predicted"))
 
@@ -68,11 +73,18 @@ object Extensions {
       s"SELECT doc_id, lang AS tagged, CASE WHEN _gm = 0 THEN 'und' $pick END AS predicted FROM g"
   }
 
-  val fingerprint: Q = (s, d) =>
-    Tables.documents(s, d).select(
+  val fingerprint: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val rh =
+      if (s.catalog.functionExists("graft_rolling_hash"))
+        call_function("graft_rolling_hash",
+          array_join(TextFunctions.tokens(lower(col("text"))), " "))
+      else rollingHash(col("text"))
+    docs.select(
       col("doc_id"),
       fingerprintMd5(col("text")).as("fp"),
-      rollingHash(col("text")).as("rhash"))
+      rh.as("rhash"))
+  }
 
   private val duckNormText = s"array_to_string($duckToksLower, ' ')"
 

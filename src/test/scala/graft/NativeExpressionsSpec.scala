@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** The native codegen kernels must be bit-identical to the portable
+  * HOF/literal forms (the DuckDB oracles mirror the portable forms). */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_simhash60 == HOF simhash60 on real documents") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hof = docs.select(col("doc_id"), Dedup.simhash60(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val nat = docs.select(col("doc_id"),
+      call_function("graft_simhash60", TextFunctions.tokens(lower(col("text")))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(hof == nat)
+    assert(hof.values.toSet.size > 1)
+  }
+
+  test("graft_hyperplane_sig == literal signSignature on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val lit8 = emb.select(col("vec_id"),
+      Similarity.signSignature(col("embedding"), 8, 64).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val nat = emb.select(col("vec_id"),
+      call_function("graft_hyperplane_sig", col("embedding"), lit(8)).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(lit8 == nat)
+    assert(nat.values.toSet.size > 1)
+  }
+
+  test("null tokens element and empty array handled") {
+    val df = Seq(Seq.empty[String]).toDF("toks")
+    val got = df.select(call_function("graft_simhash60", col("toks")))
+      .as[Long].collect()
+    assert(got.toSeq == Seq(0L))
+  }
+}
