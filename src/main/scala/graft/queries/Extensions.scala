@@ -257,6 +257,32 @@ object Extensions {
       "f AS (SELECT media_id, text, unnest(range(0, n, 2)) AS frame_idx FROM m WHERE n > 0) " +
       "SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, md5(substr(text, CAST(frame_idx AS INT)*16 + 1, 16)) AS frame_md5 FROM f"
 
+  // -------------------- ingestion (S2/S3) --------------------
+
+  /** The full HTML record-extraction pipeline (FactbookScrape) over
+    * synthesized Factbook-style pages, one div per customer row. The
+    * oracle derives the expected output in closed form — an
+    * independent check of the whole explode/filter/parse chain. */
+  val scrapeSeries: Q = (s, d) => {
+    val pages = Tables.customer(s, d).select(
+      concat(
+        lit("<html><body><div class=\"pb30\"><a href=\"/the-world-factbook/countries/c"),
+        col("c_custkey"),
+        lit("\"><h3>"), col("c_name"), lit("</h3></a><p>$"),
+        (col("c_custkey") % 900 + 100).cast("long"),
+        lit(".5 billion ("),
+        (col("c_custkey") % 24 + 2000).cast("long"),
+        lit(" est.)</p></div></body></html>")).as("html"))
+    graft.operators.FactbookScrape.amountSeries(pages, "html")
+      .select(col("link"), col("country"), col("amount"), col("year"))
+  }
+
+  val scrapeSeriesSql: String =
+    "SELECT '/the-world-factbook/countries/c' || c_custkey AS link, " +
+      "c_name AS country, " +
+      "(CAST(c_custkey % 900 + 100 AS BIGINT) + 0.5) * 1e9 AS amount, " +
+      "CAST(c_custkey % 24 + 2000 AS DOUBLE) AS year FROM customer"
+
   // -------------------- event-time windows --------------------
 
   val windowAgg: Q = (s, d) =>
@@ -301,6 +327,7 @@ object Extensions {
     "q_embed_neardup" -> embedNearDup,
     "q_media_features" -> mediaFeatures,
     "q_frame_sample" -> frameSample,
+    "q_scrape_series" -> scrapeSeries,
     "q_window_agg" -> windowAgg,
     "q_sessionize" -> sessionize)
 
@@ -317,6 +344,7 @@ object Extensions {
     "q_embed_neardup" -> embedNearDupSql,
     "q_media_features" -> mediaFeaturesSql,
     "q_frame_sample" -> frameSampleSql,
+    "q_scrape_series" -> scrapeSeriesSql,
     "q_window_agg" -> windowAggSql,
     "q_sessionize" -> sessionizeSql)
 }
