@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators Spark lacks as built-ins (SURVEY custom-op
+  * ladder rung (a): composed from existing operators, no custom
+  * physical plan needed).
+  */
+object ScaleOps {
+
+  /** As-of join: for each left row, attach the most recent right row
+    * with `rightOn <= leftOn` within the same `keys` group (inclusive;
+    * null right columns when no prior right row exists).
+    *
+    * Plan shape (the only one that survives 100 TB): tag and UNION the
+    * two sides, one shuffle on `keys`, and a carry-forward
+    * `last(_, ignoreNulls)` window ordered by (on, side) — right rows
+    * sort before left rows at equal `on`, so "inclusive" ties work.
+    * No range-explosion, no per-key collect, state is one row per
+    * carried column.
+    *
+    * `rightCols`: right-side payload columns to carry (renamed as
+    * given). `on` must be orderable (numeric/timestamp). */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftOn: String, rightOn: String,
+      rightCols: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftOn).toSeq
+    val lTagged = left.select(
+      keys.map(col) ++
+        Seq(col(leftOn).as("_on"), lit(1).as("_isLeft")) ++
+        leftCols.map(col) ++
+        rightCols.values.toSeq.map(c => lit(null).as(c)): _*)
+    val rTagged = right.select(
+      keys.map(col) ++
+        Seq(col(rightOn).as("_on"), lit(0).as("_isLeft")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.toSeq.map { case (src, dst) => col(src).as(dst) }: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_on").asc, col("_isLeft").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.values.foldLeft(lTagged.unionByName(rTagged)) {
+      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_isLeft") === 1)
+      .drop("_isLeft")
+      .withColumnRenamed("_on", leftOn)
+  }
+
+  /** Skew-salted equi-join of a (possibly skewed) fact side against a
+    * modest dim side: the fact's rows fan out over `saltBuckets`
+    * deterministic salts (hash of the whole row — reproducible, no
+    * rand()), the dim side replicates `saltBuckets`×, and the join key
+    * becomes (key, salt) — a single hot key now spreads over
+    * `saltBuckets` reducers. Result set identical to the plain join.
+    *
+    * Use when one key dominates (AQE skew-join handles moderate skew;
+    * salting is the deterministic heavy hammer for pathological
+    * keys). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltBuckets)).cast("int"))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(saltedDim, key :+ "_salt").drop("_salt")
+  }
+}

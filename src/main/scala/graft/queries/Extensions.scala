@@ -283,6 +283,43 @@ object Extensions {
       "(CAST(c_custkey % 900 + 100 AS BIGINT) + 0.5) * 1e9 AS amount, " +
       "CAST(c_custkey % 24 + 2000 AS DOUBLE) AS year FROM customer"
 
+  // -------------------- as-of / skew joins --------------------
+
+  /** As-of join over events: each purchase picks up the user's most
+    * recent signup at-or-before it (event_id as the precision-safe
+    * ordering key). Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val asofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"))
+    graft.operators.ScaleOps.asOfJoin(purchases, signups,
+      Seq("user_id"), "event_id", "event_id",
+      Map("event_id" -> "signup_id"))
+      .select(col("user_id"), col("event_id"), col("value"), col("signup_id"))
+  }
+
+  val asofJoinSql: String =
+    "SELECT l.user_id, l.event_id, l.value, r.event_id AS signup_id " +
+      "FROM (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase') l " +
+      "ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'signup') r " +
+      "ON l.user_id = r.user_id AND l.event_id >= r.event_id"
+
+  /** Skew-salted fact-dim join — result provably identical to the
+    * plain join (the oracle IS the plain join). */
+  val saltedJoin: Q = (s, d) =>
+    graft.operators.ScaleOps.saltedJoin(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").as("p_partkey")),
+      Tables.part(s, d).select(col("p_partkey"), col("p_name")),
+      Seq("p_partkey"), saltBuckets = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_name"))
+
+  val saltedJoinSql: String =
+    "SELECT l_orderkey, l_linenumber, p_name FROM lineitem JOIN part ON l_partkey = p_partkey"
+
   // -------------------- event-time windows --------------------
 
   val windowAgg: Q = (s, d) =>
@@ -328,6 +365,8 @@ object Extensions {
     "q_media_features" -> mediaFeatures,
     "q_frame_sample" -> frameSample,
     "q_scrape_series" -> scrapeSeries,
+    "q_asof_join" -> asofJoin,
+    "q_salted_join" -> saltedJoin,
     "q_window_agg" -> windowAgg,
     "q_sessionize" -> sessionize)
 
@@ -345,6 +384,8 @@ object Extensions {
     "q_media_features" -> mediaFeaturesSql,
     "q_frame_sample" -> frameSampleSql,
     "q_scrape_series" -> scrapeSeriesSql,
+    "q_asof_join" -> asofJoinSql,
+    "q_salted_join" -> saltedJoinSql,
     "q_window_agg" -> windowAggSql,
     "q_sessionize" -> sessionizeSql)
 }
