@@ -118,6 +118,48 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("score"), col("_rn").as("rank"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every
+    * `centroidEvery`-th corpus vector is a centroid) assigns each
+    * corpus vector to its nearest centroid cell; a query probes its
+    * `nprobe` nearest cells and scores only those cells' members.
+    *
+    * Scale shape: centroids are broadcast (bounded set); cell
+    * assignment is a map-side argmax per row; the probe is an
+    * equi-join on cell id — corpus work drops by ~cells/nprobe. A
+    * production build would learn centroids with k-means; the
+    * assignment/probe plumbing — the Spark-side structure — is
+    * identical and is what's exercised here. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidEvery: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("_cent_id"), col(vecCol).as("_cent_vec"))
+
+    def assign(df: DataFrame, vec: Column, id: Column, n: Int): DataFrame = {
+      val scored = spread(df).join(broadcast(cents))
+        .withColumn("_csim", cosineAuto(df, vec, col("_cent_vec")))
+      val w = Window.partitionBy(id)
+        .orderBy(col("_csim").desc, col("_cent_id").asc)
+      scored.withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= n)
+        .drop("_cent_vec", "_csim", "_crn")
+    }
+
+    val corpusCells = assign(corpus, col(vecCol), col(idCol), 1)
+      .withColumnRenamed("_cent_id", "_cell")
+    val queryCells = assign(queries, col(qVecCol), col(qIdCol), nprobe)
+      .withColumnRenamed("_cent_id", "_cell")
+
+    val scored = corpusCells.join(broadcast(queryCells), Seq("_cell"))
+      .withColumn("score", cosineAuto(corpus, col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col(qIdCol), col(idCol), col("score"), col("_rn").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine
     * ≥ threshold, candidates restricted to equal LSH sign-buckets
     * (high-cosine pairs agree on most hyperplane signs; with small

@@ -218,6 +218,31 @@ object Extensions {
       "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
       "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
 
+  /** IVF scale path: deterministic coarse centroids (vec_id % 200),
+    * nearest-cell assignment, 2-cell probe, top-10 within probed
+    * cells. Oracle mirrors cell assignment + probe + rank exactly. */
+  val embedIvf: Q = (s, d) =>
+    Similarity.ivfTopK(
+      Tables.embeddings(s, d), queriesDf(s, d), k = 10,
+      centroidEvery = 200, nprobe = 2)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+
+  val embedIvfSql: String =
+    "WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "cent AS (SELECT vec_id AS cent_id, ed AS cvec FROM c WHERE vec_id % 200 = 0), " +
+      "ca AS (SELECT vec_id, cell FROM (SELECT c.vec_id, cent.cent_id AS cell, " +
+      "row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_dot_product(c.ed, cent.cvec)/(sqrt(list_dot_product(c.ed, c.ed))*sqrt(list_dot_product(cent.cvec, cent.cvec))), 6) DESC, cent.cent_id ASC) AS rn " +
+      "FROM c, cent) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS q_id, ed AS qd FROM c WHERE vec_id % 50 = 0), " +
+      "qa AS (SELECT q_id, cell FROM (SELECT q.q_id, cent.cent_id AS cell, " +
+      "row_number() OVER (PARTITION BY q.q_id ORDER BY round(list_dot_product(q.qd, cent.cvec)/(sqrt(list_dot_product(q.qd, q.qd))*sqrt(list_dot_product(cent.cvec, cent.cvec))), 6) DESC, cent.cent_id ASC) AS rn " +
+      "FROM q, cent) WHERE rn <= 2), " +
+      "sc AS (SELECT qa.q_id, ca.vec_id, " +
+      "round(list_dot_product(cv.ed, qv.qd)/(sqrt(list_dot_product(cv.ed, cv.ed))*sqrt(list_dot_product(qv.qd, qv.qd))), 6) AS score " +
+      "FROM ca JOIN qa ON ca.cell = qa.cell JOIN c cv ON cv.vec_id = ca.vec_id JOIN q qv ON qv.q_id = qa.q_id), " +
+      "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
+
   val embedNearDup: Q = (s, d) =>
     Similarity.embeddingNearDupPairs(
       Tables.embeddings(s, d), threshold = 0.4, bits = ANN_BITS, dims = EMB_DIMS)
@@ -333,6 +358,26 @@ object Extensions {
       "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total " +
       "FROM events GROUP BY 1, 2"
 
+  /** ACTUAL Structured Streaming run (readStream → watermark →
+    * windowed agg → memory sink, Trigger.AvailableNow to completion);
+    * the oracle is the batch SQL — stream-equals-batch is the check. */
+  val streamWindowAgg: Q = (s, d) => {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-q").toString
+    // glob, not bare file: the file stream source requires a directory
+    // basePath and a glob keeps it at the parent dir
+    val q = EventsStreaming.windowedAgg(
+      EventsStreaming.readDriverEventsStream(s, s"$d/events.parque[t]"))
+      .writeStream.format("memory").queryName("graft_stream_agg")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_agg")
+      .select(unix_timestamp(col("win_start")).as("win_start_epoch"),
+        col("event_type"), col("n"), col("total"))
+  }
+
   val sessionize: Q = (s, d) =>
     EventsStreaming.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
       .select(col("user_id"),
@@ -361,7 +406,9 @@ object Extensions {
     "q_simhash_pairs" -> simhashPairs,
     "q_embed_topk" -> embedTopK,
     "q_embed_ann" -> embedAnn,
+    "q_embed_ivf" -> embedIvf,
     "q_embed_neardup" -> embedNearDup,
+    "q_stream_window_agg" -> streamWindowAgg,
     "q_media_features" -> mediaFeatures,
     "q_frame_sample" -> frameSample,
     "q_scrape_series" -> scrapeSeries,
@@ -380,7 +427,9 @@ object Extensions {
     "q_simhash_pairs" -> simhashPairsSql,
     "q_embed_topk" -> embedTopKSql,
     "q_embed_ann" -> embedAnnSql,
+    "q_embed_ivf" -> embedIvfSql,
     "q_embed_neardup" -> embedNearDupSql,
+    "q_stream_window_agg" -> windowAggSql,
     "q_media_features" -> mediaFeaturesSql,
     "q_frame_sample" -> frameSampleSql,
     "q_scrape_series" -> scrapeSeriesSql,

@@ -35,6 +35,20 @@ object EventsStreaming {
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** The driver's events.parquet carries TIMESTAMP(NANOS); stream it
+    * with ts as raw nanos (legacy conf) and convert like
+    * Tables.events. */
+  val eventSchemaNanos: StructType = StructType(eventSchema.map {
+    case f if f.name == "ts" => StructField("ts", LongType)
+    case f => f
+  })
+
+  def readDriverEventsStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchemaNanos).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Tumbling 5-minute window counts/sums per event_type with a
     * 10-minute watermark. */
   def windowedAgg(events: DataFrame): DataFrame =
