@@ -308,6 +308,43 @@ object Extensions {
       "(CAST(c_custkey % 900 + 100 AS BIGINT) + 0.5) * 1e9 AS amount, " +
       "CAST(c_custkey % 24 + 2000 AS DOUBLE) AS year FROM customer"
 
+  /** F5 — the reference's population/year disambiguation scan
+    * (`scrape_cia.py:256-280`) over synthesized factbook-style text:
+    * population = first non-4-length digit token, year = first 4-digit
+    * token after it. Comma formatting is engine-identical
+    * (format_number vs format('{:,}')). */
+  val populationParse: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("txt",
+        when(col("c_custkey") % 7 === 0, lit("uninhabited (2020 est.)"))
+          .otherwise(concat(lit("Pop: "),
+            format_number(col("c_custkey") * 1234 + 7, 0),
+            lit(" (July "), (col("c_custkey") % 24 + 2000).cast("long"),
+            lit(" est.)"))))
+      .select(col("c_custkey"),
+        graft.functions.FactbookFunctions.populationValue(col("txt")).as("population"),
+        graft.functions.FactbookFunctions.yearFromPopText(col("txt")).as("pop_year"))
+
+  val populationParseSql: String =
+    "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN 'uninhabited (2020 est.)' " +
+      "ELSE 'Pop: ' || format('{:,}', c_custkey * 1234 + 7) || ' (July ' || CAST(c_custkey % 24 + 2000 AS BIGINT) || ' est.)' END AS txt FROM customer), " +
+      "tok AS (SELECT c_custkey, regexp_extract_all(txt, '[0-9,]+') AS toks FROM t), " +
+      "p AS (SELECT c_custkey, toks, " +
+      "list_filter(list_transform(toks, (x, i) -> CASE WHEN length(x) != 4 THEN i END), v -> v IS NOT NULL)[1] AS popidx FROM tok) " +
+      "SELECT c_custkey, " +
+      "CAST(replace(list_filter(toks, x -> length(x) != 4)[1], ',', '') AS DOUBLE) AS population, " +
+      "CASE WHEN popidx IS NOT NULL THEN " +
+      "list_filter(list_slice(toks, popidx + 1, len(toks)), x -> length(x) = 4)[1] END AS pop_year FROM p"
+
+  /** Semi-structured extraction: JSON props column -> typed field. */
+  val jsonExtract: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  val jsonExtractSql: String =
+    "SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
+
   // -------------------- as-of / skew joins --------------------
 
   /** As-of join over events: each purchase picks up the user's most
@@ -414,6 +451,8 @@ object Extensions {
     "q_scrape_series" -> scrapeSeries,
     "q_asof_join" -> asofJoin,
     "q_salted_join" -> saltedJoin,
+    "q_population_parse" -> populationParse,
+    "q_json_extract" -> jsonExtract,
     "q_window_agg" -> windowAgg,
     "q_sessionize" -> sessionize)
 
@@ -435,6 +474,8 @@ object Extensions {
     "q_scrape_series" -> scrapeSeriesSql,
     "q_asof_join" -> asofJoinSql,
     "q_salted_join" -> saltedJoinSql,
+    "q_population_parse" -> populationParseSql,
+    "q_json_extract" -> jsonExtractSql,
     "q_window_agg" -> windowAggSql,
     "q_sessionize" -> sessionizeSql)
 }
