@@ -335,6 +335,66 @@ object Relational {
       "SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey ASC) AS rn " +
       "FROM customer) WHERE rn = 1"
 
+  /** Hierarchical rollup (subtotals + grand total) — free from
+    * Catalyst, shuffles once with grouping-id expansion. */
+  val rollupAgg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(20,2)")).cast("double").as("total"))
+
+  val rollupAggSql: String =
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total " +
+      "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+
+  /** Set operations (intersect/except distinct). */
+  val setOps: Q = (s, d) => {
+    val hi = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey"))
+    val open = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    hi.intersect(open)
+      .withColumn("tag", lit("both"))
+      .unionByName(hi.except(open).withColumn("tag", lit("hi_only")))
+  }
+
+  val setOpsSql: String =
+    "WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000), " +
+      "op AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') " +
+      "SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM hi INTERSECT SELECT * FROM op) " +
+      "UNION ALL SELECT o_custkey, 'hi_only' AS tag FROM (SELECT * FROM hi EXCEPT SELECT * FROM op)"
+
+  /** Pivot (reshape long->wide); oracle uses the portable conditional-
+    * aggregation form, which is also the shape Spark compiles to. */
+  val pivotAgg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .select(col("user_id"), col("click"), col("purchase"), col("error"))
+
+  val pivotAggSql: String =
+    "SELECT user_id, " +
+      "COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +
+      "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+      "COUNT(*) FILTER (WHERE event_type = 'error') AS error " +
+      "FROM events GROUP BY user_id"
+
+  /** Exact distinct-count per group (the partial-agg tree dedups
+    * map-side; approximate HLL is the documented 100 TB variant but is
+    * not cross-engine verifiable). */
+  val distinctCount: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+
+  val distinctCountSql: String =
+    "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows " +
+      "FROM lineitem GROUP BY l_returnflag"
+
   /** All relational queries + oracles. */
   val queries: Map[String, Q] = Map(
     "q_scan_project" -> scanProject,
@@ -359,7 +419,11 @@ object Relational {
     "q_union_roles" -> unionRoles,
     "q_collect_set" -> collectSet,
     "q_distinct" -> distinctPairs,
-    "q_merge_dedup" -> mergeDedup)
+    "q_merge_dedup" -> mergeDedup,
+    "q_rollup" -> rollupAgg,
+    "q_setops" -> setOps,
+    "q_pivot" -> pivotAgg,
+    "q_distinct_count" -> distinctCount)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> scanProjectSql,
@@ -384,5 +448,9 @@ object Relational {
     "q_union_roles" -> unionRolesSql,
     "q_collect_set" -> collectSetSql,
     "q_distinct" -> distinctPairsSql,
-    "q_merge_dedup" -> mergeDedupSql)
+    "q_merge_dedup" -> mergeDedupSql,
+    "q_rollup" -> rollupAggSql,
+    "q_setops" -> setOpsSql,
+    "q_pivot" -> pivotAggSql,
+    "q_distinct_count" -> distinctCountSql)
 }
