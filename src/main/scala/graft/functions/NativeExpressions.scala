@@ -184,6 +184,38 @@ object NativeKernels {
     java.lang.Double.valueOf(acc)
   }
 
+  private val digitRun = java.util.regex.Pattern.compile("[\\d,]+")
+
+  /** F5 population token (`scrape_cia.py:256-280`): first `[\d,]+`
+    * token whose length != 4, commas stripped, as double; null when
+    * absent. Identical to FactbookFunctions.populationValue. */
+  def popValue(s: UTF8String): java.lang.Double = {
+    val m = digitRun.matcher(s.toString)
+    while (m.find()) {
+      val tok = m.group()
+      if (tok.length != 4)
+        return java.lang.Double.valueOf(tok.replace(",", "").toDouble)
+    }
+    null
+  }
+
+  /** F5 year token: first 4-length token strictly after the population
+    * token; null when no population token or no such year. Identical
+    * to FactbookFunctions.yearFromPopText. */
+  def popYear(s: UTF8String): UTF8String = {
+    val m = digitRun.matcher(s.toString)
+    var seenPop = false
+    while (m.find()) {
+      val tok = m.group()
+      if (!seenPop) {
+        if (tok.length != 4) seenPop = true
+      } else if (tok.length == 4) {
+        return UTF8String.fromString(tok)
+      }
+    }
+    null
+  }
+
   /** Rabin–Karp rolling hash over the characters of an already
     * normalized string — identical to TextFunctions.rollingHash's
     * fold ((acc*31 + codepoint) mod 1e9+7, left to right). Input is
@@ -291,6 +323,48 @@ case class DotProductExpr(left: Expression, right: Expression)
       newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
 }
 
+/** `graft_pop_value(s string) -> double` (nullable) */
+case class PopValueExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pop_value"
+
+  protected override def nullSafeEval(input: Any): Any =
+    NativeKernels.popValue(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |java.lang.Double _gp = graft.functions.NativeKernels.popValue($c);
+         |if (_gp == null) { ${ev.isNull} = true; } else { ${ev.value} = _gp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PopValueExpr =
+    copy(child = newChild)
+}
+
+/** `graft_pop_year(s string) -> string` (nullable) */
+case class PopYearExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pop_year"
+
+  protected override def nullSafeEval(input: Any): Any =
+    NativeKernels.popYear(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |UTF8String _gy = graft.functions.NativeKernels.popYear($c);
+         |if (_gy == null) { ${ev.isNull} = true; } else { ${ev.value} = _gy; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PopYearExpr =
+    copy(child = newChild)
+}
+
 /** `graft_rolling_hash(s string) -> bigint` */
 case class RollingHashExpr(child: Expression)
     extends UnaryExpression {
@@ -336,5 +410,7 @@ class GraftFunctionExtensions extends (SparkSessionExtensions => Unit) {
       MinhashSigExpr(c.head, litInt(c(1), "numHashes")))
     reg(ext, "graft_rolling_hash", 1)(c => RollingHashExpr(c.head))
     reg(ext, "graft_dot", 2)(c => DotProductExpr(c.head, c(1)))
+    reg(ext, "graft_pop_value", 1)(c => PopValueExpr(c.head))
+    reg(ext, "graft_pop_year", 1)(c => PopYearExpr(c.head))
   }
 }

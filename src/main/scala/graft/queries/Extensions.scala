@@ -322,8 +322,14 @@ object Extensions {
             lit(" (July "), (col("c_custkey") % 24 + 2000).cast("long"),
             lit(" est.)"))))
       .select(col("c_custkey"),
-        graft.functions.FactbookFunctions.populationValue(col("txt")).as("population"),
-        graft.functions.FactbookFunctions.yearFromPopText(col("txt")).as("pop_year"))
+        (if (s.catalog.functionExists("graft_pop_value"))
+          call_function("graft_pop_value", col("txt"))
+        else graft.functions.FactbookFunctions.populationValue(col("txt")))
+          .as("population"),
+        (if (s.catalog.functionExists("graft_pop_year"))
+          call_function("graft_pop_year", col("txt"))
+        else graft.functions.FactbookFunctions.yearFromPopText(col("txt")))
+          .as("pop_year"))
 
   val populationParseSql: String =
     "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN 'uninhabited (2020 est.)' " +

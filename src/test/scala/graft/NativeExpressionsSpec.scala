@@ -32,6 +32,22 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(nat.values.toSet.size > 1)
   }
 
+  test("graft_pop_value/pop_year == HOF F5 scan") {
+    val texts = Seq(
+      "8,403,994 (July 2021 est.)", "uninhabited", "1234 only year-ish",
+      "Pop: 12 (2020 est.) extra 2021", "", "no digits here")
+    val df = texts.toDF("txt")
+    val hof = df.select(
+      graft.functions.FactbookFunctions.populationValue(col("txt")),
+      graft.functions.FactbookFunctions.yearFromPopText(col("txt")))
+      .collect().map(r => (r.get(0), r.get(1))).toSeq
+    val nat = df.select(
+      call_function("graft_pop_value", col("txt")),
+      call_function("graft_pop_year", col("txt")))
+      .collect().map(r => (r.get(0), r.get(1))).toSeq
+    assert(hof == nat)
+  }
+
   test("null tokens element and empty array handled") {
     val df = Seq(Seq.empty[String]).toDF("toks")
     val got = df.select(call_function("graft_simhash60", col("toks")))
