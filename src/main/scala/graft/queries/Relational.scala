@@ -395,6 +395,43 @@ object Relational {
     "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows " +
       "FROM lineitem GROUP BY l_returnflag"
 
+  /** Exact percentiles (sorted-exact, interpolated — scalable via the
+    * single-shuffle percentile aggregate; approx_percentile is the
+    * 100 TB sketch variant but isn't cross-engine verifiable). */
+  val percentileAgg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("round(percentile(value, 0.5), 6)").as("p50"),
+        expr("round(percentile(value, 0.9), 6)").as("p90"))
+
+  val percentileAggSql: String =
+    "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+      "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY event_type"
+
+  /** Fixed-width histogram via floor bucketing (portable; DuckDB has
+    * no width_bucket). */
+  val histogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        floor(col("value") / 20).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  val histogramSql: String =
+    "SELECT event_type, CAST(floor(value / 20) AS INT) AS bucket, COUNT(*) AS n " +
+      "FROM events GROUP BY 1, 2"
+
+  /** Statistical aggregates (corr/covar/stddev), rounded for
+    * cross-engine merge-order float stability. */
+  val statsAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(stddev_samp(col("l_discount")), 6).as("discount_sd"))
+
+  val statsAggSql: String =
+    "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr, " +
+      "round(stddev_samp(l_discount), 6) AS discount_sd FROM lineitem GROUP BY l_returnflag"
+
   /** All relational queries + oracles. */
   val queries: Map[String, Q] = Map(
     "q_scan_project" -> scanProject,
@@ -423,7 +460,10 @@ object Relational {
     "q_rollup" -> rollupAgg,
     "q_setops" -> setOps,
     "q_pivot" -> pivotAgg,
-    "q_distinct_count" -> distinctCount)
+    "q_distinct_count" -> distinctCount,
+    "q_percentile" -> percentileAgg,
+    "q_histogram" -> histogram,
+    "q_stats_agg" -> statsAgg)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> scanProjectSql,
@@ -452,5 +492,8 @@ object Relational {
     "q_rollup" -> rollupAggSql,
     "q_setops" -> setOpsSql,
     "q_pivot" -> pivotAggSql,
-    "q_distinct_count" -> distinctCountSql)
+    "q_distinct_count" -> distinctCountSql,
+    "q_percentile" -> percentileAggSql,
+    "q_histogram" -> histogramSql,
+    "q_stats_agg" -> statsAggSql)
 }
