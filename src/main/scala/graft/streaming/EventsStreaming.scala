@@ -86,6 +86,14 @@ object EventsStreaming {
     spark.table("events_windowed")
   }
 
+  /** Streaming exact-dedup: content-fingerprinted documents deduped
+    * incrementally with `dropDuplicates` + watermark — the shape an
+    * always-on ingest pipeline uses (state = one fingerprint per seen
+    * document, bounded by the watermark at 100 TB/day rates). */
+  def streamingDedup(docs: DataFrame, tsCol: String, fpCol: String): DataFrame =
+    docs.withWatermark(tsCol, "1 hour")
+      .dropDuplicates(Seq(fpCol))
+
   // ---------------- sessionization ----------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -44,6 +44,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 6.0), (1L, 1L, 4.0), (2L, 1L, 5.0)))
   }
 
+  test("streaming dedup == batch exact dedup survivor fingerprint set") {
+    val ckpt = Files.createTempDirectory("graft-ckpt-dedup").toString
+    // events as stand-in docs: fingerprint = md5 of event_type (few
+    // distinct values -> heavy duplication)
+    val src = spark.readStream.schema(EventsStreaming.eventSchema)
+      .parquet(eventsDir)
+      .select(col("ts"), md5(col("event_type").cast("binary")).as("fp"))
+    val q = EventsStreaming.streamingDedup(src, "ts", "fp")
+      .writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("dedup_out").select("fp").as[String].collect().toSet
+    val batch = spark.read.parquet(eventsDir)
+      .select(md5(col("event_type").cast("binary")).as("fp"))
+      .distinct().as[String].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("stateful sessionize emits closed sessions matching batch") {
     val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
     val evStream = spark.readStream.schema(EventsStreaming.eventSchema)
