@@ -193,9 +193,17 @@ object Ranks {
     result
   }
 
+  /** Edge count at or below which the rank iteration runs driver-local
+    * (the aggregation producing the edge list is still fully
+    * distributed — only the O(E·iters) series math moves, the same way
+    * AQE collects stats to the driver). Small rolled-up graphs on a
+    * cluster otherwise pay `iters` near-empty scheduler round-trips. */
+  val LocalEdgeThreshold: Long = 100000L
+
   def rankTable(edges: DataFrame, src: String, dst: String,
       iters: Int = 20, damping: Double = 0.85,
-      vertices: Option[DataFrame] = None): DataFrame = {
+      vertices: Option[DataFrame] = None,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // cache the (aggregated, small) edge table: graph construction
@@ -203,6 +211,19 @@ object Ranks {
     // without this each pass re-runs the full upstream SQL pipeline
     val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count() // also materializes the cache
+    val out =
+      if (nEdges <= localThreshold) rankTableLocal(e, src, dst, iters, damping, vertices)
+      else rankTableDistributed(e, src, dst, iters, damping, vertices, nEdges)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Distributed path: GraphX aggregateMessages supersteps. */
+  private def rankTableDistributed(e: DataFrame, src: String, dst: String,
+      iters: Int, damping: Double, vertices: Option[DataFrame],
+      nEdges: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nEdges / 50000L + 1L)).toInt
     val g = graphFromNames(e, src, dst, vertices, Some(parts)).cache()
@@ -216,7 +237,60 @@ object Ranks {
     both.unpersist(blocking = false)
     g.unpersistVertices(blocking = false)
     g.edges.unpersist(blocking = false)
-    e.unpersist(blocking = false)
     out
+  }
+
+  /** Driver-local path for small graphs: identical delta-series math
+    * over collected edges (message fold in edge order — the same order
+    * a single-partition aggregateMessages uses). */
+  private def rankTableLocal(e: DataFrame, src: String, dst: String,
+      iters: Int, damping: Double, vertices: Option[DataFrame]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val rawEdges = e.select(col(src).cast("string"), col(dst).cast("string"))
+      .as[(String, String)].collect()
+    val verts: Array[String] = vertices match {
+      case Some(v) => v.select(col("name").cast("string")).distinct().as[String].collect()
+      case None => (rawEdges.map(_._1) ++ rawEdges.map(_._2)).distinct
+    }
+    val idx = verts.zipWithIndex.toMap
+    // J7 inner-join semantics: drop edges with unresolved endpoints
+    val es = rawEdges.collect {
+      case (s, d) if idx.contains(s) && idx.contains(d) => (idx(s), idx(d))
+    }
+    val n = verts.length
+    val outDeg = new Array[Int](n)
+    es.foreach { case (s, _) => outDeg(s) += 1 }
+    val avgOutDeg = if (n > 0) es.length.toDouble / n else 0.0
+    val init = 1.0 - damping
+    val invPr = Array.tabulate(n)(i => if (outDeg(i) > 0) 1.0 / outDeg(i) else 0.0)
+    val invAr = Array.tabulate(n)(i =>
+      if (outDeg(i) + avgOutDeg > 0) 1.0 / (outDeg(i) + avgOutDeg) else 0.0)
+    val pr = Array.fill(n)(init)
+    val ar = Array.fill(n)(init)
+    var prTerm = Array.fill(n)(init)
+    var arTerm = Array.fill(n)(init)
+    var i = 1
+    while (i < iters) {
+      val mPr = new Array[Double](n)
+      val mAr = new Array[Double](n)
+      es.foreach { case (s, d) =>
+        mPr(d) += prTerm(s) * invPr(s)
+        mAr(d) += arTerm(s) * invAr(s)
+      }
+      var v = 0
+      while (v < n) {
+        mPr(v) *= damping
+        mAr(v) *= damping
+        pr(v) += mPr(v)
+        ar(v) += mAr(v)
+        v += 1
+      }
+      prTerm = mPr
+      arTerm = mAr
+      i += 1
+    }
+    verts.indices.map(v => (verts(v), pr(v), ar(v))).toSeq
+      .toDF("name", "pagerank", "articlerank")
   }
 }
