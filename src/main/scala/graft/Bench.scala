@@ -13,19 +13,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: forces full evaluation of every column (count() would
     // let Catalyst prune the projections we mean to measure).
-    // min of 2 runs: steady-state timing, robust to one-off host noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // Two FULL passes, min per query: this host sees minute-scale
+    // hypervisor CPU-steal bursts; temporally separated passes give
+    // each query a clean window that back-to-back repeats don't.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Map[String, Double] = names.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      System.err.println(f"[bench] $name ${times.min}%.2fs (runs: ${times.map(t => f"$t%.2f").mkString(",")})")
-      name -> times.min
+      name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    val p1 = pass()
+    val p2 = pass()
+    val results = p1.map { case (name, t1) =>
+      val best = math.min(t1, p2(name))
+      System.err.println(f"[bench] $name $best%.2fs (passes: $t1%.2f, ${p2(name)}%.2f)")
+      name -> best
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
