@@ -48,6 +48,25 @@ object ScaleOps {
       .withColumnRenamed("_on", leftOn)
   }
 
+  /** Range (interval-containment) join: left rows matched to right
+    * intervals with `lo <= leftVal <= hi`, WITHOUT the O(n·m) cross
+    * join a naive theta-join plans. Both sides discretize to
+    * `bucketWidth` buckets — intervals explode to every bucket they
+    * cover — and the match becomes a bucket equi-join plus an exact
+    * residual filter. Shuffle keys are bucket ids; cost scales with
+    * interval span / bucketWidth, tunable per workload. */
+  def rangeJoin(left: DataFrame, right: DataFrame, leftVal: String,
+      lo: String, hi: String, bucketWidth: Double): DataFrame = {
+    val l = left.withColumn("_bucket",
+      floor(col(leftVal) / bucketWidth).cast("long"))
+    val r = right.withColumn("_bucket",
+      explode(sequence(floor(col(lo) / bucketWidth).cast("long"),
+        floor(col(hi) / bucketWidth).cast("long"))))
+    l.join(r, Seq("_bucket"))
+      .filter(col(leftVal) >= col(lo) && col(leftVal) <= col(hi))
+      .drop("_bucket")
+  }
+
   /** Skew-salted equi-join of a (possibly skewed) fact side against a
     * modest dim side: the fact's rows fan out over `saltBuckets`
     * deterministic salts (hash of the whole row — reproducible, no

@@ -342,6 +342,24 @@ object Extensions {
       "CASE WHEN popidx IS NOT NULL THEN " +
       "list_filter(list_slice(toks, popidx + 1, len(toks)), x -> length(x) = 4)[1] END AS pop_year FROM p"
 
+  /** Range join: events matched to disjoint value bands derived from
+    * the nation table, via bucketized interval join (no cross join).
+    * Oracle: the plain BETWEEN theta-join. */
+  val rangeJoin: Q = (s, d) => {
+    val bands = Tables.nation(s, d).select(
+      col("n_name").as("band"),
+      (col("n_nationkey") * 10.0).as("lo"),
+      (col("n_nationkey") * 10.0 + 9.99).as("hi"))
+    graft.operators.ScaleOps.rangeJoin(
+      Tables.events(s, d).select(col("event_id"), col("value")),
+      bands, "value", "lo", "hi", bucketWidth = 10.0)
+      .select(col("event_id"), col("band"), col("value"))
+  }
+
+  val rangeJoinSql: String =
+    "SELECT e.event_id, n.n_name AS band, e.value FROM events e " +
+      "JOIN nation n ON e.value >= n.n_nationkey * 10.0 AND e.value <= n.n_nationkey * 10.0 + 9.99"
+
   /** Semi-structured extraction: JSON props column -> typed field. */
   val jsonExtract: Q = (s, d) =>
     Tables.events(s, d).select(
@@ -459,6 +477,7 @@ object Extensions {
     "q_salted_join" -> saltedJoin,
     "q_population_parse" -> populationParse,
     "q_json_extract" -> jsonExtract,
+    "q_range_join" -> rangeJoin,
     "q_window_agg" -> windowAgg,
     "q_sessionize" -> sessionize)
 
@@ -482,6 +501,7 @@ object Extensions {
     "q_salted_join" -> saltedJoinSql,
     "q_population_parse" -> populationParseSql,
     "q_json_extract" -> jsonExtractSql,
+    "q_range_join" -> rangeJoinSql,
     "q_window_agg" -> windowAggSql,
     "q_sessionize" -> sessionizeSql)
 }

@@ -28,6 +28,20 @@ class ScaleOpsSpec extends SparkSpec {
       ("B", 4L, 6L, Some(99.0))))
   }
 
+  test("rangeJoin equals the theta-join, no cross join planned") {
+    val points = Seq((1L, 5.0), (2L, 15.0), (3L, 25.0), (4L, 999.0))
+      .toDF("id", "v")
+    val intervals = Seq(("a", 0.0, 9.99), ("b", 10.0, 19.99), ("c", 20.0, 29.99))
+      .toDF("band", "lo", "hi")
+    val got = ScaleOps.rangeJoin(points, intervals, "v", "lo", "hi", 10.0)
+      .select("id", "band").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val plan = ScaleOps.rangeJoin(points, intervals, "v", "lo", "hi", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join must not plan a cross join:\n$plan")
+  }
+
   test("saltedJoin equals the plain join result") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_linenumber", "l_partkey")
