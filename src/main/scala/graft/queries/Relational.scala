@@ -432,6 +432,15 @@ object Relational {
     "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr, " +
       "round(stddev_samp(l_discount), 6) AS discount_sd FROM lineitem GROUP BY l_returnflag"
 
+  /** HLL sketch distinct-count — the 100 TB path for cardinality
+    * (bounded memory, mergeable partials). Approximation is
+    * engine-specific, so this query has NO oracle (driver rows-only
+    * check); q_distinct_count is the exact cross-checked form. */
+  val hllDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
+
   /** All relational queries + oracles. */
   val queries: Map[String, Q] = Map(
     "q_scan_project" -> scanProject,
@@ -463,7 +472,8 @@ object Relational {
     "q_distinct_count" -> distinctCount,
     "q_percentile" -> percentileAgg,
     "q_histogram" -> histogram,
-    "q_stats_agg" -> statsAgg)
+    "q_stats_agg" -> statsAgg,
+    "q_hll_distinct" -> hllDistinct)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> scanProjectSql,
