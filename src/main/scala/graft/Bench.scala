@@ -19,25 +19,42 @@ object Bench {
     // hypervisor CPU-steal bursts; temporally separated passes give
     // each query a clean window that back-to-back repeats don't.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    def pass(): Map[String, Double] = names.map { case (name, fn) =>
+    def pass(): Map[String, Option[Double]] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }.toMap
     val p1 = pass()
     val p2 = pass()
-    val results = p1.map { case (name, t1) =>
-      val best = math.min(t1, p2(name))
-      System.err.println(f"[bench] $name $best%.2fs (passes: $t1%.2f, ${p2(name)}%.2f)")
-      name -> best
+    // a query that failed in either pass is reported as failed, never
+    // as a (bogus-fast) timing
+    val timed = names.flatMap { case (name, _) =>
+      (p1(name), p2(name)) match {
+        case (Some(a), Some(b)) =>
+          val best = math.min(a, b)
+          System.err.println(f"[bench] $name $best%.2fs (passes: $a%.2f, $b%.2f)")
+          Some(name -> best)
+        case _ => None
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = names.map(_._1).filter(n => p1(n).isEmpty || p2(n).isEmpty)
+    val qs = timed.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = timed.map(_._2).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    // driver-parseable: also persist to a file, and make the JSON the
+    // FINAL stdout line after all stderr noise is flushed (r1's tail
+    // capture started mid-JSON and lost the round's bench metric)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
+    System.err.flush()
+    println(json)
+    System.out.flush()
   }
 }

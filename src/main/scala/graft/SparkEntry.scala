@@ -53,6 +53,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Extensions.queries ++
+      graft.queries.RankQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "q_trade_ranks" -> ((s, dir) =>
           tradeRanks(s, dir)
@@ -60,8 +61,11 @@ object SparkEntry {
               round(col("articlerank"), 6).as("articlerank"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops
-    * (q_trade_ranks: graph centrality -> rows-only check). */
+    * the same parquet tables. The graph ranks are covered by a
+    * GENERATED fixed-iteration series oracle (RankQueries.tradeRanksSql)
+    * — every declared query now has a value-level check except
+    * q_hll_distinct (approximate by design -> rows-only + bound spec). */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.Extensions.oracles
+    graft.queries.Relational.oracles ++ graft.queries.Extensions.oracles ++
+      graft.queries.RankQueries.oracles
 }

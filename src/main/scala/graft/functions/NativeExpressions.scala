@@ -172,15 +172,23 @@ object NativeKernels {
     false
   }
 
-  /** Float-array dot product in double precision, left-to-right —
-    * identical to Similarity.dot's zip_with/aggregate fold (null on
-    * length mismatch, like zip_with's null padding poisons the sum). */
-  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+  /** Float/double-array dot product in double precision, left-to-right
+    * — identical to Similarity.dot's zip_with/aggregate fold (null on
+    * length mismatch, like zip_with's null padding poisons the sum).
+    * The element widths come from the expression's child types, so a
+    * float column can be dotted against a literal double array (IVF
+    * centroids) with the exact same widened-double products. */
+  def dotGen(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
     java.lang.Double.valueOf(acc)
   }
 
@@ -299,20 +307,30 @@ case class MinhashSigExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** `graft_dot(a array<float>, b array<float>) -> double` */
+/** `graft_dot(a array<float|double>, b array<float|double>) -> double` */
 case class DotProductExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"graft_dot: expected array<float|double>, got $t")
+  }
+  private lazy val lFloat = isFloat(left)
+  private lazy val rFloat = isFloat(right)
+
   protected override def nullSafeEval(a: Any, b: Any): Any =
-    NativeKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    NativeKernels.dotGen(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      lFloat, rFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val res = nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |java.lang.Double _gd = graft.functions.NativeKernels.dotFF($a, $b);
+         |java.lang.Double _gd = graft.functions.NativeKernels.dotGen($a, $b, $lFloat, $rFloat);
          |if (_gd == null) { ${ev.isNull} = true; } else { ${ev.value} = _gd.doubleValue(); }
        """.stripMargin
     })

@@ -50,6 +50,14 @@ object Ranks {
         .unionByName(edges.select(col(dst).as("name")))
         .distinct()
     }
+    // a 64-bit hash collision would silently merge two vertices — one
+    // cheap agg over the (small, post-aggregation) vertex table makes
+    // the failure loud instead
+    val Array(nNames, nIds) = vertDf
+      .agg(count(col("name")), count_distinct(xxhash64(col("name"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nIds == nNames,
+      s"xxhash64 vertex-id collision: $nNames distinct names -> $nIds ids")
     val edgeDf = vertices match {
       case Some(_) => edges
         .join(broadcast(vertDf.select(col("name").as(src))), Seq(src), "left_semi")

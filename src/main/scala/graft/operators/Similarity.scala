@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`), on the
@@ -11,16 +10,21 @@ import org.apache.spark.sql.functions._
   *  - Brute force is the correctness baseline: queries are broadcast
   *    (a query set is always "small"); the corpus is never shuffled —
   *    each corpus partition scores its rows against every query and
-  *    pre-reduces to a local top-k before the single final top-k
-  *    shuffle (classic map-side top-k via window over (query, score)).
+  *    pre-reduces to a bounded per-partition top-k heap
+  *    (`TopK.topKPerGroup`), so the one shuffle carries ≤k entries per
+  *    (query × partition) instead of every scored row.
   *  - The scale path buckets the corpus by an LSH sign-signature
   *    (random-hyperplane cosine sketch); queries probe only their own
   *    bucket (+ optional multi-probe). Corpus-side work drops by the
   *    bucket fanout; recall is tunable by signature width/probes.
+  *  - IVF cell assignment is a pure map-side argmax against the
+  *    (bounded, driver-collected) centroid set folded into the plan as
+  *    literals — zero shuffle between the scan and the cell id.
   *  - Dot products use the `zip_with`/`aggregate` higher-order
   *    functions — sequential left-fold, so float summation order is
   *    deterministic and matches any engine that folds left (DuckDB
-  *    `list_dot_product`), after the float→double widening.
+  *    `list_dot_product`), after the float→double widening — or the
+  *    native `graft_dot` kernel (identical fold) when registered.
   */
 object Similarity {
 
@@ -37,19 +41,37 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
-  /** cosine via the native `graft_dot` kernel when the session has
+  /** dot product via the native `graft_dot` kernel when the session has
     * GraftExtensions registered (the zip_with/aggregate HOF path is
     * interpreted per element); identical doubles (same fold order). */
-  def cosineAuto(df: DataFrame, a: Column, b: Column): Column =
-    if (df.sparkSession.catalog.functionExists("graft_dot")) {
-      def d(x: Column, y: Column) = call_function("graft_dot", x, y)
-      round(d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b))), 6)
-    } else cosine(a, b)
+  def dotAuto(df: DataFrame, a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("graft_dot"))
+      call_function("graft_dot", a, b)
+    else dot(a, b)
+
+  /** cosine via the native `graft_dot` kernel when registered. */
+  def cosineAuto(df: DataFrame, a: Column, b: Column): Column = {
+    def d(x: Column, y: Column) = dotAuto(df, x, y)
+    round(d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b))), 6)
+  }
 
   /** Spread per-row-heavy vector compute across all cores (single-file
     * benchmark inputs arrive as one scan split). */
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Final per-query top-k over a scored frame — aggregator path
+    * (bounded per-partition heaps, map-side combine), NOT a window:
+    * a window `row_number` has no partial aggregation and shuffles
+    * every scored row. Output is provably identical to
+    * `row_number over (partition by q order by score desc, id)` ≤ k
+    * (same tie-break; see TopKSpec). */
+  private def finishTopK(scored: DataFrame, qIdCol: String, idCol: String,
+      k: Int): DataFrame =
+    TopK.topKPerGroup(
+      scored.select(col(qIdCol), col(idCol), col("score")),
+      qIdCol, idCol, "score", k)
+      .select(col(qIdCol), col(idCol), col("score"), col("rank"))
 
   /** Brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine. `queries` must be broadcast-sized. Ties broken
@@ -59,17 +81,13 @@ object Similarity {
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     val scored = spread(corpus).join(broadcast(queries))
       .withColumn("score", cosineAuto(corpus, col(vecCol), col(qVecCol)))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col(qIdCol), col(idCol), col("score"), col("_rn").as("rank"))
+    finishTopK(scored, qIdCol, idCol, k)
   }
 
   /** signSignature via the native codegen expression when the session
     * has GraftExtensions registered (tight loop over a cached coef
-    * matrix vs 512 unrolled literal multiply-adds in generated code);
-    * identical doubles either way (same fold order). */
+    * matrix vs `bits`×`dims` unrolled literal multiply-adds in
+    * generated code); identical doubles either way (same fold order). */
   def signSignatureAuto(df: DataFrame, vec: Column, bits: Int, dims: Int): Column =
     if (df.sparkSession.catalog.functionExists("graft_hyperplane_sig"))
       call_function("graft_hyperplane_sig", vec, lit(bits))
@@ -111,11 +129,7 @@ object Similarity {
     val q = queries.withColumn("_sig", signSignatureAuto(queries, col(qVecCol), bits, dims))
     val scored = c.join(broadcast(q), Seq("_sig"))
       .withColumn("score", cosineAuto(corpus, col(vecCol), col(qVecCol)))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col(qIdCol), col(idCol), col("score"), col("_rn").as("rank"))
+    finishTopK(scored, qIdCol, idCol, k)
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer (every
@@ -123,9 +137,12 @@ object Similarity {
     * corpus vector to its nearest centroid cell; a query probes its
     * `nprobe` nearest cells and scores only those cells' members.
     *
-    * Scale shape: centroids are broadcast (bounded set); cell
-    * assignment is a map-side argmax per row; the probe is an
-    * equi-join on cell id — corpus work drops by ~cells/nprobe. A
+    * Scale shape: the centroid set is bounded by construction (the
+    * coarse quantizer — k-means-sized), so it is collected once and
+    * folded into the plan as literals, exactly like broadcast k-means
+    * centroids; cell assignment is then a pure map-side argmax per
+    * row — NO shuffle between the scan and the cell id. The probe is
+    * an equi-join on cell id — corpus work drops by ~cells/nprobe. A
     * production build would learn centroids with k-means; the
     * assignment/probe plumbing — the Spark-side structure — is
     * identical and is what's exercised here. */
@@ -133,47 +150,85 @@ object Similarity {
       centroidEvery: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("_cent_id"), col(vecCol).as("_cent_vec"))
+    val cents: Array[(Long, Array[Double])] = corpus
+      .filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfTopK: empty centroid set")
 
-    def assign(df: DataFrame, vec: Column, id: Column, n: Int): DataFrame = {
-      val scored = spread(df).join(broadcast(cents))
-        .withColumn("_csim", cosineAuto(df, vec, col("_cent_vec")))
-      val w = Window.partitionBy(id)
-        .orderBy(col("_csim").desc, col("_cent_id").asc)
-      scored.withColumn("_crn", row_number().over(w))
-        .filter(col("_crn") <= n)
-        .drop("_cent_vec", "_csim", "_crn")
+    // centroid norm with the same left-to-right fold as
+    // list_dot_product / graft_dot, so the rounded scores agree
+    def centNorm(v: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
     }
 
-    val corpusCells = assign(corpus, col(vecCol), col(idCol), 1)
-      .withColumnRenamed("_cent_id", "_cell")
-    val queryCells = assign(queries, col(qVecCol), col(qIdCol), nprobe)
-      .withColumnRenamed("_cent_id", "_cell")
+    /** nearest `n` cells per row, map-side: rounded cosine against
+      * every literal centroid, struct-sort (score desc, cell asc),
+      * explode the first n. */
+    def assign(df: DataFrame, vec: Column, n: Int): DataFrame = {
+      val entries = cents.map { case (cid, cv) =>
+        struct(
+          round(dotAuto(df, vec, typedlit(cv.toSeq)) /
+            (col("_vnorm") * lit(centNorm(cv))), 6).as("s"),
+          lit(-cid).as("nid"))
+      }
+      spread(df)
+        .withColumn("_vnorm", sqrt(dotAuto(df, vec, vec)))
+        .withColumn("_ce", explode(slice(sort_array(array(entries: _*), asc = false), 1, n)))
+        .withColumn("_cell", -col("_ce.nid"))
+        .drop("_ce", "_vnorm")
+    }
+
+    val corpusCells = assign(corpus, col(vecCol), 1)
+    val queryCells = assign(queries, col(qVecCol), nprobe)
 
     val scored = corpusCells.join(broadcast(queryCells), Seq("_cell"))
       .withColumn("score", cosineAuto(corpus, col(vecCol), col(qVecCol)))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col(qIdCol), col(idCol), col("score"), col("_rn").as("rank"))
+    finishTopK(scored, qIdCol, idCol, k)
   }
 
   /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine
-    * ≥ threshold, candidates restricted to equal LSH sign-buckets
-    * (high-cosine pairs agree on most hyperplane signs; with small
-    * `bits` this is a high-recall blocking key). */
+    * ≥ threshold, candidates restricted to banded LSH sign-buckets —
+    * `bands` independent `bits`-bit slices of one `bands·bits`-plane
+    * signature; a pair is a candidate iff it agrees on ALL bits of at
+    * least one band (the X2 MinHash band pattern). vs a single narrow
+    * signature this keeps recall (OR over bands) while buckets shrink
+    * by 2^(bits−single) — within-bucket pairing is the quadratic term
+    * at scale. `maxBucketSize` skips pathological hot buckets (like
+    * `Dedup.maxDocFreq`); default unbounded for exactness. */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double, bits: Int, dims: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = spread(df).select(col(idCol).as("id"), col(vecCol).as("_v"))
-      .withColumn("_sig", signSignatureAuto(df, col("_v"), bits, dims))
-    val a = sig.select(col("_sig"), col("id").as("id1"), col("_v").as("_v1"))
-    val b = sig.select(col("_sig"), col("id").as("id2"), col("_v").as("_v2"))
-    a.join(b, Seq("_sig"))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 1, maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val total = bits * bands
+    require(total <= 63, s"bands*bits must fit a signed long, got $total")
+    val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .withColumn("_sig", signSignatureAuto(df, col("_v"), total, dims))
+    val mask = (1L << bits) - 1
+    val bandCols = (0 until bands).map(b =>
+      shiftrightunsigned(col("_sig"), b * bits).bitwiseAND(lit(mask)))
+    val banded = base.select(col("id"), col("_v"),
+      posexplode(array(bandCols: _*)).as(Seq("_band", "_bucket")))
+    val guarded =
+      if (maxBucketSize == Long.MaxValue) banded
+      else {
+        val keep = banded.groupBy("_band", "_bucket").count()
+          .filter(col("count") <= maxBucketSize).drop("count")
+        banded.join(keep.hint("shuffle_hash"), Seq("_band", "_bucket"), "left_semi")
+      }
+    val a = guarded.select(col("_band"), col("_bucket"), col("id").as("id1"), col("_v").as("_v1"))
+    val b = guarded.select(col("_band"), col("_bucket"), col("id").as("id2"), col("_v").as("_v2"))
+    // shuffle_hash: both sides are the corpus-sized banded index — AQE
+    // must not broadcast one (same reasoning as Dedup's inverted index)
+    a.hint("shuffle_hash").join(b, Seq("_band", "_bucket"))
       .filter(col("id1") < col("id2"))
       .withColumn("cosine", cosineAuto(df, col("_v1"), col("_v2")))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
+      .distinct() // a pair may match in several bands
   }
 }

@@ -29,7 +29,12 @@ object TopK {
       if (buf.size < k) e :: buf
       else {
         val worst = buf.reduceLeft((a, b) => if (beats(a, b)) b else a)
-        if (beats(e, worst)) e :: buf.filterNot(_ == worst) else buf
+        if (beats(e, worst)) {
+          // evict exactly ONE occurrence — filterNot would drop every
+          // copy of a duplicated (score, id) entry and shrink the buffer
+          val i = buf.indexOf(worst)
+          e :: (buf.take(i) ::: buf.drop(i + 1))
+        } else buf
       }
 
     override def merge(a: List[Entry], b: List[Entry]): List[Entry] =

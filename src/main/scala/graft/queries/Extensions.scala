@@ -196,8 +196,8 @@ object Extensions {
 
   /** Generated sign-signature SQL: bit b set iff Σ_d vec[d]·coef(b,d) ≥ 0,
     * with the same literal coefficients the Scala side folds in. */
-  private def duckSignature(vecExpr: String): String = {
-    val bitTerms = (0 until ANN_BITS).map { b =>
+  private def duckSignature(vecExpr: String, nBits: Int = ANN_BITS): String = {
+    val bitTerms = (0 until nBits).map { b =>
       val proj = (0 until EMB_DIMS).map { dd =>
         s"CAST($vecExpr[${dd + 1}] AS DOUBLE)*${Similarity.planeCoef(b, dd)}"
       }.mkString(" + ")
@@ -243,16 +243,46 @@ object Extensions {
       "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
       "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
 
+  // banded near-dup blocking: 6 bands × 10-bit slices of one 60-plane
+  // signature — recall via OR-over-bands, buckets 4× smaller than the
+  // old single 8-bit signature (the within-bucket quadratic term)
+  private val NEARDUP_BANDS = 6
+  private val NEARDUP_BITS = 10
+
   val embedNearDup: Q = (s, d) =>
     Similarity.embeddingNearDupPairs(
-      Tables.embeddings(s, d), threshold = 0.4, bits = ANN_BITS, dims = EMB_DIMS)
+      Tables.embeddings(s, d), threshold = 0.4, bits = NEARDUP_BITS, dims = EMB_DIMS,
+      bands = NEARDUP_BANDS)
 
-  val embedNearDupSql: String =
-    s"WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, ${duckSignature("embedding")} AS sig FROM embeddings), " +
-      "p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+  /** Per-band bucket expression: bit j of band `band` is the sign of
+    * the projection on plane band*BITS+j — numerically equal to
+    * `(sig >> band*BITS) & mask` of the Scala side's single 60-plane
+    * signature. Emitted per band (UNION ALL) with the projection sum
+    * chunked 8-wide: one 60-bit expression overflows DuckDB's binder
+    * recursion limit (128); the per-band form stays shallow. */
+  private def duckBandBucket(vecExpr: String, band: Int): String = {
+    val bitTerms = (0 until NEARDUP_BITS).map { j =>
+      val plane = band * NEARDUP_BITS + j
+      val prods = (0 until EMB_DIMS).map { dd =>
+        s"CAST($vecExpr[${dd + 1}] AS DOUBLE)*${Similarity.planeCoef(plane, dd)}"
+      }
+      val proj = prods.grouped(8).map(_.mkString("(", " + ", ")")).mkString(" + ")
+      s"(CASE WHEN $proj >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    bitTerms.mkString("(", " | ", ")")
+  }
+
+  val embedNearDupSql: String = {
+    val bandSelects = (0 until NEARDUP_BANDS).map(b =>
+      s"SELECT vec_id, e, $b AS band, ${duckBandBucket("embedding", b)} AS bucket FROM v")
+      .mkString(" UNION ALL ")
+    "WITH v AS MATERIALIZED (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      s"bands AS MATERIALIZED ($bandSelects), " +
+      "p AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2, " +
       "round(list_dot_product(a.e, b.e)/(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e))), 6) AS cosine " +
-      "FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id) " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
       "SELECT id1, id2, cosine FROM p WHERE cosine >= 0.4"
+  }
 
   // -------------------- multimodal --------------------
 
@@ -263,13 +293,19 @@ object Extensions {
         col("first_byte"), col("last_byte"), col("byte_sum_mod"))
   }
 
+  /** Byte-true oracle: features over the UTF-8 BYTES of the payload
+    * (hex(encode(text)) -> two hex chars per byte), not `unicode()`
+    * codepoints — matches the Spark stub exactly even for non-ASCII
+    * text. list_sum of a BIGINT list is HUGEINT in DuckDB; the final
+    * CAST AS BIGINT keeps the rendered value identical to Spark's. */
   val mediaFeaturesSql: String =
-    "SELECT doc_id AS media_id, 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format, " +
-      "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
-      "unicode(substr(text, 1, 1)) AS first_byte, " +
-      "unicode(substr(text, length(text), 1)) AS last_byte, " +
-      "list_sum(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))) % 1000000007 AS byte_sum_mod " +
-      "FROM documents"
+    "WITH b AS (SELECT doc_id, hex(encode(text)) AS h, CAST(strlen(text) AS BIGINT) AS nb FROM documents) " +
+      "SELECT doc_id AS media_id, 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format, " +
+      "nb AS n_bytes, " +
+      "CASE WHEN nb = 0 THEN -1 ELSE CAST(('0x' || substr(h, 1, 2)) AS INT) END AS first_byte, " +
+      "CASE WHEN nb = 0 THEN -1 ELSE CAST(('0x' || substr(h, CAST(nb*2 - 1 AS INT), 2)) AS INT) END AS last_byte, " +
+      "CAST(coalesce(list_sum(list_transform(generate_series(1, CAST(nb AS INT)), i -> CAST(('0x' || substr(h, (i-1)*2 + 1, 2)) AS BIGINT))), 0) % 1000000007 AS BIGINT) AS byte_sum_mod " +
+      "FROM b"
 
   val frameSample: Q = (s, d) => {
     val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Flagship graph-rank queries and their GENERATED DuckDB oracles.
+  *
+  * The GDS truncated-series semantics (see Ranks.powerIterate: rank =
+  * (1-d)·Σ_{k=0..n-1}(d·Mᵀ)^k·1, i.e. n-1 delta rounds for
+  * maxIterations=n) is plain SQL over the edge list — here generated
+  * as chained CTE steps t0..t{n-1}, one per delta round. That gives
+  * the driver's hash gate a VALUE-level check for the graph path
+  * (q_trade_ranks was rows-only in round 1). Fold-order noise between
+  * engines (edge-order Scala fold vs hash-agg SUM) is absorbed by the
+  * round(6) both sides apply.
+  *
+  * Reference: the ranks come from Neo4j GDS over the country trade
+  * graph (`preprocess_upload_neo4j.py:401-447`); the headline README
+  * query ("top 50 countries by PageRank and their top export partner",
+  * `README.md:21-26`) is `q_top50_partners`.
+  */
+object RankQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Same join/filter/distinct pipeline as SparkEntry.nationTradeEdges,
+    * as a DuckDB CTE (unweighted: ranks only need the distinct pairs). */
+  private val edgeCte: String =
+    "edges AS MATERIALIZED (SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+      "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey " +
+      "WHERE n1.n_name <> n2.n_name)"
+
+  /** WITH-clause implementing the delta series: t0 seeds every vertex
+    * with (1-d); step k propagates term/denominator along edges and
+    * accumulates. PageRank denominator = outDeg; ArticleRank = outDeg
+    * + avgOutDeg. Multiplication forms mirror Ranks.rankTableLocal
+    * exactly (term * (1.0/denom), then d * Σ). */
+  private def rankSeriesCtes(iters: Int, damping: Double): String = {
+    // Scala Double.toString round-trips, so the SQL literal parses to
+    // the IDENTICAL double (1-0.85 is not 0.15 in binary)
+    val init = (1.0 - damping).toString
+    val d = damping.toString
+    val head = Seq(
+      edgeCte,
+      "verts AS MATERIALIZED (SELECT src AS name FROM edges UNION SELECT dst FROM edges)",
+      "deg AS MATERIALIZED (SELECT v.name, coalesce(g.cnt, 0) AS od FROM verts v " +
+        "LEFT JOIN (SELECT src, count(*) AS cnt FROM edges GROUP BY src) g ON g.src = v.name)",
+      "st AS MATERIALIZED (SELECT CAST((SELECT count(*) FROM edges) AS DOUBLE) / (SELECT count(*) FROM verts) AS avgdeg)",
+      s"t0 AS MATERIALIZED (SELECT name, CAST($init AS DOUBLE) AS pr, CAST($init AS DOUBLE) AS prt, " +
+        s"CAST($init AS DOUBLE) AS ar, CAST($init AS DOUBLE) AS art FROM verts)")
+    val steps = (1 until iters).flatMap { k =>
+      Seq(
+        s"m$k AS MATERIALIZED (SELECT e.dst AS name, sum(t.prt * (1.0/dg.od)) AS mpr, " +
+          s"sum(t.art * (1.0/(dg.od + st.avgdeg))) AS mar " +
+          s"FROM t${k - 1} t JOIN edges e ON t.name = e.src " +
+          s"JOIN deg dg ON dg.name = t.name CROSS JOIN st GROUP BY e.dst)",
+        s"t$k AS MATERIALIZED (SELECT t.name, t.pr + $d*coalesce(m.mpr, 0.0) AS pr, $d*coalesce(m.mpr, 0.0) AS prt, " +
+          s"t.ar + $d*coalesce(m.mar, 0.0) AS ar, $d*coalesce(m.mar, 0.0) AS art " +
+          s"FROM t${k - 1} t LEFT JOIN m$k m ON m.name = t.name)")
+    }
+    "WITH " + (head ++ steps).mkString(", ")
+  }
+
+  def tradeRanksSql(iters: Int = 20, damping: Double = 0.85): String =
+    rankSeriesCtes(iters, damping) +
+      s" SELECT name, round(pr, 6) AS pagerank, round(ar, 6) AS articlerank FROM t${iters - 1}"
+
+  /** README headline: top 50 countries by PageRank, each with the
+    * country it exports the most to (`/root/reference/README.md:21-26`).
+    * rank-1 partner by edge amount (tie-break partner name asc);
+    * global order by (rounded pagerank desc, name asc). Countries with
+    * no exports keep a null partner (left join). */
+  val top50Partners: Q = (s, dir) => {
+    val ranks = graft.SparkEntry.tradeRanks(s, dir)
+      .select(col("name"), round(col("pagerank"), 6).as("pagerank"))
+    val edges = graft.SparkEntry.nationTradeEdges(s, dir)
+    val wPart = Window.partitionBy("src_nation")
+      .orderBy(desc("amount"), asc("dst_nation"))
+    val top1 = edges.withColumn("_rn", row_number().over(wPart))
+      .filter(col("_rn") === 1)
+      .select(col("src_nation").as("name"), col("dst_nation").as("top_partner"),
+        col("amount").as("partner_amount"))
+    val wAll = Window.orderBy(desc("pagerank"), asc("name"))
+    ranks.withColumn("rrank", row_number().over(wAll))
+      .filter(col("rrank") <= 50)
+      .join(top1, Seq("name"), "left")
+      .select(col("name"), col("pagerank"), col("rrank"),
+        col("top_partner"), col("partner_amount"))
+  }
+
+  def top50PartnersSql(iters: Int = 20, damping: Double = 0.85): String =
+    rankSeriesCtes(iters, damping) +
+      ", amt AS MATERIALIZED (SELECT n1.n_name AS src, n2.n_name AS dst, " +
+      "CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS amount " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+      "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey " +
+      "WHERE n1.n_name <> n2.n_name GROUP BY 1, 2)" +
+      ", p1 AS (SELECT src, dst, amount FROM (SELECT src, dst, amount, " +
+      "row_number() OVER (PARTITION BY src ORDER BY amount DESC, dst ASC) AS rn FROM amt) WHERE rn = 1)" +
+      s", rk AS (SELECT name, round(pr, 6) AS pagerank, " +
+      s"CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, name ASC) AS INT) AS rrank FROM t${iters - 1}) " +
+      "SELECT r.name, r.pagerank, r.rrank, p.dst AS top_partner, p.amount AS partner_amount " +
+      "FROM rk r LEFT JOIN p1 p ON p.src = r.name WHERE r.rrank <= 50"
+
+  val queries: Map[String, Q] = Map(
+    "q_top50_partners" -> top50Partners)
+
+  val oracles: Map[String, String] = Map(
+    "q_trade_ranks" -> tradeRanksSql(),
+    "q_top50_partners" -> top50PartnersSql())
+}
