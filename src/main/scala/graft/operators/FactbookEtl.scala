@@ -20,7 +20,8 @@ object FactbookEtl {
 
   case class Inputs(
       exports: DataFrame, imports: DataFrame,
-      gdp: DataFrame, realGdp: DataFrame, realGdpPerCapita: DataFrame,
+      gdp: DataFrame, gdpPerCapita: DataFrame,
+      realGdp: DataFrame, realGdpPerCapita: DataFrame,
       exportsPartners: DataFrame, importsPartners: DataFrame,
       exportsGoods: DataFrame, importsGoods: DataFrame,
       population: DataFrame, countryRegion: DataFrame,
@@ -30,6 +31,7 @@ object FactbookEtl {
     exports = readCsv(spark, s"$dir/exports.csv", amountSeries),
     imports = readCsv(spark, s"$dir/imports.csv", amountSeries),
     gdp = readCsv(spark, s"$dir/gdp.csv", amountSeries),
+    gdpPerCapita = readCsv(spark, s"$dir/gdp_per_capita.csv", amountSeries),
     realGdp = readCsv(spark, s"$dir/real_gdp.csv", amountSeries),
     realGdpPerCapita = readCsv(spark, s"$dir/real_gdp_per_capita.csv", amountSeries),
     exportsPartners = readCsv(spark, s"$dir/exports_partners.csv", partners),
@@ -51,9 +53,12 @@ object FactbookEtl {
     val withPop = base.join(broadcast(pop), Seq("country"), "left")
       .na.fill(Map("year_population" -> 1970.0, "population" -> 0.0))
 
+    // series order + the "gdp_per_capital" (sic) name follow the golden
+    // article_page_rank_countries.csv header
     val series = Seq(
       in.exports -> "exports", in.imports -> "imports",
-      in.gdp -> "gdp", in.realGdp -> "real_gdp",
+      in.gdp -> "gdp", in.gdpPerCapita -> "gdp_per_capital",
+      in.realGdp -> "real_gdp",
       in.realGdpPerCapita -> "real_gdp_per_capita")
 
     series.foldLeft(withPop) { case (acc, (df, name)) =>

@@ -136,4 +136,130 @@ class FactbookEtlSpec extends SparkSpec {
     val row = goods.filter(col("mapped_good").isNotNull).limit(1).collect()(0)
     assert(row.getAs[scala.collection.Seq[String]]("goods").nonEmpty)
   }
+
+  // ---------- S4: pandas-render CSV writer vs the golden files ----------
+
+  import graft.sources.PandasCsv
+  import java.nio.file.{Files, Paths}
+
+  private def goldenText(name: String): String =
+    Files.readString(Paths.get(s"$refDir/$name"))
+
+  private val tradeCols = Seq("link", "exports", "year", "imports",
+    "trade_type", "retrieved", "amount", "export_trade_rank",
+    "import_trade_rank", "percentage_exports", "percentage_imports")
+
+  private val countryCols = Seq("regions", "country", "link", "rank",
+    "retrieved", "population", "year_population") ++
+    Seq("exports", "imports", "gdp", "gdp_per_capital", "real_gdp",
+      "real_gdp_per_capita").flatMap(n => Seq(s"amount_$n", s"year_$n"))
+
+  /** Golden country file with pandas-true dtypes: population /
+    * year_population came from an all-string read + int fillna, so
+    * they render as plain integers; everything else as in the file. */
+  private lazy val goldenCountryTyped = {
+    val fields =
+      Seq(StructField("regions", StringType), StructField("country", StringType),
+        StructField("link", StringType), StructField("rank", IntegerType),
+        StructField("retrieved", StringType),
+        StructField("population", LongType), StructField("year_population", LongType)) ++
+        countryCols.drop(7).map(StructField(_, DoubleType)) ++
+        Seq(StructField("page_rank", DoubleType), StructField("article_rank", DoubleType))
+    spark.read.option("header", "true").option("quote", "\"").option("escape", "\"")
+      .schema(StructType(fields)).csv(s"$refDir/article_page_rank_countries.csv")
+  }
+
+  test("S4 writer round-trips golden trade_partners.csv byte-for-byte") {
+    assert(PandasCsv.renderAll(goldenTrade) == goldenText("trade_partners.csv"))
+  }
+
+  test("S4 writer round-trips golden article_page_rank_countries.csv byte-for-byte") {
+    assert(PandasCsv.renderAll(goldenCountryTyped) ==
+      goldenText("article_page_rank_countries.csv"))
+  }
+
+  /** CSV-aware field split (minimal quoting, `""` escapes). */
+  private def csvFields(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line(i + 1) == '"') { sb.append('"'); i += 1 }
+        else if (c == '"') inQ = false
+        else sb.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += sb.toString; sb.clear()
+        case x => sb.append(x)
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
+  /** Line-level golden diff, drift-aware: the golden country/trade
+    * files were rendered from an OLDER scrape than the input CSVs now
+    * in /root/reference/output (e.g. exports.csv carries
+    * 33674999999.999996 where the golden country file says
+    * 33675000000.0), so a handful of lines differ in the last ulp.
+    * Assert: every line byte-identical except ≤ maxDrift lines, and
+    * those differ ONLY in numeric fields within 1e-12 relative. */
+  private def assertGoldenLines(ours: Seq[String], gold: Seq[String],
+      maxDrift: Int): Unit = {
+    val og = ours.toSet
+    val gg = gold.toSet
+    val diffO = ours.filterNot(gg)
+    val diffG = gold.filterNot(og)
+    info(s"${gold.size} lines, ${diffO.size} differ only by input-drift ulps")
+    assert(diffO.size == diffG.size, s"ours=${diffO.size} golden=${diffG.size}")
+    assert(diffO.size <= maxDrift, s"${diffO.size} drifted lines > $maxDrift")
+    def isNum(s: String) = s.nonEmpty && scala.util.Try(s.toDouble).isSuccess
+    def keyed(ls: Seq[String]) = ls.map { l =>
+      val (nums, strs) = csvFields(l).partition(isNum)
+      strs.mkString(" ") -> nums.map(_.toDouble)
+    }.toMap
+    val ko = keyed(diffO)
+    val kg = keyed(diffG)
+    assert(ko.keySet == kg.keySet, s"unmatched drift keys: " +
+      s"${(ko.keySet -- kg.keySet).take(2)} ${(kg.keySet -- ko.keySet).take(2)}")
+    for ((k, ons) <- ko) {
+      val gns = kg(k)
+      assert(ons.size == gns.size, s"$k field count")
+      ons.zip(gns).foreach { case (a, b) =>
+        assert(a == b || math.abs(a - b) <= math.abs(b) * 1e-12,
+          s"${k.replace(' ', '|')}: $a vs $b") }
+    }
+  }
+
+  test("our trade table renders to the golden file's exact lines (modulo row order)") {
+    val ours = PandasCsv.renderAll(trade.select(tradeCols.map(col): _*))
+      .split("\n", -1).toSeq
+    val gold = goldenText("trade_partners.csv").split("\n", -1).toSeq
+    assert(ours.head == gold.head, "header")
+    assertGoldenLines(ours.tail.filter(_.nonEmpty).sorted,
+      gold.tail.filter(_.nonEmpty).sorted, maxDrift = 40)
+  }
+
+  test("our country table renders to the golden file's exact lines (modulo order + rank cols)") {
+    // drop the two trailing rank columns textually — they are the last
+    // two fields and never contain commas
+    def strip(line: String): String = {
+      val i = line.lastIndexOf(',')
+      line.substring(0, line.lastIndexOf(',', i - 1))
+    }
+    val ours = PandasCsv.renderAll(country
+        .withColumn("population", col("population").cast("long"))
+        .withColumn("year_population", col("year_population").cast("long"))
+        .select(countryCols.map(col): _*))
+      .split("\n", -1).toSeq
+    val gold = goldenText("article_page_rank_countries.csv")
+      .split("\n", -1).toSeq
+    assert(ours.head == strip(gold.head), "header")
+    assertGoldenLines(ours.tail.filter(_.nonEmpty).sorted,
+      gold.tail.filter(_.nonEmpty).map(strip).sorted, maxDrift = 40)
+  }
 }

@@ -8,7 +8,8 @@ class MultimodalSpec extends SparkSpec {
 
   private def docs = Seq(
     (10L, "abcdefghijklmnopqrstuvwxyz0123456789ABCD", "en", "s1", 40L),
-    (11L, "short", "en", "s1", 5L))
+    (11L, "short", "en", "s1", 5L),
+    (12L, "héllo→", "fr", "s1", 6L)) // non-ASCII: bytes ≠ codepoints
     .toDF("doc_id", "text", "lang", "source", "n_chars")
 
   test("media table has binary payload + typed metadata") {
@@ -27,6 +28,18 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(10L).last_byte == 'D'.toInt)
     assert(feats(10L).byte_sum_mod ==
       "abcdefghijklmnopqrstuvwxyz0123456789ABCD".map(_.toLong).sum % 1000000007L)
+  }
+
+  test("features are UTF-8 BYTE semantics, not codepoints (non-ASCII)") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    val bytes = "héllo→".getBytes("UTF-8")
+    assert(bytes.length == 9) // 6 codepoints, 9 bytes
+    assert(feats(12L).n_bytes == 9L)
+    assert(feats(12L).first_byte == (bytes.head & 0xff))
+    assert(feats(12L).last_byte == (bytes.last & 0xff)) // 0x92, not '→'
+    assert(feats(12L).byte_sum_mod ==
+      bytes.map(b => (b & 0xff).toLong).sum % 1000000007L)
   }
 
   test("sampleFrames slices every nth fixed-size frame") {

@@ -49,4 +49,54 @@ class SimilaritySpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("banded near-dup blocking still finds the planted duplicate") {
+    val base = (0 until 64).map(i => math.sin(i.toDouble).toFloat)
+    val dup = base.updated(3, base(3) + 0.0001f)
+    val other = (0 until 64).map(i => math.cos(i * 2.0).toFloat)
+    val df = Seq((1L, base), (2L, dup), (3L, other)).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingNearDupPairs(df, threshold = 0.99,
+      bits = 10, dims = 64, bands = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+    // hot-bucket guard: a cap of 1 skips every ≥2 bucket -> no pairs
+    val guarded = Similarity.embeddingNearDupPairs(df, threshold = 0.99,
+      bits = 10, dims = 64, bands = 6, maxBucketSize = 1L)
+      .count()
+    assert(guarded == 0L)
+  }
+
+  test("banded 10-bit buckets are smaller than the single 8-bit signature's") {
+    // the quadratic within-bucket pairing term at scale is governed by
+    // the LARGEST bucket; banding must shrink it
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def maxBucket(keys: org.apache.spark.sql.DataFrame): Long =
+      keys.groupBy("band", "bucket").count()
+        .agg(max("count")).as[Long].collect()(0)
+    val single = emb.select(lit(0).as("band"),
+      Similarity.signSignatureAuto(emb, col("embedding"), 8, 64).as("bucket"))
+    val sig60 = emb.select(
+      Similarity.signSignatureAuto(emb, col("embedding"), 60, 64).as("sig"))
+    val banded = sig60.select(posexplode(array((0 until 6).map(b =>
+      shiftrightunsigned(col("sig"), b * 10).bitwiseAND(lit(1023L))): _*))
+      .as(Seq("band", "bucket")))
+    val (m8, mBand) = (maxBucket(single), maxBucket(banded))
+    info(s"max bucket: single-8-bit=$m8 banded-6x10=$mBand")
+    assert(mBand < m8, s"banded max bucket $mBand !< single-signature $m8")
+  }
+
+  test("ivfTopK assigns cells map-side: no window, one hash exchange") {
+    val corpus = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val df = Similarity.ivfTopK(corpus, queries, k = 5,
+      centroidEvery = 100, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"cell assignment must not window-shuffle:\n$plan")
+    // the ONLY hash-partitioned exchange is the final top-k partial agg
+    val nHash = plan.sliding("hashpartitioning".length).count(_ == "hashpartitioning")
+    assert(nHash <= 1, s"expected ≤1 hash exchange, got $nHash:\n$plan")
+    assert(df.count() > 0)
+  }
 }

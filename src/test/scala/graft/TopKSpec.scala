@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Similarity, TopK}
 
@@ -9,22 +10,32 @@ import graft.operators.{Similarity, TopK}
 class TopKSpec extends SparkSpec {
   import spark.implicits._
 
-  test("topKPerGroup == window bruteForceTopK on real embeddings") {
+  test("topKPerGroup == window row_number top-k on real embeddings") {
     val corpus = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = corpus.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val windowed = Similarity.bruteForceTopK(corpus, queries, k = 5)
-      .select("q_id", "vec_id", "score", "rank")
-      .as[(Long, Long, Double, Int)].collect().toSet
-
     val scored = corpus.join(broadcast(queries))
       .withColumn("score", Similarity.cosineAuto(corpus, col("embedding"), col("q_vec")))
       .select("q_id", "vec_id", "score")
+
+    // independent window reference (bruteForceTopK itself now uses the
+    // aggregator, so the reference must be built here)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val windowed = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+
     val agged = TopK.topKPerGroup(scored, "q_id", "vec_id", "score", k = 5)
       .as[(Long, Long, Double, Int)].collect().toSet
 
     assert(agged == windowed)
     assert(windowed.nonEmpty)
+
+    // and bruteForceTopK (the aggregator path) agrees too
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(brute == windowed)
   }
 
   test("ties broken by id ascending, identical to RANK semantics") {
@@ -34,5 +45,14 @@ class TopKSpec extends SparkSpec {
     val got = TopK.topKPerGroup(scored, "g", "id", "s", k = 3)
       .select("id", "rank").as[(Long, Int)].collect().toSet
     assert(got == Set((7L, 1), (3L, 2), (10L, 3)))
+  }
+
+  test("duplicated (score, id) entries evict one copy, not all") {
+    // regression: filterNot-based eviction removed EVERY copy of a
+    // duplicated worst entry, shrinking the heap below k
+    val agg = new TopK.TopKAgg(3)
+    val buf = Seq((0.5, 5L), (0.5, 5L), (0.4, 6L), (0.9, 7L), (0.95, 8L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf).map(_._2) == Seq(8L, 7L, 5L))
   }
 }
