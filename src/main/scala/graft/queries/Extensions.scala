@@ -287,7 +287,10 @@ object Extensions {
   // -------------------- multimodal --------------------
 
   val mediaFeatures: Q = (s, d) => {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    // spread BEFORE payload construction: the text column shuffles (a
+    // single-file scan arrives as one split), the binary payloads still
+    // never do — consistent with Multimodal's no-payload-shuffle rule
+    val media = Multimodal.mediaFromDocuments(spread(Tables.documents(s, d)))
     Multimodal.extractFeatures(media).toDF()
       .select(col("media_id"), col("format"), col("n_bytes"),
         col("first_byte"), col("last_byte"), col("byte_sum_mod"))
@@ -308,7 +311,7 @@ object Extensions {
       "FROM b"
 
   val frameSample: Q = (s, d) => {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    val media = Multimodal.mediaFromDocuments(spread(Tables.documents(s, d)))
     Multimodal.sampleFrames(media, frameBytes = 16, everyNth = 2)
       .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
   }
@@ -475,6 +478,72 @@ object Extensions {
         col("event_type"), col("n"), col("total"))
   }
 
+  /** X21 as a driver-gate query: ACTUAL streaming dedup run
+    * (readStream → fingerprint → watermark + dropDuplicates → memory
+    * sink, AvailableNow to completion). Output is the SET of surviving
+    * fingerprints — order-independent, so it hashes identically no
+    * matter which duplicate row won inside the state store. */
+  val streamDedup: Q = (s, d) => {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-sd").toString
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    // +1: a row at epoch 0 would satisfy the initial late-row predicate
+    // (ts <= watermark=0) and be silently dropped
+    val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
+      .select(timestamp_micros((col("doc_id") + 1) * 1000000L).as("ts"),
+        fingerprintMd5(col("text")).as("fp"))
+    val q = EventsStreaming.streamingDedup(src, "ts", "fp")
+      .writeStream.format("memory").queryName("graft_stream_dedup")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_dedup").select(col("fp"))
+  }
+
+  val streamDedupSql: String =
+    s"SELECT DISTINCT md5($duckNormText) AS fp FROM documents"
+
+  /** X24 as a driver-gate query: stream-stream inner join with
+    * watermarks + interval condition (purchases × same-user signups in
+    * the preceding hour), run to completion. Oracle = the identical
+    * batch theta-join in microsecond epoch arithmetic (mirroring the
+    * nanos→micros conversion the streaming source applies). */
+  val streamJoin: Q = (s, d) => {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-sj").toString
+    def src() = EventsStreaming.readDriverEventsStream(s, s"$d/events.parque[t]")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val signups = src().filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "2 hours")
+    val joined = purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("s_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_id"), col("s_id"))
+    val q = joined.writeStream.format("memory").queryName("graft_stream_join")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_join")
+  }
+
+  val streamJoinSql: String =
+    "SELECT p.user_id, p.event_id AS p_id, s.event_id AS s_id " +
+      "FROM (SELECT user_id, event_id, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase') p " +
+      "JOIN (SELECT user_id, event_id, epoch_us(ts) AS st FROM events WHERE event_type = 'signup') s " +
+      "ON p.user_id = s.user_id AND s.st >= p.pt - 3600000000 AND s.st <= p.pt"
+
   val sessionize: Q = (s, d) =>
     EventsStreaming.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
       .select(col("user_id"),
@@ -506,6 +575,8 @@ object Extensions {
     "q_embed_ivf" -> embedIvf,
     "q_embed_neardup" -> embedNearDup,
     "q_stream_window_agg" -> streamWindowAgg,
+    "q_stream_dedup" -> streamDedup,
+    "q_stream_join" -> streamJoin,
     "q_media_features" -> mediaFeatures,
     "q_frame_sample" -> frameSample,
     "q_scrape_series" -> scrapeSeries,
@@ -530,6 +601,8 @@ object Extensions {
     "q_embed_ivf" -> embedIvfSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_stream_window_agg" -> windowAggSql,
+    "q_stream_dedup" -> streamDedupSql,
+    "q_stream_join" -> streamJoinSql,
     "q_media_features" -> mediaFeaturesSql,
     "q_frame_sample" -> frameSampleSql,
     "q_scrape_series" -> scrapeSeriesSql,
