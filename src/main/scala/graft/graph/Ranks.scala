@@ -216,13 +216,17 @@ object Ranks {
     import spark.implicits._
     // cache the (aggregated, small) edge table: graph construction
     // evaluates it several times (edge RDD, vertex union, outDegrees) —
-    // without this each pass re-runs the full upstream SQL pipeline
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // without this each pass re-runs the full upstream SQL pipeline.
+    // If the CALLER already persisted it (to reuse the edges after the
+    // ranks, e.g. q_top50_partners), respect that and leave the cache.
+    val preCached = edges.storageLevel != StorageLevel.NONE
+    val e = if (preCached) edges
+      else edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count() // also materializes the cache
     val out =
       if (nEdges <= localThreshold) rankTableLocal(e, src, dst, iters, damping, vertices)
       else rankTableDistributed(e, src, dst, iters, damping, vertices, nEdges)
-    e.unpersist(blocking = false)
+    if (!preCached) e.unpersist(blocking = false)
     out
   }
 

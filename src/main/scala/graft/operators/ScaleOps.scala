@@ -85,4 +85,49 @@ object ScaleOps {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(saltedDim, key :+ "_salt").drop("_salt")
   }
+
+  /** Two-pass heavy hitters — the 100 TB shape for "keys with count ≥
+    * t" when the distinct-key set dwarfs memory: pass 1 builds a
+    * Count-Min sketch (mergeable partials, driver-merged — AQE-style
+    * bounded stats, never the full key set) and keeps only keys whose
+    * ESTIMATE reaches the threshold (CMS never underestimates, so the
+    * candidate set is a SUPERSET of the truth); pass 2 exact-counts
+    * candidates only. Output is therefore EXACT and deterministic —
+    * the sketch narrows work, it never decides membership. */
+  def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketch = df.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val bc = spark.sparkContext.broadcast(sketch)
+    val candidates = df.select(col(keyCol).cast("long")).distinct()
+      .as[Long]
+      // sketch probe is a library call, not expressible as Columns —
+      // typed filter over the broadcast sketch (map-side, no shuffle)
+      .filter(k => bc.value.estimateCount(k) >= minCount)
+      .toDF(keyCol)
+    df.join(candidates.hint("broadcast"), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Bloom-pruned join — the manual runtime-filter pattern: build a
+    * Bloom filter over the dim side's keys (mergeable partials,
+    * driver-merged, bits ≪ key set), broadcast it, and drop fact rows
+    * that cannot match BEFORE the join shuffle. No false negatives ⇒
+    * result identical to the plain join; false-positive rows are
+    * removed by the join itself. This is what
+    * `spark.sql.optimizer.runtime.bloomFilter` injects automatically —
+    * exposed as an operator for sources/planners that miss it. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      expectedDimKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = fact.sparkSession
+    val bloom = dim.stat.bloomFilter(key, expectedDimKeys, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val pruned = fact.filter((r: org.apache.spark.sql.Row) =>
+      bc.value.mightContain(r.getAs[Any](key)))
+    pruned.join(dim, Seq(key))
+  }
 }

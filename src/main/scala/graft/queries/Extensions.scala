@@ -431,6 +431,31 @@ object Extensions {
       "ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'signup') r " +
       "ON l.user_id = r.user_id AND l.event_id >= r.event_id"
 
+  /** Two-pass heavy hitters (CMS candidates + exact rescore): output
+    * is exact, so the oracle is the plain GROUP BY/HAVING — the sketch
+    * only narrows pass-2 work and can never change the answer. */
+  val heavyHitters: Q = (s, d) =>
+    graft.operators.ScaleOps.heavyHitters(
+      Tables.events(s, d).select(col("user_id")), "user_id", minCount = 8L)
+
+  val heavyHittersSql: String =
+    "SELECT user_id, count(*) AS n FROM events GROUP BY user_id HAVING count(*) >= 8"
+
+  /** Bloom-pruned fact-dim join — result provably identical to the
+    * plain join (no false negatives), which IS the oracle. */
+  val bloomJoin: Q = (s, d) =>
+    graft.operators.ScaleOps.bloomPrunedJoin(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey").as("s_suppkey")),
+      Tables.supplier(s, d).filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey"), col("s_name")),
+      "s_suppkey", expectedDimKeys = 100000L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+
+  val bloomJoinSql: String =
+    "SELECT l_orderkey, l_linenumber, s_name FROM lineitem " +
+      "JOIN supplier ON l_suppkey = s_suppkey WHERE s_nationkey < 5"
+
   /** Skew-salted fact-dim join — result provably identical to the
     * plain join (the oracle IS the plain join). */
   val saltedJoin: Q = (s, d) =>
@@ -582,6 +607,8 @@ object Extensions {
     "q_scrape_series" -> scrapeSeries,
     "q_asof_join" -> asofJoin,
     "q_salted_join" -> saltedJoin,
+    "q_heavy_hitters" -> heavyHitters,
+    "q_bloom_join" -> bloomJoin,
     "q_population_parse" -> populationParse,
     "q_json_extract" -> jsonExtract,
     "q_range_join" -> rangeJoin,
@@ -608,6 +635,8 @@ object Extensions {
     "q_scrape_series" -> scrapeSeriesSql,
     "q_asof_join" -> asofJoinSql,
     "q_salted_join" -> saltedJoinSql,
+    "q_heavy_hitters" -> heavyHittersSql,
+    "q_bloom_join" -> bloomJoinSql,
     "q_population_parse" -> populationParseSql,
     "q_json_extract" -> jsonExtractSql,
     "q_range_join" -> rangeJoinSql,

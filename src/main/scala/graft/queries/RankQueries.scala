@@ -76,9 +76,13 @@ object RankQueries {
     * global order by (rounded pagerank desc, name asc). Countries with
     * no exports keep a null partner (left join). */
   val top50Partners: Q = (s, dir) => {
-    val ranks = graft.SparkEntry.tradeRanks(s, dir)
-      .select(col("name"), round(col("pagerank"), 6).as("pagerank"))
+    // ONE edge aggregation feeds both the ranks and the partner pick:
+    // persist before rankTable (which respects caller-managed caches)
     val edges = graft.SparkEntry.nationTradeEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranks = graft.graph.Ranks
+      .rankTable(edges, "src_nation", "dst_nation")
+      .select(col("name"), round(col("pagerank"), 6).as("pagerank"))
     val wPart = Window.partitionBy("src_nation")
       .orderBy(desc("amount"), asc("dst_nation"))
     val top1 = edges.withColumn("_rn", row_number().over(wPart))

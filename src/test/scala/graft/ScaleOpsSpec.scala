@@ -42,6 +42,39 @@ class ScaleOpsSpec extends SparkSpec {
       s"range join must not plan a cross join:\n$plan")
   }
 
+  test("heavyHitters is exact: CMS candidates never drop a true heavy key") {
+    // key 1 x5, key 2 x3, key 3 x1 — threshold 3 keeps {1, 2} exactly
+    val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("k")
+    val got = ScaleOps.heavyHitters(df, "k", minCount = 3L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 5L), (2L, 3L)))
+    // a sloppy sketch (huge eps -> everything collides) still yields
+    // the exact answer: candidates are a superset, rescore is exact
+    val sloppy = ScaleOps.heavyHitters(df, "k", minCount = 3L, eps = 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(sloppy == got)
+  }
+
+  test("bloomPrunedJoin equals the plain join result") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey").as("s_suppkey"))
+    val sup = graft.core.Tables.supplier(spark, "/root/testdata/sf0.001")
+      .filter(col("s_nationkey") < 5).select("s_suppkey", "s_name")
+    val plain = li.join(sup, Seq("s_suppkey"))
+      .select("l_orderkey", "l_linenumber", "s_name")
+      .collect().map(_.toString).sorted.toSeq
+    val bloomed = ScaleOps.bloomPrunedJoin(li, sup, "s_suppkey",
+        expectedDimKeys = 10000L)
+      .select("l_orderkey", "l_linenumber", "s_name")
+      .collect().map(_.toString).sorted.toSeq
+    assert(bloomed == plain && plain.nonEmpty)
+    // the filter really prunes: non-dim keys drop before the join
+    val bloom = sup.stat.bloomFilter("s_suppkey", 10000L, 0.01)
+    val keys = li.select("s_suppkey").distinct().as[Long].collect()
+    assert(keys.exists(k => !bloom.mightContain(k)),
+      "fixture should contain non-matching fact keys for the prune to matter")
+  }
+
   test("saltedJoin equals the plain join result") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_linenumber", "l_partkey")
