@@ -383,6 +383,38 @@ case class PopYearExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_bloom_contains(key bigint, bloom binary) -> boolean`;
+  * `bloom` must be a foldable literal (a driver-built
+  * `util.sketch.BloomFilter`, serialized). The filter deserializes
+  * once per JVM (lazy) and the probe stays inside whole-stage codegen
+  * — vs a typed `Row => Boolean` filter, which deserializes every row
+  * and breaks the codegen span. */
+case class BloomContainsExpr(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  protected override def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference THIS expression instance from generated code so the
+    // lazily-deserialized filter is shared, not re-parsed per row
+    val ref = ctx.addReferenceObj("bloomExpr", this,
+      classOf[BloomContainsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.contains($c)")
+  }
+
+  def contains(key: Long): Boolean = bloom.mightContainLong(key)
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsExpr =
+    copy(child = newChild)
+}
+
 /** `graft_rolling_hash(s string) -> bigint` */
 case class RollingHashExpr(child: Expression)
     extends UnaryExpression {
@@ -428,6 +460,14 @@ class GraftFunctionExtensions extends (SparkSessionExtensions => Unit) {
       MinhashSigExpr(c.head, litInt(c(1), "numHashes")))
     reg(ext, "graft_rolling_hash", 1)(c => RollingHashExpr(c.head))
     reg(ext, "graft_dot", 2)(c => DotProductExpr(c.head, c(1)))
+    reg(ext, "graft_bloom_contains", 2)(c => {
+      val bytes = c(1) match {
+        case x if x.foldable => x.eval().asInstanceOf[Array[Byte]]
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_contains: bloom must be a literal binary")
+      }
+      BloomContainsExpr(c.head, bytes)
+    })
     reg(ext, "graft_pop_value", 1)(c => PopValueExpr(c.head))
     reg(ext, "graft_pop_year", 1)(c => PopYearExpr(c.head))
   }

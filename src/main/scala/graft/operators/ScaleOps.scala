@@ -125,9 +125,20 @@ object ScaleOps {
       expectedDimKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val spark = fact.sparkSession
     val bloom = dim.stat.bloomFilter(key, expectedDimKeys, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val pruned = fact.filter((r: org.apache.spark.sql.Row) =>
-      bc.value.mightContain(r.getAs[Any](key)))
+    val pruned =
+      if (spark.catalog.functionExists("graft_bloom_contains")) {
+        // native codegen probe: the filter rides inside the whole-stage
+        // codegen span; a typed Row=>Boolean filter would deserialize
+        // every fact row and split the span
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        fact.filter(call_function("graft_bloom_contains",
+          col(key).cast("long"), lit(bos.toByteArray)))
+      } else {
+        val bc = spark.sparkContext.broadcast(bloom)
+        fact.filter((r: org.apache.spark.sql.Row) =>
+          bc.value.mightContain(r.getAs[Any](key)))
+      }
     pruned.join(dim, Seq(key))
   }
 }

@@ -541,11 +541,13 @@ object Extensions {
     * nanos→micros conversion the streaming source applies). */
   val streamJoin: Q = (s, d) => {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-sj").toString
-    def src() = EventsStreaming.readDriverEventsStream(s, s"$d/events.parque[t]")
-    val purchases = src().filter(col("event_type") === "purchase")
+    // ONE streaming source self-joined (supported with watermarks both
+    // sides) — two separate readStreams would scan the input twice
+    val src = EventsStreaming.readDriverEventsStream(s, s"$d/events.parque[t]")
+    val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
-    val signups = src().filter(col("event_type") === "signup")
+    val signups = src.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
         col("ts").as("s_ts"))
       .withWatermark("s_ts", "2 hours")
