@@ -113,6 +113,20 @@ object ScaleOps {
       .filter(col("n") >= minCount)
   }
 
+  /** Deterministic content-hash train/holdout split: bucket = first 4
+    * md5 hex chars of the id, mod 100. Pure map — no rand(), no
+    * shuffle, no global sort — so a document's split NEVER changes
+    * across runs, engines, partitionings, or corpus growth (the
+    * property that keeps a 100 TB eval set uncontaminated as training
+    * data accretes). md5-derived like every other hash here, so any
+    * engine reproduces the assignment bit-for-bit. */
+  def hashSplit(df: DataFrame, idCol: String, holdoutPct: Int,
+      splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol,
+      when(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100 < holdoutPct, lit("holdout"))
+        .otherwise(lit("train")))
+
   /** Bloom-pruned join — the manual runtime-filter pattern: build a
     * Bloom filter over the dim side's keys (mergeable partials,
     * driver-merged, bits ≪ key set), broadcast it, and drop fact rows

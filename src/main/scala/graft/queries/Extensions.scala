@@ -431,6 +431,17 @@ object Extensions {
       "ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'signup') r " +
       "ON l.user_id = r.user_id AND l.event_id >= r.event_id"
 
+  /** Deterministic train/holdout split by content-id hash — the split
+    * assignment is a pure md5 function of the id, so the oracle
+    * reproduces it exactly. */
+  val hashSplit: Q = (s, d) =>
+    graft.operators.ScaleOps.hashSplit(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id", holdoutPct = 10)
+
+  val hashSplitSql: String =
+    "SELECT doc_id, CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 10 " +
+      "THEN 'holdout' ELSE 'train' END AS split FROM documents"
+
   /** Two-pass heavy hitters (CMS candidates + exact rescore): output
     * is exact, so the oracle is the plain GROUP BY/HAVING — the sketch
     * only narrows pass-2 work and can never change the answer. */
@@ -611,6 +622,7 @@ object Extensions {
     "q_salted_join" -> saltedJoin,
     "q_heavy_hitters" -> heavyHitters,
     "q_bloom_join" -> bloomJoin,
+    "q_hash_split" -> hashSplit,
     "q_population_parse" -> populationParse,
     "q_json_extract" -> jsonExtract,
     "q_range_join" -> rangeJoin,
@@ -639,6 +651,7 @@ object Extensions {
     "q_salted_join" -> saltedJoinSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_bloom_join" -> bloomJoinSql,
+    "q_hash_split" -> hashSplitSql,
     "q_population_parse" -> populationParseSql,
     "q_json_extract" -> jsonExtractSql,
     "q_range_join" -> rangeJoinSql,

@@ -75,6 +75,20 @@ class ScaleOpsSpec extends SparkSpec {
       "fixture should contain non-matching fact keys for the prune to matter")
   }
 
+  test("hashSplit is stable: a row's split never changes as data grows") {
+    val small = (0L until 100L).toDF("id")
+    val big = (0L until 1000L).toDF("id")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      ScaleOps.hashSplit(df, "id", holdoutPct = 10)
+        .as[(Long, String)].collect().toMap
+    val s1 = splits(small)
+    val s2 = splits(big)
+    assert(s1.forall { case (k, v) => s2(k) == v },
+      "growing the corpus must not move any row across the split")
+    val holdout = s2.values.count(_ == "holdout")
+    assert(holdout > 50 && holdout < 150, s"~10% of 1000 expected, got $holdout")
+  }
+
   test("saltedJoin equals the plain join result") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_linenumber", "l_partkey")
