@@ -209,4 +209,30 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Corpus-level LINE dedup (the C4/RefinedWeb pass): every line that
+    * occurs anywhere else in the corpus keeps only its FIRST occurrence
+    * (by (doc_id, line index) — globally deterministic), then documents
+    * are reassembled from their surviving lines. Documents whose every
+    * line was claimed elsewhere drop out.
+    *
+    * Scale shape: explode to (line-hash, doc, idx) — the shuffle key is
+    * the 16-byte line hash, never the text twice; one hash shuffle for
+    * the keep-first window, one for the reassembly groupBy. Reassembly
+    * sorts each doc's surviving lines with `array_sort` over collected
+    * (idx, line) structs — bounded by lines-per-doc, not corpus. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = spread(df)
+      .select(col(idCol).as("_doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("_idx", "_line")))
+    val w = Window.partitionBy(md5(col("_line")))
+      .orderBy(col("_doc").asc, col("_idx").asc)
+    lines.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy(col("_doc"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_idx"), col("_line")))),
+          s => s.getField("_line")), "\n").as("text"))
+      .withColumnRenamed("_doc", idCol)
+  }
 }

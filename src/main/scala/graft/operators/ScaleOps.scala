@@ -113,6 +113,47 @@ object ScaleOps {
       .filter(col("n") >= minCount)
   }
 
+  /** GPT-style sequence packing: documents concatenate (in `idCol`
+    * order) into one token stream sliced into fixed `ctxLen` windows;
+    * emits one row per (document × window it overlaps) — the
+    * pack-with-spillover layout a pretraining loader consumes.
+    *
+    * Scale shape: the global prefix-sum is TWO-PHASE — range-partition
+    * by id, per-partition running sum (window), then the P per-
+    * partition TOTALS (not rows) come to the driver and go back as
+    * broadcast offsets. No single-partition global window, which is
+    * what a naive `Window.orderBy(id)` would plan. The result is
+    * independent of where the range boundaries fall, so it is
+    * deterministic even though range partitioning samples. */
+  def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
+      ctxLen: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val base = df.select(col(idCol), tokenCount.cast("long").as("_n"))
+      .repartitionByRange(parts, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(col(idCol))
+    val local = base.withColumn("_local_end", sum(col("_n")).over(wLocal))
+    val totals = local.groupBy("_pid").agg(max(col("_local_end")).as("_tot"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets =
+      if (totals.isEmpty) Seq.empty[(Int, Long)]
+      else totals.scanLeft((Int.MinValue, 0L)) {
+        case ((_, acc), (pid, tot)) => (pid, acc + tot)
+      }.sliding(2).map { case Array((_, prev), (pid, _)) => (pid, prev) }.toSeq
+    val offDf = broadcast(offsets.toDF("_pid", "_off"))
+    local.join(offDf, Seq("_pid"))
+      .filter(col("_n") > 0)
+      .withColumn("_end", col("_local_end") + col("_off"))
+      .withColumn("token_start", col("_end") - col("_n"))
+      .withColumn("pack_id", explode(sequence(
+        floor(col("token_start") / ctxLen.toDouble).cast("long"),
+        floor((col("_end") - 1) / ctxLen.toDouble).cast("long"))))
+      .select(col(idCol), col("pack_id"), col("token_start"),
+        col("_n").as("n_tokens"))
+  }
+
   /** Deterministic content-hash train/holdout split: bucket = first 4
     * md5 hex chars of the id, mod 100. Pure map — no rand(), no
     * shuffle, no global sort — so a document's split NEVER changes

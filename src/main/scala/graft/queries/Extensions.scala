@@ -122,6 +122,36 @@ object Extensions {
       "round(CAST(inter AS DOUBLE)/(s1 + s2 - inter), 6) AS jaccard, " +
       "CAST(inter AS DOUBLE)/(s1 + s2 - inter) AS _j FROM p) WHERE _j >= 0.7"
 
+  /** C4-style corpus-level line dedup with document reassembly. On the
+    * synthetic single-line documents this degenerates to whole-doc
+    * first-occurrence dedup — the multi-line reassembly path is pinned
+    * by DedupSpec on crafted fixtures. */
+  val lineDedup: Q = (s, d) =>
+    Dedup.lineDedup(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+
+  val lineDedupSql: String =
+    "WITH ls AS (SELECT doc_id, list_transform(string_split(text, chr(10)), (x, i) -> struct_pack(idx := i - 1, line := x)) AS lst FROM documents), " +
+      "lines AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM (SELECT doc_id, unnest(lst) AS u FROM ls)), " +
+      "keep AS (SELECT doc_id, idx, line FROM (SELECT doc_id, idx, line, " +
+      "row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) AS rn FROM lines) WHERE rn = 1) " +
+      "SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY idx)) AS text_md5 FROM keep GROUP BY doc_id"
+
+  /** GPT-style sequence packing over the documents token stream:
+    * fixed 512-token windows, one row per doc × overlapped window.
+    * Oracle = the plain global running sum; the Spark side computes
+    * the same prefix sum two-phase (per-partition + offsets). */
+  val seqPack: Q = (s, d) =>
+    graft.operators.ScaleOps.packSequences(
+      Tables.documents(s, d), "doc_id",
+      TextFunctions.tokenCount(col("text")), ctxLen = 512L)
+
+  val seqPackSql: String =
+    s"WITH n AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS nt FROM documents), " +
+      "t AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e FROM n) " +
+      "SELECT doc_id, unnest(generate_series(CAST(floor((e - nt)/512.0) AS BIGINT), CAST(floor((e - 1)/512.0) AS BIGINT))) AS pack_id, " +
+      "e - nt AS token_start, nt AS n_tokens FROM t WHERE nt > 0"
+
   private val MINHASH_BANDS = 4
   private val MINHASH_RPB = 3
 
@@ -605,6 +635,8 @@ object Extensions {
     "q_lang_id" -> langId,
     "q_fingerprint" -> fingerprint,
     "q_exact_dedup" -> exactDedup,
+    "q_line_dedup" -> lineDedup,
+    "q_seq_pack" -> seqPack,
     "q_ngram_jaccard" -> ngramJaccard,
     "q_minhash_pairs" -> minhashPairs,
     "q_simhash_pairs" -> simhashPairs,
@@ -634,6 +666,8 @@ object Extensions {
     "q_lang_id" -> langIdSql,
     "q_fingerprint" -> fingerprintSql,
     "q_exact_dedup" -> exactDedupSql,
+    "q_line_dedup" -> lineDedupSql,
+    "q_seq_pack" -> seqPackSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_minhash_pairs" -> minhashPairsSql,
     "q_simhash_pairs" -> simhashPairsSql,

@@ -15,6 +15,19 @@ class DedupSpec extends SparkSpec {
     (5L, "completely different content about spark engines entirely"))
     .toDF("doc_id", "text")
 
+  test("lineDedup: first occurrence survives, docs reassemble in order") {
+    val multi = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\ngamma"),      // loses "shared line" to doc 1
+      (3L, "shared line"))              // fully claimed -> drops out
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(multi, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "alpha\nshared line\nbeta",
+      2L -> "gamma"))
+  }
+
   test("exact dedup keeps lowest id per normalized content") {
     val got = Dedup.exactDedup(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().sorted

@@ -75,6 +75,38 @@ class ScaleOpsSpec extends SparkSpec {
       "fixture should contain non-matching fact keys for the prune to matter")
   }
 
+  test("packSequences: two-phase prefix sum == naive global window") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tc = graft.functions.TextFunctions.tokenCount(col("text"))
+    val got = ScaleOps.packSequences(docs, "doc_id", tc, ctxLen = 512L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // naive reference: one global window (fine at spec scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id")).rowsBetween(Long.MinValue, 0)
+    val ref = docs.select(col("doc_id"), tc.cast("long").as("n"))
+      .withColumn("e", sum(col("n")).over(w))
+      .filter(col("n") > 0)
+      .withColumn("token_start", col("e") - col("n"))
+      .withColumn("pack_id", explode(sequence(
+        floor(col("token_start") / 512.0).cast("long"),
+        floor((col("e") - 1) / 512.0).cast("long"))))
+      .select(col("doc_id"), col("pack_id"), col("token_start"), col("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == ref && ref.nonEmpty)
+    // every pack except possibly the last holds exactly ctxLen tokens:
+    // sum over per-doc overlap with each window == 512
+    val packTokens = got.toSeq.groupBy(_._2).map { case (pack, rows) =>
+      pack -> rows.map { case (_, _, start, n) =>
+        val lo = math.max(start, pack * 512L)
+        val hi = math.min(start + n, (pack + 1) * 512L)
+        hi - lo
+      }.sum
+    }
+    val lastPack = packTokens.keys.max
+    packTokens.foreach { case (pack, tot) =>
+      if (pack != lastPack) assert(tot == 512L, s"pack $pack holds $tot tokens") }
+  }
+
   test("hashSplit is stable: a row's split never changes as data grows") {
     val small = (0L until 100L).toDF("id")
     val big = (0L until 1000L).toDF("id")
