@@ -58,6 +58,40 @@ object Extensions {
     s"SELECT doc_id, $nt AS n_tokens, $nb AS n_bpeish, $pr AS punct_ratio, $sr AS stop_ratio_en, $q AS quality FROM documents"
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021 repetition/shape
+    * signals): mean word length, within-document duplicate-3-gram
+    * fraction, and a composite keep flag. All codegen'd column ops —
+    * mean word length avoids a per-token HOF fold by summing token
+    * lengths as `length(array_join(tokens, ''))`. */
+  val qualityRules: Q = (s, d) => {
+    val docs = spread(Tables.documents(s, d))
+    val toks = TextFunctions.tokens(col("text"))
+    val nTok = size(toks)
+    val meanLen = round(length(array_join(toks, "")).cast("double") /
+      greatest(nTok, lit(1)), 6)
+    val sh = Dedup.shinglesAuto(docs, "text", 3)
+    val dupFrac = round(
+      when(size(sh) > 0,
+        lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+        .otherwise(0.0), 6)
+    docs.select(col("doc_id"), nTok.as("n_tokens"),
+        meanLen.as("mean_word_len"), dupFrac.as("dup_3gram_frac"))
+      .withColumn("keep",
+        col("n_tokens") >= 5 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("dup_3gram_frac") < 0.3)
+  }
+
+  val qualityRulesSql: String =
+    s"WITH t AS (SELECT doc_id, $duckToksLower AS t, $duckToks AS tk FROM documents), " +
+      s"sh AS (SELECT doc_id, tk, $duckShingles AS s FROM t), " +
+      "m AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens, " +
+      "round(CAST(length(array_to_string(tk, '')) AS DOUBLE)/greatest(len(tk), 1), 6) AS mean_word_len, " +
+      "round(CASE WHEN len(s) > 0 THEN 1.0 - CAST(len(list_distinct(s)) AS DOUBLE)/len(s) ELSE 0.0 END, 6) AS dup_3gram_frac " +
+      "FROM sh) " +
+      "SELECT doc_id, n_tokens, mean_word_len, dup_3gram_frac, " +
+      "(n_tokens >= 5 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND dup_3gram_frac < 0.3) AS keep FROM m"
+
   val langId: Q = (s, d) =>
     spread(Tables.documents(s, d)).select(
       col("doc_id"), col("lang").as("tagged"),
@@ -103,8 +137,9 @@ object Extensions {
     s"SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER " +
       s"(PARTITION BY md5($duckNormText) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
 
-  // shared shingle SQL fragments (3-gram over lowercased tokens)
-  private val duckShingles =
+  // shared shingle SQL fragments (3-gram over lowercased tokens).
+  // lazy: referenced by vals declared ABOVE this point (qualityRulesSql)
+  private lazy val duckShingles =
     s"CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2), " +
       s"i -> array_to_string(list_slice(t, i, i+2), ' ')) ELSE []::VARCHAR[] END"
 
@@ -632,6 +667,7 @@ object Extensions {
 
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> textStats,
+    "q_quality_rules" -> qualityRules,
     "q_lang_id" -> langId,
     "q_fingerprint" -> fingerprint,
     "q_exact_dedup" -> exactDedup,
@@ -663,6 +699,7 @@ object Extensions {
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
+    "q_quality_rules" -> qualityRulesSql,
     "q_lang_id" -> langIdSql,
     "q_fingerprint" -> fingerprintSql,
     "q_exact_dedup" -> exactDedupSql,
