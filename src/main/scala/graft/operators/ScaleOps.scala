@@ -130,11 +130,26 @@ object ScaleOps {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = spark.sparkContext.defaultParallelism
-    val base = df.select(col(idCol), tokenCount.cast("long").as("_n"))
+    // Range-partition + in-partition sort, then a SINGLE-PASS running
+    // sum per partition (mapPartitions — genuine per-partition
+    // imperative logic; a Window.partitionBy(pid) would force a second
+    // full-data hash exchange right after the range exchange). The
+    // result MUST be cached: the offsets collected below are only
+    // valid for this materialized partitioning — range boundaries are
+    // re-sampled per job, so an uncached recompute could move rows
+    // across partitions and silently corrupt the prefix sum.
+    val local = df.select(col(idCol).cast("long"), tokenCount.cast("long"))
       .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (id, n) => acc += n; (id, n, acc) }
+      }
+      .toDF(idCol, "_n", "_local_end")
       .withColumn("_pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("_pid")).orderBy(col(idCol))
-    val local = base.withColumn("_local_end", sum(col("_n")).over(wLocal))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // P partial rows cross this shuffle (map-side combine), nothing more
     val totals = local.groupBy("_pid").agg(max(col("_local_end")).as("_tot"))
       .as[(Int, Long)].collect().sortBy(_._1)
     val offsets =

@@ -78,8 +78,12 @@ class ScaleOpsSpec extends SparkSpec {
   test("packSequences: two-phase prefix sum == naive global window") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val tc = graft.functions.TextFunctions.tokenCount(col("text"))
-    val got = ScaleOps.packSequences(docs, "doc_id", tc, ctxLen = 512L)
-      .as[(Long, Long, Long, Long)].collect().toSet
+    val packed = ScaleOps.packSequences(docs, "doc_id", tc, ctxLen = 512L)
+    // two-phase plan: one range exchange, NO per-pid window re-shuffle
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"prefix sum must not plan a window:\n$plan")
+    val got = packed.as[(Long, Long, Long, Long)].collect().toSet
     // naive reference: one global window (fine at spec scale)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("doc_id")).rowsBetween(Long.MinValue, 0)
