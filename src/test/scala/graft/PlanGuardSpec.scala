@@ -1,0 +1,33 @@
+package graft
+
+/** Plan-shape guardrail over the ENTIRE declared query surface: no
+  * query may plan an accidental cross join (CartesianProduct /
+  * BroadcastNestedLoopJoin). Catches the classic regressions — a lost
+  * join condition, a non-equi predicate slipping into a join, a
+  * broadcast hint falling off — at spec time instead of at 100 TB.
+  *
+  * Whitelist: brute-force top-k (q_embed_topk) intentionally scores
+  * corpus × broadcast-queries with no join key — that cross join IS
+  * the operator's semantics (bounded by the broadcast side).
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val crossJoinByDesign = Set("q_embed_topk")
+
+  test("no declared query plans an accidental cross join") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => crossJoinByDesign(name) }
+      .flatMap { case (name, fn) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.executedPlan.toString
+          catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
+        if (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoop") ||
+            plan.startsWith("PLANNING FAILED"))
+          Some(name -> plan.linesIterator.take(3).mkString(" | "))
+        else None
+      }
+    assert(bad.isEmpty, bad.map { case (n, p) => s"\n$n: $p" }.mkString)
+  }
+}
