@@ -79,6 +79,34 @@ object Multimodal {
       }
   }
 
+  case class MediaResized(media_id: Long, resized: Array[Byte], n_out: Int)
+
+  /** STUB resize — stands in for an image resize: deterministic
+    * stride-downsample of the payload to ≤ `targetBytes` bytes
+    * (byte i*stride for i < min(n, target), stride = n / n_out,
+    * integer math). Swapping the body for a real scaler keeps the
+    * batching contract unchanged, like decodeStub. */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty) return Array.emptyByteArray
+    val nOut = math.min(payload.length, targetBytes)
+    val stride = payload.length / nOut
+    Array.tabulate(nOut)(i => payload(i * stride))
+  }
+
+  /** Batched per-partition resize (same mapInPandas-shaped contract as
+    * extractFeatures — payloads never leave the map stage). */
+  def resizePayloads(media: DataFrame, targetBytes: Int): Dataset[MediaResized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val out = resizeStub(payload, targetBytes)
+          MediaResized(id, out, out.length)
+        }
+      }
+  }
+
   /** Frame-sampling shape: explode a video payload into every nth
     * "frame" (fixed-size byte slice), keeping (media_id, frame_idx,
     * frame_bytes). Pure column ops — the slicing pattern a real

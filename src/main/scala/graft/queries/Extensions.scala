@@ -375,6 +375,22 @@ object Extensions {
       "CAST(coalesce(list_sum(list_transform(generate_series(1, CAST(nb AS INT)), i -> CAST(('0x' || substr(h, (i-1)*2 + 1, 2)) AS BIGINT))), 0) % 1000000007 AS BIGINT) AS byte_sum_mod " +
       "FROM b"
 
+  /** Resize stub over the media payloads; the oracle reproduces the
+    * stride sampling byte-true from hex(encode(text)). */
+  val mediaResize: Q = (s, d) => {
+    val media = Multimodal.mediaFromDocuments(spread(Tables.documents(s, d)))
+    Multimodal.resizePayloads(media, targetBytes = 64).toDF()
+      .select(col("media_id"), hex(col("resized")).as("resized_hex"),
+        col("n_out"))
+  }
+
+  val mediaResizeSql: String =
+    "WITH b AS (SELECT doc_id AS media_id, hex(encode(text)) AS h, CAST(strlen(text) AS INT) AS nb FROM documents), " +
+      "p AS (SELECT media_id, h, nb, least(nb, 64) AS nout FROM b) " +
+      "SELECT media_id, CASE WHEN nb = 0 THEN '' ELSE " +
+      "array_to_string(list_transform(generate_series(0, nout - 1), i -> substr(h, i*(nb//nout)*2 + 1, 2)), '') END AS resized_hex, " +
+      "CAST(nout AS INT) AS n_out FROM p"
+
   val frameSample: Q = (s, d) => {
     val media = Multimodal.mediaFromDocuments(spread(Tables.documents(s, d)))
     Multimodal.sampleFrames(media, frameBytes = 16, everyNth = 2)
@@ -684,6 +700,7 @@ object Extensions {
     "q_stream_dedup" -> streamDedup,
     "q_stream_join" -> streamJoin,
     "q_media_features" -> mediaFeatures,
+    "q_media_resize" -> mediaResize,
     "q_frame_sample" -> frameSample,
     "q_scrape_series" -> scrapeSeries,
     "q_asof_join" -> asofJoin,
@@ -716,6 +733,7 @@ object Extensions {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
     "q_media_features" -> mediaFeaturesSql,
+    "q_media_resize" -> mediaResizeSql,
     "q_frame_sample" -> frameSampleSql,
     "q_scrape_series" -> scrapeSeriesSql,
     "q_asof_join" -> asofJoinSql,

@@ -42,6 +42,21 @@ class MultimodalSpec extends SparkSpec {
       bytes.map(b => (b & 0xff).toLong).sum % 1000000007L)
   }
 
+  test("resizePayloads stride-samples to at most targetBytes, byte-true") {
+    val resized = Multimodal.resizePayloads(
+      Multimodal.mediaFromDocuments(docs), targetBytes = 8)
+      .collect().map(r => r.media_id -> r).toMap
+    // 40 bytes -> stride 5 -> bytes at 0,5,10,...,35
+    val full = "abcdefghijklmnopqrstuvwxyz0123456789ABCD".getBytes("UTF-8")
+    assert(resized(10L).resized.toSeq == (0 until 8).map(i => full(i * 5)).toSeq)
+    assert(resized(10L).n_out == 8)
+    // shorter than target: all bytes kept, stride 1
+    assert(new String(resized(11L).resized, "UTF-8") == "short")
+    // non-ASCII: operates on UTF-8 BYTES (9 bytes -> stride 1, first 8)
+    val utf = "héllo→".getBytes("UTF-8")
+    assert(resized(12L).resized.toSeq == utf.take(8).toSeq)
+  }
+
   test("sampleFrames slices every nth fixed-size frame") {
     val m = Multimodal.mediaFromDocuments(docs)
     val frames = Multimodal.sampleFrames(m, frameBytes = 16, everyNth = 2)
