@@ -173,6 +173,40 @@ class FactbookEtlSpec extends SparkSpec {
     assert(PandasCsv.renderAll(goldenTrade) == goldenText("trade_partners.csv"))
   }
 
+  test("S4 writer round-trips EVERY reference output CSV byte-for-byte") {
+    import graft.core.FactbookSchemas
+    // the scrape stage wrote year/population as pandas int64 (no NaN
+    // in those columns), so they re-read as Long to render plain
+    def longify(s: StructType, names: String*): StructType =
+      StructType(s.map(f =>
+        if (names.contains(f.name)) f.copy(dataType = LongType) else f))
+    val amountLY = longify(FactbookSchemas.amountSeries, "year")
+    val partnersLY = longify(FactbookSchemas.partners, "year")
+    val goodsLY = longify(FactbookSchemas.goods, "year")
+    val popL = longify(FactbookSchemas.population, "population", "year")
+    val files = Seq(
+      "exports.csv" -> amountLY, "imports.csv" -> amountLY,
+      "gdp.csv" -> amountLY, "real_gdp.csv" -> amountLY,
+      "gdp_per_capita.csv" -> amountLY, "real_gdp_per_capita.csv" -> amountLY,
+      "exports_partners.csv" -> partnersLY, "imports_partners.csv" -> partnersLY,
+      "exports_goods.csv" -> goodsLY, "imports_goods.csv" -> goodsLY,
+      "population.csv" -> popL,
+      "country_region.csv" -> FactbookSchemas.countryRegion,
+      "goods_grouping.csv" -> FactbookSchemas.goodsGrouping)
+    val bad = files.flatMap { case (f, schema) =>
+      val df = spark.read.option("header", "true")
+        .option("quote", "\"").option("escape", "\"")
+        .schema(schema).csv(s"$refDir/$f")
+      val rendered = PandasCsv.renderAll(df)
+      val want = goldenText(f)
+      if (rendered == want) None
+      else Some(f -> rendered.linesIterator.zip(want.linesIterator).zipWithIndex
+        .collectFirst { case ((a, b), i) if a != b => s"line $i:\n  got [$a]\n  want [$b]" }
+        .getOrElse(s"length ${rendered.length} vs ${want.length}"))
+    }
+    assert(bad.isEmpty, bad.map { case (f, m) => s"\n$f $m" }.mkString)
+  }
+
   test("S4 writer round-trips golden article_page_rank_countries.csv byte-for-byte") {
     assert(PandasCsv.renderAll(goldenCountryTyped) ==
       goldenText("article_page_rank_countries.csv"))
