@@ -216,11 +216,15 @@ object Dedup {
     * are reassembled from their surviving lines. Documents whose every
     * line was claimed elsewhere drop out.
     *
-    * Scale shape: explode to (line-hash, doc, idx) — the shuffle key is
-    * the 16-byte line hash, never the text twice; one hash shuffle for
-    * the keep-first window, one for the reassembly groupBy. Reassembly
-    * sorts each doc's surviving lines with `array_sort` over collected
-    * (idx, line) structs — bounded by lines-per-doc, not corpus. */
+    * Scale shape: two exchanges — the keep-first window keyed by the
+    * 16-byte line hash, then the reassembly groupBy keyed by doc. Line
+    * TEXT rides both as payload (reassembly needs it); that is the
+    * honest minimum for dedup-with-reassembly — a keep-list variant
+    * (hash+ids only through the window, rejoin text after) trades the
+    * first text crossing for an extra join shuffle, net even.
+    * Reassembly sorts each doc's surviving lines with `array_sort`
+    * over collected (idx, line) structs — bounded by lines-per-doc,
+    * not corpus. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = spread(df)
       .select(col(idCol).as("_doc"),
