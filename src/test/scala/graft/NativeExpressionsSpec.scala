@@ -54,4 +54,19 @@ class NativeExpressionsSpec extends SparkSpec {
       .as[Long].collect()
     assert(got.toSeq == Seq(0L))
   }
+
+  test("kernels are callable from plain spark.sql text") {
+    // the extension registers real FunctionRegistry entries, so the
+    // SQL surface works for users who never touch the Scala API
+    val row = spark.sql(
+      """SELECT graft_rolling_hash('abc') AS rh,
+        |       graft_simhash60(array('a','b')) AS sh,
+        |       graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       graft_pop_value('12,345 (2020 est.)') AS pv
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("rh") == (('a' * 31L + 'b') * 31L + 'c') % 1000000007L)
+    assert(row.getAs[Double]("d") == 11.0)
+    assert(row.getAs[Double]("pv") == 12345.0)
+  }
 }
