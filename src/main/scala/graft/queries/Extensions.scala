@@ -578,7 +578,7 @@ object Extensions {
   /** ACTUAL Structured Streaming run (readStream → watermark →
     * windowed agg → memory sink, Trigger.AvailableNow to completion);
     * the oracle is the batch SQL — stream-equals-batch is the check. */
-  val streamWindowAgg: Q = (s, d) => {
+  val streamWindowAgg: Q = (s, d) => withStreamShuffle(s, 8) {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-q").toString
     // glob, not bare file: the file stream source requires a directory
     // basePath and a glob keeps it at the parent dir
@@ -595,12 +595,25 @@ object Extensions {
         col("event_type"), col("n"), col("total"))
   }
 
+  /** Streaming runs size their state to the data, not the session
+    * default: a fresh checkpoint pins the state-store partition count
+    * at start, and 32 near-empty state partitions cost ~4× the
+    * wall-clock of 8 right-sized ones per micro-batch (provider files
+    * + commit log per partition). Results are partition-independent;
+    * the session conf is restored afterwards. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** X21 as a driver-gate query: ACTUAL streaming dedup run
     * (readStream → fingerprint → watermark + dropDuplicates → memory
     * sink, AvailableNow to completion). Output is the SET of surviving
     * fingerprints — order-independent, so it hashes identically no
     * matter which duplicate row won inside the state store. */
-  val streamDedup: Q = (s, d) => {
+  val streamDedup: Q = (s, d) => withStreamShuffle(s, 8) {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-sd").toString
     val docsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
@@ -631,7 +644,7 @@ object Extensions {
     * the preceding hour), run to completion. Oracle = the identical
     * batch theta-join in microsecond epoch arithmetic (mirroring the
     * nanos→micros conversion the streaming source applies). */
-  val streamJoin: Q = (s, d) => {
+  val streamJoin: Q = (s, d) => withStreamShuffle(s, 8) {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-sj").toString
     // ONE streaming source self-joined (supported with watermarks both
     // sides) — two separate readStreams would scan the input twice
