@@ -47,6 +47,31 @@ class TopKSpec extends SparkSpec {
     assert(got == Set((7L, 1), (3L, 2), (10L, 3)))
   }
 
+  test("aggregator is split-invariant: any partial grouping == sorted reference") {
+    // partial aggregation may reduce/merge in ANY grouping — the result
+    // must always equal the plain sort-based top-k
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val entryGen = Gen.listOfN(40, for {
+      score <- Gen.oneOf(0.1, 0.25, 0.25, 0.5, 0.9) // forced ties + dups
+      id <- Gen.chooseNum(1L, 12L)                   // forced (score,id) dups
+    } yield (score, id))
+    val splitGen = Gen.chooseNum(1, 39)
+    for (seed <- 0 until 12) {
+      val entries = entryGen(Gen.Parameters.default, Seed(seed.toLong)).get
+      val cut = splitGen(Gen.Parameters.default, Seed(seed + 100L)).get
+      val k = 1 + seed % 7
+      val agg = new TopK.TopKAgg(k)
+      val (l, r) = entries.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val got = agg.finish(merged)
+      val want = entries.sortWith((a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(k)
+      assert(got == want, s"seed=$seed cut=$cut k=$k")
+    }
+  }
+
   test("duplicated (score, id) entries evict one copy, not all") {
     // regression: filterNot-based eviction removed EVERY copy of a
     // duplicated worst entry, shrinking the heap below k
