@@ -187,6 +187,48 @@ object Extensions {
       "SELECT doc_id, unnest(generate_series(CAST(floor((e - nt)/512.0) AS BIGINT), CAST(floor((e - 1)/512.0) AS BIGINT))) AS pack_id, " +
       "e - nt AS token_start, nt AS n_tokens FROM t WHERE nt > 0"
 
+  /** The END-TO-END curation pipeline, composed from the library's own
+    * operators and hash-verified as one query: Gopher quality filter →
+    * corpus exact-dedup → deterministic train split → sequence packing.
+    * This is the shape a real pretraining-data job takes; every stage
+    * is individually oracled above, and the composition is oracled
+    * here as chained CTEs of the same fragments. */
+  val curate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val kept = docs.join(
+      qualityRules(s, d).filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val deduped = Dedup.exactDedup(kept, "text", "doc_id")
+      .select("doc_id", "text")
+    val train = graft.operators.ScaleOps.hashSplit(deduped, "doc_id", holdoutPct = 10)
+      .filter(col("split") === "train")
+    // slim to (doc_id, token count) and CACHE before packing: the range
+    // partitioner's sampling pass would otherwise re-run the whole
+    // quality/dedup/split pipeline a second time — and two longs per
+    // row is what a 100 TB job can afford to cache, unlike the text
+    val slim = train
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.ScaleOps.packSequences(slim, "doc_id", col("nt"), ctxLen = 512L)
+  }
+
+  val curateSql: String = {
+    // quality CTE reuses qualityRulesSql's WITH body verbatim
+    val qualityBody = qualityRulesSql.stripPrefix("WITH ")
+      .replaceFirst(" SELECT doc_id, n_tokens.*$", "")
+    "WITH " + qualityBody +
+      ", kept AS (SELECT d.doc_id, d.text FROM documents d JOIN m ON d.doc_id = m.doc_id " +
+      "WHERE m.n_tokens >= 5 AND m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0 AND m.dup_3gram_frac < 0.3)" +
+      s", ded AS (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER " +
+      s"(PARTITION BY md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' ')) ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1)" +
+      ", train AS (SELECT doc_id, text FROM ded WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 >= 10)" +
+      s", ntok AS (SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS nt FROM train)" +
+      ", cum AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e FROM ntok) " +
+      "SELECT doc_id, unnest(generate_series(CAST(floor((e - nt)/512.0) AS BIGINT), CAST(floor((e - 1)/512.0) AS BIGINT))) AS pack_id, " +
+      "e - nt AS token_start, nt AS n_tokens FROM cum WHERE nt > 0"
+  }
+
   private val MINHASH_BANDS = 4
   private val MINHASH_RPB = 3
 
@@ -697,6 +739,7 @@ object Extensions {
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> textStats,
     "q_quality_rules" -> qualityRules,
+    "q_curate" -> curate,
     "q_lang_id" -> langId,
     "q_fingerprint" -> fingerprint,
     "q_exact_dedup" -> exactDedup,
@@ -730,6 +773,7 @@ object Extensions {
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
     "q_quality_rules" -> qualityRulesSql,
+    "q_curate" -> curateSql,
     "q_lang_id" -> langIdSql,
     "q_fingerprint" -> fingerprintSql,
     "q_exact_dedup" -> exactDedupSql,
