@@ -183,7 +183,9 @@ object Extensions {
 
   val seqPackSql: String =
     s"WITH n AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS nt FROM documents), " +
-      "t AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e FROM n) " +
+      // CAST: DuckDB window sum(BIGINT) is HUGEINT, which the driver's
+      // pandas-side hasher renders as float ("32.0" vs Spark's "32")
+      "t AS (SELECT doc_id, nt, CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e FROM n) " +
       "SELECT doc_id, unnest(generate_series(CAST(floor((e - nt)/512.0) AS BIGINT), CAST(floor((e - 1)/512.0) AS BIGINT))) AS pack_id, " +
       "e - nt AS token_start, nt AS n_tokens FROM t WHERE nt > 0"
 
@@ -224,7 +226,7 @@ object Extensions {
       s"(PARTITION BY md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' ')) ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1)" +
       ", train AS (SELECT doc_id, text FROM ded WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 >= 10)" +
       s", ntok AS (SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS nt FROM train)" +
-      ", cum AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e FROM ntok) " +
+      ", cum AS (SELECT doc_id, nt, CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e FROM ntok) " +
       "SELECT doc_id, unnest(generate_series(CAST(floor((e - nt)/512.0) AS BIGINT), CAST(floor((e - 1)/512.0) AS BIGINT))) AS pack_id, " +
       "e - nt AS token_start, nt AS n_tokens FROM cum WHERE nt > 0"
   }

@@ -63,6 +63,19 @@ def compare(a, b):
     b = b[ca].copy()
     # normalize dtypes for sort/compare
     for c in ca:
+        # int-vs-float dtype skew is a driver-hash failure even when the
+        # values agree: the driver hashes rendered strings, so int64 32
+        # vs HUGEINT-degraded-to-float 32.0 mismatch ("32" != "32.0").
+        # Seen live in round 2 (q_seq_pack/q_curate: DuckDB window
+        # sum(BIGINT) is HUGEINT -> pandas float64). Flag it hard here.
+        ia = str(a[c].dtype).startswith(("int", "uint"))
+        ib = str(b[c].dtype).startswith(("int", "uint"))
+        fa = str(a[c].dtype).startswith("float")
+        fb = str(b[c].dtype).startswith("float")
+        if (ia and fb) or (fa and ib):
+            return False, (f"col {c} dtype skew: spark={a[c].dtype} vs "
+                           f"oracle={b[c].dtype} — driver string-hash would "
+                           f"mismatch (CAST the oracle column)")
         if str(a[c].dtype).startswith("float") or str(b[c].dtype).startswith("float"):
             a[c] = a[c].astype("float64")
             b[c] = b[c].astype("float64")
