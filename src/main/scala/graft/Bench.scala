@@ -42,11 +42,14 @@ object Bench {
       }
     }
     val failed = names.map(_._1).filter(n => p1(n).isEmpty || p2(n).isEmpty)
-    val qs = timed.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would render 0,856 — invalid JSON.
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = timed.map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timed.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
     // driver-parseable: also persist to a file, and make the JSON the
     // FINAL stdout line after all stderr noise is flushed (r1's tail
     // capture started mid-JSON and lost the round's bench metric)
