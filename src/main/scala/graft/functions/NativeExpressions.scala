@@ -383,33 +383,51 @@ case class PopYearExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `graft_bloom_contains(key bigint, bloom binary) -> boolean`;
+/** `graft_bloom_contains(key bigint|string, bloom binary) -> boolean`;
   * `bloom` must be a foldable literal (a driver-built
   * `util.sketch.BloomFilter`, serialized). The filter deserializes
   * once per JVM (lazy) and the probe stays inside whole-stage codegen
   * — vs a typed `Row => Boolean` filter, which deserializes every row
-  * and breaks the codegen span. */
+  * and breaks the codegen span. The probe matches the builder's insert
+  * encoding per type: long keys via `mightContainLong`, string keys
+  * via `mightContainBinary` over UTF-8 bytes (= `putString`'s
+  * encoding); any other child type is rejected at construction so a
+  * mismatched insert/probe can never silently drop rows. */
 case class BloomContainsExpr(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "graft_bloom_contains"
 
+  child.dataType match {
+    case LongType | StringType => ()
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_contains: key must be bigint or string, got $other")
+  }
+
   @transient private lazy val bloom =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bloomBytes))
 
-  protected override def nullSafeEval(input: Any): Any =
-    bloom.mightContainLong(input.asInstanceOf[Long])
+  protected override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => bloom.mightContainBinary(s.getBytes)
+    case l: Long => bloom.mightContainLong(l)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // reference THIS expression instance from generated code so the
     // lazily-deserialized filter is shared, not re-parsed per row
     val ref = ctx.addReferenceObj("bloomExpr", this,
       classOf[BloomContainsExpr].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.contains($c)")
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"$ref.contains(($c).getBytes())")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"$ref.contains($c)")
+    }
   }
 
   def contains(key: Long): Boolean = bloom.mightContainLong(key)
+  def contains(utf8: Array[Byte]): Boolean = bloom.mightContainBinary(utf8)
 
   override protected def withNewChildInternal(newChild: Expression): BloomContainsExpr =
     copy(child = newChild)

@@ -98,15 +98,20 @@ object ScaleOps {
       eps: Double = 0.001, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val sketch = df.stat.countMinSketch(keyCol, eps, confidence, seed)
+    requireSketchableKey(df, keyCol, "heavyHitters")
+    // nulls are excluded end-to-end: the sketch agg skips them, a typed
+    // probe on them would NPE, and an equi-semi-join drops them anyway
+    val nonNull = df.filter(col(keyCol).isNotNull)
+    val sketch = nonNull.stat.countMinSketch(keyCol, eps, confidence, seed)
     val bc = spark.sparkContext.broadcast(sketch)
-    val candidates = df.select(col(keyCol).cast("long")).distinct()
-      .as[Long]
-      // sketch probe is a library call, not expressible as Columns —
-      // typed filter over the broadcast sketch (map-side, no shuffle)
-      .filter(k => bc.value.estimateCount(k) >= minCount)
-      .toDF(keyCol)
+    // sketch probe is a library call, not expressible as Columns — a
+    // typed filter over the broadcast sketch. `estimateCount(Any)`
+    // dispatches by runtime type (string → UTF-8 bytes, integral →
+    // long), matching exactly what the sketch builder inserted — never
+    // re-cast the key here or insert and probe disagree.
+    val candidates = nonNull.select(col(keyCol)).distinct()
+      .filter((r: org.apache.spark.sql.Row) =>
+        bc.value.estimateCount(r.get(0)) >= minCount)
     df.join(candidates.hint("broadcast"), Seq(keyCol), "left_semi")
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
@@ -194,6 +199,17 @@ object ScaleOps {
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
       expectedDimKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val spark = fact.sparkSession
+    requireSketchableKey(dim, key, "bloomPrunedJoin")
+    requireSketchableKey(fact, key, "bloomPrunedJoin")
+    // the filter inserts integral keys as longs and string keys as
+    // UTF-8 bytes; the probe column must present the SAME encoding
+    // (integral → cast long, string → as-is) or pruning silently
+    // yields false negatives and the "result identical to the plain
+    // join" contract breaks
+    val probeCol = fact.schema(key).dataType match {
+      case org.apache.spark.sql.types.StringType => col(key)
+      case _ => col(key).cast("long")
+    }
     val bloom = dim.stat.bloomFilter(key, expectedDimKeys, fpp)
     val pruned =
       if (spark.catalog.functionExists("graft_bloom_contains")) {
@@ -203,12 +219,29 @@ object ScaleOps {
         val bos = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bos)
         fact.filter(call_function("graft_bloom_contains",
-          col(key).cast("long"), lit(bos.toByteArray)))
+          probeCol, lit(bos.toByteArray)))
       } else {
         val bc = spark.sparkContext.broadcast(bloom)
         fact.filter((r: org.apache.spark.sql.Row) =>
           bc.value.mightContain(r.getAs[Any](key)))
       }
     pruned.join(dim, Seq(key))
+  }
+
+  /** Both sketch-backed operators (CMS, Bloom) insert by runtime type:
+    * integral columns as longs, strings as UTF-8 bytes. Any other type
+    * (double, decimal, binary, struct…) has no guaranteed insert/probe
+    * agreement across the build and probe paths, so reject it loudly
+    * instead of silently dropping rows. */
+  private def requireSketchableKey(df: DataFrame, key: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op: key column '$key' has type $other — only integral and " +
+          "string keys are supported (sketch insert and probe must " +
+          "hash the same encoding)")
+    }
   }
 }

@@ -55,6 +55,46 @@ class ScaleOpsSpec extends SparkSpec {
     assert(sloppy == got)
   }
 
+  test("heavyHitters handles string keys and null keys exactly") {
+    val df = (Seq.fill(5)(Some("alpha")) ++ Seq.fill(3)(Some("beta")) ++
+      Seq(Some("gamma"), None, None)).toDF("k")
+    val got = ScaleOps.heavyHitters(df, "k", minCount = 3L)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("alpha", 5L), ("beta", 3L)))
+    // a near-useless sketch still rescinds nothing true: exact rescore
+    val sloppy = ScaleOps.heavyHitters(df, "k", minCount = 3L, eps = 0.9)
+      .as[(String, Long)].collect().toSet
+    assert(sloppy == got)
+  }
+
+  test("sketch operators reject non-sketchable key types loudly") {
+    val doubles = Seq(1.5, 1.5, 2.5).toDF("k")
+    intercept[IllegalArgumentException] {
+      ScaleOps.heavyHitters(doubles, "k", minCount = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.bloomPrunedJoin(doubles, doubles, "k")
+    }
+  }
+
+  test("bloomPrunedJoin with string keys equals the plain join result") {
+    val fact = Seq(("NATION_0", 1L), ("NATION_0", 2L), ("NATION_7", 3L),
+      ("ATLANTIS", 4L), ("MORDOR", 5L)).toDF("n_name", "v")
+    val dim = graft.core.Tables.nation(spark, "/root/testdata/sf0.001")
+      .select("n_name", "n_nationkey")
+    val plain = fact.join(dim, Seq("n_name"))
+      .select("n_name", "v", "n_nationkey")
+      .collect().map(_.toString).sorted.toSeq
+    val bloomed = ScaleOps.bloomPrunedJoin(fact, dim, "n_name",
+        expectedDimKeys = 100L)
+      .select("n_name", "v", "n_nationkey")
+      .collect().map(_.toString).sorted.toSeq
+    assert(bloomed == plain && plain.nonEmpty,
+      s"string-key bloom prune must not drop matches: $bloomed vs $plain")
+    // and the probe really is the native codegen expression here
+    assert(spark.catalog.functionExists("graft_bloom_contains"))
+  }
+
   test("bloomPrunedJoin equals the plain join result") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey").as("s_suppkey"))
