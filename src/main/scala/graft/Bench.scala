@@ -26,7 +26,13 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // drop whatever the query cached (packing pipelines persist
+      // inputs): 65 queries × 2 passes would otherwise accumulate
+      // dead cached partitions across the run. Outside the timer —
+      // cleanup of THIS query is not the NEXT query's cost.
+      spark.catalog.clearCache()
+      name -> (if (ok) Some(elapsed) else None)
     }.toMap
     val p1 = pass()
     val p2 = pass()

@@ -26,6 +26,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries are independent; drop any cache a query built (e.g. the
+      // packing pipelines persist their slim input) so 65 queries don't
+      // accumulate dead partitions in one JVM
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -82,13 +82,20 @@ object Extensions {
           col("dup_3gram_frac") < 0.3)
   }
 
-  val qualityRulesSql: String =
-    s"WITH t AS (SELECT doc_id, $duckToksLower AS t, $duckToks AS tk FROM documents), " +
+  // Shared CTE chain (t, sh, m): per-doc Gopher quality metrics. Both
+  // qualityRulesSql and curateSql concatenate THIS constant — deriving
+  // one from the other's finished string (regex surgery) breaks
+  // silently on any rewording. lazy: references duckShingles below.
+  private lazy val duckQualityBody: String =
+    s"t AS (SELECT doc_id, $duckToksLower AS t, $duckToks AS tk FROM documents), " +
       s"sh AS (SELECT doc_id, tk, $duckShingles AS s FROM t), " +
       "m AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens, " +
       "round(CAST(length(array_to_string(tk, '')) AS DOUBLE)/greatest(len(tk), 1), 6) AS mean_word_len, " +
       "round(CASE WHEN len(s) > 0 THEN 1.0 - CAST(len(list_distinct(s)) AS DOUBLE)/len(s) ELSE 0.0 END, 6) AS dup_3gram_frac " +
-      "FROM sh) " +
+      "FROM sh)"
+
+  val qualityRulesSql: String =
+    s"WITH $duckQualityBody " +
       "SELECT doc_id, n_tokens, mean_word_len, dup_3gram_frac, " +
       "(n_tokens >= 5 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND dup_3gram_frac < 0.3) AS keep FROM m"
 
@@ -216,10 +223,7 @@ object Extensions {
   }
 
   val curateSql: String = {
-    // quality CTE reuses qualityRulesSql's WITH body verbatim
-    val qualityBody = qualityRulesSql.stripPrefix("WITH ")
-      .replaceFirst(" SELECT doc_id, n_tokens.*$", "")
-    "WITH " + qualityBody +
+    "WITH " + duckQualityBody +
       ", kept AS (SELECT d.doc_id, d.text FROM documents d JOIN m ON d.doc_id = m.doc_id " +
       "WHERE m.n_tokens >= 5 AND m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0 AND m.dup_3gram_frac < 0.3)" +
       s", ded AS (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER " +
