@@ -13,6 +13,8 @@ object StressPack {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val iters = if (args.length > 1) args(1).toInt else 10
+    val queryNames =
+      if (args.length > 2) args.drop(2).toSeq else Seq("q_seq_pack", "q_curate")
     val spark = SparkSession.builder()
       .appName("graft-stress-pack").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -28,7 +30,7 @@ object StressPack {
       md.digest().map("%02x".format(_)).mkString
     }
 
-    for (name <- Seq("q_seq_pack", "q_curate")) {
+    for (name <- queryNames) {
       val hashes = (1 to iters).map { i =>
         // shift the global RDD-id counter by a pseudo-random amount so
         // the range partitioner samples with different seeds each pass
@@ -37,8 +39,9 @@ object StressPack {
           spark.range(1000 + j).select(sum(col("id"))).collect()
         }
         spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
         val h = canonHash(name)
-        System.err.println(s"[stress] $name iter $i -> $h")
+        System.err.println(f"[stress] $name iter $i -> $h (${(System.nanoTime() - t0) / 1e9}%.2fs)")
         h
       }
       val ok = hashes.distinct.size == 1

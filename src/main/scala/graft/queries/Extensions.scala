@@ -627,7 +627,7 @@ object Extensions {
     * windowed agg → memory sink, Trigger.AvailableNow to completion);
     * the oracle is the batch SQL — stream-equals-batch is the check. */
   val streamWindowAgg: Q = (s, d) => withStreamShuffle(s, 8) {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-q").toString
+    val ckpt = streamCkptDir("graft-ckpt-q")
     // glob, not bare file: the file stream source requires a directory
     // basePath and a glob keeps it at the parent dir
     val q = EventsStreaming.windowedAgg(
@@ -637,10 +637,41 @@ object Extensions {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    runStreamThenCleanCkpt(q, ckpt)
     s.table("graft_stream_agg")
       .select(unix_timestamp(col("win_start")).as("win_start_epoch"),
         col("event_type"), col("n"), col("total"))
+  }
+
+  /** Checkpoint scratch for the gate's run-to-completion streams: these
+    * checkpoints are throwaway (each run starts fresh), so durability
+    * buys nothing — put them on tmpfs when available and skip the
+    * disk fsync per offset/commit/state-delta file that a disk-backed
+    * java.io.tmpdir pays. A real deployment would point this at
+    * durable shared storage instead. */
+  private def streamCkptDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
+  /** Run a streaming query to completion, then delete its throwaway
+    * checkpoint — the memory-sink table outlives the state files, and
+    * repeated gate/bench runs must not accumulate dead checkpoints on
+    * tmpfs (that's RAM). */
+  private def runStreamThenCleanCkpt(
+      q: org.apache.spark.sql.streaming.StreamingQuery, ckpt: String): Unit = {
+    try q.awaitTermination()
+    finally {
+      import java.nio.file.{Files, Paths}
+      import scala.util.Try
+      Try {
+        Files.walk(Paths.get(ckpt)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
   }
 
   /** Streaming runs size their state to the data, not the session
@@ -662,7 +693,7 @@ object Extensions {
     * fingerprints — order-independent, so it hashes identically no
     * matter which duplicate row won inside the state store. */
   val streamDedup: Q = (s, d) => withStreamShuffle(s, 8) {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-sd").toString
+    val ckpt = streamCkptDir("graft-ckpt-sd")
     val docsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
@@ -680,7 +711,7 @@ object Extensions {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    runStreamThenCleanCkpt(q, ckpt)
     s.table("graft_stream_dedup").select(col("fp"))
   }
 
@@ -692,8 +723,8 @@ object Extensions {
     * the preceding hour), run to completion. Oracle = the identical
     * batch theta-join in microsecond epoch arithmetic (mirroring the
     * nanos→micros conversion the streaming source applies). */
-  val streamJoin: Q = (s, d) => withStreamShuffle(s, 8) {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-sj").toString
+  val streamJoin: Q = (s, d) => withStreamShuffle(s, 4) {
+    val ckpt = streamCkptDir("graft-ckpt-sj")
     // ONE streaming source self-joined (supported with watermarks both
     // sides) — two separate readStreams would scan the input twice
     val src = EventsStreaming.readDriverEventsStream(s, s"$d/events.parque[t]")
@@ -714,7 +745,7 @@ object Extensions {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    runStreamThenCleanCkpt(q, ckpt)
     s.table("graft_stream_join")
   }
 
