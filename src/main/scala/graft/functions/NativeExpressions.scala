@@ -240,6 +240,29 @@ object NativeKernels {
     }
     acc
   }
+
+  private val marksPattern = java.util.regex.Pattern.compile("\\p{Mn}+")
+  private val cntrlPattern = java.util.regex.Pattern.compile("\\p{Cntrl}")
+  private val wsRunPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Canonical text normalization for dedup/tokenization pipelines:
+    * Unicode NFC canonicalization, accent stripping (NFD → drop
+    * nonspacing marks → NFC, the utf8proc/`strip_accents` semantics:
+    * café→cafe, ü→u), ROOT-locale lowercase, control chars to spaces,
+    * whitespace runs collapsed, trimmed. ASCII input passes through
+    * the Unicode steps unchanged, which is what the DuckDB oracle
+    * (`lower(strip_accents(nfc_normalize(...)))`) relies on. */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfd = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val noMarks = marksPattern.matcher(nfd).replaceAll("")
+    val nfc = java.text.Normalizer.normalize(noMarks,
+      java.text.Normalizer.Form.NFC)
+    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+    val noCntrl = cntrlPattern.matcher(lower).replaceAll(" ")
+    UTF8String.fromString(
+      wsRunPattern.matcher(noCntrl).replaceAll(" ").trim)
+  }
 }
 
 /** `graft_simhash60(tokens array<string>) -> bigint` */
@@ -433,6 +456,27 @@ case class BloomContainsExpr(child: Expression, bloomBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** `graft_normalize_text(s string) -> string` — NFC + accent-strip +
+  * lowercase + control/whitespace cleanup (NativeKernels.normalizeText).
+  * A custom Expression because Unicode normalization has no Column
+  * built-in; java.text.Normalizer via codegen keeps it in the
+  * whole-stage span (a UDF would break it and pay serialization). */
+case class NormalizeTextExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_text"
+
+  protected override def nullSafeEval(input: Any): Any =
+    NativeKernels.normalizeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeKernels.normalizeText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
+}
+
 /** `graft_rolling_hash(s string) -> bigint` */
 case class RollingHashExpr(child: Expression)
     extends UnaryExpression {
@@ -477,6 +521,7 @@ class GraftFunctionExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "graft_minhash", 2)(c =>
       MinhashSigExpr(c.head, litInt(c(1), "numHashes")))
     reg(ext, "graft_rolling_hash", 1)(c => RollingHashExpr(c.head))
+    reg(ext, "graft_normalize_text", 1)(c => NormalizeTextExpr(c.head))
     reg(ext, "graft_dot", 2)(c => DotProductExpr(c.head, c(1)))
     reg(ext, "graft_bloom_contains", 2)(c => {
       val bytes = c(1) match {

@@ -104,6 +104,19 @@ object TextFunctions {
     conv(substring(md5(concat(lit(seed.toString), lit(":"), c).cast("binary")), 1, 15),
       16, 10).cast("long")
 
+  /** Canonical text normalization (NFC, accent-strip, lowercase,
+    * control-char and whitespace cleanup) via the native
+    * `graft_normalize_text` kernel when the session has
+    * GraftExtensions; the Column fallback is byte-identical for ASCII
+    * input (no Unicode step exists as a built-in) — sessions without
+    * the extension get the ASCII subset of the semantics. */
+  def normalizeText(df: org.apache.spark.sql.DataFrame, text: Column): Column =
+    if (df.sparkSession.catalog.functionExists("graft_normalize_text"))
+      call_function("graft_normalize_text", text)
+    else
+      trim(regexp_replace(
+        regexp_replace(lower(text), "\\p{Cntrl}", " "), "\\s+", " "))
+
   /** Word n-gram shingles: overlapping windows of `n` tokens joined by
     * a single space. Documents shorter than n tokens → empty array. */
   def shingles(text: Column, n: Int): Column = {

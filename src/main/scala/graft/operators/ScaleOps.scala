@@ -188,6 +188,28 @@ object ScaleOps {
         .cast("long") % 100 < holdoutPct, lit("holdout"))
         .otherwise(lit("train")))
 
+  /** Deterministic stratified sampling: each stratum keeps its own
+    * fraction of rows, selected by a content-hash bucket of the id —
+    * the domain-mixing primitive of a training-data pipeline ("keep
+    * 50% of en, 10% of everything else"). Pure map like [[hashSplit]]
+    * (no rand(), no shuffle, membership stable under corpus growth,
+    * repartitioning, and engine choice), with a DIFFERENT hash salt
+    * ("strat:") so sampling stays independent of the train/holdout
+    * assignment — salting both from the same bytes would correlate
+    * the two decisions. Bucket resolution: 1/10000 (0.01%). */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(lit("strat:"), col(idCol).cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000
+    // fold in sorted-key order so the generated plan is deterministic
+    val keepBelow = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate * 10000)) { case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(rate * 10000)).otherwise(acc)
+      }
+    df.filter(bucket < keepBelow)
+  }
+
   /** Bloom-pruned join — the manual runtime-filter pattern: build a
     * Bloom filter over the dim side's keys (mergeable partials,
     * driver-merged, bits ≪ key set), broadcast it, and drop fact rows

@@ -771,6 +771,102 @@ object Extensions {
       "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value " +
       "FROM g GROUP BY user_id, sess"
 
+  // -------------------- corpus statistics / curation --------------------
+
+  /** TF-IDF top-5 terms per document (Corpus.tfIdfTopTerms): tf and df
+    * shuffles on short keys, df table broadcast, rank window bounded
+    * per document. Score rounded to 6dp BEFORE ranking on both sides
+    * so order and rank agree across engines. */
+  val tfidf: Q = (s, d) =>
+    graft.operators.Corpus.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", 5)
+
+  val tfidfSql: String =
+    s"WITH terms AS (SELECT doc_id, unnest($duckToksLower) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term), " +
+      "dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents), " +
+      "s AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df, " +
+      "round(tf.tf * ln(CAST(n_docs AS DOUBLE)/df), 6) AS score " +
+      "FROM tf JOIN dfr USING (term) CROSS JOIN n) " +
+      "SELECT doc_id, term, tf, df, score, rank FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s) " +
+      "WHERE rank <= 5"
+
+  /** Corpus vocabulary, top 200 terms (count desc, term asc). */
+  val vocab: Q = (s, d) =>
+    graft.operators.Corpus.vocabulary(Tables.documents(s, d), "text", 200)
+
+  val vocabSql: String =
+    s"WITH c AS (SELECT term, count(*) AS n FROM " +
+      s"(SELECT unnest($duckToksLower) AS term FROM documents) GROUP BY term) " +
+      "SELECT term, n, rank FROM " +
+      "(SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c) " +
+      "WHERE rank <= 200"
+
+  /** Symmetric int8 embedding quantization; qvec emitted as a
+    * comma-joined string for engine-neutral rendering, rounding as
+    * floor(x + 0.5) which every engine computes identically. */
+  val embedQuant: Q = (s, d) =>
+    graft.operators.Similarity.quantizeInt8(
+      Tables.embeddings(s, d), "vec_id", "embedding")
+
+  val embedQuantSql: String =
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM v) " +
+      "SELECT vec_id, round(ma/127.0, 6) AS scale6, " +
+      "CASE WHEN ma > 0 THEN array_to_string(list_transform(e, x -> CAST(CAST(floor(x/(ma/127.0) + 0.5) AS BIGINT) AS VARCHAR)), ',') " +
+      "ELSE array_to_string(list_transform(e, x -> '0'), ',') END AS qvec FROM m"
+
+  /** Deterministic per-stratum sampling by language: keep 50% of en,
+    * 25% of de, 10% of everything else ("strat:"-salted md5 bucket —
+    * independent of the hashSplit assignment). */
+  val stratifiedSample: Q = (s, d) =>
+    graft.operators.ScaleOps.stratifiedSample(
+      Tables.documents(s, d), "doc_id", "lang",
+      rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val stratifiedSampleSql: String =
+    "SELECT doc_id, lang, source FROM documents WHERE " +
+      "CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < " +
+      "CASE lang WHEN 'de' THEN 2500.0 WHEN 'en' THEN 5000.0 ELSE 1000.0 END"
+
+  /** Unicode text normalization via the native kernel (NFC,
+    * accent-strip, lowercase, control/whitespace cleanup). The oracle
+    * mirrors it with DuckDB's own Unicode functions
+    * (nfc_normalize/strip_accents) — identical on ASCII; the
+    * non-ASCII agreement (café/ü/naïve) is pinned by
+    * NativeExpressionsSpec rather than the all-ASCII corpus. */
+  val textNormalize: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val norm = TextFunctions.normalizeText(docs, col("text"))
+    docs.select(col("doc_id"), norm.as("norm_text"),
+      length(norm).as("n_chars_norm"))
+  }
+
+  val textNormalizeSql: String =
+    "SELECT doc_id, " +
+      "trim(regexp_replace(regexp_replace(lower(strip_accents(nfc_normalize(text))), '[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text, " +
+      "length(trim(regexp_replace(regexp_replace(lower(strip_accents(nfc_normalize(text))), '[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g'))) AS n_chars_norm " +
+      "FROM documents"
+
+  /** Partitioned-parquet sink round trip: write documents Hive-style
+    * partitioned by lang, read back ONE partition through the pruned
+    * directory layout, hash-verify against the source-of-truth table.
+    * Fixed target path + overwrite keeps repeated runs idempotent. */
+  val partitionedSink: Q = (s, d) => {
+    val target = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sink-docs-by-lang").toString
+    graft.sources.ParquetSink.writePartitioned(
+      Tables.documents(s, d), target, Seq("lang"))
+    graft.sources.ParquetSink.readPartitioned(s, target)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  val partitionedSinkSql: String =
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'"
+
   // -------------------- registry --------------------
 
   val queries: Map[String, Q] = Map(
@@ -805,7 +901,13 @@ object Extensions {
     "q_json_extract" -> jsonExtract,
     "q_range_join" -> rangeJoin,
     "q_window_agg" -> windowAgg,
-    "q_sessionize" -> sessionize)
+    "q_sessionize" -> sessionize,
+    "q_tfidf" -> tfidf,
+    "q_vocab" -> vocab,
+    "q_embed_quant" -> embedQuant,
+    "q_stratified_sample" -> stratifiedSample,
+    "q_text_normalize" -> textNormalize,
+    "q_partitioned_sink" -> partitionedSink)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -839,5 +941,11 @@ object Extensions {
     "q_json_extract" -> jsonExtractSql,
     "q_range_join" -> rangeJoinSql,
     "q_window_agg" -> windowAggSql,
-    "q_sessionize" -> sessionizeSql)
+    "q_sessionize" -> sessionizeSql,
+    "q_tfidf" -> tfidfSql,
+    "q_vocab" -> vocabSql,
+    "q_embed_quant" -> embedQuantSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
+    "q_text_normalize" -> textNormalizeSql,
+    "q_partitioned_sink" -> partitionedSinkSql)
 }

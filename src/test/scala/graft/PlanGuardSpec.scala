@@ -8,12 +8,14 @@ package graft
   *
   * Whitelist: brute-force top-k (q_embed_topk) intentionally scores
   * corpus × broadcast-queries with no join key — that cross join IS
-  * the operator's semantics (bounded by the broadcast side).
+  * the operator's semantics (bounded by the broadcast side). TF-IDF
+  * (q_tfidf) attaches the corpus doc count as a broadcast 1-row
+  * scalar — a cross join bounded to a single broadcast row.
   */
 class PlanGuardSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
-  private val crossJoinByDesign = Set("q_embed_topk")
+  private val crossJoinByDesign = Set("q_embed_topk", "q_tfidf")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)

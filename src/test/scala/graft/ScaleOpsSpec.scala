@@ -165,6 +165,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(holdout > 50 && holdout < 150, s"~10% of 1000 expected, got $holdout")
   }
 
+  test("stratifiedSample: per-stratum rates hold, membership is stable") {
+    val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    val df = rows.toDF("id", "lang")
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    val kept = ScaleOps.stratifiedSample(df, "id", "lang", rates, 0.0)
+      .as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // 2000 per stratum; md5 buckets are uniform -> ±35% tolerance
+    assert(byLang("en") > 650 && byLang("en") < 1350, s"en kept ${byLang("en")}")
+    assert(byLang("de") > 130 && byLang("de") < 270, s"de kept ${byLang("de")}")
+    // growing the corpus never changes an existing row's membership
+    val small = ScaleOps.stratifiedSample(df.filter(col("id") < 1000),
+      "id", "lang", rates, 0.0).as[(Long, String)].collect().map(_._1).toSet
+    val bigSubset = kept.map(_._1).filter(_ < 1000).toSet
+    assert(small == bigSubset)
+    // sampling salt differs from the split salt: the two decisions
+    // must not be the same row set (independence of hash uses)
+    val holdout = ScaleOps.hashSplit(df.filter(col("id") < 1000), "id", 50)
+      .filter(col("split") === "holdout").as[(Long, String, String)]
+      .collect().map(_._1).toSet
+    assert(small != holdout)
+  }
+
   test("saltedJoin equals the plain join result") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_linenumber", "l_partkey")

@@ -17,6 +17,38 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (c, want) => assert(c == want) }
   }
 
+  test("quantizeInt8: max maps to ±127, dequantization error ≤ scale/2") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("scale6"), col("qvec"), col("embedding"))
+      .as[(Long, Double, String, Seq[Float])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, scale6, qvec, orig) =>
+      val q = qvec.split(",").map(_.toInt)
+      assert(q.length == orig.length)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      val maxAbs = orig.map(v => math.abs(v.toDouble)).max
+      if (maxAbs > 0) {
+        val scale = maxAbs / 127.0
+        assert(q.map(math.abs).max == 127) // the max element saturates
+        q.zip(orig).foreach { case (qi, vi) =>
+          assert(math.abs(qi * scale - vi) <= scale / 2 + 1e-9,
+            s"dequant error beyond half a step: q=$qi v=$vi scale=$scale")
+        }
+        assert(math.abs(scale6 - BigDecimal(scale).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      }
+    }
+  }
+
+  test("quantizeInt8 zero vector quantizes to zeros with scale 0") {
+    val df = Seq((1L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Double, String)].collect().head
+    assert(got == ((1L, 0.0, "0,0,0")))
+  }
+
   test("bruteForceTopK returns k nearest with deterministic ranks") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
