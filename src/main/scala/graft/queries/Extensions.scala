@@ -817,6 +817,25 @@ object Extensions {
       "CASE WHEN ma > 0 THEN array_to_string(list_transform(e, x -> CAST(CAST(floor(x/(ma/127.0) + 0.5) AS BIGINT) AS VARCHAR)), ',') " +
       "ELSE array_to_string(list_transform(e, x -> '0'), ',') END AS qvec FROM m"
 
+  /** Quantized top-k: both sides int8-quantized, candidate scores are
+    * EXACT integer dot products (ties common ⇒ the deterministic
+    * (score desc, vec_id asc) break is load-bearing), bounded-heap
+    * aggregator shuffle. Oracle uses list_dot_product on the same
+    * integer codes — exact ≤ 2^53, so CAST to BIGINT loses nothing. */
+  val quantTopK: Q = (s, d) =>
+    graft.operators.Similarity.quantizedTopK(
+      Tables.embeddings(s, d), queriesDf(s, d), k = 10)
+
+  val quantTopKSql: String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "m AS (SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) AS ma FROM e), " +
+      "qz AS (SELECT vec_id, CASE WHEN ma > 0 THEN list_transform(ed, x -> CAST(floor(x/(ma/127.0)+0.5) AS BIGINT)) " +
+      "ELSE list_transform(ed, x -> CAST(0 AS BIGINT)) END AS code FROM m), " +
+      "q AS (SELECT vec_id AS q_id, code AS qq FROM qz WHERE vec_id % 50 = 0), " +
+      "sc AS (SELECT q_id, qz.vec_id AS vec_id, CAST(list_dot_product(code, qq) AS BIGINT) AS score FROM qz, q), " +
+      "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
+
   /** Deterministic per-stratum sampling by language: keep 50% of en,
     * 25% of de, 10% of everything else ("strat:"-salted md5 bucket —
     * independent of the hashSplit assignment). */
@@ -905,6 +924,7 @@ object Extensions {
     "q_tfidf" -> tfidf,
     "q_vocab" -> vocab,
     "q_embed_quant" -> embedQuant,
+    "q_quant_topk" -> quantTopK,
     "q_stratified_sample" -> stratifiedSample,
     "q_text_normalize" -> textNormalize,
     "q_partitioned_sink" -> partitionedSink)
@@ -945,6 +965,7 @@ object Extensions {
     "q_tfidf" -> tfidfSql,
     "q_vocab" -> vocabSql,
     "q_embed_quant" -> embedQuantSql,
+    "q_quant_topk" -> quantTopKSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_partitioned_sink" -> partitionedSinkSql)

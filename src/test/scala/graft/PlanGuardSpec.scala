@@ -15,7 +15,7 @@ package graft
 class PlanGuardSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
-  private val crossJoinByDesign = Set("q_embed_topk", "q_tfidf")
+  private val crossJoinByDesign = Set("q_embed_topk", "q_quant_topk", "q_tfidf")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)

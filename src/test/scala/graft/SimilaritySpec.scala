@@ -42,6 +42,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizedTopK matches a local integer recomputation exactly") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = Similarity.quantizedTopK(emb, queries, k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+    def quant(v: Seq[Float]): Array[Long] = {
+      val d = v.map(_.toDouble)
+      val ma = d.map(math.abs).max
+      if (ma == 0) Array.fill(d.length)(0L)
+      else d.map(x => math.floor(x / (ma / 127.0) + 0.5).toLong).toArray
+    }
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val codes = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    val want = codes.keys.filter(_ % 50 == 0).flatMap { qid =>
+      val qq = codes(qid)
+      codes.toSeq.map { case (cid, cq) =>
+        (cid, cq.zip(qq).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (cid, s) => (-s, cid) }.take(5).zipWithIndex
+        .map { case ((cid, s), i) => (qid, cid, s, i + 1) }
+    }.toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("quantizeInt8 zero vector quantizes to zeros with scale 0") {
     val df = Seq((1L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
