@@ -117,6 +117,33 @@ object TextFunctions {
       trim(regexp_replace(
         regexp_replace(lower(text), "\\p{Cntrl}", " "), "\\s+", " "))
 
+  /** PII patterns — the portable subset of Java regex ∩ RE2 (DuckDB),
+    * so the exact same pattern strings drive both engines: character
+    * classes, bounded repetition, and ASCII `\b` only (no lookarounds,
+    * no backrefs). */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SSN_RE = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII redaction (training-data scrubbing pass): emails, then
+    * SSN-shaped, then phone-shaped tokens replaced with typed
+    * placeholders. The two digit patterns cannot match each other's
+    * text (different group widths), so application order only matters
+    * for emails — digits inside an email are consumed by `<EMAIL>`
+    * first, as a scrubber should. Pure codegen'd `regexp_replace`
+    * chain: embarrassingly parallel, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+        SSN_RE, "<SSN>"),
+      PHONE_RE, "<PHONE>")
+
+  /** Match count for a PII pattern (audit metric emitted alongside the
+    * redacted text). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Word n-gram shingles: overlapping windows of `n` tokens joined by
     * a single space. Documents shorter than n tokens → empty array. */
   def shingles(text: Column, n: Int): Column = {

@@ -47,6 +47,56 @@ object Corpus {
         col("score"), col("rank"))
   }
 
+  /** Test-set decontamination (the GPT-3/PaLM eval-overlap pass): flag
+    * every training document that shares at least one word `n`-gram
+    * (classically n=13) with any document of the held-out evaluation
+    * set. Emits one row per train doc: (id, n_shared_grams,
+    * contaminated).
+    *
+    * Scale shape: both sides shingle map-side; grams travel as 16-byte
+    * md5 keys, never as text. The eval gram set is distinct-reduced
+    * (partial agg) and the probe is a shuffle-hash equi-join on the
+    * gram hash — eval sets are small but corpus-shaped, so no
+    * driver-side broadcast. The final flag join is keyed by doc id.
+    * Nothing here is ever all-pairs. */
+  def contaminationFlags(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(array_distinct(Dedup.shinglesAuto(df, textCol, n))).as("_g"))
+      .select(col(idCol), md5(col("_g")).as("_gh"))
+    val evalGrams = grams(eval).select("_gh").distinct()
+    val hits = grams(train)
+      .hint("shuffle_hash").join(evalGrams, Seq("_gh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+  }
+
+  /** Blocklist filter: drop every document containing ANY blocklisted
+    * term (domain/slur/boilerplate lists in real pipelines). The term
+    * list is by definition the small side — it rides to every executor
+    * as a literal array and the filter is a pure map over the token
+    * set: zero shuffle, zero join, survives any corpus size. */
+  def blocklistFilter(docs: DataFrame, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val block = array(terms.map(t => lit(t.toLowerCase)): _*)
+    docs.filter(!arrays_overlap(TextFunctions.tokens(lower(col(textCol))), block))
+  }
+
+  /** DataFrame-sourced blocklist: gathered to the driver under an
+    * explicit size guard (the same gathering a broadcast join performs)
+    * and delegated to the literal form — keeps the zero-shuffle map
+    * while accepting a table-shaped list. */
+  def blocklistFilter(docs: DataFrame, textCol: String,
+      blocklist: DataFrame, termCol: String, maxTerms: Int): DataFrame = {
+    val terms = blocklist.select(col(termCol).cast("string")).limit(maxTerms + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(terms.size <= maxTerms,
+      s"blocklist exceeds $maxTerms terms; use an anti-join pipeline for corpus-sized lists")
+    blocklistFilter(docs, textCol, terms)
+  }
+
   /** Corpus vocabulary: the `topN` most frequent terms with counts and
     * a deterministic dense ordering (count desc, term asc). The global
     * top-N plans as TakeOrderedAndProject over the partially-aggregated

@@ -210,6 +210,66 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over an undirected pair list — the cluster-
+    * resolution step that turns near-dup PAIRS (MinHash/SimHash output)
+    * into dedup CLUSTERS, so a pipeline can keep one canonical document
+    * per cluster instead of dropping both ends of every pair.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — every
+    * vertex starts labeled with its own id and repeatedly takes the
+    * minimum label in its closed neighborhood. Converges in
+    * O(component diameter) rounds; near-dup cluster graphs are
+    * union-of-cliques-ish (diameter 2-3), so 3-4 rounds in practice.
+    * Each round is one equi-join shuffle + one partial-agg min shuffle,
+    * both keyed by vertex id — no all-pairs step anywhere.
+    *
+    * Scale notes: labels only ever decrease, so Σlabels is a strictly
+    * decreasing convergence witness — one cheap agg action per round
+    * instead of a change-count join. Every `rounds between lineage
+    * truncations` iterations the label frame is locally checkpointed:
+    * plan depth (and therefore task-serialization cost) stays bounded
+    * no matter how many rounds a pathological chain graph needs.
+    *
+    * Returns (id, cluster_id) with cluster_id = min vertex id in the
+    * component. */
+  def connectedComponents(pairs: DataFrame, id1: String, id2: String,
+      maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(id1).cast("long").as("a"), col(id2).cast("long").as("b"))
+      .union(pairs.select(col(id2).cast("long").as("a"), col(id1).cast("long").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var done = prevSum == 0L // empty pair list: nothing to propagate
+    while (!done && it < maxIters) {
+      val nbr = edges
+        .join(labels.select(col("id").as("b"), col("cluster_id").as("_nl")), Seq("b"))
+        .select(col("a").as("id"), col("_nl").as("cluster_id"))
+      var next = labels.select("id", "cluster_id").union(nbr)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+      // truncate lineage every few rounds: the iterated plan otherwise
+      // grows linearly and task serialization dominates on long chains
+      next =
+        if (it % 5 == 4) next.localCheckpoint(eager = false)
+        else next
+      next = next.persist(StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next) // materializes `next`
+      labels.unpersist()
+      labels = next
+      done = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Corpus-level LINE dedup (the C4/RefinedWeb pass): every line that
     * occurs anywhere else in the corpus keeps only its FIRST occurrence
     * (by (doc_id, line index) — globally deterministic), then documents

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
 import graft.streaming.EventsStreaming
 
 /** LLM-training-data pipeline operators (dedup / similarity / text
@@ -144,11 +144,13 @@ object Extensions {
     s"SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER " +
       s"(PARTITION BY md5($duckNormText) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
 
-  // shared shingle SQL fragments (3-gram over lowercased tokens).
-  // lazy: referenced by vals declared ABOVE this point (qualityRulesSql)
-  private lazy val duckShingles =
-    s"CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2), " +
-      s"i -> array_to_string(list_slice(t, i, i+2), ' ')) ELSE []::VARCHAR[] END"
+  // shared shingle SQL fragments (word n-grams over a lowercased token
+  // list bound to `t`). lazy: referenced by vals declared ABOVE this
+  // point (qualityRulesSql)
+  private def duckNgrams(n: Int): String =
+    s"CASE WHEN len(t) >= $n THEN list_transform(generate_series(1, len(t)-${n - 1}), " +
+      s"i -> array_to_string(list_slice(t, i, i+${n - 1}), ' ')) ELSE []::VARCHAR[] END"
+  private lazy val duckShingles = duckNgrams(3)
 
   val ngramJaccard: Q = (s, d) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -886,6 +888,129 @@ object Extensions {
   val partitionedSinkSql: String =
     "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'"
 
+  // ---------- cluster resolution / decontamination / scrubbing ----------
+
+  /** Near-dup cluster resolution: MinHash pairs → connected components
+    * → one cluster id (= min doc_id in the component) per involved doc,
+    * the canonical survivor marked. Oracle = exact transitive closure
+    * via recursive CTE over the SAME generated pair SQL, so the
+    * iterative distributed algorithm is value-checked against a
+    * from-first-principles reachability definition. */
+  val dedupClusters: Q = (s, d) => {
+    val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.7, shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+    Dedup.connectedComponents(pairs, "id1", "id2")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($minhashPairsSql)), " +
+      "edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs " +
+      "UNION SELECT id2 AS a, id1 AS b FROM pairs), " +
+      "reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) " +
+      "UNION SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a), " +
+      "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) " +
+      "SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size, " +
+      "doc_id = cluster_id AS is_canonical FROM comp"
+
+  /** Eval-set decontamination: a deterministic 10% hash-holdout of the
+    * corpus plays the held-out benchmark; every train doc sharing a
+    * word 13-gram with it is flagged (the GPT-3-style overlap rule). */
+  val decontaminate: Q = (s, d) => {
+    val split = graft.operators.ScaleOps.hashSplit(
+      Tables.documents(s, d), "doc_id", holdoutPct = 10)
+    Corpus.contaminationFlags(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "holdout"),
+      "doc_id", "text", n = 13)
+  }
+
+  val decontaminateSql: String =
+    s"WITH toks AS (SELECT doc_id, $duckToksLower AS t, " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS hb FROM documents), " +
+      s"g AS (SELECT doc_id, hb, unnest(list_distinct(${duckNgrams(13)})) AS gr FROM toks), " +
+      "ev AS (SELECT DISTINCT gr FROM g WHERE hb < 10), " +
+      "hits AS (SELECT g.doc_id, count(*) AS n FROM g JOIN ev USING (gr) " +
+      "WHERE g.hb >= 10 GROUP BY g.doc_id) " +
+      "SELECT t.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_grams, " +
+      "coalesce(h.n, 0) > 0 AS contaminated " +
+      "FROM toks t LEFT JOIN hits h USING (doc_id) WHERE t.hb >= 10"
+
+  /** Blocklist term filter: zero-shuffle map-side anti-filter against a
+    * literal term list (the broadcast-dim degenerate case). */
+  private val BLOCK_TERMS = Seq("vector", "stream", "big")
+
+  val blocklist: Q = (s, d) =>
+    Corpus.blocklistFilter(Tables.documents(s, d), "text", BLOCK_TERMS)
+      .select(col("doc_id"), col("source"))
+
+  val blocklistSql: String = {
+    val terms = BLOCK_TERMS.map(t => s"'$t'").mkString(", ")
+    s"SELECT doc_id, source FROM documents " +
+      s"WHERE len(list_intersect($duckToksLower, [$terms])) = 0"
+  }
+
+  /** PII scrubbing: the corpus has no PII, so deterministic synthetic
+    * PII derived from doc_id is injected first, then redacted — the
+    * redaction path is exercised on every row and the audit counts are
+    * value-checked. Identical pattern strings drive both engines
+    * (portable Java-regex ∩ RE2 subset). */
+  val piiRedact: Q = (s, d) => {
+    val enriched = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn 123-45-6789")).as("text"))
+    enriched.select(col("doc_id"),
+      TextFunctions.redactPii(col("text")).as("redacted"),
+      TextFunctions.piiCount(col("text"), TextFunctions.EMAIL_RE).as("n_emails"),
+      TextFunctions.piiCount(col("text"), TextFunctions.SSN_RE).as("n_ssns"),
+      TextFunctions.piiCount(col("text"), TextFunctions.PHONE_RE).as("n_phones"))
+  }
+
+  val piiRedactSql: String = {
+    val email = TextFunctions.EMAIL_RE
+    val ssn = TextFunctions.SSN_RE
+    val phone = TextFunctions.PHONE_RE
+    val enrich = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com or 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' ssn 123-45-6789'"
+    s"WITH e AS (SELECT doc_id, $enrich AS text FROM documents) " +
+      s"SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+      s"'$email', '<EMAIL>', 'g'), '$ssn', '<SSN>', 'g'), '$phone', '<PHONE>', 'g') AS redacted, " +
+      s"CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails, " +
+      s"CAST(len(regexp_extract_all(text, '$ssn')) AS INT) AS n_ssns, " +
+      s"CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phones FROM e"
+  }
+
+  /** Co-located fact-fact join: both sides bucketed by the join key
+    * into the warehouse, then joined — with bucketing, Spark plans the
+    * join with NO shuffle Exchange on either side (PlanGuardSpec pins
+    * that); the write itself is the bucketed-sink half of the operator.
+    * This is the pre-partitioning strategy for repeated 100 TB joins:
+    * pay the partitioning once at ingest, never at query time. */
+  val bucketedJoin: Q = (s, d) => {
+    Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(16, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_bucketed")
+    Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").bucketBy(16, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bucketed")
+    s.table("graft_orders_bucketed")
+      .join(s.table("graft_customer_bucketed"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
+  val bucketedJoinSql: String =
+    "SELECT c_mktsegment, count(*) AS n_orders, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+
   // -------------------- registry --------------------
 
   val queries: Map[String, Q] = Map(
@@ -927,7 +1052,12 @@ object Extensions {
     "q_quant_topk" -> quantTopK,
     "q_stratified_sample" -> stratifiedSample,
     "q_text_normalize" -> textNormalize,
-    "q_partitioned_sink" -> partitionedSink)
+    "q_partitioned_sink" -> partitionedSink,
+    "q_dedup_clusters" -> dedupClusters,
+    "q_decontaminate" -> decontaminate,
+    "q_blocklist" -> blocklist,
+    "q_pii_redact" -> piiRedact,
+    "q_bucketed_join" -> bucketedJoin)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -968,5 +1098,10 @@ object Extensions {
     "q_quant_topk" -> quantTopKSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_text_normalize" -> textNormalizeSql,
-    "q_partitioned_sink" -> partitionedSinkSql)
+    "q_partitioned_sink" -> partitionedSinkSql,
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_decontaminate" -> decontaminateSql,
+    "q_blocklist" -> blocklistSql,
+    "q_pii_redact" -> piiRedactSql,
+    "q_bucketed_join" -> bucketedJoinSql)
 }

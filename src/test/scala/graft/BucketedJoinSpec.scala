@@ -34,4 +34,22 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("q_bucketed_join query shuffles only for the final aggregate") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.Extensions.bucketedJoin(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+      // the join reads bucket-partitioned tables (zero exchanges); the
+      // only shuffle is the group-by on the 5-value segment column
+      assert(exchanges.size == 1 && exchanges.head.contains("c_mktsegment"),
+        s"expected exactly the aggregate exchange:\n$plan")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS graft_customer_bucketed")
+    }
+  }
 }

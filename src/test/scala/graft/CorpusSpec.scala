@@ -58,4 +58,61 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-N over counts should be a bounded per-partition heap:\n$plan")
   }
+
+  test("contaminationFlags flags exactly the train docs sharing an n-gram") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"), // shares "beta gamma delta" with eval
+      (2L, "epsilon zeta eta theta"), // no 3-gram in common
+      (3L, "beta gamma delta alpha")) // same grams, different order
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "xx beta gamma delta yy")).toDF("doc_id", "text")
+    val got = Corpus.contaminationFlags(train, eval, "doc_id", "text", n = 3)
+      .select("doc_id", "n_shared_grams", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, n, c) => id -> ((n, c)) }.toMap
+    assert(got(1L) == ((1L, true)))  // only "beta gamma delta" overlaps
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((1L, true)))
+    assert(got.size == 3) // one row per train doc, clean ones included
+  }
+
+  test("contaminationFlags counts distinct shared grams once per doc") {
+    // train doc repeats the overlapping 2-gram; distinct-shingling must
+    // count it once — eval's only gram is "a b", so the count is 1
+    val train = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a b")).toDF("doc_id", "text")
+    val got = Corpus.contaminationFlags(train, eval, "doc_id", "text", n = 2)
+      .select("n_shared_grams").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("blocklistFilter drops docs containing any blocked term, case-insensitively") {
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "contains BadWord inside"),
+      (3L, "badword at start"),
+      (4L, "badwording is a different token"))
+      .toDF("doc_id", "text")
+    val got = Corpus.blocklistFilter(docs, "text", Seq("BADWORD"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L))
+  }
+
+  test("blocklistFilter DataFrame overload enforces the size guard") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val bl = Seq("a", "b", "c").toDF("term")
+    assertThrows[IllegalArgumentException] {
+      Corpus.blocklistFilter(docs, "text", bl, "term", maxTerms = 2)
+    }
+    val ok = Corpus.blocklistFilter(docs, "text", bl, "term", maxTerms = 3)
+    assert(ok.count() == 1)
+  }
+
+  test("blocklistFilter plans with zero shuffle exchanges") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Corpus.blocklistFilter(docs, "text", Seq("vector"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"blocklist filter must be a pure map:\n$plan")
+  }
 }

@@ -80,4 +80,30 @@ class DedupSpec extends SparkSpec {
       .as[Seq[String]].collect()
     assert(got.head.isEmpty)
   }
+
+  test("connectedComponents labels a chain, a clique, and keeps them apart") {
+    // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 10)
+  }
+
+  test("connectedComponents is direction- and duplicate-insensitive") {
+    val pairs = Seq((5L, 3L), (3L, 5L), (5L, 3L), (3L, 1L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+
+  test("connectedComponents on an empty pair list returns no rows") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(pairs, "id1", "id2").count() == 0)
+  }
 }

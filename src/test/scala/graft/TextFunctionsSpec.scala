@@ -60,4 +60,26 @@ class TextFunctionsSpec extends SparkSpec {
     val q = one[Double]("the quick brown fox and the lazy dog in a field", qualityScore(col("text")))
     assert(q >= 0.0 && q <= 1.0)
   }
+
+  test("redactPii scrubs emails, SSNs, and phone numbers with typed tags") {
+    val got = one[String](
+      "mail a.user+x@sub.example.org or call 415-555-0142; ssn 123-45-6789 ok",
+      redactPii(col("text")))
+    assert(got == "mail <EMAIL> or call <PHONE>; ssn <SSN> ok")
+  }
+
+  test("redactPii leaves near-miss digit shapes alone") {
+    // wrong group widths survive; letters are word chars, so x..y gives
+    // no \b transition and the embedded phone shape survives too
+    val s = "order 12-345-6789 and 1234-56-789 code x415-555-0142y"
+    val got = one[String](s, redactPii(col("text")))
+    assert(got == s)
+  }
+
+  test("piiCount counts matches per pattern") {
+    val s = "a@b.co c@d.org 999-99-9999 111-222-3333 444-555-6666"
+    assert(one[Int](s, piiCount(col("text"), EMAIL_RE)) == 2)
+    assert(one[Int](s, piiCount(col("text"), SSN_RE)) == 1)
+    assert(one[Int](s, piiCount(col("text"), PHONE_RE)) == 2)
+  }
 }
