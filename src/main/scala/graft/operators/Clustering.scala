@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd's algorithm) — the centroid trainer for
+  * the IVF coarse quantizer and the generic embedding-clustering
+  * primitive of a training-data pipeline.
+  *
+  * Scale shape (the broadcast-k-means plan):
+  *  - centroids (k × dims values) live on the driver and are folded
+  *    into the plan as literals each round — the cluster never shuffles
+  *    vectors to compare them;
+  *  - ASSIGNMENT is a pure map-side argmin against those literals
+  *    (zero shuffle between the scan and the cluster id), exactly like
+  *    [[Similarity.ivfTopK]]'s cell assignment;
+  *  - the UPDATE is one partial-agg shuffle keyed by (cluster, dim):
+  *    map-side combine reduces each partition to ≤ k·dims rows before
+  *    the exchange, so shuffle volume is O(partitions · k · dims),
+  *    independent of corpus size;
+  *  - per round: one job; the quantized corpus is cached once.
+  *
+  * Arithmetic is EXACT fixed-point: vectors quantize to scaled BIGINT
+  * (floor(x·scale + 0.5) — the same half-up form as
+  * [[Similarity.quantizeInt8Vec]]), distances are integer sums of
+  * squares, and centroid means are floor(Σ/n) — every engine computes
+  * bit-identical results, which is what makes a distributed iterative
+  * clusterer value-verifiable against an independent oracle. A float
+  * variant would differ only in the element type; the plan is the
+  * same.
+  *
+  * Seeding is deterministic: the k lowest-id vectors, cluster ids
+  * 0..k-1 in that order. Ties in the argmin break to the lowest
+  * cluster id; clusters that lose all members keep their previous
+  * centroid (the standard empty-cluster rule, applied identically in
+  * the oracle).
+  */
+object Clustering {
+
+  /** Quantize array<float|double> to scaled fixed-point BIGINT. */
+  def fixedPoint(vec: Column, scale: Double): Column =
+    transform(vec, v => floor(v.cast("double") * scale + 0.5).cast("long"))
+
+  /** Exact squared L2 distance to a literal centroid (sequential fold —
+    * integer arithmetic, so fold order is moot; it still matches the
+    * oracle's). */
+  private def sqDistToLit(qv: Column, cv: Array[Long]): Column =
+    aggregate(
+      zip_with(qv, typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Lloyd iterations over `corpus(idCol, vecCol)`; returns one row per
+    * vector: (vec_id, cluster, dist) for the final assignment, with
+    * `iters` assignment rounds and `iters - 1` centroid updates. */
+  def kmeansFixedPoint(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    import org.apache.spark.storage.StorageLevel
+    val spark = corpus.sparkSession
+    val q = corpus.select(col(idCol).cast("long").as("vec_id"),
+      fixedPoint(col(vecCol), scale).as("qv"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // deterministic seed: the k lowest-id vectors, cluster = seed rank
+    var cents: Array[(Int, Array[Long])] =
+      q.orderBy(col("vec_id")).limit(k).collect()
+        .map(_.getSeq[Long](1).toArray)
+        .zipWithIndex.map { case (v, i) => (i, v) }
+
+    def assign(df: DataFrame): DataFrame = {
+      val entries = cents.map { case (cid, cv) =>
+        struct(sqDistToLit(col("qv"), cv).as("d"), lit(cid.toLong).as("c"))
+      }
+      // lexicographic struct sort: min distance, ties to lowest cluster
+      df.withColumn("_best", sort_array(array(entries: _*)).getItem(0))
+        .withColumn("cluster", col("_best").getField("c"))
+        .withColumn("dist", col("_best").getField("d"))
+        .drop("_best")
+    }
+
+    var round = 1
+    var assigned = assign(q)
+    while (round < iters) {
+      // per-dimension exact mean: partial agg on (cluster, dim) — the
+      // k·dims result is driver-bounded by construction
+      val means = assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byCluster.get(cid.toLong) match {
+          case Some(rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)
+          case None => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+      assigned = assign(q)
+      round += 1
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("dist"))
+  }
+}

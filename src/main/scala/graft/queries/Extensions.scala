@@ -1011,6 +1011,52 @@ object Extensions {
       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
       "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
 
+  /** Distributed k-means over the embeddings table — exact fixed-point
+    * Lloyd (broadcast centroids, map-side argmin, one partial-agg
+    * shuffle per round). Oracle = the SAME fixed iteration count
+    * unrolled as chained MATERIALIZED CTEs (the RankQueries
+    * delta-series pattern): assignment via cross-join argmin, centroid
+    * update via per-dimension exact integer means. */
+  private val KMEANS_K = 5
+  private val KMEANS_ITERS = 3
+
+  val kmeans: Q = (s, d) =>
+    graft.operators.Clustering.kmeansFixedPoint(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      k = KMEANS_K, iters = KMEANS_ITERS)
+
+  val kmeansSql: String = {
+    def sq(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val quant = "list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
+    val dist = sq("q.qv", "c.cv")
+    val sb = new StringBuilder
+    sb ++= s"WITH q AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM embeddings), "
+    sb ++= s"c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, " +
+      s"qv AS cv FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $KMEANS_K)), "
+    for (t <- 1 to KMEANS_ITERS) {
+      val prev = s"c${t - 1}"
+      sb ++= s"a$t AS MATERIALIZED (SELECT vec_id, qv, c, d FROM (" +
+        s"SELECT q.vec_id, q.qv, c.c, $dist AS d, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $dist, c.c) AS rn " +
+        s"FROM q CROSS JOIN $prev c) WHERE rn = 1), "
+      if (t < KMEANS_ITERS) {
+        sb ++= s"m$t AS MATERIALIZED (SELECT c, i, " +
+          "CAST(floor(CAST(sum(x) AS DOUBLE)/count(*)) AS BIGINT) AS m FROM " +
+          "(SELECT c, u.i AS i, u.x AS x FROM (SELECT c, " +
+          s"unnest(list_transform(qv, (x, i) -> struct_pack(i := i - 1, x := x))) AS u FROM a$t)) " +
+          "GROUP BY c, i), "
+        sb ++= s"mc$t AS MATERIALIZED (SELECT c, list(m ORDER BY i) AS cv FROM m$t GROUP BY c), "
+        sb ++= s"c$t AS MATERIALIZED (SELECT p.c, coalesce(mc.cv, p.cv) AS cv " +
+          s"FROM c${t - 1} p LEFT JOIN mc$t mc ON p.c = mc.c), "
+      }
+    }
+    sb.toString.stripSuffix(", ") +
+      s" SELECT vec_id, c AS cluster, d AS dist FROM a$KMEANS_ITERS"
+  }
+
   // -------------------- registry --------------------
 
   val queries: Map[String, Q] = Map(
@@ -1057,7 +1103,8 @@ object Extensions {
     "q_decontaminate" -> decontaminate,
     "q_blocklist" -> blocklist,
     "q_pii_redact" -> piiRedact,
-    "q_bucketed_join" -> bucketedJoin)
+    "q_bucketed_join" -> bucketedJoin,
+    "q_kmeans" -> kmeans)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1103,5 +1150,6 @@ object Extensions {
     "q_decontaminate" -> decontaminateSql,
     "q_blocklist" -> blocklistSql,
     "q_pii_redact" -> piiRedactSql,
-    "q_bucketed_join" -> bucketedJoinSql)
+    "q_bucketed_join" -> bucketedJoinSql,
+    "q_kmeans" -> kmeansSql)
 }
