@@ -993,6 +993,17 @@ object Extensions {
     * This is the pre-partitioning strategy for repeated 100 TB joins:
     * pay the partitioning once at ingest, never at query time. */
   val bucketedJoin: Q = (s, d) => {
+    // a fresh in-memory catalog + a warehouse dir surviving from a
+    // previous session = LOCATION_ALREADY_EXISTS on saveAsTable; drop
+    // the catalog entry AND the orphaned location before recreating
+    def reset(name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    reset("graft_orders_bucketed")
+    reset("graft_customer_bucketed")
     Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(16, "o_custkey").sortBy("o_custkey")
       .saveAsTable("graft_orders_bucketed")
