@@ -47,6 +47,52 @@ object Corpus {
         col("score"), col("rank"))
   }
 
+  /** BM25 document scoring for a (small) query-term set — the lexical
+    * retrieval primitive. Same plan skeleton as [[tfIdfTopTerms]]: tf
+    * is a (doc, term) partial-agg shuffle over only the rows matching
+    * the query terms (the isin filter prunes before the shuffle), df
+    * and the corpus stats broadcast, scoring is map-side. The global
+    * top-N is TakeOrdered (bounded per-partition heaps), and the
+    * emitted rank is a window over ≤ topN rows.
+    *
+    * Determinism: each (doc, term) contributes exactly one score row,
+    * and the per-doc total is assembled as a FIXED-ORDER sum of
+    * per-term conditional aggregates (never a float sum over an
+    * unordered group), so any engine reproduces the doubles. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 50): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("_tk"))
+    val dl = toks.select(col(idCol), size(col("_tk")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks
+      .select(col(idCol), explode(col("_tk")).as("term"),
+        size(col("_tk")).cast("long").as("dl"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val perTerm = queryTerms.map(t =>
+      coalesce(sum(when(col("term") === t, col("s"))), lit(0.0)).as(s"_s_$t"))
+    val agg = scored.groupBy(col(idCol))
+      .agg(perTerm.head, perTerm.tail: _*)
+    val total = queryTerms.map(t => col(s"_s_$t")).reduce(_ + _)
+    val top = agg.withColumn("score", round(total, 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc).limit(topN)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)))
+  }
+
   /** Test-set decontamination (the GPT-3/PaLM eval-overlap pass): flag
     * every training document that shares at least one word `n`-gram
     * (classically n=13) with any document of the held-out evaluation

@@ -1068,6 +1068,58 @@ object Extensions {
       s" SELECT vec_id, c AS cluster, d AS dist FROM a$KMEANS_ITERS"
   }
 
+  /** BM25 retrieval scoring for a fixed query-term set, top-50 docs.
+    * Plan: pruned (doc,term) partial agg + broadcast df/stats +
+    * TakeOrdered global top-N. The per-doc total is a fixed-order sum
+    * of per-term conditional aggregates — no unordered float sum. */
+  private val BM25_TERMS = Seq("join", "hash", "scan")
+
+  val bm25: Q = (s, d) =>
+    Corpus.bm25(Tables.documents(s, d), "doc_id", "text", BM25_TERMS)
+
+  val bm25Sql: String = {
+    val k1 = 1.2; val b = 0.75
+    val (k1p1, omb) = ((k1 + 1).toString, (1 - b).toString)
+    val terms = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    val perTerm = BM25_TERMS.map(t =>
+      s"coalesce(sum(CASE WHEN term = '$t' THEN s END), 0.0)").mkString(" + ")
+    s"WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks), " +
+      "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl), " +
+      "tf AS (SELECT doc_id, x AS term, count(*) AS tf, max(dl) AS dl FROM " +
+      "(SELECT doc_id, unnest(t) AS x, CAST(len(t) AS BIGINT) AS dl FROM toks) " +
+      s"WHERE x IN ($terms) GROUP BY doc_id, x), " +
+      "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      "sc AS (SELECT tf.doc_id, tf.term, " +
+      s"ln((CAST(st.n_docs AS DOUBLE) - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0) * " +
+      s"(tf.tf * $k1p1) / (tf.tf + $k1 * ($omb + $b * tf.dl / st.avgdl)) AS s " +
+      "FROM tf JOIN dfq USING (term) CROSS JOIN st), " +
+      s"ag AS (SELECT doc_id, round($perTerm, 6) AS score FROM sc GROUP BY doc_id) " +
+      "SELECT doc_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM ag) " +
+      "WHERE rank <= 50"
+  }
+
+  /** lead/lag event-sequence features: per-user previous-event gap and
+    * next event type — one window shuffle keyed by user, the canonical
+    * sequence-feature plan. Deterministic total order (ts, event_id). */
+  val leadLag: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("sec"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("event_id"), col("user_id"), col("sec"),
+      coalesce(col("sec") - lag(col("sec"), 1).over(w), lit(-1L)).as("gap_sec"),
+      coalesce(lead(col("event_type"), 1).over(w), lit("__none__")).as("next_type"))
+  }
+
+  val leadLagSql: String =
+    "WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
+      "event_type, ts FROM events) " +
+      "SELECT event_id, user_id, sec, " +
+      "coalesce(sec - lag(sec) OVER w, -1) AS gap_sec, " +
+      "coalesce(lead(event_type) OVER w, '__none__') AS next_type " +
+      "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+
   // -------------------- registry --------------------
 
   val queries: Map[String, Q] = Map(
@@ -1115,7 +1167,9 @@ object Extensions {
     "q_blocklist" -> blocklist,
     "q_pii_redact" -> piiRedact,
     "q_bucketed_join" -> bucketedJoin,
-    "q_kmeans" -> kmeans)
+    "q_kmeans" -> kmeans,
+    "q_bm25" -> bm25,
+    "q_lead_lag" -> leadLag)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1162,5 +1216,7 @@ object Extensions {
     "q_blocklist" -> blocklistSql,
     "q_pii_redact" -> piiRedactSql,
     "q_bucketed_join" -> bucketedJoinSql,
-    "q_kmeans" -> kmeansSql)
+    "q_kmeans" -> kmeansSql,
+    "q_bm25" -> bm25Sql,
+    "q_lead_lag" -> leadLagSql)
 }

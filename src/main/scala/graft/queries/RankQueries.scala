@@ -114,10 +114,41 @@ object RankQueries {
       "SELECT r.name, r.pagerank, r.rrank, p.dst AS top_partner, p.amount AS partner_amount " +
       "FROM rk r LEFT JOIN p1 p ON p.src = r.name WHERE r.rrank <= 50"
 
+  /** Per-nation triangle participation over the undirected trade graph:
+    * canonicalize each edge to (a < b), enumerate (a,b),(b,c),(a,c)
+    * wedges with a < b < c via two equi-joins, count triangles touching
+    * each vertex. The a<b<c ordering enumerates each triangle exactly
+    * once AND keeps the join fan-out one-directional — the standard
+    * distributed-triangle trick (at web scale you'd order by degree
+    * instead of name; the plan is identical). */
+  val triangles: Q = (s, dir) => {
+    val und = graft.SparkEntry.nationTradeEdges(s, dir)
+      .select(least(col("src_nation"), col("dst_nation")).as("a"),
+        greatest(col("src_nation"), col("dst_nation")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = und
+      .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("name"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val trianglesSql: String =
+    s"WITH $edgeCte, " +
+      "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges), " +
+      "tri AS (SELECT e1.a, e1.b, e2.b AS c FROM und e1 " +
+      "JOIN und e2 ON e1.b = e2.a " +
+      "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) " +
+      "SELECT name, count(*) AS n_triangles FROM " +
+      "(SELECT unnest([a, b, c]) AS name FROM tri) GROUP BY name"
+
   val queries: Map[String, Q] = Map(
-    "q_top50_partners" -> top50Partners)
+    "q_top50_partners" -> top50Partners,
+    "q_triangles" -> triangles)
 
   val oracles: Map[String, String] = Map(
     "q_trade_ranks" -> tradeRanksSql(),
-    "q_top50_partners" -> top50PartnersSql())
+    "q_top50_partners" -> top50PartnersSql(),
+    "q_triangles" -> trianglesSql)
 }

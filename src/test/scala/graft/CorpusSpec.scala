@@ -108,6 +108,28 @@ class CorpusSpec extends SparkSpec {
     assert(ok.count() == 1)
   }
 
+  test("bm25 matches the hand formula, skips no-hit docs, ranks deterministically") {
+    val docs = Seq(
+      (1L, "join join hash"),
+      (2L, "join scan"),
+      (3L, "other words here"))
+      .toDF("doc_id", "text")
+    val got = Corpus.bm25(docs, "doc_id", "text", Seq("join", "hash", "scan"))
+      .select("doc_id", "score", "rank").as[(Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = 8.0 / 3
+    def idf(df: Long) = math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def w(tf: Long, dl: Long) = (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = r6(idf(2) * w(2, 3) + idf(1) * w(1, 3)) // join×2 + hash
+    val s2 = r6(idf(2) * w(1, 2) + idf(1) * w(1, 2)) // join + scan
+    assert(got.keySet == Set(1L, 2L), "no-hit docs must not appear")
+    assert(got(1L)._1 == s1 && got(2L)._1 == s2)
+    assert(got(if (s1 > s2) 1L else 2L)._2 == 1)
+  }
+
   test("blocklistFilter plans with zero shuffle exchanges") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Corpus.blocklistFilter(docs, "text", Seq("vector"))
