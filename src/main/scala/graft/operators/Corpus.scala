@@ -114,7 +114,10 @@ object Corpus {
     val hits = grams(train)
       .hint("shuffle_hash").join(evalGrams, Seq("_gh"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
-    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+    // hits is bounded by the train doc count — corpus-sized, so the
+    // flag join is pinned to shuffle-hash (AQE would broadcast it from
+    // small-SF stats and that shape dies at 100 TB)
+    train.select(col(idCol)).join(hits.hint("shuffle_hash"), Seq(idCol), "left")
       .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
       .withColumn("contaminated", col("n_shared_grams") > 0)
   }
