@@ -231,14 +231,28 @@ object Dedup {
     * no matter how many rounds a pathological chain graph needs.
     *
     * Returns (id, cluster_id) with cluster_id = min vertex id in the
-    * component. */
+    * component.
+    *
+    * Like `Ranks`' gated driver-local series: an edge set at or below
+    * `localThreshold` (after dedup — near-dup pair lists are usually
+    * tiny relative to their corpus) is collected and union-found on
+    * the driver in one job instead of ~2 jobs per propagation round;
+    * the distributed path is the default above the gate and
+    * DedupSpec pins local ≡ distributed. */
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, localThreshold: Long = 100000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(id1).cast("long").as("a"), col(id2).cast("long").as("b"))
       .union(pairs.select(col(id2).cast("long").as("a"), col(id1).cast("long").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (edges.count() <= localThreshold) {
+      val local = componentsLocal(edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      edges.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return local.toSeq.toDF("id", "cluster_id")
+    }
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -268,6 +282,32 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Driver-side union-find with path halving; components relabeled to
+    * their minimum member id — exactly the distributed fixpoint. */
+  private def componentsLocal(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val minOf = scala.collection.mutable.Map[Long, Long]()
+    parent.keys.foreach { v =>
+      val r = find(v)
+      minOf(r) = math.min(minOf.getOrElse(r, v), v)
+    }
+    parent.keys.toArray.sorted.map(v => (v, minOf(find(v))))
   }
 
   /** Corpus-level LINE dedup (the C4/RefinedWeb pass): every line that

@@ -244,12 +244,16 @@ object Extensions {
     Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
       threshold = 0.7, shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
 
-  val minhashPairsSql: String = {
+  /** MinHash pair SQL parameterized by source relation (`documents`
+    * for the standalone query; a curation CTE when composed). The
+    * inner WITH is scope-local, so embedding it as a parenthesized
+    * subquery never collides with outer CTE names. */
+  def minhashPairsSqlFrom(src: String): String = {
     val sigElems = (0 until MINHASH_BANDS * MINHASH_RPB).map(seed =>
       s"coalesce(list_min(list_transform(s, x -> md5('$seed:' || x))), 'zz_empty')")
       .mkString("[", ", ", "]")
     val bandRows = (0 until MINHASH_BANDS).map(b => s"($b)").mkString(",")
-    s"WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+    s"WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM $src), " +
       s"shl AS (SELECT doc_id, $duckShingles AS s FROM toks), " +
       s"sig AS (SELECT doc_id, $sigElems AS sg FROM shl), " +
       s"bands AS (SELECT doc_id, bb.band AS band, array_to_string(list_slice(sg, bb.band*$MINHASH_RPB + 1, bb.band*$MINHASH_RPB + $MINHASH_RPB), '|') AS bucket " +
@@ -262,6 +266,8 @@ object Extensions {
       "CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE)/len(list_distinct(list_concat(x.ds, y.ds))) AS _j " +
       "FROM cand JOIN dsh x ON id1 = x.doc_id JOIN dsh y ON id2 = y.doc_id) WHERE _j >= 0.7"
   }
+
+  lazy val minhashPairsSql: String = minhashPairsSqlFrom("documents")
 
   val simhashPairs: Q = (s, d) =>
     Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
@@ -1120,6 +1126,91 @@ object Extensions {
       "coalesce(lead(event_type) OVER w, '__none__') AS next_type " +
       "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
 
+  /** The ROUND-3 flagship composition — the complete modern
+    * pretraining-data pipeline, every stage one of the library's own
+    * oracled operators, hash-verified END-TO-END as one query:
+    *
+    *   blocklist filter → Gopher quality rules → corpus exact-dedup →
+    *   near-dup CLUSTER dedup (MinHash pairs → connected components,
+    *   keep the canonical survivor) → deterministic train split →
+    *   eval-set decontamination (13-gram overlap) → sequence packing.
+    *
+    * The oracle chains the same SQL fragments, with the recursive-CTE
+    * transitive closure standing in for the iterative components —
+    * an end-to-end value check across seven composed stages. */
+  // the curation blocklist is DOMAIN-shaped (drop blocked sources, the
+  // real-world URL-blocklist pass) — a text-term blocklist over this
+  // synthetic ~30-word vocabulary would wipe the corpus (every common
+  // token appears in ~75% of docs); q_blocklist keeps the text variant
+  private val CURATE_BLOCK_SOURCES = Seq("src13", "src17")
+
+  val curateFull: Q = (s, d) => {
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.documents(s, d)
+    val keepIds = qualityRules(s, d).filter(col("keep")).select("doc_id")
+    val clean = Corpus.blocklistFilter(docs, "source", CURATE_BLOCK_SOURCES)
+      .join(keepIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+    // referenced by both the pair generation and the canonical filter
+    val ded = Dedup.exactDedup(clean, "text", "doc_id")
+      .select("doc_id", "text")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.minhashNearDupPairs(ded, "doc_id", "text",
+      threshold = 0.7, shingleN = 3,
+      bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+    val dupIds = Dedup.connectedComponents(pairs, "id1", "id2")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val canon = ded.join(dupIds, Seq("doc_id"), "left_anti")
+    val train0 = graft.operators.ScaleOps.hashSplit(canon, "doc_id", holdoutPct = 10)
+      .filter(col("split") === "train").select("doc_id", "text")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the held-out slice of the ORIGINAL corpus plays the external
+    // benchmark; only the train side is scrubbed against it
+    val evalDocs = graft.operators.ScaleOps.hashSplit(docs, "doc_id", holdoutPct = 10)
+      .filter(col("split") === "holdout")
+    val contaminated = Corpus
+      .contaminationFlags(train0, evalDocs, "doc_id", "text", n = 13)
+      .filter(col("contaminated")).select("doc_id")
+    val train = train0.join(contaminated, Seq("doc_id"), "left_anti")
+    val slim = train.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.operators.ScaleOps.packSequences(slim, "doc_id", col("nt"), ctxLen = 512L)
+  }
+
+  val curateFullSql: String = {
+    val srcToks =
+      "list_filter(regexp_split_to_array(lower(source), '\\s+'), x -> x <> '')"
+    val terms = CURATE_BLOCK_SOURCES.map(t => s"'$t'").mkString(", ")
+    val hb = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+    val g13 = duckNgrams(13)
+    "WITH RECURSIVE " + duckQualityBody +
+      s", kept AS (SELECT d.doc_id, d.text FROM documents d JOIN m ON d.doc_id = m.doc_id " +
+      "WHERE m.n_tokens >= 5 AND m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0 AND m.dup_3gram_frac < 0.3 " +
+      s"AND len(list_intersect($srcToks, [$terms])) = 0)" +
+      s", ded AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER " +
+      s"(PARTITION BY md5($duckNormText) ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1)" +
+      s", prs AS MATERIALIZED (SELECT id1, id2 FROM (${minhashPairsSqlFrom("ded")}))" +
+      ", ued AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2 AS a, id1 AS b FROM prs)" +
+      ", reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM ued) " +
+      "UNION SELECT e.a, r.b FROM ued e JOIN reach r ON e.b = r.a)" +
+      ", comp AS (SELECT a AS doc_id, min(b) AS cid FROM reach GROUP BY a)" +
+      ", canon AS MATERIALIZED (SELECT doc_id, text FROM ded " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cid))" +
+      s", train0 AS MATERIALIZED (SELECT doc_id, text FROM canon WHERE $hb >= 10)" +
+      s", evg AS MATERIALIZED (SELECT DISTINCT gr FROM (SELECT unnest(list_distinct($g13)) AS gr FROM " +
+      s"(SELECT $duckToksLower AS t FROM documents WHERE $hb < 10)))" +
+      s", tg AS (SELECT doc_id, unnest(list_distinct($g13)) AS gr FROM " +
+      "(SELECT doc_id, " + duckToksLower + " AS t FROM train0))" +
+      ", cont AS (SELECT DISTINCT doc_id FROM tg JOIN evg USING (gr))" +
+      ", trn AS (SELECT doc_id, text FROM train0 WHERE doc_id NOT IN (SELECT doc_id FROM cont))" +
+      s", ntok AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS nt FROM trn)" +
+      ", cum AS (SELECT doc_id, nt, CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e FROM ntok) " +
+      "SELECT doc_id, unnest(generate_series(CAST(floor((e - nt)/512.0) AS BIGINT), CAST(floor((e - 1)/512.0) AS BIGINT))) AS pack_id, " +
+      "e - nt AS token_start, nt AS n_tokens FROM cum WHERE nt > 0"
+  }
+
   // -------------------- registry --------------------
 
   val queries: Map[String, Q] = Map(
@@ -1169,7 +1260,8 @@ object Extensions {
     "q_bucketed_join" -> bucketedJoin,
     "q_kmeans" -> kmeans,
     "q_bm25" -> bm25,
-    "q_lead_lag" -> leadLag)
+    "q_lead_lag" -> leadLag,
+    "q_curate_full" -> curateFull)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1218,5 +1310,6 @@ object Extensions {
     "q_bucketed_join" -> bucketedJoinSql,
     "q_kmeans" -> kmeansSql,
     "q_bm25" -> bm25Sql,
-    "q_lead_lag" -> leadLagSql)
+    "q_lead_lag" -> leadLagSql,
+    "q_curate_full" -> curateFullSql)
 }

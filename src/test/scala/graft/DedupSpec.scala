@@ -81,25 +81,43 @@ class DedupSpec extends SparkSpec {
     assert(got.head.isEmpty)
   }
 
-  test("connectedComponents labels a chain, a clique, and keeps them apart") {
+  test("connectedComponents labels a chain, a clique, and keeps them apart — both paths") {
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
     // triangle 10-11-12, isolated pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
       .toDF("id1", "id2")
+    // localThreshold = 0 forces the distributed iteration; the default
+    // takes the gated driver-local union-find — they must agree exactly
+    val dist = Dedup.connectedComponents(pairs, "id1", "id2", localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
     val got = Dedup.connectedComponents(pairs, "id1", "id2")
       .as[(Long, Long)].collect().toMap
+    assert(got == dist, "driver-local union-find must equal the distributed fixpoint")
     assert((1L to 5L).forall(got(_) == 1L))
     assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
     assert(got(20L) == 20L && got(21L) == 20L)
     assert(got.size == 10)
   }
 
-  test("connectedComponents is direction- and duplicate-insensitive") {
+  test("connectedComponents is direction- and duplicate-insensitive — both paths") {
     val pairs = Seq((5L, 3L), (3L, 5L), (5L, 3L), (3L, 1L)).toDF("id1", "id2")
-    val got = Dedup.connectedComponents(pairs, "id1", "id2")
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+    for (thr <- Seq(0L, 100000L)) {
+      val got = Dedup.connectedComponents(pairs, "id1", "id2", localThreshold = thr)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+    }
+  }
+
+  test("connectedComponents local ≡ distributed on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("id1", "id2")
+    val local = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.connectedComponents(pairs, "id1", "id2", localThreshold = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist)
   }
 
   test("connectedComponents on an empty pair list returns no rows") {
