@@ -49,11 +49,23 @@ object Clustering {
       zip_with(qv, typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
-  /** Lloyd iterations over `corpus(idCol, vecCol)`; returns one row per
-    * vector: (vec_id, cluster, dist) for the final assignment, with
-    * `iters` assignment rounds and `iters - 1` centroid updates. */
-  def kmeansFixedPoint(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+  private def assignTo(cents: Array[(Int, Array[Long])])(df: DataFrame): DataFrame = {
+    val entries = cents.map { case (cid, cv) =>
+      struct(sqDistToLit(col("qv"), cv).as("d"), lit(cid.toLong).as("c"))
+    }
+    // lexicographic struct sort: min distance, ties to lowest cluster
+    df.withColumn("_best", sort_array(array(entries: _*)).getItem(0))
+      .withColumn("cluster", col("_best").getField("c"))
+      .withColumn("dist", col("_best").getField("d"))
+      .drop("_best")
+  }
+
+  /** The training loop: returns the cached quantized corpus and the
+    * centroids after `iters - 1` updates (the set the final assignment
+    * round scores against). */
+  private def trainLoop(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Double)
+      : (DataFrame, Array[(Int, Array[Long])]) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     import org.apache.spark.storage.StorageLevel
     val spark = corpus.sparkSession
@@ -68,23 +80,11 @@ object Clustering {
         .map(_.getSeq[Long](1).toArray)
         .zipWithIndex.map { case (v, i) => (i, v) }
 
-    def assign(df: DataFrame): DataFrame = {
-      val entries = cents.map { case (cid, cv) =>
-        struct(sqDistToLit(col("qv"), cv).as("d"), lit(cid.toLong).as("c"))
-      }
-      // lexicographic struct sort: min distance, ties to lowest cluster
-      df.withColumn("_best", sort_array(array(entries: _*)).getItem(0))
-        .withColumn("cluster", col("_best").getField("c"))
-        .withColumn("dist", col("_best").getField("d"))
-        .drop("_best")
-    }
-
     var round = 1
-    var assigned = assign(q)
     while (round < iters) {
       // per-dimension exact mean: partial agg on (cluster, dim) — the
       // k·dims result is driver-bounded by construction
-      val means = assigned
+      val means = assignTo(cents)(q)
         .select(col("cluster"), posexplode(col("qv")).as(Seq("i", "x")))
         .groupBy(col("cluster"), col("i"))
         .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("m"))
@@ -97,9 +97,26 @@ object Clustering {
           case None => (cid, old) // empty cluster keeps its centroid
         }
       }
-      assigned = assign(q)
       round += 1
     }
-    assigned.select(col("vec_id"), col("cluster"), col("dist"))
+    (q, cents)
+  }
+
+  /** Lloyd iterations over `corpus(idCol, vecCol)`; returns one row per
+    * vector: (vec_id, cluster, dist) for the final assignment, with
+    * `iters` assignment rounds and `iters - 1` centroid updates. */
+  def kmeansFixedPoint(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+    val (q, cents) = trainLoop(corpus, idCol, vecCol, k, iters, scale)
+    assignTo(cents)(q).select(col("vec_id"), col("cluster"), col("dist"))
+  }
+
+  /** Trained centroids in the original double domain (fixed-point /
+    * scale — the exact division every engine computes identically):
+    * the coarse quantizer for a k-means-trained IVF index. */
+  def kmeansCentroidsDouble(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Double = 1e6): Array[(Long, Array[Double])] = {
+    val (_, cents) = trainLoop(corpus, idCol, vecCol, k, iters, scale)
+    cents.map { case (cid, cv) => (cid.toLong, cv.map(_.toDouble / scale)) }
   }
 }

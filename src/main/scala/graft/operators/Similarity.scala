@@ -211,6 +211,19 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    ivfTopKWith(cents, corpus, queries, k, nprobe,
+      idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** IVF probe against an EXPLICIT centroid set — e.g. one trained by
+    * [[Clustering.kmeansCentroidsDouble]] (the production coarse
+    * quantizer); [[ivfTopK]]'s deterministic sampler delegates here.
+    * Same plan: literal broadcast centroids, map-side argmax
+    * assignment, equi-join probe. */
+  def ivfTopKWith(cents: Array[(Long, Array[Double])],
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     require(cents.nonEmpty, "ivfTopK: empty centroid set")
 
     // centroid norm with the same left-to-right fold as

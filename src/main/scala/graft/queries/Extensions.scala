@@ -1042,7 +1042,11 @@ object Extensions {
       Tables.embeddings(s, d), "vec_id", "embedding",
       k = KMEANS_K, iters = KMEANS_ITERS)
 
-  val kmeansSql: String = {
+  /** k-means CTE chain generator (q, c0, a1, m1, mc1, c1, ..): through
+    * the final centroids c{iters-1}, plus the last assignment
+    * a{iters} when `finalAssign` — reused by both the standalone
+    * q_kmeans oracle and the trained-IVF oracle. */
+  private def kmeansCtes(k: Int, iters: Int, finalAssign: Boolean): String = {
     def sq(a: String, b: String) =
       s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
         s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
@@ -1050,16 +1054,17 @@ object Extensions {
       "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
     val dist = sq("q.qv", "c.cv")
     val sb = new StringBuilder
-    sb ++= s"WITH q AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM embeddings), "
+    sb ++= s"q AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM embeddings), "
     sb ++= s"c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, " +
-      s"qv AS cv FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $KMEANS_K)), "
-    for (t <- 1 to KMEANS_ITERS) {
+      s"qv AS cv FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)), "
+    for (t <- 1 to iters) {
       val prev = s"c${t - 1}"
-      sb ++= s"a$t AS MATERIALIZED (SELECT vec_id, qv, c, d FROM (" +
-        s"SELECT q.vec_id, q.qv, c.c, $dist AS d, " +
-        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $dist, c.c) AS rn " +
-        s"FROM q CROSS JOIN $prev c) WHERE rn = 1), "
-      if (t < KMEANS_ITERS) {
+      if (t < iters || finalAssign)
+        sb ++= s"a$t AS MATERIALIZED (SELECT vec_id, qv, c, d FROM (" +
+          s"SELECT q.vec_id, q.qv, c.c, $dist AS d, " +
+          s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $dist, c.c) AS rn " +
+          s"FROM q CROSS JOIN $prev c) WHERE rn = 1), "
+      if (t < iters) {
         sb ++= s"m$t AS MATERIALIZED (SELECT c, i, " +
           "CAST(floor(CAST(sum(x) AS DOUBLE)/count(*)) AS BIGINT) AS m FROM " +
           "(SELECT c, u.i AS i, u.x AS x FROM (SELECT c, " +
@@ -1070,8 +1075,48 @@ object Extensions {
           s"FROM c${t - 1} p LEFT JOIN mc$t mc ON p.c = mc.c), "
       }
     }
-    sb.toString.stripSuffix(", ") +
+    sb.toString.stripSuffix(", ")
+  }
+
+  val kmeansSql: String =
+    "WITH " + kmeansCtes(KMEANS_K, KMEANS_ITERS, finalAssign = true) +
       s" SELECT vec_id, c AS cluster, d AS dist FROM a$KMEANS_ITERS"
+
+  /** IVF with a TRAINED coarse quantizer — k-means centroids feeding
+    * the probe, closing the "production build would learn centroids"
+    * loop: train (exact fixed-point Lloyd) → convert to the double
+    * domain (exact /scale division) → literal-centroid map-side
+    * assignment → equi-join probe. Oracle = the k-means CTE chain
+    * composed with the IVF probe SQL. */
+  private val IVF_TRAIN_K = 8
+  private val IVF_TRAIN_ITERS = 2
+
+  val embedIvfTrained: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = graft.operators.Clustering.kmeansCentroidsDouble(
+      emb, "vec_id", "embedding", k = IVF_TRAIN_K, iters = IVF_TRAIN_ITERS)
+    Similarity.ivfTopKWith(cents, emb, queriesDf(s, d), k = 10, nprobe = 2)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  val embedIvfTrainedSql: String = {
+    def cosRank(vec: String, part: String) =
+      s"row_number() OVER (PARTITION BY $part ORDER BY " +
+        s"round(list_dot_product($vec, cent.cvec)/(sqrt(list_dot_product($vec, $vec))*sqrt(list_dot_product(cent.cvec, cent.cvec))), 6) DESC, " +
+        "cent.cent_id ASC) AS rn"
+    "WITH " + kmeansCtes(IVF_TRAIN_K, IVF_TRAIN_ITERS, finalAssign = false) +
+      s", cent AS MATERIALIZED (SELECT c AS cent_id, list_transform(cv, x -> x/1000000.0) AS cvec FROM c${IVF_TRAIN_ITERS - 1})" +
+      ", cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings)" +
+      s", ca AS (SELECT vec_id, cell FROM (SELECT cd.vec_id, cent.cent_id AS cell, ${cosRank("cd.ed", "cd.vec_id")} " +
+      "FROM cd, cent) WHERE rn = 1)" +
+      ", qq AS MATERIALIZED (SELECT vec_id AS q_id, ed AS qd FROM cd WHERE vec_id % 50 = 0)" +
+      s", qa AS (SELECT q_id, cell FROM (SELECT qq.q_id, cent.cent_id AS cell, ${cosRank("qq.qd", "qq.q_id")} " +
+      "FROM qq, cent) WHERE rn <= 2)" +
+      ", sc AS (SELECT qa.q_id, ca.vec_id, " +
+      "round(list_dot_product(cv.ed, qv.qd)/(sqrt(list_dot_product(cv.ed, cv.ed))*sqrt(list_dot_product(qv.qd, qv.qd))), 6) AS score " +
+      "FROM ca JOIN qa ON ca.cell = qa.cell JOIN cd cv ON cv.vec_id = ca.vec_id JOIN qq qv ON qv.q_id = qa.q_id)" +
+      ", r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
   }
 
   /** BM25 retrieval scoring for a fixed query-term set, top-50 docs.
@@ -1261,7 +1306,8 @@ object Extensions {
     "q_kmeans" -> kmeans,
     "q_bm25" -> bm25,
     "q_lead_lag" -> leadLag,
-    "q_curate_full" -> curateFull)
+    "q_curate_full" -> curateFull,
+    "q_embed_ivf_trained" -> embedIvfTrained)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1311,5 +1357,6 @@ object Extensions {
     "q_kmeans" -> kmeansSql,
     "q_bm25" -> bm25Sql,
     "q_lead_lag" -> leadLagSql,
-    "q_curate_full" -> curateFullSql)
+    "q_curate_full" -> curateFullSql,
+    "q_embed_ivf_trained" -> embedIvfTrainedSql)
 }

@@ -50,4 +50,20 @@ class ClusteringSpec extends SparkSpec {
     val got = Clustering.kmeansFixedPoint(df, "vec_id", "embedding", k = 3, iters = 3)
     assert(got.count() == 3)
   }
+
+  test("trained-IVF finds each in-corpus query itself at rank 1") {
+    val got = graft.queries.Extensions
+      .embedIvfTrained(spark, "/root/testdata/sf0.001")
+      .select("q_id", "vec_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      val r1 = rows.find(_._4 == 1).get
+      // the query vector is in the corpus and probes its own cell:
+      // exact self-match at rank 1 with cosine 1
+      assert(r1._2 == q && r1._3 == 1.0, s"query $q: $r1")
+      assert(rows.length <= 10)
+    }
+  }
 }
