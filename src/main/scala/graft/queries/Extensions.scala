@@ -1256,6 +1256,36 @@ object Extensions {
       "e - nt AS token_start, nt AS n_tokens FROM cum WHERE nt > 0"
   }
 
+  /** ORC round trip (columnar sibling of parquet — same pushdown and
+    * pruning through Spark's vectorized ORC reader). */
+  val orcRoundtrip: Q = (s, d) => {
+    val target = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sink-docs-orc").toString
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "source", "lang", "n_chars")
+    graft.sources.FormatSinks.writeOrc(docs, target)
+    graft.sources.FormatSinks.readOrc(s, target)
+      .filter(col("lang") === "en")
+      .select("doc_id", "source", "n_chars")
+  }
+
+  val orcRoundtripSql: String =
+    "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'"
+
+  /** JSON-lines round trip with an EXPLICIT read schema (no inference
+    * pass); text fidelity checked via md5 through the JSON escaping. */
+  val jsonlRoundtrip: Q = (s, d) => {
+    val target = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sink-docs-jsonl").toString
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+    graft.sources.FormatSinks.writeJsonl(docs, target)
+    graft.sources.FormatSinks.readJsonl(s, target, docs.schema)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"))
+  }
+
+  val jsonlRoundtripSql: String =
+    "SELECT doc_id, md5(text) AS text_md5, lang FROM documents"
+
   // -------------------- registry --------------------
 
   val queries: Map[String, Q] = Map(
@@ -1307,7 +1337,9 @@ object Extensions {
     "q_bm25" -> bm25,
     "q_lead_lag" -> leadLag,
     "q_curate_full" -> curateFull,
-    "q_embed_ivf_trained" -> embedIvfTrained)
+    "q_embed_ivf_trained" -> embedIvfTrained,
+    "q_orc_roundtrip" -> orcRoundtrip,
+    "q_jsonl_roundtrip" -> jsonlRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1358,5 +1390,7 @@ object Extensions {
     "q_bm25" -> bm25Sql,
     "q_lead_lag" -> leadLagSql,
     "q_curate_full" -> curateFullSql,
-    "q_embed_ivf_trained" -> embedIvfTrainedSql)
+    "q_embed_ivf_trained" -> embedIvfTrainedSql,
+    "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_jsonl_roundtrip" -> jsonlRoundtripSql)
 }
