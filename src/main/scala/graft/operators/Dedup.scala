@@ -246,8 +246,12 @@ object Dedup {
       .union(pairs.select(col(id2).cast("long").as("a"), col(id1).cast("long").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (edges.count() <= localThreshold) {
-      val local = componentsLocal(edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+    // ONE bounded action decides the gate: collect at most threshold+1
+    // rows (limit stops early at scale — no full count pass first)
+    val gateRows = edges.limit(math.min(localThreshold, Int.MaxValue - 1L).toInt + 1)
+      .collect()
+    if (gateRows.length <= localThreshold) {
+      val local = componentsLocal(gateRows.map(r => (r.getLong(0), r.getLong(1))))
       edges.unpersist()
       val spark = pairs.sparkSession
       import spark.implicits._

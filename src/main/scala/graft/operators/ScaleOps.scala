@@ -210,6 +210,29 @@ object ScaleOps {
     df.filter(bucket < keepBelow)
   }
 
+  /** Deterministic corpus shuffle into training shards — the
+    * training-order materialization step of a pretraining pipeline
+    * (a model must NOT see documents in crawl/source order, and the
+    * order must be reproducible run-to-run). Each row gets a salted
+    * md5 sort key ("shuf:" — independent of the split and sampling
+    * salts); shard = key prefix mod numShards, position = rank of the
+    * key within the shard.
+    *
+    * Scale shape: ONE exchange keyed by shard + a per-shard sort —
+    * exactly the shuffle any training-order materialization must pay
+    * (it IS a global permutation); shard count controls the sort
+    * width. No rand(): the permutation is a pure function of ids. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val key = md5(concat(lit("shuf:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_k"), col(idCol))
+    df.select(col(idCol), key.as("_k"))
+      .withColumn("shard",
+        conv(substring(col("_k"), 1, 4), 16, 10).cast("long") % numShards)
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Bloom-pruned join — the manual runtime-filter pattern: build a
     * Bloom filter over the dim side's keys (mergeable partials,
     * driver-merged, bits ≪ key set), broadcast it, and drop fact rows

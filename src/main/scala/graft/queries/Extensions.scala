@@ -1286,6 +1286,17 @@ object Extensions {
   val jsonlRoundtripSql: String =
     "SELECT doc_id, md5(text) AS text_md5, lang FROM documents"
 
+  /** Deterministic training-order shards over the documents corpus:
+    * salted-md5 permutation, shard + in-shard position. */
+  val shuffleShards: Q = (s, d) =>
+    graft.operators.ScaleOps.shuffleShards(
+      Tables.documents(s, d), "doc_id", numShards = 16)
+
+  val shuffleShardsSql: String =
+    "WITH k AS (SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS _k FROM documents), " +
+      "s AS (SELECT doc_id, _k, CAST('0x' || substr(_k, 1, 4) AS BIGINT) % 16 AS shard FROM k) " +
+      "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY _k, doc_id) AS INT) AS pos FROM s"
+
   // -------------------- registry --------------------
 
   val queries: Map[String, Q] = Map(
@@ -1339,7 +1350,8 @@ object Extensions {
     "q_curate_full" -> curateFull,
     "q_embed_ivf_trained" -> embedIvfTrained,
     "q_orc_roundtrip" -> orcRoundtrip,
-    "q_jsonl_roundtrip" -> jsonlRoundtrip)
+    "q_jsonl_roundtrip" -> jsonlRoundtrip,
+    "q_shuffle_shards" -> shuffleShards)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1392,5 +1404,6 @@ object Extensions {
     "q_curate_full" -> curateFullSql,
     "q_embed_ivf_trained" -> embedIvfTrainedSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
-    "q_jsonl_roundtrip" -> jsonlRoundtripSql)
+    "q_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q_shuffle_shards" -> shuffleShardsSql)
 }

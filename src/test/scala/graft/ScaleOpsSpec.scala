@@ -188,6 +188,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(small != holdout)
   }
 
+  test("shuffleShards is a reproducible permutation: every row once, dense per-shard positions") {
+    val df = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = ScaleOps.shuffleShards(df, "doc_id", 8)
+      .as[(Long, Long, Int)].collect()
+    val b = ScaleOps.shuffleShards(df, "doc_id", 8)
+      .as[(Long, Long, Int)].collect()
+    assert(a.toSet == b.toSet, "permutation must be run-to-run stable")
+    assert(a.map(_._1).distinct.length == df.count(), "every doc exactly once")
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      // positions within a shard are dense 1..n
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // the permutation actually breaks id order: within some shard, the
+    // doc_id sequence ordered by pos is not sorted
+    val shuffled = a.groupBy(_._2).values
+      .exists(rows => {
+        val ids = rows.sortBy(_._3).map(_._1).toSeq
+        ids != ids.sorted
+      })
+    assert(shuffled, "at least one shard must be out of id order")
+  }
+
   test("saltedJoin equals the plain join result") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_linenumber", "l_partkey")
