@@ -1286,6 +1286,27 @@ object Extensions {
   val jsonlRoundtripSql: String =
     "SELECT doc_id, md5(text) AS text_md5, lang FROM documents"
 
+  /** Sliding (hopping) event-time windows — 10-minute windows every 5
+    * minutes, so each event lands in exactly two overlapping windows.
+    * Same partial-agg shuffle as the tumbling form (the explode-to-two
+    * is map-side); the oracle derives both window starts from the
+    * 5-minute bucket. */
+  val slidingWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,2)")).cast("double").as("total"))
+      .select(unix_timestamp(col("window.start")).as("win_start_epoch"),
+        col("event_type"), col("n"), col("total"))
+
+  val slidingWindowSql: String =
+    "WITH e AS (SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS b, " +
+      "event_type, value FROM events), " +
+      "w AS (SELECT unnest([b - 300, b]) AS win_start_epoch, event_type, value FROM e) " +
+      "SELECT win_start_epoch, event_type, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total " +
+      "FROM w GROUP BY 1, 2"
+
   /** Deterministic training-order shards over the documents corpus:
     * salted-md5 permutation, shard + in-shard position. */
   val shuffleShards: Q = (s, d) =>
@@ -1351,7 +1372,8 @@ object Extensions {
     "q_embed_ivf_trained" -> embedIvfTrained,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
-    "q_shuffle_shards" -> shuffleShards)
+    "q_shuffle_shards" -> shuffleShards,
+    "q_sliding_window" -> slidingWindow)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1405,5 +1427,6 @@ object Extensions {
     "q_embed_ivf_trained" -> embedIvfTrainedSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
-    "q_shuffle_shards" -> shuffleShardsSql)
+    "q_shuffle_shards" -> shuffleShardsSql,
+    "q_sliding_window" -> slidingWindowSql)
 }
