@@ -192,6 +192,24 @@ object NativeKernels {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Integer squared L2 distance over two bigint arrays — the k-means
+    * fixed-point assignment kernel (Clustering.sqDistToLit's HOF form
+    * is CodegenFallback-interpreted; this runs inside whole-stage
+    * codegen). Integer arithmetic: no fold-order concerns at all.
+    * Null on length mismatch, like zip_with's null padding. */
+  def sqDistI64(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   private val digitRun = java.util.regex.Pattern.compile("[\\d,]+")
 
   /** F5 population token (`scrape_cia.py:256-280`): first `[\d,]+`
@@ -364,6 +382,35 @@ case class DotProductExpr(left: Expression, right: Expression)
       newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
 }
 
+/** `graft_sqdist_i64(a array<bigint>, b array<bigint>) -> bigint` */
+case class SqDistI64Expr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sqdist_i64"
+
+  private def check(e: Expression): Unit = e.dataType match {
+    case ArrayType(LongType, _) => ()
+    case t => throw new IllegalArgumentException(
+      s"graft_sqdist_i64: expected array<bigint>, got $t")
+  }
+  check(left); check(right)
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.sqDistI64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long _gsd = graft.functions.NativeKernels.sqDistI64($a, $b);
+         |if (_gsd == null) { ${ev.isNull} = true; } else { ${ev.value} = _gsd.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SqDistI64Expr = copy(left = newLeft, right = newRight)
+}
+
 /** `graft_pop_value(s string) -> double` (nullable) */
 case class PopValueExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -523,6 +570,7 @@ class GraftFunctionExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "graft_rolling_hash", 1)(c => RollingHashExpr(c.head))
     reg(ext, "graft_normalize_text", 1)(c => NormalizeTextExpr(c.head))
     reg(ext, "graft_dot", 2)(c => DotProductExpr(c.head, c(1)))
+    reg(ext, "graft_sqdist_i64", 2)(c => SqDistI64Expr(c.head, c(1)))
     reg(ext, "graft_bloom_contains", 2)(c => {
       val bytes = c(1) match {
         case x if x.foldable => x.eval().asInstanceOf[Array[Byte]]

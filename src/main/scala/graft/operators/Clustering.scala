@@ -41,17 +41,23 @@ object Clustering {
   def fixedPoint(vec: Column, scale: Double): Column =
     transform(vec, v => floor(v.cast("double") * scale + 0.5).cast("long"))
 
-  /** Exact squared L2 distance to a literal centroid (sequential fold —
-    * integer arithmetic, so fold order is moot; it still matches the
-    * oracle's). */
-  private def sqDistToLit(qv: Column, cv: Array[Long]): Column =
-    aggregate(
-      zip_with(qv, typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+  /** Exact squared L2 distance to a literal centroid — the native
+    * `graft_sqdist_i64` kernel when the session has GraftExtensions
+    * (the zip_with/aggregate HOF form is CodegenFallback-interpreted,
+    * and this runs k times per row in the assignment hot path); the
+    * portable HOF otherwise. Integer arithmetic: identical values
+    * either way. */
+  private def sqDistToLit(df: DataFrame, qv: Column, cv: Array[Long]): Column =
+    if (df.sparkSession.catalog.functionExists("graft_sqdist_i64"))
+      call_function("graft_sqdist_i64", qv, typedlit(cv.toSeq))
+    else
+      aggregate(
+        zip_with(qv, typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
 
   private def assignTo(cents: Array[(Int, Array[Long])])(df: DataFrame): DataFrame = {
     val entries = cents.map { case (cid, cv) =>
-      struct(sqDistToLit(col("qv"), cv).as("d"), lit(cid.toLong).as("c"))
+      struct(sqDistToLit(df, col("qv"), cv).as("d"), lit(cid.toLong).as("c"))
     }
     // lexicographic struct sort: min distance, ties to lowest cluster
     df.withColumn("_best", sort_array(array(entries: _*)).getItem(0))
