@@ -120,6 +120,24 @@ class DedupSpec extends SparkSpec {
     assert(local == dist)
   }
 
+  test("connectedComponents distributed path handles a six-figure edge set") {
+    // above any driver-local gate semantics: ~150k random edges over
+    // 40k vertices (supercritical — one giant component plus fringe),
+    // distributed fixpoint forced, checked against driver union-find
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(150000)(
+      (rnd.nextInt(40000).toLong, rnd.nextInt(40000).toLong))
+      .filter(p => p._1 != p._2)
+    val pairs = edges.toDF("id1", "id2")
+    val dist = Dedup.connectedComponents(pairs, "id1", "id2", localThreshold = 0)
+      .as[(Long, Long)].collect()
+    val local = Dedup.connectedComponents(pairs, "id1", "id2",
+      localThreshold = Long.MaxValue)
+      .as[(Long, Long)].collect()
+    assert(dist.toSet == local.toSet)
+    assert(dist.length == dist.map(_._1).distinct.length, "one label per vertex")
+  }
+
   test("connectedComponents on an empty pair list returns no rows") {
     val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(pairs, "id1", "id2").count() == 0)
