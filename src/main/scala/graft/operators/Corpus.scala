@@ -146,6 +146,37 @@ object Corpus {
     blocklistFilter(docs, textCol, terms)
   }
 
+  /** Unigram surprisal scoring — the CCNet/C4-style language-model
+    * quality filter reduced to its unigram core: a document's mean
+    * per-token surprise −mean(ln P(t)) under the corpus unigram model.
+    * Gibberish and boilerplate score high/low respectively vs the
+    * corpus norm.
+    *
+    * Plan: term counts are one partial-agg shuffle; the probability
+    * table is vocab-sized (Heaps' law) and broadcasts; per-doc scoring
+    * is a broadcast join + one partial-agg shuffle keyed by doc.
+    * Determinism: log-probs quantize to fixed-point BIGINT BEFORE the
+    * per-doc sum (a grouped float sum has no defined order; an integer
+    * sum is exact in any order and any engine). */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("total"))
+    val probs = tf.crossJoin(broadcast(total))
+      .select(col("term"),
+        floor((-log(col("cnt").cast("double") / col("total"))) * lit(1e9) + lit(0.5))
+          .cast("long").as("lp"))
+    val per = terms.join(broadcast(probs), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("s"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(round(col("s").cast("double") / (col("n_tokens") * lit(1e9)), 6),
+          lit(0.0)).as("mean_surprisal"))
+  }
+
   /** Corpus vocabulary: the `topN` most frequent terms with counts and
     * a deterministic dense ordering (count desc, term asc). The global
     * top-N plans as TakeOrderedAndProject over the partially-aggregated

@@ -1307,6 +1307,21 @@ object Extensions {
       "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total " +
       "FROM w GROUP BY 1, 2"
 
+  /** CCNet-style unigram surprisal quality score: fixed-point log-probs
+    * make the per-doc sum exact in any engine/order. */
+  val unigramSurprisal: Q = (s, d) =>
+    Corpus.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+
+  val unigramSurprisalSql: String =
+    s"WITH trm AS (SELECT doc_id, unnest($duckToksLower) AS term FROM documents), " +
+      "tf AS (SELECT term, count(*) AS cnt FROM trm GROUP BY term), " +
+      "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf), " +
+      "pr AS (SELECT term, CAST(floor((-ln(CAST(cnt AS DOUBLE)/total)) * 1000000000.0 + 0.5) AS BIGINT) AS lp FROM tf CROSS JOIN tot), " +
+      "per AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(lp) AS BIGINT) AS s FROM trm JOIN pr USING (term) GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, " +
+      "coalesce(round(CAST(p.s AS DOUBLE)/(p.n_tokens * 1000000000.0), 6), 0.0) AS mean_surprisal " +
+      "FROM documents d LEFT JOIN per p USING (doc_id)"
+
   /** Deterministic training-order shards over the documents corpus:
     * salted-md5 permutation, shard + in-shard position. */
   val shuffleShards: Q = (s, d) =>
@@ -1373,7 +1388,8 @@ object Extensions {
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_shuffle_shards" -> shuffleShards,
-    "q_sliding_window" -> slidingWindow)
+    "q_sliding_window" -> slidingWindow,
+    "q_unigram_surprisal" -> unigramSurprisal)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1428,5 +1444,6 @@ object Extensions {
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_shuffle_shards" -> shuffleShardsSql,
-    "q_sliding_window" -> slidingWindowSql)
+    "q_sliding_window" -> slidingWindowSql,
+    "q_unigram_surprisal" -> unigramSurprisalSql)
 }

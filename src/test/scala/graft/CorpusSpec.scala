@@ -130,6 +130,20 @@ class CorpusSpec extends SparkSpec {
     assert(got(if (s1 > s2) 1L else 2L)._2 == 1)
   }
 
+  test("unigramSurprisal matches the hand formula with exact fixed-point sums") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Corpus.unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // corpus: a=2, b=2, c=1, total=5
+    def lp(cnt: Long) = math.floor(-math.log(cnt.toDouble / 5) * 1e9 + 0.5).toLong
+    def mean(s: Long, n: Long) =
+      BigDecimal(s.toDouble / (n * 1e9))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, mean(2 * lp(2) + lp(2), 3))))
+    assert(got(2L) == ((2L, mean(lp(2) + lp(1), 2))))
+  }
+
   test("blocklistFilter plans with zero shuffle exchanges") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Corpus.blocklistFilter(docs, "text", Seq("vector"))
