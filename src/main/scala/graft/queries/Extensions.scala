@@ -946,8 +946,11 @@ object Extensions {
       "FROM toks t LEFT JOIN hits h USING (doc_id) WHERE t.hb >= 10"
 
   /** Blocklist term filter: zero-shuffle map-side anti-filter against a
-    * literal term list (the broadcast-dim degenerate case). */
-  private val BLOCK_TERMS = Seq("vector", "stream", "big")
+    * literal term list (the broadcast-dim degenerate case). The term is
+    * the corpus's planted spam marker — present in ~5% of docs; any
+    * COMMON vocab token would degenerately drop ~75% of this
+    * small-vocabulary synthetic corpus. */
+  private val BLOCK_TERMS = Seq("dup")
 
   val blocklist: Q = (s, d) =>
     Corpus.blocklistFilter(Tables.documents(s, d), "text", BLOCK_TERMS)
