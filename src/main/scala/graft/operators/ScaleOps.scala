@@ -210,6 +210,29 @@ object ScaleOps {
     df.filter(bucket < keepBelow)
   }
 
+  /** EXACT-k deterministic per-stratum sample — eval-set construction
+    * ("exactly 20 held-out docs per language"), where
+    * [[stratifiedSample]]'s rate form gives only expected sizes. The k
+    * smallest salted hashes per stratum win; selection is a pure
+    * function of ids (stable under corpus growth only for the ids that
+    * remain, which is the most any exact-k sample can promise — rate
+    * sampling is the growth-stable variant).
+    *
+    * Scale shape: the bounded-heap aggregator, NOT a per-stratum
+    * window — strata are few, so a window would funnel each stratum's
+    * entire row set through one task; the heap shuffles ≤ k entries
+    * per (stratum × partition). */
+  def exactKSample(df: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    val scored = df.select(col(strataCol).cast("string").as("_stratum"),
+      (-graft.functions.TextFunctions.hexHash60(col(idCol).cast("string"), 777))
+        .cast("double").as("_score"),
+      col(idCol))
+    TopK.topKPerGroupStr(scored, "_stratum", idCol, "_score", k)
+      .select(col("_stratum").as(strataCol), col(idCol),
+        col("rank"))
+  }
+
   /** Deterministic corpus shuffle into training shards — the
     * training-order materialization step of a pretraining pipeline
     * (a model must NOT see documents in crawl/source order, and the

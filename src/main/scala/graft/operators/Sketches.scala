@@ -16,6 +16,35 @@ import graft.functions.TextFunctions
   */
 object Sketches {
 
+  /** Fixed-bin quantile sketch — the mergeable 100 TB quantile path
+    * (exact `percentile` needs the values; this needs one bounded
+    * histogram per group). Bin counts are mergeable partials; the
+    * per-group cumulative window runs over the BIN table (bounded by
+    * value-range/binWidth, never by row count). The p-quantile
+    * estimate is the midpoint of the first bin whose cumulative count
+    * reaches ceil(p·n) — guaranteed within binWidth/2 of an actual
+    * rank-ceil(p·n) order statistic, and (unlike t-digest/KLL) a pure
+    * deterministic function of the data, so any engine reproduces it
+    * exactly. */
+  def binnedQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      binWidth: Double, ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = df
+      .groupBy(col(groupCol), floor(col(valCol) / binWidth).cast("long").as("_bin"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_bin"))
+    val wAll = Window.partitionBy(col(groupCol))
+    bins
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("p", explode(typedlit(ps)))
+      .filter(col("_cum") >= ceil(col("p") * col("_n")))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(col("_bin")).as("_qbin"))
+      .select(col(groupCol), col("p"),
+        round((col("_qbin") + 0.5) * binWidth, 6).as("estimate"))
+  }
+
   /** Portable HyperLogLog distinct count (p=8, m=256 registers,
     * ~6.5% standard error — raise p for tighter bounds).
     *

@@ -71,4 +71,24 @@ object TopK {
       .select(col(groupCol), col("_e._2").as(idCol),
         col("_e._1").as(scoreCol), (col("_pos") + 1).cast("int").as("rank"))
   }
+
+  /** [[topKPerGroup]] for STRING group keys (strata like lang/source);
+    * same bounded-heap partial aggregation, same tie semantics. */
+  def topKPerGroupStr(scored: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col(groupCol).cast("string").as("_g"),
+        col(scoreCol).cast("double").as("_s"), col(idCol).cast("long").as("_i"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new TopKAgg(k).toColumn)
+      .toDF("_g", "topk")
+      .select(col("_g").as(groupCol),
+        posexplode(col("topk")).as(Seq("_pos", "_e")))
+      .select(col(groupCol), col("_e._2").as(idCol),
+        col("_e._1").as(scoreCol), (col("_pos") + 1).cast("int").as("rank"))
+  }
 }

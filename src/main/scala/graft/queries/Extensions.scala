@@ -1325,6 +1325,36 @@ object Extensions {
       "coalesce(round(CAST(p.s AS DOUBLE)/(p.n_tokens * 1000000000.0), 6), 0.0) AS mean_surprisal " +
       "FROM documents d LEFT JOIN per p USING (doc_id)"
 
+  /** Exact-k deterministic per-stratum sample (exactly 20 docs per
+    * language) via the bounded-heap aggregator — never a per-stratum
+    * window. */
+  val exactKSample: Q = (s, d) =>
+    graft.operators.ScaleOps.exactKSample(
+      Tables.documents(s, d), "doc_id", "lang", k = 20)
+
+  val exactKSampleSql: String =
+    "WITH h AS (SELECT lang, doc_id, " +
+      "-CAST(CAST('0x' || substr(md5('777:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) AS score FROM documents) " +
+      "SELECT lang, doc_id, CAST(rn AS INT) AS rank FROM " +
+      "(SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn FROM h) " +
+      "WHERE rn <= 20"
+
+  /** Portable fixed-bin quantile sketch over event values per type. */
+  val quantileSketch: Q = (s, d) =>
+    graft.operators.Sketches.binnedQuantiles(
+      Tables.events(s, d), "event_type", "value",
+      binWidth = 1.0, ps = Seq(0.5, 0.9, 0.99))
+
+  val quantileSketchSql: String =
+    "WITH b AS (SELECT event_type, CAST(floor(value/1.0) AS BIGINT) AS bin, count(*) AS c FROM events GROUP BY 1, 2), " +
+      "cum AS (SELECT event_type, bin, c, " +
+      "sum(c) OVER (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumc, " +
+      "sum(c) OVER (PARTITION BY event_type) AS n FROM b), " +
+      "e AS (SELECT event_type, p, bin FROM cum, (SELECT unnest([0.5, 0.9, 0.99]) AS p) " +
+      "WHERE cumc >= ceil(p * n)) " +
+      "SELECT event_type, p, round((min(bin) + 0.5) * 1.0, 6) AS estimate " +
+      "FROM e GROUP BY event_type, p"
+
   /** Deterministic training-order shards over the documents corpus:
     * salted-md5 permutation, shard + in-shard position. */
   val shuffleShards: Q = (s, d) =>
@@ -1392,7 +1422,9 @@ object Extensions {
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_shuffle_shards" -> shuffleShards,
     "q_sliding_window" -> slidingWindow,
-    "q_unigram_surprisal" -> unigramSurprisal)
+    "q_unigram_surprisal" -> unigramSurprisal,
+    "q_exact_k_sample" -> exactKSample,
+    "q_quantile_sketch" -> quantileSketch)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1448,5 +1480,7 @@ object Extensions {
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_shuffle_shards" -> shuffleShardsSql,
     "q_sliding_window" -> slidingWindowSql,
-    "q_unigram_surprisal" -> unigramSurprisalSql)
+    "q_unigram_surprisal" -> unigramSurprisalSql,
+    "q_exact_k_sample" -> exactKSampleSql,
+    "q_quantile_sketch" -> quantileSketchSql)
 }

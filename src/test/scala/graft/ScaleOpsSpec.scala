@@ -210,6 +210,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(shuffled, "at least one shard must be out of id order")
   }
 
+  test("exactKSample returns exactly k per stratum (or the whole stratum) deterministically") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sizes = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val a = ScaleOps.exactKSample(docs, "doc_id", "lang", 5)
+      .as[(String, Long, Int)].collect()
+    val b = ScaleOps.exactKSample(docs, "doc_id", "lang", 5)
+      .as[(String, Long, Int)].collect()
+    assert(a.toSet == b.toSet, "selection must be deterministic")
+    a.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(5L, sizes(lang)),
+        s"$lang: got ${rows.length} of stratum size ${sizes(lang)}")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    assert(a.map(_._1).distinct.sorted.toSeq == sizes.keys.toSeq.sorted,
+      "every stratum sampled")
+  }
+
   test("saltedJoin equals the plain join result") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_linenumber", "l_partkey")

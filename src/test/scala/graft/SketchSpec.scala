@@ -58,4 +58,24 @@ class SketchSpec extends SparkSpec {
         s"$flag: |$a - $e| > ${3 * rsd * e}")
     }
   }
+
+  test("binnedQuantiles estimate is the midpoint of the bin holding the ceil(p*n) order statistic") {
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val got = graft.operators.Sketches
+      .binnedQuantiles(events, "event_type", "value", binWidth = 1.0,
+        ps = Seq(0.5, 0.9, 0.99))
+      .as[(String, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val byType = events.select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case (t, p, est) =>
+      val vs = byType(t)
+      val target = vs(math.ceil(p * vs.length).toInt - 1) // rank-ceil(p*n) value
+      val bin = math.floor(target / 1.0)
+      assert(est == BigDecimal((bin + 0.5) * 1.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$t p=$p: est $est vs order-stat $target (bin $bin)")
+    }
+  }
 }
