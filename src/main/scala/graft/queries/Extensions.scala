@@ -1154,6 +1154,35 @@ object Extensions {
       "WHERE rank <= 50"
   }
 
+  /** Hybrid retrieval — the standard two-stage search: BM25 lexical
+    * candidate generation (top-50) reranked by embedding cosine
+    * against a query vector. The candidate set is top-k-sized, so it
+    * broadcasts into the embeddings scan; the rerank window runs on
+    * ≤ 50 rows. Composes two oracled operators; the oracle chains the
+    * BM25 SQL into the cosine probe. */
+  val hybridSearch: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cands = Corpus.bm25(Tables.documents(s, d), "doc_id", "text", BM25_TERMS)
+      .select(col("doc_id"), col("score").as("bm25_score"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    emb.join(broadcast(cands), emb("vec_id") === cands("doc_id"))
+      .crossJoin(broadcast(qv))
+      .withColumn("cosine", Similarity.cosineAuto(emb, col("embedding"), col("q_vec")))
+      .select(col("doc_id"), col("bm25_score"), col("cosine"))
+      .withColumn("rerank",
+        row_number().over(Window.orderBy(col("cosine").desc, col("doc_id").asc)))
+  }
+
+  val hybridSearchSql: String =
+    s"WITH cand AS (SELECT doc_id, score AS bm25_score FROM ($bm25Sql)), " +
+      "qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q FROM embeddings WHERE vec_id = 0), " +
+      "ce AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "sc AS (SELECT c.doc_id, c.bm25_score, " +
+      "round(list_dot_product(e.ed, qv.q)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(qv.q, qv.q))), 6) AS cosine " +
+      "FROM cand c JOIN ce e ON e.vec_id = c.doc_id CROSS JOIN qv) " +
+      "SELECT doc_id, bm25_score, cosine, " +
+      "CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT) AS rerank FROM sc"
+
   /** lead/lag event-sequence features: per-user previous-event gap and
     * next event type — one window shuffle keyed by user, the canonical
     * sequence-feature plan. Deterministic total order (ts, event_id). */
@@ -1424,7 +1453,8 @@ object Extensions {
     "q_sliding_window" -> slidingWindow,
     "q_unigram_surprisal" -> unigramSurprisal,
     "q_exact_k_sample" -> exactKSample,
-    "q_quantile_sketch" -> quantileSketch)
+    "q_quantile_sketch" -> quantileSketch,
+    "q_hybrid_search" -> hybridSearch)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1482,5 +1512,6 @@ object Extensions {
     "q_sliding_window" -> slidingWindowSql,
     "q_unigram_surprisal" -> unigramSurprisalSql,
     "q_exact_k_sample" -> exactKSampleSql,
-    "q_quantile_sketch" -> quantileSketchSql)
+    "q_quantile_sketch" -> quantileSketchSql,
+    "q_hybrid_search" -> hybridSearchSql)
 }

@@ -19,7 +19,7 @@ class PlanGuardSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   private val crossJoinByDesign =
     Set("q_embed_topk", "q_quant_topk", "q_tfidf", "q_bm25",
-      "q_unigram_surprisal")
+      "q_unigram_surprisal", "q_hybrid_search")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
