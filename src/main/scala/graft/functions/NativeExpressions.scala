@@ -370,9 +370,13 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val res = nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not a fixed local: two instances in one codegen span
+      // would otherwise fail janino ("Redefinition of local variable")
+      // and drop the projection to interpreter mode
+      val d = ctx.freshName("gd")
       s"""
-         |java.lang.Double _gd = graft.functions.NativeKernels.dotGen($a, $b, $lFloat, $rFloat);
-         |if (_gd == null) { ${ev.isNull} = true; } else { ${ev.value} = _gd.doubleValue(); }
+         |java.lang.Double $d = graft.functions.NativeKernels.dotGen($a, $b, $lFloat, $rFloat);
+         |if ($d == null) { ${ev.isNull} = true; } else { ${ev.value} = $d.doubleValue(); }
        """.stripMargin
     })
     res
@@ -401,9 +405,13 @@ case class SqDistI64Expr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: a fixed local name collides ("Redefinition of local
+      // variable") when the expression appears twice in one codegen span,
+      // silently dropping the whole projection to interpreter mode
+      val d = ctx.freshName("gsd")
       s"""
-         |java.lang.Long _gsd = graft.functions.NativeKernels.sqDistI64($a, $b);
-         |if (_gsd == null) { ${ev.isNull} = true; } else { ${ev.value} = _gsd.longValue(); }
+         |java.lang.Long $d = graft.functions.NativeKernels.sqDistI64($a, $b);
+         |if ($d == null) { ${ev.isNull} = true; } else { ${ev.value} = $d.longValue(); }
        """.stripMargin
     })
 
@@ -422,9 +430,10 @@ case class PopValueExpr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val d = ctx.freshName("gp")
       s"""
-         |java.lang.Double _gp = graft.functions.NativeKernels.popValue($c);
-         |if (_gp == null) { ${ev.isNull} = true; } else { ${ev.value} = _gp.doubleValue(); }
+         |java.lang.Double $d = graft.functions.NativeKernels.popValue($c);
+         |if ($d == null) { ${ev.isNull} = true; } else { ${ev.value} = $d.doubleValue(); }
        """.stripMargin
     })
 
@@ -443,9 +452,10 @@ case class PopYearExpr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val y = ctx.freshName("gy")
       s"""
-         |UTF8String _gy = graft.functions.NativeKernels.popYear($c);
-         |if (_gy == null) { ${ev.isNull} = true; } else { ${ev.value} = _gy; }
+         |UTF8String $y = graft.functions.NativeKernels.popYear($c);
+         |if ($y == null) { ${ev.isNull} = true; } else { ${ev.value} = $y; }
        """.stripMargin
     })
 
