@@ -201,6 +201,98 @@ object Ranks {
     result
   }
 
+  /** Personalized PageRank (random walk with restart): identical
+    * delta-series semantics to [[pageRank]] but the restart mass sits
+    * only on `seeds` — rank = (1-d)·Σ_{k=0..n-1}(d·Mᵀ)^k·e_S, so
+    * vertices unreachable from the seed set stay at exactly 0.0. The
+    * recommendation/proximity primitive a graph store serves
+    * ("what's near THESE nodes"), one aggregateMessages shuffle per
+    * superstep like the global ranks. */
+  def personalizedPageRank(g: Graph[String, Double], seeds: Set[String],
+      iters: Int = 20, damping: Double = 0.85): VertexRDD[Double] = {
+    var rankGraph: Graph[(Double, Double, Double), Double] = g
+      .outerJoinVertices(g.outDegrees) { (_, name, deg) =>
+        val init = if (seeds.contains(name)) 1.0 - damping else 0.0
+        val d = deg.getOrElse(0)
+        (init, init, if (d > 0) 1.0 / d else 0.0)
+      }.cache()
+    var i = 1
+    while (i < iters) {
+      val msgs: VertexRDD[Double] = rankGraph.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr._2 * ctx.srcAttr._3),
+        _ + _, TripletFields.Src)
+      val prev = rankGraph
+      rankGraph = rankGraph.outerJoinVertices(msgs) { (_, attr, msg) =>
+        val term = damping * msg.getOrElse(0.0)
+        (attr._1 + term, term, attr._3)
+      }.cache()
+      rankGraph.edges.foreachPartition(_ => ()) // see powerIterate
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+      i += 1
+    }
+    val result = rankGraph.vertices.mapValues(_._1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    rankGraph.unpersistVertices(blocking = false)
+    rankGraph.edges.unpersist(blocking = false)
+    result
+  }
+
+  /** [[personalizedPageRank]] as a name-keyed table, with the same
+    * small-graph driver-local gate as [[rankTable]]. */
+  def pprTable(edges: DataFrame, src: String, dst: String,
+      seeds: Seq[String], iters: Int = 20, damping: Double = 0.85,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val preCached = edges.storageLevel != StorageLevel.NONE
+    val e = if (preCached) edges
+      else edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val out =
+      if (nEdges <= localThreshold) {
+        val rawEdges = e.select(col(src).cast("string"), col(dst).cast("string"))
+          .as[(String, String)].collect()
+        val verts = (rawEdges.map(_._1) ++ rawEdges.map(_._2)).distinct
+        val idx = verts.zipWithIndex.toMap
+        val es = rawEdges.map { case (s, d) => (idx(s), idx(d)) }
+        val n = verts.length
+        val outDeg = new Array[Int](n)
+        es.foreach { case (s, _) => outDeg(s) += 1 }
+        val inv = Array.tabulate(n)(i => if (outDeg(i) > 0) 1.0 / outDeg(i) else 0.0)
+        val seedSet = seeds.toSet
+        val init = 1.0 - damping
+        val pr = Array.tabulate(n)(i => if (seedSet(verts(i))) init else 0.0)
+        var term = pr.clone()
+        var i = 1
+        while (i < iters) {
+          val m = new Array[Double](n)
+          es.foreach { case (s, d) => m(d) += term(s) * inv(s) }
+          var v = 0
+          while (v < n) { m(v) *= damping; pr(v) += m(v); v += 1 }
+          term = m
+          i += 1
+        }
+        verts.indices.map(v => (verts(v), pr(v))).toSeq.toDF("name", "ppr")
+      } else {
+        val parts = math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong, nEdges / 50000L + 1L)).toInt
+        val g = graphFromNames(e, src, dst, None, Some(parts)).cache()
+        val ranks = personalizedPageRank(g, seeds.toSet, iters, damping)
+        val names = g.vertices.map { case (id, nm) => (id, nm) }.toDF("id", "name")
+        val df = names.join(ranks.toDF("id", "ppr"), "id").drop("id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        ranks.unpersist(blocking = false)
+        g.unpersistVertices(blocking = false)
+        g.edges.unpersist(blocking = false)
+        df
+      }
+    if (!preCached) e.unpersist(blocking = false)
+    out
+  }
+
   /** Edge count at or below which the rank iteration runs driver-local
     * (the aggregation producing the edge list is still fully
     * distributed — only the O(E·iters) series math moves, the same way

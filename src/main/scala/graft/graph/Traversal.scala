@@ -1,0 +1,82 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph-traversal queries the reference's graph store would
+  * answer in Cypher (`MATCH (a)-[*..k]->(b)`, community detection) —
+  * re-expressed as bounded DataFrame iteration: each superstep is one
+  * keyed join + aggregation, exactly the shuffle a Pregel round pays,
+  * with the frontier/label set as the only iterated state.
+  *
+  * Scale shape: per-superstep cost is O(frontier ⋈ edges) with
+  * short-key exchanges; the driver sees only a per-round convergence
+  * count, never vertex data. Rounds are explicitly bounded (maxHops /
+  * iters) so plan depth stays fixed; a 100 TB deployment would add a
+  * `localCheckpoint` per ~10 rounds to truncate lineage (same as
+  * `Dedup.connectedComponents`).
+  */
+object Traversal {
+
+  /** Unweighted BFS hop distance from `seeds` along directed edges,
+    * bounded at `maxHops`. Returns (name, hop) for every vertex
+    * reached, hop = first-reach level (deterministic regardless of
+    * partitioning: set semantics per level). Early-exits when a
+    * frontier drains before the bound. */
+  def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[String], maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.toDF("name").withColumn("hop", lit(0))
+    var frontier = dist
+    var k = 0
+    var drained = false
+    while (k < maxHops && !drained) {
+      k += 1
+      val next = frontier.join(e, col("name") === col("_s"))
+        .select(col("_d").as("name")).distinct()
+        .join(dist, Seq("name"), "left_anti")
+        .withColumn("hop", lit(k))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      drained = next.isEmpty // the one action per superstep
+      dist = dist.unionByName(next)
+      frontier = next
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** Synchronous label propagation (community detection), `iters` fixed
+    * rounds over the UNDIRECTED view of the edges. Every vertex starts
+    * with its own name as label; each round it adopts the most frequent
+    * label among its neighbours, ties broken by smallest label — the
+    * deterministic variant of classic LPA (async/random tie-breaks
+    * would never hash-verify). Returns (name, community). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("a").as("name")).distinct()
+      .withColumn("label", col("name"))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("_n").desc, col("label").asc)
+    for (_ <- 1 to iters) {
+      labels = und
+        .join(labels.withColumnRenamed("name", "b"), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("_n"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("a").as("name"), col("label"))
+    }
+    labels.withColumnRenamed("label", "community")
+  }
+}

@@ -190,4 +190,30 @@ object Corpus {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("term").asc)))
   }
+
+  /** Overlapping fixed-size character chunks — the RAG / context-window
+    * preparation step: each document yields windows of `chunkSize`
+    * chars starting every `stride` chars (`stride <= chunkSize` keeps
+    * coverage gapless; the final window is shorter). Emits (doc,
+    * chunk_idx, chunk_start [1-based], md5 fingerprint, length) — the
+    * hash stands in for the chunk text so downstream exchanges carry
+    * 32 bytes, not document bytes.
+    *
+    * Scale shape: a pure map-side explode — zero shuffles; output rows
+    * ≈ chars/stride per doc, each independent of corpus size. Empty
+    * documents still emit their one (empty) chunk, so no doc silently
+    * disappears from the chunk index. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val starts = sequence(lit(1),
+      greatest(length(col(textCol)), lit(1)), lit(stride))
+    val chunk = col("_text").substr(col("chunk_start"), lit(chunkSize))
+    docs
+      .select(col(idCol), col(textCol).as("_text"),
+        posexplode(starts).as(Seq("chunk_idx", "chunk_start")))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        md5(chunk).as("chunk_hash"), length(chunk).as("chunk_len"))
+  }
 }

@@ -329,6 +329,29 @@ object Dedup {
     * Reassembly sorts each doc's surviving lines with `array_sort`
     * over collected (idx, line) structs — bounded by lines-per-doc,
     * not corpus. */
+  /** Blocked edit-distance (entity-resolution) join: every query row
+    * matched to every `dim` row within Levenshtein distance `maxDist`.
+    * Never a cross join: `dist(a,b) <= k` implies `|len(a)-len(b)| <=
+    * k`, so the dim side fans out to its 2k+1 admissible lengths and
+    * the match becomes a LENGTH-band equi-join plus the exact distance
+    * residual — candidate pairs are bounded by names-per-length-band,
+    * not |q|×|dim|. The dim side (a canonical entity lexicon) is
+    * dimension-sized, so it broadcasts even exploded; at corpus-scale
+    * dims you would add a q-gram prefix key to the band (same plan,
+    * tighter blocks). Emits query columns + dim columns + `dist`. */
+  def editDistanceJoin(queries: DataFrame, qCol: String, dim: DataFrame,
+      dimCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val dimB = dim.withColumn("_lb",
+      explode(sequence(length(col(dimCol)) - maxDist,
+        length(col(dimCol)) + maxDist)))
+    queries.withColumn("_lb", length(col(qCol)))
+      .join(broadcast(dimB), Seq("_lb"))
+      .withColumn("dist", levenshtein(col(qCol), col(dimCol)))
+      .filter(col("dist") <= maxDist)
+      .drop("_lb")
+  }
+
   def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = spread(df)
       .select(col(idCol).as("_doc"),

@@ -1395,6 +1395,79 @@ object Extensions {
       "s AS (SELECT doc_id, _k, CAST('0x' || substr(_k, 1, 4) AS BIGINT) % 16 AS shard FROM k) " +
       "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY _k, doc_id) AS INT) AS pos FROM s"
 
+  /** Overlapping character chunks (RAG / context-window prep) over the
+    * documents corpus: 120-char windows every 90 chars, chunk text
+    * carried as an md5 fingerprint. Pure map-side explode — no
+    * shuffle. */
+  val docChunk: Q = (s, d) =>
+    Corpus.chunkDocuments(spread(Tables.documents(s, d)), "doc_id", "text",
+      chunkSize = 120, stride = 90)
+
+  val docChunkSql: String =
+    "WITH c AS (SELECT doc_id, text, " +
+      "unnest(generate_series(1, greatest(length(text), 1), 90)) AS chunk_start FROM documents) " +
+      "SELECT doc_id, CAST((chunk_start - 1) // 90 AS INT) AS chunk_idx, " +
+      "CAST(chunk_start AS INT) AS chunk_start, " +
+      "md5(substring(text, CAST(chunk_start AS INT), 120)) AS chunk_hash, " +
+      "CAST(length(substring(text, CAST(chunk_start AS INT), 120)) AS INT) AS chunk_len FROM c"
+
+  /** Blocked edit-distance entity-resolution join: nation names with
+    * one deterministically-deleted character (delete position 2 +
+    * key mod (len-1) — never the first char) matched back against the
+    * canonical nation lexicon within Levenshtein distance 1. Some
+    * corrupted names legitimately match several nations (NATION_12
+    * minus its last digit IS NATION_1) — the join emits all of them. */
+  val fuzzyJoin: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+    val len = length(col("n_name"))
+    val dp = lit(2) + pmod(col("n_nationkey"), len - lit(1))
+    val corrupted = n.select(col("n_nationkey").as("qid"),
+      concat(col("n_name").substr(lit(1), dp - lit(1)),
+        col("n_name").substr(dp + lit(1), len)).as("q"))
+    Dedup.editDistanceJoin(corrupted, "q",
+        n.select(col("n_name")), "n_name", maxDist = 1)
+      .select(col("qid"), col("q"), col("n_name").as("matched"), col("dist"))
+  }
+
+  val fuzzyJoinSql: String =
+    "WITH q AS (SELECT n_nationkey AS qid, " +
+      "substring(n_name, 1, 1 + (n_nationkey % (length(n_name) - 1))) || " +
+      "substring(n_name, 3 + (n_nationkey % (length(n_name) - 1)), length(n_name)) AS q " +
+      "FROM nation) " +
+      "SELECT q.qid, q.q, n.n_name AS matched, " +
+      "CAST(levenshtein(q.q, n.n_name) AS INT) AS dist " +
+      "FROM q JOIN nation n ON abs(length(q.q) - length(n.n_name)) <= 1 " +
+      "AND levenshtein(q.q, n.n_name) <= 1"
+
+  /** Z-order layout round trip: lineitem written Morton-ordered by
+    * (l_partkey, l_suppkey), read back through a 2-D box predicate,
+    * each row tagged with its z-value. The VALUE check covers the
+    * interleave math + box semantics (layout can't change results —
+    * that's the point); the row-group-skipping benefit vs a linear
+    * sort is pinned by ZOrderSpec against parquet footer stats. */
+  private val ZBITS = 20
+
+  val zorder: Q = (s, d) => {
+    import graft.sources.ZOrderLayout
+    val target = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-zorder-lineitem").toString
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    ZOrderLayout.writeZOrdered(li, target, "l_partkey", "l_suppkey",
+      parts = s.sparkContext.defaultParallelism, bits = ZBITS)
+    ZOrderLayout.read(s, target)
+      .filter(col("l_partkey").between(10, 120) &&
+        col("l_suppkey").between(2, 60))
+      .withColumn("z",
+        ZOrderLayout.zValue(col("l_partkey"), col("l_suppkey"), ZBITS))
+  }
+
+  val zorderSql: String =
+    "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, " +
+      s"(${graft.sources.ZOrderLayout.zValueSql("l_partkey", "l_suppkey", ZBITS)}) AS z " +
+      "FROM lineitem WHERE l_partkey BETWEEN 10 AND 120 AND l_suppkey BETWEEN 2 AND 60"
+
   // -------------------- registry --------------------
 
   val queries: Map[String, Q] = Map(
@@ -1454,7 +1527,10 @@ object Extensions {
     "q_unigram_surprisal" -> unigramSurprisal,
     "q_exact_k_sample" -> exactKSample,
     "q_quantile_sketch" -> quantileSketch,
-    "q_hybrid_search" -> hybridSearch)
+    "q_hybrid_search" -> hybridSearch,
+    "q_doc_chunk" -> docChunk,
+    "q_fuzzy_join" -> fuzzyJoin,
+    "q_zorder" -> zorder)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1513,5 +1589,8 @@ object Extensions {
     "q_unigram_surprisal" -> unigramSurprisalSql,
     "q_exact_k_sample" -> exactKSampleSql,
     "q_quantile_sketch" -> quantileSketchSql,
-    "q_hybrid_search" -> hybridSearchSql)
+    "q_hybrid_search" -> hybridSearchSql,
+    "q_doc_chunk" -> docChunkSql,
+    "q_fuzzy_join" -> fuzzyJoinSql,
+    "q_zorder" -> zorderSql)
 }

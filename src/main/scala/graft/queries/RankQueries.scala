@@ -97,16 +97,22 @@ object RankQueries {
         col("top_partner"), col("partner_amount"))
   }
 
-  def top50PartnersSql(iters: Int = 20, damping: Double = 0.85): String =
-    rankSeriesCtes(iters, damping) +
-      ", amt AS MATERIALIZED (SELECT n1.n_name AS src, n2.n_name AS dst, " +
+  /** Weighted nation-edge aggregate (same pipeline as
+    * SparkEntry.nationTradeEdges WITH the amount) — shared by the
+    * top-50 and community oracles. */
+  private val amtCte: String =
+    "amt AS MATERIALIZED (SELECT n1.n_name AS src, n2.n_name AS dst, " +
       "CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS amount " +
       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
       "JOIN customer c ON o.o_custkey = c.c_custkey " +
       "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
       "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey " +
       "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey " +
-      "WHERE n1.n_name <> n2.n_name GROUP BY 1, 2)" +
+      "WHERE n1.n_name <> n2.n_name GROUP BY 1, 2)"
+
+  def top50PartnersSql(iters: Int = 20, damping: Double = 0.85): String =
+    rankSeriesCtes(iters, damping) +
+      s", $amtCte" +
       ", p1 AS (SELECT src, dst, amount FROM (SELECT src, dst, amount, " +
       "row_number() OVER (PARTITION BY src ORDER BY amount DESC, dst ASC) AS rn FROM amt) WHERE rn = 1)" +
       s", rk AS (SELECT name, round(pr, 6) AS pagerank, " +
@@ -143,12 +149,114 @@ object RankQueries {
       "SELECT name, count(*) AS n_triangles FROM " +
       "(SELECT unnest([a, b, c]) AS name FROM tri) GROUP BY name"
 
+  /** BFS hop distance from NATION_0 over the directed trade graph,
+    * bounded at 3 hops — the `MATCH (a)-[*..3]->(b)` reachability
+    * query a graph store answers. Oracle = one chained CTE per BFS
+    * level (frontier join + first-reach anti-filter, exactly the
+    * superstep the Spark loop runs). */
+  val hops: Q = (s, dir) =>
+    graft.graph.Traversal.hopDistance(
+      graft.SparkEntry.nationTradeEdges(s, dir),
+      "src_nation", "dst_nation", Seq("NATION_0"), maxHops = 3)
+
+  def hopsSql(seed: String = "NATION_0", maxHops: Int = 3): String = {
+    val head = Seq(edgeCte, s"d0 AS (SELECT '$seed' AS name, 0 AS hop)")
+    val steps = (1 to maxHops).flatMap { k =>
+      Seq(
+        s"f$k AS (SELECT DISTINCT e.dst AS name FROM d${k - 1} t " +
+          s"JOIN edges e ON e.src = t.name WHERE t.hop = ${k - 1})",
+        s"d$k AS (SELECT name, hop FROM d${k - 1} UNION ALL " +
+          s"SELECT f.name, $k FROM f$k f " +
+          s"WHERE f.name NOT IN (SELECT name FROM d${k - 1}))")
+    }
+    "WITH " + (head ++ steps).mkString(", ") +
+      s" SELECT name, hop FROM d$maxHops"
+  }
+
+  /** Community detection: deterministic synchronous label propagation
+    * (3 rounds, most-frequent-neighbour label, min-label tie-break)
+    * over each nation's top-3 export partners — the full trade graph
+    * is near-complete, so communities only emerge on the strong-edge
+    * backbone. Oracle = one chained CTE per LPA round. */
+  val communities: Q = (s, dir) => {
+    val edges = graft.SparkEntry.nationTradeEdges(s, dir)
+    val w = Window.partitionBy("src_nation")
+      .orderBy(desc("amount"), asc("dst_nation"))
+    val top3 = edges.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3)
+      .select(col("src_nation"), col("dst_nation"))
+    graft.graph.Traversal.labelPropagation(
+      top3, "src_nation", "dst_nation", iters = 3)
+  }
+
+  def communitiesSql(iters: Int = 3): String = {
+    val head = Seq(
+      amtCte,
+      "top3 AS (SELECT src, dst FROM (SELECT src, dst, " +
+        "row_number() OVER (PARTITION BY src ORDER BY amount DESC, dst ASC) AS rn " +
+        "FROM amt) WHERE rn <= 3)",
+      "und AS MATERIALIZED (SELECT DISTINCT a, b FROM " +
+        "(SELECT src AS a, dst AS b FROM top3 UNION ALL SELECT dst, src FROM top3))",
+      "l0 AS (SELECT DISTINCT a AS name, a AS label FROM und)")
+    val steps = (1 to iters).map { k =>
+      s"l$k AS (SELECT name, label FROM (SELECT u.a AS name, x.label, " +
+        "row_number() OVER (PARTITION BY u.a ORDER BY count(*) DESC, x.label ASC) AS rn " +
+        s"FROM und u JOIN l${k - 1} x ON x.name = u.b GROUP BY u.a, x.label) WHERE rn = 1)"
+    }
+    "WITH " + (head ++ steps).mkString(", ") +
+      s" SELECT name, label AS community FROM l$iters"
+  }
+
+  /** Personalized PageRank from two seed nations — "what is close to
+    * THESE nodes" proximity over the trade graph. Same truncated
+    * delta series as the flagship ranks, restart mass on the seeds
+    * only; unreachable vertices emit exactly 0.0. */
+  val PPR_SEEDS: Seq[String] = Seq("NATION_0", "NATION_1")
+
+  val ppr: Q = (s, dir) =>
+    graft.graph.Ranks
+      .pprTable(graft.SparkEntry.nationTradeEdges(s, dir),
+        "src_nation", "dst_nation", PPR_SEEDS)
+      .select(col("name"), round(col("ppr"), 6).as("ppr"))
+
+  def pprSql(seeds: Seq[String] = PPR_SEEDS, iters: Int = 20,
+      damping: Double = 0.85): String = {
+    val init = (1.0 - damping).toString
+    val d = damping.toString
+    val seedList = seeds.map(n => s"'$n'").mkString(", ")
+    val head = Seq(
+      edgeCte,
+      "verts AS MATERIALIZED (SELECT src AS name FROM edges UNION SELECT dst FROM edges)",
+      "deg AS MATERIALIZED (SELECT v.name, coalesce(g.cnt, 0) AS od FROM verts v " +
+        "LEFT JOIN (SELECT src, count(*) AS cnt FROM edges GROUP BY src) g ON g.src = v.name)",
+      s"t0 AS MATERIALIZED (SELECT name, CASE WHEN name IN ($seedList) " +
+        s"THEN CAST($init AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr, " +
+        s"CASE WHEN name IN ($seedList) THEN CAST($init AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END AS prt FROM verts)")
+    val steps = (1 until iters).flatMap { k =>
+      Seq(
+        s"m$k AS MATERIALIZED (SELECT e.dst AS name, sum(t.prt * (1.0/dg.od)) AS mpr " +
+          s"FROM t${k - 1} t JOIN edges e ON t.name = e.src " +
+          "JOIN deg dg ON dg.name = t.name GROUP BY e.dst)",
+        s"t$k AS MATERIALIZED (SELECT t.name, t.pr + $d*coalesce(m.mpr, 0.0) AS pr, " +
+          s"$d*coalesce(m.mpr, 0.0) AS prt FROM t${k - 1} t LEFT JOIN m$k m ON m.name = t.name)")
+    }
+    "WITH " + (head ++ steps).mkString(", ") +
+      s" SELECT name, round(pr, 6) AS ppr FROM t${iters - 1}"
+  }
+
   val queries: Map[String, Q] = Map(
     "q_top50_partners" -> top50Partners,
-    "q_triangles" -> triangles)
+    "q_triangles" -> triangles,
+    "q_hops" -> hops,
+    "q_communities" -> communities,
+    "q_ppr" -> ppr)
 
   val oracles: Map[String, String] = Map(
     "q_trade_ranks" -> tradeRanksSql(),
     "q_top50_partners" -> top50PartnersSql(),
-    "q_triangles" -> trianglesSql)
+    "q_triangles" -> trianglesSql,
+    "q_hops" -> hopsSql(),
+    "q_communities" -> communitiesSql(),
+    "q_ppr" -> pprSql())
 }

@@ -193,6 +193,33 @@ object Relational {
       "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue, " +
       "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
 
+  /** Incremental aggregate maintenance — the warehouse pattern where a
+    * standing aggregate table absorbs a delta batch by re-aggregating
+    * MERGEABLE PARTIALS (counts and decimal sums add exactly; avg/var
+    * would ship as (sum, n) pairs). Demonstrated by splitting events on
+    * event_id parity into "base" and "delta", aggregating each
+    * independently, and merging — the oracle aggregates the whole table
+    * in one pass, so the hash gate proves partial-merge ≡ full re-agg.
+    * At 100 TB this is the nightly-rollup shape: the delta pass touches
+    * only new data, the merge touches only aggregate rows. */
+  val aggMerge: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(24,6)")).as("s"))
+    partial(ev.filter(col("event_id") % 2 === 0))
+      .unionByName(partial(ev.filter(col("event_id") % 2 === 1)))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("s")).cast("double").as("sum_value"))
+  }
+
+  val aggMergeSql: String =
+    "SELECT user_id, COUNT(*) AS n_events, " +
+      "CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value " +
+      "FROM events GROUP BY user_id"
+
   /** J1/J2 — chained dimension joins (broadcast at any fact scale). */
   val joinDims: Q = (s, d) =>
     Tables.customer(s, d)
@@ -467,6 +494,7 @@ object Relational {
     "q_canonicalize" -> canonicalize,
     "q_ratio_scale" -> ratioScale,
     "q_agg_group" -> aggGroup,
+    "q_agg_merge" -> aggMerge,
     "q_join_dims" -> joinDims,
     "q_join_edges" -> joinEdges,
     "q_latest_per_group" -> latestPerGroup,
@@ -501,6 +529,7 @@ object Relational {
     "q_canonicalize" -> canonicalizeSql,
     "q_ratio_scale" -> ratioScaleSql,
     "q_agg_group" -> aggGroupSql,
+    "q_agg_merge" -> aggMergeSql,
     "q_join_dims" -> joinDimsSql,
     "q_join_edges" -> joinEdgesSql,
     "q_latest_per_group" -> latestPerGroupSql,

@@ -151,4 +151,30 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"blocklist filter must be a pure map:\n$plan")
   }
+
+  test("chunkDocuments: gapless coverage, correct overlap, empty doc kept") {
+    val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy"))
+      .toDF("doc_id", "text")
+    // size 4, stride 3: doc 1 (10 chars) -> starts 1,4,7,10
+    val got = Corpus.chunkDocuments(docs, "doc_id", "text", 4, 3)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_len")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 1, 4), (1L, 1, 4, 4), (1L, 2, 7, 4), (1L, 3, 10, 1),
+      (2L, 0, 1, 0),
+      (3L, 0, 1, 2)))
+    // fingerprints match md5 of the exact substrings
+    val hashes = Corpus.chunkDocuments(docs, "doc_id", "text", 4, 3)
+      .filter(col("doc_id") === 1L && col("chunk_idx") === 1)
+      .select("chunk_hash").as[String].head()
+    assert(hashes == java.security.MessageDigest.getInstance("MD5")
+      .digest("defg".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("chunkDocuments plans as a pure map-side explode (no Exchange)") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Corpus.chunkDocuments(docs, "doc_id", "text", 120, 90)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
 }

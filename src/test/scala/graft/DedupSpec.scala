@@ -142,4 +142,20 @@ class DedupSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(pairs, "id1", "id2").count() == 0)
   }
+
+  test("editDistanceJoin equals the brute-force cross join, never a cross plan") {
+    val qs = Seq("kitten", "sitting", "ktten", "abc", "").toDF("q")
+    val dim = Seq("kitten", "mitten", "sitten", "abcd", "x").toDF("name")
+    val blocked = Dedup.editDistanceJoin(qs, "q", dim, "name", 2)
+    val brute = qs.crossJoin(dim)
+      .withColumn("dist", levenshtein(col("q"), col("name")))
+      .filter(col("dist") <= 2)
+    assert(blocked.select("q", "name", "dist").as[(String, String, Int)]
+      .collect().toSet ==
+      brute.select("q", "name", "dist").as[(String, String, Int)]
+        .collect().toSet)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"length-band blocking must plan as an equi-join:\n$plan")
+  }
 }

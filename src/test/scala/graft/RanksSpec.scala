@@ -58,4 +58,33 @@ class RanksSpec extends SparkSpec {
       .select("name", "pagerank").as[(String, Double)].collect().toMap
     assert(got("c") > got("a") && got("a") > got("b") && got("b") > got("d"))
   }
+
+  test("personalized PageRank with ALL vertices seeded equals global PageRank") {
+    val ppr = Ranks.pprTable(edges, "src", "dst", Seq("a", "b", "c", "d"))
+      .as[(String, Double)].collect().toMap
+    val pr = expectedPageRank(20)
+    for ((k, v) <- pr) assert(math.abs(ppr(k) - v) < 1e-12, s"vertex $k")
+  }
+
+  test("personalized PageRank: unreachable vertices rank exactly 0, seeds carry mass") {
+    // from seed d, only c then a then b are reachable
+    val ppr = Ranks.pprTable(edges, "src", "dst", Seq("d"))
+      .as[(String, Double)].collect().toMap
+    assert(ppr("d") == 1.0 - 0.85) // nothing links to d: restart mass only
+    assert(ppr("c") > ppr("a") && ppr("a") > ppr("b") && ppr("b") > 0)
+    // chain check: c gets 0.85 * d's term each round plus a's backflow
+    val isolated = Ranks.pprTable(
+      Seq(("x", "y"), ("d", "c")).toDF("src", "dst"), "src", "dst", Seq("d"))
+      .as[(String, Double)].collect().toMap
+    assert(isolated("x") == 0.0 && isolated("y") == 0.0)
+  }
+
+  test("personalized PageRank: local and distributed paths agree") {
+    val local = Ranks.pprTable(edges, "src", "dst", Seq("a", "d"))
+      .as[(String, Double)].collect().toMap
+    val dist = Ranks.pprTable(edges, "src", "dst", Seq("a", "d"),
+        localThreshold = 0)
+      .as[(String, Double)].collect().toMap
+    for ((k, v) <- local) assert(math.abs(dist(k) - v) < 1e-12, s"vertex $k")
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Traversal
+
+class TraversalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hopDistance: chain graph gets exact levels, bound truncates") {
+    // a -> b -> c -> d, plus e unreachable
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "e2"))
+      .toDF("src", "dst")
+    val full = Traversal.hopDistance(edges, "src", "dst", Seq("a"), 5)
+      .as[(String, Int)].collect().toMap
+    assert(full == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+    val bounded = Traversal.hopDistance(edges, "src", "dst", Seq("a"), 2)
+      .as[(String, Int)].collect().toMap
+    assert(bounded == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  test("hopDistance: first-reach wins when paths of different length exist") {
+    // a -> b directly AND a -> x -> b: b must report hop 1
+    val edges = Seq(("a", "b"), ("a", "x"), ("x", "b")).toDF("src", "dst")
+    val got = Traversal.hopDistance(edges, "src", "dst", Seq("a"), 4)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "x" -> 1))
+  }
+
+  test("labelPropagation: two cliques over a bridge keep distinct communities") {
+    // 4-cliques: three in-clique neighbours outvote the one bridge
+    // label by round 2 (in a 3-clique the round-1 counts tie and the
+    // min tie-break lets the bridge label leak — inherent to any
+    // deterministic tie-break, not a bug)
+    def clique(p: String) = for {
+      i <- 1 to 4; j <- (i + 1) to 4
+    } yield (s"$p$i", s"$p$j")
+    val edges = (clique("a") ++ clique("b") :+ ("a1" -> "b1"))
+      .toDF("src", "dst")
+    val got = Traversal.labelPropagation(edges, "src", "dst", 3)
+      .as[(String, String)].collect().toMap
+    assert((1 to 4).map(i => got(s"a$i")).toSet == Set("a1"))
+    assert((1 to 4).map(i => got(s"b$i")).toSet == Set("b1"))
+  }
+
+  test("labelPropagation is deterministic across runs") {
+    val edges = graft.SparkEntry
+      .nationTradeEdges(spark, "/root/testdata/sf0.001")
+    def run() = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src_nation").orderBy(desc("amount"), asc("dst_nation"))
+      val top3 = edges.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 3).select(col("src_nation"), col("dst_nation"))
+      Traversal.labelPropagation(top3, "src_nation", "dst_nation", 3)
+        .as[(String, String)].collect().toMap
+    }
+    assert(run() == run())
+  }
+}
