@@ -15,6 +15,10 @@ run / fork := true
 // prefixes every line with "[info] ", which broke the driver's parse of
 // Bench's one-line JSON in rounds 1-2 (BENCH_r0{1,2}.json parsed:null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and nothing may print AFTER it: sbt's "[success] Total time" line
+// otherwise lands below the JSON and a last-line parse reads that
+// instead (exit code still signals success).
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,7 +41,8 @@ object Ranks {
     * vertex set is the edge endpoints. */
   def graphFromNames(edges: DataFrame, src: String, dst: String,
       vertices: Option[DataFrame] = None,
-      numParts: Option[Int] = None): Graph[String, Double] = {
+      numParts: Option[Int] = None,
+      weightCol: Option[String] = None): Graph[String, Double] = {
     val spark = edges.sparkSession
     import spark.implicits._
     val vertDf = vertices match {
@@ -65,8 +66,9 @@ object Ranks {
       case None => edges
     }
     var edgeRdd = edgeDf
-      .select(xxhash64(col(src)).as("srcId"), xxhash64(col(dst)).as("dstId"))
-      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1.0) }
+      .select(xxhash64(col(src)).as("srcId"), xxhash64(col(dst)).as("dstId"),
+        weightCol.map(w => col(w).cast("double")).getOrElse(lit(1.0)).as("w"))
+      .as[(Long, Long, Double)].rdd.map { case (s, d, w) => Edge(s, d, w) }
     var vertRdd = vertDf
       .select(xxhash64(col("name")).as("id"), col("name"))
       .as[(Long, String)].rdd
@@ -199,6 +201,101 @@ object Ranks {
     rankGraph.unpersistVertices(blocking = false)
     rankGraph.edges.unpersist(blocking = false)
     result
+  }
+
+  /** Weighted PageRank: each neighbour's contribution scales with its
+    * edge weight — term' = d·Σ_in term(u)·w(u,v)/W(u), W(u) = Σ
+    * outgoing weight. The variant Neo4j GDS enables via
+    * `relationshipWeightProperty` — the reference PROJECTS the trade
+    * `amount` (`preprocess_upload_neo4j.py:406`) but never passes the
+    * weight param, so its ranks are uniform; this closes that gap.
+    * Same truncated delta series and superstep cost as [[pageRank]];
+    * zero-weight-sum vertices contribute nothing (like sinks). */
+  def weightedPageRank(g: Graph[String, Double], iters: Int = 20,
+      damping: Double = 0.85): VertexRDD[Double] = {
+    val wSums: VertexRDD[Double] = g.aggregateMessages[Double](
+      ctx => ctx.sendToSrc(ctx.attr), _ + _)
+    val init = 1.0 - damping
+    var rankGraph: Graph[(Double, Double, Double), Double] = g
+      .outerJoinVertices(wSums) { (_, _, w) =>
+        (init, init, w.filter(_ > 0).map(1.0 / _).getOrElse(0.0))
+      }.cache()
+    var i = 1
+    while (i < iters) {
+      val msgs: VertexRDD[Double] = rankGraph.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr._2 * ctx.srcAttr._3 * ctx.attr),
+        _ + _, TripletFields.Src)
+      val prev = rankGraph
+      rankGraph = rankGraph.outerJoinVertices(msgs) { (_, attr, msg) =>
+        val term = damping * msg.getOrElse(0.0)
+        (attr._1 + term, term, attr._3)
+      }.cache()
+      rankGraph.edges.foreachPartition(_ => ()) // see powerIterate
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+      i += 1
+    }
+    val result = rankGraph.vertices.mapValues(_._1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    rankGraph.unpersistVertices(blocking = false)
+    rankGraph.edges.unpersist(blocking = false)
+    result
+  }
+
+  /** [[weightedPageRank]] as a name-keyed table with the small-graph
+    * driver-local gate of [[rankTable]]. */
+  def weightedRankTable(edges: DataFrame, src: String, dst: String,
+      weight: String, iters: Int = 20, damping: Double = 0.85,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val preCached = edges.storageLevel != StorageLevel.NONE
+    val e = if (preCached) edges
+      else edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val out =
+      if (nEdges <= localThreshold) {
+        val raw = e.select(col(src).cast("string"), col(dst).cast("string"),
+          col(weight).cast("double")).as[(String, String, Double)].collect()
+        val verts = (raw.map(_._1) ++ raw.map(_._2)).distinct
+        val idx = verts.zipWithIndex.toMap
+        val es = raw.map { case (s, d, w) => (idx(s), idx(d), w) }
+        val n = verts.length
+        val wSum = new Array[Double](n)
+        es.foreach { case (s, _, w) => wSum(s) += w }
+        val inv = Array.tabulate(n)(i => if (wSum(i) > 0) 1.0 / wSum(i) else 0.0)
+        val init = 1.0 - damping
+        val pr = Array.fill(n)(init)
+        var term = pr.clone()
+        var i = 1
+        while (i < iters) {
+          val m = new Array[Double](n)
+          es.foreach { case (s, d, w) => m(d) += term(s) * inv(s) * w }
+          var v = 0
+          while (v < n) { m(v) *= damping; pr(v) += m(v); v += 1 }
+          term = m
+          i += 1
+        }
+        verts.indices.map(v => (verts(v), pr(v))).toSeq
+          .toDF("name", "wpagerank")
+      } else {
+        val parts = math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong, nEdges / 50000L + 1L)).toInt
+        val g = graphFromNames(e, src, dst, None, Some(parts),
+          weightCol = Some(weight)).cache()
+        val ranks = weightedPageRank(g, iters, damping)
+        val names = g.vertices.map { case (id, nm) => (id, nm) }.toDF("id", "name")
+        val df = names.join(ranks.toDF("id", "wpagerank"), "id").drop("id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        ranks.unpersist(blocking = false)
+        g.unpersistVertices(blocking = false)
+        g.edges.unpersist(blocking = false)
+        df
+      }
+    if (!preCached) e.unpersist(blocking = false)
+    out
   }
 
   /** Personalized PageRank (random walk with restart): identical

@@ -191,6 +191,53 @@ object Corpus {
         row_number().over(Window.orderBy(col("n").desc, col("term").asc)))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) beyond the
+    * duplicate-3-gram fraction in the quality rules: per document,
+    * the duplicate-LINE fraction (lines that repeat within the doc),
+    * the fraction of characters sitting in those repeated lines, and
+    * the most frequent word 2-gram with the fraction of characters it
+    * covers. High values = boilerplate/spam — the standard pretraining
+    * repetition filter.
+    *
+    * Scale shape: two doc-keyed partial-agg shuffles (line counts,
+    * gram counts) + one bounded rank window whose group is a single
+    * document's distinct grams — nothing scales with corpus size. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol), length(col(textCol)).as("_tl"),
+      explode(split(col(textCol), "\n")).as("_line"))
+    val lineCounts = lines.groupBy(col(idCol), col("_line"))
+      .agg(max(col("_tl")).as("_tl"), count(lit(1)).as("_c"))
+      .select(col(idCol), col("_tl"), col("_c"),
+        length(col("_line")).as("_ll"))
+    val lineAgg = lineCounts.groupBy(col(idCol))
+      .agg(max(col("_tl")).as("_tl"),
+        sum(col("_c")).as("n_lines"),
+        count(lit(1)).as("_nd"),
+        sum((col("_c") - lit(1)) * col("_ll")).as("_dup_chars"),
+        sum(col("_c") * col("_ll")).as("_line_chars"))
+    val grams = docs.select(col(idCol),
+      explode(graft.operators.Dedup.shinglesAuto(docs, textCol, 2)).as("_g"))
+    val wTop = Window.partitionBy(col(idCol))
+      .orderBy(col("_gc").desc, col("_g").asc)
+    val gramTop = grams.groupBy(col(idCol), col("_g"))
+      .agg(count(lit(1)).as("_gc"))
+      .withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("_g").as("top_2gram"), col("_gc"))
+    lineAgg.join(gramTop, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_lines"),
+        round(lit(1.0) - col("_nd").cast("double") / col("n_lines"), 6)
+          .as("dup_line_frac"),
+        round(col("_dup_chars").cast("double") /
+          greatest(col("_line_chars"), lit(1)), 6).as("dup_line_char_frac"),
+        col("top_2gram"),
+        coalesce(round(
+          (col("_gc") * length(col("top_2gram"))).cast("double") /
+            greatest(col("_tl"), lit(1)), 6), lit(0.0)).as("top_2gram_frac"))
+  }
+
   /** Overlapping fixed-size character chunks — the RAG / context-window
     * preparation step: each document yields windows of `chunkSize`
     * chars starting every `stride` chars (`stride <= chunkSize` keeps

@@ -1445,6 +1445,31 @@ object Extensions {
     * interleave math + box semantics (layout can't change results —
     * that's the point); the row-group-skipping benefit vs a linear
     * sort is pinned by ZOrderSpec against parquet footer stats. */
+  /** Gopher repetition signals over the documents corpus: duplicate
+    * line fraction + duplicate-line character fraction + most frequent
+    * word 2-gram and the character share it covers. */
+  val repetition: Q = (s, d) =>
+    Corpus.repetitionSignals(spread(Tables.documents(s, d)), "doc_id", "text")
+
+  val repetitionSql: String =
+    "WITH l AS (SELECT doc_id, length(text) AS tl, " +
+      "unnest(string_split(text, chr(10))) AS line FROM documents), " +
+      "lc AS (SELECT doc_id, max(tl) AS tl, line, count(*) AS c FROM l GROUP BY doc_id, line), " +
+      "la AS (SELECT doc_id, max(tl) AS tl, CAST(SUM(c) AS BIGINT) AS n_lines, " +
+      "COUNT(*) AS nd, CAST(SUM((c-1)*length(line)) AS BIGINT) AS dupc, " +
+      "CAST(SUM(c*length(line)) AS BIGINT) AS linec FROM lc GROUP BY doc_id), " +
+      s"t AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"g AS (SELECT doc_id, unnest(${duckNgrams(2)}) AS g FROM t), " +
+      "gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g), " +
+      "gt AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM gc) WHERE rn = 1) " +
+      "SELECT la.doc_id, la.n_lines, " +
+      "round(1.0 - CAST(nd AS DOUBLE)/n_lines, 6) AS dup_line_frac, " +
+      "round(CAST(dupc AS DOUBLE)/greatest(linec, 1), 6) AS dup_line_char_frac, " +
+      "gt.g AS top_2gram, " +
+      "coalesce(round(CAST(gt.c * length(gt.g) AS DOUBLE)/greatest(la.tl, 1), 6), 0.0) AS top_2gram_frac " +
+      "FROM la LEFT JOIN gt ON la.doc_id = gt.doc_id"
+
   private val ZBITS = 20
 
   val zorder: Q = (s, d) => {
@@ -1530,7 +1555,8 @@ object Extensions {
     "q_hybrid_search" -> hybridSearch,
     "q_doc_chunk" -> docChunk,
     "q_fuzzy_join" -> fuzzyJoin,
-    "q_zorder" -> zorder)
+    "q_zorder" -> zorder,
+    "q_repetition" -> repetition)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1592,5 +1618,6 @@ object Extensions {
     "q_hybrid_search" -> hybridSearchSql,
     "q_doc_chunk" -> docChunkSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
-    "q_zorder" -> zorderSql)
+    "q_zorder" -> zorderSql,
+    "q_repetition" -> repetitionSql)
 }

@@ -245,12 +245,45 @@ object RankQueries {
       s" SELECT name, round(pr, 6) AS ppr FROM t${iters - 1}"
   }
 
+  /** Amount-weighted PageRank over the trade graph — the GDS
+    * `relationshipWeightProperty` variant the reference projects the
+    * data for but never turns on. */
+  val weightedRanks: Q = (s, dir) =>
+    graft.graph.Ranks
+      .weightedRankTable(graft.SparkEntry.nationTradeEdges(s, dir),
+        "src_nation", "dst_nation", "amount")
+      .select(col("name"), round(col("wpagerank"), 6).as("wpagerank"))
+
+  def weightedRanksSql(iters: Int = 20, damping: Double = 0.85): String = {
+    val init = (1.0 - damping).toString
+    val d = damping.toString
+    val head = Seq(
+      amtCte,
+      "verts AS MATERIALIZED (SELECT src AS name FROM amt UNION SELECT dst FROM amt)",
+      "wdeg AS MATERIALIZED (SELECT v.name, coalesce(g.w, 0.0) AS w FROM verts v " +
+        "LEFT JOIN (SELECT src, SUM(amount) AS w FROM amt GROUP BY src) g ON g.src = v.name)",
+      s"t0 AS MATERIALIZED (SELECT name, CAST($init AS DOUBLE) AS pr, " +
+        s"CAST($init AS DOUBLE) AS prt FROM verts)")
+    val steps = (1 until iters).flatMap { k =>
+      Seq(
+        s"m$k AS MATERIALIZED (SELECT e.dst AS name, " +
+          "sum(t.prt * (1.0/dg.w) * e.amount) AS mpr " +
+          s"FROM t${k - 1} t JOIN amt e ON t.name = e.src " +
+          "JOIN wdeg dg ON dg.name = t.name AND dg.w > 0 GROUP BY e.dst)",
+        s"t$k AS MATERIALIZED (SELECT t.name, t.pr + $d*coalesce(m.mpr, 0.0) AS pr, " +
+          s"$d*coalesce(m.mpr, 0.0) AS prt FROM t${k - 1} t LEFT JOIN m$k m ON m.name = t.name)")
+    }
+    "WITH " + (head ++ steps).mkString(", ") +
+      s" SELECT name, round(pr, 6) AS wpagerank FROM t${iters - 1}"
+  }
+
   val queries: Map[String, Q] = Map(
     "q_top50_partners" -> top50Partners,
     "q_triangles" -> triangles,
     "q_hops" -> hops,
     "q_communities" -> communities,
-    "q_ppr" -> ppr)
+    "q_ppr" -> ppr,
+    "q_weighted_ranks" -> weightedRanks)
 
   val oracles: Map[String, String] = Map(
     "q_trade_ranks" -> tradeRanksSql(),
@@ -258,5 +291,6 @@ object RankQueries {
     "q_triangles" -> trianglesSql,
     "q_hops" -> hopsSql(),
     "q_communities" -> communitiesSql(),
-    "q_ppr" -> pprSql())
+    "q_ppr" -> pprSql(),
+    "q_weighted_ranks" -> weightedRanksSql())
 }

@@ -79,6 +79,37 @@ class RanksSpec extends SparkSpec {
     assert(isolated("x") == 0.0 && isolated("y") == 0.0)
   }
 
+  test("weighted PageRank with uniform weights equals unweighted PageRank") {
+    val w1 = edges.withColumn("w", org.apache.spark.sql.functions.lit(7.5))
+    val got = Ranks.weightedRankTable(w1, "src", "dst", "w")
+      .as[(String, Double)].collect().toMap
+    // uniform weights cancel: w/W(u) == 1/outDeg(u)
+    val want = expectedPageRank(20)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"vertex $k")
+  }
+
+  test("weighted PageRank: heavier edge pulls rank toward its target") {
+    // a splits 9:1 between b and c -> b must outrank c's share from a
+    val w = Seq(("a", "b", 9.0), ("a", "c", 1.0)).toDF("src", "dst", "w")
+    val got = Ranks.weightedRankTable(w, "src", "dst", "w")
+      .as[(String, Double)].collect().toMap
+    assert(got("b") > got("c"))
+    // closed form after 20 iters: only the first propagation matters
+    // (b and c have no out-edges): rank(b) = 0.15 + 0.85*0.15*0.9
+    assert(math.abs(got("b") - (0.15 + 0.85 * 0.15 * 0.9)) < 1e-12)
+    assert(math.abs(got("c") - (0.15 + 0.85 * 0.15 * 0.1)) < 1e-12)
+  }
+
+  test("weighted PageRank: local and distributed paths agree") {
+    val w = edges.withColumn("w",
+      org.apache.spark.sql.functions.expr("length(src) + 0.5"))
+    val local = Ranks.weightedRankTable(w, "src", "dst", "w")
+      .as[(String, Double)].collect().toMap
+    val dist = Ranks.weightedRankTable(w, "src", "dst", "w", localThreshold = 0)
+      .as[(String, Double)].collect().toMap
+    for ((k, v) <- local) assert(math.abs(dist(k) - v) < 1e-9, s"vertex $k")
+  }
+
   test("personalized PageRank: local and distributed paths agree") {
     val local = Ranks.pprTable(edges, "src", "dst", Seq("a", "d"))
       .as[(String, Double)].collect().toMap
