@@ -757,6 +757,41 @@ object Extensions {
     s.table("graft_stream_join")
   }
 
+  /** Spark 4 arbitrary-state streaming (`transformWithState` on the
+    * RocksDB state store): per-user running totals, every event tagged
+    * with its user's count/sum so far. Oracle = the batch cumulative
+    * window — integer-cents state makes the stream bit-equal to it. */
+  val streamRunningTotals: Q = (s, d) => withStreamShuffle(s, 8) {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = streamCkptDir("graft-ckpt-tws")
+      val src = EventsStreaming.readDriverEventsStream(s, s"$d/events.parque[t]")
+      val q = EventsStreaming.runningTotals(src)
+        .writeStream.format("memory").queryName("graft_stream_tws")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      runStreamThenCleanCkpt(q, ckpt)
+      s.table("graft_stream_tws")
+    } finally {
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
+  val streamRunningTotalsSql: String =
+    "SELECT event_id, user_id, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(20,2))) OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum " +
+      "FROM events"
+
   val streamJoinSql: String =
     "SELECT p.user_id, p.event_id AS p_id, s.event_id AS s_id " +
       "FROM (SELECT user_id, event_id, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase') p " +
@@ -1556,7 +1591,8 @@ object Extensions {
     "q_doc_chunk" -> docChunk,
     "q_fuzzy_join" -> fuzzyJoin,
     "q_zorder" -> zorder,
-    "q_repetition" -> repetition)
+    "q_repetition" -> repetition,
+    "q_stream_running_totals" -> streamRunningTotals)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1619,5 +1655,6 @@ object Extensions {
     "q_doc_chunk" -> docChunkSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_zorder" -> zorderSql,
-    "q_repetition" -> repetitionSql)
+    "q_repetition" -> repetitionSql,
+    "q_stream_running_totals" -> streamRunningTotalsSql)
 }

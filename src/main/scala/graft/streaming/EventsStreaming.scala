@@ -149,6 +149,59 @@ object EventsStreaming {
       }
   }
 
+  // ---------------- transformWithState running totals ----------------
+
+  case class RunIn(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  case class RunTotals(n: Long, cents: Long)
+  case class RunOut(event_id: Long, user_id: Long, run_n: Long, run_sum: Double)
+
+  /** Per-user RUNNING totals via Spark 4's arbitrary-state API
+    * (`transformWithState` + RocksDB state store — the successor to
+    * flatMapGroupsWithState): every event is emitted with the count
+    * and value-sum of its user so far. State = one (n, cents) pair
+    * per user.
+    *
+    * Deterministic by construction: rows sort per (key, batch) on
+    * (event-time, event_id) before folding, and the money sum
+    * accumulates in integer CENTS (the source values are 2-decimal),
+    * so no floating-point fold-order noise — the emitted run_sum is
+    * bit-equal to the batch cumulative-window oracle in any engine. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RunIn, RunOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var totals: ValueState[RunTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[RunTotals]("totals",
+        org.apache.spark.sql.Encoders.product[RunTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RunIn],
+        timers: TimerValues): Iterator[RunOut] = {
+      val sorted = rows.toArray.sortBy(r =>
+        (r.ts.getTime, r.ts.getNanos, r.event_id))
+      var st = if (totals.exists()) totals.get() else RunTotals(0L, 0L)
+      val out = sorted.map { r =>
+        st = RunTotals(st.n + 1, st.cents + math.round(r.value * 100))
+        RunOut(r.event_id, key, st.n, st.cents / 100.0)
+      }
+      totals.update(st)
+      out.iterator
+    }
+  }
+
+  /** The running totals as a streaming Dataset (append mode, no time
+    * semantics — pure keyed state). */
+  def runningTotals(events: DataFrame): Dataset[RunOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[RunIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Batch-equivalent sessionization via the gaps-and-islands window
     * pattern (lag + cumulative sum) — same sessions as the stream
     * produces once the watermark passes everything. SQL-expressible,

@@ -92,4 +92,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
     assert(streamed.nonEmpty)
   }
+
+  test("transformWithState running totals == batch cumulative window, exactly") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft-ckpt-tws").toString
+      val src = spark.readStream.schema(EventsStreaming.eventSchema)
+        .parquet(eventsDir)
+      val q = EventsStreaming.runningTotals(src)
+        .writeStream.format("memory").queryName("tws_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = spark.table("tws_out")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = spark.read.parquet(eventsDir)
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).cast("long").as("run_n"),
+          sum(col("value").cast("decimal(20,2)")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast("double").as("run_sum"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      // EXACT equality: integer-cents state means no fold-order noise
+      assert(streamed == batch)
+      assert(streamed.size == spark.read.parquet(eventsDir).count())
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
