@@ -256,6 +256,37 @@ object ScaleOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Time-series resample + forward fill (gap fill): bucket events to
+    * a fixed grid, keep the LATEST value per (key, bucket) — latest by
+    * (ts, tie-break id), via one lexicographic struct-max partial agg —
+    * then join a dense calendar spine and carry the last non-null
+    * value forward per key. Buckets before a key's first event stay
+    * null (nothing to carry).
+    *
+    * Scale shape: one partial-agg shuffle keyed by (key, bucket) for
+    * the latest-per-bucket, one keyed window for the carry; the spine
+    * is (time-range/bucket × keys) rows — a function of calendar span
+    * and key count, independent of event volume, which is what makes
+    * resampling tractable at 100 TB of raw events. */
+  def resampleForwardFill(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    val evB = events.withColumn("_b",
+      expr(s"unix_timestamp($tsCol) div $bucketSec"))
+    val latest = evB.groupBy(col(keyCol), col("_b"))
+      .agg(max(struct(col(tsCol), col(idCol), col(valueCol)))
+        .getField(valueCol).as("value_raw"))
+    val bounds = evB.agg(min(col("_b")).as("_lo"), max(col("_b")).as("_hi"))
+    val keys = events.select(col(keyCol)).distinct()
+    val spine = keys.crossJoin(broadcast(bounds))
+      .select(col(keyCol), explode(sequence(col("_lo"), col("_hi"))).as("_b"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(latest, Seq(keyCol, "_b"), "left")
+      .withColumn("value_ff", last(col("value_raw"), ignoreNulls = true).over(w))
+      .withColumnRenamed("_b", "bucket")
+  }
+
   /** Bloom-pruned join — the manual runtime-filter pattern: build a
     * Bloom filter over the dim side's keys (mergeable partials,
     * driver-merged, bits ≪ key set), broadcast it, and drop fact rows

@@ -1480,6 +1480,28 @@ object Extensions {
     * interleave math + box semantics (layout can't change results —
     * that's the point); the row-group-skipping benefit vs a linear
     * sort is pinned by ZOrderSpec against parquet footer stats. */
+  /** Time-series resample + forward fill over events: 5-minute grid
+    * per event_type, latest value per bucket, gaps carried forward.
+    * Values are carried (not summed), so no fold-order concerns. */
+  val gapFill: Q = (s, d) =>
+    graft.operators.ScaleOps.resampleForwardFill(
+      Tables.events(s, d), "event_type", "ts", "event_id", "value",
+      bucketSec = 300)
+      .select(col("event_type"), col("bucket"), col("value_raw"),
+        col("value_ff"))
+
+  val gapFillSql: String =
+    "WITH b AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 300 AS b, " +
+      "ts, event_id, value FROM events), " +
+      "bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM b), " +
+      "keys AS (SELECT DISTINCT event_type FROM events), " +
+      "spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM keys, bounds), " +
+      "latest AS (SELECT event_type, b, " +
+      "(max({'ts': ts, 'eid': event_id, 'v': value})).v AS value_raw FROM b GROUP BY event_type, b) " +
+      "SELECT s.event_type, s.b AS bucket, l.value_raw, " +
+      "last_value(l.value_raw IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.b) AS value_ff " +
+      "FROM spine s LEFT JOIN latest l ON s.event_type = l.event_type AND s.b = l.b"
+
   /** Gopher repetition signals over the documents corpus: duplicate
     * line fraction + duplicate-line character fraction + most frequent
     * word 2-gram and the character share it covers. */
@@ -1592,7 +1614,8 @@ object Extensions {
     "q_fuzzy_join" -> fuzzyJoin,
     "q_zorder" -> zorder,
     "q_repetition" -> repetition,
-    "q_stream_running_totals" -> streamRunningTotals)
+    "q_stream_running_totals" -> streamRunningTotals,
+    "q_gap_fill" -> gapFill)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1656,5 +1679,6 @@ object Extensions {
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_zorder" -> zorderSql,
     "q_repetition" -> repetitionSql,
-    "q_stream_running_totals" -> streamRunningTotalsSql)
+    "q_stream_running_totals" -> streamRunningTotalsSql,
+    "q_gap_fill" -> gapFillSql)
 }

@@ -375,6 +375,57 @@ object Relational {
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total " +
       "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
 
+  /** Full cube (every grouping-set combination) with the grouping-id
+    * bitmask distinguishing subtotal levels — completes the
+    * rollup/pivot grouping-sets family. Same single-shuffle
+    * grouping-id expansion plan as rollup. */
+  val cubeAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  val cubeAggSql: String =
+    "SELECT l_returnflag, l_linestatus, " +
+      "GROUPING_ID(l_returnflag, l_linestatus) AS gid, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, " +
+      "COUNT(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+
+  /** Unpivot (melt): wide metric columns to long (metric, value) rows —
+    * the inverse of q_pivot. Pure map-side row expansion, no shuffle. */
+  val unpivot: Q = (s, d) =>
+    Tables.lineitem(s, d).unpivot(
+      Array(col("l_orderkey"), col("l_linenumber")),
+      Array(col("l_quantity"), col("l_extendedprice"), col("l_tax")),
+      "metric", "value")
+
+  val unpivotSql: String =
+    Seq("l_quantity", "l_extendedprice", "l_tax").map(m =>
+      s"SELECT l_orderkey, l_linenumber, '$m' AS metric, $m AS value FROM lineitem")
+      .mkString(" UNION ALL ")
+
+  /** The SQL front door: the same engine served through `spark.sql`
+    * over registered views — with a correlated EXISTS subquery
+    * (TPC-H Q4 shape) Catalyst rewrites into a left-semi join. A user
+    * of the reference who wants SQL, not DataFrames, runs this path. */
+  val sqlInterface: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM g_orders
+        |WHERE EXISTS (SELECT 1 FROM g_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  val sqlInterfaceSql: String =
+    "SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
+      "WHERE EXISTS (SELECT 1 FROM lineitem " +
+      "WHERE l_orderkey = o_orderkey AND l_quantity > 45) " +
+      "GROUP BY o_orderpriority"
+
   /** Set operations (intersect/except distinct). */
   val setOps: Q = (s, d) => {
     val hi = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
@@ -507,6 +558,9 @@ object Relational {
     "q_distinct" -> distinctPairs,
     "q_merge_dedup" -> mergeDedup,
     "q_rollup" -> rollupAgg,
+    "q_cube" -> cubeAgg,
+    "q_unpivot" -> unpivot,
+    "q_sql_interface" -> sqlInterface,
     "q_setops" -> setOps,
     "q_pivot" -> pivotAgg,
     "q_distinct_count" -> distinctCount,
@@ -542,6 +596,9 @@ object Relational {
     "q_distinct" -> distinctPairsSql,
     "q_merge_dedup" -> mergeDedupSql,
     "q_rollup" -> rollupAggSql,
+    "q_cube" -> cubeAggSql,
+    "q_unpivot" -> unpivotSql,
+    "q_sql_interface" -> sqlInterfaceSql,
     "q_setops" -> setOpsSql,
     "q_pivot" -> pivotAggSql,
     "q_distinct_count" -> distinctCountSql,

@@ -243,4 +243,30 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(salted == plain && plain.nonEmpty)
   }
+
+  test("resampleForwardFill: gaps carry the last value, leading gaps stay null") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // key a: buckets 0 and 3 (gap at 1,2); key b: first event in bucket 2;
+    // bucket 0 has TWO a-events — the later one (id 2) must win
+    val ev = Seq(
+      ("a", 1L, ts(10), 1.0), ("a", 2L, ts(20), 2.0),
+      ("a", 3L, ts(190), 9.0),
+      ("b", 4L, ts(130), 5.0))
+      .toDF("k", "event_id", "ts", "value")
+    val got = ScaleOps.resampleForwardFill(ev, "k", "ts", "event_id", "value",
+        bucketSec = 60)
+      .select("k", "bucket", "value_raw", "value_ff")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("a", 0L)) == ((Some(2.0), Some(2.0)))) // later event wins
+    assert(got(("a", 1L)) == ((None, Some(2.0))))      // gap carried
+    assert(got(("a", 2L)) == ((None, Some(2.0))))
+    assert(got(("a", 3L)) == ((Some(9.0), Some(9.0))))
+    assert(got(("b", 0L)) == ((None, None)))           // before first: null
+    assert(got(("b", 1L)) == ((None, None)))
+    assert(got(("b", 2L)) == ((Some(5.0), Some(5.0))))
+    assert(got(("b", 3L)) == ((None, Some(5.0))))
+    assert(got.size == 8) // dense spine: 2 keys x 4 buckets
+  }
 }
