@@ -256,6 +256,34 @@ object ScaleOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** One-pass column profiler — the warehouse data-quality utility:
+    * per column, row/non-null/exact-distinct counts and min/max
+    * (stringified for a uniform long schema). All metrics compute in
+    * ONE aggregate over one scan; the multi-column distinct counts
+    * plan through Spark's Expand (row × #distinct-cols fan-out into a
+    * single partial-agg shuffle — the standard exact form; swap in the
+    * portable HLL sketch when approximate is acceptable at 100 TB).
+    * The 1×(5k) result row melts to k rows driver-side (no data
+    * movement — it is already a single row). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}__rows"),
+        count(col(c)).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // stack generator: melts the single row in place — a union of k
+    // selects would re-evaluate the whole aggregate k times
+    val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
+      s"'$c', `${c}__rows`, `${c}__nn`, `${c}__nd`, `${c}__min`, `${c}__max`")
+      .mkString(", ") +
+      ") as (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"
+    one.select(expr(stackExpr))
+  }
+
   /** Time-series resample + forward fill (gap fill): bucket events to
     * a fixed grid, keep the LATEST value per (key, bucket) — latest by
     * (ts, tie-break id), via one lexicographic struct-max partial agg —

@@ -1502,6 +1502,46 @@ object Extensions {
       "last_value(l.value_raw IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.b) AS value_ff " +
       "FROM spine s LEFT JOIN latest l ON s.event_type = l.event_type AND s.b = l.b"
 
+  /** One-pass column profiling over lineitem (data-quality utility):
+    * per-column row/non-null/exact-distinct counts + stringified
+    * min/max, all from a single scan. Timestamp columns are excluded
+    * from the demo set (string rendering differs across engines). */
+  private val PROFILE_COLS = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+
+  val profile: Q = (s, d) =>
+    graft.operators.ScaleOps.profileColumns(
+      Tables.lineitem(s, d), PROFILE_COLS)
+
+  val profileSql: String = PROFILE_COLS.map(c =>
+    s"SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull, " +
+      s"COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_val, " +
+      s"CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem")
+    .mkString(" UNION ALL ")
+
+  /** Schema-evolution read: two parquet batches with DIFFERENT schemas
+    * (the second adds a column — the lake-format reality as pipelines
+    * evolve) land in one dataset; `mergeSchema` reconciles them at
+    * read, older rows null-filling the new column. Oracle = union with
+    * explicit NULL. */
+  val mergeSchemaRead: Q = (s, d) => {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-schema-evo").toString
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$base/batch=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").parquet(s"$base/batch=2")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+  }
+
+  val mergeSchemaReadSql: String =
+    "SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang FROM documents WHERE doc_id % 2 = 0 " +
+      "UNION ALL SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1"
+
   /** Gopher repetition signals over the documents corpus: duplicate
     * line fraction + duplicate-line character fraction + most frequent
     * word 2-gram and the character share it covers. */
@@ -1615,7 +1655,9 @@ object Extensions {
     "q_zorder" -> zorder,
     "q_repetition" -> repetition,
     "q_stream_running_totals" -> streamRunningTotals,
-    "q_gap_fill" -> gapFill)
+    "q_gap_fill" -> gapFill,
+    "q_profile" -> profile,
+    "q_merge_schema" -> mergeSchemaRead)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
@@ -1680,5 +1722,7 @@ object Extensions {
     "q_zorder" -> zorderSql,
     "q_repetition" -> repetitionSql,
     "q_stream_running_totals" -> streamRunningTotalsSql,
-    "q_gap_fill" -> gapFillSql)
+    "q_gap_fill" -> gapFillSql,
+    "q_profile" -> profileSql,
+    "q_merge_schema" -> mergeSchemaReadSql)
 }

@@ -244,6 +244,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("profileColumns counts nulls/distincts and stringifies extremes") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("c")), (None, Some("a")))
+      .toDF("k", "s")
+    val got = ScaleOps.profileColumns(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("k") == (("k", 4L, 3L, 2L, Some("1"), Some("2"))))
+    assert(got("s") == (("s", 4L, 3L, 2L, Some("a"), Some("c"))))
+  }
+
   test("resampleForwardFill: gaps carry the last value, leading gaps stay null") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
