@@ -256,25 +256,34 @@ object ScaleOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
-  /** One-pass column profiler — the warehouse data-quality utility:
-    * per column, row/non-null/exact-distinct counts and min/max
-    * (stringified for a uniform long schema). All metrics compute in
-    * ONE aggregate over one scan; the multi-column distinct counts
-    * plan through Spark's Expand (row × #distinct-cols fan-out into a
-    * single partial-agg shuffle — the standard exact form; swap in the
-    * portable HLL sketch when approximate is acceptable at 100 TB).
-    * The 1×(5k) result row melts to k rows driver-side (no data
-    * movement — it is already a single row). */
+  /** Column profiler — the warehouse data-quality utility: per column,
+    * row/non-null/exact-distinct counts and min/max (stringified for a
+    * uniform long schema).
+    *
+    * Deliberately TWO aggregates over two scans, joined as 1-row
+    * results: the counts pass is the multi-column-distinct Expand
+    * rewrite (row × k fan-out, all-numeric buffers → HashAggregate);
+    * the extremes pass is a plain keyless partial agg. Fusing them
+    * into one aggregate poisons the whole plan — string min/max
+    * buffers force SortAggregate, which then full-sorts the EXPANDED
+    * rows on every dedup key (measured 10× slower than the two hash
+    * passes at sf0.1). Swap the distincts for the portable HLL sketch
+    * when approximate is acceptable at 100 TB. */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns: need at least one column")
-    val aggs = cols.flatMap { c =>
+    val countAggs = cols.flatMap { c =>
       Seq(count(lit(1)).as(s"${c}__rows"),
         count(col(c)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd"),
-        min(col(c)).cast("string").as(s"${c}__min"),
+        count_distinct(col(c)).as(s"${c}__nd"))
+    }
+    val extremeAggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // 1-row × 1-row: the bounded broadcast-scalar join (PlanGuardSpec
+    // whitelists it like the TF-IDF/BM25 corpus-stats attaches)
+    val one = df.agg(countAggs.head, countAggs.tail: _*)
+      .crossJoin(df.agg(extremeAggs.head, extremeAggs.tail: _*))
     // stack generator: melts the single row in place — a union of k
     // selects would re-evaluate the whole aggregate k times
     val stackExpr = s"stack(${cols.size}, " + cols.map(c =>

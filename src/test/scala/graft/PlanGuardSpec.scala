@@ -12,15 +12,16 @@ package graft
   * (q_tfidf) attaches the corpus doc count as a broadcast 1-row
   * scalar — a cross join bounded to a single broadcast row; BM25
   * (q_bm25) and unigram surprisal (q_unigram_surprisal) attach their
-  * corpus stats the same way, and gap-fill (q_gap_fill) attaches its
-  * 1-row (lo, hi) bucket bounds to the key spine the same way.
+  * corpus stats the same way, gap-fill (q_gap_fill) attaches its
+  * 1-row (lo, hi) bucket bounds to the key spine the same way, and
+  * the profiler (q_profile) joins its two 1-row aggregate passes.
   */
 class PlanGuardSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
   private val crossJoinByDesign =
     Set("q_embed_topk", "q_quant_topk", "q_tfidf", "q_bm25",
-      "q_unigram_surprisal", "q_hybrid_search", "q_gap_fill")
+      "q_unigram_surprisal", "q_hybrid_search", "q_gap_fill", "q_profile")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
