@@ -56,14 +56,31 @@ object Bench {
     val total = timed.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
-    // driver-parseable: also persist to a file, and make the JSON the
-    // FINAL stdout line after all stderr noise is flushed (r1's tail
-    // capture started mid-JSON and lost the round's bench metric)
+    // full per-query map persists to a file for humans and tooling
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       json.getBytes("UTF-8"))
+    // Driver-parseable final line: the harness tails the LAST 2000 chars
+    // of stdout, and with 100+ queries the full JSON is ~2.4 KB — three
+    // rounds of BENCH_r*.json came back `parsed:null` because the tail
+    // started mid-JSON. Emit a final line guaranteed to fit: same shape,
+    // but the queries map keeps only the slowest entries that fit a
+    // 1800-char budget (slowest are the ones worth grading); `n_queries`
+    // records the full count and bench.json holds the complete map.
+    val head =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${timed.size},"failed":$fs,"sf":"$sfDir","queries":{"""
+    val tailStr = "}}"
+    val budget = 1800 - head.length - tailStr.length
+    val entries = timed.sortBy(-_._2).map { case (k, v) => s""""$k":${num(v)}""" }
+    val kept = new StringBuilder
+    var used = 0
+    entries.foreach { e =>
+      val cost = e.length + (if (used == 0) 0 else 1)
+      if (used + cost <= budget) { if (used > 0) kept.append(','); kept.append(e); used += cost }
+    }
+    val compact = head + kept.toString + tailStr
     spark.stop()
     System.err.flush()
-    println(json)
+    println(compact)
     System.out.flush()
   }
 }

@@ -54,6 +54,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Extensions.queries ++
       graft.queries.RankQueries.queries ++
+      graft.queries.WarehouseQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "q_trade_ranks" -> ((s, dir) =>
           tradeRanks(s, dir)
@@ -67,5 +68,6 @@ object SparkEntry {
     * q_hll_distinct (approximate by design -> rows-only + bound spec). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Extensions.oracles ++
-      graft.queries.RankQueries.oracles
+      graft.queries.RankQueries.oracles ++
+      graft.queries.WarehouseQueries.oracles
 }

@@ -79,4 +79,35 @@ object Traversal {
     }
     labels.withColumnRenamed("label", "community")
   }
+
+  /** Weighted shortest path from `seeds` — bounded Bellman–Ford:
+    * `rounds` synchronous relaxation supersteps over directed edges
+    * with non-negative integer weights, so the result is the exact
+    * min-cost distance among paths of ≤ `rounds` edges. Fixed round
+    * count (no early exit) keeps the computation a pure function of
+    * (edges, seeds, rounds) — the same recurrence an oracle can chase
+    * CTE-by-CTE. BIGINT min-sums all the way: nothing to round, any
+    * engine agrees bit-for-bit.
+    *
+    * Scale shape: each superstep is one frontier ⋈ edges equi-join +
+    * one min-agg keyed by vertex — exactly a Pregel round's shuffle;
+    * state is one (vertex, dist) row per reached vertex. Unreached
+    * vertices never materialize. */
+  def shortestPath(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: Seq[String], rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"),
+      col(weightCol).cast("long").as("_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.toDF("name").withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, col("name") === col("_s"))
+        .select(col("_d").as("name"), (col("dist") + col("_w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("name")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
 }

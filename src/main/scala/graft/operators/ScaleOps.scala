@@ -233,6 +233,55 @@ object ScaleOps {
         col("rank"))
   }
 
+  /** Weighted systematic (PPS) sampling: lay rows on a cumulative-
+    * weight axis ordered by id, take one sample at every crossing of
+    * stride = ⌊ΣW / k⌋ — each row's inclusion probability is
+    * proportional to its weight, and unlike the float-key A-ES scheme
+    * the selection is EXACT integer arithmetic (BIGINT cumsum +
+    * floor-division crossings), so any engine reproduces it
+    * bit-for-bit. Rows heavier than the stride land multiple hits
+    * (`n_hits` > 1) — standard PPS-with-replacement accounting.
+    *
+    * Scale shape: the global prefix sum is the same two-phase plan as
+    * [[packSequences]] — range-partition by id, per-partition running
+    * sum, P partial totals to the driver, broadcast offsets back. No
+    * single-partition window, no global sort; the only full-data
+    * exchange is the range partition any global order must pay. */
+  def weightedSystematicSample(df: DataFrame, idCol: String,
+      weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val local = df.select(col(idCol).cast("long"), weightCol.cast("long"))
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (id, w) => acc += w; (id, w, acc) }
+      }
+      .toDF(idCol, "w", "_local_end")
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = local.groupBy("_pid").agg(max(col("_local_end")).as("_tot"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val grandTotal = totals.map(_._2).sum
+    val stride = math.max(grandTotal / k, 1L)
+    val offsets =
+      if (totals.isEmpty) Seq.empty[(Int, Long)]
+      else totals.scanLeft((Int.MinValue, 0L)) {
+        case ((_, acc), (pid, tot)) => (pid, acc + tot)
+      }.sliding(2).map { case Array((_, prev), (pid, _)) => (pid, prev) }.toSeq
+    val offDf = broadcast(offsets.toDF("_pid", "_off"))
+    local.join(offDf, Seq("_pid"))
+      .withColumn("cum", col("_local_end") + col("_off"))
+      .withColumn("n_hits",
+        expr(s"cum div ${stride}L") - expr(s"(cum - w) div ${stride}L"))
+      .filter(col("n_hits") > 0)
+      .select(col(idCol), col("w"), col("cum"), col("n_hits"))
+  }
+
   /** Deterministic corpus shuffle into training shards — the
     * training-order materialization step of a pretraining pipeline
     * (a model must NOT see documents in crawl/source order, and the

@@ -277,13 +277,49 @@ object RankQueries {
       s" SELECT name, round(pr, 6) AS wpagerank FROM t${iters - 1}"
   }
 
+  /** Weighted shortest path from NATION_0 over the top-3-partner
+    * backbone, edge cost = partner rank (1 = strongest partner is the
+    * cheapest hop) — the weighted `shortestPath` a Cypher user runs
+    * after the reachability query. 5 bounded Bellman–Ford rounds,
+    * BIGINT min-sums; oracle = one chained min-agg CTE per round
+    * (exactly the Spark superstep). */
+  val shortestPath: Q = (s, dir) => {
+    val edges = graft.SparkEntry.nationTradeEdges(s, dir)
+    val w = Window.partitionBy("src_nation")
+      .orderBy(desc("amount"), asc("dst_nation"))
+    val top3 = edges.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3)
+      .select(col("src_nation"), col("dst_nation"),
+        col("_rn").cast("long").as("w"))
+    graft.graph.Traversal.shortestPath(
+      top3, "src_nation", "dst_nation", "w", Seq("NATION_0"), rounds = 5)
+  }
+
+  def shortestPathSql(seed: String = "NATION_0", rounds: Int = 5): String = {
+    val head = Seq(
+      amtCte,
+      "wedges AS MATERIALIZED (SELECT src, dst, CAST(rn AS BIGINT) AS w FROM " +
+        "(SELECT src, dst, row_number() OVER (PARTITION BY src " +
+        "ORDER BY amount DESC, dst ASC) AS rn FROM amt) WHERE rn <= 3)",
+      s"d0 AS (SELECT '$seed' AS name, CAST(0 AS BIGINT) AS dist)")
+    val steps = (1 to rounds).map { k =>
+      s"d$k AS (SELECT name, min(dist) AS dist FROM " +
+        s"(SELECT name, dist FROM d${k - 1} UNION ALL " +
+        s"SELECT e.dst AS name, t.dist + e.w AS dist FROM d${k - 1} t " +
+        "JOIN wedges e ON e.src = t.name) GROUP BY name)"
+    }
+    "WITH " + (head ++ steps).mkString(", ") +
+      s" SELECT name, dist FROM d$rounds"
+  }
+
   val queries: Map[String, Q] = Map(
     "q_top50_partners" -> top50Partners,
     "q_triangles" -> triangles,
     "q_hops" -> hops,
     "q_communities" -> communities,
     "q_ppr" -> ppr,
-    "q_weighted_ranks" -> weightedRanks)
+    "q_weighted_ranks" -> weightedRanks,
+    "q_shortest_path" -> shortestPath)
 
   val oracles: Map[String, String] = Map(
     "q_trade_ranks" -> tradeRanksSql(),
@@ -292,5 +328,6 @@ object RankQueries {
     "q_hops" -> hopsSql(),
     "q_communities" -> communitiesSql(),
     "q_ppr" -> pprSql(),
-    "q_weighted_ranks" -> weightedRanksSql())
+    "q_weighted_ranks" -> weightedRanksSql(),
+    "q_shortest_path" -> shortestPathSql())
 }

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{ScaleOps, Warehouse => W}
+
+/** Warehouse / product-analytics query surface (SURVEY §2.9a X77+):
+  * SCD2 history, CDC apply, interval coverage, cohort retention,
+  * funnel conversion, moving aggregates, weighted PPS sampling — each
+  * hash-verified against a DuckDB oracle running the identical
+  * deterministic recurrence (integer cents / epoch-seconds / BIGINT
+  * cumsums everywhere a float accumulation order could diverge).
+  */
+object WarehouseQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- X77: weighted systematic (PPS) sample over documents ----
+
+  val weightedSample: Q = (s, d) =>
+    ScaleOps.weightedSystematicSample(
+      Tables.documents(s, d), "doc_id", col("n_chars"), k = 40)
+
+  val weightedSampleSql: String =
+    "WITH w AS (SELECT doc_id, n_chars AS w FROM documents), " +
+      "c AS (SELECT doc_id, w, CAST(sum(w) OVER (ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM w), " +
+      "s AS (SELECT CAST(greatest(CAST(sum(w) AS BIGINT) // 40, 1) AS BIGINT) AS stride FROM w) " +
+      "SELECT doc_id, w, cum, cum // stride - (cum - w) // stride AS n_hits " +
+      "FROM c, s WHERE cum // stride > (cum - w) // stride"
+
+  // ---- X78: sweep-line interval coverage per user ----
+  // Interval = [epoch(ts), epoch(ts) + 60 + event_id % 240) seconds —
+  // a deterministic synthetic duration, exercised purely for the
+  // union-of-overlaps semantics.
+
+  val intervalCover: Q = (s, d) => {
+    val start = unix_timestamp(col("ts"))
+    W.intervalCoverage(Tables.events(s, d), "user_id",
+      start, start + lit(60L) + col("event_id") % 240)
+  }
+
+  val intervalCoverSql: String =
+    "WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS st, " +
+      "CAST(floor(epoch(ts)) AS BIGINT) + 60 + (event_id % 240) AS en FROM events), " +
+      "pts AS (SELECT user_id, st AS t, 1 AS d FROM iv " +
+      "UNION ALL SELECT user_id, en AS t, -1 AS d FROM iv), " +
+      "g AS (SELECT user_id, t, sum(d) AS delta FROM pts GROUP BY user_id, t), " +
+      "r AS (SELECT user_id, t, sum(delta) OVER (PARTITION BY user_id ORDER BY t " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active, " +
+      "lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt FROM g), " +
+      "cov AS (SELECT user_id, CAST(sum(CASE WHEN active > 0 THEN nxt - t ELSE 0 END) AS BIGINT) " +
+      "AS covered_sec FROM r GROUP BY user_id), " +
+      "cnt AS (SELECT user_id, count(*) AS n_intervals FROM iv GROUP BY user_id) " +
+      "SELECT cov.user_id, covered_sec, n_intervals FROM cov JOIN cnt ON cov.user_id = cnt.user_id"
+
+  // ---- X79: SCD Type-2 history of each user's event_type ----
+
+  val scd2: Q = (s, d) =>
+    W.scd2(Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
+      .withColumnRenamed("attr", "status")
+
+  val scd2Sql: String =
+    "WITH m AS (SELECT user_id, event_type AS attr, ts, event_id, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+      "ch AS (SELECT user_id, attr, ts AS eff_from, event_id FROM m " +
+      "WHERE prev IS NULL OR prev <> attr) " +
+      "SELECT user_id, attr AS status, eff_from, " +
+      "coalesce(lead(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from, event_id), " +
+      "TIMESTAMP '9999-12-31 00:00:00') AS eff_to, " +
+      "CAST(row_number() OVER (PARTITION BY user_id ORDER BY eff_from, event_id) AS INT) AS version, " +
+      "(lead(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from, event_id) IS NULL) AS is_current " +
+      "FROM ch"
+
+  // ---- X80: CDC changelog apply (MERGE INTO semantics) ----
+  // The changelog is derived deterministically from orders itself:
+  // keys ≡0 (mod 10) delete, ≡1 get two updates (latest seq wins),
+  // ≡2 one update, ≡3 (mod 1000) spawn an insert under a fresh
+  // negative key. Exercises delete/upsert/insert + last-writer-wins.
+
+  val cdcApply: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    def change(pred: org.apache.spark.sql.Column, seq: Long, op: String,
+        price: org.apache.spark.sql.Column, st: org.apache.spark.sql.Column) =
+      base.filter(pred).select(col("o_orderkey"), lit(seq).as("seq"),
+        lit(op).as("op"), price.as("o_totalprice"), st.as("o_orderstatus"))
+    val changes =
+      change(col("o_orderkey") % 10 === 0, 1L, "D",
+        lit(null).cast("double"), lit(null).cast("string"))
+        .unionByName(change(col("o_orderkey") % 10 === 1, 1L, "U",
+          col("o_totalprice") + 1.0, lit("U1")))
+        .unionByName(change(col("o_orderkey") % 10 === 1, 2L, "U",
+          col("o_totalprice") + 2.0, lit("U2")))
+        .unionByName(change(col("o_orderkey") % 10 === 2, 1L, "U",
+          col("o_totalprice") + 1.0, lit("U1")))
+        .unionByName(
+          base.filter(col("o_orderkey") % 1000 === 3)
+            .select((-col("o_orderkey") - 1).as("o_orderkey"), lit(1L).as("seq"),
+              lit("I").as("op"), (col("o_totalprice") / 2).as("o_totalprice"),
+              lit("INS").as("o_orderstatus")))
+    W.cdcApply(base, changes, "o_orderkey", "seq", "op",
+      Seq("o_totalprice", "o_orderstatus"))
+  }
+
+  val cdcApplySql: String =
+    "WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders), " +
+      "ch AS (" +
+      "SELECT o_orderkey, 1 AS seq, 'D' AS op, CAST(NULL AS DOUBLE) AS p, CAST(NULL AS VARCHAR) AS st " +
+      "FROM base WHERE o_orderkey % 10 = 0 " +
+      "UNION ALL SELECT o_orderkey, 1, 'U', o_totalprice + 1.0, 'U1' FROM base WHERE o_orderkey % 10 = 1 " +
+      "UNION ALL SELECT o_orderkey, 2, 'U', o_totalprice + 2.0, 'U2' FROM base WHERE o_orderkey % 10 = 1 " +
+      "UNION ALL SELECT o_orderkey, 1, 'U', o_totalprice + 1.0, 'U1' FROM base WHERE o_orderkey % 10 = 2 " +
+      "UNION ALL SELECT -o_orderkey - 1, 1, 'I', o_totalprice / 2, 'INS' FROM base WHERE o_orderkey % 1000 = 3), " +
+      "latest AS (SELECT * FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1) " +
+      "SELECT coalesce(l.o_orderkey, b.o_orderkey) AS o_orderkey, " +
+      "coalesce(l.p, b.o_totalprice) AS o_totalprice, " +
+      "coalesce(l.st, b.o_orderstatus) AS o_orderstatus, " +
+      "coalesce(l.op, 'base') AS src " +
+      "FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey " +
+      "WHERE l.op IS NULL OR l.op <> 'D'"
+
+  // ---- X81: cohort retention matrix ----
+
+  val cohort: Q = (s, d) =>
+    W.cohortRetention(Tables.events(s, d), "user_id", "ts")
+
+  val cohortSql: String =
+    "WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week " +
+      "FROM events GROUP BY user_id), " +
+      "a AS (SELECT e.user_id, f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE) AS wk " +
+      "FROM events e JOIN f ON e.user_id = f.user_id) " +
+      "SELECT cohort_week, CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset, " +
+      "count(DISTINCT user_id) AS n_users FROM a GROUP BY cohort_week, week_offset"
+
+  // ---- X82: ordered funnel conversion ----
+
+  val FUNNEL_STAGES: Seq[String] = Seq("view", "click", "purchase")
+
+  val funnel: Q = (s, d) =>
+    W.funnelCounts(Tables.events(s, d), "user_id", "event_type", "ts",
+      FUNNEL_STAGES)
+
+  val funnelSql: String =
+    "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+      "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id " +
+      "WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id), " +
+      "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id " +
+      "WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id) " +
+      "SELECT 1 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s1) AS n_users " +
+      "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2) " +
+      "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"
+
+  // ---- X83: rows-bounded moving aggregate + quartile bucketing ----
+
+  val movingAvg: Q = (s, d) =>
+    W.movingAgg(Tables.events(s, d), "user_id", "ts", "event_id", col("value"))
+
+  val movingAvgSql: String =
+    "WITH c AS (SELECT event_id, user_id, ts, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events) " +
+      "SELECT event_id, user_id, " +
+      "CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_c, " +
+      "count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n, " +
+      "CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile " +
+      "FROM c"
+
+  val queries: Map[String, Q] = Map(
+    "q_weighted_sample" -> weightedSample,
+    "q_interval_cover" -> intervalCover,
+    "q_scd2" -> scd2,
+    "q_cdc_apply" -> cdcApply,
+    "q_cohort" -> cohort,
+    "q_funnel" -> funnel,
+    "q_moving_avg" -> movingAvg)
+
+  val oracles: Map[String, String] = Map(
+    "q_weighted_sample" -> weightedSampleSql,
+    "q_interval_cover" -> intervalCoverSql,
+    "q_scd2" -> scd2Sql,
+    "q_cdc_apply" -> cdcApplySql,
+    "q_cohort" -> cohortSql,
+    "q_funnel" -> funnelSql,
+    "q_moving_avg" -> movingAvgSql)
+}

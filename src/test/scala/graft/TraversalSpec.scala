@@ -55,4 +55,31 @@ class TraversalSpec extends SparkSpec {
     }
     assert(run() == run())
   }
+
+  test("shortestPath prefers a cheap long path over a costly direct edge") {
+    // s -> t direct costs 10; s -> a -> b -> t costs 3
+    val edges = Seq(
+      ("s", "t", 10L), ("s", "a", 1L), ("a", "b", 1L), ("b", "t", 1L))
+      .toDF("src", "dst", "w")
+    val got = Traversal.shortestPath(edges, "src", "dst", "w", Seq("s"), 5)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("s" -> 0L, "a" -> 1L, "b" -> 2L, "t" -> 3L))
+    // with only 1 relaxation round the direct edge is the best ≤1-hop path
+    val r1 = Traversal.shortestPath(edges, "src", "dst", "w", Seq("s"), 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1("t") == 10L)
+  }
+
+  test("shortestPath with unit weights equals BFS hop distance") {
+    val edges = graft.SparkEntry
+      .nationTradeEdges(spark, "/root/testdata/sf0.001")
+      .select(col("src_nation"), col("dst_nation"), lit(1L).as("w"))
+    val hops = Traversal.hopDistance(edges, "src_nation", "dst_nation",
+      Seq("NATION_0"), maxHops = 3)
+      .as[(String, Int)].collect().toMap
+    val sp = Traversal.shortestPath(edges, "src_nation", "dst_nation", "w",
+      Seq("NATION_0"), rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(sp == hops.map { case (k, v) => k -> v.toLong })
+  }
 }

@@ -98,8 +98,11 @@ def compare(a, b):
             if not exact:
                 print(f"  (note: col {c} matches only within 1e-9 tolerance — driver hash may flag)")
         else:
-            if not (a[c] == b[c]).all():
-                i = int((a[c] != b[c]).to_numpy().argmax())
+            # NaT == NaT and None == None must count as equal (datetime
+            # columns with nulls otherwise always "differ")
+            eq = (a[c] == b[c]) | (a[c].isna() & b[c].isna())
+            if not eq.all():
+                i = int((~eq).to_numpy().argmax())
                 return False, f"col {c} differs at sorted row {i}: {a[c][i]!r} vs {b[c][i]!r}"
     return True, ""
 
