@@ -153,6 +153,39 @@ object Warehouse {
     out
   }
 
+  /** 2-D skyline (Pareto frontier), both dimensions minimized: a
+    * point survives iff no other point is ≤ in both dims and < in at
+    * least one. Classic distributed shape: (1) per-partition prune —
+    * after an in-partition (x, y) sort, a single running-min scan
+    * keeps only that partition's frontier (dominated points can never
+    * rejoin the global frontier); (2) the survivors — O(parts ·
+    * frontier) rows, frontier ~ O(log n) on random data — go through
+    * one small global ordered scan. The full-data stages are one
+    * distinct shuffle + an in-partition sort; only frontier
+    * candidates reach the single-partition window.
+    *
+    * Duplicate points are collapsed first so "q dominates p" can be
+    * decided by the prefix-min alone: after distinct, prev-min ≤ y
+    * implies a strictly-dominating predecessor. */
+  def skyline2D(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(xCol.cast("double").as("x"), yCol.cast("long").as("y"))
+      .distinct()
+    val local = pts.sortWithinPartitions("x", "y").as[(Double, Long)]
+      .mapPartitions { it =>
+        var best = Long.MaxValue
+        it.flatMap { case (x, y) =>
+          if (y < best) { best = y; Iterator.single((x, y)) } else Iterator.empty
+        }
+      }.toDF("x", "y")
+    val w = Window.orderBy("x", "y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    local.withColumn("_pm", min(col("y")).over(w))
+      .filter(col("_pm").isNull || col("y") < col("_pm"))
+      .select(col("x"), col("y"))
+  }
+
   /** Rows-bounded moving aggregate + quartile bucketing per key:
     * 3-row moving sum over cents-quantized values (exact BIGINT — no
     * float accumulation order to disagree on) and ntile(4) position

@@ -757,6 +757,45 @@ object Extensions {
     s.table("graft_stream_join")
   }
 
+  /** Category dimension for the stream-static enrichment join —
+    * a literal lookup table (in production: a refreshable dim read
+    * per micro-batch). */
+  private val eventCategories: Seq[(String, String)] = Seq(
+    "view" -> "engage", "click" -> "engage",
+    "purchase" -> "convert", "signup" -> "convert",
+    "error" -> "ops")
+
+  /** ACTUAL stream-static join run: readStream events enriched
+    * against a broadcast static dim, then windowed agg per category —
+    * the always-on lookup-enrichment pipeline. Oracle = the same
+    * join+agg as batch SQL. */
+  val streamStaticJoin: Q = (s, d) => withStreamShuffle(s, 8) {
+    import s.implicits._
+    val ckpt = streamCkptDir("graft-ckpt-ssj")
+    val dim = eventCategories.toDF("event_type", "category")
+    val q = EventsStreaming.enrichedWindowedAgg(
+      EventsStreaming.readDriverEventsStream(s, s"$d/events.parque[t]"), dim)
+      .writeStream.format("memory").queryName("graft_stream_ssj")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    runStreamThenCleanCkpt(q, ckpt)
+    s.table("graft_stream_ssj")
+      .select(unix_timestamp(col("win_start")).as("win_start_epoch"),
+        col("category"), col("n"), col("total"))
+  }
+
+  val streamStaticJoinSql: String = {
+    val dimRows = eventCategories
+      .map { case (t, c) => s"('$t','$c')" }.mkString(", ")
+    s"WITH dim(event_type, category) AS (VALUES $dimRows) " +
+      "SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS win_start_epoch, " +
+      "category, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total " +
+      "FROM events JOIN dim USING (event_type) GROUP BY 1, 2"
+  }
+
   /** Spark 4 arbitrary-state streaming (`transformWithState` on the
     * RocksDB state store): per-user running totals, every event tagged
     * with its user's count/sum so far. Oracle = the batch cumulative
@@ -1611,6 +1650,7 @@ object Extensions {
     "q_stream_window_agg" -> streamWindowAgg,
     "q_stream_dedup" -> streamDedup,
     "q_stream_join" -> streamJoin,
+    "q_stream_static_join" -> streamStaticJoin,
     "q_media_features" -> mediaFeatures,
     "q_media_resize" -> mediaResize,
     "q_frame_sample" -> frameSample,
@@ -1678,6 +1718,7 @@ object Extensions {
     "q_stream_window_agg" -> windowAggSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
+    "q_stream_static_join" -> streamStaticJoinSql,
     "q_media_features" -> mediaFeaturesSql,
     "q_media_resize" -> mediaResizeSql,
     "q_frame_sample" -> frameSampleSql,

@@ -168,7 +168,24 @@ object WarehouseQueries {
       "CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile " +
       "FROM c"
 
+  // ---- X85: 2-D skyline (Pareto frontier) ----
+  // "Cheapest AND earliest" orders: minimize (o_totalprice, order
+  // date). Oracle = the same prefix-min scan as one window.
+
+  val skyline: Q = (s, d) =>
+    W.skyline2D(Tables.orders(s, d),
+      col("o_totalprice"), unix_timestamp(col("o_orderdate")))
+      .select(col("x").as("total_price"), col("y").as("order_epoch"))
+
+  val skylineSql: String =
+    "WITH pts AS (SELECT DISTINCT o_totalprice AS x, " +
+      "CAST(floor(epoch(o_orderdate)) AS BIGINT) AS y FROM orders), " +
+      "m AS (SELECT x, y, min(y) OVER (ORDER BY x, y " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM pts) " +
+      "SELECT x AS total_price, y AS order_epoch FROM m WHERE pm IS NULL OR y < pm"
+
   val queries: Map[String, Q] = Map(
+    "q_skyline" -> skyline,
     "q_weighted_sample" -> weightedSample,
     "q_interval_cover" -> intervalCover,
     "q_scd2" -> scd2,
@@ -178,6 +195,7 @@ object WarehouseQueries {
     "q_moving_avg" -> movingAvg)
 
   val oracles: Map[String, String] = Map(
+    "q_skyline" -> skylineSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_interval_cover" -> intervalCoverSql,
     "q_scd2" -> scd2Sql,

@@ -86,6 +86,24 @@ object EventsStreaming {
     spark.table("events_windowed")
   }
 
+  /** Stream-static enrichment join + windowed agg: the always-on
+    * pipeline shape where each event is enriched against a slowly-
+    * changing dimension before aggregation. The static side
+    * broadcasts (no stream-side shuffle for the join, no state) —
+    * at scale the dim re-broadcasts per micro-batch, which is exactly
+    * the semantics wanted for a refreshable lookup table. Tumbling
+    * 10-minute windows per enriched category; decimal sum keeps the
+    * total exact in any accumulation order. */
+  def enrichedWindowedAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(window(col("ts"), "10 minutes"), col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,2)")).cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("category"),
+        col("n"), col("total"))
+
   /** Streaming exact-dedup: content-fingerprinted documents deduped
     * incrementally with `dropDuplicates` + watermark — the shape an
     * always-on ingest pipeline uses (state = one fingerprint per seen

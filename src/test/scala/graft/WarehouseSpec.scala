@@ -176,6 +176,36 @@ class WarehouseSpec extends SparkSpec {
     assert(got(5L) == ((900L, 1L, 1)))
   }
 
+  // -------------------- skyline --------------------
+
+  test("skyline2D equals brute-force dominance filtering") {
+    val orders = core.Tables.orders(spark, "/root/testdata/sf0.001")
+    val got = Warehouse.skyline2D(orders,
+      col("o_totalprice"), unix_timestamp(col("o_orderdate")))
+      .as[(Double, Long)].collect().toSet
+    val pts = orders
+      .select(col("o_totalprice"), unix_timestamp(col("o_orderdate")))
+      .as[(Double, Long)].collect().toSet
+    val want = pts.filter { case (x, y) =>
+      !pts.exists { case (qx, qy) =>
+        qx <= x && qy <= y && (qx < x || qy < y)
+      }
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("skyline2D survives duplicates and a single-point input") {
+    val dup = Seq((1.0, 5L), (1.0, 5L), (2.0, 4L), (2.0, 6L), (0.5, 9L))
+      .toDF("x", "y")
+    val got = Warehouse.skyline2D(dup, col("x"), col("y"))
+      .as[(Double, Long)].collect().toSet
+    assert(got == Set((0.5, 9L), (1.0, 5L), (2.0, 4L)))
+    val one = Warehouse.skyline2D(Seq((3.0, 3L)).toDF("x", "y"),
+      col("x"), col("y")).as[(Double, Long)].collect().toSet
+    assert(one == Set((3.0, 3L)))
+  }
+
   // -------------------- weighted systematic sample --------------------
 
   test("weightedSystematicSample matches the single-partition definition") {
