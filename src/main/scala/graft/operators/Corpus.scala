@@ -177,6 +177,40 @@ object Corpus {
           lit(0.0)).as("mean_surprisal"))
   }
 
+  /** Bigram surprisal — the next step up from [[unigramSurprisal]]:
+    * a document's mean −ln P(w₂|w₁) under the corpus MLE bigram model
+    * (P = c(w₁w₂)/c(w₁·), context counts derived from the bigram
+    * table itself so they sum consistently). Catches fluent-word
+    * gibberish ("the the the of") that unigram statistics score as
+    * perfectly normal text.
+    *
+    * Plan: bigram counts are one partial-agg shuffle on the gram key;
+    * context counts reduce FROM the bigram table (vocab-sized, one
+    * more short shuffle). Unlike the unigram table, the bigram table
+    * grows superlinearly in vocab — so per-doc scoring joins on the
+    * gram key via shuffle-hash, NEVER broadcast. Same fixed-point
+    * trick: log-probs quantize to BIGINT before the per-doc sum. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+    val bc = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val wc = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cnt")).cast("long").as("ctx"))
+    val probs = bc
+      .join(wc, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("bg"),
+        floor((-log(col("cnt").cast("double") / col("ctx"))) * lit(1e9) + lit(0.5))
+          .cast("long").as("lp"))
+    val per = grams.hint("shuffle_hash").join(probs, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("s").cast("double") / (col("n_bigrams") * lit(1e9)), 6),
+          lit(0.0)).as("mean_bigram_surprisal"))
+  }
+
   /** Corpus vocabulary: the `topN` most frequent terms with counts and
     * a deterministic dense ordering (count desc, term asc). The global
     * top-N plans as TakeOrderedAndProject over the partially-aggregated

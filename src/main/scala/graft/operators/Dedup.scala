@@ -160,6 +160,58 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard join (AllPairs/PPJoin candidate
+    * generation): identical output to [[ngramJaccardPairs]], but the
+    * inverted index holds only each document's PREFIX — its
+    * |S| − ⌈t·|S|⌉ + 1 rarest shingles under a global document-
+    * frequency order. The prefix-filter theorem makes this lossless:
+    * J(A,B) ≥ t forces the two prefixes to share a shingle, so no
+    * qualifying pair can be missed; everything else never becomes a
+    * candidate. At 100 TB this is the difference between indexing
+    * every posting and indexing ~(1−t) of them — and stopword-shaped
+    * hot shingles are almost never in anyone's prefix, attacking the
+    * skew that [[ngramJaccardPairs]] needs `maxDocFreq` for.
+    *
+    * Verification joins candidates back to the full shingle sets by
+    * doc id (two short-key shuffles bounded by the candidate count)
+    * and computes exact |A∩B| via array_intersect.
+    *
+    * Use a threshold exactly representable in binary (0.5, 0.75…) so
+    * ⌈t·|S|⌉ computes identically on any engine. */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sh = spread(df).select(col(idCol).as("id"),
+      array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
+      .withColumn("_size", size(col("_sh")))
+    val inv = sh.select(col("id"), col("_size"), explode(col("_sh")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    // rarest-first rank per doc; ties broken by shingle text so the
+    // prefix is a pure function of the corpus
+    val wRank = Window.partitionBy("id").orderBy(col("_df"), col("shingle"))
+    val prefix = inv
+      .hint("shuffle_hash").join(dfreq, Seq("shingle"))
+      .withColumn("_rk", row_number().over(wRank))
+      .filter(col("_rk") <=
+        col("_size") - ceil(col("_size") * threshold) + 1)
+    val a = prefix.select(col("shingle"), col("id").as("id1"))
+    val b = prefix.select(col("shingle"), col("id").as("id2"))
+    val cand = a.hint("shuffle_hash").join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val sets = sh.select(col("id"), col("_sh"), col("_size"))
+    cand
+      .join(sets.select(col("id").as("id1"), col("_sh").as("_sh1"),
+        col("_size").as("_s1")), Seq("id1"))
+      .join(sets.select(col("id").as("id2"), col("_sh").as("_sh2"),
+        col("_size").as("_s2")), Seq("id2"))
+      .withColumn("_inter", size(array_intersect(col("_sh1"), col("_sh2"))))
+      .withColumn("jaccard",
+        col("_inter").cast("double") /
+          (col("_s1") + col("_s2") - col("_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 60-bit SimHash over the token stream: bit b of the signature is
     * set iff Σ_tokens (2·bit_b(hash(token)) − 1) > 0. One pass to hash
     * tokens, then 60 integer reductions over the (small) hash array —

@@ -153,6 +153,35 @@ object Warehouse {
     out
   }
 
+  /** Time-weighted average per key: each observation's value holds
+    * until the next observation, TWA = Σ(vᵢ·dtᵢ)/Σdtᵢ (last point
+    * carries no interval). The products accumulate as exact BIGINT
+    * cents×seconds — no float running sums — and only the final
+    * division is floating point (rounded 6dp, engine-agreed).
+    *
+    * Plan: one keyed window (lead) + one keyed partial agg, both on
+    * `keyCol` — a single Exchange+Sort feeds both. Zero-span series
+    * (all points at one instant) yield a NULL average, never a
+    * divide-by-zero (ANSI mode throws on those). */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val spans = df
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        floor(valueCol * 100 + 0.5).cast("long").as("_cents"))
+      .withColumn("_dt",
+        unix_timestamp(lead(col(tsCol), 1).over(w)) - unix_timestamp(col(tsCol)))
+      .filter(col("_dt").isNotNull)
+    spans.groupBy(col(keyCol))
+      .agg(sum(col("_cents") * col("_dt")).cast("long").as("_num"),
+        sum(col("_dt")).cast("long").as("total_sec"))
+      .select(col(keyCol),
+        when(col("total_sec") > 0,
+          round(col("_num").cast("double") / col("total_sec"), 6))
+          .as("twa_cents"),
+        col("total_sec"))
+  }
+
   /** 2-D skyline (Pareto frontier), both dimensions minimized: a
     * point survives iff no other point is ≤ in both dims and < in at
     * least one. Classic distributed shape: (1) per-partition prune —

@@ -166,6 +166,24 @@ object Extensions {
       "round(CAST(inter AS DOUBLE)/(s1 + s2 - inter), 6) AS jaccard, " +
       "CAST(inter AS DOUBLE)/(s1 + s2 - inter) AS _j FROM p) WHERE _j >= 0.7"
 
+  /** Prefix-filtered exact Jaccard (AllPairs/PPJoin) — LOSSLESS vs the
+    * full inverted index, so the oracle is simply the exact Jaccard
+    * join at the same threshold (0.5: exactly representable, so the
+    * ⌈t·|S|⌉ prefix length computes identically everywhere). */
+  val ngramPrefix: Q = (s, d) =>
+    Dedup.ngramJaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.5, shingleN = 3)
+
+  val ngramPrefixSql: String =
+    s"WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, list_distinct($duckShingles) AS s FROM toks), " +
+      "inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh), " +
+      "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1, b.sz AS s2, count(*) AS inter " +
+      "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY ALL) " +
+      "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
+      "round(CAST(inter AS DOUBLE)/(s1 + s2 - inter), 6) AS jaccard, " +
+      "CAST(inter AS DOUBLE)/(s1 + s2 - inter) AS _j FROM p) WHERE _j >= 0.5"
+
   /** C4-style corpus-level line dedup with document reassembly. On the
     * synthetic single-line documents this degenerates to whole-doc
     * first-occurrence dedup — the multi-line reassembly path is pinned
@@ -1418,6 +1436,29 @@ object Extensions {
   val unigramSurprisal: Q = (s, d) =>
     Corpus.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
 
+  /** Bigram LM surprisal — −mean ln P(w₂|w₁) under the corpus MLE
+    * bigram model; the oracle rebuilds the identical quantized
+    * fixed-point recurrence (floor(−ln·1e9 + 0.5) per gram, BIGINT
+    * sums). */
+  val bigramSurprisal: Q = (s, d) =>
+    Corpus.bigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+
+  val bigramSurprisalSql: String = {
+    val bigrams = "CASE WHEN len(t) >= 2 THEN " +
+      "list_transform(generate_series(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+1), ' ')) " +
+      "ELSE []::VARCHAR[] END"
+    s"WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"bg AS (SELECT doc_id, unnest($bigrams) AS bg FROM toks), " +
+      "bc AS MATERIALIZED (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg), " +
+      "wc AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cnt) AS BIGINT) AS ctx FROM bc GROUP BY 1), " +
+      "pr AS (SELECT bg, CAST(floor((-ln(CAST(cnt AS DOUBLE)/ctx)) * 1000000000.0 + 0.5) AS BIGINT) AS lp " +
+      "FROM bc JOIN wc ON split_part(bc.bg, ' ', 1) = wc.w1), " +
+      "per AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS s FROM bg JOIN pr USING (bg) GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, " +
+      "coalesce(round(CAST(p.s AS DOUBLE)/(p.n_bigrams * 1000000000.0), 6), 0.0) AS mean_bigram_surprisal " +
+      "FROM documents d LEFT JOIN per p USING (doc_id)"
+  }
+
   val unigramSurprisalSql: String =
     s"WITH trm AS (SELECT doc_id, unnest($duckToksLower) AS term FROM documents), " +
       "tf AS (SELECT term, count(*) AS cnt FROM trm GROUP BY term), " +
@@ -1641,6 +1682,8 @@ object Extensions {
     "q_line_dedup" -> lineDedup,
     "q_seq_pack" -> seqPack,
     "q_ngram_jaccard" -> ngramJaccard,
+    "q_ngram_prefix" -> ngramPrefix,
+    "q_bigram_surprisal" -> bigramSurprisal,
     "q_minhash_pairs" -> minhashPairs,
     "q_simhash_pairs" -> simhashPairs,
     "q_embed_topk" -> embedTopK,
@@ -1709,6 +1752,8 @@ object Extensions {
     "q_line_dedup" -> lineDedupSql,
     "q_seq_pack" -> seqPackSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_ngram_prefix" -> ngramPrefixSql,
+    "q_bigram_surprisal" -> bigramSurprisalSql,
     "q_minhash_pairs" -> minhashPairsSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_embed_topk" -> embedTopKSql,

@@ -168,6 +168,22 @@ object WarehouseQueries {
       "CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile " +
       "FROM c"
 
+  // ---- X87: time-weighted average per event_type ----
+
+  val twap: Q = (s, d) =>
+    W.timeWeightedAvg(Tables.events(s, d), "event_type", "ts", "event_id",
+      col("value"))
+
+  val twapSql: String =
+    "WITH c AS (SELECT event_type, ts, event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events), " +
+      "sp AS (SELECT event_type, cents, " +
+      "CAST(floor(epoch(lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))) AS BIGINT) " +
+      "- CAST(floor(epoch(ts)) AS BIGINT) AS dt FROM c), " +
+      "g AS (SELECT event_type, CAST(sum(cents*dt) AS BIGINT) AS num, " +
+      "CAST(sum(dt) AS BIGINT) AS total_sec FROM sp WHERE dt IS NOT NULL GROUP BY event_type) " +
+      "SELECT event_type, CASE WHEN total_sec > 0 THEN round(CAST(num AS DOUBLE)/total_sec, 6) END AS twa_cents, " +
+      "total_sec FROM g"
+
   // ---- X85: 2-D skyline (Pareto frontier) ----
   // "Cheapest AND earliest" orders: minimize (o_totalprice, order
   // date). Oracle = the same prefix-min scan as one window.
@@ -185,6 +201,7 @@ object WarehouseQueries {
       "SELECT x AS total_price, y AS order_epoch FROM m WHERE pm IS NULL OR y < pm"
 
   val queries: Map[String, Q] = Map(
+    "q_twap" -> twap,
     "q_skyline" -> skyline,
     "q_weighted_sample" -> weightedSample,
     "q_interval_cover" -> intervalCover,
@@ -195,6 +212,7 @@ object WarehouseQueries {
     "q_moving_avg" -> movingAvg)
 
   val oracles: Map[String, String] = Map(
+    "q_twap" -> twapSql,
     "q_skyline" -> skylineSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_interval_cover" -> intervalCoverSql,

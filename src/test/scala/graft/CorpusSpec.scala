@@ -177,4 +177,32 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
+  test("bigramSurprisal: exact MLE bigram probabilities on a hand corpus") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = Corpus.bigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, m) => id -> ((n, m)) }.toMap
+    // c(a b)=2, c(a c)=1, ctx(a)=3
+    def q(p: Double): Double = {
+      val s = math.floor(-math.log(p) * 1e9 + 0.5) / 1e9
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L) == ((1L, q(2.0 / 3))))
+    assert(got(2L) == got(1L))
+    assert(got(3L) == ((1L, q(1.0 / 3))))
+    assert(got(4L) == ((0L, 0.0))) // single-token doc: no bigrams
+  }
+
+  test("bigramSurprisal flags fluent-word gibberish that unigrams miss") {
+    val normal = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val gibber = Seq((99L, "the the the the the the"))
+    val docs = (normal ++ gibber).toDF("doc_id", "text")
+    val bg = Corpus.bigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, _, m) => id -> m }.toMap
+    // "the the" is rare in the corpus model while the normal docs'
+    // bigrams are common -> gibberish scores strictly higher
+    assert(bg(99L) > bg(1L))
+  }
 }

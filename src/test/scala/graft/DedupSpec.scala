@@ -158,4 +158,30 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"length-band blocking must plan as an equi-join:\n$plan")
   }
+  test("prefix-filtered Jaccard equals the full inverted-index join") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val full = norm(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5, 3))
+    val pref = norm(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 0.5, 3))
+    assert(pref == full)
+    assert(full.nonEmpty) // the comparison must actually exercise pairs
+  }
+
+  test("prefix filter indexes strictly fewer postings than the full index") {
+    // hand corpus with a stopword-ish shared shingle: the hot shingle
+    // should drop out of most prefixes
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the sleepy dog"),
+      (3L, "the quick brown cat sleeps under the lazy dog"),
+      (4L, "entirely different text about spark physical plans"))
+      .toDF("doc_id", "text")
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5, 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 0.5, 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == full)
+  }
 }

@@ -176,6 +176,22 @@ class WarehouseSpec extends SparkSpec {
     assert(got(5L) == ((900L, 1L, 1)))
   }
 
+  // -------------------- time-weighted average --------------------
+
+  test("timeWeightedAvg weights each value by its holding interval") {
+    // value 100 held 10s, value 200 held 30s -> (100*10 + 200*30)/40 = 175
+    val ev = Seq(
+      (1L, "k", ts("2024-01-01 00:00:00"), 1.00),
+      (2L, "k", ts("2024-01-01 00:00:10"), 2.00),
+      (3L, "k", ts("2024-01-01 00:00:40"), 9.99), // last point: no interval
+      (4L, "solo", ts("2024-01-01 00:00:00"), 5.0)) // single point: no rows
+      .toDF("event_id", "key", "ts", "value")
+    val got = Warehouse.timeWeightedAvg(ev, "key", "ts", "event_id", col("value"))
+      .as[(String, Option[Double], Long)].collect()
+      .map { case (k, v, s) => k -> ((v, s)) }.toMap
+    assert(got == Map("k" -> ((Some(175.0), 40L))))
+  }
+
   // -------------------- skyline --------------------
 
   test("skyline2D equals brute-force dominance filtering") {
