@@ -107,6 +107,11 @@ object Traversal {
         .select(col("_d").as("name"), (col("dist") + col("_w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("name")).agg(min(col("dist")).as("dist"))
+        // truncate lineage per round (same policy as
+        // Dedup.connectedComponents): without it the nested
+        // join+agg plan deepens every round and Catalyst/AQE re-plan
+        // the whole history each superstep
+        .localCheckpoint()
     }
     dist
   }

@@ -191,17 +191,22 @@ object Corpus {
     * gram key via shuffle-hash, NEVER broadcast. Same fixed-point
     * trick: log-probs quantize to BIGINT before the per-doc sum. */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // grams feed both the count pass and the scoring join — persist
+    // the exploded table; the scoring join shuffles md5(gram) short
+    // keys (repo convention: grams never travel as text)
     val grams = docs.select(col(idCol),
       explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bc = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     val wc = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cnt")).cast("long").as("ctx"))
     val probs = bc
       .join(wc, substring_index(col("bg"), " ", 1) === col("w1"))
-      .select(col("bg"),
+      .select(md5(col("bg")).as("_gk"),
         floor((-log(col("cnt").cast("double") / col("ctx"))) * lit(1e9) + lit(0.5))
           .cast("long").as("lp"))
-    val per = grams.hint("shuffle_hash").join(probs, Seq("bg"))
+    val per = grams.select(col(idCol), md5(col("bg")).as("_gk"))
+      .hint("shuffle_hash").join(probs, Seq("_gk"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
     docs.select(col(idCol)).join(per, Seq(idCol), "left")

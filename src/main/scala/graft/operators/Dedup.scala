@@ -180,23 +180,36 @@ object Dedup {
     * ⌈t·|S|⌉ computes identically on any engine. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
+    // the shingle-set table feeds THREE consumers (df-rank index,
+    // prefix index, verification sets) — persist it so tokenization
+    // and shingling run once, not per consumer
     val sh = spread(df).select(col(idCol).as("id"),
       array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
       .withColumn("_size", size(col("_sh")))
-    val inv = sh.select(col("id"), col("_size"), explode(col("_sh")).as("shingle"))
-    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("_df"))
-    // rarest-first rank per doc; ties broken by shingle text so the
-    // prefix is a pure function of the corpus
-    val wRank = Window.partitionBy("id").orderBy(col("_df"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // postings travel as fixed-width md5 keys, never shingle text
+    // (repo convention — halves the shuffle payload and keeps key
+    // comparisons cheap); the df-rank tie-break uses the same key, so
+    // the prefix stays a pure function of the corpus
+    val inv = sh.select(col("id"), col("_size"),
+      explode(col("_sh")).as("_g"))
+      .select(col("id"), col("_size"), md5(col("_g")).as("_gk"))
+    val dfreq = inv.groupBy("_gk").agg(count(lit(1)).as("_df"))
+    val wRank = Window.partitionBy("id").orderBy(col("_df"), col("_gk"))
     val prefix = inv
-      .hint("shuffle_hash").join(dfreq, Seq("shingle"))
+      .hint("shuffle_hash").join(dfreq, Seq("_gk"))
       .withColumn("_rk", row_number().over(wRank))
       .filter(col("_rk") <=
         col("_size") - ceil(col("_size") * threshold) + 1)
-    val a = prefix.select(col("shingle"), col("id").as("id1"))
-    val b = prefix.select(col("shingle"), col("id").as("id2"))
-    val cand = a.hint("shuffle_hash").join(b, Seq("shingle"))
-      .filter(col("id1") < col("id2"))
+    val a = prefix.select(col("_gk"), col("id").as("id1"), col("_size").as("_za"))
+    val b = prefix.select(col("_gk"), col("id").as("id2"), col("_size").as("_zb"))
+    // length filter (PPJoin): J ≥ t bounds the partner's set size to
+    // [t·|A|, |A|/t] — prunes dissimilar-size pairs before they ever
+    // become candidates
+    val cand = a.hint("shuffle_hash").join(b, Seq("_gk"))
+      .filter(col("id1") < col("id2") &&
+        col("_zb") >= ceil(col("_za") * threshold) &&
+        col("_zb") * threshold <= col("_za"))
       .select(col("id1"), col("id2")).distinct()
     val sets = sh.select(col("id"), col("_sh"), col("_size"))
     cand

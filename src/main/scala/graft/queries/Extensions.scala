@@ -168,11 +168,13 @@ object Extensions {
 
   /** Prefix-filtered exact Jaccard (AllPairs/PPJoin) — LOSSLESS vs the
     * full inverted index, so the oracle is simply the exact Jaccard
-    * join at the same threshold (0.5: exactly representable, so the
-    * ⌈t·|S|⌉ prefix length computes identically everywhere). */
+    * join at the same threshold (0.75: exactly representable, so the
+    * ⌈t·|S|⌉ prefix length computes identically everywhere; high
+    * thresholds are where prefix filtering earns its keep — the
+    * prefix is only (1−t)·|S|+1 shingles). */
   val ngramPrefix: Q = (s, d) =>
     Dedup.ngramJaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text",
-      threshold = 0.5, shingleN = 3)
+      threshold = 0.75, shingleN = 3)
 
   val ngramPrefixSql: String =
     s"WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
@@ -182,7 +184,7 @@ object Extensions {
       "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY ALL) " +
       "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
       "round(CAST(inter AS DOUBLE)/(s1 + s2 - inter), 6) AS jaccard, " +
-      "CAST(inter AS DOUBLE)/(s1 + s2 - inter) AS _j FROM p) WHERE _j >= 0.5"
+      "CAST(inter AS DOUBLE)/(s1 + s2 - inter) AS _j FROM p) WHERE _j >= 0.75"
 
   /** C4-style corpus-level line dedup with document reassembly. On the
     * synthetic single-line documents this degenerates to whole-doc
