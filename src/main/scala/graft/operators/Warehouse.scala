@@ -153,6 +153,28 @@ object Warehouse {
     out
   }
 
+  /** Per-key ordered event sequence ("user history") — the
+    * sequence-model training-prep shape: all of a key's events
+    * gathered into one deterministically-ordered list (ts, then tie
+    * key), rendered as a delimited string. collect_list runs as
+    * ObjectHashAggregate with map-side partials, so the single
+    * shuffle carries O(rows) keyed by user and per-key state is one
+    * user's own history — the bounded-entity assumption every
+    * sequence featurizer makes.
+    *
+    * The sort happens INSIDE each group after aggregation
+    * (sort_array on (ts, tie, value) structs) — no global sort, no
+    * window. */
+  def eventHistory(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: Column): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws("|",
+          transform(
+            sort_array(collect_list(struct(col(tsCol), col(tieCol),
+              valueCol.as("_v")))),
+            x => x.getField("_v"))).as("history"))
+
   /** Time-weighted average per key: each observation's value holds
     * until the next observation, TWA = Σ(vᵢ·dtᵢ)/Σdtᵢ (last point
     * carries no interval). The products accumulate as exact BIGINT

@@ -312,7 +312,42 @@ object RankQueries {
       s" SELECT name, dist FROM d$rounds"
   }
 
+  /** Recursive SQL front door (Spark 4 `WITH RECURSIVE`): bounded
+    * walk counting from NATION_0 over the top-3-partner backbone —
+    * (vertex, hop) rows with the number of distinct length-`hop`
+    * walks reaching it. UNION ALL recursion + an explicit hop bound
+    * (Spark does not yet allow UNION-dedup in recursive CTEs), exact
+    * integer counts, identical SQL runs on DuckDB as the oracle. */
+  val recursiveSql: Q = (s, dir) => {
+    val edges = graft.SparkEntry.nationTradeEdges(s, dir)
+    val w = Window.partitionBy("src_nation")
+      .orderBy(desc("amount"), asc("dst_nation"))
+    edges.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3)
+      .select(col("src_nation").as("src"), col("dst_nation").as("dst"))
+      .createOrReplaceTempView("graft_backbone")
+    s.sql(
+      """WITH RECURSIVE walk(name, hop) AS (
+        |  SELECT 'NATION_0', 0
+        |  UNION ALL
+        |  SELECT e.dst, w.hop + 1 FROM walk w
+        |  JOIN graft_backbone e ON e.src = w.name WHERE w.hop < 5
+        |) SELECT name, hop, count(*) AS n_walks
+        |FROM walk GROUP BY name, hop""".stripMargin)
+  }
+
+  def recursiveSqlOracle(seed: String = "NATION_0", bound: Int = 5): String =
+    s"WITH RECURSIVE $amtCte, " +
+      "bb AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst, " +
+      "row_number() OVER (PARTITION BY src ORDER BY amount DESC, dst ASC) AS rn " +
+      "FROM amt) WHERE rn <= 3), " +
+      s"walk(name, hop) AS (SELECT '$seed', 0 UNION ALL " +
+      "SELECT e.dst, w.hop + 1 FROM walk w JOIN bb e ON e.src = w.name " +
+      s"WHERE w.hop < $bound) " +
+      "SELECT name, hop, count(*) AS n_walks FROM walk GROUP BY name, hop"
+
   val queries: Map[String, Q] = Map(
+    "q_recursive_sql" -> recursiveSql,
     "q_top50_partners" -> top50Partners,
     "q_triangles" -> triangles,
     "q_hops" -> hops,
@@ -322,6 +357,7 @@ object RankQueries {
     "q_shortest_path" -> shortestPath)
 
   val oracles: Map[String, String] = Map(
+    "q_recursive_sql" -> recursiveSqlOracle(),
     "q_trade_ranks" -> tradeRanksSql(),
     "q_top50_partners" -> top50PartnersSql(),
     "q_triangles" -> trianglesSql,

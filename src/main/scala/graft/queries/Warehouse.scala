@@ -168,6 +168,17 @@ object WarehouseQueries {
       "CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile " +
       "FROM c"
 
+  // ---- X90: per-user ordered event history ----
+
+  val userHistory: Q = (s, d) =>
+    W.eventHistory(Tables.events(s, d), "user_id", "ts", "event_id",
+      col("event_type"))
+
+  val userHistorySql: String =
+    "SELECT user_id, count(*) AS n_events, " +
+      "string_agg(event_type, '|' ORDER BY ts, event_id) AS history " +
+      "FROM events GROUP BY user_id"
+
   // ---- X87: time-weighted average per event_type ----
 
   val twap: Q = (s, d) =>
@@ -201,6 +212,7 @@ object WarehouseQueries {
       "SELECT x AS total_price, y AS order_epoch FROM m WHERE pm IS NULL OR y < pm"
 
   val queries: Map[String, Q] = Map(
+    "q_user_history" -> userHistory,
     "q_twap" -> twap,
     "q_skyline" -> skyline,
     "q_weighted_sample" -> weightedSample,
@@ -212,6 +224,7 @@ object WarehouseQueries {
     "q_moving_avg" -> movingAvg)
 
   val oracles: Map[String, String] = Map(
+    "q_user_history" -> userHistorySql,
     "q_twap" -> twapSql,
     "q_skyline" -> skylineSql,
     "q_weighted_sample" -> weightedSampleSql,

@@ -253,4 +253,19 @@ class WarehouseSpec extends SparkSpec {
       .select("id", "n_hits").as[(Long, Long)].collect().toMap
     assert(got(1L) >= 9L) // 1000/1049 of the mass -> most strides hit row 1
   }
+  // -------------------- event history --------------------
+
+  test("eventHistory orders by (ts, tie) including same-timestamp ties") {
+    val ev = Seq(
+      (1L, 2L, ts("2024-01-01 00:00:00"), "b"),
+      (1L, 1L, ts("2024-01-01 00:00:00"), "a"), // same ts: tie key orders
+      (1L, 3L, ts("2024-01-01 00:01:00"), "c"),
+      (2L, 4L, ts("2024-01-01 00:00:00"), "x"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Warehouse.eventHistory(ev, "user_id", "ts", "event_id",
+      col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .map { case (u, n, h) => u -> ((n, h)) }.toMap
+    assert(got == Map(1L -> ((3L, "a|b|c")), 2L -> ((1L, "x"))))
+  }
 }
