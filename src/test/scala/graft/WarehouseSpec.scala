@@ -268,4 +268,29 @@ class WarehouseSpec extends SparkSpec {
       .map { case (u, n, h) => u -> ((n, h)) }.toMap
     assert(got == Map(1L -> ((3L, "a|b|c")), 2L -> ((1L, "x"))))
   }
+  // -------------------- plan-shape guards --------------------
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange (hash|range)partitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("scd2 / movingAgg / twap: all windows share ONE keyed exchange") {
+    val ev = core.Tables.events(spark, "/root/testdata/sf0.001")
+    assert(exchanges(
+      Warehouse.scd2(ev, "user_id", "event_type", "ts", "event_id")) == 1)
+    assert(exchanges(
+      Warehouse.movingAgg(ev, "user_id", "ts", "event_id", col("value"))) == 1)
+    assert(exchanges(
+      Warehouse.timeWeightedAvg(ev, "event_type", "ts", "event_id",
+        col("value"))) == 1)
+  }
+
+  test("eventHistory aggregates via ObjectHashAggregate, one exchange") {
+    val ev = core.Tables.events(spark, "/root/testdata/sf0.001")
+    val df = Warehouse.eventHistory(ev, "user_id", "ts", "event_id",
+      col("event_type"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("ObjectHashAggregate"))
+    assert(exchanges(df) == 1)
+  }
 }
