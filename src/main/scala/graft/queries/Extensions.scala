@@ -988,6 +988,31 @@ object Extensions {
   val partitionedSinkSql: String =
     "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'"
 
+  /** Dynamic partition overwrite round trip: base table partitioned by
+    * event_type, then ONLY the 'error' partition refreshed with
+    * transformed rows — the other partitions' files are untouched.
+    * Readback must show the refreshed partition merged with the
+    * original rest (the incremental nightly-refresh semantics). */
+  val partitionOverwrite: Q = (s, d) => {
+    val target = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sink-events-dyn").toString
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sources.ParquetSink.writePartitioned(ev, target, Seq("event_type"))
+    val delta = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("event_type"),
+        (col("value") * 2).as("value"))
+    graft.sources.ParquetSink.overwritePartitionsDynamic(
+      delta, target, Seq("event_type"))
+    graft.sources.ParquetSink.readPartitioned(s, target)
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  val partitionOverwriteSql: String =
+    "SELECT event_id, event_type, " +
+      "CASE WHEN event_type = 'error' THEN value * 2 ELSE value END AS value " +
+      "FROM events"
+
   // ---------- cluster resolution / decontamination / scrubbing ----------
 
   /** Near-dup cluster resolution: MinHash pairs → connected components
@@ -1717,6 +1742,7 @@ object Extensions {
     "q_stratified_sample" -> stratifiedSample,
     "q_text_normalize" -> textNormalize,
     "q_partitioned_sink" -> partitionedSink,
+    "q_partition_overwrite" -> partitionOverwrite,
     "q_dedup_clusters" -> dedupClusters,
     "q_decontaminate" -> decontaminate,
     "q_blocklist" -> blocklist,
@@ -1787,6 +1813,7 @@ object Extensions {
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_partitioned_sink" -> partitionedSinkSql,
+    "q_partition_overwrite" -> partitionOverwriteSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_decontaminate" -> decontaminateSql,
     "q_blocklist" -> blocklistSql,

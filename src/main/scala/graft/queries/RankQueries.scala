@@ -322,9 +322,14 @@ object RankQueries {
     val edges = graft.SparkEntry.nationTradeEdges(s, dir)
     val w = Window.partitionBy("src_nation")
       .orderBy(desc("amount"), asc("dst_nation"))
+    // materialize the backbone BEFORE registering the view: a temp
+    // view is only a logical plan, and the recursion would otherwise
+    // re-execute the full edge-aggregation pipeline on every
+    // iteration (measured 8s -> ~1s at sf0.1)
     edges.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= 3)
       .select(col("src_nation").as("src"), col("dst_nation").as("dst"))
+      .localCheckpoint()
       .createOrReplaceTempView("graft_backbone")
     s.sql(
       """WITH RECURSIVE walk(name, hop) AS (

@@ -73,6 +73,22 @@ object WarehouseQueries {
       "(lead(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from, event_id) IS NULL) AS is_current " +
       "FROM ch"
 
+  // ---- X79b: point-in-time lookup against the SCD2 history ----
+  // "What was every user's status as of T" — the query an SCD2 table
+  // exists to answer; ranges tile, so each user yields at most one row.
+
+  val SCD2_PIT_T = "2024-01-15 00:00:00"
+
+  val scd2Pit: Q = (s, d) =>
+    scd2(s, d)
+      .filter(col("eff_from") <= lit(SCD2_PIT_T).cast("timestamp") &&
+        lit(SCD2_PIT_T).cast("timestamp") < col("eff_to"))
+      .select(col("user_id"), col("status"), col("eff_from"), col("version"))
+
+  val scd2PitSql: String =
+    s"SELECT user_id, status, eff_from, version FROM ($scd2Sql) " +
+      s"WHERE eff_from <= TIMESTAMP '$SCD2_PIT_T' AND TIMESTAMP '$SCD2_PIT_T' < eff_to"
+
   // ---- X80: CDC changelog apply (MERGE INTO semantics) ----
   // The changelog is derived deterministically from orders itself:
   // keys ≡0 (mod 10) delete, ≡1 get two updates (latest seq wins),
@@ -218,6 +234,7 @@ object WarehouseQueries {
     "q_weighted_sample" -> weightedSample,
     "q_interval_cover" -> intervalCover,
     "q_scd2" -> scd2,
+    "q_scd2_pit" -> scd2Pit,
     "q_cdc_apply" -> cdcApply,
     "q_cohort" -> cohort,
     "q_funnel" -> funnel,
@@ -230,6 +247,7 @@ object WarehouseQueries {
     "q_weighted_sample" -> weightedSampleSql,
     "q_interval_cover" -> intervalCoverSql,
     "q_scd2" -> scd2Sql,
+    "q_scd2_pit" -> scd2PitSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_cohort" -> cohortSql,
     "q_funnel" -> funnelSql,

@@ -23,4 +23,22 @@ object ParquetSink {
     * by the caller prune at the directory level. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Dynamic partition overwrite — the incremental-refresh primitive:
+    * only the partitions PRESENT in `df` are replaced; every other
+    * partition's files are untouched (no read-modify-write of the
+    * whole table). This is how a nightly job refreshes yesterday's
+    * date partition under a 100 TB table: write cost scales with the
+    * delta, not the table. Session conf is flipped to `dynamic` for
+    * the write and restored after (the default `static` mode would
+    * truncate the whole table first). */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally spark.conf.set(key, prev)
+  }
 }

@@ -41,4 +41,28 @@ class ParquetSinkSpec extends SparkSpec {
     val want = docs.filter(col("lang") === "en").count()
     assert(n == want && n > 0)
   }
+  test("dynamic partition overwrite replaces ONLY the delta's partitions") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val target = tempTarget()
+    ParquetSink.writePartitioned(docs, target, Seq("lang"))
+    def files(lang: String): Set[String] = {
+      val d = new java.io.File(s"$target/lang=$lang")
+      d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val deBefore = files("de")
+    val delta = docs.filter(col("lang") === "en")
+      .withColumn("n_chars", col("n_chars") * 10)
+    ParquetSink.overwritePartitionsDynamic(delta, target, Seq("lang"))
+    // untouched partition: identical files on disk
+    assert(files("de") == deBefore && deBefore.nonEmpty)
+    // refreshed partition: new content; others: original content
+    val back = ParquetSink.readPartitioned(spark, target)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .as[(Long, String, Long)].collect().toSet
+    val want = docs.withColumn("n_chars",
+      when(col("lang") === "en", col("n_chars") * 10).otherwise(col("n_chars")))
+      .as[(Long, String, Long)].collect().toSet
+    assert(back == want)
+  }
 }
