@@ -237,6 +237,32 @@ object Warehouse {
       .select(col("x"), col("y"))
   }
 
+  /** Per-user furthest funnel stage reached (same strict-order
+    * semantics as [[funnelCounts]], returning the per-user stage
+    * index instead of aggregate counts — 0 = never entered). Users
+    * come from `df` itself, so the left joins keep non-entrants. */
+  def funnelStage(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var reached = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+    var levels = List(reached.select(col(userCol), lit(1).as("_stage")))
+    stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
+      reached = df.filter(col(typeCol) === stage)
+        .join(reached.select(col(userCol), col("_t").as("_prev_t")), Seq(userCol))
+        .filter(col(tsCol) > col("_prev_t"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+      levels = reached.select(col(userCol), lit(i + 1).as("_stage")) :: levels
+    }
+    val users = df.select(col(userCol)).distinct()
+    users.join(
+      levels.reduce(_ unionByName _)
+        .groupBy(col(userCol)).agg(max(col("_stage")).as("funnel_stage")),
+      Seq(userCol), "left")
+      .select(col(userCol),
+        coalesce(col("funnel_stage"), lit(0)).as("funnel_stage"))
+  }
+
   /** Rows-bounded moving aggregate + quartile bucketing per key:
     * 3-row moving sum over cents-quantized values (exact BIGINT — no
     * float accumulation order to disagree on) and ntile(4) position

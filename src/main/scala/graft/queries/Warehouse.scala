@@ -227,7 +227,68 @@ object WarehouseQueries {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM pts) " +
       "SELECT x AS total_price, y AS order_epoch FROM m WHERE pm IS NULL OR y < pm"
 
+  // ---- X94: composed per-user analytics rollup ----
+  // The q_curate_full pattern for the analytics tranche: four oracled
+  // operators (interval coverage, SCD2 change counting, cohort
+  // assignment, funnel staging) composed into ONE wide per-user table
+  // and hash-verified end-to-end. Every shuffle is keyed by user_id,
+  // so Catalyst co-partitions the joins with the aggregations.
+
+  val userRollup: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val start = unix_timestamp(col("ts"))
+    val cov = W.intervalCoverage(ev, "user_id",
+      start, start + lit(60L) + col("event_id") % 240)
+      .select(col("user_id"), col("covered_sec"))
+    val base = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val changes = W.scd2(ev, "user_id", "event_type", "ts", "event_id")
+      .groupBy(col("user_id"))
+      .agg(max(col("version")).as("n_status_changes"))
+    val stage = W.funnelStage(ev, "user_id", "event_type", "ts",
+      FUNNEL_STAGES)
+    base.join(cov, Seq("user_id"))
+      .join(changes, Seq("user_id"))
+      .join(stage, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("covered_sec"),
+        col("cohort_week"), col("n_status_changes"), col("funnel_stage"))
+  }
+
+  val userRollupSql: String =
+    "WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS st, " +
+      "CAST(floor(epoch(ts)) AS BIGINT) + 60 + (event_id % 240) AS en FROM events), " +
+      "pts AS (SELECT user_id, st AS t, 1 AS d FROM iv " +
+      "UNION ALL SELECT user_id, en AS t, -1 AS d FROM iv), " +
+      "g AS (SELECT user_id, t, sum(d) AS delta FROM pts GROUP BY user_id, t), " +
+      "r AS (SELECT user_id, t, sum(delta) OVER (PARTITION BY user_id ORDER BY t " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active, " +
+      "lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt FROM g), " +
+      "cov AS (SELECT user_id, CAST(sum(CASE WHEN active > 0 THEN nxt - t ELSE 0 END) AS BIGINT) " +
+      "AS covered_sec FROM r GROUP BY user_id), " +
+      "base AS (SELECT user_id, count(*) AS n_events, " +
+      "CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week FROM events GROUP BY user_id), " +
+      "m AS (SELECT user_id, event_type, ts, event_id, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+      "chg AS (SELECT user_id, CAST(count(*) AS INT) AS n_status_changes FROM m " +
+      "WHERE prev IS NULL OR prev <> event_type GROUP BY user_id), " +
+      "s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+      "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id " +
+      "WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id), " +
+      "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id " +
+      "WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id) " +
+      "SELECT b.user_id, b.n_events, cov.covered_sec, b.cohort_week, " +
+      "chg.n_status_changes, " +
+      "CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3 WHEN s2.user_id IS NOT NULL THEN 2 " +
+      "WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_stage " +
+      "FROM base b JOIN cov ON b.user_id = cov.user_id " +
+      "JOIN chg ON b.user_id = chg.user_id " +
+      "LEFT JOIN s1 ON b.user_id = s1.user_id " +
+      "LEFT JOIN s2 ON b.user_id = s2.user_id " +
+      "LEFT JOIN s3 ON b.user_id = s3.user_id"
+
   val queries: Map[String, Q] = Map(
+    "q_user_rollup" -> userRollup,
     "q_user_history" -> userHistory,
     "q_twap" -> twap,
     "q_skyline" -> skyline,
@@ -241,6 +302,7 @@ object WarehouseQueries {
     "q_moving_avg" -> movingAvg)
 
   val oracles: Map[String, String] = Map(
+    "q_user_rollup" -> userRollupSql,
     "q_user_history" -> userHistorySql,
     "q_twap" -> twapSql,
     "q_skyline" -> skylineSql,

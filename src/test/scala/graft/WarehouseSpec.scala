@@ -293,4 +293,19 @@ class WarehouseSpec extends SparkSpec {
       .contains("ObjectHashAggregate"))
     assert(exchanges(df) == 1)
   }
+  test("funnelStage gives per-user stages consistent with funnelCounts") {
+    val ev = core.Tables.events(spark, "/root/testdata/sf0.001")
+    val stages = Seq("view", "click", "purchase")
+    val perUser = Warehouse.funnelStage(ev, "user_id", "event_type", "ts", stages)
+      .as[(Long, Int)].collect().toMap
+    // every user appears exactly once
+    assert(perUser.size == ev.select("user_id").distinct().count())
+    val counts = Warehouse.funnelCounts(ev, "user_id", "event_type", "ts", stages)
+      .as[(Int, String, Long)].collect()
+      .map { case (i, _, n) => i -> n }.toMap
+    // "reached stage >= k" in the per-user view must equal stage k's count
+    (1 to 3).foreach { k =>
+      assert(perUser.values.count(_ >= k).toLong == counts(k))
+    }
+  }
 }
