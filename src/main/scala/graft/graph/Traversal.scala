@@ -76,6 +76,10 @@ object Traversal {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("a").as("name"), col("label"))
+        // per-round lineage truncation (same policy as shortestPath /
+        // connectedComponents): keeps Catalyst from re-planning the
+        // whole nested join history each round
+        .localCheckpoint()
     }
     labels.withColumnRenamed("label", "community")
   }

@@ -282,6 +282,34 @@ object ScaleOps {
       .select(col(idCol), col("w"), col("cum"), col("n_hits"))
   }
 
+  /** Pretraining domain mixing: given a per-source token budget,
+    * compute each source's keep-rate = min(1, budget/actual) from the
+    * corpus itself and apply it as a deterministic hash sample — the
+    * op that turns "40% web, 30% code, 30% books" targets into an
+    * actual reweighted corpus. Rates quantize to 1/10000 buckets
+    * (floor) and the bucket test reuses the salted-md5 machinery of
+    * [[stratifiedSample]] ("mix:" salt — independent of split and
+    * sampling decisions), so membership is exact, engine-portable,
+    * and stable under reruns.
+    *
+    * Plan: one source-keyed partial agg for the actual sizes (rows =
+    * #sources), broadcast back into a pure map-side filter — the
+    * corpus itself is never shuffled. */
+  def domainMix(df: DataFrame, idCol: String, sourceCol: String,
+      tokenCount: Column, budgetPerSource: Long): DataFrame = {
+    val actual = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCount.cast("long")).as("_actual"))
+      .withColumn("_keep_bp",
+        least(lit(10000L),
+          expr(s"${budgetPerSource}L * 10000L div _actual")))
+    val bucket = conv(substring(
+      md5(concat(lit("mix:"), col(idCol).cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000
+    df.join(broadcast(actual), Seq(sourceCol))
+      .filter(bucket < col("_keep_bp"))
+      .select(col(idCol), col(sourceCol), col("_keep_bp").as("keep_bp"))
+  }
+
   /** Deterministic corpus shuffle into training shards — the
     * training-order materialization step of a pretraining pipeline
     * (a model must NOT see documents in crawl/source order, and the

@@ -952,6 +952,20 @@ object Extensions {
       "CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < " +
       "CASE lang WHEN 'de' THEN 2500.0 WHEN 'en' THEN 5000.0 ELSE 1000.0 END"
 
+  /** Pretraining domain mixing: per-source keep-rates derived from
+    * the corpus (basis points, floor) to hit a 5000-token budget per
+    * source, applied as a salted-hash sample. */
+  val domainMix: Q = (s, d) =>
+    graft.operators.ScaleOps.domainMix(
+      Tables.documents(s, d), "doc_id", "source", col("n_chars"),
+      budgetPerSource = 5000L)
+
+  val domainMixSql: String =
+    "WITH act AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS actual FROM documents GROUP BY source), " +
+      "r AS (SELECT source, CAST(least(10000, (5000 * 10000) // actual) AS BIGINT) AS keep_bp FROM act) " +
+      "SELECT doc_id, source, keep_bp FROM documents JOIN r USING (source) " +
+      "WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < keep_bp"
+
   /** Unicode text normalization via the native kernel (NFC,
     * accent-strip, lowercase, control/whitespace cleanup). The oracle
     * mirrors it with DuckDB's own Unicode functions
@@ -1740,6 +1754,7 @@ object Extensions {
     "q_embed_quant" -> embedQuant,
     "q_quant_topk" -> quantTopK,
     "q_stratified_sample" -> stratifiedSample,
+    "q_domain_mix" -> domainMix,
     "q_text_normalize" -> textNormalize,
     "q_partitioned_sink" -> partitionedSink,
     "q_partition_overwrite" -> partitionOverwrite,
@@ -1811,6 +1826,7 @@ object Extensions {
     "q_embed_quant" -> embedQuantSql,
     "q_quant_topk" -> quantTopKSql,
     "q_stratified_sample" -> stratifiedSampleSql,
+    "q_domain_mix" -> domainMixSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_partitioned_sink" -> partitionedSinkSql,
     "q_partition_overwrite" -> partitionOverwriteSql,

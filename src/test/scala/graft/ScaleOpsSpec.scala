@@ -282,4 +282,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(("b", 3L)) == ((None, Some(5.0))))
     assert(got.size == 8) // dense spine: 2 keys x 4 buckets
   }
+  test("domainMix: unclipped sources keep everything, clipped get floor-bp rates") {
+    val df = ((1L to 10L).map(i => (i, "big", 10L)) ++
+      (11L to 14L).map(i => (i, "small", 10L))).toDF("id", "src", "toks")
+    // budget 50: big actual=100 -> 5000bp; small actual=40 -> 10000bp (capped)
+    val got = ScaleOps.domainMix(df, "id", "src", col("toks"), 50L)
+      .as[(Long, String, Long)].collect()
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc("small").map(_._1).toSet == (11L to 14L).toSet) // all kept
+    assert(bySrc("small").forall(_._3 == 10000L))
+    assert(bySrc.get("big").forall(_.forall(_._3 == 5000L)))
+    assert(got.count(_._2 == "big") <= 10)
+    // determinism: same call, same membership
+    val again = ScaleOps.domainMix(df, "id", "src", col("toks"), 50L)
+      .as[(Long, String, Long)].collect()
+    assert(got.toSet == again.toSet)
+  }
 }
