@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.{ScaleOps, Warehouse => W}
 
-/** Warehouse / product-analytics query surface (SURVEY §2.9a X77+):
-  * SCD2 history, CDC apply, interval coverage, cohort retention,
-  * funnel conversion, moving aggregates, weighted PPS sampling — each
-  * hash-verified against a DuckDB oracle running the identical
-  * deterministic recurrence (integer cents / epoch-seconds / BIGINT
-  * cumsums everywhere a float accumulation order could diverge).
+/** Warehouse / product-analytics query surface (SURVEY §2.9a
+  * X77–X85, X87, X90, X93–X94): weighted PPS sampling, interval
+  * coverage, SCD2 history + point-in-time lookup, CDC apply, cohort
+  * retention, funnel conversion, moving aggregates, time-weighted
+  * averages, 2-D skyline, per-user event sequences, and the composed
+  * per-user rollup — each hash-verified against a DuckDB oracle
+  * running the identical deterministic recurrence (integer cents /
+  * epoch-seconds / BIGINT cumsums everywhere a float accumulation
+  * order could diverge).
   */
 object WarehouseQueries {
 
