@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{ScaleOps, Warehouse}
+
+/** Degenerate-input sweep for the warehouse/sampling operators: every
+  * op must return an EMPTY (or correctly-degenerate) result on an
+  * empty input — never throw. At 100 TB an empty partition, an empty
+  * date slice, or a filter that matches nothing is routine; an
+  * operator that NPEs or divides by zero on it takes down the whole
+  * job. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyEvents: DataFrame =
+    Seq.empty[(Long, Long, Timestamp, String, Double)]
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("warehouse operators return empty on empty input") {
+    val ev = emptyEvents
+    assert(Warehouse.scd2(ev, "user_id", "event_type", "ts", "event_id")
+      .count() == 0)
+    assert(Warehouse.intervalCoverage(ev, "user_id",
+      unix_timestamp(col("ts")), unix_timestamp(col("ts")) + 60).count() == 0)
+    assert(Warehouse.cohortRetention(ev, "user_id", "ts").count() == 0)
+    assert(Warehouse.movingAgg(ev, "user_id", "ts", "event_id",
+      col("value")).count() == 0)
+    assert(Warehouse.timeWeightedAvg(ev, "event_type", "ts", "event_id",
+      col("value")).count() == 0)
+    assert(Warehouse.eventHistory(ev, "user_id", "ts", "event_id",
+      col("event_type")).count() == 0)
+    assert(Warehouse.skyline2D(ev, col("value"),
+      unix_timestamp(col("ts"))).count() == 0)
+    assert(Warehouse.funnelStage(ev, "user_id", "event_type", "ts",
+      Seq("view", "click")).count() == 0)
+  }
+
+  test("funnelCounts on empty input reports zero users per stage") {
+    val got = Warehouse.funnelCounts(emptyEvents, "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == Set((1, "view", 0L), (2, "click", 0L), (3, "purchase", 0L)))
+  }
+
+  test("cdcApply: empty changelog is identity, empty base keeps inserts") {
+    val base = Seq((1L, 10.0, "s")).toDF("k", "price", "st")
+    val noChanges = Seq.empty[(Long, Long, String, Option[Double], Option[String])]
+      .toDF("k", "seq", "op", "price", "st")
+    val identity = Warehouse.cdcApply(base, noChanges, "k", "seq", "op",
+      Seq("price", "st")).as[(Long, Double, String, String)].collect().toSet
+    assert(identity == Set((1L, 10.0, "s", "base")))
+    val noBase = Seq.empty[(Long, Double, String)].toDF("k", "price", "st")
+    val ins = Seq((5L, 1L, "I", Some(9.0), Some("n")))
+      .toDF("k", "seq", "op", "price", "st")
+    val inserted = Warehouse.cdcApply(noBase, ins, "k", "seq", "op",
+      Seq("price", "st")).as[(Long, Double, String, String)].collect().toSet
+    assert(inserted == Set((5L, 9.0, "n", "I")))
+  }
+
+  test("sampling operators handle empty input") {
+    val docs = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    assert(ScaleOps.weightedSystematicSample(docs, "doc_id", col("n_chars"), 10)
+      .count() == 0)
+    assert(ScaleOps.domainMix(docs, "doc_id", "source", col("n_chars"), 100L)
+      .count() == 0)
+  }
+
+  test("shortestPath with zero rounds returns only the seeds") {
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val got = graph.Traversal.shortestPath(edges, "src", "dst", "w",
+      Seq("a"), rounds = 0).as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 0L)))
+  }
+}
