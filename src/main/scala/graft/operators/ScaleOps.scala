@@ -25,7 +25,8 @@ object ScaleOps {
     * given). `on` must be orderable (numeric/timestamp). */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftOn: String, rightOn: String,
-      rightCols: Map[String, String]): DataFrame = {
+      rightCols: Map[String, String],
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftOn).toSeq
     val lTagged = left.select(
       keys.map(col) ++
@@ -37,8 +38,13 @@ object ScaleOps {
         Seq(col(rightOn).as("_on"), lit(0).as("_isLeft")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightCols.toSeq.map { case (src, dst) => col(src).as(dst) }: _*)
+    // backward: most recent right row at-or-before (carry forward in
+    // ascending order). forward: nearest right row at-or-after (same
+    // carry, descending order). Either way the right row sorts before
+    // a same-_on left row (_isLeft asc) so ties stay inclusive.
+    val onOrd = if (forward) col("_on").desc else col("_on").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_on").asc, col("_isLeft").asc)
+      .orderBy(onOrd, col("_isLeft").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.values.foldLeft(lTagged.unionByName(rTagged)) {
       case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

@@ -588,6 +588,28 @@ object Extensions {
       "ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'signup') r " +
       "ON l.user_id = r.user_id AND l.event_id >= r.event_id"
 
+  /** Forward as-of join (polars strategy='forward'): each purchase
+    * attributed to the NEXT signup at-or-after it — same union +
+    * carry window as the backward form, descending order. */
+  val asofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"))
+    graft.operators.ScaleOps.asOfJoin(purchases, signups,
+      Seq("user_id"), "event_id", "event_id",
+      Map("event_id" -> "next_signup_id"), forward = true)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("next_signup_id"))
+  }
+
+  val asofForwardSql: String =
+    "SELECT l.user_id, l.event_id, l.value, r.event_id AS next_signup_id " +
+      "FROM (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase') l " +
+      "ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'signup') r " +
+      "ON l.user_id = r.user_id AND l.event_id <= r.event_id"
+
   /** Deterministic train/holdout split by content-id hash — the split
     * assignment is a pure md5 function of the id, so the oracle
     * reproduces it exactly. */
@@ -1740,6 +1762,7 @@ object Extensions {
     "q_frame_sample" -> frameSample,
     "q_scrape_series" -> scrapeSeries,
     "q_asof_join" -> asofJoin,
+    "q_asof_forward" -> asofForward,
     "q_salted_join" -> saltedJoin,
     "q_heavy_hitters" -> heavyHitters,
     "q_bloom_join" -> bloomJoin,
@@ -1812,6 +1835,7 @@ object Extensions {
     "q_frame_sample" -> frameSampleSql,
     "q_scrape_series" -> scrapeSeriesSql,
     "q_asof_join" -> asofJoinSql,
+    "q_asof_forward" -> asofForwardSql,
     "q_salted_join" -> saltedJoinSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_bloom_join" -> bloomJoinSql,

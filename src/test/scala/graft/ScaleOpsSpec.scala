@@ -298,4 +298,21 @@ class ScaleOpsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect()
     assert(got.toSet == again.toSet)
   }
+  test("asOfJoin forward attaches the nearest right row at or after") {
+    val quotes = Seq(("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0),
+      ("B", 4L, 99.0)).toDF("sym", "t", "price")
+    val trades = Seq(("A", 0L, 1L), ("A", 5L, 2L), ("A", 7L, 3L),
+      ("A", 100L, 4L), ("B", 3L, 5L), ("B", 5L, 6L)).toDF("sym", "t", "qty")
+    val got = ScaleOps.asOfJoin(trades, quotes, Seq("sym"), "t", "t",
+      Map("price" -> "quote_price"), forward = true)
+      .select("sym", "t", "qty", "quote_price")
+      .as[(String, Long, Long, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("A", 0L, 1L, Some(10.0)),   // next quote is t=1
+      ("A", 5L, 2L, Some(11.0)),   // inclusive tie
+      ("A", 7L, 3L, Some(12.0)),
+      ("A", 100L, 4L, None),       // nothing after
+      ("B", 3L, 5L, Some(99.0)),
+      ("B", 5L, 6L, None)))
+  }
 }
