@@ -34,6 +34,19 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (ok) Some(elapsed) else None)
     }.toMap
+    // previous run's per-query map (bench.json survives between rounds in
+    // the repo root) — read BEFORE this run overwrites it, for the
+    // regression tripwire below
+    val prev: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench.json")), "UTF-8")
+      """"(q_[A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    // untimed warm pass: JVM/codegen/classloading warm-up otherwise lands
+    // on whichever query sorts first (q_agg_group regressed 3x in round 4
+    // with zero source change for exactly this reason)
+    pass()
     val p1 = pass()
     val p2 = pass()
     // a query that failed in either pass is reported as failed, never
@@ -66,10 +79,23 @@ object Bench {
     // but the queries map keeps only the slowest entries that fit a
     // 1800-char budget (slowest are the ones worth grading); `n_queries`
     // records the full count and bench.json holds the complete map.
+    // perf-regression tripwire: per-query ratio vs the previous round's
+    // bench.json, worst first, >1.5x only. One short stdout line so it
+    // lands inside the driver's 2000-char tail alongside the final JSON
+    // (the compact budget below leaves room for it).
+    val regress = timed.flatMap { case (k, v) =>
+      prev.get(k).collect { case p if p > 0.05 && v / p > 1.5 => (k, p, v, v / p) }
+    }.sortBy(-_._4)
+    val regressLine =
+      if (prev.isEmpty) "[bench-regress] no previous bench.json"
+      else if (regress.isEmpty) "[bench-regress] none >1.5x vs previous round"
+      else ("[bench-regress] " + regress.map { case (k, p, v, r) =>
+        f"$k ${num(p)}->${num(v)} (${r}%.1fx)"
+      }.mkString("; ")).take(380)
     val head =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${timed.size},"failed":$fs,"sf":"$sfDir","queries":{"""
     val tailStr = "}}"
-    val budget = 1800 - head.length - tailStr.length
+    val budget = 1500 - head.length - tailStr.length
     val entries = timed.sortBy(-_._2).map { case (k, v) => s""""$k":${num(v)}""" }
     val kept = new StringBuilder
     var used = 0
@@ -80,6 +106,7 @@ object Bench {
     val compact = head + kept.toString + tailStr
     spark.stop()
     System.err.flush()
+    println(regressLine)
     println(compact)
     System.out.flush()
   }

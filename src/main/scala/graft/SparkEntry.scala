@@ -63,9 +63,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The graph ranks are covered by a
-    * GENERATED fixed-iteration series oracle (RankQueries.tradeRanksSql)
-    * — every declared query now has a value-level check except
-    * q_hll_distinct (approximate by design -> rows-only + bound spec). */
+    * GENERATED fixed-iteration series oracle (RankQueries.tradeRanksSql);
+    * q_hll_distinct oracles its exact count + within-bound verdict (the
+    * estimate itself is engine-private) — every declared query has a
+    * value-level check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Extensions.oracles ++
       graft.queries.RankQueries.oracles ++

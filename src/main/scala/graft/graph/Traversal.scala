@@ -117,6 +117,10 @@ object Traversal {
         // the whole history each superstep
         .localCheckpoint()
     }
+    // dist is localCheckpoint()ed each round, so the projected-edge
+    // cache is safe to release here (hopDistance does the same) —
+    // callers outside Bench's clearCache would otherwise leak it
+    e.unpersist()
     dist
   }
 }

@@ -184,20 +184,27 @@ object Corpus {
     * gibberish ("the the the of") that unigram statistics score as
     * perfectly normal text.
     *
-    * Plan: bigram counts are one partial-agg shuffle on the gram key;
-    * context counts reduce FROM the bigram table (vocab-sized, one
-    * more short shuffle). Unlike the unigram table, the bigram table
-    * grows superlinearly in vocab — so per-doc scoring joins on the
-    * gram key via shuffle-hash, NEVER broadcast. Same fixed-point
-    * trick: log-probs quantize to BIGINT before the per-doc sum. */
+    * Plan: ONE explode pass reduces straight to per-doc gram counts
+    * (doc, gram, n) — a partial-agg shuffle whose map-side combine
+    * collapses within-doc repeats, so repeated boilerplate never
+    * travels twice. The model derives FROM that table (bigram counts =
+    * one more short-key shuffle of distinct doc-grams; context counts
+    * reduce from the bigram table). Unlike the unigram table, the
+    * bigram table grows superlinearly in vocab — so per-doc scoring
+    * joins on the gram key via shuffle-hash, NEVER broadcast, and it
+    * shuffles DISTINCT grams-per-doc (weighted by n), not every
+    * occurrence. Same fixed-point trick: log-probs quantize to BIGINT
+    * before the per-doc sum, which is exact under Σ n·lp in any order. */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // grams feed both the count pass and the scoring join — persist
-    // the exploded table; the scoring join shuffles md5(gram) short
-    // keys (repo convention: grams never travel as text)
-    val grams = docs.select(col(idCol),
+    // per-doc gram counts feed both the model and the scoring join —
+    // persist so tokenize+explode+combine runs once; grams travel as
+    // md5 short keys into the scoring join (repo convention: grams
+    // never shuffle as text)
+    val tfd = docs.select(col(idCol),
       explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bc = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val bc = tfd.groupBy(col("bg")).agg(sum(col("_n")).cast("long").as("cnt"))
     val wc = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cnt")).cast("long").as("ctx"))
     val probs = bc
@@ -205,10 +212,11 @@ object Corpus {
       .select(md5(col("bg")).as("_gk"),
         floor((-log(col("cnt").cast("double") / col("ctx"))) * lit(1e9) + lit(0.5))
           .cast("long").as("lp"))
-    val per = grams.select(col(idCol), md5(col("bg")).as("_gk"))
+    val per = tfd.select(col(idCol), md5(col("bg")).as("_gk"), col("_n"))
       .hint("shuffle_hash").join(probs, Seq("_gk"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+      .agg(sum(col("_n")).cast("long").as("n_bigrams"),
+        sum(col("_n") * col("lp")).as("s"))
     docs.select(col(idCol)).join(per, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

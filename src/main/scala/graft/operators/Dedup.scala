@@ -183,24 +183,9 @@ object Dedup {
     // the shingle-set table feeds THREE consumers (df-rank index,
     // prefix index, verification sets) — persist it so tokenization
     // and shingling run once, not per consumer
-    val sh = spread(df).select(col(idCol).as("id"),
-      array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
-      .withColumn("_size", size(col("_sh")))
+    val sh = shingleSetTable(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // postings travel as fixed-width md5 keys, never shingle text
-    // (repo convention — halves the shuffle payload and keeps key
-    // comparisons cheap); the df-rank tie-break uses the same key, so
-    // the prefix stays a pure function of the corpus
-    val inv = sh.select(col("id"), col("_size"),
-      explode(col("_sh")).as("_g"))
-      .select(col("id"), col("_size"), md5(col("_g")).as("_gk"))
-    val dfreq = inv.groupBy("_gk").agg(count(lit(1)).as("_df"))
-    val wRank = Window.partitionBy("id").orderBy(col("_df"), col("_gk"))
-    val prefix = inv
-      .hint("shuffle_hash").join(dfreq, Seq("_gk"))
-      .withColumn("_rk", row_number().over(wRank))
-      .filter(col("_rk") <=
-        col("_size") - ceil(col("_size") * threshold) + 1)
+    val prefix = prefixPostings(sh, threshold)
     val a = prefix.select(col("_gk"), col("id").as("id1"), col("_size").as("_za"))
     val b = prefix.select(col("_gk"), col("id").as("id2"), col("_size").as("_zb"))
     // length filter (PPJoin): J ≥ t bounds the partner's set size to
@@ -223,6 +208,43 @@ object Dedup {
           (col("_s1") + col("_s2") - col("_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Distinct-shingle set table (id, _sh, _size) — the shared input of
+    * the prefix index and verification joins. Package-private so specs
+    * can pin index-size properties against the same construction. */
+  private[graft] def shingleSetTable(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    spread(df).select(col(idCol).as("id"),
+      array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
+      .withColumn("_size", size(col("_sh")))
+
+  /** PPJoin prefix postings over a shingle-set table: each document's
+    * |S| − ⌈t·|S|⌉ + 1 rarest shingles under the global (document
+    * frequency, md5 key) order. Postings travel as fixed-width md5
+    * keys, never shingle text (repo convention — halves the shuffle
+    * payload); the df-rank tie-break uses the same key, so the prefix
+    * stays a pure function of the corpus. The rank is computed with a
+    * per-document sort_array over collected (df, key) structs — ONE
+    * hash-partitioned aggregation whose partials combine map-side,
+    * instead of an Exchange+global-Sort row_number window; the sorted
+    * group is a single document's shingle set, bounded by document
+    * length, never by corpus size. */
+  private[graft] def prefixPostings(sh: DataFrame, threshold: Double): DataFrame = {
+    val inv = sh.select(col("id"), col("_size"),
+      explode(col("_sh")).as("_g"))
+      .select(col("id"), col("_size"), md5(col("_g")).as("_gk"))
+    val dfreq = inv.groupBy("_gk").agg(count(lit(1)).as("_df"))
+    val prefixLen = (col("_size") - ceil(col("_size") * threshold) + 1)
+      .cast("int")
+    inv
+      .hint("shuffle_hash").join(dfreq, Seq("_gk"))
+      .groupBy(col("id"), col("_size"))
+      .agg(slice(sort_array(collect_list(struct(col("_df"), col("_gk")))),
+        lit(1), greatest(prefixLen, lit(0))).as("_pref"))
+      .select(col("id"), col("_size"),
+        explode(col("_pref")).as("_p"))
+      .select(col("id"), col("_size"), col("_p._gk").as("_gk"))
   }
 
   /** 60-bit SimHash over the token stream: bit b of the signature is

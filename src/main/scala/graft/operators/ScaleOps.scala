@@ -303,11 +303,17 @@ object ScaleOps {
     * corpus itself is never shuffled. */
   def domainMix(df: DataFrame, idCol: String, sourceCol: String,
       tokenCount: Column, budgetPerSource: Long): DataFrame = {
+    // a zero-token source keeps everything EXPLICITLY (there is nothing
+    // to downsample): without the guard, Spark's `div 0` yields NULL and
+    // least() skipping NULLs happens to give 10000, but an oracle
+    // engine's division-by-zero is not guaranteed to agree
     val actual = df.groupBy(col(sourceCol))
       .agg(sum(tokenCount.cast("long")).as("_actual"))
       .withColumn("_keep_bp",
-        least(lit(10000L),
-          expr(s"${budgetPerSource}L * 10000L div _actual")))
+        when(col("_actual") > 0,
+          least(lit(10000L),
+            expr(s"${budgetPerSource}L * 10000L div _actual")))
+          .otherwise(lit(10000L)))
     val bucket = conv(substring(
       md5(concat(lit("mix:"), col(idCol).cast("string"))), 1, 4), 16, 10)
       .cast("long") % 10000

@@ -984,7 +984,8 @@ object Extensions {
 
   val domainMixSql: String =
     "WITH act AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS actual FROM documents GROUP BY source), " +
-      "r AS (SELECT source, CAST(least(10000, (5000 * 10000) // actual) AS BIGINT) AS keep_bp FROM act) " +
+      "r AS (SELECT source, CAST(CASE WHEN actual > 0 THEN least(10000, (5000 * 10000) // actual) " +
+      "ELSE 10000 END AS BIGINT) AS keep_bp FROM act) " +
       "SELECT doc_id, source, keep_bp FROM documents JOIN r USING (source) " +
       "WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < keep_bp"
 

@@ -511,13 +511,26 @@ object Relational {
       "round(stddev_samp(l_discount), 6) AS discount_sd FROM lineitem GROUP BY l_returnflag"
 
   /** HLL sketch distinct-count — the 100 TB path for cardinality
-    * (bounded memory, mergeable partials). Approximation is
-    * engine-specific, so this query has NO oracle (driver rows-only
-    * check); q_distinct_count is the exact cross-checked form. */
+    * (bounded memory, mergeable partials). The estimate itself is
+    * engine-private (Spark's HLL++ and DuckDB's sketch disagree by
+    * design), so the ORACLED columns are the exact count and a
+    * within-bound verdict: the sketch must land within 3·rsd (6%) of
+    * exact, which the oracle asserts as a constant `true`. This keeps
+    * the approximate operator fully driver-green instead of a
+    * permanently grey rows-only row; q_hll_portable is the
+    * register-exact sibling and q_distinct_count the exact one. */
   val hllDistinct: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_approx"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("_approx") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.06).as("within_bound"))
+
+  val hllDistinctSql: String =
+    "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, " +
+      "true AS within_bound FROM lineitem GROUP BY l_returnflag"
 
   /** Portable HLL (operators/Sketches): same sketch computed by BOTH
     * engines register-for-register — the approximate result becomes
@@ -605,5 +618,6 @@ object Relational {
     "q_percentile" -> percentileAggSql,
     "q_histogram" -> histogramSql,
     "q_stats_agg" -> statsAggSql,
+    "q_hll_distinct" -> hllDistinctSql,
     "q_hll_portable" -> hllPortableSql)
 }

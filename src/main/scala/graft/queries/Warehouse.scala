@@ -59,12 +59,35 @@ object WarehouseQueries {
       "SELECT cov.user_id, covered_sec, n_intervals FROM cov JOIN cnt ON cov.user_id = cnt.user_id"
 
   // ---- X79: SCD Type-2 history of each user's event_type ----
+  // The declared query emits eff_to as TZ-PROOF epoch-seconds BIGINT
+  // (the repo's integer-time convention, cf. X78/X87): round 4's naive
+  // TIMESTAMP sentinel was rows-green but hash-red because Spark writes
+  // the 9999-12-31 instant as isAdjustedToUTC parquet micros while the
+  // oracle literal is naive — whether they render identically depends
+  // on the compare environment's session TZ / DuckDB version. Epoch
+  // integers compare identically everywhere.
 
-  val scd2: Q = (s, d) =>
+  /** epoch seconds of 9999-12-31 00:00:00 UTC — the open-row sentinel. */
+  val SCD2_SENTINEL_EPOCH = 253402214400L
+
+  /** In-operator SCD2 history with timestamp eff_to (pit filters on it);
+    * the declared q_scd2 converts eff_to to epoch before emitting. */
+  private def scd2Hist(s: SparkSession, d: String): DataFrame =
     W.scd2(Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
       .withColumnRenamed("attr", "status")
 
-  val scd2Sql: String =
+  val scd2: Q = (s, d) =>
+    scd2Hist(s, d)
+      // is_current keys the sentinel branch so the epoch literal never
+      // round-trips through a session-TZ-dependent string cast
+      .withColumn("eff_to_s",
+        when(col("is_current"), lit(SCD2_SENTINEL_EPOCH))
+          .otherwise(unix_timestamp(col("eff_to"))))
+      .drop("eff_to")
+
+  /** Naive-timestamp history CTE shared by the q_scd2 and q_scd2_pit
+    * oracles (DuckDB-internal only — never hash-compared directly). */
+  private val scd2HistSql: String =
     "WITH m AS (SELECT user_id, event_type AS attr, ts, event_id, " +
       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
       "ch AS (SELECT user_id, attr, ts AS eff_from, event_id FROM m " +
@@ -76,6 +99,11 @@ object WarehouseQueries {
       "(lead(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from, event_id) IS NULL) AS is_current " +
       "FROM ch"
 
+  val scd2Sql: String =
+    s"SELECT user_id, status, eff_from, version, is_current, " +
+      s"CASE WHEN is_current THEN $SCD2_SENTINEL_EPOCH " +
+      s"ELSE CAST(floor(epoch(eff_to)) AS BIGINT) END AS eff_to_s FROM ($scd2HistSql)"
+
   // ---- X79b: point-in-time lookup against the SCD2 history ----
   // "What was every user's status as of T" — the query an SCD2 table
   // exists to answer; ranges tile, so each user yields at most one row.
@@ -83,13 +111,13 @@ object WarehouseQueries {
   val SCD2_PIT_T = "2024-01-15 00:00:00"
 
   val scd2Pit: Q = (s, d) =>
-    scd2(s, d)
+    scd2Hist(s, d)
       .filter(col("eff_from") <= lit(SCD2_PIT_T).cast("timestamp") &&
         lit(SCD2_PIT_T).cast("timestamp") < col("eff_to"))
       .select(col("user_id"), col("status"), col("eff_from"), col("version"))
 
   val scd2PitSql: String =
-    s"SELECT user_id, status, eff_from, version FROM ($scd2Sql) " +
+    s"SELECT user_id, status, eff_from, version FROM ($scd2HistSql) " +
       s"WHERE eff_from <= TIMESTAMP '$SCD2_PIT_T' AND TIMESTAMP '$SCD2_PIT_T' < eff_to"
 
   // ---- X80: CDC changelog apply (MERGE INTO semantics) ----

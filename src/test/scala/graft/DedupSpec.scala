@@ -183,5 +183,14 @@ class DedupSpec extends SparkSpec {
     val pref = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 0.5, 3)
       .as[(Long, Long, Double)].collect().toSet
     assert(pref == full)
+    // the property in the name: the prefix index holds strictly fewer
+    // postings than the full inverted index (|S|−⌈t·|S|⌉+1 < |S| for
+    // any doc with ≥ 3 shingles at t = 0.5)
+    val sh = Dedup.shingleSetTable(docs, "doc_id", "text", 3)
+    val fullPostings = sh.select(explode(col("_sh"))).count()
+    val prefPostings = Dedup.prefixPostings(sh, 0.5).count()
+    assert(prefPostings < fullPostings,
+      s"prefix index ($prefPostings) must be smaller than full ($fullPostings)")
+    assert(prefPostings > 0)
   }
 }
