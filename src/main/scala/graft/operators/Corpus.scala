@@ -26,7 +26,9 @@ object Corpus {
     * length), never by corpus size. */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val terms = docs.select(col(idCol),
+    // spread: single-split benchmark files would otherwise serialize
+    // the tokenize+explode on one core (same policy as Dedup.spread)
+    val terms = Dedup.spread(docs).select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -63,7 +65,7 @@ object Corpus {
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topN: Int = 50): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: empty query")
-    val toks = docs.select(col(idCol),
+    val toks = Dedup.spread(docs).select(col(idCol),
       TextFunctions.tokens(lower(col(textCol))).as("_tk"))
     val dl = toks.select(col(idCol), size(col("_tk")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -107,7 +109,7 @@ object Corpus {
     * Nothing here is ever all-pairs. */
   def contaminationFlags(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 13): DataFrame = {
-    def grams(df: DataFrame) = df.select(col(idCol),
+    def grams(df: DataFrame) = Dedup.spread(df).select(col(idCol),
       explode(array_distinct(Dedup.shinglesAuto(df, textCol, n))).as("_g"))
       .select(col(idCol), md5(col("_g")).as("_gh"))
     val evalGrams = grams(eval).select("_gh").distinct()
@@ -159,7 +161,7 @@ object Corpus {
     * per-doc sum (a grouped float sum has no defined order; an integer
     * sum is exact in any order and any engine). */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val terms = docs.select(col(idCol),
+    val terms = Dedup.spread(docs).select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
     val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = tf.agg(sum(col("cnt")).as("total"))
@@ -187,33 +189,40 @@ object Corpus {
     * Plan: ONE explode pass reduces straight to per-doc gram counts
     * (doc, gram, n) — a partial-agg shuffle whose map-side combine
     * collapses within-doc repeats, so repeated boilerplate never
-    * travels twice. The model derives FROM that table (bigram counts =
-    * one more short-key shuffle of distinct doc-grams; context counts
-    * reduce from the bigram table). Unlike the unigram table, the
-    * bigram table grows superlinearly in vocab — so per-doc scoring
-    * joins on the gram key via shuffle-hash, NEVER broadcast, and it
-    * shuffles DISTINCT grams-per-doc (weighted by n), not every
-    * occurrence. Same fixed-point trick: log-probs quantize to BIGINT
+    * travels twice. The model derives FROM that table: bigram counts
+    * are one more shuffle of distinct doc-grams, the context table is
+    * WORD-vocab sized (Heaps' law — the same broadcast argument as
+    * [[unigramSurprisal]]'s probability table) and broadcasts, so the
+    * probs table inherits bc's bg-partitioning untouched and the
+    * scoring join exchanges only the tfd side. Unlike the unigram
+    * table, the bigram MODEL grows superlinearly in vocab — so the
+    * scoring join is shuffle-hash, NEVER broadcast, and it shuffles
+    * DISTINCT grams-per-doc (weighted by n), not every occurrence.
+    * Grams travel as their own text (a word bigram is shorter than a
+    * 32-char md5 key — hashing would widen the shuffle here, not
+    * shrink it). Same fixed-point trick: log-probs quantize to BIGINT
     * before the per-doc sum, which is exact under Σ n·lp in any order. */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // per-doc gram counts feed both the model and the scoring join —
-    // persist so tokenize+explode+combine runs once; grams travel as
-    // md5 short keys into the scoring join (repo convention: grams
-    // never shuffle as text)
-    val tfd = docs.select(col(idCol),
-      explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+    // persist so tokenize+explode+combine runs once. shinglesAuto picks
+    // the native codegen kernel (the Column-HOF fallback re-evaluates
+    // the token split per shingle when the lambda drops to interpreted
+    // mode — O(len²) per doc); spread() keeps single-split benchmark
+    // files from serializing the tokenization on one core.
+    val tfd = Dedup.spread(docs).select(col(idCol),
+      explode(Dedup.shinglesAuto(docs, textCol, 2)).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bc = tfd.groupBy(col("bg")).agg(sum(col("_n")).cast("long").as("cnt"))
     val wc = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cnt")).cast("long").as("ctx"))
     val probs = bc
-      .join(wc, substring_index(col("bg"), " ", 1) === col("w1"))
-      .select(md5(col("bg")).as("_gk"),
+      .join(broadcast(wc), substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("bg"),
         floor((-log(col("cnt").cast("double") / col("ctx"))) * lit(1e9) + lit(0.5))
           .cast("long").as("lp"))
-    val per = tfd.select(col(idCol), md5(col("bg")).as("_gk"), col("_n"))
-      .hint("shuffle_hash").join(probs, Seq("_gk"))
+    val per = tfd
+      .hint("shuffle_hash").join(probs, Seq("bg"))
       .groupBy(col(idCol))
       .agg(sum(col("_n")).cast("long").as("n_bigrams"),
         sum(col("_n") * col("lp")).as("s"))
@@ -230,7 +239,7 @@ object Corpus {
     * counts — per-partition heaps, no full sort — and the rank window
     * runs on ≤ topN rows (bounded regardless of corpus size). */
   def vocabulary(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
-    val counts = docs
+    val counts = Dedup.spread(docs)
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
     counts.orderBy(col("n").desc, col("term").asc).limit(topN)
@@ -251,7 +260,7 @@ object Corpus {
     * document's distinct grams — nothing scales with corpus size. */
   def repetitionSignals(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val lines = docs.select(col(idCol), length(col(textCol)).as("_tl"),
+    val lines = Dedup.spread(docs).select(col(idCol), length(col(textCol)).as("_tl"),
       explode(split(col(textCol), "\n")).as("_line"))
     val lineCounts = lines.groupBy(col(idCol), col("_line"))
       .agg(max(col("_tl")).as("_tl"), count(lit(1)).as("_c"))
@@ -263,7 +272,7 @@ object Corpus {
         count(lit(1)).as("_nd"),
         sum((col("_c") - lit(1)) * col("_ll")).as("_dup_chars"),
         sum(col("_c") * col("_ll")).as("_line_chars"))
-    val grams = docs.select(col(idCol),
+    val grams = Dedup.spread(docs).select(col(idCol),
       explode(graft.operators.Dedup.shinglesAuto(docs, textCol, 2)).as("_g"))
     val wTop = Window.partitionBy(col(idCol))
       .orderBy(col("_gc").desc, col("_g").asc)

@@ -48,7 +48,7 @@ object Dedup {
     * the hash kernels on one core. Cost: one round-robin shuffle of the
     * (tiny relative to compute) input. Real 100 TB inputs already have
     * thousands of splits — this keeps the small-file case honest. */
-  private def spread(df: DataFrame): DataFrame =
+  private[operators] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact dedup: keep the lowest-`idCol` row per normalized-content
@@ -141,12 +141,15 @@ object Dedup {
       array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
       .withColumn("_size", size(col("_sh")))
     val inv = sh.select(col("id"), col("_size"), explode(col("_sh")).as("shingle"))
+    // persist: the self-join consumes the index through two different
+    // alias projections, which defeats ReuseExchange — without the
+    // cache the tokenize+shingle+explode subtree executes twice
     val invF =
-      if (maxDocFreq == Long.MaxValue) inv
+      (if (maxDocFreq == Long.MaxValue) inv
       else {
         val hot = inv.groupBy("shingle").count().filter(col("count") > maxDocFreq)
         inv.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
-      }
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = invF.select(col("shingle"), col("id").as("id1"), col("_size").as("_s1"))
     val b = invF.select(col("shingle"), col("id").as("id2"), col("_size").as("_s2"))
     a.hint("shuffle_hash").join(b, Seq("shingle"))
@@ -172,20 +175,27 @@ object Dedup {
     * hot shingles are almost never in anyone's prefix, attacking the
     * skew that [[ngramJaccardPairs]] needs `maxDocFreq` for.
     *
-    * Verification joins candidates back to the full shingle sets by
-    * doc id (two short-key shuffles bounded by the candidate count)
-    * and computes exact |A∩B| via array_intersect.
+    * Verification counts shared postings per candidate pair from the
+    * SAME persisted posting table that built the prefix (candidate
+    * side broadcasts — it is bounded by the prefix join's output; the
+    * posting side is one short-key shuffle) — no shingle arrays are
+    * ever cached or carried, only (id, size, md5) postings.
     *
     * Use a threshold exactly representable in binary (0.5, 0.75…) so
     * ⌈t·|S|⌉ computes identically on any engine. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
-    // the shingle-set table feeds THREE consumers (df-rank index,
-    // prefix index, verification sets) — persist it so tokenization
-    // and shingling run once, not per consumer
-    val sh = shingleSetTable(df, idCol, textCol, shingleN)
+    // the posting table feeds THREE consumers (df-rank, prefix
+    // self-join, verification counts) — persist it so tokenization and
+    // shingling run once, not per consumer
+    val inv = postingsTable(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefix = prefixPostings(sh, threshold)
+    // persist the prefix too: the self-join consumes it through two
+    // DIFFERENT alias projections, which defeats ReuseExchange — without
+    // the cache the whole df-rank subtree (dfreq + join + per-doc sort)
+    // executes twice, once per join side
+    val prefix = prefixPostings(inv, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefix.select(col("_gk"), col("id").as("id1"), col("_size").as("_za"))
     val b = prefix.select(col("_gk"), col("id").as("id2"), col("_size").as("_zb"))
     // length filter (PPJoin): J ≥ t bounds the partner's set size to
@@ -196,13 +206,16 @@ object Dedup {
         col("_zb") >= ceil(col("_za") * threshold) &&
         col("_zb") * threshold <= col("_za"))
       .select(col("id1"), col("id2")).distinct()
-    val sets = sh.select(col("id"), col("_sh"), col("_size"))
+    // exact |A∩B| = count of postings shared by the pair: expand each
+    // candidate by id1's postings (candidate side is the small side),
+    // keep those id2 also holds, count per pair
+    val i1 = inv.select(col("id").as("id1"), col("_size").as("_s1"), col("_gk"))
+    val i2 = inv.select(col("id").as("id2"), col("_size").as("_s2"), col("_gk"))
     cand
-      .join(sets.select(col("id").as("id1"), col("_sh").as("_sh1"),
-        col("_size").as("_s1")), Seq("id1"))
-      .join(sets.select(col("id").as("id2"), col("_sh").as("_sh2"),
-        col("_size").as("_s2")), Seq("id2"))
-      .withColumn("_inter", size(array_intersect(col("_sh1"), col("_sh2"))))
+      .join(i1, Seq("id1"))
+      .hint("shuffle_hash").join(i2, Seq("id2", "_gk"))
+      .groupBy(col("id1"), col("id2"), col("_s1"), col("_s2"))
+      .agg(count(lit(1)).as("_inter"))
       .withColumn("jaccard",
         col("_inter").cast("double") /
           (col("_s1") + col("_s2") - col("_inter")).cast("double"))
@@ -219,21 +232,26 @@ object Dedup {
       array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
       .withColumn("_size", size(col("_sh")))
 
-  /** PPJoin prefix postings over a shingle-set table: each document's
-    * |S| − ⌈t·|S|⌉ + 1 rarest shingles under the global (document
-    * frequency, md5 key) order. Postings travel as fixed-width md5
-    * keys, never shingle text (repo convention — halves the shuffle
-    * payload); the df-rank tie-break uses the same key, so the prefix
-    * stays a pure function of the corpus. The rank is computed with a
-    * per-document sort_array over collected (df, key) structs — ONE
-    * hash-partitioned aggregation whose partials combine map-side,
-    * instead of an Exchange+global-Sort row_number window; the sorted
-    * group is a single document's shingle set, bounded by document
-    * length, never by corpus size. */
-  private[graft] def prefixPostings(sh: DataFrame, threshold: Double): DataFrame = {
-    val inv = sh.select(col("id"), col("_size"),
-      explode(col("_sh")).as("_g"))
+  /** Posting table (id, _size, _gk): one row per distinct shingle per
+    * document, shingles as fixed-width md5 keys, never text (repo
+    * convention — halves the shuffle payload and keeps key comparisons
+    * cheap). */
+  private[graft] def postingsTable(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    shingleSetTable(df, idCol, textCol, shingleN)
+      .select(col("id"), col("_size"), explode(col("_sh")).as("_g"))
       .select(col("id"), col("_size"), md5(col("_g")).as("_gk"))
+
+  /** PPJoin prefix postings over a posting table: each document's
+    * |S| − ⌈t·|S|⌉ + 1 rarest shingles under the global (document
+    * frequency, md5 key) order — the df-rank tie-break uses the md5
+    * key, so the prefix stays a pure function of the corpus. The rank
+    * is computed with a per-document sort_array over collected
+    * (df, key) structs — ONE hash-partitioned aggregation whose
+    * partials combine map-side, instead of an Exchange+global-Sort
+    * row_number window; the sorted group is a single document's
+    * shingle set, bounded by document length, never by corpus size. */
+  private[graft] def prefixPostings(inv: DataFrame, threshold: Double): DataFrame = {
     val dfreq = inv.groupBy("_gk").agg(count(lit(1)).as("_df"))
     val prefixLen = (col("_size") - ceil(col("_size") * threshold) + 1)
       .cast("int")

@@ -186,9 +186,9 @@ class DedupSpec extends SparkSpec {
     // the property in the name: the prefix index holds strictly fewer
     // postings than the full inverted index (|S|−⌈t·|S|⌉+1 < |S| for
     // any doc with ≥ 3 shingles at t = 0.5)
-    val sh = Dedup.shingleSetTable(docs, "doc_id", "text", 3)
-    val fullPostings = sh.select(explode(col("_sh"))).count()
-    val prefPostings = Dedup.prefixPostings(sh, 0.5).count()
+    val inv = Dedup.postingsTable(docs, "doc_id", "text", 3)
+    val fullPostings = inv.count()
+    val prefPostings = Dedup.prefixPostings(inv, 0.5).count()
     assert(prefPostings < fullPostings,
       s"prefix index ($prefPostings) must be smaller than full ($fullPostings)")
     assert(prefPostings > 0)
