@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * `mapPartitions` over an iterator, amortizing any per-batch codec
   * setup across the partition).
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * environment): `decodeStub` derives deterministic fake features from
-  * the bytes. Everything around it — schema, binary payload handling,
-  * batch iteration, partition sizing — is real and is what matters at
-  * 100 TB: payloads never enter a shuffle (feature extraction happens
+  * Image decode is REAL for BMP/PNG via `javax.imageio` (pure JVM,
+  * deterministic — see [[decodeImage]]/[[decodeFeatures]]); payloads
+  * without an image magic fall back to `decodeStub`'s deterministic
+  * byte features (audio/video codecs aren't in this environment).
+  * Everything around the codec — schema, binary payload handling,
+  * batch iteration, partition sizing — is what matters at 100 TB:
+  * payloads never enter a shuffle (feature extraction happens
   * before any wide op; only the small feature vectors shuffle), and
   * partitions are sized by `spark.sql.files.maxPartitionBytes` so a
   * partition of payloads fits executor memory.
@@ -75,6 +77,124 @@ object Multimodal {
           val (first, last, sum) = decodeStub(payload)
           MediaFeatures(id, fmt,
             if (payload == null) 0L else payload.length.toLong, first, last, sum)
+        }
+      }
+  }
+
+  // ---- real codec path (javax.imageio — pure JVM, deterministic) ----
+
+  case class ImageDecoded(media_id: Long, decoded: Boolean, img_width: Int,
+      img_height: Int, pixel_sum: Long)
+
+  /** PNG / BMP magic sniff — only payloads that declare themselves
+    * images reach the codec; everything else stays on the stub path
+    * (no cost and no decode attempt for text/audio payloads). */
+  def isImageMagic(p: Array[Byte]): Boolean =
+    p != null && p.length >= 8 &&
+      (((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 'B' && p(1) == 'M'))
+
+  /** REAL image decode: `javax.imageio.ImageIO` (BMP and PNG readers
+    * ship with the JDK — no native libs, bit-deterministic output).
+    * Returns (width, height, Σ(r+g+b) over all pixels); None when the
+    * payload is not a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (!isImageMagic(payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight, s))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Minimal 24-bit uncompressed BMP encoder (BITMAPINFOHEADER,
+    * bottom-up rows, 4-byte row padding). `rgb(x, y)` returns packed
+    * 0xRRGGBB with y counted from the TOP row, like getRGB — any
+    * conformant decoder must return exactly these pixels, which is
+    * what makes the codec round-trip oracle-checkable. */
+  def encodeBmp24(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * height
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // bottom-up storage order
+    while (y >= 0) {
+      var x = 0
+      var written = 0
+      while (x < width) {
+        val c = rgb(x, y)
+        b.put((c & 0xff).toByte)          // B
+        b.put(((c >> 8) & 0xff).toByte)   // G
+        b.put(((c >> 16) & 0xff).toByte)  // R
+        written += 3
+        x += 1
+      }
+      while (written < rowBytes) { b.put(0.toByte); written += 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Real-BMP media table derived from `documents`: width/height and
+    * every pixel are CLOSED-FORM functions of doc_id, so an oracle can
+    * compute the decoded features arithmetically — while Spark really
+    * encodes and then really decodes the bytes. Payload generation is
+    * the same batched mapPartitions contract as every media op. */
+  def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 7).toInt
+        val payload = encodeBmp24(w, h, (x, y) => {
+          val r = ((id + 7L * x + 13L * y) % 256).toInt
+          val g = ((2L * id + 5L * x + 3L * y) % 256).toInt
+          val bb = ((id + x.toLong * y) % 256).toInt
+          (r << 16) | (g << 8) | bb
+        })
+        MediaRow(id, payload, "bmp", w, h)
+      }
+    }.toDF()
+  }
+
+  /** Feature extraction with the REAL codec in front and the stub as
+    * fallback: image-magic payloads decode through javax.imageio
+    * (decoded=true, real dimensions + pixel sum); anything else keeps
+    * the deterministic byte-feature stub (decoded=false, dims −1,
+    * pixel_sum = the stub's byte sum). Same batched mapPartitions
+    * contract — payloads never leave the map stage. */
+  def decodeFeatures(media: DataFrame): Dataset[ImageDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeImage(payload) match {
+            case Some((w, h, s)) => ImageDecoded(id, decoded = true, w, h, s)
+            case None =>
+              val (_, _, s) = decodeStub(payload)
+              ImageDecoded(id, decoded = false, -1, -1, s)
+          }
         }
       }
   }

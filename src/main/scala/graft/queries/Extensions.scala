@@ -478,6 +478,28 @@ object Extensions {
       "f AS (SELECT media_id, text, unnest(range(0, n, 2)) AS frame_idx FROM m WHERE n > 0) " +
       "SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, md5(substr(text, CAST(frame_idx AS INT)*16 + 1, 16)) AS frame_md5 FROM f"
 
+  /** REAL image decode (X12 de-stubbed): the media table carries real
+    * 24-bit BMP payloads whose dimensions and pixels are closed-form
+    * functions of doc_id. Spark ENCODES and then DECODES the actual
+    * bytes through javax.imageio; the oracle computes the same decoded
+    * features arithmetically (no codec needed on its side) — a real
+    * codec round-trip the driver hash-verifies. */
+  val mediaDecode: Q = (s, d) => {
+    val media = Multimodal.bmpMediaFromDocuments(spread(Tables.documents(s, d)))
+    Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id"), col("decoded"), col("img_width"),
+        col("img_height"), col("pixel_sum"))
+  }
+
+  val mediaDecodeSql: String =
+    "WITH m AS (SELECT doc_id AS media_id, CAST(4 + doc_id % 13 AS INT) AS img_width, " +
+      "CAST(3 + doc_id % 7 AS INT) AS img_height FROM documents), " +
+      "xs AS (SELECT media_id, img_width, img_height, unnest(generate_series(0, img_width - 1)) AS x FROM m), " +
+      "ps AS (SELECT media_id, img_width, img_height, x, unnest(generate_series(0, img_height - 1)) AS y FROM xs) " +
+      "SELECT media_id, true AS decoded, img_width, img_height, " +
+      "CAST(sum((media_id + 7*x + 13*y) % 256 + (2*media_id + 5*x + 3*y) % 256 + (media_id + x*y) % 256) AS BIGINT) AS pixel_sum " +
+      "FROM ps GROUP BY media_id, img_width, img_height"
+
   // -------------------- ingestion (S2/S3) --------------------
 
   /** The full HTML record-extraction pipeline (FactbookScrape) over
@@ -1759,6 +1781,7 @@ object Extensions {
     "q_stream_join" -> streamJoin,
     "q_stream_static_join" -> streamStaticJoin,
     "q_media_features" -> mediaFeatures,
+    "q_media_decode" -> mediaDecode,
     "q_media_resize" -> mediaResize,
     "q_frame_sample" -> frameSample,
     "q_scrape_series" -> scrapeSeries,
@@ -1832,6 +1855,7 @@ object Extensions {
     "q_stream_join" -> streamJoinSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_media_features" -> mediaFeaturesSql,
+    "q_media_decode" -> mediaDecodeSql,
     "q_media_resize" -> mediaResizeSql,
     "q_frame_sample" -> frameSampleSql,
     "q_scrape_series" -> scrapeSeriesSql,

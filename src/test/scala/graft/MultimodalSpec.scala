@@ -57,6 +57,58 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(12L).resized.toSeq == utf.take(8).toSeq)
   }
 
+  test("encodeBmp24 round-trips through javax.imageio pixel-exact") {
+    val bmp = Multimodal.encodeBmp24(3, 2, (x, y) => (x << 16) | (y << 8) | (x + y))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img != null, "ImageIO must recognize the BMP payload")
+    assert(img.getWidth == 3 && img.getHeight == 2)
+    for (x <- 0 until 3; y <- 0 until 2)
+      assert((img.getRGB(x, y) & 0xffffff) == ((x << 16) | (y << 8) | (x + y)),
+        s"pixel ($x,$y) mismatch")
+  }
+
+  test("decodeImage reads a real PNG written by ImageIO") {
+    val buf = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 5; y <- 0 until 4)
+      buf.setRGB(x, y, (x * 40 << 16) | (y * 60 << 8) | 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(buf, "png", bos)
+    val decoded = Multimodal.decodeImage(bos.toByteArray)
+    assert(decoded.isDefined, "PNG payload must decode")
+    val (w, h, s) = decoded.get
+    assert(w == 5 && h == 4)
+    val expected =
+      (for (x <- 0 until 5; y <- 0 until 4) yield x * 40 + y * 60 + 7).sum.toLong
+    assert(s == expected)
+  }
+
+  test("decodeFeatures: real codec for image payloads, stub fallback for text") {
+    val rows = Seq(
+      (1L, Multimodal.encodeBmp24(2, 2, (_, _) => 0x010203), "bmp"),
+      (2L, "plain text".getBytes("UTF-8"), "fmt0"))
+      .toDF("media_id", "payload", "format")
+    val got = Multimodal.decodeFeatures(rows).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(got(1L).decoded && got(1L).img_width == 2 && got(1L).img_height == 2)
+    assert(got(1L).pixel_sum == 4L * (1 + 2 + 3))
+    assert(!got(2L).decoded && got(2L).img_width == -1 && got(2L).img_height == -1)
+    assert(got(2L).pixel_sum ==
+      "plain text".getBytes("UTF-8").map(b => (b & 0xff).toLong).sum % 1000000007L)
+  }
+
+  test("bmpMediaFromDocuments payloads decode to the closed-form dimensions") {
+    val media = Multimodal.bmpMediaFromDocuments(docs)
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(feats.keySet == Set(10L, 11L, 12L))
+    feats.foreach { case (id, f) =>
+      assert(f.decoded, s"doc $id must decode")
+      assert(f.img_width == (4 + id % 13).toInt, s"doc $id width")
+      assert(f.img_height == (3 + id % 7).toInt, s"doc $id height")
+    }
+  }
+
   test("sampleFrames slices every nth fixed-size frame") {
     val m = Multimodal.mediaFromDocuments(docs)
     val frames = Multimodal.sampleFrames(m, frameBytes = 16, everyNth = 2)
