@@ -19,11 +19,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
+    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    spark.catalog.clearCache()
     (1 to 3).foreach { i =>
+      // build INSIDE the timer: queries with driver-side fixpoint loops
+      // (connected components, k-means, localCheckpoint supersteps) do
+      // real work at construction — Bench pays it, so Explain must too
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       println(f"[explain] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       // cold-cache, warm-JVM: drop what the query persisted so run2/3
       // time the real per-pass cost Bench pays, not a cache replay

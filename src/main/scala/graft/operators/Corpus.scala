@@ -294,6 +294,72 @@ object Corpus {
             greatest(col("_tl"), lit(1)), 6), lit(0.0)).as("top_2gram_frac"))
   }
 
+  /** BPE-style iterative pair-merge training over the word stream —
+    * the tokenizer-TRAINING step of a pretraining pipeline (word-level
+    * merges ≡ word2phrase vocabulary learning; the character-level
+    * variant is the same recurrence over a different initial symbol
+    * table). Each round: count adjacent symbol pairs corpus-wide, pick
+    * the most frequent (count desc, pair asc — deterministic), merge
+    * every leftmost non-overlapping occurrence. Returns one row per
+    * learned merge: (merge_rank, lhs, rhs, pair_count), merged symbols
+    * rendered with spaces.
+    *
+    * Scale shape per round: ONE pair-count partial-agg shuffle (the
+    * pair explode is map-side), a TakeOrdered(1) argmax (the driver
+    * sees ONE row per round, never corpus data), and a map-side string
+    * rewrite; the symbol-stream state localCheckpoints per round (the
+    * repo's iterative-lineage policy).
+    *
+    * Greedy leftmost non-overlapping semantics come from the CELL
+    * encoding: each symbol is stored as chr(2)+symbol+' ', so a pair
+    * occurrence is exactly its two cells and adjacent occurrences
+    * share no characters — a plain non-overlapping replace() IS the
+    * BPE merge step, identical in any engine ("a a a" merges its first
+    * pair only; "a b a b" merges both). Precondition: tokens contain
+    * no spaces (whitespace tokenization guarantees it) and no
+    * chr(1)/chr(2) control chars (absent from text corpora). */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val M = "\u0002" // cell marker
+    val J = "\u0001" // merge joiner
+    var state = Dedup.spread(docs).select(
+      array_join(transform(TextFunctions.tokens(lower(col(textCol))),
+        t => concat(lit(M), t, lit(" "))), "").as("cells"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (k <- 1 to numMerges if !done) {
+      val syms = filter(split(col("cells"), " "), c => c =!= "")
+      val n1 = greatest(size(syms) - 1, lit(0))
+      val pairs = zip_with(slice(syms, lit(1), n1), slice(syms, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+      val best = state.select(explode(pairs).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("p").asc).limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val p = best(0).getString(0)
+        val c = best(0).getLong(1)
+        val Array(a, b) = p.split(" ", 2)
+        val pat = p + " "                       // the two cells, verbatim
+        val rep = a + J + b.substring(1) + " "  // one merged cell
+        merges += ((k, a.substring(1).replace(J, " "),
+          b.substring(1).replace(J, " "), c))
+        val next = state.select(
+          call_function("replace", col("cells"), lit(pat), lit(rep)).as("cells"))
+          .localCheckpoint()
+        state.unpersist()
+        state = next
+      }
+    }
+    state.unpersist()
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
   /** Overlapping fixed-size character chunks — the RAG / context-window
     * preparation step: each document yields windows of `chunkSize`
     * chars starting every `stride` chars (`stride <= chunkSize` keeps

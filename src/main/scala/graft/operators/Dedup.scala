@@ -141,15 +141,12 @@ object Dedup {
       array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
       .withColumn("_size", size(col("_sh")))
     val inv = sh.select(col("id"), col("_size"), explode(col("_sh")).as("shingle"))
-    // persist: the self-join consumes the index through two different
-    // alias projections, which defeats ReuseExchange — without the
-    // cache the tokenize+shingle+explode subtree executes twice
     val invF =
-      (if (maxDocFreq == Long.MaxValue) inv
+      if (maxDocFreq == Long.MaxValue) inv
       else {
         val hot = inv.groupBy("shingle").count().filter(col("count") > maxDocFreq)
         inv.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
-      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     val a = invF.select(col("shingle"), col("id").as("id1"), col("_size").as("_s1"))
     val b = invF.select(col("shingle"), col("id").as("id2"), col("_size").as("_s2"))
     a.hint("shuffle_hash").join(b, Seq("shingle"))
@@ -190,12 +187,7 @@ object Dedup {
     // shingling run once, not per consumer
     val inv = postingsTable(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persist the prefix too: the self-join consumes it through two
-    // DIFFERENT alias projections, which defeats ReuseExchange — without
-    // the cache the whole df-rank subtree (dfreq + join + per-doc sort)
-    // executes twice, once per join side
     val prefix = prefixPostings(inv, threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefix.select(col("_gk"), col("id").as("id1"), col("_size").as("_za"))
     val b = prefix.select(col("_gk"), col("id").as("id2"), col("_size").as("_zb"))
     // length filter (PPJoin): J ≥ t bounds the partner's set size to

@@ -199,6 +199,108 @@ object Multimodal {
       }
   }
 
+  // ---- real audio path (javax.sound.sampled — JDK WAV reader) ----
+
+  case class AudioDecoded(media_id: Long, decoded: Boolean, sample_rate: Int,
+      n_samples: Int, sample_sum: Long)
+
+  /** RIFF/WAVE magic sniff (the audio sibling of [[isImageMagic]]). */
+  def isWavMagic(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Minimal PCM16 mono WAV encoder (RIFF + fmt + data chunks, LE). */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    val dataBytes = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (the WAV/PCM
+    * reader ships with the JDK — headless-safe, deterministic).
+    * Returns (sampleRate, nSamples, Σ sample values over all channels);
+    * None when the payload is not a decodable PCM16 WAV. */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (!isWavMagic(payload)) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val bytes = in.readAllBytes()
+          val buf = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var s = 0L
+          var n = 0
+          while (buf.remaining() >= 2) { s += buf.getShort; n += 1 }
+          Some((fmt.getSampleRate.toInt, n / math.max(fmt.getChannels, 1), s))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Real-WAV media table derived from `documents`: sample count and
+    * every PCM sample are CLOSED-FORM functions of doc_id (the audio
+    * sibling of [[bmpMediaFromDocuments]]) — Spark really encodes and
+    * then really decodes the bytes while an oracle computes the decoded
+    * features arithmetically. */
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (16 + id % 33).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 31L + i * 17L) % 4096L - 2048L).toShort)
+        MediaRow(id, encodeWavPcm16(8000, samples), "wav", 0, 0)
+      }
+    }.toDF()
+  }
+
+  /** Audio feature extraction with the REAL codec in front and the
+    * stub as fallback (same contract as [[decodeFeatures]]): WAV-magic
+    * payloads decode through javax.sound.sampled; anything else keeps
+    * the deterministic byte-feature stub (decoded=false, −1 dims,
+    * sample_sum = the stub's byte sum). */
+  def decodeAudioFeatures(media: DataFrame): Dataset[AudioDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeWav(payload) match {
+            case Some((rate, n, s)) =>
+              AudioDecoded(id, decoded = true, rate, n, s)
+            case None =>
+              val (_, _, s) = decodeStub(payload)
+              AudioDecoded(id, decoded = false, -1, -1, s)
+          }
+        }
+      }
+  }
+
   case class MediaResized(media_id: Long, resized: Array[Byte], n_out: Int)
 
   /** STUB resize — stands in for an image resize: deterministic

@@ -500,6 +500,25 @@ object Extensions {
       "CAST(sum((media_id + 7*x + 13*y) % 256 + (2*media_id + 5*x + 3*y) % 256 + (media_id + x*y) % 256) AS BIGINT) AS pixel_sum " +
       "FROM ps GROUP BY media_id, img_width, img_height"
 
+  /** REAL audio decode (X12, audio modality): real PCM16 WAV payloads
+    * whose samples are closed-form functions of doc_id, encoded AND
+    * decoded through javax.sound.sampled while the oracle computes the
+    * decoded features arithmetically — the audio sibling of
+    * [[mediaDecode]]. */
+  val audioDecode: Q = (s, d) => {
+    val media = Multimodal.wavMediaFromDocuments(spread(Tables.documents(s, d)))
+    Multimodal.decodeAudioFeatures(media).toDF()
+      .select(col("media_id"), col("decoded"), col("sample_rate"),
+        col("n_samples"), col("sample_sum"))
+  }
+
+  val audioDecodeSql: String =
+    "WITH m AS (SELECT doc_id AS media_id, CAST(16 + doc_id % 33 AS INT) AS n_samples FROM documents), " +
+      "s AS (SELECT media_id, n_samples, unnest(generate_series(0, n_samples - 1)) AS i FROM m) " +
+      "SELECT media_id, true AS decoded, CAST(8000 AS INT) AS sample_rate, n_samples, " +
+      "CAST(sum((media_id * 31 + i * 17) % 4096 - 2048) AS BIGINT) AS sample_sum " +
+      "FROM s GROUP BY media_id, n_samples"
+
   // -------------------- ingestion (S2/S3) --------------------
 
   /** The full HTML record-extraction pipeline (FactbookScrape) over
@@ -1545,6 +1564,48 @@ object Extensions {
       "FROM documents d LEFT JOIN per p USING (doc_id)"
   }
 
+  /** BPE-style merge training (X96): four iterations of
+    * count-adjacent-pairs → argmax → corpus-wide leftmost
+    * non-overlapping merge over the word stream — the
+    * tokenizer-training recurrence. The oracle chains the SAME
+    * recurrence as generated CTE levels: both engines encode symbols
+    * as chr(2)+symbol+' ' cells, so a plain non-overlapping replace()
+    * IS the merge step and ties break on identical (count desc,
+    * pair asc) keys. */
+  val BPE_MERGES = 4
+
+  val bpeMerges: Q = (s, d) =>
+    Corpus.bpeMerges(Tables.documents(s, d), "doc_id", "text", BPE_MERGES)
+
+  val bpeMergesSql: String = {
+    val cells =
+      s"array_to_string(list_transform($duckToksLower, t -> chr(2) || t || ' '), '')"
+    val sb = new StringBuilder(
+      s"WITH s0 AS MATERIALIZED (SELECT doc_id, $cells AS cells FROM documents)")
+    for (k <- 1 to BPE_MERGES) {
+      val prev = s"s${k - 1}"
+      sb.append(
+        s", p$k AS (SELECT list_extract(arr, i) || ' ' || list_extract(arr, i + 1) AS pr " +
+          s"FROM (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i " +
+          s"FROM (SELECT list_filter(string_split(cells, ' '), x -> x <> '') AS arr FROM $prev)))")
+      sb.append(
+        s", b$k AS MATERIALIZED (SELECT pr, count(*) AS c, " +
+          s"split_part(pr, ' ', 1) AS la, split_part(pr, ' ', 2) AS rb " +
+          s"FROM p$k GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 1)")
+      if (k < BPE_MERGES) sb.append(
+        s", s$k AS MATERIALIZED (SELECT doc_id, " +
+          s"replace(cells, b$k.pr || ' ', b$k.la || chr(1) || substr(b$k.rb, 2) || ' ') AS cells " +
+          s"FROM $prev, b$k)")
+    }
+    sb.append(" ")
+    sb.append((1 to BPE_MERGES).map(k =>
+      s"SELECT CAST($k AS INT) AS merge_rank, " +
+        s"replace(substr(la, 2), chr(1), ' ') AS lhs, " +
+        s"replace(substr(rb, 2), chr(1), ' ') AS rhs, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM b$k").mkString(" UNION ALL "))
+    sb.toString
+  }
+
   val unigramSurprisalSql: String =
     s"WITH trm AS (SELECT doc_id, unnest($duckToksLower) AS term FROM documents), " +
       "tf AS (SELECT term, count(*) AS cnt FROM trm GROUP BY term), " +
@@ -1782,6 +1843,8 @@ object Extensions {
     "q_stream_static_join" -> streamStaticJoin,
     "q_media_features" -> mediaFeatures,
     "q_media_decode" -> mediaDecode,
+    "q_audio_decode" -> audioDecode,
+    "q_bpe_merges" -> bpeMerges,
     "q_media_resize" -> mediaResize,
     "q_frame_sample" -> frameSample,
     "q_scrape_series" -> scrapeSeries,
@@ -1856,6 +1919,8 @@ object Extensions {
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_media_features" -> mediaFeaturesSql,
     "q_media_decode" -> mediaDecodeSql,
+    "q_audio_decode" -> audioDecodeSql,
+    "q_bpe_merges" -> bpeMergesSql,
     "q_media_resize" -> mediaResizeSql,
     "q_frame_sample" -> frameSampleSql,
     "q_scrape_series" -> scrapeSeriesSql,

@@ -520,10 +520,17 @@ object Relational {
     * permanently grey rows-only row; q_hll_portable is the
     * register-exact sibling and q_distinct_count the exact one. */
   val hllDistinct: Q = (s, d) =>
+    // distinct-first: dedup (flag, partkey) with map-side partial
+    // aggregation, then one plain agg computes the exact count AND the
+    // sketch over the deduped stream — an HLL's registers are
+    // max-of-hashes, so deduping the input leaves the estimate
+    // IDENTICAL while the plan avoids the Expand double-shuffle a
+    // mixed distinct/non-distinct aggregate pays
     Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_approx"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(count(lit(1)).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_approx"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("_approx") - col("exact_parts")).cast("double") <=
           col("exact_parts").cast("double") * 0.06).as("within_bound"))

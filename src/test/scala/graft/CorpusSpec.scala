@@ -6,6 +6,36 @@ import graft.operators.Corpus
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bpeMerges learns the most frequent pair first, ties break alphabetically") {
+    val docs = Seq(
+      (1L, "new york city new york"),
+      (2L, "new york is big"))
+      .toDF("doc_id", "text")
+    val got = Corpus.bpeMerges(docs, "doc_id", "text", 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1, "new", "york", 3L)))
+    // round 2: all remaining pairs count 1; alphabetical order on the
+    // marked pair strings picks (city, new york) — "c" < "i" < "n"
+    assert(got(1) == ((2, "city", "new york", 1L)))
+  }
+
+  test("bpeMerges merges leftmost non-overlapping occurrences only") {
+    // "a a a a" has 3 adjacent (a,a) pairs but greedy BPE merges the
+    // 1st and 3rd: state becomes "a·a a·a", so round 2's best pair is
+    // the merged symbol with itself, count 1
+    val docs = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val got = Corpus.bpeMerges(docs, "doc_id", "text", 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1, "a", "a", 3L)))
+    assert(got(1) == ((2, "a a", "a a", 1L)))
+  }
+
+  test("bpeMerges stops early when no pairs remain") {
+    val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val got = Corpus.bpeMerges(docs, "doc_id", "text", 3).collect()
+    assert(got.isEmpty)
+  }
+
   test("tfIdfTopTerms matches a hand-computed fixture with tie-breaks") {
     // 4 docs; "common" appears in all (idf = ln(1) = 0), "rare" in one
     val docs = Seq(

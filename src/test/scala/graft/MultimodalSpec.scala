@@ -109,6 +109,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodeWavPcm16 round-trips through javax.sound.sampled sample-exact") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    val decoded = Multimodal.decodeWav(wav)
+    assert(decoded.isDefined, "AudioSystem must recognize the WAV payload")
+    val (rate, n, s) = decoded.get
+    assert(rate == 8000 && n == samples.length)
+    assert(s == samples.map(_.toLong).sum)
+  }
+
+  test("decodeAudioFeatures: real codec for WAV payloads, stub fallback for text") {
+    val rows = Seq(
+      (1L, Multimodal.encodeWavPcm16(16000, Array[Short](5, -3, 10)), "wav"),
+      (2L, "plain text".getBytes("UTF-8"), "fmt0"))
+      .toDF("media_id", "payload", "format")
+    val got = Multimodal.decodeAudioFeatures(rows).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(got(1L).decoded && got(1L).sample_rate == 16000 &&
+      got(1L).n_samples == 3 && got(1L).sample_sum == 12L)
+    assert(!got(2L).decoded && got(2L).sample_rate == -1)
+    assert(got(2L).sample_sum ==
+      "plain text".getBytes("UTF-8").map(b => (b & 0xff).toLong).sum % 1000000007L)
+  }
+
+  test("wavMediaFromDocuments payloads decode to the closed-form sample sums") {
+    val media = Multimodal.wavMediaFromDocuments(docs)
+    val feats = Multimodal.decodeAudioFeatures(media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(feats.keySet == Set(10L, 11L, 12L))
+    feats.foreach { case (id, f) =>
+      assert(f.decoded, s"doc $id must decode")
+      val n = (16 + id % 33).toInt
+      assert(f.n_samples == n, s"doc $id n_samples")
+      val expected = (0 until n).map(i => (id * 31L + i * 17L) % 4096L - 2048L).sum
+      assert(f.sample_sum == expected, s"doc $id sample_sum")
+    }
+  }
+
   test("sampleFrames slices every nth fixed-size frame") {
     val m = Multimodal.mediaFromDocuments(docs)
     val frames = Multimodal.sampleFrames(m, frameBytes = 16, everyNth = 2)
