@@ -88,4 +88,54 @@ class PropertiesSpec extends SparkSpec {
       assert(out.toSet == texts.map(norm).toSet)
     }
   }
+
+  test("BMP codec round-trip is pixel-exact for arbitrary dims and pixels") {
+    // driver-side property: no Spark plan per case, so more cases are cheap
+    val caseGen = for {
+      w <- Gen.chooseNum(1, 21)
+      h <- Gen.chooseNum(1, 17)
+      seed <- Gen.chooseNum(0L, 1000000L)
+    } yield (w, h, seed)
+    for ((w, h, seed) <- samples(caseGen, 40)) {
+      def px(x: Int, y: Int): Int = {
+        val r = ((seed + 3L * x + 11L * y) % 256).toInt
+        val g = ((seed * 5L + x.toLong * y) % 256).toInt
+        val b = ((seed + 17L * x + y) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      val payload = graft.operators.Multimodal.encodeBmp24(w, h, px)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"decode failed for ${w}x$h seed=$seed")
+      for (x <- 0 until w; y <- 0 until h)
+        assert((img.getRGB(x, y) & 0xffffff) == px(x, y),
+          s"pixel ($x,$y) for ${w}x$h seed=$seed")
+    }
+  }
+
+  test("WAV codec round-trip is sample-exact for arbitrary rates and samples") {
+    val caseGen = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      n <- Gen.chooseNum(1, 200)
+      seed <- Gen.chooseNum(0L, 1000000L)
+    } yield (rate, n, seed)
+    for ((rate, n, seed) <- samples(caseGen, 40)) {
+      val samplesArr = Array.tabulate(n)(i =>
+        ((seed * 31L + i * 1777L) % 65536L - 32768L).toShort)
+      val payload = graft.operators.Multimodal.encodeWavPcm16(rate, samplesArr)
+      val decoded = graft.operators.Multimodal.decodeWav(payload)
+      assert(decoded.contains((rate, n, samplesArr.map(_.toLong).sum)),
+        s"rate=$rate n=$n seed=$seed got $decoded")
+    }
+  }
+
+  test("BPE first merge of a uniform doc counts n-1 pairs") {
+    for (n <- Seq(2, 3, 5, 9, 16)) {
+      val docs = Seq((1L, Seq.fill(n)("tok").mkString(" "))).toDF("doc_id", "text")
+      val got = graft.operators.Corpus.bpeMerges(docs, "doc_id", "text", 1)
+        .as[(Int, String, String, Long)].collect()
+      assert(got.toSeq == Seq((1, "tok", "tok", (n - 1).toLong)), s"n=$n")
+    }
+  }
 }
