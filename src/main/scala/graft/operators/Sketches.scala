@@ -65,15 +65,35 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       hashSeed: Int = 777): DataFrame = {
     val gcols = groupCols.map(col)
+    estimateFromRegisters(
+      registerTable(df, groupCols, valueCol, hashSeed), groupCols)
+      .select(gcols :+ col("_est").as("hll_distinct"): _*)
+  }
+
+  /** (group…, _reg, _M) register maxes — THE mergeable partial: the
+    * sketch of any union of inputs is the per-register max of their
+    * register tables, so day-sized / partition-sized sketches combine
+    * without rescanning data. */
+  private[operators] def registerTable(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, hashSeed: Int): DataFrame = {
+    val gcols = groupCols.map(col)
     val hashed = df.select(gcols :+
       TextFunctions.hexHash60(col(valueCol).cast("string"), hashSeed).as("_h"): _*)
     val suffix = shiftright(col("_h"), 8)
     val rho = when(suffix === 0L, lit(53))
       .otherwise(lit(53) - length(bin(suffix)))
-    val registers = hashed
+    hashed
       .select(gcols :+ (col("_h") % 256).as("_reg") :+ rho.as("_rho"): _*)
       .groupBy(gcols :+ col("_reg"): _*)
       .agg(max(col("_rho")).as("_M"))
+  }
+
+  /** Fold a register table to the (group…, _est) HLL estimate —
+    * all-integer register math, one double division at the edge (see
+    * [[hllDistinct]] scaladoc). */
+  private[operators] def estimateFromRegisters(registers: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
     val folded = registers.groupBy(gcols: _*)
       .agg(
         (sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - _M)")) +
@@ -86,7 +106,40 @@ object Sketches {
     val est = when(raw <= lit(640.0) && col("_zeros") > 0,
       lit(256.0) * log(lit(256.0) / col("_zeros").cast("double")))
       .otherwise(raw)
-    folded.select(gcols :+ round(est, 4).as("hll_distinct"): _*)
+    folded.select(gcols :+ round(est, 4).as("_est"): _*)
+  }
+
+  /** Sketch SET OPERATIONS via register merge: |A|, |B|, |A∪B| from
+    * the per-register MAX of A's and B's register tables (the
+    * mergeable-partials property — at 100 TB this is how per-day /
+    * per-partition sketches combine into a global cardinality without
+    * rescanning anything), and |A∩B| by inclusion–exclusion, clamped
+    * at 0 and computed from the ALREADY-ROUNDED component estimates so
+    * any engine derives the identical value. Returns one row:
+    * (est_a, est_b, est_union, est_intersection). Precondition: both
+    * inputs non-empty (an empty side has no registers, so its estimate
+    * surfaces as NULL — don't sketch-compare nothing). */
+  def hllSetOps(a: DataFrame, b: DataFrame, valueCol: String,
+      hashSeed: Int = 777): DataFrame = {
+    def regs(df: DataFrame, tag: String) =
+      registerTable(df.select(lit(tag).as("_t"), col(valueCol)),
+        Seq("_t"), valueCol, hashSeed)
+    val ra = regs(a, "a")
+    val rb = regs(b, "b")
+    val merged = ra.unionByName(rb)
+      .groupBy(col("_reg")).agg(max(col("_M")).as("_M"))
+      .withColumn("_t", lit("u"))
+    val ests = estimateFromRegisters(
+      ra.unionByName(rb).unionByName(merged.select("_t", "_reg", "_M")),
+      Seq("_t"))
+    // pivot the three tagged estimates into one row with a keyless
+    // conditional aggregate (3 input rows — no join, no cross product)
+    ests.agg(
+      max(when(col("_t") === "a", col("_est"))).as("est_a"),
+      max(when(col("_t") === "b", col("_est"))).as("est_b"),
+      max(when(col("_t") === "u", col("_est"))).as("est_union"))
+      .withColumn("est_intersection",
+        round(greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")), 4))
   }
 
   /** The DuckDB oracle for [[hllDistinct]] over a given table/column —
@@ -102,5 +155,27 @@ object Sketches {
       s"s AS (SELECT $g, sum(CAST(1 AS BIGINT) << (53 - m)) + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s, 256 - count(*) AS zeros FROM mx GROUP BY ALL), " +
       s"e AS (SELECT $g, CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))*CAST(65536.0 AS DOUBLE)*CAST(9007199254740992.0 AS DOUBLE)/CAST(s AS DOUBLE) AS raw, zeros FROM s) " +
       s"SELECT $g, round(CASE WHEN raw <= 640.0 AND zeros > 0 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE)/CAST(zeros AS DOUBLE)) ELSE raw END, 4) AS hll_distinct FROM e"
+  }
+
+  /** DuckDB oracle for [[hllSetOps]] over two WHERE-filtered reads of
+    * one table — generated here so the register layout, merge, and
+    * estimator arithmetic live in exactly one place. */
+  def hllSetOpsSql(table: String, valueCol: String, whereA: String,
+      whereB: String, hashSeed: Int = 777): String = {
+    def regCte(name: String, where: String) =
+      s"$name AS MATERIALIZED (SELECT reg, max(rho) AS m FROM (" +
+        s"SELECT h % 256 AS reg, CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END AS rho FROM (" +
+        s"SELECT CAST('0x' || substr(md5('$hashSeed:' || CAST($valueCol AS VARCHAR)), 1, 15) AS BIGINT) AS h " +
+        s"FROM $table WHERE $where)) GROUP BY reg)"
+    def estCte(name: String, src: String) =
+      s"$name AS (SELECT round(CASE WHEN raw <= 640.0 AND zeros > 0 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE)/CAST(zeros AS DOUBLE)) ELSE raw END, 4) AS e FROM (" +
+        s"SELECT CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))*CAST(65536.0 AS DOUBLE)*CAST(9007199254740992.0 AS DOUBLE)/CAST(s AS DOUBLE) AS raw, zeros FROM (" +
+        s"SELECT sum(CAST(1 AS BIGINT) << (53 - m)) + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s, 256 - count(*) AS zeros FROM $src)))"
+    "WITH " + regCte("ra", whereA) + ", " + regCte("rb", whereB) +
+      ", ru AS (SELECT reg, max(m) AS m FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY reg), " +
+      estCte("ea", "ra") + ", " + estCte("eb", "rb") + ", " + estCte("eu", "ru") +
+      " SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union, " +
+      "round(greatest(CAST(0.0 AS DOUBLE), ea.e + eb.e - eu.e), 4) AS est_intersection " +
+      "FROM ea, eb, eu"
   }
 }

@@ -551,6 +551,21 @@ object Relational {
     graft.operators.Sketches.hllDistinctSql(
       "lineitem", Seq("l_returnflag"), "l_partkey")
 
+  /** Portable-sketch SET operations: |A|, |B|, |A∪B| via per-register
+    * max merge (the mergeable-partials property that combines per-day
+    * sketches at 100 TB without rescanning), |A∩B| by
+    * inclusion–exclusion — all register math integer-exact, so the
+    * approximate results hash-match across engines. */
+  val sketchSetOps: Q = (s, d) =>
+    graft.operators.Sketches.hllSetOps(
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "A"),
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+      "l_partkey")
+
+  val sketchSetOpsSql: String =
+    graft.operators.Sketches.hllSetOpsSql("lineitem", "l_partkey",
+      "l_returnflag = 'A'", "l_returnflag = 'R'")
+
   /** All relational queries + oracles. */
   val queries: Map[String, Q] = Map(
     "q_scan_project" -> scanProject,
@@ -588,7 +603,8 @@ object Relational {
     "q_histogram" -> histogram,
     "q_stats_agg" -> statsAgg,
     "q_hll_distinct" -> hllDistinct,
-    "q_hll_portable" -> hllPortable)
+    "q_hll_portable" -> hllPortable,
+    "q_sketch_setops" -> sketchSetOps)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> scanProjectSql,
@@ -626,5 +642,6 @@ object Relational {
     "q_histogram" -> histogramSql,
     "q_stats_agg" -> statsAggSql,
     "q_hll_distinct" -> hllDistinctSql,
-    "q_hll_portable" -> hllPortableSql)
+    "q_hll_portable" -> hllPortableSql,
+    "q_sketch_setops" -> sketchSetOpsSql)
 }

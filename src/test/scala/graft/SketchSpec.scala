@@ -42,6 +42,30 @@ class SketchSpec extends SparkSpec {
     assert(whole == reunion && whole.nonEmpty)
   }
 
+  test("hllSetOps: register merge equals the sketch of the union, inclusion-exclusion sane") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val a = li.filter(col("l_returnflag") === "A")
+    val b = li.filter(col("l_returnflag") === "R")
+    val row = graft.operators.Sketches.hllSetOps(a, b, "l_partkey")
+      .collect()(0)
+    val (ea, eb, eu, ei) = (row.getDouble(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3))
+    // merged registers ARE the union's sketch: estimating A∪B directly
+    // from the concatenated rows must give the identical value
+    val direct = graft.operators.Sketches.hllDistinct(
+      a.unionByName(b).withColumn("_g", lit(1)), Seq("_g"), "l_partkey")
+      .select("hll_distinct").collect()(0).getDouble(0)
+    assert(eu == direct, s"merged-register estimate $eu != direct $direct")
+    assert(eu >= math.max(ea, eb) - 1e-9, "union can't be smaller than a component")
+    assert(ei >= 0.0 && ei <= math.min(ea, eb) + 1e-9)
+    assert(math.abs(ea + eb - eu - ei) <= 1e-6 || ei == 0.0)
+    // estimates stay near exact (m=256 ⇒ ~6.5% rsd; allow 3x)
+    def exact(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_partkey").distinct().count().toDouble
+    assert(math.abs(ea - exact(a)) <= 0.2 * exact(a))
+    assert(math.abs(eu - exact(a.unionByName(b))) <= 0.2 * exact(a.unionByName(b)))
+  }
+
   test("approx_count_distinct within 3·rsd of exact, per group") {
     // q_hll_distinct emits the bound verdict itself (the oracle pins it
     // as a constant `true`); the spec asserts the verdict holds and the
