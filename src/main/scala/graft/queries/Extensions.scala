@@ -840,6 +840,47 @@ object Extensions {
     s.table("graft_stream_join")
   }
 
+  /** X24b: stream-stream LEFT OUTER join — the state-EXPIRY emission
+    * path the inner join never exercises: an unmatched purchase emits
+    * its NULL-signup row only once the watermark passes its event time
+    * and the join state flushes. NOT a driver row: the exact expiry
+    * boundary depends on how AvailableNow splits micro-batches
+    * (measured at three SFs — unmatched rows HOURS below the final
+    * watermark can stay unflushed when they entered state in the last
+    * data batch), so no closed-form SQL predicate reproduces the
+    * emitted set reliably. StreamStreamJoinSpec pins the semantics
+    * property-wise instead: matched pairs complete and exact,
+    * every emitted unmatched row truly unmatched, no duplicates.
+    * NULL s_id surfaces as −1; `p_us` carries event time for the
+    * spec's boundary checks. */
+  val streamOuterJoin: Q = (s, d) => withStreamShuffle(s, 4) {
+    val ckpt = streamCkptDir("graft-ckpt-soj")
+    val src = EventsStreaming.readDriverEventsStream(s, s"$d/events.parque[t]")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "2 hours")
+    val joined = purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("s_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("user_id"), col("p_id"),
+        coalesce(col("s_id"), lit(-1L)).as("s_id"),
+        unix_micros(col("p_ts")).as("p_us"))
+    val q = joined.writeStream.format("memory").queryName("graft_stream_oj")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    runStreamThenCleanCkpt(q, ckpt)
+    s.table("graft_stream_oj")
+      .select(col("user_id"), col("p_id"), col("s_id"), col("p_us"))
+  }
+
   /** Category dimension for the stream-static enrichment join —
     * a literal lookup table (in production: a refreshable dim read
     * per micro-batch). */

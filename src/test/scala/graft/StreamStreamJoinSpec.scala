@@ -58,4 +58,38 @@ class StreamStreamJoinSpec extends SparkSpec {
 
     assert(streamed == expected && expected.nonEmpty)
   }
+
+  test("stream-stream LEFT OUTER join: matched exact, unmatched valid, no dupes") {
+    // The expiry boundary for NULL-emission is micro-batch-split
+    // dependent (measured: unmatched rows hours below the final
+    // watermark can stay unflushed when they entered state in the last
+    // data batch) — so the pin is property-wise, not an exact row set:
+    //  1. matched pairs == the batch inner join (outer ⊇ inner, exact)
+    //  2. every emitted unmatched row is TRULY unmatched in batch
+    //  3. some unmatched rows do flush (the expiry path runs)
+    //  4. no (p_id, s_id) duplicates
+    val out = graft.queries.Extensions.streamOuterJoin(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(r => (r._2, r._3)).distinct.length == out.length)
+
+    val batch = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    def side(t: String) = batch.filter(col("event_type") === t)
+    val bp = side("purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val bs = side("signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("s_id"), col("ts").as("s_ts"))
+    val matchedBatch = bp.join(bs,
+      col("user_id") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("s_ts") <= col("p_ts"))
+      .select("p_id", "s_id").as[(Long, Long)].collect().toSet
+    val streamedMatched = out.filter(_._3 != -1L).map(r => (r._2, r._3)).toSet
+    assert(streamedMatched == matchedBatch && matchedBatch.nonEmpty)
+
+    val matchedPids = matchedBatch.map(_._1)
+    val streamedUnmatched = out.filter(_._3 == -1L).map(_._2).toSet
+    assert(streamedUnmatched.nonEmpty, "expiry path must emit NULL-joined rows")
+    assert(streamedUnmatched.intersect(matchedPids).isEmpty,
+      "an emitted NULL-joined purchase must have no batch match")
+  }
 }
