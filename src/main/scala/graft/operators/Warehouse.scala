@@ -263,6 +263,48 @@ object Warehouse {
         coalesce(col("funnel_stage"), lit(0)).as("funnel_stage"))
   }
 
+  /** Per-key ordinary-least-squares trend (slope + intercept) in
+    * closed form from five exact sums: slope = (nΣxy − ΣxΣy)/(nΣx² −
+    * (Σx)²), intercept = (ΣyΣx² − ΣxΣxy)/(same denominator). The
+    * inputs quantize to integers (x = epoch seconds − `xOffset`, y =
+    * cents), per-row products stay within long range (bounded x·y),
+    * and the SUMS accumulate as DECIMAL(38,0) — exact in any order
+    * and any engine, with 100 TB of rows of headroom where a BIGINT
+    * sum of squares would overflow past ~10⁶ rows × (10⁶s window)².
+    * Only the final two divisions are floating point (correctly
+    * rounded int→double conversions + one IEEE division, identical
+    * everywhere; 6dp rounding at the edge). Degenerate keys (all x
+    * equal) yield NULL slope/intercept, never a divide-by-zero.
+    *
+    * Plan: ONE partial-agg shuffle keyed by `keyCol` — map-side
+    * combine reduces every partition to five numbers per key, the
+    * textbook "aggregate then solve in closed form" regression shape
+    * (no iteration, no matrix, no second pass). */
+  def groupedOls(df: DataFrame, keyCol: String, xCol: Column, yCol: Column,
+      xOffset: Long): DataFrame = {
+    val x = (xCol.cast("long") - xOffset)
+    val y = floor(yCol * 100 + 0.5).cast("long")
+    val dec = "decimal(38,0)"
+    val g = df
+      .select(col(keyCol), x.as("_x"), y.as("_y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).as("_sx"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        sum((col("_x") * col("_y")).cast(dec)).as("_sxy"),
+        sum((col("_x") * col("_x")).cast(dec)).as("_sxx"))
+    val den = col("n") * col("_sxx") - col("_sx") * col("_sx")
+    val slopeNum = col("n") * col("_sxy") - col("_sx") * col("_sy")
+    val interNum = col("_sy") * col("_sxx") - col("_sx") * col("_sxy")
+    g.select(col(keyCol), col("n"),
+      when(den =!= 0,
+        round(slopeNum.cast("double") / den.cast("double"), 6))
+        .as("slope_cents_per_sec"),
+      when(den =!= 0,
+        round(interNum.cast("double") / den.cast("double"), 6))
+        .as("intercept_cents"))
+  }
+
   /** Rows-bounded moving aggregate + quartile bucketing per key:
     * 3-row moving sum over cents-quantized values (exact BIGINT — no
     * float accumulation order to disagree on) and ntile(4) position

@@ -242,6 +242,27 @@ object WarehouseQueries {
       "SELECT event_type, CASE WHEN total_sec > 0 THEN round(CAST(num AS DOUBLE)/total_sec, 6) END AS twa_cents, " +
       "total_sec FROM g"
 
+  // ---- X98: grouped OLS trend per event_type ----
+  // x = epoch seconds − 2024-01-01 (fixed offset keeps products in
+  // long range), y = value cents; five exact DECIMAL sums → closed
+  // form. Oracle: identical integer arithmetic, HUGEINT sums.
+
+  val OLS_X0 = 1704067200L // 2024-01-01 00:00:00 UTC
+
+  val groupOls: Q = (s, d) =>
+    W.groupedOls(Tables.events(s, d), "event_type",
+      unix_timestamp(col("ts")), col("value"), OLS_X0)
+
+  val groupOlsSql: String =
+    s"WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) - $OLS_X0 AS x, " +
+      "CAST(floor(value*100 + 0.5) AS BIGINT) AS y FROM events), " +
+      "g AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+      "sum(x*y) AS sxy, sum(x*x) AS sxx FROM e GROUP BY event_type) " +
+      "SELECT event_type, n, " +
+      "CASE WHEN n*sxx - sx*sx <> 0 THEN round(CAST(n*sxy - sx*sy AS DOUBLE)/CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS slope_cents_per_sec, " +
+      "CASE WHEN n*sxx - sx*sx <> 0 THEN round(CAST(sy*sxx - sx*sxy AS DOUBLE)/CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS intercept_cents " +
+      "FROM g"
+
   // ---- X85: 2-D skyline (Pareto frontier) ----
   // "Cheapest AND earliest" orders: minimize (o_totalprice, order
   // date). Oracle = the same prefix-min scan as one window.
@@ -319,6 +340,7 @@ object WarehouseQueries {
       "LEFT JOIN s3 ON b.user_id = s3.user_id"
 
   val queries: Map[String, Q] = Map(
+    "q_group_ols" -> groupOls,
     "q_user_rollup" -> userRollup,
     "q_user_history" -> userHistory,
     "q_twap" -> twap,
@@ -333,6 +355,7 @@ object WarehouseQueries {
     "q_moving_avg" -> movingAvg)
 
   val oracles: Map[String, String] = Map(
+    "q_group_ols" -> groupOlsSql,
     "q_user_rollup" -> userRollupSql,
     "q_user_history" -> userHistorySql,
     "q_twap" -> twapSql,

@@ -32,6 +32,24 @@ class WarehouseSpec extends SparkSpec {
       (2L, "x", ts("2024-01-05 00:00:00"), open, 1, true)))
   }
 
+  test("groupedOls recovers an exact linear trend; degenerate x yields NULL") {
+    // key "lin": y = 2.5·x + 10 (in value units) at x = 0, 10, 20 s
+    // after the offset → slope = 250 cents/s, intercept = 1000 cents.
+    // key "flat": all observations at ONE instant → den = 0 → NULLs.
+    val x0 = 1704067200L
+    def t(off: Long) = new Timestamp((x0 + off) * 1000L)
+    val ev = Seq(
+      ("lin", t(0), 10.0), ("lin", t(10), 35.0), ("lin", t(20), 60.0),
+      ("flat", t(5), 1.0), ("flat", t(5), 2.0))
+      .toDF("k", "ts", "value")
+    val got = Warehouse.groupedOls(ev, "k",
+      unix_timestamp(col("ts")), col("value"), x0)
+      .as[(String, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("lin") == ((3L, Some(250.0), Some(1000.0))))
+    assert(got("flat") == ((2L, None, None)))
+  }
+
   test("scd2 ranges tile each key's timeline: contiguous, one open row") {
     val ev = core.Tables.events(spark, "/root/testdata/sf0.001")
     val hist = Warehouse.scd2(ev, "user_id", "event_type", "ts", "event_id")
