@@ -486,6 +486,31 @@ object Relational {
     "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
       "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY event_type"
 
+  /** Robust statistics (X99): per-group median absolute deviation —
+    * the outlier-resistant spread measure quality pipelines threshold
+    * on (value ∉ med ± k·MAD). Two grouped exact-percentile passes
+    * with the group-medians table BROADCAST back (it is #groups rows
+    * by construction); both engines interpolate quantiles identically
+    * (pinned by q_percentile), and the deviation arithmetic is the
+    * same IEEE subtract/abs, so the result hash-matches at 6dp. */
+  val groupMad: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("_med"))
+    e.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("round(percentile(abs(value - _med), 0.5), 6)").as("mad"),
+        round(max(abs(col("value") - col("_med"))), 6).as("max_abs_dev"))
+  }
+
+  val groupMadSql: String =
+    "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type) " +
+      "SELECT e.event_type, count(*) AS n, " +
+      "round(quantile_cont(abs(value - med), 0.5), 6) AS mad, " +
+      "round(max(abs(value - med)), 6) AS max_abs_dev " +
+      "FROM events e JOIN m USING (event_type) GROUP BY e.event_type"
+
   /** Fixed-width histogram via floor bucketing (portable; DuckDB has
     * no width_bucket). */
   val histogram: Q = (s, d) =>
@@ -604,7 +629,8 @@ object Relational {
     "q_stats_agg" -> statsAgg,
     "q_hll_distinct" -> hllDistinct,
     "q_hll_portable" -> hllPortable,
-    "q_sketch_setops" -> sketchSetOps)
+    "q_sketch_setops" -> sketchSetOps,
+    "q_group_mad" -> groupMad)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> scanProjectSql,
@@ -643,5 +669,6 @@ object Relational {
     "q_stats_agg" -> statsAggSql,
     "q_hll_distinct" -> hllDistinctSql,
     "q_hll_portable" -> hllPortableSql,
-    "q_sketch_setops" -> sketchSetOpsSql)
+    "q_sketch_setops" -> sketchSetOpsSql,
+    "q_group_mad" -> groupMadSql)
 }

@@ -68,6 +68,23 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-5 operators handle empty / degenerate input") {
+    assert(Warehouse.groupedOls(emptyEvents, "event_type",
+      unix_timestamp(col("ts")), col("value"), 0L).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Corpus.bpeMerges(noDocs, "doc_id", "text", 2)
+      .count() == 0)
+    val noMedia = Seq.empty[(Long, Array[Byte], String)]
+      .toDF("media_id", "payload", "format")
+    assert(graft.operators.Multimodal.decodeFeatures(noMedia).count() == 0)
+    assert(graft.operators.Multimodal.decodeAudioFeatures(noMedia).count() == 0)
+    // null payload takes the stub path with sentinel features, no NPE
+    val nullPayload = Seq((1L, null.asInstanceOf[Array[Byte]], "x"))
+      .toDF("media_id", "payload", "format")
+    val f = graft.operators.Multimodal.decodeFeatures(nullPayload).collect()(0)
+    assert(!f.decoded && f.pixel_sum == 0L)
+  }
+
   test("shortestPath with zero rounds returns only the seeds") {
     val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
     val got = graph.Traversal.shortestPath(edges, "src", "dst", "w",
