@@ -318,13 +318,16 @@ object Corpus {
     * pair only; "a b a b" merges both). Precondition: tokens contain
     * no spaces (whitespace tokenization guarantees it) and no
     * chr(1)/chr(2) control chars (absent from text corpora). */
+  private val BpeMarker = "\u0002" // cell marker
+  private val BpeJoiner = "\u0001" // merge joiner
+
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
       numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    val M = "\u0002" // cell marker
-    val J = "\u0001" // merge joiner
+    val M = BpeMarker
+    val J = BpeJoiner
     var state = Dedup.spread(docs).select(
       array_join(transform(TextFunctions.tokens(lower(col(textCol))),
         t => concat(lit(M), t, lit(" "))), "").as("cells"))
@@ -358,6 +361,29 @@ object Corpus {
     }
     state.unpersist()
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Apply a learned merge table (rank order, from [[bpeMerges]] —
+    * lhs/rhs with spaces marking earlier joins) to the whole corpus:
+    * per doc, the symbol count before and after the merges — the
+    * tokenizer train-then-APPLY round trip. The merges fold into ONE
+    * chained literal `replace()` projection: a pure zero-shuffle map
+    * over the corpus, whole-stage codegen'd, nothing to broadcast but
+    * the pattern literals themselves. */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    var cells: org.apache.spark.sql.Column =
+      array_join(transform(toks, t => concat(lit(BpeMarker), t, lit(" "))), "")
+    merges.foreach { case (l, r) =>
+      val lm = BpeMarker + l.replace(" ", BpeJoiner)
+      val rm = BpeMarker + r.replace(" ", BpeJoiner)
+      cells = call_function("replace", cells,
+        lit(s"$lm $rm "), lit(lm + BpeJoiner + r.replace(" ", BpeJoiner) + " "))
+    }
+    Dedup.spread(docs).select(col(idCol),
+      size(toks).as("n_tokens"),
+      size(filter(split(cells, " "), c => c =!= "")).as("n_symbols"))
   }
 
   /** Overlapping fixed-size character chunks — the RAG / context-window

@@ -1618,7 +1618,11 @@ object Extensions {
   val bpeMerges: Q = (s, d) =>
     Corpus.bpeMerges(Tables.documents(s, d), "doc_id", "text", BPE_MERGES)
 
-  val bpeMergesSql: String = {
+  /** Shared CTE chain for the BPE oracles: s0 (cell-encoded corpus),
+    * then per round k the pair table p_k, argmax b_k, and — when
+    * `withFinalState` (the apply oracle reads it) — the rewritten
+    * state s_k. */
+  private def bpeOracleChain(withFinalState: Boolean): String = {
     val cells =
       s"array_to_string(list_transform($duckToksLower, t -> chr(2) || t || ' '), '')"
     val sb = new StringBuilder(
@@ -1633,19 +1637,41 @@ object Extensions {
         s", b$k AS MATERIALIZED (SELECT pr, count(*) AS c, " +
           s"split_part(pr, ' ', 1) AS la, split_part(pr, ' ', 2) AS rb " +
           s"FROM p$k GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 1)")
-      if (k < BPE_MERGES) sb.append(
+      if (k < BPE_MERGES || withFinalState) sb.append(
         s", s$k AS MATERIALIZED (SELECT doc_id, " +
           s"replace(cells, b$k.pr || ' ', b$k.la || chr(1) || substr(b$k.rb, 2) || ' ') AS cells " +
           s"FROM $prev, b$k)")
     }
-    sb.append(" ")
-    sb.append((1 to BPE_MERGES).map(k =>
-      s"SELECT CAST($k AS INT) AS merge_rank, " +
-        s"replace(substr(la, 2), chr(1), ' ') AS lhs, " +
-        s"replace(substr(rb, 2), chr(1), ' ') AS rhs, " +
-        s"CAST(c AS BIGINT) AS pair_count FROM b$k").mkString(" UNION ALL "))
     sb.toString
   }
+
+  val bpeMergesSql: String =
+    bpeOracleChain(withFinalState = false) + " " +
+      (1 to BPE_MERGES).map(k =>
+        s"SELECT CAST($k AS INT) AS merge_rank, " +
+          s"replace(substr(la, 2), chr(1), ' ') AS lhs, " +
+          s"replace(substr(rb, 2), chr(1), ' ') AS rhs, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM b$k").mkString(" UNION ALL ")
+
+  /** X96b: tokenizer APPLY — the learned merge table applied to the
+    * whole corpus (train-then-apply round trip): per doc the symbol
+    * count before and after the merges. Spark re-derives the merges
+    * with the same recurrence (a ≤BPE_MERGES-row driver collect) and
+    * applies them as a chained literal replace — a pure zero-shuffle
+    * map over the corpus; the oracle reads the chain's final state. */
+  val bpeApply: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = Corpus.bpeMerges(docs, "doc_id", "text", BPE_MERGES)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Corpus.bpeApply(docs, "doc_id", "text", merges)
+  }
+
+  val bpeApplySql: String =
+    bpeOracleChain(withFinalState = true) +
+      s" SELECT doc_id, CAST(len($duckToksLower) AS INT) AS n_tokens, " +
+      "CAST(len(list_filter(string_split(cells, ' '), x -> x <> '')) AS INT) AS n_symbols " +
+      s"FROM documents JOIN s$BPE_MERGES USING (doc_id)"
 
   val unigramSurprisalSql: String =
     s"WITH trm AS (SELECT doc_id, unnest($duckToksLower) AS term FROM documents), " +
@@ -1886,6 +1912,7 @@ object Extensions {
     "q_media_decode" -> mediaDecode,
     "q_audio_decode" -> audioDecode,
     "q_bpe_merges" -> bpeMerges,
+    "q_bpe_apply" -> bpeApply,
     "q_media_resize" -> mediaResize,
     "q_frame_sample" -> frameSample,
     "q_scrape_series" -> scrapeSeries,
@@ -1962,6 +1989,7 @@ object Extensions {
     "q_media_decode" -> mediaDecodeSql,
     "q_audio_decode" -> audioDecodeSql,
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_apply" -> bpeApplySql,
     "q_media_resize" -> mediaResizeSql,
     "q_frame_sample" -> frameSampleSql,
     "q_scrape_series" -> scrapeSeriesSql,

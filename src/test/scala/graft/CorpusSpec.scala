@@ -30,6 +30,22 @@ class CorpusSpec extends SparkSpec {
     assert(got(1) == ((2, "a a", "a a", 1L)))
   }
 
+  test("bpeApply shrinks symbol counts by exactly the merged occurrences") {
+    val docs = Seq(
+      (1L, "new york city new york"),
+      (2L, "new york is big"))
+      .toDF("doc_id", "text")
+    val merges = Corpus.bpeMerges(docs, "doc_id", "text", 1)
+      .as[(Int, String, String, Long)].collect()
+      .sortBy(_._1).map(m => (m._2, m._3)).toSeq
+    val got = Corpus.bpeApply(docs, "doc_id", "text", merges)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: 5 tokens, 2 "new york" merges -> 3 symbols
+    // doc 2: 4 tokens, 1 merge -> 3 symbols
+    assert(got(1L) == ((5, 3)))
+    assert(got(2L) == ((4, 3)))
+  }
+
   test("bpeMerges stops early when no pairs remain") {
     val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
     val got = Corpus.bpeMerges(docs, "doc_id", "text", 3).collect()
