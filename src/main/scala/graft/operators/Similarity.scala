@@ -110,6 +110,30 @@ object Similarity {
         col("score").cast("long").as("score"), col("rank"))
   }
 
+  /** Two-stage quantized-coarse → exact-refine top-k — the standard
+    * billion-vector serving shape: stage 1 scores int8 codes (exact
+    * integer dots over 4×-smaller data) and keeps `coarseK` candidates
+    * per query; stage 2 re-scores ONLY those candidates with exact
+    * float cosine and keeps `k`. The candidate set is (queries ×
+    * coarseK) rows — broadcast back into the corpus by id, so the
+    * expensive float pass reads coarseK vectors per query instead of
+    * the corpus. Determinism is exact at both stages: integer scores +
+    * id tie-break coarse, 6dp-rounded cosine + id tie-break fine.
+    * Recall is the coarse stage's to lose — int8 symmetric
+    * quantization preserves dot-product ORDER except near-ties, which
+    * is why coarseK ≫ k is the serving convention. */
+  def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame,
+      coarseK: Int, k: Int): DataFrame = {
+    require(k <= coarseK, s"k=$k must be <= coarseK=$coarseK")
+    val cand = quantizedTopK(corpus, queries, coarseK)
+      .select(col("q_id"), col("vec_id"))
+    val rescored = corpus
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("score", cosineAuto(corpus, col("embedding"), col("q_vec")))
+    finishTopK(rescored, "q_id", "vec_id", k)
+  }
+
   /** Spread per-row-heavy vector compute across all cores (single-file
     * benchmark inputs arrive as one scan split). */
   private def spread(df: DataFrame): DataFrame =

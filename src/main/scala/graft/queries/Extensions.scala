@@ -1042,6 +1042,32 @@ object Extensions {
       "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
       "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
 
+  /** Two-stage ANN serving (X7c): int8-quantized coarse top-50 per
+    * query, exact float-cosine re-rank to top-10 — the cheap-filter /
+    * exact-refine shape every billion-vector serving stack uses. Both
+    * stages individually oracled elsewhere (q_quant_topk,
+    * q_embed_topk); here the composition is hash-verified end-to-end. */
+  val annRerank: Q = (s, d) =>
+    graft.operators.Similarity.quantizedRerankTopK(
+      Tables.embeddings(s, d), queriesDf(s, d), coarseK = 50, k = 10)
+
+  val annRerankSql: String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "m AS (SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) AS ma FROM e), " +
+      "qz AS (SELECT vec_id, CASE WHEN ma > 0 THEN list_transform(ed, x -> CAST(floor(x/(ma/127.0)+0.5) AS BIGINT)) " +
+      "ELSE list_transform(ed, x -> CAST(0 AS BIGINT)) END AS code FROM m), " +
+      "q AS (SELECT vec_id AS q_id, code AS qq FROM qz WHERE vec_id % 50 = 0), " +
+      "sc AS (SELECT q_id, qz.vec_id AS vec_id, CAST(list_dot_product(code, qq) AS BIGINT) AS s FROM qz, q), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM sc) WHERE rk <= 50), " +
+      "qf AS (SELECT vec_id AS q_id, ed AS qv FROM e WHERE vec_id % 50 = 0), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, qf.qv)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(qf.qv, qf.qv))), 6) AS score " +
+      "FROM co JOIN e ON e.vec_id = co.vec_id JOIN qf ON qf.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+
   /** Deterministic per-stratum sampling by language: keep 50% of en,
     * 25% of de, 10% of everything else ("strat:"-salted md5 bucket —
     * independent of the hashSplit assignment). */
@@ -1931,6 +1957,7 @@ object Extensions {
     "q_vocab" -> vocab,
     "q_embed_quant" -> embedQuant,
     "q_quant_topk" -> quantTopK,
+    "q_ann_rerank" -> annRerank,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
     "q_text_normalize" -> textNormalize,
@@ -2008,6 +2035,7 @@ object Extensions {
     "q_vocab" -> vocabSql,
     "q_embed_quant" -> embedQuantSql,
     "q_quant_topk" -> quantTopKSql,
+    "q_ann_rerank" -> annRerankSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,
     "q_text_normalize" -> textNormalizeSql,

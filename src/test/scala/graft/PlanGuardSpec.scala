@@ -21,7 +21,9 @@ class PlanGuardSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   private val crossJoinByDesign =
     Set("q_embed_topk", "q_quant_topk", "q_tfidf", "q_bm25",
-      "q_unigram_surprisal", "q_hybrid_search", "q_gap_fill", "q_profile")
+      "q_unigram_surprisal", "q_hybrid_search", "q_gap_fill", "q_profile",
+      // coarse stage IS q_quant_topk's broadcast-query scoring pass
+      "q_ann_rerank")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -157,4 +157,24 @@ class SimilaritySpec extends SparkSpec {
     assert(nHash <= 1, s"expected ≤1 hash exchange, got $nHash:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("quantizedRerankTopK: coarseK >= corpus recovers exact brute-force top-k") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val n = emb.count().toInt
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = norm(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val reranked = norm(Similarity.quantizedRerankTopK(emb, queries,
+      coarseK = n, k = 5))
+    assert(reranked == exact && exact.nonEmpty)
+    // at serving-shaped coarseK the refined set is a subset of the
+    // coarse candidates by construction; spot-check it still returns
+    // a full top-10 per query
+    val served = Similarity.quantizedRerankTopK(emb, queries, coarseK = 50, k = 10)
+      .groupBy("q_id").count().as[(Long, Long)].collect()
+    assert(served.nonEmpty && served.forall(_._2 == 10L))
+  }
 }
