@@ -157,6 +157,85 @@ object Sketches {
       s"SELECT $g, round(CASE WHEN raw <= 640.0 AND zeros > 0 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE)/CAST(zeros AS DOUBLE)) ELSE raw END, 4) AS hll_distinct FROM e"
   }
 
+  /** Portable Count-Min sketch frequency estimates: `depth` hash rows
+    * × `width` counters, h(seed, v) = md5-derived 60-bit hash mod
+    * width — the frequency sibling of the portable HLL (fixed hash,
+    * fixed layout, integer-only arithmetic ⇒ any engine computes the
+    * bit-identical estimate). Emits one row per probe key: the CMS
+    * estimate (min over rows of the key's counter), the exact count,
+    * and the CMS guarantee flag (estimate ≥ exact — Count-Min never
+    * underestimates).
+    *
+    * Scale shape: the counter table is ONE partial-agg shuffle of
+    * (seed, bucket) short keys — depth×width = a few thousand rows
+    * regardless of data size, the mergeable partial a 100 TB pipeline
+    * ships instead of data; probes join against it broadcast. Exact
+    * counts for the probe keys are a filtered partial agg (bounded by
+    * the probe list). */
+  /** The CMS bucket function, driver-side: identical semantics to
+    * [[TextFunctions.hexHash60]] (md5 of "seed:value", first 15 hex
+    * chars as a 60-bit integer) mod `width` — probes are literals, so
+    * their buckets fold into the plan as constants. */
+  private[operators] def cmsBucket(seed: Int, value: String, width: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s"$seed:$value".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % width
+  }
+
+  def cmsFrequency(df: DataFrame, valueCol: String, probes: Seq[Long],
+      depth: Int = 4, width: Int = 512, hashSeed: Int = 555): DataFrame = {
+    require(probes.nonEmpty && depth >= 1 && width >= 2)
+    val v = col(valueCol).cast("long")
+    val counters = df
+      .select(explode(array((0 until depth).map(s =>
+        struct(lit(s).as("_s"),
+          (TextFunctions.hexHash60(v.cast("string"), hashSeed + s) % width)
+            .as("_b"))): _*)).as("_sb"))
+      .groupBy(col("_sb._s").as("_s"), col("_sb._b").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // probe rows fold their buckets in as literals (same md5 layout)
+    val probed = probes.flatMap(p => (0 until depth).map(s =>
+      (p, s, cmsBucket(hashSeed + s, p.toString, width))))
+      .toDF("probe_key", "_s", "_b")
+    val est = probed
+      .join(broadcast(counters), Seq("_s", "_b"), "left")
+      .groupBy(col("probe_key"))
+      .agg(min(coalesce(col("_c"), lit(0L))).as("cms_estimate"))
+    val exact = df.select(v.as("probe_key"))
+      .filter(col("probe_key").isin(probes: _*))
+      .groupBy(col("probe_key")).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("cms_estimate"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+      .withColumn("never_underestimates",
+        col("cms_estimate") >= col("exact_count"))
+  }
+
+  /** DuckDB oracle for [[cmsFrequency]] — same hash layout, counter
+    * table, and min-over-rows estimate, generated in one place. */
+  def cmsFrequencySql(table: String, valueCol: String, probes: Seq[Long],
+      depth: Int = 4, width: Int = 512, hashSeed: Int = 555): String = {
+    def h(seedExpr: String, vExpr: String) =
+      s"CAST('0x' || substr(md5($seedExpr || ':' || $vExpr), 1, 15) AS BIGINT) % $width"
+    val seedRows = (0 until depth).map(s => s"($s)").mkString(", ")
+    val probeRows = probes.map(p => s"($p)").mkString(", ")
+    s"WITH seeds(s) AS (VALUES $seedRows), " +
+      s"probes(probe_key) AS (VALUES $probeRows), " +
+      s"cnt AS MATERIALIZED (SELECT s, ${h(s"CAST(($hashSeed + s) AS VARCHAR)", s"CAST($valueCol AS VARCHAR)")} AS b, " +
+      s"count(*) AS c FROM $table, seeds GROUP BY 1, 2), " +
+      s"pb AS (SELECT probe_key, s, ${h(s"CAST(($hashSeed + s) AS VARCHAR)", "CAST(probe_key AS VARCHAR)")} AS b FROM probes, seeds), " +
+      "est AS (SELECT probe_key, CAST(min(coalesce(c, 0)) AS BIGINT) AS cms_estimate " +
+      "FROM pb LEFT JOIN cnt USING (s, b) GROUP BY probe_key), " +
+      s"ex AS (SELECT CAST($valueCol AS BIGINT) AS probe_key, count(*) AS n FROM $table " +
+      s"WHERE CAST($valueCol AS BIGINT) IN (SELECT probe_key FROM probes) GROUP BY 1) " +
+      "SELECT e.probe_key, e.cms_estimate, CAST(coalesce(ex.n, 0) AS BIGINT) AS exact_count, " +
+      "e.cms_estimate >= coalesce(ex.n, 0) AS never_underestimates " +
+      "FROM est e LEFT JOIN ex ON e.probe_key = ex.probe_key"
+  }
+
   /** DuckDB oracle for [[hllSetOps]] over two WHERE-filtered reads of
     * one table — generated here so the register layout, merge, and
     * estimator arithmetic live in exactly one place. */

@@ -486,6 +486,22 @@ object Relational {
     "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
       "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY event_type"
 
+  /** Portable Count-Min sketch (X100): frequency estimates for a probe
+    * key set from a depth×width counter table — the frequency sibling
+    * of the portable HLL (fixed md5 hash layout, integer-only math ⇒
+    * bit-identical across engines, hash-verified exactly). The counter
+    * table is the mergeable partial a 100 TB pipeline ships instead of
+    * data; emits the estimate, the exact count, and the CMS
+    * never-underestimates guarantee per probe. */
+  val CMS_PROBES: Seq[Long] = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L)
+
+  val cmsPortable: Q = (s, d) =>
+    graft.operators.Sketches.cmsFrequency(
+      Tables.lineitem(s, d), "l_partkey", CMS_PROBES)
+
+  val cmsPortableSql: String =
+    graft.operators.Sketches.cmsFrequencySql("lineitem", "l_partkey", CMS_PROBES)
+
   /** Robust statistics (X99): per-group median absolute deviation —
     * the outlier-resistant spread measure quality pipelines threshold
     * on (value ∉ med ± k·MAD). Two grouped exact-percentile passes
@@ -630,7 +646,8 @@ object Relational {
     "q_hll_distinct" -> hllDistinct,
     "q_hll_portable" -> hllPortable,
     "q_sketch_setops" -> sketchSetOps,
-    "q_group_mad" -> groupMad)
+    "q_group_mad" -> groupMad,
+    "q_cms_portable" -> cmsPortable)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> scanProjectSql,
@@ -670,5 +687,6 @@ object Relational {
     "q_hll_distinct" -> hllDistinctSql,
     "q_hll_portable" -> hllPortableSql,
     "q_sketch_setops" -> sketchSetOpsSql,
-    "q_group_mad" -> groupMadSql)
+    "q_group_mad" -> groupMadSql,
+    "q_cms_portable" -> cmsPortableSql)
 }

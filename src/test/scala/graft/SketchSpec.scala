@@ -42,6 +42,27 @@ class SketchSpec extends SparkSpec {
     assert(whole == reunion && whole.nonEmpty)
   }
 
+  test("cmsFrequency: never underestimates; exact when width >> distinct keys") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val probes = Seq(1L, 2L, 3L, 999999L) // incl. an absent key
+    val got = graft.operators.Sketches.cmsFrequency(li, "l_partkey", probes)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == probes.toSet)
+    got.values.foreach { case (k, est, exact, ok) =>
+      assert(ok && est >= exact, s"key $k: est=$est exact=$exact")
+    }
+    assert(got(999999L)._3 == 0L) // absent key: exact 0, estimate >= 0
+    // a wide sketch over a tiny distinct domain has no collisions:
+    // estimates become exact
+    val tiny = Seq(1L, 1L, 1L, 2L, 2L, 7L).toDF("v")
+    val exactWide = graft.operators.Sketches
+      .cmsFrequency(tiny, "v", Seq(1L, 2L, 7L), depth = 4, width = 4096)
+      .as[(Long, Long, Long, Boolean)].collect()
+    exactWide.foreach { case (k, est, exact, _) =>
+      assert(est == exact, s"wide sketch must be exact: key $k est=$est exact=$exact")
+    }
+  }
+
   test("hllSetOps: register merge equals the sketch of the union, inclusion-exclusion sane") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val a = li.filter(col("l_returnflag") === "A")
