@@ -54,6 +54,29 @@ object ScaleOps {
       .withColumnRenamed("_on", leftOn)
   }
 
+  /** As-of join with a max-gap TOLERANCE (pandas
+    * `merge_asof(tolerance=…)` / kdb wj window cap): the same
+    * single-shuffle union+carry plan as [[asOfJoin]] — the matched
+    * right `on` value rides along with the payload, and matches whose
+    * gap from the left row exceeds `tolerance` null out, so stale
+    * matches don't attribute. `on` columns must be numeric;
+    * `tolerance` is in the same units. Zero extra shuffles over the
+    * plain as-of. */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftOn: String, rightOn: String, rightCols: Map[String, String],
+      tolerance: Long, forward: Boolean = false): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    val onCarry = "_matched_on"
+    val joined = asOfJoin(left, right.withColumn(onCarry, col(rightOn)),
+      keys, leftOn, rightOn, rightCols + (onCarry -> onCarry), forward)
+    val gap =
+      if (forward) col(onCarry) - col(leftOn) else col(leftOn) - col(onCarry)
+    val keep = col(onCarry).isNotNull && gap <= tolerance
+    rightCols.values
+      .foldLeft(joined) { (df, c) => df.withColumn(c, when(keep, col(c))) }
+      .drop(onCarry)
+  }
+
   /** Range (interval-containment) join: left rows matched to right
     * intervals with `lo <= leftVal <= hi`, WITHOUT the O(n·m) cross
     * join a naive theta-join plans. Both sides discretize to

@@ -629,6 +629,30 @@ object Extensions {
       "ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'signup') r " +
       "ON l.user_id = r.user_id AND l.event_id >= r.event_id"
 
+  /** As-of join with tolerance (X15b, pandas merge_asof(tolerance)):
+    * backward attribution capped at a max id-gap of 500 — signups too
+    * far in the past don't attribute; zero extra shuffles over the
+    * plain as-of. Oracle = native ASOF JOIN + the same gap CASE. */
+  val asofTolerance: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"))
+    graft.operators.ScaleOps.asOfJoinTolerance(purchases, signups,
+      Seq("user_id"), "event_id", "event_id",
+      Map("event_id" -> "signup_id"), tolerance = 500L)
+      .select(col("user_id"), col("event_id"), col("value"),
+        coalesce(col("signup_id"), lit(-1L)).as("signup_id"))
+  }
+
+  val asofToleranceSql: String =
+    "SELECT l.user_id, l.event_id, l.value, " +
+      "coalesce(CASE WHEN l.event_id - r.event_id <= 500 THEN r.event_id END, -1) AS signup_id " +
+      "FROM (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase') l " +
+      "ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'signup') r " +
+      "ON l.user_id = r.user_id AND l.event_id >= r.event_id"
+
   /** Forward as-of join (polars strategy='forward'): each purchase
     * attributed to the NEXT signup at-or-after it — same union +
     * carry window as the backward form, descending order. */
@@ -1943,6 +1967,7 @@ object Extensions {
     "q_frame_sample" -> frameSample,
     "q_scrape_series" -> scrapeSeries,
     "q_asof_join" -> asofJoin,
+    "q_asof_tolerance" -> asofTolerance,
     "q_asof_forward" -> asofForward,
     "q_salted_join" -> saltedJoin,
     "q_heavy_hitters" -> heavyHitters,
@@ -2021,6 +2046,7 @@ object Extensions {
     "q_frame_sample" -> frameSampleSql,
     "q_scrape_series" -> scrapeSeriesSql,
     "q_asof_join" -> asofJoinSql,
+    "q_asof_tolerance" -> asofToleranceSql,
     "q_asof_forward" -> asofForwardSql,
     "q_salted_join" -> saltedJoinSql,
     "q_heavy_hitters" -> heavyHittersSql,

@@ -28,6 +28,30 @@ class ScaleOpsSpec extends SparkSpec {
       ("B", 4L, 6L, Some(99.0))))
   }
 
+  test("asOfJoinTolerance nulls matches beyond the gap cap") {
+    val quotes = Seq(("A", 1L, 10.0), ("A", 5L, 11.0))
+      .toDF("sym", "t", "price")
+    val trades = Seq(("A", 2L, 1L), ("A", 7L, 2L), ("A", 100L, 3L))
+      .toDF("sym", "t", "qty")
+    val got = ScaleOps.asOfJoinTolerance(trades, quotes, Seq("sym"), "t", "t",
+      Map("price" -> "quote_price"), tolerance = 3L)
+      .select("sym", "t", "qty", "quote_price")
+      .as[(String, Long, Long, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("A", 2L, 1L, Some(10.0)),  // gap 1 <= 3
+      ("A", 7L, 2L, Some(11.0)),  // gap 2 <= 3
+      ("A", 100L, 3L, None)))     // stale quote: gap 95 nulled
+    // forward direction caps the forward gap the same way
+    val fwd = ScaleOps.asOfJoinTolerance(trades, quotes, Seq("sym"), "t", "t",
+      Map("price" -> "quote_price"), tolerance = 3L, forward = true)
+      .select("sym", "t", "qty", "quote_price")
+      .as[(String, Long, Long, Option[Double])].collect().toSet
+    assert(fwd == Set(
+      ("A", 2L, 1L, Some(11.0)),  // next quote at 5, gap 3 <= 3
+      ("A", 7L, 2L, None),        // no future quote
+      ("A", 100L, 3L, None)))
+  }
+
   test("rangeJoin equals the theta-join, no cross join planned") {
     val points = Seq((1L, 5.0), (2L, 15.0), (3L, 25.0), (4L, 999.0))
       .toDF("id", "v")
