@@ -77,7 +77,9 @@ object Sketches {
   private[operators] def registerTable(df: DataFrame, groupCols: Seq[String],
       valueCol: String, hashSeed: Int): DataFrame = {
     val gcols = groupCols.map(col)
-    val hashed = df.select(gcols :+
+    // spread: single-split benchmark files would otherwise serialize
+    // the per-row md5 on one core (same policy as Dedup.spread)
+    val hashed = Dedup.spread(df).select(gcols :+
       TextFunctions.hexHash60(col(valueCol).cast("string"), hashSeed).as("_h"): _*)
     val suffix = shiftright(col("_h"), 8)
     val rho = when(suffix === 0L, lit(53))
@@ -172,33 +174,44 @@ object Sketches {
     * ships instead of data; probes join against it broadcast. Exact
     * counts for the probe keys are a filtered partial agg (bounded by
     * the probe list). */
-  /** The CMS bucket function, driver-side: identical semantics to
-    * [[TextFunctions.hexHash60]] (md5 of "seed:value", first 15 hex
-    * chars as a 60-bit integer) mod `width` — probes are literals, so
-    * their buckets fold into the plan as constants. */
-  private[operators] def cmsBucket(seed: Int, value: String, width: Int): Long = {
+  /** The CMS bucket function, driver-side: Kirsch–Mitzenmacher double
+    * hashing off ONE 60-bit md5-derived hash (identical layout to
+    * [[TextFunctions.hexHash60]]): h1 = h mod 2³⁰, h2 = (h >> 30) | 1
+    * (odd ⇒ coprime with the power-of-two width ⇒ full-cycle strides),
+    * bucket_s = (h1 + s·h2) mod width. One md5 per row buys all
+    * `depth` hash rows — probes are literals, so their buckets fold
+    * into the plan as constants. */
+  private[operators] def cmsBucket(hashSeed: Int, value: String, s: Int,
+      width: Int): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
-    val hex = d.digest(s"$seed:$value".getBytes("UTF-8"))
+    val hex = d.digest(s"$hashSeed:$value".getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16) % width
+    val h = java.lang.Long.parseLong(hex, 16)
+    val h1 = h % 1073741824L
+    val h2 = (h >> 30) | 1L
+    (h1 + s * h2) % width
   }
 
   def cmsFrequency(df: DataFrame, valueCol: String, probes: Seq[Long],
       depth: Int = 4, width: Int = 512, hashSeed: Int = 555): DataFrame = {
     require(probes.nonEmpty && depth >= 1 && width >= 2)
     val v = col(valueCol).cast("long")
-    val counters = df
+    val h = TextFunctions.hexHash60(v.cast("string"), hashSeed)
+    val h1 = h % lit(1073741824L)
+    val h2 = shiftright(h, 30).bitwiseOR(lit(1L))
+    // spread: see registerTable — the md5 kernel must not serialize on
+    // a single scan split
+    val counters = Dedup.spread(df)
       .select(explode(array((0 until depth).map(s =>
         struct(lit(s).as("_s"),
-          (TextFunctions.hexHash60(v.cast("string"), hashSeed + s) % width)
-            .as("_b"))): _*)).as("_sb"))
+          ((h1 + lit(s.toLong) * h2) % width).as("_b"))): _*)).as("_sb"))
       .groupBy(col("_sb._s").as("_s"), col("_sb._b").as("_b"))
       .agg(count(lit(1)).as("_c"))
     val spark = df.sparkSession
     import spark.implicits._
-    // probe rows fold their buckets in as literals (same md5 layout)
+    // probe rows fold their buckets in as literals (same hash layout)
     val probed = probes.flatMap(p => (0 until depth).map(s =>
-      (p, s, cmsBucket(hashSeed + s, p.toString, width))))
+      (p, s, cmsBucket(hashSeed, p.toString, s, width))))
       .toDF("probe_key", "_s", "_b")
     val est = probed
       .join(broadcast(counters), Seq("_s", "_b"), "left")
@@ -218,15 +231,18 @@ object Sketches {
     * table, and min-over-rows estimate, generated in one place. */
   def cmsFrequencySql(table: String, valueCol: String, probes: Seq[Long],
       depth: Int = 4, width: Int = 512, hashSeed: Int = 555): String = {
-    def h(seedExpr: String, vExpr: String) =
-      s"CAST('0x' || substr(md5($seedExpr || ':' || $vExpr), 1, 15) AS BIGINT) % $width"
+    // Kirsch–Mitzenmacher: one md5 per value, bucket_s = (h1 + s·h2) % width
+    def bucket(vExpr: String) = {
+      val h = s"CAST('0x' || substr(md5('$hashSeed:' || $vExpr), 1, 15) AS BIGINT)"
+      s"(($h % 1073741824) + s * (($h >> 30) | 1)) % $width"
+    }
     val seedRows = (0 until depth).map(s => s"($s)").mkString(", ")
     val probeRows = probes.map(p => s"($p)").mkString(", ")
     s"WITH seeds(s) AS (VALUES $seedRows), " +
       s"probes(probe_key) AS (VALUES $probeRows), " +
-      s"cnt AS MATERIALIZED (SELECT s, ${h(s"CAST(($hashSeed + s) AS VARCHAR)", s"CAST($valueCol AS VARCHAR)")} AS b, " +
+      s"cnt AS MATERIALIZED (SELECT s, ${bucket(s"CAST($valueCol AS VARCHAR)")} AS b, " +
       s"count(*) AS c FROM $table, seeds GROUP BY 1, 2), " +
-      s"pb AS (SELECT probe_key, s, ${h(s"CAST(($hashSeed + s) AS VARCHAR)", "CAST(probe_key AS VARCHAR)")} AS b FROM probes, seeds), " +
+      s"pb AS (SELECT probe_key, s, ${bucket("CAST(probe_key AS VARCHAR)")} AS b FROM probes, seeds), " +
       "est AS (SELECT probe_key, CAST(min(coalesce(c, 0)) AS BIGINT) AS cms_estimate " +
       "FROM pb LEFT JOIN cnt USING (s, b) GROUP BY probe_key), " +
       s"ex AS (SELECT CAST($valueCol AS BIGINT) AS probe_key, count(*) AS n FROM $table " +
