@@ -1733,6 +1733,44 @@ object Extensions {
       "coalesce(round(CAST(p.s AS DOUBLE)/(p.n_tokens * 1000000000.0), 6), 0.0) AS mean_surprisal " +
       "FROM documents d LEFT JOIN per p USING (doc_id)"
 
+  /** Perplexity-bucketed sampling (X101, the CCNet head/middle/tail
+    * pass): docs tercile-bucketed by corpus-level unigram-surprisal
+    * quantiles, then kept at per-bucket rates (20% head, 100% middle,
+    * 20% tail — boilerplate and gibberish downsampled, the middle kept)
+    * via the salted-md5 machinery. Quantile cutoffs round to 6dp
+    * BEFORE comparison on both sides, and doc scores are already
+    * 6dp-rounded — so bucket assignment is exact-decimal arithmetic,
+    * never a last-ulp race. Composes three oracled pieces
+    * (q_unigram_surprisal, q_percentile's interpolation parity, the
+    * sampling bucket machinery) into one hash-verified curation op. */
+  val qualityMix: Q = (s, d) => {
+    val sur = Corpus.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+    val qs = sur.agg(
+      round(expr("percentile(mean_surprisal, 0.33)"), 6).as("q33"),
+      round(expr("percentile(mean_surprisal, 0.66)"), 6).as("q66"))
+    val bucketed = sur.crossJoin(broadcast(qs))
+      .withColumn("bucket",
+        when(col("mean_surprisal") <= col("q33"), "low")
+          .when(col("mean_surprisal") <= col("q66"), "mid")
+          .otherwise("high"))
+    val rateBp = when(col("bucket") === "mid", lit(10000L)).otherwise(lit(2000L))
+    val mbucket = conv(substring(
+      md5(concat(lit("qmix:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000
+    bucketed.filter(mbucket < rateBp)
+      .select(col("doc_id"), col("bucket"), col("mean_surprisal"))
+  }
+
+  lazy val qualityMixSql: String =
+    s"WITH sur AS MATERIALIZED ($unigramSurprisalSql), " +
+      "q AS (SELECT round(quantile_cont(mean_surprisal, 0.33), 6) AS q33, " +
+      "round(quantile_cont(mean_surprisal, 0.66), 6) AS q66 FROM sur), " +
+      "b AS (SELECT doc_id, mean_surprisal, CASE WHEN mean_surprisal <= q33 THEN 'low' " +
+      "WHEN mean_surprisal <= q66 THEN 'mid' ELSE 'high' END AS bucket FROM sur, q) " +
+      "SELECT doc_id, bucket, mean_surprisal FROM b " +
+      "WHERE CAST('0x' || substr(md5('qmix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 " +
+      "< CASE WHEN bucket = 'mid' THEN 10000 ELSE 2000 END"
+
   /** Exact-k deterministic per-stratum sample (exactly 20 docs per
     * language) via the bounded-heap aggregator — never a per-stratum
     * window. */
@@ -2003,6 +2041,7 @@ object Extensions {
     "q_shuffle_shards" -> shuffleShards,
     "q_sliding_window" -> slidingWindow,
     "q_unigram_surprisal" -> unigramSurprisal,
+    "q_quality_mix" -> qualityMix,
     "q_exact_k_sample" -> exactKSample,
     "q_quantile_sketch" -> quantileSketch,
     "q_hybrid_search" -> hybridSearch,
@@ -2082,6 +2121,7 @@ object Extensions {
     "q_shuffle_shards" -> shuffleShardsSql,
     "q_sliding_window" -> slidingWindowSql,
     "q_unigram_surprisal" -> unigramSurprisalSql,
+    "q_quality_mix" -> qualityMixSql,
     "q_exact_k_sample" -> exactKSampleSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_hybrid_search" -> hybridSearchSql,

@@ -23,7 +23,9 @@ class PlanGuardSpec extends SparkSpec {
     Set("q_embed_topk", "q_quant_topk", "q_tfidf", "q_bm25",
       "q_unigram_surprisal", "q_hybrid_search", "q_gap_fill", "q_profile",
       // coarse stage IS q_quant_topk's broadcast-query scoring pass
-      "q_ann_rerank")
+      "q_ann_rerank",
+      // 1-row quantile-cutoff scalar broadcast, like q_gap_fill's bounds
+      "q_quality_mix")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
