@@ -172,42 +172,54 @@ object Dedup {
     * hot shingles are almost never in anyone's prefix, attacking the
     * skew that [[ngramJaccardPairs]] needs `maxDocFreq` for.
     *
-    * Verification counts shared postings per candidate pair from the
-    * SAME persisted posting table that built the prefix (candidate
-    * side broadcasts — it is bounded by the prefix join's output; the
-    * posting side is one short-key shuffle) — no shingle arrays are
-    * ever cached or carried, only (id, size, md5) postings.
+    * Verification never re-joins the posting index: each candidate
+    * pair gets both documents' materialized md5-key arrays attached by
+    * ONE broadcast of the (bounded — it is the prefix join's own
+    * output) candidate list against the persisted set table, and
+    * |A∩B| is a per-row `array_intersect` inside codegen. The corpus
+    * is scanned once, shuffled once (the per-document prefix regroup);
+    * the only other shuffle whose volume grows with data is the prefix
+    * self-join on short md5 keys.
     *
     * Use a threshold exactly representable in binary (0.5, 0.75…) so
     * ⌈t·|S|⌉ computes identically on any engine. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
-    // the posting table feeds THREE consumers (df-rank, prefix
-    // self-join, verification counts) — persist it so tokenization and
-    // shingling run once, not per consumer
-    val inv = postingsTable(df, idCol, textCol, shingleN)
+    // one materialization of (id, md5-key array, size) feeds all three
+    // structurally different consumers: df counting, prefix regroup,
+    // and candidate verification — tokenize/shingle/hash runs once
+    val sets = shingleSetTable(df, idCol, textCol, shingleN)
+      .select(col("id"), transform(col("_sh"), g => md5(g)).as("_sh"),
+        col("_size"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sets.select(col("id"), col("_size"), explode(col("_sh")).as("_gk"))
     val prefix = prefixPostings(inv, threshold)
     val a = prefix.select(col("_gk"), col("id").as("id1"), col("_size").as("_za"))
     val b = prefix.select(col("_gk"), col("id").as("id2"), col("_size").as("_zb"))
     // length filter (PPJoin): J ≥ t bounds the partner's set size to
     // [t·|A|, |A|/t] — prunes dissimilar-size pairs before they ever
-    // become candidates
+    // become candidates. The two sides are the same plan — AQE
+    // ReuseExchange materializes the prefix exchange once.
     val cand = a.hint("shuffle_hash").join(b, Seq("_gk"))
       .filter(col("id1") < col("id2") &&
         col("_zb") >= ceil(col("_za") * threshold) &&
         col("_zb") * threshold <= col("_za"))
       .select(col("id1"), col("id2")).distinct()
-    // exact |A∩B| = count of postings shared by the pair: expand each
-    // candidate by id1's postings (candidate side is the small side),
-    // keep those id2 also holds, count per pair
-    val i1 = inv.select(col("id").as("id1"), col("_size").as("_s1"), col("_gk"))
-    val i2 = inv.select(col("id").as("id2"), col("_size").as("_s2"), col("_gk"))
-    cand
-      .join(i1, Seq("id1"))
-      .hint("shuffle_hash").join(i2, Seq("id2", "_gk"))
-      .groupBy(col("id1"), col("id2"), col("_s1"), col("_s2"))
-      .agg(count(lit(1)).as("_inter"))
+    // exact |A∩B|: unpivot each (distinct — duplicates would double
+    // rows per group below) candidate to one row per member id,
+    // broadcast that against the set table (no corpus shuffle), and
+    // regroup by pair — each group holds exactly the pair's two key
+    // arrays, intersected per-row
+    val candLong = cand.select(col("id1"), col("id2"),
+      explode(array(col("id1"), col("id2"))).as("id"))
+    sets.join(broadcast(candLong), Seq("id"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(
+        max(when(col("id") === col("id1"), col("_size"))).as("_s1"),
+        max(when(col("id") === col("id2"), col("_size"))).as("_s2"),
+        collect_list(col("_sh")).as("_ab"))
+      .withColumn("_inter",
+        size(array_intersect(element_at(col("_ab"), 1), element_at(col("_ab"), 2))))
       .withColumn("jaccard",
         col("_inter").cast("double") /
           (col("_s1") + col("_s2") - col("_inter")).cast("double"))
@@ -242,15 +254,26 @@ object Dedup {
     * (df, key) structs — ONE hash-partitioned aggregation whose
     * partials combine map-side, instead of an Exchange+global-Sort
     * row_number window; the sorted group is a single document's
-    * shingle set, bounded by document length, never by corpus size. */
+    * shingle set, bounded by document length, never by corpus size.
+    *
+    * The document-frequency table is attached by BROADCAST after
+    * dropping df = 1 keys (absent keys coalesce to 1): under any
+    * Zipfian corpus the repeated-shingle vocabulary is a small
+    * fraction of all distinct shingles, so the broadcast stays
+    * driver-bounded while the corpus-sized posting side never
+    * shuffles for the join. If a corpus ever outgrows that budget,
+    * swapping `broadcast` for `hint("shuffle_hash")` is semantically
+    * identical. */
   private[graft] def prefixPostings(inv: DataFrame, threshold: Double): DataFrame = {
     val dfreq = inv.groupBy("_gk").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > 1)
     val prefixLen = (col("_size") - ceil(col("_size") * threshold) + 1)
       .cast("int")
     inv
-      .hint("shuffle_hash").join(dfreq, Seq("_gk"))
+      .join(broadcast(dfreq), Seq("_gk"), "left")
       .groupBy(col("id"), col("_size"))
-      .agg(slice(sort_array(collect_list(struct(col("_df"), col("_gk")))),
+      .agg(slice(sort_array(collect_list(
+        struct(coalesce(col("_df"), lit(1L)).as("_df"), col("_gk")))),
         lit(1), greatest(prefixLen, lit(0))).as("_pref"))
       .select(col("id"), col("_size"),
         explode(col("_pref")).as("_p"))
