@@ -216,25 +216,33 @@ object Similarity {
     * corpus vector to its nearest centroid cell; a query probes its
     * `nprobe` nearest cells and scores only those cells' members.
     *
-    * Scale shape: the centroid set is bounded by construction (the
-    * coarse quantizer — k-means-sized), so it is collected once and
-    * folded into the plan as literals, exactly like broadcast k-means
-    * centroids; cell assignment is then a pure map-side argmax per
-    * row — NO shuffle between the scan and the cell id. The probe is
-    * an equi-join on cell id — corpus work drops by ~cells/nprobe. A
-    * production build would learn centroids with k-means; the
-    * assignment/probe plumbing — the Spark-side structure — is
-    * identical and is what's exercised here. */
+    * Scale shape: the centroid set is bounded by ENFORCEMENT, not just
+    * convention — the modulus sample is drained through
+    * `orderBy(id).limit(maxCentroids)`, which plans as
+    * TakeOrderedAndProject (per-partition top-N, single merged
+    * partition), so the driver never receives more than
+    * `maxCentroids` rows however large the corpus is. The bounded set
+    * is folded into the plan as literals, exactly like broadcast
+    * k-means centroids; cell assignment is then a pure map-side
+    * argmax per row — NO shuffle between the scan and the cell id.
+    * The probe is an equi-join on cell id — corpus work drops by
+    * ~cells/nprobe. When the cap binds (corpus/centroidEvery >
+    * maxCentroids) the lowest-id sample survives deterministically —
+    * but at that size a production build should learn centroids with
+    * k-means ([[ivfTopKWith]] + [[Clustering.kmeansCentroidsDouble]]);
+    * the assignment/probe plumbing is identical. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroidEvery: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      maxCentroids: Int = 4096): DataFrame = {
     val cents: Array[(Long, Array[Double])] = corpus
       .filter(col(idCol) % centroidEvery === 0)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol).cast("long"))
+      .limit(maxCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
     ivfTopKWith(cents, corpus, queries, k, nprobe,
       idCol, vecCol, qIdCol, qVecCol)
   }
