@@ -118,7 +118,11 @@ object Multimodal {
         }
         Some((img.getWidth, img.getHeight, s))
       }
-    } catch { case _: java.io.IOException => None }
+      // ImageIO plugins throw unchecked exceptions (IllegalArgument,
+      // ArrayIndexOutOfBounds…) on corrupt payloads that pass the magic
+      // sniff — the documented contract is stub fallback, not a task
+      // crash, so catch everything non-fatal
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Minimal 24-bit uncompressed BMP encoder (BITMAPINFOHEADER,
@@ -255,10 +259,10 @@ object Multimodal {
           Some((fmt.getSampleRate.toInt, n / math.max(fmt.getChannels, 1), s))
         }
       } finally in.close()
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+      // AudioSystem throws unchecked exceptions on corrupt payloads
+      // that pass the RIFF sniff — same contract as decodeImage: any
+      // non-fatal failure means stub fallback, never a task crash
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Real-WAV media table derived from `documents`: sample count and

@@ -66,7 +66,12 @@ object ScaleOps {
       leftOn: String, rightOn: String, rightCols: Map[String, String],
       tolerance: Long, forward: Boolean = false): DataFrame = {
     require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
-    val onCarry = "_matched_on"
+    // a fixed temp name would silently shadow a real right-side column
+    // of the same name and corrupt the gap computation — derive one
+    // that provably collides with nothing in either input
+    val taken = (left.columns ++ right.columns ++ rightCols.values).toSet
+    val onCarry = Iterator.from(0).map(i => s"_matched_on$i")
+      .find(!taken(_)).get
     val joined = asOfJoin(left, right.withColumn(onCarry, col(rightOn)),
       keys, leftOn, rightOn, rightCols + (onCarry -> onCarry), forward)
     val gap =

@@ -195,6 +195,18 @@ object Sketches {
   def cmsFrequency(df: DataFrame, valueCol: String, probes: Seq[Long],
       depth: Int = 4, width: Int = 512, hashSeed: Int = 555): DataFrame = {
     require(probes.nonEmpty && depth >= 1 && width >= 2)
+    // the sketch is long-keyed by contract (probes: Seq[Long]); a
+    // non-integral column would render differently through
+    // cast-long-then-string here vs CAST(... AS VARCHAR) in the oracle
+    // and bucket per-engine — fail loudly instead
+    require({
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      df.schema(valueCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }, s"cmsFrequency: $valueCol must be an integral column, got " +
+      df.schema(valueCol).dataType.simpleString)
     val v = col(valueCol).cast("long")
     val h = TextFunctions.hexHash60(v.cast("string"), hashSeed)
     val h1 = h % lit(1073741824L)
@@ -240,7 +252,9 @@ object Sketches {
     val probeRows = probes.map(p => s"($p)").mkString(", ")
     s"WITH seeds(s) AS (VALUES $seedRows), " +
       s"probes(probe_key) AS (VALUES $probeRows), " +
-      s"cnt AS MATERIALIZED (SELECT s, ${bucket(s"CAST($valueCol AS VARCHAR)")} AS b, " +
+      // mirror Spark's cast-to-long-then-string hash input so an
+      // INT/SMALLINT column renders identically in both engines
+      s"cnt AS MATERIALIZED (SELECT s, ${bucket(s"CAST(CAST($valueCol AS BIGINT) AS VARCHAR)")} AS b, " +
       s"count(*) AS c FROM $table, seeds GROUP BY 1, 2), " +
       s"pb AS (SELECT probe_key, s, ${bucket("CAST(probe_key AS VARCHAR)")} AS b FROM probes, seeds), " +
       "est AS (SELECT probe_key, CAST(min(coalesce(c, 0)) AS BIGINT) AS cms_estimate " +

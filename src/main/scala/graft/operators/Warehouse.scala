@@ -271,6 +271,18 @@ object Warehouse {
     * and the SUMS accumulate as DECIMAL(38,0) — exact in any order
     * and any engine, with 100 TB of rows of headroom where a BIGINT
     * sum of squares would overflow past ~10⁶ rows × (10⁶s window)².
+    *
+    * Precision contract (the real bound is the closed-form PRODUCTS,
+    * not the sums): n·Σx², (Σx)², Σy·Σx² etc. are DECIMAL(38,0)
+    * arithmetic too, so exactness requires n²·X·max(X,Y) < 10³⁸ for
+    * |x| ≤ X, |y_cents| ≤ Y — e.g. a 10⁶-second x-window and
+    * 10⁹-cent values still allow ~10¹¹ rows PER KEY. Past that the
+    * products overflow: ANSI mode (Spark 4 default) throws loudly;
+    * legacy mode would NULL the fit while a HUGEINT engine keeps
+    * going. For wider windows, rebase `xOffset` per window (shrinking
+    * X is quadratic relief) before reaching for a mean-centered
+    * two-pass form, which would cost a second shuffle.
+    *
     * Only the final two divisions are floating point (correctly
     * rounded int→double conversions + one IEEE division, identical
     * everywhere; 6dp rounding at the edge). Degenerate keys (all x

@@ -1687,10 +1687,17 @@ object Extensions {
         s", b$k AS MATERIALIZED (SELECT pr, count(*) AS c, " +
           s"split_part(pr, ' ', 1) AS la, split_part(pr, ' ', 2) AS rb " +
           s"FROM p$k GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 1)")
+      // scalar subqueries + coalesce, NOT a cross join: a corpus that
+      // exhausts pairs before round k leaves b$k empty, and a cross
+      // join would empty every later state (zero oracle rows while
+      // Spark's early-stopping apply still emits one row per doc) —
+      // with empty b$k the subqueries yield NULL, replace() propagates
+      // it, and coalesce falls back to the unchanged previous state
       if (k < BPE_MERGES || withFinalState) sb.append(
         s", s$k AS MATERIALIZED (SELECT doc_id, " +
-          s"replace(cells, b$k.pr || ' ', b$k.la || chr(1) || substr(b$k.rb, 2) || ' ') AS cells " +
-          s"FROM $prev, b$k)")
+          s"coalesce(replace(cells, (SELECT pr || ' ' FROM b$k), " +
+          s"(SELECT la || chr(1) || substr(rb, 2) || ' ' FROM b$k)), cells) AS cells " +
+          s"FROM $prev)")
     }
     sb.toString
   }

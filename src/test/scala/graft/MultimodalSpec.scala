@@ -109,6 +109,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("corrupt payloads that pass the magic sniff fall back to None, never throw") {
+    // valid magic prefixes followed by garbage: the decode libraries
+    // throw unchecked exceptions on some of these shapes — the
+    // contract is stub fallback (None), not a task crash
+    val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val corrupts = Seq(
+      pngSig ++ Array.fill[Byte](16)(0x7f),
+      "BM".getBytes("UTF-8") ++ Array.fill[Byte](20)(0x01),
+      Multimodal.encodeBmp24(3, 2, (_, _) => 0x010203).dropRight(5))
+    corrupts.foreach(p => assert(Multimodal.decodeImage(p).isEmpty))
+    val wavCorrupts = Seq(
+      "RIFF".getBytes("UTF-8") ++ Array.fill[Byte](12)(0x02),
+      ("RIFF".getBytes("UTF-8") :+ 0x10.toByte) ++ "WAVE".getBytes("UTF-8"),
+      Multimodal.encodeWavPcm16(8000, Array[Short](1, 2, 3)).take(30))
+    wavCorrupts.foreach(p => assert(Multimodal.decodeWav(p).isEmpty))
+  }
+
   test("encodeWavPcm16 round-trips through javax.sound.sampled sample-exact") {
     val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
     val wav = Multimodal.encodeWavPcm16(8000, samples)
