@@ -109,19 +109,34 @@ object Corpus {
     * Nothing here is ever all-pairs. */
   def contaminationFlags(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 13): DataFrame = {
-    def grams(df: DataFrame) = Dedup.spread(df).select(col(idCol),
-      explode(array_distinct(Dedup.shinglesAuto(df, textCol, n))).as("_g"))
-      .select(col(idCol), md5(col("_g")).as("_gh"))
-    val evalGrams = grams(eval).select("_gh").distinct()
-    val hits = grams(train)
-      .hint("shuffle_hash").join(evalGrams, Seq("_gh"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
+    val hits = contaminationHits(train, eval, idCol, textCol, n)
     // hits is bounded by the train doc count — corpus-sized, so the
     // flag join is pinned to shuffle-hash (AQE would broadcast it from
     // small-SF stats and that shape dies at 100 TB)
     train.select(col(idCol)).join(hits.hint("shuffle_hash"), Seq(idCol), "left")
       .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
       .withColumn("contaminated", col("n_shared_grams") > 0)
+  }
+
+  /** (id, n_shared_grams) for contaminated train docs ONLY — the
+    * decontamination DROP LIST. Callers that just anti-join it (the
+    * curation pipeline) use this directly and skip
+    * [[contaminationFlags]]' full-corpus flag join entirely. */
+  /** `spreadTrain = false` skips the train side's round-robin
+    * pre-shuffle — pass it when train is a cached mid-pipeline stage
+    * that is already well-partitioned; the eval side always spreads
+    * (it is typically a raw scan). */
+  def contaminationHits(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13,
+      spreadTrain: Boolean = true): DataFrame = {
+    def grams(df: DataFrame, doSpread: Boolean) =
+      (if (doSpread) Dedup.spread(df) else df).select(col(idCol),
+        explode(array_distinct(Dedup.shinglesAuto(df, textCol, n))).as("_g"))
+        .select(col(idCol), md5(col("_g")).as("_gh"))
+    val evalGrams = grams(eval, doSpread = true).select("_gh").distinct()
+    grams(train, spreadTrain)
+      .hint("shuffle_hash").join(evalGrams, Seq("_gh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
   }
 
   /** Blocklist filter: drop every document containing ANY blocklisted

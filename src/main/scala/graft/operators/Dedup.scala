@@ -101,20 +101,67 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** MinHash signature over an ALREADY-materialized shingle-array
+    * column — the shared-array sibling of [[minhashAuto]] (min over a
+    * set equals min over its multiset, so distinct arrays are fine). */
+  private def minhashOfShingles(df: DataFrame, sh: Column, numHashes: Int): Column =
+    if (df.sparkSession.catalog.functionExists("graft_minhash"))
+      call_function("graft_minhash", sh, lit(numHashes))
+    else {
+      val sig = (0 until numHashes).map { seed =>
+        coalesce(
+          array_min(transform(sh,
+            s => md5(concat(lit(seed.toString), lit(":"), s).cast("binary")))),
+          lit("zz_empty"))
+      }
+      array(sig: _*)
+    }
+
   /** MinHash near-dup pairs, verified: LSH candidates filtered by
-    * exact n-gram Jaccard ≥ threshold. */
+    * exact n-gram Jaccard ≥ threshold.
+    *
+    * ONE materialization of (id, distinct-shingle array) feeds the
+    * signature/banding AND the verification (tokenize+shingle once,
+    * three structurally different consumers); candidates are verified
+    * by broadcasting the (bounded — it IS the near-dup candidate set)
+    * pair list against that table and intersecting the two arrays
+    * per-row, instead of two corpus-keyed shuffle joins. Shuffles
+    * whose volume grows with the corpus: the banded self-join on
+    * short bucket keys, and nothing else.
+    *
+    * `spreadInput = false` skips the round-robin pre-shuffle — pass it
+    * when the input is a cached mid-pipeline stage that is already
+    * well-partitioned (the curation pipeline), keep the default for
+    * raw single-file scans. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
-      bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, bands, rowsPerBand)
-    val sh = spread(df).select(col(idCol).as("_jid"),
-      array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
-    cands
-      .hint("shuffle_hash")
-      .join(sh.withColumnRenamed("_jid", "id1").withColumnRenamed("_sh", "_sh1"), Seq("id1"))
-      .hint("shuffle_hash")
-      .join(sh.withColumnRenamed("_jid", "id2").withColumnRenamed("_sh", "_sh2"), Seq("id2"))
-      .withColumn("jaccard", jaccardArr(col("_sh1"), col("_sh2")))
+      bands: Int = 4, rowsPerBand: Int = 3,
+      spreadInput: Boolean = true): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val base = (if (spreadInput) spread(df) else df)
+      .select(col(idCol).as("id"),
+        array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base
+      .select(col("id"), minhashOfShingles(df, col("_sh"), numHashes).as("_sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => array_join(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "|"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id1"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id2"))
+    // shuffle-hash: the banded index is corpus-sized — never a
+    // driver-side broadcast build, at any scale
+    val cand = a.hint("shuffle_hash").join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val candLong = cand.select(col("id1"), col("id2"),
+      explode(array(col("id1"), col("id2"))).as("id"))
+    base.join(broadcast(candLong), Seq("id"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(collect_list(col("_sh")).as("_ab"))
+      .withColumn("jaccard",
+        jaccardArr(element_at(col("_ab"), 1), element_at(col("_ab"), 2)))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -362,21 +409,25 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
       maxIters: Int = 50, localThreshold: Long = 100000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(id1).cast("long").as("a"), col(id2).cast("long").as("b"))
-      .union(pairs.select(col(id2).cast("long").as("a"), col(id1).cast("long").as("b")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // ONE bounded action decides the gate: collect at most threshold+1
-    // rows (limit stops early at scale — no full count pass first)
-    val gateRows = edges.limit(math.min(localThreshold, Int.MaxValue - 1L).toInt + 1)
+    // RAW pairs (limit stops early at scale — no full count pass
+    // first). Union-find is direction- and duplicate-agnostic, so the
+    // local path needs neither the symmetric union nor the distinct —
+    // those exchanges are built only if the distributed path runs.
+    val gateRows = pairs
+      .select(col(id1).cast("long"), col(id2).cast("long"))
+      .limit(math.min(localThreshold, Int.MaxValue - 1L).toInt + 1)
       .collect()
     if (gateRows.length <= localThreshold) {
       val local = componentsLocal(gateRows.map(r => (r.getLong(0), r.getLong(1))))
-      edges.unpersist()
       val spark = pairs.sparkSession
       import spark.implicits._
       return local.toSeq.toDF("id", "cluster_id")
     }
+    val edges = pairs.select(col(id1).cast("long").as("a"), col(id2).cast("long").as("b"))
+      .union(pairs.select(col(id2).cast("long").as("a"), col(id1).cast("long").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -63,17 +63,34 @@ object Extensions {
     * fraction, and a composite keep flag. All codegen'd column ops —
     * mean word length avoids a per-token HOF fold by summing token
     * lengths as `length(array_join(tokens, ''))`. */
-  val qualityRules: Q = (s, d) => {
-    val docs = spread(Tables.documents(s, d))
+  /** The three per-row Gopher metric columns — shared by
+    * [[qualityRules]] and [[curateFull]]'s inline keep filter so the
+    * two never drift. */
+  private def gopherMetrics(df: DataFrame): (Column, Column, Column) = {
     val toks = TextFunctions.tokens(col("text"))
     val nTok = size(toks)
     val meanLen = round(length(array_join(toks, "")).cast("double") /
       greatest(nTok, lit(1)), 6)
-    val sh = Dedup.shinglesAuto(docs, "text", 3)
+    val sh = Dedup.shinglesAuto(df, "text", 3)
     val dupFrac = round(
       when(size(sh) > 0,
         lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
         .otherwise(0.0), 6)
+    (nTok, meanLen, dupFrac)
+  }
+
+  /** Gopher keep as a pure per-row PREDICATE: the curation pipeline
+    * filters with this directly instead of semi-joining against the
+    * materialized [[qualityRules]] frame — per-row rules never need a
+    * join. */
+  private def gopherKeep(df: DataFrame): Column = {
+    val (nTok, meanLen, dupFrac) = gopherMetrics(df)
+    nTok >= 5 && meanLen >= 3.0 && meanLen <= 10.0 && dupFrac < 0.3
+  }
+
+  val qualityRules: Q = (s, d) => {
+    val docs = spread(Tables.documents(s, d))
+    val (nTok, meanLen, dupFrac) = gopherMetrics(docs)
     docs.select(col("doc_id"), nTok.as("n_tokens"),
         meanLen.as("mean_word_len"), dupFrac.as("dup_3gram_frac"))
       .withColumn("keep",
@@ -1512,9 +1529,12 @@ object Extensions {
   val curateFull: Q = (s, d) => {
     import org.apache.spark.storage.StorageLevel
     val docs = Tables.documents(s, d)
-    val keepIds = qualityRules(s, d).filter(col("keep")).select("doc_id")
-    val clean = Corpus.blocklistFilter(docs, "source", CURATE_BLOCK_SOURCES)
-      .join(keepIds, Seq("doc_id"), "left_semi")
+    // quality rules are per-row — filter inline instead of semi-joining
+    // the materialized qualityRules frame (same keep set, one exchange
+    // and one job wave less). spread FIRST: the gopher metrics are the
+    // heavy per-row kernel and the raw benchmark scan is one split.
+    val clean = Corpus.blocklistFilter(spread(docs), "source", CURATE_BLOCK_SOURCES)
+      .filter(gopherKeep(docs))
       .select("doc_id", "text")
     // referenced by both the pair generation and the canonical filter
     val ded = Dedup.exactDedup(clean, "text", "doc_id")
@@ -1522,7 +1542,8 @@ object Extensions {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.minhashNearDupPairs(ded, "doc_id", "text",
       threshold = 0.7, shingleN = 3,
-      bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+      bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB,
+      spreadInput = false) // ded is cached and already 32-way
     val dupIds = Dedup.connectedComponents(pairs, "id1", "id2")
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))
@@ -1534,10 +1555,16 @@ object Extensions {
     // benchmark; only the train side is scrubbed against it
     val evalDocs = graft.operators.ScaleOps.hashSplit(docs, "doc_id", holdoutPct = 10)
       .filter(col("split") === "holdout")
+    // the drop list directly — contaminationFlags' full-corpus flag
+    // join exists for callers that want per-doc flags, not this anti
     val contaminated = Corpus
-      .contaminationFlags(train0, evalDocs, "doc_id", "text", n = 13)
-      .filter(col("contaminated")).select("doc_id")
+      .contaminationHits(train0, evalDocs, "doc_id", "text", n = 13,
+        spreadTrain = false) // train0 is cached and already 32-way
+      .select("doc_id")
     val train = train0.join(contaminated, Seq("doc_id"), "left_anti")
+    // persisted because packSequences' range partitioner SAMPLES its
+    // input in a separate job before the real pass — uncached, the
+    // contamination join and token counts would run twice
     val slim = train.select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
