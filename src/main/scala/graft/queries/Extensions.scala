@@ -922,6 +922,49 @@ object Extensions {
       .select(col("user_id"), col("p_id"), col("s_id"), col("p_us"))
   }
 
+  /** X24b as a driver-gate row via the boolean-verdict pattern (the
+    * q_hll_distinct trick): the NULL-EMIT SET is not a pure function
+    * of the data (expiry depends on AvailableNow's micro-batch split —
+    * see [[streamOuterJoin]]), so the hashable surface is (a) the
+    * MATCHED rows, which must equal the batch inner join exactly, plus
+    * (b) two per-run verdicts exported as constant columns: every
+    * emitted NULL row is truly unmatched in the batch data, and no
+    * (p_id, s_id) pair is duplicated nor any purchase emitted both
+    * matched and NULL. The oracle is the batch inner join with literal
+    * `true` verdicts — any semantic violation flips a Spark-side
+    * boolean and the hash goes red. */
+  val streamOuterJoinVerified: Q = (s, d) => {
+    val out = streamOuterJoin(s, d).persist()
+    val signups = Tables.events(s, d).filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("s_us"))
+    val nullEmits = out.filter(col("s_id") === -1L)
+    // a NULL-emit with a qualifying batch signup = broken outer semantics
+    val falseNulls = nullEmits.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_us") >= col("p_us") - 3600000000L &&
+        col("s_us") <= col("p_us"), "left_semi")
+    val dupPairs = out.groupBy("p_id", "s_id").count().filter(col("count") > 1)
+    // one groupBy, not a memory-table self-join (MemoryPlan relations
+    // don't dedup attributes): a purchase emitted both matched and NULL
+    val mixedEmits = out.groupBy("p_id")
+      .agg(max(when(col("s_id") === -1L, 1).otherwise(0)).as("_hasNull"),
+        max(when(col("s_id") =!= -1L, 1).otherwise(0)).as("_hasMatch"))
+      .filter(col("_hasNull") === 1 && col("_hasMatch") === 1)
+    val nullOk = falseNulls.isEmpty
+    val dupOk = dupPairs.isEmpty && mixedEmits.isEmpty
+    out.filter(col("s_id") =!= -1L)
+      .select(col("user_id"), col("p_id"), col("s_id"),
+        lit(nullOk).as("null_emits_unmatched"),
+        lit(dupOk).as("no_duplicates"))
+  }
+
+  val streamOuterJoinVerifiedSql: String =
+    "SELECT p.user_id, p.event_id AS p_id, s.event_id AS s_id, " +
+      "true AS null_emits_unmatched, true AS no_duplicates " +
+      "FROM (SELECT user_id, event_id, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase') p " +
+      "JOIN (SELECT user_id, event_id, epoch_us(ts) AS st FROM events WHERE event_type = 'signup') s " +
+      "ON p.user_id = s.user_id AND s.st >= p.pt - 3600000000 AND s.st <= p.pt"
+
   /** Category dimension for the stream-static enrichment join —
     * a literal lookup table (in production: a refreshable dim read
     * per micro-batch). */
@@ -2029,6 +2072,7 @@ object Extensions {
     "q_stream_window_agg" -> streamWindowAgg,
     "q_stream_dedup" -> streamDedup,
     "q_stream_join" -> streamJoin,
+    "q_stream_outer_join" -> streamOuterJoinVerified,
     "q_stream_static_join" -> streamStaticJoin,
     "q_media_features" -> mediaFeatures,
     "q_media_decode" -> mediaDecode,
@@ -2109,6 +2153,7 @@ object Extensions {
     "q_stream_window_agg" -> windowAggSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
+    "q_stream_outer_join" -> streamOuterJoinVerifiedSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_media_features" -> mediaFeaturesSql,
     "q_media_decode" -> mediaDecodeSql,
