@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-trend harness: times a set of queries at sf0.001 / 0.01 /
+  * 0.1 in one JVM and prints the fitted per-decade scaling exponent —
+  * `alpha` in t ∝ sf^alpha, measured between the two largest SFs
+  * (the smallest SF is floor-dominated by fixed per-job overhead, so
+  * it is reported but not fitted). alpha ≈ 0 → overhead-bound;
+  * alpha ≈ 1 → linear in data (the target for scans/aggs/joins);
+  * alpha > 1.2 → superlinear, a scale smell worth a plan audit.
+  *
+  * `runMain graft.BenchScale [q_x q_y ...]` — defaults to the
+  * heaviest queries from the round benches. Output lands in PLANS.md's
+  * scale-trend table.
+  */
+object BenchScale {
+  private val DEFAULTS = Seq(
+    "q_ngram_prefix", "q_curate_full", "q_profile", "q_communities",
+    "q_bigram_surprisal", "q_recursive_sql", "q_bpe_apply",
+    "q_shortest_path", "q_cms_portable", "q_top50_partners",
+    "q_ngram_jaccard", "q_minhash_pairs")
+
+  def main(args: Array[String]): Unit = {
+    val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS
+    val sfs = Seq("0.001", "0.01", "0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String, sfDir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+
+    // one untimed warm pass at the smallest SF (JVM/codegen warmup must
+    // not land on the first timed cell), then min-of-two per cell
+    queryNames.foreach(q => time(q, "/root/testdata/sf0.001"))
+    println(f"${"query"}%-22s ${"sf0.001"}%8s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"alpha"}%7s")
+    queryNames.foreach { q =>
+      val ts = sfs.map { sf =>
+        val dir = s"/root/testdata/sf$sf"
+        math.min(time(q, dir), time(q, dir))
+      }
+      // fitted on the top decade only: log10(t_0.1 / t_0.01)
+      val alpha = math.log10(ts(2) / ts(1))
+      println(f"$q%-22s ${ts(0)}%8.2f ${ts(1)}%8.2f ${ts(2)}%8.2f $alpha%7.2f")
+    }
+    spark.stop()
+  }
+}
