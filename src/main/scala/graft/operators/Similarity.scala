@@ -292,6 +292,43 @@ object Similarity {
     finishTopK(scored, qIdCol, idCol, k)
   }
 
+  /** SemDeDup (semantic deduplication, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, compute
+    * pairwise cosine ONLY within a cluster, and drop every vector that
+    * has a lower-id cluster-sibling with cosine ≥ threshold — the
+    * "semantically redundant" tail of a training corpus. Returns the
+    * SURVIVORS as (idCol, cluster).
+    *
+    * Scale shape: clustering is the exact fixed-point Lloyd loop
+    * (broadcast literal centroids, map-side argmin, one partial-agg
+    * shuffle per round — [[Clustering.kmeansFixedPoint]]); the
+    * quadratic term is confined to within-cell pairing via an
+    * equi-join on cluster id, pinned shuffle-hash (both sides
+    * corpus-sized — never a driver broadcast). Cells are corpus/k, so
+    * k must grow with the corpus (the paper uses k ≈ √n-ish) to bound
+    * the per-cell pair volume; the drop rule (exists a lower-id
+    * similar sibling) is a distinct + anti-join, no transitive
+    * closure needed. */
+  def semanticDedup(corpus: DataFrame, k: Int, iters: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = Clustering.kmeansFixedPoint(corpus, idCol, vecCol, k, iters)
+      .select(col("vec_id").as(idCol), col("cluster"))
+    // (id, vector, cluster) feeds three structurally different
+    // consumers: both pair sides (AQE reuses that exchange) and the
+    // survivor anti-join
+    val withCell = spread(corpus).select(col(idCol), col(vecCol))
+      .join(assigned, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = withCell.select(col("cluster"), col(idCol).as("id1"), col(vecCol).as("_v1"))
+    val b = withCell.select(col("cluster"), col(idCol).as("id2"), col(vecCol).as("_v2"))
+    val dropped = a.hint("shuffle_hash").join(b, Seq("cluster"))
+      .filter(col("id1") < col("id2") &&
+        cosineAuto(corpus, col("_v1"), col("_v2")) >= threshold)
+      .select(col("id2").as(idCol)).distinct()
+    withCell.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine
     * ≥ threshold, candidates restricted to banded LSH sign-buckets —
     * `bands` independent `bits`-bit slices of one `bands·bits`-plane

@@ -1450,6 +1450,27 @@ object Extensions {
       .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
   }
 
+  /** SemDeDup (X102): k-means clusters confine the quadratic pairwise-
+    * cosine pass to within-cell pairs; every vector with a lower-id
+    * cell-sibling at cosine ≥ 0.35 drops. Oracle = the k-means CTE
+    * chain composed with a within-cell pair join and NOT-IN drop —
+    * assignment, cosine rounding, and drop rule all mirrored exactly. */
+  private val SEMDEDUP_K = 5
+  private val SEMDEDUP_ITERS = 2
+  private val SEMDEDUP_T = 0.35
+
+  val semanticDedup: Q = (s, d) =>
+    Similarity.semanticDedup(Tables.embeddings(s, d),
+      k = SEMDEDUP_K, iters = SEMDEDUP_ITERS, threshold = SEMDEDUP_T)
+
+  val semanticDedupSql: String =
+    "WITH " + kmeansCtes(SEMDEDUP_K, SEMDEDUP_ITERS, finalAssign = true) +
+      ", cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings)" +
+      s", wc AS MATERIALIZED (SELECT a.vec_id, a.c, cd.ed FROM a$SEMDEDUP_ITERS a JOIN cd USING (vec_id))" +
+      ", prs AS (SELECT x.vec_id AS id1, y.vec_id AS id2 FROM wc x JOIN wc y ON x.c = y.c AND x.vec_id < y.vec_id " +
+      s"WHERE round(list_dot_product(x.ed, y.ed)/(sqrt(list_dot_product(x.ed, x.ed))*sqrt(list_dot_product(y.ed, y.ed))), 6) >= $SEMDEDUP_T) " +
+      "SELECT vec_id, c AS cluster FROM wc WHERE vec_id NOT IN (SELECT DISTINCT id2 FROM prs)"
+
   val embedIvfTrainedSql: String = {
     def cosRank(vec: String, part: String) =
       s"row_number() OVER (PARTITION BY $part ORDER BY " +
@@ -2114,6 +2135,7 @@ object Extensions {
     "q_lead_lag" -> leadLag,
     "q_curate_full" -> curateFull,
     "q_embed_ivf_trained" -> embedIvfTrained,
+    "q_semantic_dedup" -> semanticDedup,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_shuffle_shards" -> shuffleShards,
@@ -2195,6 +2217,7 @@ object Extensions {
     "q_lead_lag" -> leadLagSql,
     "q_curate_full" -> curateFullSql,
     "q_embed_ivf_trained" -> embedIvfTrainedSql,
+    "q_semantic_dedup" -> semanticDedupSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_shuffle_shards" -> shuffleShardsSql,

@@ -177,4 +177,33 @@ class SimilaritySpec extends SparkSpec {
       .groupBy("q_id").count().as[(Long, Long)].collect()
     assert(served.nonEmpty && served.forall(_._2 == 10L))
   }
+
+  test("semanticDedup matches a brute-force within-cluster drop rule") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 4; val iters = 2; val t = 0.35
+    val surv = Similarity.semanticDedup(emb, k, iters, t)
+      .as[(Long, Long)].collect().toMap
+    // brute force: same assignment, all within-cluster pairs, drop any
+    // id with a lower-id sibling at rounded-6 cosine >= t
+    val cluster = graft.operators.Clustering
+      .kmeansFixedPoint(emb, "vec_id", "embedding", k, iters)
+      .select(col("vec_id"), col("cluster")).as[(Long, Long)].collect().toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i)*b(i); aa += a(i)*a(i); bb += b(i)*b(i); i += 1 }
+      BigDecimal(ab / (math.sqrt(aa) * math.sqrt(bb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val dropped = (for {
+      j <- ids; i <- ids if i < j && cluster(i) == cluster(j)
+      if cos6(vecs(i), vecs(j)) >= t
+    } yield j).toSet
+    assert(dropped.nonEmpty, "threshold must actually drop something")
+    assert(surv.keySet == ids.toSet -- dropped)
+    surv.foreach { case (id, c) => assert(c == cluster(id)) }
+  }
 }
