@@ -350,6 +350,46 @@ object ScaleOps {
       .select(col(idCol), col(sourceCol), col("_keep_bp").as("keep_bp"))
   }
 
+  /** TEMPERATURE-weighted domain mixing (the mT5/XLM-R sampling rule
+    * at τ = 0.5): source i keeps tokens in proportion to
+    * p_i ∝ √n_i (upweights small sources, downweights the giant head),
+    * with keep-rate_i = min(1, totalBudget·p_i / n_i) applied as the
+    * same deterministic salted-md5 hash sample as [[domainMix]].
+    *
+    * τ is FIXED at 0.5 because √ is the one power IEEE-754 requires
+    * correctly rounded — `pow(x, τ)` for general τ is not guaranteed
+    * to agree across libm implementations, and a last-ulp disagreement
+    * flips quantized keep-rates. For the same reason √n_i quantizes to
+    * 1e-6 fixed-point BIGINT BEFORE the normalizing sum (float sums
+    * are order-nondeterministic; BIGINT sums are exact in any order),
+    * so the final keep-rate arithmetic is a deterministic chain of
+    * exact integers and two IEEE divisions.
+    *
+    * Plan: identical to [[domainMix]] — one source-keyed partial agg
+    * (rows = #sources), broadcast back into a map-side filter; the
+    * corpus never shuffles. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      tokenCount: Column, totalBudget: Long): DataFrame = {
+    val actual = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCount.cast("long")).as("_actual"))
+      .withColumn("_w6",
+        floor(sqrt(col("_actual").cast("double")) * 1e6 + 0.5).cast("long"))
+    val wsum = actual.agg(sum(col("_w6")).as("_wsum"))
+    val rates = actual.crossJoin(broadcast(wsum))
+      .withColumn("_keep_bp",
+        when(col("_actual") > 0,
+          least(lit(10000L),
+            floor(lit(totalBudget.toDouble * 10000.0) * col("_w6") /
+              col("_wsum") / col("_actual")).cast("long")))
+          .otherwise(lit(10000L)))
+    val bucket = conv(substring(
+      md5(concat(lit("tmix:"), col(idCol).cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(bucket < col("_keep_bp"))
+      .select(col(idCol), col(sourceCol), col("_keep_bp").as("keep_bp"))
+  }
+
   /** Deterministic corpus shuffle into training shards — the
     * training-order materialization step of a pretraining pipeline
     * (a model must NOT see documents in crawl/source order, and the

@@ -163,6 +163,44 @@ object Similarity {
     finishTopK(scored, qIdCol, idCol, k)
   }
 
+  /** ColBERT-style LATE-INTERACTION MaxSim top-k (Khattab & Zaharia
+    * 2020, arXiv:2004.12832): documents and queries carry MULTIPLE
+    * sub-vectors (here: `subs` contiguous slices of one embedding —
+    * the plumbing is what matters; a real deployment feeds per-token
+    * vectors through the same shape), and
+    * score(q, d) = Σ_{qs ∈ q} max_{ds ∈ d} cos(qs, ds).
+    *
+    * Determinism/portability: each sub-cosine rounds to 6dp, the max
+    * per query-sub quantizes to 1e-6 fixed-point BIGINT, and the
+    * query-sub SUM runs over those exact integers — float sums are
+    * order-sensitive across engines, integer sums are not.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — queries broadcast,
+    * per-row HOF scoring inside the map stage, bounded per-partition
+    * top-k heaps; the corpus never shuffles (only k rows per query per
+    * partition reach the combine). */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int, subs: Int,
+      dims: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    require(dims % subs == 0, s"dims ($dims) must divide into $subs sub-vectors")
+    val len = dims / subs
+    def subVecs(v: Column): Column =
+      transform(sequence(lit(0), lit(subs - 1)),
+        i => slice(v.cast("array<double>"), i * len + 1, lit(len)))
+    def cos6(a: Column, b: Column): Column = {
+      def d(x: Column, y: Column) = dotAuto(corpus, x, y)
+      round(d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b))), 6)
+    }
+    val scored = spread(corpus)
+      .withColumn("_dsubs", subVecs(col(vecCol)))
+      .join(broadcast(queries.withColumn("_qsubs", subVecs(col(qVecCol)))))
+      .withColumn("_s6", aggregate(col("_qsubs"), lit(0L), (acc, qs) =>
+        acc + floor(array_max(transform(col("_dsubs"), ds => cos6(qs, ds))) *
+          1e6 + 0.5).cast("long")))
+      .withColumn("score", round(col("_s6").cast("double") / 1e6, 6))
+    finishTopK(scored, qIdCol, idCol, k)
+  }
+
   /** signSignature via the native codegen expression when the session
     * has GraftExtensions registered (tight loop over a cached coef
     * matrix vs `bits`×`dims` unrolled literal multiply-adds in

@@ -1181,6 +1181,26 @@ object Extensions {
       "SELECT doc_id, source, keep_bp FROM documents JOIN r USING (source) " +
       "WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < keep_bp"
 
+  /** Temperature-weighted domain mixing (X104, the mT5/XLM-R τ=0.5
+    * rule): p_i ∝ √n_i — √ because IEEE requires it correctly rounded
+    * where general pow() is libm-dependent; √n quantized to 1e-6
+    * fixed-point BIGINT before the normalizing sum so the keep-rate
+    * chain is exact-integer + two IEEE divisions, portable across
+    * engines. */
+  val temperatureMix: Q = (s, d) =>
+    graft.operators.ScaleOps.temperatureMix(
+      Tables.documents(s, d), "doc_id", "source", col("n_chars"),
+      totalBudget = 30000L)
+
+  val temperatureMixSql: String =
+    "WITH act AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS actual FROM documents GROUP BY source), " +
+      "w AS (SELECT source, actual, CAST(floor(sqrt(CAST(actual AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w6 FROM act), " +
+      "ws AS (SELECT CAST(sum(w6) AS BIGINT) AS wsum FROM w), " +
+      "r AS (SELECT source, CAST(CASE WHEN actual > 0 THEN least(10000, CAST(floor(300000000.0 * w6 / wsum / actual) AS BIGINT)) " +
+      "ELSE 10000 END AS BIGINT) AS keep_bp FROM w CROSS JOIN ws) " +
+      "SELECT doc_id, source, keep_bp FROM documents JOIN r USING (source) " +
+      "WHERE CAST('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < keep_bp"
+
   /** Unicode text normalization via the native kernel (NFC,
     * accent-strip, lowercase, control/whitespace cleanup). The oracle
     * mirrors it with DuckDB's own Unicode functions
@@ -1449,6 +1469,29 @@ object Extensions {
     Similarity.ivfTopKWith(cents, emb, queriesDf(s, d), k = 10, nprobe = 2)
       .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
   }
+
+  /** Late-interaction MaxSim retrieval (X103, ColBERT scoring):
+    * multi-vector docs/queries (4 contiguous 16-dim slices of the
+    * embedding — the real deployment feeds per-token vectors through
+    * identical plumbing), score = Σ over query subs of the max
+    * sub-cosine. Sub-cosines round to 6dp and quantize to 1e-6
+    * fixed-point BIGINT before the sum, so the score is exact-integer
+    * arithmetic in any order on any engine. */
+  val maxSim: Q = (s, d) =>
+    Similarity.maxSimTopK(Tables.embeddings(s, d), queriesDf(s, d),
+      k = 10, subs = 4, dims = 64)
+
+  val maxSimSql: String =
+    "WITH cd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "sv AS MATERIALIZED (SELECT vec_id, list_transform(generate_series(0, 3), i -> list_slice(ed, i*16 + 1, i*16 + 16)) AS subs FROM cd), " +
+      "q AS MATERIALIZED (SELECT vec_id AS q_id, subs AS qsubs FROM sv WHERE vec_id % 50 = 0), " +
+      "sc AS (SELECT q.q_id, sv.vec_id, " +
+      "round(CAST(CAST(list_sum(list_transform(q.qsubs, qs -> " +
+      "CAST(floor(list_max(list_transform(sv.subs, ds -> " +
+      "round(list_dot_product(qs, ds)/(sqrt(list_dot_product(qs, qs))*sqrt(list_dot_product(ds, ds))), 6))) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE)/1000000.0, 6) AS score " +
+      "FROM sv CROSS JOIN q), " +
+      "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
 
   /** SemDeDup (X102): k-means clusters confine the quadratic pairwise-
     * cosine pass to within-cell pairs; every vector with a lower-id
@@ -2122,6 +2165,7 @@ object Extensions {
     "q_ann_rerank" -> annRerank,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
+    "q_temperature_mix" -> temperatureMix,
     "q_text_normalize" -> textNormalize,
     "q_partitioned_sink" -> partitionedSink,
     "q_partition_overwrite" -> partitionOverwrite,
@@ -2136,6 +2180,7 @@ object Extensions {
     "q_curate_full" -> curateFull,
     "q_embed_ivf_trained" -> embedIvfTrained,
     "q_semantic_dedup" -> semanticDedup,
+    "q_maxsim" -> maxSim,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_shuffle_shards" -> shuffleShards,
@@ -2204,6 +2249,7 @@ object Extensions {
     "q_ann_rerank" -> annRerankSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,
+    "q_temperature_mix" -> temperatureMixSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_partitioned_sink" -> partitionedSinkSql,
     "q_partition_overwrite" -> partitionOverwriteSql,
@@ -2218,6 +2264,7 @@ object Extensions {
     "q_curate_full" -> curateFullSql,
     "q_embed_ivf_trained" -> embedIvfTrainedSql,
     "q_semantic_dedup" -> semanticDedupSql,
+    "q_maxsim" -> maxSimSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_shuffle_shards" -> shuffleShardsSql,

@@ -206,4 +206,22 @@ class SimilaritySpec extends SparkSpec {
     assert(surv.keySet == ids.toSet -- dropped)
     surv.foreach { case (id, c) => assert(c == cluster(id)) }
   }
+
+  test("maxSimTopK: a query identical to a doc ranks it first at score subs*1.0") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = Similarity.maxSimTopK(emb, queries, k = 3, subs = 4, dims = 64)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      val top = rows.minBy(_._4)
+      // every sub-cosine of a vector with itself is 1.0 -> maxsim = 4.0,
+      // and no score can exceed it; tie-break is by vec_id so the query
+      // vector itself (lowest id among perfect matches) wins
+      assert(top._3 == 4.0, s"query $q top score ${top._3}")
+      assert(rows.forall(_._3 <= 4.0))
+    }
+  }
 }
