@@ -25,7 +25,12 @@ class PlanGuardSpec extends SparkSpec {
       // coarse stage IS q_quant_topk's broadcast-query scoring pass
       "q_ann_rerank",
       // 1-row quantile-cutoff scalar broadcast, like q_gap_fill's bounds
-      "q_quality_mix")
+      "q_quality_mix",
+      // MaxSim is brute-force corpus × broadcast-queries scoring, the
+      // q_embed_topk shape with multi-vector scoring
+      "q_maxsim",
+      // 1-row sqrt-weight-sum scalar broadcast, like q_tfidf's doc count
+      "q_temperature_mix")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
