@@ -19,7 +19,7 @@ object BenchScale {
     "q_ngram_prefix", "q_curate_full", "q_profile", "q_communities",
     "q_bigram_surprisal", "q_recursive_sql", "q_bpe_apply",
     "q_shortest_path", "q_cms_portable", "q_top50_partners",
-    "q_ngram_jaccard", "q_minhash_pairs")
+    "q_ngram_jaccard", "q_minhash_pairs", "q_semantic_dedup", "q_maxsim")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS
