@@ -274,6 +274,67 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** EXACT SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): every
+    * duplicated L-token span keeps only its GLOBAL FIRST occurrence
+    * (minimum (doc, position)); every other occurrence's tokens are
+    * removed and documents are reassembled from the surviving tokens.
+    * The canonical suffix-array formulation is sequential; this is the
+    * distributed fixed-window equivalent: hash every L-gram (rolling
+    * window over the token stream), find hashes with ≥ 2 occurrences,
+    * mark all non-first windows, drop covered token positions.
+    *
+    * Occurrence order is encoded as one BIGINT `id·posBase + pos` so
+    * "first" is a plain MIN aggregate — portable to any engine without
+    * struct-ordering semantics (`pos < posBase` required, i.e. docs
+    * shorter than posBase tokens).
+    *
+    * Scale shape: shuffles carry (id, pos, 16-byte md5) gram postings
+    * and covered positions — never text; the dup-gram table is
+    * corpus-overlap-sized and joins shuffle-hash (pinned — broadcast
+    * from small-SF stats would die at 100 TB); reassembly is one
+    * groupBy(doc) with per-doc bounded sort_array, the lineDedup
+    * shape. Returns (id, n_tokens, n_kept, kept_md5). */
+  def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
+      L: Int, posBase: Long = 100000L): DataFrame = {
+    require(L >= 2, s"window must be >= 2 tokens, got $L")
+    val toks = spread(df).select(col(idCol).cast("long").as("id"),
+      tokens(lower(col(textCol))).as("_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (id, pos, gh): one md5 per window;  joint so token
+    // boundaries stay unambiguous
+    val posIdx = when(size(col("_t")) >= L,
+      sequence(lit(0), size(col("_t")) - L))
+      .otherwise(array().cast("array<int>"))
+    val grams = toks.select(col("id"), posexplode(transform(posIdx,
+        i => md5(concat_ws("", slice(col("_t"), i + 1, lit(L)))))))
+      .select(col("id"), col("pos"), col("col").as("_gh"))
+      .withColumn("_occ", col("id") * posBase + col("pos"))
+    val dup = grams.groupBy("_gh")
+      .agg(count(lit(1)).as("_c"), min(col("_occ")).as("_first"))
+      .filter(col("_c") >= 2)
+      .select("_gh", "_first")
+    val covered = grams.hint("shuffle_hash").join(dup, Seq("_gh"))
+      .filter(col("_occ") =!= col("_first"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (L - 1))).as("_tp"))
+      .distinct()
+    val tokPos = toks.select(col("id"), posexplode(col("_t")))
+      .select(col("id"), col("pos").as("_tp"), col("col").as("_tok"))
+    val kept = tokPos.hint("shuffle_hash")
+      .join(covered, Seq("id", "_tp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("_tp"), col("_tok")))),
+            e => e("_tok")))).as("kept_md5"))
+    // empty docs (all tokens covered, or tokenless) still emit a row
+    toks.select(col("id"), size(col("_t")).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
   /** Distinct-shingle set table (id, _sh, _size) — the shared input of
     * the prefix index and verification joins. Package-private so specs
     * can pin index-size properties against the same construction. */

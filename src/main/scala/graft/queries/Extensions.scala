@@ -203,6 +203,39 @@ object Extensions {
       "round(CAST(inter AS DOUBLE)/(s1 + s2 - inter), 6) AS jaccard, " +
       "CAST(inter AS DOUBLE)/(s1 + s2 - inter) AS _j FROM p) WHERE _j >= 0.75"
 
+  /** Exact substring dedup (X105, Lee et al. 2021): every duplicated
+    * 13-token window keeps only its global first occurrence (min
+    * id·1e5+pos — a plain MIN, no struct ordering); other occurrences'
+    * token positions drop and docs reassemble from the survivors. The
+    * oracle chains the identical gram/mark/cover/reassemble steps. */
+  private val SUBSTR_L = 13
+
+  val substringDedup: Q = (s, d) =>
+    Dedup.exactSubstringDedup(Tables.documents(s, d), "doc_id", "text",
+      L = SUBSTR_L)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+        col("kept_md5"))
+
+  val substringDedupSql: String = {
+    val L = SUBSTR_L
+    s"WITH t AS MATERIALIZED (SELECT doc_id, $duckToksLower AS tk FROM documents), " +
+      s"g AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, doc_id * 100000 + i - 1 AS occ, " +
+      s"md5(array_to_string(list_slice(tk, i, i + $L - 1), chr(1))) AS gh " +
+      s"FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - $L + 1)) AS i FROM t WHERE len(tk) >= $L)), " +
+      "d AS (SELECT gh, min(occ) AS first_occ FROM g GROUP BY gh HAVING count(*) >= 2), " +
+      s"cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + $L - 1)) AS tp " +
+      "FROM g JOIN d USING (gh) WHERE occ <> first_occ), " +
+      "tp AS (SELECT doc_id, u.i - 1 AS tp, u.x AS tok FROM " +
+      "(SELECT doc_id, unnest(list_transform(tk, (x, i) -> struct_pack(i := i, x := x))) AS u FROM t)), " +
+      "kept AS (SELECT tp.doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+      "md5(array_to_string(list(tp.tok ORDER BY tp.tp), ' ')) AS kept_md5 " +
+      "FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.tp = cov.tp " +
+      "WHERE cov.tp IS NULL GROUP BY tp.doc_id) " +
+      "SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens, " +
+      "coalesce(k.n_kept, 0) AS n_kept, coalesce(k.kept_md5, md5('')) AS kept_md5 " +
+      "FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id"
+  }
+
   /** C4-style corpus-level line dedup with document reassembly. On the
     * synthetic single-line documents this degenerates to whole-doc
     * first-occurrence dedup — the multi-line reassembly path is pinned
@@ -2123,6 +2156,7 @@ object Extensions {
     "q_fingerprint" -> fingerprint,
     "q_exact_dedup" -> exactDedup,
     "q_line_dedup" -> lineDedup,
+    "q_substring_dedup" -> substringDedup,
     "q_seq_pack" -> seqPack,
     "q_ngram_jaccard" -> ngramJaccard,
     "q_ngram_prefix" -> ngramPrefix,
@@ -2207,6 +2241,7 @@ object Extensions {
     "q_fingerprint" -> fingerprintSql,
     "q_exact_dedup" -> exactDedupSql,
     "q_line_dedup" -> lineDedupSql,
+    "q_substring_dedup" -> substringDedupSql,
     "q_seq_pack" -> seqPackSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_ngram_prefix" -> ngramPrefixSql,

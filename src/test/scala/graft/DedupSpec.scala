@@ -193,4 +193,28 @@ class DedupSpec extends SparkSpec {
       s"prefix index ($prefPostings) must be smaller than full ($fullPostings)")
     assert(prefPostings > 0)
   }
+
+  test("exactSubstringDedup: global first occurrence survives, later copies drop") {
+    // doc 1 and doc 2 share an exact 5-token span; doc 3 is that span
+    // alone (fully covered -> zero kept); doc 4 shares nothing
+    val span = "alpha bravo charlie delta echo"
+    val docs = Seq(
+      (1L, s"intro one two $span tail1"),
+      (2L, s"different opening words $span tail2 extra"),
+      (3L, span),
+      (4L, "entirely unrelated tokens here with no duplicate span at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(docs, "doc_id", "text", L = 5)
+      .as[(Long, Int, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1 holds the global first occurrence (min id*1e5+pos) -> intact
+    assert(got(1L)._3 == got(1L)._2.toLong, s"doc1 must keep all tokens: ${got(1L)}")
+    // doc 2 loses exactly the 5 span tokens
+    assert(got(2L)._2 - got(2L)._3 == 5, s"doc2 must lose the span: ${got(2L)}")
+    // doc 3 is nothing but the span -> zero kept, md5 of empty string
+    assert(got(3L)._3 == 0 && got(3L)._4 ==
+      java.security.MessageDigest.getInstance("MD5").digest("".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    // doc 4 untouched
+    assert(got(4L)._3 == got(4L)._2.toLong)
+  }
 }
