@@ -27,6 +27,12 @@ object ScaleOps {
       leftOn: String, rightOn: String,
       rightCols: Map[String, String],
       forward: Boolean = false): DataFrame = {
+    // the union+carry plan stages rows through these two markers — a
+    // caller column of the same name would be silently clobbered
+    val reserved = Set("_on", "_isLeft")
+    val clash = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"asOfJoin: input columns ${clash.mkString(", ")} collide with internal markers")
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftOn).toSeq
     val lTagged = left.select(
       keys.map(col) ++
@@ -91,6 +97,8 @@ object ScaleOps {
     * interval span / bucketWidth, tunable per workload. */
   def rangeJoin(left: DataFrame, right: DataFrame, leftVal: String,
       lo: String, hi: String, bucketWidth: Double): DataFrame = {
+    require(!(left.columns ++ right.columns).contains("_bucket"),
+      "rangeJoin: input column _bucket collides with the internal bucket key")
     val l = left.withColumn("_bucket",
       floor(col(leftVal) / bucketWidth).cast("long"))
     val r = right.withColumn("_bucket",
@@ -113,6 +121,8 @@ object ScaleOps {
     * keys). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: Seq[String],
       saltBuckets: Int): DataFrame = {
+    require(!(fact.columns ++ dim.columns).contains("_salt"),
+      "saltedJoin: input column _salt collides with the internal salt key")
     val saltedFact = fact.withColumn("_salt",
       pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltBuckets)).cast("int"))
     val saltedDim = dim.withColumn("_salt",

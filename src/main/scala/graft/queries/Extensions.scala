@@ -983,8 +983,14 @@ object Extensions {
       .agg(max(when(col("s_id") === -1L, 1).otherwise(0)).as("_hasNull"),
         max(when(col("s_id") =!= -1L, 1).otherwise(0)).as("_hasMatch"))
       .filter(col("_hasNull") === 1 && col("_hasMatch") === 1)
-    val nullOk = falseNulls.isEmpty
-    val dupOk = dupPairs.isEmpty && mixedEmits.isEmpty
+    // ONE driver action for all three verdicts (three .isEmpty calls
+    // would serialize as three job waves): cross the 1-row counts
+    val v = falseNulls.agg(count(lit(1)).as("_fn"))
+      .crossJoin(dupPairs.agg(count(lit(1)).as("_dp")))
+      .crossJoin(mixedEmits.agg(count(lit(1)).as("_me")))
+      .head()
+    val nullOk = v.getLong(0) == 0L
+    val dupOk = v.getLong(1) == 0L && v.getLong(2) == 0L
     out.filter(col("s_id") =!= -1L)
       .select(col("user_id"), col("p_id"), col("s_id"),
         lit(nullOk).as("null_emits_unmatched"),
