@@ -54,6 +54,9 @@ object Dedup {
   /** Exact dedup: keep the lowest-`idCol` row per normalized-content
     * fingerprint. One shuffle, deterministic survivor. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val clash = df.columns.filter(Set("_fp", "_rn")).distinct
+    require(clash.isEmpty,
+      s"exactDedup: input columns ${clash.mkString(", ")} collide with internal markers")
     val w = Window.partitionBy(col("_fp")).orderBy(col(idCol).asc)
     df.withColumn("_fp", fingerprintMd5(col(textCol)))
       .withColumn("_rn", row_number().over(w))
