@@ -331,8 +331,10 @@ object Dedup {
           transform(sort_array(collect_list(struct(col("_tp"), col("_tok")))),
             e => e("_tok")))).as("kept_md5"))
     // empty docs (all tokens covered, or tokenless) still emit a row
+    // shuffle-hash pinned: kept is corpus-sized — AQE would broadcast
+    // it from small-SF stats and that shape dies at 100 TB
     toks.select(col("id"), size(col("_t")).as("n_tokens"))
-      .join(kept, Seq("id"), "left")
+      .hint("shuffle_hash").join(kept, Seq("id"), "left")
       .select(col("id"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))

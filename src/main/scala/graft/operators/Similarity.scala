@@ -354,8 +354,10 @@ object Similarity {
     // (id, vector, cluster) feeds three structurally different
     // consumers: both pair sides (AQE reuses that exchange) and the
     // survivor anti-join
+    // shuffle-hash pinned: both sides are corpus-sized — AQE would
+    // broadcast `assigned` from small-SF stats and that dies at scale
     val withCell = spread(corpus).select(col(idCol), col(vecCol))
-      .join(assigned, Seq(idCol))
+      .hint("shuffle_hash").join(assigned, Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withCell.select(col("cluster"), col(idCol).as("id1"), col(vecCol).as("_v1"))
     val b = withCell.select(col("cluster"), col(idCol).as("id2"), col(vecCol).as("_v2"))
