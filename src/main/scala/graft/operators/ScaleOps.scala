@@ -400,6 +400,41 @@ object ScaleOps {
       .select(col(idCol), col(sourceCol), col("_keep_bp").as("keep_bp"))
   }
 
+  /** EPOCH (repeat-factor) mixing — the UPSAMPLING counterpart of
+    * [[domainMix]] (LLaMA/DoReMi-style source weighting): each source
+    * repeats until it hits `budgetPerSource` tokens, capped at
+    * `maxEpochs` passes. The repeat factor quantizes to basis points
+    * (floor); every document emits `bp div 10000` full copies plus one
+    * extra copy iff its salted-md5 bucket falls under `bp mod 10000` —
+    * so the FRACTIONAL epoch is a deterministic hash-sample of the
+    * source, not a truncation, and expected token counts hit the
+    * budget exactly.
+    *
+    * Plan: one source-keyed partial agg (#sources rows) broadcast back
+    * into a map-side explode — the corpus never shuffles; output size
+    * is input × repeat factor by construction. */
+  def epochMix(df: DataFrame, idCol: String, sourceCol: String,
+      tokenCount: Column, budgetPerSource: Long, maxEpochs: Int): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val actual = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCount.cast("long")).as("_actual"))
+      .withColumn("_rf_bp",
+        when(col("_actual") > 0,
+          least(lit(maxEpochs * 10000L),
+            expr(s"${budgetPerSource}L * 10000L div _actual")))
+          .otherwise(lit(10000L)))
+    val bucket = conv(substring(
+      md5(concat(lit("epoch:"), col(idCol).cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000
+    df.join(broadcast(actual), Seq(sourceCol))
+      .withColumn("_n_copies",
+        expr("_rf_bp div 10000L") +
+          when(bucket < col("_rf_bp") % 10000, 1L).otherwise(0L))
+      .filter(col("_n_copies") > 0)
+      .select(col(idCol), col(sourceCol), col("_rf_bp").as("rf_bp"),
+        explode(sequence(lit(1L), col("_n_copies"))).as("copy_idx"))
+  }
+
   /** Deterministic corpus shuffle into training shards — the
     * training-order materialization step of a pretraining pipeline
     * (a model must NOT see documents in crawl/source order, and the

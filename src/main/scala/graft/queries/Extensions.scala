@@ -1240,6 +1240,25 @@ object Extensions {
       "SELECT doc_id, source, keep_bp FROM documents JOIN r USING (source) " +
       "WHERE CAST('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < keep_bp"
 
+  /** Epoch (repeat-factor) mixing (X106, the upsampling counterpart of
+    * q_domain_mix): each source repeats toward a 20k-token budget,
+    * capped at 3 epochs; full copies from the integer part, the
+    * fractional epoch as a deterministic salted-hash sample. */
+  val epochMix: Q = (s, d) =>
+    graft.operators.ScaleOps.epochMix(
+      Tables.documents(s, d), "doc_id", "source", col("n_chars"),
+      budgetPerSource = 20000L, maxEpochs = 3)
+
+  val epochMixSql: String =
+    "WITH act AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS actual FROM documents GROUP BY source), " +
+      "r AS (SELECT source, CAST(CASE WHEN actual > 0 THEN least(30000, (20000 * 10000) // actual) " +
+      "ELSE 10000 END AS BIGINT) AS rf_bp FROM act), " +
+      "nc AS (SELECT doc_id, source, rf_bp, rf_bp // 10000 + " +
+      "CASE WHEN CAST('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < rf_bp % 10000 THEN 1 ELSE 0 END AS n_copies " +
+      "FROM documents JOIN r USING (source)) " +
+      "SELECT doc_id, source, rf_bp, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx " +
+      "FROM nc WHERE n_copies > 0"
+
   /** Unicode text normalization via the native kernel (NFC,
     * accent-strip, lowercase, control/whitespace cleanup). The oracle
     * mirrors it with DuckDB's own Unicode functions
@@ -2206,6 +2225,7 @@ object Extensions {
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
     "q_temperature_mix" -> temperatureMix,
+    "q_epoch_mix" -> epochMix,
     "q_text_normalize" -> textNormalize,
     "q_partitioned_sink" -> partitionedSink,
     "q_partition_overwrite" -> partitionOverwrite,
@@ -2291,6 +2311,7 @@ object Extensions {
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,
     "q_temperature_mix" -> temperatureMixSql,
+    "q_epoch_mix" -> epochMixSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_partitioned_sink" -> partitionedSinkSql,
     "q_partition_overwrite" -> partitionOverwriteSql,
