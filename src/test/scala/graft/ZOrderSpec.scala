@@ -86,7 +86,10 @@ class ZOrderSpec extends SparkSpec {
     val (lHit, lTot) = boxRowGroups(s"$base/linear", "l_partkey", "l_suppkey",
       box._1, box._2, box._3, box._4)
     assert(zTot >= 10, s"want many row groups to compare, got $zTot")
-    assert(lHit == lTot, s"linear layout should prune nothing here: $lHit/$lTot")
+    // essentially nothing: range-partitioner sampling occasionally
+    // leaves a tail row group with an accidentally narrow suppkey span,
+    // so an exact == is run-to-run flaky (observed 253/254 once)
+    assert(lHit >= lTot - 2, s"linear layout should prune ~nothing here: $lHit/$lTot")
     assert(zHit * 2 < lHit, s"z-order hit $zHit/$zTot vs linear $lHit/$lTot")
     // and both layouts return identical rows through the box filter
     def rows(p: String) = spark.read.parquet(p)
