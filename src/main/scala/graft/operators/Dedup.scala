@@ -51,6 +51,16 @@ object Dedup {
   private[operators] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** ONE bounded action deciding a broadcast-vs-shuffle gate:
+    * `limit(budget+1).count()` stops early above the budget instead of
+    * paying a full count. Callers persist `df` first so the probe and
+    * the real consumer share the computation. */
+  private[operators] def fitsBudget(df: DataFrame, budget: Long): Boolean = {
+    require(budget > 0 && budget < Int.MaxValue - 1L,
+      s"budget must be in (0, Int.MaxValue-1), got $budget")
+    df.limit(budget.toInt + 1).count() <= budget
+  }
+
   /** Exact dedup: keep the lowest-`idCol` row per normalized-content
     * fingerprint. One shuffle, deterministic survivor. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -126,11 +136,17 @@ object Dedup {
     * ONE materialization of (id, distinct-shingle array) feeds the
     * signature/banding AND the verification (tokenize+shingle once,
     * three structurally different consumers); candidates are verified
-    * by broadcasting the (bounded — it IS the near-dup candidate set)
-    * pair list against that table and intersecting the two arrays
-    * per-row, instead of two corpus-keyed shuffle joins. Shuffles
-    * whose volume grows with the corpus: the banded self-join on
-    * short bucket keys, and nothing else.
+    * by broadcasting the pair list against that table and intersecting
+    * the two arrays per-row, instead of two corpus-keyed shuffle
+    * joins. The candidate list is USUALLY bounded (it is the near-dup
+    * candidate set), but a duplicate-heavy corpus can put m
+    * near-identical docs in one LSH bucket and yield O(m²) pairs — so
+    * the broadcast is GATED on `pairBroadcastBudget` candidate rows
+    * (one bounded limit-probe over the persisted pair list, never a
+    * full count) and falls back to an equivalent shuffle-hash join
+    * above it. Shuffles whose volume grows with the corpus: the
+    * banded self-join on short bucket keys — plus, only above the
+    * gate, the verification join on id.
     *
     * `spreadInput = false` skips the round-robin pre-shuffle — pass it
     * when the input is a cached mid-pipeline stage that is already
@@ -139,7 +155,8 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       bands: Int = 4, rowsPerBand: Int = 3,
-      spreadInput: Boolean = true): DataFrame = {
+      spreadInput: Boolean = true,
+      pairBroadcastBudget: Long = 1000000L): DataFrame = {
     val numHashes = bands * rowsPerBand
     val base = (if (spreadInput) spread(df) else df)
       .select(col(idCol).as("id"),
@@ -158,9 +175,14 @@ object Dedup {
     val cand = a.hint("shuffle_hash").join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candLong = cand.select(col("id1"), col("id2"),
       explode(array(col("id1"), col("id2"))).as("id"))
-    base.join(broadcast(candLong), Seq("id"))
+    val verified =
+      if (fitsBudget(cand, pairBroadcastBudget))
+        base.join(broadcast(candLong), Seq("id"))
+      else base.hint("shuffle_hash").join(candLong, Seq("id"))
+    verified
       .groupBy(col("id1"), col("id2"))
       .agg(collect_list(col("_sh")).as("_ab"))
       .withColumn("jaccard",
@@ -224,17 +246,21 @@ object Dedup {
     *
     * Verification never re-joins the posting index: each candidate
     * pair gets both documents' materialized md5-key arrays attached by
-    * ONE broadcast of the (bounded — it is the prefix join's own
-    * output) candidate list against the persisted set table, and
-    * |A∩B| is a per-row `array_intersect` inside codegen. The corpus
-    * is scanned once, shuffled once (the per-document prefix regroup);
-    * the only other shuffle whose volume grows with data is the prefix
-    * self-join on short md5 keys.
+    * ONE broadcast of the candidate list against the persisted set
+    * table, and |A∩B| is a per-row `array_intersect` inside codegen.
+    * The candidate list is the prefix join's own output — usually
+    * bounded, but adversarially quadratic on a duplicate-heavy corpus,
+    * so the broadcast is GATED on `pairBroadcastBudget` rows (bounded
+    * limit-probe over the persisted list) with an equivalent
+    * shuffle-hash fallback. The corpus is scanned once, shuffled once
+    * (the per-document prefix regroup); the only other shuffle whose
+    * volume grows with data is the prefix self-join on short md5 keys.
     *
     * Use a threshold exactly representable in binary (0.5, 0.75…) so
     * ⌈t·|S|⌉ computes identically on any engine. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame = {
+      threshold: Double, shingleN: Int = 3,
+      pairBroadcastBudget: Long = 1000000L): DataFrame = {
     // one materialization of (id, md5-key array, size) feeds all three
     // structurally different consumers: df counting, prefix regroup,
     // and candidate verification — tokenize/shingle/hash runs once
@@ -255,14 +281,19 @@ object Dedup {
         col("_zb") >= ceil(col("_za") * threshold) &&
         col("_zb") * threshold <= col("_za"))
       .select(col("id1"), col("id2")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact |A∩B|: unpivot each (distinct — duplicates would double
     // rows per group below) candidate to one row per member id,
-    // broadcast that against the set table (no corpus shuffle), and
-    // regroup by pair — each group holds exactly the pair's two key
-    // arrays, intersected per-row
+    // broadcast that against the set table (no corpus shuffle) when it
+    // fits the gate, and regroup by pair — each group holds exactly
+    // the pair's two key arrays, intersected per-row
     val candLong = cand.select(col("id1"), col("id2"),
       explode(array(col("id1"), col("id2"))).as("id"))
-    sets.join(broadcast(candLong), Seq("id"))
+    val attached =
+      if (fitsBudget(cand, pairBroadcastBudget))
+        sets.join(broadcast(candLong), Seq("id"))
+      else sets.hint("shuffle_hash").join(candLong, Seq("id"))
+    attached
       .groupBy(col("id1"), col("id2"))
       .agg(
         max(when(col("id") === col("id1"), col("_size"))).as("_s1"),
@@ -289,8 +320,13 @@ object Dedup {
     *
     * Occurrence order is encoded as one BIGINT `id·posBase + pos` so
     * "first" is a plain MIN aggregate — portable to any engine without
-    * struct-ordering semantics (`pos < posBase` required, i.e. docs
-    * shorter than posBase tokens).
+    * struct-ordering semantics. The encoding is injective only while
+    * `pos < posBase` (docs shorter than ~posBase tokens) and
+    * `0 ≤ id < Long.MaxValue/posBase` — both are ENFORCED with
+    * per-row `raise_error` guards (the repo's fail-loudly convention:
+    * a 100k-token document must kill the job, not silently corrupt
+    * "global first occurrence" attribution). Raise `posBase` for
+    * longer documents.
     *
     * Scale shape: shuffles carry (id, pos, 16-byte md5) gram postings
     * and covered positions — never text; the dup-gram table is
@@ -301,8 +337,28 @@ object Dedup {
   def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
       L: Int, posBase: Long = 100000L): DataFrame = {
     require(L >= 2, s"window must be >= 2 tokens, got $L")
-    val toks = spread(df).select(col(idCol).cast("long").as("id"),
-      tokens(lower(col(textCol))).as("_t"))
+    require(posBase >= 2, s"posBase must be >= 2, got $posBase")
+    val maxId = Long.MaxValue / posBase
+    // Per-row injectivity guards (data-dependent, so they can't be a
+    // driver require): a null/out-of-range id or a >= posBase-token
+    // document would silently collide _occ values across documents.
+    // try_cast: under ANSI (Spark 4 default) a plain cast would throw a
+    // generic CAST_INVALID_INPUT before the pointed guard below fires
+    val idLong = col(idCol).try_cast("long")
+    val guardedId = when(idLong.isNull || idLong < 0 || idLong >= maxId,
+      raise_error(concat(
+        lit(s"exactSubstringDedup: $idCol must cast to BIGINT in [0, $maxId) " +
+          s"for posBase=$posBase, got "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
+      .otherwise(idLong)
+    val rawToks = tokens(lower(col(textCol)))
+    val guardedToks = when(size(rawToks) > posBase,
+      raise_error(concat(
+        lit(s"exactSubstringDedup: document exceeds posBase=$posBase tokens " +
+          "(occurrence encoding would collide) — raise posBase; id="),
+        idLong.cast("string"), lit(", n_tokens="), size(rawToks).cast("string"))))
+      .otherwise(rawToks)
+    val toks = spread(df).select(guardedId.as("id"), guardedToks.as("_t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (id, pos, gh): one md5 per window;  joint so token
     // boundaries stay unambiguous
@@ -374,16 +430,24 @@ object Dedup {
     * Zipfian corpus the repeated-shingle vocabulary is a small
     * fraction of all distinct shingles, so the broadcast stays
     * driver-bounded while the corpus-sized posting side never
-    * shuffles for the join. If a corpus ever outgrows that budget,
-    * swapping `broadcast` for `hint("shuffle_hash")` is semantically
-    * identical. */
-  private[graft] def prefixPostings(inv: DataFrame, threshold: Double): DataFrame = {
+    * shuffles for the join. That assumption is ENFORCED, not hoped:
+    * the broadcast is gated on `dfBroadcastBudget` repeated-key rows
+    * (bounded limit-probe over the persisted df table — boilerplate/
+    * template shingles grow with document count, so a corpus CAN
+    * outgrow the budget) and falls back to the semantically identical
+    * shuffle-hash join above it. */
+  private[graft] def prefixPostings(inv: DataFrame, threshold: Double,
+      dfBroadcastBudget: Long = 4000000L): DataFrame = {
     val dfreq = inv.groupBy("_gk").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (col("_size") - ceil(col("_size") * threshold) + 1)
       .cast("int")
-    inv
-      .join(broadcast(dfreq), Seq("_gk"), "left")
+    val withDf =
+      if (fitsBudget(dfreq, dfBroadcastBudget))
+        inv.join(broadcast(dfreq), Seq("_gk"), "left")
+      else inv.hint("shuffle_hash").join(dfreq, Seq("_gk"), "left")
+    withDf
       .groupBy(col("id"), col("_size"))
       .agg(slice(sort_array(collect_list(
         struct(coalesce(col("_df"), lit(1L)).as("_df"), col("_gk")))),
@@ -466,12 +530,16 @@ object Dedup {
     * Returns (id, cluster_id) with cluster_id = min vertex id in the
     * component.
     *
-    * Like `Ranks`' gated driver-local series: an edge set at or below
-    * `localThreshold` (after dedup — near-dup pair lists are usually
-    * tiny relative to their corpus) is collected and union-found on
-    * the driver in one job instead of ~2 jobs per propagation round;
-    * the distributed path is the default above the gate and
-    * DedupSpec pins local ≡ distributed. */
+    * Like `Ranks`' gated driver-local series: a pair list at or below
+    * `localThreshold` RAW input rows (counted BEFORE the symmetric
+    * union/distinct — the gate is one bounded limit-collect, so it
+    * must not pay those exchanges; a duplicate-heavy pair list above
+    * the threshold therefore takes the distributed path even when its
+    * distinct edge set is tiny, which only costs speed, never
+    * correctness) is collected and union-found on the driver in one
+    * job instead of ~2 jobs per propagation round; the distributed
+    * path is the default above the gate and DedupSpec pins
+    * local ≡ distributed. */
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
       maxIters: Int = 50, localThreshold: Long = 100000): DataFrame = {
     import org.apache.spark.storage.StorageLevel

@@ -184,16 +184,28 @@ object Similarity {
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     require(dims % subs == 0, s"dims ($dims) must divide into $subs sub-vectors")
     val len = dims / subs
-    def subVecs(v: Column): Column =
-      transform(sequence(lit(0), lit(subs - 1)),
-        i => slice(v.cast("array<double>"), i * len + 1, lit(len)))
-    def cos6(a: Column, b: Column): Column = {
-      def d(x: Column, y: Column) = dotAuto(corpus, x, y)
-      round(d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b))), 6)
-    }
+    // Each side carries (v, inv) structs with inv = 1/sqrt(dot(v,v))
+    // computed ONCE per sub-vector, so the per-pair inner loop is one
+    // dot + two multiplies instead of three dots + two sqrts. A zero
+    // sub-slice gets inv = 0 and scores cos 0.0 — the division form
+    // would produce NaN and the fixed-point BIGINT cast under ANSI
+    // (Spark 4 default; DuckDB CAST likewise) would kill the query.
+    // The oracle SQL mirrors this exact expression shape
+    // (dot · inv_a · inv_b, left-assoc) so 6dp rounding stays
+    // bit-identical across engines.
+    def subStructs(v: Column): Column =
+      transform(sequence(lit(0), lit(subs - 1)), i => {
+        val s = slice(v.cast("array<double>"), i * len + 1, lit(len))
+        val n2 = dotAuto(corpus, s, s)
+        struct(s.as("v"),
+          when(n2 > lit(0.0), lit(1.0) / sqrt(n2))
+            .otherwise(lit(0.0)).as("inv"))
+      })
+    def cos6(a: Column, b: Column): Column =
+      round(dotAuto(corpus, a("v"), b("v")) * a("inv") * b("inv"), 6)
     val scored = spread(corpus)
-      .withColumn("_dsubs", subVecs(col(vecCol)))
-      .join(broadcast(queries.withColumn("_qsubs", subVecs(col(qVecCol)))))
+      .withColumn("_dsubs", subStructs(col(vecCol)))
+      .join(broadcast(queries.withColumn("_qsubs", subStructs(col(qVecCol)))))
       .withColumn("_s6", aggregate(col("_qsubs"), lit(0L), (acc, qs) =>
         acc + floor(array_max(transform(col("_dsubs"), ds => cos6(qs, ds))) *
           1e6 + 0.5).cast("long")))

@@ -1541,12 +1541,15 @@ object Extensions {
 
   val maxSimSql: String =
     "WITH cd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
-      "sv AS MATERIALIZED (SELECT vec_id, list_transform(generate_series(0, 3), i -> list_slice(ed, i*16 + 1, i*16 + 16)) AS subs FROM cd), " +
+      // (v, inv) structs mirror Similarity.maxSimTopK exactly: inv
+      // computed once per sub-vector, zero slice -> inv 0 -> cos 0.0
+      "sv AS MATERIALIZED (SELECT vec_id, list_transform(list_transform(generate_series(0, 3), i -> list_slice(ed, i*16 + 1, i*16 + 16)), " +
+      "s -> struct_pack(v := s, inv := CASE WHEN list_dot_product(s, s) > 0 THEN CAST(1 AS DOUBLE)/sqrt(list_dot_product(s, s)) ELSE CAST(0 AS DOUBLE) END)) AS subs FROM cd), " +
       "q AS MATERIALIZED (SELECT vec_id AS q_id, subs AS qsubs FROM sv WHERE vec_id % 50 = 0), " +
       "sc AS (SELECT q.q_id, sv.vec_id, " +
       "round(CAST(CAST(list_sum(list_transform(q.qsubs, qs -> " +
       "CAST(floor(list_max(list_transform(sv.subs, ds -> " +
-      "round(list_dot_product(qs, ds)/(sqrt(list_dot_product(qs, qs))*sqrt(list_dot_product(ds, ds))), 6))) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE)/1000000.0, 6) AS score " +
+      "round(list_dot_product(qs.v, ds.v) * qs.inv * ds.inv, 6))) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE)/1000000.0, 6) AS score " +
       "FROM sv CROSS JOIN q), " +
       "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
       "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"

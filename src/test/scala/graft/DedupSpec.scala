@@ -169,6 +169,29 @@ class DedupSpec extends SparkSpec {
     assert(full.nonEmpty) // the comparison must actually exercise pairs
   }
 
+  test("broadcast gates: budget-1 shuffle-hash fallbacks produce identical pairs") {
+    // force every gated broadcast (candidate verification in both pair
+    // finders, the df table in prefixPostings) onto its shuffle-hash
+    // fallback path and pin output equality with the broadcast path
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val prefB = norm(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 0.5, 3))
+    val prefS = norm(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 0.5, 3,
+      pairBroadcastBudget = 1L))
+    assert(prefS == prefB && prefB.nonEmpty)
+    val mhB = norm(Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5))
+    val mhS = norm(Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5,
+      pairBroadcastBudget = 1L))
+    assert(mhS == mhB && mhB.nonEmpty)
+    val inv = Dedup.postingsTable(docs, "doc_id", "text", 3)
+    val pB = Dedup.prefixPostings(inv, 0.5)
+    val pS = Dedup.prefixPostings(inv, 0.5, dfBroadcastBudget = 1L)
+    assert(pS.as[(Long, Int, String)].collect().toSet ==
+      pB.as[(Long, Int, String)].collect().toSet)
+  }
+
   test("prefix filter indexes strictly fewer postings than the full index") {
     // hand corpus with a stopword-ish shared shingle: the hot shingle
     // should drop out of most prefixes
@@ -216,5 +239,35 @@ class DedupSpec extends SparkSpec {
         .map("%02x".format(_)).mkString)
     // doc 4 untouched
     assert(got(4L)._3 == got(4L)._2.toLong)
+  }
+
+  test("exactSubstringDedup: doc longer than posBase tokens fails loud, not silently wrong") {
+    // posBase=8 with a 10-token doc: _occ = id*8+pos would collide
+    // across documents — the guard must kill the job with a pointed
+    // message instead of corrupting global-first attribution
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "short doc here"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.exactSubstringDedup(docs, "doc_id", "text", L = 2, posBase = 8L)
+        .collect()
+    }
+    assert(e.getMessage.contains("exceeds posBase"),
+      s"expected the posBase guard message, got: ${e.getMessage}")
+    // same data under a sufficient posBase dedups fine
+    val ok = Dedup.exactSubstringDedup(docs, "doc_id", "text", L = 2, posBase = 16L)
+      .as[(Long, Int, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(ok(1L)._3 == 10L && ok(2L)._3 == 3L)
+  }
+
+  test("exactSubstringDedup: non-numeric id fails loud instead of collapsing to one null group") {
+    val docs = Seq(("docA", "alpha bravo charlie"), ("docB", "delta echo foxtrot"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.exactSubstringDedup(docs, "doc_id", "text", L = 2).collect()
+    }
+    assert(e.getMessage.contains("must cast to BIGINT"),
+      s"expected the id guard message, got: ${e.getMessage}")
   }
 }

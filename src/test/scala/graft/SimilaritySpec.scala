@@ -224,4 +224,20 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.forall(_._3 <= 4.0))
     }
   }
+
+  test("maxSimTopK: all-zero sub-slices score 0, not NaN (ANSI would throw on the cast)") {
+    import spark.implicits._
+    // query: first 16-dim slice zeroed (that query sub must contribute
+    // cos 0 against every doc sub); doc 2: all zeros (every doc-side
+    // inv is 0, so every max is over zeros)
+    val ones = Array.fill(64)(1.0f)
+    val halfZero = Array.fill(16)(0.0f) ++ Array.fill(48)(1.0f)
+    val zeros = Array.fill(64)(0.0f)
+    val emb = Seq((1L, ones), (2L, zeros)).toDF("vec_id", "embedding")
+    val queries = Seq((10L, halfZero)).toDF("q_id", "q_vec")
+    val got = Similarity.maxSimTopK(emb, queries, k = 3, subs = 4, dims = 64)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._2 -> r._3).toMap
+    assert(got(1L) == 3.0, s"zeroed query sub must contribute 0: ${got(1L)}")
+    assert(got(2L) == 0.0, s"all-zero doc must score 0, got ${got(2L)}")
+  }
 }
