@@ -381,6 +381,43 @@ object Similarity {
       .select(col(idCol), col("cluster"))
   }
 
+  /** [[semanticDedup]] with k DERIVED from the corpus instead of
+    * caller-supplied — the scale-ergonomics variant: the caller states
+    * the invariant that actually matters (how big a cell the
+    * within-cell quadratic pass may see) and k follows the data.
+    *
+    * Derivation: `k = ceil(n / targetCellSize)` clamped to
+    * `[1, maxK]`, from ONE count action (an O(1)-result aggregate —
+    * never a row collect). `maxK` bounds the driver-held centroid
+    * array (k·dims values ride the plan as literals — [[Clustering]]'s
+    * contract); hitting the clamp means mean cell size grows past
+    * `targetCellSize` again, so that clamp fails loud rather than
+    * silently re-admitting the quadratic blowup the derivation exists
+    * to prevent. Mean cell size ≤ targetCellSize by construction;
+    * k-means skew can still produce hot cells (data property, same as
+    * the explicit-k API). */
+  def semanticDedupAuto(corpus: DataFrame, iters: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetCellSize: Int = 1024, maxK: Int = 65536): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
+    require(maxK > 0, s"maxK must be positive, got $maxK")
+    val n = corpus.select(col(idCol)).count()
+    require(n > 0, "semanticDedupAuto: empty corpus")
+    val derived = (n + targetCellSize - 1) / targetCellSize
+    require(derived <= maxK,
+      s"semanticDedupAuto: derived k=$derived exceeds maxK=$maxK — " +
+        s"raise maxK (driver holds k*dims centroid values) or targetCellSize")
+    semanticDedup(corpus, derived.toInt, iters, threshold, idCol, vecCol)
+  }
+
+  /** The k [[semanticDedupAuto]] would run with — exposed so specs and
+    * oracle generators can pin the derivation without running the
+    * clusterer. */
+  def semanticDedupAutoK(n: Long, targetCellSize: Int, maxK: Int): Int = {
+    val derived = (n + targetCellSize - 1) / targetCellSize
+    math.min(maxK.toLong, math.max(1L, derived)).toInt
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine
     * ≥ threshold, candidates restricted to banded LSH sign-buckets —
     * `bands` independent `bits`-bit slices of one `bands·bits`-plane
