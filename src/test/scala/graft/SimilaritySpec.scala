@@ -225,6 +225,56 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupAuto: derived k bounds mean cell size at two SFs and matches the explicit-k API") {
+    // the invariant the auto variant exists to hold: n / k <= targetCellSize,
+    // i.e. the within-cell quadratic pass sees bounded MEAN cells by
+    // construction, at any corpus size. Pin the derivation at both test
+    // corpus sizes (500 and 2000 rows) plus the boundary shapes.
+    for ((n, target) <- Seq((500L, 128), (2000L, 256), (500L, 1), (1L, 1024), (1000L, 1000), (1001L, 1000))) {
+      val k = Similarity.semanticDedupAutoK(n, target, maxK = Int.MaxValue)
+      assert(n.toDouble / k <= target, s"n=$n target=$target derived k=$k breaks n/k<=target")
+      assert(k == 1 || n.toDouble / (k - 1) > target,
+        s"n=$n target=$target derived k=$k is not minimal")
+    }
+
+    // end-to-end at SF .001 (n=500): auto with targetCellSize=128 must run
+    // the exact same plan as the explicit-k API with k=ceil(500/128)=4
+    val emb1 = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val auto1 = Similarity.semanticDedupAuto(emb1, iters = 2, threshold = 0.35,
+      targetCellSize = 128).as[(Long, Long)].collect().toMap
+    val explicit1 = Similarity.semanticDedup(emb1, k = 4, iters = 2, threshold = 0.35)
+      .as[(Long, Long)].collect().toMap
+    assert(auto1 == explicit1)
+
+    // second SF (sf0.1, n=2000): derivation scales k with the corpus —
+    // same targetCellSize, 4x the rows, 4x the cells; verify the actual
+    // k-means assignment keeps MEAN occupied-cell size within target
+    // (cells can only merge below k, never exceed n/1 of a cell count)
+    val emb2 = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val k2 = Similarity.semanticDedupAutoK(2000L, 128, maxK = 65536)
+    assert(k2 == 16)
+    val cells = graft.operators.Clustering
+      .kmeansFixedPoint(emb2, "vec_id", "embedding", k2, 2)
+      .groupBy("cluster").count().as[(Long, Long)].collect()
+    val mean = cells.map(_._2).sum.toDouble / cells.length
+    assert(cells.map(_._2).sum == 2000L)
+    assert(mean <= 128 * 2,
+      s"mean occupied-cell size $mean far above target — derivation not bounding cells")
+
+    // the clamp fails loud instead of silently re-admitting the blowup
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupAuto(emb1, iters = 1, threshold = 0.35,
+        targetCellSize = 10, maxK = 3)
+    }
+    assert(e.getMessage.contains("exceeds maxK"))
+    // and the empty-corpus guard
+    val empty = emb1.filter(col("vec_id") < 0)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupAuto(empty, iters = 1, threshold = 0.35)
+    }
+    assert(e2.getMessage.contains("empty corpus"))
+  }
+
   test("maxSimTopK: all-zero sub-slices score 0, not NaN (ANSI would throw on the cast)") {
     import spark.implicits._
     // query: first 16-dim slice zeroed (that query sub must contribute
