@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's synthetic parquet tables
   * (`/root/testdata/sf*`, schemas in FIXTURES.md §B).
@@ -26,15 +26,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** The events parquet carries TIMESTAMP(NANOS) which Spark 4 rejects
-    * by default; read nanos as long (legacy conf) and convert to a
-    * micros timestamp with integer division (no double rounding). */
+  /** The events parquet's `ts` physical type has varied across driver
+    * generations — TIMESTAMP(NANOS) (Spark 4 rejects by default; read
+    * as long via the legacy conf and integer-divide to micros, no
+    * double rounding), TIMESTAMP(MICROS) without UTC adjustment (reads
+    * as TIMESTAMP_NTZ; cast re-types it under the session zone — UTC
+    * everywhere in this repo — so downstream event-time code sees one
+    * type), or a plain UTC-adjusted timestamp. Normalize all three to
+    * TimestampType here so no consumer branches on the source. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

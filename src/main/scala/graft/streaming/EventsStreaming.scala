@@ -35,18 +35,34 @@ object EventsStreaming {
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
-  /** The driver's events.parquet carries TIMESTAMP(NANOS); stream it
-    * with ts as raw nanos (legacy conf) and convert like
-    * Tables.events. */
+  /** The driver's events.parquet `ts` physical type has varied across
+    * generations (TIMESTAMP(NANOS), non-UTC-adjusted TIMESTAMP(MICROS)
+    * = TIMESTAMP_NTZ, plain timestamp). A streaming source needs its
+    * schema DECLARED, so probe the footer with one batch read (schema
+    * only — no data scan) and stream with the matching declared type,
+    * normalizing to TimestampType like Tables.events. */
   val eventSchemaNanos: StructType = StructType(eventSchema.map {
     case f if f.name == "ts" => StructField("ts", LongType)
     case f => f
   })
 
+  val eventSchemaNtz: StructType = StructType(eventSchema.map {
+    case f if f.name == "ts" => StructField("ts", TimestampNTZType)
+    case f => f
+  })
+
   def readDriverEventsStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchemaNanos).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.read.parquet(path).schema("ts").dataType match {
+      case LongType =>
+        spark.readStream.schema(eventSchemaNanos).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        spark.readStream.schema(eventSchemaNtz).parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        spark.readStream.schema(eventSchema).parquet(path)
+    }
   }
 
   /** Tumbling 5-minute window counts/sums per event_type with a
