@@ -1,0 +1,89 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Library-level cache hygiene (the decided policy, applied
+  * consistently — see PLANS.md "Cache hygiene"):
+  *
+  *  1. An operator that persists an intermediate and UNPERSISTS it
+  *     before returning (lineage truncated via `localCheckpoint`, or
+  *     the dependent fully materialized) keeps doing so — eager
+  *     release, nothing for the caller to manage
+  *     ([[graft.graph.Traversal]], `Dedup.connectedComponents`'s
+  *     per-round labels, [[graft.graph.Ranks]]' iteration graphs).
+  *  2. An operator whose RETURNED lazy plan still references the
+  *     persisted intermediate cannot eagerly unpersist (the caller's
+  *     first action would silently recompute the whole pipeline — for
+  *     the iterative ops, every superstep). Those persists go through
+  *     [[persistTracked]], which registers them in a session-scoped
+  *     registry.
+  *  3. A long-lived session composing several operators calls
+  *     [[release]] once per pipeline stage (after its terminal
+  *     action) to drop exactly the graft-internal intermediates —
+  *     unlike `spark.catalog.clearCache()`, the caller's OWN cached
+  *     tables survive. The bench/verify harnesses keep their blanket
+  *     `clearCache()` (they own every cache in the JVM); `release` is
+  *     the embedded-library hook.
+  *
+  * The registry holds STRONG references until [[release]] —
+  * deliberately: Spark's `CacheManager` keys cached data by logical
+  * plan, so the cached blocks outlive the `Dataset` wrapper object,
+  * and a weakly-held wrapper can be GC'd while its blocks stay
+  * resident (the exact leak this hook exists to close). What's pinned
+  * per entry is one `Dataset` + its analyzed plan — driver-side plan
+  * objects, small next to the cached blocks themselves, and bounded by
+  * the operator-call count between `release`/`clearCache` calls. The
+  * session key itself is weak: a dropped SparkSession takes its queue
+  * with it.
+  */
+object Caches {
+  private val registry = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]())
+
+  private def queueFor(spark: SparkSession): ConcurrentLinkedQueue[DataFrame] =
+    registry.synchronized {
+      val q = registry.get(spark)
+      if (q != null) q
+      else {
+        val fresh = new ConcurrentLinkedQueue[DataFrame]()
+        registry.put(spark, fresh)
+        fresh
+      }
+    }
+
+  /** `df.persist(level)` + register for [[release]]. Use for every
+    * graft-internal persist that outlives its operator's return. */
+  def persistTracked(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val p = df.persist(level)
+    queueFor(p.sparkSession).add(p)
+    p
+  }
+
+  /** Unpersist every graft-internal intermediate registered under this
+    * session and drain the registry. Non-blocking unpersist: the
+    * executors free the blocks asynchronously — callers are not
+    * latency-gated on cleanup. Unpersisting a frame an operator
+    * already released eagerly is a no-op, so double-tracking is safe. */
+  def release(spark: SparkSession): Unit = {
+    val q = registry.remove(spark)
+    if (q != null) q.forEach(_.unpersist(blocking = false))
+  }
+
+  /** Postfix syntax for operator code: `df.persistTracked()` reads as
+    * `.persist(...)` did at the call sites, keeping the plan-building
+    * chains intact. */
+  implicit class TrackedPersist(private val df: DataFrame) extends AnyVal {
+    def persistTracked(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+      Caches.persistTracked(df, level)
+  }
+
+  /** Tracked-intermediate count for this session (specs/debug). */
+  def trackedCount(spark: SparkSession): Int = {
+    val q = registry.get(spark)
+    if (q == null) 0 else q.size()
+  }
+}

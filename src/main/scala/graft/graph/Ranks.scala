@@ -1,5 +1,7 @@
 package graft.graph
 
+import graft.core.Caches.TrackedPersist
+
 import org.apache.spark.graphx._
 import scala.reflect.ClassTag
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -287,7 +289,7 @@ object Ranks {
         val ranks = weightedPageRank(g, iters, damping)
         val names = g.vertices.map { case (id, nm) => (id, nm) }.toDF("id", "name")
         val df = names.join(ranks.toDF("id", "wpagerank"), "id").drop("id")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persistTracked()
         df.count()
         ranks.unpersist(blocking = false)
         g.unpersistVertices(blocking = false)
@@ -379,7 +381,7 @@ object Ranks {
         val ranks = personalizedPageRank(g, seeds.toSet, iters, damping)
         val names = g.vertices.map { case (id, nm) => (id, nm) }.toDF("id", "name")
         val df = names.join(ranks.toDF("id", "ppr"), "id").drop("id")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persistTracked()
         df.count()
         ranks.unpersist(blocking = false)
         g.unpersistVertices(blocking = false)
@@ -433,7 +435,7 @@ object Ranks {
     val ranksDf = both.map { case (id, (p, a)) => (id, p, a) }
       .toDF("id", "pagerank", "articlerank")
     val out = names.join(ranksDf, "id").drop("id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     out.count() // materialize, then release the heavyweight inputs
     both.unpersist(blocking = false)
     g.unpersistVertices(blocking = false)

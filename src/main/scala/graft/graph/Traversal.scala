@@ -1,5 +1,7 @@
 package graft.graph
 
+import graft.core.Caches.TrackedPersist
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,7 +45,7 @@ object Traversal {
         .select(col("_d").as("name")).distinct()
         .join(dist, Seq("name"), "left_anti")
         .withColumn("hop", lit(k))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       drained = next.isEmpty // the one action per superstep
       dist = dist.unionByName(next)
       frontier = next
@@ -64,7 +66,7 @@ object Traversal {
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     var labels = und.select(col("a").as("name")).distinct()
       .withColumn("label", col("name"))
     val w = Window.partitionBy(col("a"))
@@ -81,6 +83,11 @@ object Traversal {
         // whole nested join history each round
         .localCheckpoint()
     }
+    // labels is localCheckpoint()ed each round, so after >= 1 round
+    // the undirected-edge cache is releasable here (same policy as
+    // shortestPath); at iters = 0 labels still reads through `und`,
+    // so leave that degenerate case to Caches.release
+    if (iters > 0) und.unpersist()
     labels.withColumnRenamed("label", "community")
   }
 

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Caches.TrackedPersist
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -78,7 +80,7 @@ object Clustering {
     val q = corpus.select(col(idCol).cast("long").as("vec_id"),
       fixedPoint(col(vecCol), scale).as("qv"))
       .repartition(spark.sparkContext.defaultParallelism)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
 
     // deterministic seed: the k lowest-id vectors, cluster = seed rank
     var cents: Array[(Int, Array[Long])] =

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Caches.TrackedPersist
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -197,7 +199,7 @@ object ScaleOps {
       }
       .toDF(idCol, "_n", "_local_end")
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // P partial rows cross this shuffle (map-side combine), nothing more
     val totals = local.groupBy("_pid").agg(max(col("_local_end")).as("_tot"))
       .as[(Int, Long)].collect().sortBy(_._1)
@@ -307,7 +309,7 @@ object ScaleOps {
       }
       .toDF(idCol, "w", "_local_end")
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val totals = local.groupBy("_pid").agg(max(col("_local_end")).as("_tot"))
       .as[(Int, Long)].collect().sortBy(_._1)
     val grandTotal = totals.map(_._2).sum

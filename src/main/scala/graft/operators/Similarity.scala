@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Caches.TrackedPersist
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -370,7 +372,7 @@ object Similarity {
     // broadcast `assigned` from small-SF stats and that dies at scale
     val withCell = spread(corpus).select(col(idCol), col(vecCol))
       .hint("shuffle_hash").join(assigned, Seq(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val a = withCell.select(col("cluster"), col(idCol).as("id1"), col(vecCol).as("_v1"))
     val b = withCell.select(col("cluster"), col(idCol).as("id2"), col(vecCol).as("_v2"))
     val dropped = a.hint("shuffle_hash").join(b, Seq("cluster"))

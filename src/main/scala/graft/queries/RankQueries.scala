@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.core.Caches.TrackedPersist
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -79,7 +81,7 @@ object RankQueries {
     // ONE edge aggregation feeds both the ranks and the partner pick:
     // persist before rankTable (which respects caller-managed caches)
     val edges = graft.SparkEntry.nationTradeEdges(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val ranks = graft.graph.Ranks
       .rankTable(edges, "src_nation", "dst_nation")
       .select(col("name"), round(col("pagerank"), 6).as("pagerank"))
@@ -132,7 +134,7 @@ object RankQueries {
       .select(least(col("src_nation"), col("dst_nation")).as("a"),
         greatest(col("src_nation"), col("dst_nation")).as("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val tri = und
       .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
       .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.Caches
+import graft.operators.{Dedup, Similarity}
+
+class CachesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("release drops graft-internal caches but leaves caller caches alone") {
+    Caches.release(spark) // drain anything earlier suites tracked
+    assert(Caches.trackedCount(spark) == 0)
+
+    // a caller-owned cache that must SURVIVE release — the reason the
+    // hook exists instead of telling library users to clearCache()
+    val mine = spark.range(100).toDF("id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    mine.count()
+
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val surv = Similarity.semanticDedup(emb, k = 4, iters = 2, threshold = 0.35)
+    assert(surv.count() > 0)
+    assert(Caches.trackedCount(spark) >= 1,
+      "semanticDedup must register its escaping persisted intermediate")
+
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50)
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+    pairs.count()
+    assert(Caches.trackedCount(spark) >= 3,
+      "minhashNearDupPairs must register base + candidate caches")
+
+    Caches.release(spark)
+    assert(Caches.trackedCount(spark) == 0, "release must drain the registry")
+    // release is idempotent and safe on an empty registry
+    Caches.release(spark)
+
+    assert(mine.storageLevel != StorageLevel.NONE,
+      "caller-owned cache must survive Caches.release")
+    mine.unpersist()
+  }
+
+  test("released plans still compute correctly (recompute, not corruption)") {
+    Caches.release(spark)
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val surv = Similarity.semanticDedup(emb, k = 4, iters = 2, threshold = 0.35)
+    val before = surv.as[(Long, Long)].collect().toMap
+    Caches.release(spark)
+    // acting on the SAME frame after release recomputes through the
+    // now-unpersisted lineage and must agree
+    val after = surv.as[(Long, Long)].collect().toMap
+    assert(before == after)
+    Caches.release(spark)
+  }
+}
