@@ -19,7 +19,12 @@ object BenchScale {
     "q_ngram_prefix", "q_curate_full", "q_profile", "q_communities",
     "q_bigram_surprisal", "q_recursive_sql", "q_bpe_apply",
     "q_shortest_path", "q_cms_portable", "q_top50_partners",
-    "q_ngram_jaccard", "q_minhash_pairs", "q_semantic_dedup", "q_maxsim")
+    "q_ngram_jaccard", "q_minhash_pairs", "q_semantic_dedup", "q_maxsim",
+    "q_substring_dedup", "q_stream_outer_join",
+    // round-7 bench drift watch (sub-tripwire drifts adjudicated as
+    // host noise in VERDICT r7 — kept here so the steady-state numbers
+    // stay on record)
+    "q_simhash_pairs", "q_ppr", "q_gap_fill")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Caches.TrackedPersist
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -227,7 +229,7 @@ object Corpus {
     val tfd = Dedup.spread(docs).select(col(idCol),
       explode(Dedup.shinglesAuto(docs, textCol, 2)).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val bc = tfd.groupBy(col("bg")).agg(sum(col("_n")).cast("long").as("cnt"))
     val wc = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cnt")).cast("long").as("ctx"))
@@ -260,6 +262,84 @@ object Corpus {
     counts.orderBy(col("n").desc, col("term").asc).limit(topN)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("term").asc)))
+  }
+
+  /** DCLM-style n-gram quality classifier (Li et al. 2024,
+    * arXiv:2406.11794 use a model-based quality classifier trained on
+    * a high-quality seed; this is its n-gram-LM form — the classic
+    * CCNet/KenLM arrangement, Wenzek et al. 2020): train an add-one-
+    * smoothed interpolated unigram+bigram model on a SEED slice of
+    * known-good text, score every document by mean surprisal
+    * −mean ln(λ·P(w₂|w₁) + (1−λ)·P(w₂)) under that model, and keep
+    * documents at or below `keepThreshold` (in-domain text is
+    * predictable under the seed model; gibberish and out-of-domain
+    * boilerplate are not). λ is given in basis points so the mixing
+    * weight is an exact decimal in every engine.
+    *
+    * Smoothing: P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V),
+    * P(w₂) = (c(w₂)+1)/(N+V), with V = seed unigram vocab and N =
+    * seed token count — unseen contexts and OOV tokens score finite
+    * surprisal instead of ∞. Determinism: probabilities are ratios of
+    * BIGINT counts (exact in IEEE double), mixed with an exact decimal
+    * λ, and log-probs quantize to fixed-point BIGINT BEFORE the
+    * Σ n·lp per-doc sum (the repo's order-exact convention).
+    *
+    * Plan: the seed unigram/context tables are word-vocab-sized
+    * (Heaps' law) and broadcast — same argument as
+    * [[unigramSurprisal]]; the seed BIGRAM table grows superlinearly
+    * in vocab, so its scoring join is shuffle-hash pinned, NEVER
+    * broadcast, and shuffles distinct grams-per-doc weighted by count
+    * — the [[bigramSurprisal]] shape with the model trained on `seed`
+    * instead of the corpus itself. Returns
+    * (idCol, n_bigrams, log_ppl, keep); docs with < 2 tokens carry no
+    * evidence and keep. */
+  def ngramPerplexity(docs: DataFrame, seed: DataFrame, idCol: String,
+      textCol: String, lambdaBp: Int = 7000,
+      keepThreshold: Double = 9.0): DataFrame = {
+    require(lambdaBp >= 0 && lambdaBp <= 10000,
+      s"lambdaBp must be in [0, 10000], got $lambdaBp")
+    require(!seed.isEmpty, "ngramPerplexity: empty seed corpus")
+    val lam = lambdaBp / 10000.0
+    val oneMinusLam = (10000 - lambdaBp) / 10000.0
+
+    val sbg = Dedup.spread(seed)
+      .select(explode(Dedup.shinglesAuto(seed, textCol, 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("_cbg"))
+    val ctx = sbg.groupBy(substring_index(col("bg"), " ", 1).as("_cw1"))
+      .agg(sum(col("_cbg")).cast("long").as("_ctx"))
+    val uni = Dedup.spread(seed)
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("_uw"))
+      .groupBy(col("_uw")).agg(count(lit(1)).as("_cw"))
+    val scal = uni.agg(sum(col("_cw")).cast("long").as("_n_tok"),
+      count(lit(1)).cast("long").as("_v"))
+
+    val tfd = Dedup.spread(docs).select(col(idCol),
+      explode(Dedup.shinglesAuto(docs, textCol, 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("_n"))
+    val pb = (coalesce(col("_cbg"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("_ctx"), lit(0L)) + col("_v")).cast("double")
+    val pu = (coalesce(col("_cw"), lit(0L)) + lit(1L)).cast("double") /
+      (col("_n_tok") + col("_v")).cast("double")
+    val per = tfd
+      .join(sbg.hint("shuffle_hash"), Seq("bg"), "left")
+      .join(broadcast(ctx),
+        substring_index(col("bg"), " ", 1) === col("_cw1"), "left")
+      .join(broadcast(uni),
+        substring_index(col("bg"), " ", -1) === col("_uw"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("_lp",
+        floor((-log(lit(lam) * pb + lit(oneMinusLam) * pu)) * lit(1e9) + lit(0.5))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).cast("long").as("n_bigrams"),
+        sum(col("_n") * col("_lp")).as("_s"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("_s").cast("double") / (col("n_bigrams") * lit(1e9)), 6),
+          lit(0.0)).as("log_ppl"))
+      .withColumn("keep",
+        col("n_bigrams") === 0L || col("log_ppl") <= lit(keepThreshold))
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) beyond the

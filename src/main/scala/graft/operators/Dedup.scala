@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Caches.TrackedPersist
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -161,7 +163,7 @@ object Dedup {
     val base = (if (spreadInput) spread(df) else df)
       .select(col(idCol).as("id"),
         array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val banded = base
       .select(col("id"), minhashOfShingles(df, col("_sh"), numHashes).as("_sig"))
       .select(col("id"),
@@ -175,7 +177,7 @@ object Dedup {
     val cand = a.hint("shuffle_hash").join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val candLong = cand.select(col("id1"), col("id2"),
       explode(array(col("id1"), col("id2"))).as("id"))
     val verified =
@@ -267,7 +269,7 @@ object Dedup {
     val sets = shingleSetTable(df, idCol, textCol, shingleN)
       .select(col("id"), transform(col("_sh"), g => md5(g)).as("_sh"),
         col("_size"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val inv = sets.select(col("id"), col("_size"), explode(col("_sh")).as("_gk"))
     val prefix = prefixPostings(inv, threshold)
     val a = prefix.select(col("_gk"), col("id").as("id1"), col("_size").as("_za"))
@@ -281,7 +283,7 @@ object Dedup {
         col("_zb") >= ceil(col("_za") * threshold) &&
         col("_zb") * threshold <= col("_za"))
       .select(col("id1"), col("id2")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // exact |A∩B|: unpivot each (distinct — duplicates would double
     // rows per group below) candidate to one row per member id,
     // broadcast that against the set table (no corpus shuffle) when it
@@ -336,6 +338,17 @@ object Dedup {
     * shape. Returns (id, n_tokens, n_kept, kept_md5). */
   def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
       L: Int, posBase: Long = 100000L): DataFrame = {
+    val (toks, covered) = substringCoverage(df, idCol, textCol, L, posBase)
+    substringReassemble(toks, covered, L)
+  }
+
+  /** Shared front half of the exact-substring family: guarded token
+    * table + the set of token positions covered by a non-first
+    * duplicated L-window. Returns (toks, covered) with `toks`
+    * persisted (tracked — it feeds grams, reassembly, and the final
+    * stats join). */
+  private def substringCoverage(df: DataFrame, idCol: String,
+      textCol: String, L: Int, posBase: Long): (DataFrame, DataFrame) = {
     require(L >= 2, s"window must be >= 2 tokens, got $L")
     require(posBase >= 2, s"posBase must be >= 2, got $posBase")
     val maxId = Long.MaxValue / posBase
@@ -359,7 +372,7 @@ object Dedup {
         idLong.cast("string"), lit(", n_tokens="), size(rawToks).cast("string"))))
       .otherwise(rawToks)
     val toks = spread(df).select(guardedId.as("id"), guardedToks.as("_t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // (id, pos, gh): one md5 per window;  joint so token
     // boundaries stay unambiguous
     val posIdx = when(size(col("_t")) >= L,
@@ -377,6 +390,13 @@ object Dedup {
       .filter(col("_occ") =!= col("_first"))
       .select(col("id"), explode(sequence(col("pos"), col("pos") + (L - 1))).as("_tp"))
       .distinct()
+    (toks, covered)
+  }
+
+  /** Shared back half: drop covered positions, reassemble per-doc
+    * survivors, emit (id, n_tokens, n_kept, kept_md5). */
+  private def substringReassemble(toks: DataFrame, covered: DataFrame,
+      L: Int): DataFrame = {
     val tokPos = toks.select(col("id"), posexplode(col("_t")))
       .select(col("id"), col("pos").as("_tp"), col("col").as("_tok"))
     val kept = tokPos.hint("shuffle_hash")
@@ -394,6 +414,53 @@ object Dedup {
       .select(col("id"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
+  /** VARIABLE-LENGTH exact substring dedup — the span-level view of
+    * [[exactSubstringDedup]], matching Lee et al. 2021's actual
+    * output shape (maximal duplicated spans, not fixed windows): the
+    * union of covered positions from non-first duplicated L-windows is
+    * merged into maximal islands, so each reported span is a maximal
+    * duplicated region of VARIABLE length ≥ L (overlapping duplicated
+    * windows chain into one long span — a 500-token boilerplate block
+    * reports as one span of ~500, not 488 window hits). Per doc:
+    * span inventory (count, longest, md5 of the canonical
+    * "start:len,…" list) plus the same survivor reassembly as the
+    * fixed pass. The span-length distribution is the signal you tune
+    * L with; max_span_len flags template-heavy documents.
+    *
+    * Scale shape: everything up to `covered` is the fixed pass
+    * (hash-only shuffles); island-merging is ONE window function
+    * partitioned by doc (the classic islands `pos − row_number()`
+    * grouping — per-doc bounded, shuffles (id, pos) pairs only) and
+    * is the SQL-portable formulation every engine computes
+    * identically. Returns (id, n_tokens, n_kept, n_spans,
+    * max_span_len, spans_md5, kept_md5). */
+  def exactSubstringDedupVar(df: DataFrame, idCol: String, textCol: String,
+      L: Int, posBase: Long = 100000L): DataFrame = {
+    val (toks, covered) = substringCoverage(df, idCol, textCol, L, posBase)
+    val cov = covered.persistTracked() // feeds islands AND reassembly
+    val w = Window.partitionBy(col("id")).orderBy(col("_tp"))
+    val spans = cov
+      .withColumn("_grp", col("_tp") - row_number().over(w))
+      .groupBy(col("id"), col("_grp"))
+      .agg(min(col("_tp")).as("_s"), count(lit(1)).as("_l"))
+    val spanAgg = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("_l")).as("max_span_len"),
+        md5(concat_ws(",", transform(
+          sort_array(collect_list(struct(col("_s"), col("_l")))),
+          e => concat(e("_s").cast("string"), lit(":"), e("_l").cast("string")))))
+          .as("spans_md5"))
+    // shuffle-hash pinned on the corpus-sized sides (same rationale as
+    // the fixed pass: AQE's small-SF stats must not pick broadcast)
+    substringReassemble(toks, cov, L)
+      .hint("shuffle_hash").join(spanAgg, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_kept"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_len"), lit(0L)).as("max_span_len"),
+        coalesce(col("spans_md5"), md5(lit(""))).as("spans_md5"),
+        col("kept_md5"))
   }
 
   /** Distinct-shingle set table (id, _sh, _size) — the shared input of
@@ -440,7 +507,7 @@ object Dedup {
       dfBroadcastBudget: Long = 4000000L): DataFrame = {
     val dfreq = inv.groupBy("_gk").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val prefixLen = (col("_size") - ceil(col("_size") * threshold) + 1)
       .cast("int")
     val withDf =
@@ -564,7 +631,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
@@ -581,7 +648,7 @@ object Dedup {
       next =
         if (it % 5 == 4) next.localCheckpoint(eager = false)
         else next
-      next = next.persist(StorageLevel.MEMORY_AND_DISK)
+      next = next.persistTracked()
       val s = labelSum(next) // materializes `next`
       labels.unpersist()
       labels = next

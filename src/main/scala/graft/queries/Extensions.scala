@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.core.Caches.TrackedPersist
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -216,8 +218,11 @@ object Extensions {
       .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
         col("kept_md5"))
 
-  val substringDedupSql: String = {
-    val L = SUBSTR_L
+  /** Shared CTE chain of the exact-substring oracles: token table →
+    * L-gram hashes with occurrence encoding → duplicated grams →
+    * covered positions → surviving-token reassembly. Ends after the
+    * `kept` CTE so each oracle appends its own tail. */
+  private def substrOracleCtes(L: Int): String =
     s"WITH t AS MATERIALIZED (SELECT doc_id, $duckToksLower AS tk FROM documents), " +
       s"g AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, doc_id * 100000 + i - 1 AS occ, " +
       s"md5(array_to_string(list_slice(tk, i, i + $L - 1), chr(1))) AS gh " +
@@ -230,11 +235,39 @@ object Extensions {
       "kept AS (SELECT tp.doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
       "md5(array_to_string(list(tp.tok ORDER BY tp.tp), ' ')) AS kept_md5 " +
       "FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.tp = cov.tp " +
-      "WHERE cov.tp IS NULL GROUP BY tp.doc_id) " +
-      "SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens, " +
+      "WHERE cov.tp IS NULL GROUP BY tp.doc_id)"
+
+  val substringDedupSql: String =
+    substrOracleCtes(SUBSTR_L) +
+      " SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens, " +
       "coalesce(k.n_kept, 0) AS n_kept, coalesce(k.kept_md5, md5('')) AS kept_md5 " +
       "FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id"
-  }
+
+  /** Variable-length exact substring dedup (X107): covered positions
+    * merged into maximal islands (the SQL-portable pos − row_number
+    * grouping), so spans report at their true variable length ≥ L.
+    * Oracle chains the identical islands CTEs onto the fixed pass. */
+  val substringDedupVar: Q = (s, d) =>
+    Dedup.exactSubstringDedupVar(Tables.documents(s, d), "doc_id", "text",
+      L = SUBSTR_L)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+        col("n_spans"), col("max_span_len"), col("spans_md5"), col("kept_md5"))
+
+  val substringDedupVarSql: String =
+    substrOracleCtes(SUBSTR_L) +
+      ", isl AS (SELECT doc_id, tp, tp - row_number() OVER (PARTITION BY doc_id ORDER BY tp) AS grp FROM cov), " +
+      "spans AS (SELECT doc_id, min(tp) AS s, count(*) AS l FROM isl GROUP BY doc_id, grp), " +
+      "sa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+      "CAST(max(l) AS BIGINT) AS max_span_len, " +
+      "md5(string_agg(s || ':' || l, ',' ORDER BY s)) AS spans_md5 FROM spans GROUP BY doc_id) " +
+      "SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens, " +
+      "coalesce(k.n_kept, 0) AS n_kept, " +
+      "coalesce(sa.n_spans, 0) AS n_spans, " +
+      "coalesce(sa.max_span_len, 0) AS max_span_len, " +
+      "coalesce(sa.spans_md5, md5('')) AS spans_md5, " +
+      "coalesce(k.kept_md5, md5('')) AS kept_md5 " +
+      "FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id " +
+      "LEFT JOIN sa ON t.doc_id = sa.doc_id"
 
   /** C4-style corpus-level line dedup with document reassembly. On the
     * synthetic single-line documents this degenerates to whole-doc
@@ -290,7 +323,7 @@ object Extensions {
     val slim = train
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     graft.operators.ScaleOps.packSequences(slim, "doc_id", col("nt"), ctxLen = 512L)
   }
 
@@ -967,7 +1000,7 @@ object Extensions {
     * `true` verdicts — any semantic violation flips a Spark-side
     * boolean and the hash goes red. */
   val streamOuterJoinVerified: Q = (s, d) => {
-    val out = streamOuterJoin(s, d).persist()
+    val out = streamOuterJoin(s, d).persistTracked()
     val signups = Tables.events(s, d).filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("s_us"))
     val nullEmits = out.filter(col("s_id") === -1L)
@@ -1707,7 +1740,7 @@ object Extensions {
     // referenced by both the pair generation and the canonical filter
     val ded = Dedup.exactDedup(clean, "text", "doc_id")
       .select("doc_id", "text")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val pairs = Dedup.minhashNearDupPairs(ded, "doc_id", "text",
       threshold = 0.7, shingleN = 3,
       bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB,
@@ -1718,7 +1751,7 @@ object Extensions {
     val canon = ded.join(dupIds, Seq("doc_id"), "left_anti")
     val train0 = graft.operators.ScaleOps.hashSplit(canon, "doc_id", holdoutPct = 10)
       .filter(col("split") === "train").select("doc_id", "text")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // the held-out slice of the ORIGINAL corpus plays the external
     // benchmark; only the train side is scrubbed against it
     val evalDocs = graft.operators.ScaleOps.hashSplit(docs, "doc_id", holdoutPct = 10)
@@ -1735,7 +1768,7 @@ object Extensions {
     // contamination join and token counts would run twice
     val slim = train.select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     graft.operators.ScaleOps.packSequences(slim, "doc_id", col("nt"), ctxLen = 512L)
   }
 
@@ -1847,6 +1880,52 @@ object Extensions {
       "per AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS s FROM bg JOIN pr USING (bg) GROUP BY doc_id) " +
       "SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, " +
       "coalesce(round(CAST(p.s AS DOUBLE)/(p.n_bigrams * 1000000000.0), 6), 0.0) AS mean_bigram_surprisal " +
+      "FROM documents d LEFT JOIN per p USING (doc_id)"
+  }
+
+  /** DCLM-style n-gram perplexity classifier (X108): interpolated
+    * add-one unigram+bigram model trained on the doc_id % 5 == 0 seed
+    * slice, every document scored by mean surprisal under it, kept at
+    * or below the threshold. The oracle trains the identical model
+    * from the identical slice. */
+  private val PPL_LAMBDA_BP = 7000
+  private val PPL_KEEP_THRESHOLD = 3.5
+
+  val ngramPerplexity: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Corpus.ngramPerplexity(docs, docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", lambdaBp = PPL_LAMBDA_BP,
+      keepThreshold = PPL_KEEP_THRESHOLD)
+  }
+
+  val ngramPerplexitySql: String = {
+    val bigrams = "CASE WHEN len(t) >= 2 THEN " +
+      "list_transform(generate_series(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+1), ' ')) " +
+      "ELSE []::VARCHAR[] END"
+    val lam = s"($PPL_LAMBDA_BP.0/10000.0)"
+    val oml = s"(${10000 - PPL_LAMBDA_BP}.0/10000.0)"
+    s"WITH toks AS MATERIALIZED (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"seedbg AS MATERIALIZED (SELECT bg, count(*) AS cbg FROM " +
+      s"(SELECT unnest($bigrams) AS bg FROM toks WHERE doc_id % 5 = 0) GROUP BY bg), " +
+      "ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cbg) AS BIGINT) AS ctx FROM seedbg GROUP BY 1), " +
+      "uni AS MATERIALIZED (SELECT w, count(*) AS cw FROM " +
+      "(SELECT unnest(t) AS w FROM toks WHERE doc_id % 5 = 0) GROUP BY w), " +
+      "scal AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tok, CAST(count(*) AS BIGINT) AS v FROM uni), " +
+      s"bg AS (SELECT doc_id, bg, count(*) AS n FROM " +
+      s"(SELECT doc_id, unnest($bigrams) AS bg FROM toks) GROUP BY doc_id, bg), " +
+      "sc AS (SELECT b.doc_id, b.n, CAST(floor((-ln(" +
+      s"$lam * (CAST(coalesce(s.cbg, 0) + 1 AS DOUBLE)/(coalesce(c.ctx, 0) + scal.v)) + " +
+      s"$oml * (CAST(coalesce(u.cw, 0) + 1 AS DOUBLE)/(scal.n_tok + scal.v))" +
+      ")) * 1000000000.0 + 0.5) AS BIGINT) AS lp " +
+      "FROM bg b LEFT JOIN seedbg s USING (bg) " +
+      "LEFT JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1 " +
+      "LEFT JOIN uni u ON split_part(b.bg, ' ', 2) = u.w " +
+      "CROSS JOIN scal), " +
+      "per AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, CAST(sum(n * lp) AS BIGINT) AS s FROM sc GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, " +
+      "coalesce(round(CAST(p.s AS DOUBLE)/(p.n_bigrams * 1000000000.0), 6), 0.0) AS log_ppl, " +
+      "(coalesce(p.n_bigrams, 0) = 0 OR " +
+      s"coalesce(round(CAST(p.s AS DOUBLE)/(p.n_bigrams * 1000000000.0), 6), 0.0) <= $PPL_KEEP_THRESHOLD) AS keep " +
       "FROM documents d LEFT JOIN per p USING (doc_id)"
   }
 
@@ -2185,10 +2264,12 @@ object Extensions {
     "q_exact_dedup" -> exactDedup,
     "q_line_dedup" -> lineDedup,
     "q_substring_dedup" -> substringDedup,
+    "q_substring_dedup_var" -> substringDedupVar,
     "q_seq_pack" -> seqPack,
     "q_ngram_jaccard" -> ngramJaccard,
     "q_ngram_prefix" -> ngramPrefix,
     "q_bigram_surprisal" -> bigramSurprisal,
+    "q_ngram_perplexity" -> ngramPerplexity,
     "q_minhash_pairs" -> minhashPairs,
     "q_simhash_pairs" -> simhashPairs,
     "q_embed_topk" -> embedTopK,
@@ -2271,10 +2352,12 @@ object Extensions {
     "q_exact_dedup" -> exactDedupSql,
     "q_line_dedup" -> lineDedupSql,
     "q_substring_dedup" -> substringDedupSql,
+    "q_substring_dedup_var" -> substringDedupVarSql,
     "q_seq_pack" -> seqPackSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_ngram_prefix" -> ngramPrefixSql,
     "q_bigram_surprisal" -> bigramSurprisalSql,
+    "q_ngram_perplexity" -> ngramPerplexitySql,
     "q_minhash_pairs" -> minhashPairsSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_embed_topk" -> embedTopKSql,

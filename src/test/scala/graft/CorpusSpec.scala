@@ -251,4 +251,59 @@ class CorpusSpec extends SparkSpec {
     // bigrams are common -> gibberish scores strictly higher
     assert(bg(99L) > bg(1L))
   }
+
+  test("ngramPerplexity: exact math on a tiny seed model") {
+    // seed: "a b" twice -> c(a b)=2, ctx(a)=2, uni a:2 b:2, N=4, V=2
+    val seed = Seq((100L, "a b"), (101L, "a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),   // seen bigram
+      (2L, "a c"),   // unseen bigram, OOV w2, seen context
+      (3L, "x"))     // single token: no bigrams, keeps by definition
+      .toDF("doc_id", "text")
+    val got = Corpus.ngramPerplexity(docs, seed, "doc_id", "text",
+      lambdaBp = 7000, keepThreshold = 1.0)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def score(cbg: Long, ctx: Long, cw: Long): Double = {
+      val pb = (cbg + 1).toDouble / (ctx + 2)
+      val pu = (cw + 1).toDouble / (4 + 2)
+      val s = math.floor(-math.log(0.7 * pb + 0.3 * pu) * 1e9 + 0.5) / 1e9
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // doc 1: P = .7*(2+1)/(2+2) + .3*(2+1)/(4+2)
+    assert(got(1L) == ((1L, score(2, 2, 2), score(2, 2, 2) <= 1.0)))
+    // doc 2: unseen "a c" -> .7*(0+1)/(2+2) + .3*(0+1)/(4+2)
+    assert(got(2L) == ((1L, score(0, 2, 0), score(0, 2, 0) <= 1.0)))
+    assert(got(2L)._2 > got(1L)._2, "unseen bigram must score higher")
+    // doc 3: no evidence -> keep
+    assert(got(3L) == ((0L, 0.0, true)))
+  }
+
+  test("ngramPerplexity: in-domain text keeps, out-of-domain gibberish drops") {
+    val seed = (100L to 119L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zxq wvut ponm lkji hgfe dcba qqqq zzzz xxxx yyyy"))
+      .toDF("doc_id", "text")
+    // hand-computed under the seed model: in-domain mean ≈ 0.88,
+    // gibberish (all-OOV, all-unseen-context) ≈ 2.74 — 2.0 splits
+    val got = Corpus.ngramPerplexity(docs, seed, "doc_id", "text",
+      lambdaBp = 7000, keepThreshold = 2.0)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(1L)._2, s"in-domain doc must keep: ${got(1L)}")
+    assert(!got(2L)._2, s"gibberish must drop: ${got(2L)}")
+    assert(got(2L)._1 > got(1L)._1)
+  }
+
+  test("ngramPerplexity: empty seed fails loud") {
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.ngramPerplexity(docs, docs.filter(col("doc_id") < 0),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("empty seed"))
+  }
 }

@@ -241,6 +241,52 @@ class DedupSpec extends SparkSpec {
     assert(got(4L)._3 == got(4L)._2.toLong)
   }
 
+  test("exactSubstringDedupVar: overlapping duplicated windows merge into one variable-length span") {
+    // doc 1 vs doc 2: a shared 9-token region — with L=5 that is five
+    // overlapping duplicated windows, which must merge into ONE span
+    // of length 9 in doc 2 (the non-first occurrence). doc 3 carries
+    // TWO disjoint copies of a 5-token span -> two spans of 5 each.
+    val long9 = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val span5 = "one two three four five"
+    val docs = Seq(
+      (1L, s"prefix words here $long9 suffix"),
+      (2L, s"other opening $long9 closing words"),
+      (3L, s"$span5 middle filler tokens go here $span5"),
+      (4L, s"start bits $span5 end bits"),
+      (5L, "entirely unrelated material with no duplicated span content"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedupVar(docs, "doc_id", "text", L = 5)
+      .as[(Long, Int, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: global first occurrence of the 9-token region -> no spans
+    assert(got(1L)._4 == 0L && got(1L)._5 == 0L, s"doc1 clean: ${got(1L)}")
+    // doc 2: the five overlapping windows merged into one span of 9
+    assert(got(2L)._4 == 1L, s"doc2 must report ONE merged span: ${got(2L)}")
+    assert(got(2L)._5 == 9L, s"doc2 span must be variable length 9: ${got(2L)}")
+    assert(got(2L)._2 - got(2L)._3 == 9L)
+    // doc 3: first occurrence of span5 lives here (doc 3 < doc 4 never
+    // holds — doc 3 IS the first), so only its SECOND copy drops
+    assert(got(3L)._4 == 1L && got(3L)._5 == 5L, s"doc3: ${got(3L)}")
+    // doc 4: its copy of span5 is a non-first occurrence -> one span
+    assert(got(4L)._4 == 1L && got(4L)._5 == 5L, s"doc4: ${got(4L)}")
+    // doc 5: untouched, canonical empty markers
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(5L)._4 == 0L && got(5L)._6 == emptyMd5)
+    // n_tokens/n_kept/kept_md5 agree with the fixed pass on every doc
+    val fixed = Dedup.exactSubstringDedup(docs, "doc_id", "text", L = 5)
+      .as[(Long, Int, Long, String)].collect().map(r => r._1 -> r).toMap
+    got.foreach { case (id, v) =>
+      assert((v._2, v._3, v._7) == (fixed(id)._2, fixed(id)._3, fixed(id)._4),
+        s"var pass must reassemble identically to fixed for doc $id")
+    }
+    // spans_md5 is the canonical "start:len" list: doc 2's span starts
+    // at token 2 ("other opening" = 2 tokens), length 9
+    val want2 = java.security.MessageDigest.getInstance("MD5")
+      .digest("2:9".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(2L)._6 == want2, s"doc2 spans_md5: ${got(2L)._6}")
+  }
+
   test("exactSubstringDedup: doc longer than posBase tokens fails loud, not silently wrong") {
     // posBase=8 with a 10-token doc: _occ = id*8+pos would collide
     // across documents — the guard must kill the job with a pointed

@@ -30,7 +30,9 @@ class PlanGuardSpec extends SparkSpec {
       // q_embed_topk shape with multi-vector scoring
       "q_maxsim",
       // 1-row sqrt-weight-sum scalar broadcast, like q_tfidf's doc count
-      "q_temperature_mix")
+      "q_temperature_mix",
+      // 1-row seed (N, V) scalar broadcast, like q_unigram_surprisal
+      "q_ngram_perplexity")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
