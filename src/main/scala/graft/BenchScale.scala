@@ -20,7 +20,8 @@ object BenchScale {
     "q_bigram_surprisal", "q_recursive_sql", "q_bpe_apply",
     "q_shortest_path", "q_cms_portable", "q_top50_partners",
     "q_ngram_jaccard", "q_minhash_pairs", "q_semantic_dedup", "q_maxsim",
-    "q_substring_dedup", "q_stream_outer_join",
+    "q_substring_dedup", "q_substring_dedup_var", "q_ngram_perplexity",
+    "q_stream_outer_join",
     // round-7 bench drift watch (sub-tripwire drifts adjudicated as
     // host noise in VERDICT r7 — kept here so the steady-state numbers
     // stay on record)
