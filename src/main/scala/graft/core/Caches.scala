@@ -35,32 +35,43 @@ import org.apache.spark.storage.StorageLevel
   * resident (the exact leak this hook exists to close). What's pinned
   * per entry is one `Dataset` + its analyzed plan — driver-side plan
   * objects, small next to the cached blocks themselves, and bounded by
-  * the operator-call count between `release`/`clearCache` calls. The
-  * session key itself is weak: a dropped SparkSession takes its queue
-  * with it.
+  * the operator-call count between `release`/`clearCache` calls. An
+  * entry lives until its session's [[release]] (a weak key would be
+  * pointless here: each tracked `Dataset` strongly references its own
+  * SparkSession, so the value would pin the key anyway); a session
+  * dropped WITHOUT release keeps only driver-side plan objects
+  * reachable — its executor-side blocks die with the SparkContext.
   */
 object Caches {
-  private val registry = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]())
-
-  private def queueFor(spark: SparkSession): ConcurrentLinkedQueue[DataFrame] =
-    registry.synchronized {
-      val q = registry.get(spark)
-      if (q != null) q
-      else {
-        val fresh = new ConcurrentLinkedQueue[DataFrame]()
-        registry.put(spark, fresh)
-        fresh
-      }
-    }
+  private val registry =
+    new java.util.HashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
 
   /** `df.persist(level)` + register for [[release]]. Use for every
     * graft-internal persist that outlives its operator's return. */
   def persistTracked(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
-    queueFor(p.sparkSession).add(p)
+    track(p)
     p
+  }
+
+  /** Register an ALREADY-persisted frame for [[release]] without
+    * re-persisting (the CC loop persists per-round and eagerly frees
+    * all but the final frame — only that survivor is registered).
+    * get/create + add happen under one registry lock so a concurrent
+    * [[release]] can never orphan the registration (remove-then-add
+    * would leak the cache until clearCache). */
+  def track(df: DataFrame): DataFrame = {
+    registry.synchronized {
+      val spark = df.sparkSession
+      var q = registry.get(spark)
+      if (q == null) {
+        q = new ConcurrentLinkedQueue[DataFrame]()
+        registry.put(spark, q)
+      }
+      q.add(df)
+    }
+    df
   }
 
   /** Unpersist every graft-internal intermediate registered under this
@@ -69,7 +80,7 @@ object Caches {
     * latency-gated on cleanup. Unpersisting a frame an operator
     * already released eagerly is a no-op, so double-tracking is safe. */
   def release(spark: SparkSession): Unit = {
-    val q = registry.remove(spark)
+    val q = registry.synchronized { registry.remove(spark) }
     if (q != null) q.forEach(_.unpersist(blocking = false))
   }
 
@@ -82,7 +93,7 @@ object Caches {
   }
 
   /** Tracked-intermediate count for this session (specs/debug). */
-  def trackedCount(spark: SparkSession): Int = {
+  def trackedCount(spark: SparkSession): Int = registry.synchronized {
     val q = registry.get(spark)
     if (q == null) 0 else q.size()
   }

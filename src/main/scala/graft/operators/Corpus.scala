@@ -302,14 +302,18 @@ object Corpus {
     val lam = lambdaBp / 10000.0
     val oneMinusLam = (10000 - lambdaBp) / 10000.0
 
-    val sbg = Dedup.spread(seed)
+    // both seed model tables feed TWO consumers each (sbg → ctx + the
+    // scoring join; uni → scal + the scoring join) — persist so the
+    // seed tokenize/explode/agg runs once per table, the
+    // bigramSurprisal convention
+    val sbg = graft.core.Caches.persistTracked(Dedup.spread(seed)
       .select(explode(Dedup.shinglesAuto(seed, textCol, 2)).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("_cbg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("_cbg")))
     val ctx = sbg.groupBy(substring_index(col("bg"), " ", 1).as("_cw1"))
       .agg(sum(col("_cbg")).cast("long").as("_ctx"))
-    val uni = Dedup.spread(seed)
+    val uni = graft.core.Caches.persistTracked(Dedup.spread(seed)
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("_uw"))
-      .groupBy(col("_uw")).agg(count(lit(1)).as("_cw"))
+      .groupBy(col("_uw")).agg(count(lit(1)).as("_cw")))
     val scal = uni.agg(sum(col("_cw")).cast("long").as("_n_tok"),
       count(lit(1)).cast("long").as("_v"))
 

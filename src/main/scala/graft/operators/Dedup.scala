@@ -629,9 +629,12 @@ object Dedup {
       .union(pairs.select(col(id2).cast("long").as("a"), col(id1).cast("long").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-round persists stay UNtracked (category-1 eager release —
+    // the loop frees each superseded frame itself); only the final
+    // surviving frame registers below
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .persistTracked()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
@@ -648,7 +651,7 @@ object Dedup {
       next =
         if (it % 5 == 4) next.localCheckpoint(eager = false)
         else next
-      next = next.persistTracked()
+      next = next.persist(StorageLevel.MEMORY_AND_DISK)
       val s = labelSum(next) // materializes `next`
       labels.unpersist()
       labels = next
@@ -657,7 +660,9 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
-    labels
+    // the ESCAPING frame: materialized above, referenced by the caller's
+    // plan — register (already persisted) for Caches.release
+    graft.core.Caches.track(labels)
   }
 
   /** Driver-side union-find with path halving; components relabeled to

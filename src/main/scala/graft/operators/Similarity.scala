@@ -405,19 +405,25 @@ object Similarity {
     require(maxK > 0, s"maxK must be positive, got $maxK")
     val n = corpus.select(col(idCol)).count()
     require(n > 0, "semanticDedupAuto: empty corpus")
-    val derived = (n + targetCellSize - 1) / targetCellSize
-    require(derived <= maxK,
-      s"semanticDedupAuto: derived k=$derived exceeds maxK=$maxK — " +
-        s"raise maxK (driver holds k*dims centroid values) or targetCellSize")
-    semanticDedup(corpus, derived.toInt, iters, threshold, idCol, vecCol)
+    // ONE derivation, shared with oracle generators/specs — the helper
+    // throws past maxK, so Auto and AutoK can never disagree
+    semanticDedup(corpus, semanticDedupAutoK(n, targetCellSize, maxK),
+      iters, threshold, idCol, vecCol)
   }
 
   /** The k [[semanticDedupAuto]] would run with — exposed so specs and
     * oracle generators can pin the derivation without running the
-    * clusterer. */
+    * clusterer. Mirrors Auto's maxK contract exactly: past the clamp
+    * Auto THROWS rather than silently re-admitting oversized cells, so
+    * this helper must too (a silently clamped k here would let an
+    * oracle generator emit an expected result for an invocation that
+    * actually fails). */
   def semanticDedupAutoK(n: Long, targetCellSize: Int, maxK: Int): Int = {
-    val derived = (n + targetCellSize - 1) / targetCellSize
-    math.min(maxK.toLong, math.max(1L, derived)).toInt
+    val derived = math.max(1L, (n + targetCellSize - 1) / targetCellSize)
+    require(derived <= maxK,
+      s"semanticDedupAutoK: derived k=$derived exceeds maxK=$maxK — " +
+        s"raise maxK (driver holds k*dims centroid values) or targetCellSize")
+    derived.toInt
   }
 
   /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine

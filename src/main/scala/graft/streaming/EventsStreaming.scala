@@ -53,7 +53,13 @@ object EventsStreaming {
 
   def readDriverEventsStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path).schema("ts").dataType match {
+    // empty / not-yet-populated directory (stream-first pattern): no
+    // footer to probe — default to the current driver generation (NTZ
+    // micros) rather than failing before the stream even starts
+    val probed =
+      try spark.read.parquet(path).schema("ts").dataType
+      catch { case scala.util.control.NonFatal(_) => TimestampNTZType }
+    probed match {
       case LongType =>
         spark.readStream.schema(eventSchemaNanos).parquet(path)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
