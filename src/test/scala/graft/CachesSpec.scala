@@ -41,6 +41,21 @@ class CachesSpec extends SparkSpec {
     mine.unpersist()
   }
 
+  test("connectedComponents registers exactly its surviving label frame") {
+    Caches.release(spark)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 13L), (13L, 14L),
+      (20L, 21L), (21L, 22L), (30L, 31L))
+      .toDF("id1", "id2")
+    // force the distributed path (several supersteps) with a tiny gate
+    val cc = Dedup.connectedComponents(pairs, "id1", "id2", localThreshold = 0)
+    assert(cc.count() > 0)
+    // per-round frames are eagerly released in-loop (category 1); ONLY
+    // the final escaping frame may sit in the registry
+    assert(Caches.trackedCount(spark) == 1,
+      s"CC must register exactly the survivor, got ${Caches.trackedCount(spark)}")
+    Caches.release(spark)
+  }
+
   test("released plans still compute correctly (recompute, not corruption)") {
     Caches.release(spark)
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
