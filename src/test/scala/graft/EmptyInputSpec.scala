@@ -85,6 +85,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(!f.decoded && f.pixel_sum == 0L)
   }
 
+  test("substring dedup (fixed and var) returns empty on an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.exactSubstringDedup(empty, "doc_id", "text",
+      L = 5).count() == 0)
+    assert(graft.operators.Dedup.exactSubstringDedupVar(empty, "doc_id", "text",
+      L = 5).count() == 0)
+    // a corpus with no duplicated window: var pass reports zero spans
+    val clean = Seq((1L, "entirely unique words right here")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactSubstringDedupVar(clean, "doc_id", "text",
+      L = 3).as[(Long, Int, Long, Long, Long, String, String)].collect()(0)
+    assert(got._4 == 0L && got._5 == 0L && got._3 == got._2.toLong)
+  }
+
+  test("ngramPerplexity scores an empty doc set to empty, short docs keep") {
+    val seed = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Corpus.ngramPerplexity(empty, seed, "doc_id", "text")
+      .count() == 0)
+    // empty-TEXT doc (zero tokens): no bigrams, keeps by definition
+    val blank = Seq((1L, "")).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.ngramPerplexity(blank, seed, "doc_id", "text")
+      .as[(Long, Long, Double, Boolean)].collect()(0)
+    assert(got == ((1L, 0L, 0.0, true)))
+  }
+
   test("shortestPath with zero rounds returns only the seeds") {
     val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
     val got = graph.Traversal.shortestPath(edges, "src", "dst", "w",
