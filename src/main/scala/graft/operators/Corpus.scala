@@ -285,17 +285,23 @@ object Corpus {
     * Σ n·lp per-doc sum (the repo's order-exact convention).
     *
     * Plan: the seed unigram/context tables are word-vocab-sized
-    * (Heaps' law) and broadcast — same argument as
-    * [[unigramSurprisal]]; the seed BIGRAM table grows superlinearly
-    * in vocab, so its scoring join is shuffle-hash pinned, NEVER
-    * broadcast, and shuffles distinct grams-per-doc weighted by count
-    * — the [[bigramSurprisal]] shape with the model trained on `seed`
-    * instead of the corpus itself. Returns
-    * (idCol, n_bigrams, log_ppl, keep); docs with < 2 tokens carry no
-    * evidence and keep. */
+    * (Heaps' law) and broadcast-preferred — same argument as
+    * [[unigramSurprisal]] — but the argument is ENFORCED, not assumed:
+    * the unigram vocab is probed against `seedBroadcastBudget` with
+    * one bounded `fitsBudget` action, and a seed whose vocab exceeds
+    * the budget falls back to shuffle-hash joins for BOTH vocab-sized
+    * tables (the context table is a coarsening of the same vocab, so
+    * one probe bounds both) instead of OOMing the driver. The seed
+    * BIGRAM table grows superlinearly in vocab, so its scoring join is
+    * shuffle-hash pinned, NEVER broadcast, and shuffles distinct
+    * grams-per-doc weighted by count — the [[bigramSurprisal]] shape
+    * with the model trained on `seed` instead of the corpus itself.
+    * Returns (idCol, n_bigrams, log_ppl, keep); docs with < 2 tokens
+    * carry no evidence and keep. */
   def ngramPerplexity(docs: DataFrame, seed: DataFrame, idCol: String,
       textCol: String, lambdaBp: Int = 7000,
-      keepThreshold: Double = 9.0): DataFrame = {
+      keepThreshold: Double = 9.0,
+      seedBroadcastBudget: Long = 4000000L): DataFrame = {
     require(lambdaBp >= 0 && lambdaBp <= 10000,
       s"lambdaBp must be in [0, 10000], got $lambdaBp")
     require(!seed.isEmpty, "ngramPerplexity: empty seed corpus")
@@ -317,6 +323,14 @@ object Corpus {
     val scal = uni.agg(sum(col("_cw")).cast("long").as("_n_tok"),
       count(lit(1)).cast("long").as("_v"))
 
+    // one bounded probe on the persisted unigram table decides the
+    // join strategy for BOTH vocab-sized sides: |ctx| ≤ |uni| by
+    // construction (ctx groups sbg by first word), so uni under
+    // budget ⇒ ctx under budget
+    val uniFits = Dedup.fitsBudget(uni, seedBroadcastBudget)
+    def vocabSide(df: DataFrame): DataFrame =
+      if (uniFits) broadcast(df) else df.hint("shuffle_hash")
+
     val tfd = Dedup.spread(docs).select(col(idCol),
       explode(Dedup.shinglesAuto(docs, textCol, 2)).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("_n"))
@@ -326,9 +340,9 @@ object Corpus {
       (col("_n_tok") + col("_v")).cast("double")
     val per = tfd
       .join(sbg.hint("shuffle_hash"), Seq("bg"), "left")
-      .join(broadcast(ctx),
+      .join(vocabSide(ctx),
         substring_index(col("bg"), " ", 1) === col("_cw1"), "left")
-      .join(broadcast(uni),
+      .join(vocabSide(uni),
         substring_index(col("bg"), " ", -1) === col("_uw"), "left")
       .crossJoin(broadcast(scal))
       .withColumn("_lp",

@@ -298,6 +298,31 @@ class CorpusSpec extends SparkSpec {
     assert(got(2L)._1 > got(1L)._1)
   }
 
+  test("ngramPerplexity: over-budget seed falls back to shuffle-hash, result identical") {
+    val seed = (100L to 119L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zxq wvut ponm lkji hgfe dcba qqqq zzzz xxxx yyyy"))
+      .toDF("doc_id", "text")
+    // budget=1 < vocab size -> BOTH vocab-sized joins (ctx, uni) fall
+    // back to shuffle-hash, joining the always-pinned bigram join for
+    // 3 ShuffledHashJoins; the default budget broadcasts ctx+uni
+    val gated = Corpus.ngramPerplexity(docs, seed, "doc_id", "text",
+      seedBroadcastBudget = 1L)
+    val gatedPlan = gated.queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin".r.findAllIn(gatedPlan).length >= 3,
+      s"tiny budget must force shuffle-hash on the vocab joins:\n$gatedPlan")
+    val broad = Corpus.ngramPerplexity(docs, seed, "doc_id", "text")
+    val broadPlan = broad.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(broadPlan).length >= 2,
+      s"default budget must broadcast the vocab joins:\n$broadPlan")
+    val g = gated.as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    val b = broad.as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(g.sameElements(b), "fallback path must produce identical rows")
+  }
+
   test("ngramPerplexity: empty seed fails loud") {
     val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
