@@ -2253,6 +2253,27 @@ object Extensions {
       s"(${graft.sources.ZOrderLayout.zValueSql("l_partkey", "l_suppkey", ZBITS)}) AS z " +
       "FROM lineitem WHERE l_partkey BETWEEN 10 AND 120 AND l_suppkey BETWEEN 2 AND 60"
 
+  /** X22 — the typed top-k `Aggregator` driven DIRECTLY against the
+    * driver's hash gate (until now it was spec-pinned and exercised
+    * only through the cosine top-k queries): top-3 orders per customer
+    * by total price. Bounded per-partition heaps mean the one shuffle
+    * carries ≤k entries per (group × partition) — the map-side-combine
+    * shape the window form below cannot produce — while the output is
+    * row-identical to `row_number() over (partition by custkey order
+    * by price desc, orderkey asc) <= k`. */
+  val topKAgg: Q = (s, d) =>
+    graft.operators.TopK.topKPerGroup(
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      "o_custkey", "o_orderkey", "o_totalprice", k = 3)
+
+  val topKAggSql: String =
+    "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank " +
+      "FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "row_number() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders) " +
+      "WHERE rank <= 3"
+
   // -------------------- registry --------------------
 
   val queries: Map[String, Q] = Map(
@@ -2341,6 +2362,7 @@ object Extensions {
     "q_stream_running_totals" -> streamRunningTotals,
     "q_gap_fill" -> gapFill,
     "q_profile" -> profile,
+    "q_topk_agg" -> topKAgg,
     "q_merge_schema" -> mergeSchemaRead)
 
   val oracles: Map[String, String] = Map(
@@ -2429,5 +2451,6 @@ object Extensions {
     "q_stream_running_totals" -> streamRunningTotalsSql,
     "q_gap_fill" -> gapFillSql,
     "q_profile" -> profileSql,
+    "q_topk_agg" -> topKAggSql,
     "q_merge_schema" -> mergeSchemaReadSql)
 }

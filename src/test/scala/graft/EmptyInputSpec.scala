@@ -110,6 +110,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(got == ((1L, 0L, 0.0, true)))
   }
 
+  test("topKPerGroup returns empty on an empty scored set") {
+    val empty = Seq.empty[(Long, Long, Double)].toDF("g", "id", "s")
+    assert(graft.operators.TopK.topKPerGroup(empty, "g", "id", "s", 3)
+      .count() == 0)
+  }
+
   test("shortestPath with zero rounds returns only the seeds") {
     val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
     val got = graph.Traversal.shortestPath(edges, "src", "dst", "w",
