@@ -25,7 +25,13 @@ object BenchScale {
     // round-7 bench drift watch (sub-tripwire drifts adjudicated as
     // host noise in VERDICT r7 — kept here so the steady-state numbers
     // stay on record)
-    "q_simhash_pairs", "q_ppr", "q_gap_fill")
+    "q_simhash_pairs", "q_ppr", "q_gap_fill",
+    // round-8 bench drift watch: the driver's [bench-regress] flags
+    // (q_twap, q_scd2_pit) plus the >1.5x r7->r8 movers with no code
+    // diff that round — VERDICT r8 adjudicated data-regeneration/noise
+    // but asked for steady-state alpha rows on record
+    "q_twap", "q_scd2_pit", "q_trade_ranks", "q_tfidf", "q_hops",
+    "q_repetition", "q_triangles")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS
