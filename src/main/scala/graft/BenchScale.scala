@@ -31,7 +31,10 @@ object BenchScale {
     // diff that round — VERDICT r8 adjudicated data-regeneration/noise
     // but asked for steady-state alpha rows on record
     "q_twap", "q_scd2_pit", "q_trade_ranks", "q_tfidf", "q_hops",
-    "q_repetition", "q_triangles")
+    "q_repetition", "q_triangles",
+    // round-9 incremental-counts rewrite: fixed-overhead-bound at test
+    // SFs by design (see PLANS.md q_bpe_merges) — kept on record
+    "q_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Caches.TrackedPersist
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -417,11 +417,19 @@ object Corpus {
     * learned merge: (merge_rank, lhs, rhs, pair_count), merged symbols
     * rendered with spaces.
     *
-    * Scale shape per round: ONE pair-count partial-agg shuffle (the
-    * pair explode is map-side), a TakeOrdered(1) argmax (the driver
-    * sees ONE row per round, never corpus data), and a map-side string
-    * rewrite; the symbol-stream state localCheckpoints per round (the
-    * repo's iterative-lineage policy).
+    * Scale shape: the pair-count table is maintained INCREMENTALLY —
+    * round 1 pays one full pair explode + partial-agg shuffle; rounds
+    * 2+ touch only the rows whose cells contain the just-merged pair
+    * (a merge changes no other row's pairs), exploding their pairs
+    * before and after the rewrite with ±1 signs into one signed-delta
+    * shuffle, then folding the delta into the running counts (a
+    * distinct-pair-sized table, never corpus-sized). The argmax is a
+    * TakeOrdered(1) over the counts table (the driver sees ONE row per
+    * round, never corpus data); the map-side string rewrite and the
+    * per-round localCheckpoint of the symbol stream (the repo's
+    * iterative-lineage policy) are unchanged. At a real corpus this
+    * turns numMerges × full-explode-and-shuffle into
+    * 1 × full + (numMerges−1) × affected-subset.
     *
     * Greedy leftmost non-overlapping semantics come from the CELL
     * encoding: each symbol is stored as chr(2)+symbol+' ', so a pair
@@ -445,16 +453,23 @@ object Corpus {
       array_join(transform(TextFunctions.tokens(lower(col(textCol))),
         t => concat(lit(M), t, lit(" "))), "").as("cells"))
       .localCheckpoint()
+    // adjacent-pair list of a cells string — shared by the initial
+    // full count and the per-round before/after delta
+    def pairsOf(cells: Column): Column = {
+      val syms = filter(split(cells, " "), c => c =!= "")
+      val n1 = greatest(size(syms) - 1, lit(0))
+      zip_with(slice(syms, lit(1), n1), slice(syms, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    // running exact pair-count table (distinct-pair-sized); round 1's
+    // full explode is the ONLY corpus-wide pair shuffle
+    var counts = state.select(explode(pairsOf(col("cells"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     for (k <- 1 to numMerges if !done) {
-      val syms = filter(split(col("cells"), " "), c => c =!= "")
-      val n1 = greatest(size(syms) - 1, lit(0))
-      val pairs = zip_with(slice(syms, lit(1), n1), slice(syms, lit(2), n1),
-        (a, b) => concat(a, lit(" "), b))
-      val best = state.select(explode(pairs).as("p"))
-        .groupBy(col("p")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("p").asc).limit(1)
+      val best = counts.orderBy(col("c").desc, col("p").asc).limit(1)
         .collect()
       if (best.isEmpty) done = true
       else {
@@ -465,14 +480,31 @@ object Corpus {
         val rep = a + J + b.substring(1) + " "  // one merged cell
         merges += ((k, a.substring(1).replace(J, " "),
           b.substring(1).replace(J, " "), c))
-        val next = state.select(
-          call_function("replace", col("cells"), lit(pat), lit(rep)).as("cells"))
+        val rewritten =
+          call_function("replace", col("cells"), lit(pat), lit(rep))
+        // delta pass: ONLY rows containing the merged pair change any
+        // pair count — explode their pairs before (−1) and after (+1)
+        // the rewrite in one scan, pre-aggregate the signed sum
+        val delta = state.filter(col("cells").contains(pat))
+          .select(explode(concat(
+            transform(pairsOf(col("cells")),
+              q => struct(q.as("p"), lit(-1L).as("d"))),
+            transform(pairsOf(rewritten),
+              q => struct(q.as("p"), lit(1L).as("d"))))).as("e"))
+          .groupBy(col("e.p").as("p")).agg(sum(col("e.d")).as("c"))
+        val nextCounts = counts.unionByName(delta)
+          .groupBy(col("p")).agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
           .localCheckpoint()
+        counts.unpersist()
+        counts = nextCounts
+        val next = state.select(rewritten.as("cells")).localCheckpoint()
         state.unpersist()
         state = next
       }
     }
     state.unpersist()
+    counts.unpersist()
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
