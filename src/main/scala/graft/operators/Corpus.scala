@@ -360,6 +360,84 @@ object Corpus {
         col("n_bigrams") === 0L || col("log_ppl") <= lit(keepThreshold))
   }
 
+  /** DCLM's learned quality classifier (Li et al. 2024,
+    * arXiv:2406.11794 §3.2) in its fastText-shaped linear form
+    * (Joulin et al. 2016, arXiv:1607.01759): a linear bag-of-ngrams
+    * model over unigrams + word bigrams separating seed ("known good")
+    * from random pool text — TRAINING step. The fit is the closed-form
+    * multinomial Naive-Bayes log-count ratio (the exact linear weights
+    * a one-pass generative fit yields, so training replays as SQL with
+    * no iterative optimizer):
+    * w(g) = ln((c_pos(g)+1)/(N_pos+V)) − ln((c_neg(g)+1)/(N_neg+V))
+    * over the union vocabulary (size V; add-one smoothing), quantized
+    * to 1e-6 fixed-point BIGINT; the `topF` features by |w| (tie: gram
+    * asc — deterministic) form the model. Returns (g, w) — topF rows.
+    *
+    * Scale shape: two vocab-sized gram-count partial-agg shuffles, one
+    * vocab-sized full-outer shuffle join (persisted — the 1-row scalar
+    * agg and the weight projection both consume it), a broadcast 1-row
+    * scalar, and a TakeOrdered(topF) — the driver-bound output is
+    * topF rows by construction, never vocab-sized. */
+  def linearQualityWeights(pos: DataFrame, neg: DataFrame,
+      textCol: String, topF: Int = 64): DataFrame = {
+    require(topF >= 1 && topF <= 100000,
+      s"topF must be in [1, 100000], got $topF")
+    require(!pos.isEmpty, "linearQualityWeights: empty positive (seed) class")
+    require(!neg.isEmpty, "linearQualityWeights: empty negative class")
+    def grams(df: DataFrame): DataFrame = Dedup.spread(df).select(
+      explode(concat(TextFunctions.tokens(lower(col(textCol))),
+        Dedup.shinglesAuto(df, textCol, 2))).as("g"))
+    val pc = grams(pos).groupBy(col("g")).agg(count(lit(1)).as("_pc"))
+    val nc = grams(neg).groupBy(col("g")).agg(count(lit(1)).as("_nc"))
+    val joined = graft.core.Caches.persistTracked(
+      pc.join(nc, Seq("g"), "full_outer"))
+    val scal = joined.agg(
+      sum(coalesce(col("_pc"), lit(0L))).cast("long").as("_np"),
+      sum(coalesce(col("_nc"), lit(0L))).cast("long").as("_nn"),
+      count(lit(1)).cast("long").as("_v"))
+    joined.crossJoin(broadcast(scal))
+      .select(col("g"), floor((
+        log((coalesce(col("_pc"), lit(0L)) + lit(1L)).cast("double") /
+          (col("_np") + col("_v")).cast("double")) -
+        log((coalesce(col("_nc"), lit(0L)) + lit(1L)).cast("double") /
+          (col("_nn") + col("_v")).cast("double"))) * lit(1e6) + lit(0.5))
+        .cast("long").as("w"))
+      .orderBy(abs(col("w")).desc, col("g").asc)
+      .limit(topF)
+  }
+
+  /** [[linearQualityWeights]]'s SCORING step: the trained (gram →
+    * fixed-point weight) table rides along as a LITERAL map, so
+    * scoring is a pure zero-shuffle map-side projection over the
+    * corpus — the DCLM arrangement where the classifier, once trained,
+    * is a constant applied at full scale. Per doc: logit = Σ c_g·w(g)
+    * summed exactly in BIGINT over the doc's unigram+bigram stream
+    * (OOV grams score 0), reported as the mean per gram
+    * (round(logit / (1e6·max(n_grams,1)), 6) — the max guard keeps
+    * zero-gram docs at 0.0 instead of NaN); `keep` = no evidence (zero
+    * grams) or mean-logit ≥ threshold (seed-like). */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(String, Long)], threshold: Double): DataFrame = {
+    require(weights.nonEmpty, "linearQualityScore: empty weight table")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "linearQualityScore: duplicate grams in weight table")
+    val wmap = map_from_arrays(
+      typedLit(weights.map(_._1)), typedLit(weights.map(_._2)))
+    val grams = concat(TextFunctions.tokens(lower(col(textCol))),
+      Dedup.shinglesAuto(docs, textCol, 2))
+    Dedup.spread(docs)
+      .select(col(idCol), size(grams).cast("long").as("n_grams"),
+        aggregate(grams, lit(0L),
+          (acc, g) => acc + coalesce(try_element_at(wmap, g), lit(0L)))
+          .as("_s"))
+      .select(col(idCol), col("n_grams"),
+        round(col("_s").cast("double") /
+          (greatest(col("n_grams"), lit(1L)).cast("double") * lit(1e6)), 6)
+          .as("score"))
+      .withColumn("keep",
+        col("n_grams") === 0L || col("score") >= lit(threshold))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) beyond the
     * duplicate-3-gram fraction in the quality rules: per document,
     * the duplicate-LINE fraction (lines that repeat within the doc),

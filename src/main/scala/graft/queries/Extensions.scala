@@ -1929,6 +1929,53 @@ object Extensions {
       "FROM documents d LEFT JOIN per p USING (doc_id)"
   }
 
+  /** DCLM's learned quality classifier (X109, Li et al. 2024 §3.2) in
+    * its fastText-shaped linear form: closed-form NB log-count-ratio
+    * weights over unigrams+bigrams trained on the doc_id % 5 == 0 seed
+    * slice vs the rest of the pool, top-64 features by |weight|
+    * collected (bounded) into a LITERAL map, every document scored by
+    * its mean fixed-point logit in one zero-shuffle projection. The
+    * oracle replays the identical training and scoring in SQL. */
+  private val LQ_TOP_F = 64
+  private val LQ_KEEP_THRESHOLD = 0.0
+
+  val linearQuality: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val w = Corpus.linearQualityWeights(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0), "text", topF = LQ_TOP_F)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Corpus.linearQualityScore(docs, "doc_id", "text", w,
+      threshold = LQ_KEEP_THRESHOLD)
+  }
+
+  val linearQualitySql: String = {
+    val bigrams = "CASE WHEN len(t) >= 2 THEN " +
+      "list_transform(generate_series(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+1), ' ')) " +
+      "ELSE []::VARCHAR[] END"
+    val score = "round(CAST(coalesce(ds.s, 0) AS DOUBLE)/" +
+      "(greatest(n.n_grams, 1) * 1000000.0), 6)"
+    s"WITH toks AS MATERIALIZED (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"gr AS MATERIALIZED (SELECT doc_id, unnest(list_concat(t, $bigrams)) AS g FROM toks), " +
+      "pc AS MATERIALIZED (SELECT g, count(*) AS c FROM gr WHERE doc_id % 5 = 0 GROUP BY g), " +
+      "nc AS MATERIALIZED (SELECT g, count(*) AS c FROM gr WHERE doc_id % 5 <> 0 GROUP BY g), " +
+      "j AS MATERIALIZED (SELECT coalesce(pc.g, nc.g) AS g, pc.c AS pcc, nc.c AS ncc " +
+      "FROM pc FULL OUTER JOIN nc ON pc.g = nc.g), " +
+      "scal AS (SELECT CAST(coalesce(sum(pcc), 0) AS BIGINT) AS np, " +
+      "CAST(coalesce(sum(ncc), 0) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS v FROM j), " +
+      "w AS (SELECT g, CAST(floor((" +
+      "ln(CAST(coalesce(pcc, 0) + 1 AS DOUBLE)/(np + v)) - " +
+      "ln(CAST(coalesce(ncc, 0) + 1 AS DOUBLE)/(nn + v))" +
+      ") * 1000000.0 + 0.5) AS BIGINT) AS w FROM j CROSS JOIN scal), " +
+      s"topw AS MATERIALIZED (SELECT g, w FROM w ORDER BY abs(w) DESC, g ASC LIMIT $LQ_TOP_F), " +
+      "ds AS (SELECT gr.doc_id, CAST(coalesce(sum(tw.w), 0) AS BIGINT) AS s " +
+      "FROM gr LEFT JOIN topw tw ON gr.g = tw.g GROUP BY gr.doc_id), " +
+      "n AS (SELECT doc_id, CAST(len(t) + CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS BIGINT) AS n_grams FROM toks) " +
+      s"SELECT n.doc_id, n.n_grams, $score AS score, " +
+      s"(n.n_grams = 0 OR $score >= $LQ_KEEP_THRESHOLD) AS keep " +
+      "FROM n LEFT JOIN ds ON n.doc_id = ds.doc_id"
+  }
+
   /** BPE-style merge training (X96): four iterations of
     * count-adjacent-pairs → argmax → corpus-wide leftmost
     * non-overlapping merge over the word stream — the
@@ -2291,6 +2338,7 @@ object Extensions {
     "q_ngram_prefix" -> ngramPrefix,
     "q_bigram_surprisal" -> bigramSurprisal,
     "q_ngram_perplexity" -> ngramPerplexity,
+    "q_linear_quality" -> linearQuality,
     "q_minhash_pairs" -> minhashPairs,
     "q_simhash_pairs" -> simhashPairs,
     "q_embed_topk" -> embedTopK,
@@ -2380,6 +2428,7 @@ object Extensions {
     "q_ngram_prefix" -> ngramPrefixSql,
     "q_bigram_surprisal" -> bigramSurprisalSql,
     "q_ngram_perplexity" -> ngramPerplexitySql,
+    "q_linear_quality" -> linearQualitySql,
     "q_minhash_pairs" -> minhashPairsSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_embed_topk" -> embedTopKSql,

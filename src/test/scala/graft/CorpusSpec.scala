@@ -323,6 +323,56 @@ class CorpusSpec extends SparkSpec {
     assert(g.sameElements(b), "fallback path must produce identical rows")
   }
 
+  test("linearQuality: exact NB log-count-ratio weights on a tiny corpus") {
+    val pos = Seq((0L, "good text")).toDF("doc_id", "text")
+    val neg = Seq((1L, "bad stuff")).toDF("doc_id", "text")
+    val w = Corpus.linearQualityWeights(pos, neg, "text", topF = 10)
+      .as[(String, Long)].collect().toMap
+    // V=6 (3 grams/class), np=nn=3: w(pos gram) = ln(2/9)-ln(1/9) = ln 2
+    val ln2fp = math.floor(math.log(2.0) * 1e6 + 0.5).toLong // 693147
+    assert(w.size == 6)
+    assert(w("good") == ln2fp && w("text") == ln2fp && w("good text") == ln2fp)
+    assert(w("bad") == -ln2fp && w("stuff") == -ln2fp && w("bad stuff") == -ln2fp)
+
+    val docs = Seq((1L, "good text"), (2L, "bad stuff"), (3L, "good bad"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Corpus.linearQualityScore(docs, "doc_id", "text",
+      w.toSeq, threshold = 0.0)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ln2r = BigDecimal(ln2fp / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, ln2r, true)))    // 3 seed grams: mean +ln2
+    assert(got(2L) == ((3L, -ln2r, false)))  // 3 neg grams: mean -ln2
+    assert(got(3L) == ((3L, 0.0, true)))     // +ln2 - ln2 + OOV 0
+    assert(got(4L) == ((0L, 0.0, true)))     // no evidence -> keep
+  }
+
+  test("linearQuality: topF keeps the strongest features, scoring is OOV-safe") {
+    val pos = (1L to 10L).map(i => (i, "alpha beta alpha")).toDF("doc_id", "text")
+    val neg = (11L to 20L).map(i => (i, "gamma delta")).toDF("doc_id", "text")
+    val top2 = Corpus.linearQualityWeights(pos, neg, "text", topF = 2)
+      .as[(String, Long)].collect()
+    assert(top2.length == 2)
+    val all = Corpus.linearQualityWeights(pos, neg, "text", topF = 100)
+      .as[(String, Long)].collect()
+    val worst2 = all.map(e => math.abs(e._2)).sorted.reverse.take(2).toSeq
+    assert(top2.map(e => math.abs(e._2)).sorted.reverse.toSeq == worst2)
+    // scoring a doc of entirely unseen grams: logit 0, keeps at 0.0
+    val got = Corpus.linearQualityScore(
+      Seq((1L, "zz qq")).toDF("doc_id", "text"), "doc_id", "text",
+      top2.toSeq, threshold = 0.0).as[(Long, Long, Double, Boolean)].collect()
+    assert(got.head == ((1L, 3L, 0.0, true)))
+  }
+
+  test("linearQuality: empty class fails loud") {
+    val docs = Seq((1L, "some text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.linearQualityWeights(docs, docs.filter(col("doc_id") < 0), "text")
+    }
+    assert(e.getMessage.contains("empty negative"))
+  }
+
   test("ngramPerplexity: empty seed fails loud") {
     val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

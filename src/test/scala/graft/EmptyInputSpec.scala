@@ -110,6 +110,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(got == ((1L, 0L, 0.0, true)))
   }
 
+  test("linearQualityScore returns empty on an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Corpus.linearQualityScore(empty, "doc_id", "text",
+      Seq(("good", 1000000L)), threshold = 0.0).count() == 0)
+  }
+
   test("topKPerGroup returns empty on an empty scored set") {
     val empty = Seq.empty[(Long, Long, Double)].toDF("g", "id", "s")
     assert(graft.operators.TopK.topKPerGroup(empty, "g", "id", "s", 3)

@@ -32,7 +32,9 @@ class PlanGuardSpec extends SparkSpec {
       // 1-row sqrt-weight-sum scalar broadcast, like q_tfidf's doc count
       "q_temperature_mix",
       // 1-row seed (N, V) scalar broadcast, like q_unigram_surprisal
-      "q_ngram_perplexity")
+      "q_ngram_perplexity",
+      // 1-row (N_pos, N_neg, V) scalar broadcast in the training pass
+      "q_linear_quality")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
