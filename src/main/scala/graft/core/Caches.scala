@@ -28,6 +28,17 @@ import org.apache.spark.storage.StorageLevel
   *     `clearCache()` (they own every cache in the JVM); `release` is
   *     the embedded-library hook.
   *
+  * A third storage class exists OUTSIDE this registry:
+  * `localCheckpoint()` frames (the iterative operators' per-round
+  * lineage truncation). Their blocks live at the RDD level, invisible
+  * to the SQL CacheManager — `Dataset.unpersist()` is a no-op on them
+  * (CheckpointProbeSpec pins this), and eagerly freeing them would be
+  * unsafe anyway (a checkpointed frame has no lineage to recompute
+  * from). They are reclaimed by Spark's ContextCleaner once the frame
+  * object is unreferenced and the driver GCs; tracking them here would
+  * only PIN the reference and delay that reclamation. See the PLANS.md
+  * persist-site audit table.
+  *
   * The registry holds STRONG references until [[release]] —
   * deliberately: Spark's `CacheManager` keys cached data by logical
   * plan, so the cached blocks outlive the `Dataset` wrapper object,
@@ -40,7 +51,10 @@ import org.apache.spark.storage.StorageLevel
   * pointless here: each tracked `Dataset` strongly references its own
   * SparkSession, so the value would pin the key anyway); a session
   * dropped WITHOUT release keeps only driver-side plan objects
-  * reachable — its executor-side blocks die with the SparkContext.
+  * reachable — its executor-side blocks die with the SparkContext,
+  * and the dead entry itself is swept from the registry on the next
+  * [[track]]/[[release]] from any session (`sweepStopped`), so
+  * never-released stopped sessions become GC-able.
   */
 object Caches {
   private val registry =
@@ -63,6 +77,7 @@ object Caches {
     * would leak the cache until clearCache). */
   def track(df: DataFrame): DataFrame = {
     registry.synchronized {
+      sweepStopped()
       val spark = df.sparkSession
       var q = registry.get(spark)
       if (q == null) {
@@ -74,13 +89,26 @@ object Caches {
     df
   }
 
+  /** Drop registry entries whose SparkContext has stopped: their
+    * executor-side blocks died with the context, so the entry only
+    * pins dead driver-side session/plan objects. Swept on every
+    * [[track]]/[[release]] so a JVM that creates sessions and drops
+    * them WITHOUT calling release doesn't accumulate them unboundedly
+    * (the registry is #sessions-sized — the sweep is O(sessions)).
+    * Callers already hold the registry lock. */
+  private def sweepStopped(): Unit =
+    registry.keySet.removeIf(s => s.sparkContext.isStopped)
+
   /** Unpersist every graft-internal intermediate registered under this
     * session and drain the registry. Non-blocking unpersist: the
     * executors free the blocks asynchronously — callers are not
     * latency-gated on cleanup. Unpersisting a frame an operator
     * already released eagerly is a no-op, so double-tracking is safe. */
   def release(spark: SparkSession): Unit = {
-    val q = registry.synchronized { registry.remove(spark) }
+    val q = registry.synchronized {
+      sweepStopped()
+      registry.remove(spark)
+    }
     if (q != null) q.forEach(_.unpersist(blocking = false))
   }
 

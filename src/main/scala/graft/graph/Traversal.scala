@@ -79,8 +79,13 @@ object Traversal {
         .filter(col("_rn") === 1)
         .select(col("a").as("name"), col("label"))
         // per-round lineage truncation (same policy as shortestPath /
-        // connectedComponents): keeps Catalyst from re-planning the
-        // whole nested join history each round
+        // connectedComponents). Checkpoint blocks are RDD-level
+        // (invisible to CacheManager — CheckpointProbeSpec pins this),
+        // so superseded rounds are reclaimed by the ContextCleaner
+        // once this loop drops their frame reference: category 3 of
+        // the cache-hygiene policy — eager unpersist is impossible
+        // (no CacheManager entry) AND unsafe (no lineage to recompute
+        // a checkpointed frame from).
         .localCheckpoint()
     }
     // labels is localCheckpoint()ed each round, so after >= 1 round
@@ -121,7 +126,9 @@ object Traversal {
         // truncate lineage per round (same policy as
         // Dedup.connectedComponents): without it the nested
         // join+agg plan deepens every round and Catalyst/AQE re-plan
-        // the whole history each superstep
+        // the whole history each superstep. Superseded rounds'
+        // checkpoint blocks are RDD-level and ContextCleaner-reclaimed
+        // (category 3 — see labelPropagation / CheckpointProbeSpec).
         .localCheckpoint()
     }
     // dist is localCheckpoint()ed each round, so the projected-edge

@@ -570,19 +570,17 @@ object Corpus {
             transform(pairsOf(rewritten),
               q => struct(q.as("p"), lit(1L).as("d"))))).as("e"))
           .groupBy(col("e.p").as("p")).agg(sum(col("e.d")).as("c"))
-        val nextCounts = counts.unionByName(delta)
+        // superseded checkpoints (state, counts) are RDD-level blocks
+        // outside the CacheManager — ContextCleaner-reclaimed once the
+        // loop drops their references (cache-hygiene category 3;
+        // Dataset.unpersist would be a no-op, CheckpointProbeSpec)
+        counts = counts.unionByName(delta)
           .groupBy(col("p")).agg(sum(col("c")).as("c"))
           .filter(col("c") > 0)
           .localCheckpoint()
-        counts.unpersist()
-        counts = nextCounts
-        val next = state.select(rewritten.as("cells")).localCheckpoint()
-        state.unpersist()
-        state = next
+        state = state.select(rewritten.as("cells")).localCheckpoint()
       }
     }
-    state.unpersist()
-    counts.unpersist()
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 

@@ -328,6 +328,10 @@ object RankQueries {
     // view is only a logical plan, and the recursion would otherwise
     // re-execute the full edge-aggregation pipeline on every
     // iteration (measured 8s -> ~1s at sf0.1)
+    // the checkpointed backbone escapes via the temp view, but its
+    // blocks are RDD-level (category 3, CheckpointProbeSpec): the
+    // ContextCleaner reclaims them once the view is replaced/dropped
+    // and the frame is unreferenced — tracking it would only PIN it
     edges.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= 3)
       .select(col("src_nation").as("src"), col("dst_nation").as("dst"))

@@ -56,6 +56,33 @@ class CachesSpec extends SparkSpec {
     Caches.release(spark)
   }
 
+  test("composed pipeline: one release drains every tracked intermediate") {
+    Caches.release(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sfDir).limit(50)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    // compose operators from every persistTracked family: dedup pair
+    // finders, semantic dedup, seed-model text analysis, classifier
+    // training, graph traversal
+    graft.operators.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.7).count()
+    graft.operators.Similarity.semanticDedup(emb, k = 4, iters = 2,
+      threshold = 0.35).count()
+    graft.operators.Corpus.ngramPerplexity(docs,
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text").count()
+    graft.operators.Corpus.linearQualityWeights(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0), "text").count()
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"))
+      .toDF("s", "d")
+    graft.graph.Traversal.labelPropagation(edges, "s", "d", iters = 2).count()
+    assert(Caches.trackedCount(spark) >= 5,
+      s"expected every family to register, got ${Caches.trackedCount(spark)}")
+    Caches.release(spark)
+    assert(Caches.trackedCount(spark) == 0,
+      "one release must drain the whole composed pipeline's registry")
+  }
+
   test("released plans still compute correctly (recompute, not corruption)") {
     Caches.release(spark)
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
