@@ -55,10 +55,19 @@ object EventsStreaming {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // empty / not-yet-populated directory (stream-first pattern): no
     // footer to probe — default to the current driver generation (NTZ
-    // micros) rather than failing before the stream even starts
+    // micros) rather than failing before the stream even starts. The
+    // catch is NARROW (exactly the no-footer-to-probe conditions): a
+    // transient probe failure over a real NANOS directory must fail
+    // HERE, at stream setup, not later as a per-batch parquet type
+    // error under a silently-wrong declared schema.
     val probed =
       try spark.read.parquet(path).schema("ts").dataType
-      catch { case scala.util.control.NonFatal(_) => TimestampNTZType }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Seq("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
+              .exists(c => Option(e.getCondition).exists(_.startsWith(c))) =>
+          TimestampNTZType
+      }
     probed match {
       case LongType =>
         spark.readStream.schema(eventSchemaNanos).parquet(path)

@@ -31,6 +31,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream schema probe: empty dir defaults to NTZ, real failures rethrow") {
+    // stream-first pattern: nothing to probe yet -> current driver
+    // generation assumed, stream builds with normalized TimestampType
+    val emptyDir = Files.createTempDirectory("graft-empty-events").toString
+    val s = EventsStreaming.readDriverEventsStream(spark, emptyDir)
+    assert(s.isStreaming)
+    assert(s.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // a directory whose footer probe fails for a REAL reason (corrupt
+    // parquet) must fail at stream setup, not default to a wrong schema
+    val badDir = Files.createTempDirectory("graft-bad-events")
+    Files.write(badDir.resolve("part-0.parquet"),
+      "this is not parquet".getBytes)
+    intercept[Exception] {
+      EventsStreaming.readDriverEventsStream(spark, badDir.toString)
+    }
+  }
+
   test("sessionizeBatch: gaps-and-islands on crafted data") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val ev = Seq(
