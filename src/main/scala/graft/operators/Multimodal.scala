@@ -125,6 +125,67 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** [[decodeImage]] with per-CHANNEL sums — the decode step of the
+    * cross-modal retrieval bridge: (width, height, Σr, Σg, Σb). Same
+    * contract: None for non-images / corrupt payloads. */
+  def decodeImageChannels(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    if (!isImageMagic(payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            r += (rgb >> 16) & 0xff
+            g += (rgb >> 8) & 0xff
+            b += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight, r, g, b))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  case class ImageFeatureVec(media_id: Long, decoded: Boolean,
+      features: Array[Double])
+
+  /** Image payloads → fixed-dim feature vectors, the bridge that lets
+    * the cosine top-k family run over a MULTIMODAL column: really
+    * decode each payload (javax.imageio) and emit
+    * [width, height, Σr, Σg, Σb] as an `array<double>` — every
+    * component an exact small integer in IEEE double, so downstream
+    * cosine arithmetic is engine-portable. (A real deployment swaps
+    * this closed-form featurizer for a vision encoder behind the SAME
+    * schema/batching contract; the Spark-side plumbing is what's
+    * exercised.) Non-image payloads keep the deterministic stub
+    * (decoded=false, [-1, -1, byte_sum, 0, 0]) so no row silently
+    * disappears from the index. Batched mapPartitions — payloads never
+    * leave the map stage; the output rows are 5 doubles + id. */
+  def imageFeatureVectors(media: DataFrame): Dataset[ImageFeatureVec] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeImageChannels(payload) match {
+            case Some((w, h, r, g, b)) => ImageFeatureVec(id, decoded = true,
+              Array(w.toDouble, h.toDouble, r.toDouble, g.toDouble, b.toDouble))
+            case None =>
+              val (_, _, s) = decodeStub(payload)
+              ImageFeatureVec(id, decoded = false,
+                Array(-1.0, -1.0, s.toDouble, 0.0, 0.0))
+          }
+        }
+      }
+  }
+
   /** Minimal 24-bit uncompressed BMP encoder (BITMAPINFOHEADER,
     * bottom-up rows, 4-byte row padding). `rgb(x, y)` returns packed
     * 0xRRGGBB with y counted from the TOP row, like getRGB — any

@@ -583,6 +583,46 @@ object Extensions {
       "CAST(sum((media_id + 7*x + 13*y) % 256 + (2*media_id + 5*x + 3*y) % 256 + (media_id + x*y) % 256) AS BIGINT) AS pixel_sum " +
       "FROM ps GROUP BY media_id, img_width, img_height"
 
+  /** Cross-modal retrieval closure (X110): similarity search OVER a
+    * multimodal column — real BMP payloads decode (javax.imageio) to
+    * [w, h, Σr, Σg, Σb] feature vectors which run through the exact
+    * [[embedTopK]] cosine plumbing (broadcast queries, map-side HOF
+    * scoring, bounded top-k heaps). The query slice filters BEFORE the
+    * decode, so only corpus rows pay the codec. Every feature is an
+    * exact small integer in double, making the cosine math
+    * engine-portable; the oracle computes the decoded features
+    * arithmetically from the closed-form pixels (the mediaDecode
+    * convention) and reruns the same window top-k. */
+  val multimodalSearch: Q = (s, d) => {
+    val docs = spread(Tables.documents(s, d))
+    val feats = Multimodal.imageFeatureVectors(
+      Multimodal.bmpMediaFromDocuments(docs)).toDF()
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val queries = Multimodal.imageFeatureVectors(
+      Multimodal.bmpMediaFromDocuments(docs.filter(col("doc_id") % 100 === 0)))
+      .toDF()
+      .select(col("media_id").as("q_id"), col("features").as("q_vec"))
+    Similarity.bruteForceTopK(feats, queries, k = 5)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  val multimodalSearchSql: String =
+    "WITH m AS (SELECT doc_id AS id, CAST(4 + doc_id % 13 AS INT) AS w, " +
+      "CAST(3 + doc_id % 7 AS INT) AS h FROM documents), " +
+      "xs AS (SELECT id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m), " +
+      "ps AS (SELECT id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs), " +
+      "f AS MATERIALIZED (SELECT id, [CAST(max(w) AS DOUBLE), CAST(max(h) AS DOUBLE), " +
+      "CAST(sum((id + 7*x + 13*y) % 256) AS DOUBLE), " +
+      "CAST(sum((2*id + 5*x + 3*y) % 256) AS DOUBLE), " +
+      "CAST(sum((id + x*y) % 256) AS DOUBLE)] AS v FROM ps GROUP BY id), " +
+      "q AS (SELECT id AS q_id, v AS qv FROM f WHERE id % 100 = 0), " +
+      "sc AS (SELECT q_id, f.id AS vec_id, " +
+      "round(list_dot_product(v, qv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))), 6) AS score " +
+      "FROM f, q), " +
+      "r AS (SELECT q_id, vec_id, score, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
+
   /** REAL audio decode (X12, audio modality): real PCM16 WAV payloads
     * whose samples are closed-form functions of doc_id, encoded AND
     * decoded through javax.sound.sampled while the oracle computes the
@@ -2351,6 +2391,7 @@ object Extensions {
     "q_stream_outer_join" -> streamOuterJoinVerified,
     "q_stream_static_join" -> streamStaticJoin,
     "q_media_features" -> mediaFeatures,
+    "q_multimodal_search" -> multimodalSearch,
     "q_media_decode" -> mediaDecode,
     "q_audio_decode" -> audioDecode,
     "q_bpe_merges" -> bpeMerges,
@@ -2441,6 +2482,7 @@ object Extensions {
     "q_stream_outer_join" -> streamOuterJoinVerifiedSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_media_features" -> mediaFeaturesSql,
+    "q_multimodal_search" -> multimodalSearchSql,
     "q_media_decode" -> mediaDecodeSql,
     "q_audio_decode" -> audioDecodeSql,
     "q_bpe_merges" -> bpeMergesSql,

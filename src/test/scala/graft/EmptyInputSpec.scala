@@ -110,6 +110,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(got == ((1L, 0L, 0.0, true)))
   }
 
+  test("imageFeatureVectors returns empty on an empty media table") {
+    val empty = Seq.empty[(Long, Array[Byte], String, Int, Int)]
+      .toDF("media_id", "payload", "kind", "width", "height")
+    assert(graft.operators.Multimodal.imageFeatureVectors(empty).count() == 0)
+  }
+
   test("linearQualityScore returns empty on an empty corpus") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.operators.Corpus.linearQualityScore(empty, "doc_id", "text",

@@ -109,6 +109,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageFeatureVectors: decoded channel sums match the closed-form pixels") {
+    val feats = Multimodal.imageFeatureVectors(
+      Multimodal.bmpMediaFromDocuments(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    // doc 10: w = 4 + 10%13 = 14, h = 3 + 10%7 = 6; channel sums from
+    // the generator's closed forms
+    val (id, w, h) = (10L, 14, 6)
+    var (r, g, b) = (0L, 0L, 0L)
+    for (x <- 0 until w; y <- 0 until h) {
+      r += (id + 7L * x + 13L * y) % 256
+      g += (2L * id + 5L * x + 3L * y) % 256
+      b += (id + x.toLong * y) % 256
+    }
+    val f10 = feats(10L)
+    assert(f10.decoded)
+    assert(f10.features.toSeq ==
+      Seq(w.toDouble, h.toDouble, r.toDouble, g.toDouble, b.toDouble))
+    // a non-image payload keeps the stub vector shape (5 dims, -1 dims)
+    val stub = Multimodal.imageFeatureVectors(
+      Multimodal.mediaFromDocuments(docs)).collect().head
+    assert(!stub.decoded && stub.features.length == 5 &&
+      stub.features(0) == -1.0)
+  }
+
   test("corrupt payloads that pass the magic sniff fall back to None, never throw") {
     // valid magic prefixes followed by garbage: the decode libraries
     // throw unchecked exceptions on some of these shapes — the

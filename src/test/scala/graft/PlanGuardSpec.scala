@@ -34,7 +34,9 @@ class PlanGuardSpec extends SparkSpec {
       // 1-row seed (N, V) scalar broadcast, like q_unigram_surprisal
       "q_ngram_perplexity",
       // 1-row (N_pos, N_neg, V) scalar broadcast in the training pass
-      "q_linear_quality")
+      "q_linear_quality",
+      // the q_embed_topk shape over decoded image-feature vectors
+      "q_multimodal_search")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
