@@ -328,6 +328,96 @@ object ScaleOps {
       .select(col(idCol), col("w"), col("cum"), col("n_hits"))
   }
 
+  /** DSIR importance-weight TRAINING (Xie et al. 2023,
+    * arXiv:2302.03169): bag-of-hashed-ngrams log-likelihood ratios
+    * between a TARGET (seed) distribution and the RAW pool. Unigrams +
+    * word bigrams hash (portable md5-derived 60-bit, seeded) into
+    * `buckets` buckets; per bucket b,
+    * w(b) = ln((c_t(b)+1)/(N_t+B)) − ln((c_r(b)+1)/(N_r+B))
+    * (add-one smoothing over the B-bucket support), quantized to 1e-6
+    * fixed-point BIGINT. Returns ALL B buckets (spine join), so
+    * scoring needs no out-of-vocabulary default — the smoothed weight
+    * of an empty bucket is already in the table.
+    *
+    * Scale shape: two gram-explode partial-agg shuffles that reduce to
+    * ≤ B rows each (the hashing trick bounds the model by `buckets`,
+    * NOT by vocabulary — the property DSIR exists for), both persisted
+    * (count + total consumers); a B-row spine join and a broadcast
+    * 1-row (N_t, N_r) scalar. Output is B rows by construction. */
+  def dsirLogRatioWeights(target: DataFrame, raw: DataFrame,
+      textCol: String, buckets: Int = 256, seed: Int = 91): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    require(!target.isEmpty, "dsirLogRatioWeights: empty target corpus")
+    require(!raw.isEmpty, "dsirLogRatioWeights: empty raw corpus")
+    val spark = target.sparkSession
+    import spark.implicits._
+    def bucketCounts(df: DataFrame, cName: String): DataFrame =
+      Dedup.spread(df).select(
+        explode(concat(graft.functions.TextFunctions.tokens(lower(col(textCol))),
+          Dedup.shinglesAuto(df, textCol, 2))).as("g"))
+        .select((graft.functions.TextFunctions.hexHash60(col("g"), seed)
+          % buckets).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(cName))
+    val tc = bucketCounts(target, "_tc").persistTracked()
+    val rc = bucketCounts(raw, "_rc").persistTracked()
+    val scal = tc.agg(sum(col("_tc")).cast("long").as("_nt"))
+      .crossJoin(rc.agg(sum(col("_rc")).cast("long").as("_nr")))
+    spark.range(buckets).toDF("bucket")
+      .join(tc, Seq("bucket"), "left")
+      .join(rc, Seq("bucket"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("bucket"), floor((
+        log((coalesce(col("_tc"), lit(0L)) + lit(1L)).cast("double") /
+          (col("_nt") + lit(buckets.toLong)).cast("double")) -
+        log((coalesce(col("_rc"), lit(0L)) + lit(1L)).cast("double") /
+          (col("_nr") + lit(buckets.toLong)).cast("double"))) * lit(1e6)
+        + lit(0.5)).cast("long").as("w"))
+  }
+
+  /** DSIR importance RESAMPLING (Xie et al. 2023 §3): select `k`
+    * documents with probability proportional to their importance
+    * weight via the Gumbel top-k trick — per doc,
+    * key = log w(doc) + Gumbel(0,1), take the k largest. The Gumbel
+    * noise is deterministic (md5-derived uniform in (0,1), seeded by
+    * doc id — the repo's salted-sampling convention), so the selected
+    * SET is a pure function of (corpus, weights, seeds) and
+    * hash-verifiable. log w(doc) = Σ_grams w(bucket(g)) summed exactly
+    * in fixed-point BIGINT; the final key quantizes to 1e-6 BIGINT
+    * (`gumbel_key`) before the top-k, ties broken by id.
+    *
+    * Scale shape: one gram-explode → B-row broadcast join → per-doc
+    * partial-agg shuffle, then TakeOrdered(k) — the corpus never
+    * shuffles whole rows and the driver sees k rows. */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, k: Int, buckets: Int = 256,
+      bucketSeed: Int = 91, gumbelSeed: Int = 92): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val perDoc = Dedup.spread(docs).select(col(idCol),
+      explode(concat(graft.functions.TextFunctions.tokens(lower(col(textCol))),
+        Dedup.shinglesAuto(docs, textCol, 2))).as("g"))
+      .select(col(idCol),
+        (graft.functions.TextFunctions.hexHash60(col("g"), bucketSeed)
+          % buckets).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol)).agg(sum(col("w")).as("_lw"))
+    // u in (0,1) with EXACT double arithmetic: reduce the 60-bit md5
+    // hash to 52 bits (2^52 fits the double mantissa, so h, h+1 and
+    // the 2^52+2 denominator are all exact — no rounding can push u to
+    // 0 or 1, keeping -ln(-ln(u)) finite on every engine)
+    val u = ((graft.functions.TextFunctions.hexHash60(
+      col(idCol).cast("string"), gumbelSeed) % lit(4503599627370496L))
+      .cast("double") + lit(1.0)) / lit(4503599627370498.0)
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_lw"), lit(0L)).as("log_w_fp"))
+      .withColumn("gumbel_key",
+        floor((col("log_w_fp").cast("double") / lit(1e6) - log(-log(u)))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Pretraining domain mixing: given a per-source token budget,
     * compute each source's keep-rate = min(1, budget/actual) from the
     * corpus itself and apply it as a deterministic hash sample — the

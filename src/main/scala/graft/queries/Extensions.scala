@@ -2016,6 +2016,56 @@ object Extensions {
       "FROM n LEFT JOIN ds ON n.doc_id = ds.doc_id"
   }
 
+  /** DSIR importance resampling (X111, Xie et al. 2023): hashed
+    * bag-of-ngrams log-likelihood-ratio weights (target = the
+    * doc_id % 5 == 0 seed slice, raw = the whole pool, 256 buckets),
+    * then Gumbel top-50 selection with md5-derived deterministic
+    * noise. The oracle replays hashing, smoothing, summing, and the
+    * Gumbel keys exactly. */
+  private val DSIR_BUCKETS = 256
+  private val DSIR_K = 50
+
+  val dsirSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val w = graft.operators.ScaleOps.dsirLogRatioWeights(
+      docs.filter(col("doc_id") % 5 === 0), docs, "text",
+      buckets = DSIR_BUCKETS)
+    graft.operators.ScaleOps.dsirResample(docs, "doc_id", "text", w,
+      k = DSIR_K, buckets = DSIR_BUCKETS)
+  }
+
+  val dsirSampleSql: String = {
+    val bigrams = "CASE WHEN len(t) >= 2 THEN " +
+      "list_transform(generate_series(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+1), ' ')) " +
+      "ELSE []::VARCHAR[] END"
+    val B = DSIR_BUCKETS
+    s"WITH toks AS MATERIALIZED (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"gb AS MATERIALIZED (SELECT doc_id, " +
+      s"CAST('0x' || substr(md5('91:' || g), 1, 15) AS BIGINT) % $B AS bucket FROM " +
+      s"(SELECT doc_id, unnest(list_concat(t, $bigrams)) AS g FROM toks)), " +
+      "tc AS (SELECT bucket, count(*) AS c FROM gb WHERE doc_id % 5 = 0 GROUP BY bucket), " +
+      "rc AS (SELECT bucket, count(*) AS c FROM gb GROUP BY bucket), " +
+      "scal AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM tc) AS nt, " +
+      "(SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM rc) AS nr), " +
+      s"w AS MATERIALIZED (SELECT s.bucket, CAST(floor((" +
+      s"ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE)/CAST(nt + $B AS DOUBLE)) - " +
+      s"ln(CAST(coalesce(rc.c, 0) + 1 AS DOUBLE)/CAST(nr + $B AS DOUBLE))" +
+      ") * 1000000.0 + 0.5) AS BIGINT) AS w " +
+      s"FROM (SELECT unnest(generate_series(0, $B - 1)) AS bucket) s " +
+      "LEFT JOIN tc ON s.bucket = tc.bucket LEFT JOIN rc ON s.bucket = rc.bucket " +
+      "CROSS JOIN scal), " +
+      "ds AS (SELECT gb.doc_id, CAST(sum(w.w) AS BIGINT) AS lw " +
+      "FROM gb JOIN w ON gb.bucket = w.bucket GROUP BY gb.doc_id), " +
+      "al AS (SELECT d.doc_id, coalesce(ds.lw, 0) AS log_w_fp FROM documents d " +
+      "LEFT JOIN ds ON d.doc_id = ds.doc_id), " +
+      "ky AS (SELECT doc_id, log_w_fp, CAST(floor((CAST(log_w_fp AS DOUBLE)/1000000.0 - " +
+      "ln(-ln((CAST(CAST('0x' || substr(md5('92:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) " +
+      "% 4503599627370496 AS DOUBLE) + 1.0)/4503599627370498.0))" +
+      ") * 1000000.0 + 0.5) AS BIGINT) AS gumbel_key FROM al) " +
+      s"SELECT doc_id, log_w_fp, gumbel_key FROM ky " +
+      s"ORDER BY gumbel_key DESC, doc_id ASC LIMIT $DSIR_K"
+  }
+
   /** BPE-style merge training (X96): four iterations of
     * count-adjacent-pairs → argmax → corpus-wide leftmost
     * non-overlapping merge over the word stream — the
@@ -2379,6 +2429,7 @@ object Extensions {
     "q_bigram_surprisal" -> bigramSurprisal,
     "q_ngram_perplexity" -> ngramPerplexity,
     "q_linear_quality" -> linearQuality,
+    "q_dsir_sample" -> dsirSample,
     "q_minhash_pairs" -> minhashPairs,
     "q_simhash_pairs" -> simhashPairs,
     "q_embed_topk" -> embedTopK,
@@ -2470,6 +2521,7 @@ object Extensions {
     "q_bigram_surprisal" -> bigramSurprisalSql,
     "q_ngram_perplexity" -> ngramPerplexitySql,
     "q_linear_quality" -> linearQualitySql,
+    "q_dsir_sample" -> dsirSampleSql,
     "q_minhash_pairs" -> minhashPairsSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_embed_topk" -> embedTopKSql,

@@ -110,6 +110,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(got == ((1L, 0L, 0.0, true)))
   }
 
+  test("dsirResample returns empty on an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val w = Seq((0L, 100L), (1L, -100L)).toDF("bucket", "w")
+    assert(graft.operators.ScaleOps.dsirResample(empty, "doc_id", "text",
+      w, k = 5, buckets = 2).count() == 0)
+  }
+
   test("imageFeatureVectors returns empty on an empty media table") {
     val empty = Seq.empty[(Long, Array[Byte], String, Int, Int)]
       .toDF("media_id", "payload", "kind", "width", "height")

@@ -36,7 +36,9 @@ class PlanGuardSpec extends SparkSpec {
       // 1-row (N_pos, N_neg, V) scalar broadcast in the training pass
       "q_linear_quality",
       // the q_embed_topk shape over decoded image-feature vectors
-      "q_multimodal_search")
+      "q_multimodal_search",
+      // 1-row (N_t, N_r) scalar broadcast in the DSIR training pass
+      "q_dsir_sample")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)

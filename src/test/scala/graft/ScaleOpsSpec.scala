@@ -322,6 +322,58 @@ class ScaleOpsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect()
     assert(got.toSet == again.toSet)
   }
+  test("dsirLogRatioWeights: full bucket spine, target-like grams weigh positive") {
+    val target = (1L to 10L).map(i => (i, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = ((1L to 10L).map(i => (i, "alpha beta gamma")) ++
+      (11L to 30L).map(i => (i, "noise junk filler"))).toDF("doc_id", "text")
+    val w = ScaleOps.dsirLogRatioWeights(target, raw, "text", buckets = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(w.size == 64, "weights must cover the full bucket spine")
+    // a bucket holding only target-favored grams weighs positive; one
+    // holding only raw-side grams weighs negative
+    def bucket(g: String, seed: Int = 91): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.substring(0, 15), 16) % 64
+    }
+    assert(w(bucket("alpha")) > 0, "target-favored gram must weigh positive")
+    assert(w(bucket("noise")) < 0, "raw-only gram must weigh negative")
+  }
+
+  test("dsirResample: deterministic k-set, target-like docs out-weigh gibberish") {
+    val docs = ((1L to 10L).map(i => (i, "alpha beta gamma")) ++
+      (11L to 30L).map(i => (i, "noise junk filler"))).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 10L)
+    val w = ScaleOps.dsirLogRatioWeights(target, docs, "text", buckets = 64)
+    val sel = ScaleOps.dsirResample(docs, "doc_id", "text", w,
+      k = 5, buckets = 64)
+    val rows = sel.as[(Long, Long, Long)].collect()
+    assert(rows.length == 5)
+    // re-running selects the identical set (pure function of seeds)
+    val again = ScaleOps.dsirResample(docs, "doc_id", "text", w,
+      k = 5, buckets = 64).as[(Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // importance weights separate the classes: every target doc's
+    // log-w exceeds every gibberish doc's
+    val all = ScaleOps.dsirResample(docs, "doc_id", "text", w,
+      k = 30, buckets = 64).as[(Long, Long, Long)].collect()
+    val tW = all.filter(_._1 <= 10L).map(_._2).min
+    val rW = all.filter(_._1 > 10L).map(_._2).max
+    assert(tW > rW, s"target docs must out-weigh gibberish ($tW vs $rW)")
+  }
+
+  test("dsirLogRatioWeights: empty classes fail loud") {
+    val docs = Seq((1L, "text")).toDF("doc_id", "text")
+    val none = docs.filter(col("doc_id") < 0)
+    assert(intercept[IllegalArgumentException] {
+      ScaleOps.dsirLogRatioWeights(none, docs, "text")
+    }.getMessage.contains("empty target"))
+    assert(intercept[IllegalArgumentException] {
+      ScaleOps.dsirLogRatioWeights(docs, none, "text")
+    }.getMessage.contains("empty raw"))
+  }
+
   test("asOfJoin forward attaches the nearest right row at or after") {
     val quotes = Seq(("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0),
       ("B", 4L, 99.0)).toDF("sym", "t", "price")
