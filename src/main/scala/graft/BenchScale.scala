@@ -34,7 +34,11 @@ object BenchScale {
     "q_repetition", "q_triangles",
     // round-9 incremental-counts rewrite: fixed-overhead-bound at test
     // SFs by design (see PLANS.md q_bpe_merges) — kept on record
-    "q_bpe_merges")
+    "q_bpe_merges",
+    // round-9 bench drift watch: the r9 [bench-regress] flag (2.0x on
+    // an untouched code path) read 0.69s steady-state vs the 1.73s
+    // flagged cell — host noise, row kept on record
+    "q_media_decode")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS
