@@ -365,6 +365,18 @@ class CorpusSpec extends SparkSpec {
     assert(got.head == ((1L, 3L, 0.0, true)))
   }
 
+  test("linearQualityScore plans as a map: no joins, no hash exchange") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Corpus.linearQualityScore(docs, "doc_id", "text",
+      Seq(("good", 693147L), ("bad", -693147L)), threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    // the literal-map scoring is join-free; the only allowed Exchange
+    // is spread()'s deliberate round-robin of the (small) input
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scoring must not hash-shuffle:\n$plan")
+  }
+
   test("linearQuality: empty class fails loud") {
     val docs = Seq((1L, "some text")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
