@@ -76,6 +76,69 @@ object Dedup {
       .drop("_rn", "_fp")
   }
 
+  /** Incremental (cross-snapshot) exact dedup — the INGESTION-time
+    * shape of a 100 TB pipeline: a new batch dedups against the
+    * already-ingested corpus represented ONLY by its content
+    * fingerprints (16 bytes/doc, the `fp` column this operator itself
+    * emits), so history is never rescanned. A Bloom filter over the
+    * prior fingerprints (driver-merged, bits ≪ keys — the
+    * [[graft.operators.ScaleOps.bloomPrunedJoin]] machinery)
+    * broadcasts into a map-side prefilter: the "already seen?"
+    * anti-join shuffles only the Bloom-maybe slice of the batch (true
+    * dupes + the fpp fraction of fresh rows) instead of the whole
+    * batch, and Bloom's no-false-negatives guarantee makes the result
+    * IDENTICAL to the plain anti-join. Within-batch dupes then resolve
+    * by the [[exactDedup]] lowest-id-survives rule. Returns surviving
+    * new rows plus their `fp` — exactly what the caller appends to the
+    * fingerprint store for the next increment. */
+  def incrementalExactDedup(newDocs: DataFrame, priorFps: DataFrame,
+      textCol: String, idCol: String, fpCol: String = "fp",
+      expectedPriorKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val clash = newDocs.columns.filter(Set("_fp", "_rn", "fp")).distinct
+    require(clash.isEmpty,
+      s"incrementalExactDedup: input columns ${clash.mkString(", ")} collide with internal markers")
+    val spark = newDocs.sparkSession
+    val withFp = newDocs.withColumn("_fp", fingerprintMd5(col(textCol)))
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol).asc)
+    // first increment: an empty fingerprint store means everything is
+    // fresh — and Spark's stat.bloomFilter NPEs on an empty frame
+    // (null aggregation buffer), so this is a correctness guard, not
+    // just a fast path
+    if (priorFps.isEmpty)
+      return withFp
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+        .withColumnRenamed("_fp", fpCol)
+    val bloom = priorFps.stat.bloomFilter(fpCol, expectedPriorKeys, fpp)
+    val (maybe, fresh) =
+      if (spark.catalog.functionExists("graft_bloom_contains")) {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        val probe = call_function("graft_bloom_contains",
+          col("_fp"), lit(bos.toByteArray))
+        (withFp.filter(probe), withFp.filter(!probe))
+      } else {
+        val bc = spark.sparkContext.broadcast(bloom)
+        (withFp.filter((r: org.apache.spark.sql.Row) =>
+          bc.value.mightContain(r.getAs[String]("_fp"))),
+          withFp.filter((r: org.apache.spark.sql.Row) =>
+            !bc.value.mightContain(r.getAs[String]("_fp"))))
+      }
+    // only the maybe-slice pays the anti-join shuffle; prior side
+    // shuffles fingerprints only, pinned shuffle-hash (both sides are
+    // id/fp streams — no sort needed, no broadcast assumption on a
+    // history-sized store)
+    val confirmedNew = maybe.join(
+      priorFps.select(col(fpCol).as("_pfp")).hint("shuffle_hash"),
+      col("_fp") === col("_pfp"), "left_anti")
+    fresh.unionByName(confirmedNew)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumnRenamed("_fp", fpCol)
+  }
+
   /** MinHash signature: for each of `numHashes` seeds, the minimum
     * md5(seed:shingle) hex string over the document's shingles.
     * Min-over-strings on hex is order-isomorphic to min over the

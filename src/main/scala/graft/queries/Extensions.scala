@@ -163,6 +163,32 @@ object Extensions {
     s"SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER " +
       s"(PARTITION BY md5($duckNormText) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
 
+  /** Incremental cross-snapshot dedup (X112): the doc_id % 3 == 0
+    * slice plays the already-ingested corpus (as its fingerprint
+    * store); the rest is the incoming batch, deduped against history
+    * via Bloom-prefiltered anti-join + within-batch lowest-id rule.
+    * The oracle is the plain anti-join (Bloom adds no false
+    * negatives, so the results are identical by construction —
+    * that IS the contract under test). */
+  val incrementalDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val prior = docs.filter(col("doc_id") % 3 === 0)
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
+    graft.operators.Dedup.incrementalExactDedup(
+      docs.filter(col("doc_id") % 3 =!= 0), prior, "text", "doc_id")
+      .select(col("doc_id"), col("source"), col("fp"))
+  }
+
+  val incrementalDedupSql: String =
+    s"WITH f AS MATERIALIZED (SELECT doc_id, source, md5($duckNormText) AS fp FROM documents), " +
+      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0), " +
+      "newb AS (SELECT doc_id, source, fp FROM f WHERE doc_id % 3 <> 0) " +
+      "SELECT doc_id, source, fp FROM (" +
+      "SELECT n.doc_id, n.source, n.fp, " +
+      "row_number() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn " +
+      "FROM newb n LEFT JOIN prior p ON n.fp = p.fp WHERE p.fp IS NULL) " +
+      "WHERE rn = 1"
+
   // shared shingle SQL fragments (word n-grams over a lowercased token
   // list bound to `t`). lazy: referenced by vals declared ABOVE this
   // point (qualityRulesSql)
@@ -2420,6 +2446,7 @@ object Extensions {
     "q_lang_id" -> langId,
     "q_fingerprint" -> fingerprint,
     "q_exact_dedup" -> exactDedup,
+    "q_incremental_dedup" -> incrementalDedup,
     "q_line_dedup" -> lineDedup,
     "q_substring_dedup" -> substringDedup,
     "q_substring_dedup_var" -> substringDedupVar,
@@ -2512,6 +2539,7 @@ object Extensions {
     "q_lang_id" -> langIdSql,
     "q_fingerprint" -> fingerprintSql,
     "q_exact_dedup" -> exactDedupSql,
+    "q_incremental_dedup" -> incrementalDedupSql,
     "q_line_dedup" -> lineDedupSql,
     "q_substring_dedup" -> substringDedupSql,
     "q_substring_dedup_var" -> substringDedupVarSql,

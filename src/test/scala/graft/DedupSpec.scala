@@ -34,6 +34,45 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 4L, 5L)) // 2 and 3 collapse into 1
   }
 
+  test("incremental dedup: drops prior-seen, resolves in-batch, keeps fresh") {
+    val prior = Seq((100L, "already ingested content here"))
+      .toDF("doc_id", "text")
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp"))
+    val batch = Seq(
+      (1L, "already ingested content here"),   // dupe of prior -> drop
+      (2L, "brand new document alpha"),         // fresh
+      (3L, "brand new document alpha"),         // in-batch dupe of 2 -> drop
+      (4L, "another fresh document"))           // fresh
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalExactDedup(batch, prior, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 4L))
+    // emitted fp matches the fingerprint the store expects to append
+    val fps = Dedup.incrementalExactDedup(batch, prior, "text", "doc_id")
+      .select("fp").as[String].collect()
+    assert(fps.forall(_.length == 32))
+  }
+
+  test("incremental dedup: empty prior store keeps the whole deduped batch") {
+    val prior = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp"))
+    val batch = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.incrementalExactDedup(
+      batch, prior, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
+  test("incremental dedup: fp column clash fails loud") {
+    val prior = Seq((1L, "x")).toDF("doc_id", "text")
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp"))
+    val batch = Seq((1L, "x", "boom")).toDF("doc_id", "text", "fp")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalExactDedup(batch, prior, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("ngram jaccard finds the near-dup pair, skips unrelated") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet

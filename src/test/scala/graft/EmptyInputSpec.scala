@@ -110,6 +110,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(got == ((1L, 0L, 0.0, true)))
   }
 
+  test("incrementalExactDedup returns empty on an empty batch") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val prior = Seq((1L, "seen")).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp"))
+    assert(graft.operators.Dedup.incrementalExactDedup(empty, prior,
+      "text", "doc_id").count() == 0)
+  }
+
   test("dsirResample returns empty on an empty corpus") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val w = Seq((0L, 100L), (1L, -100L)).toDF("bucket", "w")
