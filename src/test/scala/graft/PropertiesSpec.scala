@@ -138,4 +138,74 @@ class PropertiesSpec extends SparkSpec {
       assert(got.toSeq == Seq((1, "tok", "tok", (n - 1).toLong)), s"n=$n")
     }
   }
+
+  // random docs from a small word pool (high collision rate — the
+  // interesting regime for dedup invariants)
+  private val docGen = Gen.listOfN(24, for {
+    nWords <- Gen.chooseNum(0, 6)
+    words <- Gen.listOfN(nWords, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+  } yield words.mkString(" "))
+
+  test("incremental dedup == plain anti-join + in-batch dedup, any split") {
+    for ((texts, i) <- samples(docGen, 5).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val prior = docs.filter(col("doc_id") % 3 === lit(i.toLong % 3))
+        .select(graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .distinct()
+      val got = Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") % 3 =!= lit(i.toLong % 3)), prior,
+        "text", "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      // reference: plain anti-join on the fingerprint, then lowest-id
+      val batch = docs.filter(col("doc_id") % 3 =!= lit(i.toLong % 3))
+        .withColumn("_f", graft.functions.TextFunctions.fingerprintMd5(col("text")))
+      val want = batch.join(prior, col("_f") === col("fp"), "left_anti")
+        .groupBy("_f").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"case $i")
+    }
+  }
+
+  test("DSIR resample: selected set is the top-k of the full key ranking") {
+    for ((texts, i) <- samples(docGen, 3).zipWithIndex if texts.nonEmpty) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val target = docs.filter(col("doc_id") % 2 === 0)
+      if (!target.isEmpty) {
+        val w = graft.operators.ScaleOps.dsirLogRatioWeights(
+          target, docs, "text", buckets = 32)
+        val all = graft.operators.ScaleOps.dsirResample(docs, "doc_id",
+          "text", w, k = texts.length, buckets = 32)
+          .as[(Long, Long, Long)].collect()
+        assert(all.length == texts.length, s"case $i: k=n returns all")
+        val top3 = graft.operators.ScaleOps.dsirResample(docs, "doc_id",
+          "text", w, k = 3, buckets = 32)
+          .as[(Long, Long, Long)].collect().map(_._1).toSet
+        val want = all.sortBy(r => (-r._3, r._1)).take(3).map(_._1).toSet
+        assert(top3 == want, s"case $i: k=3 is the key-ranking prefix")
+      }
+    }
+  }
+
+  test("linear quality weights are antisymmetric under class swap") {
+    for ((texts, i) <- samples(docGen, 3).zipWithIndex) {
+      val nonEmpty = texts.filter(_.nonEmpty)
+      if (nonEmpty.length >= 2) {
+        val (a, b) = nonEmpty.splitAt(nonEmpty.length / 2)
+        val da = a.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+        val db = b.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+        val wab = graft.operators.Corpus.linearQualityWeights(da, db, "text", topF = 1000)
+          .as[(String, Long)].collect().toMap
+        val wba = graft.operators.Corpus.linearQualityWeights(db, da, "text", topF = 1000)
+          .as[(String, Long)].collect().toMap
+        assert(wab.keySet == wba.keySet, s"case $i")
+        // w(g) = ln(p) - ln(q) flips sign when classes swap; fixed-point
+        // floor(x*1e6+0.5) maps x -> -x within 1 ulp of the quantizer
+        wab.foreach { case (g, w) =>
+          assert(math.abs(w + wba(g)) <= 1L, s"case $i gram $g: $w vs ${wba(g)}")
+        }
+      }
+    }
+  }
 }
