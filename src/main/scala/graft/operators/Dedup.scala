@@ -94,49 +94,44 @@ object Dedup {
   def incrementalExactDedup(newDocs: DataFrame, priorFps: DataFrame,
       textCol: String, idCol: String, fpCol: String = "fp",
       expectedPriorKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val clash = newDocs.columns.filter(Set("_fp", "_rn", "fp")).distinct
+    val clash = newDocs.columns.filter(Set("_fp", "_rn", "_pfp", fpCol)).distinct
     require(clash.isEmpty,
       s"incrementalExactDedup: input columns ${clash.mkString(", ")} collide with internal markers")
-    val spark = newDocs.sparkSession
+    // the fingerprint store is consumed THREE times (empty probe,
+    // bloom build, anti-join right side) — persist the projection so
+    // the caller's store pipeline runs once (the persist-before-probe
+    // convention; released via Caches.release). The BATCH side is
+    // deliberately NOT persisted: its two consumers (maybe/fresh) are
+    // map-side filters, and two scans cost less than materializing
+    // full document text.
+    val pf = graft.core.Caches.persistTracked(priorFps.select(col(fpCol)))
     val withFp = newDocs.withColumn("_fp", fingerprintMd5(col(textCol)))
     val w = Window.partitionBy(col("_fp")).orderBy(col(idCol).asc)
+    def dedupInBatch(df: DataFrame): DataFrame = df
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumnRenamed("_fp", fpCol)
     // first increment: an empty fingerprint store means everything is
     // fresh — and Spark's stat.bloomFilter NPEs on an empty frame
     // (null aggregation buffer), so this is a correctness guard, not
     // just a fast path
-    if (priorFps.isEmpty)
-      return withFp
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .drop("_rn")
-        .withColumnRenamed("_fp", fpCol)
-    val bloom = priorFps.stat.bloomFilter(fpCol, expectedPriorKeys, fpp)
-    val (maybe, fresh) =
-      if (spark.catalog.functionExists("graft_bloom_contains")) {
-        val bos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        val probe = call_function("graft_bloom_contains",
-          col("_fp"), lit(bos.toByteArray))
-        (withFp.filter(probe), withFp.filter(!probe))
-      } else {
-        val bc = spark.sparkContext.broadcast(bloom)
-        (withFp.filter((r: org.apache.spark.sql.Row) =>
-          bc.value.mightContain(r.getAs[String]("_fp"))),
-          withFp.filter((r: org.apache.spark.sql.Row) =>
-            !bc.value.mightContain(r.getAs[String]("_fp"))))
-      }
+    if (pf.isEmpty) return dedupInBatch(withFp)
+    val bloom = pf.stat.bloomFilter(fpCol, expectedPriorKeys, fpp)
+    // null-text rows fingerprint to a null _fp: bloomSplit routes them
+    // FRESH (a null fp can never equal a stored one — exactly what the
+    // plain anti-join would conclude), and the in-batch window then
+    // keeps one lowest-id survivor of the null group, matching
+    // [[exactDedup]]'s semantics
+    val (maybe, fresh) = ScaleOps.bloomSplit(withFp, bloom, "_fp")
     // only the maybe-slice pays the anti-join shuffle; prior side
     // shuffles fingerprints only, pinned shuffle-hash (both sides are
     // id/fp streams — no sort needed, no broadcast assumption on a
     // history-sized store)
     val confirmedNew = maybe.join(
-      priorFps.select(col(fpCol).as("_pfp")).hint("shuffle_hash"),
+      pf.select(col(fpCol).as("_pfp")).hint("shuffle_hash"),
       col("_fp") === col("_pfp"), "left_anti")
-    fresh.unionByName(confirmedNew)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
-      .withColumnRenamed("_fp", fpCol)
+    dedupInBatch(fresh.unionByName(confirmedNew))
   }
 
   /** MinHash signature: for each of `numHashes` seeds, the minimum

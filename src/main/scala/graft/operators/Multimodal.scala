@@ -98,36 +98,14 @@ object Multimodal {
     * ship with the JDK — no native libs, bit-deterministic output).
     * Returns (width, height, Σ(r+g+b) over all pixels); None when the
     * payload is not a decodable image. */
-  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] = {
-    if (!isImageMagic(payload)) return None
-    try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        var s = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        Some((img.getWidth, img.getHeight, s))
-      }
-      // ImageIO plugins throw unchecked exceptions (IllegalArgument,
-      // ArrayIndexOutOfBounds…) on corrupt payloads that pass the magic
-      // sniff — the documented contract is stub fallback, not a task
-      // crash, so catch everything non-fatal
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    decodeImageChannels(payload).map { case (w, h, r, g, b) => (w, h, r + g + b) }
 
-  /** [[decodeImage]] with per-CHANNEL sums — the decode step of the
-    * cross-modal retrieval bridge: (width, height, Σr, Σg, Σb). Same
-    * contract: None for non-images / corrupt payloads. */
+  /** The REAL image decode (`javax.imageio` — BMP and PNG readers ship
+    * with the JDK, no native libs, bit-deterministic): (width, height,
+    * Σr, Σg, Σb); None for non-images / corrupt payloads.
+    * [[decodeImage]] derives its Σ(r+g+b) form from this, and the
+    * cross-modal retrieval bridge consumes the channel sums. */
   def decodeImageChannels(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
     if (!isImageMagic(payload)) return None
     try {
@@ -150,6 +128,10 @@ object Multimodal {
         }
         Some((img.getWidth, img.getHeight, r, g, b))
       }
+      // ImageIO plugins throw unchecked exceptions (IllegalArgument,
+      // ArrayIndexOutOfBounds…) on corrupt payloads that pass the magic
+      // sniff — the documented contract is stub fallback, not a task
+      // crash, so catch everything non-fatal
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

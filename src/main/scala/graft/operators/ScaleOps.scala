@@ -361,8 +361,13 @@ object ScaleOps {
         .groupBy(col("bucket")).agg(count(lit(1)).as(cName))
     val tc = bucketCounts(target, "_tc").persistTracked()
     val rc = bucketCounts(raw, "_rc").persistTracked()
-    val scal = tc.agg(sum(col("_tc")).cast("long").as("_nt"))
-      .crossJoin(rc.agg(sum(col("_rc")).cast("long").as("_nr")))
+    // coalesce: a non-empty class whose docs all tokenize to ZERO
+    // grams yields an empty count frame and a NULL sum — without the
+    // guard every weight goes NULL and downstream scoring silently
+    // degrades to uniform sampling, while the oracle (which
+    // coalesces) computes real weights
+    val scal = tc.agg(coalesce(sum(col("_tc")), lit(0L)).cast("long").as("_nt"))
+      .crossJoin(rc.agg(coalesce(sum(col("_rc")), lit(0L)).cast("long").as("_nr")))
     spark.range(buckets).toDF("bucket")
       .join(tc, Seq("bucket"), "left")
       .join(rc, Seq("bucket"), "left")
@@ -636,26 +641,48 @@ object ScaleOps {
     // (integral → cast long, string → as-is) or pruning silently
     // yields false negatives and the "result identical to the plain
     // join" contract breaks
-    val probeCol = fact.schema(key).dataType match {
-      case org.apache.spark.sql.types.StringType => col(key)
-      case _ => col(key).cast("long")
-    }
     val bloom = dim.stat.bloomFilter(key, expectedDimKeys, fpp)
-    val pruned =
-      if (spark.catalog.functionExists("graft_bloom_contains")) {
-        // native codegen probe: the filter rides inside the whole-stage
-        // codegen span; a typed Row=>Boolean filter would deserialize
-        // every fact row and split the span
-        val bos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        fact.filter(call_function("graft_bloom_contains",
-          probeCol, lit(bos.toByteArray)))
-      } else {
-        val bc = spark.sparkContext.broadcast(bloom)
-        fact.filter((r: org.apache.spark.sql.Row) =>
-          bc.value.mightContain(r.getAs[Any](key)))
-      }
+    val (pruned, _) = bloomSplit(fact, bloom, key)
     pruned.join(dim, Seq(key))
+  }
+
+  /** Split `df` into (bloom-MAYBE, definitely-FRESH) slices on
+    * `colName` — the shared probe machinery behind [[bloomPrunedJoin]]
+    * and `Dedup.incrementalExactDedup`. Probe encoding matches the
+    * build side's insert encoding (integral → long, string → as-is;
+    * see [[requireSketchableKey]]) or pruning silently yields false
+    * negatives. NULL keys always route to the FRESH side: a null never
+    * matches any stored key, and neither probe path can evaluate null
+    * (the native call returns SQL NULL — which would drop the row from
+    * BOTH slices — and `BloomFilter.mightContain(null)` throws). The
+    * native codegen probe rides inside the whole-stage codegen span; a
+    * typed Row=>Boolean filter would deserialize every row and split
+    * the span, so it is only the no-extensions fallback. */
+  private[operators] def bloomSplit(df: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      colName: String): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val probeCol = df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.StringType => col(colName)
+      case _ => col(colName).cast("long")
+    }
+    if (spark.catalog.functionExists("graft_bloom_contains")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      // isNotNull first makes the probe total (false for null rows,
+      // never SQL NULL), so filter(!probe) is an exact complement
+      val probe = col(colName).isNotNull &&
+        call_function("graft_bloom_contains", probeCol, lit(bos.toByteArray))
+      (df.filter(probe), df.filter(!probe))
+    } else {
+      val bc = spark.sparkContext.broadcast(bloom)
+      (df.filter((r: org.apache.spark.sql.Row) =>
+        r.getAs[Any](colName) != null &&
+          bc.value.mightContain(r.getAs[Any](colName))),
+        df.filter((r: org.apache.spark.sql.Row) =>
+          r.getAs[Any](colName) == null ||
+            !bc.value.mightContain(r.getAs[Any](colName))))
+    }
   }
 
   /** Both sketch-backed operators (CMS, Bloom) insert by runtime type:

@@ -63,7 +63,7 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 3L))
   }
 
-  test("incremental dedup: fp column clash fails loud") {
+  test("incremental dedup: fp column clash fails loud (default and custom fpCol)") {
     val prior = Seq((1L, "x")).toDF("doc_id", "text")
       .select(TextFunctions.fingerprintMd5(col("text")).as("fp"))
     val batch = Seq((1L, "x", "boom")).toDF("doc_id", "text", "fp")
@@ -71,6 +71,28 @@ class DedupSpec extends SparkSpec {
       Dedup.incrementalExactDedup(batch, prior, "text", "doc_id")
     }
     assert(e.getMessage.contains("collide"))
+    // custom fpCol: the guard must protect THAT name, and an existing
+    // "fp" column is then harmless
+    val priorH = prior.withColumnRenamed("fp", "hash")
+    val clash = Seq((1L, "x", "boom")).toDF("doc_id", "text", "hash")
+    assert(intercept[IllegalArgumentException] {
+      Dedup.incrementalExactDedup(clash, priorH, "text", "doc_id", fpCol = "hash")
+    }.getMessage.contains("collide"))
+    val ok = Dedup.incrementalExactDedup(batch, priorH, "text", "doc_id",
+      fpCol = "hash")
+    assert(ok.columns.count(_ == "hash") == 1 && ok.count() == 0)
+  }
+
+  test("incremental dedup: null text routes fresh and keeps one survivor") {
+    val prior = Seq((100L, "seen before")).toDF("doc_id", "text")
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp"))
+    val batch = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "seen before"), (4L, "fresh doc")).toDF("doc_id", "text")
+    // null fp never matches a stored fp (plain anti-join semantics);
+    // the null group resolves to its lowest id like exactDedup
+    val got = Dedup.incrementalExactDedup(batch, prior, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 4L))
   }
 
   test("ngram jaccard finds the near-dup pair, skips unrelated") {

@@ -363,6 +363,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(tW > rW, s"target docs must out-weigh gibberish ($tW vs $rW)")
   }
 
+  test("dsirLogRatioWeights: zero-gram classes still yield defined weights") {
+    // non-empty frames whose docs tokenize to nothing: N collapses to
+    // 0, weights stay finite (add-one smoothing over B buckets), and
+    // nothing goes NULL — the silent-uniform-sampling hazard
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val raw = Seq((3L, "actual words here")).toDF("doc_id", "text")
+    // decoding to (Long, Long) throws if any weight is NULL — success
+    // of the collect IS the no-null assertion
+    val w = ScaleOps.dsirLogRatioWeights(blank, raw, "text", buckets = 16)
+      .as[(Long, Long)].collect()
+    assert(w.length == 16)
+    val wNullSide = ScaleOps.dsirLogRatioWeights(raw, blank, "text", buckets = 16)
+      .as[(Long, Long)].collect()
+    assert(wNullSide.length == 16)
+    // antisymmetric to the swapped call within the quantizer ulp
+    val m1 = w.toMap; val m2 = wNullSide.toMap
+    assert(m1.keys.forall(b => math.abs(m1(b) + m2(b)) <= 1L))
+  }
+
   test("dsirLogRatioWeights: empty classes fail loud") {
     val docs = Seq((1L, "text")).toDF("doc_id", "text")
     val none = docs.filter(col("doc_id") < 0)
