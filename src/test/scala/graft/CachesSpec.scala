@@ -76,7 +76,10 @@ class CachesSpec extends SparkSpec {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"))
       .toDF("s", "d")
     graft.graph.Traversal.labelPropagation(edges, "s", "d", iters = 2).count()
-    assert(Caches.trackedCount(spark) >= 5,
+    graft.operators.Dedup.incrementalExactDedup(docs,
+      docs.limit(5).select(graft.functions.TextFunctions
+        .fingerprintMd5(col("text")).as("fp")), "text", "doc_id").count()
+    assert(Caches.trackedCount(spark) >= 6,
       s"expected every family to register, got ${Caches.trackedCount(spark)}")
     Caches.release(spark)
     assert(Caches.trackedCount(spark) == 0,
