@@ -96,8 +96,20 @@ object Caches {
     * them WITHOUT calling release doesn't accumulate them unboundedly
     * (the registry is #sessions-sized — the sweep is O(sessions)).
     * Callers already hold the registry lock. */
-  private def sweepStopped(): Unit =
-    registry.keySet.removeIf(s => s.sparkContext.isStopped)
+  private def sweepStopped(): Unit = sweep(s => s.sparkContext.isStopped)
+
+  /** The sweep mechanics with the stopped-probe injectable: a spec
+    * cannot genuinely stop a second SparkContext (one per JVM, and the
+    * suite shares it), so CachesSpec pins the eviction path by passing
+    * a predicate that marks a chosen session "stopped". Production
+    * code only ever calls [[sweepStopped]]. Callers hold the lock. */
+  private[graft] def sweep(isStopped: SparkSession => Boolean): Unit =
+    registry.keySet.removeIf(s => isStopped(s))
+
+  /** Test hook: run one sweep under the registry lock with an injected
+    * stopped-probe (see [[sweep]]). */
+  private[graft] def sweepForTest(isStopped: SparkSession => Boolean): Unit =
+    registry.synchronized(sweep(isStopped))
 
   /** Unpersist every graft-internal intermediate registered under this
     * session and drain the registry. Non-blocking unpersist: the

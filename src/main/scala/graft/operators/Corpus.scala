@@ -415,7 +415,10 @@ object Corpus {
     * (OOV grams score 0), reported as the mean per gram
     * (round(logit / (1e6·max(n_grams,1)), 6) — the max guard keeps
     * zero-gram docs at 0.0 instead of NaN); `keep` = no evidence (zero
-    * grams) or mean-logit ≥ threshold (seed-like). */
+    * grams) or mean-logit ≥ threshold (seed-like). NULL text carries
+    * no evidence either: the gram array coalesces to empty, so such
+    * docs land on the documented zero-gram path (n_grams=0, score=0.0,
+    * keep=true) instead of propagating NULL through score/keep. */
   def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
       weights: Seq[(String, Long)], threshold: Double): DataFrame = {
     require(weights.nonEmpty, "linearQualityScore: empty weight table")
@@ -423,8 +426,10 @@ object Corpus {
       "linearQualityScore: duplicate grams in weight table")
     val wmap = map_from_arrays(
       typedLit(weights.map(_._1)), typedLit(weights.map(_._2)))
-    val grams = concat(TextFunctions.tokens(lower(col(textCol))),
-      Dedup.shinglesAuto(docs, textCol, 2))
+    val grams = coalesce(
+      concat(TextFunctions.tokens(lower(col(textCol))),
+        Dedup.shinglesAuto(docs, textCol, 2)),
+      typedLit(Seq.empty[String]))
     Dedup.spread(docs)
       .select(col(idCol), size(grams).cast("long").as("n_grams"),
         aggregate(grams, lit(0L),

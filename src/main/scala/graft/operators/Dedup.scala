@@ -90,10 +90,23 @@ object Dedup {
     * IDENTICAL to the plain anti-join. Within-batch dupes then resolve
     * by the [[exactDedup]] lowest-id-survives rule. Returns surviving
     * new rows plus their `fp` — exactly what the caller appends to the
-    * fingerprint store for the next increment. */
+    * fingerprint store for the next increment.
+    *
+    * Bloom sizing: by default (`expectedPriorKeys = 0`) the expected
+    * key count is DERIVED from the store itself — one bounded `count()`
+    * on the already-persisted fingerprint projection (persisted
+    * precisely because it has multiple consumers), so a 10⁹-row store
+    * gets a 10⁹-key Bloom instead of silently saturating a static
+    * guess (fpp → 1 would route the whole batch through the anti-join:
+    * still correct, but the prefilter the operator exists for
+    * evaporates). Pass a positive value to override — e.g. when the
+    * caller maintains the store row count out-of-band and wants to
+    * skip the count job. */
   def incrementalExactDedup(newDocs: DataFrame, priorFps: DataFrame,
       textCol: String, idCol: String, fpCol: String = "fp",
-      expectedPriorKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedPriorKeys: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    require(expectedPriorKeys >= 0L,
+      s"expectedPriorKeys must be >= 0 (0 = derive from the store), got $expectedPriorKeys")
     val clash = newDocs.columns.filter(Set("_fp", "_rn", "_pfp", fpCol)).distinct
     require(clash.isEmpty,
       s"incrementalExactDedup: input columns ${clash.mkString(", ")} collide with internal markers")
@@ -117,7 +130,8 @@ object Dedup {
     // (null aggregation buffer), so this is a correctness guard, not
     // just a fast path
     if (pf.isEmpty) return dedupInBatch(withFp)
-    val bloom = pf.stat.bloomFilter(fpCol, expectedPriorKeys, fpp)
+    val bloom = pf.stat.bloomFilter(fpCol,
+      bloomKeysFor(pf, expectedPriorKeys), fpp)
     // null-text rows fingerprint to a null _fp: bloomSplit routes them
     // FRESH (a null fp can never equal a stored one — exactly what the
     // plain anti-join would conclude), and the in-batch window then
@@ -133,6 +147,15 @@ object Dedup {
       col("_fp") === col("_pfp"), "left_anti")
     dedupInBatch(fresh.unionByName(confirmedNew))
   }
+
+  /** Bloom expected-key count for [[incrementalExactDedup]]: the
+    * caller's positive override verbatim, else the persisted store's
+    * own row count (floored at 1 — `stat.bloomFilter` rejects 0, and
+    * the empty store never reaches here). Package-visible so the spec
+    * can pin the derivation without rebuilding the operator's Bloom. */
+  private[graft] def bloomKeysFor(persistedFps: DataFrame,
+      requested: Long): Long =
+    if (requested > 0L) requested else math.max(persistedFps.count(), 1L)
 
   /** MinHash signature: for each of `numHashes` seeds, the minimum
     * md5(seed:shingle) hex string over the document's shingles.
@@ -249,6 +272,160 @@ object Dedup {
         jaccardArr(element_at(col("_ab"), 1), element_at(col("_ab"), 2)))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Per-doc NEAR-dup store record — the append-only index
+    * [[incrementalNearDup]] dedups against: `(id, shingles, sig)`,
+    * i.e. the distinct shingle set (for exact-Jaccard verification)
+    * and the MinHash signature (band keys are cheap slices of it, so
+    * they are derived per increment instead of stored). Run once over
+    * the initial corpus to bootstrap the store; after that the store
+    * grows ONLY by appending each increment's survivors — history is
+    * never re-tokenized or re-hashed. */
+  def nearDupStoreRecords(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    spread(docs)
+      .withColumn("shingles", distinctShingles(docs, textCol, shingleN))
+      .select(col(idCol).as("id"), col("shingles"),
+        minhashOfShingles(docs, col("shingles"), numHashes).as("sig"))
+  }
+
+  /** Distinct shingle set with NULL text coalesced to the EMPTY set —
+    * null text carries the same (non-)evidence as empty text, and the
+    * coalesce keeps the native minhash kernel (null-in → null-out) and
+    * the HOF fallback (null-in → zz_empty sentinel) on one behavior. */
+  private def distinctShingles(df: DataFrame, textCol: String,
+      shingleN: Int): Column =
+    coalesce(array_distinct(shinglesAuto(df, textCol, shingleN)),
+      typedLit(Seq.empty[String]))
+
+  /** Incremental (cross-snapshot) NEAR-dup dedup — the second half of
+    * the ingestion-time pair with [[incrementalExactDedup]]: a new
+    * batch dedups against the already-ingested corpus represented only
+    * by its [[nearDupStoreRecords]] index, never by rescanning its
+    * text. The X2 banded machinery runs batch-vs-store instead of
+    * self-join: band keys are sliced from the STORED signatures (no
+    * re-hash of history) and joined against the batch's band rows, so
+    * candidate generation shuffles short (band, bucket, id) keys with
+    * volume O(batch·bands + store·bands) — never all-pairs. Candidates
+    * are verified by EXACT n-gram Jaccard against the stored shingle
+    * sets, fetched for candidate ids only (the store scan prunes to
+    * (id, shingles) and joins through the candidate list — gated
+    * broadcast with a shuffle-hash fallback, the
+    * [[minhashNearDupPairs]] convention). Within-batch near-dups
+    * resolve by a deterministic PAIRWISE lowest-id rule: a batch doc
+    * is dropped iff it verifies ≥ `threshold` against any store doc or
+    * any SMALLER-id batch doc (pairwise, not transitive-closure — in a
+    * chain a≈b≈c with a̸≈c, b drops and c survives; closure clustering
+    * is [[connectedComponents]]' job and would force an iterative
+    * dependency into an ingestion-time op).
+    *
+    * Zero-shingle docs (empty/whitespace/NULL text) never enter the
+    * band index on either side: with `threshold > 0` (required) an
+    * empty set verifies against nothing, and the shared all-empties
+    * sentinel bucket is exactly the quadratic skew bucket a 100 TB run
+    * cannot afford. They all survive, mirroring the verify outcome.
+    *
+    * Returns the surviving batch rows plus their store-append record —
+    * `shingles`, `sig`, and the derived `band_keys` — so the caller's
+    * next increment is `store.unionByName(survivors.select(id,
+    * shingles, sig))` ([[incrementalExactDedup]]'s contract, near-dup
+    * flavored). The store is text-sized (it carries shingle sets — the
+    * price of EXACT verification), but append-only and column-pruned:
+    * banding reads only (id, sig); verification reads (id, shingles)
+    * for candidate ids only. */
+  def incrementalNearDup(newDocs: DataFrame, store: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      spreadInput: Boolean = true,
+      pairBroadcastBudget: Long = 1000000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val needed = Set("id", "shingles", "sig")
+    require(needed.subsetOf(store.columns.toSet),
+      s"incrementalNearDup: store must have columns id/shingles/sig " +
+        s"(nearDupStoreRecords' schema), got ${store.columns.mkString(", ")}")
+    val clash = newDocs.columns.filter(Set("_sh", "_sig", "_bid", "_sid",
+      "_id1", "_id2", "_ab", "_j", "band", "bucket",
+      "shingles", "sig", "band_keys")).distinct
+    require(clash.isEmpty,
+      s"incrementalNearDup: input columns ${clash.mkString(", ")} collide with internal markers")
+    val numHashes = bands * rowsPerBand
+
+    // batch records: consumed by banding, both verify joins, and the
+    // survivor anti-join — persist once (registry-released)
+    val batch = (if (spreadInput) spread(newDocs) else newDocs)
+      .withColumn("_sh", distinctShingles(newDocs, textCol, shingleN))
+      .withColumn("_sig", minhashOfShingles(newDocs, col("_sh"), numHashes))
+      .persistTracked()
+
+    def bandKeysOf(sig: Column): Column =
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))
+    def bandRows(df: DataFrame, id: Column, sig: Column, sh: Column,
+        idName: String): DataFrame =
+      df.filter(size(sh) > 0)
+        .select(id.as(idName), posexplode(bandKeysOf(sig)))
+        .select(col(idName), col("pos").as("band"), col("col").as("bucket"))
+
+    val bBands = bandRows(batch, col(idCol), col("_sig"), col("_sh"), "_bid")
+    // store banding: a pruned (id, sig) scan — stored signatures slice
+    // into band keys with no tokenization or hashing of history
+    val sBands = bandRows(store, col("id"), col("sig"), col("shingles"), "_sid")
+
+    // batch-vs-store candidates: build side = the (smaller) batch,
+    // probe side = the store — pinned shuffle-hash, never a broadcast
+    // assumption on a corpus-sized index
+    val candStore = bBands.hint("shuffle_hash")
+      .join(sBands, Seq("band", "bucket"))
+      .select("_bid", "_sid").distinct()
+      .persistTracked()
+    // within-batch candidates: the X2 self-join shape on the batch only
+    val cb1 = bBands.select(col("band"), col("bucket"), col("_bid").as("_id1"))
+    val cb2 = bBands.select(col("band"), col("bucket"), col("_bid").as("_id2"))
+    val candBatch = cb1.hint("shuffle_hash").join(cb2, Seq("band", "bucket"))
+      .filter(col("_id1") < col("_id2"))
+      .select("_id1", "_id2").distinct()
+      .persistTracked()
+
+    val storeFits = fitsBudget(candStore, pairBroadcastBudget)
+    val batchFits = fitsBudget(candBatch, pairBroadcastBudget)
+
+    val batchSh = batch.select(col(idCol).as("_bid"), col("_sh"))
+    val storeSh = store.select(col("id").as("_sid"), col("shingles").as("_ssh"))
+    // store-side shingle fetch rides THROUGH the candidate list, so
+    // only candidate ids' shingle sets leave the store scan
+    val candWithStore =
+      if (storeFits) storeSh.join(broadcast(candStore), Seq("_sid"))
+      else storeSh.hint("shuffle_hash").join(candStore, Seq("_sid"))
+    val dupVsStore = candWithStore
+      .join(batchSh.hint("shuffle_hash"), Seq("_bid"))
+      .filter(jaccardArr(col("_sh"), col("_ssh")) >= threshold)
+      .select(col("_bid"))
+
+    val candBatchLong = candBatch.select(col("_id1"), col("_id2"),
+      explode(array(col("_id1"), col("_id2"))).as("_bid"))
+    val vb =
+      if (batchFits) batchSh.join(broadcast(candBatchLong), Seq("_bid"))
+      else batchSh.hint("shuffle_hash").join(candBatchLong, Seq("_bid"))
+    // Jaccard is symmetric, so collect_list's nondeterministic order
+    // is immaterial (the minhashNearDupPairs verify idiom)
+    val dupInBatch = vb.groupBy(col("_id1"), col("_id2"))
+      .agg(collect_list(col("_sh")).as("_ab"))
+      .withColumn("_j",
+        jaccardArr(element_at(col("_ab"), 1), element_at(col("_ab"), 2)))
+      .filter(col("_j") >= threshold)
+      .select(col("_id2").as("_bid"))
+
+    val dups = dupVsStore.unionByName(dupInBatch).distinct()
+    val dupJoin =
+      if (storeFits && batchFits) broadcast(dups)
+      else dups.hint("shuffle_hash")
+    batch.join(dupJoin, batch(idCol) === dupJoin("_bid"), "left_anti")
+      .withColumnRenamed("_sh", "shingles")
+      .withColumnRenamed("_sig", "sig")
+      .withColumn("band_keys", bandKeysOf(col("sig")))
   }
 
   /** Exact Jaccard over two pre-distinct arrays. */

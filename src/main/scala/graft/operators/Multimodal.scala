@@ -348,6 +348,81 @@ object Multimodal {
       }
   }
 
+  case class AudioFeatureVec(media_id: Long, decoded: Boolean,
+      features: Array[Double])
+
+  /** REAL audio decode → fixed-dim feature vector: one pass over the
+    * decoded PCM16 sample stream emitting
+    * [n_samples, Σs, Σ|s|, Σs², first_sample] as `array<double>` —
+    * the audio sibling of [[imageFeatureVectors]], and the bridge that
+    * runs the cosine top-k family over an AUDIO column. Every
+    * component is an exact integer in IEEE double (n ≤ payload bytes,
+    * Σs² bounded by n·2¹⁴·2¹⁴ ≪ 2⁵³), so downstream cosine arithmetic
+    * is engine-portable. (A production deployment swaps this
+    * closed-form featurizer for an audio encoder behind the SAME
+    * schema/batching contract.) Non-WAV payloads keep the
+    * deterministic stub (decoded=false, [-1, -1, byte_sum, 0, 0]) so
+    * no row silently disappears from the index. Batched
+    * mapPartitions — payloads never leave the map stage. */
+  def audioFeatureVectors(media: DataFrame): Dataset[AudioFeatureVec] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeWavVector(payload) match {
+            case Some(v) => AudioFeatureVec(id, decoded = true, v)
+            case None =>
+              val (_, _, s) = decodeStub(payload)
+              AudioFeatureVec(id, decoded = false,
+                Array(-1.0, -1.0, s.toDouble, 0.0, 0.0))
+          }
+        }
+      }
+  }
+
+  /** One-pass PCM16 feature extraction behind [[audioFeatureVectors]]:
+    * same javax.sound.sampled decode contract as [[decodeWav]], but
+    * accumulating [n, Σs, Σ|s|, Σs², first] over the raw sample
+    * stream (all channels; the synthetic corpus is mono). */
+  def decodeWavVector(payload: Array[Byte]): Option[Array[Double]] = {
+    if (!isWavMagic(payload)) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val bytes = in.readAllBytes()
+          val buf = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var n = 0L
+          var sum = 0L
+          var sumAbs = 0L
+          var sumSq = 0L
+          var first = 0L
+          while (buf.remaining() >= 2) {
+            val s = buf.getShort.toLong
+            if (n == 0) first = s
+            sum += s
+            sumAbs += math.abs(s)
+            sumSq += s * s
+            n += 1
+          }
+          if (n == 0) None
+          else Some(Array(n.toDouble, sum.toDouble, sumAbs.toDouble,
+            sumSq.toDouble, first.toDouble))
+        }
+      } finally in.close()
+      // same contract as decodeWav: any non-fatal decode failure on a
+      // payload that passed the RIFF sniff means stub fallback
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   case class MediaResized(media_id: Long, resized: Array[Byte], n_out: Int)
 
   /** STUB resize — stands in for an image resize: deterministic

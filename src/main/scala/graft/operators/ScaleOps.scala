@@ -648,7 +648,15 @@ object ScaleOps {
 
   /** Split `df` into (bloom-MAYBE, definitely-FRESH) slices on
     * `colName` — the shared probe machinery behind [[bloomPrunedJoin]]
-    * and `Dedup.incrementalExactDedup`. Probe encoding matches the
+    * and `Dedup.incrementalExactDedup`. PRECONDITION: `df`'s plan must
+    * be DETERMINISTIC up to and including `colName` (the two slices
+    * are two independent evaluations of the same unpersisted plan — a
+    * nondeterministic expression could route a row into both slices or
+    * neither, breaking the exact-complement contract that
+    * incrementalExactDedup's "identical to the plain anti-join"
+    * guarantee rests on). All current callers feed deterministic
+    * column pipelines; persist the input first if yours does not.
+    * Probe encoding matches the
     * build side's insert encoding (integral → long, string → as-is;
     * see [[requireSketchableKey]]) or pruning silently yields false
     * negatives. NULL keys always route to the FRESH side: a null never

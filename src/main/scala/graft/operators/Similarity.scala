@@ -165,6 +165,29 @@ object Similarity {
     finishTopK(scored, qIdCol, idCol, k)
   }
 
+  /** Retrieval-quality harness: per-query recall@k of an ANN result
+    * against brute-force ground truth. Both inputs are (q_id, vec_id
+    * [, ...]) top-k tables — k·|queries| rows, so the join is tiny
+    * next to any retrieval it measures; it still joins on composite
+    * key (no broadcast assumption: a serving eval can carry millions
+    * of queries). A ground-truth row counts as a hit iff the ANN list
+    * for the same query contains the same vec_id; recall =
+    * hits / |ground-truth rows for that query| (the denominator is
+    * per-query, so queries with fewer than k corpus matches are not
+    * penalized for rows that don't exist). Hash-determinism comes free:
+    * both inputs are already deterministic (score desc, id asc
+    * tie-breaks), and recall rounds to 6dp like every exported ratio. */
+  def recallAtK(groundTruth: DataFrame, ann: DataFrame): DataFrame = {
+    val gt = groundTruth.select(col("q_id"), col("vec_id"))
+    val hits = ann.select(col("q_id"), col("vec_id"), lit(1L).as("_hit"))
+    gt.join(hits, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("_hit")).as("hits"), count(lit(1)).as("n"))
+      .select(col("q_id"), col("hits"), col("n"),
+        round(col("hits").cast("double") / col("n").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** ColBERT-style LATE-INTERACTION MaxSim top-k (Khattab & Zaharia
     * 2020, arXiv:2004.12832): documents and queries carry MULTIPLE
     * sub-vectors (here: `subs` contiguous slices of one embedding —

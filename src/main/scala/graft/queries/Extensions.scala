@@ -398,6 +398,56 @@ object Extensions {
 
   lazy val minhashPairsSql: String = minhashPairsSqlFrom("documents")
 
+  /** Incremental cross-snapshot NEAR-dup (X113), the ingestion-time
+    * sibling of [[incrementalDedup]]: the doc_id % 3 == 0 slice plays
+    * the already-ingested corpus — present ONLY as its
+    * nearDupStoreRecords (id, shingles, sig) index — and the rest is
+    * the incoming batch, deduped batch-vs-store through the banded
+    * MinHash machinery with exact-Jaccard verification on candidates
+    * only, plus the pairwise lowest-id rule within the batch. The
+    * emitted band_str pins the full store-append record (signature →
+    * band keys) in the hash, not just survivorship. */
+  val incrementalNearDup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val store = Dedup.nearDupStoreRecords(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+      shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+    Dedup.incrementalNearDup(docs.filter(col("doc_id") % 3 =!= 0), store,
+      "text", "doc_id", threshold = 0.7,
+      shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+      .select(col("doc_id"), col("source"),
+        array_join(col("band_keys"), ";").as("band_str"))
+  }
+
+  val incrementalNearDupSql: String = {
+    val sigElems = (0 until MINHASH_BANDS * MINHASH_RPB).map(seed =>
+      s"coalesce(list_min(list_transform(s, x -> md5('$seed:' || x))), 'zz_empty')")
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until MINHASH_BANDS).map(b => s"($b)").mkString(",")
+    val jac = "CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE)/" +
+      "len(list_distinct(list_concat(x.ds, y.ds)))"
+    s"WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"shl AS (SELECT doc_id, $duckShingles AS s FROM toks), " +
+      s"sig AS MATERIALIZED (SELECT doc_id, $sigElems AS sg FROM shl), " +
+      "dsh AS MATERIALIZED (SELECT doc_id, list_distinct(s) AS ds FROM shl), " +
+      s"bands AS MATERIALIZED (SELECT g.doc_id, bb.band AS band, " +
+      s"array_to_string(list_slice(g.sg, bb.band*$MINHASH_RPB + 1, bb.band*$MINHASH_RPB + $MINHASH_RPB), '|') AS bucket " +
+      s"FROM sig g JOIN dsh h ON g.doc_id = h.doc_id CROSS JOIN (VALUES $bandRows) bb(band) WHERE len(h.ds) > 0), " +
+      "cs AS (SELECT DISTINCT n.doc_id AS bid, st.doc_id AS sid FROM bands n " +
+      "JOIN bands st ON n.band = st.band AND n.bucket = st.bucket " +
+      "WHERE n.doc_id % 3 <> 0 AND st.doc_id % 3 = 0), " +
+      "cb AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
+      "WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 <> 0), " +
+      s"dup1 AS (SELECT DISTINCT bid FROM cs JOIN dsh x ON bid = x.doc_id JOIN dsh y ON sid = y.doc_id WHERE $jac >= 0.7), " +
+      s"dup2 AS (SELECT DISTINCT id2 AS bid FROM cb JOIN dsh x ON id1 = x.doc_id JOIN dsh y ON id2 = y.doc_id WHERE $jac >= 0.7), " +
+      "dups AS (SELECT bid FROM dup1 UNION SELECT bid FROM dup2) " +
+      s"SELECT d.doc_id, d.source, array_to_string(list_transform(generate_series(0, ${MINHASH_BANDS - 1}), " +
+      s"b -> array_to_string(list_slice(g.sg, b*$MINHASH_RPB + 1, b*$MINHASH_RPB + $MINHASH_RPB), '|')), ';') AS band_str " +
+      "FROM documents d JOIN sig g ON d.doc_id = g.doc_id " +
+      "WHERE d.doc_id % 3 <> 0 AND d.doc_id NOT IN (SELECT bid FROM dups)"
+  }
+
   val simhashPairs: Q = (s, d) =>
     Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
 
@@ -667,6 +717,42 @@ object Extensions {
       "SELECT media_id, true AS decoded, CAST(8000 AS INT) AS sample_rate, n_samples, " +
       "CAST(sum((media_id * 31 + i * 17) % 4096 - 2048) AS BIGINT) AS sample_sum " +
       "FROM s GROUP BY media_id, n_samples"
+
+  /** Cross-modal retrieval, AUDIO modality (X114 — the [[multimodalSearch]]
+    * symmetry): real PCM16 WAV payloads decode (javax.sound.sampled) to
+    * [n, Σs, Σ|s|, Σs², first] feature vectors which run through the
+    * exact [[embedTopK]] cosine plumbing. The query slice filters
+    * BEFORE the decode; every feature is an exact integer in double so
+    * the cosine math is engine-portable; the oracle computes the
+    * decoded features arithmetically from the closed-form samples (the
+    * audioDecode convention) and reruns the same window top-k. */
+  val audioSearch: Q = (s, d) => {
+    val docs = spread(Tables.documents(s, d))
+    val feats = Multimodal.audioFeatureVectors(
+      Multimodal.wavMediaFromDocuments(docs)).toDF()
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val queries = Multimodal.audioFeatureVectors(
+      Multimodal.wavMediaFromDocuments(docs.filter(col("doc_id") % 100 === 0)))
+      .toDF()
+      .select(col("media_id").as("q_id"), col("features").as("q_vec"))
+    Similarity.bruteForceTopK(feats, queries, k = 5)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  val audioSearchSql: String =
+    "WITH m AS (SELECT doc_id AS id, CAST(16 + doc_id % 33 AS INT) AS n FROM documents), " +
+      "sm AS (SELECT id, n, unnest(generate_series(0, n - 1)) AS i FROM m), " +
+      "sv AS (SELECT id, n, (id*31 + i*17) % 4096 - 2048 AS v FROM sm), " +
+      "f AS MATERIALIZED (SELECT id, [CAST(max(n) AS DOUBLE), CAST(sum(v) AS DOUBLE), " +
+      "CAST(sum(abs(v)) AS DOUBLE), CAST(sum(v*v) AS DOUBLE), " +
+      "CAST(max((id*31) % 4096 - 2048) AS DOUBLE)] AS vec FROM sv GROUP BY id), " +
+      "q AS (SELECT id AS q_id, vec AS qv FROM f WHERE id % 100 = 0), " +
+      "sc AS (SELECT q_id, f.id AS vec_id, " +
+      "round(list_dot_product(vec, qv)/(sqrt(list_dot_product(vec, vec))*sqrt(list_dot_product(qv, qv))), 6) AS score " +
+      "FROM f, q), " +
+      "r AS (SELECT q_id, vec_id, score, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
 
   // -------------------- ingestion (S2/S3) --------------------
 
@@ -1289,6 +1375,36 @@ object Extensions {
       "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
       "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
       "WHERE rank <= 10"
+
+  /** ANN recall harness (X115): retrieval QUALITY of the three ANN
+    * variants measured as per-query recall@10 against the brute-force
+    * ground truth — all four top-k tables are deterministic given the
+    * fixed hyperplanes/centroids/quantizer, so recall itself is a
+    * hash-verifiable quantity, not a flaky metric. Ground truth is
+    * persisted once (three recall joins consume it); the recall join
+    * is k·|queries|-sized. Measured at sf0.01 (see PLANS.md): rerank
+    * 1.0, ivf ~0.9, lsh lower — the documented evidence behind the
+    * parameter choices. */
+  val annRecall: Q = (s, d) => {
+    val bf = graft.core.Caches.persistTracked(embedTopK(s, d))
+    def rec(method: String, ann: DataFrame): DataFrame =
+      Similarity.recallAtK(bf, ann).withColumn("method", lit(method))
+        .select(col("method"), col("q_id"), col("hits"), col("n"), col("recall"))
+    rec("lsh", embedAnn(s, d))
+      .unionByName(rec("ivf", embedIvf(s, d)))
+      .unionByName(rec("rerank", annRerank(s, d)))
+  }
+
+  val annRecallSql: String = {
+    def rec(method: String, cte: String): String =
+      s"SELECT '$method' AS method, bf.q_id, count($cte.vec_id) AS hits, count(*) AS n " +
+        s"FROM bf LEFT JOIN $cte ON bf.q_id = $cte.q_id AND bf.vec_id = $cte.vec_id GROUP BY bf.q_id"
+    s"WITH bf AS MATERIALIZED ($embedTopKSql), lsh AS ($embedAnnSql), " +
+      s"ivf AS ($embedIvfSql), rr AS ($annRerankSql), " +
+      s"rec AS (${rec("lsh", "lsh")} UNION ALL ${rec("ivf", "ivf")} UNION ALL ${rec("rerank", "rr")}) " +
+      "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
+      "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
+  }
 
   /** Deterministic per-stratum sampling by language: keep 50% of en,
     * 25% of de, 10% of everything else ("strat:"-salted md5 bucket —
@@ -2447,6 +2563,7 @@ object Extensions {
     "q_fingerprint" -> fingerprint,
     "q_exact_dedup" -> exactDedup,
     "q_incremental_dedup" -> incrementalDedup,
+    "q_incremental_neardup" -> incrementalNearDup,
     "q_line_dedup" -> lineDedup,
     "q_substring_dedup" -> substringDedup,
     "q_substring_dedup_var" -> substringDedupVar,
@@ -2472,6 +2589,7 @@ object Extensions {
     "q_multimodal_search" -> multimodalSearch,
     "q_media_decode" -> mediaDecode,
     "q_audio_decode" -> audioDecode,
+    "q_audio_search" -> audioSearch,
     "q_bpe_merges" -> bpeMerges,
     "q_bpe_apply" -> bpeApply,
     "q_media_resize" -> mediaResize,
@@ -2494,6 +2612,7 @@ object Extensions {
     "q_embed_quant" -> embedQuant,
     "q_quant_topk" -> quantTopK,
     "q_ann_rerank" -> annRerank,
+    "q_ann_recall" -> annRecall,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
     "q_temperature_mix" -> temperatureMix,
@@ -2540,6 +2659,7 @@ object Extensions {
     "q_fingerprint" -> fingerprintSql,
     "q_exact_dedup" -> exactDedupSql,
     "q_incremental_dedup" -> incrementalDedupSql,
+    "q_incremental_neardup" -> incrementalNearDupSql,
     "q_line_dedup" -> lineDedupSql,
     "q_substring_dedup" -> substringDedupSql,
     "q_substring_dedup_var" -> substringDedupVarSql,
@@ -2565,6 +2685,7 @@ object Extensions {
     "q_multimodal_search" -> multimodalSearchSql,
     "q_media_decode" -> mediaDecodeSql,
     "q_audio_decode" -> audioDecodeSql,
+    "q_audio_search" -> audioSearchSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_apply" -> bpeApplySql,
     "q_media_resize" -> mediaResizeSql,
@@ -2587,6 +2708,7 @@ object Extensions {
     "q_embed_quant" -> embedQuantSql,
     "q_quant_topk" -> quantTopKSql,
     "q_ann_rerank" -> annRerankSql,
+    "q_ann_recall" -> annRecallSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,
     "q_temperature_mix" -> temperatureMixSql,

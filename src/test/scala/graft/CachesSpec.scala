@@ -86,6 +86,33 @@ class CachesSpec extends SparkSpec {
       "one release must drain the whole composed pipeline's registry")
   }
 
+  test("registry sheds sessions whose context has stopped (injected probe)") {
+    Caches.release(spark)
+    // a second session: the registry keys by SparkSession, so it gets
+    // its own entry. A genuinely STOPPED second context is impossible
+    // in this shared JVM (one SparkContext, and the suite owns it), so
+    // the eviction path is pinned by injecting the stopped-probe;
+    // production sweepStopped() is the same sweep with
+    // `_.sparkContext.isStopped` as the probe.
+    val s2 = spark.newSession()
+    val tracked = Caches.persistTracked(s2.range(10).toDF("id"))
+    assert(Caches.trackedCount(s2) == 1)
+    assert(Caches.trackedCount(spark) == 0,
+      "the second session's entry must not leak into the main session")
+    // the real probe is a no-op while the context is alive
+    Caches.sweepForTest(s => s.sparkContext.isStopped)
+    assert(Caches.trackedCount(s2) == 1)
+    // "stop" s2: its registry entry is shed, other sessions untouched
+    Caches.persistTracked(spark.range(5).toDF("id"))
+    Caches.sweepForTest(s => s eq s2)
+    assert(Caches.trackedCount(s2) == 0, "stopped session must be swept")
+    assert(Caches.trackedCount(spark) == 1, "live sessions must survive the sweep")
+    // the shared context actually lives on — free the blocks manually
+    tracked.unpersist(blocking = false)
+    Caches.release(spark)
+    Caches.release(s2)
+  }
+
   test("released plans still compute correctly (recompute, not corruption)") {
     Caches.release(spark)
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -377,4 +377,106 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("must cast to BIGINT"),
       s"expected the id guard message, got: ${e.getMessage}")
   }
+
+  // ---------------- incremental NEAR-dup (X113) ----------------
+
+  private def ndStoreDocs = Seq(
+    (100L, "already ingested content sitting in the corpus store"),
+    (101L, "some other historical document about spark engines"))
+    .toDF("doc_id", "text")
+
+  test("incrementalNearDup: drops store dups and larger in-batch dup, keeps fresh and empty") {
+    val store = Dedup.nearDupStoreRecords(ndStoreDocs, "doc_id", "text")
+    val batch = Seq(
+      (1L, "already ingested content sitting in the corpus store"), // J=1 vs store -> drop
+      (2L, "a genuinely novel document with entirely fresh words"), // fresh
+      (3L, "a genuinely novel document with entirely fresh words"), // in-batch dup of 2 -> drop
+      (4L, ""),                                                      // zero shingles -> survives
+      (5L, null.asInstanceOf[String]))                               // null text -> survives
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(batch, store, "text", "doc_id",
+      threshold = 0.7)
+    val got = out.select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 4L, 5L))
+    // survivors carry the full store-append record
+    assert(out.columns.contains("shingles") && out.columns.contains("sig") &&
+      out.columns.contains("band_keys"))
+    val rec = out.filter(col("doc_id") === 2L)
+      .select(size(col("sig")), size(col("band_keys"))).as[(Int, Int)].head()
+    assert(rec == ((12, 4))) // bands=4 × rowsPerBand=3
+    // null/empty text normalizes to the EMPTY shingle set, not null
+    val deg = out.filter(col("doc_id").isin(4L, 5L))
+      .select(size(col("shingles"))).as[Int].collect()
+    assert(deg.toSeq == Seq(0, 0))
+  }
+
+  test("incrementalNearDup: store append round-trips — next increment sees survivors") {
+    val store = Dedup.nearDupStoreRecords(ndStoreDocs, "doc_id", "text")
+    val batch = Seq(
+      (1L, "a genuinely novel document with entirely fresh words"),
+      (2L, "")).toDF("doc_id", "text")
+    val surv = Dedup.incrementalNearDup(batch, store, "text", "doc_id", 0.7)
+    val store2 = store.unionByName(
+      surv.select(col("doc_id").as("id"), col("shingles"), col("sig")))
+    // the same texts under new ids now dup against the UPDATED store;
+    // the zero-shingle doc survives again (never enters the band index)
+    val batch2 = Seq(
+      (10L, "a genuinely novel document with entirely fresh words"),
+      (11L, "")).toDF("doc_id", "text")
+    val got2 = Dedup.incrementalNearDup(batch2, store2, "text", "doc_id", 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got2.toSeq == Seq(11L))
+  }
+
+  test("incrementalNearDup: schema/clash/threshold guards fail loud") {
+    val store = Dedup.nearDupStoreRecords(ndStoreDocs, "doc_id", "text")
+    val batch = Seq((1L, "x y z")).toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(batch, store.drop("sig"), "text", "doc_id", 0.7)
+    }.getMessage.contains("id/shingles/sig"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(batch.withColumn("sig", lit(1)), store,
+        "text", "doc_id", 0.7)
+    }.getMessage.contains("collide"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(batch, store, "text", "doc_id", 0.0)
+    }.getMessage.contains("threshold"))
+  }
+
+  test("incremental dedup: bloom auto-sizes from the store; results identical either way") {
+    graft.core.Caches.release(spark)
+    val store = spark.range(5000)
+      .select(TextFunctions.fingerprintMd5(concat(lit("stored doc "), col("id").cast("string"))).as("fp"))
+    // derivation: 0 (default) -> store count; positive override wins
+    assert(Dedup.bloomKeysFor(store, 0L) == 5000L)
+    assert(Dedup.bloomKeysFor(store, 42L) == 42L)
+    // WHY it matters: a Bloom sized for 10 keys but fed 5000 marks
+    // nearly every FRESH key "maybe" (the prefilter evaporates); sized
+    // from the store it stays at ~fpp
+    val sat = store.stat.bloomFilter("fp", 10L, 0.01)
+    val sized = store.stat.bloomFilter("fp", 5000L, 0.01)
+    val fresh = spark.range(2000)
+      .select(TextFunctions.fingerprintMd5(concat(lit("fresh doc "), col("id").cast("string"))).as("fp"))
+      .as[String].collect()
+    val satRate = fresh.count(sat.mightContain).toDouble / fresh.length
+    val sizedRate = fresh.count(sized.mightContain).toDouble / fresh.length
+    assert(satRate > 0.5, s"under-sized bloom should saturate, maybe-rate $satRate")
+    assert(sizedRate < 0.05, s"derived sizing should hold ~fpp, maybe-rate $sizedRate")
+    // and the OPERATOR's output is bloom-size-invariant at two store sizes
+    for (n <- Seq(50L, 5000L)) {
+      val prior = spark.range(n)
+        .select(TextFunctions.fingerprintMd5(concat(lit("stored doc "), col("id").cast("string"))).as("fp"))
+      val batch = Seq(
+        (1L, "stored doc 7"),   // in every store
+        (2L, "never stored a"), (3L, "never stored a"), (4L, "never stored b"))
+        .toDF("doc_id", "text")
+      for (keys <- Seq(0L, 5L)) { // derived vs deliberately saturated
+        val got = Dedup.incrementalExactDedup(batch, prior, "text", "doc_id",
+          expectedPriorKeys = keys)
+          .select("doc_id").as[Long].collect().sorted
+        assert(got.toSeq == Seq(2L, 4L), s"store=$n keys=$keys")
+      }
+    }
+    graft.core.Caches.release(spark)
+  }
 }

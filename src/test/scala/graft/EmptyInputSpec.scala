@@ -143,6 +143,36 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("incrementalNearDup handles empty batch, empty store, and all-empty texts") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val store = graft.operators.Dedup.nearDupStoreRecords(
+      Seq((100L, "stored alpha beta gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(graft.operators.Dedup.incrementalNearDup(empty, store,
+      "text", "doc_id", 0.7).count() == 0)
+    // empty store: only the within-batch pairwise rule applies
+    val emptyStore = graft.operators.Dedup.nearDupStoreRecords(
+      empty, "doc_id", "text")
+    val batch = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.incrementalNearDup(batch, emptyStore,
+      "text", "doc_id", 0.7).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+    // a batch of only zero-shingle docs: nothing bands, everything survives
+    val blanks = Seq((1L, ""), (2L, " "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup.incrementalNearDup(blanks, store,
+      "text", "doc_id", 0.7).count() == 3)
+  }
+
+  test("audioFeatureVectors and recallAtK return empty on empty input") {
+    val emptyMedia = Seq.empty[(Long, Array[Byte], String, Int, Int)]
+      .toDF("media_id", "payload", "kind", "width", "height")
+    assert(graft.operators.Multimodal.audioFeatureVectors(emptyMedia).count() == 0)
+    val emptyTopK = Seq.empty[(Long, Long)].toDF("q_id", "vec_id")
+    assert(graft.operators.Similarity.recallAtK(emptyTopK, emptyTopK).count() == 0)
+  }
+
   test("shortestPath with zero rounds returns only the seeds") {
     val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
     val got = graph.Traversal.shortestPath(edges, "src", "dst", "w",

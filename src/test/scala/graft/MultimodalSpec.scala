@@ -188,6 +188,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFeatureVectors: decoded vector matches the closed-form samples, stub fallback for text") {
+    val media = Multimodal.wavMediaFromDocuments(docs)
+    val feats = Multimodal.audioFeatureVectors(media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(feats.keySet == Set(10L, 11L, 12L))
+    feats.foreach { case (id, f) =>
+      assert(f.decoded, s"doc $id must decode")
+      val n = (16 + id % 33).toInt
+      val s = (0 until n).map(i => (id * 31L + i * 17L) % 4096L - 2048L)
+      val expected = Array(n.toDouble, s.sum.toDouble, s.map(math.abs).sum.toDouble,
+        s.map(v => v * v).sum.toDouble, s.head.toDouble)
+      assert(f.features.toSeq == expected.toSeq, s"doc $id features")
+    }
+    // non-WAV payload keeps the deterministic stub vector
+    val junk = Seq((2L, "plain text".getBytes("UTF-8"), "fmt0"))
+      .toDF("media_id", "payload", "format")
+    val fb = Multimodal.audioFeatureVectors(junk).collect().head
+    val byteSum = "plain text".getBytes("UTF-8").map(b => (b & 0xff).toLong).sum % 1000000007L
+    assert(!fb.decoded &&
+      fb.features.toSeq == Seq(-1.0, -1.0, byteSum.toDouble, 0.0, 0.0))
+  }
+
   test("sampleFrames slices every nth fixed-size frame") {
     val m = Multimodal.mediaFromDocuments(docs)
     val frames = Multimodal.sampleFrames(m, frameBytes = 16, everyNth = 2)

@@ -37,6 +37,11 @@ class PlanGuardSpec extends SparkSpec {
       "q_linear_quality",
       // the q_embed_topk shape over decoded image-feature vectors
       "q_multimodal_search",
+      // the q_embed_topk shape over decoded audio-feature vectors
+      "q_audio_search",
+      // composes the q_embed_topk ground-truth pass (broadcast-query
+      // scoring); the recall joins themselves are keyed equi-joins
+      "q_ann_recall",
       // 1-row (N_t, N_r) scalar broadcast in the DSIR training pass
       "q_dsir_sample")
 

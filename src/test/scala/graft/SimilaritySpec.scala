@@ -275,6 +275,18 @@ class SimilaritySpec extends SparkSpec {
     assert(e2.getMessage.contains("empty corpus"))
   }
 
+  test("recallAtK: per-query hit counts with per-query denominators") {
+    val bf = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("q_id", "vec_id")
+    val ann = Seq((1L, 10L), (1L, 99L), (2L, 20L), (3L, 7L))
+      .toDF("q_id", "vec_id")
+    val got = Similarity.recallAtK(bf, ann)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // q1: 1 of 3 ground-truth rows retrieved; q2: 1 of 1; the ANN-only
+    // q3 contributes nothing (no ground truth to recall against)
+    assert(got == Set((1L, 1L, 3L, 0.333333), (2L, 1L, 1L, 1.0)))
+  }
+
   test("maxSimTopK: all-zero sub-slices score 0, not NaN (ANSI would throw on the cast)") {
     import spark.implicits._
     // query: first 16-dim slice zeroed (that query sub must contribute
