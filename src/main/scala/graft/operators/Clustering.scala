@@ -127,4 +127,33 @@ object Clustering {
     val (_, cents) = trainLoop(corpus, idCol, vecCol, k, iters, scale)
     cents.map { case (cid, cv) => (cid.toLong, cv.map(_.toDouble / scale)) }
   }
+
+  /** Trained centroids in the fixed-point BIGINT domain — the form
+    * [[assignCells]] consumes, so a bootstrap assignment and every
+    * later incremental assignment run the SAME integer argmin against
+    * the SAME quantized centroids (the frozen-quantizer contract an
+    * incremental index needs: cell ids never drift between the batch
+    * that trained the quantizer and the batches that only probe it). */
+  def kmeansCentroidsFixed(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Double = 1e6): Array[(Int, Array[Long])] = {
+    val (_, cents) = trainLoop(corpus, idCol, vecCol, k, iters, scale)
+    cents
+  }
+
+  /** Map-side cell assignment against FROZEN fixed-point centroids —
+    * the incremental half of the trainer: vectors quantize exactly as
+    * [[kmeansFixedPoint]]'s corpus does and run the identical integer
+    * argmin (ties to the lowest cluster id), so any vector gets the
+    * same cell whether it was in the training corpus or arrives in a
+    * later increment. Pure projection over `k·dims` plan literals:
+    * zero shuffle between the scan and the cell id. Keeps the caller's
+    * id and vector columns and appends `cell`. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Long])], scale: Double = 1e6): DataFrame = {
+    require(cents.nonEmpty, "assignCells: empty centroid set")
+    val q = df.select(col(idCol), col(vecCol),
+      fixedPoint(col(vecCol), scale).as("qv"))
+    assignTo(cents)(q)
+      .select(col(idCol), col(vecCol), col("cluster").as("cell"))
+  }
 }

@@ -449,6 +449,77 @@ object Similarity {
     derived.toInt
   }
 
+  /** Per-vector SEMANTIC-dedup store record — the append-only index
+    * [[incrementalSemanticDedup]] dedups against: `(id, embedding,
+    * cell)`, where `cell` is the FROZEN-quantizer k-means cell
+    * ([[Clustering.assignCells]] against the centroids the caller
+    * trained once at bootstrap). Run once over the initial corpus to
+    * bootstrap the store; after that the store grows ONLY by appending
+    * each increment's survivors — history is never re-embedded or
+    * re-assigned, and the centroids never move (re-training them would
+    * silently re-shard every stored vector's cell). */
+  def semanticStoreRecords(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Long])], scale: Double = 1e6): DataFrame =
+    Clustering.assignCells(spread(corpus), idCol, vecCol, cents, scale)
+      .select(col(idCol).as("id"), col(vecCol).as("embedding"), col("cell"))
+
+  /** Incremental (cross-snapshot) SEMANTIC dedup — the embedding-space
+    * member of the ingestion trilogy with [[Dedup.incrementalExactDedup]]
+    * (exact) and [[Dedup.incrementalNearDup]] (MinHash): a new batch of
+    * embedded documents dedups against the already-ingested corpus
+    * represented only by its [[semanticStoreRecords]] index. SemDeDup's
+    * within-cell confinement carries over unchanged: the batch assigns
+    * map-side to the FROZEN centroids (plan literals — zero shuffle
+    * between scan and cell id, and bit-identical to the assignment that
+    * built the store), and the quadratic cosine pass runs only inside a
+    * cell — batch-vs-store and batch-vs-batch both equi-join on `cell`,
+    * never all-pairs. A batch vector drops iff it scores rounded-6dp
+    * cosine ≥ `threshold` against any store cell-sibling or any
+    * SMALLER-id batch cell-sibling (the pairwise lowest-id rule shared
+    * with the other two increments — closure is
+    * [[Dedup.connectedComponents]]' job). Both cell joins are pinned
+    * shuffle-hash: the store side is corpus-sized and the batch side
+    * is caller-sized — neither may ride an AQE broadcast guess. The
+    * dup-id anti-join probe IS gated (`fitsBudget`): dup ids are
+    * bounded by the batch, not the store.
+    *
+    * Returns the surviving batch rows as their store-append record
+    * (`id`, `embedding`, `cell`) — the caller's next increment is
+    * `store.unionByName(survivors)`. */
+  def incrementalSemanticDedup(newBatch: DataFrame, store: DataFrame,
+      cents: Array[(Int, Array[Long])], threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Double = 1e6,
+      dupBroadcastBudget: Long = 1000000L): DataFrame = {
+    val needed = Set("id", "embedding", "cell")
+    require(needed.subsetOf(store.columns.toSet),
+      s"incrementalSemanticDedup: store must have columns id/embedding/cell " +
+        s"(semanticStoreRecords' schema), got ${store.columns.mkString(", ")}")
+    // batch records feed the vs-store join, both vs-batch sides, and
+    // the survivor anti-join — persist once (registry-released)
+    val batch = Clustering.assignCells(spread(newBatch), idCol, vecCol, cents, scale)
+      .persistTracked()
+    val storeSide = store.select(col("cell"), col("id").as("_sid"),
+      col("embedding").as("_sv"))
+    val dupVsStore = batch
+      .select(col("cell"), col(idCol).as("_bid"), col(vecCol).as("_bv"))
+      .hint("shuffle_hash").join(storeSide, Seq("cell"))
+      .filter(cosineAuto(newBatch, col("_bv"), col("_sv")) >= threshold)
+      .select(col("_bid"))
+    val a = batch.select(col("cell"), col(idCol).as("_id1"), col(vecCol).as("_v1"))
+    val b = batch.select(col("cell"), col(idCol).as("_id2"), col(vecCol).as("_v2"))
+    val dupInBatch = a.hint("shuffle_hash").join(b, Seq("cell"))
+      .filter(col("_id1") < col("_id2") &&
+        cosineAuto(newBatch, col("_v1"), col("_v2")) >= threshold)
+      .select(col("_id2").as("_bid"))
+    val dups = dupVsStore.unionByName(dupInBatch).distinct()
+    val dupJoin =
+      if (Dedup.fitsBudget(dups, dupBroadcastBudget)) broadcast(dups)
+      else dups.hint("shuffle_hash")
+    batch.join(dupJoin, batch(idCol) === dupJoin("_bid"), "left_anti")
+      .select(col(idCol).as("id"), col(vecCol).as("embedding"), col("cell"))
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine
     * ≥ threshold, candidates restricted to banded LSH sign-buckets —
     * `bands` independent `bits`-bit slices of one `bands·bits`-plane

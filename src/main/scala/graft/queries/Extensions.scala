@@ -1690,7 +1690,8 @@ object Extensions {
     * the final centroids c{iters-1}, plus the last assignment
     * a{iters} when `finalAssign` — reused by both the standalone
     * q_kmeans oracle and the trained-IVF oracle. */
-  private def kmeansCtes(k: Int, iters: Int, finalAssign: Boolean): String = {
+  private def kmeansCtes(k: Int, iters: Int, finalAssign: Boolean,
+      src: String = "embeddings"): String = {
     def sq(a: String, b: String) =
       s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
         s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
@@ -1698,7 +1699,7 @@ object Extensions {
       "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
     val dist = sq("q.qv", "c.cv")
     val sb = new StringBuilder
-    sb ++= s"q AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM embeddings), "
+    sb ++= s"q AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM $src), "
     sb ++= s"c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, " +
       s"qv AS cv FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)), "
     for (t <- 1 to iters) {
@@ -1789,6 +1790,50 @@ object Extensions {
       ", prs AS (SELECT x.vec_id AS id1, y.vec_id AS id2 FROM wc x JOIN wc y ON x.c = y.c AND x.vec_id < y.vec_id " +
       s"WHERE round(list_dot_product(x.ed, y.ed)/(sqrt(list_dot_product(x.ed, x.ed))*sqrt(list_dot_product(y.ed, y.ed))), 6) >= $SEMDEDUP_T) " +
       "SELECT vec_id, c AS cluster FROM wc WHERE vec_id NOT IN (SELECT DISTINCT id2 FROM prs)"
+
+  /** Incremental cross-snapshot SEMANTIC dedup (X116) — the
+    * embedding-space member of the ingestion trilogy (exact X112,
+    * MinHash X113): the vec_id % 3 == 0 slice plays the ingested
+    * corpus (present only as its (id, embedding, cell) index, with
+    * k-means trained ON THAT SLICE and then frozen), and the rest is
+    * the incoming batch: assigned map-side to the frozen centroids,
+    * deduped within-cell vs store and vs lower-id batch siblings.
+    * Oracle = the k-means CTE chain on the store slice composed with
+    * the batch's argmin assignment against c{iters-1} and the two
+    * within-cell pair joins. */
+  val incrementalSemDedup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val storeSlice = emb.filter(col("vec_id") % 3 === 0)
+    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
+      storeSlice, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    val store = Similarity.semanticStoreRecords(storeSlice, "vec_id", "embedding", cents)
+    Similarity.incrementalSemanticDedup(
+      emb.filter(col("vec_id") % 3 =!= 0), store, cents, threshold = SEMDEDUP_T)
+      .select(col("id").as("vec_id"), col("cell"))
+  }
+
+  val incrementalSemDedupSql: String = {
+    def sq(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), 6)"
+    val quant = "list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
+    val cPrev = s"c${SEMDEDUP_ITERS - 1}"
+    "WITH " + kmeansCtes(SEMDEDUP_K, SEMDEDUP_ITERS, finalAssign = true,
+      src = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0)") +
+      s", qb AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM embeddings WHERE vec_id % 3 <> 0)" +
+      s", ba AS MATERIALIZED (SELECT vec_id, c AS cell FROM (SELECT q.vec_id, c.c, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sq("q.qv", "c.cv")}, c.c) AS rn " +
+      s"FROM qb q CROSS JOIN $cPrev c) WHERE rn = 1)" +
+      ", cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings)" +
+      ", bd AS MATERIALIZED (SELECT ba.vec_id, ba.cell, cd.ed FROM ba JOIN cd USING (vec_id))" +
+      s", sd AS MATERIALIZED (SELECT a.vec_id, a.c AS cell, cd.ed FROM a$SEMDEDUP_ITERS a JOIN cd USING (vec_id))" +
+      s", dup1 AS (SELECT DISTINCT b.vec_id FROM bd b JOIN sd s ON b.cell = s.cell WHERE ${cos("b.ed", "s.ed")} >= $SEMDEDUP_T)" +
+      s", dup2 AS (SELECT DISTINCT y.vec_id FROM bd x JOIN bd y ON x.cell = y.cell AND x.vec_id < y.vec_id WHERE ${cos("x.ed", "y.ed")} >= $SEMDEDUP_T) " +
+      "SELECT vec_id, cell FROM bd WHERE vec_id NOT IN (SELECT vec_id FROM dup1 UNION SELECT vec_id FROM dup2)"
+  }
 
   val embedIvfTrainedSql: String = {
     def cosRank(vec: String, part: String) =
@@ -2564,6 +2609,7 @@ object Extensions {
     "q_exact_dedup" -> exactDedup,
     "q_incremental_dedup" -> incrementalDedup,
     "q_incremental_neardup" -> incrementalNearDup,
+    "q_incremental_semdedup" -> incrementalSemDedup,
     "q_line_dedup" -> lineDedup,
     "q_substring_dedup" -> substringDedup,
     "q_substring_dedup_var" -> substringDedupVar,
@@ -2660,6 +2706,7 @@ object Extensions {
     "q_exact_dedup" -> exactDedupSql,
     "q_incremental_dedup" -> incrementalDedupSql,
     "q_incremental_neardup" -> incrementalNearDupSql,
+    "q_incremental_semdedup" -> incrementalSemDedupSql,
     "q_line_dedup" -> lineDedupSql,
     "q_substring_dedup" -> substringDedupSql,
     "q_substring_dedup_var" -> substringDedupVarSql,

@@ -165,6 +165,28 @@ class EmptyInputSpec extends SparkSpec {
       "text", "doc_id", 0.7).count() == 3)
   }
 
+  test("incrementalSemanticDedup handles empty batch and empty store") {
+    val cents = Array(
+      (0, Array(1000000L, 0L)), (1, Array(0L, 1000000L)))
+    val emptyBatch = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val store = graft.operators.Similarity.semanticStoreRecords(
+      Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents)
+    assert(graft.operators.Similarity.incrementalSemanticDedup(
+      emptyBatch, store, cents, 0.9).count() == 0)
+    // empty store (valid schema, zero rows): only the within-batch
+    // pairwise lowest-id rule applies
+    val emptyStore = graft.operators.Similarity.semanticStoreRecords(
+      emptyBatch, "vec_id", "embedding", cents)
+    val batch = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.001f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.incrementalSemanticDedup(
+      batch, emptyStore, cents, 0.9)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
   test("audioFeatureVectors and recallAtK return empty on empty input") {
     val emptyMedia = Seq.empty[(Long, Array[Byte], String, Int, Int)]
       .toDF("media_id", "payload", "kind", "width", "height")

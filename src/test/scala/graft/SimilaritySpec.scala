@@ -207,6 +207,69 @@ class SimilaritySpec extends SparkSpec {
     surv.foreach { case (id, c) => assert(c == cluster(id)) }
   }
 
+  test("incrementalSemanticDedup matches the brute-force within-cell rule") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 4; val iters = 2; val t = 0.35
+    val storeSlice = emb.filter(col("vec_id") % 3 === 0)
+    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
+      storeSlice, "vec_id", "embedding", k, iters)
+    val store = Similarity.semanticStoreRecords(storeSlice, "vec_id", "embedding", cents)
+    val batch = emb.filter(col("vec_id") % 3 =!= 0)
+    val surv = Similarity.incrementalSemanticDedup(batch, store, cents, t)
+      .select(col("id"), col("cell")).as[(Long, Long)].collect().toMap
+
+    // brute force: frozen-centroid assignment on both sides, batch id
+    // drops iff a store cell-sibling or a lower-id batch cell-sibling
+    // scores rounded-6 cosine >= t
+    val storeCells = store.select(col("id"), col("cell"))
+      .as[(Long, Long)].collect().toMap
+    val batchCells = graft.operators.Clustering
+      .assignCells(batch, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i)*b(i); aa += a(i)*a(i); bb += b(i)*b(i); i += 1 }
+      BigDecimal(ab / (math.sqrt(aa) * math.sqrt(bb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val dropped = batchCells.keySet.filter { j =>
+      storeCells.exists { case (s, c) =>
+        c == batchCells(j) && cos6(vecs(s), vecs(j)) >= t } ||
+      batchCells.exists { case (i, c) =>
+        i < j && c == batchCells(j) && cos6(vecs(i), vecs(j)) >= t }
+    }
+    assert(dropped.nonEmpty, "threshold must actually drop something")
+    assert(surv.keySet == batchCells.keySet -- dropped)
+    surv.foreach { case (id, c) => assert(c == batchCells(id)) }
+  }
+
+  test("incrementalSemanticDedup: store append round-trips and guards fail loud") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val storeSlice = emb.filter(col("vec_id") % 3 === 0)
+    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
+      storeSlice, "vec_id", "embedding", k = 4, iters = 2)
+    val store = Similarity.semanticStoreRecords(storeSlice, "vec_id", "embedding", cents)
+    val surv = Similarity.incrementalSemanticDedup(
+      emb.filter(col("vec_id") % 3 =!= 0), store, cents, threshold = 0.35)
+    // next increment sees survivors: re-sending a survivor (shifted id,
+    // identical vector -> cosine 1.0) is dropped by the grown store
+    val store2 = store.unionByName(surv)
+    val one = surv.orderBy(col("id")).limit(1)
+      .select((col("id") + 1000000L).as("vec_id"), col("embedding"))
+    val got2 = Similarity.incrementalSemanticDedup(one, store2, cents, threshold = 0.35)
+    assert(got2.count() == 0L)
+    intercept[IllegalArgumentException] {
+      Similarity.incrementalSemanticDedup(one, store.drop("cell"), cents, 0.35)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Clustering.assignCells(one, "vec_id", "embedding",
+        Array.empty[(Int, Array[Long])])
+    }
+  }
+
   test("maxSimTopK: a query identical to a doc ranks it first at score subs*1.0") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") % 50 === 0)
