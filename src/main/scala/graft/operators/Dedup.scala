@@ -978,4 +978,52 @@ object Dedup {
           s => s.getField("_line")), "\n").as("text"))
       .withColumnRenamed("_doc", idCol)
   }
+
+  /** CCNet-style boilerplate removal (X117) — the document-frequency
+    * complement of [[lineDedup]]: a line is BOILERPLATE iff it occurs
+    * in ≥ `minDocFreq` DISTINCT documents (nav bars, cookie banners,
+    * license headers), and boilerplate lines are removed EVERYWHERE —
+    * including their first occurrence, which [[lineDedup]] would keep.
+    * Surviving lines reassemble in original order; every input
+    * document survives, possibly with empty text (NULL text reads as
+    * empty — no evidence, nothing to strip).
+    *
+    * Scale shape: lines shuffle once keyed by md5(line) for the
+    * doc-frequency aggregate (partial (hash, doc) distinct then count
+    * — map-side combine on both phases), and once for the per-doc
+    * reassembly groupBy. The boilerplate set itself is SMALL by
+    * construction (only lines crossing the minDocFreq docs threshold),
+    * so the removal anti-join is a gated broadcast of line hashes with
+    * a shuffle-hash fallback — never a corpus-sized broadcast
+    * assumption. No driver-side line material beyond the budget probe. */
+  def boilerplateRemoval(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long, lineBroadcastBudget: Long = 1000000L): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    // lines feed the doc-frequency agg and the removal anti-join —
+    // persist once (registry-released)
+    val lines = spread(df)
+      .select(col(idCol).as("_doc"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("_idx", "_line")))
+      .withColumn("_h", md5(col("_line")))
+      .persistTracked()
+    val boiler = lines.select(col("_h"), col("_doc")).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select("_h")
+    val bl =
+      if (fitsBudget(boiler, lineBroadcastBudget)) broadcast(boiler)
+      else boiler.hint("shuffle_hash")
+    val reassembled = lines.join(bl, Seq("_h"), "left_anti")
+      .groupBy(col("_doc"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_idx"), col("_line")))),
+          s => s.getField("_line")), "\n").as("text"))
+    // all-boilerplate docs still exist downstream (empty text), so the
+    // op composes with per-doc stats without silently shrinking the
+    // corpus
+    df.select(col(idCol))
+      .join(reassembled, col(idCol) === reassembled("_doc"), "left")
+      .select(col(idCol), coalesce(col("text"), lit("")).as("text"))
+  }
 }

@@ -220,6 +220,58 @@ object ScaleOps {
         col("_n").as("n_tokens"))
   }
 
+  /** Token-budget head selection (X119): keep documents in priority
+    * order — (`priority` DESC, id ASC) — while the cumulative token
+    * count stays ≤ `budget`; the first document that would cross the
+    * budget, and everything after it, is cut. This is the exact-budget
+    * greedy companion of the RATE-based mixers ([[domainMix]] /
+    * [[temperatureMix]] / [[epochMix]]): "give me the best B tokens",
+    * the final sizing pass a pretraining data order runs.
+    *
+    * Scale shape: the same TWO-PHASE global prefix sum as
+    * [[packSequences]] — range-partition by the priority order,
+    * per-partition running sum in one pass, P partition TOTALS (not
+    * rows) to the driver and back as broadcast offsets. No
+    * single-partition global window. `priority` must be deterministic
+    * and integer-valued (it is cast to long): float priorities would
+    * make the order — and therefore the cut point — engine-dependent.
+    * Emits (id, priority, n_tokens, cum_tokens) for the kept head. */
+  def tokenBudgetFilter(df: DataFrame, idCol: String, tokenCount: Column,
+      priority: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    // cached for the same reason as packSequences: range boundaries
+    // re-sample per job, so the collected offsets are only valid for
+    // THIS materialization
+    val local = df.select(col(idCol).cast("long").as("_id"),
+      tokenCount.cast("long").as("_n"), priority.cast("long").as("_p"))
+      .repartitionByRange(parts, col("_p").desc, col("_id").asc)
+      .sortWithinPartitions(col("_p").desc, col("_id").asc)
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (id, n, p) => acc += n; (id, n, p, acc) }
+      }
+      .toDF(idCol, "_n", "_p", "_local_end")
+      .withColumn("_pid", spark_partition_id())
+      .persistTracked()
+    val totals = local.groupBy("_pid").agg(max(col("_local_end")).as("_tot"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets =
+      if (totals.isEmpty) Seq.empty[(Int, Long)]
+      else totals.scanLeft((Int.MinValue, 0L)) {
+        case ((_, acc), (pid, tot)) => (pid, acc + tot)
+      }.sliding(2).map { case Array((_, prev), (pid, _)) => (pid, prev) }.toSeq
+    val offDf = broadcast(offsets.toDF("_pid", "_off"))
+    local.join(offDf, Seq("_pid"))
+      .withColumn("cum_tokens", col("_local_end") + col("_off"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("_p").as("priority"),
+        col("_n").as("n_tokens"), col("cum_tokens"))
+  }
+
   /** Deterministic content-hash train/holdout split: bucket = first 4
     * md5 hex chars of the id, mod 100. Pure map — no rand(), no
     * shuffle, no global sort — so a document's split NEVER changes

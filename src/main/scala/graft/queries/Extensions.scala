@@ -310,6 +310,27 @@ object Extensions {
       "row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) AS rn FROM lines) WHERE rn = 1) " +
       "SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY idx)) AS text_md5 FROM keep GROUP BY doc_id"
 
+  /** CCNet-style boilerplate removal (X117): any line occurring in
+    * >= 3 distinct documents is removed EVERYWHERE (lineDedup keeps
+    * its first occurrence; this is the doc-frequency complement);
+    * docs reassemble in order and every doc survives — possibly with
+    * empty text, hashed as md5(''). On the synthetic single-line docs
+    * this wipes every doc whose full text repeats >= 3 times; the
+    * multi-line path is pinned by DedupSpec on crafted fixtures. */
+  val boilerplate: Q = (s, d) =>
+    Dedup.boilerplateRemoval(Tables.documents(s, d), "doc_id", "text",
+      minDocFreq = 3L)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+
+  val boilerplateSql: String =
+    "WITH ls AS (SELECT doc_id, list_transform(string_split(coalesce(text, ''), chr(10)), (x, i) -> struct_pack(idx := i - 1, line := x)) AS lst FROM documents), " +
+      "lines AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM (SELECT doc_id, unnest(lst) AS u FROM ls)), " +
+      "boiler AS (SELECT md5(line) AS h FROM lines GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 3), " +
+      "kept AS (SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY idx)) AS t FROM lines " +
+      "WHERE md5(line) NOT IN (SELECT h FROM boiler) GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(k.t, md5('')) AS text_md5 " +
+      "FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id"
+
   /** GPT-style sequence packing over the documents token stream:
     * fixed 512-token windows, one row per doc × overlapped window.
     * Oracle = the plain global running sum; the Spark side computes
@@ -326,6 +347,23 @@ object Extensions {
       "t AS (SELECT doc_id, nt, CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e FROM n) " +
       "SELECT doc_id, unnest(generate_series(CAST(floor((e - nt)/512.0) AS BIGINT), CAST(floor((e - 1)/512.0) AS BIGINT))) AS pack_id, " +
       "e - nt AS token_start, nt AS n_tokens FROM t WHERE nt > 0"
+
+  /** Token-budget head selection (X119): keep the best 20k tokens —
+    * priority = per-doc token count (densest docs first), doc_id
+    * tie-break — cutting at the first doc that would cross the
+    * budget. Oracle = the plain global running sum over the same
+    * order; the Spark side computes it with the two-phase prefix-sum
+    * plan (per-partition running sums + broadcast offsets). */
+  val tokenBudget: Q = (s, d) => {
+    val nt = TextFunctions.tokenCount(col("text"))
+    graft.operators.ScaleOps.tokenBudgetFilter(
+      Tables.documents(s, d), "doc_id", nt, nt, budget = 20000L)
+  }
+
+  val tokenBudgetSql: String =
+    s"WITH n AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS nt FROM documents), " +
+      "t AS (SELECT doc_id, nt, CAST(sum(nt) OVER (ORDER BY nt DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e FROM n) " +
+      "SELECT doc_id, nt AS priority, nt AS n_tokens, e AS cum_tokens FROM t WHERE e <= 20000"
 
   /** The END-TO-END curation pipeline, composed from the library's own
     * operators and hash-verified as one query: Gopher quality filter →
@@ -1282,6 +1320,31 @@ object Extensions {
       "m AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS brk FROM e), " +
       "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM m) " +
       "SELECT user_id, MIN(sec) AS start_epoch, MAX(sec) AS end_epoch, COUNT(*) AS n_events, " +
+      "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value " +
+      "FROM g GROUP BY user_id, sess"
+
+  /** NATIVE session windows (X118): Spark's built-in session_window
+    * operator (engine-managed merging session state) vs q_sessionize's
+    * custom flatMapGroupsWithState. Full-precision event time — the
+    * gap rule and window bounds work in micros, so the oracle compares
+    * epoch_us (sessionize deliberately flattens to seconds; this one
+    * must not). session_end = last event + gap by session_window's
+    * definition; a new event at EXACTLY prev + gap MERGES into the
+    * session (Spark merges while eventTime <= sessionEnd — pinned in
+    * StreamingSpec), hence the strict > break below. */
+  val sessionWindow: Q = (s, d) =>
+    EventsStreaming.sessionWindowAgg(Tables.events(s, d), gapMinutes = 30)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), col("total_value"))
+
+  val sessionWindowSql: String =
+    "WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us, " +
+      "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
+      "m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM e), " +
+      "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM m) " +
+      "SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us, COUNT(*) AS n_events, " +
       "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value " +
       "FROM g GROUP BY user_id, sess"
 
@@ -2611,6 +2674,9 @@ object Extensions {
     "q_incremental_neardup" -> incrementalNearDup,
     "q_incremental_semdedup" -> incrementalSemDedup,
     "q_line_dedup" -> lineDedup,
+    "q_boilerplate" -> boilerplate,
+    "q_token_budget" -> tokenBudget,
+    "q_session_window" -> sessionWindow,
     "q_substring_dedup" -> substringDedup,
     "q_substring_dedup_var" -> substringDedupVar,
     "q_seq_pack" -> seqPack,
@@ -2708,6 +2774,9 @@ object Extensions {
     "q_incremental_neardup" -> incrementalNearDupSql,
     "q_incremental_semdedup" -> incrementalSemDedupSql,
     "q_line_dedup" -> lineDedupSql,
+    "q_boilerplate" -> boilerplateSql,
+    "q_token_budget" -> tokenBudgetSql,
+    "q_session_window" -> sessionWindowSql,
     "q_substring_dedup" -> substringDedupSql,
     "q_substring_dedup_var" -> substringDedupVarSql,
     "q_seq_pack" -> seqPackSql,

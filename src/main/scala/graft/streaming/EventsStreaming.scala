@@ -251,6 +251,41 @@ object EventsStreaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** NATIVE session windows (X118): Spark's built-in `session_window`
+    * operator — gap-merged event-time sessions per key with the engine
+    * maintaining the merging session state, vs [[sessionize]]'s custom
+    * flatMapGroupsWithState. In batch this plans as a sort-based
+    * within-key merge; in streaming the state store keeps one merging
+    * session per (key, open window) and the watermark both finalizes
+    * sessions and bounds state — no custom state code at all, which is
+    * why it is the FIRST choice for plain gap sessionization at scale
+    * (the FMGWS form stays for semantics session_window can't express:
+    * per-session running payloads, multi-timeout state machines).
+    * `session_end` is Spark's window end = last event + gap (NOT the
+    * last event time, which [[sessionizeBatch]] reports), and an event
+    * at EXACTLY end merges (eventTime <= sessionEnd — same strict->
+    * break rule as [[sessionizeBatch]]'s `> gapSec`); the decimal
+    * sum keeps totals exact in any merge order. */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,2)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** [[sessionWindowAgg]] with the streaming contract attached: the
+    * caller passes a streaming frame; a watermark finalizes sessions
+    * once event time passes end + delay. Append mode — only finalized
+    * sessions emit, so a run over static input equals the batch form
+    * RESTRICTED to sessions the final watermark passed (pinned in
+    * StreamingSpec with a sentinel flush event). */
+  def sessionWindowAggStream(events: DataFrame, gapMinutes: Int,
+      delay: String = "10 minutes"): DataFrame =
+    sessionWindowAgg(events.withWatermark("ts", delay), gapMinutes)
+
   /** Batch-equivalent sessionization via the gaps-and-islands window
     * pattern (lag + cumulative sum) — same sessions as the stream
     * produces once the watermark passes everything. SQL-expressible,

@@ -28,6 +28,29 @@ class DedupSpec extends SparkSpec {
       2L -> "gamma"))
   }
 
+  test("boilerplateRemoval: high-DF lines vanish everywhere, every doc survives") {
+    val multi = Seq(
+      (1L, "COOKIE\nalpha\nbeta"),
+      (2L, "COOKIE\ngamma"),
+      (3L, "COOKIE\ndelta\nalpha"),    // "alpha" df=2 < 3 -> kept
+      (4L, "COOKIE"),                   // all-boilerplate -> empty text
+      (5L, null.asInstanceOf[String]))  // null reads as empty
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateRemoval(multi, "doc_id", "text", minDocFreq = 3L)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "alpha\nbeta",
+      2L -> "gamma",
+      3L -> "delta\nalpha",
+      4L -> "",
+      5L -> ""))
+    // unlike lineDedup, the FIRST occurrence is removed too
+    assert(!got(1L).contains("COOKIE"))
+    intercept[IllegalArgumentException] {
+      Dedup.boilerplateRemoval(multi, "doc_id", "text", minDocFreq = 1L)
+    }
+  }
+
   test("exact dedup keeps lowest id per normalized content") {
     val got = Dedup.exactDedup(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().sorted

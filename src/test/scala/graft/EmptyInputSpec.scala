@@ -165,6 +165,19 @@ class EmptyInputSpec extends SparkSpec {
       "text", "doc_id", 0.7).count() == 3)
   }
 
+  test("boilerplateRemoval, tokenBudgetFilter, sessionWindowAgg on empty input") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.boilerplateRemoval(
+      emptyDocs, "doc_id", "text", minDocFreq = 3L).count() == 0)
+    assert(graft.operators.ScaleOps.tokenBudgetFilter(emptyDocs, "doc_id",
+      graft.functions.TextFunctions.tokenCount(col("text")),
+      lit(1L), budget = 100L).count() == 0)
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(graft.streaming.EventsStreaming.sessionWindowAgg(emptyEv, 30)
+      .count() == 0)
+  }
+
   test("incrementalSemanticDedup handles empty batch and empty store") {
     val cents = Array(
       (0, Array(1000000L, 0L)), (1, Array(0L, 1000000L)))

@@ -139,6 +139,35 @@ class ScaleOpsSpec extends SparkSpec {
       "fixture should contain non-matching fact keys for the prune to matter")
   }
 
+  test("tokenBudgetFilter: greedy head == naive priority-ordered running sum") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tc = graft.functions.TextFunctions.tokenCount(col("text"))
+    val budget = 5000L
+    val kept = ScaleOps.tokenBudgetFilter(docs, "doc_id", tc, tc, budget)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"prefix sum must not plan a window:\n$plan")
+    val got = kept.as[(Long, Long, Long, Long)].collect().toSet
+    // naive reference: one global window over (priority desc, id asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p").desc, col("doc_id").asc).rowsBetween(Long.MinValue, 0)
+    val ref = docs.select(col("doc_id"), tc.cast("long").as("n"), tc.cast("long").as("p"))
+      .withColumn("e", sum(col("n")).over(w))
+      .filter(col("e") <= budget)
+      .select(col("doc_id"), col("p"), col("n"), col("e"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == ref && ref.nonEmpty)
+    // the head is maximal: adding the next doc in priority order would
+    // cross the budget
+    val all = docs.select(col("doc_id"), tc.cast("long").as("n")).as[(Long, Long)]
+      .collect().sortBy { case (id, n) => (-n, id) }
+    val total = got.toSeq.map(_._3).sum
+    val next = all.drop(got.size).headOption
+    next.foreach { case (_, n) => assert(total + n > budget) }
+    // zero budget keeps nothing
+    assert(ScaleOps.tokenBudgetFilter(docs, "doc_id", tc, tc, 0L).count() == 0)
+  }
+
   test("packSequences: two-phase prefix sum == naive global window") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val tc = graft.functions.TextFunctions.tokenCount(col("text"))

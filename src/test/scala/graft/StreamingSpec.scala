@@ -62,6 +62,72 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 6.0), (1L, 1L, 4.0), (2L, 1L, 5.0)))
   }
 
+  test("native session_window: exact gap boundary MERGES, end = last + gap") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(20), 3.0),
+      (1L, ts(50), 4.0),  // EXACTLY prev + 30min: merges (eventTime <= end)
+      (1L, ts(111), 5.0), // 61min gap: new session
+      (2L, ts(5), 5.0))
+      .toDF("user_id", "ts", "value")
+    val got = EventsStreaming.sessionWindowAgg(ev, gapMinutes = 30)
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),
+        unix_timestamp(col("session_end")).as("e"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val base = 1700000000L
+    assert(got == Set(
+      (1L, base, base + 50 * 60 + 1800, 4L, 10.0),
+      (1L, base + 111 * 60, base + 111 * 60 + 1800, 1L, 5.0),
+      (2L, base + 5 * 60, base + 5 * 60 + 1800, 1L, 5.0)))
+  }
+
+  test("native session_window stream: finalized sessions == batch on flushed input") {
+    // two-file source: the real events, then one far-future sentinel
+    // per user that pushes the watermark past every real session
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val dir = Files.createTempDirectory("graft-swin").toString
+    val real = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0),
+      (1L, ts(120), 3.0),
+      (2L, ts(5), 4.0))
+    val sentinel = Seq((1L, ts(100000), 0.0), (2L, ts(100000), 0.0))
+    real.toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    sentinel.toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val ckpt = Files.createTempDirectory("graft-ckpt-swin").toString
+    val src = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = EventsStreaming.sessionWindowAggStream(src, gapMinutes = 30)
+      .writeStream.format("memory").queryName("swin_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("swin_out")
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),
+        col("n_events").cast("long"), col("total_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = EventsStreaming.sessionWindowAgg(
+      real.toDF("user_id", "ts", "value"), gapMinutes = 30)
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),
+        col("n_events").cast("long"), col("total_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // every real session is finalized by the sentinel-driven watermark;
+    // the sentinel sessions themselves are still open and must NOT emit
+    assert(streamed == batch)
+    assert(batch.size == 3)
+  }
+
   test("streaming dedup == batch exact dedup survivor fingerprint set") {
     val ckpt = Files.createTempDirectory("graft-ckpt-dedup").toString
     // events as stand-in docs: fingerprint = md5 of event_type (few
