@@ -272,6 +272,63 @@ object ScaleOps {
         col("_n").as("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-source calibrated keep-thresholds (X120, the FineWeb-style
+    * adaptive quality cut): for each source, the threshold is the
+    * HIGHEST score value whose at-or-above population reaches
+    * `ceil(n_s · keepBp / 10000)` documents — i.e. the smallest
+    * ties-inclusive head that covers the target fraction. Returns one
+    * row per source: (source, threshold, n_docs, n_keep_min).
+    *
+    * Scale shape — this is why thresholds are computed on the
+    * (source, score) FREQUENCY table, not by ranking documents: the
+    * corpus reduces map-side to per-(source, score) counts (one
+    * partial-agg shuffle, output bounded by #sources · |score domain|,
+    * NOT corpus size), the cumulative scan runs as a window over that
+    * small table, and the application below is a broadcast join + map
+    * filter. A per-source row_number over the raw corpus — the obvious
+    * alternative — sorts every document of the hottest domain in one
+    * partition, which is exactly the skew a 100 TB web crawl hits
+    * (one domain can be percents of the corpus). Scores must be
+    * integer-valued (cast to long): float scores would make threshold
+    * equality engine-dependent. */
+  def calibratedKeepThresholds(df: DataFrame, sourceCol: String,
+      score: Column, keepBp: Int): DataFrame = {
+    require(keepBp >= 1 && keepBp <= 10000,
+      s"keepBp must be in [1, 10000], got $keepBp")
+    val counts = df.select(col(sourceCol).as("_src"), score.cast("long").as("_score"))
+      .groupBy(col("_src"), col("_score")).agg(count(lit(1)).as("_c"))
+    val byScoreDesc = Window.partitionBy(col("_src"))
+      .orderBy(col("_score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySrc = Window.partitionBy(col("_src"))
+    counts
+      .withColumn("_cum", sum(col("_c")).over(byScoreDesc))
+      .withColumn("_n", sum(col("_c")).over(bySrc))
+      // cum >= ceil(n*bp/1e4)  <=>  cum*1e4 >= n*bp  (integer cum)
+      .filter(col("_cum") * 10000 >= col("_n") * keepBp)
+      .groupBy(col("_src"))
+      .agg(max(col("_score")).as("threshold"),
+        max(col("_n")).as("n_docs"),
+        min(col("_cum")).as("n_keep_min"))
+      .withColumnRenamed("_src", sourceCol)
+  }
+
+  /** Apply [[calibratedKeepThresholds]]: keep every document scoring
+    * ≥ its source's threshold (ties all pass — the head is the
+    * smallest ties-inclusive cover of the keep fraction, so the kept
+    * share per source is ≥ keepBp/10000 and minimal given ties). The
+    * thresholds table is #sources rows — broadcast — so the corpus
+    * pass is a map-side filter; the corpus never sorts or shuffles. */
+  def calibratedQualityFilter(df: DataFrame, idCol: String, sourceCol: String,
+      score: Column, keepBp: Int): DataFrame = {
+    val th = calibratedKeepThresholds(df, sourceCol, score, keepBp)
+      .select(col(sourceCol), col("threshold"))
+    df.select(col(idCol), col(sourceCol), score.cast("long").as("quality"))
+      .join(broadcast(th), Seq(sourceCol))
+      .filter(col("quality") >= col("threshold"))
+      .select(col(idCol), col(sourceCol), col("quality"), col("threshold"))
+  }
+
   /** Deterministic content-hash train/holdout split: bucket = first 4
     * md5 hex chars of the id, mod 100. Pure map — no rand(), no
     * shuffle, no global sort — so a document's split NEVER changes

@@ -1323,6 +1323,26 @@ object Extensions {
       "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value " +
       "FROM g GROUP BY user_id, sess"
 
+  /** Per-source calibrated quality filtering (X120, FineWeb-style
+    * adaptive threshold): per source keep the smallest ties-inclusive
+    * head covering the top 30% by token count. The thresholds come
+    * from the (source, score) frequency table — the corpus never
+    * sorts — and apply as a broadcast map-side filter. Oracle = the
+    * same frequency-table cumulative scan in SQL. */
+  val domainThreshold: Q = (s, d) =>
+    graft.operators.ScaleOps.calibratedQualityFilter(
+      Tables.documents(s, d), "doc_id", "source",
+      TextFunctions.tokenCount(col("text")), keepBp = 3000)
+
+  val domainThresholdSql: String =
+    s"WITH sc AS (SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS q FROM documents), " +
+      "cnt AS (SELECT source, q, count(*) AS c FROM sc GROUP BY source, q), " +
+      "cum AS (SELECT source, q, CAST(sum(c) OVER (PARTITION BY source ORDER BY q DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm, " +
+      "CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n FROM cnt), " +
+      "th AS (SELECT source, max(q) AS t FROM cum WHERE cm * 10000 >= n * 3000 GROUP BY source) " +
+      "SELECT sc.doc_id, sc.source, sc.q AS quality, th.t AS threshold " +
+      "FROM sc JOIN th ON sc.source = th.source WHERE sc.q >= th.t"
+
   /** NATIVE session windows (X118): Spark's built-in session_window
     * operator (engine-managed merging session state) vs q_sessionize's
     * custom flatMapGroupsWithState. Full-precision event time — the
@@ -2677,6 +2697,7 @@ object Extensions {
     "q_boilerplate" -> boilerplate,
     "q_token_budget" -> tokenBudget,
     "q_session_window" -> sessionWindow,
+    "q_domain_threshold" -> domainThreshold,
     "q_substring_dedup" -> substringDedup,
     "q_substring_dedup_var" -> substringDedupVar,
     "q_seq_pack" -> seqPack,
@@ -2777,6 +2798,7 @@ object Extensions {
     "q_boilerplate" -> boilerplateSql,
     "q_token_budget" -> tokenBudgetSql,
     "q_session_window" -> sessionWindowSql,
+    "q_domain_threshold" -> domainThresholdSql,
     "q_substring_dedup" -> substringDedupSql,
     "q_substring_dedup_var" -> substringDedupVarSql,
     "q_seq_pack" -> seqPackSql,

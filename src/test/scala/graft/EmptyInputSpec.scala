@@ -176,6 +176,9 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("user_id", "ts", "value")
     assert(graft.streaming.EventsStreaming.sessionWindowAgg(emptyEv, 30)
       .count() == 0)
+    assert(graft.operators.ScaleOps.calibratedQualityFilter(
+      emptyDocs.withColumn("source", lit("x")), "doc_id", "source",
+      length(col("text")), 3000).count() == 0)
   }
 
   test("incrementalSemanticDedup handles empty batch and empty store") {

@@ -139,6 +139,32 @@ class ScaleOpsSpec extends SparkSpec {
       "fixture should contain non-matching fact keys for the prune to matter")
   }
 
+  test("calibratedQualityFilter: smallest ties-inclusive head covering the fraction") {
+    val docs = Seq(
+      // source A: scores 10,9,8,7,6,5,4,3,2,1 -> 30% of 10 = 3 -> t=8
+      (1L, "A", 10L), (2L, "A", 9L), (3L, "A", 8L), (4L, "A", 7L),
+      (5L, "A", 6L), (6L, "A", 5L), (7L, "A", 4L), (8L, "A", 3L),
+      (9L, "A", 2L), (10L, "A", 1L),
+      // source B: ties at the cut — scores 5,5,5,1: target=ceil(4*0.3)=2,
+      // cum at score 5 is 3 >= 2 -> t=5, all three ties kept
+      (11L, "B", 5L), (12L, "B", 5L), (13L, "B", 5L), (14L, "B", 1L))
+      .toDF("doc_id", "source", "s")
+    val th = ScaleOps.calibratedKeepThresholds(docs, "source", col("s"), 3000)
+      .select(col("source"), col("threshold"), col("n_docs"), col("n_keep_min"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (src, t, n, k) => src -> ((t, n, k)) }.toMap
+    assert(th == Map("A" -> ((8L, 10L, 3L)), "B" -> ((5L, 4L, 3L))))
+    val kept = ScaleOps.calibratedQualityFilter(docs, "doc_id", "source",
+      col("s"), 3000).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 11L, 12L, 13L))
+    // keepBp = 10000 keeps everything; per-source share >= fraction
+    assert(ScaleOps.calibratedQualityFilter(docs, "doc_id", "source",
+      col("s"), 10000).count() == 14L)
+    intercept[IllegalArgumentException] {
+      ScaleOps.calibratedKeepThresholds(docs, "source", col("s"), 0)
+    }
+  }
+
   test("tokenBudgetFilter: greedy head == naive priority-ordered running sum") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val tc = graft.functions.TextFunctions.tokenCount(col("text"))
