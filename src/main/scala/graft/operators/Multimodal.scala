@@ -168,6 +168,67 @@ object Multimodal {
       }
   }
 
+  case class ImagePHash(media_id: Long, decoded: Boolean, phash: Long)
+
+  /** Perceptual block-mean hash over REAL decoded pixels (X123) — the
+    * image-modality dedup fingerprint: per pixel gray = r+g+b, a fixed
+    * 4×3 cell grid via integer floors (cx = x·4/w, cy = y·3/h — no
+    * resampling, so the hash is EXACT integer arithmetic an oracle can
+    * replay from closed-form pixels), bit cy·4+cx set iff the cell's
+    * mean gray exceeds the image mean, compared cross-multiplied
+    * (cellSum·N > totalSum·cellN) so no division ever happens.
+    * Products stay under 2⁶³ through ~10⁸-pixel images (765·N²).
+    * Same-content images collide exactly; small perturbations flip few
+    * bits — band the hash (the SimHash X4 arrangement) for candidate
+    * pairs. One batched mapPartitions; payloads never leave the map
+    * stage. Non-images: decoded=false, phash −1. */
+  def imagePerceptualHash(media: DataFrame): Dataset[ImagePHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val res: Option[Long] =
+            if (!isImageMagic(payload)) None
+            else try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+              if (img == null) None
+              else {
+                val w = img.getWidth; val h = img.getHeight
+                val cellSum = new Array[Long](12)
+                val cellN = new Array[Long](12)
+                var y = 0
+                while (y < h) {
+                  val cy = y * 3 / h
+                  var x = 0
+                  while (x < w) {
+                    val cx = x * 4 / w
+                    val rgb = img.getRGB(x, y)
+                    val g3 = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                    val c = cy * 4 + cx
+                    cellSum(c) += g3; cellN(c) += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                val ts = cellSum.sum; val tn = cellN.sum
+                var hash = 0L; var c = 0
+                while (c < 12) {
+                  if (cellSum(c) * tn > ts * cellN(c)) hash |= (1L << c)
+                  c += 1
+                }
+                Some(hash)
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          res match {
+            case Some(hsh) => ImagePHash(id, decoded = true, hsh)
+            case None => ImagePHash(id, decoded = false, -1L)
+          }
+        }
+      }
+  }
+
   /** Minimal 24-bit uncompressed BMP encoder (BITMAPINFOHEADER,
     * bottom-up rows, 4-byte row padding). `rgb(x, y)` returns packed
     * 0xRRGGBB with y counted from the TOP row, like getRGB — any

@@ -486,6 +486,101 @@ object Extensions {
       "WHERE d.doc_id % 3 <> 0 AND d.doc_id NOT IN (SELECT bid FROM dups)"
   }
 
+  /** The composed ingestion increment (X121): one new batch runs the
+    * FULL cross-snapshot trilogy in sequence — exact (Bloom-prefiltered
+    * fingerprint anti-join) → MinHash near-dup (stored band index) →
+    * semantic (frozen-quantizer cell index) — each stage consuming the
+    * previous stage's survivors, all three stores bootstrapped from
+    * the doc_id % 3 == 0 slice and represented ONLY by their index
+    * records. Embeddings join the text survivors on the shared id
+    * space. The oracle is the three stage oracles composed (the exact
+    * rn=1 chain, the banded-Jaccard chain restricted to stage-1
+    * survivors, the k-means cell chain restricted to stage-2
+    * survivors). */
+  val ingestFull: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val storeSlice = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    // stage 1: exact cross-snapshot
+    val priorFps = storeSlice
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
+    val s1 = Dedup.incrementalExactDedup(batch, priorFps, "text", "doc_id")
+      .select(col("doc_id"), col("text"))
+    // stage 2: near-dup vs the stored MinHash band index
+    val ndStore = Dedup.nearDupStoreRecords(storeSlice, "doc_id", "text",
+      shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+    val s2 = Dedup.incrementalNearDup(s1, ndStore, "text", "doc_id",
+      threshold = 0.7, shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+      .select(col("doc_id"))
+    // stage 3: semantic, over the survivors' embeddings (shared id space)
+    val embStore = emb.filter(col("vec_id") % 3 === 0)
+    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
+      embStore, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    val semStore = Similarity.semanticStoreRecords(embStore, "vec_id", "embedding", cents)
+    val batchEmb = emb.join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Similarity.incrementalSemanticDedup(batchEmb, semStore, cents, threshold = SEMDEDUP_T)
+      .select(col("id").as("doc_id"), col("cell"))
+  }
+
+  lazy val ingestFullSql: String = {
+    val sigElems = (0 until MINHASH_BANDS * MINHASH_RPB).map(seed =>
+      s"coalesce(list_min(list_transform(s, x -> md5('$seed:' || x))), 'zz_empty')")
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until MINHASH_BANDS).map(b => s"($b)").mkString(",")
+    val jac = "CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE)/" +
+      "len(list_distinct(list_concat(x.ds, y.ds)))"
+    def sq(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), 6)"
+    val quant = "list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
+    val cPrev = s"c${SEMDEDUP_ITERS - 1}"
+    // stage 1: exact
+    s"WITH f AS MATERIALIZED (SELECT doc_id, md5($duckNormText) AS fp FROM documents), " +
+      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0), " +
+      "s1 AS MATERIALIZED (SELECT doc_id FROM (" +
+      "SELECT n.doc_id, row_number() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn " +
+      "FROM (SELECT doc_id, fp FROM f WHERE doc_id % 3 <> 0) n " +
+      "LEFT JOIN prior p ON n.fp = p.fp WHERE p.fp IS NULL) WHERE rn = 1), " +
+      // stage 2: near-dup (bands over store slice + stage-1 survivors)
+      s"toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"shl AS (SELECT doc_id, $duckShingles AS s FROM toks), " +
+      s"sig AS MATERIALIZED (SELECT doc_id, $sigElems AS sg FROM shl), " +
+      "dsh AS MATERIALIZED (SELECT doc_id, list_distinct(s) AS ds FROM shl), " +
+      s"bands AS MATERIALIZED (SELECT g.doc_id, bb.band AS band, " +
+      s"array_to_string(list_slice(g.sg, bb.band*$MINHASH_RPB + 1, bb.band*$MINHASH_RPB + $MINHASH_RPB), '|') AS bucket " +
+      s"FROM sig g JOIN dsh h ON g.doc_id = h.doc_id CROSS JOIN (VALUES $bandRows) bb(band) " +
+      "WHERE len(h.ds) > 0 AND (g.doc_id % 3 = 0 OR g.doc_id IN (SELECT doc_id FROM s1))), " +
+      "cs2 AS (SELECT DISTINCT n.doc_id AS bid, st.doc_id AS sid FROM bands n " +
+      "JOIN bands st ON n.band = st.band AND n.bucket = st.bucket " +
+      "WHERE n.doc_id % 3 <> 0 AND st.doc_id % 3 = 0), " +
+      "cb2 AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
+      "WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 <> 0), " +
+      s"nd1 AS (SELECT DISTINCT bid FROM cs2 JOIN dsh x ON bid = x.doc_id JOIN dsh y ON sid = y.doc_id WHERE $jac >= 0.7), " +
+      s"nd2 AS (SELECT DISTINCT id2 AS bid FROM cb2 JOIN dsh x ON id1 = x.doc_id JOIN dsh y ON id2 = y.doc_id WHERE $jac >= 0.7), " +
+      "s2 AS MATERIALIZED (SELECT doc_id FROM s1 WHERE doc_id NOT IN " +
+      "(SELECT bid FROM nd1 UNION SELECT bid FROM nd2)), " +
+      // stage 3: semantic (k-means trained on the store slice, frozen)
+      kmeansCtes(SEMDEDUP_K, SEMDEDUP_ITERS, finalAssign = true,
+        src = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0)") +
+      s", qb AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM embeddings " +
+      "WHERE vec_id IN (SELECT doc_id FROM s2))" +
+      s", ba AS MATERIALIZED (SELECT vec_id, c AS cell FROM (SELECT q.vec_id, c.c, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sq("q.qv", "c.cv")}, c.c) AS rn " +
+      s"FROM qb q CROSS JOIN $cPrev c) WHERE rn = 1)" +
+      ", cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings)" +
+      ", bd AS MATERIALIZED (SELECT ba.vec_id, ba.cell, cd.ed FROM ba JOIN cd USING (vec_id))" +
+      s", sd AS MATERIALIZED (SELECT a.vec_id, a.c AS cell, cd.ed FROM a$SEMDEDUP_ITERS a JOIN cd USING (vec_id))" +
+      s", sm1 AS (SELECT DISTINCT b.vec_id FROM bd b JOIN sd s ON b.cell = s.cell WHERE ${cos("b.ed", "s.ed")} >= $SEMDEDUP_T)" +
+      s", sm2 AS (SELECT DISTINCT y.vec_id FROM bd x JOIN bd y ON x.cell = y.cell AND x.vec_id < y.vec_id WHERE ${cos("x.ed", "y.ed")} >= $SEMDEDUP_T) " +
+      "SELECT vec_id AS doc_id, cell FROM bd WHERE vec_id NOT IN " +
+      "(SELECT vec_id FROM sm1 UNION SELECT vec_id FROM sm2)"
+  }
+
   val simhashPairs: Q = (s, d) =>
     Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
 
@@ -696,6 +791,28 @@ object Extensions {
       "SELECT media_id, true AS decoded, img_width, img_height, " +
       "CAST(sum((media_id + 7*x + 13*y) % 256 + (2*media_id + 5*x + 3*y) % 256 + (media_id + x*y) % 256) AS BIGINT) AS pixel_sum " +
       "FROM ps GROUP BY media_id, img_width, img_height"
+
+  /** Image perceptual hash (X123): block-mean hash over REAL decoded
+    * pixels — grayscale r+g+b, fixed 4×3 integer-floor cell grid, bit
+    * set iff cell mean > image mean via integer cross-multiplication.
+    * The dedup fingerprint for the image modality; oracle replays the
+    * arithmetic from the closed-form pixels (mediaDecode convention). */
+  val imagePhash: Q = (s, d) =>
+    Multimodal.imagePerceptualHash(
+      Multimodal.bmpMediaFromDocuments(spread(Tables.documents(s, d)))).toDF()
+      .select(col("media_id"), col("phash"))
+
+  val imagePhashSql: String =
+    "WITH m AS (SELECT doc_id AS media_id, CAST(4 + doc_id % 13 AS BIGINT) AS w, " +
+      "CAST(3 + doc_id % 7 AS BIGINT) AS h FROM documents), " +
+      "xs AS (SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m), " +
+      "ps AS (SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs), " +
+      "px AS (SELECT media_id, (y*3)//h*4 + (x*4)//w AS cell, " +
+      "(media_id + 7*x + 13*y) % 256 + (2*media_id + 5*x + 3*y) % 256 + (media_id + x*y) % 256 AS g3 FROM ps), " +
+      "cs AS (SELECT media_id, cell, CAST(sum(g3) AS BIGINT) AS s, count(*) AS n FROM px GROUP BY media_id, cell), " +
+      "tot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(n) AS BIGINT) AS tn FROM cs GROUP BY media_id) " +
+      "SELECT cs.media_id, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.n THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT) AS phash " +
+      "FROM cs JOIN tot ON cs.media_id = tot.media_id GROUP BY cs.media_id"
 
   /** Cross-modal retrieval closure (X110): similarity search OVER a
     * multimodal column — real BMP payloads decode (javax.imageio) to
@@ -1105,6 +1222,41 @@ object Extensions {
 
   val streamDedupSql: String =
     s"SELECT DISTINCT md5($duckNormText) AS fp FROM documents"
+
+  /** Streaming incremental dedup (X122): the doc_id % 3 == 0 slice is
+    * the already-ingested store (fingerprints only, STATIC side); the
+    * rest streams through the stream-static anti join + watermarked
+    * dropDuplicates. Oracle = distinct fresh fingerprints not in the
+    * store. */
+  val streamIncrDedup: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-sid")
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val prior = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(fingerprintMd5(col("text")).as("fp")).distinct()
+    val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(timestamp_micros((col("doc_id") + 1) * 1000000L).as("ts"),
+        fingerprintMd5(col("text")).as("fp"))
+    val q = EventsStreaming.streamingIncrementalDedup(src, prior, "ts", "fp")
+      .writeStream.format("memory").queryName("graft_stream_incr_dedup")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    runStreamThenCleanCkpt(q, ckpt)
+    s.table("graft_stream_incr_dedup").select(col("fp"))
+  }
+
+  val streamIncrDedupSql: String =
+    s"WITH f AS (SELECT doc_id, md5($duckNormText) AS fp FROM documents), " +
+      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0) " +
+      "SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0 " +
+      "AND fp NOT IN (SELECT fp FROM prior)"
 
   /** X24 as a driver-gate query: stream-stream inner join with
     * watermarks + interval condition (purchases × same-user signups in
@@ -2693,6 +2845,7 @@ object Extensions {
     "q_incremental_dedup" -> incrementalDedup,
     "q_incremental_neardup" -> incrementalNearDup,
     "q_incremental_semdedup" -> incrementalSemDedup,
+    "q_ingest_full" -> ingestFull,
     "q_line_dedup" -> lineDedup,
     "q_boilerplate" -> boilerplate,
     "q_token_budget" -> tokenBudget,
@@ -2715,12 +2868,14 @@ object Extensions {
     "q_embed_neardup" -> embedNearDup,
     "q_stream_window_agg" -> streamWindowAgg,
     "q_stream_dedup" -> streamDedup,
+    "q_stream_incr_dedup" -> streamIncrDedup,
     "q_stream_join" -> streamJoin,
     "q_stream_outer_join" -> streamOuterJoinVerified,
     "q_stream_static_join" -> streamStaticJoin,
     "q_media_features" -> mediaFeatures,
     "q_multimodal_search" -> multimodalSearch,
     "q_media_decode" -> mediaDecode,
+    "q_image_phash" -> imagePhash,
     "q_audio_decode" -> audioDecode,
     "q_audio_search" -> audioSearch,
     "q_bpe_merges" -> bpeMerges,
@@ -2794,6 +2949,7 @@ object Extensions {
     "q_incremental_dedup" -> incrementalDedupSql,
     "q_incremental_neardup" -> incrementalNearDupSql,
     "q_incremental_semdedup" -> incrementalSemDedupSql,
+    "q_ingest_full" -> ingestFullSql,
     "q_line_dedup" -> lineDedupSql,
     "q_boilerplate" -> boilerplateSql,
     "q_token_budget" -> tokenBudgetSql,
@@ -2816,12 +2972,14 @@ object Extensions {
     "q_embed_neardup" -> embedNearDupSql,
     "q_stream_window_agg" -> windowAggSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_incr_dedup" -> streamIncrDedupSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_outer_join" -> streamOuterJoinVerifiedSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_media_features" -> mediaFeaturesSql,
     "q_multimodal_search" -> multimodalSearchSql,
     "q_media_decode" -> mediaDecodeSql,
+    "q_image_phash" -> imagePhashSql,
     "q_audio_decode" -> audioDecodeSql,
     "q_audio_search" -> audioSearchSql,
     "q_bpe_merges" -> bpeMergesSql,

@@ -143,6 +143,25 @@ object EventsStreaming {
     docs.withWatermark(tsCol, "1 hour")
       .dropDuplicates(Seq(fpCol))
 
+  /** Streaming incremental exact dedup (X122) — the always-on form of
+    * [[graft.operators.Dedup.incrementalExactDedup]]: each micro-batch
+    * first drops fingerprints already in the ingested store via a
+    * stream-static LEFT ANTI join (the static side re-plans every
+    * micro-batch, so a store the ingest job appends to between
+    * batches is picked up on refresh — exactly the wanted semantics
+    * for a slowly-growing index; broadcast because the probe is
+    * per-batch), then resolves WITHIN-stream repeats with watermarked
+    * `dropDuplicates`. The state store holds one fingerprint per
+    * fresh-and-recent doc, bounded by the watermark; store
+    * fingerprints never enter streaming state — at 100 TB the store
+    * lives in its own table and only the (tiny) recent-window state
+    * rides the stream. */
+  def streamingIncrementalDedup(docs: DataFrame, priorFps: DataFrame,
+      tsCol: String, fpCol: String): DataFrame =
+    docs.join(broadcast(priorFps), Seq(fpCol), "left_anti")
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicates(Seq(fpCol))
+
   // ---------------- sessionization ----------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

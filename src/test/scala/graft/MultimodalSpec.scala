@@ -221,4 +221,24 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(byDoc(10L).head._3, "UTF-8") == "abcdefghijklmnop")
     assert(!byDoc.contains(11L)) // too short for any frame
   }
+
+  test("imagePerceptualHash: same content collides, flat image hashes 0, stub for non-images") {
+    def mk(id: Long, f: (Int, Int) => Int) =
+      (id, Multimodal.encodeBmp24(8, 6, f), "bmp", 8, 6)
+    val grad: (Int, Int) => Int = (x, _) => {
+      val v = (x * 30) & 0xff; (v << 16) | (v << 8) | v
+    }
+    val flat: (Int, Int) => Int = (_, _) => 0x808080
+    val rows = Seq(mk(1L, grad), mk(2L, grad), mk(3L, flat),
+      (4L, Array[Byte](1, 2, 3), "bin", 0, 0))
+      .toDF("media_id", "payload", "kind", "width", "height")
+    val got = Multimodal.imagePerceptualHash(rows).collect()
+      .map(p => p.media_id -> ((p.decoded, p.phash))).toMap
+    // identical pixel content -> identical fingerprint, decoded for real
+    assert(got(1L) == got(2L) && got(1L)._1)
+    assert(got(1L)._2 != 0L) // gradient: bright cells exceed the mean
+    // a uniform image has no cell STRICTLY above the mean -> hash 0
+    assert(got(3L) == ((true, 0L)))
+    assert(got(4L) == ((false, -1L)))
+  }
 }

@@ -149,6 +149,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming incremental dedup: store fingerprints dropped, fresh distinct kept") {
+    val ckpt = Files.createTempDirectory("graft-ckpt-sinc").toString
+    val allFps = spark.read.parquet(eventsDir)
+      .select(md5(col("event_type").cast("binary")).as("fp")).distinct()
+    val prior = allFps.orderBy("fp").limit(2)
+    val src = spark.readStream.schema(EventsStreaming.eventSchema)
+      .parquet(eventsDir)
+      .select(col("ts"), md5(col("event_type").cast("binary")).as("fp"))
+    val q = EventsStreaming.streamingIncrementalDedup(src, prior, "ts", "fp")
+      .writeStream.format("memory").queryName("sinc_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sinc_out").select("fp").as[String].collect().toSet
+    val priorSet = prior.as[String].collect().toSet
+    val all = allFps.as[String].collect().toSet
+    assert(streamed == all -- priorSet)
+    assert(streamed.nonEmpty && priorSet.size == 2)
+  }
+
   test("stateful sessionize emits closed sessions matching batch") {
     val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
     val evStream = spark.readStream.schema(EventsStreaming.eventSchema)
