@@ -206,6 +206,8 @@ class EmptyInputSpec extends SparkSpec {
   test("audioFeatureVectors and recallAtK return empty on empty input") {
     val emptyMedia = Seq.empty[(Long, Array[Byte], String, Int, Int)]
       .toDF("media_id", "payload", "kind", "width", "height")
+    assert(graft.operators.Multimodal.imagePerceptualHash(emptyMedia)
+      .count() == 0)
     assert(graft.operators.Multimodal.audioFeatureVectors(emptyMedia).count() == 0)
     val emptyTopK = Seq.empty[(Long, Long)].toDF("q_id", "vec_id")
     assert(graft.operators.Similarity.recallAtK(emptyTopK, emptyTopK).count() == 0)

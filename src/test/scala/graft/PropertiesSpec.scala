@@ -188,6 +188,101 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  private val lineDocGen = Gen.listOfN(12, Gen.listOfN(4,
+    Gen.oneOf("nav bar", "cookie banner", "alpha", "beta", "gamma",
+      "delta", "", "license")).map(_.mkString("\n")))
+
+  test("boilerplateRemoval: no surviving high-DF line, order kept, ids preserved") {
+    for ((texts, i) <- samples(lineDocGen, 4).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val minDf = 3L
+      val got = Dedup.boilerplateRemoval(docs, "doc_id", "text", minDf)
+        .as[(Long, String)].collect().toMap
+      // document set preserved exactly
+      assert(got.keySet == texts.indices.map(_.toLong).toSet, s"case $i")
+      val df = texts.zipWithIndex
+        .flatMap { case (t, j) => t.split("\n", -1).distinct.map(_ -> j) }
+        .groupBy(_._1).map { case (l, occ) => l -> occ.map(_._2).distinct.size }
+      got.foreach { case (id, text) =>
+        val lines = if (text.isEmpty) Array.empty[String] else text.split("\n", -1)
+        // every surviving line is below the DF threshold
+        lines.foreach(l => assert(df(l) < minDf, s"case $i doc $id line '$l'"))
+        // survivors are the original doc's below-threshold lines in order
+        val want = texts(id.toInt).split("\n", -1).filter(l => df(l) < minDf)
+        assert(lines.toSeq == want.toSeq, s"case $i doc $id")
+      }
+    }
+  }
+
+  private val budgetRowsGen = Gen.listOfN(20, for {
+    n <- Gen.chooseNum(0L, 50L)
+    p <- Gen.chooseNum(0L, 9L)
+  } yield (n, p))
+
+  test("tokenBudgetFilter == sorted-prefix reference for arbitrary priorities") {
+    for ((rows, i) <- samples(budgetRowsGen, 5).zipWithIndex) {
+      val df = rows.zipWithIndex.map { case ((n, p), j) => (j.toLong, n, p) }
+        .toDF("doc_id", "n", "p")
+      val budget = 1 + 17L * (i + 1)
+      val got = graft.operators.ScaleOps.tokenBudgetFilter(
+        df, "doc_id", col("n"), col("p"), budget)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      var acc = 0L
+      val want = rows.zipWithIndex
+        .map { case ((n, p), j) => (j.toLong, n, p) }
+        .sortBy { case (id, _, p) => (-p, id) }
+        .iterator.map { case (id, n, p) => acc += n; (id, p, n, acc) }
+        .takeWhile(_._4 <= budget).toSet
+      assert(got == want, s"case $i budget=$budget")
+    }
+  }
+
+  test("calibratedKeepThresholds: smallest ties-inclusive cover per source") {
+    val srcRows = Gen.listOfN(25, for {
+      src <- Gen.oneOf("a", "b", "c")
+      s <- Gen.chooseNum(0L, 6L)
+    } yield (src, s))
+    for ((rows, i) <- samples(srcRows, 5).zipWithIndex) {
+      val bp = 2500
+      val df = rows.zipWithIndex.map { case ((src, s), j) => (j.toLong, src, s) }
+        .toDF("doc_id", "source", "s")
+      val th = graft.operators.ScaleOps
+        .calibratedKeepThresholds(df, "source", col("s"), bp)
+        .as[(String, Long, Long, Long)].collect()
+      th.foreach { case (src, t, n, keepMin) =>
+        val scores = rows.filter(_._1 == src).map(_._2)
+        assert(n == scores.size)
+        val target = (n * bp + 9999) / 10000
+        val atOrAbove = scores.count(_ >= t)
+        assert(atOrAbove.toLong == keepMin && keepMin >= target, s"case $i $src")
+        // minimality: excluding the threshold tie class falls below target
+        assert(scores.count(_ > t) < target, s"case $i $src not minimal")
+      }
+    }
+  }
+
+  test("session_window == gaps-and-islands with end shifted by the gap") {
+    val evGen = Gen.listOfN(30, for {
+      u <- Gen.chooseNum(1L, 3L)
+      minute <- Gen.chooseNum(0, 400)
+    } yield (u, minute))
+    for ((evs, i) <- samples(evGen, 4).zipWithIndex) {
+      val df = evs.map { case (u, m) =>
+        (u, new java.sql.Timestamp(1700000000000L + m * 60000L), 1.0) }
+        .toDF("user_id", "ts", "value")
+      val native = graft.streaming.EventsStreaming.sessionWindowAgg(df, 30)
+        .select(col("user_id"), unix_timestamp(col("session_start")),
+          unix_timestamp(col("session_end")), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val islands = graft.streaming.EventsStreaming.sessionizeBatch(df, 30)
+        .select(col("user_id"), unix_timestamp(col("session_start")),
+          unix_timestamp(col("session_end")) + 1800L, col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(native == islands && native.nonEmpty, s"case $i")
+    }
+  }
+
   test("linear quality weights are antisymmetric under class swap") {
     for ((texts, i) <- samples(docGen, 3).zipWithIndex) {
       val nonEmpty = texts.filter(_.nonEmpty)
