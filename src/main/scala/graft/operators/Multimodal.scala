@@ -369,6 +369,70 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  case class AudioPHash(media_id: Long, decoded: Boolean, phash: Long)
+
+  /** Audio block-energy fingerprint (X124) — the audio sibling of
+    * [[imagePerceptualHash]]: the PCM16 sample stream splits into 12
+    * contiguous blocks (block = i·12/n, integer floor — no resampling),
+    * bit b set iff block b's mean |sample| exceeds the clip mean,
+    * compared cross-multiplied in integers (no division). Same-content
+    * clips collide exactly; fingerprints band like SimHash for
+    * near-dup candidates. Exact through ~1.6·10⁷ samples per clip
+    * (32768·n² < 2⁶³ — half an hour at 8 kHz mono; longer clips
+    * should fingerprint per-segment anyway). One batched
+    * mapPartitions; payloads never leave the map stage. Non-WAV /
+    * unsupported formats: decoded=false, phash −1. */
+  def audioPerceptualHash(media: DataFrame): Dataset[AudioPHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val res: Option[Long] =
+            if (!isWavMagic(payload)) None
+            else try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try {
+                val fmt = in.getFormat
+                if (fmt.getSampleSizeInBits != 16 ||
+                  fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                  None
+                else {
+                  val bytes = in.readAllBytes()
+                  val buf = java.nio.ByteBuffer.wrap(bytes).order(
+                    if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                    else java.nio.ByteOrder.LITTLE_ENDIAN)
+                  val n = bytes.length / 2
+                  if (n == 0) Some(0L)
+                  else {
+                    val bSum = new Array[Long](12)
+                    val bN = new Array[Long](12)
+                    var i = 0L
+                    while (buf.remaining() >= 2) {
+                      val b = (i * 12 / n).toInt
+                      bSum(b) += math.abs(buf.getShort.toLong)
+                      bN(b) += 1; i += 1
+                    }
+                    val ts = bSum.sum; val tn = bN.sum
+                    var hash = 0L; var c = 0
+                    while (c < 12) {
+                      if (bSum(c) * tn > ts * bN(c)) hash |= (1L << c)
+                      c += 1
+                    }
+                    Some(hash)
+                  }
+                }
+              } finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          res match {
+            case Some(hsh) => AudioPHash(id, decoded = true, hsh)
+            case None => AudioPHash(id, decoded = false, -1L)
+          }
+        }
+      }
+  }
+
   /** Real-WAV media table derived from `documents`: sample count and
     * every PCM sample are CLOSED-FORM functions of doc_id (the audio
     * sibling of [[bmpMediaFromDocuments]]) — Spark really encodes and

@@ -814,6 +814,25 @@ object Extensions {
       "SELECT cs.media_id, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.n THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT) AS phash " +
       "FROM cs JOIN tot ON cs.media_id = tot.media_id GROUP BY cs.media_id"
 
+  /** Audio block-energy fingerprint (X124): the audio sibling of
+    * q_image_phash — real PCM16 decode, 12 contiguous blocks, bit set
+    * iff block mean |sample| > clip mean via integer
+    * cross-multiplication; oracle replays the arithmetic from the
+    * closed-form samples. */
+  val audioPhash: Q = (s, d) =>
+    Multimodal.audioPerceptualHash(
+      Multimodal.wavMediaFromDocuments(spread(Tables.documents(s, d)))).toDF()
+      .select(col("media_id"), col("phash"))
+
+  val audioPhashSql: String =
+    "WITH m AS (SELECT doc_id AS media_id, CAST(16 + doc_id % 33 AS BIGINT) AS n FROM documents), " +
+      "ss AS (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM m), " +
+      "px AS (SELECT media_id, (i*12)//n AS blk, abs((media_id*31 + i*17) % 4096 - 2048) AS v FROM ss), " +
+      "cs AS (SELECT media_id, blk, CAST(sum(v) AS BIGINT) AS s, count(*) AS c FROM px GROUP BY media_id, blk), " +
+      "tot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(c) AS BIGINT) AS tn FROM cs GROUP BY media_id) " +
+      "SELECT cs.media_id, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.c THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END) AS BIGINT) AS phash " +
+      "FROM cs JOIN tot ON cs.media_id = tot.media_id GROUP BY cs.media_id"
+
   /** Cross-modal retrieval closure (X110): similarity search OVER a
     * multimodal column — real BMP payloads decode (javax.imageio) to
     * [w, h, Σr, Σg, Σb] feature vectors which run through the exact
@@ -2876,6 +2895,7 @@ object Extensions {
     "q_multimodal_search" -> multimodalSearch,
     "q_media_decode" -> mediaDecode,
     "q_image_phash" -> imagePhash,
+    "q_audio_phash" -> audioPhash,
     "q_audio_decode" -> audioDecode,
     "q_audio_search" -> audioSearch,
     "q_bpe_merges" -> bpeMerges,
@@ -2980,6 +3000,7 @@ object Extensions {
     "q_multimodal_search" -> multimodalSearchSql,
     "q_media_decode" -> mediaDecodeSql,
     "q_image_phash" -> imagePhashSql,
+    "q_audio_phash" -> audioPhashSql,
     "q_audio_decode" -> audioDecodeSql,
     "q_audio_search" -> audioSearchSql,
     "q_bpe_merges" -> bpeMergesSql,

@@ -208,6 +208,8 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("media_id", "payload", "kind", "width", "height")
     assert(graft.operators.Multimodal.imagePerceptualHash(emptyMedia)
       .count() == 0)
+    assert(graft.operators.Multimodal.audioPerceptualHash(emptyMedia)
+      .count() == 0)
     assert(graft.operators.Multimodal.audioFeatureVectors(emptyMedia).count() == 0)
     val emptyTopK = Seq.empty[(Long, Long)].toDF("q_id", "vec_id")
     assert(graft.operators.Similarity.recallAtK(emptyTopK, emptyTopK).count() == 0)

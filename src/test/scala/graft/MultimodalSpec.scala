@@ -241,4 +241,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) == ((true, 0L)))
     assert(got(4L) == ((false, -1L)))
   }
+
+  test("audioPerceptualHash: same samples collide, silence hashes 0, stub for non-audio") {
+    def wav(id: Long, samples: Array[Short]) =
+      (id, Multimodal.encodeWavPcm16(8000, samples), "wav", 0, 0)
+    val loudTail = Array.tabulate(24)(i => if (i >= 12) 1000.toShort else 10.toShort)
+    val rows = Seq(
+      wav(1L, loudTail), wav(2L, loudTail),
+      wav(3L, Array.fill(24)(0.toShort)),
+      (4L, Array[Byte](9, 9, 9), "bin", 0, 0))
+      .toDF("media_id", "payload", "kind", "width", "height")
+    val got = Multimodal.audioPerceptualHash(rows).collect()
+      .map(p => p.media_id -> ((p.decoded, p.phash))).toMap
+    assert(got(1L) == got(2L) && got(1L)._1)
+    // the loud second half sets exactly blocks 6..11
+    assert(got(1L)._2 == (0x3F << 6).toLong)
+    assert(got(3L) == ((true, 0L)))
+    assert(got(4L) == ((false, -1L)))
+  }
 }
