@@ -96,6 +96,49 @@ object Traversal {
     labels.withColumnRenamed("label", "community")
   }
 
+  /** k-core membership (X125): iteratively peel vertices whose
+    * UNDIRECTED degree is < k until a fixpoint; returns the k-core's
+    * vertices with their within-core degree. Peeling is monotone, so
+    * an early-stopped run equals any longer bound — which is what lets
+    * a fixed-round chained-CTE oracle verify an early-exit loop.
+    *
+    * Scale shape: each round is one degree partial-agg + two semi-joins
+    * on the edge list (all key-only shuffles — no vertex data rides
+    * along), with per-round `localCheckpoint` lineage truncation (the
+    * labelPropagation policy). Rounds are data-dependent but bounded
+    * by the peel depth, which is ≤ the degeneracy ordering's length —
+    * on real graphs tens of rounds, and each round strictly shrinks
+    * the edge set or exits. The early-exit count probe reads a
+    * checkpointed frame — O(1) result, no recompute. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var prev = und.count()
+    var round = 0
+    var converged = prev == 0L
+    while (!converged && round < maxRounds) {
+      val keep = und.groupBy(col("a")).agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k).select(col("a"))
+      val next = und.join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      val n = next.count()
+      converged = n == prev
+      prev = n
+      und = next
+      round += 1
+    }
+    und.groupBy(col("a")).agg(count(lit(1)).as("core_degree"))
+      .withColumnRenamed("a", "name")
+  }
+
   /** Weighted shortest path from `seeds` — bounded Bellman–Ford:
     * `rounds` synchronous relaxation supersteps over directed edges
     * with non-negative integer weights, so the result is the exact

@@ -209,6 +209,43 @@ object RankQueries {
       s" SELECT name, label AS community FROM l$iters"
   }
 
+  /** k-core of the top-3 trade backbone (X125): iterative peel of
+    * vertices with undirected degree < 3 to a fixpoint. The full trade
+    * graph is near-complete (every core trivially survives), so the
+    * decomposition only says something on the strong-edge backbone —
+    * the same reasoning as communities. Oracle = one chained
+    * (degree, prune) CTE pair per peel round at a fixed bound ≥ the
+    * vertex count; peeling is monotone, so the early-exit Spark loop
+    * and the fixed-round oracle land on the same fixpoint. */
+  val kcore: Q = (s, dir) => {
+    val edges = graft.SparkEntry.nationTradeEdges(s, dir)
+    val w = Window.partitionBy("src_nation")
+      .orderBy(desc("amount"), asc("dst_nation"))
+    val top3 = edges.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3)
+      .select(col("src_nation"), col("dst_nation"))
+    graft.graph.Traversal.kCore(top3, "src_nation", "dst_nation", k = 3)
+  }
+
+  def kcoreSql(k: Int = 3, rounds: Int = 30): String = {
+    val head = Seq(
+      amtCte,
+      "top3 AS (SELECT src, dst FROM (SELECT src, dst, " +
+        "row_number() OVER (PARTITION BY src ORDER BY amount DESC, dst ASC) AS rn " +
+        "FROM amt) WHERE rn <= 3)",
+      "e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM " +
+        "(SELECT src AS a, dst AS b FROM top3 UNION ALL SELECT dst, src FROM top3) WHERE a <> b)")
+    val steps = (1 to rounds).flatMap { r =>
+      Seq(
+        s"g$r AS (SELECT a, count(*) AS dg FROM e${r - 1} GROUP BY a)",
+        s"e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e " +
+          s"JOIN g$r x ON e.a = x.a JOIN g$r y ON e.b = y.a " +
+          s"WHERE x.dg >= $k AND y.dg >= $k)")
+    }
+    "WITH " + (head ++ steps).mkString(", ") +
+      s" SELECT a AS name, count(*) AS core_degree FROM e$rounds GROUP BY a"
+  }
+
   /** Personalized PageRank from two seed nations — "what is close to
     * THESE nodes" proximity over the trade graph. Same truncated
     * delta series as the flagship ranks, restart mass on the seeds
@@ -363,6 +400,7 @@ object RankQueries {
     "q_triangles" -> triangles,
     "q_hops" -> hops,
     "q_communities" -> communities,
+    "q_kcore" -> kcore,
     "q_ppr" -> ppr,
     "q_weighted_ranks" -> weightedRanks,
     "q_shortest_path" -> shortestPath)
@@ -374,6 +412,7 @@ object RankQueries {
     "q_triangles" -> trianglesSql,
     "q_hops" -> hopsSql(),
     "q_communities" -> communitiesSql(),
+    "q_kcore" -> kcoreSql(),
     "q_ppr" -> pprSql(),
     "q_weighted_ranks" -> weightedRanksSql(),
     "q_shortest_path" -> shortestPathSql())

@@ -82,4 +82,27 @@ class TraversalSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(sp == hops.map { case (k, v) => k -> v.toLong })
   }
+
+  test("kCore: cascading peel reaches the exact core") {
+    // 4-clique with a hanging tail: at k=3 the tail peels in cascade
+    // (f first, then e), the clique survives at within-core degree 3
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("e", "f"))
+      .toDF("src", "dst")
+    val got = Traversal.kCore(edges, "src", "dst", k = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // a 5-cycle at k=2 survives whole; a path peels to empty
+    val cyc = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"), ("5", "1"))
+      .toDF("src", "dst")
+    val got2 = Traversal.kCore(cyc, "src", "dst", 2)
+      .as[(String, Long)].collect().toMap
+    assert(got2.keySet.size == 5 && got2.values.forall(_ == 2L))
+    val path = Seq(("1", "2"), ("2", "3"), ("3", "4")).toDF("src", "dst")
+    assert(Traversal.kCore(path, "src", "dst", 2).count() == 0)
+    intercept[IllegalArgumentException] {
+      Traversal.kCore(path, "src", "dst", 0)
+    }
+  }
 }
