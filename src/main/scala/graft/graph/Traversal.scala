@@ -139,6 +139,56 @@ object Traversal {
       .withColumnRenamed("a", "name")
   }
 
+  /** HITS hubs & authorities (X126) in EXACT integer arithmetic:
+    * authority(v) = Σ hub(u) over in-edges u→v, hub(u) = Σ authority(v)
+    * over out-edges, L∞-normalized after each half-step by integral
+    * division floor(x·SCALE / max) — BIGINT sums and `div` only, so
+    * every engine computes bit-identical scores (a float HITS would
+    * hash-drift on sum order; the L∞ norm specifically because max is
+    * order-free where an L1/L2 norm would be an unordered float sum).
+    * Fixed `iters` full rounds (Kleinberg's power iteration, the
+    * deterministic bounded form — same policy as the PageRank delta
+    * series); vertices missing a side score 0 on it. Exact while
+    * n·SCALE² < 2⁶³ (n < 9·10⁶ at SCALE 10⁶ — drop SCALE a decade per
+    * decade of vertices beyond that).
+    *
+    * Scale shape: per half-step one edge-keyed partial-agg shuffle
+    * (scores ride as one BIGINT per vertex) and one O(1)-result max
+    * action; scores re-enter the plan by join, not literals, so the
+    * driver never holds the vertex set. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .filter(col("_s") =!= col("_d")).distinct()
+      .persistTracked()
+    val verts = e.select(col("_s").as("name"))
+      .unionByName(e.select(col("_d").as("name"))).distinct()
+      .persistTracked()
+    def normalized(raw: DataFrame, scoreName: String): DataFrame = {
+      // O(1)-result action; null only when raw is empty (no edges),
+      // which the caller guards by construction (verts from edges)
+      val mx = raw.agg(max(col("_raw"))).first().getLong(0)
+      verts.join(raw, Seq("name"), "left")
+        .select(col("name"),
+          coalesce(expr(s"_raw * ${scale}L div ${mx}L"), lit(0L)).as(scoreName))
+        .localCheckpoint()
+    }
+    var hub = verts.withColumn("hub", lit(scale))
+    var auth: DataFrame = verts.withColumn("authority", lit(0L))
+    for (_ <- 1 to iters) {
+      auth = normalized(
+        e.join(hub.withColumnRenamed("name", "_s"), Seq("_s"))
+          .groupBy(col("_d").as("name")).agg(sum(col("hub")).as("_raw")),
+        "authority")
+      hub = normalized(
+        e.join(auth.withColumnRenamed("name", "_d"), Seq("_d"))
+          .groupBy(col("_s").as("name")).agg(sum(col("authority")).as("_raw")),
+        "hub")
+    }
+    auth.join(hub, Seq("name"))
+  }
+
   /** Weighted shortest path from `seeds` — bounded Bellman–Ford:
     * `rounds` synchronous relaxation supersteps over directed edges
     * with non-negative integer weights, so the result is the exact

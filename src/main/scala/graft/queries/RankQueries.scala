@@ -246,6 +246,51 @@ object RankQueries {
       s" SELECT a AS name, count(*) AS core_degree FROM e$rounds GROUP BY a"
   }
 
+  /** HITS hubs & authorities (X126) over the directed top-3 export
+    * backbone (the full trade graph is near-complete — uniform scores;
+    * the backbone is asymmetric, so hubs and authorities diverge).
+    * Exact integer power iteration: BIGINT sums, L∞ normalization by
+    * integral division each half-step. Oracle = one (raw, normalized)
+    * CTE pair per half-step with scalar-subquery maxima. */
+  private val HITS_ITERS = 4
+
+  val hits: Q = (s, dir) => {
+    val edges = graft.SparkEntry.nationTradeEdges(s, dir)
+    val w = Window.partitionBy("src_nation")
+      .orderBy(desc("amount"), asc("dst_nation"))
+    val top3 = edges.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3)
+      .select(col("src_nation"), col("dst_nation"))
+    graft.graph.Traversal.hits(top3, "src_nation", "dst_nation", HITS_ITERS)
+  }
+
+  def hitsSql(iters: Int = HITS_ITERS): String = {
+    val head = Seq(
+      amtCte,
+      "top3 AS (SELECT src, dst FROM (SELECT src, dst, " +
+        "row_number() OVER (PARTITION BY src ORDER BY amount DESC, dst ASC) AS rn " +
+        "FROM amt) WHERE rn <= 3)",
+      "e0 AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM top3 WHERE src <> dst)",
+      "verts AS MATERIALIZED (SELECT s AS name FROM e0 UNION SELECT d FROM e0)",
+      "h0 AS (SELECT name, CAST(1000000 AS BIGINT) AS hub FROM verts)")
+    val steps = (1 to iters).flatMap { r =>
+      Seq(
+        s"ar$r AS (SELECT e.d AS name, CAST(sum(h.hub) AS BIGINT) AS raw " +
+          s"FROM e0 e JOIN h${r - 1} h ON h.name = e.s GROUP BY e.d)",
+        s"a$r AS MATERIALIZED (SELECT v.name, CAST(coalesce(ar.raw * 1000000 // " +
+          s"(SELECT max(raw) FROM ar$r), 0) AS BIGINT) AS authority " +
+          s"FROM verts v LEFT JOIN ar$r ar ON v.name = ar.name)",
+        s"hr$r AS (SELECT e.s AS name, CAST(sum(a.authority) AS BIGINT) AS raw " +
+          s"FROM e0 e JOIN a$r a ON a.name = e.d GROUP BY e.s)",
+        s"h$r AS MATERIALIZED (SELECT v.name, CAST(coalesce(hr.raw * 1000000 // " +
+          s"(SELECT max(raw) FROM hr$r), 0) AS BIGINT) AS hub " +
+          s"FROM verts v LEFT JOIN hr$r hr ON v.name = hr.name)")
+    }
+    "WITH " + (head ++ steps).mkString(", ") +
+      s" SELECT a$iters.name, a$iters.authority, h$iters.hub " +
+      s"FROM a$iters JOIN h$iters USING (name)"
+  }
+
   /** Personalized PageRank from two seed nations — "what is close to
     * THESE nodes" proximity over the trade graph. Same truncated
     * delta series as the flagship ranks, restart mass on the seeds
@@ -401,6 +446,7 @@ object RankQueries {
     "q_hops" -> hops,
     "q_communities" -> communities,
     "q_kcore" -> kcore,
+    "q_hits" -> hits,
     "q_ppr" -> ppr,
     "q_weighted_ranks" -> weightedRanks,
     "q_shortest_path" -> shortestPath)
@@ -413,6 +459,7 @@ object RankQueries {
     "q_hops" -> hopsSql(),
     "q_communities" -> communitiesSql(),
     "q_kcore" -> kcoreSql(),
+    "q_hits" -> hitsSql(),
     "q_ppr" -> pprSql(),
     "q_weighted_ranks" -> weightedRanksSql(),
     "q_shortest_path" -> shortestPathSql())

@@ -105,4 +105,26 @@ class TraversalSpec extends SparkSpec {
       Traversal.kCore(path, "src", "dst", 0)
     }
   }
+
+  test("hits: pure hubs and pure authorities separate, integer-exact and deterministic") {
+    // h1, h2 point at a1, a2; nothing points at hubs, authorities
+    // point nowhere -> hubs have authority 0, authorities have hub 0
+    val edges = Seq(
+      ("h1", "a1"), ("h1", "a2"), ("h2", "a1"))
+      .toDF("src", "dst")
+    val got = Traversal.hits(edges, "src", "dst", iters = 4)
+      .as[(String, Long, Long)].collect()
+      .map { case (n, a, h) => n -> ((a, h)) }.toMap
+    // a1 has in-degree 2 vs a2's 1 -> max authority; h1 links both
+    // top authorities -> max hub
+    assert(got("a1")._1 == 1000000L && got("a2")._1 < 1000000L && got("a2")._1 > 0L)
+    assert(got("h1")._2 == 1000000L && got("h2")._2 < 1000000L && got("h2")._2 > 0L)
+    assert(got("a1")._2 == 0L && got("a2")._2 == 0L)
+    assert(got("h1")._1 == 0L && got("h2")._1 == 0L)
+    // deterministic across runs
+    val again = Traversal.hits(edges, "src", "dst", iters = 4)
+      .as[(String, Long, Long)].collect()
+      .map { case (n, a, h) => n -> ((a, h)) }.toMap
+    assert(again == got)
+  }
 }
