@@ -272,6 +272,38 @@ object ScaleOps {
         col("_n").as("n_tokens"), col("cum_tokens"))
   }
 
+  /** Interval-overlap join (X127): all (left, right) pairs whose
+    * CLOSED intervals [ls, le] × [rs, re] overlap — the interval ×
+    * interval sibling of [[rangeJoin]]'s point-in-interval. The theta
+    * join becomes an equi-join by GRID BUCKETING: each interval
+    * explodes to the cells it covers (cell = t div cellSize, integral
+    * division), candidates meet on the cell key, the exact overlap
+    * predicate verifies, and `distinct` collapses pairs that co-occupy
+    * several cells. Pinned shuffle-hash — both sides are data-sized.
+    *
+    * `cellSize` trades fan-out against candidate precision: cells ≪
+    * interval length multiply the explode; cells ≫ length pack
+    * unrelated intervals into one bucket (the quadratic term). Size it
+    * near the TYPICAL interval length; skewed long intervals explode
+    * proportionally to the spans they genuinely cover — at 100 TB
+    * that is the property that keeps candidates near-linear where a
+    * sort-merge theta join would be quadratic. Bounds must be
+    * non-negative integers (epochs); column names must be disjoint. */
+  def intervalOverlapJoin(left: DataFrame, ls: String, le: String,
+      right: DataFrame, rs: String, re: String, cellSize: Long): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"intervalOverlapJoin: column names must be disjoint, got ${clash.mkString(", ")}")
+    def gridded(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("_cell", explode(sequence(
+        expr(s"$s div $cellSize"), expr(s"$e div $cellSize"))))
+    gridded(left, ls, le).hint("shuffle_hash")
+      .join(gridded(right, rs, re), Seq("_cell"))
+      .filter(col(ls) <= col(re) && col(rs) <= col(le))
+      .drop("_cell").distinct()
+  }
+
   /** Per-source calibrated keep-thresholds (X120, the FineWeb-style
     * adaptive quality cut): for each source, the threshold is the
     * HIGHEST score value whose at-or-above population reaches

@@ -1539,6 +1539,36 @@ object Extensions {
       "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value " +
       "FROM g GROUP BY user_id, sess"
 
+  /** Interval-overlap join (X127): which sessions of one user cohort
+    * overlap in time with sessions of another — the interval×interval
+    * theta join gridded into an equi-join on hour cells. Sessions come
+    * from the oracled gaps-and-islands chain; bounds compare in exact
+    * epoch micros. */
+  val intervalJoin: Q = (s, d) => {
+    val sess = EventsStreaming.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"))
+    val a = sess.filter(col("user_id") % 97 === 0)
+      .select(col("user_id").as("u1"), col("s_us").as("s1"), col("e_us").as("e1"))
+    val b = sess.filter(col("user_id") % 89 === 0)
+      .select(col("user_id").as("u2"), col("s_us").as("s2"), col("e_us").as("e2"))
+    graft.operators.ScaleOps
+      .intervalOverlapJoin(a, "s1", "e1", b, "s2", "e2", cellSize = 3600000000L)
+      .filter(col("u1") =!= col("u2"))
+  }
+
+  val intervalJoinSql: String =
+    "WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
+      "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
+      "m AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS brk FROM e), " +
+      "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM m), " +
+      "sessions AS MATERIALIZED (SELECT user_id, MIN(us) AS s_us, MAX(us) AS e_us " +
+      "FROM g GROUP BY user_id, sess), " +
+      "a AS (SELECT user_id AS u1, s_us AS s1, e_us AS e1 FROM sessions WHERE user_id % 97 = 0), " +
+      "b AS (SELECT user_id AS u2, s_us AS s2, e_us AS e2 FROM sessions WHERE user_id % 89 = 0) " +
+      "SELECT u1, s1, e1, u2, s2, e2 FROM a JOIN b ON s1 <= e2 AND s2 <= e1 WHERE u1 <> u2"
+
   // -------------------- corpus statistics / curation --------------------
 
   /** TF-IDF top-5 terms per document (Corpus.tfIdfTopTerms): tf and df
@@ -2870,6 +2900,7 @@ object Extensions {
     "q_token_budget" -> tokenBudget,
     "q_session_window" -> sessionWindow,
     "q_domain_threshold" -> domainThreshold,
+    "q_interval_join" -> intervalJoin,
     "q_substring_dedup" -> substringDedup,
     "q_substring_dedup_var" -> substringDedupVar,
     "q_seq_pack" -> seqPack,
@@ -2975,6 +3006,7 @@ object Extensions {
     "q_token_budget" -> tokenBudgetSql,
     "q_session_window" -> sessionWindowSql,
     "q_domain_threshold" -> domainThresholdSql,
+    "q_interval_join" -> intervalJoinSql,
     "q_substring_dedup" -> substringDedupSql,
     "q_substring_dedup_var" -> substringDedupVarSql,
     "q_seq_pack" -> seqPackSql,

@@ -139,6 +139,35 @@ class ScaleOpsSpec extends SparkSpec {
       "fixture should contain non-matching fact keys for the prune to matter")
   }
 
+  test("intervalOverlapJoin == brute-force theta join, boundary-exact") {
+    val a = Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 200L, 200L))
+      .toDF("aid", "sa", "ea")
+    val b = Seq((10L, 10L, 20L), (11L, 99L, 99L), (12L, 150L, 199L),
+      (13L, 201L, 300L)).toDF("bid", "sb", "eb")
+    val got = ScaleOps.intervalOverlapJoin(a, "sa", "ea", b, "sb", "eb", 50L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    // closed intervals: touching endpoints DO overlap (1×10 at t=10);
+    // [200,200] touches neither [150,199] nor [201,300]
+    assert(got == Set((1L, 10L), (2L, 11L)))
+    // parity with the plain theta join at several cell sizes,
+    // including cells straddled by every interval
+    val brute = a.crossJoin(b)
+      .filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    for (cs <- Seq(1L, 7L, 1000L)) {
+      val g = ScaleOps.intervalOverlapJoin(a, "sa", "ea", b, "sb", "eb", cs)
+        .select("aid", "bid").as[(Long, Long)].collect().toSet
+      assert(g == brute, s"cellSize=$cs")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.intervalOverlapJoin(a, "sa", "ea", b, "sb", "eb", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.intervalOverlapJoin(a, "sa", "ea",
+        b.withColumnRenamed("bid", "aid"), "sb", "eb", 10L)
+    }
+  }
+
   test("calibratedQualityFilter: smallest ties-inclusive head covering the fraction") {
     val docs = Seq(
       // source A: scores 10,9,8,7,6,5,4,3,2,1 -> 30% of 10 = 3 -> t=8
