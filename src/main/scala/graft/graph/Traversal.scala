@@ -123,10 +123,13 @@ object Traversal {
     var round = 0
     var converged = prev == 0L
     while (!converged && round < maxRounds) {
+      // shuffle-hash pinned: the survivor vertex set is graph-sized —
+      // never a broadcast assumption from small-SF stats
       val keep = und.groupBy(col("a")).agg(count(lit(1)).as("_d"))
         .filter(col("_d") >= k).select(col("a"))
-      val next = und.join(keep, Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+      val next = und.join(keep.hint("shuffle_hash"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b").hint("shuffle_hash"),
+          Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint()
       val n = next.count()
@@ -169,7 +172,8 @@ object Traversal {
       // O(1)-result action; null only when raw is empty (no edges),
       // which the caller guards by construction (verts from edges)
       val mx = raw.agg(max(col("_raw"))).first().getLong(0)
-      verts.join(raw, Seq("name"), "left")
+      // shuffle-hash pinned: both sides are vertex-sized
+      verts.join(raw.hint("shuffle_hash"), Seq("name"), "left")
         .select(col("name"),
           coalesce(expr(s"_raw * ${scale}L div ${mx}L"), lit(0L)).as(scoreName))
         .localCheckpoint()
@@ -178,11 +182,11 @@ object Traversal {
     var auth: DataFrame = verts.withColumn("authority", lit(0L))
     for (_ <- 1 to iters) {
       auth = normalized(
-        e.join(hub.withColumnRenamed("name", "_s"), Seq("_s"))
+        e.join(hub.withColumnRenamed("name", "_s").hint("shuffle_hash"), Seq("_s"))
           .groupBy(col("_d").as("name")).agg(sum(col("hub")).as("_raw")),
         "authority")
       hub = normalized(
-        e.join(auth.withColumnRenamed("name", "_d"), Seq("_d"))
+        e.join(auth.withColumnRenamed("name", "_d").hint("shuffle_hash"), Seq("_d"))
           .groupBy(col("_s").as("name")).agg(sum(col("authority")).as("_raw")),
         "hub")
     }

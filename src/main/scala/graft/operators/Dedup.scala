@@ -1021,9 +1021,11 @@ object Dedup {
           s => s.getField("_line")), "\n").as("text"))
     // all-boilerplate docs still exist downstream (empty text), so the
     // op composes with per-doc stats without silently shrinking the
-    // corpus
+    // corpus. shuffle-hash pinned: the reassembled side is
+    // corpus-sized — AQE would broadcast it from small-SF stats
+    val rh = reassembled.hint("shuffle_hash")
     df.select(col(idCol))
-      .join(reassembled, col(idCol) === reassembled("_doc"), "left")
+      .join(rh, col(idCol) === rh("_doc"), "left")
       .select(col(idCol), coalesce(col("text"), lit("")).as("text"))
   }
 }
