@@ -168,9 +168,13 @@ object Traversal {
     val verts = e.select(col("_s").as("name"))
       .unionByName(e.select(col("_d").as("name"))).distinct()
       .persistTracked()
+    // no edges -> no vertices: the empty result with the right schema
+    // (the max() below would read NULL off an empty aggregate)
+    if (e.isEmpty)
+      return verts.withColumn("authority", lit(0L)).withColumn("hub", lit(0L))
     def normalized(raw: DataFrame, scoreName: String): DataFrame = {
-      // O(1)-result action; null only when raw is empty (no edges),
-      // which the caller guards by construction (verts from edges)
+      // O(1)-result action; non-null because e is non-empty and hub
+      // scores start positive
       val mx = raw.agg(max(col("_raw"))).first().getLong(0)
       // shuffle-hash pinned: both sides are vertex-sized
       verts.join(raw.hint("shuffle_hash"), Seq("name"), "left")

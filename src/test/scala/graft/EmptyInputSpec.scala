@@ -181,6 +181,17 @@ class EmptyInputSpec extends SparkSpec {
       length(col("text")), 3000).count() == 0)
   }
 
+  test("kCore, hits, and intervalOverlapJoin return empty on empty input") {
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.graph.Traversal.kCore(noEdges, "src", "dst", 2).count() == 0)
+    val h = graft.graph.Traversal.hits(noEdges, "src", "dst", iters = 2)
+    assert(h.columns.toSeq == Seq("name", "authority", "hub") && h.count() == 0)
+    val noIv = Seq.empty[(Long, Long, Long)].toDF("aid", "sa", "ea")
+    val noIv2 = Seq.empty[(Long, Long, Long)].toDF("bid", "sb", "eb")
+    assert(graft.operators.ScaleOps.intervalOverlapJoin(
+      noIv, "sa", "ea", noIv2, "sb", "eb", 10L).count() == 0)
+  }
+
   test("incrementalSemanticDedup handles empty batch and empty store") {
     val cents = Array(
       (0, Array(1000000L, 0L)), (1, Array(0L, 1000000L)))
