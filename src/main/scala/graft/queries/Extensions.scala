@@ -1549,9 +1549,9 @@ object Extensions {
       .select(col("user_id"),
         unix_micros(col("session_start")).as("s_us"),
         unix_micros(col("session_end")).as("e_us"))
-    val a = sess.filter(col("user_id") % 97 === 0)
+    val a = sess.filter(col("user_id") % 7 === 0)
       .select(col("user_id").as("u1"), col("s_us").as("s1"), col("e_us").as("e1"))
-    val b = sess.filter(col("user_id") % 89 === 0)
+    val b = sess.filter(col("user_id") % 5 === 0)
       .select(col("user_id").as("u2"), col("s_us").as("s2"), col("e_us").as("e2"))
     graft.operators.ScaleOps
       .intervalOverlapJoin(a, "s1", "e1", b, "s2", "e2", cellSize = 3600000000L)
@@ -1565,8 +1565,8 @@ object Extensions {
       "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM m), " +
       "sessions AS MATERIALIZED (SELECT user_id, MIN(us) AS s_us, MAX(us) AS e_us " +
       "FROM g GROUP BY user_id, sess), " +
-      "a AS (SELECT user_id AS u1, s_us AS s1, e_us AS e1 FROM sessions WHERE user_id % 97 = 0), " +
-      "b AS (SELECT user_id AS u2, s_us AS s2, e_us AS e2 FROM sessions WHERE user_id % 89 = 0) " +
+      "a AS (SELECT user_id AS u1, s_us AS s1, e_us AS e1 FROM sessions WHERE user_id % 7 = 0), " +
+      "b AS (SELECT user_id AS u2, s_us AS s2, e_us AS e2 FROM sessions WHERE user_id % 5 = 0) " +
       "SELECT u1, s1, e1, u2, s2, e2 FROM a JOIN b ON s1 <= e2 AND s2 <= e1 WHERE u1 <> u2"
 
   // -------------------- corpus statistics / curation --------------------
