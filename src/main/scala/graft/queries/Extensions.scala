@@ -314,22 +314,29 @@ object Extensions {
     * >= 3 distinct documents is removed EVERYWHERE (lineDedup keeps
     * its first occurrence; this is the doc-frequency complement);
     * docs reassemble in order and every doc survives — possibly with
-    * empty text, hashed as md5(''). On the synthetic single-line docs
-    * this wipes every doc whose full text repeats >= 3 times; the
-    * multi-line path is pinned by DedupSpec on crafted fixtures. */
-  val boilerplate: Q = (s, d) =>
-    Dedup.boilerplateRemoval(Tables.documents(s, d), "doc_id", "text",
-      minDocFreq = 3L)
+    * empty text, hashed as md5(''). The synthetic corpus has no
+    * repeated lines, so the gate row frames every doc the way a
+    * crawler sees one — shared site chrome around distinct content —
+    * and verifies the chrome (DF = corpus) is stripped while the
+    * content reassembles; the general multi-line cascade is pinned by
+    * DedupSpec and PropertiesSpec on crafted fixtures. */
+  val boilerplate: Q = (s, d) => {
+    val framed = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("COOKIE CONSENT BANNER\n"), coalesce(col("text"), lit("")),
+        lit("\nALL RIGHTS RESERVED FOOTER")).as("text"))
+    Dedup.boilerplateRemoval(framed, "doc_id", "text", minDocFreq = 3L)
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
+  }
 
   val boilerplateSql: String =
-    "WITH ls AS (SELECT doc_id, list_transform(string_split(coalesce(text, ''), chr(10)), (x, i) -> struct_pack(idx := i - 1, line := x)) AS lst FROM documents), " +
+    "WITH framed AS (SELECT doc_id, 'COOKIE CONSENT BANNER' || chr(10) || coalesce(text, '') || chr(10) || 'ALL RIGHTS RESERVED FOOTER' AS text FROM documents), " +
+      "ls AS (SELECT doc_id, list_transform(string_split(coalesce(text, ''), chr(10)), (x, i) -> struct_pack(idx := i - 1, line := x)) AS lst FROM framed), " +
       "lines AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM (SELECT doc_id, unnest(lst) AS u FROM ls)), " +
       "boiler AS (SELECT md5(line) AS h FROM lines GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 3), " +
       "kept AS (SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY idx)) AS t FROM lines " +
       "WHERE md5(line) NOT IN (SELECT h FROM boiler) GROUP BY doc_id) " +
-      "SELECT d.doc_id, coalesce(k.t, md5('')) AS text_md5 " +
-      "FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id"
+      "SELECT f.doc_id, coalesce(k.t, md5('')) AS text_md5 " +
+      "FROM framed f LEFT JOIN kept k ON f.doc_id = k.doc_id"
 
   /** GPT-style sequence packing over the documents token stream:
     * fixed 512-token windows, one row per doc × overlapped window.
