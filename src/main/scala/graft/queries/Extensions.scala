@@ -170,9 +170,14 @@ object Extensions {
     * The oracle is the plain anti-join (Bloom adds no false
     * negatives, so the results are identical by construction —
     * that IS the contract under test). */
+  /** The store is the doc_id % 3 == 0 slice PLUS the % 5 == 0 slice:
+    * the synthetic corpus has no exact text repeats, so a disjoint
+    * store would make the anti-join a no-op — the % 5 overlap puts
+    * real already-ingested fingerprints in the batch's path (67 of
+    * the 333 batch docs re-arrive and must drop). */
   val incrementalDedup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val prior = docs.filter(col("doc_id") % 3 === 0)
+    val prior = docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
       .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
     graft.operators.Dedup.incrementalExactDedup(
       docs.filter(col("doc_id") % 3 =!= 0), prior, "text", "doc_id")
@@ -181,7 +186,7 @@ object Extensions {
 
   val incrementalDedupSql: String =
     s"WITH f AS MATERIALIZED (SELECT doc_id, source, md5($duckNormText) AS fp FROM documents), " +
-      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0), " +
+      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0 OR doc_id % 5 = 0), " +
       "newb AS (SELECT doc_id, source, fp FROM f WHERE doc_id % 3 <> 0) " +
       "SELECT doc_id, source, fp FROM (" +
       "SELECT n.doc_id, n.source, n.fp, " +
@@ -509,8 +514,13 @@ object Extensions {
     val emb = Tables.embeddings(s, d)
     val storeSlice = docs.filter(col("doc_id") % 3 === 0)
     val batch = docs.filter(col("doc_id") % 3 =!= 0)
-    // stage 1: exact cross-snapshot
-    val priorFps = storeSlice
+    // stage 1: exact cross-snapshot. The fingerprint store includes
+    // the % 5 slice (fingerprints are cheap — a real exact store
+    // covers more history than the heavier near-dup/semantic indexes),
+    // which also puts genuine re-arrivals in the batch's path: the
+    // corpus has no exact repeats, so a disjoint store would no-op
+    val priorFps = docs
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
       .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
     val s1 = Dedup.incrementalExactDedup(batch, priorFps, "text", "doc_id")
       .select(col("doc_id"), col("text"))
@@ -547,7 +557,7 @@ object Extensions {
     val cPrev = s"c${SEMDEDUP_ITERS - 1}"
     // stage 1: exact
     s"WITH f AS MATERIALIZED (SELECT doc_id, md5($duckNormText) AS fp FROM documents), " +
-      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0), " +
+      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0 OR doc_id % 5 = 0), " +
       "s1 AS MATERIALIZED (SELECT doc_id FROM (" +
       "SELECT n.doc_id, row_number() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn " +
       "FROM (SELECT doc_id, fp FROM f WHERE doc_id % 3 <> 0) n " +
@@ -1262,7 +1272,10 @@ object Extensions {
       org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
-    val prior = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+    // % 5 overlap for the same reason as incrementalDedup: without it
+    // the corpus's all-distinct texts would make the anti-join a no-op
+    val prior = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
       .select(fingerprintMd5(col("text")).as("fp")).distinct()
     val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
       .filter(col("doc_id") % 3 =!= 0)
@@ -1280,7 +1293,7 @@ object Extensions {
 
   val streamIncrDedupSql: String =
     s"WITH f AS (SELECT doc_id, md5($duckNormText) AS fp FROM documents), " +
-      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0) " +
+      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0 OR doc_id % 5 = 0) " +
       "SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0 " +
       "AND fp NOT IN (SELECT fp FROM prior)"
 
