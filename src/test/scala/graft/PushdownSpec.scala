@@ -32,6 +32,17 @@ class PushdownSpec extends SparkSpec {
       s"expected pruned ReadSchema (<$full cols) in: $read")
   }
 
+  test("q_token_budget prunes the documents scan to id + text") {
+    val df = SparkEntry.queries("q_token_budget")(spark, sfDir)
+    val read = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    val struct = read.substring(read.indexOf("ReadSchema: struct<"))
+    val nRead = struct.takeWhile(_ != '>').count(_ == ':')
+    val full = graft.core.Tables.documents(spark, sfDir).columns.length
+    assert(nRead > 0 && nRead < full,
+      s"expected pruned ReadSchema (<$full cols) in: $read")
+  }
+
   test("dimension joins in the flagship edges broadcast, not shuffle") {
     val plan = SparkEntry.nationTradeEdges(spark, sfDir)
       .queryExecution.executedPlan.toString
