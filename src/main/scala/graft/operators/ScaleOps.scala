@@ -272,6 +272,32 @@ object ScaleOps {
         col("_n").as("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-group corpus content digest (X128) — the snapshot-validation
+    * manifest a 100 TB data-versioning pass runs: one scan reduces
+    * each group to (row count, XOR digest, modular-sum digest) over a
+    * canonical 60-bit row hash (md5 of the 0x01-joined stringified
+    * columns, NULL as 0x00 so NULL ≠ empty ≠ "null"). Both combiners
+    * are ORDER-FREE and PARTITIONING-FREE — the digest is a pure
+    * function of the row multiset, so two snapshots compare by their
+    * manifest rows alone, never by rescanning each other. XOR is the
+    * cheap equality probe (but self-cancelling on even repeats —
+    * documented); the mod-p multiset sum (p = 1e9+7, summed exactly in
+    * DECIMAL(38) before one final mod) catches what XOR cancels.
+    * Checksums, not commitments: change DETECTION, not proof. */
+  def contentDigest(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "contentDigest: need at least one column")
+    val P = 1000000007L
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val h = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    df.select(col(groupCol), h.as("_h"))
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(_h)").as("xor_digest"),
+        (sum((col("_h") % P).cast("decimal(38,0)")) % P).cast("long")
+          .as("sum_digest"))
+  }
+
   /** Interval-overlap join (X127): all (left, right) pairs whose
     * CLOSED intervals [ls, le] × [rs, re] overlap — the interval ×
     * interval sibling of [[rangeJoin]]'s point-in-interval. The theta

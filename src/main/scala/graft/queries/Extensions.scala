@@ -1559,6 +1559,24 @@ object Extensions {
       "CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value " +
       "FROM g GROUP BY user_id, sess"
 
+  /** Per-source corpus content digest (X128): order-free,
+    * partitioning-free multiset checksums (row count, 60-bit XOR,
+    * mod-p sum) — the snapshot-validation manifest; digest columns are
+    * restricted to exactly-stringifying types (ints/strings) so the
+    * canonical row text is engine-identical. */
+  val corpusDigest: Q = (s, d) =>
+    graft.operators.ScaleOps.contentDigest(Tables.documents(s, d), "source",
+      Seq("doc_id", "lang", "text"))
+
+  val corpusDigestSql: String = {
+    val canon = "concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)), " +
+      "coalesce(lang, chr(0)), coalesce(text, chr(0)))"
+    s"WITH h AS (SELECT source, CAST(CAST('0x' || substr(md5($canon), 1, 15) AS UBIGINT) AS BIGINT) AS h FROM documents) " +
+      "SELECT source, count(*) AS n_rows, bit_xor(h) AS xor_digest, " +
+      "CAST(CAST(sum(h % 1000000007) AS HUGEINT) % 1000000007 AS BIGINT) AS sum_digest " +
+      "FROM h GROUP BY source"
+  }
+
   /** Interval-overlap join (X127): which sessions of one user cohort
     * overlap in time with sessions of another — the interval×interval
     * theta join gridded into an equi-join on hour cells. Sessions come
@@ -2921,6 +2939,7 @@ object Extensions {
     "q_session_window" -> sessionWindow,
     "q_domain_threshold" -> domainThreshold,
     "q_interval_join" -> intervalJoin,
+    "q_corpus_digest" -> corpusDigest,
     "q_substring_dedup" -> substringDedup,
     "q_substring_dedup_var" -> substringDedupVar,
     "q_seq_pack" -> seqPack,
@@ -3027,6 +3046,7 @@ object Extensions {
     "q_session_window" -> sessionWindowSql,
     "q_domain_threshold" -> domainThresholdSql,
     "q_interval_join" -> intervalJoinSql,
+    "q_corpus_digest" -> corpusDigestSql,
     "q_substring_dedup" -> substringDedupSql,
     "q_substring_dedup_var" -> substringDedupVarSql,
     "q_seq_pack" -> seqPackSql,

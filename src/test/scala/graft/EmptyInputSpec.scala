@@ -179,6 +179,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.ScaleOps.calibratedQualityFilter(
       emptyDocs.withColumn("source", lit("x")), "doc_id", "source",
       length(col("text")), 3000).count() == 0)
+    assert(graft.operators.ScaleOps.contentDigest(
+      emptyDocs.withColumn("source", lit("x")), "source",
+      Seq("doc_id", "text")).count() == 0)
   }
 
   test("kCore, hits, and intervalOverlapJoin return empty on empty input") {

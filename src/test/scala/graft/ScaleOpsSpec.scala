@@ -139,6 +139,36 @@ class ScaleOpsSpec extends SparkSpec {
       "fixture should contain non-matching fact keys for the prune to matter")
   }
 
+  test("contentDigest: partition-invariant, change-sensitive, duplicate-aware") {
+    val rows = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"))
+    val df = rows.toDF("id", "grp", "payload")
+    def digests(d: org.apache.spark.sql.DataFrame) =
+      ScaleOps.contentDigest(d, "grp", Seq("id", "payload"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    val base = digests(df)
+    // pure function of the row multiset: any partitioning/order agrees
+    assert(digests(df.repartition(7)) == base)
+    assert(digests(df.orderBy(desc("payload"))) == base)
+    // one changed byte changes the group's digests, others untouched
+    val changed = digests(Seq((1L, "a", "x!"), (2L, "a", "y"), (3L, "b", "z"))
+      .toDF("id", "grp", "payload"))
+    assert(changed != base &&
+      changed.filter(_._1 == "b") == base.filter(_._1 == "b"))
+    // an even repeat cancels in XOR but not in the mod-p sum
+    val doubled = digests(df.unionAll(df.filter(col("id") === 3L)))
+    val b0 = base.find(_._1 == "b").get
+    val b2 = doubled.find(_._1 == "b").get
+    assert(b2._2 == 2L && b2._3 == 0L && b2._4 != b0._4)
+    // NULL payload differs from empty payload
+    val withNull = digests(Seq((1L, "a", null.asInstanceOf[String]))
+      .toDF("id", "grp", "payload"))
+    val withEmpty = digests(Seq((1L, "a", "")).toDF("id", "grp", "payload"))
+    assert(withNull != withEmpty)
+    intercept[IllegalArgumentException] {
+      ScaleOps.contentDigest(df, "grp", Seq.empty)
+    }
+  }
+
   test("intervalOverlapJoin == brute-force theta join, boundary-exact") {
     val a = Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 200L, 200L))
       .toDF("aid", "sa", "ea")
