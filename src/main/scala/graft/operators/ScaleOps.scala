@@ -298,6 +298,34 @@ object ScaleOps {
           .as("sum_digest"))
   }
 
+  /** Manifest diff (X129) — the consumer of [[contentDigest]]: compare
+    * two snapshot manifests group by group and report
+    * added / removed / changed / unchanged. This is the whole point of
+    * the manifest design: the 100 TB-vs-100 TB comparison costs a
+    * #groups-row join, and only groups reported `changed` need any
+    * data-level follow-up. Equality requires all three digest
+    * components (count, XOR, mod-p sum) to agree. */
+  def manifestDiff(oldManifest: DataFrame, newManifest: DataFrame,
+      groupCol: String): DataFrame = {
+    val needed = Set("n_rows", "xor_digest", "sum_digest")
+    for (m <- Seq(oldManifest, newManifest))
+      require(needed.subsetOf(m.columns.toSet),
+        s"manifestDiff: inputs must be contentDigest manifests, got ${m.columns.mkString(", ")}")
+    val o = oldManifest.select(col(groupCol), col("n_rows").as("_on"),
+      col("xor_digest").as("_ox"), col("sum_digest").as("_os"))
+    val n = newManifest.select(col(groupCol), col("n_rows").as("_nn"),
+      col("xor_digest").as("_nx"), col("sum_digest").as("_ns"))
+    o.join(n, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        when(col("_on").isNull, lit("added"))
+          .when(col("_nn").isNull, lit("removed"))
+          .when(col("_on") === col("_nn") && col("_ox") === col("_nx") &&
+            col("_os") === col("_ns"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("_on"), lit(0L)).as("old_rows"),
+        coalesce(col("_nn"), lit(0L)).as("new_rows"))
+  }
+
   /** Interval-overlap join (X127): all (left, right) pairs whose
     * CLOSED intervals [ls, le] × [rs, re] overlap — the interval ×
     * interval sibling of [[rangeJoin]]'s point-in-interval. The theta

@@ -1577,6 +1577,40 @@ object Extensions {
       "FROM h GROUP BY source"
   }
 
+  /** Manifest diff (X129): yesterday's snapshot = the full corpus;
+    * today's = the corpus minus the doc_id % 50 == 7 rows plus one doc
+    * under a brand-new source — so the gate row exercises unchanged,
+    * changed, AND added in one diff (removed is pinned by spec). The
+    * whole comparison runs on the two #sources-row manifests. */
+  val snapshotDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val today = docs.filter(col("doc_id") % 50 =!= 7)
+      .unionByName(docs.filter(col("doc_id") === 0)
+        .withColumn("source", lit("src_launched_today")))
+    val cols = Seq("doc_id", "lang", "text")
+    graft.operators.ScaleOps.manifestDiff(
+      graft.operators.ScaleOps.contentDigest(docs, "source", cols),
+      graft.operators.ScaleOps.contentDigest(today, "source", cols),
+      "source")
+  }
+
+  val snapshotDiffSql: String = {
+    val canon = "concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)), " +
+      "coalesce(lang, chr(0)), coalesce(text, chr(0)))"
+    def manifest(src: String) =
+      s"SELECT source, count(*) AS n, bit_xor(h) AS x, " +
+        "CAST(CAST(sum(h % 1000000007) AS HUGEINT) % 1000000007 AS BIGINT) AS sm " +
+        s"FROM (SELECT source, CAST(CAST('0x' || substr(md5($canon), 1, 15) AS UBIGINT) AS BIGINT) AS h FROM $src) GROUP BY source"
+    "WITH today AS (SELECT doc_id, lang, text, source FROM documents WHERE doc_id % 50 <> 7 " +
+      "UNION ALL SELECT doc_id, lang, text, 'src_launched_today' AS source FROM documents WHERE doc_id = 0), " +
+      s"om AS (${manifest("documents")}), nm AS (${manifest("today")}) " +
+      "SELECT coalesce(om.source, nm.source) AS source, " +
+      "CASE WHEN om.source IS NULL THEN 'added' WHEN nm.source IS NULL THEN 'removed' " +
+      "WHEN om.n = nm.n AND om.x = nm.x AND om.sm = nm.sm THEN 'unchanged' ELSE 'changed' END AS status, " +
+      "coalesce(om.n, 0) AS old_rows, coalesce(nm.n, 0) AS new_rows " +
+      "FROM om FULL OUTER JOIN nm ON om.source = nm.source"
+  }
+
   /** Interval-overlap join (X127): which sessions of one user cohort
     * overlap in time with sessions of another — the interval×interval
     * theta join gridded into an equi-join on hour cells. Sessions come
@@ -2940,6 +2974,7 @@ object Extensions {
     "q_domain_threshold" -> domainThreshold,
     "q_interval_join" -> intervalJoin,
     "q_corpus_digest" -> corpusDigest,
+    "q_snapshot_diff" -> snapshotDiff,
     "q_substring_dedup" -> substringDedup,
     "q_substring_dedup_var" -> substringDedupVar,
     "q_seq_pack" -> seqPack,
@@ -3047,6 +3082,7 @@ object Extensions {
     "q_domain_threshold" -> domainThresholdSql,
     "q_interval_join" -> intervalJoinSql,
     "q_corpus_digest" -> corpusDigestSql,
+    "q_snapshot_diff" -> snapshotDiffSql,
     "q_substring_dedup" -> substringDedupSql,
     "q_substring_dedup_var" -> substringDedupVarSql,
     "q_seq_pack" -> seqPackSql,

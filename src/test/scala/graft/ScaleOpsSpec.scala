@@ -169,6 +169,20 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("manifestDiff reports all four statuses, and only on real differences") {
+    val oldRows = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"), (4L, "c", "w"))
+    val newRows = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z!"), (5L, "d", "v"))
+    val om = ScaleOps.contentDigest(oldRows.toDF("id", "grp", "p"), "grp", Seq("id", "p"))
+    val nm = ScaleOps.contentDigest(newRows.toDF("id", "grp", "p"), "grp", Seq("id", "p"))
+    val got = ScaleOps.manifestDiff(om, nm, "grp")
+      .select("grp", "status").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "unchanged", "b" -> "changed",
+      "c" -> "removed", "d" -> "added"))
+    intercept[IllegalArgumentException] {
+      ScaleOps.manifestDiff(om.drop("xor_digest"), nm, "grp")
+    }
+  }
+
   test("intervalOverlapJoin == brute-force theta join, boundary-exact") {
     val a = Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 200L, 200L))
       .toDF("aid", "sa", "ea")
