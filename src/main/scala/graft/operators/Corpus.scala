@@ -63,6 +63,33 @@ object Corpus {
     * and the per-doc total is assembled as a FIXED-ORDER sum of
     * per-term conditional aggregates (never a float sum over an
     * unordered group), so any engine reproduces the doubles. */
+  /** Reciprocal-rank fusion (X130, Cormack et al. 2009) — the standard
+    * FUSION of independent rankings (vs the hybrid CASCADE, which
+    * re-scores one list): fused(doc) = Σ over lists of
+    * floor(scale / (k + rank)), docs absent from a list contribute 0,
+    * final order (fused DESC, doc ASC) cut at `topN`. The reciprocal
+    * is computed by integral division at fixed `scale`, so the fused
+    * score is exact BIGINT arithmetic on any engine — float 1/(k+r)
+    * sums would hash-drift on association. Each input needs (docCol,
+    * rankCol with rank ≥ 1). Plan: union of the (already top-N-sized)
+    * lists, one partial-agg groupBy, and a global rank window over a
+    * candidate set bounded by Σ|lists| — never corpus-sized. */
+  def rrfFuse(lists: Seq[DataFrame], docCol: String, rankCol: String,
+      k: Int = 60, topN: Int = 20, scale: Long = 1000000L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: need at least one ranked list")
+    require(k >= 0 && topN > 0 && scale > 0,
+      s"rrfFuse: bad parameters k=$k topN=$topN scale=$scale")
+    val tagged = lists.map(df => df.select(col(docCol).as("doc"),
+      expr(s"${scale}L div (${k}L + CAST($rankCol AS BIGINT))").as("_c")))
+    val fused = tagged.reduce(_ unionByName _)
+      .groupBy(col("doc"))
+      .agg(sum(col("_c")).as("rrf"), count(lit(1)).as("n_lists"))
+    val w = Window.orderBy(col("rrf").desc, col("doc").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .withColumnRenamed("doc", docCol)
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topN: Int = 50): DataFrame = {

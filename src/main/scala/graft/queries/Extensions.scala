@@ -2272,6 +2272,34 @@ object Extensions {
       "SELECT doc_id, bm25_score, cosine, " +
       "CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT) AS rerank FROM sc"
 
+  /** Reciprocal-rank fusion (X130): fuse the BM25 top-50 with the
+    * cosine top-50 for query vector 0 (the shared doc/vec id space) —
+    * the FUSION counterpart of hybridSearch's cascade. Scores are
+    * exact integral-division reciprocals, so the fused ranking is
+    * engine-exact. */
+  val rrfFusion: Q = (s, d) => {
+    val bm = Corpus.bm25(Tables.documents(s, d), "doc_id", "text", BM25_TERMS)
+      .select(col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(s, d)
+    val cosList = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      k = 50)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    Corpus.rrfFuse(Seq(bm, cosList), "doc_id", "rank")
+  }
+
+  lazy val rrfFusionSql: String =
+    s"WITH bm AS (SELECT doc_id, CAST(rank AS BIGINT) AS r FROM ($bm25Sql)), " +
+      "qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q FROM embeddings WHERE vec_id = 0), " +
+      "ce AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "sc AS (SELECT vec_id, round(list_dot_product(ed, q)/(sqrt(list_dot_product(ed, ed))*sqrt(list_dot_product(q, q))), 6) AS score FROM ce CROSS JOIN qv), " +
+      "cl AS (SELECT vec_id AS doc_id, r FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS r FROM sc) WHERE r <= 50), " +
+      "u AS (SELECT doc_id, 1000000 // (60 + r) AS c FROM bm UNION ALL SELECT doc_id, 1000000 // (60 + r) FROM cl), " +
+      "f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf, count(*) AS n_lists FROM u GROUP BY doc_id) " +
+      "SELECT doc_id, rrf, n_lists, rank FROM (SELECT doc_id, rrf, n_lists, " +
+      "CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank FROM f) WHERE rank <= 20"
+
   /** lead/lag event-sequence features: per-user previous-event gap and
     * next event type — one window shuffle keyed by user, the canonical
     * sequence-feature plan. Deterministic total order (ts, event_id). */
@@ -2975,6 +3003,7 @@ object Extensions {
     "q_interval_join" -> intervalJoin,
     "q_corpus_digest" -> corpusDigest,
     "q_snapshot_diff" -> snapshotDiff,
+    "q_rrf_fusion" -> rrfFusion,
     "q_substring_dedup" -> substringDedup,
     "q_substring_dedup_var" -> substringDedupVar,
     "q_seq_pack" -> seqPack,
@@ -3083,6 +3112,7 @@ object Extensions {
     "q_interval_join" -> intervalJoinSql,
     "q_corpus_digest" -> corpusDigestSql,
     "q_snapshot_diff" -> snapshotDiffSql,
+    "q_rrf_fusion" -> rrfFusionSql,
     "q_substring_dedup" -> substringDedupSql,
     "q_substring_dedup_var" -> substringDedupVarSql,
     "q_seq_pack" -> seqPackSql,

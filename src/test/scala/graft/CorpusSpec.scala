@@ -393,4 +393,26 @@ class CorpusSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty seed"))
   }
+
+  test("rrfFuse: exact reciprocal sums, absent docs contribute zero, ties by doc") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("doc_id", "rank")
+    val got = graft.operators.Corpus.rrfFuse(Seq(a, b), "doc_id", "rank",
+      k = 60, topN = 10)
+      .select("doc_id", "rrf", "n_lists", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    def c(r: Int) = 1000000L / (60L + r)
+    // 10: r1+r2, 20: r2+r1 -> exact tie with 10, broken by doc asc;
+    // 30 and 40 single-list at r3, tie broken by doc asc
+    assert(got.map(x => (x._1, x._2, x._3)).toSeq == Seq(
+      (10L, c(1) + c(2), 2L), (20L, c(2) + c(1), 2L),
+      (30L, c(3), 1L), (40L, c(3), 1L)))
+    assert(got.map(_._4).toSeq == Seq(1, 2, 3, 4))
+    // topN cuts the fused ranking, not the inputs
+    assert(graft.operators.Corpus.rrfFuse(Seq(a, b), "doc_id", "rank",
+      topN = 2).count() == 2)
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.rrfFuse(Seq.empty, "doc_id", "rank")
+    }
+  }
 }
