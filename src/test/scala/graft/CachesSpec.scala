@@ -79,7 +79,20 @@ class CachesSpec extends SparkSpec {
     graft.operators.Dedup.incrementalExactDedup(docs,
       docs.limit(5).select(graft.functions.TextFunctions
         .fingerprintMd5(col("text")).as("fp")), "text", "doc_id").count()
-    assert(Caches.trackedCount(spark) >= 6,
+    // round-10 cat-2 families: incremental semantic dedup, boilerplate
+    // lines, token-budget prefix sums, HITS edge/vertex frames
+    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
+      emb, "vec_id", "embedding", k = 2, iters = 1)
+    graft.operators.Similarity.incrementalSemanticDedup(
+      emb.filter(col("vec_id") % 3 =!= 0),
+      graft.operators.Similarity.semanticStoreRecords(
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", cents),
+      cents, threshold = 0.35).count()
+    graft.operators.Dedup.boilerplateRemoval(docs, "doc_id", "text", 3L).count()
+    graft.operators.ScaleOps.tokenBudgetFilter(docs, "doc_id",
+      graft.functions.TextFunctions.tokenCount(col("text")), lit(1L), 500L).count()
+    graft.graph.Traversal.hits(edges, "s", "d", iters = 1).count()
+    assert(Caches.trackedCount(spark) >= 10,
       s"expected every family to register, got ${Caches.trackedCount(spark)}")
     Caches.release(spark)
     assert(Caches.trackedCount(spark) == 0,
