@@ -43,7 +43,11 @@ class PlanGuardSpec extends SparkSpec {
       // scoring); the recall joins themselves are keyed equi-joins
       "q_ann_recall",
       // 1-row (N_t, N_r) scalar broadcast in the DSIR training pass
-      "q_dsir_sample")
+      "q_dsir_sample",
+      // composes two allowlisted shapes: bm25's scalar-stats attach
+      // and the q_embed_topk broadcast-query pass; the fusion itself
+      // is a keyed union+agg over bounded lists
+      "q_rrf_fusion")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
