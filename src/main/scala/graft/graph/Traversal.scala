@@ -183,7 +183,9 @@ object Traversal {
         .localCheckpoint()
     }
     var hub = verts.withColumn("hub", lit(scale))
-    var auth: DataFrame = verts.withColumn("authority", lit(0L))
+    // assigned on the first half-step (iters >= 1) — only hubs seed
+    // in Kleinberg's iteration; there is no authority seed
+    var auth: DataFrame = null
     for (_ <- 1 to iters) {
       auth = normalized(
         e.join(hub.withColumnRenamed("name", "_s").hint("shuffle_hash"), Seq("_s"))

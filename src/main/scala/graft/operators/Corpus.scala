@@ -77,10 +77,16 @@ object Corpus {
   def rrfFuse(lists: Seq[DataFrame], docCol: String, rankCol: String,
       k: Int = 60, topN: Int = 20, scale: Long = 1000000L): DataFrame = {
     require(lists.nonEmpty, "rrfFuse: need at least one ranked list")
-    require(k >= 0 && topN > 0 && scale > 0,
+    require(k >= 1 && topN > 0 && scale > 0,
       s"rrfFuse: bad parameters k=$k topN=$topN scale=$scale")
+    // ranks must be 1-based: a 0-based list (the common row_number vs
+    // array-index off-by-one) would silently mis-weight every
+    // contribution, so the check runs per row and fails the job loud
     val tagged = lists.map(df => df.select(col(docCol).as("doc"),
-      expr(s"${scale}L div (${k}L + CAST($rankCol AS BIGINT))").as("_c")))
+      expr(s"CASE WHEN CAST($rankCol AS BIGINT) >= 1 " +
+        s"THEN ${scale}L div (${k}L + CAST($rankCol AS BIGINT)) " +
+        s"ELSE CAST(raise_error('rrfFuse: ranks must be 1-based, got ' || " +
+        s"CAST($rankCol AS STRING)) AS BIGINT) END").as("_c")))
     val fused = tagged.reduce(_ unionByName _)
       .groupBy(col("doc"))
       .agg(sum(col("_c")).as("rrf"), count(lit(1)).as("n_lists"))

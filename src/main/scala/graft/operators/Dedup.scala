@@ -317,9 +317,11 @@ object Dedup {
     * resolve by a deterministic PAIRWISE lowest-id rule: a batch doc
     * is dropped iff it verifies ≥ `threshold` against any store doc or
     * any SMALLER-id batch doc (pairwise, not transitive-closure — in a
-    * chain a≈b≈c with a̸≈c, b drops and c survives; closure clustering
-    * is [[connectedComponents]]' job and would force an iterative
-    * dependency into an ingestion-time op).
+    * chain a≈b≈c with a̸≈c, BOTH b and c drop, each against its
+    * smaller-id neighbour, even though b itself is dropped; a
+    * survivor-aware rule would need the iterative closure that is
+    * [[connectedComponents]]' job, which has no place inside an
+    * ingestion-time op).
     *
     * Zero-shingle docs (empty/whitespace/NULL text) never enter the
     * band index on either side: with `threshold > 0` (required) an
@@ -360,19 +362,36 @@ object Dedup {
       .withColumn("_sig", minhashOfShingles(newDocs, col("_sh"), numHashes))
       .persistTracked()
 
+    // fail fast on a store built with different bands/rowsPerBand: a
+    // shorter stored sig would slice to "" buckets (an all-store skew
+    // bucket) while real pairs stop colliding — silently missed dupes.
+    // One bounded probe row; empty store skips the check.
+    store.select(size(col("sig")).as("_n")).limit(1).collect()
+      .foreach { r =>
+        require(r.getInt(0) == numHashes,
+          s"incrementalNearDup: store signatures have ${r.getInt(0)} hashes " +
+            s"but bands*rowsPerBand = $numHashes — the store was built with " +
+            "different banding parameters")
+      }
+
     def bandKeysOf(sig: Column): Column =
       transform(sequence(lit(0), lit(bands - 1)),
         b => array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))
-    def bandRows(df: DataFrame, id: Column, sig: Column, sh: Column,
+    // zero-shingle docs are excluded by the sig SENTINEL (both minhash
+    // paths emit "zz_empty" signatures for an empty shingle set; a real
+    // hash is 32 hex chars), NOT by size(shingles) — the store-side
+    // banding scan must touch only (id, sig), never the text-sized
+    // shingle column
+    def bandRows(df: DataFrame, id: Column, sig: Column,
         idName: String): DataFrame =
-      df.filter(size(sh) > 0)
+      df.filter(element_at(sig, 1) =!= "zz_empty")
         .select(id.as(idName), posexplode(bandKeysOf(sig)))
         .select(col(idName), col("pos").as("band"), col("col").as("bucket"))
 
-    val bBands = bandRows(batch, col(idCol), col("_sig"), col("_sh"), "_bid")
+    val bBands = bandRows(batch, col(idCol), col("_sig"), "_bid")
     // store banding: a pruned (id, sig) scan — stored signatures slice
     // into band keys with no tokenization or hashing of history
-    val sBands = bandRows(store, col("id"), col("sig"), col("shingles"), "_sid")
+    val sBands = bandRows(store, col("id"), col("sig"), "_sid")
 
     // batch-vs-store candidates: build side = the (smaller) batch,
     // probe side = the store — pinned shuffle-hash, never a broadcast
@@ -1007,10 +1026,13 @@ object Dedup {
           .as(Seq("_idx", "_line")))
       .withColumn("_h", md5(col("_line")))
       .persistTracked()
+    // persisted BEFORE the budget probe (fitsBudget's contract) so the
+    // doc-frequency aggregation runs once for the probe and the join
     val boiler = lines.select(col("_h"), col("_doc")).distinct()
       .groupBy(col("_h")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDocFreq)
       .select("_h")
+      .persistTracked()
     val bl =
       if (fitsBudget(boiler, lineBroadcastBudget)) broadcast(boiler)
       else boiler.hint("shuffle_hash")

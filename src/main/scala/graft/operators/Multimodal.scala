@@ -342,7 +342,16 @@ object Multimodal {
     * reader ships with the JDK — headless-safe, deterministic).
     * Returns (sampleRate, nSamples, Σ sample values over all channels);
     * None when the payload is not a decodable PCM16 WAV. */
-  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+  /** ONE copy of the PCM16 decode contract for every audio consumer
+    * ([[decodeWav]], [[decodeWavVector]], [[audioPerceptualHash]]):
+    * RIFF sniff, 16-bit PCM_SIGNED format gate, endian-ordered sample
+    * buffer, stream close, and the stub-fallback catch (AudioSystem
+    * throws unchecked exceptions on corrupt payloads that pass the
+    * sniff — same contract as decodeImage: never a task crash). A
+    * format-support change lands here once and every consumer agrees
+    * on what counts as "decoded". */
+  private def withPcm16[T](payload: Array[Byte])(
+      f: (java.nio.ByteBuffer, javax.sound.sampled.AudioFormat) => T): Option[T] = {
     if (!isWavMagic(payload)) return None
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -357,17 +366,19 @@ object Multimodal {
           val buf = java.nio.ByteBuffer.wrap(bytes).order(
             if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
             else java.nio.ByteOrder.LITTLE_ENDIAN)
-          var s = 0L
-          var n = 0
-          while (buf.remaining() >= 2) { s += buf.getShort; n += 1 }
-          Some((fmt.getSampleRate.toInt, n / math.max(fmt.getChannels, 1), s))
+          Some(f(buf, fmt))
         }
       } finally in.close()
-      // AudioSystem throws unchecked exceptions on corrupt payloads
-      // that pass the RIFF sniff — same contract as decodeImage: any
-      // non-fatal failure means stub fallback, never a task crash
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    withPcm16(payload) { (buf, fmt) =>
+      var s = 0L
+      var n = 0
+      while (buf.remaining() >= 2) { s += buf.getShort; n += 1 }
+      (fmt.getSampleRate.toInt, n / math.max(fmt.getChannels, 1), s)
+    }
 
   case class AudioPHash(media_id: Long, decoded: Boolean, phash: Long)
 
@@ -388,43 +399,27 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val res: Option[Long] =
-            if (!isWavMagic(payload)) None
-            else try {
-              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(payload))
-              try {
-                val fmt = in.getFormat
-                if (fmt.getSampleSizeInBits != 16 ||
-                  fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-                  None
-                else {
-                  val bytes = in.readAllBytes()
-                  val buf = java.nio.ByteBuffer.wrap(bytes).order(
-                    if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-                    else java.nio.ByteOrder.LITTLE_ENDIAN)
-                  val n = bytes.length / 2
-                  if (n == 0) Some(0L)
-                  else {
-                    val bSum = new Array[Long](12)
-                    val bN = new Array[Long](12)
-                    var i = 0L
-                    while (buf.remaining() >= 2) {
-                      val b = (i * 12 / n).toInt
-                      bSum(b) += math.abs(buf.getShort.toLong)
-                      bN(b) += 1; i += 1
-                    }
-                    val ts = bSum.sum; val tn = bN.sum
-                    var hash = 0L; var c = 0
-                    while (c < 12) {
-                      if (bSum(c) * tn > ts * bN(c)) hash |= (1L << c)
-                      c += 1
-                    }
-                    Some(hash)
-                  }
-                }
-              } finally in.close()
-            } catch { case scala.util.control.NonFatal(_) => None }
+          val res: Option[Long] = withPcm16(payload) { (buf, _) =>
+            val n = buf.remaining() / 2
+            if (n == 0) 0L
+            else {
+              val bSum = new Array[Long](12)
+              val bN = new Array[Long](12)
+              var i = 0L
+              while (buf.remaining() >= 2) {
+                val b = (i * 12 / n).toInt
+                bSum(b) += math.abs(buf.getShort.toLong)
+                bN(b) += 1; i += 1
+              }
+              val ts = bSum.sum; val tn = bN.sum
+              var hash = 0L; var c = 0
+              while (c < 12) {
+                if (bSum(c) * tn > ts * bN(c)) hash |= (1L << c)
+                c += 1
+              }
+              hash
+            }
+          }
           res match {
             case Some(hsh) => AudioPHash(id, decoded = true, hsh)
             case None => AudioPHash(id, decoded = false, -1L)
@@ -510,43 +505,25 @@ object Multimodal {
     * same javax.sound.sampled decode contract as [[decodeWav]], but
     * accumulating [n, Σs, Σ|s|, Σs², first] over the raw sample
     * stream (all channels; the synthetic corpus is mono). */
-  def decodeWavVector(payload: Array[Byte]): Option[Array[Double]] = {
-    if (!isWavMagic(payload)) return None
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try {
-        val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16 ||
-          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-          None
-        else {
-          val bytes = in.readAllBytes()
-          val buf = java.nio.ByteBuffer.wrap(bytes).order(
-            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-            else java.nio.ByteOrder.LITTLE_ENDIAN)
-          var n = 0L
-          var sum = 0L
-          var sumAbs = 0L
-          var sumSq = 0L
-          var first = 0L
-          while (buf.remaining() >= 2) {
-            val s = buf.getShort.toLong
-            if (n == 0) first = s
-            sum += s
-            sumAbs += math.abs(s)
-            sumSq += s * s
-            n += 1
-          }
-          if (n == 0) None
-          else Some(Array(n.toDouble, sum.toDouble, sumAbs.toDouble,
-            sumSq.toDouble, first.toDouble))
-        }
-      } finally in.close()
-      // same contract as decodeWav: any non-fatal decode failure on a
-      // payload that passed the RIFF sniff means stub fallback
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
+  def decodeWavVector(payload: Array[Byte]): Option[Array[Double]] =
+    withPcm16(payload) { (buf, _) =>
+      var n = 0L
+      var sum = 0L
+      var sumAbs = 0L
+      var sumSq = 0L
+      var first = 0L
+      while (buf.remaining() >= 2) {
+        val s = buf.getShort.toLong
+        if (n == 0) first = s
+        sum += s
+        sumAbs += math.abs(s)
+        sumSq += s * s
+        n += 1
+      }
+      if (n == 0) None
+      else Some(Array(n.toDouble, sum.toDouble, sumAbs.toDouble,
+        sumSq.toDouble, first.toDouble))
+    }.flatten
 
   case class MediaResized(media_id: Long, resized: Array[Byte], n_out: Int)
 

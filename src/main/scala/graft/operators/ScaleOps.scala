@@ -178,6 +178,7 @@ object ScaleOps {
     * deterministic even though range partitioning samples. */
   def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
       ctxLen: Long): DataFrame = {
+    requireIntegralId(df, idCol, "packSequences")
     val spark = df.sparkSession
     import spark.implicits._
     val parts = spark.sparkContext.defaultParallelism
@@ -239,6 +240,7 @@ object ScaleOps {
   def tokenBudgetFilter(df: DataFrame, idCol: String, tokenCount: Column,
       priority: Column, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    requireIntegralId(df, idCol, "tokenBudgetFilter")
     val spark = df.sparkSession
     import spark.implicits._
     val parts = spark.sparkContext.defaultParallelism
@@ -311,12 +313,15 @@ object ScaleOps {
     for (m <- Seq(oldManifest, newManifest))
       require(needed.subsetOf(m.columns.toSet),
         s"manifestDiff: inputs must be contentDigest manifests, got ${m.columns.mkString(", ")}")
-    val o = oldManifest.select(col(groupCol), col("n_rows").as("_on"),
+    val o = oldManifest.select(col(groupCol).as("_og"), col("n_rows").as("_on"),
       col("xor_digest").as("_ox"), col("sum_digest").as("_os"))
-    val n = newManifest.select(col(groupCol), col("n_rows").as("_nn"),
+    val n = newManifest.select(col(groupCol).as("_ng"), col("n_rows").as("_nn"),
       col("xor_digest").as("_nx"), col("sum_digest").as("_ns"))
-    o.join(n, Seq(groupCol), "full_outer")
-      .select(col(groupCol),
+    // NULL-SAFE key equality: contentDigest emits a manifest row for a
+    // NULL group, and a plain equi-join would report it as simultaneous
+    // removed+added — a false change signal — instead of matching it
+    o.join(n, col("_og") <=> col("_ng"), "full_outer")
+      .select(coalesce(col("_og"), col("_ng")).as(groupCol),
         when(col("_on").isNull, lit("added"))
           .when(col("_nn").isNull, lit("removed"))
           .when(col("_on") === col("_nn") && col("_ox") === col("_nx") &&
@@ -413,6 +418,18 @@ object ScaleOps {
       .join(broadcast(th), Seq(sourceCol))
       .filter(col("quality") >= col("threshold"))
       .select(col(idCol), col(sourceCol), col("quality"), col("threshold"))
+  }
+
+  /** The two-phase prefix-sum operators cast the id to long for the
+    * typed per-partition pass — a non-integral id would silently cast
+    * to NULL, corrupting both the output ids and the deterministic
+    * (priority, id) total order. Fail loud instead. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+      s"$op: $idCol must be an integral id column (got $dt) — " +
+        "the two-phase prefix sum casts it to long")
   }
 
   /** Deterministic content-hash train/holdout split: bucket = first 4

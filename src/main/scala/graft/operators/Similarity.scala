@@ -512,7 +512,11 @@ object Similarity {
       .filter(col("_id1") < col("_id2") &&
         cosineAuto(newBatch, col("_v1"), col("_v2")) >= threshold)
       .select(col("_id2").as("_bid"))
+    // persisted BEFORE the budget probe (fitsBudget's contract): the
+    // probe and the anti-join share one computation of the two
+    // corpus-sized cell joins instead of running them twice
     val dups = dupVsStore.unionByName(dupInBatch).distinct()
+      .persistTracked()
     val dupJoin =
       if (Dedup.fitsBudget(dups, dupBroadcastBudget)) broadcast(dups)
       else dups.hint("shuffle_hash")

@@ -136,12 +136,19 @@ object EventsStreaming {
         col("n"), col("total"))
 
   /** Streaming exact-dedup: content-fingerprinted documents deduped
-    * incrementally with `dropDuplicates` + watermark — the shape an
-    * always-on ingest pipeline uses (state = one fingerprint per seen
-    * document, bounded by the watermark at 100 TB/day rates). */
+    * incrementally — the shape an always-on ingest pipeline uses.
+    * `dropDuplicatesWithinWatermark` specifically: plain
+    * `dropDuplicates(fp)` never evicts state unless the EVENT-TIME
+    * column is part of the key set, so its fingerprint state grows
+    * with the corpus forever — the within-watermark variant is the
+    * API whose state actually IS bounded by the watermark (one
+    * fingerprint per document seen in the last hour, the guarantee an
+    * always-on 100 TB/day ingest needs). Duplicates separated by more
+    * than the watermark delay re-emit; cross-window history is the
+    * STORE's job ([[streamingIncrementalDedup]]). */
   def streamingDedup(docs: DataFrame, tsCol: String, fpCol: String): DataFrame =
     docs.withWatermark(tsCol, "1 hour")
-      .dropDuplicates(Seq(fpCol))
+      .dropDuplicatesWithinWatermark(Seq(fpCol))
 
   /** Streaming incremental exact dedup (X122) — the always-on form of
     * [[graft.operators.Dedup.incrementalExactDedup]]: each micro-batch
@@ -150,17 +157,21 @@ object EventsStreaming {
     * micro-batch, so a store the ingest job appends to between
     * batches is picked up on refresh — exactly the wanted semantics
     * for a slowly-growing index; broadcast because the probe is
-    * per-batch), then resolves WITHIN-stream repeats with watermarked
-    * `dropDuplicates`. The state store holds one fingerprint per
-    * fresh-and-recent doc, bounded by the watermark; store
+    * per-batch), then resolves WITHIN-stream repeats with
+    * `dropDuplicatesWithinWatermark` (NOT plain `dropDuplicates`,
+    * whose state never evicts without the event-time column in the
+    * key set). The state store holds one fingerprint per
+    * fresh-and-recent doc, genuinely bounded by the watermark; store
     * fingerprints never enter streaming state — at 100 TB the store
     * lives in its own table and only the (tiny) recent-window state
-    * rides the stream. */
+    * rides the stream. A fresh duplicate recurring beyond the
+    * watermark window re-emits; the caller's store append between
+    * batches is what makes that window hand-off exact. */
   def streamingIncrementalDedup(docs: DataFrame, priorFps: DataFrame,
       tsCol: String, fpCol: String): DataFrame =
     docs.join(broadcast(priorFps), Seq(fpCol), "left_anti")
       .withWatermark(tsCol, "1 hour")
-      .dropDuplicates(Seq(fpCol))
+      .dropDuplicatesWithinWatermark(Seq(fpCol))
 
   // ---------------- sessionization ----------------
 
