@@ -878,7 +878,7 @@ object ScaleOps {
     * native codegen probe rides inside the whole-stage codegen span; a
     * typed Row=>Boolean filter would deserialize every row and split
     * the span, so it is only the no-extensions fallback. */
-  private[operators] def bloomSplit(df: DataFrame,
+  private[graft] def bloomSplit(df: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter,
       colName: String): (DataFrame, DataFrame) = {
     val spark = df.sparkSession

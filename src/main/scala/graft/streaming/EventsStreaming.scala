@@ -151,27 +151,62 @@ object EventsStreaming {
       .dropDuplicatesWithinWatermark(Seq(fpCol))
 
   /** Streaming incremental exact dedup (X122) — the always-on form of
-    * [[graft.operators.Dedup.incrementalExactDedup]]: each micro-batch
-    * first drops fingerprints already in the ingested store via a
-    * stream-static LEFT ANTI join (the static side re-plans every
-    * micro-batch, so a store the ingest job appends to between
-    * batches is picked up on refresh — exactly the wanted semantics
-    * for a slowly-growing index; broadcast because the probe is
-    * per-batch), then resolves WITHIN-stream repeats with
-    * `dropDuplicatesWithinWatermark` (NOT plain `dropDuplicates`,
-    * whose state never evicts without the event-time column in the
-    * key set). The state store holds one fingerprint per
-    * fresh-and-recent doc, genuinely bounded by the watermark; store
-    * fingerprints never enter streaming state — at 100 TB the store
-    * lives in its own table and only the (tiny) recent-window state
-    * rides the stream. A fresh duplicate recurring beyond the
-    * watermark window re-emits; the caller's store append between
-    * batches is what makes that window hand-off exact. */
+    * [[graft.operators.Dedup.incrementalExactDedup]], and the same
+    * Bloom-prefiltered shape: a driver-merged Bloom filter over the
+    * store's fingerprints (bits ≪ keys, built ONCE at stream setup)
+    * splits each micro-batch map-side into a definitely-fresh slice
+    * and a Bloom-maybe slice; only the maybe slice (true dupes + the
+    * fpp fraction of fresh rows) pays the stream-static LEFT ANTI
+    * join against the store, pinned shuffle-hash — the store is
+    * corpus-sized by this op's own contract, so it must NEVER ride a
+    * per-micro-batch BroadcastExchange (a ~10⁹-row store re-broadcast
+    * every batch is a driver/executor OOM; the batch sibling X112
+    * proves the Bloom shape). Bloom's no-false-negatives guarantee
+    * keeps the split exact: every stored fingerprint is maybe-routed,
+    * so the result equals the plain anti-join. WITHIN-stream repeats
+    * then resolve via `dropDuplicatesWithinWatermark` (NOT plain
+    * `dropDuplicates`, whose state never evicts without the event-time
+    * column in the key set) — state holds one fingerprint per
+    * fresh-and-recent doc, genuinely watermark-bounded; store
+    * fingerprints never enter streaming state.
+    *
+    * Snapshot contract: the anti-join's static side re-plans every
+    * micro-batch (a store the ingest job appends to is picked up on
+    * refresh), but the Bloom is a STREAM-START snapshot — a
+    * fingerprint first ingested by THIS stream routes fresh on
+    * recurrence, so its dedup window is the watermark until the
+    * stream (or its Bloom) restarts. The broadcast form had the same
+    * hand-off bounded by one micro-batch instead of one stream
+    * lifetime; an always-on deployment restarts on its store-compact
+    * cadence, which refreshes the Bloom. Sizing follows X112:
+    * `expectedStoreKeys = 0` derives the key count from the store
+    * itself (one bounded count at setup — a 10⁹-row store gets a
+    * 10⁹-key Bloom instead of a silently saturated guess); pass a
+    * positive value to skip the count job. */
   def streamingIncrementalDedup(docs: DataFrame, priorFps: DataFrame,
-      tsCol: String, fpCol: String): DataFrame =
-    docs.join(broadcast(priorFps), Seq(fpCol), "left_anti")
-      .withWatermark(tsCol, "1 hour")
+      tsCol: String, fpCol: String,
+      expectedStoreKeys: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    require(expectedStoreKeys >= 0L,
+      s"expectedStoreKeys must be >= 0 (0 = derive from the store), got $expectedStoreKeys")
+    val storeFps = priorFps.select(col(fpCol))
+    val wm = docs.withWatermark(tsCol, "1 hour")
+    // empty store: everything is fresh — and stat.bloomFilter NPEs on
+    // an empty frame (null aggregation buffer), so this guard is a
+    // correctness path, not just a fast one (first-increment /
+    // stream-first deployments start here)
+    if (storeFps.isEmpty)
+      return wm.dropDuplicatesWithinWatermark(Seq(fpCol))
+    val keys =
+      if (expectedStoreKeys > 0L) expectedStoreKeys
+      else math.max(storeFps.count(), 1L)
+    val bloom = storeFps.stat.bloomFilter(fpCol, keys, fpp)
+    val (maybe, fresh) = graft.operators.ScaleOps.bloomSplit(wm, bloom, fpCol)
+    val confirmedNew = maybe.join(
+      storeFps.select(col(fpCol).as("_pfp")).hint("shuffle_hash"),
+      col(fpCol) === col("_pfp"), "left_anti")
+    confirmedNew.unionByName(fresh)
       .dropDuplicatesWithinWatermark(Seq(fpCol))
+  }
 
   // ---------------- sessionization ----------------
 

@@ -169,6 +169,38 @@ class StreamingSpec extends SparkSpec {
     val all = allFps.as[String].collect().toSet
     assert(streamed == all -- priorSet)
     assert(streamed.nonEmpty && priorSet.size == 2)
+    // per-batch plan pin: the store side must NEVER ride a
+    // BroadcastExchange (a corpus-sized store re-broadcast every
+    // micro-batch is the X122 scale-killer) — the anti-join must plan
+    // shuffle-hash, fed by the Bloom-maybe slice only
+    val exec = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(!exec.contains("BroadcastExchange"),
+      s"store-side broadcast in the per-batch plan:\n$exec")
+    assert(exec.contains("ShuffledHashJoin") && exec.contains("LeftAnti"),
+      s"expected a shuffle-hash LEFT ANTI store join:\n$exec")
+  }
+
+  test("streaming incremental dedup: empty store = plain watermarked dedup") {
+    val ckpt = Files.createTempDirectory("graft-ckpt-sinc0").toString
+    val empty = spark.read.parquet(eventsDir)
+      .select(md5(col("event_type").cast("binary")).as("fp")).limit(0)
+    val src = spark.readStream.schema(EventsStreaming.eventSchema)
+      .parquet(eventsDir)
+      .select(col("ts"), md5(col("event_type").cast("binary")).as("fp"))
+    val q = EventsStreaming.streamingIncrementalDedup(src, empty, "ts", "fp")
+      .writeStream.format("memory").queryName("sinc0_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sinc0_out").select("fp").as[String].collect().toSet
+    val all = spark.read.parquet(eventsDir)
+      .select(md5(col("event_type").cast("binary")).as("fp"))
+      .distinct().as[String].collect().toSet
+    assert(streamed == all && all.nonEmpty)
   }
 
   test("stateful sessionize emits closed sessions matching batch") {
