@@ -668,6 +668,60 @@ object Extensions {
       "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
       "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
 
+  // multi-table LSH top-k: 8 independent 5-bit bands of one 40-plane
+  // signature — OR-over-bands candidates, exact cosine rerank (X131).
+  // The recall harness measured the single-table 8-bit probe at 0.12
+  // recall@10; the parameter sweep (PLANS.md round-11 table) showed the
+  // corpus is near-isotropic, so recall trades directly against the
+  // candidate fraction — 8×5 buys 0.50 recall at ~23% of the corpus
+  // re-scored, the knee of the measured curve. (IVF + rerank stay the
+  // serving recommendation on this data; this row is the honest
+  // multi-table number next to them.)
+  private val ANN_MULTI_BANDS = 8
+  private val ANN_MULTI_BITS = 5
+
+  /** Per-band bucket for the multi-table ANN probe: bit j of band b is
+    * the sign of the projection on plane b·BITS+j — equal to
+    * `(sig >> b*BITS) & mask` of the Scala side's single 32-plane
+    * signature. Projection sums chunked 8-wide (DuckDB binder depth). */
+  private def duckAnnBandBucket(vecExpr: String, band: Int): String = {
+    val bitTerms = (0 until ANN_MULTI_BITS).map { j =>
+      val plane = band * ANN_MULTI_BITS + j
+      val prods = (0 until EMB_DIMS).map { dd =>
+        s"CAST($vecExpr[${dd + 1}] AS DOUBLE)*${Similarity.planeCoef(plane, dd)}"
+      }
+      val proj = prods.grouped(8).map(_.mkString("(", " + ", ")")).mkString(" + ")
+      s"(CASE WHEN $proj >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    bitTerms.mkString("(", " | ", ")")
+  }
+
+  val embedAnnMulti: Q = (s, d) =>
+    Similarity.lshTopKMultiBand(
+      Tables.embeddings(s, d), queriesDf(s, d), k = 10,
+      bands = ANN_MULTI_BANDS, bits = ANN_MULTI_BITS, dims = EMB_DIMS)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+
+  val embedAnnMultiSql: String = {
+    val corpusBands = (0 until ANN_MULTI_BANDS).map(b =>
+      s"SELECT vec_id, $b AS band, ${duckAnnBandBucket("embedding", b)} AS bucket FROM embeddings")
+      .mkString(" UNION ALL ")
+    val queryBands = (0 until ANN_MULTI_BANDS).map(b =>
+      s"SELECT vec_id AS q_id, $b AS band, ${duckAnnBandBucket("embedding", b)} AS bucket " +
+        "FROM embeddings WHERE vec_id % 50 = 0")
+      .mkString(" UNION ALL ")
+    "WITH c AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      s"cb AS MATERIALIZED ($corpusBands), " +
+      s"qb AS MATERIALIZED ($queryBands), " +
+      "q AS MATERIALIZED (SELECT vec_id AS q_id, ed AS qd FROM c WHERE vec_id % 50 = 0), " +
+      "cand AS (SELECT DISTINCT qb.q_id, cb.vec_id FROM cb JOIN qb ON cb.band = qb.band AND cb.bucket = qb.bucket), " +
+      "sc AS (SELECT cand.q_id, cand.vec_id, " +
+      "round(list_dot_product(cv.ed, qv.qd)/(sqrt(list_dot_product(cv.ed, cv.ed))*sqrt(list_dot_product(qv.qd, qv.qd))), 6) AS score " +
+      "FROM cand JOIN c cv ON cv.vec_id = cand.vec_id JOIN q qv ON qv.q_id = cand.q_id), " +
+      "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
+  }
+
   /** IVF scale path: deterministic coarse centroids (vec_id % 200),
     * nearest-cell assignment, 2-cell probe, top-10 within probed
     * cells. Oracle mirrors cell assignment + probe + rank exactly. */
@@ -1747,6 +1801,7 @@ object Extensions {
       Similarity.recallAtK(bf, ann).withColumn("method", lit(method))
         .select(col("method"), col("q_id"), col("hits"), col("n"), col("recall"))
     rec("lsh", embedAnn(s, d))
+      .unionByName(rec("lsh_multi", embedAnnMulti(s, d)))
       .unionByName(rec("ivf", embedIvf(s, d)))
       .unionByName(rec("rerank", annRerank(s, d)))
   }
@@ -1756,8 +1811,10 @@ object Extensions {
       s"SELECT '$method' AS method, bf.q_id, count($cte.vec_id) AS hits, count(*) AS n " +
         s"FROM bf LEFT JOIN $cte ON bf.q_id = $cte.q_id AND bf.vec_id = $cte.vec_id GROUP BY bf.q_id"
     s"WITH bf AS MATERIALIZED ($embedTopKSql), lsh AS ($embedAnnSql), " +
+      s"lshm AS ($embedAnnMultiSql), " +
       s"ivf AS ($embedIvfSql), rr AS ($annRerankSql), " +
-      s"rec AS (${rec("lsh", "lsh")} UNION ALL ${rec("ivf", "ivf")} UNION ALL ${rec("rerank", "rr")}) " +
+      s"rec AS (${rec("lsh", "lsh")} UNION ALL ${rec("lsh_multi", "lshm")} " +
+      s"UNION ALL ${rec("ivf", "ivf")} UNION ALL ${rec("rerank", "rr")}) " +
       "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
       "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
   }
@@ -3017,6 +3074,7 @@ object Extensions {
     "q_simhash_pairs" -> simhashPairs,
     "q_embed_topk" -> embedTopK,
     "q_embed_ann" -> embedAnn,
+    "q_embed_ann_multi" -> embedAnnMulti,
     "q_embed_ivf" -> embedIvf,
     "q_embed_neardup" -> embedNearDup,
     "q_stream_window_agg" -> streamWindowAgg,
@@ -3126,6 +3184,7 @@ object Extensions {
     "q_simhash_pairs" -> simhashPairsSql,
     "q_embed_topk" -> embedTopKSql,
     "q_embed_ann" -> embedAnnSql,
+    "q_embed_ann_multi" -> embedAnnMultiSql,
     "q_embed_ivf" -> embedIvfSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_stream_window_agg" -> windowAggSql,

@@ -235,4 +235,16 @@ class EmptyInputSpec extends SparkSpec {
       Seq("a"), rounds = 0).as[(String, Long)].collect().toSet
     assert(got == Set(("a", 0L)))
   }
+
+  test("lshTopKMultiBand handles empty corpus and empty query set") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noQ = Seq.empty[(Long, Array[Float])].toDF("q_id", "q_vec")
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((10L, Array(1.0f, 0.1f))).toDF("q_id", "q_vec")
+    assert(graft.operators.Similarity.lshTopKMultiBand(
+      noVecs, qs, k = 5, bands = 2, bits = 3, dims = 2).count() == 0)
+    assert(graft.operators.Similarity.lshTopKMultiBand(
+      vecs, noQ, k = 5, bands = 2, bits = 3, dims = 2).count() == 0)
+  }
 }

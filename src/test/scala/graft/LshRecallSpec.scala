@@ -21,4 +21,39 @@ class LshRecallSpec extends SparkSpec {
     // and LSH never invents pairs the exact measure rejects
     assert(lsh.subsetOf(exact))
   }
+
+  test("multi-band LSH top-k: bands=1 == single-table, OR-over-bands only adds recall") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // one band over B bits IS the single-table probe: same candidates
+    // (full-signature equality), same exact-cosine scores, same ranks
+    val single = asSet(graft.operators.Similarity.lshTopK(
+      emb, queries, k = 10, bits = 8, dims = 64))
+    val multi1 = asSet(graft.operators.Similarity.lshTopKMultiBand(
+      emb, queries, k = 10, bands = 1, bits = 8, dims = 64))
+    assert(multi1 == single)
+    // OR-over-bands: band 0 of the 4×8 signature uses planes 0..7 —
+    // the same planes as the single 8-bit table — so every single-table
+    // candidate is also a multi-band candidate and per-query recall
+    // vs brute force can only improve (k=10 both sides, exact rerank)
+    val bf = graft.core.Caches.persistTracked(
+      graft.operators.Similarity.bruteForceTopK(emb, queries, k = 10))
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      graft.operators.Similarity.recallAtK(bf, ann)
+        .select("q_id", "recall").as[(Long, Double)].collect().toMap
+    val rSingle = recallOf(graft.operators.Similarity.lshTopK(
+      emb, queries, k = 10, bits = 8, dims = 64))
+    val rMulti = recallOf(graft.operators.Similarity.lshTopKMultiBand(
+      emb, queries, k = 10, bands = 4, bits = 8, dims = 64))
+    assert(rMulti.keySet == rSingle.keySet && rSingle.nonEmpty)
+    rSingle.foreach { case (q, r) =>
+      assert(rMulti(q) >= r, s"query $q: multi-band recall ${rMulti(q)} < single $r")
+    }
+    assert(rMulti.values.sum > rSingle.values.sum,
+      "4-band OR should strictly improve aggregate recall on this corpus")
+  }
 }
