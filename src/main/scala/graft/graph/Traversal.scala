@@ -138,6 +138,13 @@ object Traversal {
       und = next
       round += 1
     }
+    // fail-loud, not silent truncation: a maxRounds exit before the
+    // fixpoint would return vertices with degree < k still present —
+    // rounds needed scale with the peel depth, so the bound must be
+    // raised, never quietly absorbed (repo require() convention)
+    require(converged,
+      s"kCore: no fixpoint within maxRounds=$maxRounds rounds " +
+        "(peel depth exceeds the bound) — raise maxRounds")
     und.groupBy(col("a")).agg(count(lit(1)).as("core_degree"))
       .withColumnRenamed("a", "name")
   }

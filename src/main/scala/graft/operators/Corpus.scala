@@ -81,12 +81,20 @@ object Corpus {
       s"rrfFuse: bad parameters k=$k topN=$topN scale=$scale")
     // ranks must be 1-based: a 0-based list (the common row_number vs
     // array-index off-by-one) would silently mis-weight every
-    // contribution, so the check runs per row and fails the job loud
-    val tagged = lists.map(df => df.select(col(docCol).as("doc"),
-      expr(s"CASE WHEN CAST($rankCol AS BIGINT) >= 1 " +
-        s"THEN ${scale}L div (${k}L + CAST($rankCol AS BIGINT)) " +
-        s"ELSE CAST(raise_error('rrfFuse: ranks must be 1-based, got ' || " +
-        s"CAST($rankCol AS STRING)) AS BIGINT) END").as("_c")))
+    // contribution, so the check runs per row and fails the job loud.
+    // A doc repeated WITHIN one list would contribute two reciprocals
+    // and inflate n_lists — each list dedups to its best (minimum)
+    // rank per doc first; the grouped min runs over an already
+    // top-N-sized list, never the corpus.
+    val tagged = lists.map { df =>
+      df.select(col(docCol).as("doc"),
+        expr(s"CASE WHEN CAST($rankCol AS BIGINT) >= 1 " +
+          s"THEN CAST($rankCol AS BIGINT) " +
+          s"ELSE CAST(raise_error('rrfFuse: ranks must be 1-based, got ' || " +
+          s"CAST($rankCol AS STRING)) AS BIGINT) END").as("_r"))
+        .groupBy(col("doc")).agg(min(col("_r")).as("_r"))
+        .select(col("doc"), expr(s"${scale}L div (${k}L + _r)").as("_c"))
+    }
     val fused = tagged.reduce(_ unionByName _)
       .groupBy(col("doc"))
       .agg(sum(col("_c")).as("rrf"), count(lit(1)).as("n_lists"))

@@ -288,6 +288,23 @@ object ScaleOps {
     * Checksums, not commitments: change DETECTION, not proof. */
   def contentDigest(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "contentDigest: need at least one column")
+    // the digest hashes cast(col as string) — only EXACTLY-stringifying
+    // types may enter, or the digest depends on engine float/timestamp/
+    // array rendering and the cross-engine manifest comparison the
+    // operator exists for silently breaks (fail loud, like
+    // requireIntegralId). Quantize/cast explicitly first.
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(c).dataType
+      val ok = dt match {
+        case ByteType | ShortType | IntegerType | LongType |
+             StringType | BooleanType | DateType => true
+        case _ => false
+      }
+      require(ok, s"contentDigest: column $c has type ${dt.simpleString} — " +
+        "digest columns must be exactly-stringifying (integral, string, " +
+        "boolean, date); cast or fixed-point-quantize it explicitly first")
+    }
     val P = 1000000007L
     val canon = concat_ws("\u0001",
       cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)

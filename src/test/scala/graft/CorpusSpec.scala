@@ -415,4 +415,17 @@ class CorpusSpec extends SparkSpec {
       graft.operators.Corpus.rrfFuse(Seq.empty, "doc_id", "rank")
     }
   }
+
+  test("rrfFuse: a doc repeated within one list counts once, at its best rank") {
+    val a = Seq((10L, 1), (10L, 3), (20L, 2)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1)).toDF("doc_id", "rank")
+    val got = graft.operators.Corpus.rrfFuse(Seq(a, b), "doc_id", "rank",
+      k = 60, topN = 10)
+      .select("doc_id", "rrf", "n_lists")
+      .as[(Long, Long, Long)].collect().toSet
+    def c(r: Int) = 1000000L / (60L + r)
+    // 10 appears twice in list a: one contribution at min rank 1,
+    // n_lists stays 1 — never 2
+    assert(got == Set((10L, c(1), 1L), (20L, c(2) + c(1), 2L)))
+  }
 }

@@ -167,6 +167,14 @@ class ScaleOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ScaleOps.contentDigest(df, "grp", Seq.empty)
     }
+    // only exactly-stringifying column types may be digested — a
+    // double's rendering is engine-dependent, so the type gate fails
+    // loud instead of emitting a manifest that can't cross engines
+    val floaty = Seq((1L, "a", 0.1)).toDF("id", "grp", "score")
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.contentDigest(floaty, "grp", Seq("id", "score"))
+    }
+    assert(e.getMessage.contains("exactly-stringifying"))
   }
 
   test("manifestDiff reports all four statuses, and only on real differences") {

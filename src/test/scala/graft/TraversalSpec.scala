@@ -104,6 +104,14 @@ class TraversalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Traversal.kCore(path, "src", "dst", 0)
     }
+    // fail-loud on a maxRounds exit before the fixpoint: a 3-deep
+    // cascade (tail f, then e, then the empty check) cannot finish in
+    // one round — a silent non-fixpoint would leave degree-<k vertices
+    // in the "core"
+    val noFix = intercept[IllegalArgumentException] {
+      Traversal.kCore(edges, "src", "dst", k = 3, maxRounds = 1)
+    }
+    assert(noFix.getMessage.contains("no fixpoint"))
   }
 
   test("hits: pure hubs and pure authorities separate, integer-exact and deterministic") {
