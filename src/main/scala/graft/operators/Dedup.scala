@@ -603,39 +603,8 @@ object Dedup {
     * stats join). */
   private def substringCoverage(df: DataFrame, idCol: String,
       textCol: String, L: Int, posBase: Long): (DataFrame, DataFrame) = {
-    require(L >= 2, s"window must be >= 2 tokens, got $L")
-    require(posBase >= 2, s"posBase must be >= 2, got $posBase")
-    val maxId = Long.MaxValue / posBase
-    // Per-row injectivity guards (data-dependent, so they can't be a
-    // driver require): a null/out-of-range id or a >= posBase-token
-    // document would silently collide _occ values across documents.
-    // try_cast: under ANSI (Spark 4 default) a plain cast would throw a
-    // generic CAST_INVALID_INPUT before the pointed guard below fires
-    val idLong = col(idCol).try_cast("long")
-    val guardedId = when(idLong.isNull || idLong < 0 || idLong >= maxId,
-      raise_error(concat(
-        lit(s"exactSubstringDedup: $idCol must cast to BIGINT in [0, $maxId) " +
-          s"for posBase=$posBase, got "),
-        coalesce(col(idCol).cast("string"), lit("NULL")))))
-      .otherwise(idLong)
-    val rawToks = tokens(lower(col(textCol)))
-    val guardedToks = when(size(rawToks) > posBase,
-      raise_error(concat(
-        lit(s"exactSubstringDedup: document exceeds posBase=$posBase tokens " +
-          "(occurrence encoding would collide) — raise posBase; id="),
-        idLong.cast("string"), lit(", n_tokens="), size(rawToks).cast("string"))))
-      .otherwise(rawToks)
-    val toks = spread(df).select(guardedId.as("id"), guardedToks.as("_t"))
-      .persistTracked()
-    // (id, pos, gh): one md5 per window;  joint so token
-    // boundaries stay unambiguous
-    val posIdx = when(size(col("_t")) >= L,
-      sequence(lit(0), size(col("_t")) - L))
-      .otherwise(array().cast("array<int>"))
-    val grams = toks.select(col("id"), posexplode(transform(posIdx,
-        i => md5(concat_ws("", slice(col("_t"), i + 1, lit(L)))))))
-      .select(col("id"), col("pos"), col("col").as("_gh"))
-      .withColumn("_occ", col("id") * posBase + col("pos"))
+    val toks = substringToks(df, idCol, textCol, L, posBase).persistTracked()
+    val grams = substringGramsOf(toks, L, posBase)
     val dup = grams.groupBy("_gh")
       .agg(count(lit(1)).as("_c"), min(col("_occ")).as("_first"))
       .filter(col("_c") >= 2)
@@ -715,6 +684,117 @@ object Dedup {
         coalesce(col("max_span_len"), lit(0L)).as("max_span_len"),
         coalesce(col("spans_md5"), md5(lit(""))).as("spans_md5"),
         col("kept_md5"))
+  }
+
+  /** (id, pos, _gh, _occ) L-window postings over a guarded token
+    * table: one md5 per window (\u0001-joined so token boundaries
+    * stay unambiguous); occurrence order encoded as id·posBase + pos
+    * — "first" is a plain MIN, portable to any engine. */
+  private def substringGramsOf(toks: DataFrame, L: Int, posBase: Long): DataFrame = {
+    val posIdx = when(size(col("_t")) >= L,
+      sequence(lit(0), size(col("_t")) - L))
+      .otherwise(array().cast("array<int>"))
+    toks.select(col("id"), posexplode(transform(posIdx,
+        i => md5(concat_ws("\u0001", slice(col("_t"), i + 1, lit(L)))))))
+      .select(col("id"), col("pos"), col("col").as("_gh"))
+      .withColumn("_occ", col("id") * posBase + col("pos"))
+  }
+
+  /** Guarded (id, _t) token table for the INCREMENTAL substring ops —
+    * the same per-row injectivity guards as [[substringCoverage]]'s
+    * front half (null/out-of-range ids and >= posBase-token documents
+    * fail loud instead of silently colliding _occ values). NOT
+    * persisted — callers persist per their consumer count. */
+  private def substringToks(df: DataFrame, idCol: String, textCol: String,
+      L: Int, posBase: Long): DataFrame = {
+    require(L >= 2, s"window must be >= 2 tokens, got $L")
+    require(posBase >= 2, s"posBase must be >= 2, got $posBase")
+    val maxId = Long.MaxValue / posBase
+    val idLong = col(idCol).try_cast("long")
+    val guardedId = when(idLong.isNull || idLong < 0 || idLong >= maxId,
+      raise_error(concat(
+        lit(s"exactSubstringDedup: $idCol must cast to BIGINT in [0, $maxId) " +
+          s"for posBase=$posBase, got "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
+      .otherwise(idLong)
+    val rawToks = tokens(lower(col(textCol)))
+    val guardedToks = when(size(rawToks) > posBase,
+      raise_error(concat(
+        lit(s"exactSubstringDedup: document exceeds posBase=$posBase tokens " +
+          "(occurrence encoding would collide) — raise posBase; id="),
+        idLong.cast("string"), lit(", n_tokens="), size(rawToks).cast("string"))))
+      .otherwise(rawToks)
+    spread(df).select(guardedId.as("id"), guardedToks.as("_t"))
+  }
+
+  /** Per-document window-hash STORE records for the incremental
+    * substring pass (X132) — the append-only index
+    * [[incrementalSubstringDedup]] dedups against: the DISTINCT md5
+    * hashes of every L-token window of each doc's ORIGINAL token
+    * stream (16 bytes/window, never text). Original — not
+    * post-removal — windows: a span removed from one doc as a later
+    * occurrence stays in the store via its first occurrence's record,
+    * so a future recurrence is covered no matter which snapshot it
+    * enters through. Bootstrap with one run over the initial corpus;
+    * append each increment's batch records after its pass. */
+  def substringStoreRecords(df: DataFrame, idCol: String, textCol: String,
+      L: Int, posBase: Long = 100000L): DataFrame =
+    substringGramsOf(substringToks(df, idCol, textCol, L, posBase), L, posBase)
+      .select(col("_gh").as("gh")).distinct()
+
+  /** Incremental (cross-snapshot) EXACT-SUBSTRING dedup (X132) — the
+    * fourth dedup family's ingestion-time form, completing the
+    * X112 (exact) / X113 (MinHash) / X116 (semantic) trilogy into a
+    * quartet: a new batch dedups its duplicated L-token windows
+    * against the already-ingested corpus represented ONLY by its
+    * [[substringStoreRecords]] window-hash index — history is never
+    * re-tokenized or re-scanned. A batch window whose hash is IN the
+    * store is covered at EVERY batch occurrence (history holds an
+    * earlier occurrence by construction); windows NOT in the store
+    * fall back to [[exactSubstringDedup]]'s within-batch global-first
+    * rule. With store ids preceding batch ids this equals the
+    * full-corpus pass restricted to the batch — spec-pinned:
+    * incremental(records(S), B) ≡ exactSubstringDedup(S ∪ B) ↾ B.
+    *
+    * Scale shape: ONE store-sized join — the batch's (id, pos, md5)
+    * postings left-join the hash index on the 16-byte key, pinned
+    * shuffle-hash (the store is corpus-scale and must never ride an
+    * AQE broadcast guess); the within-batch dup agg and cover join
+    * run on the store-MISS slice only; shuffles carry postings and
+    * positions, never text; reassembly is the shared back half.
+    * Returns (id, n_tokens, n_kept, kept_md5) for every batch doc —
+    * the caller appends `substringStoreRecords(batch)` to the index
+    * for the next increment. */
+  def incrementalSubstringDedup(newBatch: DataFrame, storeGrams: DataFrame,
+      idCol: String, textCol: String, L: Int,
+      posBase: Long = 100000L): DataFrame = {
+    require(storeGrams.columns.contains("gh"),
+      s"incrementalSubstringDedup: store must have column gh " +
+        s"(substringStoreRecords' schema), got ${storeGrams.columns.mkString(", ")}")
+    val toks = substringToks(newBatch, idCol, textCol, L, posBase)
+      .persistTracked()
+    // marked feeds three structurally different consumers (store-hit
+    // slice, fresh-dup agg, fresh cover join) — persist the postings
+    // (id/pos/hash only, no text rides the cache)
+    val marked = substringGramsOf(toks, L, posBase)
+      .join(storeGrams.select(col("gh").as("_gh"), lit(1).as("_in"))
+        .hint("shuffle_hash"), Seq("_gh"), "left")
+      .persistTracked()
+    val coveredStore = marked.filter(col("_in") === 1)
+      .select(col("id"), col("pos"))
+    val freshG = marked.filter(col("_in").isNull)
+    val dup = freshG.groupBy("_gh")
+      .agg(count(lit(1)).as("_c"), min(col("_occ")).as("_first"))
+      .filter(col("_c") >= 2)
+      .select("_gh", "_first")
+    val coveredBatch = freshG.hint("shuffle_hash").join(dup, Seq("_gh"))
+      .filter(col("_occ") =!= col("_first"))
+      .select(col("id"), col("pos"))
+    val covered = coveredStore.unionByName(coveredBatch)
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (L - 1))).as("_tp"))
+      .distinct()
+    substringReassemble(toks, covered, L)
   }
 
   /** Distinct-shingle set table (id, _sh, _size) — the shared input of

@@ -300,6 +300,49 @@ object Extensions {
       "FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id " +
       "LEFT JOIN sa ON t.doc_id = sa.doc_id"
 
+  /** Incremental substring dedup (X132): the doc_id % 3 == 0 slice is
+    * the already-ingested corpus, represented ONLY by its distinct
+    * window-hash index (substringStoreRecords); the rest is the new
+    * batch. Batch windows found in the store are covered at every
+    * occurrence; store-miss windows fall back to the within-batch
+    * global-first rule. The oracle chains the same mark/cover/
+    * reassemble steps with the store as a hash set. */
+  val incrementalSubstring: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val records = Dedup.substringStoreRecords(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", L = SUBSTR_L)
+    Dedup.incrementalSubstringDedup(
+      docs.filter(col("doc_id") % 3 =!= 0), records, "doc_id", "text",
+      L = SUBSTR_L)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+        col("kept_md5"))
+  }
+
+  val incrementalSubstringSql: String = {
+    val L = SUBSTR_L
+    s"WITH t AS MATERIALIZED (SELECT doc_id, $duckToksLower AS tk FROM documents), " +
+      "tb AS MATERIALIZED (SELECT * FROM t WHERE doc_id % 3 <> 0), " +
+      s"g AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, doc_id * 100000 + i - 1 AS occ, " +
+      s"md5(array_to_string(list_slice(tk, i, i + $L - 1), chr(1))) AS gh " +
+      s"FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - $L + 1)) AS i FROM t WHERE len(tk) >= $L)), " +
+      "st AS MATERIALIZED (SELECT DISTINCT gh FROM g WHERE doc_id % 3 = 0), " +
+      "bg AS MATERIALIZED (SELECT * FROM g WHERE doc_id % 3 <> 0), " +
+      "covs AS (SELECT doc_id, pos FROM bg JOIN st USING (gh)), " +
+      "d AS (SELECT gh, min(occ) AS first_occ FROM bg WHERE gh NOT IN (SELECT gh FROM st) GROUP BY gh HAVING count(*) >= 2), " +
+      "covb AS (SELECT doc_id, pos FROM bg JOIN d USING (gh) WHERE occ <> first_occ), " +
+      s"cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + $L - 1)) AS tp " +
+      "FROM (SELECT * FROM covs UNION ALL SELECT * FROM covb)), " +
+      "tp AS (SELECT doc_id, u.i - 1 AS tp, u.x AS tok FROM " +
+      "(SELECT doc_id, unnest(list_transform(tk, (x, i) -> struct_pack(i := i, x := x))) AS u FROM tb)), " +
+      "kept AS (SELECT tp.doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+      "md5(array_to_string(list(tp.tok ORDER BY tp.tp), ' ')) AS kept_md5 " +
+      "FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.tp = cov.tp " +
+      "WHERE cov.tp IS NULL GROUP BY tp.doc_id) " +
+      "SELECT tb.doc_id, CAST(len(tb.tk) AS INT) AS n_tokens, " +
+      "coalesce(k.n_kept, 0) AS n_kept, coalesce(k.kept_md5, md5('')) AS kept_md5 " +
+      "FROM tb LEFT JOIN kept k ON tb.doc_id = k.doc_id"
+  }
+
   /** C4-style corpus-level line dedup with document reassembly. On the
     * synthetic single-line documents this degenerates to whole-doc
     * first-occurrence dedup — the multi-line reassembly path is pinned
@@ -3062,6 +3105,7 @@ object Extensions {
     "q_snapshot_diff" -> snapshotDiff,
     "q_rrf_fusion" -> rrfFusion,
     "q_substring_dedup" -> substringDedup,
+    "q_incremental_substring" -> incrementalSubstring,
     "q_substring_dedup_var" -> substringDedupVar,
     "q_seq_pack" -> seqPack,
     "q_ngram_jaccard" -> ngramJaccard,
@@ -3172,6 +3216,7 @@ object Extensions {
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_rrf_fusion" -> rrfFusionSql,
     "q_substring_dedup" -> substringDedupSql,
+    "q_incremental_substring" -> incrementalSubstringSql,
     "q_substring_dedup_var" -> substringDedupVarSql,
     "q_seq_pack" -> seqPackSql,
     "q_ngram_jaccard" -> ngramJaccardSql,

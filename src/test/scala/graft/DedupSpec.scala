@@ -408,6 +408,65 @@ class DedupSpec extends SparkSpec {
     (101L, "some other historical document about spark engines"))
     .toDF("doc_id", "text")
 
+  test("incrementalSubstringDedup: store windows cover everywhere, fresh dups keep batch-first") {
+    val span = "alpha bravo charlie delta echo"
+    val store = Seq(
+      (1L, s"historic doc with $span inside it"),
+      (2L, "another ingested doc entirely distinct"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"new doc reusing $span plus fresh words"),  // span covered by STORE (even though 10 is the batch-first)
+      (11L, span),                                        // nothing but the stored span -> fully covered
+      (12L, "brand new phrase one two three four five six"),  // first of a batch dup -> intact
+      (13L, "padding padding phrase one two three four five six"), // repeats doc 12's window -> loses it
+      (14L, "totally untouched content"))
+      .toDF("doc_id", "text")
+    val records = Dedup.substringStoreRecords(store, "doc_id", "text", L = 5)
+    val got = Dedup.incrementalSubstringDedup(batch, records, "doc_id", "text", L = 5)
+      .as[(Long, Int, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L, 14L))
+    assert(got(10L)._2 - got(10L)._3 == 5, s"doc10 must lose the stored span: ${got(10L)}")
+    assert(got(11L)._3 == 0)
+    assert(got(12L)._3 == got(12L)._2.toLong, s"doc12 keeps the batch-first window: ${got(12L)}")
+    assert(got(13L)._2 - got(13L)._3 >= 5, s"doc13 loses the repeated window: ${got(13L)}")
+    assert(got(14L)._3 == got(14L)._2.toLong)
+  }
+
+  test("incrementalSubstringDedup: empty store == exactSubstringDedup; warm == full-corpus pass") {
+    val span = "alpha bravo charlie delta echo"
+    val storeDocs = Seq(
+      (1L, s"first snapshot doc with $span embedded"),
+      (2L, "unrelated early doc with its own words"))
+      .toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (10L, s"later doc reusing $span and more"),
+      (11L, s"two later docs reusing $span differently"),
+      (12L, "completely fresh later doc"))
+      .toDF("doc_id", "text")
+    val emptyStore = Dedup.substringStoreRecords(
+      storeDocs.filter(col("doc_id") < 0), "doc_id", "text", L = 5)
+    val viaEmpty = Dedup.incrementalSubstringDedup(
+      batchDocs, emptyStore, "doc_id", "text", L = 5)
+      .as[(Long, Int, Long, String)].collect().toSet
+    val direct = Dedup.exactSubstringDedup(batchDocs, "doc_id", "text", L = 5)
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(viaEmpty == direct)
+    // warm start: with store ids preceding batch ids, the increment
+    // must equal the full-corpus pass restricted to the batch
+    val records = Dedup.substringStoreRecords(storeDocs, "doc_id", "text", L = 5)
+    val warm = Dedup.incrementalSubstringDedup(
+      batchDocs, records, "doc_id", "text", L = 5)
+      .as[(Long, Int, Long, String)].collect().toSet
+    val full = Dedup.exactSubstringDedup(
+      storeDocs.unionByName(batchDocs), "doc_id", "text", L = 5)
+      .filter(col("id") >= 10L).as[(Long, Int, Long, String)].collect().toSet
+    assert(warm == full && warm.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalSubstringDedup(batchDocs,
+        records.withColumnRenamed("gh", "hash"), "doc_id", "text", L = 5)
+    }
+  }
+
   test("incrementalNearDup: drops store dups and larger in-batch dup, keeps fresh and empty") {
     val store = Dedup.nearDupStoreRecords(ndStoreDocs, "doc_id", "text")
     val batch = Seq(

@@ -236,6 +236,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(got == Set(("a", 0L)))
   }
 
+  test("incrementalSubstringDedup handles empty batch and empty store") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val records = graft.operators.Dedup.substringStoreRecords(
+      someDocs, "doc_id", "text", L = 3)
+    assert(graft.operators.Dedup.incrementalSubstringDedup(
+      noDocs, records, "doc_id", "text", L = 3).count() == 0)
+    val emptyRecords = graft.operators.Dedup.substringStoreRecords(
+      noDocs, "doc_id", "text", L = 3)
+    // empty store: every doc keeps everything (no within-batch dups)
+    val got = graft.operators.Dedup.incrementalSubstringDedup(
+      someDocs, emptyRecords, "doc_id", "text", L = 3)
+      .as[(Long, Int, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((1L, 6, 6L)))
+  }
+
   test("lshTopKMultiBand handles empty corpus and empty query set") {
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val noQ = Seq.empty[(Long, Array[Float])].toDF("q_id", "q_vec")
