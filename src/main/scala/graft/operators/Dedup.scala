@@ -1025,6 +1025,84 @@ object Dedup {
     parent.keys.toArray.sorted.map(v => (v, minOf(find(v))))
   }
 
+  /** Incremental (cross-snapshot) cluster maintenance (X133) — the
+    * canonicalization pass that closes the ingestion story: the
+    * increments (X112/X113/X116/X132) resolve duplicates by a
+    * documented NON-transitive pairwise lowest-id rule; this operator
+    * folds a batch's verified duplicate pairs into the STORED cluster
+    * labels (a previous [[connectedComponents]] output, cluster_id =
+    * min member id) without re-running CC over history.
+    *
+    * Warm start via graph CONTRACTION: each new-pair endpoint maps to
+    * its stored label (or itself when unlabeled — a brand-new id), the
+    * batch's pairs become edges over that contracted node set, and CC
+    * runs on THAT graph only — its size is bounded by the batch, never
+    * the corpus, and since every stored label is already the minimum
+    * of its component, the contracted minimum IS the global minimum.
+    * Labels touched by no new pair are provably unchanged, so the
+    * result equals full CC over (stored pairs ∪ new pairs) exactly
+    * (spec-pinned, including cross-cluster merges and a new id
+    * becoming the new minimum).
+    *
+    * Scale shape: ZERO corpus-sized shuffles — the endpoint-label
+    * lookup streams the store once map-side against the broadcast
+    * endpoint set (budget-gated, shuffle-hash fallback), and the final
+    * relabel streams it once more against the broadcast old→new
+    * mapping (bounded by the contracted graph, same gate). The id
+    * space is shared across snapshots and batch-new ids must not
+    * collide with stored ids — the X112-family store contract.
+    *
+    * Returns the complete updated label table (every stored id + every
+    * id in `newPairs`) — what the caller persists for the next
+    * increment. */
+  def incrementalConnectedComponents(storedLabels: DataFrame,
+      newPairs: DataFrame, id1: String = "id1", id2: String = "id2",
+      mapBroadcastBudget: Long = 1000000L): DataFrame = {
+    val needed = Set("id", "cluster_id")
+    require(needed.subsetOf(storedLabels.columns.toSet),
+      s"incrementalConnectedComponents: storedLabels must have columns " +
+        s"id/cluster_id (connectedComponents' schema), got ${storedLabels.columns.mkString(", ")}")
+    val stored = storedLabels.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    val pairs = newPairs
+      .select(col(id1).cast("long").as("_a"), col(id2).cast("long").as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull && col("_a") =!= col("_b"))
+      .persistTracked() // feeds the endpoint set and both contracted-edge maps
+    // endpoint → stored-label lookup: the batch-bounded endpoint set
+    // broadcasts INTO the store scan (inner join, map-side — the store
+    // is never shuffled), then the label attach happens small-vs-small
+    val ends = pairs.select(explode(array(col("_a"), col("_b"))).as("id")).distinct()
+    val endsJoin =
+      if (fitsBudget(ends, mapBroadcastBudget)) broadcast(ends)
+      else ends.hint("shuffle_hash")
+    val endLabels = ends.join(stored.join(endsJoin, Seq("id")), Seq("id"), "left")
+      .select(col("id"), col("cluster_id").as("_lbl"))
+      .persistTracked() // three consumers: two edge maps + new-id slice
+    val la = endLabels.select(col("id").as("_a"), col("_lbl").as("_la"))
+    val lb = endLabels.select(col("id").as("_b"), col("_lbl").as("_lb"))
+    val contracted = pairs.join(la, Seq("_a")).join(lb, Seq("_b"))
+      .select(coalesce(col("_la"), col("_a")).as("ra"),
+        coalesce(col("_lb"), col("_b")).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+    // CC over the contracted graph only — batch-bounded; nodes are
+    // stored labels and brand-new ids
+    val cc = graft.core.Caches.persistTracked(
+      connectedComponents(contracted, "ra", "rb"))
+    val mapping = cc.select(col("id").as("_old"), col("cluster_id").as("_new"))
+    val mapJoin =
+      if (fitsBudget(mapping, mapBroadcastBudget)) broadcast(mapping)
+      else mapping.hint("shuffle_hash")
+    val remapped = stored.join(mapJoin, col("cluster_id") === col("_old"), "left")
+      .select(col("id"), coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
+    // brand-new ids (no stored label): their contracted-CC label is
+    // final — every one appears in >= 1 contracted edge (a pair with a
+    // stored id contracts to (new, label); ids are snapshot-disjoint)
+    val fresh = endLabels.filter(col("_lbl").isNull).select(col("id"))
+      .join(cc, Seq("id"))
+      .select(col("id"), col("cluster_id"))
+    remapped.unionByName(fresh)
+  }
+
   /** Corpus-level LINE dedup (the C4/RefinedWeb pass): every line that
     * occurs anywhere else in the corpus keeps only its FIRST occurrence
     * (by (doc_id, line index) — globally deterministic), then documents

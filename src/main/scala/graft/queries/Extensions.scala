@@ -2019,6 +2019,35 @@ object Extensions {
       "SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size, " +
       "doc_id = cluster_id AS is_canonical FROM comp"
 
+  /** Incremental cluster maintenance (X133): near-dup pairs with both
+    * endpoints in the doc_id % 3 == 0 slice are "history" — their CC
+    * labels are the stored table; every pair touching the rest of the
+    * corpus is the new batch, folded in by graph contraction (CC over
+    * the contracted batch graph only, zero corpus shuffles). The
+    * warm-start result provably equals full CC over ALL pairs, so the
+    * oracle is the exact recursive-CTE transitive closure. */
+  val incrementalClusters: Q = (s, d) => {
+    val pairs = graft.core.Caches.persistTracked(
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.7, shingleN = 3,
+        bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+        .select(col("id1"), col("id2")))
+    val storedPairs = pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0)
+    val newPairs = pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
+    val stored = Dedup.connectedComponents(storedPairs, "id1", "id2")
+    Dedup.incrementalConnectedComponents(stored, newPairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  val incrementalClustersSql: String =
+    s"WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($minhashPairsSql)), " +
+      "edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs " +
+      "UNION SELECT id2 AS a, id1 AS b FROM pairs), " +
+      "reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) " +
+      "UNION SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a), " +
+      "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) " +
+      "SELECT doc_id, cluster_id FROM comp"
+
   /** Eval-set decontamination: a deterministic 10% hash-holdout of the
     * corpus plays the held-out benchmark; every train doc sharing a
     * word 13-gram with it is flagged (the GPT-3-style overlap rule). */
@@ -3165,6 +3194,7 @@ object Extensions {
     "q_partitioned_sink" -> partitionedSink,
     "q_partition_overwrite" -> partitionOverwrite,
     "q_dedup_clusters" -> dedupClusters,
+    "q_incremental_clusters" -> incrementalClusters,
     "q_decontaminate" -> decontaminate,
     "q_blocklist" -> blocklist,
     "q_pii_redact" -> piiRedact,
@@ -3276,6 +3306,7 @@ object Extensions {
     "q_partitioned_sink" -> partitionedSinkSql,
     "q_partition_overwrite" -> partitionOverwriteSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_incremental_clusters" -> incrementalClustersSql,
     "q_decontaminate" -> decontaminateSql,
     "q_blocklist" -> blocklistSql,
     "q_pii_redact" -> piiRedactSql,

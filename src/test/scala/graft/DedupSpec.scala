@@ -408,6 +408,64 @@ class DedupSpec extends SparkSpec {
     (101L, "some other historical document about spark engines"))
     .toDF("doc_id", "text")
 
+  test("incrementalConnectedComponents: merges, new minima, untouched clusters — equals full CC") {
+    // stored graph: {3,5,7} (label 3), {10,12} (label 10), {20,21} (label 20)
+    val storedPairs = Seq((3L, 5L), (5L, 7L), (10L, 12L), (20L, 21L))
+      .toDF("id1", "id2")
+    val stored = Dedup.connectedComponents(storedPairs, "id1", "id2")
+    // batch: 1-7 bridges a NEW id that becomes the new minimum of
+    // cluster 3; 12-20 merges two stored clusters; 30-31 is a brand-new
+    // component; cluster {3,5,7} also gains nothing else
+    val newPairs = Seq((1L, 7L), (12L, 20L), (30L, 31L)).toDF("id1", "id2")
+    val got = Dedup.incrementalConnectedComponents(stored, newPairs)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.connectedComponents(
+      storedPairs.unionByName(newPairs), "id1", "id2")
+      .as[(Long, Long)].collect().toSet
+    assert(got == full)
+    assert(got.contains((3L, 1L)) && got.contains((7L, 1L)))   // new min propagates
+    assert(got.contains((10L, 10L)) && got.contains((20L, 10L))) // stored clusters merged
+    assert(got.contains((30L, 30L)) && got.contains((31L, 30L))) // fresh component
+  }
+
+  test("incrementalConnectedComponents: empty batch is identity; empty store is plain CC") {
+    val storedPairs = Seq((3L, 5L), (10L, 12L)).toDF("id1", "id2")
+    val stored = Dedup.connectedComponents(storedPairs, "id1", "id2")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val idGot = Dedup.incrementalConnectedComponents(stored, noPairs)
+      .as[(Long, Long)].collect().toSet
+    assert(idGot == stored.as[(Long, Long)].collect().toSet)
+    val noStored = Dedup.connectedComponents(noPairs, "id1", "id2")
+    val coldGot = Dedup.incrementalConnectedComponents(noStored, storedPairs)
+      .as[(Long, Long)].collect().toSet
+    assert(coldGot == stored.as[(Long, Long)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalConnectedComponents(
+        stored.withColumnRenamed("cluster_id", "label"), storedPairs)
+    }
+  }
+
+  test("incrementalConnectedComponents == full CC on a random multi-increment graph") {
+    // deterministic pseudo-random edges over 60 ids, split into a
+    // store snapshot and a batch; chained twice to exercise the
+    // store-append round trip
+    val rnd = new scala.util.Random(42)
+    val all = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val (s1, rest) = all.splitAt(all.size / 3)
+    val (b1, b2) = rest.splitAt(rest.size / 2)
+    val labels1 = Dedup.connectedComponents(s1.toDF("id1", "id2"), "id1", "id2")
+    val inc1 = Dedup.incrementalConnectedComponents(labels1, b1.toDF("id1", "id2"))
+    val full1 = Dedup.connectedComponents((s1 ++ b1).toDF("id1", "id2"), "id1", "id2")
+    assert(inc1.as[(Long, Long)].collect().toSet ==
+      full1.as[(Long, Long)].collect().toSet)
+    // second increment warm-starts from the FIRST increment's output
+    val inc2 = Dedup.incrementalConnectedComponents(inc1, b2.toDF("id1", "id2"))
+    val full2 = Dedup.connectedComponents(all.toDF("id1", "id2"), "id1", "id2")
+    assert(inc2.as[(Long, Long)].collect().toSet ==
+      full2.as[(Long, Long)].collect().toSet)
+  }
+
   test("incrementalSubstringDedup: store windows cover everywhere, fresh dups keep batch-first") {
     val span = "alpha bravo charlie delta echo"
     val store = Seq(
