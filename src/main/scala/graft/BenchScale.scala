@@ -38,7 +38,16 @@ object BenchScale {
     // round-9 bench drift watch: the r9 [bench-regress] flag (2.0x on
     // an untouched code path) read 0.69s steady-state vs the 1.73s
     // flagged cell — host noise, row kept on record
-    "q_media_decode")
+    "q_media_decode",
+    // round-10/11 drift watch (VERDICT r10 item 7): the decode-bound
+    // pair + session windows — r11 steady-state read α 0.32/0.43/0.30,
+    // far under the flagged r10 cells; kept so future drift lands on a
+    // recorded baseline
+    "q_image_phash", "q_session_window",
+    // round-11 additions: multi-table LSH probe + the four-way recall
+    // harness + the two new increments
+    "q_embed_ann_multi", "q_ann_recall",
+    "q_incremental_substring", "q_incremental_clusters")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS

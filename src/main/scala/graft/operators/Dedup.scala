@@ -622,8 +622,12 @@ object Dedup {
       L: Int): DataFrame = {
     val tokPos = toks.select(col("id"), posexplode(col("_t")))
       .select(col("id"), col("pos").as("_tp"), col("col").as("_tok"))
-    val kept = tokPos.hint("shuffle_hash")
-      .join(covered, Seq("id", "_tp"), "left_anti")
+    // hint on the RIGHT side: a left-side shuffle_hash on a LEFT ANTI
+    // join is unsupported (no build-left for anti) and Spark drops it
+    // with a warning — the pin must ride the build-able side to
+    // actually keep AQE from broadcasting the corpus-sized cover set
+    val kept = tokPos
+      .join(covered.hint("shuffle_hash"), Seq("id", "_tp"), "left_anti")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
         md5(concat_ws(" ",
