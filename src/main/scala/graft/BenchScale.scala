@@ -47,7 +47,8 @@ object BenchScale {
     // round-11 additions: multi-table LSH probe + the four-way recall
     // harness + the two new increments
     "q_embed_ann_multi", "q_ann_recall",
-    "q_incremental_substring", "q_incremental_clusters")
+    "q_incremental_substring", "q_incremental_clusters",
+    "q_stream_incr_neardup")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS

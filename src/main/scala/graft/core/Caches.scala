@@ -124,6 +124,40 @@ object Caches {
     if (q != null) q.forEach(_.unpersist(blocking = false))
   }
 
+  /** Run `body`, then unpersist ONLY the frames it tracked under this
+    * session — the SCOPED form of [[release]], for operators that loop
+    * inside a caller-owned session (an always-on foreachBatch
+    * increment): per-iteration intermediates are freed every round
+    * while the caller's own tracked frames survive untouched. Cleanup
+    * runs in a finally, so a failing iteration cannot strand its
+    * round's caches. Identity-based membership — two tracked frames
+    * with equal plans are still distinct registry entries. */
+  def releaseScoped[T](spark: SparkSession)(body: => T): T = {
+    val before = registry.synchronized {
+      sweepStopped()
+      val s = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+      val q = registry.get(spark)
+      if (q != null) q.forEach { f => s.add(f); () }
+      s
+    }
+    try body
+    finally {
+      val fresh = new java.util.ArrayList[DataFrame]()
+      registry.synchronized {
+        val q = registry.get(spark)
+        if (q != null) {
+          val it = q.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (!before.contains(f)) { fresh.add(f); it.remove() }
+          }
+        }
+      }
+      fresh.forEach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Postfix syntax for operator code: `df.persistTracked()` reads as
     * `.persist(...)` did at the call sites, keeping the plan-building
     * chains intact. */

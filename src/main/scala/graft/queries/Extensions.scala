@@ -512,7 +512,10 @@ object Extensions {
         array_join(col("band_keys"), ";").as("band_str"))
   }
 
-  val incrementalNearDupSql: String = {
+  /** Shared CTE chain of the incremental near-dup oracles (batch X113
+    * and streaming X134 — identical semantics by construction): ends
+    * at the `dups` CTE; each oracle appends its own final SELECT. */
+  private lazy val incrementalNearDupCtes: String = {
     val sigElems = (0 until MINHASH_BANDS * MINHASH_RPB).map(seed =>
       s"coalesce(list_min(list_transform(s, x -> md5('$seed:' || x))), 'zz_empty')")
       .mkString("[", ", ", "]")
@@ -534,12 +537,15 @@ object Extensions {
       "WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 <> 0), " +
       s"dup1 AS (SELECT DISTINCT bid FROM cs JOIN dsh x ON bid = x.doc_id JOIN dsh y ON sid = y.doc_id WHERE $jac >= 0.7), " +
       s"dup2 AS (SELECT DISTINCT id2 AS bid FROM cb JOIN dsh x ON id1 = x.doc_id JOIN dsh y ON id2 = y.doc_id WHERE $jac >= 0.7), " +
-      "dups AS (SELECT bid FROM dup1 UNION SELECT bid FROM dup2) " +
+      "dups AS (SELECT bid FROM dup1 UNION SELECT bid FROM dup2) "
+  }
+
+  val incrementalNearDupSql: String =
+    incrementalNearDupCtes +
       s"SELECT d.doc_id, d.source, array_to_string(list_transform(generate_series(0, ${MINHASH_BANDS - 1}), " +
       s"b -> array_to_string(list_slice(g.sg, b*$MINHASH_RPB + 1, b*$MINHASH_RPB + $MINHASH_RPB), '|')), ';') AS band_str " +
       "FROM documents d JOIN sig g ON d.doc_id = g.doc_id " +
       "WHERE d.doc_id % 3 <> 0 AND d.doc_id NOT IN (SELECT bid FROM dups)"
-  }
 
   /** The composed ingestion increment (X121): one new batch runs the
     * FULL cross-snapshot trilogy in sequence — exact (Bloom-prefiltered
@@ -1393,6 +1399,60 @@ object Extensions {
       "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0 OR doc_id % 5 = 0) " +
       "SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0 " +
       "AND fp NOT IN (SELECT fp FROM prior)"
+
+  /** Streaming incremental NEAR-dup (X134): the q_incremental_neardup
+    * split run through the REAL foreachBatch composition — the
+    * %3 == 0 slice's index records bootstrap a store directory, the
+    * rest streams to AvailableNow completion, survivors flow through
+    * the sink callback and their store records are appended per batch.
+    * Single-file source → one micro-batch, so the survivor set equals
+    * the batch increment's and the oracle reuses its CTE chain; the
+    * multi-batch store hand-off is pinned by StreamingSpec with an
+    * explicit two-run checkpoint chain. */
+  val streamIncrNearDup: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-sind")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-ndstore").toString
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    Dedup.nearDupStoreRecords(
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+      "doc_id", "text",
+      shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+      .write.mode("overwrite").parquet(storeDir)
+    val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = EventsStreaming.streamingIncrementalNearDup(src, storeDir,
+      "text", "doc_id", threshold = 0.7,
+      shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB) {
+      (survivors, _) =>
+        buf ++= survivors.select(col("doc_id"), col("source"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    runStreamThenCleanCkpt(q, ckpt)
+    // the throwaway store dir must not accumulate across gate/bench runs
+    scala.util.Try {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(storeDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    import s.implicits._
+    buf.toSeq.toDF("doc_id", "source")
+  }
+
+  val streamIncrNearDupSql: String =
+    incrementalNearDupCtes +
+      "SELECT d.doc_id, d.source FROM documents d " +
+      "WHERE d.doc_id % 3 <> 0 AND d.doc_id NOT IN (SELECT bid FROM dups)"
 
   /** X24 as a driver-gate query: stream-stream inner join with
     * watermarks + interval condition (purchases × same-user signups in
@@ -3153,6 +3213,7 @@ object Extensions {
     "q_stream_window_agg" -> streamWindowAgg,
     "q_stream_dedup" -> streamDedup,
     "q_stream_incr_dedup" -> streamIncrDedup,
+    "q_stream_incr_neardup" -> streamIncrNearDup,
     "q_stream_join" -> streamJoin,
     "q_stream_outer_join" -> streamOuterJoinVerified,
     "q_stream_static_join" -> streamStaticJoin,
@@ -3265,6 +3326,7 @@ object Extensions {
     "q_stream_window_agg" -> windowAggSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_incr_dedup" -> streamIncrDedupSql,
+    "q_stream_incr_neardup" -> streamIncrNearDupSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_outer_join" -> streamOuterJoinVerifiedSql,
     "q_stream_static_join" -> streamStaticJoinSql,

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Dedup
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
@@ -207,6 +208,76 @@ object EventsStreaming {
     confirmedNew.unionByName(fresh)
       .dropDuplicatesWithinWatermark(Seq(fpCol))
   }
+
+  /** Streaming incremental NEAR-dup (X134) — the [[streamingIncrementalDedup]]
+    * arrangement for the MinHash family, closing the streaming side of
+    * the ingestion quartet's near-dup member. Append-mode streaming
+    * SQL cannot express X113's candidate-verify joins plus per-doc
+    * aggregation (unbounded-state aggregations after a stream-static
+    * join), so the always-on form is the MICRO-BATCH COMPOSITION:
+    * `foreachBatch` runs the batch increment
+    * ([[graft.operators.Dedup.incrementalNearDup]]) VERBATIM against
+    * the store, appends the survivors' store records before the batch
+    * completes, and frees the increment's tracked caches via the
+    * scoped release — so the next micro-batch's store read already
+    * contains this batch's survivors. That hand-off is EXACT per
+    * micro-batch: a near-dup of any earlier survivor drops however far
+    * apart the two arrive — no watermark-window approximation, which
+    * is what moving the aggregation off the streaming state store
+    * buys. The store stays index-only (id, shingles, sig — X113's
+    * contract) and each batch's plan inherits every X113 pin
+    * (shuffle-hash store joins, banding-parameter fail-fast,
+    * budget-gated candidate broadcasts).
+    *
+    * `sink` receives each batch's survivors (original columns +
+    * shingles/sig) and the batch id; the caller starts the returned
+    * writer with its own trigger/checkpoint. */
+  def streamingIncrementalNearDup(docs: DataFrame, storePath: String,
+      textCol: String, idCol: String, threshold: Double,
+      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped(spark) {
+          val store = readNearDupStore(spark, storePath)
+          // EAGER localCheckpoint, not persist: the store append below
+          // rewrites storePath, and Spark's recacheByPath would
+          // RECOMPUTE a merely-persisted survivors plan against the
+          // just-appended store — every survivor then matches itself
+          // and the sink sees zero rows. Lineage truncation pins the
+          // computed rows; blocks are reclaimed by the ContextCleaner
+          // once the batch's references drop (Caches class-3 policy).
+          val survivors = Dedup.incrementalNearDup(batch.toDF(), store,
+            textCol, idCol, threshold, shingleN, bands, rowsPerBand)
+            .localCheckpoint()
+          survivors
+            .select(col(idCol).cast("long").as("id"),
+              col("shingles"), col("sig"))
+            .write.mode("append").parquet(storePath)
+          sink(survivors.drop("band_keys"), batchId)
+        }
+        ()
+    }
+
+  /** The near-dup store as a DataFrame, empty-with-schema when the
+    * path does not exist yet (stream-first deployments bootstrap the
+    * store from their own first batches). The catch is NARROW — only
+    * the no-data-at-path conditions; a real read failure (corrupt
+    * store) must fail the batch, not silently restart history. */
+  def readNearDupStore(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            .exists(c => Option(e.getCondition).exists(_.startsWith(c))) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("id", LongType),
+            StructField("shingles", ArrayType(StringType)),
+            StructField("sig", ArrayType(StringType)))))
+    }
 
   // ---------------- sessionization ----------------
 

@@ -126,6 +126,33 @@ class CachesSpec extends SparkSpec {
     Caches.release(s2)
   }
 
+  test("releaseScoped frees only the frames tracked inside the scope") {
+    Caches.release(spark)
+    val outer = Caches.persistTracked(spark.range(5).toDF())
+    outer.count()
+    assert(Caches.trackedCount(spark) == 1)
+    val r = Caches.releaseScoped(spark) {
+      val inner = Caches.persistTracked(spark.range(7).toDF())
+      inner.count()
+      assert(Caches.trackedCount(spark) == 2)
+      42
+    }
+    assert(r == 42)
+    // the scope's frame is gone from the registry; the outer survives
+    assert(Caches.trackedCount(spark) == 1)
+    assert(outer.storageLevel.useMemory,
+      "caller-tracked frame must stay cached across a scoped release")
+    // cleanup runs even when the body throws
+    intercept[RuntimeException] {
+      Caches.releaseScoped(spark) {
+        Caches.persistTracked(spark.range(9).toDF()).count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(Caches.trackedCount(spark) == 1)
+    Caches.release(spark)
+  }
+
   test("released plans still compute correctly (recompute, not corruption)") {
     Caches.release(spark)
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -203,6 +203,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == all && all.nonEmpty)
   }
 
+  test("streaming incremental near-dup: store hand-off is exact across micro-batches") {
+    val dir = Files.createTempDirectory("graft-sind-src").toString
+    val storeDir = Files.createTempDirectory("graft-sind-store").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-sind-spec").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def write(f: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/$f")
+    val tA = "the quick brown fox jumps over the lazy dog entirely"
+    val tB = "completely different content about spark engines instead"
+    val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(dir)
+      val q = EventsStreaming.streamingIncrementalNearDup(
+        src, storeDir, "text", "doc_id", threshold = 0.9) { (sv, _) =>
+        buf ++= sv.select("doc_id").as[Long].collect()
+      }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: doc 1 fresh; docs 2,3 exact dups of each other -> 2 wins
+    write("f1", Seq((1L, tA), (2L, tB), (3L, tB)))
+    runOnce()
+    assert(buf.toSet == Set(1L, 2L))
+    // batch 2, SAME checkpoint, arbitrarily later: doc 10 near-dups
+    // batch-1's doc 1 (dropped via the STORE - run 1 appended doc 1's
+    // record), doc 11 near-dups survivor 2's text (dropped the same
+    // way), doc 12 is fresh. No watermark window is involved: the
+    // store hand-off catches repeats however far apart the runs are.
+    write("f2", Seq((10L, tA), (11L, tB), (12L, "an entirely fresh never before seen document")))
+    runOnce()
+    assert(buf.toSet == Set(1L, 2L, 12L))
+    // and the store now holds exactly the three survivors' records
+    val storeIds = spark.read.parquet(storeDir)
+      .select("id").as[Long].collect().toSet
+    assert(storeIds == Set(1L, 2L, 12L))
+  }
+
   test("stateful sessionize emits closed sessions matching batch") {
     val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
     val evStream = spark.readStream.schema(EventsStreaming.eventSchema)
