@@ -156,4 +156,17 @@ object Clustering {
     assignTo(cents)(q)
       .select(col(idCol), col(vecCol), col("cluster").as("cell"))
   }
+
+  /** [[assignCells]] keeping the winning centroid's EXACT integer
+    * squared distance — the assignment-quality signal
+    * [[graft.operators.Similarity.ivfDriftReport]] aggregates. Same
+    * map-side literal-argmin plan; emits (idCol, cell, dist). */
+  def assignCellsWithDist(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Long])], scale: Double = 1e6): DataFrame = {
+    require(cents.nonEmpty, "assignCellsWithDist: empty centroid set")
+    val q = df.select(col(idCol),
+      fixedPoint(col(vecCol), scale).as("qv"))
+    assignTo(cents)(q)
+      .select(col(idCol), col("cluster").as("cell"), col("dist"))
+  }
 }

@@ -420,6 +420,82 @@ object Similarity {
     finishTopK(scored, qIdCol, idCol, k)
   }
 
+  /** Per-vector distance quantum for [[ivfDriftReport]]: exact integer
+    * sqdists (≈ dims·(Δ·scale)² per vector) are BIGINT-safe per row
+    * but their per-cell SUM overflows around 10⁴–10⁵ rows/cell at
+    * scale 1e6 — dividing each row's dist by 2²⁰ FIRST (engine-exact
+    * integral division) keeps cell sums BIGINT-safe past 10¹³
+    * rows/cell while preserving the drift signal's resolution. */
+  private val DriftDistQuantum = 1L << 20
+
+  /** Frozen-quantizer DRIFT monitor (X135) — the operational
+    * counterpart of the incremental-semantic/IVF stores: the X116/X52
+    * contract freezes the centroids so cells never drift across
+    * increments, which silently degrades as the DATA drifts away from
+    * the training distribution. This report quantifies that: per cell,
+    * the store's vs the new batch's population share (basis points)
+    * and mean assignment distance (quantized integer sqdist to the
+    * winning centroid), flagging cells whose share shifted ≥
+    * `shareDriftBp` or whose mean distance grew ≥ `distGrowthBp` —
+    * the evidence that says "retrain the quantizer" BEFORE recall
+    * quietly decays. Every number is exact integer arithmetic
+    * (integral-division shares/means, per-row distance quantum), so
+    * the report is hash-verifiable like everything else.
+    *
+    * Scale shape: two map-side literal-argmin assignments (zero
+    * shuffle between scan and cell), one #cells-row partial agg per
+    * side, a #cells full-outer join, and two 1-row total aggregates
+    * attached by broadcast — the corpus never shuffles. */
+  def ivfDriftReport(store: DataFrame, newBatch: DataFrame,
+      cents: Array[(Int, Array[Long])],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Double = 1e6,
+      shareDriftBp: Long = 200L, distGrowthBp: Long = 2000L): DataFrame = {
+    require(shareDriftBp >= 0 && distGrowthBp >= 0,
+      s"thresholds must be >= 0, got $shareDriftBp/$distGrowthBp")
+    def cellStats(df: DataFrame, nCol: String, dCol: String): DataFrame =
+      Clustering.assignCellsWithDist(spread(df), idCol, vecCol, cents, scale)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as(nCol),
+          sum(expr(s"dist div $DriftDistQuantum")).as(dCol))
+    // each stats frame feeds its 1-row total AND the cell join
+    val sStats = graft.core.Caches.persistTracked(
+      cellStats(store, "store_n", "_sd"))
+    val bStats = graft.core.Caches.persistTracked(
+      cellStats(newBatch, "batch_n", "_bd"))
+    val sTot = sStats.agg(coalesce(sum(col("store_n")), lit(0L)).as("_st"))
+    val bTot = bStats.agg(coalesce(sum(col("batch_n")), lit(0L)).as("_bt"))
+    val joined = sStats.join(bStats, Seq("cell"), "full_outer")
+      .crossJoin(broadcast(sTot)).crossJoin(broadcast(bTot))
+      .select(col("cell"),
+        coalesce(col("store_n"), lit(0L)).as("store_n"),
+        coalesce(col("batch_n"), lit(0L)).as("batch_n"),
+        coalesce(col("_sd"), lit(0L)).as("_sd"),
+        coalesce(col("_bd"), lit(0L)).as("_bd"),
+        col("_st"), col("_bt"))
+      .withColumn("store_share_bp",
+        when(col("_st") > 0, expr("store_n * 10000L div _st")).otherwise(lit(0L)))
+      .withColumn("batch_share_bp",
+        when(col("_bt") > 0, expr("batch_n * 10000L div _bt")).otherwise(lit(0L)))
+      .withColumn("share_drift_bp",
+        abs(col("batch_share_bp") - col("store_share_bp")))
+      .withColumn("store_mean_qdist",
+        when(col("store_n") > 0, expr("_sd div store_n")))
+      .withColumn("batch_mean_qdist",
+        when(col("batch_n") > 0, expr("_bd div batch_n")))
+      .withColumn("dist_growth_bp",
+        when(col("store_mean_qdist") > 0 && col("batch_mean_qdist").isNotNull,
+          expr("batch_mean_qdist * 10000L div store_mean_qdist")))
+    joined
+      .withColumn("drifted",
+        col("share_drift_bp") >= shareDriftBp ||
+          coalesce(col("dist_growth_bp") >= lit(10000L + distGrowthBp), lit(false)))
+      .select(col("cell"), col("store_n"), col("batch_n"),
+        col("store_share_bp"), col("batch_share_bp"), col("share_drift_bp"),
+        col("store_mean_qdist"), col("batch_mean_qdist"),
+        col("dist_growth_bp"), col("drifted"))
+  }
+
   /** SemDeDup (semantic deduplication, Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, compute
     * pairwise cosine ONLY within a cluster, and drop every vector that

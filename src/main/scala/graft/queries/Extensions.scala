@@ -2380,6 +2380,60 @@ object Extensions {
       "SELECT vec_id, cell FROM bd WHERE vec_id NOT IN (SELECT vec_id FROM dup1 UNION SELECT vec_id FROM dup2)"
   }
 
+  /** Frozen-quantizer drift monitor (X135): centroids trained on the
+    * vec_id % 3 == 0 store slice (the X116 bootstrap), then the report
+    * compares the store's per-cell population share and mean
+    * assignment distance against the incoming batch — all-integer
+    * arithmetic, so the operational "retrain the quantizer?" signal is
+    * itself a hash row. */
+  val ivfDrift: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val storeSlice = emb.filter(col("vec_id") % 3 === 0)
+    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
+      storeSlice, "vec_id", "embedding",
+      k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    Similarity.ivfDriftReport(
+      storeSlice, emb.filter(col("vec_id") % 3 =!= 0), cents)
+  }
+
+  val ivfDriftSql: String = {
+    def sq(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val quant = "list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
+    val cPrev = s"c${SEMDEDUP_ITERS - 1}"
+    val q20 = 1L << 20
+    "WITH " + kmeansCtes(SEMDEDUP_K, SEMDEDUP_ITERS, finalAssign = true,
+      src = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0)") +
+      s", qb AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM embeddings WHERE vec_id % 3 <> 0)" +
+      s", ba AS MATERIALIZED (SELECT vec_id, c, d FROM (SELECT q.vec_id, c.c, ${sq("q.qv", "c.cv")} AS d, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sq("q.qv", "c.cv")}, c.c) AS rn " +
+      s"FROM qb q CROSS JOIN $cPrev c) WHERE rn = 1)" +
+      s", ss AS (SELECT c AS cell, count(*) AS store_n, CAST(sum(d // $q20) AS BIGINT) AS sd FROM a$SEMDEDUP_ITERS GROUP BY c)" +
+      s", bs AS (SELECT c AS cell, count(*) AS batch_n, CAST(sum(d // $q20) AS BIGINT) AS bd FROM ba GROUP BY c)" +
+      ", st AS (SELECT CAST(coalesce(sum(store_n), 0) AS BIGINT) AS stot FROM ss)" +
+      ", bt AS (SELECT CAST(coalesce(sum(batch_n), 0) AS BIGINT) AS btot FROM bs)" +
+      ", j AS (SELECT coalesce(ss.cell, bs.cell) AS cell, " +
+      "coalesce(store_n, 0) AS store_n, coalesce(batch_n, 0) AS batch_n, " +
+      "coalesce(sd, 0) AS sd, coalesce(bd, 0) AS bd " +
+      "FROM ss FULL OUTER JOIN bs ON ss.cell = bs.cell)" +
+      ", r AS (SELECT cell, store_n, batch_n, " +
+      "CASE WHEN stot > 0 THEN store_n * 10000 // stot ELSE 0 END AS store_share_bp, " +
+      "CASE WHEN btot > 0 THEN batch_n * 10000 // btot ELSE 0 END AS batch_share_bp, " +
+      "CASE WHEN store_n > 0 THEN sd // store_n END AS store_mean_qdist, " +
+      "CASE WHEN batch_n > 0 THEN bd // batch_n END AS batch_mean_qdist " +
+      "FROM j CROSS JOIN st CROSS JOIN bt)" +
+      ", r2 AS (SELECT cell, store_n, batch_n, store_share_bp, batch_share_bp, " +
+      "abs(batch_share_bp - store_share_bp) AS share_drift_bp, " +
+      "store_mean_qdist, batch_mean_qdist, " +
+      "CASE WHEN store_mean_qdist > 0 AND batch_mean_qdist IS NOT NULL " +
+      "THEN batch_mean_qdist * 10000 // store_mean_qdist END AS dist_growth_bp FROM r) " +
+      "SELECT cell, store_n, batch_n, store_share_bp, batch_share_bp, share_drift_bp, " +
+      "store_mean_qdist, batch_mean_qdist, dist_growth_bp, " +
+      "(share_drift_bp >= 200 OR coalesce(dist_growth_bp >= 12000, false)) AS drifted FROM r2"
+  }
+
   val embedIvfTrainedSql: String = {
     def cosRank(vec: String, part: String) =
       s"row_number() OVER (PARTITION BY $part ORDER BY " +
@@ -3183,6 +3237,7 @@ object Extensions {
     "q_incremental_dedup" -> incrementalDedup,
     "q_incremental_neardup" -> incrementalNearDup,
     "q_incremental_semdedup" -> incrementalSemDedup,
+    "q_ivf_drift" -> ivfDrift,
     "q_ingest_full" -> ingestFull,
     "q_line_dedup" -> lineDedup,
     "q_boilerplate" -> boilerplate,
@@ -3296,6 +3351,7 @@ object Extensions {
     "q_incremental_dedup" -> incrementalDedupSql,
     "q_incremental_neardup" -> incrementalNearDupSql,
     "q_incremental_semdedup" -> incrementalSemDedupSql,
+    "q_ivf_drift" -> ivfDriftSql,
     "q_ingest_full" -> ingestFullSql,
     "q_line_dedup" -> lineDedupSql,
     "q_boilerplate" -> boilerplateSql,

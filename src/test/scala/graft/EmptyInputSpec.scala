@@ -252,6 +252,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2, r._3)) == Seq((1L, 6, 6L)))
   }
 
+  test("ivfDriftReport handles an empty batch and an empty store") {
+    val cents = Array((0, Array(1000000L, 0L)), (1, Array(0L, 1000000L)))
+    val some = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // empty batch: the store's cells report with batch_n = 0, share 0
+    val eb = graft.operators.Similarity.ivfDriftReport(some, none, cents)
+      .select("cell", "store_n", "batch_n", "batch_share_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(eb.toSeq == Seq((0L, 1L, 0L, 0L)))
+    // empty store: batch cells report as pure additions, share drift
+    // = the batch share (everything new), no division blowups
+    val es = graft.operators.Similarity.ivfDriftReport(none, some, cents)
+      .select("cell", "store_n", "batch_n", "share_drift_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(es.toSeq == Seq((0L, 0L, 1L, 10000L)))
+  }
+
   test("lshTopKMultiBand handles empty corpus and empty query set") {
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val noQ = Seq.empty[(Long, Array[Float])].toDF("q_id", "q_vec")

@@ -47,7 +47,10 @@ class PlanGuardSpec extends SparkSpec {
       // composes two allowlisted shapes: bm25's scalar-stats attach
       // and the q_embed_topk broadcast-query pass; the fusion itself
       // is a keyed union+agg over bounded lists
-      "q_rrf_fusion")
+      "q_rrf_fusion",
+      // two 1-row side totals broadcast onto the #cells-row report,
+      // like q_profile's two 1-row aggregate passes
+      "q_ivf_drift")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)

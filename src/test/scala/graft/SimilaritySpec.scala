@@ -365,4 +365,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) == 3.0, s"zeroed query sub must contribute 0: ${got(1L)}")
     assert(got(2L) == 0.0, s"all-zero doc must score 0, got ${got(2L)}")
   }
+
+  test("ivfDriftReport: identical distribution is clean, share shift and distance growth flag") {
+    val cents = Array((0, Array(1000000L, 0L)), (1, Array(0L, 1000000L)))
+    def emb(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    val c0 = Array(1.0f, 0.0f); val c1 = Array(0.0f, 1.0f)
+    val store = emb((1L, c0), (2L, c0), (3L, c1), (4L, c1))
+    // identical composition: zero share drift, zero distances -> clean
+    val same = Similarity.ivfDriftReport(store,
+      emb((10L, c0), (11L, c0), (12L, c1), (13L, c1)), cents)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(same.keySet == Set(0L, 1L))
+    assert(same.values.forall(r => r._6 == 0L && !r._10),
+      s"identical distributions must not drift: ${same.values}")
+    // batch collapses into cell 0: share drift 5000bp on both cells
+    val shifted = Similarity.ivfDriftReport(store,
+      emb((10L, c0), (11L, c0), (12L, c0), (13L, c0)), cents)
+      .select("cell", "share_drift_bp", "drifted")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(shifted(0L)._2 == 5000L && shifted(0L)._3)
+    assert(shifted(1L)._2 == 5000L && shifted(1L)._3)
+    // same shares but batch sits far from its centroid: distance growth
+    // flags while share drift stays 0. store (0.9, 0): qdist
+    // (1e5)^2 div 2^20 = 9536; batch (0.5, 0.5): 5e11 div 2^20 = 476837
+    val grew = Similarity.ivfDriftReport(
+      emb((1L, Array(0.9f, 0.0f))), emb((10L, Array(0.5f, 0.5f))), cents)
+      .select("cell", "share_drift_bp", "store_mean_qdist",
+        "batch_mean_qdist", "dist_growth_bp", "drifted")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long], Boolean)]
+      .collect()
+    assert(grew.length == 1)
+    val g = grew.head
+    assert(g._1 == 0L && g._2 == 0L && g._3.contains(9536L) &&
+      g._4.contains(476837L) && g._6,
+      s"distance growth must flag: $g")
+  }
 }
