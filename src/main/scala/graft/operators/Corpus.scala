@@ -113,13 +113,30 @@ object Corpus {
     val dl = toks.select(col(idCol), size(col("_tk")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks
+    val tf = bm25Tf(toks, idCol, queryTerms)
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Score(tf, dfq, stats, idCol, queryTerms, k1, b, topN)
+  }
+
+  /** The (doc, query-term) tf table — pruned to the query's terms
+    * BEFORE the shuffle (the reason bm25's df pass never touches the
+    * full vocabulary). */
+  private def bm25Tf(toks: DataFrame, idCol: String,
+      queryTerms: Seq[String]): DataFrame =
+    toks
       .select(col(idCol), explode(col("_tk")).as("term"),
         size(col("_tk")).cast("long").as("dl"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** The shared BM25 scoring tail: per-(doc, term) Robertson/Sparck
+    * Jones scores from a tf table + broadcast df + broadcast 1-row
+    * corpus stats, summed per doc in FIXED term order (never a float
+    * sum over an unordered group), TakeOrdered top-N. */
+  private def bm25Score(tf: DataFrame, dfq: DataFrame, stats: DataFrame,
+      idCol: String, queryTerms: Seq[String], k1: Double, b: Double,
+      topN: Int): DataFrame = {
     val scored = tf.join(broadcast(dfq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("s",
@@ -136,6 +153,71 @@ object Corpus {
       .orderBy(col("score").desc, col(idCol).asc).limit(topN)
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)))
+  }
+
+  /** BM25 index-stats STORE records (X136) — the mergeable partials a
+    * retrieval index maintains so new corpus slices score under GLOBAL
+    * statistics without rescanning history: a per-term document-
+    * frequency table over the WHOLE vocabulary (the store serves any
+    * future query; vocabulary-sized by Heaps' law) and a 1-row
+    * (n_docs, sum_dl) corpus record. Both are plain counts, so two
+    * snapshots MERGE by addition — exactly the X67 mergeable-partials
+    * law applied to the retrieval index. */
+  def bm25StatsRecords(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val toks = Dedup.spread(docs).select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("_tk"))
+    val termDf = toks
+      .select(explode(array_distinct(col("_tk"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = toks.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("_tk")).cast("long")), lit(0L)).as("sum_dl"))
+    (termDf, corpus)
+  }
+
+  /** Merge two BM25 stats snapshots — counts add exactly, in any
+    * order, on any engine. One #terms-keyed partial agg and a 2-row
+    * total; history is never rescanned. */
+  def bm25MergeStats(aTerm: DataFrame, aCorpus: DataFrame,
+      bTerm: DataFrame, bCorpus: DataFrame): (DataFrame, DataFrame) = {
+    for (t <- Seq(aTerm, bTerm))
+      require(Set("term", "df").subsetOf(t.columns.toSet),
+        s"bm25MergeStats: term stats need term/df, got ${t.columns.mkString(", ")}")
+    for (c <- Seq(aCorpus, bCorpus))
+      require(Set("n_docs", "sum_dl").subsetOf(c.columns.toSet),
+        s"bm25MergeStats: corpus stats need n_docs/sum_dl, got ${c.columns.mkString(", ")}")
+    (aTerm.select("term", "df").unionByName(bTerm.select("term", "df"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      aCorpus.select("n_docs", "sum_dl")
+        .unionByName(bCorpus.select("n_docs", "sum_dl"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+  }
+
+  /** BM25 scoring under EXTERNALLY-supplied global statistics — the
+    * incremental-index scoring path: `docs` is typically just the new
+    * batch, while df/n_docs/avgdl come from the (merged) store, so a
+    * slice scores exactly as it would inside a full-corpus pass
+    * without that pass ever running (spec + gate row pin merged ≡
+    * full). The term stats prune to the query's terms before the
+    * broadcast (≤ |query| rows reach the join); avgdl derives from the
+    * stored exact (sum_dl, n_docs) pair with one double division at
+    * the edge — the same expression the full pass computes. */
+  def bm25WithStats(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], termStats: DataFrame, corpusStats: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 50): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25WithStats: empty query")
+    require(Set("term", "df").subsetOf(termStats.columns.toSet),
+      s"bm25WithStats: term stats need term/df, got ${termStats.columns.mkString(", ")}")
+    require(Set("n_docs", "sum_dl").subsetOf(corpusStats.columns.toSet),
+      s"bm25WithStats: corpus stats need n_docs/sum_dl, got ${corpusStats.columns.mkString(", ")}")
+    val toks = Dedup.spread(docs).select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("_tk"))
+    val tf = bm25Tf(toks, idCol, queryTerms)
+    val dfq = termStats.filter(col("term").isin(queryTerms: _*))
+      .select(col("term"), col("df"))
+    val stats = corpusStats.select(col("n_docs"),
+      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    bm25Score(tf, dfq, stats, idCol, queryTerms, k1, b, topN)
   }
 
   /** Test-set decontamination (the GPT-3/PaLM eval-overlap pass): flag

@@ -2486,6 +2486,47 @@ object Extensions {
       "WHERE rank <= 50"
   }
 
+  /** Incremental BM25 (X136): the store slice's and the batch's stats
+    * snapshots merge by addition (mergeable partials), and the batch
+    * scores under the merged GLOBAL statistics — provably identical to
+    * a full-corpus pass restricted to the batch docs, which is exactly
+    * what the oracle computes. History is never rescanned: only its
+    * (term, df) and (n_docs, sum_dl) records participate. */
+  val incrementalBm25: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val (st, sc) = Corpus.bm25StatsRecords(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val (bt, bc) = Corpus.bm25StatsRecords(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    val (mt, mc) = Corpus.bm25MergeStats(st, sc, bt, bc)
+    Corpus.bm25WithStats(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", BM25_TERMS, mt, mc)
+  }
+
+  val incrementalBm25Sql: String = {
+    val k1 = 1.2; val b = 0.75
+    val (k1p1, omb) = ((k1 + 1).toString, (1 - b).toString)
+    val terms = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    val perTerm = BM25_TERMS.map(t =>
+      s"coalesce(sum(CASE WHEN term = '$t' THEN s END), 0.0)").mkString(" + ")
+    s"WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      "st AS (SELECT count(*) AS n_docs, CAST(sum(CAST(len(t) AS BIGINT)) AS DOUBLE)/count(*) AS avgdl FROM toks), " +
+      "tf AS (SELECT doc_id, x AS term, count(*) AS tf, max(dl) AS dl FROM " +
+      "(SELECT doc_id, unnest(t) AS x, CAST(len(t) AS BIGINT) AS dl FROM toks WHERE doc_id % 3 <> 0) " +
+      s"WHERE x IN ($terms) GROUP BY doc_id, x), " +
+      "gdf AS (SELECT x AS term, count(*) AS df FROM " +
+      "(SELECT doc_id, unnest(list_distinct(t)) AS x FROM toks) " +
+      s"WHERE x IN ($terms) GROUP BY x), " +
+      "sc AS (SELECT tf.doc_id, tf.term, " +
+      s"ln((CAST(st.n_docs AS DOUBLE) - gdf.df + 0.5)/(gdf.df + 0.5) + 1.0) * " +
+      s"(tf.tf * $k1p1) / (tf.tf + $k1 * ($omb + $b * tf.dl / st.avgdl)) AS s " +
+      "FROM tf JOIN gdf USING (term) CROSS JOIN st), " +
+      s"ag AS (SELECT doc_id, round($perTerm, 6) AS score FROM sc GROUP BY doc_id) " +
+      "SELECT doc_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM ag) " +
+      "WHERE rank <= 50"
+  }
+
   /** Hybrid retrieval — the standard two-stage search: BM25 lexical
     * candidate generation (top-50) reranked by embedding cosine
     * against a query vector. The candidate set is top-k-sized, so it
@@ -3317,6 +3358,7 @@ object Extensions {
     "q_bucketed_join" -> bucketedJoin,
     "q_kmeans" -> kmeans,
     "q_bm25" -> bm25,
+    "q_incremental_bm25" -> incrementalBm25,
     "q_lead_lag" -> leadLag,
     "q_curate_full" -> curateFull,
     "q_embed_ivf_trained" -> embedIvfTrained,
@@ -3431,6 +3473,7 @@ object Extensions {
     "q_bucketed_join" -> bucketedJoinSql,
     "q_kmeans" -> kmeansSql,
     "q_bm25" -> bm25Sql,
+    "q_incremental_bm25" -> incrementalBm25Sql,
     "q_lead_lag" -> leadLagSql,
     "q_curate_full" -> curateFullSql,
     "q_embed_ivf_trained" -> embedIvfTrainedSql,

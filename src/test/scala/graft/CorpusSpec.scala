@@ -416,6 +416,41 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("incremental BM25: merged mergeable stats == full-corpus stats, scoring included") {
+    val docs = Seq(
+      (1L, "hash join scan over the build side"),
+      (2L, "scan scan scan and nothing else"),
+      (3L, "a hash table for the hash join probe"),
+      (4L, "join the two sides with a merge"),
+      (5L, "entirely unrelated words about nothing"))
+      .toDF("doc_id", "text")
+    val terms = Seq("join", "hash", "scan")
+    val store = docs.filter(col("doc_id") <= 2)
+    val batch = docs.filter(col("doc_id") > 2)
+    val (st, sc) = graft.operators.Corpus.bm25StatsRecords(store, "doc_id", "text")
+    val (bt, bc) = graft.operators.Corpus.bm25StatsRecords(batch, "doc_id", "text")
+    val (mt, mc) = graft.operators.Corpus.bm25MergeStats(st, sc, bt, bc)
+    val (ft, fc) = graft.operators.Corpus.bm25StatsRecords(docs, "doc_id", "text")
+    // the merged stats ARE the full-corpus stats, term by term
+    assert(mt.as[(String, Long)].collect().toMap ==
+      ft.as[(String, Long)].collect().toMap)
+    assert(mc.as[(Long, Long)].collect().toSeq ==
+      fc.as[(Long, Long)].collect().toSeq)
+    // and scoring the batch under merged stats == under full stats
+    def score(t: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      graft.operators.Corpus.bm25WithStats(batch, "doc_id", "text", terms, t, c)
+        .as[(Long, Double, Int)].collect().toSet
+    assert(score(mt, mc) == score(ft, fc) && score(mt, mc).nonEmpty)
+    // schema guards fail loud
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.bm25WithStats(batch, "doc_id", "text", terms,
+        mt.withColumnRenamed("df", "count"), mc)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.bm25MergeStats(st, sc.withColumnRenamed("sum_dl", "x"), bt, bc)
+    }
+  }
+
   test("rrfFuse: a doc repeated within one list counts once, at its best rank") {
     val a = Seq((10L, 1), (10L, 3), (20L, 2)).toDF("doc_id", "rank")
     val b = Seq((20L, 1)).toDF("doc_id", "rank")

@@ -50,7 +50,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_rrf_fusion",
       // two 1-row side totals broadcast onto the #cells-row report,
       // like q_profile's two 1-row aggregate passes
-      "q_ivf_drift")
+      "q_ivf_drift",
+      // bm25's 1-row corpus-stats attach, scored under merged stats
+      "q_incremental_bm25")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
