@@ -46,7 +46,7 @@ object BenchScale {
     "q_image_phash", "q_session_window",
     // round-11 additions: multi-table LSH probe + the four-way recall
     // harness + the two new increments
-    "q_embed_ann_multi", "q_ann_recall",
+    "q_embed_ann_multi", "q_embed_ann_probe", "q_ann_recall",
     "q_incremental_substring", "q_incremental_clusters",
     "q_stream_incr_neardup")
 

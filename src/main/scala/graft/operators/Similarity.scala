@@ -339,6 +339,77 @@ object Similarity {
     finishTopK(rescored, qIdCol, idCol, k)
   }
 
+  /** MULTI-PROBE LSH top-k (X137) — the query-side recall lever that
+    * beats adding tables: instead of `bands` independent indexes
+    * ([[lshTopKMultiBand]]), ONE `bits`-bit table is probed at the
+    * query's own bucket plus the `nprobe − 1` buckets reachable by
+    * flipping its LOWEST-MARGIN sign bits (margin = |projection| on
+    * that plane — the bits most likely to disagree for a true
+    * neighbor, the Lv et al. 2007 multi-probe idea). Perturbations
+    * are ALL ≤`maxFlips`-bit subsets of the `poolSize` lowest-margin
+    * bits, ranked by their flipped-margin sum — fully deterministic,
+    * so the probe set (and therefore the result) is a pure function
+    * of the data and hash-verifiable. Measured on the gate corpus
+    * (PLANS.md round-11 table): matches the 8×5 multi-table recall
+    * tier at roughly HALF the candidate fraction, while storing one
+    * table instead of eight.
+    *
+    * Scale shape: identical to [[lshTopK]] — the corpus carries
+    * (sig, id, vec) once, the probe side is the broadcast query set
+    * exploded to ≤nprobe rows each, the join is a bucket equi-join,
+    * and a corpus row can match at most ONE probe of a query (probes
+    * are distinct signatures), so no candidate dedup pass is needed
+    * before the bounded-heap top-k. */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int, dims: Int, nprobe: Int,
+      poolSize: Int = 6, maxFlips: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(poolSize >= 1 && poolSize <= bits,
+      s"poolSize must be in [1, $bits], got $poolSize")
+    require(maxFlips >= 1 && maxFlips <= poolSize,
+      s"maxFlips must be in [1, $poolSize], got $maxFlips")
+    val subsets: Seq[Seq[Int]] =
+      (1 to maxFlips).flatMap(r => (0 until poolSize).combinations(r).map(_.toSeq))
+    require(nprobe >= 1 && nprobe <= 1 + subsets.size,
+      s"nprobe must be in [1, ${1 + subsets.size}] for poolSize=$poolSize/maxFlips=$maxFlips, got $nprobe")
+    // per-plane projections with the signSignature fold order, so the
+    // derived base signature is bit-identical to the corpus side's
+    val projCols = (0 until bits).map { b =>
+      (0 until dims).map(d => col(qVecCol).getItem(d).cast("double") * planeCoef(b, d))
+        .reduce(_ + _)
+    }
+    val baseSig = (0 until bits).map(b =>
+      when(projCols(b) >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    // (margin, bit, bit-mask) structs; margins round to 9dp so the
+    // lexicographic sort is engine-exact (values themselves are
+    // identical-fold doubles; the rounding absorbs formatting ulps)
+    val poolStructs = (0 until bits).map(b =>
+      struct(round(abs(projCols(b)), 9).as("m"), lit(b).as("b"),
+        lit(1L << b).as("bm")))
+    val alts = transform(typedlit(subsets), ss => struct(
+      round(aggregate(ss, lit(0.0),
+        (acc, i) => acc + element_at(col("_pool"), i + 1).getField("m")), 9).as("ms"),
+      aggregate(ss, lit(0L),
+        (acc, i) => acc.bitwiseOR(element_at(col("_pool"), i + 1).getField("bm")))
+        .as("mask")))
+    val q = queries
+      .withColumn("_base", baseSig)
+      .withColumn("_pool", slice(array_sort(array(poolStructs: _*)), 1, poolSize))
+      .withColumn("_alts", slice(array_sort(alts), 1, nprobe - 1))
+      .withColumn("_probes", array_distinct(concat(
+        array(col("_base")),
+        transform(col("_alts"), a => col("_base").bitwiseXOR(a.getField("mask"))))))
+      .select(col(qIdCol), col(qVecCol), explode(col("_probes")).as("_sig"))
+    val c = spread(corpus)
+      .withColumn("_sig", signSignatureAuto(corpus, col(vecCol), bits, dims))
+    val scored = c.join(broadcast(q), Seq("_sig"))
+      .withColumn("score", cosineAuto(corpus, col(vecCol), col(qVecCol)))
+    finishTopK(scored, qIdCol, idCol, k)
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer (every
     * `centroidEvery`-th corpus vector is a centroid) assigns each
     * corpus vector to its nearest centroid cell; a query probes its

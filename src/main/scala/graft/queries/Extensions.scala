@@ -771,6 +771,54 @@ object Extensions {
       "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
   }
 
+  // multi-probe LSH (X137): ONE 8-bit table probed at the query's
+  // bucket + the 31 lowest-flipped-margin perturbations (subsets of
+  // ≤3 of the 6 lowest-margin bits). Measured: the multi-table recall
+  // tier at roughly half the candidate fraction (PLANS.md r11 table).
+  private val ANN_PROBE_T = 32
+  private val ANN_PROBE_POOL = 6
+  private val ANN_PROBE_FLIPS = 3
+
+  val embedAnnProbe: Q = (s, d) =>
+    Similarity.lshMultiProbeTopK(
+      Tables.embeddings(s, d), queriesDf(s, d), k = 10,
+      bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T,
+      poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+
+  val embedAnnProbeSql: String = {
+    def proj(b: Int) = (0 until EMB_DIMS).map(d =>
+      s"CAST(embedding[${d + 1}] AS DOUBLE)*${Similarity.planeCoef(b, d)}")
+      .mkString(" + ")
+    val projCols = (0 until ANN_BITS).map(b => s"(${proj(b)}) AS p$b")
+      .mkString(", ")
+    val base = (0 until ANN_BITS).map(b =>
+      s"(CASE WHEN p$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("(", " | ", ")")
+    val poolElems = (0 until ANN_BITS).map(b =>
+      s"struct_pack(m := round(abs(p$b), 9), b := $b, bm := CAST(${1L << b} AS BIGINT))")
+      .mkString("[", ", ", "]")
+    val subsets = (1 to ANN_PROBE_FLIPS)
+      .flatMap(r => (0 until ANN_PROBE_POOL).combinations(r).map(_.toSeq))
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    "WITH c AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed, " +
+      s"${duckSignature("embedding")} AS sig FROM embeddings), " +
+      s"q0 AS MATERIALIZED (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd, $projCols " +
+      "FROM embeddings WHERE vec_id % 50 = 0), " +
+      s"q1 AS (SELECT q_id, qd, $base AS base, " +
+      s"list_sort($poolElems)[1:$ANN_PROBE_POOL] AS pool FROM q0), " +
+      s"q2 AS (SELECT q_id, qd, base, list_sort(list_transform($subsets, ss -> struct_pack(" +
+      "ms := round(list_reduce(list_prepend(0.0, list_transform(ss, i -> pool[i+1].m)), (a, b) -> a + b), 9), " +
+      "mask := list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ss, i -> pool[i+1].bm)), (a, b) -> a | b))))" +
+      s"[1:${ANN_PROBE_T - 1}] AS alts FROM q1), " +
+      "probes AS (SELECT q_id, qd, unnest(list_prepend(base, list_transform(alts, a -> xor(base, a.mask)))) AS sig FROM q2), " +
+      "sc AS (SELECT probes.q_id, c.vec_id, " +
+      "round(list_dot_product(c.ed, probes.qd)/(sqrt(list_dot_product(c.ed, c.ed))*sqrt(list_dot_product(probes.qd, probes.qd))), 6) AS score " +
+      "FROM c JOIN probes ON c.sig = probes.sig), " +
+      "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
+  }
+
   /** IVF scale path: deterministic coarse centroids (vec_id % 200),
     * nearest-cell assignment, 2-cell probe, top-10 within probed
     * cells. Oracle mirrors cell assignment + probe + rank exactly. */
@@ -1905,6 +1953,7 @@ object Extensions {
         .select(col("method"), col("q_id"), col("hits"), col("n"), col("recall"))
     rec("lsh", embedAnn(s, d))
       .unionByName(rec("lsh_multi", embedAnnMulti(s, d)))
+      .unionByName(rec("lsh_probe", embedAnnProbe(s, d)))
       .unionByName(rec("ivf", embedIvf(s, d)))
       .unionByName(rec("rerank", annRerank(s, d)))
   }
@@ -1914,9 +1963,10 @@ object Extensions {
       s"SELECT '$method' AS method, bf.q_id, count($cte.vec_id) AS hits, count(*) AS n " +
         s"FROM bf LEFT JOIN $cte ON bf.q_id = $cte.q_id AND bf.vec_id = $cte.vec_id GROUP BY bf.q_id"
     s"WITH bf AS MATERIALIZED ($embedTopKSql), lsh AS ($embedAnnSql), " +
-      s"lshm AS ($embedAnnMultiSql), " +
+      s"lshm AS ($embedAnnMultiSql), lshp AS ($embedAnnProbeSql), " +
       s"ivf AS ($embedIvfSql), rr AS ($annRerankSql), " +
       s"rec AS (${rec("lsh", "lsh")} UNION ALL ${rec("lsh_multi", "lshm")} " +
+      s"UNION ALL ${rec("lsh_probe", "lshp")} " +
       s"UNION ALL ${rec("ivf", "ivf")} UNION ALL ${rec("rerank", "rr")}) " +
       "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
       "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
@@ -3304,6 +3354,7 @@ object Extensions {
     "q_embed_topk" -> embedTopK,
     "q_embed_ann" -> embedAnn,
     "q_embed_ann_multi" -> embedAnnMulti,
+    "q_embed_ann_probe" -> embedAnnProbe,
     "q_embed_ivf" -> embedIvf,
     "q_embed_neardup" -> embedNearDup,
     "q_stream_window_agg" -> streamWindowAgg,
@@ -3419,6 +3470,7 @@ object Extensions {
     "q_embed_topk" -> embedTopKSql,
     "q_embed_ann" -> embedAnnSql,
     "q_embed_ann_multi" -> embedAnnMultiSql,
+    "q_embed_ann_probe" -> embedAnnProbeSql,
     "q_embed_ivf" -> embedIvfSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_stream_window_agg" -> windowAggSql,

@@ -279,5 +279,11 @@ class EmptyInputSpec extends SparkSpec {
       noVecs, qs, k = 5, bands = 2, bits = 3, dims = 2).count() == 0)
     assert(graft.operators.Similarity.lshTopKMultiBand(
       vecs, noQ, k = 5, bands = 2, bits = 3, dims = 2).count() == 0)
+    assert(graft.operators.Similarity.lshMultiProbeTopK(
+      noVecs, qs, k = 5, bits = 3, dims = 2, nprobe = 2,
+      poolSize = 2, maxFlips = 1).count() == 0)
+    assert(graft.operators.Similarity.lshMultiProbeTopK(
+      vecs, noQ, k = 5, bits = 3, dims = 2, nprobe = 2,
+      poolSize = 2, maxFlips = 1).count() == 0)
   }
 }

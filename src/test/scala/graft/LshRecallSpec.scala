@@ -56,4 +56,44 @@ class LshRecallSpec extends SparkSpec {
     assert(rMulti.values.sum > rSingle.values.sum,
       "4-band OR should strictly improve aggregate recall on this corpus")
   }
+
+  test("multi-probe LSH: nprobe=1 == single-table, probes only add recall") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // nprobe=1 probes only the query's own bucket — exactly lshTopK
+    val single = asSet(graft.operators.Similarity.lshTopK(
+      emb, queries, k = 10, bits = 8, dims = 64))
+    val probe1 = asSet(graft.operators.Similarity.lshMultiProbeTopK(
+      emb, queries, k = 10, bits = 8, dims = 64, nprobe = 1))
+    assert(probe1 == single)
+    // every probe set at nprobe=N is a superset of the nprobe=1 set,
+    // so per-query recall vs brute force is monotone in nprobe
+    val bf = graft.core.Caches.persistTracked(
+      graft.operators.Similarity.bruteForceTopK(emb, queries, k = 10))
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      graft.operators.Similarity.recallAtK(bf, ann)
+        .select("q_id", "recall").as[(Long, Double)].collect().toMap
+    val r1 = recallOf(graft.operators.Similarity.lshMultiProbeTopK(
+      emb, queries, k = 10, bits = 8, dims = 64, nprobe = 1))
+    val r16 = recallOf(graft.operators.Similarity.lshMultiProbeTopK(
+      emb, queries, k = 10, bits = 8, dims = 64, nprobe = 16))
+    val r32 = recallOf(graft.operators.Similarity.lshMultiProbeTopK(
+      emb, queries, k = 10, bits = 8, dims = 64, nprobe = 32))
+    r1.keys.foreach { q =>
+      assert(r16(q) >= r1(q) && r32(q) >= r16(q),
+        s"query $q: recall must be monotone in nprobe (${r1(q)}, ${r16(q)}, ${r32(q)})")
+    }
+    assert(r32.values.sum > r1.values.sum,
+      "32 probes should strictly improve aggregate recall on this corpus")
+    // parameter guards fail loud
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.lshMultiProbeTopK(
+        emb, queries, k = 10, bits = 8, dims = 64, nprobe = 100,
+        poolSize = 3, maxFlips = 2)
+    }
+  }
 }
