@@ -163,24 +163,37 @@ object Ranks {
 
   /** Ranks joined back to names (G5): DataFrame(name, pagerank,
     * articlerank). */
-  /** Fused PageRank + ArticleRank: one superstep carries both
-    * (term_pr, term_ar) messages, so 20 iterations cost 20 shuffles
-    * instead of 40. Each rank is numerically IDENTICAL to running its
-    * own loop (independent accumulators, same fold order). */
-  def combinedRanks[VD: ClassTag](g: Graph[VD, Double], iters: Int,
-      damping: Double): VertexRDD[(Double, Double)] = {
+  /** Vertex state of the fused delta series:
+    * (prRank, prTerm, invDegPr, arRank, arTerm, invDegAr). */
+  private type RankState = (Double, Double, Double, Double, Double, Double)
+
+  /** Cold-start state: every vertex at rank = term = (1−d), inverse
+    * denominators from the graph's out-degrees. */
+  private def coldStartGraph[VD: ClassTag](g: Graph[VD, Double],
+      damping: Double): Graph[RankState, Double] = {
     val degSum = g.outDegrees.map(_._2.toLong).fold(0L)(_ + _)
     val avgOutDeg = degSum.toDouble / g.numVertices
     val init = 1.0 - damping
-    // attr = (prRank, prTerm, invDegPr, arRank, arTerm, invDegAr)
-    var rankGraph: Graph[(Double, Double, Double, Double, Double, Double), Double] = g
-      .outerJoinVertices(g.outDegrees) { (_, _, deg) =>
-        val d = deg.getOrElse(0)
-        (init, init, if (d > 0) 1.0 / d else 0.0,
-          init, init, if (d + avgOutDeg > 0) 1.0 / (d + avgOutDeg) else 0.0)
-      }.cache()
-    var i = 1
-    while (i < iters) {
+    g.outerJoinVertices(g.outDegrees) { (_, _, deg) =>
+      val d = deg.getOrElse(0)
+      (init, init, if (d > 0) 1.0 / d else 0.0,
+        init, init, if (d + avgOutDeg > 0) 1.0 / (d + avgOutDeg) else 0.0)
+    }
+  }
+
+  /** The fused PageRank + ArticleRank delta loop from an EXPLICIT
+    * start state — one superstep carries both (term_pr, term_ar)
+    * messages, so n rounds cost n shuffles instead of 2n; each rank is
+    * numerically identical to running its own loop (independent
+    * accumulators, same fold order). Runs exactly `rounds`
+    * delta-propagation rounds — the recurrence is memoryless given
+    * (rank, term), which is what makes [[resumeRankTable]]'s
+    * warm start EXACTLY the continued cold run. */
+  private def combinedSeries(start: Graph[RankState, Double], rounds: Int,
+      damping: Double): VertexRDD[RankState] = {
+    var rankGraph = start.cache()
+    var i = 0
+    while (i < rounds) {
       val msgs = rankGraph.aggregateMessages[(Double, Double)](
         ctx => ctx.sendToDst((ctx.srcAttr._2 * ctx.srcAttr._3,
           ctx.srcAttr._5 * ctx.srcAttr._6)),
@@ -197,7 +210,7 @@ object Ranks {
       prev.edges.unpersist(blocking = false)
       i += 1
     }
-    val result = rankGraph.vertices.mapValues(a => (a._1, a._4))
+    val result = rankGraph.vertices.mapValues(a => a)
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
     rankGraph.unpersistVertices(blocking = false)
@@ -402,42 +415,125 @@ object Ranks {
   def rankTable(edges: DataFrame, src: String, dst: String,
       iters: Int = 20, damping: Double = 0.85,
       vertices: Option[DataFrame] = None,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame =
+    withCachedEdges(edges) { (e, nEdges) =>
+      if (nEdges <= localThreshold)
+        localRankCore(e, src, dst, vertices, None, iters - 1, damping,
+          emitTerms = false)
+      else distRankCore(e, src, dst, vertices, None, iters - 1, damping,
+        emitTerms = false, nEdges)
+    }
+
+  /** Resumable rank STATE (X138): the complete delta-series checkpoint
+    * per vertex — (name, pagerank, pr_term, articlerank, ar_term)
+    * after `iters` GDS-semantics iterations. The recurrence is
+    * memoryless given (rank, term), so this row is everything a
+    * continuation needs: [[resumeRankTable]](state, m) EQUALS
+    * rankTable at iters+m, exactly — no approximation, no re-running
+    * history (spec-pinned bit-exact on the local path). This is the
+    * graph-side member of the incremental family: the nightly rank
+    * job persists its state, and later refreshes run m cheap rounds
+    * from it instead of the full series. */
+  def rankStateTable(edges: DataFrame, src: String, dst: String,
+      iters: Int = 20, damping: Double = 0.85,
+      vertices: Option[DataFrame] = None,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame =
+    withCachedEdges(edges) { (e, nEdges) =>
+      if (nEdges <= localThreshold)
+        localRankCore(e, src, dst, vertices, None, iters - 1, damping,
+          emitTerms = true)
+      else distRankCore(e, src, dst, vertices, None, iters - 1, damping,
+        emitTerms = true, nEdges)
+    }
+
+  /** Continue the rank delta series `extraRounds` rounds from a stored
+    * [[rankStateTable]] checkpoint. The vertex set is the state's;
+    * an edge endpoint WITHOUT a state row fails loud (a grown graph
+    * needs an explicit decision — seed new vertices and re-checkpoint
+    * — not a silent implicit rank of zero). Inverse denominators are
+    * recomputed from the CURRENT edge set, so a resume after edge
+    * changes applies the new structure to the stored mass — and a
+    * resume on the unchanged graph is bit-exactly the longer cold
+    * run. */
+  def resumeRankTable(edges: DataFrame, src: String, dst: String,
+      state: DataFrame, extraRounds: Int, damping: Double = 0.85,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    // cache the (aggregated, small) edge table: graph construction
-    // evaluates it several times (edge RDD, vertex union, outDegrees) —
-    // without this each pass re-runs the full upstream SQL pipeline.
-    // If the CALLER already persisted it (to reuse the edges after the
-    // ranks, e.g. q_top50_partners), respect that and leave the cache.
+    require(extraRounds >= 0, s"extraRounds must be >= 0, got $extraRounds")
+    val needed = Set("name", "pagerank", "pr_term", "articlerank", "ar_term")
+    require(needed.subsetOf(state.columns.toSet),
+      s"resumeRankTable: state must have columns ${needed.mkString("/")} " +
+        s"(rankStateTable's schema), got ${state.columns.mkString(", ")}")
+    withCachedEdges(edges) { (e, nEdges) =>
+      if (nEdges <= localThreshold)
+        localRankCore(e, src, dst, None, Some(state), extraRounds, damping,
+          emitTerms = false)
+      else distRankCore(e, src, dst, None, Some(state), extraRounds, damping,
+        emitTerms = false, nEdges)
+    }
+  }
+
+  /** Cache the (aggregated, small) edge table around a rank run: graph
+    * construction evaluates it several times (edge RDD, vertex union,
+    * outDegrees) — without this each pass re-runs the full upstream
+    * SQL pipeline. If the CALLER already persisted it (to reuse the
+    * edges after the ranks, e.g. q_top50_partners), respect that and
+    * leave the cache. */
+  private def withCachedEdges[T](edges: DataFrame)(f: (DataFrame, Long) => T): T = {
     val preCached = edges.storageLevel != StorageLevel.NONE
     val e = if (preCached) edges
       else edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count() // also materializes the cache
-    val out =
-      if (nEdges <= localThreshold) rankTableLocal(e, src, dst, iters, damping, vertices)
-      else rankTableDistributed(e, src, dst, iters, damping, vertices, nEdges)
-    if (!preCached) e.unpersist(blocking = false)
-    out
+    try f(e, nEdges)
+    finally if (!preCached) e.unpersist(blocking = false)
   }
 
-  /** Distributed path: GraphX aggregateMessages supersteps. */
-  private def rankTableDistributed(e: DataFrame, src: String, dst: String,
-      iters: Int, damping: Double, vertices: Option[DataFrame],
+  /** Distributed path: GraphX aggregateMessages supersteps from a cold
+    * or stored start. */
+  private def distRankCore(e: DataFrame, src: String, dst: String,
+      vertices: Option[DataFrame], state: Option[DataFrame],
+      rounds: Int, damping: Double, emitTerms: Boolean,
       nEdges: Long): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nEdges / 50000L + 1L)).toInt
-    val g = graphFromNames(e, src, dst, vertices, Some(parts)).cache()
-    val both = combinedRanks(g, iters, damping)
+    val g = graphFromNames(e, src, dst,
+      state.map(_.select(col("name"))).orElse(vertices), Some(parts)).cache()
     val names = g.vertices.map { case (id, n) => (id, n) }.toDF("id", "name")
-    val ranksDf = both.map { case (id, (p, a)) => (id, p, a) }
-      .toDF("id", "pagerank", "articlerank")
+    val start: Graph[RankState, Double] = state match {
+      case None => coldStartGraph(g, damping)
+      case Some(st) =>
+        val degSum = g.outDegrees.map(_._2.toLong).fold(0L)(_ + _)
+        val avgOutDeg = degSum.toDouble / g.numVertices
+        val stRdd = names.join(st.select(col("name"),
+          col("pagerank").cast("double").as("p"),
+          col("pr_term").cast("double").as("pt"),
+          col("articlerank").cast("double").as("a"),
+          col("ar_term").cast("double").as("at")), Seq("name"))
+          .select("id", "p", "pt", "a", "at")
+          .as[(Long, Double, Double, Double, Double)].rdd
+          .map { case (id, p, pt, a, at) => (id, (p, pt, a, at)) }
+        g.outerJoinVertices(g.outDegrees) { (_, nm, deg) => (nm, deg.getOrElse(0)) }
+          .outerJoinVertices(stRdd) { (_, nd, stOpt) =>
+            val (nm, d) = nd
+            val s4 = stOpt.getOrElse(throw new IllegalArgumentException(
+              s"resumeRankTable: vertex '$nm' has no state row — the " +
+                "store must cover the graph"))
+            (s4._1, s4._2, if (d > 0) 1.0 / d else 0.0,
+              s4._3, s4._4, if (d + avgOutDeg > 0) 1.0 / (d + avgOutDeg) else 0.0)
+          }
+    }
+    val v6 = combinedSeries(start, rounds, damping)
+    val ranksDf =
+      if (emitTerms)
+        v6.map { case (id, a) => (id, a._1, a._2, a._4, a._5) }
+          .toDF("id", "pagerank", "pr_term", "articlerank", "ar_term")
+      else v6.map { case (id, a) => (id, a._1, a._4) }
+        .toDF("id", "pagerank", "articlerank")
     val out = names.join(ranksDf, "id").drop("id")
       .persistTracked()
     out.count() // materialize, then release the heavyweight inputs
-    both.unpersist(blocking = false)
+    v6.unpersist(blocking = false)
     g.unpersistVertices(blocking = false)
     g.edges.unpersist(blocking = false)
     out
@@ -446,18 +542,36 @@ object Ranks {
   /** Driver-local path for small graphs: identical delta-series math
     * over collected edges (message fold in edge order — the same order
     * a single-partition aggregateMessages uses). */
-  private def rankTableLocal(e: DataFrame, src: String, dst: String,
-      iters: Int, damping: Double, vertices: Option[DataFrame]): DataFrame = {
+  private def localRankCore(e: DataFrame, src: String, dst: String,
+      vertices: Option[DataFrame], state: Option[DataFrame],
+      rounds: Int, damping: Double, emitTerms: Boolean): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val rawEdges = e.select(col(src).cast("string"), col(dst).cast("string"))
       .as[(String, String)].collect()
-    val verts: Array[String] = vertices match {
-      case Some(v) => v.select(col("name").cast("string")).distinct().as[String].collect()
-      case None => (rawEdges.map(_._1) ++ rawEdges.map(_._2)).distinct
+    val stateRows: Option[Array[(String, Double, Double, Double, Double)]] =
+      state.map(_.select(col("name").cast("string"),
+        col("pagerank").cast("double"), col("pr_term").cast("double"),
+        col("articlerank").cast("double"), col("ar_term").cast("double"))
+        .as[(String, Double, Double, Double, Double)].collect())
+    val verts: Array[String] = stateRows match {
+      case Some(rows) => rows.map(_._1)
+      case None => vertices match {
+        case Some(v) => v.select(col("name").cast("string")).distinct().as[String].collect()
+        case None => (rawEdges.map(_._1) ++ rawEdges.map(_._2)).distinct
+      }
     }
     val idx = verts.zipWithIndex.toMap
-    // J7 inner-join semantics: drop edges with unresolved endpoints
+    // cold start + explicit vertices: J7 inner-join semantics (drop
+    // unresolved edges). Resume: an unresolved endpoint means the
+    // graph GREW past the checkpoint — fail loud, never a silent drop
+    if (state.isDefined) {
+      val missing = rawEdges.flatMap(p => Seq(p._1, p._2)).distinct
+        .filterNot(idx.contains)
+      require(missing.isEmpty,
+        "resumeRankTable: graph vertices without a state row: " +
+          s"${missing.take(5).mkString(", ")} — the store must cover the graph")
+    }
     val es = rawEdges.collect {
       case (s, d) if idx.contains(s) && idx.contains(d) => (idx(s), idx(d))
     }
@@ -469,12 +583,24 @@ object Ranks {
     val invPr = Array.tabulate(n)(i => if (outDeg(i) > 0) 1.0 / outDeg(i) else 0.0)
     val invAr = Array.tabulate(n)(i =>
       if (outDeg(i) + avgOutDeg > 0) 1.0 / (outDeg(i) + avgOutDeg) else 0.0)
-    val pr = Array.fill(n)(init)
-    val ar = Array.fill(n)(init)
-    var prTerm = Array.fill(n)(init)
-    var arTerm = Array.fill(n)(init)
-    var i = 1
-    while (i < iters) {
+    val pr = new Array[Double](n)
+    val ar = new Array[Double](n)
+    var prTerm = new Array[Double](n)
+    var arTerm = new Array[Double](n)
+    stateRows match {
+      case Some(rows) =>
+        var v = 0
+        while (v < n) {
+          pr(v) = rows(v)._2; prTerm(v) = rows(v)._3
+          ar(v) = rows(v)._4; arTerm(v) = rows(v)._5
+          v += 1
+        }
+      case None =>
+        java.util.Arrays.fill(pr, init); java.util.Arrays.fill(ar, init)
+        java.util.Arrays.fill(prTerm, init); java.util.Arrays.fill(arTerm, init)
+    }
+    var i = 0
+    while (i < rounds) {
       val mPr = new Array[Double](n)
       val mAr = new Array[Double](n)
       es.foreach { case (s, d) =>
@@ -493,7 +619,11 @@ object Ranks {
       arTerm = mAr
       i += 1
     }
-    verts.indices.map(v => (verts(v), pr(v), ar(v))).toSeq
-      .toDF("name", "pagerank", "articlerank")
+    if (emitTerms)
+      verts.indices.map(v => (verts(v), pr(v), prTerm(v), ar(v), arTerm(v))).toSeq
+        .toDF("name", "pagerank", "pr_term", "articlerank", "ar_term")
+    else
+      verts.indices.map(v => (verts(v), pr(v), ar(v))).toSeq
+        .toDF("name", "pagerank", "articlerank")
   }
 }

@@ -72,6 +72,23 @@ object RankQueries {
     rankSeriesCtes(iters, damping) +
       s" SELECT name, round(pr, 6) AS pagerank, round(ar, 6) AS articlerank FROM t${iters - 1}"
 
+  /** Warm-start rank continuation (X138): the stored 20-iteration
+    * rank STATE resumed 4 delta rounds — the recurrence is memoryless
+    * given (rank, term), so the result is EXACTLY the 24-iteration
+    * cold run and the oracle is the same generated delta-series SQL at
+    * 24 iterations. The graph-side incremental row: a rank refresh
+    * runs m cheap rounds from the checkpoint instead of replaying the
+    * whole series over history. */
+  val warmRanks: Q = (s, dir) => {
+    val edges = graft.SparkEntry.nationTradeEdges(s, dir).persistTracked()
+    val state = graft.graph.Ranks.rankStateTable(
+      edges, "src_nation", "dst_nation", iters = 20)
+    graft.graph.Ranks.resumeRankTable(
+      edges, "src_nation", "dst_nation", state, extraRounds = 4)
+      .select(col("name"), round(col("pagerank"), 6).as("pagerank"),
+        round(col("articlerank"), 6).as("articlerank"))
+  }
+
   /** README headline: top 50 countries by PageRank, each with the
     * country it exports the most to (`/root/reference/README.md:21-26`).
     * rank-1 partner by edge amount (tie-break partner name asc);
@@ -441,6 +458,7 @@ object RankQueries {
 
   val queries: Map[String, Q] = Map(
     "q_recursive_sql" -> recursiveSql,
+    "q_warm_ranks" -> warmRanks,
     "q_top50_partners" -> top50Partners,
     "q_triangles" -> triangles,
     "q_hops" -> hops,
@@ -454,6 +472,7 @@ object RankQueries {
   val oracles: Map[String, String] = Map(
     "q_recursive_sql" -> recursiveSqlOracle(),
     "q_trade_ranks" -> tradeRanksSql(),
+    "q_warm_ranks" -> tradeRanksSql(iters = 24),
     "q_top50_partners" -> top50PartnersSql(),
     "q_triangles" -> trianglesSql,
     "q_hops" -> hopsSql(),

@@ -118,4 +118,46 @@ class RanksSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     for ((k, v) <- local) assert(math.abs(dist(k) - v) < 1e-12, s"vertex $k")
   }
+
+  test("resumeRankTable: warm continuation == longer cold run, bit-exact; guards loud") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("name", "pagerank", "articlerank")
+        .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val cold25 = asMap(Ranks.rankTable(edges, "src", "dst", iters = 25))
+    val state20 = Ranks.rankStateTable(edges, "src", "dst", iters = 20)
+    val warm = asMap(Ranks.resumeRankTable(edges, "src", "dst",
+      state20, extraRounds = 5))
+    assert(warm == cold25, "warm(state20, 5) must be bit-exactly cold(25)")
+    // zero extra rounds: the state's own ranks come straight back
+    val warm0 = asMap(Ranks.resumeRankTable(edges, "src", "dst",
+      state20, extraRounds = 0))
+    assert(warm0 == asMap(Ranks.rankTable(edges, "src", "dst", iters = 20)))
+    // a grown graph (vertex with no state row) fails loud
+    val grown = edges.unionByName(Seq(("e", "a")).toDF("src", "dst"))
+    val e1 = intercept[IllegalArgumentException] {
+      Ranks.resumeRankTable(grown, "src", "dst", state20, extraRounds = 1)
+        .collect()
+    }
+    assert(e1.getMessage.contains("state row"))
+    intercept[IllegalArgumentException] {
+      Ranks.resumeRankTable(edges, "src", "dst",
+        state20.drop("pr_term"), extraRounds = 1)
+    }
+  }
+
+  test("resumeRankTable distributed path == local path (forced thresholds)") {
+    val state = Ranks.rankStateTable(edges, "src", "dst", iters = 10)
+    val local = Ranks.resumeRankTable(edges, "src", "dst", state, extraRounds = 3)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val distState = Ranks.rankStateTable(edges, "src", "dst", iters = 10,
+      localThreshold = 0)
+    val dist = Ranks.resumeRankTable(edges, "src", "dst", distState,
+      extraRounds = 3, localThreshold = 0)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(local.keySet == dist.keySet)
+    for ((k, (p, a)) <- local) {
+      assert(math.abs(dist(k)._1 - p) < 1e-12, s"pagerank $k")
+      assert(math.abs(dist(k)._2 - a) < 1e-12, s"articlerank $k")
+    }
+  }
 }
