@@ -647,6 +647,138 @@ object Extensions {
       "(SELECT vec_id FROM sm1 UNION SELECT vec_id FROM sm2)"
   }
 
+  /** The composed ingestion increment, QUARTET form (X139): X121's
+    * trilogy with the fourth dedup family added — exact first, then
+    * MinHash near-dup AND exact-substring both over the stage-1
+    * survivors (substring coverage is computed against the ORIGINAL
+    * token streams — the store indexed those, and a span-reassembled
+    * text is a different corpus), then semantic over the docs both
+    * passes keep. A doc drops if near-dup-claimed OR fully
+    * window-claimed; the surviving docs carry their stage-3 `n_kept`
+    * into the output hash. On this corpus the docs with store-shared
+    * windows are near-dups of store docs, so stage 2 subsumes stage
+    * 3's drop set — the hashed `n_kept` pins the NO-SPURIOUS-COVERAGE
+    * direction on every survivor (a coverage bug flips the hash), and
+    * the full coverage path has its own gate row
+    * (`q_incremental_substring`, 381 store-hit + 433 in-batch dup
+    * windows at sf0.01). Every store bootstrapped from the
+    * doc_id % 3 == 0 slice and
+    * represented only by its index records — the composition IS the
+    * proof that the four store contracts line up. */
+  val ingestQuartet: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val storeSlice = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val priorFps = docs
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
+    val s1 = Dedup.incrementalExactDedup(batch, priorFps, "text", "doc_id")
+      .select(col("doc_id"), col("text"))
+    val ndStore = Dedup.nearDupStoreRecords(storeSlice, "doc_id", "text",
+      shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+    val s2 = Dedup.incrementalNearDup(s1, ndStore, "text", "doc_id",
+      threshold = 0.7, shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+      .select(col("doc_id"))
+    val grams = Dedup.substringStoreRecords(storeSlice, "doc_id", "text",
+      L = SUBSTR_L)
+    // stage 3 runs on the stage-1 survivors (parallel to stage 2) and
+    // its surviving docs intersect stage 2's; n_kept rides into the
+    // output so the coverage ARITHMETIC is pinned, not just the drop set
+    val sub = Dedup.incrementalSubstringDedup(s1, grams, "doc_id", "text",
+      L = SUBSTR_L)
+      .filter(col("n_kept") > 0)
+      .select(col("id").as("doc_id"), col("n_kept"))
+    val s3 = graft.core.Caches.persistTracked(
+      sub.join(s2, Seq("doc_id")))
+    val embStore = emb.filter(col("vec_id") % 3 === 0)
+    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
+      embStore, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    val semStore = Similarity.semanticStoreRecords(embStore, "vec_id", "embedding", cents)
+    val batchEmb = emb.join(s3.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Similarity.incrementalSemanticDedup(batchEmb, semStore, cents, threshold = SEMDEDUP_T)
+      .select(col("id").as("doc_id"), col("cell"))
+      .join(s3, Seq("doc_id"))
+      .select(col("doc_id"), col("cell"), col("n_kept"))
+  }
+
+  lazy val ingestQuartetSql: String = {
+    val sigElems = (0 until MINHASH_BANDS * MINHASH_RPB).map(seed =>
+      s"coalesce(list_min(list_transform(s, x -> md5('$seed:' || x))), 'zz_empty')")
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until MINHASH_BANDS).map(b => s"($b)").mkString(",")
+    val jac = "CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE)/" +
+      "len(list_distinct(list_concat(x.ds, y.ds)))"
+    def sq(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), 6)"
+    val quant = "list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
+    val cPrev = s"c${SEMDEDUP_ITERS - 1}"
+    val L = SUBSTR_L
+    // stage 1: exact
+    s"WITH f AS MATERIALIZED (SELECT doc_id, md5($duckNormText) AS fp FROM documents), " +
+      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0 OR doc_id % 5 = 0), " +
+      "s1 AS MATERIALIZED (SELECT doc_id FROM (" +
+      "SELECT n.doc_id, row_number() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn " +
+      "FROM (SELECT doc_id, fp FROM f WHERE doc_id % 3 <> 0) n " +
+      "LEFT JOIN prior p ON n.fp = p.fp WHERE p.fp IS NULL) WHERE rn = 1), " +
+      // stage 2: near-dup (bands over store slice + stage-1 survivors)
+      s"toks AS MATERIALIZED (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"shl AS (SELECT doc_id, $duckShingles AS s FROM (SELECT doc_id, t FROM toks)), " +
+      s"sig AS MATERIALIZED (SELECT doc_id, $sigElems AS sg FROM shl), " +
+      "dsh AS MATERIALIZED (SELECT doc_id, list_distinct(s) AS ds FROM shl), " +
+      s"bands AS MATERIALIZED (SELECT g.doc_id, bb.band AS band, " +
+      s"array_to_string(list_slice(g.sg, bb.band*$MINHASH_RPB + 1, bb.band*$MINHASH_RPB + $MINHASH_RPB), '|') AS bucket " +
+      s"FROM sig g JOIN dsh h ON g.doc_id = h.doc_id CROSS JOIN (VALUES $bandRows) bb(band) " +
+      "WHERE len(h.ds) > 0 AND (g.doc_id % 3 = 0 OR g.doc_id IN (SELECT doc_id FROM s1))), " +
+      "cs2 AS (SELECT DISTINCT n.doc_id AS bid, st.doc_id AS sid FROM bands n " +
+      "JOIN bands st ON n.band = st.band AND n.bucket = st.bucket " +
+      "WHERE n.doc_id % 3 <> 0 AND st.doc_id % 3 = 0), " +
+      "cb2 AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
+      "WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 <> 0), " +
+      s"nd1 AS (SELECT DISTINCT bid FROM cs2 JOIN dsh x ON bid = x.doc_id JOIN dsh y ON sid = y.doc_id WHERE $jac >= 0.7), " +
+      s"nd2 AS (SELECT DISTINCT id2 AS bid FROM cb2 JOIN dsh x ON id1 = x.doc_id JOIN dsh y ON id2 = y.doc_id WHERE $jac >= 0.7), " +
+      "s2 AS MATERIALIZED (SELECT doc_id FROM s1 WHERE doc_id NOT IN " +
+      "(SELECT bid FROM nd1 UNION SELECT bid FROM nd2)), " +
+      // stage 3: exact-substring (stage-1 survivors vs stored windows)
+      s"g3 AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, doc_id * 100000 + i - 1 AS occ, " +
+      s"md5(array_to_string(list_slice(t, i, i + $L - 1), chr(1))) AS gh " +
+      s"FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - $L + 1)) AS i FROM toks " +
+      s"WHERE (doc_id % 3 = 0 OR doc_id IN (SELECT doc_id FROM s1)) AND len(t) >= $L)), " +
+      "st3 AS MATERIALIZED (SELECT DISTINCT gh FROM g3 WHERE doc_id % 3 = 0), " +
+      "bg3 AS MATERIALIZED (SELECT * FROM g3 WHERE doc_id % 3 <> 0), " +
+      "cov3s AS (SELECT doc_id, pos FROM bg3 JOIN st3 USING (gh)), " +
+      "d3 AS (SELECT gh, min(occ) AS first_occ FROM bg3 WHERE gh NOT IN (SELECT gh FROM st3) GROUP BY gh HAVING count(*) >= 2), " +
+      "cov3b AS (SELECT doc_id, pos FROM bg3 JOIN d3 USING (gh) WHERE occ <> first_occ), " +
+      s"cov3 AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + $L - 1)) AS tp " +
+      "FROM (SELECT * FROM cov3s UNION ALL SELECT * FROM cov3b)), " +
+      "covc AS (SELECT doc_id, count(*) AS nc FROM cov3 GROUP BY doc_id), " +
+      "s3 AS MATERIALIZED (SELECT s1.doc_id, CAST(len(t) - coalesce(nc, 0) AS BIGINT) AS n_kept " +
+      "FROM s1 JOIN toks USING (doc_id) " +
+      "LEFT JOIN covc USING (doc_id) " +
+      "WHERE len(t) > coalesce(nc, 0) AND s1.doc_id IN (SELECT doc_id FROM s2)), " +
+      // stage 4: semantic (k-means trained on the store slice, frozen)
+      kmeansCtes(SEMDEDUP_K, SEMDEDUP_ITERS, finalAssign = true,
+        src = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0)") +
+      s", qb AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM embeddings " +
+      "WHERE vec_id IN (SELECT doc_id FROM s3))" +
+      s", ba AS MATERIALIZED (SELECT vec_id, c AS cell FROM (SELECT q.vec_id, c.c, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sq("q.qv", "c.cv")}, c.c) AS rn " +
+      s"FROM qb q CROSS JOIN $cPrev c) WHERE rn = 1)" +
+      ", cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings)" +
+      ", bd AS MATERIALIZED (SELECT ba.vec_id, ba.cell, cd.ed FROM ba JOIN cd USING (vec_id))" +
+      s", sd AS MATERIALIZED (SELECT a.vec_id, a.c AS cell, cd.ed FROM a$SEMDEDUP_ITERS a JOIN cd USING (vec_id))" +
+      s", sm1 AS (SELECT DISTINCT b.vec_id FROM bd b JOIN sd s ON b.cell = s.cell WHERE ${cos("b.ed", "s.ed")} >= $SEMDEDUP_T)" +
+      s", sm2 AS (SELECT DISTINCT y.vec_id FROM bd x JOIN bd y ON x.cell = y.cell AND x.vec_id < y.vec_id WHERE ${cos("x.ed", "y.ed")} >= $SEMDEDUP_T) " +
+      "SELECT bd.vec_id AS doc_id, bd.cell, s3.n_kept FROM bd " +
+      "JOIN s3 ON s3.doc_id = bd.vec_id WHERE bd.vec_id NOT IN " +
+      "(SELECT vec_id FROM sm1 UNION SELECT vec_id FROM sm2)"
+  }
+
   val simhashPairs: Q = (s, d) =>
     Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
 
@@ -3330,6 +3462,7 @@ object Extensions {
     "q_incremental_semdedup" -> incrementalSemDedup,
     "q_ivf_drift" -> ivfDrift,
     "q_ingest_full" -> ingestFull,
+    "q_ingest_quartet" -> ingestQuartet,
     "q_line_dedup" -> lineDedup,
     "q_boilerplate" -> boilerplate,
     "q_token_budget" -> tokenBudget,
@@ -3446,6 +3579,7 @@ object Extensions {
     "q_incremental_semdedup" -> incrementalSemDedupSql,
     "q_ivf_drift" -> ivfDriftSql,
     "q_ingest_full" -> ingestFullSql,
+    "q_ingest_quartet" -> ingestQuartetSql,
     "q_line_dedup" -> lineDedupSql,
     "q_boilerplate" -> boilerplateSql,
     "q_token_budget" -> tokenBudgetSql,
