@@ -746,6 +746,51 @@ object Dedup {
     substringGramsOf(substringToks(df, idCol, textCol, L, posBase), L, posBase)
       .select(col("_gh").as("gh")).distinct()
 
+  /** Per-document window-hash POSTINGS (X140) — the RETRACTION-capable
+    * form of [[substringStoreRecords]]: (id, gh) rows WITH doc
+    * attribution, so a right-to-be-forgotten delete can remove exactly
+    * one document's contribution. The global distinct-gh index X132
+    * consumes is the [[substringIndex]] view; under retraction a hash
+    * survives iff ANOTHER stored doc still carries it — removal is
+    * exact, never over-forgetting (a shared boilerplate window stays
+    * covered) and never under-forgetting (content solely owned by the
+    * deleted docs becomes admissible again). Spec-pinned:
+    * retract(postings(S), R) ▷ index ≡ postings(S ∖ R) ▷ index.
+    * Storage cost vs the plain index: one row per (doc, distinct
+    * window) instead of one per distinct window — the price of
+    * deletability; compact to [[substringStoreRecords]] only for
+    * corpora that will never retract. */
+  def substringStorePostings(df: DataFrame, idCol: String, textCol: String,
+      L: Int, posBase: Long = 100000L): DataFrame =
+    substringGramsOf(substringToks(df, idCol, textCol, L, posBase), L, posBase)
+      .select(col("id"), col("_gh").as("gh")).distinct()
+
+  /** The X132-consumable distinct-hash index view of a postings
+    * store. */
+  def substringIndex(postings: DataFrame): DataFrame = {
+    require(postings.columns.contains("gh"),
+      s"substringIndex: postings need a gh column, got ${postings.columns.mkString(", ")}")
+    postings.select(col("gh")).distinct()
+  }
+
+  /** Remove `ids`' contributions from a postings store — the
+    * right-to-be-forgotten pass over the substring index. The delete
+    * batch is bounded by construction, so it broadcasts under the
+    * budget gate (one bounded limit-probe) with a shuffle-hash-pinned
+    * anti-join fallback; the store streams through once either way. */
+  def retractSubstringPostings(postings: DataFrame, ids: DataFrame,
+      idBroadcastBudget: Long = 1000000L): DataFrame = {
+    require(Set("id", "gh").subsetOf(postings.columns.toSet),
+      s"retractSubstringPostings: postings need id/gh, got ${postings.columns.mkString(", ")}")
+    require(ids.columns.contains("id"),
+      s"retractSubstringPostings: ids need an id column, got ${ids.columns.mkString(", ")}")
+    val idOnly = ids.select(col("id")).persistTracked()
+    val idsJ =
+      if (fitsBudget(idOnly, idBroadcastBudget)) broadcast(idOnly)
+      else idOnly.hint("shuffle_hash")
+    postings.join(idsJ, Seq("id"), "left_anti")
+  }
+
   /** Incremental (cross-snapshot) EXACT-SUBSTRING dedup (X132) — the
     * fourth dedup family's ingestion-time form, completing the
     * X112 (exact) / X113 (MinHash) / X116 (semantic) trilogy into a

@@ -343,6 +343,29 @@ object Extensions {
       "FROM tb LEFT JOIN kept k ON tb.doc_id = k.doc_id"
   }
 
+  /** Store retraction (X140): the %3 == 0 postings store forgets its
+    * doc_id % 9 == 0 documents — shared windows persist (another doc
+    * still carries them), solely-owned windows vanish and their
+    * content becomes admissible again. The retraction is provably
+    * exact (retract ≡ rebuild-without — the spec pins it), which is
+    * why the oracle can simply build the index from the surviving
+    * docs. */
+  val storeRetraction: Q = (s, d) => {
+    val store = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+    val postings = Dedup.substringStorePostings(store, "doc_id", "text",
+      L = SUBSTR_L)
+    val retracted = Dedup.retractSubstringPostings(postings,
+      store.filter(col("doc_id") % 9 === 0).select(col("doc_id").as("id")))
+    Dedup.substringIndex(retracted)
+  }
+
+  val storeRetractionSql: String =
+    s"WITH t AS (SELECT doc_id, $duckToksLower AS tk FROM documents " +
+      "WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0), " +
+      s"g AS (SELECT md5(array_to_string(list_slice(tk, i, i + $SUBSTR_L - 1), chr(1))) AS gh " +
+      s"FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - $SUBSTR_L + 1)) AS i FROM t WHERE len(tk) >= $SUBSTR_L)) " +
+      "SELECT DISTINCT gh FROM g"
+
   /** C4-style corpus-level line dedup with document reassembly. On the
     * synthetic single-line documents this degenerates to whole-doc
     * first-occurrence dedup — the multi-line reassembly path is pinned
@@ -3474,6 +3497,7 @@ object Extensions {
     "q_rrf_fusion" -> rrfFusion,
     "q_substring_dedup" -> substringDedup,
     "q_incremental_substring" -> incrementalSubstring,
+    "q_store_retraction" -> storeRetraction,
     "q_substring_dedup_var" -> substringDedupVar,
     "q_seq_pack" -> seqPack,
     "q_ngram_jaccard" -> ngramJaccard,
@@ -3591,6 +3615,7 @@ object Extensions {
     "q_rrf_fusion" -> rrfFusionSql,
     "q_substring_dedup" -> substringDedupSql,
     "q_incremental_substring" -> incrementalSubstringSql,
+    "q_store_retraction" -> storeRetractionSql,
     "q_substring_dedup_var" -> substringDedupVarSql,
     "q_seq_pack" -> seqPackSql,
     "q_ngram_jaccard" -> ngramJaccardSql,

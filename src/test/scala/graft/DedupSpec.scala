@@ -408,6 +408,44 @@ class DedupSpec extends SparkSpec {
     (101L, "some other historical document about spark engines"))
     .toDF("doc_id", "text")
 
+  test("substring postings retraction: exact forget, shared windows persist, X132 readmits") {
+    val spanA = "alpha bravo charlie delta echo"
+    val spanB = "zulu yankee xray whiskey victor"
+    val store = Seq(
+      (1L, s"first doc carrying $spanA today"),
+      (2L, s"second doc also carrying $spanA now"),
+      (3L, s"third doc solely owning $spanB here"))
+      .toDF("doc_id", "text")
+    val postings = Dedup.substringStorePostings(store, "doc_id", "text", L = 5)
+    def idx(p: org.apache.spark.sql.DataFrame) =
+      Dedup.substringIndex(p).as[String].collect().toSet
+    // retract ≡ rebuild-without, exactly
+    val retract3 = Dedup.retractSubstringPostings(postings,
+      Seq(3L).toDF("id"))
+    assert(idx(retract3) == idx(Dedup.substringStorePostings(
+      store.filter(col("doc_id") =!= 3), "doc_id", "text", L = 5)))
+    // forgetting doc 1 keeps spanA's windows alive through doc 2
+    val retract1 = Dedup.retractSubstringPostings(postings, Seq(1L).toDF("id"))
+    val aWindows = idx(Dedup.substringStorePostings(
+      Seq((9L, spanA)).toDF("doc_id", "text"), "doc_id", "text", L = 5))
+    assert(aWindows.subsetOf(idx(retract1)),
+      "shared windows must persist after a partial retraction")
+    // X132 integration: before forgetting, a batch doc made of spanB
+    // loses everything; after, the content is admissible again
+    val batch = Seq((10L, spanB)).toDF("doc_id", "text")
+    val before = Dedup.incrementalSubstringDedup(batch,
+      Dedup.substringIndex(postings), "doc_id", "text", L = 5)
+      .as[(Long, Int, Long, String)].collect().head
+    assert(before._3 == 0L, s"span B must be store-claimed before: $before")
+    val after = Dedup.incrementalSubstringDedup(batch,
+      Dedup.substringIndex(retract3), "doc_id", "text", L = 5)
+      .as[(Long, Int, Long, String)].collect().head
+    assert(after._3 == after._2.toLong, s"span B must be readmitted after: $after")
+    intercept[IllegalArgumentException] {
+      Dedup.retractSubstringPostings(postings.drop("id"), Seq(1L).toDF("id"))
+    }
+  }
+
   test("incrementalConnectedComponents: merges, new minima, untouched clusters — equals full CC") {
     // stored graph: {3,5,7} (label 3), {10,12} (label 10), {20,21} (label 20)
     val storedPairs = Seq((3L, 5L), (5L, 7L), (10L, 12L), (20L, 21L))
