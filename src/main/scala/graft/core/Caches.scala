@@ -86,6 +86,9 @@ object Caches {
       }
       q.add(df)
     }
+    // also record into this thread's innermost releaseScoped scope (if
+    // any) so the scope can free exactly its own frames on exit
+    activeScopes.get().headOption.foreach(_.add(df))
     df
   }
 
@@ -124,37 +127,40 @@ object Caches {
     if (q != null) q.forEach(_.unpersist(blocking = false))
   }
 
-  /** Run `body`, then unpersist ONLY the frames it tracked under this
-    * session — the SCOPED form of [[release]], for operators that loop
-    * inside a caller-owned session (an always-on foreachBatch
-    * increment): per-iteration intermediates are freed every round
-    * while the caller's own tracked frames survive untouched. Cleanup
-    * runs in a finally, so a failing iteration cannot strand its
-    * round's caches. Identity-based membership — two tracked frames
-    * with equal plans are still distinct registry entries. */
-  def releaseScoped[T](spark: SparkSession)(body: => T): T = {
-    val before = registry.synchronized {
-      sweepStopped()
-      val s = java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
-      val q = registry.get(spark)
-      if (q != null) q.forEach { f => s.add(f); () }
-      s
+  /** Active releaseScoped scopes of the CURRENT THREAD (a stack —
+    * scopes may nest). Thread-local on purpose: a snapshot-diff of the
+    * session registry would also sweep frames tracked CONCURRENTLY by
+    * other operators in the same session (two always-on foreachBatch
+    * streams share one SparkSession and interleave arbitrarily);
+    * plan construction — where persistTracked is called — runs on the
+    * scope's own thread, so thread identity is exactly scope
+    * identity. */
+  private val activeScopes =
+    new ThreadLocal[List[java.util.ArrayList[DataFrame]]] {
+      override def initialValue(): List[java.util.ArrayList[DataFrame]] = Nil
     }
+
+  /** Run `body`, then unpersist ONLY the frames IT tracked (via
+    * [[persistTracked]]/[[track]] on this thread) — the SCOPED form of
+    * [[release]], for operators that loop inside a caller-owned
+    * session (an always-on foreachBatch increment): per-iteration
+    * intermediates are freed every round while everything tracked
+    * outside the scope — by the caller or by concurrent operators on
+    * other threads — survives untouched. Cleanup runs in a finally,
+    * so a failing iteration cannot strand its round's caches. */
+  def releaseScoped[T](body: => T): T = {
+    val scope = new java.util.ArrayList[DataFrame]()
+    activeScopes.set(scope :: activeScopes.get())
     try body
     finally {
-      val fresh = new java.util.ArrayList[DataFrame]()
+      activeScopes.set(activeScopes.get().tail)
       registry.synchronized {
-        val q = registry.get(spark)
-        if (q != null) {
-          val it = q.iterator()
-          while (it.hasNext) {
-            val f = it.next()
-            if (!before.contains(f)) { fresh.add(f); it.remove() }
-          }
+        scope.forEach { f =>
+          val q = registry.get(f.sparkSession)
+          if (q != null) { q.remove(f); () }
         }
       }
-      fresh.forEach(_.unpersist(blocking = false))
+      scope.forEach(_.unpersist(blocking = false))
     }
   }
 

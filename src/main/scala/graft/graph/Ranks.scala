@@ -497,6 +497,22 @@ object Ranks {
     import spark.implicits._
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nEdges / 50000L + 1L)).toInt
+    // resume: verify the state covers every edge endpoint BEFORE the
+    // graph is built — graphFromNames' explicit-vertex path drops
+    // unresolved edges (J7 semantics), which on a grown graph would
+    // SILENTLY rank the stale graph; the executor-side throw below
+    // could never fire. Bounded probe: at most 6 offending names.
+    state.foreach { st =>
+      val missing = e.select(col(src).cast("string").as("name"))
+        .unionByName(e.select(col(dst).cast("string").as("name")))
+        .distinct()
+        .join(st.select(col("name").cast("string").as("name")),
+          Seq("name"), "left_anti")
+        .limit(6).collect().map(_.getString(0))
+      require(missing.isEmpty,
+        "resumeRankTable: graph vertices without a state row: " +
+          s"${missing.take(5).mkString(", ")} — the store must cover the graph")
+    }
     val g = graphFromNames(e, src, dst,
       state.map(_.select(col("name"))).orElse(vertices), Some(parts)).cache()
     val names = g.vertices.map { case (id, n) => (id, n) }.toDF("id", "name")

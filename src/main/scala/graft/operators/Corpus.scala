@@ -215,6 +215,17 @@ object Corpus {
     val tf = bm25Tf(toks, idCol, queryTerms)
     val dfq = termStats.filter(col("term").isin(queryTerms: _*))
       .select(col("term"), col("df"))
+    // a query term that OCCURS in the batch but has no stats row would
+    // silently contribute 0.0 through the inner score join — the
+    // caller forgot to merge the batch's own stats. Fail loud; the
+    // probe is bounded by |queryTerms|.
+    val missing = tf.select(col("term")).distinct()
+      .join(dfq.select(col("term")), Seq("term"), "left_anti")
+      .limit(queryTerms.size + 1).collect().map(_.getString(0))
+    require(missing.isEmpty,
+      "bm25WithStats: query terms present in the batch but absent from " +
+        s"termStats: ${missing.mkString(", ")} — merge the batch's own " +
+        "stats first (bm25MergeStats)")
     val stats = corpusStats.select(col("n_docs"),
       (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     bm25Score(tf, dfq, stats, idCol, queryTerms, k1, b, topN)

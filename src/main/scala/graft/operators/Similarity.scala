@@ -560,7 +560,12 @@ object Similarity {
     joined
       .withColumn("drifted",
         col("share_drift_bp") >= shareDriftBp ||
-          coalesce(col("dist_growth_bp") >= lit(10000L + distGrowthBp), lit(false)))
+          coalesce(col("dist_growth_bp") >= lit(10000L + distGrowthBp), lit(false)) ||
+          // a zero store mean makes relative growth undefined exactly
+          // when drift is most extreme (store ON its centroids, batch
+          // off them) — any nonzero batch mean flags
+          coalesce(col("store_mean_qdist") === 0 && col("batch_mean_qdist") > 0,
+            lit(false)))
       .select(col("cell"), col("store_n"), col("batch_n"),
         col("store_share_bp"), col("batch_share_bp"), col("share_drift_bp"),
         col("store_mean_qdist"), col("batch_mean_qdist"),

@@ -1496,6 +1496,16 @@ object Extensions {
     * disk fsync per offset/commit/state-delta file that a disk-backed
     * java.io.tmpdir pays. A real deployment would point this at
     * durable shared storage instead. */
+  /** Declared schema for streaming reads of the driver's documents
+    * table (streaming file sources cannot infer; one definition so a
+    * column change cannot silently null out a stale copy). */
+  private val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
   private def streamCkptDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base =
@@ -1541,12 +1551,6 @@ object Extensions {
     * matter which duplicate row won inside the state store. */
   val streamDedup: Q = (s, d) => withStreamShuffle(s, 8) {
     val ckpt = streamCkptDir("graft-ckpt-sd")
-    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
     // +1: a row at epoch 0 would satisfy the initial late-row predicate
     // (ts <= watermark=0) and be silently dropped
     val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
@@ -1572,12 +1576,6 @@ object Extensions {
     * store. */
   val streamIncrDedup: Q = (s, d) => withStreamShuffle(s, 8) {
     val ckpt = streamCkptDir("graft-ckpt-sid")
-    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
     // % 5 overlap for the same reason as incrementalDedup: without it
     // the corpus's all-distinct texts would make the anti-join a no-op
     val prior = Tables.documents(s, d)
@@ -1616,17 +1614,14 @@ object Extensions {
     val ckpt = streamCkptDir("graft-ckpt-sind")
     val storeDir =
       java.nio.file.Files.createTempDirectory("graft-ndstore").toString
-    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    // bootstrap under its own batch partition (the retry-idempotent
+    // layout: micro-batches own batch=<id> dirs; discovery rejects a
+    // flat-plus-partitioned mix)
     Dedup.nearDupStoreRecords(
       Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
       "doc_id", "text",
       shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
-      .write.mode("overwrite").parquet(storeDir)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
     val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
       .filter(col("doc_id") % 3 =!= 0)
       .select(col("doc_id"), col("text"), col("source"))
@@ -2636,7 +2631,8 @@ object Extensions {
       "THEN batch_mean_qdist * 10000 // store_mean_qdist END AS dist_growth_bp FROM r) " +
       "SELECT cell, store_n, batch_n, store_share_bp, batch_share_bp, share_drift_bp, " +
       "store_mean_qdist, batch_mean_qdist, dist_growth_bp, " +
-      "(share_drift_bp >= 200 OR coalesce(dist_growth_bp >= 12000, false)) AS drifted FROM r2"
+      "(share_drift_bp >= 200 OR coalesce(dist_growth_bp >= 12000, false) " +
+      "OR coalesce(store_mean_qdist = 0 AND batch_mean_qdist > 0, false)) AS drifted FROM r2"
   }
 
   val embedIvfTrainedSql: String = {

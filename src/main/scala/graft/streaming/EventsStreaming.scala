@@ -231,7 +231,11 @@ object EventsStreaming {
     *
     * `sink` receives each batch's survivors (original columns +
     * shingles/sig) and the batch id; the caller starts the returned
-    * writer with its own trigger/checkpoint. */
+    * writer with its own trigger/checkpoint. A pre-bootstrapped store
+    * must live under its own `batch=<negative id>` partition (e.g.
+    * `batch=-1`) — micro-batches write `batch=<batchId>` partitions,
+    * and parquet partition discovery rejects a layout mixing flat
+    * files with partition directories. */
   def streamingIncrementalNearDup(docs: DataFrame, storePath: String,
       textCol: String, idCol: String, threshold: Double,
       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3)(
@@ -239,12 +243,25 @@ object EventsStreaming {
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        graft.core.Caches.releaseScoped(spark) {
-          val store = readNearDupStore(spark, storePath)
-          // EAGER localCheckpoint, not persist: the store append below
+        graft.core.Caches.releaseScoped[Unit] {
+          // RETRY-IDEMPOTENT store layout: foreachBatch is
+          // at-least-once, and a plain append would poison a retried
+          // micro-batch — the re-run's store read would contain the
+          // failed attempt's own survivors, every doc would self-match
+          // at Jaccard 1.0, and the sink would silently receive zero
+          // rows. Instead each batch OVERWRITES its own
+          // `batch=<batchId>` partition (the re-run replaces it) and
+          // the read EXCLUDES the current batch's partition, so a
+          // retry sees exactly the store state the first attempt saw.
+          val store0 = readNearDupStore(spark, storePath)
+          val store =
+            if (store0.columns.contains("batch"))
+              store0.filter(col("batch") =!= batchId).drop("batch")
+            else store0
+          // EAGER localCheckpoint, not persist: the store write below
           // rewrites storePath, and Spark's recacheByPath would
           // RECOMPUTE a merely-persisted survivors plan against the
-          // just-appended store — every survivor then matches itself
+          // just-written store — every survivor then matches itself
           // and the sink sees zero rows. Lineage truncation pins the
           // computed rows; blocks are reclaimed by the ContextCleaner
           // once the batch's references drop (Caches class-3 policy).
@@ -254,7 +271,7 @@ object EventsStreaming {
           survivors
             .select(col(idCol).cast("long").as("id"),
               col("shingles"), col("sig"))
-            .write.mode("append").parquet(storePath)
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
           sink(survivors.drop("band_keys"), batchId)
         }
         ()
@@ -262,11 +279,14 @@ object EventsStreaming {
 
   /** The near-dup store as a DataFrame, empty-with-schema when the
     * path does not exist yet (stream-first deployments bootstrap the
-    * store from their own first batches). The catch is NARROW — only
-    * the no-data-at-path conditions; a real read failure (corrupt
-    * store) must fail the batch, not silently restart history. */
+    * store from their own first batches). Partition discovery exposes
+    * the per-batch `batch=` directories as a `batch` column (the
+    * retry-idempotence layout); a flat bootstrap store reads without
+    * it. The catch is NARROW — only the no-data-at-path conditions;
+    * a real read failure (corrupt store) must fail the batch, not
+    * silently restart history. */
   def readNearDupStore(spark: SparkSession, path: String): DataFrame =
-    try spark.read.parquet(path)
+    try spark.read.option("basePath", path).parquet(path)
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")

@@ -131,7 +131,7 @@ class CachesSpec extends SparkSpec {
     val outer = Caches.persistTracked(spark.range(5).toDF())
     outer.count()
     assert(Caches.trackedCount(spark) == 1)
-    val r = Caches.releaseScoped(spark) {
+    val r = Caches.releaseScoped {
       val inner = Caches.persistTracked(spark.range(7).toDF())
       inner.count()
       assert(Caches.trackedCount(spark) == 2)
@@ -144,12 +144,27 @@ class CachesSpec extends SparkSpec {
       "caller-tracked frame must stay cached across a scoped release")
     // cleanup runs even when the body throws
     intercept[RuntimeException] {
-      Caches.releaseScoped(spark) {
+      Caches.releaseScoped[Unit] {
         Caches.persistTracked(spark.range(9).toDF()).count()
         throw new RuntimeException("boom")
       }
     }
     assert(Caches.trackedCount(spark) == 1)
+    // frames tracked CONCURRENTLY on another thread while a scope is
+    // open must NOT be swept by this thread's scope exit — scope
+    // identity is thread identity
+    @volatile var other: org.apache.spark.sql.DataFrame = null
+    Caches.releaseScoped[Unit] {
+      val t = new Thread(() => {
+        other = Caches.persistTracked(spark.range(11).toDF())
+        other.count()
+      })
+      t.start(); t.join()
+      Caches.persistTracked(spark.range(13).toDF()).count()
+    }
+    assert(other.storageLevel.useMemory,
+      "a concurrent operator's frame must survive a foreign scope exit")
+    assert(Caches.trackedCount(spark) == 2) // outer + other
     Caches.release(spark)
   }
 

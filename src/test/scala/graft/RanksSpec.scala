@@ -139,6 +139,14 @@ class RanksSpec extends SparkSpec {
         .collect()
     }
     assert(e1.getMessage.contains("state row"))
+    // the DISTRIBUTED path must fail loud too — graphFromNames'
+    // explicit-vertex build silently drops unresolved edges, so the
+    // guard must fire BEFORE the graph exists
+    val e2 = intercept[IllegalArgumentException] {
+      Ranks.resumeRankTable(grown, "src", "dst", state20, extraRounds = 1,
+        localThreshold = 0).collect()
+    }
+    assert(e2.getMessage.contains("state row"))
     intercept[IllegalArgumentException] {
       Ranks.resumeRankTable(edges, "src", "dst",
         state20.drop("pr_term"), extraRounds = 1)

@@ -400,5 +400,17 @@ class SimilaritySpec extends SparkSpec {
     assert(g._1 == 0L && g._2 == 0L && g._3.contains(9536L) &&
       g._4.contains(476837L) && g._6,
       s"distance growth must flag: $g")
+    // store exactly ON its centroid: relative growth is undefined
+    // (store mean 0) precisely when drift is most extreme — the
+    // zero-mean rule must flag any nonzero batch mean
+    val zero = Similarity.ivfDriftReport(
+      emb((1L, c0)), emb((10L, Array(0.5f, 0.5f))), cents)
+      .select("cell", "share_drift_bp", "store_mean_qdist",
+        "batch_mean_qdist", "dist_growth_bp", "drifted")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long], Boolean)]
+      .collect().head
+    assert(zero._3.contains(0L) && zero._4.exists(_ > 0) &&
+      zero._5.isEmpty && zero._6,
+      s"zero store mean with nonzero batch mean must flag: $zero")
   }
 }

@@ -217,33 +217,43 @@ class StreamingSpec extends SparkSpec {
     val tA = "the quick brown fox jumps over the lazy dog entirely"
     val tB = "completely different content about spark engines instead"
     val buf = scala.collection.mutable.ArrayBuffer[Long]()
-    def runOnce(): Unit = {
+    def runOnce(ckptDir: String = ckpt): Unit = {
       val src = spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true").parquet(dir)
       val q = EventsStreaming.streamingIncrementalNearDup(
         src, storeDir, "text", "doc_id", threshold = 0.9) { (sv, _) =>
         buf ++= sv.select("doc_id").as[Long].collect()
       }
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", ckptDir)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
+    def storeIds: Set[Long] = spark.read
+      .option("basePath", storeDir).parquet(storeDir)
+      .select("id").as[Long].collect().toSet
     // batch 1: doc 1 fresh; docs 2,3 exact dups of each other -> 2 wins
     write("f1", Seq((1L, tA), (2L, tB), (3L, tB)))
     runOnce()
     assert(buf.toSet == Set(1L, 2L))
-    // batch 2, SAME checkpoint, arbitrarily later: doc 10 near-dups
-    // batch-1's doc 1 (dropped via the STORE - run 1 appended doc 1's
-    // record), doc 11 near-dups survivor 2's text (dropped the same
-    // way), doc 12 is fresh. No watermark window is involved: the
-    // store hand-off catches repeats however far apart the runs are.
+    // at-least-once RETRY of batch 0 (fresh checkpoint, same store):
+    // the batch's own partition is excluded from its read and
+    // overwritten on write, so the replay reproduces the SAME
+    // survivors instead of self-matching to zero, and the store is
+    // byte-identical afterwards
+    buf.clear()
+    runOnce(Files.createTempDirectory("graft-ckpt-sind-retry").toString)
+    assert(buf.toSet == Set(1L, 2L), s"retry must reproduce survivors, got $buf")
+    assert(storeIds == Set(1L, 2L))
+    // batch 2, original checkpoint, arbitrarily later: doc 10
+    // near-dups batch-1's doc 1 (dropped via the STORE), doc 11
+    // near-dups survivor 2's text (dropped the same way), doc 12 is
+    // fresh. No watermark window is involved: the store hand-off
+    // catches repeats however far apart the runs are.
     write("f2", Seq((10L, tA), (11L, tB), (12L, "an entirely fresh never before seen document")))
+    buf.clear()
     runOnce()
-    assert(buf.toSet == Set(1L, 2L, 12L))
-    // and the store now holds exactly the three survivors' records
-    val storeIds = spark.read.parquet(storeDir)
-      .select("id").as[Long].collect().toSet
+    assert(buf.toSet == Set(12L))
     assert(storeIds == Set(1L, 2L, 12L))
   }
 
