@@ -275,6 +275,74 @@ object Corpus {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Train-side GRAM POSTINGS store (X141): each train doc's distinct
+    * n-gram md5 keys as (id, gk) rows, persisted ONCE at ingest — when
+    * a new benchmark lands later, decontamination re-runs against the
+    * postings, never against the text. 16 bytes per (doc, distinct
+    * gram); the retraction story matches X140's (anti-join by id). */
+  def gramPostings(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame =
+    Dedup.spread(docs).select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(Dedup.shinglesAuto(docs, textCol, n))).as("_g"))
+      .select(col("id"), md5(col("_g")).as("gk"))
+
+  /** Distinct gram keys of an eval slice — the append-only benchmark
+    * index's records. */
+  def evalGramRecords(evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame =
+    Dedup.spread(evalDocs)
+      .select(explode(array_distinct(Dedup.shinglesAuto(evalDocs, textCol, n))).as("_g"))
+      .select(md5(col("_g")).as("gk")).distinct()
+
+  /** The keys a NEW benchmark adds to a stored eval-gram index: its
+    * records anti-joined against the store. This disjointness is what
+    * makes [[contaminationDelta]] exactly additive. */
+  def newEvalGrams(newEval: DataFrame, idCol: String, textCol: String,
+      storedGrams: DataFrame, n: Int = 13): DataFrame = {
+    require(storedGrams.columns.contains("gk"),
+      s"newEvalGrams: stored index needs a gk column, got ${storedGrams.columns.mkString(", ")}")
+    evalGramRecords(newEval, idCol, textCol, n)
+      .join(storedGrams.select(col("gk")).hint("shuffle_hash"),
+        Seq("gk"), "left_anti")
+  }
+
+  /** Incremental decontamination (X141): hits of the stored train
+    * postings against ONLY a delta gram set — the pure index-vs-index
+    * pass a flag store runs when a new benchmark lands: because each
+    * doc's postings are distinct and the delta's keys are disjoint
+    * from the stored index ([[newEvalGrams]]), the shared-gram counts
+    * are exactly ADDITIVE — stored flags ⊕ delta ≡ a full re-run
+    * against the merged eval set (spec-pinned and gate-pinned: the
+    * gate oracle IS the full-pass SQL). Neither side carries text;
+    * the join shuffles 16-byte keys, pinned shuffle-hash (eval deltas
+    * are small but corpus-shaped — X43's no-broadcast convention).
+    * Returns (id, n_new_shared) for hit docs only. */
+  def contaminationDelta(trainPostings: DataFrame,
+      deltaGrams: DataFrame): DataFrame = {
+    require(Set("id", "gk").subsetOf(trainPostings.columns.toSet),
+      s"contaminationDelta: postings need id/gk, got ${trainPostings.columns.mkString(", ")}")
+    require(deltaGrams.columns.contains("gk"),
+      s"contaminationDelta: delta needs a gk column, got ${deltaGrams.columns.mkString(", ")}")
+    trainPostings
+      .join(deltaGrams.select(col("gk")).distinct().hint("shuffle_hash"),
+        Seq("gk"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_new_shared"))
+  }
+
+  /** Merge a stored flag table with a delta's hit counts — counts add
+    * (the mergeable-partials law again); docs hit by neither side are
+    * absent, as in [[contaminationHits]]. */
+  def mergeContaminationHits(stored: DataFrame, delta: DataFrame): DataFrame = {
+    require(Set("id", "n_shared_grams").subsetOf(stored.columns.toSet),
+      s"mergeContaminationHits: stored needs id/n_shared_grams, got ${stored.columns.mkString(", ")}")
+    require(Set("id", "n_new_shared").subsetOf(delta.columns.toSet),
+      s"mergeContaminationHits: delta needs id/n_new_shared, got ${delta.columns.mkString(", ")}")
+    stored.select(col("id"), col("n_shared_grams"))
+      .unionByName(delta.select(col("id"),
+        col("n_new_shared").as("n_shared_grams")))
+      .groupBy(col("id")).agg(sum(col("n_shared_grams")).as("n_shared_grams"))
+  }
+
   /** Blocklist filter: drop every document containing ANY blocklisted
     * term (domain/slur/boilerplate lists in real pipelines). The term
     * list is by definition the small side — it rides to every executor

@@ -2279,6 +2279,36 @@ object Extensions {
       "SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size, " +
       "doc_id = cluster_id AS is_canonical FROM comp"
 
+  /** Incremental decontamination (X141): the eval set arrives in two
+    * waves — E1 builds the stored flags, E2's NEW grams (anti-joined
+    * against E1's index) drive a pure index-vs-index delta pass over
+    * the stored train postings, and the merged counts must equal the
+    * full pass against E1 ∪ E2 — so the oracle IS the existing
+    * full-pass SQL (q_decontaminate's), proving incremental ≡ full at
+    * the hash gate. Neither wave re-tokenizes the train corpus. */
+  val incrementalDecontam: Q = (s, d) => {
+    val split = graft.operators.ScaleOps.hashSplit(
+      Tables.documents(s, d), "doc_id", holdoutPct = 10)
+    val train = split.filter(col("split") === "train")
+    val holdout = split.filter(col("split") === "holdout")
+    val e1 = holdout.filter(col("doc_id") % 2 === 0)
+    val e2 = holdout.filter(col("doc_id") % 2 =!= 0)
+    val postings = graft.core.Caches.persistTracked(
+      Corpus.gramPostings(train, "doc_id", "text", n = 13))
+    val idx1 = graft.core.Caches.persistTracked(
+      Corpus.evalGramRecords(e1, "doc_id", "text", n = 13))
+    val stored = Corpus.contaminationDelta(postings, idx1)
+      .withColumnRenamed("n_new_shared", "n_shared_grams")
+    val delta = Corpus.contaminationDelta(postings,
+      Corpus.newEvalGrams(e2, "doc_id", "text", idx1, n = 13))
+    val merged = Corpus.mergeContaminationHits(stored, delta)
+      .withColumnRenamed("id", "doc_id")
+    train.select(col("doc_id"))
+      .join(merged.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+  }
+
   /** Incremental cluster maintenance (X133): near-dup pairs with both
     * endpoints in the doc_id % 3 == 0 slice are "history" — their CC
     * labels are the stored table; every pair touching the rest of the
@@ -3557,6 +3587,7 @@ object Extensions {
     "q_dedup_clusters" -> dedupClusters,
     "q_incremental_clusters" -> incrementalClusters,
     "q_decontaminate" -> decontaminate,
+    "q_incremental_decontam" -> incrementalDecontam,
     "q_blocklist" -> blocklist,
     "q_pii_redact" -> piiRedact,
     "q_bucketed_join" -> bucketedJoin,
@@ -3675,6 +3706,7 @@ object Extensions {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_incremental_clusters" -> incrementalClustersSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_incremental_decontam" -> decontaminateSql,
     "q_blocklist" -> blocklistSql,
     "q_pii_redact" -> piiRedactSql,
     "q_bucketed_join" -> bucketedJoinSql,

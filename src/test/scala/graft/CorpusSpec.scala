@@ -416,6 +416,41 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("incremental decontamination: stored + delta == full pass, overlapping benchmarks count once") {
+    import graft.operators.Corpus
+    val train = Seq(
+      (1L, "aa bb cc dd ee"),   // shares gram1 (aa bb cc) with E1 AND E2
+      (2L, "cc dd ee ff gg"),   // shares gram2 (cc dd ee) with E2 only
+      (3L, "zz yy xx ww vv"))   // clean
+      .toDF("doc_id", "text")
+    val e1 = Seq((100L, "aa bb cc qq rr")).toDF("doc_id", "text")
+    // E2 repeats E1's gram AND adds a new one
+    val e2 = Seq((200L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val n = 3
+    val postings = Corpus.gramPostings(train, "doc_id", "text", n)
+    val idx1 = Corpus.evalGramRecords(e1, "doc_id", "text", n)
+    val fresh = Corpus.newEvalGrams(e2, "doc_id", "text", idx1, n)
+    // disjointness: the repeated gram is excluded from the delta
+    assert(fresh.count() <
+      Corpus.evalGramRecords(e2, "doc_id", "text", n).count())
+    val stored = Corpus.contaminationDelta(postings, idx1)
+      .withColumnRenamed("n_new_shared", "n_shared_grams")
+    val merged = Corpus.mergeContaminationHits(
+      stored, Corpus.contaminationDelta(postings, fresh))
+      .as[(Long, Long)].collect().toMap
+    val full = Corpus.contaminationHits(train, e1.unionByName(e2),
+      "doc_id", "text", n)
+      .as[(Long, Long)].collect().toMap
+    assert(merged == full, s"incremental $merged must equal full $full")
+    assert(merged.contains(1L) && merged.contains(2L) && !merged.contains(3L))
+    intercept[IllegalArgumentException] {
+      Corpus.contaminationDelta(postings.drop("gk"), idx1)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.mergeContaminationHits(stored.drop("n_shared_grams"), stored)
+    }
+  }
+
   test("incremental BM25: merged mergeable stats == full-corpus stats, scoring included") {
     val docs = Seq(
       (1L, "hash join scan over the build side"),
