@@ -121,6 +121,40 @@ object ScaleOps {
     * Use when one key dominates (AQE skew-join handles moderate skew;
     * salting is the deterministic heavy hammer for pathological
     * keys). */
+  /** Join-key SKEW report (X142) — the diagnostic that decides between
+    * a plain shuffle, AQE skew splitting, and [[saltedJoin]]'s heavy
+    * hammer: the `topN` hottest keys with their row counts, corpus
+    * share in basis points (integral division — exact), the ratio of
+    * each key to the MEAN key's load (×100, integral), and the salt
+    * bucket count that would level the key to the mean
+    * (ceil(count·distinct/total)). All-integer arithmetic, so the ops
+    * report is a hash row like everything else.
+    *
+    * Scale shape: one key-partial-agg shuffle (map-side combine — hot
+    * keys pre-reduce in every input partition, so the shuffle carries
+    * ≤ #distinct·#partitions rows however skewed the data), one 1-row
+    * totals aggregate attached by broadcast, and a TakeOrdered top-N —
+    * the report never sorts the key table globally. */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = graft.core.Caches.persistTracked(
+      Dedup.spread(df).groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as("n")))
+    val totals = counts.agg(
+      coalesce(sum(col("n")), lit(0L)).as("_total"),
+      count(lit(1)).as("_distinct"))
+    counts.crossJoin(broadcast(totals))
+      .filter(col("_total") > 0)
+      .withColumn("share_bp", expr("n * 10000L div _total"))
+      .withColumn("vs_mean_x100", expr("n * _distinct * 100L div _total"))
+      .withColumn("salt_buckets",
+        expr("(n * _distinct + _total - 1) div _total"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topN)
+      .select(col("key"), col("n"), col("share_bp"),
+        col("vs_mean_x100"), col("salt_buckets"))
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: Seq[String],
       saltBuckets: Int): DataFrame = {
     require(!(fact.columns ++ dim.columns).contains("_salt"),

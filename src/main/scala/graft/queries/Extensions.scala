@@ -2136,6 +2136,21 @@ object Extensions {
       "CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < " +
       "CASE lang WHEN 'de' THEN 2500.0 WHEN 'en' THEN 5000.0 ELSE 1000.0 END"
 
+  /** Join-key skew report (X142): the event_type distribution with
+    * exact integral shares, hot-key-vs-mean ratios, and the salt
+    * bucket counts that would level each key — the diagnostic that
+    * picks between plain shuffle, AQE skew split, and saltedJoin. */
+  val skewReport: Q = (s, d) =>
+    graft.operators.ScaleOps.skewReport(Tables.events(s, d), "event_type")
+
+  val skewReportSql: String =
+    "WITH c AS (SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1), " +
+      "t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total, count(*) AS nd FROM c) " +
+      "SELECT key, n, n * 10000 // total AS share_bp, " +
+      "n * nd * 100 // total AS vs_mean_x100, " +
+      "(n * nd + total - 1) // total AS salt_buckets " +
+      "FROM c CROSS JOIN t WHERE total > 0 ORDER BY n DESC, key ASC LIMIT 20"
+
   /** Pretraining domain mixing: per-source keep-rates derived from
     * the corpus (basis points, floor) to hit a 5000-token budget per
     * source, applied as a salted-hash sample. */
@@ -3563,6 +3578,7 @@ object Extensions {
     "q_asof_tolerance" -> asofTolerance,
     "q_asof_forward" -> asofForward,
     "q_salted_join" -> saltedJoin,
+    "q_skew_report" -> skewReport,
     "q_heavy_hitters" -> heavyHitters,
     "q_bloom_join" -> bloomJoin,
     "q_hash_split" -> hashSplit,
@@ -3682,6 +3698,7 @@ object Extensions {
     "q_asof_tolerance" -> asofToleranceSql,
     "q_asof_forward" -> asofForwardSql,
     "q_salted_join" -> saltedJoinSql,
+    "q_skew_report" -> skewReportSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_bloom_join" -> bloomJoinSql,
     "q_hash_split" -> hashSplitSql,

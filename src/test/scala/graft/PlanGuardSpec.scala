@@ -52,7 +52,9 @@ class PlanGuardSpec extends SparkSpec {
       // like q_profile's two 1-row aggregate passes
       "q_ivf_drift",
       // bm25's 1-row corpus-stats attach, scored under merged stats
-      "q_incremental_bm25")
+      "q_incremental_bm25",
+      // 1-row totals broadcast onto the key-count table, like q_profile
+      "q_skew_report")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)

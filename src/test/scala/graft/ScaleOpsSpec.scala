@@ -177,6 +177,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("exactly-stringifying"))
   }
 
+  test("skewReport: exact shares, hot-key ratio, leveling salt count; empty input empty") {
+    // 8 rows of "hot", 1 each of "a" and "b": 10 rows, 3 distinct keys
+    val rows = (Seq.fill(8)("hot") ++ Seq("a", "b")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }
+    val df = rows.toDF("id", "k")
+    val got = ScaleOps.skewReport(df, "k", topN = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // top-2 cut, hottest first; ties below broken by key
+    assert(got.length == 2 && got.head._1 == "hot")
+    val hot = got.head
+    assert(hot._2 == 8L)            // count
+    assert(hot._3 == 8000L)         // 8/10 in bp
+    assert(hot._4 == 240L)          // 8 / (10/3) = 2.4x mean, x100
+    assert(hot._5 == 3L)            // ceil(8*3/10) salt buckets to level
+    assert(got(1)._1 == "a" && got(1)._5 == 1L)
+    assert(ScaleOps.skewReport(
+      Seq.empty[(Long, String)].toDF("id", "k"), "k").count() == 0)
+  }
+
   test("manifestDiff reports all four statuses, and only on real differences") {
     val oldRows = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"), (4L, "c", "w"))
     val newRows = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z!"), (5L, "d", "v"))
