@@ -275,6 +275,49 @@ object Corpus {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Content-defined chunking (X143) — the storage/dataset-versioning
+    * dedup primitive: a chunk ends at every token whose portable
+    * 60-bit hash ≡ 0 (mod `divisor`), so boundaries are decided by
+    * CONTENT, not position — an insertion perturbs only the chunk it
+    * lands in while every later chunk re-aligns and deduplicates,
+    * the property fixed-size blocks fundamentally lack (one shifted
+    * token rewrites every downstream block; the locality is
+    * spec-pinned). Expected chunk length = `divisor` tokens. Emits one
+    * row per chunk: (id, chunk_idx, n_tokens, chunk_md5, dup) with
+    * `dup` = a lower-(doc, idx) occurrence of identical content exists
+    * — the dedupable-bytes signal a content-addressed store bills by.
+    *
+    * Scale shape: tokens shuffle once into per-doc windows (per-doc
+    * bounded — the boundary prefix count), chunks aggregate per
+    * (doc, chunk), and the dup flag is one 16-byte-key agg plus a
+    * shuffle-hash join; occurrence order is the plain-MIN encoding
+    * (id·10⁹ + chunk_idx — exact for ids < 9.2·10⁹ and docs under
+    * 10⁹ chunks). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 8): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val toks = Dedup.spread(docs).select(col(idCol).cast("long").as("id"),
+      posexplode(TextFunctions.tokens(lower(col(textCol))))
+        .as(Seq("pos", "_tok")))
+    val withB = toks.withColumn("_b",
+      when(conv(substring(md5(concat(lit("cdc:"), col("_tok")).cast("binary")), 1, 15), 16, 10)
+        .cast("long") % divisor === 0, 1L).otherwise(0L))
+      .withColumn("_cum", sum(col("_b")).over(w))
+      .withColumn("chunk_idx", col("_cum") - col("_b"))
+    val chunks = withB.groupBy(col("id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("_tok")))),
+            e => e("_tok")))).as("chunk_md5"))
+      .withColumn("_occ", col("id") * 1000000000L + col("chunk_idx"))
+    val first = chunks.groupBy(col("chunk_md5")).agg(min(col("_occ")).as("_first"))
+    chunks.hint("shuffle_hash").join(first, Seq("chunk_md5"))
+      .withColumn("dup", col("_occ") =!= col("_first"))
+      .select(col("id"), col("chunk_idx"), col("n_tokens"),
+        col("chunk_md5"), col("dup"))
+  }
+
   /** Train-side GRAM POSTINGS store (X141): each train doc's distinct
     * n-gram md5 keys as (id, gk) rows, persisted ONCE at ingest — when
     * a new benchmark lands later, decontamination re-runs against the

@@ -2294,6 +2294,31 @@ object Extensions {
       "SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size, " +
       "doc_id = cluster_id AS is_canonical FROM comp"
 
+  /** Content-defined chunking (X143): every document chunked at
+    * content-decided boundaries (token hash ≡ 0 mod 8), one row per
+    * chunk with the global first-occurrence dup flag — the
+    * storage-dedup inventory of the corpus. */
+  val cdcChunk: Q = (s, d) =>
+    Corpus.cdcChunks(Tables.documents(s, d), "doc_id", "text", divisor = 8)
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("chunk_md5"), col("dup"))
+
+  val cdcChunkSql: String =
+    s"WITH t AS (SELECT doc_id, $duckToksLower AS tk FROM documents), " +
+      "tok AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok FROM " +
+      "(SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t)), " +
+      "b AS (SELECT doc_id, pos, tok, CASE WHEN " +
+      "CAST(CAST('0x' || substr(md5('cdc:' || tok), 1, 15) AS UBIGINT) AS BIGINT) % 8 = 0 " +
+      "THEN 1 ELSE 0 END AS is_b FROM tok), " +
+      "c AS (SELECT doc_id, pos, tok, " +
+      "CAST(sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos) - is_b AS BIGINT) AS chunk_idx FROM b), " +
+      "ch AS (SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5, " +
+      "doc_id * 1000000000 + chunk_idx AS occ FROM c GROUP BY doc_id, chunk_idx), " +
+      "f AS (SELECT chunk_md5, min(occ) AS first_occ FROM ch GROUP BY chunk_md5) " +
+      "SELECT doc_id, chunk_idx, n_tokens, chunk_md5, occ <> first_occ AS dup " +
+      "FROM ch JOIN f USING (chunk_md5)"
+
   /** Incremental decontamination (X141): the eval set arrives in two
     * waves — E1 builds the stored flags, E2's NEW grams (anti-joined
     * against E1's index) drive a pure index-vs-index delta pass over
@@ -3625,6 +3650,7 @@ object Extensions {
     "q_quantile_sketch" -> quantileSketch,
     "q_hybrid_search" -> hybridSearch,
     "q_doc_chunk" -> docChunk,
+    "q_cdc_chunk" -> cdcChunk,
     "q_fuzzy_join" -> fuzzyJoin,
     "q_zorder" -> zorder,
     "q_repetition" -> repetition,
@@ -3745,6 +3771,7 @@ object Extensions {
     "q_quantile_sketch" -> quantileSketchSql,
     "q_hybrid_search" -> hybridSearchSql,
     "q_doc_chunk" -> docChunkSql,
+    "q_cdc_chunk" -> cdcChunkSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_zorder" -> zorderSql,
     "q_repetition" -> repetitionSql,

@@ -416,6 +416,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks: content-decided boundaries, insertion locality, exact dup flags") {
+    import graft.operators.Corpus
+    // 'charlie' and 'lima' hash to 0 mod 8 (verified constants) — they
+    // END chunks; everything else continues one
+    val a = "alpha bravo charlie delta echo lima foxtrot golf"
+    val docs = Seq(
+      (1L, a),
+      (2L, s"zulu yankee $a"),       // two tokens INSERTED at the front
+      (3L, "delta echo lima"))        // = doc 1's middle chunk, alone
+      .toDF("doc_id", "text")
+    val got = Corpus.cdcChunks(docs, "doc_id", "text", divisor = 8)
+      .as[(Long, Long, Long, String, Boolean)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    // doc 1: [alpha bravo charlie][delta echo lima][foxtrot golf]
+    assert(got(1L).map(_._3).toSeq == Seq(3L, 3L, 2L))
+    // insertion locality: only the FIRST chunk of doc 2 differs; the
+    // two later chunks re-align and carry the dup flag
+    assert(got(2L).map(_._3).toSeq == Seq(5L, 3L, 2L))
+    assert(got(2L).head._5 == false && got(2L)(1)._5 && got(2L)(2)._5,
+      s"later chunks must re-align and dedup: ${got(2L).toSeq}")
+    assert(got(2L)(1)._4 == got(1L)(1)._4 && got(2L)(2)._4 == got(1L)(2)._4)
+    // doc 3 is exactly doc 1's middle chunk -> dup of the (1, 1) occurrence
+    assert(got(3L).map(r => (r._3, r._5)).toSeq == Seq((3L, true)))
+    intercept[IllegalArgumentException] {
+      Corpus.cdcChunks(docs, "doc_id", "text", divisor = 1)
+    }
+  }
+
   test("incremental decontamination: stored + delta == full pass, overlapping benchmarks count once") {
     import graft.operators.Corpus
     val train = Seq(
