@@ -941,10 +941,40 @@ object Dedup {
     * `bit_count(xor)`. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sigs = spread(df).select(col(idCol).as("id"), simhash60Auto(df, textCol).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("sig"), q * 15).bitwiseAND(lit((1L << 15) - 1))): _*)))
+    val sigs = spread(df).select(col(idCol).as("id"),
+      simhash60Auto(df, textCol).as("sig"))
+    fingerprintNearDupPairs(sigs, "id", "sig", bits = 60, bands = 4,
+      maxDist = maxDist)
+  }
+
+  /** Banded Hamming near-dup pairs over ANY integer fingerprint column
+    * (X144) — the SimHash arrangement factored out so every
+    * fingerprint the engine emits (the 60-bit text simhash above, the
+    * X123/X124 12-bit image/audio block-mean hashes) shares ONE
+    * lossless banding pipeline: the hash splits into `bands`
+    * contiguous bit-slices; a pair is a candidate iff SOME band agrees
+    * exactly — pigeonhole-lossless for hamming ≤ maxDist whenever
+    * bands > maxDist (enforced) — and candidates verify by exact
+    * `bit_count(xor)`. Shuffles carry (band, bucket, id, sig) only;
+    * the banded self-join is pinned shuffle-hash (both sides are the
+    * corpus-sized index). Gate coverage: q_simhash_pairs runs through
+    * this core; the perceptual-hash application is spec-pinned on
+    * crafted fingerprints (12-bit hashes over a synthetic corpus
+    * collide too densely for a statistically meaningful corpus gate
+    * row — documented, not hidden). */
+  def fingerprintNearDupPairs(hashes: DataFrame, idCol: String,
+      hashCol: String, bits: Int, bands: Int, maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(bands >= 1 && bits % bands == 0,
+      s"bands ($bands) must divide bits ($bits)")
+    require(maxDist >= 0 && maxDist < bands,
+      s"pigeonhole losslessness needs bands > maxDist, got bands=$bands maxDist=$maxDist")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val banded = hashes.select(col(idCol).as("id"), col(hashCol).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(q =>
+          shiftrightunsigned(col("sig"), q * w).bitwiseAND(lit(mask))): _*)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("_sig1"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("_sig2"))

@@ -152,6 +152,38 @@ class DedupSpec extends SparkSpec {
     assert(d14 < d15, s"near-dup hamming $d14 should beat unrelated $d15")
   }
 
+  test("fingerprintNearDupPairs: lossless banding over arbitrary hashes, phash application") {
+    // 12-bit fingerprints (the X123/X124 perceptual-hash width), 4
+    // bands of 3: pigeonhole guarantees every pair at hamming <= 3
+    // shares a band
+    val hashes = Seq(
+      (1L, 0xABCL),            // base
+      (2L, 0xABCL),            // identical -> hamming 0
+      (3L, 0xABCL ^ 0x5L),     // 2 bits flipped in band 0 -> hamming 2
+      (4L, 0xABCL ^ 0x841L))   // 3 bits flipped across 3 bands -> hamming 3
+      .toDF("media_id", "phash")
+    val got = Dedup.fingerprintNearDupPairs(hashes, "media_id", "phash",
+      bits = 12, bands = 4, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force at the same threshold
+    val rows = Seq((1L, 0xABCL), (2L, 0xABCL), (3L, 0xABCL ^ 0x5L), (4L, 0xABCL ^ 0x841L))
+    val brute = (for {
+      (i, hi) <- rows; (j, hj) <- rows if i < j
+      h = java.lang.Long.bitCount(hi ^ hj) if h <= 3
+    } yield (i, j, h)).toSet
+    assert(got == brute, s"banded $got must equal brute-force $brute")
+    assert(got.contains((1L, 2L, 0)) && got.contains((1L, 3L, 2)) && got.contains((1L, 4L, 3)))
+    // losslessness guard: bands must exceed maxDist
+    intercept[IllegalArgumentException] {
+      Dedup.fingerprintNearDupPairs(hashes, "media_id", "phash",
+        bits = 12, bands = 3, maxDist = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.fingerprintNearDupPairs(hashes, "media_id", "phash",
+        bits = 12, bands = 5, maxDist = 2)
+    }
+  }
+
   test("simhash near-dup pairs at maxDist keeps exact dups") {
     val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
