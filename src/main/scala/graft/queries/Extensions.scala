@@ -1601,6 +1601,45 @@ object Extensions {
       "SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0 " +
       "AND fp NOT IN (SELECT fp FROM prior)"
 
+  /** Streaming incremental EXACT dedup, micro-batch form (X145): the
+    * q_incremental_dedup split run through the REAL foreachBatch
+    * composition — the store bootstraps to a batch=-1 partition, the
+    * rest streams to AvailableNow completion, and each batch's Bloom
+    * is rebuilt from the store (zero re-emit window, unlike the DSL
+    * form's stream-start snapshot). Single-file source → one
+    * micro-batch, so the survivor set equals the batch increment's
+    * and the oracle is reused verbatim; the arbitrary-gap hand-off is
+    * pinned by StreamingSpec. */
+  val streamIncrExact: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-sie")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-fpstore").toString
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    val q = EventsStreaming.streamingIncrementalExactDedup(
+      src, storeDir, "text", "doc_id") { (sv, _) =>
+      buf ++= sv.select(col("doc_id"), col("source"), col("fp"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    runStreamThenCleanCkpt(q, ckpt)
+    scala.util.Try {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(storeDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    import s.implicits._
+    buf.toSeq.toDF("doc_id", "source", "fp")
+  }
+
   /** Streaming incremental NEAR-dup (X134): the q_incremental_neardup
     * split run through the REAL foreachBatch composition — the
     * %3 == 0 slice's index records bootstrap a store directory, the
@@ -3584,6 +3623,7 @@ object Extensions {
     "q_stream_dedup" -> streamDedup,
     "q_stream_incr_dedup" -> streamIncrDedup,
     "q_stream_incr_neardup" -> streamIncrNearDup,
+    "q_stream_incr_exact" -> streamIncrExact,
     "q_stream_join" -> streamJoin,
     "q_stream_outer_join" -> streamOuterJoinVerified,
     "q_stream_static_join" -> streamStaticJoin,
@@ -3705,6 +3745,7 @@ object Extensions {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_incr_dedup" -> streamIncrDedupSql,
     "q_stream_incr_neardup" -> streamIncrNearDupSql,
+    "q_stream_incr_exact" -> incrementalDedupSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_outer_join" -> streamOuterJoinVerifiedSql,
     "q_stream_static_join" -> streamStaticJoinSql,

@@ -277,6 +277,62 @@ object EventsStreaming {
         ()
     }
 
+  /** Streaming incremental EXACT dedup, micro-batch-composed (X145) —
+    * the foreachBatch sibling of [[streamingIncrementalDedup]], with
+    * the EXACT store hand-off the DSL form's stream-start Bloom cannot
+    * give: each micro-batch runs the batch increment
+    * ([[graft.operators.Dedup.incrementalExactDedup]]) verbatim — its
+    * Bloom is rebuilt FROM the store every batch and auto-sized by the
+    * store's own count, so a fingerprint first ingested by THIS stream
+    * is caught on any later recurrence, however far apart the two
+    * arrive (the DSL form's re-emit window is its stream lifetime;
+    * here it is zero). The trade is one extra store scan per
+    * micro-batch (Bloom build + anti-join right side); pick this form
+    * when exactness across arbitrary gaps matters more than per-batch
+    * latency, and the DSL form when the watermark window is an
+    * acceptable dedup horizon. Store layout, retry idempotence
+    * (batch=<id> partitions, self-excluded reads, per-batch
+    * overwrite) and scoped cache release follow
+    * [[streamingIncrementalNearDup]] exactly; a pre-bootstrapped
+    * store lives under `batch=<negative id>`. */
+  def streamingIncrementalExactDedup(docs: DataFrame, storePath: String,
+      textCol: String, idCol: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          val store0 = readExactStore(spark, storePath)
+          val store =
+            if (store0.columns.contains("batch"))
+              store0.filter(col("batch") =!= batchId).drop("batch")
+            else store0
+          // localCheckpoint before the store write: same recacheByPath
+          // hazard as the near-dup form — the survivors plan reads the
+          // path the write rewrites
+          val survivors = Dedup.incrementalExactDedup(batch.toDF(), store,
+            textCol, idCol).localCheckpoint()
+          survivors.select(col("fp"))
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          sink(survivors, batchId)
+        }
+        ()
+    }
+
+  /** The exact-dedup fingerprint store, empty-with-schema when the
+    * path does not exist yet; same narrow catch and partition-layout
+    * contract as [[readNearDupStore]]. */
+  def readExactStore(spark: SparkSession, path: String): DataFrame =
+    try spark.read.option("basePath", path).parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            .exists(c => Option(e.getCondition).exists(_.startsWith(c))) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("fp", StringType))))
+    }
+
   /** The near-dup store as a DataFrame, empty-with-schema when the
     * path does not exist yet (stream-first deployments bootstrap the
     * store from their own first batches). Partition discovery exposes
