@@ -1640,6 +1640,52 @@ object Extensions {
     buf.toSeq.toDF("doc_id", "source", "fp")
   }
 
+  /** Streaming incremental SEMANTIC dedup (X146): the
+    * q_incremental_semdedup split through the real foreachBatch
+    * composition — centroids trained once on the %3 == 0 slice
+    * (frozen), the store bootstraps to batch=-1, the rest streams to
+    * AvailableNow completion. Single-file source → one micro-batch,
+    * so the survivor set equals the batch increment's and the oracle
+    * is reused verbatim. */
+  val streamIncrSemantic: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-sis")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-semstore").toString
+    val emb = Tables.embeddings(s, d)
+    val storeSlice = emb.filter(col("vec_id") % 3 === 0)
+    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
+      storeSlice, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    Similarity.semanticStoreRecords(storeSlice, "vec_id", "embedding", cents)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val src = s.readStream.schema(embSchema).parquet(s"$d/embeddings.parque[t]")
+      .filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = EventsStreaming.streamingIncrementalSemanticDedup(
+      src, storeDir, cents, threshold = SEMDEDUP_T) { (sv, _) =>
+      buf ++= sv.select(col("id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    runStreamThenCleanCkpt(q, ckpt)
+    scala.util.Try {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(storeDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    import s.implicits._
+    buf.toSeq.toDF("vec_id", "cell")
+  }
+
   /** Streaming incremental NEAR-dup (X134): the q_incremental_neardup
     * split run through the REAL foreachBatch composition — the
     * %3 == 0 slice's index records bootstrap a store directory, the
@@ -3624,6 +3670,7 @@ object Extensions {
     "q_stream_incr_dedup" -> streamIncrDedup,
     "q_stream_incr_neardup" -> streamIncrNearDup,
     "q_stream_incr_exact" -> streamIncrExact,
+    "q_stream_incr_semantic" -> streamIncrSemantic,
     "q_stream_join" -> streamJoin,
     "q_stream_outer_join" -> streamOuterJoinVerified,
     "q_stream_static_join" -> streamStaticJoin,
@@ -3746,6 +3793,7 @@ object Extensions {
     "q_stream_incr_dedup" -> streamIncrDedupSql,
     "q_stream_incr_neardup" -> streamIncrNearDupSql,
     "q_stream_incr_exact" -> incrementalDedupSql,
+    "q_stream_incr_semantic" -> incrementalSemDedupSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_outer_join" -> streamOuterJoinVerifiedSql,
     "q_stream_static_join" -> streamStaticJoinSql,

@@ -319,6 +319,61 @@ object EventsStreaming {
         ()
     }
 
+  /** Streaming incremental SEMANTIC dedup, micro-batch-composed
+    * (X146) — the third member of the streaming increment family
+    * (exact X145, near-dup X134): each micro-batch of embedded docs
+    * runs [[graft.operators.Similarity.incrementalSemanticDedup]]
+    * verbatim against the store under the caller's FROZEN quantizer
+    * (the X116 contract — centroids ride the closure as plan
+    * literals, so every batch's map-side assignment is bit-identical
+    * to the one that built the store), and appends its survivors'
+    * (id, embedding, cell) records before the batch completes. The
+    * hand-off is exact per micro-batch; retry idempotence
+    * (batch=<id> partitions, self-excluded reads, per-batch
+    * overwrite) and scoped cache release follow X134. */
+  def streamingIncrementalSemanticDedup(docs: DataFrame, storePath: String,
+      cents: Array[(Int, Array[Long])], threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          val store0 = readSemanticStore(spark, storePath)
+          val store =
+            if (store0.columns.contains("batch"))
+              store0.filter(col("batch") =!= batchId).drop("batch")
+            else store0
+          // localCheckpoint before the store write (recacheByPath —
+          // the survivors plan reads the path the write rewrites)
+          val survivors = graft.operators.Similarity
+            .incrementalSemanticDedup(batch.toDF(), store, cents, threshold,
+              idCol, vecCol)
+            .localCheckpoint()
+          survivors
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          sink(survivors, batchId)
+        }
+        ()
+    }
+
+  /** The semantic-dedup store (id, embedding, cell), empty-with-schema
+    * when the path does not exist yet; same narrow catch and
+    * partition-layout contract as [[readNearDupStore]]. */
+  def readSemanticStore(spark: SparkSession, path: String): DataFrame =
+    try spark.read.option("basePath", path).parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            .exists(c => Option(e.getCondition).exists(_.startsWith(c))) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("id", LongType),
+            StructField("embedding", ArrayType(FloatType)),
+            StructField("cell", LongType))))
+    }
+
   /** The exact-dedup fingerprint store, empty-with-schema when the
     * path does not exist yet; same narrow catch and partition-layout
     * contract as [[readNearDupStore]]. */

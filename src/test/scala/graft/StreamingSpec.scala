@@ -300,6 +300,53 @@ class StreamingSpec extends SparkSpec {
     assert(fps == 3L) // aaa-bbb, ccc-ddd, eee-fff
   }
 
+  test("streaming incremental semantic dedup: frozen cells, cross-batch store hand-off") {
+    val dir = Files.createTempDirectory("graft-sis-src").toString
+    val storeDir = Files.createTempDirectory("graft-sis-store").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-sis-spec").toString
+    val cents = Array((0, Array(1000000L, 0L)), (1, Array(0L, 1000000L)))
+    // bootstrap: one stored vector in cell 0
+    graft.operators.Similarity.semanticStoreRecords(
+      Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def write(f: String, rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$dir/$f")
+    val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(dir)
+      val q = EventsStreaming.streamingIncrementalSemanticDedup(
+        src, storeDir, cents, threshold = 0.9) { (sv, _) =>
+        buf ++= sv.select("id").as[Long].collect()
+      }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: doc 10 semantically dups the STORE's vector (cell 0);
+    // doc 11 is a fresh direction (cell 1) -> survives + appended
+    write("f1", Seq((10L, Array(0.99f, 0.14f)), (11L, Array(0.0f, 1.0f))))
+    runOnce()
+    assert(buf.toSet == Set(11L))
+    // batch 2: doc 20 dups batch-1's SURVIVOR through the store
+    // hand-off; doc 21 is fresh in cell 0
+    write("f2", Seq((20L, Array(0.1f, 0.995f)), (21L, Array(0.7f, -0.71f))))
+    buf.clear()
+    runOnce()
+    assert(buf.toSet == Set(21L))
+    val storeIds = spark.read.option("basePath", storeDir).parquet(storeDir)
+      .select("id").as[Long].collect().toSet
+    assert(storeIds == Set(1L, 11L, 21L))
+  }
+
   test("stateful sessionize emits closed sessions matching batch") {
     val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
     val evStream = spark.readStream.schema(EventsStreaming.eventSchema)
