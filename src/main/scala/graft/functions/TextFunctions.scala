@@ -99,10 +99,13 @@ object TextFunctions {
   /** Portable 60-bit integer hash: first 15 hex chars of
     * md5(seed:value) parsed base-16. Positive, fits signed 64-bit, and
     * byte-identical in any engine with md5 (DuckDB:
-    * `CAST('0x' || substr(md5(...),1,15) AS BIGINT)`). */
-  def hexHash60(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(seed.toString), lit(":"), c).cast("binary")), 1, 15),
+    * `CAST('0x' || substr(md5(...),1,15) AS BIGINT)`). The string-seed
+    * overload is the shared definition; numeric seeds delegate. */
+  def hexHash60(c: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), lit(":"), c).cast("binary")), 1, 15),
       16, 10).cast("long")
+
+  def hexHash60(c: Column, seed: Int): Column = hexHash60(c, seed.toString)
 
   /** Canonical text normalization (NFC, accent-strip, lowercase,
     * control-char and whitespace cleanup) via the native

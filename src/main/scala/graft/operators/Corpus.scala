@@ -301,8 +301,8 @@ object Corpus {
       posexplode(TextFunctions.tokens(lower(col(textCol))))
         .as(Seq("pos", "_tok")))
     val withB = toks.withColumn("_b",
-      when(conv(substring(md5(concat(lit("cdc:"), col("_tok")).cast("binary")), 1, 15), 16, 10)
-        .cast("long") % divisor === 0, 1L).otherwise(0L))
+      when(TextFunctions.hexHash60(col("_tok"), "cdc") % divisor === 0, 1L)
+        .otherwise(0L))
       .withColumn("_cum", sum(col("_b")).over(w))
       .withColumn("chunk_idx", col("_cum") - col("_b"))
     val chunks = withB.groupBy(col("id"), col("chunk_idx"))
@@ -330,8 +330,9 @@ object Corpus {
       .select(col("id"), md5(col("_g")).as("gk"))
 
   /** Distinct gram keys of an eval slice — the append-only benchmark
-    * index's records. */
-  def evalGramRecords(evalDocs: DataFrame, idCol: String, textCol: String,
+    * index's records (set-valued: no doc attribution, unlike
+    * [[gramPostings]]). */
+  def evalGramRecords(evalDocs: DataFrame, textCol: String,
       n: Int = 13): DataFrame =
     Dedup.spread(evalDocs)
       .select(explode(array_distinct(Dedup.shinglesAuto(evalDocs, textCol, n))).as("_g"))
@@ -340,11 +341,11 @@ object Corpus {
   /** The keys a NEW benchmark adds to a stored eval-gram index: its
     * records anti-joined against the store. This disjointness is what
     * makes [[contaminationDelta]] exactly additive. */
-  def newEvalGrams(newEval: DataFrame, idCol: String, textCol: String,
+  def newEvalGrams(newEval: DataFrame, textCol: String,
       storedGrams: DataFrame, n: Int = 13): DataFrame = {
     require(storedGrams.columns.contains("gk"),
       s"newEvalGrams: stored index needs a gk column, got ${storedGrams.columns.mkString(", ")}")
-    evalGramRecords(newEval, idCol, textCol, n)
+    evalGramRecords(newEval, textCol, n)
       .join(storedGrams.select(col("gk")).hint("shuffle_hash"),
         Seq("gk"), "left_anti")
   }

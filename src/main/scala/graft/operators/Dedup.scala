@@ -939,6 +939,12 @@ object Dedup {
     * 4-way band pigeonhole (any pair within Hamming 3 shares at least
     * one intact 15-bit quarter). Verified with exact
     * `bit_count(xor)`. */
+  /** `maxDist` must be ≤ 3: the 4-band pigeonhole is lossless only
+    * there, and the pre-refactor behavior above 3 SILENTLY missed
+    * pairs (banding recall < 1 with no signal) — the delegated guard
+    * now fails loud instead, per the repo convention. Widen the
+    * banding via [[fingerprintNearDupPairs]] directly for larger
+    * radii. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val sigs = spread(df).select(col(idCol).as("id"),

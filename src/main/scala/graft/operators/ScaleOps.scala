@@ -145,11 +145,20 @@ object ScaleOps {
       count(lit(1)).as("_distinct"))
     counts.crossJoin(broadcast(totals))
       .filter(col("_total") > 0)
+      // DECIMAL(38) products: n·distinct·100 overflows BIGINT exactly
+      // at the 100 TB scale this report targets (1e8 hot rows × 1e9
+      // distinct keys = 1e19 > Long.Max — the hottest keys would show
+      // wrapped garbage); `div` on decimals stays an exact integral
+      // division (the groupedOls overflow convention)
       .withColumn("share_bp", expr("n * 10000L div _total"))
-      .withColumn("vs_mean_x100", expr("n * _distinct * 100L div _total"))
+      .withColumn("vs_mean_x100",
+        expr("CAST(n AS DECIMAL(38,0)) * _distinct * 100 div _total"))
       .withColumn("salt_buckets",
-        expr("(n * _distinct + _total - 1) div _total"))
-      .orderBy(col("n").desc, col("key").asc)
+        expr("(CAST(n AS DECIMAL(38,0)) * _distinct + _total - 1) div _total"))
+      // nulls LAST explicitly: Spark's asc defaults nulls-first where
+      // DuckDB's defaults nulls-last — a NULL key (the classic skew
+      // key!) tying at the cut would otherwise diverge from the oracle
+      .orderBy(col("n").desc, col("key").asc_nulls_last)
       .limit(topN)
       .select(col("key"), col("n"), col("share_bp"),
         col("vs_mean_x100"), col("salt_buckets"))

@@ -1506,6 +1506,16 @@ object Extensions {
     org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
 
+  /** Best-effort recursive delete of a throwaway directory (temp
+    * stores, checkpoints) — repeated gate/bench runs must not
+    * accumulate them. */
+  private def deleteRecursively(dir: String): Unit =
+    scala.util.Try {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+
   private def streamCkptDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base =
@@ -1521,14 +1531,7 @@ object Extensions {
   private def runStreamThenCleanCkpt(
       q: org.apache.spark.sql.streaming.StreamingQuery, ckpt: String): Unit = {
     try q.awaitTermination()
-    finally {
-      import java.nio.file.{Files, Paths}
-      import scala.util.Try
-      Try {
-        Files.walk(Paths.get(ckpt)).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      }
-    }
+    finally deleteRecursively(ckpt)
   }
 
   /** Streaming runs size their state to the data, not the session
@@ -1630,12 +1633,8 @@ object Extensions {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    runStreamThenCleanCkpt(q, ckpt)
-    scala.util.Try {
-      java.nio.file.Files.walk(java.nio.file.Paths.get(storeDir))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally deleteRecursively(storeDir)
     import s.implicits._
     buf.toSeq.toDF("doc_id", "source", "fp")
   }
@@ -1676,12 +1675,8 @@ object Extensions {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    runStreamThenCleanCkpt(q, ckpt)
-    scala.util.Try {
-      java.nio.file.Files.walk(java.nio.file.Paths.get(storeDir))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally deleteRecursively(storeDir)
     import s.implicits._
     buf.toSeq.toDF("vec_id", "cell")
   }
@@ -1721,13 +1716,8 @@ object Extensions {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    runStreamThenCleanCkpt(q, ckpt)
-    // the throwaway store dir must not accumulate across gate/bench runs
-    scala.util.Try {
-      java.nio.file.Files.walk(java.nio.file.Paths.get(storeDir))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally deleteRecursively(storeDir)
     import s.implicits._
     buf.toSeq.toDF("doc_id", "source")
   }
@@ -2232,9 +2222,9 @@ object Extensions {
     "WITH c AS (SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1), " +
       "t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total, count(*) AS nd FROM c) " +
       "SELECT key, n, n * 10000 // total AS share_bp, " +
-      "n * nd * 100 // total AS vs_mean_x100, " +
-      "(n * nd + total - 1) // total AS salt_buckets " +
-      "FROM c CROSS JOIN t WHERE total > 0 ORDER BY n DESC, key ASC LIMIT 20"
+      "CAST(CAST(n AS HUGEINT) * nd * 100 // total AS BIGINT) AS vs_mean_x100, " +
+      "CAST((CAST(n AS HUGEINT) * nd + total - 1) // total AS BIGINT) AS salt_buckets " +
+      "FROM c CROSS JOIN t WHERE total > 0 ORDER BY n DESC, key ASC NULLS LAST LIMIT 20"
 
   /** Pretraining domain mixing: per-source keep-rates derived from
     * the corpus (basis points, floor) to hit a 5000-token budget per
@@ -2421,11 +2411,11 @@ object Extensions {
     val postings = graft.core.Caches.persistTracked(
       Corpus.gramPostings(train, "doc_id", "text", n = 13))
     val idx1 = graft.core.Caches.persistTracked(
-      Corpus.evalGramRecords(e1, "doc_id", "text", n = 13))
+      Corpus.evalGramRecords(e1, "text", n = 13))
     val stored = Corpus.contaminationDelta(postings, idx1)
       .withColumnRenamed("n_new_shared", "n_shared_grams")
     val delta = Corpus.contaminationDelta(postings,
-      Corpus.newEvalGrams(e2, "doc_id", "text", idx1, n = 13))
+      Corpus.newEvalGrams(e2, "text", idx1, n = 13))
     val merged = Corpus.mergeContaminationHits(stored, delta)
       .withColumnRenamed("id", "doc_id")
     train.select(col("doc_id"))

@@ -361,32 +361,18 @@ object EventsStreaming {
     * when the path does not exist yet; same narrow catch and
     * partition-layout contract as [[readNearDupStore]]. */
   def readSemanticStore(spark: SparkSession, path: String): DataFrame =
-    try spark.read.option("basePath", path).parquet(path)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-            .exists(c => Option(e.getCondition).exists(_.startsWith(c))) =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("id", LongType),
-            StructField("embedding", ArrayType(FloatType)),
-            StructField("cell", LongType))))
-    }
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("cell", LongType))))
 
   /** The exact-dedup fingerprint store, empty-with-schema when the
     * path does not exist yet; same narrow catch and partition-layout
     * contract as [[readNearDupStore]]. */
   def readExactStore(spark: SparkSession, path: String): DataFrame =
-    try spark.read.option("basePath", path).parquet(path)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-            .exists(c => Option(e.getCondition).exists(_.startsWith(c))) =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("fp", StringType))))
-    }
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(StructField("fp", StringType))))
 
   /** The near-dup store as a DataFrame, empty-with-schema when the
     * path does not exist yet (stream-first deployments bootstrap the
@@ -397,17 +383,28 @@ object EventsStreaming {
     * a real read failure (corrupt store) must fail the batch, not
     * silently restart history. */
   def readNearDupStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("shingles", ArrayType(StringType)),
+        StructField("sig", ArrayType(StringType)))))
+
+  /** Shared store-or-empty read for the streaming increment family:
+    * partition discovery exposes the per-batch `batch=` dirs as a
+    * `batch` column; a not-yet-existing path yields the empty frame
+    * with the store's declared schema (stream-first bootstrap). The
+    * catch is NARROW — only the no-data-at-path conditions, kept in
+    * ONE place; a real read failure (corrupt store) must fail the
+    * batch, not silently restart history. */
+  private def readStoreOrEmpty(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
     try spark.read.option("basePath", path).parquet(path)
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
             .exists(c => Option(e.getCondition).exists(_.startsWith(c))) =>
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("id", LongType),
-            StructField("shingles", ArrayType(StringType)),
-            StructField("sig", ArrayType(StringType)))))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
   // ---------------- sessionization ----------------

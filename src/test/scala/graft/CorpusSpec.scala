@@ -456,11 +456,11 @@ class CorpusSpec extends SparkSpec {
     val e2 = Seq((200L, "aa bb cc dd ee")).toDF("doc_id", "text")
     val n = 3
     val postings = Corpus.gramPostings(train, "doc_id", "text", n)
-    val idx1 = Corpus.evalGramRecords(e1, "doc_id", "text", n)
-    val fresh = Corpus.newEvalGrams(e2, "doc_id", "text", idx1, n)
+    val idx1 = Corpus.evalGramRecords(e1, "text", n)
+    val fresh = Corpus.newEvalGrams(e2, "text", idx1, n)
     // disjointness: the repeated gram is excluded from the delta
     assert(fresh.count() <
-      Corpus.evalGramRecords(e2, "doc_id", "text", n).count())
+      Corpus.evalGramRecords(e2, "text", n).count())
     val stored = Corpus.contaminationDelta(postings, idx1)
       .withColumnRenamed("n_new_shared", "n_shared_grams")
     val merged = Corpus.mergeContaminationHits(
