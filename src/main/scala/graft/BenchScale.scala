@@ -48,7 +48,8 @@ object BenchScale {
     // harness + the two new increments
     "q_embed_ann_multi", "q_embed_ann_probe", "q_ann_recall",
     "q_incremental_substring", "q_incremental_clusters",
-    "q_stream_incr_neardup", "q_ingest_quartet")
+    "q_stream_incr_neardup", "q_stream_incr_exact",
+    "q_stream_incr_semantic", "q_ingest_quartet")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS
