@@ -110,6 +110,33 @@ object Bench {
       else ("[bench-regress] " + regress.map { case (k, p, v, r) =>
         f"$k ${num(p)}->${num(v)} (${r}%.1fx)"
       }.mkString("; ")).take(380)
+    // second tripwire vs the newest COMMITTED round artifact
+    // (BENCH_r{n}.json): bench.json refreshes on every local run, so a
+    // regression introduced mid-round could hide behind its own
+    // baseline refresh — the round artifact only moves once per round
+    // and catches exactly that case
+    val lastRound: Map[String, Double] = try {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(".")
+      val latest = java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.matches("BENCH_r\\d+\\.json")).toSeq.sorted.lastOption
+      latest.map { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8")
+        """"(q_[A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    val regressRound = timed.flatMap { case (k, v) =>
+      lastRound.get(k).collect { case p if p > 0.05 && v / p > 1.5 => (k, p, v, v / p) }
+    }.sortBy(-_._4)
+    val regressRoundLine =
+      if (lastRound.isEmpty) "[bench-regress-round] no BENCH_r*.json artifact"
+      else if (regressRound.isEmpty) "[bench-regress-round] none >1.5x vs last round artifact"
+      else ("[bench-regress-round] " + regressRound.map { case (k, p, v, r) =>
+        f"$k ${num(p)}->${num(v)} (${r}%.1fx)"
+      }.mkString("; ")).take(380)
     val head =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${timed.size},"failed":$fs,"sf":"$sfDir","queries":{"""
     val tailStr = "}}"
@@ -124,6 +151,7 @@ object Bench {
     val compact = head + kept.toString + tailStr
     spark.stop()
     System.err.flush()
+    System.err.println(regressRoundLine)
     println(regressLine)
     println(compact)
     System.out.flush()

@@ -463,6 +463,20 @@ object Ranks {
     require(needed.subsetOf(state.columns.toSet),
       s"resumeRankTable: state must have columns ${needed.mkString("/")} " +
         s"(rankStateTable's schema), got ${state.columns.mkString(", ")}")
+    // state-uniqueness probe (bounded: at most 6 names come back):
+    // duplicate `name` rows would make the local path emit duplicate
+    // output rows with stale values and the distributed path pick an
+    // arbitrary copy via outerJoinVertices — silently breaking the
+    // bit-exact-continuation contract. Fail loud like the
+    // missing-vertex probe below.
+    val dupNames = state.groupBy(col("name"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+      .select(col("name").cast("string"))
+      .limit(6).collect().map(_.getString(0))
+    require(dupNames.isEmpty,
+      "resumeRankTable: duplicate state rows for: " +
+        s"${dupNames.take(5).mkString(", ")} — the checkpoint must hold " +
+        "exactly one row per vertex")
     withCachedEdges(edges) { (e, nEdges) =>
       if (nEdges <= localThreshold)
         localRankCore(e, src, dst, None, Some(state), extraRounds, damping,

@@ -297,8 +297,9 @@ object Corpus {
       divisor: Int = 8): DataFrame = {
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val toks = Dedup.spread(docs).select(col(idCol).cast("long").as("id"),
-      posexplode(TextFunctions.tokens(lower(col(textCol))))
+    val toks = Dedup.spread(docs)
+      .select(guardedChunkId(idCol).as("id"),
+        posexplode(TextFunctions.tokens(lower(col(textCol))))
         .as(Seq("pos", "_tok")))
     val withB = toks.withColumn("_b",
       when(TextFunctions.hexHash60(col("_tok"), "cdc") % divisor === 0, 1L)
@@ -310,7 +311,17 @@ object Corpus {
         md5(concat_ws(" ",
           transform(sort_array(collect_list(struct(col("pos"), col("_tok")))),
             e => e("_tok")))).as("chunk_md5"))
-      .withColumn("_occ", col("id") * 1000000000L + col("chunk_idx"))
+      // a >= 10^9-chunk document would collide the id*10^9 + idx
+      // occurrence encoding — fail loud per the repo convention
+      // (substringToks' posBase guard); the id range guard already ran
+      // in guardedChunkId
+      .withColumn("_occ",
+        when(col("chunk_idx") >= CdcOccBase,
+          raise_error(concat(
+            lit(s"cdcChunks: document exceeds $CdcOccBase chunks " +
+              "(occurrence encoding would collide); id="),
+            col("id").cast("string"))))
+          .otherwise(col("id") * CdcOccBase + col("chunk_idx")))
     val first = chunks.groupBy(col("chunk_md5")).agg(min(col("_occ")).as("_first"))
     chunks.hint("shuffle_hash").join(first, Seq("chunk_md5"))
       .withColumn("dup", col("_occ") =!= col("_first"))
@@ -325,9 +336,41 @@ object Corpus {
     * gram); the retraction story matches X140's (anti-join by id). */
   def gramPostings(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 13): DataFrame =
-    Dedup.spread(docs).select(col(idCol).cast("long").as("id"),
+    Dedup.spread(docs).select(guardedPostingId(idCol).as("id"),
       explode(array_distinct(Dedup.shinglesAuto(docs, textCol, n))).as("_g"))
       .select(col("id"), md5(col("_g")).as("gk"))
+
+  /** Occurrence-encoding base for [[cdcChunks]]: _occ = id·10⁹ + idx. */
+  private val CdcOccBase = 1000000000L
+
+  /** [[cdcChunks]]' per-row id guard — the same fail-loud injectivity
+    * convention as `Dedup.substringToks`: a null or non-castable id
+    * would silently group all such docs into ONE document, and
+    * id ≥ Long.Max/10⁹ would wrap the occurrence encoding — both
+    * produce wrong first-occurrence/dup flags with no signal. */
+  private def guardedChunkId(idCol: String): Column = {
+    val maxId = Long.MaxValue / CdcOccBase
+    val idLong = col(idCol).try_cast("long")
+    when(idLong.isNull || idLong < 0 || idLong >= maxId,
+      raise_error(concat(
+        lit(s"cdcChunks: $idCol must cast to BIGINT in [0, $maxId), got "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
+      .otherwise(idLong)
+  }
+
+  /** [[gramPostings]]' id guard: no occurrence encoding here, but a
+    * null/non-castable id silently merges every such doc's postings
+    * into one `id IS NULL` posting list — retraction (X140-style
+    * anti-join by id) and per-doc hit counts would both be wrong with
+    * no signal. */
+  private def guardedPostingId(idCol: String): Column = {
+    val idLong = col(idCol).try_cast("long")
+    when(idLong.isNull,
+      raise_error(concat(
+        lit(s"gramPostings: $idCol must cast to non-null BIGINT, got "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
+      .otherwise(idLong)
+  }
 
   /** Distinct gram keys of an eval slice — the append-only benchmark
     * index's records (set-valued: no doc attribution, unlike

@@ -253,11 +253,7 @@ object EventsStreaming {
           // `batch=<batchId>` partition (the re-run replaces it) and
           // the read EXCLUDES the current batch's partition, so a
           // retry sees exactly the store state the first attempt saw.
-          val store0 = readNearDupStore(spark, storePath)
-          val store =
-            if (store0.columns.contains("batch"))
-              store0.filter(col("batch") =!= batchId).drop("batch")
-            else store0
+          val store = storeForBatch(readNearDupStore(spark, storePath), batchId)
           // EAGER localCheckpoint, not persist: the store write below
           // rewrites storePath, and Spark's recacheByPath would
           // RECOMPUTE a merely-persisted survivors plan against the
@@ -302,11 +298,7 @@ object EventsStreaming {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         graft.core.Caches.releaseScoped[Unit] {
-          val store0 = readExactStore(spark, storePath)
-          val store =
-            if (store0.columns.contains("batch"))
-              store0.filter(col("batch") =!= batchId).drop("batch")
-            else store0
+          val store = storeForBatch(readExactStore(spark, storePath), batchId)
           // localCheckpoint before the store write: same recacheByPath
           // hazard as the near-dup form — the survivors plan reads the
           // path the write rewrites
@@ -339,11 +331,7 @@ object EventsStreaming {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         graft.core.Caches.releaseScoped[Unit] {
-          val store0 = readSemanticStore(spark, storePath)
-          val store =
-            if (store0.columns.contains("batch"))
-              store0.filter(col("batch") =!= batchId).drop("batch")
-            else store0
+          val store = storeForBatch(readSemanticStore(spark, storePath), batchId)
           // localCheckpoint before the store write (recacheByPath —
           // the survivors plan reads the path the write rewrites)
           val survivors = graft.operators.Similarity
@@ -356,6 +344,84 @@ object EventsStreaming {
         }
         ()
     }
+
+  /** Streaming incremental SUBSTRING dedup, micro-batch-composed
+    * (X147) — the fourth dedup family's always-on form, completing the
+    * streaming quartet (exact X145, near-dup X134, semantic X146):
+    * each micro-batch runs [[graft.operators.Dedup.incrementalSubstringDedup]]
+    * VERBATIM against the store's distinct window-hash index and
+    * appends `substringStoreRecords(batch)` — the BATCH's original
+    * windows, not the post-removal survivors' (X132's store contract:
+    * a span removed as a later occurrence stays covered via its first
+    * occurrence's record) — before the batch completes. The hand-off
+    * is exact per micro-batch: a window recurrence drops through the
+    * store however many batches apart the two occurrences arrive.
+    * Retry idempotence (batch=<id> partitions, self-excluded reads,
+    * per-batch overwrite), the new-checkpoint fail-loud guard, the
+    * pre-write localCheckpoint (the survivors AND record plans both
+    * read the path the write rewrites), and scoped cache release all
+    * follow [[streamingIncrementalNearDup]]; a pre-bootstrapped store
+    * lives under `batch=<negative id>`. */
+  def streamingIncrementalSubstringDedup(docs: DataFrame, storePath: String,
+      textCol: String, idCol: String, L: Int,
+      posBase: Long = 100000L)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          val store = storeForBatch(readSubstringStore(spark, storePath), batchId)
+          // localCheckpoint BOTH frames before the store write: the
+          // survivors plan reads storePath (recacheByPath would
+          // recompute it against the just-appended store and cover
+          // every batch window against itself); the records plan
+          // doesn't read the store, but eager-checkpointing it too
+          // keeps the tokenize work from running twice
+          val survivors = Dedup.incrementalSubstringDedup(batch.toDF(), store,
+            idCol, textCol, L, posBase).localCheckpoint()
+          val records = Dedup.substringStoreRecords(batch.toDF(), idCol,
+            textCol, L, posBase).localCheckpoint()
+          records.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          sink(survivors, batchId)
+        }
+        ()
+    }
+
+  /** The substring-dedup window-hash store (gh), empty-with-schema
+    * when the path does not exist yet; same narrow catch and
+    * partition-layout contract as [[readNearDupStore]]. */
+  def readSubstringStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(StructField("gh", StringType))))
+
+  /** ONE-CHECKPOINT-PER-STORE guard + self-exclusion for the
+    * foreachBatch increment family. The `batch=<id>` layout is
+    * retry-idempotent WITHIN one checkpoint (a retried batch
+    * overwrites its own partition and reads everything else), but
+    * restarting a stream with a NEW checkpoint (batch ids reset to 0)
+    * against an existing store would silently overwrite the prior
+    * run's `batch=0..N` partitions — permanently dropping those
+    * survivors' records, so previously-ingested duplicates would be
+    * re-admitted. Streaming batches commit in order, so a legitimate
+    * run can only ever see store partitions ≤ its own batch id (its
+    * retry's partition included); any partition BEYOND it proves the
+    * store belongs to a different checkpoint lineage — fail loud. The
+    * probe aggregates only the partition column (partition pruning —
+    * no data pages read). Bootstrap partitions use negative ids, which
+    * never trip the guard. */
+  private def storeForBatch(store0: DataFrame, batchId: Long): DataFrame =
+    if (store0.columns.contains("batch")) {
+      val maxBatch = store0.agg(max(col("batch").cast("long"))).head().get(0)
+      val maxB = if (maxBatch == null) Long.MinValue
+        else maxBatch.asInstanceOf[Long]
+      require(maxB <= batchId,
+        s"streaming increment store: found batch=$maxB partition beyond " +
+          s"this run's batch id $batchId — the store was written by a " +
+          "different checkpoint lineage (one checkpoint per store); " +
+          "restarting with a fresh checkpoint needs a compacted store " +
+          "re-bootstrapped under batch=<negative id>")
+      store0.filter(col("batch") =!= batchId).drop("batch")
+    } else store0
 
   /** The semantic-dedup store (id, embedding, cell), empty-with-schema
     * when the path does not exist yet; same narrow catch and

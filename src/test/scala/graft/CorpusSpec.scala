@@ -526,4 +526,31 @@ class CorpusSpec extends SparkSpec {
     // n_lists stays 1 — never 2
     assert(got == Set((10L, c(1), 1L), (20L, c(2) + c(1), 2L)))
   }
+
+  test("cdcChunks/gramPostings: fail loud on null/non-castable/out-of-range ids") {
+    import graft.operators.Corpus
+    def failsWith(df: => org.apache.spark.sql.DataFrame, frag: String): Unit = {
+      val e = intercept[Exception] { df.collect() }
+      assert(e.getMessage != null && e.getMessage.contains(frag),
+        s"expected '$frag' in: ${e.getMessage}")
+    }
+    // null-id doc: would silently merge all null-id docs into one
+    failsWith(Corpus.cdcChunks(
+      Seq((Some(1L), "alpha bravo"), (None, "charlie delta"))
+        .toDF("doc_id", "text"), "doc_id", "text"), "cdcChunks")
+    // non-castable string id
+    failsWith(Corpus.cdcChunks(
+      Seq(("not-a-number", "alpha bravo")).toDF("doc_id", "text"),
+      "doc_id", "text"), "cdcChunks")
+    // id past Long.MaxValue/1e9: the occurrence encoding would wrap
+    failsWith(Corpus.cdcChunks(
+      Seq((Long.MaxValue / 1000000000L, "alpha bravo"))
+        .toDF("doc_id", "text"), "doc_id", "text"), "cdcChunks")
+    failsWith(Corpus.gramPostings(
+      Seq((Some(1L), "aa bb cc"), (None, "dd ee ff")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 2), "gramPostings")
+    // valid ids still pass
+    assert(Corpus.cdcChunks(Seq((7L, "alpha bravo charlie"))
+      .toDF("doc_id", "text"), "doc_id", "text").count() >= 1)
+  }
 }

@@ -151,6 +151,19 @@ class RanksSpec extends SparkSpec {
       Ranks.resumeRankTable(edges, "src", "dst",
         state20.drop("pr_term"), extraRounds = 1)
     }
+    // duplicate state rows fail loud on BOTH paths: the local path
+    // would emit duplicate output rows, the distributed path an
+    // arbitrary copy via outerJoinVertices — either silently breaks
+    // the bit-exact-continuation contract
+    val dupState = state20.unionByName(state20.limit(1))
+    val e3 = intercept[IllegalArgumentException] {
+      Ranks.resumeRankTable(edges, "src", "dst", dupState, extraRounds = 1)
+    }
+    assert(e3.getMessage.contains("duplicate state rows"))
+    intercept[IllegalArgumentException] {
+      Ranks.resumeRankTable(edges, "src", "dst", dupState, extraRounds = 1,
+        localThreshold = 0)
+    }
   }
 
   test("resumeRankTable distributed path == local path (forced thresholds)") {

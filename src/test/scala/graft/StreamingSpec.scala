@@ -347,6 +347,66 @@ class StreamingSpec extends SparkSpec {
     assert(storeIds == Set(1L, 11L, 21L))
   }
 
+  test("streaming incremental substring dedup: cross-batch window drop, retry-safe, lineage guard") {
+    val dir = Files.createTempDirectory("graft-sisub-src").toString
+    val storeDir = Files.createTempDirectory("graft-sisub-store").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-sisub-spec").toString
+    // bootstrap store: doc 0's windows under batch=-1 (the negative-id
+    // bootstrap partition contract)
+    graft.operators.Dedup.substringStoreRecords(
+      Seq((0L, "s1 s2 s3 s4")).toDF("doc_id", "text"), "doc_id", "text", L = 3)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def write(f: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/$f")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def runOnce(ckptDir: String = ckpt): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(dir)
+      val q = EventsStreaming.streamingIncrementalSubstringDedup(
+        src, storeDir, "text", "doc_id", L = 3) { (sv, _) =>
+        buf ++= sv.select(col("id"), col("n_kept"))
+          .as[(Long, Long)].collect()
+      }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: doc 1's leading window (s2 s3 s4) drops through the
+    // BOOTSTRAP store (covers tokens 0..2); doc 2 is fresh
+    write("f1", Seq((1L, "s2 s3 s4 b1 b2"), (2L, "c1 c2 c3 c4")))
+    runOnce()
+    assert(buf.toSet == Set((1L, 2L), (2L, 4L)), s"got $buf")
+    // at-least-once retry of batch 0 (fresh checkpoint, same store):
+    // self-excluded read + per-batch overwrite reproduce the same
+    // coverage instead of every batch window matching itself
+    buf.clear()
+    runOnce(Files.createTempDirectory("graft-ckpt-sisub-retry").toString)
+    assert(buf.toSet == Set((1L, 2L), (2L, 4L)), s"retry must reproduce, got $buf")
+    // batch 2, original checkpoint: doc 10's (c2 c3 c4) window drops
+    // through BATCH 1's appended records — cross-batch, no watermark
+    write("f2", Seq((10L, "c2 c3 c4 d1"), (11L, "e1 e2 e3")))
+    buf.clear()
+    runOnce()
+    assert(buf.toSet == Set((10L, 1L), (11L, 3L)), s"got $buf")
+    // the store now holds batch=1; a NEW checkpoint (batch ids reset
+    // to 0) against it would silently overwrite batch=0..1 — the
+    // lineage guard must fail the stream loud instead
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(Files.createTempDirectory("graft-ckpt-sisub-fresh").toString)
+    }
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(e).exists(_.contains("checkpoint lineage")),
+      s"expected lineage guard, got: ${rootMessages(e)}")
+  }
+
   test("stateful sessionize emits closed sessions matching batch") {
     val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
     val evStream = spark.readStream.schema(EventsStreaming.eventSchema)
