@@ -668,6 +668,43 @@ object Similarity {
     Clustering.assignCells(spread(corpus), idCol, vecCol, cents, scale)
       .select(col(idCol).as("id"), col(vecCol).as("embedding"), col("cell"))
 
+  /** QUANTIZER REFRESH with store migration (X148) — the consumer of
+    * [[ivfDriftReport]]'s "retrain the quantizer" signal, closing the
+    * ops loop the frozen-centroid contract opens: retraining centroids
+    * invalidates every stored `cell` (the X116/X52 stores are sharded
+    * by the OLD quantizer's cells), so the swap must reassign the
+    * whole store under the new centroids before any increment may use
+    * them. This does exactly that: ONE map-side pass over the store —
+    * the new centroids ride the plan as literals
+    * ([[Clustering.assignCells]], the bit-identical integer argmin
+    * every increment runs), zero shuffles, embeddings never move — so
+    * at 100 TB the migration costs one store scan + rewrite, the
+    * cheapest it can be.
+    *
+    * Safety contract (spec-pinned): because the store's (id,
+    * embedding) payload is authoritative and `cell` is a pure function
+    * of (embedding, centroids), refresh(store, newCents) is
+    * frame-equal to bootstrapping [[semanticStoreRecords]] from the
+    * same vectors under newCents — so a post-refresh
+    * [[incrementalSemanticDedup]] under newCents behaves exactly as if
+    * the corpus had been ingested under the new quantizer from day
+    * one. The dedup DECISIONS may legitimately differ from the old
+    * quantizer's (cells confine the pairwise pass; that is the
+    * documented SemDeDup approximation surface, re-sharded by design),
+    * which is why the swap is an explicit operator and not something
+    * an increment is allowed to do implicitly. */
+  def refreshQuantizer(store: DataFrame,
+      newCents: Array[(Int, Array[Long])],
+      scale: Double = 1e6): DataFrame = {
+    val needed = Set("id", "embedding", "cell")
+    require(needed.subsetOf(store.columns.toSet),
+      s"refreshQuantizer: store must have columns id/embedding/cell " +
+        s"(semanticStoreRecords' schema), got ${store.columns.mkString(", ")}")
+    Clustering.assignCells(store.select(col("id"), col("embedding")),
+      "id", "embedding", newCents, scale)
+      .select(col("id"), col("embedding"), col("cell"))
+  }
+
   /** Incremental (cross-snapshot) SEMANTIC dedup — the embedding-space
     * member of the ingestion trilogy with [[Dedup.incrementalExactDedup]]
     * (exact) and [[Dedup.incrementalNearDup]] (MinHash): a new batch of

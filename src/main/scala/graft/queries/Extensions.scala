@@ -1727,6 +1727,44 @@ object Extensions {
       "SELECT d.doc_id, d.source FROM documents d " +
       "WHERE d.doc_id % 3 <> 0 AND d.doc_id NOT IN (SELECT bid FROM dups)"
 
+  /** Streaming incremental SUBSTRING dedup (X147): the
+    * q_incremental_substring split run through the real foreachBatch
+    * composition — the %3 == 0 slice's distinct window hashes
+    * bootstrap the store under batch=-1, the rest streams to
+    * AvailableNow completion, each batch's coverage result flows
+    * through the sink and its ORIGINAL windows append per batch
+    * (X132's store contract). Single-file source → one micro-batch,
+    * so the result equals the batch increment's and the oracle is
+    * reused verbatim; the multi-batch hand-off, retry idempotence and
+    * checkpoint-lineage guard are pinned by StreamingSpec. */
+  val streamIncrSubstring: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-sisub")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-substore").toString
+    Dedup.substringStoreRecords(
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", L = SUBSTR_L)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, String)]()
+    val q = EventsStreaming.streamingIncrementalSubstringDedup(
+      src, storeDir, "text", "doc_id", L = SUBSTR_L) { (sv, _) =>
+      buf ++= sv.select(col("id"), col("n_tokens"), col("n_kept"), col("kept_md5"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally deleteRecursively(storeDir)
+    import s.implicits._
+    buf.toSeq.toDF("doc_id", "n_tokens", "n_kept", "kept_md5")
+  }
+
+  val streamIncrSubstringSql: String = incrementalSubstringSql
+
   /** X24 as a driver-gate query: stream-stream inner join with
     * watermarks + interval condition (purchases × same-user signups in
     * the preceding hour), run to completion. Oracle = the identical
@@ -2780,6 +2818,52 @@ object Extensions {
       "OR coalesce(store_mean_qdist = 0 AND batch_mean_qdist > 0, false)) AS drifted FROM r2"
   }
 
+  /** Quantizer refresh with store migration (X148): the drift
+    * monitor's missing consumer — the %3 == 0 store bootstraps under
+    * OLD centroids (trained on the store slice alone), drift arrives
+    * as the %3 != 0 batch, NEW centroids retrain on the full corpus,
+    * the store migrates via one map-side reassignment
+    * (Similarity.refreshQuantizer), and the batch then runs the X116
+    * increment under the new quantizer. Because refresh ≡ fresh
+    * bootstrap under the new centroids (spec-pinned), the oracle is
+    * simply the full-corpus k-means chain: store rows are its %3 == 0
+    * assignments, batch survivors its within-cell dedup — the OLD
+    * quantizer legitimately leaves no trace in the output, which is
+    * exactly the migration contract. */
+  val quantizerRefresh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val storeSlice = emb.filter(col("vec_id") % 3 === 0)
+    val oldCents = graft.operators.Clustering.kmeansCentroidsFixed(
+      storeSlice, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    val store = Similarity.semanticStoreRecords(
+      storeSlice, "vec_id", "embedding", oldCents)
+    val newCents = graft.operators.Clustering.kmeansCentroidsFixed(
+      emb, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    val refreshed = graft.core.Caches.persistTracked(
+      Similarity.refreshQuantizer(store, newCents))
+    val survivors = Similarity.incrementalSemanticDedup(
+      emb.filter(col("vec_id") % 3 =!= 0), refreshed, newCents,
+      threshold = SEMDEDUP_T)
+    refreshed.select(lit("store").as("role"), col("id").as("vec_id"), col("cell"))
+      .unionByName(survivors.select(lit("batch").as("role"),
+        col("id").as("vec_id"), col("cell")))
+  }
+
+  val quantizerRefreshSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), 6)"
+    val aFin = s"a$SEMDEDUP_ITERS"
+    "WITH " + kmeansCtes(SEMDEDUP_K, SEMDEDUP_ITERS, finalAssign = true) +
+      ", cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings)" +
+      s", sd AS MATERIALIZED (SELECT a.vec_id, a.c AS cell, cd.ed FROM $aFin a JOIN cd USING (vec_id) WHERE a.vec_id % 3 = 0)" +
+      s", bd AS MATERIALIZED (SELECT a.vec_id, a.c AS cell, cd.ed FROM $aFin a JOIN cd USING (vec_id) WHERE a.vec_id % 3 <> 0)" +
+      s", dup1 AS (SELECT DISTINCT b.vec_id FROM bd b JOIN sd s ON b.cell = s.cell WHERE ${cos("b.ed", "s.ed")} >= $SEMDEDUP_T)" +
+      s", dup2 AS (SELECT DISTINCT y.vec_id FROM bd x JOIN bd y ON x.cell = y.cell AND x.vec_id < y.vec_id WHERE ${cos("x.ed", "y.ed")} >= $SEMDEDUP_T) " +
+      "SELECT 'store' AS role, vec_id, cell FROM sd " +
+      "UNION ALL SELECT 'batch' AS role, vec_id, cell FROM bd " +
+      "WHERE vec_id NOT IN (SELECT vec_id FROM dup1 UNION SELECT vec_id FROM dup2)"
+  }
+
   val embedIvfTrainedSql: String = {
     def cosRank(vec: String, part: String) =
       s"row_number() OVER (PARTITION BY $part ORDER BY " +
@@ -3625,6 +3709,7 @@ object Extensions {
     "q_incremental_neardup" -> incrementalNearDup,
     "q_incremental_semdedup" -> incrementalSemDedup,
     "q_ivf_drift" -> ivfDrift,
+    "q_quantizer_refresh" -> quantizerRefresh,
     "q_ingest_full" -> ingestFull,
     "q_ingest_quartet" -> ingestQuartet,
     "q_line_dedup" -> lineDedup,
@@ -3659,6 +3744,7 @@ object Extensions {
     "q_stream_dedup" -> streamDedup,
     "q_stream_incr_dedup" -> streamIncrDedup,
     "q_stream_incr_neardup" -> streamIncrNearDup,
+    "q_stream_incr_substring" -> streamIncrSubstring,
     "q_stream_incr_exact" -> streamIncrExact,
     "q_stream_incr_semantic" -> streamIncrSemantic,
     "q_stream_join" -> streamJoin,
@@ -3748,6 +3834,7 @@ object Extensions {
     "q_incremental_neardup" -> incrementalNearDupSql,
     "q_incremental_semdedup" -> incrementalSemDedupSql,
     "q_ivf_drift" -> ivfDriftSql,
+    "q_quantizer_refresh" -> quantizerRefreshSql,
     "q_ingest_full" -> ingestFullSql,
     "q_ingest_quartet" -> ingestQuartetSql,
     "q_line_dedup" -> lineDedupSql,
@@ -3782,6 +3869,7 @@ object Extensions {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_incr_dedup" -> streamIncrDedupSql,
     "q_stream_incr_neardup" -> streamIncrNearDupSql,
+    "q_stream_incr_substring" -> streamIncrSubstringSql,
     "q_stream_incr_exact" -> incrementalDedupSql,
     "q_stream_incr_semantic" -> incrementalSemDedupSql,
     "q_stream_join" -> streamJoinSql,

@@ -413,4 +413,35 @@ class SimilaritySpec extends SparkSpec {
       zero._5.isEmpty && zero._6,
       s"zero store mean with nonzero batch mean must flag: $zero")
   }
+
+  test("refreshQuantizer: migration == fresh bootstrap, post-refresh increment identical") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val storeSlice = emb.filter(col("vec_id") % 3 === 0)
+    val oldCents = graft.operators.Clustering.kmeansCentroidsFixed(
+      storeSlice, "vec_id", "embedding", k = 4, iters = 2)
+    val newCents = graft.operators.Clustering.kmeansCentroidsFixed(
+      emb, "vec_id", "embedding", k = 5, iters = 2)
+    val oldStore = Similarity.semanticStoreRecords(
+      storeSlice, "vec_id", "embedding", oldCents)
+    // the swap must actually MOVE cells, or the test proves nothing
+    val refreshed = Similarity.refreshQuantizer(oldStore, newCents)
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("id"), col("cell")).as[(Long, Long)].collect().toMap
+    val fresh = Similarity.semanticStoreRecords(
+      storeSlice, "vec_id", "embedding", newCents)
+    assert(cellsOf(refreshed) == cellsOf(fresh),
+      "refresh(store, newCents) must equal a fresh bootstrap under newCents")
+    assert(cellsOf(refreshed) != cellsOf(oldStore),
+      "the new quantizer must actually re-shard at least one vector")
+    // a post-refresh increment behaves as if ingested under the new
+    // quantizer from day one
+    val batch = emb.filter(col("vec_id") % 3 =!= 0)
+    def survOf(store: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      cellsOf(Similarity.incrementalSemanticDedup(batch, store, newCents,
+        threshold = 0.35))
+    assert(survOf(refreshed) == survOf(fresh))
+    intercept[IllegalArgumentException] {
+      Similarity.refreshQuantizer(oldStore.drop("cell"), newCents)
+    }
+  }
 }
