@@ -1188,6 +1188,86 @@ object Dedup {
     remapped.unionByName(fresh)
   }
 
+  /** CLUSTER-LABEL retraction (X149) — right-to-be-forgotten for the
+    * X133 label store, completing the retraction story across all five
+    * stores (the substring postings retract via
+    * [[retractSubstringPostings]], the id-keyed stores by anti-join;
+    * the label store could NOT, because labels are DERIVED state: a
+    * retracted doc that IS a cluster minimum leaves every sibling
+    * labeled by a ghost id, and deleting a node can SPLIT a component,
+    * so rows cannot simply be dropped). Given the stored labels, the
+    * accumulated duplicate-PAIR store they were computed from (the
+    * retraction-capable deployment keeps pairs, exactly as X140 keeps
+    * postings — deletability's storage price), and the retract id set,
+    * this returns labels equal to `connectedComponents(pairs with
+    * NEITHER endpoint retracted)` — the X140 law, retract ≡
+    * rebuild-without, spec-pinned including ghost-minimum and
+    * component-split cases — while recomputing ONLY the affected
+    * components.
+    *
+    * Why that is exact: components are disjoint, and edge removal
+    * never merges components — so every component untouched by the
+    * retraction keeps its labels verbatim (its minimum is unchanged),
+    * and CC need re-run only on the surviving pairs of components that
+    * contained a retracted id. Affected components are identified by
+    * the retracted ids' LABELS (bounded by the retract batch);
+    * members whose every pair is retracted disappear from the table,
+    * matching the rebuild exactly (an absent id is unclustered).
+    *
+    * Contract: `storedLabels` must be [[connectedComponents]] over
+    * exactly `storedPairs` (the X133 maintenance invariant); ids
+    * absent from the store retract as no-ops.
+    *
+    * Scale shape: the retract set and the affected-label set are
+    * batch-bounded — both ride budget-gated broadcasts into map-side
+    * store scans (three label-store passes, one pair-store pass; the
+    * stores never shuffle). The affected MEMBER set is bounded by the
+    * affected components' sizes, not the batch — its pair-filter join
+    * is budget-gated with a shuffle-hash fallback, and the CC rerun is
+    * bounded the same way. Nothing corpus-sized shuffles. */
+  def retractClusterLabels(storedLabels: DataFrame, storedPairs: DataFrame,
+      retractIds: DataFrame, id1: String = "id1", id2: String = "id2",
+      broadcastBudget: Long = 1000000L): DataFrame = {
+    require(Set("id", "cluster_id").subsetOf(storedLabels.columns.toSet),
+      s"retractClusterLabels: storedLabels must have columns id/cluster_id " +
+        s"(connectedComponents' schema), got ${storedLabels.columns.mkString(", ")}")
+    require(retractIds.columns.contains("id"),
+      s"retractClusterLabels: retractIds need an id column, got " +
+        retractIds.columns.mkString(", "))
+    val stored = storedLabels.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    val rids = retractIds.select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct().persistTracked()
+    def gated(df: DataFrame): DataFrame =
+      if (fitsBudget(df, broadcastBudget)) broadcast(df)
+      else df.hint("shuffle_hash")
+    val ridsJ = gated(rids)
+    // labels of the retracted ids — bounded by the retract batch
+    val affected = stored.join(ridsJ, Seq("id"))
+      .select(col("cluster_id")).distinct().persistTracked()
+    val affectedJ = gated(affected)
+    // untouched components keep their rows verbatim (map-side anti
+    // against the broadcast affected set — the store streams once)
+    val keep = stored.join(affectedJ, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+    // members of affected components (bounded by their sizes): the
+    // ids whose pairs must be re-clustered
+    val members = stored.join(affectedJ, Seq("cluster_id"))
+      .select(col("id")).persistTracked()
+    // pairs inside affected components: both endpoints share a
+    // component, so filtering on id1-membership is complete; then
+    // forget every pair touching a retracted id (its evidence
+    // involves the deleted document)
+    val pairs = storedPairs
+      .select(col(id1).cast("long").as("_a"), col(id2).cast("long").as("_b"))
+    val membersJ = gated(members.select(col("id").as("_a")))
+    val survPairs = pairs.join(membersJ, Seq("_a"))
+      .join(gated(rids.select(col("id").as("_a"))), Seq("_a"), "left_anti")
+      .join(gated(rids.select(col("id").as("_b"))), Seq("_b"), "left_anti")
+    val cc = connectedComponents(survPairs, "_a", "_b")
+    keep.unionByName(cc.select(col("id"), col("cluster_id")))
+  }
+
   /** Corpus-level LINE dedup (the C4/RefinedWeb pass): every line that
     * occurs anywhere else in the corpus keeps only its FIRST occurrence
     * (by (doc_id, line index) — globally deterministic), then documents

@@ -2491,6 +2491,37 @@ object Extensions {
       "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) " +
       "SELECT doc_id, cluster_id FROM comp"
 
+  /** Cluster-label retraction (X149): the stored CC labels over the
+    * near-dup pair graph forget every doc_id % 5 == 0 document —
+    * affected components only are re-clustered from their surviving
+    * pairs (ghost minima relabel, severed bridges split), untouched
+    * components keep their rows verbatim. Retract ≡ rebuild-without is
+    * the operator's spec-pinned law, so the oracle IS the rebuild: the
+    * exact transitive closure over pairs with neither endpoint
+    * retracted. */
+  val clusterRetraction: Q = (s, d) => {
+    val pairs = graft.core.Caches.persistTracked(
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.7, shingleN = 3,
+        bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+        .select(col("id1"), col("id2")))
+    val labels = Dedup.connectedComponents(pairs, "id1", "id2")
+    val retract = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id"))
+    Dedup.retractClusterLabels(labels, pairs, retract)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  val clusterRetractionSql: String =
+    s"WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($minhashPairsSql) " +
+      "WHERE id1 % 5 <> 0 AND id2 % 5 <> 0), " +
+      "edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs " +
+      "UNION SELECT id2 AS a, id1 AS b FROM pairs), " +
+      "reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) " +
+      "UNION SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a), " +
+      "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) " +
+      "SELECT doc_id, cluster_id FROM comp"
+
   /** Eval-set decontamination: a deterministic 10% hash-holdout of the
     * corpus plays the held-out benchmark; every train doc sharing a
     * word 13-gram with it is flagged (the GPT-3-style overlap rule). */
@@ -3790,6 +3821,7 @@ object Extensions {
     "q_partition_overwrite" -> partitionOverwrite,
     "q_dedup_clusters" -> dedupClusters,
     "q_incremental_clusters" -> incrementalClusters,
+    "q_cluster_retraction" -> clusterRetraction,
     "q_decontaminate" -> decontaminate,
     "q_incremental_decontam" -> incrementalDecontam,
     "q_blocklist" -> blocklist,
@@ -3915,6 +3947,7 @@ object Extensions {
     "q_partition_overwrite" -> partitionOverwriteSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_incremental_clusters" -> incrementalClustersSql,
+    "q_cluster_retraction" -> clusterRetractionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_incremental_decontam" -> decontaminateSql,
     "q_blocklist" -> blocklistSql,

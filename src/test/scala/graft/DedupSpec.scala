@@ -536,6 +536,59 @@ class DedupSpec extends SparkSpec {
       full2.as[(Long, Long)].collect().toSet)
   }
 
+  test("retractClusterLabels: ghost minimum relabels, bridge removal splits, untouched kept") {
+    // {1,2,3} chain (label 1), {10,11,12,13,14} chain (label 10),
+    // {20,21} untouched (label 20)
+    val pairs = Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs, "id1", "id2")
+    // retract 1 (the minimum of its cluster — a ghost label without
+    // the rerun) and 12 (a bridge — severing it splits the chain)
+    val got = Dedup.retractClusterLabels(labels, pairs,
+      Seq(1L, 12L).toDF("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set(
+      (2L, 2L), (3L, 2L),              // ghost min 1 gone, 2 is the new min
+      (10L, 10L), (11L, 10L),          // left half of the split
+      (13L, 13L), (14L, 13L),          // right half: new component
+      (20L, 20L), (21L, 20L)))         // untouched component verbatim
+  }
+
+  test("retractClusterLabels == rebuild-without on a random graph; no-ops and guards") {
+    val rnd = new scala.util.Random(7)
+    val all = Seq.fill(90)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2)
+    val pairs = all.toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs, "id1", "id2")
+    val retract = (0L until 50L).filter(_ % 5 == 0)
+    val got = Dedup.retractClusterLabels(labels, pairs,
+      retract.toDF("id")).as[(Long, Long)].collect().toSet
+    val rebuilt = Dedup.connectedComponents(
+      all.filter(p => !retract.contains(p._1) && !retract.contains(p._2))
+        .toDF("id1", "id2"), "id1", "id2")
+      .as[(Long, Long)].collect().toSet
+    assert(got == rebuilt, "retract must equal rebuild-without")
+    // ids unknown to the store retract as no-ops; an empty retract set
+    // is the identity
+    val noop = Dedup.retractClusterLabels(labels, pairs,
+      Seq(900L, 901L).toDF("id")).as[(Long, Long)].collect().toSet
+    assert(noop == labels.as[(Long, Long)].collect().toSet)
+    // shuffle-hash fallback (budget 1 — every gated frame exceeds it)
+    // produces the identical result
+    val gotSh = Dedup.retractClusterLabels(labels, pairs,
+      retract.toDF("id"), broadcastBudget = 1L)
+      .as[(Long, Long)].collect().toSet
+    assert(gotSh == rebuilt)
+    intercept[IllegalArgumentException] {
+      Dedup.retractClusterLabels(labels.withColumnRenamed("cluster_id", "x"),
+        pairs, Seq(1L).toDF("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.retractClusterLabels(labels, pairs, Seq(1L).toDF("doc"))
+    }
+  }
+
   test("incrementalSubstringDedup: store windows cover everywhere, fresh dups keep batch-first") {
     val span = "alpha bravo charlie delta echo"
     val store = Seq(
