@@ -49,7 +49,7 @@ object Clustering {
     * and this runs k times per row in the assignment hot path); the
     * portable HOF otherwise. Integer arithmetic: identical values
     * either way. */
-  private def sqDistToLit(df: DataFrame, qv: Column, cv: Array[Long]): Column =
+  private[operators] def sqDistToLit(df: DataFrame, qv: Column, cv: Array[Long]): Column =
     if (df.sparkSession.catalog.functionExists("graft_sqdist_i64"))
       call_function("graft_sqdist_i64", qv, typedlit(cv.toSeq))
     else

@@ -136,6 +136,95 @@ object Similarity {
     finishTopK(rescored, "q_id", "vec_id", k)
   }
 
+  /** Train PRODUCT-QUANTIZATION codebooks (X150; Jégou et al. 2011,
+    * "Product quantization for nearest neighbor search"): the
+    * `dims`-dim space splits into `m` contiguous sub-spaces of
+    * dims/m each, and each sub-space gets its own k-means codebook
+    * ([[Clustering.kmeansCentroidsFixed]] — the exact fixed-point
+    * Lloyd loop, so codebooks and therefore codes and LUT scores are
+    * bit-identical on any engine). Memory is the point: a vector
+    * stores as m sub-codes (m·log₂(codes) bits — 64-dim float32 at
+    * m=4, 16 codes is 256 bytes → 2 bytes, 128×) while brute scoring
+    * drops from dims multiplies to m table lookups per pair. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, codes: Int, iters: Int,
+      scale: Double = 1e6): Array[Array[(Int, Array[Long])]] = {
+    require(m > 0 && dims > 0 && dims % m == 0,
+      s"pqCodebooks: dims=$dims must split evenly into m=$m sub-vectors")
+    val subDim = dims / m
+    (0 until m).map { i =>
+      Clustering.kmeansCentroidsFixed(
+        corpus.select(col(idCol),
+          slice(col(vecCol), i * subDim + 1, subDim).as(vecCol)),
+        idCol, vecCol, codes, iters, scale)
+    }.toArray
+  }
+
+  /** PQ-coarse → exact-rerank top-k — the memory-tier ANN serving
+    * shape (X150), completing the repo's compression ladder (float32
+    * brute → int8 [[quantizedRerankTopK]] 4× → PQ 32-128×): corpus
+    * vectors ENCODE once to m sub-codes (map-side argmin against the
+    * literal codebooks — the [[Clustering.assignCells]] plan per
+    * sub-space, zero shuffles); each query builds its asymmetric
+    * distance LUT (exact integer dot of its fixed-point sub-vector
+    * with every codebook entry — m·codes values, computed once per
+    * query);
+    * scoring a pair is then m array lookups + an integer sum
+    * (`lut[i][code[i]]` — the ADC trick that makes PQ fast), top
+    * `coarseK` per query via the bounded-heap aggregator, and the
+    * float-cosine rerank joins ONLY those candidates back by id
+    * (X7c's shape). Integer LUT scores + id tie-breaks keep both
+    * stages hash-deterministic. The corpus never shuffles; queries
+    * and their LUTs broadcast. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Array[Array[(Int, Array[Long])]], coarseK: Int,
+      scale: Double = 1e6): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "pqTopK: empty codebooks")
+    require(k <= coarseK, s"k=$k must be <= coarseK=$coarseK")
+    val m = codebooks.length
+    val subDim = codebooks(0)(0)._2.length
+    def subQ(vec: Column, i: Int): Column =
+      Clustering.fixedPoint(slice(vec, i * subDim + 1, subDim), scale)
+    // encode: per sub-space, argmin over literal codebook entries
+    // (lexicographic struct sort — min dist, ties to lowest code id),
+    // exactly the k-means assignment rule
+    val enc = spread(corpus).select(
+      (col("vec_id") +: (0 until m).map(i =>
+        subQ(col("embedding"), i).as(s"_q$i"))): _*)
+    val codesDf = enc.select(col("vec_id"), array((0 until m).map { i =>
+      val entries = codebooks(i).map { case (cid, cv) =>
+        struct(Clustering.sqDistToLit(enc, col(s"_q$i"), cv).as("d"),
+          lit(cid.toLong).as("c"))
+      }
+      sort_array(array(entries: _*)).getItem(0).getField("c")
+    }: _*).as("_codes"))
+    // per-query ADC lookup table: lut[i][c] = <query sub i, codebook
+    // entry c> as an exact integer dot (fixed-point both sides; |x| ≤
+    // scale ⇒ per-product ≤ scale², sub-sums ≪ Long.Max)
+    def dotToLit(a: Column, cv: Array[Long]): Column =
+      aggregate(zip_with(a, typedlit(cv.toSeq), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    val qLut = queries.select(col("q_id"), array((0 until m).map { i =>
+      val sub = subQ(col("q_vec"), i)
+      array(codebooks(i).sortBy(_._1).map { case (_, cv) =>
+        dotToLit(sub, cv) }: _*)
+    }: _*).as("_lut"))
+    val scored = codesDf.crossJoin(broadcast(qLut))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(
+          zip_with(col("_codes"), col("_lut"),
+            (c, l) => element_at(l, (c + 1).cast("int"))),
+          lit(0L), (acc, v) => acc + v).as("score"))
+    val cand = finishTopK(scored, "q_id", "vec_id", coarseK)
+      .select(col("q_id"), col("vec_id"))
+    val rescored = corpus
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("score", cosineAuto(corpus, col("embedding"), col("q_vec")))
+    finishTopK(rescored, "q_id", "vec_id", k)
+  }
+
   /** Spread per-row-heavy vector compute across all cores (single-file
     * benchmark inputs arrive as one scan split). */
   private def spread(df: DataFrame): DataFrame =

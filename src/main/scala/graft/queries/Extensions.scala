@@ -2200,6 +2200,63 @@ object Extensions {
       "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
       "WHERE rank <= 10"
 
+  /** Product-quantization ANN tier (X150): per-sub-space codebooks
+    * trained with the exact fixed-point k-means, corpus encoded to
+    * m=4 sub-codes map-side, per-query integer ADC lookup tables,
+    * coarse top-50 by LUT sums, float-cosine rerank to top-10. The
+    * oracle unrolls FOUR independent k-means CTE chains (one per
+    * sub-space, prefixed) and scores via list_dot_product of each
+    * vector's assigned codeword against the query's quantized
+    * sub-vector — the same exact integers the Spark LUT holds. */
+  private val PQ_M = 4
+  private val PQ_CODES = 8
+  private val PQ_ITERS = 2
+  private val PQ_COARSE = 50
+
+  val embedPq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, m = PQ_M, codes = PQ_CODES, iters = PQ_ITERS)
+    Similarity.pqTopK(emb, queriesDf(s, d), k = 10, books,
+      coarseK = PQ_COARSE)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  val embedPqSql: String = {
+    val sub = EMB_DIMS / PQ_M
+    val chains = (0 until PQ_M).map { i =>
+      kmeansCtes(PQ_CODES, PQ_ITERS, finalAssign = true,
+        src = s"(SELECT vec_id, list_slice(embedding, ${i * sub + 1}, ${(i + 1) * sub}) AS embedding FROM embeddings)",
+        prefix = s"p$i")
+    }.mkString(", ")
+    val cm = (0 until PQ_M).map(i =>
+      s"cm$i AS MATERIALIZED (SELECT a.vec_id, c.cv FROM p${i}a$PQ_ITERS a " +
+        s"JOIN p${i}c${PQ_ITERS - 1} c ON a.c = c.c)").mkString(", ")
+    val qm = (0 until PQ_M).map(i =>
+      s"qm$i AS MATERIALIZED (SELECT vec_id AS q_id, qv FROM p${i}q " +
+        "WHERE vec_id % 50 = 0)").mkString(", ")
+    val dotSum = (0 until PQ_M).map(i =>
+      s"list_dot_product(c$i.cv, q$i.qv)").mkString(" + ")
+    val joinsC = (1 until PQ_M).map(i =>
+      s"JOIN cm$i c$i ON c$i.vec_id = c0.vec_id").mkString(" ")
+    val joinsQ = (1 until PQ_M).map(i =>
+      s"JOIN qm$i q$i ON q$i.q_id = q0.q_id").mkString(" ")
+    s"WITH $chains, $cm, $qm, " +
+      s"sc AS (SELECT q0.q_id, c0.vec_id, CAST($dotSum AS BIGINT) AS s " +
+      s"FROM cm0 c0 $joinsC CROSS JOIN qm0 q0 $joinsQ), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM sc) " +
+      s"WHERE rk <= $PQ_COARSE), " +
+      "cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "qf AS (SELECT vec_id AS q_id, ed AS qd FROM cd WHERE vec_id % 50 = 0), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, qf.qd)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(qf.qd, qf.qd))), 6) AS score " +
+      "FROM co JOIN cd e ON e.vec_id = co.vec_id JOIN qf ON qf.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+  }
+
   /** ANN recall harness (X115): retrieval QUALITY of the three ANN
     * variants measured as per-query recall@10 against the brute-force
     * ground truth — all four top-k tables are deterministic given the
@@ -2218,6 +2275,7 @@ object Extensions {
       .unionByName(rec("lsh_multi", embedAnnMulti(s, d)))
       .unionByName(rec("lsh_probe", embedAnnProbe(s, d)))
       .unionByName(rec("ivf", embedIvf(s, d)))
+      .unionByName(rec("pq", embedPq(s, d)))
       .unionByName(rec("rerank", annRerank(s, d)))
   }
 
@@ -2227,10 +2285,11 @@ object Extensions {
         s"FROM bf LEFT JOIN $cte ON bf.q_id = $cte.q_id AND bf.vec_id = $cte.vec_id GROUP BY bf.q_id"
     s"WITH bf AS MATERIALIZED ($embedTopKSql), lsh AS ($embedAnnSql), " +
       s"lshm AS ($embedAnnMultiSql), lshp AS ($embedAnnProbeSql), " +
-      s"ivf AS ($embedIvfSql), rr AS ($annRerankSql), " +
+      s"ivf AS ($embedIvfSql), pq AS ($embedPqSql), rr AS ($annRerankSql), " +
       s"rec AS (${rec("lsh", "lsh")} UNION ALL ${rec("lsh_multi", "lshm")} " +
       s"UNION ALL ${rec("lsh_probe", "lshp")} " +
-      s"UNION ALL ${rec("ivf", "ivf")} UNION ALL ${rec("rerank", "rr")}) " +
+      s"UNION ALL ${rec("ivf", "ivf")} UNION ALL ${rec("pq", "pq")} " +
+      s"UNION ALL ${rec("rerank", "rr")}) " +
       "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
       "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
   }
@@ -2650,33 +2709,34 @@ object Extensions {
     * a{iters} when `finalAssign` — reused by both the standalone
     * q_kmeans oracle and the trained-IVF oracle. */
   private def kmeansCtes(k: Int, iters: Int, finalAssign: Boolean,
-      src: String = "embeddings"): String = {
+      src: String = "embeddings", prefix: String = ""): String = {
     def sq(a: String, b: String) =
       s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
         s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
     val quant = "list_transform(embedding, " +
       "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
     val dist = sq("q.qv", "c.cv")
+    val p = prefix
     val sb = new StringBuilder
-    sb ++= s"q AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM $src), "
-    sb ++= s"c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, " +
-      s"qv AS cv FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)), "
+    sb ++= s"${p}q AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM $src), "
+    sb ++= s"${p}c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, " +
+      s"qv AS cv FROM (SELECT vec_id, qv FROM ${p}q ORDER BY vec_id LIMIT $k)), "
     for (t <- 1 to iters) {
-      val prev = s"c${t - 1}"
+      val prev = s"${p}c${t - 1}"
       if (t < iters || finalAssign)
-        sb ++= s"a$t AS MATERIALIZED (SELECT vec_id, qv, c, d FROM (" +
+        sb ++= s"${p}a$t AS MATERIALIZED (SELECT vec_id, qv, c, d FROM (" +
           s"SELECT q.vec_id, q.qv, c.c, $dist AS d, " +
           s"row_number() OVER (PARTITION BY q.vec_id ORDER BY $dist, c.c) AS rn " +
-          s"FROM q CROSS JOIN $prev c) WHERE rn = 1), "
+          s"FROM ${p}q q CROSS JOIN $prev c) WHERE rn = 1), "
       if (t < iters) {
-        sb ++= s"m$t AS MATERIALIZED (SELECT c, i, " +
+        sb ++= s"${p}m$t AS MATERIALIZED (SELECT c, i, " +
           "CAST(floor(CAST(sum(x) AS DOUBLE)/count(*)) AS BIGINT) AS m FROM " +
           "(SELECT c, u.i AS i, u.x AS x FROM (SELECT c, " +
-          s"unnest(list_transform(qv, (x, i) -> struct_pack(i := i - 1, x := x))) AS u FROM a$t)) " +
+          s"unnest(list_transform(qv, (x, i) -> struct_pack(i := i - 1, x := x))) AS u FROM ${p}a$t)) " +
           "GROUP BY c, i), "
-        sb ++= s"mc$t AS MATERIALIZED (SELECT c, list(m ORDER BY i) AS cv FROM m$t GROUP BY c), "
-        sb ++= s"c$t AS MATERIALIZED (SELECT p.c, coalesce(mc.cv, p.cv) AS cv " +
-          s"FROM c${t - 1} p LEFT JOIN mc$t mc ON p.c = mc.c), "
+        sb ++= s"${p}mc$t AS MATERIALIZED (SELECT c, list(m ORDER BY i) AS cv FROM ${p}m$t GROUP BY c), "
+        sb ++= s"${p}c$t AS MATERIALIZED (SELECT p.c, coalesce(mc.cv, p.cv) AS cv " +
+          s"FROM ${p}c${t - 1} p LEFT JOIN ${p}mc$t mc ON p.c = mc.c), "
       }
     }
     sb.toString.stripSuffix(", ")
@@ -3812,6 +3872,7 @@ object Extensions {
     "q_quant_topk" -> quantTopK,
     "q_ann_rerank" -> annRerank,
     "q_ann_recall" -> annRecall,
+    "q_embed_pq" -> embedPq,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
     "q_temperature_mix" -> temperatureMix,
@@ -3938,6 +3999,7 @@ object Extensions {
     "q_quant_topk" -> quantTopKSql,
     "q_ann_rerank" -> annRerankSql,
     "q_ann_recall" -> annRecallSql,
+    "q_embed_pq" -> embedPqSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,
     "q_temperature_mix" -> temperatureMixSql,

@@ -414,6 +414,37 @@ class SimilaritySpec extends SparkSpec {
       s"zero store mean with nonzero batch mean must flag: $zero")
   }
 
+  test("pqTopK: coarseK >= corpus recovers exact brute-force top-k; guards fail loud") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val n = emb.count().toInt
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dims = 64, m = 4, codes = 8, iters = 2)
+    assert(books.length == 4 && books.forall(_.length == 8) &&
+      books.forall(_.forall(_._2.length == 16)))
+    // with every corpus vector a candidate, the rerank stage IS brute
+    // force — PQ's approximation surface is confined to the cut
+    val got = Similarity.pqTopK(emb, q, k = 10, books, coarseK = n)
+      .select("q_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select("q_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == bf)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, q, k = 10, books, coarseK = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dims = 64, m = 5, codes = 8, iters = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, q, k = 10,
+        Array.empty[Array[(Int, Array[Long])]], coarseK = 50)
+    }
+  }
+
   test("refreshQuantizer: migration == fresh bootstrap, post-refresh increment identical") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val storeSlice = emb.filter(col("vec_id") % 3 === 0)
