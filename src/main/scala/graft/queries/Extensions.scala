@@ -2208,8 +2208,13 @@ object Extensions {
     * sub-space, prefixed) and scores via list_dot_product of each
     * vector's assigned codeword against the query's quantized
     * sub-vector — the same exact integers the Spark LUT holds. */
+  // measured sweep at sf0.01 (PLANS.md): recall@10 vs config —
+  // (m=4,codes=8,coarse=50) 0.52 · (4,16,50) 0.66 · (4,8,100) 0.72 ·
+  // (4,16,100) 0.81 · (8,8,50) 0.57 · (4,4,50) 0.48. Shipped: 16
+  // codes/sub at the 10%-of-corpus coarse budget — the best
+  // same-candidate-cost point; raising coarseK is the runtime knob.
   private val PQ_M = 4
-  private val PQ_CODES = 8
+  private val PQ_CODES = 16
   private val PQ_ITERS = 2
   private val PQ_COARSE = 50
 

@@ -24,6 +24,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_unigram_surprisal", "q_hybrid_search", "q_gap_fill", "q_profile",
       // coarse stage IS q_quant_topk's broadcast-query scoring pass
       "q_ann_rerank",
+      // PQ coarse stage scores corpus codes x broadcast query LUTs —
+      // the q_quant_topk shape with table-lookup scoring; the rerank
+      // joins are keyed equi-joins
+      "q_embed_pq",
       // 1-row quantile-cutoff scalar broadcast, like q_gap_fill's bounds
       "q_quality_mix",
       // MaxSim is brute-force corpus × broadcast-queries scoring, the
