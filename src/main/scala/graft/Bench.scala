@@ -124,7 +124,10 @@ object Bench {
       latest.map { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(f)), "UTF-8")
-        """"(q_[A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+        // the round artifact embeds the bench JSON twice: escaped
+        // inside its "tail" string ("q_x\":9.500) and re-parsed with
+        // colon-space ("q_x": 9.5) — accept both forms
+        """"(q_[A-Za-z0-9_]+)\\?":\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }

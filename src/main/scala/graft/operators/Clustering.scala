@@ -57,7 +57,7 @@ object Clustering {
         zip_with(qv, typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, v) => acc + v)
 
-  private def assignTo(cents: Array[(Int, Array[Long])])(df: DataFrame): DataFrame = {
+  private[operators] def assignTo(cents: Array[(Int, Array[Long])])(df: DataFrame): DataFrame = {
     val entries = cents.map { case (cid, cv) =>
       struct(sqDistToLit(df, col("qv"), cv).as("d"), lit(cid.toLong).as("c"))
     }

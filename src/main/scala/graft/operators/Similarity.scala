@@ -225,6 +225,136 @@ object Similarity {
     finishTopK(rescored, "q_id", "vec_id", k)
   }
 
+  /** (id, cell, rv) — each vector's coarse cell plus its EXACT integer
+    * residual (fixed-point vector minus the assigned centroid,
+    * element-wise BIGINT subtraction — no re-quantization round
+    * trip), the shared front half of IVF-PQ training and encoding. */
+  private def residualFrame(df: DataFrame, idCol: String, vecCol: String,
+      coarseCents: Array[(Int, Array[Long])], scale: Double): DataFrame = {
+    val centLit = typedlit(coarseCents.sortBy(_._1).map(_._2.toSeq).toSeq)
+    val q = df.select(col(idCol),
+      Clustering.fixedPoint(col(vecCol), scale).as("qv"))
+    Clustering.assignTo(coarseCents)(q)
+      .select(col(idCol), col("cluster").as("cell"),
+        zip_with(col("qv"),
+          element_at(centLit, (col("cluster") + 1).cast("int")),
+          (x, y) => x - y).as("rv"))
+  }
+
+  /** Train an IVF-PQ index (X151; Jégou et al. 2011 §IV) — the
+    * composed billion-vector serving shape: a coarse quantizer shards
+    * the corpus into cells, and PQ codebooks quantize the RESIDUAL
+    * (vector − cell centroid), which is far more compressible than
+    * the raw vector because the coarse step already removed the
+    * between-cell variance. Both stages are the exact fixed-point
+    * k-means; residuals live in the integer domain (scale 1.0 pass
+    * through [[Clustering.fixedPoint]] is the identity on integers),
+    * so the whole index — cells, residuals, codewords, codes — is
+    * bit-identical on any engine. Returns (coarse centroids,
+    * per-sub-space residual codebooks). */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, cells: Int, cellIters: Int,
+      m: Int, codes: Int, pqIters: Int,
+      scale: Double = 1e6): (Array[(Int, Array[Long])], Array[Array[(Int, Array[Long])]]) = {
+    require(m > 0 && dims > 0 && dims % m == 0,
+      s"ivfPqIndex: dims=$dims must split evenly into m=$m sub-vectors")
+    val subDim = dims / m
+    val coarse = Clustering.kmeansCentroidsFixed(
+      corpus, idCol, vecCol, cells, cellIters, scale)
+    val res = graft.core.Caches.persistTracked(
+      residualFrame(corpus, idCol, vecCol, coarse, scale))
+    val books = (0 until m).map { i =>
+      Clustering.kmeansCentroidsFixed(
+        res.select(col(idCol),
+          slice(col("rv"), i * subDim + 1, subDim)
+            .cast("array<double>").as("rv")),
+        idCol, "rv", codes, pqIters, scale = 1.0)
+    }.toArray
+    (coarse, books)
+  }
+
+  /** IVF-PQ search — coarse-probe + residual-ADC + exact rerank, the
+    * plan every 10⁹⁺-vector serving stack runs: the corpus is stored
+    * as (cell, m sub-codes) — 16 bits/vector at the gate config — and
+    * a query probes only its `nprobe` nearest cells, so the scored
+    * row count drops by ~cells/nprobe AND each scored row costs m
+    * table lookups instead of dims multiplies. Concretely: corpus
+    * rows encode map-side (literal centroids/codebooks, zero
+    * shuffles); each query explodes to its nprobe (cell, LUT) rows
+    * where LUT[i][c] = exact integer sqdist of the query's residual
+    * sub-vector to codeword c (ADC in the residual domain —
+    * approximates ‖q − x‖²); the probe is a broadcast EQUI-join on
+    * cell (never a corpus scan per query — the structural win over
+    * flat PQ's cross join); coarse top-`coarseK` per query by
+    * ascending approximate distance (integer ties break to lowest
+    * id), float-cosine rerank to top-k. All-integer coarse scores
+    * keep the whole pipeline hash-deterministic. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarseCents: Array[(Int, Array[Long])],
+      codebooks: Array[Array[(Int, Array[Long])]],
+      nprobe: Int, coarseK: Int, scale: Double = 1e6): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "ivfPqTopK: empty codebooks")
+    require(coarseCents.nonEmpty, "ivfPqTopK: empty coarse centroids")
+    require(k <= coarseK, s"k=$k must be <= coarseK=$coarseK")
+    require(nprobe >= 1 && nprobe <= coarseCents.length,
+      s"nprobe=$nprobe must be in [1, ${coarseCents.length}]")
+    val m = codebooks.length
+    val subDim = codebooks(0)(0)._2.length
+    // corpus: cell + residual sub-slices -> m codes (map-side argmin
+    // per sub-space against literal codebooks; k-means' tie rule)
+    val res = residualFrame(spread(corpus), "vec_id", "embedding",
+      coarseCents, scale)
+    val enc0 = res.select(
+      (col("vec_id") +: col("cell") +: (0 until m).map(i =>
+        slice(col("rv"), i * subDim + 1, subDim).as(s"_r$i"))): _*)
+    val codesDf = enc0.select(col("vec_id"), col("cell"),
+      array((0 until m).map { i =>
+        val entries = codebooks(i).map { case (cid, cw) =>
+          struct(Clustering.sqDistToLit(enc0, col(s"_r$i"), cw).as("d"),
+            lit(cid.toLong).as("c"))
+        }
+        sort_array(array(entries: _*)).getItem(0).getField("c")
+      }: _*).as("_codes"))
+    // queries: nprobe nearest cells by the SAME integer argmin, then
+    // per probed cell the query residual and its m x codes sqdist LUT
+    val qq = queries.select(col("q_id"),
+      Clustering.fixedPoint(col("q_vec"), scale).as("_qv"))
+    val centEntries = coarseCents.map { case (cid, cv) =>
+      struct(Clustering.sqDistToLit(qq, col("_qv"), cv).as("d"),
+        lit(cid.toLong).as("c"))
+    }
+    val centLit = typedlit(coarseCents.sortBy(_._1).map(_._2.toSeq).toSeq)
+    val probed = qq
+      .withColumn("_pc",
+        explode(slice(sort_array(array(centEntries: _*)), 1, nprobe)))
+      .select(col("q_id"), col("_qv"), col("_pc").getField("c").as("cell"))
+      .withColumn("_qr", zip_with(col("_qv"),
+        element_at(centLit, (col("cell") + 1).cast("int")),
+        (x, y) => x - y))
+    val lut = probed.select(col("q_id"), col("cell"),
+      array((0 until m).map { i =>
+        val sub = slice(col("_qr"), i * subDim + 1, subDim)
+        array(codebooks(i).sortBy(_._1).map { case (_, cw) =>
+          Clustering.sqDistToLit(probed, sub, cw) }: _*)
+      }: _*).as("_lut"))
+    // the probe: keyed equi-join on cell — approximate distance is the
+    // LUT sum, negated so the shared desc-top-k ranks ascending dist
+    val scored = codesDf.join(broadcast(lut), Seq("cell"))
+      .select(col("q_id"), col("vec_id"),
+        (-aggregate(
+          zip_with(col("_codes"), col("_lut"),
+            (c, l) => element_at(l, (c + 1).cast("int"))),
+          lit(0L), (acc, v) => acc + v)).as("score"))
+    val cand = finishTopK(scored, "q_id", "vec_id", coarseK)
+      .select(col("q_id"), col("vec_id"))
+    val rescored = corpus
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("score", cosineAuto(corpus, col("embedding"), col("q_vec")))
+    finishTopK(rescored, "q_id", "vec_id", k)
+  }
+
   /** Spread per-row-heavy vector compute across all cores (single-file
     * benchmark inputs arrive as one scan split). */
   private def spread(df: DataFrame): DataFrame =

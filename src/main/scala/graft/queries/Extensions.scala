@@ -1765,6 +1765,61 @@ object Extensions {
 
   val streamIncrSubstringSql: String = incrementalSubstringSql
 
+  /** Streaming incremental cluster maintenance (X152): the
+    * q_incremental_clusters split through the real foreachBatch
+    * composition — history pairs' CC labels bootstrap the snapshot
+    * store under batch=-1, the batch pairs stream to AvailableNow
+    * completion, and each micro-batch folds its pairs in by graph
+    * contraction and writes the full updated label table as its own
+    * snapshot. Single-file source → one micro-batch, so the final
+    * table equals the batch increment's and the oracle (the exact
+    * recursive-CTE closure over ALL pairs) is reused verbatim; the
+    * multi-batch snapshot chain, retry replay and lineage guard are
+    * pinned by StreamingSpec. */
+  val streamIncrClusters: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-sic")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-lblstore").toString
+    val pairsDir =
+      java.nio.file.Files.createTempDirectory("graft-pairsrc").toString
+    val pairs = graft.core.Caches.persistTracked(
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.7, shingleN = 3,
+        bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+        .select(col("id1"), col("id2")))
+    Dedup.connectedComponents(
+      pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0),
+      "id1", "id2")
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
+      .coalesce(1).write.mode("overwrite").parquet(pairsDir)
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id2",
+        org.apache.spark.sql.types.LongType)))
+    val src = s.readStream.schema(pairSchema).parquet(pairsDir)
+    // each batch's sink payload is the COMPLETE updated table — keep
+    // the last one
+    var result: Array[(Long, Long)] = Array.empty
+    val q = EventsStreaming.streamingIncrementalClusters(src, storeDir) {
+      (upd, _) =>
+        result = upd.select(col("id"), col("cluster_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally { deleteRecursively(storeDir); deleteRecursively(pairsDir) }
+    import s.implicits._
+    result.toSeq.toDF("doc_id", "cluster_id")
+  }
+
+  // lazy: incrementalClustersSql is declared later in this object —
+  // an eager val here would silently interpolate null
+  lazy val streamIncrClustersSql: String = incrementalClustersSql
+
   /** X24 as a driver-gate query: stream-stream inner join with
     * watermarks + interval condition (purchases × same-user signups in
     * the preceding hour), run to completion. Oracle = the identical
@@ -2262,6 +2317,81 @@ object Extensions {
       "WHERE rank <= 10"
   }
 
+  /** IVF-PQ (X151): the composed serving index — coarse cells shard
+    * the corpus, PQ codebooks quantize the RESIDUALS, and a query
+    * probes only its nprobe nearest cells with an integer
+    * asymmetric-distance LUT per probed cell. The oracle chains the
+    * coarse k-means CTEs, an exact-integer residual CTE, FOUR
+    * residual-domain k-means chains at quant scale 1.0, and the
+    * probe/LUT/rerank joins. */
+  private val IVFPQ_CELLS = 8
+  private val IVFPQ_CELL_ITERS = 2
+  private val IVFPQ_NPROBE = 2
+  private val IVFPQ_CODES = 16
+
+  val embedIvfPq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, cells = IVFPQ_CELLS, cellIters = IVFPQ_CELL_ITERS,
+      m = PQ_M, codes = IVFPQ_CODES, pqIters = PQ_ITERS)
+    Similarity.ivfPqTopK(emb, queriesDf(s, d), k = 10, coarse, books,
+      nprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  val embedIvfPqSql: String = {
+    val sub = EMB_DIMS / PQ_M
+    def sqs(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val gFin = s"ga$IVFPQ_CELL_ITERS"
+    val gCents = s"gc${IVFPQ_CELL_ITERS - 1}"
+    val coarseChain = kmeansCtes(IVFPQ_CELLS, IVFPQ_CELL_ITERS,
+      finalAssign = true, prefix = "g")
+    val residChains = (0 until PQ_M).map { i =>
+      kmeansCtes(IVFPQ_CODES, PQ_ITERS, finalAssign = true,
+        src = s"(SELECT vec_id, list_slice(rv, ${i * sub + 1}, ${(i + 1) * sub}) AS embedding FROM rv)",
+        prefix = s"r$i", qscale = "1.0")
+    }.mkString(", ")
+    val cm = (0 until PQ_M).map(i =>
+      s"cm$i AS MATERIALIZED (SELECT a.vec_id, c.cv FROM r${i}a$PQ_ITERS a " +
+        s"JOIN r${i}c${PQ_ITERS - 1} c ON a.c = c.c)").mkString(", ")
+    val joinsC = (1 until PQ_M).map(i =>
+      s"JOIN cm$i c$i ON c$i.vec_id = v.vec_id").mkString(" ")
+    val distSum = (0 until PQ_M).map(i =>
+      sqs(s"list_slice(qp.qr, ${i * sub + 1}, ${(i + 1) * sub})", s"c$i.cv"))
+      .mkString(" + ")
+    s"WITH $coarseChain, " +
+      // exact integer residual of every vector vs its assigned centroid
+      s"rv AS MATERIALIZED (SELECT a.vec_id, a.c AS cell, " +
+      s"list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] - c.cv[i]) AS rv " +
+      s"FROM $gFin a JOIN $gCents c ON a.c = c.c), " +
+      s"$residChains, $cm, " +
+      // query side: nprobe nearest cells by the same integer argmin,
+      // residual per probed cell
+      s"qp AS MATERIALIZED (SELECT q_id, cell, " +
+      "list_transform(generate_series(1, len(qv)), i -> qv[i] - cv[i]) AS qr FROM " +
+      "(SELECT q.vec_id AS q_id, q.qv, c.c AS cell, c.cv, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqs("q.qv", "c.cv")}, c.c) AS rn " +
+      s"FROM gq q CROSS JOIN $gCents c WHERE q.vec_id % 50 = 0) WHERE rn <= $IVFPQ_NPROBE), " +
+      // probe = keyed join on cell; ADC distance = sum of per-sub
+      // sqdists of the query residual vs each vector's codewords
+      s"sc AS (SELECT qp.q_id, v.vec_id, CAST($distSum AS BIGINT) AS s " +
+      s"FROM rv v JOIN cm0 c0 ON c0.vec_id = v.vec_id $joinsC " +
+      "JOIN qp ON qp.cell = v.cell), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY s ASC, vec_id ASC) AS rk FROM sc) " +
+      s"WHERE rk <= $PQ_COARSE), " +
+      "cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "qf AS (SELECT vec_id AS q_id, ed AS qd FROM cd WHERE vec_id % 50 = 0), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, qf.qd)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(qf.qd, qf.qd))), 6) AS score " +
+      "FROM co JOIN cd e ON e.vec_id = co.vec_id JOIN qf ON qf.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+  }
+
   /** ANN recall harness (X115): retrieval QUALITY of the three ANN
     * variants measured as per-query recall@10 against the brute-force
     * ground truth — all four top-k tables are deterministic given the
@@ -2281,6 +2411,7 @@ object Extensions {
       .unionByName(rec("lsh_probe", embedAnnProbe(s, d)))
       .unionByName(rec("ivf", embedIvf(s, d)))
       .unionByName(rec("pq", embedPq(s, d)))
+      .unionByName(rec("ivfpq", embedIvfPq(s, d)))
       .unionByName(rec("rerank", annRerank(s, d)))
   }
 
@@ -2290,10 +2421,12 @@ object Extensions {
         s"FROM bf LEFT JOIN $cte ON bf.q_id = $cte.q_id AND bf.vec_id = $cte.vec_id GROUP BY bf.q_id"
     s"WITH bf AS MATERIALIZED ($embedTopKSql), lsh AS ($embedAnnSql), " +
       s"lshm AS ($embedAnnMultiSql), lshp AS ($embedAnnProbeSql), " +
-      s"ivf AS ($embedIvfSql), pq AS ($embedPqSql), rr AS ($annRerankSql), " +
+      s"ivf AS ($embedIvfSql), pq AS ($embedPqSql), " +
+      s"ivfpq AS ($embedIvfPqSql), rr AS ($annRerankSql), " +
       s"rec AS (${rec("lsh", "lsh")} UNION ALL ${rec("lsh_multi", "lshm")} " +
       s"UNION ALL ${rec("lsh_probe", "lshp")} " +
       s"UNION ALL ${rec("ivf", "ivf")} UNION ALL ${rec("pq", "pq")} " +
+      s"UNION ALL ${rec("ivfpq", "ivfpq")} " +
       s"UNION ALL ${rec("rerank", "rr")}) " +
       "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
       "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
@@ -2714,12 +2847,16 @@ object Extensions {
     * a{iters} when `finalAssign` — reused by both the standalone
     * q_kmeans oracle and the trained-IVF oracle. */
   private def kmeansCtes(k: Int, iters: Int, finalAssign: Boolean,
-      src: String = "embeddings", prefix: String = ""): String = {
+      src: String = "embeddings", prefix: String = "",
+      qscale: String = "1000000.0"): String = {
     def sq(a: String, b: String) =
       s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
         s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    // qscale "1.0" = the identity pass for already-integer inputs
+    // (IVF-PQ residual chains): floor(x + 0.5) on integer-valued
+    // doubles recovers the integer exactly
     val quant = "list_transform(embedding, " +
-      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
+      s"x -> CAST(floor(CAST(x AS DOUBLE)*$qscale + 0.5) AS BIGINT))"
     val dist = sq("q.qv", "c.cv")
     val p = prefix
     val sb = new StringBuilder
@@ -3841,6 +3978,7 @@ object Extensions {
     "q_stream_incr_dedup" -> streamIncrDedup,
     "q_stream_incr_neardup" -> streamIncrNearDup,
     "q_stream_incr_substring" -> streamIncrSubstring,
+    "q_stream_incr_clusters" -> streamIncrClusters,
     "q_stream_incr_exact" -> streamIncrExact,
     "q_stream_incr_semantic" -> streamIncrSemantic,
     "q_stream_join" -> streamJoin,
@@ -3878,6 +4016,7 @@ object Extensions {
     "q_ann_rerank" -> annRerank,
     "q_ann_recall" -> annRecall,
     "q_embed_pq" -> embedPq,
+    "q_embed_ivfpq" -> embedIvfPq,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
     "q_temperature_mix" -> temperatureMix,
@@ -3968,6 +4107,7 @@ object Extensions {
     "q_stream_incr_dedup" -> streamIncrDedupSql,
     "q_stream_incr_neardup" -> streamIncrNearDupSql,
     "q_stream_incr_substring" -> streamIncrSubstringSql,
+    "q_stream_incr_clusters" -> streamIncrClustersSql,
     "q_stream_incr_exact" -> incrementalDedupSql,
     "q_stream_incr_semantic" -> incrementalSemDedupSql,
     "q_stream_join" -> streamJoinSql,
@@ -4005,6 +4145,7 @@ object Extensions {
     "q_ann_rerank" -> annRerankSql,
     "q_ann_recall" -> annRecallSql,
     "q_embed_pq" -> embedPqSql,
+    "q_embed_ivfpq" -> embedIvfPqSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,
     "q_temperature_mix" -> temperatureMixSql,

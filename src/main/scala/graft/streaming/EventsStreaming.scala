@@ -387,6 +387,88 @@ object EventsStreaming {
         ()
     }
 
+  /** Streaming incremental CLUSTER maintenance (X152) — the always-on
+    * form of [[graft.operators.Dedup.incrementalConnectedComponents]],
+    * giving the ingestion quartet's canonicalization pass the same
+    * micro-batch treatment as the dedup increments that feed it: each
+    * micro-batch of verified duplicate PAIRS folds into the stored
+    * labels by graph contraction (CC over the batch-bounded contracted
+    * graph only — zero corpus-sized shuffles per batch).
+    *
+    * Store layout differs from the append-only siblings because labels
+    * are REPLACED, not appended: each batch writes the complete updated
+    * label table as a SNAPSHOT under `batch=<batchId>`, and reads the
+    * LATEST snapshot with id ≠ its own — so a retried batch sees
+    * exactly the snapshot the first attempt saw (its own partial write
+    * is excluded and then overwritten), and the one-checkpoint-per-
+    * store lineage guard ([[storeForBatch]]'s rule) fails loud on a
+    * foreign-checkpoint store. Old snapshots are the retry/rollback
+    * history — compact by deleting all but the newest once its batch
+    * commits. A pre-bootstrapped label table lives under
+    * `batch=<negative id>`. */
+  def streamingIncrementalClusters(pairs: DataFrame, storePath: String,
+      id1: String = "id1", id2: String = "id2")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          val prior = labelSnapshotForBatch(
+            readLabelStore(spark, storePath), batchId)
+          // localCheckpoint before the snapshot write: the updated plan
+          // reads the path the write extends (recacheByPath hazard,
+          // shared with the whole family)
+          val updated = Dedup.incrementalConnectedComponents(
+            prior, batch.toDF(), id1, id2).localCheckpoint()
+          updated.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          sink(updated, batchId)
+        }
+        ()
+    }
+
+  /** The cluster-label store (id, cluster_id), empty-with-schema when
+    * the path does not exist yet; SNAPSHOT-per-batch layout (see
+    * [[streamingIncrementalClusters]]), same narrow catch as
+    * [[readNearDupStore]]. */
+  def readLabelStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("cluster_id", LongType))))
+
+  /** Latest label SNAPSHOT visible to `batchId`: the partition with
+    * the highest batch id among those ≠ batchId (self-excluded for
+    * retry idempotence), after the same foreign-lineage guard as
+    * [[storeForBatch]] — a partition BEYOND the current batch id can
+    * only come from a different checkpoint whose id reset would
+    * silently roll the labels back. Empty-with-schema when no prior
+    * snapshot exists (stream-first bootstrap). */
+  private def labelSnapshotForBatch(store0: DataFrame,
+      batchId: Long): DataFrame =
+    if (store0.columns.contains("batch")) {
+      // two partition-pruned max probes (no data pages read)
+      def maxBatch(df: DataFrame): java.lang.Long = {
+        val r = df.agg(max(col("batch").cast("long"))).head()
+        if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+      }
+      val rest = store0.filter(col("batch") =!= batchId)
+      val maxAll = maxBatch(store0)
+      val maxPrev = maxBatch(rest)
+      require(maxAll == null || maxAll <= batchId,
+        s"streaming label store: found batch=$maxAll snapshot beyond " +
+          s"this run's batch id $batchId — the store was written by a " +
+          "different checkpoint lineage (one checkpoint per store); " +
+          "restarting with a fresh checkpoint needs the store " +
+          "re-bootstrapped under batch=<negative id>")
+      if (maxPrev == null)
+        store0.sparkSession.createDataFrame(
+          store0.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("id", LongType),
+            StructField("cluster_id", LongType))))
+      else rest.filter(col("batch") === maxPrev.longValue).drop("batch")
+    } else store0
+
   /** The substring-dedup window-hash store (gh), empty-with-schema
     * when the path does not exist yet; same narrow catch and
     * partition-layout contract as [[readNearDupStore]]. */

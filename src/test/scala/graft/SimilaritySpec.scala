@@ -445,6 +445,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: nprobe=cells + coarseK>=corpus recovers brute force; probe is an equi-join") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val n = emb.count().toInt
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = 64, cells = 4, cellIters = 2, m = 4, codes = 8, pqIters = 2)
+    assert(coarse.length == 4 && books.length == 4 &&
+      books.forall(_.forall(_._2.length == 16)))
+    // probing EVERY cell with an uncut candidate list makes the rerank
+    // stage brute force — the approximation surface is confined to the
+    // (nprobe, coarseK) cut
+    val got = Similarity.ivfPqTopK(emb, q, k = 10, coarse, books,
+      nprobe = 4, coarseK = n)
+      .select("q_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, q, 10)
+      .select("q_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == bf)
+    // the probe must be a keyed join — an IVF-PQ that cross-joins the
+    // corpus has lost its structural reason to exist
+    val plan = Similarity.ivfPqTopK(emb, q, k = 10, coarse, books,
+      nprobe = 2, coarseK = 50).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.linesIterator.take(5).mkString("\n"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, q, k = 10, coarse, books,
+        nprobe = 5, coarseK = 50)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, q, k = 60, coarse, books,
+        nprobe = 2, coarseK = 50)
+    }
+  }
+
   test("refreshQuantizer: migration == fresh bootstrap, post-refresh increment identical") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val storeSlice = emb.filter(col("vec_id") % 3 === 0)

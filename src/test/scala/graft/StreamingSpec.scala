@@ -407,6 +407,66 @@ class StreamingSpec extends SparkSpec {
       s"expected lineage guard, got: ${rootMessages(e)}")
   }
 
+  test("streaming incremental clusters: snapshot chain, warm-start merges, retry-safe, lineage guard") {
+    val dir = Files.createTempDirectory("graft-sic-src").toString
+    val storeDir = Files.createTempDirectory("graft-sic-store").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-sic-spec").toString
+    // bootstrap: CC labels of the history pairs under batch=-1
+    graft.operators.Dedup.connectedComponents(
+      Seq((3L, 5L), (5L, 7L)).toDF("id1", "id2"), "id1", "id2")
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id2",
+        org.apache.spark.sql.types.LongType)))
+    def write(f: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("id1", "id2").coalesce(1).write.parquet(s"$dir/$f")
+    var last: Map[Long, Long] = Map.empty
+    def runOnce(ckptDir: String = ckpt): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(dir)
+      val q = EventsStreaming.streamingIncrementalClusters(src, storeDir) {
+        (upd, _) =>
+          last = upd.select(col("id"), col("cluster_id"))
+            .as[(Long, Long)].collect().toMap
+      }
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: 1-7 makes 1 the new minimum of the stored cluster;
+    // 30-31 is a brand-new component
+    write("f1", Seq((1L, 7L), (30L, 31L)))
+    runOnce()
+    val after1 = Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 1L,
+      30L -> 30L, 31L -> 30L)
+    assert(last == after1, s"got $last")
+    // at-least-once retry (fresh checkpoint, same store): the batch's
+    // own snapshot is excluded from its read and overwritten — replay
+    // reproduces the identical table from the batch=-1 snapshot
+    last = Map.empty
+    runOnce(Files.createTempDirectory("graft-ckpt-sic-retry").toString)
+    assert(last == after1, s"retry must reproduce, got $last")
+    // batch 2, original checkpoint: 31-40 extends the batch-1 cluster
+    // through the SNAPSHOT hand-off (warm start from batch=0's table)
+    write("f2", Seq((31L, 40L)))
+    last = Map.empty
+    runOnce()
+    assert(last == after1 + (40L -> 30L), s"got $last")
+    // store now holds snapshot batch=1; a NEW checkpoint (ids reset to
+    // 0) would silently roll labels back — fail loud instead
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(Files.createTempDirectory("graft-ckpt-sic-fresh").toString)
+    }
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(e).exists(_.contains("checkpoint lineage")),
+      s"expected lineage guard, got: ${rootMessages(e)}")
+  }
+
   test("stateful sessionize emits closed sessions matching batch") {
     val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
     val evStream = spark.readStream.schema(EventsStreaming.eventSchema)
