@@ -118,17 +118,24 @@ object Bench {
     val lastRound: Map[String, Double] = try {
       import scala.jdk.CollectionConverters._
       val dir = java.nio.file.Paths.get(".")
+      // sort by the PARSED round number, not lexicographically: "r100"
+      // sorts before "r99" as a string, which would silently re-baseline
+      // the tripwire once rounds outgrow two digits
       val latest = java.nio.file.Files.list(dir).iterator().asScala
         .map(_.getFileName.toString)
-        .filter(n => n.matches("BENCH_r\\d+\\.json")).toSeq.sorted.lastOption
+        .filter(n => n.matches("BENCH_r\\d+\\.json"))
+        .toSeq.sortBy(n => "\\d+".r.findFirstIn(n).get.toInt).lastOption
       latest.map { f =>
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(f)), "UTF-8")
-        // the round artifact embeds the bench JSON twice: escaped
-        // inside its "tail" string ("q_x\":9.500) and re-parsed with
-        // colon-space ("q_x": 9.5) — accept both forms
-        """"(q_[A-Za-z0-9_]+)\\?":\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // real JSON parse of the artifact's "parsed.queries" map
+        // (jackson-databind ships in Spark's jars) — the old regex over
+        // the whole file matched the same numbers twice (escaped tail
+        // form + re-parsed form) and resolved duplicates by last-wins
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Paths.get(f).toFile)
+        val qs = node.path("parsed").path("queries")
+        import scala.jdk.CollectionConverters._
+        qs.properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
     val regressRound = timed.flatMap { case (k, v) =>

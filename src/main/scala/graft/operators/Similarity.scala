@@ -225,6 +225,32 @@ object Similarity {
     finishTopK(rescored, "q_id", "vec_id", k)
   }
 
+  /** Fixed-point L2 NORMALIZATION with a fully documented rounding
+    * contract (the ingest-time option that closes IVF-PQ's metric
+    * gap): v quantizes to exact integers q = floor(v·scale + 0.5),
+    * then each element renormalizes to n_i = floor(q_i·scale/‖q‖ +
+    * 0.5) where ‖q‖ = sqrt(Σq_i²). Every intermediate is exactly
+    * representable — Σq_i² is an exact BIGINT ≪ 2⁵³, sqrt of an
+    * exactly-representable double is IEEE-correctly-rounded in any
+    * engine, q_i·scale stays under 2⁵³, and the divide is one more
+    * correctly-rounded op — so the OUTPUT integers are bit-identical
+    * on any engine (the same argument that makes [[quantizeInt8Vec]]
+    * portable). Normalized vectors all sit on the ‖·‖ ≈ scale sphere,
+    * where squared L2 order EQUALS cosine order (‖a−b‖² = 2·scale² −
+    * 2·a·b up to rounding) — which is exactly what lets an L2
+    * residual quantizer ([[ivfPqIndex]] at scale 1.0 over these
+    * integers) serve a cosine ground truth without a metric mismatch.
+    * All-zero vectors pass through unscaled (no direction to keep). */
+  def normalizeFixedPoint(vec: Column, scale: Double = 1e6): Column = {
+    val qv = Clustering.fixedPoint(vec, scale)
+    val s2 = aggregate(transform(qv, q => q * q), lit(0L), (acc, v) => acc + v)
+    when(s2 > 0,
+      transform(qv, q =>
+        floor(q.cast("double") * scale / sqrt(s2.cast("double")) + 0.5)
+          .cast("long")))
+      .otherwise(qv)
+  }
+
   /** (id, cell, rv) — each vector's coarse cell plus its EXACT integer
     * residual (fixed-point vector minus the assigned centroid,
     * element-wise BIGINT subtraction — no re-quantization round
@@ -594,19 +620,32 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= 1 + subsets.size,
       s"nprobe must be in [1, ${1 + subsets.size}] for poolSize=$poolSize/maxFlips=$maxFlips, got $nprobe")
     // per-plane projections with the signSignature fold order, so the
-    // derived base signature is bit-identical to the corpus side's
-    val projCols = (0 until bits).map { b =>
-      (0 until dims).map(d => col(qVecCol).getItem(d).cast("double") * planeCoef(b, d))
-        .reduce(_ + _)
-    }
+    // derived base signature is bit-identical to the corpus side's.
+    // ONE typedlit bits×dims coefficient matrix + per-plane zip_with/
+    // aggregate folds, materialized ONCE into a `_proj` array column —
+    // the prior form unrolled bits·dims literal multiply-adds and then
+    // duplicated the whole block into the base signature AND each of
+    // the `bits` margin structs (~2·bits·dims codegen terms), which
+    // made the PLAN cost of this operator visible at any data size.
+    // The aggregate's 0.0 seed vs reduce's seedless fold differ only
+    // in the sign of an all-zero sum, which neither the >= 0 sign test
+    // nor abs() can observe — projections stay value-identical.
+    val coefLit = typedlit((0 until bits).map(b =>
+      (0 until dims).map(d => planeCoef(b, d))))
+    val projArr = transform(sequence(lit(0), lit(bits - 1)), b =>
+      aggregate(
+        zip_with(col(qVecCol), element_at(coefLit, b + 1),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v))
+    def proj(b: Int): Column = element_at(col("_proj"), b + 1)
     val baseSig = (0 until bits).map(b =>
-      when(projCols(b) >= 0, lit(1L << b)).otherwise(lit(0L)))
+      when(proj(b) >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     // (margin, bit, bit-mask) structs; margins round to 9dp so the
     // lexicographic sort is engine-exact (values themselves are
     // identical-fold doubles; the rounding absorbs formatting ulps)
     val poolStructs = (0 until bits).map(b =>
-      struct(round(abs(projCols(b)), 9).as("m"), lit(b).as("b"),
+      struct(round(abs(proj(b)), 9).as("m"), lit(b).as("b"),
         lit(1L << b).as("bm")))
     val alts = transform(typedlit(subsets), ss => struct(
       round(aggregate(ss, lit(0.0),
@@ -615,6 +654,7 @@ object Similarity {
         (acc, i) => acc.bitwiseOR(element_at(col("_pool"), i + 1).getField("bm")))
         .as("mask")))
     val q = queries
+      .withColumn("_proj", projArr)
       .withColumn("_base", baseSig)
       .withColumn("_pool", slice(array_sort(array(poolStructs: _*)), 1, poolSize))
       .withColumn("_alts", slice(array_sort(alts), 1, nprobe - 1))

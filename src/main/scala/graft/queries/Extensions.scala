@@ -2392,6 +2392,119 @@ object Extensions {
       "WHERE rank <= 10"
   }
 
+  /** NORMALIZED-INGEST IVF-PQ (X153) — the ingest contract that
+    * resolves X151's documented L2-residual vs cosine-ground-truth
+    * metric question: corpus and queries L2-normalize at ingest via
+    * [[Similarity.normalizeFixedPoint]]'s exact-integer rounding
+    * contract, putting every vector on the ‖·‖ ≈ 10⁶ sphere where
+    * squared-L2 order EQUALS cosine order — so coarse cells, residual
+    * codebooks, and the ADC probe all rank by the metric the ground
+    * truth uses, for ANY input corpus. The index is
+    * [[Similarity.ivfPqIndex]] at scale 1.0 over the normalized
+    * integers (the residual chains' identity-pass trick end-to-end);
+    * the oracle prepends the normalization CTE and reruns the X151
+    * chain verbatim.
+    *
+    * MEASURED HONESTLY (AnnSweep, sf0.01, PLANS.md round-13): this
+    * corpus's embeddings ship exactly unit-norm, so normalization is
+    * value-neutral HERE (raw and normalized recall identical at every
+    * config) and r12's "normalize to close the 0.50 gap" hypothesis is
+    * refuted on this data — the real ceiling is the coarse quantizer's
+    * CELL recall on a near-isotropic corpus (top-10 cosine neighbors
+    * share the generator label only ~21% of the time, so neighbors
+    * scatter across cells). The measured trade is probe width:
+    * recall@10 0.40/0.55/0.69/0.79 at nprobe 1/2/4/8 with coarseK=100.
+    * Shipped config: nprobe=4, coarseK=100 — 0.69 recall at a 50%
+    * cell scan, the knee of the curve and materially above the r12
+    * 0.50 row at its same ≤4-probe budget. */
+  private val IVFPQ_NORM_NPROBE = 4
+  private val IVFPQ_NORM_COARSEK = 100
+
+  /** Shared normalization front for the X153 family: (corpus, queries)
+    * with embeddings replaced by their exact-integer L2-normalized
+    * form (as array<double> holding integers — the residual chains'
+    * convention for scale-1.0 inputs). */
+  private def normalizedEmbQueries(emb: DataFrame,
+      qs: DataFrame): (DataFrame, DataFrame) = {
+    val embN = emb.select(col("vec_id"),
+      Similarity.normalizeFixedPoint(col("embedding"))
+        .cast("array<double>").as("embedding"))
+    val qsN = qs.select(col("q_id"),
+      Similarity.normalizeFixedPoint(col("q_vec"))
+        .cast("array<double>").as("q_vec"))
+    (embN, qsN)
+  }
+
+  val embedIvfPqNorm: Q = (s, d) => {
+    val (embN, qsN) = normalizedEmbQueries(
+      Tables.embeddings(s, d), queriesDf(s, d))
+    val (coarse, books) = Similarity.ivfPqIndex(embN, "vec_id", "embedding",
+      dims = EMB_DIMS, cells = IVFPQ_CELLS, cellIters = IVFPQ_CELL_ITERS,
+      m = PQ_M, codes = IVFPQ_CODES, pqIters = PQ_ITERS, scale = 1.0)
+    Similarity.ivfPqTopK(embN, qsN, k = 10, coarse, books,
+      nprobe = IVFPQ_NORM_NPROBE, coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  /** The exact-integer normalization as a DuckDB CTE: quantize at 1e6,
+    * then renormalize each element by sqrt of the exact integer Σq² —
+    * the [[Similarity.normalizeFixedPoint]] rounding contract, every
+    * step correctly-rounded IEEE over exactly-representable values. */
+  private val duckNormalizeCte: String =
+    "nz AS MATERIALIZED (SELECT vec_id, CASE WHEN s2 > 0 THEN " +
+      "list_transform(qv, q -> CAST(floor(CAST(q AS DOUBLE)*1000000.0/sqrt(CAST(s2 AS DOUBLE)) + 0.5) AS BIGINT)) " +
+      "ELSE qv END AS embedding FROM " +
+      "(SELECT vec_id, qv, CAST(list_sum(list_transform(qv, q -> q*q)) AS BIGINT) AS s2 FROM " +
+      "(SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qv FROM embeddings)))"
+
+  val embedIvfPqNormSql: String = {
+    val sub = EMB_DIMS / PQ_M
+    def sqs(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val gFin = s"ga$IVFPQ_CELL_ITERS"
+    val gCents = s"gc${IVFPQ_CELL_ITERS - 1}"
+    val coarseChain = kmeansCtes(IVFPQ_CELLS, IVFPQ_CELL_ITERS,
+      finalAssign = true, src = "nz", prefix = "g", qscale = "1.0")
+    val residChains = (0 until PQ_M).map { i =>
+      kmeansCtes(IVFPQ_CODES, PQ_ITERS, finalAssign = true,
+        src = s"(SELECT vec_id, list_slice(rv, ${i * sub + 1}, ${(i + 1) * sub}) AS embedding FROM rv)",
+        prefix = s"r$i", qscale = "1.0")
+    }.mkString(", ")
+    val cm = (0 until PQ_M).map(i =>
+      s"cm$i AS MATERIALIZED (SELECT a.vec_id, c.cv FROM r${i}a$PQ_ITERS a " +
+        s"JOIN r${i}c${PQ_ITERS - 1} c ON a.c = c.c)").mkString(", ")
+    val joinsC = (1 until PQ_M).map(i =>
+      s"JOIN cm$i c$i ON c$i.vec_id = v.vec_id").mkString(" ")
+    val distSum = (0 until PQ_M).map(i =>
+      sqs(s"list_slice(qp.qr, ${i * sub + 1}, ${(i + 1) * sub})", s"c$i.cv"))
+      .mkString(" + ")
+    s"WITH $duckNormalizeCte, $coarseChain, " +
+      s"rv AS MATERIALIZED (SELECT a.vec_id, a.c AS cell, " +
+      s"list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] - c.cv[i]) AS rv " +
+      s"FROM $gFin a JOIN $gCents c ON a.c = c.c), " +
+      s"$residChains, $cm, " +
+      s"qp AS MATERIALIZED (SELECT q_id, cell, " +
+      "list_transform(generate_series(1, len(qv)), i -> qv[i] - cv[i]) AS qr FROM " +
+      "(SELECT q.vec_id AS q_id, q.qv, c.c AS cell, c.cv, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqs("q.qv", "c.cv")}, c.c) AS rn " +
+      s"FROM gq q CROSS JOIN $gCents c WHERE q.vec_id % 50 = 0) WHERE rn <= $IVFPQ_NORM_NPROBE), " +
+      s"sc AS (SELECT qp.q_id, v.vec_id, CAST($distSum AS BIGINT) AS s " +
+      s"FROM rv v JOIN cm0 c0 ON c0.vec_id = v.vec_id $joinsC " +
+      "JOIN qp ON qp.cell = v.cell), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY s ASC, vec_id ASC) AS rk FROM sc) " +
+      s"WHERE rk <= $IVFPQ_NORM_COARSEK), " +
+      "cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM nz), " +
+      "qf AS (SELECT vec_id AS q_id, ed AS qd FROM cd WHERE vec_id % 50 = 0), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, qf.qd)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(qf.qd, qf.qd))), 6) AS score " +
+      "FROM co JOIN cd e ON e.vec_id = co.vec_id JOIN qf ON qf.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+  }
+
   /** ANN recall harness (X115): retrieval QUALITY of the three ANN
     * variants measured as per-query recall@10 against the brute-force
     * ground truth — all four top-k tables are deterministic given the
@@ -2402,17 +2515,49 @@ object Extensions {
     * 1.0, ivf ~0.9, lsh lower — the documented evidence behind the
     * parameter choices. */
   val annRecall: Q = (s, d) => {
-    val bf = graft.core.Caches.persistTracked(embedTopK(s, d))
+    // ONE persisted corpus + query set feeds all variant pipelines:
+    // per-row this harness used to re-read and re-decode the parquet
+    // for every variant (and the pq/ivfpq rows re-scan it once per
+    // k-means iteration while training) — the cached frames cut that
+    // to one scan total without touching any variant's result (same
+    // functions, same parameters, same values)
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
+    val bf = graft.core.Caches.persistTracked(
+      Similarity.bruteForceTopK(emb, qs, k = 10))
     def rec(method: String, ann: DataFrame): DataFrame =
       Similarity.recallAtK(bf, ann).withColumn("method", lit(method))
         .select(col("method"), col("q_id"), col("hits"), col("n"), col("recall"))
-    rec("lsh", embedAnn(s, d))
-      .unionByName(rec("lsh_multi", embedAnnMulti(s, d)))
-      .unionByName(rec("lsh_probe", embedAnnProbe(s, d)))
-      .unionByName(rec("ivf", embedIvf(s, d)))
-      .unionByName(rec("pq", embedPq(s, d)))
-      .unionByName(rec("ivfpq", embedIvfPq(s, d)))
-      .unionByName(rec("rerank", annRerank(s, d)))
+    val pqBooks = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, m = PQ_M, codes = PQ_CODES, iters = PQ_ITERS)
+    val (ivfpqCoarse, ivfpqBooks) = Similarity.ivfPqIndex(emb, "vec_id",
+      "embedding", dims = EMB_DIMS, cells = IVFPQ_CELLS,
+      cellIters = IVFPQ_CELL_ITERS, m = PQ_M, codes = IVFPQ_CODES,
+      pqIters = PQ_ITERS)
+    val (embN, qsN) = normalizedEmbQueries(emb, qs)
+    val (normCoarse, normBooks) = Similarity.ivfPqIndex(embN, "vec_id",
+      "embedding", dims = EMB_DIMS, cells = IVFPQ_CELLS,
+      cellIters = IVFPQ_CELL_ITERS, m = PQ_M, codes = IVFPQ_CODES,
+      pqIters = PQ_ITERS, scale = 1.0)
+    rec("lsh", Similarity.lshTopK(emb, qs, k = 10,
+        bits = ANN_BITS, dims = EMB_DIMS))
+      .unionByName(rec("lsh_multi", Similarity.lshTopKMultiBand(emb, qs,
+        k = 10, bands = ANN_MULTI_BANDS, bits = ANN_MULTI_BITS,
+        dims = EMB_DIMS)))
+      .unionByName(rec("lsh_probe", Similarity.lshMultiProbeTopK(emb, qs,
+        k = 10, bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T,
+        poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
+      .unionByName(rec("ivf", Similarity.ivfTopK(emb, qs, k = 10,
+        centroidEvery = 200, nprobe = 2)))
+      .unionByName(rec("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
+        coarseK = PQ_COARSE)))
+      .unionByName(rec("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
+        ivfpqCoarse, ivfpqBooks, nprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE)))
+      .unionByName(rec("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
+        normCoarse, normBooks, nprobe = IVFPQ_NORM_NPROBE,
+        coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)))
+      .unionByName(rec("rerank", Similarity.quantizedRerankTopK(emb, qs,
+        coarseK = 50, k = 10)))
   }
 
   val annRecallSql: String = {
@@ -2422,11 +2567,13 @@ object Extensions {
     s"WITH bf AS MATERIALIZED ($embedTopKSql), lsh AS ($embedAnnSql), " +
       s"lshm AS ($embedAnnMultiSql), lshp AS ($embedAnnProbeSql), " +
       s"ivf AS ($embedIvfSql), pq AS ($embedPqSql), " +
-      s"ivfpq AS ($embedIvfPqSql), rr AS ($annRerankSql), " +
+      s"ivfpq AS ($embedIvfPqSql), ivfpqn AS ($embedIvfPqNormSql), " +
+      s"rr AS ($annRerankSql), " +
       s"rec AS (${rec("lsh", "lsh")} UNION ALL ${rec("lsh_multi", "lshm")} " +
       s"UNION ALL ${rec("lsh_probe", "lshp")} " +
       s"UNION ALL ${rec("ivf", "ivf")} UNION ALL ${rec("pq", "pq")} " +
       s"UNION ALL ${rec("ivfpq", "ivfpq")} " +
+      s"UNION ALL ${rec("ivfpq_norm", "ivfpqn")} " +
       s"UNION ALL ${rec("rerank", "rr")}) " +
       "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
       "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
@@ -4017,6 +4164,7 @@ object Extensions {
     "q_ann_recall" -> annRecall,
     "q_embed_pq" -> embedPq,
     "q_embed_ivfpq" -> embedIvfPq,
+    "q_embed_ivfpq_norm" -> embedIvfPqNorm,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
     "q_temperature_mix" -> temperatureMix,
@@ -4146,6 +4294,7 @@ object Extensions {
     "q_ann_recall" -> annRecallSql,
     "q_embed_pq" -> embedPqSql,
     "q_embed_ivfpq" -> embedIvfPqSql,
+    "q_embed_ivfpq_norm" -> embedIvfPqNormSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,
     "q_temperature_mix" -> temperatureMixSql,

@@ -511,4 +511,33 @@ class SimilaritySpec extends SparkSpec {
       Similarity.refreshQuantizer(oldStore.drop("cell"), newCents)
     }
   }
+
+  test("normalizeFixedPoint: output on the scale-sphere, direction preserved, zeros pass through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f)),        // norm 5 -> renormalized
+      (2L, Array(0.6f, 0.8f, 0.0f)),        // already unit-norm
+      (3L, Array(0.0f, 0.0f, 0.0f)),        // zero vector: no direction
+      (4L, Array(-1.0f, 2.0f, -2.0f)))      // norm 3, negatives
+      .toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+      Similarity.normalizeFixedPoint(col("embedding")).as("nv"))
+      .as[(Long, Array[Long])].collect().toMap
+    // every nonzero vector lands on the 1e6 sphere (±1 ulp of rounding
+    // per element: |‖n‖ - 1e6| ≤ dims)
+    for (id <- Seq(1L, 2L, 4L)) {
+      val n = math.sqrt(out(id).map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1e6) < 3.0, s"vec $id norm $n not ~1e6")
+    }
+    // direction preserved exactly for the 3-4-5 vector
+    assert(out(1L).sameElements(Array(600000L, 800000L, 0L)))
+    // an already-unit vector is (near-)fixed: quantize-then-renormalize
+    // moves each element by at most 1
+    assert(out(2L).zip(Array(600000L, 800000L, 0L))
+      .forall { case (a, b) => math.abs(a - b) <= 1 })
+    // zero vector passes through as zeros (no NaN/div-by-zero under ANSI)
+    assert(out(3L).sameElements(Array(0L, 0L, 0L)))
+    // sign survives
+    assert(out(4L)(0) < 0 && out(4L)(2) < 0 && out(4L)(1) > 0)
+  }
 }
