@@ -182,9 +182,29 @@ object Multimodal {
     * bits — band the hash (the SimHash X4 arrangement) for candidate
     * pairs. One batched mapPartitions; payloads never leave the map
     * stage. Non-images: decoded=false, phash −1. */
-  def imagePerceptualHash(media: DataFrame): Dataset[ImagePHash] = {
+  def imagePerceptualHash(media: DataFrame): Dataset[ImagePHash] =
+    imagePerceptualHashGrid(media, gridW = 4, gridH = 3)
+
+  /** [[imagePerceptualHash]] with a PARAMETERIZED cell grid — the
+    * corpus-gate form is the WIDE ~56-bit 8×7 grid: the 12-bit hash
+    * collides at birthday rates on any real corpus (4096 buckets), so
+    * banding it yields quadratic candidate lists, while 2⁵⁶ hash space
+    * with 4×14-bit bands keeps buckets selective and Hamming ≤ 3 pairs
+    * meaningful ([[graft.operators.Dedup.fingerprintNearDupPairs]]'s
+    * pigeonhole contract needs bands > maxDist; 56 = 4·14 fits a
+    * signed long with room). Bit cy·gridW+cx set iff the cell's mean
+    * gray exceeds the image mean — identical integer arithmetic to the
+    * 4×3 form at every grid size (cross-multiplied means, no
+    * division), so the oracle replays any grid from closed-form
+    * pixels. Cells an image is too small to populate stay 0 (empty
+    * cell: 0·tn > ts·0 is false). */
+  def imagePerceptualHashGrid(media: DataFrame, gridW: Int,
+      gridH: Int): Dataset[ImagePHash] = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 63,
+      s"grid ${gridW}x$gridH must have 1..63 cells to fit a signed long")
     val spark = media.sparkSession
     import spark.implicits._
+    val cells = gridW * gridH
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
@@ -196,17 +216,17 @@ object Multimodal {
               if (img == null) None
               else {
                 val w = img.getWidth; val h = img.getHeight
-                val cellSum = new Array[Long](12)
-                val cellN = new Array[Long](12)
+                val cellSum = new Array[Long](cells)
+                val cellN = new Array[Long](cells)
                 var y = 0
                 while (y < h) {
-                  val cy = y * 3 / h
+                  val cy = y * gridH / h
                   var x = 0
                   while (x < w) {
-                    val cx = x * 4 / w
+                    val cx = x * gridW / w
                     val rgb = img.getRGB(x, y)
                     val g3 = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                    val c = cy * 4 + cx
+                    val c = cy * gridW + cx
                     cellSum(c) += g3; cellN(c) += 1
                     x += 1
                   }
@@ -214,7 +234,7 @@ object Multimodal {
                 }
                 val ts = cellSum.sum; val tn = cellN.sum
                 var hash = 0L; var c = 0
-                while (c < 12) {
+                while (c < cells) {
                   if (cellSum(c) * tn > ts * cellN(c)) hash |= (1L << c)
                   c += 1
                 }

@@ -1137,6 +1137,55 @@ object Extensions {
       "SELECT cs.media_id, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.n THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT) AS phash " +
       "FROM cs JOIN tot ON cs.media_id = tot.media_id GROUP BY cs.media_id"
 
+  /** Image NEAR-DUP gate row (X154 — the X144 banded core applied to
+    * the image modality at statistically meaningful width): the
+    * perceptual hash widens from the 12-bit 4×3 grid to a 56-bit 8×7
+    * grid (2⁵⁶ hash space — the 12-bit form collides at birthday rates
+    * on any corpus, which is why its application was spec-only until
+    * now) and runs through [[Dedup.fingerprintNearDupPairs]] verbatim:
+    * 4 × 14-bit bands, pigeonhole-lossless for Hamming ≤ 3, exact
+    * bit_count(xor) verify. Decode is map-side (payloads never
+    * shuffle); the banded self-join shuffles (band, bucket, id, sig)
+    * only, pinned shuffle-hash. The oracle replays the wide hash from
+    * the closed-form pixels (the imagePhash convention) and the
+    * banding arithmetic in SQL. */
+  private val PHASH_GRID_W = 8
+  private val PHASH_GRID_H = 7
+  private val PHASH_BANDS = 4
+  private val PHASH_MAXDIST = 3
+
+  val imageNearDup: Q = (s, d) => {
+    val media = Multimodal.bmpMediaFromDocuments(spread(Tables.documents(s, d)))
+    val hashes = Multimodal.imagePerceptualHashGrid(
+      media, PHASH_GRID_W, PHASH_GRID_H).toDF()
+      .filter(col("decoded")).select(col("media_id"), col("phash"))
+    graft.operators.Dedup.fingerprintNearDupPairs(hashes, "media_id", "phash",
+      bits = PHASH_GRID_W * PHASH_GRID_H, bands = PHASH_BANDS,
+      maxDist = PHASH_MAXDIST)
+  }
+
+  val imageNearDupSql: String = {
+    val bandW = PHASH_GRID_W * PHASH_GRID_H / PHASH_BANDS
+    val mask = (1L << bandW) - 1
+    val bandRows = (0 until PHASH_BANDS).map(b => s"($b)").mkString(",")
+    s"WITH m AS (SELECT doc_id AS media_id, CAST(4 + doc_id % 13 AS BIGINT) AS w, " +
+      "CAST(3 + doc_id % 7 AS BIGINT) AS h FROM documents), " +
+      "xs AS (SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m), " +
+      "ps AS (SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs), " +
+      s"px AS (SELECT media_id, (y*$PHASH_GRID_H)//h*$PHASH_GRID_W + (x*$PHASH_GRID_W)//w AS cell, " +
+      "(media_id + 7*x + 13*y) % 256 + (2*media_id + 5*x + 3*y) % 256 + (media_id + x*y) % 256 AS g3 FROM ps), " +
+      "cs AS (SELECT media_id, cell, CAST(sum(g3) AS BIGINT) AS s, count(*) AS n FROM px GROUP BY media_id, cell), " +
+      "tot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(n) AS BIGINT) AS tn FROM cs GROUP BY media_id), " +
+      "ph AS MATERIALIZED (SELECT cs.media_id, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.n THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT) AS phash " +
+      "FROM cs JOIN tot ON cs.media_id = tot.media_id GROUP BY cs.media_id), " +
+      s"bands AS MATERIALIZED (SELECT media_id, phash, bb.band, (phash >> (bb.band*$bandW)) & $mask AS bucket " +
+      s"FROM ph CROSS JOIN (VALUES $bandRows) bb(band)), " +
+      "pairs AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2, " +
+      "bit_count(xor(a.phash, b.phash)) AS hamming FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.media_id < b.media_id) " +
+      s"SELECT id1, id2, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= $PHASH_MAXDIST"
+  }
+
   /** Audio block-energy fingerprint (X124): the audio sibling of
     * q_image_phash — real PCM16 decode, 12 contiguous blocks, bit set
     * iff block mean |sample| > clip mean via integer
@@ -4135,6 +4184,7 @@ object Extensions {
     "q_multimodal_search" -> multimodalSearch,
     "q_media_decode" -> mediaDecode,
     "q_image_phash" -> imagePhash,
+    "q_image_neardup" -> imageNearDup,
     "q_audio_phash" -> audioPhash,
     "q_audio_decode" -> audioDecode,
     "q_audio_search" -> audioSearch,
@@ -4265,6 +4315,7 @@ object Extensions {
     "q_multimodal_search" -> multimodalSearchSql,
     "q_media_decode" -> mediaDecodeSql,
     "q_image_phash" -> imagePhashSql,
+    "q_image_neardup" -> imageNearDupSql,
     "q_audio_phash" -> audioPhashSql,
     "q_audio_decode" -> audioDecodeSql,
     "q_audio_search" -> audioSearchSql,

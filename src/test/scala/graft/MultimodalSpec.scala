@@ -242,6 +242,54 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L) == ((false, -1L)))
   }
 
+  test("imagePerceptualHashGrid: wide 8x7 hash matches a local recomputation, small perturbations stay within banding reach") {
+    // 16x14 gradient image: every 8x7 cell holds exactly 2x2 pixels
+    val w = 16; val h = 14
+    def px(seed: Int): (Int, Int) => Int = (x, y) => {
+      val v = (x * 13 + y * 29 + seed) & 0xff; (v << 16) | (v << 8) | v
+    }
+    // brute-force the wide hash from the same pixel function
+    def localHash(f: (Int, Int) => Int): Long = {
+      val cs = new Array[Long](56); val cn = new Array[Long](56)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = (y * 7 / h) * 8 + (x * 8 / w)
+        val rgb = f(x, y)
+        cs(c) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        cn(c) += 1
+      }
+      val ts = cs.sum; val tn = cn.sum
+      (0 until 56).foldLeft(0L)((acc, c) =>
+        if (cs(c) * tn > ts * cn(c)) acc | (1L << c) else acc)
+    }
+    // id 2: one brightened pixel — flips at most a few cell bits
+    val bump: (Int, Int) => Int = (x, y) =>
+      if (x == 0 && y == 0) 0xffffff else px(0)(x, y)
+    val rows = Seq(
+      (1L, Multimodal.encodeBmp24(w, h, px(0)), "bmp", w, h),
+      (2L, Multimodal.encodeBmp24(w, h, bump), "bmp", w, h),
+      (3L, Multimodal.encodeBmp24(w, h, px(128)), "bmp", w, h))
+      .toDF("media_id", "payload", "kind", "width", "height")
+    val got = Multimodal.imagePerceptualHashGrid(rows, 8, 7).collect()
+      .map(p => p.media_id -> p.phash).toMap
+    assert(got(1L) == localHash(px(0)), "wide hash must equal the local recomputation")
+    assert(got(2L) == localHash(bump))
+    assert(got(3L) == localHash(px(128)))
+    // the X154 gate composition: the perturbed image is a candidate of
+    // the original through the 4x14-bit banding and verifies ≤ 3
+    val hashes = Multimodal.imagePerceptualHashGrid(rows, 8, 7).toDF()
+      .select(col("media_id"), col("phash"))
+    val pairs = graft.operators.Dedup.fingerprintNearDupPairs(
+      hashes, "media_id", "phash", bits = 56, bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d12 = java.lang.Long.bitCount(got(1L) ^ got(2L))
+    assert(d12 <= 3, s"one-pixel bump moved $d12 bits — fixture needs retuning")
+    assert(pairs.contains((1L, 2L)))
+    // the grid guard fails loud past a signed long
+    intercept[IllegalArgumentException] {
+      Multimodal.imagePerceptualHashGrid(rows, 8, 8)
+    }
+  }
+
   test("audioPerceptualHash: same samples collide, silence hashes 0, stub for non-audio") {
     def wav(id: Long, samples: Array[Short]) =
       (id, Multimodal.encodeWavPcm16(8000, samples), "wav", 0, 0)
