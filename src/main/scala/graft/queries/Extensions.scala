@@ -1688,6 +1688,63 @@ object Extensions {
     buf.toSeq.toDF("doc_id", "source", "fp")
   }
 
+  /** Streaming store COMPACTION (X155): the increment family's
+    * `batch=<id>` stores grow one partition per micro-batch forever —
+    * [[EventsStreaming.compactStore]] merges an append-layout store
+    * into one bootstrap partition (read-equivalent by construction;
+    * the snapshot layout keeps only the newest table). This gate row
+    * drives it end-to-end: three history tranches land as three batch
+    * partitions, compaction collapses them (the query FAILS LOUD if
+    * more than the bootstrap partition survives), and the exact-dedup
+    * increment then runs against the compacted store — any row lost
+    * or duplicated by compaction moves the survivor set and flips the
+    * hash. Oracle = the increment against the union of the tranches,
+    * which IS the read-equivalence claim in SQL form. */
+  val streamCompaction: Q = (s, d) => {
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-cmpstore").toString
+    try {
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      // three disjoint history tranches, three batch partitions
+      f.filter(col("doc_id") % 3 === 0).select(col("fp")).distinct()
+        .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+      f.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+        .select(col("fp")).distinct()
+        .write.mode("overwrite").parquet(s"$storeDir/batch=0")
+      f.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 =!= 0 &&
+          col("doc_id") % 7 === 0)
+        .select(col("fp")).distinct()
+        .write.mode("overwrite").parquet(s"$storeDir/batch=1")
+      graft.streaming.EventsStreaming.compactStore(s, storeDir,
+        snapshotLayout = false)
+      val store = s.read.option("basePath", storeDir).parquet(storeDir)
+      val parts = store.select(col("batch").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      require(parts == Seq(-1L),
+        s"compaction left partitions $parts — expected only batch=-1")
+      val batch = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 =!= 0 &&
+          col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"), col("source"))
+      // result computed EAGERLY (localCheckpoint) so the temp store can
+      // be deleted before the driver consumes the frame
+      graft.operators.Dedup.incrementalExactDedup(
+        batch, store.drop("batch"), "text", "doc_id")
+        .select(col("doc_id"), col("source"), col("fp"))
+        .localCheckpoint()
+    } finally deleteRecursively(storeDir)
+  }
+
+  val streamCompactionSql: String =
+    s"WITH f AS (SELECT doc_id, md5($duckNormText) AS fp FROM documents), " +
+      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0 OR doc_id % 5 = 0 OR doc_id % 7 = 0) " +
+      "SELECT n.doc_id, d.source, n.fp FROM (" +
+      "SELECT doc_id, fp, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM (" +
+      "SELECT doc_id, fp FROM f WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0 AND doc_id % 7 <> 0) x " +
+      "WHERE fp NOT IN (SELECT fp FROM prior)) n " +
+      "JOIN documents d ON d.doc_id = n.doc_id WHERE n.rn = 1"
+
   /** Streaming incremental SEMANTIC dedup (X146): the
     * q_incremental_semdedup split through the real foreachBatch
     * composition — centroids trained once on the %3 == 0 slice
@@ -4176,6 +4233,7 @@ object Extensions {
     "q_stream_incr_substring" -> streamIncrSubstring,
     "q_stream_incr_clusters" -> streamIncrClusters,
     "q_stream_incr_exact" -> streamIncrExact,
+    "q_stream_compaction" -> streamCompaction,
     "q_stream_incr_semantic" -> streamIncrSemantic,
     "q_stream_join" -> streamJoin,
     "q_stream_outer_join" -> streamOuterJoinVerified,
@@ -4307,6 +4365,7 @@ object Extensions {
     "q_stream_incr_substring" -> streamIncrSubstringSql,
     "q_stream_incr_clusters" -> streamIncrClustersSql,
     "q_stream_incr_exact" -> incrementalDedupSql,
+    "q_stream_compaction" -> streamCompactionSql,
     "q_stream_incr_semantic" -> incrementalSemDedupSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_outer_join" -> streamOuterJoinVerifiedSql,

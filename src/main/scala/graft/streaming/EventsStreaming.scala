@@ -403,9 +403,9 @@ object EventsStreaming {
     * is excluded and then overwritten), and the one-checkpoint-per-
     * store lineage guard ([[storeForBatch]]'s rule) fails loud on a
     * foreign-checkpoint store. Old snapshots are the retry/rollback
-    * history — compact by deleting all but the newest once its batch
-    * commits. A pre-bootstrapped label table lives under
-    * `batch=<negative id>`. */
+    * history — [[compactStore]] (snapshot layout) collapses them to
+    * the newest once its batch commits. A pre-bootstrapped label
+    * table lives under `batch=<negative id>`. */
   def streamingIncrementalClusters(pairs: DataFrame, storePath: String,
       id1: String = "id1", id2: String = "id2")(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -436,37 +436,55 @@ object EventsStreaming {
         StructField("id", LongType),
         StructField("cluster_id", LongType))))
 
+  /** Max batch id present in a partitioned store, derived from the
+    * store's FILE LISTING on the driver — each input file path carries
+    * its `batch=<id>` partition directory segment, so the probe is
+    * pure path parsing: zero Spark jobs, zero data pages (the previous
+    * form aggregated the partition column, which column-prunes but
+    * still schedules a scan task per file every micro-batch). The
+    * LAST `batch=` segment in a path wins, so a store rooted under a
+    * directory that itself contains "batch=" still parses its own
+    * partitions. A partition directory with no files is invisible —
+    * exactly like it was to the aggregation probe (no rows). */
+  private def maxBatchFromFiles(df: DataFrame,
+      excluding: Option[Long] = None): Option[Long] = {
+    val re = "/batch=(-?\\d+)/".r
+    df.inputFiles.toSeq
+      .flatMap(f => re.findAllMatchIn(f).toSeq.lastOption.map(_.group(1).toLong))
+      .filterNot(b => excluding.contains(b))
+      .reduceOption(_ max _)
+  }
+
   /** Latest label SNAPSHOT visible to `batchId`: the partition with
     * the highest batch id among those ≠ batchId (self-excluded for
     * retry idempotence), after the same foreign-lineage guard as
     * [[storeForBatch]] — a partition BEYOND the current batch id can
     * only come from a different checkpoint whose id reset would
     * silently roll the labels back. Empty-with-schema when no prior
-    * snapshot exists (stream-first bootstrap). */
+    * snapshot exists (stream-first bootstrap). Both probes are
+    * driver-side file-listing parses ([[maxBatchFromFiles]]) — no
+    * per-batch store scan. */
   private def labelSnapshotForBatch(store0: DataFrame,
       batchId: Long): DataFrame =
     if (store0.columns.contains("batch")) {
-      // two partition-pruned max probes (no data pages read)
-      def maxBatch(df: DataFrame): java.lang.Long = {
-        val r = df.agg(max(col("batch").cast("long"))).head()
-        if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
-      }
-      val rest = store0.filter(col("batch") =!= batchId)
-      val maxAll = maxBatch(store0)
-      val maxPrev = maxBatch(rest)
-      require(maxAll == null || maxAll <= batchId,
-        s"streaming label store: found batch=$maxAll snapshot beyond " +
+      val maxAll = maxBatchFromFiles(store0)
+      val maxPrev = maxBatchFromFiles(store0, excluding = Some(batchId))
+      require(maxAll.forall(_ <= batchId),
+        s"streaming label store: found batch=${maxAll.get} snapshot beyond " +
           s"this run's batch id $batchId — the store was written by a " +
           "different checkpoint lineage (one checkpoint per store); " +
           "restarting with a fresh checkpoint needs the store " +
           "re-bootstrapped under batch=<negative id>")
-      if (maxPrev == null)
-        store0.sparkSession.createDataFrame(
-          store0.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("id", LongType),
-            StructField("cluster_id", LongType))))
-      else rest.filter(col("batch") === maxPrev.longValue).drop("batch")
+      maxPrev match {
+        case None =>
+          store0.sparkSession.createDataFrame(
+            store0.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("cluster_id", LongType))))
+        case Some(mp) =>
+          store0.filter(col("batch") === mp).drop("batch")
+      }
     } else store0
 
   /** The substring-dedup window-hash store (gh), empty-with-schema
@@ -488,14 +506,13 @@ object EventsStreaming {
     * run can only ever see store partitions ≤ its own batch id (its
     * retry's partition included); any partition BEYOND it proves the
     * store belongs to a different checkpoint lineage — fail loud. The
-    * probe aggregates only the partition column (partition pruning —
-    * no data pages read). Bootstrap partitions use negative ids, which
-    * never trip the guard. */
+    * probe is a driver-side file-listing parse ([[maxBatchFromFiles]])
+    * — zero jobs, zero data pages, however many partitions the store
+    * has grown. Bootstrap partitions use negative ids, which never
+    * trip the guard. */
   private def storeForBatch(store0: DataFrame, batchId: Long): DataFrame =
     if (store0.columns.contains("batch")) {
-      val maxBatch = store0.agg(max(col("batch").cast("long"))).head().get(0)
-      val maxB = if (maxBatch == null) Long.MinValue
-        else maxBatch.asInstanceOf[Long]
+      val maxB = maxBatchFromFiles(store0).getOrElse(Long.MinValue)
       require(maxB <= batchId,
         s"streaming increment store: found batch=$maxB partition beyond " +
           s"this run's batch id $batchId — the store was written by a " +
@@ -504,6 +521,75 @@ object EventsStreaming {
           "re-bootstrapped under batch=<negative id>")
       store0.filter(col("batch") =!= batchId).drop("batch")
     } else store0
+
+  /** Compact a streaming increment store's `batch=<id>` partitions
+    * into ONE bootstrap partition — the operator form of what was
+    * previously a documented manual delete. Both layouts:
+    *
+    *  - APPEND family (exact/near-dup/substring/semantic stores, the
+    *    [[streamingIncrementalNearDup]] contract): the compacted
+    *    content is the UNION of every partition's rows — a pure
+    *    merge, read-equivalent before and after.
+    *  - SNAPSHOT family (the [[streamingIncrementalClusters]] label
+    *    store): each partition is a complete replacement table, so
+    *    the compacted content is ONLY the newest snapshot's rows;
+    *    older snapshots are retry/rollback history whose usefulness
+    *    ends once their batch commits.
+    *
+    * The result lands under `batch=<keepBatch>` with keepBatch
+    * REQUIRED negative — the bootstrap-id convention, which is
+    * exactly what makes the compacted store safe against the
+    * one-checkpoint-per-store lineage guard: a NEW stream checkpoint
+    * restarts at batch 0, and a store whose only partition is
+    * negative can never sit beyond it. (Compacting is therefore the
+    * sanctioned way to hand a store to a fresh checkpoint — the
+    * guard's error message points here.)
+    *
+    * Scale shape: one store scan + one write + two filesystem
+    * metadata ops — content is written to a SIBLING temp directory
+    * (`<store>.compacting`) and swapped in with delete + rename, so
+    * the operator never reads a path it is concurrently rewriting
+    * (the recacheByPath hazard) and never pins store-sized data in
+    * executor memory. Run it only while the stream is stopped (the
+    * same discipline as any checkpoint surgery); if a crash lands
+    * between the delete and the rename, the full compacted store
+    * survives at the temp path — recovery is renaming it back by
+    * hand. A flat (unpartitioned) store or a missing path is a
+    * no-op. */
+  def compactStore(spark: SparkSession, storePath: String,
+      snapshotLayout: Boolean, keepBatch: Long = -1L): Unit = {
+    require(keepBatch < 0,
+      s"compacted partition must use a bootstrap (negative) batch id " +
+        s"so the lineage guard accepts a fresh checkpoint, got $keepBatch")
+    val store =
+      try spark.read.option("basePath", storePath).parquet(storePath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+              .exists(c => Option(e.getCondition).exists(_.startsWith(c))) =>
+          return // nothing to compact
+      }
+    if (!store.columns.contains("batch")) return // already flat
+    val content =
+      if (snapshotLayout) maxBatchFromFiles(store) match {
+        case Some(mb) => store.filter(col("batch") === mb).drop("batch")
+        case None => store.drop("batch") // partitions exist but hold no files
+      }
+      else store.drop("batch")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val storeP = new org.apache.hadoop.fs.Path(storePath)
+    val fs = storeP.getFileSystem(hadoopConf)
+    val tmp = new org.apache.hadoop.fs.Path(storePath + ".compacting")
+    fs.delete(tmp, true)
+    content.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, s"batch=$keepBatch").toString)
+    fs.delete(storeP, true)
+    if (!fs.rename(tmp, storeP))
+      throw new IllegalStateException(
+        s"compactStore: rename $tmp -> $storeP failed after the old store " +
+          "was deleted; the compacted store is intact at the temp path — " +
+          "rename it back manually")
+  }
 
   /** The semantic-dedup store (id, embedding, cell), empty-with-schema
     * when the path does not exist yet; same narrow catch and

@@ -467,6 +467,85 @@ class StreamingSpec extends SparkSpec {
       s"expected lineage guard, got: ${rootMessages(e)}")
   }
 
+  test("compactStore: append merge and snapshot collapse read-equivalent, fresh checkpoint accepted after compaction") {
+    // ---- append layout: compaction is a pure merge ----
+    val aStore = Files.createTempDirectory("graft-compact-a").toString
+    Seq("a", "b").toDF("fp").write.parquet(s"$aStore/batch=-1")
+    Seq("c").toDF("fp").write.parquet(s"$aStore/batch=0")
+    Seq("d", "e").toDF("fp").write.parquet(s"$aStore/batch=1")
+    val before = spark.read.option("basePath", aStore).parquet(aStore)
+      .select(col("fp")).as[String].collect().sorted.toSeq
+    EventsStreaming.compactStore(spark, aStore, snapshotLayout = false)
+    val afterA = spark.read.option("basePath", aStore).parquet(aStore)
+    assert(afterA.select(col("fp")).as[String].collect().sorted.toSeq == before,
+      "append compaction must preserve the row multiset")
+    assert(afterA.select(col("batch").cast("long")).distinct()
+      .as[Long].collect().toSeq == Seq(-1L),
+      "all rows must land under the single bootstrap partition")
+    assert(!Files.exists(java.nio.file.Paths.get(aStore + ".compacting")),
+      "the temp swap directory must not survive")
+    // keepBatch must stay in the bootstrap (negative) id space
+    intercept[IllegalArgumentException] {
+      EventsStreaming.compactStore(spark, aStore, snapshotLayout = false,
+        keepBatch = 0L)
+    }
+    // missing path and already-flat store are no-ops
+    EventsStreaming.compactStore(spark, s"$aStore-missing", snapshotLayout = false)
+    val flat = Files.createTempDirectory("graft-compact-flat").toString
+    Seq("z").toDF("fp").write.mode("overwrite").parquet(flat)
+    EventsStreaming.compactStore(spark, flat, snapshotLayout = false)
+    assert(spark.read.parquet(flat).as[String].collect().toSeq == Seq("z"))
+
+    // ---- snapshot layout: ONLY the newest snapshot survives ----
+    val sStore = Files.createTempDirectory("graft-compact-s").toString
+    Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+      .write.parquet(s"$sStore/batch=-1")
+    Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+      .write.parquet(s"$sStore/batch=0")
+    EventsStreaming.compactStore(spark, sStore, snapshotLayout = true)
+    val afterS = spark.read.option("basePath", sStore).parquet(sStore)
+    assert(afterS.select(col("id"), col("cluster_id")).as[(Long, Long)]
+      .collect().toSet == Set((1L, 1L), (2L, 1L), (3L, 1L)),
+      "snapshot compaction must keep exactly the newest snapshot's table")
+    assert(afterS.select(col("batch").cast("long")).distinct()
+      .as[Long].collect().toSeq == Seq(-1L))
+
+    // ---- the point of it all: a compacted store hands off to a FRESH
+    // checkpoint (the lineage guard rejects the uncompacted original,
+    // per the sibling specs) and its merged history stays live ----
+    val subStore = Files.createTempDirectory("graft-compact-sub").toString
+    graft.operators.Dedup.substringStoreRecords(
+      Seq((0L, "s1 s2 s3 s4")).toDF("doc_id", "text"), "doc_id", "text", L = 3)
+      .write.parquet(s"$subStore/batch=-1")
+    graft.operators.Dedup.substringStoreRecords(
+      Seq((100L, "x1 x2 x3 x4")).toDF("doc_id", "text"), "doc_id", "text", L = 3)
+      .write.parquet(s"$subStore/batch=3")
+    EventsStreaming.compactStore(spark, subStore, snapshotLayout = false)
+    val dir = Files.createTempDirectory("graft-compact-src").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // doc 7 is fully covered by the OLD batch=3 windows; doc 8 is fresh
+    Seq((7L, "x2 x3 x4"), (8L, "y1 y2 y3")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = EventsStreaming.streamingIncrementalSubstringDedup(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(dir),
+      subStore, "text", "doc_id", L = 3) { (sv, _) =>
+      buf ++= sv.select(col("id"), col("n_kept")).as[(Long, Long)].collect()
+    }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-compact").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(buf.toSet == Set((7L, 0L), (8L, 3L)),
+      s"fresh checkpoint over the compacted store must see merged history, got $buf")
+  }
+
   test("stateful sessionize emits closed sessions matching batch") {
     val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
     val evStream = spark.readStream.schema(EventsStreaming.eventSchema)
