@@ -1871,6 +1871,62 @@ object Extensions {
 
   val streamIncrSubstringSql: String = incrementalSubstringSql
 
+  /** Always-on composed ingestion, quartet form (X156): the
+    * q_ingest_quartet split through the real foreachBatch composition
+    * — all four stores bootstrap from the %3 == 0 slice under
+    * batch=-1 (fingerprints include the %5 overlap, exactly X139's
+    * priorFps), the frozen quantizer trains once on the store slice,
+    * and the rest streams to AvailableNow completion through
+    * [[EventsStreaming.streamingIngestQuartet]]. Single-file source →
+    * one micro-batch, so the final survivor set equals the batch
+    * quartet's and the oracle is reused verbatim; the cross-batch
+    * hand-off (near-dup of a batch-1 survivor + substring-dup of
+    * batch-2 windows both dropping in batch 3) is pinned by
+    * StreamingSpec. */
+  val streamIngestQuartet: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-siq")
+    val base =
+      java.nio.file.Files.createTempDirectory("graft-quartet").toString
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val storeSlice = docs.filter(col("doc_id") % 3 === 0)
+    docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$base/exact/batch=-1")
+    Dedup.nearDupStoreRecords(storeSlice, "doc_id", "text",
+      shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+      .write.mode("overwrite").parquet(s"$base/neardup/batch=-1")
+    Dedup.substringStoreRecords(storeSlice, "doc_id", "text", L = SUBSTR_L)
+      .write.mode("overwrite").parquet(s"$base/substring/batch=-1")
+    val embStore = emb.filter(col("vec_id") % 3 === 0)
+    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
+      embStore, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    Similarity.semanticStoreRecords(embStore, "vec_id", "embedding", cents)
+      .write.mode("overwrite").parquet(s"$base/semantic/batch=-1")
+    val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = EventsStreaming.streamingIngestQuartet(src, base, emb, cents,
+      "text", "doc_id", threshold = 0.7, shingleN = 3,
+      bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB, L = SUBSTR_L,
+      semThreshold = SEMDEDUP_T) { (out, _) =>
+      buf ++= out.select(col("doc_id"), col("cell"), col("n_kept"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally deleteRecursively(base)
+    import s.implicits._
+    buf.toSeq.toDF("doc_id", "cell", "n_kept")
+  }
+
+  // lazy: ingestQuartetSql is itself lazy and declared in another
+  // section of this object
+  lazy val streamIngestQuartetSql: String = ingestQuartetSql
+
   /** Streaming incremental cluster maintenance (X152): the
     * q_incremental_clusters split through the real foreachBatch
     * composition — history pairs' CC labels bootstrap the snapshot
@@ -4234,6 +4290,7 @@ object Extensions {
     "q_stream_incr_clusters" -> streamIncrClusters,
     "q_stream_incr_exact" -> streamIncrExact,
     "q_stream_compaction" -> streamCompaction,
+    "q_stream_ingest_quartet" -> streamIngestQuartet,
     "q_stream_incr_semantic" -> streamIncrSemantic,
     "q_stream_join" -> streamJoin,
     "q_stream_outer_join" -> streamOuterJoinVerified,
@@ -4366,6 +4423,7 @@ object Extensions {
     "q_stream_incr_clusters" -> streamIncrClustersSql,
     "q_stream_incr_exact" -> incrementalDedupSql,
     "q_stream_compaction" -> streamCompactionSql,
+    "q_stream_ingest_quartet" -> streamIngestQuartetSql,
     "q_stream_incr_semantic" -> incrementalSemDedupSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_outer_join" -> streamOuterJoinVerifiedSql,

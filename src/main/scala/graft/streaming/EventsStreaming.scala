@@ -387,6 +387,98 @@ object EventsStreaming {
         ()
     }
 
+  /** ALWAYS-ON COMPOSED INGESTION, quartet form (X156) — the
+    * foreachBatch composition of the FULL X139 pipeline, turning the
+    * four singleton streaming increments (exact X145, near-dup X134,
+    * substring X147, semantic X146) into one stream: each micro-batch
+    * runs exact → (near-dup ∥ substring, both over the stage-1
+    * survivors) → semantic over the docs both passes keep, each stage
+    * consuming its own store under `basePath/{exact,neardup,substring,
+    * semantic}` and appending its records before the batch completes —
+    * so a doc that is a near-dup of a BATCH-1 survivor and a
+    * substring-dup of BATCH-2 windows still drops in batch 3 (the
+    * cross-batch hand-off is exact per stage, no watermark windows).
+    *
+    * Store-append contract per stage, inherited from the singletons:
+    * exact gets the stage-1 survivors' fingerprints; near-dup gets the
+    * stage-2 SURVIVORS' index records (id, shingles, sig); substring
+    * gets the STAGE INPUT's original windows (X132's covered-forever
+    * rule — s1's windows, so a span that later recurs stays covered
+    * via its first occurrence); semantic gets the final survivors'
+    * (id, embedding, cell) under the caller's FROZEN quantizer (X116).
+    * Embeddings ride a stream-static left-semi join on the shared id
+    * space (the X139 arrangement), so the streamed frame carries text
+    * only. Retry idempotence (batch=<id> partitions, self-excluded
+    * reads, per-batch overwrite), the lineage guard, pre-write
+    * localCheckpoints (every stage plan reads a path some write below
+    * rewrites), and scoped cache release all follow the singletons;
+    * pre-bootstrapped stores live under `batch=<negative id>`;
+    * [[compactStore]] (append layout) compacts all four.
+    *
+    * `sink` receives each batch's final survivors (id, cell, n_kept)
+    * — the X139 output shape. */
+  def streamingIngestQuartet(docs: DataFrame, basePath: String,
+      emb: DataFrame, cents: Array[(Int, Array[Long])],
+      textCol: String, idCol: String, threshold: Double,
+      shingleN: Int, bands: Int, rowsPerBand: Int,
+      L: Int, semThreshold: Double, posBase: Long = 100000L,
+      embIdCol: String = "vec_id", embVecCol: String = "embedding")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          val exactStore = storeForBatch(
+            readExactStore(spark, s"$basePath/exact"), batchId)
+          val ndStore = storeForBatch(
+            readNearDupStore(spark, s"$basePath/neardup"), batchId)
+          val subStore = storeForBatch(
+            readSubstringStore(spark, s"$basePath/substring"), batchId)
+          val semStore = storeForBatch(
+            readSemanticStore(spark, s"$basePath/semantic"), batchId)
+          // stage 1: exact — survivors checkpointed before ANY write
+          // below (three downstream plans read s1)
+          val s1 = Dedup.incrementalExactDedup(batch.toDF(), exactStore,
+            textCol, idCol).localCheckpoint()
+          // stage 2 ∥ 3 over the stage-1 survivors (the X139 shape)
+          val s2 = Dedup.incrementalNearDup(s1, ndStore, textCol, idCol,
+            threshold, shingleN, bands, rowsPerBand).localCheckpoint()
+          val sub = Dedup.incrementalSubstringDedup(s1, subStore,
+            idCol, textCol, L, posBase)
+            .filter(col("n_kept") > 0)
+            .select(col("id").as(idCol), col("n_kept"))
+          val s3 = sub.join(s2.select(col(idCol)), Seq(idCol))
+            .localCheckpoint()
+          val records = Dedup.substringStoreRecords(s1, idCol, textCol,
+            L, posBase).localCheckpoint()
+          // stage 4: semantic over the embeddings of the docs both
+          // passes keep (stream-static left-semi on the shared ids)
+          val batchEmb = emb.join(
+            s3.select(col(idCol).cast("long").as(embIdCol)),
+            Seq(embIdCol), "left_semi")
+          val sem = graft.operators.Similarity.incrementalSemanticDedup(
+            batchEmb, semStore, cents, semThreshold, embIdCol, embVecCol)
+            .localCheckpoint()
+          // all four store appends AFTER every read of prior state is
+          // pinned; a retry overwrites its own partitions and re-reads
+          // exactly what the first attempt saw
+          s1.select(col("fp"))
+            .write.mode("overwrite").parquet(s"$basePath/exact/batch=$batchId")
+          s2.select(col(idCol).cast("long").as("id"),
+              col("shingles"), col("sig"))
+            .write.mode("overwrite").parquet(s"$basePath/neardup/batch=$batchId")
+          records
+            .write.mode("overwrite").parquet(s"$basePath/substring/batch=$batchId")
+          sem
+            .write.mode("overwrite").parquet(s"$basePath/semantic/batch=$batchId")
+          val out = sem.select(col("id").as(idCol), col("cell"))
+            .join(s3, Seq(idCol))
+            .select(col(idCol), col("cell"), col("n_kept"))
+          sink(out, batchId)
+        }
+        ()
+    }
+
   /** Streaming incremental CLUSTER maintenance (X152) — the always-on
     * form of [[graft.operators.Dedup.incrementalConnectedComponents]],
     * giving the ingestion quartet's canonicalization pass the same

@@ -467,6 +467,60 @@ class StreamingSpec extends SparkSpec {
       s"expected lineage guard, got: ${rootMessages(e)}")
   }
 
+  test("streaming ingest quartet: cross-batch drops through all four stores") {
+    val dir = Files.createTempDirectory("graft-siq-src").toString
+    val base = Files.createTempDirectory("graft-siq-store").toString + "/q"
+    val ckpt = Files.createTempDirectory("graft-ckpt-siq-spec").toString
+    // one distinct one-hot embedding per doc: pairwise cosine 0, so the
+    // semantic stage never drops anyone here (its cross-batch hand-off
+    // has its own spec) — this spec isolates the exact/near-dup/
+    // substring hand-offs
+    val ids = Seq(1L, 2L, 10L, 20L, 21L, 22L, 30L)
+    val emb = ids.zipWithIndex.map { case (id, i) =>
+      (id, Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val cents = Array((0, Array.fill(8)(0L))) // one cell: all collide coarse
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def write(f: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/$f")
+    val out = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(dir)
+      val q = EventsStreaming.streamingIngestQuartet(src, base, emb, cents,
+        "text", "doc_id", threshold = 0.7, shingleN = 3,
+        bands = 4, rowsPerBand = 3, L = 3, semThreshold = 0.9) { (o, b) =>
+        out(b) = o.select(col("doc_id"), col("n_kept"))
+          .as[(Long, Long)].collect().toSet
+      }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 0 (stream-first: all four stores bootstrap from nothing)
+    write("f1", Seq((1L, "a1 a2 a3 a4 a5"), (2L, "b1 b2 b3 b4")))
+    runOnce()
+    assert(out(0L).map(_._1) == Set(1L, 2L), s"got ${out.get(0L)}")
+    // batch 1
+    write("f2", Seq((10L, "c1 c2 c3 c4")))
+    runOnce()
+    assert(out(1L).map(_._1) == Set(10L), s"got ${out.get(1L)}")
+    // batch 2: doc 30 is an EXACT dup of batch-0's doc 2; doc 20 is a
+    // NEAR-dup of batch-0 survivor doc 1 (3 of 4 shingles shared,
+    // Jaccard 0.75 ≥ 0.7); doc 21 is fully covered by batch-1 doc 10's
+    // stored windows (substring); doc 22 is fresh — only it survives
+    write("f3", Seq((20L, "a1 a2 a3 a4 a5 a6"), (21L, "c2 c3 c4"),
+      (30L, "b1 b2 b3 b4"), (22L, "d1 d2 d3 d4")))
+    runOnce()
+    assert(out(2L) == Set((22L, 4L)),
+      s"cross-batch drops must span exact+neardup+substring stores, got ${out.get(2L)}")
+  }
+
   test("compactStore: append merge and snapshot collapse read-equivalent, fresh checkpoint accepted after compaction") {
     // ---- append layout: compaction is a pure merge ----
     val aStore = Files.createTempDirectory("graft-compact-a").toString
