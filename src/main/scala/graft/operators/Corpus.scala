@@ -292,7 +292,17 @@ object Corpus {
     * (doc, chunk), and the dup flag is one 16-byte-key agg plus a
     * shuffle-hash join; occurrence order is the plain-MIN encoding
     * (id·10⁹ + chunk_idx — exact for ids < 9.2·10⁹ and docs under
-    * 10⁹ chunks). */
+    * 10⁹ chunks).
+    *
+    * Id domain (PUBLIC CONTRACT, fail-loud): `idCol` must cast to
+    * BIGINT in [0, Long.Max/10⁹) — the occurrence encoding's
+    * injectivity range. Null / non-castable ids raise (they would
+    * silently merge all such docs into one), and NEGATIVE ids raise
+    * too: the encoding could admit a symmetric negative bound, but a
+    * negative document id is overwhelmingly a caster bug upstream, so
+    * the domain is deliberately the narrower one. Remap ids into
+    * [0, 9.2·10⁹) before calling if a pipeline genuinely carries
+    * signed ids. */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
       divisor: Int = 8): DataFrame = {
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
@@ -333,7 +343,15 @@ object Corpus {
     * n-gram md5 keys as (id, gk) rows, persisted ONCE at ingest — when
     * a new benchmark lands later, decontamination re-runs against the
     * postings, never against the text. 16 bytes per (doc, distinct
-    * gram); the retraction story matches X140's (anti-join by id). */
+    * gram); the retraction story matches X140's (anti-join by id).
+    *
+    * Id domain (PUBLIC CONTRACT, fail-loud): `idCol` must cast to a
+    * non-negative BIGINT. A null / non-castable id raises — it would
+    * silently merge every such doc's postings into one `id IS NULL`
+    * list, breaking retraction and per-doc hit counts with no signal
+    * (the pre-guard behavior). Negative ids raise for symmetry with
+    * [[cdcChunks]] even though no encoding needs it here: one id
+    * domain across the postings family keeps stores interchangeable. */
   def gramPostings(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 13): DataFrame =
     Dedup.spread(docs).select(guardedPostingId(idCol).as("id"),

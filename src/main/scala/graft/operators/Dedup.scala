@@ -1258,8 +1258,40 @@ object Dedup {
     // component, so filtering on id1-membership is complete; then
     // forget every pair touching a retracted id (its evidence
     // involves the deleted document)
+    // persist-before-probe convention (incrementalExactDedup's store
+    // projection): the narrow (_a, _b) projection is consumed by BOTH
+    // the invariant probe below and the affected-pair filter — without
+    // the persist an expensive caller-side pair plan would run twice
     val pairs = storedPairs
       .select(col(id1).cast("long").as("_a"), col(id2).cast("long").as("_b"))
+      .persistTracked()
+    // maintenance-invariant probe (bounded: at most 6 violations come
+    // back, and the collect-limit executes partitions incrementally):
+    // the exactness argument above rests ENTIRELY on storedLabels ==
+    // connectedComponents(storedPairs), and a drifted store — pairs
+    // appended without refreshing labels — would otherwise yield
+    // labels silently violating the retract ≡ rebuild-without law. A
+    // pair is a witness of drift iff either endpoint is missing from
+    // the labels or the endpoints carry different cluster ids. Cost is
+    // one pair-store pass + two label-keyed shuffle-hash joins;
+    // retraction is an offline admin operation, and fail-loud is the
+    // repo convention (the resumeRankTable duplicate-state probe).
+    val lblA = stored.select(col("id").as("_a"), col("cluster_id").as("_pla"))
+    val lblB = stored.select(col("id").as("_b"), col("cluster_id").as("_plb"))
+    val drift = pairs
+      .join(lblA.hint("shuffle_hash"), Seq("_a"), "left")
+      .join(lblB.hint("shuffle_hash"), Seq("_b"), "left")
+      .filter(col("_pla").isNull || col("_plb").isNull ||
+        col("_pla") =!= col("_plb"))
+      .select(col("_a"), col("_b"))
+      .limit(6).collect()
+    require(drift.isEmpty,
+      "retractClusterLabels: storedLabels is not connectedComponents(" +
+        "storedPairs) — drifted pairs (endpoints unlabeled or in " +
+        "different clusters): " +
+        drift.take(5).map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ") +
+        " — refresh the label store (incrementalConnectedComponents) " +
+        "before retracting")
     val membersJ = gated(members.select(col("id").as("_a")))
     val survPairs = pairs.join(membersJ, Seq("_a"))
       .join(gated(rids.select(col("id").as("_a"))), Seq("_a"), "left_anti")

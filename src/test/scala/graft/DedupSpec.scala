@@ -589,6 +589,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("retractClusterLabels: drifted pair store fails loud, never silently wrong labels") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs, "id1", "id2")
+    // pairs appended WITHOUT refreshing labels — the maintenance
+    // invariant storedLabels == connectedComponents(storedPairs) no
+    // longer holds in two ways: (5,6) endpoints unlabeled, (2,3)
+    // endpoints labeled in different clusters
+    val drifted = pairs.unionByName(Seq((5L, 6L)).toDF("id1", "id2"))
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.retractClusterLabels(labels, drifted, Seq(1L).toDF("id"))
+    }
+    assert(e1.getMessage.contains("drifted pairs"))
+    val bridged = pairs.unionByName(Seq((2L, 3L)).toDF("id1", "id2"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.retractClusterLabels(labels, bridged, Seq(1L).toDF("id"))
+    }
+    assert(e2.getMessage.contains("drifted pairs"))
+  }
+
   test("incrementalSubstringDedup: store windows cover everywhere, fresh dups keep batch-first") {
     val span = "alpha bravo charlie delta echo"
     val store = Seq(
