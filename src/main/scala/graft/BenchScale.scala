@@ -49,7 +49,16 @@ object BenchScale {
     "q_embed_ann_multi", "q_embed_ann_probe", "q_ann_recall",
     "q_incremental_substring", "q_incremental_clusters",
     "q_stream_incr_neardup", "q_stream_incr_exact",
-    "q_stream_incr_semantic", "q_ingest_quartet")
+    "q_stream_incr_semantic", "q_ingest_quartet",
+    // round-12 evidence debt (VERDICT r12 item 1): the six r12
+    // operators' standing alpha rows
+    "q_embed_pq", "q_embed_ivfpq", "q_quantizer_refresh",
+    "q_cluster_retraction", "q_stream_incr_substring",
+    "q_stream_incr_clusters",
+    // round-13 additions: normalized IVF-PQ, wide-phash image
+    // near-dup, store compaction, the composed streaming quartet
+    "q_embed_ivfpq_norm", "q_image_neardup", "q_stream_compaction",
+    "q_stream_ingest_quartet")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS
