@@ -2585,15 +2585,22 @@ object Extensions {
   /** Shared normalization front for the X153 family: (corpus, queries)
     * with embeddings replaced by their exact-integer L2-normalized
     * form (as array<double> holding integers — the residual chains'
-    * convention for scale-1.0 inputs). */
+    * convention for scale-1.0 inputs). Both frames persistTracked:
+    * normalizeFixedPoint is a nested aggregate/transform expression
+    * TREE, and without materialization it re-inlines into every
+    * downstream consumer (each k-means quantize, the residual frames,
+    * the rerank) — a fixed plan-cost multiplier at any data size,
+    * measured 8.9 s → materialized-cost at sf0.1 on the gate row. */
   private def normalizedEmbQueries(emb: DataFrame,
       qs: DataFrame): (DataFrame, DataFrame) = {
-    val embN = emb.select(col("vec_id"),
-      Similarity.normalizeFixedPoint(col("embedding"))
-        .cast("array<double>").as("embedding"))
-    val qsN = qs.select(col("q_id"),
-      Similarity.normalizeFixedPoint(col("q_vec"))
-        .cast("array<double>").as("q_vec"))
+    val embN = graft.core.Caches.persistTracked(
+      emb.select(col("vec_id"),
+        Similarity.normalizeFixedPoint(col("embedding"))
+          .cast("array<double>").as("embedding")))
+    val qsN = graft.core.Caches.persistTracked(
+      qs.select(col("q_id"),
+        Similarity.normalizeFixedPoint(col("q_vec"))
+          .cast("array<double>").as("q_vec")))
     (embN, qsN)
   }
 

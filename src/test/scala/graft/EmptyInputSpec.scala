@@ -286,4 +286,36 @@ class EmptyInputSpec extends SparkSpec {
       vecs, noQ, k = 5, bits = 3, dims = 2, nprobe = 2,
       poolSize = 2, maxFlips = 1).count() == 0)
   }
+
+  test("PQ family handles empty corpus / query set; retraction of nothing is identity") {
+    import graft.operators.Similarity
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noQ = Seq.empty[(Long, Array[Float])].toDF("q_id", "q_vec")
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((10L, Array(1.0f, 0.1f))).toDF("q_id", "q_vec")
+    // codebooks trained on the tiny corpus serve empty frames on
+    // either side (an empty TRAINING corpus is a config error the
+    // k-means guards reject — not a degenerate input to tolerate)
+    val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      dims = 2, m = 2, codes = 2, iters = 2)
+    assert(Similarity.pqTopK(noVecs, qs, k = 2, books, coarseK = 2)
+      .count() == 0)
+    assert(Similarity.pqTopK(vecs, noQ, k = 2, books, coarseK = 2)
+      .count() == 0)
+    val (coarse, rbooks) = Similarity.ivfPqIndex(vecs, "vec_id",
+      "embedding", dims = 2, cells = 2, cellIters = 2, m = 2, codes = 2,
+      pqIters = 2)
+    assert(Similarity.ivfPqTopK(noVecs, qs, k = 2, coarse, rbooks,
+      nprobe = 1, coarseK = 2).count() == 0)
+    assert(Similarity.ivfPqTopK(vecs, noQ, k = 2, coarse, rbooks,
+      nprobe = 1, coarseK = 2).count() == 0)
+    // retracting an empty id set returns the stored labels verbatim
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val noIds = Seq.empty[Long].toDF("id")
+    assert(graft.operators.Dedup.retractClusterLabels(
+      labels, pairs, noIds).as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L), (2L, 1L)))
+  }
 }
