@@ -318,30 +318,79 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       coarseCents: Array[(Int, Array[Long])],
       codebooks: Array[Array[(Int, Array[Long])]],
-      nprobe: Int, coarseK: Int, scale: Double = 1e6): DataFrame = {
+      nprobe: Int, coarseK: Int, scale: Double = 1e6): DataFrame =
+    ivfPqTopKFromCodes(
+      ivfPqCodes(spread(corpus), "vec_id", "embedding",
+        coarseCents, codebooks, scale),
+      corpus, queries, k, coarseCents, codebooks, nprobe, coarseK, scale)
+
+  /** Map-side IVF-PQ ENCODE under a FROZEN index (X157) — each vector
+    * becomes its serving-store row (id, cell, codes): coarse cell by
+    * the exact integer argmin, then per sub-space the nearest residual
+    * codeword (k-means' tie rule) against LITERAL codebooks. Pure
+    * projection, zero shuffles — the encode is embarrassingly parallel
+    * and ARRIVAL-TIME-INVARIANT (a vector gets identical codes whether
+    * it was in the bootstrap corpus or lands in a later increment —
+    * the same frozen-quantizer contract as [[semanticStoreRecords]]),
+    * which is what makes an append-only codes store exact. Rows are
+    * id-keyed and independent, so store maintenance is trivial by
+    * construction: increment = encode + append (no store read),
+    * retraction = anti-join by id — no recomputation, no sibling
+    * invalidation. The store is what [[ivfPqTopKFromCodes]] probes;
+    * re-encoding under a NEW index is a [[refreshQuantizer]]-style
+    * store migration (one scan + rewrite). */
+  def ivfPqCodes(vecs: DataFrame, idCol: String, vecCol: String,
+      coarseCents: Array[(Int, Array[Long])],
+      codebooks: Array[Array[(Int, Array[Long])]],
+      scale: Double = 1e6): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
-      "ivfPqTopK: empty codebooks")
-    require(coarseCents.nonEmpty, "ivfPqTopK: empty coarse centroids")
-    require(k <= coarseK, s"k=$k must be <= coarseK=$coarseK")
-    require(nprobe >= 1 && nprobe <= coarseCents.length,
-      s"nprobe=$nprobe must be in [1, ${coarseCents.length}]")
+      "ivfPqCodes: empty codebooks")
+    require(coarseCents.nonEmpty, "ivfPqCodes: empty coarse centroids")
     val m = codebooks.length
     val subDim = codebooks(0)(0)._2.length
-    // corpus: cell + residual sub-slices -> m codes (map-side argmin
-    // per sub-space against literal codebooks; k-means' tie rule)
-    val res = residualFrame(spread(corpus), "vec_id", "embedding",
-      coarseCents, scale)
+    // cell + residual sub-slices -> m codes (map-side argmin per
+    // sub-space against literal codebooks; k-means' tie rule)
+    val res = residualFrame(vecs, idCol, vecCol, coarseCents, scale)
     val enc0 = res.select(
-      (col("vec_id") +: col("cell") +: (0 until m).map(i =>
-        slice(col("rv"), i * subDim + 1, subDim).as(s"_r$i"))): _*)
-    val codesDf = enc0.select(col("vec_id"), col("cell"),
+      (col(idCol).cast("long").as("vec_id") +: col("cell") +:
+        (0 until m).map(i =>
+          slice(col("rv"), i * subDim + 1, subDim).as(s"_r$i"))): _*)
+    enc0.select(col("vec_id"), col("cell"),
       array((0 until m).map { i =>
         val entries = codebooks(i).map { case (cid, cw) =>
           struct(Clustering.sqDistToLit(enc0, col(s"_r$i"), cw).as("d"),
             lit(cid.toLong).as("c"))
         }
         sort_array(array(entries: _*)).getItem(0).getField("c")
-      }: _*).as("_codes"))
+      }: _*).as("codes"))
+  }
+
+  /** IVF-PQ probe against a PRE-ENCODED codes store (X157) — the
+    * actual serving read path: the index trained once, the corpus
+    * encoded once ([[ivfPqCodes]]), and every query afterwards touches
+    * only (id, cell, codes) rows — 16 bits/vector at the gate config —
+    * plus the float vectors of its coarseK rerank candidates, fetched
+    * from `rerankVecs` by a candidate-bounded join (k·|queries| ids,
+    * broadcast). [[ivfPqTopK]] is exactly this composed with an inline
+    * encode; the split is what turns the per-query cost from
+    * "re-encode the corpus" into "probe nprobe cells of the store". */
+  def ivfPqTopKFromCodes(codes: DataFrame, rerankVecs: DataFrame,
+      queries: DataFrame, k: Int,
+      coarseCents: Array[(Int, Array[Long])],
+      codebooks: Array[Array[(Int, Array[Long])]],
+      nprobe: Int, coarseK: Int, scale: Double = 1e6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "ivfPqTopK: empty codebooks")
+    require(coarseCents.nonEmpty, "ivfPqTopK: empty coarse centroids")
+    require(k <= coarseK, s"k=$k must be <= coarseK=$coarseK")
+    require(nprobe >= 1 && nprobe <= coarseCents.length,
+      s"nprobe=$nprobe must be in [1, ${coarseCents.length}]")
+    require(Set("vec_id", "cell", "codes").subsetOf(codes.columns.toSet),
+      s"ivfPqTopKFromCodes: codes store needs vec_id/cell/codes " +
+        s"(ivfPqCodes' schema), got ${codes.columns.mkString(", ")}")
+    val m = codebooks.length
+    val subDim = codebooks(0)(0)._2.length
     // queries: nprobe nearest cells by the SAME integer argmin, then
     // per probed cell the query residual and its m x codes sqdist LUT
     val qq = queries.select(col("q_id"),
@@ -366,18 +415,21 @@ object Similarity {
       }: _*).as("_lut"))
     // the probe: keyed equi-join on cell — approximate distance is the
     // LUT sum, negated so the shared desc-top-k ranks ascending dist
-    val scored = codesDf.join(broadcast(lut), Seq("cell"))
+    val scored = codes.select(col("vec_id"), col("cell"), col("codes"))
+      .join(broadcast(lut), Seq("cell"))
       .select(col("q_id"), col("vec_id"),
         (-aggregate(
-          zip_with(col("_codes"), col("_lut"),
+          zip_with(col("codes"), col("_lut"),
             (c, l) => element_at(l, (c + 1).cast("int"))),
           lit(0L), (acc, v) => acc + v)).as("score"))
     val cand = finishTopK(scored, "q_id", "vec_id", coarseK)
       .select(col("q_id"), col("vec_id"))
-    val rescored = corpus
+    val rescored = rerankVecs
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding"))
       .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(queries), Seq("q_id"))
-      .withColumn("score", cosineAuto(corpus, col("embedding"), col("q_vec")))
+      .withColumn("score", cosineAuto(rerankVecs, col("embedding"), col("q_vec")))
     finishTopK(rescored, "q_id", "vec_id", k)
   }
 
