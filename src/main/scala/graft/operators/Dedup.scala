@@ -1292,6 +1292,24 @@ object Dedup {
         drift.take(5).map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ") +
         " — refresh the label store (incrementalConnectedComponents) " +
         "before retracting")
+    // the REVERSE direction of the same invariant: a label row whose
+    // id appears in NO stored pair is a stale orphan (its evidence
+    // pairs were dropped without refreshing labels) — it would ride
+    // the untouched-component keep path verbatim while violating
+    // storedLabels == connectedComponents(storedPairs) just as surely
+    // as a drifted pair. Same bounded fail-loud probe shape: one pair
+    // pass + one label-keyed anti-join, limit 6.
+    val endpoints = pairs.select(col("_a").as("id"))
+      .unionByName(pairs.select(col("_b").as("id")))
+    val orphans = stored.select(col("id"))
+      .join(endpoints.hint("shuffle_hash"), Seq("id"), "left_anti")
+      .limit(6).collect()
+    require(orphans.isEmpty,
+      "retractClusterLabels: storedLabels is not connectedComponents(" +
+        "storedPairs) — orphan labels whose ids appear in no stored " +
+        "pair: " + orphans.take(5).map(_.get(0)).mkString(", ") +
+        " — refresh the label store (incrementalConnectedComponents) " +
+        "before retracting")
     val membersJ = gated(members.select(col("id").as("_a")))
     val survPairs = pairs.join(membersJ, Seq("_a"))
       .join(gated(rids.select(col("id").as("_a"))), Seq("_a"), "left_anti")

@@ -240,9 +240,43 @@ object Similarity {
     * 2·a·b up to rounding) — which is exactly what lets an L2
     * residual quantizer ([[ivfPqIndex]] at scale 1.0 over these
     * integers) serve a cosine ground truth without a metric mismatch.
-    * All-zero vectors pass through unscaled (no direction to keep). */
+    * All-zero vectors pass through unscaled (no direction to keep).
+    *
+    * The contract is ENFORCED, not assumed (the substringToks /
+    * cdcChunks fail-loud convention): a vector whose quantized
+    * magnitude would overflow the exact-BIGINT window — any |q_i| >
+    * floor(sqrt(2⁵³)) (q_i² no longer exactly representable, and past
+    * ~3·10⁹ the BIGINT square itself wraps), Σq_i² ≥ 2⁵³ (the sum
+    * leaves the exact-double window; a wrapped-negative sum is the
+    * same failure observed later), or |q_i|·scale ≥ 2⁵³ (the
+    * renormalization numerator loses exactness) — raises instead of
+    * silently emitting approximately-normalized integers that would
+    * break the cross-engine bit-identity downstream indexes rely on. */
   def normalizeFixedPoint(vec: Column, scale: Double = 1e6): Column = {
-    val qv = Clustering.fixedPoint(vec, scale)
+    val qv0 = Clustering.fixedPoint(vec, scale)
+    val exactBound = 9007199254740992L // 2^53
+    val maxSafeQ = 94906265L // floor(sqrt(2^53))
+    val maxAbs = array_max(transform(qv0, q => abs(q)))
+    // element guard FIRST — it must fire before any q*q is computed,
+    // because past ~3·10^9 the square itself overflows BIGINT (ANSI
+    // mode would fail with the right behavior but the wrong message)
+    val qvChecked = when(
+      maxAbs > maxSafeQ ||
+        maxAbs.cast("double") * scale >= exactBound.toDouble,
+      raise_error(concat(
+        lit("normalizeFixedPoint: vector breaks the exact-integer contract " +
+          s"(need every |q| <= $maxSafeQ and |q|*scale < 2^53 at " +
+          s"scale=$scale) — max|q|="),
+        coalesce(maxAbs.cast("string"), lit("NULL")))))
+      .otherwise(qv0)
+    val s2probe =
+      aggregate(transform(qvChecked, q => q * q), lit(0L), (acc, v) => acc + v)
+    val qv = when(s2probe < 0L || s2probe >= exactBound,
+      raise_error(concat(
+        lit("normalizeFixedPoint: vector breaks the exact-integer contract " +
+          "(need sum(q^2) < 2^53) — sum_q2="),
+        coalesce(s2probe.cast("string"), lit("NULL")))))
+      .otherwise(qvChecked)
     val s2 = aggregate(transform(qv, q => q * q), lit(0L), (acc, v) => acc + v)
     when(s2 > 0,
       transform(qv, q =>

@@ -637,17 +637,23 @@ object EventsStreaming {
     * sanctioned way to hand a store to a fresh checkpoint — the
     * guard's error message points here.)
     *
-    * Scale shape: one store scan + one write + two filesystem
+    * Scale shape: one store scan + one write + three filesystem
     * metadata ops — content is written to a SIBLING temp directory
-    * (`<store>.compacting`) and swapped in with delete + rename, so
-    * the operator never reads a path it is concurrently rewriting
-    * (the recacheByPath hazard) and never pins store-sized data in
-    * executor memory. Run it only while the stream is stopped (the
-    * same discipline as any checkpoint surgery); if a crash lands
-    * between the delete and the rename, the full compacted store
-    * survives at the temp path — recovery is renaming it back by
-    * hand. A flat (unpartitioned) store or a missing path is a
-    * no-op. */
+    * (`<store>.compacting`) and swapped in FAIL-SAFE: the live store
+    * renames to `<store>.old`, the temp dir renames into place, then
+    * `.old` deletes. The operator never reads a path it is
+    * concurrently rewriting (the recacheByPath hazard) and never pins
+    * store-sized data in executor memory; at EVERY crash point a
+    * complete copy of the store survives on disk (live, `.old`, or
+    * `.compacting`), and the store READERS refuse to bootstrap empty
+    * while swap debris exists ([[readStoreOrEmpty]] fails loud on a
+    * missing store path with a sibling `.old`/`.compacting` dir), so
+    * an interrupted swap can never silently restart history and
+    * re-admit every duplicate. Recovery is renaming the surviving
+    * copy back — the reader's error message says which. Run it only
+    * while the stream is stopped (the same discipline as any
+    * checkpoint surgery). A flat (unpartitioned) store or a missing
+    * path is a no-op. */
   def compactStore(spark: SparkSession, storePath: String,
       snapshotLayout: Boolean, keepBatch: Long = -1L): Unit = {
     require(keepBatch < 0,
@@ -659,6 +665,15 @@ object EventsStreaming {
         case e: org.apache.spark.sql.AnalysisException
             if Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
               .exists(c => Option(e.getCondition).exists(_.startsWith(c))) =>
+          val p = new org.apache.hadoop.fs.Path(storePath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val debris = Seq(".old", ".compacting")
+            .map(s => new org.apache.hadoop.fs.Path(storePath + s))
+            .filter(fs.exists)
+          if (debris.nonEmpty) throw new IllegalStateException(
+            s"compactStore: store at $storePath is missing but a prior " +
+              s"interrupted swap left ${debris.mkString(", ")} — recover " +
+              "by renaming the surviving copy back before compacting")
           return // nothing to compact
       }
     if (!store.columns.contains("batch")) return // already flat
@@ -672,15 +687,26 @@ object EventsStreaming {
     val storeP = new org.apache.hadoop.fs.Path(storePath)
     val fs = storeP.getFileSystem(hadoopConf)
     val tmp = new org.apache.hadoop.fs.Path(storePath + ".compacting")
+    val oldP = new org.apache.hadoop.fs.Path(storePath + ".old")
     fs.delete(tmp, true)
     content.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(tmp, s"batch=$keepBatch").toString)
-    fs.delete(storeP, true)
+    // fail-safe three-step swap: live -> .old, temp -> live, drop
+    // .old. A complete store copy exists on disk at every crash
+    // point, and readStoreOrEmpty fails loud (never bootstraps empty)
+    // while .old/.compacting debris exists next to a missing store.
+    fs.delete(oldP, true) // debris from a crash AFTER a completed swap
+    if (!fs.rename(storeP, oldP))
+      throw new IllegalStateException(
+        s"compactStore: rename $storeP -> $oldP failed; the live store " +
+          "is untouched and the compacted content is intact at " +
+          s"$tmp — nothing to recover")
     if (!fs.rename(tmp, storeP))
       throw new IllegalStateException(
-        s"compactStore: rename $tmp -> $storeP failed after the old store " +
-          "was deleted; the compacted store is intact at the temp path — " +
-          "rename it back manually")
+        s"compactStore: rename $tmp -> $storeP failed after the live " +
+          s"store moved to $oldP; recover by renaming $oldP back to " +
+          s"$storeP (the compacted content stays at $tmp)")
+    fs.delete(oldP, true)
   }
 
   /** The semantic-dedup store (id, embedding, cell), empty-with-schema
@@ -729,6 +755,20 @@ object EventsStreaming {
       case e: org.apache.spark.sql.AnalysisException
           if Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
             .exists(c => Option(e.getCondition).exists(_.startsWith(c))) =>
+        // a missing store is a legitimate stream-first bootstrap ONLY
+        // when no interrupted compactStore swap left a complete copy
+        // next door — bootstrapping empty over swap debris would
+        // silently restart history and re-admit every duplicate
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val debris = Seq(".old", ".compacting")
+          .map(s => new org.apache.hadoop.fs.Path(path + s))
+          .filter(fs.exists)
+        if (debris.nonEmpty) throw new IllegalStateException(
+          s"store at $path is missing but an interrupted compactStore " +
+            s"swap left ${debris.mkString(", ")} — recover by renaming " +
+            "the surviving copy back to the store path instead of " +
+            "bootstrapping empty (which would re-admit every duplicate)")
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }

@@ -606,6 +606,16 @@ class DedupSpec extends SparkSpec {
       Dedup.retractClusterLabels(labels, bridged, Seq(1L).toDF("id"))
     }
     assert(e2.getMessage.contains("drifted pairs"))
+    // the REVERSE drift direction: a label row whose id appears in no
+    // stored pair (stale orphan from a shrunk pair store) violates the
+    // same invariant and must fail loud too — it would otherwise ride
+    // the untouched-component keep path verbatim
+    val orphaned = labels.unionByName(
+      Seq((99L, 99L)).toDF("id", "cluster_id"))
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.retractClusterLabels(orphaned, pairs, Seq(1L).toDF("id"))
+    }
+    assert(e3.getMessage.contains("orphan labels"))
   }
 
   test("incrementalSubstringDedup: store windows cover everywhere, fresh dups keep batch-first") {

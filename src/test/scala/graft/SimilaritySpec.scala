@@ -540,4 +540,33 @@ class SimilaritySpec extends SparkSpec {
     // sign survives
     assert(out(4L)(0) < 0 && out(4L)(2) < 0 && out(4L)(1) > 0)
   }
+
+  test("normalizeFixedPoint: exactness contract is fail-loud, not silently approximate") {
+    import spark.implicits._
+    // |q| = 1e5 * 1e6 = 1e11 > floor(sqrt(2^53)): q^2 leaves the
+    // exact-BIGINT window — the documented bit-identity contract is
+    // broken, so the op must raise instead of emitting approximate
+    // integers
+    val big = Seq((1L, Array(1.0e5f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      big.select(Similarity.normalizeFixedPoint(col("embedding")).as("nv"))
+        .collect()
+    }
+    assert(e.getMessage.contains("exact-integer contract"),
+      s"expected the contract guard, got: ${e.getMessage}")
+    // a vector safely inside the |q| bound but with sum(q^2) >= 2^53
+    // across elements trips the sum guard
+    val sumBig = Seq((1L, Array.fill(16)(80.0f))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      sumBig.select(Similarity.normalizeFixedPoint(col("embedding")).as("nv"))
+        .collect()
+    }
+    assert(e2.getMessage.contains("exact-integer contract"),
+      s"expected the sum guard, got: ${e2.getMessage}")
+    // valid vectors still pass through the guard unchanged
+    val ok = Seq((1L, Array(3.0f, 4.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.normalizeFixedPoint(col("embedding")).as("nv"))
+      .as[Array[Long]].collect().head
+    assert(ok.sameElements(Array(600000L, 800000L, 0L)))
+  }
 }

@@ -600,6 +600,44 @@ class StreamingSpec extends SparkSpec {
       s"fresh checkpoint over the compacted store must see merged history, got $buf")
   }
 
+  test("compactStore: interrupted swap never silently bootstraps empty history") {
+    // simulate a crash mid-swap: the live store has renamed to .old,
+    // the compacted content has not renamed in yet — the store path is
+    // missing but a complete copy survives next door. The readers must
+    // FAIL LOUD (bootstrapping empty would re-admit every duplicate),
+    // and compactStore itself must refuse to treat it as
+    // nothing-to-compact.
+    val base = Files.createTempDirectory("graft-compact-crash").toString
+    val store = s"$base/exact"
+    Seq("a", "b").toDF("fp").write.parquet(s"$store.old/batch=-1")
+    val e1 = intercept[IllegalStateException] {
+      EventsStreaming.readExactStore(spark, store)
+    }
+    assert(e1.getMessage.contains("interrupted compactStore"),
+      s"reader must name the swap debris, got: ${e1.getMessage}")
+    val e2 = intercept[IllegalStateException] {
+      EventsStreaming.compactStore(spark, store, snapshotLayout = false)
+    }
+    assert(e2.getMessage.contains("interrupted swap"))
+    // .compacting debris alone (crash before the first rename would
+    // leave the live store intact; this covers the delete-crash shape)
+    val store2 = s"$base/sem"
+    Seq("c").toDF("fp").write.parquet(s"$store2.compacting/batch=-1")
+    intercept[IllegalStateException] {
+      EventsStreaming.readExactStore(spark, store2)
+    }
+    // recovery = renaming the surviving copy back, after which reads
+    // resume with full history; a genuinely-missing store (no debris)
+    // still bootstraps empty-with-schema
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$store.old"),
+      new org.apache.hadoop.fs.Path(store)))
+    assert(EventsStreaming.readExactStore(spark, store)
+      .select(col("fp")).as[String].collect().sorted.toSeq == Seq("a", "b"))
+    assert(EventsStreaming.readExactStore(spark, s"$base/fresh").count() == 0L)
+  }
+
   test("stateful sessionize emits closed sessions matching batch") {
     val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
     val evStream = spark.readStream.schema(EventsStreaming.eventSchema)
