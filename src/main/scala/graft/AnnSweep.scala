@@ -62,6 +62,14 @@ object AnnSweep {
     sweep("norm", embN, qsN, 1.0, cells = 8, codes = 16, nps, cks)
     sweep("norm", embN, qsN, 1.0, cells = 8, codes = 64, Seq(2, 4), cks)
     sweep("norm", embN, qsN, 1.0, cells = 16, codes = 16, Seq(2, 4), cks)
+    // X157 random-projection tier: recall vs (outDims, coarseK)
+    for (od <- Seq(8, 16, 32); ck <- Seq(20, 50, 100)) {
+      val t0 = System.nanoTime()
+      val r = meanRecall(Similarity.rpTopK(emb, qs, k = 10,
+        outDims = od, dims = 64, coarseK = ck))
+      println(f"rp         outDims=$od%2d coarseK=$ck%4d " +
+        f"recall@10=$r%.3f (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+    }
     spark.stop()
   }
 }

@@ -391,6 +391,33 @@ object ScaleOps {
         coalesce(col("_nn"), lit(0L)).as("new_rows"))
   }
 
+  /** Manifest MERGE (X159) — the incremental-maintenance half of the
+    * [[contentDigest]] design, exploiting that all three digest
+    * components are MERGEABLE partials: counts add, the 60-bit XOR
+    * folds by XOR (associative/commutative), and the mod-p sums add
+    * under one final mod (each input < p, so a DECIMAL(38) partial sum
+    * is exact for any realistic batch count). Per-batch manifests —
+    * one cheap scan each at ingest time — fold into the corpus
+    * manifest with a #groups·#batches-row aggregation, so a 100 TB
+    * snapshot digest is maintained WITHOUT ever rescanning the corpus:
+    * merge(digest(b₁), …, digest(bₙ)) ≡ digest(b₁ ∪ … ∪ bₙ), exactly
+    * (spec-pinned as frame equality; the gate row re-verifies it
+    * against the full-scan digest in-query). Input: a union of
+    * contentDigest outputs over the same group key. */
+  def mergeManifests(manifests: DataFrame, groupCol: String): DataFrame = {
+    val needed = Set("n_rows", "xor_digest", "sum_digest")
+    require(needed.subsetOf(manifests.columns.toSet),
+      s"mergeManifests: input must be a union of contentDigest " +
+        s"manifests (need ${needed.mkString(", ")}), got " +
+        manifests.columns.mkString(", "))
+    val P = 1000000007L
+    manifests.groupBy(col(groupCol)).agg(
+      sum(col("n_rows")).cast("long").as("n_rows"),
+      expr("bit_xor(xor_digest)").as("xor_digest"),
+      (sum(col("sum_digest").cast("decimal(38,0)")) % P).cast("long")
+        .as("sum_digest"))
+  }
+
   /** Interval-overlap join (X127): all (left, right) pairs whose
     * CLOSED intervals [ls, le] × [rs, re] overlap — the interval ×
     * interval sibling of [[rangeJoin]]'s point-in-interval. The theta

@@ -253,36 +253,37 @@ object Similarity {
     * silently emitting approximately-normalized integers that would
     * break the cross-engine bit-identity downstream indexes rely on. */
   def normalizeFixedPoint(vec: Column, scale: Double = 1e6): Column = {
-    val qv0 = Clustering.fixedPoint(vec, scale)
+    val qv = Clustering.fixedPoint(vec, scale)
     val exactBound = 9007199254740992L // 2^53
     val maxSafeQ = 94906265L // floor(sqrt(2^53))
-    val maxAbs = array_max(transform(qv0, q => abs(q)))
-    // element guard FIRST — it must fire before any q*q is computed,
-    // because past ~3·10^9 the square itself overflows BIGINT (ANSI
-    // mode would fail with the right behavior but the wrong message)
-    val qvChecked = when(
-      maxAbs > maxSafeQ ||
-        maxAbs.cast("double") * scale >= exactBound.toDouble,
+    // ONE sum-of-squares aggregate serves both the guard and the
+    // normalization (on valid input they are the same value), and the
+    // squares go through try_multiply so an element past ~3·10⁹ shows
+    // up as a NULL sum for the guard instead of an ANSI overflow with
+    // the wrong message. Keeping the expression tree flat matters:
+    // HOF aggregates are interpreted, and an earlier guard draft that
+    // chained when(...)-wrapped copies of qv re-evaluated the
+    // quantization ~6× per row — a measured 2.7× slowdown on the
+    // ivfpq_norm gate query.
+    val maxAbs = array_max(transform(qv, q => abs(q)))
+    val s2 = aggregate(transform(qv, q => try_multiply(q, q)),
+      lit(0L), (acc, v) => acc + v)
+    val bad = maxAbs > maxSafeQ ||
+      maxAbs.cast("double") * scale >= exactBound.toDouble ||
+      (maxAbs.isNotNull && s2.isNull) || s2 < 0L || s2 >= exactBound
+    when(bad,
       raise_error(concat(
         lit("normalizeFixedPoint: vector breaks the exact-integer contract " +
-          s"(need every |q| <= $maxSafeQ and |q|*scale < 2^53 at " +
-          s"scale=$scale) — max|q|="),
-        coalesce(maxAbs.cast("string"), lit("NULL")))))
-      .otherwise(qv0)
-    val s2probe =
-      aggregate(transform(qvChecked, q => q * q), lit(0L), (acc, v) => acc + v)
-    val qv = when(s2probe < 0L || s2probe >= exactBound,
-      raise_error(concat(
-        lit("normalizeFixedPoint: vector breaks the exact-integer contract " +
-          "(need sum(q^2) < 2^53) — sum_q2="),
-        coalesce(s2probe.cast("string"), lit("NULL")))))
-      .otherwise(qvChecked)
-    val s2 = aggregate(transform(qv, q => q * q), lit(0L), (acc, v) => acc + v)
-    when(s2 > 0,
-      transform(qv, q =>
-        floor(q.cast("double") * scale / sqrt(s2.cast("double")) + 0.5)
-          .cast("long")))
-      .otherwise(qv)
+          s"(need every |q| <= $maxSafeQ, |q|*scale < 2^53 at scale=$scale, " +
+          "and sum(q^2) < 2^53) — max|q|="),
+        coalesce(maxAbs.cast("string"), lit("NULL")),
+        lit(", sum_q2="), coalesce(s2.cast("string"), lit("NULL")))))
+      .otherwise(
+        when(s2 > 0,
+          transform(qv, q =>
+            floor(q.cast("double") * scale / sqrt(s2.cast("double")) + 0.5)
+              .cast("long")))
+          .otherwise(qv))
   }
 
   /** (id, cell, rv) — each vector's coarse cell plus its EXACT integer
@@ -517,6 +518,168 @@ object Similarity {
       .select(col("q_id"), col("hits"), col("n"),
         round(col("hits").cast("double") / col("n").cast("double"), 6)
           .as("recall"))
+  }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign: md5-derived from
+    * (j, d) like [[planeCoef]], so any engine reproduces the exact
+    * projection matrix (the oracle embeds it as a literal). */
+  def rpSign(j: Int, d: Int): Long = {
+    val b = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$d".getBytes("UTF-8"))
+    if ((b(0) & 1) == 0) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss RANDOM-PROJECTION reduction (X157; Achlioptas
+    * 2003's ±1 database-friendly variant): each input vector quantizes
+    * to exact fixed-point integers and projects onto `outDims`
+    * deterministic ±1 sign rows — out_j = Σ_d sign(j,d)·q_d, pure BIGINT
+    * adds/subtracts, so the reduced vectors are bit-identical on any
+    * engine. The matrix rides the plan as ONE typedlit outDims×dims
+    * literal folded per row with zip_with/aggregate (the
+    * lshMultiProbeTopK trim's arrangement — no unrolled per-coefficient
+    * codegen terms). Magnitudes stay exact: |out_j| ≤ dims·scale
+    * (≈6.4e7 at dims=64), dots of reduced vectors ≤ outDims·(dims·scale)²
+    * ≈ 6.6e16 ≪ Long.Max. */
+  def rpProject(vec: Column, outDims: Int, dims: Int,
+      scale: Double = 1e6): Column = {
+    require(outDims > 0 && dims > 0, s"rpProject: bad dims $outDims/$dims")
+    val mat = typedlit(
+      (0 until outDims).map(j => (0 until dims).map(d => rpSign(j, d))))
+    val qv = Clustering.fixedPoint(vec, scale)
+    transform(mat, row =>
+      aggregate(zip_with(qv, row, (x, s) => x * s), lit(0L), (a, v) => a + v))
+  }
+
+  /** RP-reduced ANN top-k — the dimensionality-reduction tier of the
+    * serving ladder (brute 1.00 / int8 4× / RP dims-ratio× / PQ
+    * 32-128×): corpus and queries project to `outDims` integers
+    * map-side, the COARSE score is the exact integer dot in the
+    * reduced space (JL preserves inner products to within ε with
+    * outDims = O(log n / ε²)), the top `coarseK` per query rerank with
+    * exact float cosine. Same scale shape as [[bruteForceTopK]] —
+    * queries broadcast, corpus never shuffles, bounded top-k heaps —
+    * but the scan arithmetic drops by dims/outDims (64→16 = 4× here)
+    * and a persisted reduced corpus drops the stored bytes by the same
+    * factor. Hash-deterministic end to end (integer coarse scores, 6dp
+    * rerank, id tie-breaks); the top-k heap orders coarse scores as
+    * doubles, which is exact while |score| < 2⁵³ — by Cauchy–Schwarz
+    * |out_j| ≤ ‖q‖·√dims, so unit-norm-ish vectors at the default
+    * scale sit near 1e15 with headroom (‖v‖ up to ~3 stays exact). */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, k: Int, outDims: Int,
+      dims: Int, coarseK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      scale: Double = 1e6): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val c = spread(corpus).select(col(idCol),
+      rpProject(col(vecCol), outDims, dims, scale).as("_rv"))
+    val q = queries.select(col(qIdCol),
+      rpProject(col(qVecCol), outDims, dims, scale).as("_qrv"))
+    val scored = c.join(broadcast(q))
+      .select(col(qIdCol), col(idCol),
+        aggregate(zip_with(col("_rv"), col("_qrv"), (x, y) => x * y),
+          lit(0L), (a, v) => a + v).as("score"))
+    val cand = finishTopK(scored, qIdCol, idCol, coarseK)
+      .select(col(qIdCol), col(idCol))
+    val rescored = corpus
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(queries), Seq(qIdCol))
+      .withColumn("score", cosineAuto(corpus, col(vecCol), col(qVecCol)))
+    finishTopK(rescored, qIdCol, idCol, k)
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE diversified top-k (X158; Carbonell &
+    * Goldstein 1998) — the serving-side pass between retrieval and a
+    * context window: from each query's `fetchK` most-relevant
+    * candidates, greedily select k results trading relevance against
+    * redundancy, step score = λ·rel − (1−λ)·max_{s∈selected} sim(c, s).
+    *
+    * Exactness: relevance and pairwise similarity are cosines
+    * quantized to 1e-6 BIGINT units (floor(x·1e6 + 0.5) — the portable
+    * rounding), λ is the integer percentage `lambdaPct`, so every MMR
+    * score is mmr = lambdaPct·rel6 − (100−lambdaPct)·maxSim6 — pure
+    * BIGINT, ties broken by vec_id asc: the whole greedy trajectory is
+    * engine-exact and the oracle unrolls the k selection steps.
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]]'s scan
+    * (broadcast queries, bounded heaps); the pairwise-sim table is
+    * |Q|·fetchK² SHORT rows (ids + one BIGINT — vectors join once,
+    * fetchK-bounded); the greedy selection itself runs MAP-SIDE as one
+    * HOF fold over per-query state bounded by fetchK² map entries —
+    * no per-step shuffle, no driver loop, |Q| rows in flight. At 100 TB
+    * the corpus cost is the one candidate scan; everything after is
+    * per-query-bounded. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int, fetchK: Int,
+      lambdaPct: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    require(fetchK >= k && k >= 1, s"need fetchK >= k >= 1, got $fetchK/$k")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be 0..100, got $lambdaPct")
+    def cos6(df: DataFrame, a: Column, b: Column): Column =
+      floor(cosineAuto(df, a, b) * 1e6 + 0.5).cast("long")
+    // stage 1: fetchK most-relevant candidates per query, integer rel
+    val scored = spread(corpus).join(broadcast(queries))
+      .select(col(qIdCol), col(idCol),
+        cos6(corpus, col(vecCol), col(qVecCol)).as("score"))
+    // finishTopK's heap orders on double scores; rel6 ≤ 1e6 ≪ 2^53 so
+    // the round trip back to BIGINT is exact
+    val cand = finishTopK(scored, qIdCol, idCol, fetchK)
+      .select(col(qIdCol), col(idCol), col("score").cast("long").as("_rel"))
+    // stage 2: pairwise candidate sims — candidates rejoin the corpus
+    // for their vectors ONCE (fetchK·|Q| rows), then self-join per
+    // query: |Q|·fetchK² short (q, a, b, sim) rows, never corpus-sized
+    val cv = corpus.join(broadcast(cand.select(col(qIdCol), col(idCol))),
+      Seq(idCol)).select(col(qIdCol), col(idCol), col(vecCol))
+    val a = cv.select(col(qIdCol), col(idCol).as("_a"), col(vecCol).as("_va"))
+    val b = cv.select(col(qIdCol), col(idCol).as("_b"), col(vecCol).as("_vb"))
+    val sims = a.join(b, Seq(qIdCol))
+      .filter(col("_a") =!= col("_b"))
+      .select(col(qIdCol),
+        concat_ws("|", col("_a").cast("string"), col("_b").cast("string"))
+          .as("_k"),
+        cos6(corpus, col("_va"), col("_vb")).as("_sim"))
+    // stage 3: per-query bounded state — candidate array (canonical id
+    // order) + sim lookup map — then the greedy fold, map-side
+    val candArr = cand.groupBy(col(qIdCol))
+      .agg(sort_array(collect_list(struct(col(idCol).as("vec_id"),
+        col("_rel").as("rel")))).as("_cands"))
+    val simMap = sims.groupBy(col(qIdCol))
+      .agg(map_from_entries(collect_list(struct(col("_k"), col("_sim"))))
+        .as("_sims"))
+    val state = candArr.join(simMap, Seq(qIdCol), "left")
+    val lam = lit(lambdaPct.toLong)
+    val oneMinus = lit((100 - lambdaPct).toLong)
+    val selected = aggregate(
+      sequence(lit(1), lit(k)),
+      array().cast("array<struct<vec_id:bigint,rel:bigint,mmr:bigint>>"),
+      (acc, _) => {
+        val chosenIds = transform(acc, s => s.getField("vec_id"))
+        val remaining = filter(col("_cands"),
+          c => !array_contains(chosenIds, c.getField("vec_id")))
+        val rescored = transform(remaining, c => {
+          val maxSim = coalesce(
+            array_max(transform(acc, s => coalesce(
+              try_element_at(col("_sims"),
+                concat_ws("|", c.getField("vec_id").cast("string"),
+                  s.getField("vec_id").cast("string"))),
+              lit(0L)))),
+            lit(0L))
+          val mmr = lam * c.getField("rel") - oneMinus * maxSim
+          // array_max orders struct fields lexicographically: max mmr
+          // first, then max(-id) = MIN id on ties
+          struct(mmr.as("mmr"), (-c.getField("vec_id")).as("_negid"),
+            c.getField("vec_id").as("vec_id"), c.getField("rel").as("rel"))
+        })
+        val best = array_max(rescored)
+        when(size(remaining) > 0,
+          concat(acc, array(struct(best.getField("vec_id").as("vec_id"),
+            best.getField("rel").as("rel"), best.getField("mmr").as("mmr")))))
+          .otherwise(acc)
+      })
+    state.select(col(qIdCol), posexplode(selected))
+      .select(col(qIdCol), col("col.vec_id").as(idCol),
+        col("col.rel").as("rel"), col("col.mmr").as("mmr"),
+        (col("pos") + 1).cast("int").as("step"))
   }
 
   /** ColBERT-style LATE-INTERACTION MaxSim top-k (Khattab & Zaharia

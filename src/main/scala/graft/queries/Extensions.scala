@@ -2674,6 +2674,141 @@ object Extensions {
       "WHERE rank <= 10"
   }
 
+  /** Johnson–Lindenstrauss random-projection ANN tier (X157): corpus
+    * and queries project map-side onto RP_OUT deterministic ±1 rows
+    * (exact BIGINT arithmetic over the fixed-point integers), coarse
+    * top-50 by exact integer dot in the 4×-smaller space, float-cosine
+    * rerank to top-10. The oracle embeds the SAME md5-derived sign
+    * matrix as a literal and replays the integer projection and dot
+    * exactly. */
+  // measured sweep at sf0.01 (PLANS.md): recall@10 0.24/0.39/0.54 at
+  // outDims=8 (coarseK 20/50/100), 0.31/0.49/0.66 at 16, 0.49/0.69/0.84
+  // at 32 — this corpus is near-isotropic, so JL needs ~dims/2 to keep
+  // cosine ORDER (the distortion bound protects distances, not ranks,
+  // and isotropy puts the true neighbors within the distortion).
+  // Shipped: 32/50 — 0.69 recall at 2× reduced coarse arithmetic.
+  private val RP_OUT = 32
+  private val RP_COARSE = 50
+
+  val embedRp: Q = (s, d) =>
+    Similarity.rpTopK(Tables.embeddings(s, d), queriesDf(s, d), k = 10,
+      outDims = RP_OUT, dims = EMB_DIMS, coarseK = RP_COARSE)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+
+  val embedRpSql: String = {
+    val matLit = (0 until RP_OUT).map(j =>
+      (0 until EMB_DIMS).map(d => Similarity.rpSign(j, d))
+        .mkString("[", ",", "]")).mkString("[", ",", "]")
+    "WITH e AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qv FROM embeddings), " +
+      s"rp AS MATERIALIZED (SELECT vec_id, list_transform($matLit, " +
+      "r -> CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*r[i])) AS BIGINT)) AS rv FROM e), " +
+      "q AS (SELECT vec_id AS q_id, rv AS qrv FROM rp WHERE vec_id % 50 = 0), " +
+      s"sc AS (SELECT q.q_id, rp.vec_id, CAST(list_sum(list_transform(generate_series(1, $RP_OUT), i -> rv[i]*qrv[i])) AS BIGINT) AS s " +
+      "FROM rp, q), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM sc) " +
+      s"WHERE rk <= $RP_COARSE), " +
+      "cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "qf AS (SELECT vec_id AS q_id, ed AS qd FROM cd WHERE vec_id % 50 = 0), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, qf.qd)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(qf.qd, qf.qd))), 6) AS score " +
+      "FROM co JOIN cd e ON e.vec_id = co.vec_id JOIN qf ON qf.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+  }
+
+  /** MMR diversified top-k (X158): greedy maximal-marginal-relevance
+    * selection of 5 results from each query's 20 most-relevant
+    * candidates at λ=0.7 — all-integer MMR scores (1e-6-quantized
+    * cosines, integer λ percentage), so the greedy trajectory is
+    * engine-exact and the oracle unrolls the five selection steps as
+    * chained CTEs. */
+  private val MMR_K = 5
+  private val MMR_FETCH = 20
+  private val MMR_LAMBDA = 70
+
+  val mmrRerank: Q = (s, d) =>
+    Similarity.mmrTopK(Tables.embeddings(s, d), queriesDf(s, d),
+      k = MMR_K, fetchK = MMR_FETCH, lambdaPct = MMR_LAMBDA)
+
+  val mmrRerankSql: String = {
+    val lam = MMR_LAMBDA
+    val oneM = 100 - MMR_LAMBDA
+    def cosQ(a: String, b: String) =
+      s"CAST(floor(round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), 6)*1000000.0 + 0.5) AS BIGINT)"
+    val steps = (2 to MMR_K).map { n =>
+      val prev = (1 until n).map(i => s"SELECT q_id, vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"p$n AS MATERIALIZED ($prev), " +
+        s"s$n AS (SELECT q_id, vec_id, rel, mmr, $n AS step FROM (" +
+        s"SELECT c.q_id, c.vec_id, c.rel, $lam*c.rel - $oneM*coalesce(m.ms, 0) AS mmr, " +
+        s"row_number() OVER (PARTITION BY c.q_id ORDER BY $lam*c.rel - $oneM*coalesce(m.ms, 0) DESC, c.vec_id ASC) AS rk " +
+        s"FROM cand c LEFT JOIN (SELECT si.q_id, si.av, max(si.sim) AS ms " +
+        s"FROM sims si JOIN p$n p ON p.q_id = si.q_id AND p.vec_id = si.bv " +
+        "GROUP BY si.q_id, si.av) m ON m.q_id = c.q_id AND m.av = c.vec_id " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM p$n p2 WHERE p2.q_id = c.q_id AND p2.vec_id = c.vec_id)" +
+        ") WHERE rk = 1)"
+    }.mkString(", ")
+    val union = (1 to MMR_K).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    "WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, ed AS qd FROM e WHERE vec_id % 50 = 0), " +
+      s"sc AS (SELECT q.q_id, e.vec_id, ${cosQ("e.ed", "q.qd")} AS rel FROM e, q), " +
+      "cand AS MATERIALIZED (SELECT q_id, vec_id, rel FROM (SELECT q_id, vec_id, rel, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id ASC) AS rk FROM sc) " +
+      s"WHERE rk <= $MMR_FETCH), " +
+      "cv AS MATERIALIZED (SELECT c.q_id, c.vec_id, e.ed FROM cand c JOIN e ON e.vec_id = c.vec_id), " +
+      "sims AS MATERIALIZED (SELECT a.q_id, a.vec_id AS av, b.vec_id AS bv, " +
+      s"${cosQ("a.ed", "b.ed")} AS sim FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id), " +
+      s"s1 AS (SELECT q_id, vec_id, rel, $lam*rel AS mmr, 1 AS step FROM (" +
+      s"SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id ORDER BY $lam*rel DESC, vec_id ASC) AS rk FROM cand) WHERE rk = 1), " +
+      s"$steps " +
+      s"SELECT q_id, vec_id, rel, mmr, CAST(step AS INT) AS step FROM ($union)"
+  }
+
+  /** Manifest merge (X159): the corpus digest maintained INCREMENTALLY
+    * — three per-tranche contentDigest manifests fold into the corpus
+    * manifest (counts add, XORs xor, mod-p sums add under one final
+    * mod), and the gate row re-verifies merge ≡ full-scan digest
+    * in-query (`matches_full`, all true). */
+  val digestMerge: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cols = Seq("doc_id", "lang", "text")
+    val tranches = (0 until 3).map(i =>
+      graft.operators.ScaleOps.contentDigest(
+        docs.filter(col("doc_id") % 3 === i), "source", cols))
+      .reduce(_ unionByName _)
+    val merged = graft.operators.ScaleOps.mergeManifests(tranches, "source")
+    val full = graft.operators.ScaleOps.contentDigest(docs, "source", cols)
+      .select(col("source"), col("n_rows").as("_fn"),
+        col("xor_digest").as("_fx"), col("sum_digest").as("_fs"))
+    merged.join(full, Seq("source"))
+      .select(col("source"), col("n_rows"), col("xor_digest"),
+        col("sum_digest"),
+        (col("n_rows") === col("_fn") && col("xor_digest") === col("_fx") &&
+          col("sum_digest") === col("_fs")).as("matches_full"))
+  }
+
+  val digestMergeSql: String = {
+    val canon = "concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)), " +
+      "coalesce(lang, chr(0)), coalesce(text, chr(0)))"
+    val trs = (0 until 3).map(i =>
+      s"SELECT source, count(*) AS n_rows, bit_xor(h) AS x, " +
+        "CAST(CAST(sum(h % 1000000007) AS HUGEINT) % 1000000007 AS BIGINT) AS sm " +
+        s"FROM h WHERE doc_id % 3 = $i GROUP BY source").mkString(" UNION ALL ")
+    s"WITH h AS MATERIALIZED (SELECT source, doc_id, " +
+      s"CAST(CAST('0x' || substr(md5($canon), 1, 15) AS UBIGINT) AS BIGINT) AS h FROM documents), " +
+      s"tr AS ($trs), " +
+      "m AS (SELECT source, CAST(sum(n_rows) AS BIGINT) AS n_rows, bit_xor(x) AS xor_digest, " +
+      "CAST(CAST(sum(sm) AS HUGEINT) % 1000000007 AS BIGINT) AS sum_digest FROM tr GROUP BY source), " +
+      "f AS (SELECT source, count(*) AS fn, bit_xor(h) AS fx, " +
+      "CAST(CAST(sum(h % 1000000007) AS HUGEINT) % 1000000007 AS BIGINT) AS fs FROM h GROUP BY source) " +
+      "SELECT m.source, m.n_rows, m.xor_digest, m.sum_digest, " +
+      "(m.n_rows = f.fn AND m.xor_digest = f.fx AND m.sum_digest = f.fs) AS matches_full " +
+      "FROM m JOIN f ON m.source = f.source"
+  }
+
   /** ANN recall harness (X115): retrieval QUALITY of the three ANN
     * variants measured as per-query recall@10 against the brute-force
     * ground truth — all four top-k tables are deterministic given the
@@ -4337,6 +4472,9 @@ object Extensions {
     "q_embed_pq" -> embedPq,
     "q_embed_ivfpq" -> embedIvfPq,
     "q_embed_ivfpq_norm" -> embedIvfPqNorm,
+    "q_embed_rp" -> embedRp,
+    "q_mmr_rerank" -> mmrRerank,
+    "q_digest_merge" -> digestMerge,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
     "q_temperature_mix" -> temperatureMix,
@@ -4470,6 +4608,9 @@ object Extensions {
     "q_embed_pq" -> embedPqSql,
     "q_embed_ivfpq" -> embedIvfPqSql,
     "q_embed_ivfpq_norm" -> embedIvfPqNormSql,
+    "q_embed_rp" -> embedRpSql,
+    "q_mmr_rerank" -> mmrRerankSql,
+    "q_digest_merge" -> digestMergeSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,
     "q_temperature_mix" -> temperatureMixSql,

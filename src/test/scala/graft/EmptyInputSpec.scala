@@ -318,4 +318,30 @@ class EmptyInputSpec extends SparkSpec {
       labels, pairs, noIds).as[(Long, Long)].collect().toSet ==
       Set((1L, 1L), (2L, 1L)))
   }
+
+  test("rpTopK, mmrTopK, mergeManifests on empty input") {
+    import graft.operators.Similarity
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noQ = Seq.empty[(Long, Array[Float])].toDF("q_id", "q_vec")
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((10L, Array(1.0f, 0.1f))).toDF("q_id", "q_vec")
+    assert(Similarity.rpTopK(noVecs, qs, k = 2, outDims = 2, dims = 2,
+      coarseK = 2).count() == 0)
+    assert(Similarity.rpTopK(vecs, noQ, k = 2, outDims = 2, dims = 2,
+      coarseK = 2).count() == 0)
+    assert(Similarity.mmrTopK(noVecs, qs, k = 2, fetchK = 3,
+      lambdaPct = 70).count() == 0)
+    assert(Similarity.mmrTopK(vecs, noQ, k = 2, fetchK = 3,
+      lambdaPct = 70).count() == 0)
+    // a corpus SMALLER than k: the fold stops when candidates run out
+    val one = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.mmrTopK(one, qs, k = 2, fetchK = 3, lambdaPct = 70)
+      .count() == 1)
+    // merging zero manifests is an empty manifest
+    val noMan = graft.operators.ScaleOps.contentDigest(
+      Seq.empty[(Long, String, String)].toDF("id", "grp", "p"),
+      "grp", Seq("id", "p"))
+    assert(graft.operators.ScaleOps.mergeManifests(noMan, "grp").count() == 0)
+  }
 }

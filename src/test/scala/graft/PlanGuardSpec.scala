@@ -58,7 +58,15 @@ class PlanGuardSpec extends SparkSpec {
       // bm25's 1-row corpus-stats attach, scored under merged stats
       "q_incremental_bm25",
       // 1-row totals broadcast onto the key-count table, like q_profile
-      "q_skew_report")
+      "q_skew_report",
+      // RP coarse stage scores the reduced corpus x broadcast reduced
+      // queries — the q_quant_topk shape in the projected space; the
+      // rerank joins are keyed equi-joins
+      "q_embed_rp",
+      // MMR candidate generation IS the q_embed_topk brute-force pass;
+      // the pairwise-sim and rerank joins are keyed equi-joins and the
+      // greedy fold is map-side
+      "q_mmr_rerank")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)

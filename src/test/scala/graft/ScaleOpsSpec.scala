@@ -210,6 +210,36 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("mergeManifests: merged tranche digests == full-scan digest, exactly") {
+    val rows = (0 until 200).map(i =>
+      (i.toLong, s"g${i % 3}", s"payload $i ${"x" * (i % 7)}"))
+    val df = rows.toDF("id", "grp", "p")
+    val cols = Seq("id", "p")
+    // arbitrary 4-way split (uneven on purpose; one tranche empty)
+    val tranches = Seq(
+      df.filter(col("id") % 7 === 0),
+      df.filter(col("id") % 7 === 1),
+      df.filter(col("id") < 0), // empty tranche: contributes nothing
+      df.filter(col("id") % 7 >= 2))
+      .map(t => ScaleOps.contentDigest(t, "grp", cols))
+      .reduce(_ unionByName _)
+    val merged = ScaleOps.mergeManifests(tranches, "grp")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val full = ScaleOps.contentDigest(df, "grp", cols)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(merged == full,
+      "merge(digest(tranche_i)) must equal digest(union of tranches)")
+    // duplicated tranche = duplicated rows, NOT a no-op (multiset law)
+    val doubled = ScaleOps.mergeManifests(
+      tranches.unionByName(tranches), "grp")
+      .select(col("grp"), col("n_rows")).as[(String, Long)].collect().toMap
+    assert(doubled.values.sum == 400)
+    intercept[IllegalArgumentException] {
+      ScaleOps.mergeManifests(
+        ScaleOps.contentDigest(df, "grp", cols).drop("sum_digest"), "grp")
+    }
+  }
+
   test("intervalOverlapJoin == brute-force theta join, boundary-exact") {
     val a = Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 200L, 200L))
       .toDF("aid", "sa", "ea")

@@ -569,4 +569,110 @@ class SimilaritySpec extends SparkSpec {
       .as[Array[Long]].collect().head
     assert(ok.sameElements(Array(600000L, 800000L, 0L)))
   }
+
+  test("rpProject: exact integer projection under the deterministic sign matrix") {
+    import spark.implicits._
+    val v = Array(0.5f, -0.25f, 1.0f, 0.0f)
+    val got = Seq((1L, v)).toDF("vec_id", "embedding")
+      .select(Similarity.rpProject(col("embedding"), outDims = 3, dims = 4)
+        .as("rv")).as[Array[Long]].collect().head
+    // reference: the same fixed-point quantization and ±1 signs in
+    // plain Scala — the projection must be exactly this, elementwise
+    val q = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val want = (0 until 3).map(j =>
+      (0 until 4).map(d => q(d) * Similarity.rpSign(j, d)).sum)
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+  }
+
+  test("rpTopK: coarseK covering the corpus degrades to exact brute force") {
+    import spark.implicits._
+    val n = 40
+    val dims = 8
+    val emb = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dims)(d =>
+        (math.sin(i * 0.7 + d * 1.3) * 0.9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // with every corpus row a candidate, the rerank IS brute force —
+    // the RP stage may only change WHICH candidates are scanned
+    val rp = Similarity.rpTopK(emb, qs, k = 5, outDims = 4, dims = dims,
+      coarseK = n)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, qs, k = 5)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(rp == bf)
+    // and a REDUCED coarse budget still returns k rows per query with
+    // deterministic ranks (the recall trade is measured in PLANS.md)
+    val narrow = Similarity.rpTopK(emb, qs, k = 5, outDims = 4, dims = dims,
+      coarseK = 10)
+    assert(narrow.groupBy(col("q_id")).count()
+      .select(col("count")).as[Long].collect().forall(_ == 5L))
+    intercept[IllegalArgumentException] {
+      Similarity.rpTopK(emb, qs, k = 5, outDims = 4, dims = dims, coarseK = 3)
+    }
+  }
+
+  test("mmrTopK: diversity beats redundancy, lambda=100 is pure relevance, trajectory exact") {
+    import spark.implicits._
+    // A and A' are near-identical and most relevant to q; B is diverse
+    // and slightly less relevant. Pure relevance top-2 = {A, A'}; MMR
+    // at lambda=70 must pick A then B (A' pays its ~1.0 sim to A).
+    // q deliberately differs from A: with q == A, rel(c) == sim(c, A)
+    // for every candidate and all step-2 MMR scores degenerate to
+    // (lambda-50)-scaled rel — a tie-break test, not a diversity test.
+    val emb = Seq(
+      (1L, Array(0.95f, 0.05f, 0.3f)),   // A   rel ~0.952
+      (2L, Array(0.949f, 0.055f, 0.3f)), // A'  rel ~0.952, sim(A)~1.0
+      (3L, Array(0.9f, -0.4f, 0.0f)),    // B   rel ~0.914, sim(A)~0.85
+      (4L, Array(0.0f, 0.0f, -1.0f)))    // far rel ~-0.3
+      .toDF("vec_id", "embedding")
+    val qs = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("q_id", "q_vec")
+    val got = Similarity.mmrTopK(emb, qs, k = 3, fetchK = 4, lambdaPct = 70)
+      .orderBy(col("step"))
+      .select("vec_id", "step").as[(Long, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 3L, 2L),
+      s"expected A, then diverse B, then A' — got $got")
+    // lambda=100: no diversity term — selection order IS relevance
+    // order (rel desc, id asc)
+    val pure = Similarity.mmrTopK(emb, qs, k = 3, fetchK = 4, lambdaPct = 100)
+      .orderBy(col("step")).select("vec_id").as[Long].collect().toSeq
+    assert(pure == Seq(1L, 2L, 3L))
+    // trajectory is exactly the integer greedy: replay it in Scala
+    // over the same 1e-6-quantized cosines
+    def cos6(a: Array[Float], b: Array[Float]): Long = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val c = BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(c * 1e6 + 0.5).toLong
+    }
+    val vecs = Map(
+      1L -> Array(0.95f, 0.05f, 0.3f), 2L -> Array(0.949f, 0.055f, 0.3f),
+      3L -> Array(0.9f, -0.4f, 0.0f), 4L -> Array(0.0f, 0.0f, -1.0f))
+    val qv = Array(1.0f, 0.0f, 0.0f)
+    val rel = vecs.map { case (id, v) => id -> cos6(v, qv) }
+    var selected = Vector.empty[Long]
+    val wantMmr = (1 to 3).map { _ =>
+      val best = vecs.keys.filterNot(selected.contains).maxBy { c =>
+        val maxSim = if (selected.isEmpty) 0L
+          else selected.map(s => cos6(vecs(c), vecs(s))).max
+        (70L * rel(c) - 30L * maxSim, -c)
+      }
+      val ms = if (selected.isEmpty) 0L
+        else selected.map(s => cos6(vecs(best), vecs(s))).max
+      selected :+= best
+      (best, 70L * rel(best) - 30L * ms)
+    }
+    val gotMmr = Similarity.mmrTopK(emb, qs, k = 3, fetchK = 4, lambdaPct = 70)
+      .orderBy(col("step")).select("vec_id", "mmr")
+      .as[(Long, Long)].collect().toSeq
+    assert(gotMmr == wantMmr, s"got $gotMmr, want $wantMmr")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(emb, qs, k = 5, fetchK = 4, lambdaPct = 50)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(emb, qs, k = 2, fetchK = 4, lambdaPct = 101)
+    }
+  }
 }
