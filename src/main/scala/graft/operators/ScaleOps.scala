@@ -418,6 +418,66 @@ object ScaleOps {
         .as("sum_digest"))
   }
 
+  /** Manifest RETRACTION (X161) — the subtraction half of the digest
+    * algebra, completing merge ([[mergeManifests]]) with exact
+    * un-merge: counts subtract, the 60-bit XOR retracts by XOR (its
+    * own inverse), the mod-p sum subtracts under one final mod — so
+    * removing an ingested batch's contribution from a 100 TB corpus
+    * manifest costs a #groups-row join, never a rescan, and
+    * retract(merge(m, b), b) ≡ m EXACTLY (spec-pinned).
+    *
+    * Fail-loud, not silently wrong (the repo convention): a batch
+    * group the manifest never saw, a count going negative, or a
+    * group emptying with NON-zero residual digests (the batch was not
+    * a sub-multiset of what the manifest ingested — XOR/sum residue
+    * proves foreign rows) all raise instead of emitting a manifest
+    * that no longer digests any real corpus. Groups that empty
+    * cleanly drop out. The guards ride the FILTER column, so Catalyst
+    * cannot prune a violating row before its guard evaluates. */
+  def retractManifest(manifest: DataFrame, batchManifest: DataFrame,
+      groupCol: String): DataFrame = {
+    val needed = Set("n_rows", "xor_digest", "sum_digest")
+    for (m <- Seq(manifest, batchManifest))
+      require(needed.subsetOf(m.columns.toSet),
+        s"retractManifest: inputs must be contentDigest manifests, got " +
+          m.columns.mkString(", "))
+    val P = 1000000007L
+    val m = manifest.select(col(groupCol).as("_mg"), col("n_rows").as("_mn"),
+      col("xor_digest").as("_mx"), col("sum_digest").as("_ms"))
+    val b = batchManifest.select(col(groupCol).as("_bg"),
+      col("n_rows").as("_bn"), col("xor_digest").as("_bx"),
+      col("sum_digest").as("_bs"))
+    // null-safe key equality, like manifestDiff: a NULL group is a
+    // legitimate manifest row and must match, not double-report
+    val joined = m.join(b, col("_mg") <=> col("_bg"), "full_outer")
+    val n = col("_mn") - coalesce(col("_bn"), lit(0L))
+    val x = coalesce(col("_mx"), lit(0L))
+      .bitwiseXOR(coalesce(col("_bx"), lit(0L)))
+    val sm = ((coalesce(col("_ms"), lit(0L)) - coalesce(col("_bs"), lit(0L)))
+      % P + P) % P
+    val nGuard = when(col("_mn").isNull || n < 0,
+      raise_error(concat(
+        lit("retractManifest: batch retracts more than the manifest " +
+          "ingested for group "),
+        coalesce(coalesce(col("_mg"), col("_bg")).cast("string"), lit("NULL")),
+        lit(" (manifest n_rows="),
+        coalesce(col("_mn").cast("string"), lit("none")),
+        lit(", batch n_rows="), coalesce(col("_bn").cast("string"), lit("0")),
+        lit(")"))))
+      .otherwise(n)
+    val consistent = when(nGuard === 0 && (x =!= 0L || sm =!= 0L),
+      raise_error(concat(
+        lit("retractManifest: group "),
+        coalesce(col("_mg").cast("string"), lit("NULL")),
+        lit(" empties with non-zero residual digests — the batch " +
+          "manifest is not a sub-multiset of this manifest's rows"))))
+      .otherwise(nGuard)
+    joined
+      .select(col("_mg").as(groupCol), consistent.as("n_rows"),
+        x.as("xor_digest"), sm.as("sum_digest"))
+      .filter(col("n_rows") > 0)
+  }
+
   /** Interval-overlap join (X127): all (left, right) pairs whose
     * CLOSED intervals [ls, le] × [rs, re] overlap — the interval ×
     * interval sibling of [[rangeJoin]]'s point-in-interval. The theta

@@ -2809,6 +2809,82 @@ object Extensions {
       "FROM m JOIN f ON m.source = f.source"
   }
 
+  /** Manifest retraction (X161): the subtraction half of the digest
+    * algebra — merge all three doc_id%3 tranche manifests, retract
+    * tranche 1's, and the result must equal the direct digest of the
+    * remaining corpus (matches_rebuild, all true; XOR retracts by
+    * self-inverse, counts subtract, mod-p sums subtract under one
+    * final mod). */
+  val digestRetract: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cols = Seq("doc_id", "lang", "text")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.ScaleOps.contentDigest(df, "source", cols)
+    val tranches = (0 until 3).map(i =>
+      digest(docs.filter(col("doc_id") % 3 === i))).reduce(_ unionByName _)
+    val merged = graft.operators.ScaleOps.mergeManifests(tranches, "source")
+    val retracted = graft.operators.ScaleOps.retractManifest(
+      merged, digest(docs.filter(col("doc_id") % 3 === 1)), "source")
+    val rebuilt = digest(docs.filter(col("doc_id") % 3 =!= 1))
+      .select(col("source"), col("n_rows").as("_rn"),
+        col("xor_digest").as("_rx"), col("sum_digest").as("_rs"))
+    retracted.join(rebuilt, Seq("source"))
+      .select(col("source"), col("n_rows"), col("xor_digest"),
+        col("sum_digest"),
+        (col("n_rows") === col("_rn") && col("xor_digest") === col("_rx") &&
+          col("sum_digest") === col("_rs")).as("matches_rebuild"))
+  }
+
+  val digestRetractSql: String = {
+    val canon = "concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)), " +
+      "coalesce(lang, chr(0)), coalesce(text, chr(0)))"
+    def man(where: String) =
+      s"SELECT source, count(*) AS n, bit_xor(h) AS x, " +
+        "CAST(CAST(sum(h % 1000000007) AS HUGEINT) % 1000000007 AS BIGINT) AS sm " +
+        s"FROM h $where GROUP BY source"
+    s"WITH h AS MATERIALIZED (SELECT source, doc_id, " +
+      s"CAST(CAST('0x' || substr(md5($canon), 1, 15) AS UBIGINT) AS BIGINT) AS h FROM documents), " +
+      s"m AS (${man("")}), b AS (${man("WHERE doc_id % 3 = 1")}), " +
+      "r AS (SELECT m.source, m.n - coalesce(b.n, 0) AS n_rows, " +
+      "xor(m.x, coalesce(b.x, 0)) AS xor_digest, " +
+      "CAST(((m.sm - coalesce(b.sm, 0)) % 1000000007 + 1000000007) % 1000000007 AS BIGINT) AS sum_digest " +
+      "FROM m LEFT JOIN b ON m.source = b.source), " +
+      s"f AS (${man("WHERE doc_id % 3 <> 1")}) " +
+      "SELECT r.source, r.n_rows, r.xor_digest, r.sum_digest, " +
+      "(r.n_rows = f.n AND r.xor_digest = f.x AND r.sum_digest = f.sm) AS matches_rebuild " +
+      "FROM r JOIN f ON r.source = f.source WHERE r.n_rows > 0"
+  }
+
+  /** Streaming manifest maintenance (X160): the already-ingested
+    * doc_id%3==0 slice's manifest bootstraps the store at batch=-1,
+    * the rest streams through the REAL foreachBatch maintenance
+    * (per-batch digest appended before the batch completes), and the
+    * merged store manifest must equal a full-corpus digest — the
+    * oracle IS the full-scan digest SQL, which is exactly the
+    * never-rescan claim. */
+  val streamManifest: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-smm")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-manstore").toString
+    val cols = Seq("doc_id", "lang", "text")
+    graft.operators.ScaleOps.contentDigest(
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0), "source", cols)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"), col("source"))
+    val q = graft.streaming.EventsStreaming.streamingManifestMaintenance(
+      src, storeDir, "source", cols) { (_, _) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      runStreamThenCleanCkpt(q, ckpt)
+      graft.streaming.EventsStreaming.mergedManifest(s, storeDir, "source")
+        .localCheckpoint()
+    } finally deleteRecursively(storeDir)
+  }
+
   /** ANN recall harness (X115): retrieval QUALITY of the three ANN
     * variants measured as per-query recall@10 against the brute-force
     * ground truth — all four top-k tables are deterministic given the
@@ -4475,6 +4551,8 @@ object Extensions {
     "q_embed_rp" -> embedRp,
     "q_mmr_rerank" -> mmrRerank,
     "q_digest_merge" -> digestMerge,
+    "q_digest_retract" -> digestRetract,
+    "q_stream_manifest" -> streamManifest,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
     "q_temperature_mix" -> temperatureMix,
@@ -4611,6 +4689,8 @@ object Extensions {
     "q_embed_rp" -> embedRpSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_digest_merge" -> digestMergeSql,
+    "q_digest_retract" -> digestRetractSql,
+    "q_stream_manifest" -> corpusDigestSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,
     "q_temperature_mix" -> temperatureMixSql,

@@ -709,6 +709,62 @@ object EventsStreaming {
     fs.delete(oldP, true)
   }
 
+  /** Streaming MANIFEST maintenance (X160) — the always-on form of the
+    * X128/X159 versioning loop: each micro-batch reduces to its
+    * content-digest manifest (#groups rows — counts, 60-bit XOR, mod-p
+    * sum) and appends it under `batch=<id>`; the corpus manifest at
+    * any moment is [[graft.operators.ScaleOps.mergeManifests]] over
+    * the store ([[readManifestStore]]/[[mergedManifest]]), EXACTLY
+    * equal to a full-corpus digest — so snapshot validation and X129
+    * diffs never rescan what the stream already ingested. The store is
+    * APPEND layout: retry idempotence via per-batch overwrite +
+    * self-excluded guard, the one-checkpoint-per-store lineage guard,
+    * and X155 compaction all apply verbatim (compaction merges
+    * partition rows; the merge-at-read collapses them — order-free by
+    * construction). The batch manifest plan reads only the batch, so
+    * no pre-write localCheckpoint is needed (no recacheByPath hazard,
+    * unlike the dedup siblings whose plans read the store path). */
+  def streamingManifestMaintenance(docs: DataFrame, storePath: String,
+      groupCol: String, cols: Seq[String])(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          // lineage guard only — the batch manifest never reads the store
+          storeForBatch(readManifestStore(spark, storePath, groupCol), batchId)
+          val manifest = graft.operators.ScaleOps
+            .contentDigest(batch.toDF(), groupCol, cols)
+          manifest.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          sink(manifest, batchId)
+        }
+        ()
+    }
+
+  /** The per-batch manifest store (groupCol, n_rows, xor_digest,
+    * sum_digest), empty-with-schema when the path does not exist yet;
+    * same narrow catch and partition-layout contract as
+    * [[readNearDupStore]]. The group column bootstraps as STRING —
+    * matching [[graft.operators.ScaleOps.contentDigest]]'s
+    * exactly-stringifying column contract's most common key type;
+    * integral group keys read back fine from real partitions. */
+  def readManifestStore(spark: SparkSession, path: String,
+      groupCol: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField(groupCol, StringType),
+        StructField("n_rows", LongType),
+        StructField("xor_digest", LongType),
+        StructField("sum_digest", LongType))))
+
+  /** The corpus manifest AS OF NOW: every batch partition's manifest
+    * folded by [[graft.operators.ScaleOps.mergeManifests]] — a
+    * #groups·#batches-row aggregation, never a corpus scan. */
+  def mergedManifest(spark: SparkSession, path: String,
+      groupCol: String): DataFrame =
+    graft.operators.ScaleOps.mergeManifests(
+      readManifestStore(spark, path, groupCol).drop("batch"), groupCol)
+
   /** The semantic-dedup store (id, embedding, cell), empty-with-schema
     * when the path does not exist yet; same narrow catch and
     * partition-layout contract as [[readNearDupStore]]. */

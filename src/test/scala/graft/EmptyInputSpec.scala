@@ -338,10 +338,19 @@ class EmptyInputSpec extends SparkSpec {
     val one = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     assert(Similarity.mmrTopK(one, qs, k = 2, fetchK = 3, lambdaPct = 70)
       .count() == 1)
-    // merging zero manifests is an empty manifest
+    // merging zero manifests is an empty manifest; retracting an empty
+    // batch manifest is the identity
     val noMan = graft.operators.ScaleOps.contentDigest(
       Seq.empty[(Long, String, String)].toDF("id", "grp", "p"),
       "grp", Seq("id", "p"))
     assert(graft.operators.ScaleOps.mergeManifests(noMan, "grp").count() == 0)
+    val man = graft.operators.ScaleOps.contentDigest(
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "grp", "p"),
+      "grp", Seq("id", "p"))
+    assert(graft.operators.ScaleOps.retractManifest(man, noMan, "grp")
+      .as[(String, Long, Long, Long)].collect().toSet ==
+      man.as[(String, Long, Long, Long)].collect().toSet)
+    assert(graft.operators.ScaleOps.retractManifest(noMan, noMan, "grp")
+      .count() == 0)
   }
 }

@@ -240,6 +240,56 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("retractManifest: exact un-merge, fail-loud on non-subset batches") {
+    val rows = (0 until 120).map(i =>
+      (i.toLong, s"g${i % 3}", s"payload $i"))
+    val df = rows.toDF("id", "grp", "p")
+    val cols = Seq("id", "p")
+    def digest(d: org.apache.spark.sql.DataFrame) =
+      ScaleOps.contentDigest(d, "grp", cols)
+    val a = df.filter(col("id") % 2 === 0)
+    val b = df.filter(col("id") % 2 =!= 0)
+    val merged = ScaleOps.mergeManifests(
+      digest(a).unionByName(digest(b)), "grp")
+    // retract(merge(a, b), b) == digest(a), exactly
+    val got = ScaleOps.retractManifest(merged, digest(b), "grp")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = digest(a).as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // a group that empties CLEANLY drops out: g0 rows come only from
+    // the retracted batch
+    val aOnlyG0 = a.filter(col("grp") === "g0")
+    val bNoG0 = b.filter(col("grp") =!= "g0")
+    val m2 = ScaleOps.mergeManifests(
+      digest(aOnlyG0).unionByName(digest(bNoG0)), "grp")
+    val g2 = ScaleOps.retractManifest(m2, digest(aOnlyG0), "grp")
+    assert(g2.select(col("grp")).as[String].collect().toSet == Set("g1", "g2"),
+      "fully-retracted group must drop")
+    // retracting a batch the manifest never ingested fails loud
+    val foreign = digest(
+      Seq((999L, "g9", "never ingested")).toDF("id", "grp", "p"))
+    val e1 = intercept[Exception] {
+      ScaleOps.retractManifest(merged, foreign, "grp").collect()
+    }
+    assert(e1.getMessage.contains("retracts more than"))
+    // over-retraction (same group, more rows than ingested) fails loud
+    val e2 = intercept[Exception] {
+      ScaleOps.retractManifest(digest(aOnlyG0),
+        digest(df.filter(col("grp") === "g0")), "grp").collect()
+    }
+    assert(e2.getMessage.contains("retracts more than"))
+    // same count but DIFFERENT rows: the group would empty with
+    // non-zero residual digests — proof the batch held foreign rows
+    val fake = digest(aOnlyG0.withColumn("p", concat(col("p"), lit("!"))))
+    val e3 = intercept[Exception] {
+      ScaleOps.retractManifest(digest(aOnlyG0), fake, "grp").collect()
+    }
+    assert(e3.getMessage.contains("not a sub-multiset"))
+    intercept[IllegalArgumentException] {
+      ScaleOps.retractManifest(merged.drop("xor_digest"), digest(b), "grp")
+    }
+  }
+
   test("intervalOverlapJoin == brute-force theta join, boundary-exact") {
     val a = Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 200L, 200L))
       .toDF("aid", "sa", "ea")

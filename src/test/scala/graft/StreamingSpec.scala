@@ -600,6 +600,64 @@ class StreamingSpec extends SparkSpec {
       s"fresh checkpoint over the compacted store must see merged history, got $buf")
   }
 
+  test("streaming manifest maintenance: merged store == full-corpus digest across batches") {
+    val base = Files.createTempDirectory("graft-manstream").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/manifest"
+    val ckpt = s"$base/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType)))
+    val t1 = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"))
+    val t2 = Seq((4L, "a", "w"), (5L, "c", "v"))
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingManifestMaintenance(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "grp", Seq("id", "p")) { (_, _) => () }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    t1.toDF("id", "grp", "p").coalesce(1).write.parquet(s"$srcDir/f1")
+    runOnce()
+    t2.toDF("id", "grp", "p").coalesce(1).write.parquet(s"$srcDir/f2")
+    runOnce()
+    // the merged store manifest equals a single full-corpus digest —
+    // the never-rescan claim, across two real micro-batches
+    val merged = EventsStreaming.mergedManifest(spark, store, "grp")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val full = graft.operators.ScaleOps.contentDigest(
+      (t1 ++ t2).toDF("id", "grp", "p"), "grp", Seq("id", "p"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(merged == full, s"merged=$merged full=$full")
+    // the store carries one partition per batch (the compactable
+    // retry history), and a foreign checkpoint trips the lineage guard
+    assert(spark.read.option("basePath", store).parquet(store)
+      .select(col("batch").cast("long")).distinct().as[Long]
+      .collect().toSet == Set(0L, 1L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = EventsStreaming.streamingManifestMaintenance(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "grp", Seq("id", "p")) { (_, _) => () }
+        .option("checkpointLocation", s"$base/ckpt-foreign")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(e).exists(_.contains("checkpoint lineage")),
+      s"expected lineage guard, got: ${rootMessages(e)}")
+  }
+
   test("compactStore: interrupted swap never silently bootstraps empty history") {
     // simulate a crash mid-swap: the live store has renamed to .old,
     // the compacted content has not renamed in yet — the store path is
