@@ -58,7 +58,12 @@ object BenchScale {
     // round-13 additions: normalized IVF-PQ, wide-phash image
     // near-dup, store compaction, the composed streaming quartet
     "q_embed_ivfpq_norm", "q_image_neardup", "q_stream_compaction",
-    "q_stream_ingest_quartet")
+    "q_stream_ingest_quartet",
+    // round-14 additions: the JL/MMR/digest trio landed with their own
+    // rows above; the binary quantization tier rides the recall
+    // harness too, so both stay on record
+    "q_embed_rp", "q_mmr_rerank", "q_digest_merge", "q_digest_retract",
+    "q_stream_manifest", "q_embed_binary")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS

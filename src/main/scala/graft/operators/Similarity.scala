@@ -136,6 +136,66 @@ object Similarity {
     finishTopK(rescored, "q_id", "vec_id", k)
   }
 
+  /** BINARY (sign-bit) quantization code: bit d is set iff vec[d] ≥ 0,
+    * packed into ⌈dims/64⌉ BIGINT words — 32× smaller than float32
+    * (64-dim float32 = 256 bytes → 8 bytes). A sign COMPARISON, not
+    * arithmetic, so the code is trivially bit-identical on any engine
+    * (no rounding contract needed at all — the simplest member of the
+    * quantization family). */
+  def binaryCode(vec: Column, dims: Int): Column = {
+    val words = (dims + 63) / 64
+    array((0 until words).map { w =>
+      (w * 64 until math.min((w + 1) * 64, dims)).map { d =>
+        when(vec.getItem(d) >= 0, lit(1L << (d - w * 64))).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+  }
+
+  /** Number of AGREEING sign bits between two packed codes
+    * (= dims − Hamming distance): per-word `bit_count(xor)` summed,
+    * subtracted from dims. Pure integer ops — xor + popcount per
+    * word replaces dims multiply-adds, the asymptotic win of binary
+    * quantization scoring. */
+  def binaryMatchBits(a: Column, b: Column, dims: Int): Column =
+    lit(dims.toLong) - aggregate(
+      zip_with(a, b, (x, y) => call_function("bit_count", x.bitwiseXOR(y))
+        .cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Two-stage BINARY-quantization top-k — the 1-bit rung of the
+    * quantization ladder (int8 [[quantizedRerankTopK]] → PQ →
+    * binary): stage 1 scores packed sign codes by agreeing-bit count
+    * (integer xor+popcount over 32×-smaller data, ties broken by
+    * vec_id) and keeps `coarseK` per query; stage 2 re-scores only
+    * those candidates with exact float cosine. At 10⁹ vectors the
+    * coarse pass reads 8 bytes/vector instead of 256 and does
+    * words popcounts instead of dims multiplies — the cheapest
+    * full-scan filter that still correlates with cosine (sign
+    * agreement is a monotone proxy for angular similarity; Charikar
+    * 2002 sim-hash collision bound). Corpus codes stay map-side
+    * (codes computed in the scan projection, never shuffled at
+    * width); queries broadcast; the one shuffle is the bounded-heap
+    * coarse top-k. */
+  def binaryRerankTopK(corpus: DataFrame, queries: DataFrame,
+      coarseK: Int, k: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    require(k <= coarseK, s"k=$k must be <= coarseK=$coarseK")
+    val c = spread(corpus)
+      .select(col(idCol), binaryCode(col(vecCol), dims).as("_cc"))
+    val q = queries.select(col(qIdCol), binaryCode(col(qVecCol), dims).as("_qc"))
+    val coarse = c.crossJoin(broadcast(q))
+      .select(col(qIdCol), col(idCol),
+        binaryMatchBits(col("_cc"), col("_qc"), dims).as("score"))
+    val cand = TopK.topKPerGroup(coarse, qIdCol, idCol, "score", coarseK)
+      .select(col(qIdCol), col(idCol))
+    val rescored = corpus
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(queries), Seq(qIdCol))
+      .withColumn("score", cosineAuto(corpus, col(vecCol), col(qVecCol)))
+    finishTopK(rescored, qIdCol, idCol, k)
+  }
+
   /** Train PRODUCT-QUANTIZATION codebooks (X150; Jégou et al. 2011,
     * "Product quantization for nearest neighbor search"): the
     * `dims`-dim space splits into `m` contiguous sub-spaces of

@@ -2417,6 +2417,39 @@ object Extensions {
       "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
       "WHERE rank <= 10"
 
+  /** Binary (sign-bit) quantization ANN tier (X162): the 1-bit rung of
+    * the quantization ladder — corpus codes pack to ⌈dims/64⌉ BIGINT
+    * words (32× smaller than float32), the coarse pass counts
+    * agreeing sign bits via xor+popcount, and exact float cosine
+    * reranks the coarseK survivors. The code is a sign COMPARISON,
+    * bit-identical on any engine with no rounding contract at all. */
+  val embedBinary: Q = (s, d) =>
+    graft.operators.Similarity.binaryRerankTopK(
+      Tables.embeddings(s, d), queriesDf(s, d), coarseK = 50, k = 10,
+      dims = EMB_DIMS)
+
+  /** Packed sign-bit word: bit d set iff embedding[d+1] ≥ 0 — the
+    * 64 OR-terms chunked 8-wide (DuckDB binder depth). */
+  private def duckBinaryCode(vecExpr: String): String = {
+    val terms = (0 until EMB_DIMS).map { dd =>
+      s"(CASE WHEN $vecExpr[${dd + 1}] >= 0 THEN CAST(${java.lang.Long.toString(1L << (dd % 64))} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    terms.grouped(8).map(_.mkString("(", " | ", ")")).mkString("(", " | ", ")")
+  }
+
+  val embedBinarySql: String =
+    s"WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed, ${duckBinaryCode("embedding")} AS code FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, ed AS qd, code AS qc FROM e WHERE vec_id % 50 = 0), " +
+      s"sc AS (SELECT q_id, e.vec_id AS vec_id, $EMB_DIMS - bit_count(xor(e.code, q.qc)) AS s FROM e, q), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM sc) WHERE rk <= 50), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, q.qd)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(q.qd, q.qd))), 6) AS score " +
+      "FROM co JOIN e ON e.vec_id = co.vec_id JOIN q ON q.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+
   /** Product-quantization ANN tier (X150): per-sub-space codebooks
     * trained with the exact fixed-point k-means, corpus encoded to
     * m=4 sub-codes map-side, per-query integer ADC lookup tables,
@@ -2938,6 +2971,8 @@ object Extensions {
         coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)))
       .unionByName(rec("rerank", Similarity.quantizedRerankTopK(emb, qs,
         coarseK = 50, k = 10)))
+      .unionByName(rec("binary", Similarity.binaryRerankTopK(emb, qs,
+        coarseK = 50, k = 10, dims = EMB_DIMS)))
   }
 
   val annRecallSql: String = {
@@ -2948,13 +2983,14 @@ object Extensions {
       s"lshm AS ($embedAnnMultiSql), lshp AS ($embedAnnProbeSql), " +
       s"ivf AS ($embedIvfSql), pq AS ($embedPqSql), " +
       s"ivfpq AS ($embedIvfPqSql), ivfpqn AS ($embedIvfPqNormSql), " +
-      s"rr AS ($annRerankSql), " +
+      s"rr AS ($annRerankSql), bq AS ($embedBinarySql), " +
       s"rec AS (${rec("lsh", "lsh")} UNION ALL ${rec("lsh_multi", "lshm")} " +
       s"UNION ALL ${rec("lsh_probe", "lshp")} " +
       s"UNION ALL ${rec("ivf", "ivf")} UNION ALL ${rec("pq", "pq")} " +
       s"UNION ALL ${rec("ivfpq", "ivfpq")} " +
       s"UNION ALL ${rec("ivfpq_norm", "ivfpqn")} " +
-      s"UNION ALL ${rec("rerank", "rr")}) " +
+      s"UNION ALL ${rec("rerank", "rr")} " +
+      s"UNION ALL ${rec("binary", "bq")}) " +
       "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
       "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
   }
@@ -4553,6 +4589,7 @@ object Extensions {
     "q_digest_merge" -> digestMerge,
     "q_digest_retract" -> digestRetract,
     "q_stream_manifest" -> streamManifest,
+    "q_embed_binary" -> embedBinary,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
     "q_temperature_mix" -> temperatureMix,
@@ -4691,6 +4728,7 @@ object Extensions {
     "q_digest_merge" -> digestMergeSql,
     "q_digest_retract" -> digestRetractSql,
     "q_stream_manifest" -> corpusDigestSql,
+    "q_embed_binary" -> embedBinarySql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,
     "q_temperature_mix" -> temperatureMixSql,

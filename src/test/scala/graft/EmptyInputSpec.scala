@@ -334,6 +334,10 @@ class EmptyInputSpec extends SparkSpec {
       lambdaPct = 70).count() == 0)
     assert(Similarity.mmrTopK(vecs, noQ, k = 2, fetchK = 3,
       lambdaPct = 70).count() == 0)
+    assert(Similarity.binaryRerankTopK(noVecs, qs, coarseK = 2, k = 2,
+      dims = 2).count() == 0)
+    assert(Similarity.binaryRerankTopK(vecs, noQ, coarseK = 2, k = 2,
+      dims = 2).count() == 0)
     // a corpus SMALLER than k: the fold stops when candidates run out
     val one = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     assert(Similarity.mmrTopK(one, qs, k = 2, fetchK = 3, lambdaPct = 70)

@@ -675,4 +675,49 @@ class SimilaritySpec extends SparkSpec {
       Similarity.mmrTopK(emb, qs, k = 2, fetchK = 4, lambdaPct = 101)
     }
   }
+
+  test("binaryCode packs sign bits exactly; matchBits == dims - Hamming") {
+    // 70 dims forces two words: word 0 full, word 1 holds 6 bits
+    val dims = 70
+    val v1 = Array.tabulate(dims)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val v2 = Array.tabulate(dims)(i => if (i % 2 == 0) -0.5f else 0.0f)
+    val df = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    def pack(v: Array[Float]): Seq[Long] =
+      (0 until (dims + 63) / 64).map { w =>
+        (w * 64 until math.min((w + 1) * 64, dims)).foldLeft(0L) { (acc, d) =>
+          if (v(d) >= 0) acc | (1L << (d - w * 64)) else acc
+        }
+      }
+    val got = df.select(col("vec_id"),
+        Similarity.binaryCode(col("embedding"), dims).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == pack(v1) && got(2L) == pack(v2))
+    val hamming = (0 until dims).count(d => (v1(d) >= 0) != (v2(d) >= 0))
+    val mb = df.filter(col("vec_id") === 1L)
+      .select(Similarity.binaryMatchBits(
+        typedLit(pack(v1)), typedLit(pack(v2)), dims))
+      .as[Long].head()
+    assert(mb == dims - hamming)
+  }
+
+  test("binaryRerankTopK: coarseK >= corpus recovers exact brute-force top-k") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val n = emb.count().toInt
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = norm(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val reranked = norm(Similarity.binaryRerankTopK(emb, queries,
+      coarseK = n, k = 5, dims = 64))
+    assert(reranked == exact && exact.nonEmpty)
+    val served = Similarity.binaryRerankTopK(emb, queries,
+      coarseK = 50, k = 10, dims = 64)
+      .groupBy("q_id").count().as[(Long, Long)].collect()
+    assert(served.nonEmpty && served.forall(_._2 == 10L))
+    intercept[IllegalArgumentException] {
+      Similarity.binaryRerankTopK(emb, queries, coarseK = 5, k = 10, dims = 64)
+    }
+  }
 }
