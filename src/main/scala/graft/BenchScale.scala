@@ -63,7 +63,7 @@ object BenchScale {
     // rows above; the binary quantization tier rides the recall
     // harness too, so both stay on record
     "q_embed_rp", "q_mmr_rerank", "q_digest_merge", "q_digest_retract",
-    "q_stream_manifest", "q_embed_binary")
+    "q_stream_manifest", "q_manifest_asof", "q_embed_binary")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS

@@ -2918,6 +2918,64 @@ object Extensions {
     } finally deleteRecursively(storeDir)
   }
 
+  /** Time-travel manifest read (X163): the store carries a bootstrap
+    * partition (doc_id%3==0 at batch=-1) and two REAL sequential
+    * micro-batches through one checkpoint (%3==1 → batch 0, %3==2 →
+    * batch 1, staged as separate source files between runs); the
+    * as-of fold at each of the three ingest points must equal the
+    * direct digest of exactly the data ingested through that point —
+    * history reads are a partition-pruned #groups·#batches fold,
+    * never a corpus rescan. */
+  val manifestAsOf: Q = (s, d) => withStreamShuffle(s, 8) {
+    val base = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val srcDir = s"$base/src"
+    val storeDir = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val cols = Seq("doc_id", "lang", "text")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), col("source"))
+    try {
+      graft.operators.ScaleOps.contentDigest(
+        docs.filter(col("doc_id") % 3 === 0), "source", cols)
+        .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+      def runOnce(): Unit = {
+        val q = graft.streaming.EventsStreaming.streamingManifestMaintenance(
+          s.readStream.schema(docs.schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          storeDir, "source", cols) { (_, _) => () }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f1")
+      runOnce()
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f2")
+      runOnce()
+      Seq(-1L, 0L, 1L).map { b =>
+        graft.streaming.EventsStreaming.manifestAsOf(s, storeDir, "source", b)
+          .withColumn("as_of", lit(b))
+          .select(col("as_of"), col("source"), col("n_rows"),
+            col("xor_digest"), col("sum_digest"))
+      }.reduce(_ unionByName _).localCheckpoint()
+    } finally deleteRecursively(base)
+  }
+
+  val manifestAsOfSql: String = {
+    val canon = "concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)), " +
+      "coalesce(lang, chr(0)), coalesce(text, chr(0)))"
+    def digest(asOf: Long, where: String) =
+      s"SELECT CAST($asOf AS BIGINT) AS as_of, source, count(*) AS n_rows, " +
+        "bit_xor(h) AS xor_digest, " +
+        "CAST(CAST(sum(h % 1000000007) AS HUGEINT) % 1000000007 AS BIGINT) AS sum_digest " +
+        s"FROM h WHERE $where GROUP BY source"
+    s"WITH h AS MATERIALIZED (SELECT source, doc_id, " +
+      s"CAST(CAST('0x' || substr(md5($canon), 1, 15) AS UBIGINT) AS BIGINT) AS h FROM documents) " +
+      s"${digest(-1, "doc_id % 3 = 0")} UNION ALL " +
+      s"${digest(0, "doc_id % 3 IN (0, 1)")} UNION ALL " +
+      s"${digest(1, "TRUE")}"
+  }
+
   /** ANN recall harness (X115): retrieval QUALITY of the three ANN
     * variants measured as per-query recall@10 against the brute-force
     * ground truth — all four top-k tables are deterministic given the
@@ -4589,6 +4647,7 @@ object Extensions {
     "q_digest_merge" -> digestMerge,
     "q_digest_retract" -> digestRetract,
     "q_stream_manifest" -> streamManifest,
+    "q_manifest_asof" -> manifestAsOf,
     "q_embed_binary" -> embedBinary,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
@@ -4728,6 +4787,7 @@ object Extensions {
     "q_digest_merge" -> digestMergeSql,
     "q_digest_retract" -> digestRetractSql,
     "q_stream_manifest" -> corpusDigestSql,
+    "q_manifest_asof" -> manifestAsOfSql,
     "q_embed_binary" -> embedBinarySql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,

@@ -765,6 +765,29 @@ object EventsStreaming {
     graft.operators.ScaleOps.mergeManifests(
       readManifestStore(spark, path, groupCol).drop("batch"), groupCol)
 
+  /** TIME-TRAVEL manifest read (X163): the corpus manifest AS OF batch
+    * `batch` — fold only the store partitions with `batch <= batch`,
+    * which by the per-batch append contract is EXACTLY the digest of
+    * everything ingested through that batch (bootstrap partitions ride
+    * at negative ids, so `manifestAsOf(path, -1)` is the pre-stream
+    * snapshot and `manifestAsOf(path, Long.MaxValue)` ≡
+    * [[mergedManifest]]). Snapshot validation and X129 diffs against
+    * ANY historical ingest point stay a #groups·#batches-row fold —
+    * never a corpus rescan, never a store rewrite (the history IS the
+    * retained partitions; X155 compaction trades that history away
+    * only when an operator explicitly asks). An as-of EARLIER than
+    * every retained partition is the empty manifest — same answer an
+    * empty store gives, because both mean "nothing ingested yet". */
+  def manifestAsOf(spark: SparkSession, path: String, groupCol: String,
+      batch: Long): DataFrame = {
+    val store = readManifestStore(spark, path, groupCol)
+    val upTo =
+      if (store.columns.contains("batch"))
+        store.filter(col("batch").cast("long") <= batch).drop("batch")
+      else store // empty bootstrap: no partitions exist at all
+    graft.operators.ScaleOps.mergeManifests(upTo, groupCol)
+  }
+
   /** The semantic-dedup store (id, embedding, cell), empty-with-schema
     * when the path does not exist yet; same narrow catch and
     * partition-layout contract as [[readNearDupStore]]. */

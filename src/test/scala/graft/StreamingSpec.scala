@@ -658,6 +658,59 @@ class StreamingSpec extends SparkSpec {
       s"expected lineage guard, got: ${rootMessages(e)}")
   }
 
+  test("manifestAsOf: each historical fold == direct digest of data through that batch") {
+    val base = Files.createTempDirectory("graft-asofstream").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/manifest"
+    val ckpt = s"$base/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType)))
+    val t0 = Seq((0L, "a", "boot"), (9L, "b", "boot2"))
+    val t1 = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"))
+    val t2 = Seq((4L, "a", "w"), (5L, "c", "v"))
+    def digest(rows: Seq[(Long, String, String)]) =
+      graft.operators.ScaleOps.contentDigest(
+        rows.toDF("id", "grp", "p"), "grp", Seq("id", "p"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    // bootstrap partition at batch=-1, then two real micro-batches
+    graft.operators.ScaleOps.contentDigest(
+      t0.toDF("id", "grp", "p"), "grp", Seq("id", "p"))
+      .write.parquet(s"$store/batch=-1")
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingManifestMaintenance(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "grp", Seq("id", "p")) { (_, _) => () }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    t1.toDF("id", "grp", "p").coalesce(1).write.parquet(s"$srcDir/f1")
+    runOnce()
+    t2.toDF("id", "grp", "p").coalesce(1).write.parquet(s"$srcDir/f2")
+    runOnce()
+    def asOf(b: Long) =
+      EventsStreaming.manifestAsOf(spark, store, "grp", b)
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(asOf(-1L) == digest(t0), "as-of the bootstrap = bootstrap digest")
+    assert(asOf(0L) == digest(t0 ++ t1), "as-of batch 0 folds boot + batch 0")
+    assert(asOf(1L) == digest(t0 ++ t1 ++ t2), "as-of batch 1 = everything")
+    // as-of the far future == the merged latest; before all history == empty
+    assert(asOf(Long.MaxValue) ==
+      EventsStreaming.mergedManifest(spark, store, "grp")
+        .as[(String, Long, Long, Long)].collect().toSet)
+    assert(asOf(-2L).isEmpty, "before every retained partition = empty")
+    // a store that does not exist yet is the same empty answer
+    assert(EventsStreaming.manifestAsOf(spark, s"$base/nope", "grp", 5L)
+      .count() == 0)
+  }
+
   test("compactStore: interrupted swap never silently bootstraps empty history") {
     // simulate a crash mid-swap: the live store has renamed to .old,
     // the compacted content has not renamed in yet — the store path is
