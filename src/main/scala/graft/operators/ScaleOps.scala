@@ -1052,6 +1052,100 @@ object ScaleOps {
     }
   }
 
+  /** Row-level data-quality routing (X165): append `_violations`, the
+    * names of the row checks this row FAILS, in declaration order. A
+    * check evaluating NULL counts as failed (Deequ semantics: a
+    * predicate that cannot affirm the row does not pass it) — so
+    * `lang.isin(...)` on a NULL lang routes to quarantine instead of
+    * silently passing three-valued logic. Pure map-side projection:
+    * quarantine routing adds ZERO shuffles to an ingest. */
+  def checkConstraints(df: DataFrame,
+      checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "checkConstraints: no checks given")
+    val names = checks.map(_._1)
+    require(names.distinct.size == names.size,
+      s"checkConstraints: duplicate check names in ${names.mkString(", ")}")
+    df.withColumn("_violations", array_compact(array(checks.map {
+      case (name, pred) =>
+        when(!coalesce(pred, lit(false)), lit(name))
+    }: _*)))
+  }
+
+  /** Quarantine split — the dead-letter half of a fail-loud-or-route
+    * ingest: rows passing every check flow on unchanged (valid),
+    * violating rows land in a quarantine table carrying their reason
+    * list. One predicate evaluation per side off a shared
+    * [[checkConstraints]] projection; both sides stay map-side. */
+  def quarantineSplit(df: DataFrame,
+      checks: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val checked = checkConstraints(df, checks)
+    (checked.filter(size(col("_violations")) === 0).drop("_violations"),
+      checked.filter(size(col("_violations")) > 0))
+  }
+
+  /** Data-quality constraint SUITE (X165) — the dataset-level verdict
+    * a Deequ-style expectations gate publishes per snapshot: one row
+    * per constraint with exact integral metrics (basis points via
+    * integer division — hash-portable, no float shares) and a passed
+    * flag.
+    *
+    *  - row checks: n_bad = rows failing the predicate (NULL fails);
+    *    passed iff n_bad == 0
+    *  - completeness: n_bad = NULL rows in the column; value_bp =
+    *    non-null share; passed iff no NULLs
+    *  - uniqueness: n_bad = rows IN EXCESS of one per key (what a
+    *    dedup would drop); value_bp = distinct-key share; passed iff
+    *    no duplicates. NULL-keyed rows group together, like dedup.
+    *
+    * Scale shape: all row checks + completeness fold into ONE
+    * aggregation pass over the corpus (a single-row agg of exact
+    * counters, then a #constraints-row unpivot — the corpus is read
+    * once no matter how many constraints ride); each uniqueness key
+    * set adds one short-key partial-agg shuffle (count per key →
+    * #keys-row summary), the same shape as exact dedup. */
+  def dqSuite(df: DataFrame, rowChecks: Seq[(String, Column)],
+      completeness: Seq[String] = Nil,
+      uniqueness: Seq[Seq[String]] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || completeness.nonEmpty || uniqueness.nonEmpty,
+      "dqSuite: no constraints given")
+    val spark = df.sparkSession
+    val rowAggs = rowChecks.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L))
+        .as(s"check:$name")
+    }
+    val compAggs = completeness.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"complete:$c"))
+    val base = df.agg((rowAggs ++ compAggs :+
+      count(lit(1)).as("_total")).head,
+      (rowAggs ++ compAggs :+ count(lit(1)).as("_total")).tail: _*)
+    val constraints = rowChecks.map(c => s"check:${c._1}") ++
+      completeness.map(c => s"complete:$c")
+    // `div`, not `/`: long/long must stay EXACT integer division —
+    // float division + floor can flip at an integer boundary once
+    // totals pass ~5e11 rows
+    val scan = base.select(col("_total"), expr(
+      s"stack(${constraints.size}, " +
+        constraints.map(c => s"'$c', `$c`").mkString(", ") +
+        ") AS (constraint, n_bad)"))
+      .select(col("constraint"), col("n_bad"),
+        when(col("_total") > 0,
+          expr("(_total - n_bad) * 10000 div _total"))
+          .otherwise(10000L).as("value_bp"),
+        (col("n_bad") === 0L).as("passed"))
+    val uniq = uniqueness.map { keys =>
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+        .agg(coalesce(sum(col("_n") - 1L), lit(0L)).as("n_bad"),
+          count(lit(1)).as("_distinct"),
+          coalesce(sum(col("_n")), lit(0L)).as("_total"))
+        .select(lit(s"unique:${keys.mkString(",")}").as("constraint"),
+          col("n_bad"),
+          when(col("_total") > 0, expr("_distinct * 10000 div _total"))
+            .otherwise(10000L).as("value_bp"),
+          (col("n_bad") === 0L).as("passed"))
+    }
+    (scan +: uniq).reduce(_ unionByName _)
+  }
+
   /** Both sketch-backed operators (CMS, Bloom) insert by runtime type:
     * integral columns as longs, strings as UTF-8 bytes. Any other type
     * (double, decimal, binary, struct…) has no guaranteed insert/probe

@@ -118,6 +118,76 @@ object Extensions {
       "SELECT doc_id, n_tokens, mean_word_len, dup_3gram_frac, " +
       "(n_tokens >= 5 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND dup_3gram_frac < 0.3) AS keep FROM m"
 
+  /** The shared DQ row-check set for X165's two gates: one passing,
+    * one partially failing, one script gate — declaration order is the
+    * reasons order both engines must agree on. */
+  private def dqRowChecks = Seq(
+    "text_nonempty" -> (col("text").isNotNull && length(col("text")) > 0),
+    "min_chars_100" -> (col("n_chars") >= 100),
+    "latin_script" -> (col("lang") =!= "zh"))
+
+  /** Data-quality constraint suite (X165): the dataset-level verdict a
+    * Deequ-style expectations gate publishes per snapshot — row
+    * checks + completeness fold into ONE aggregation pass (the corpus
+    * is read once no matter how many constraints ride), each
+    * uniqueness key adds one short-key partial-agg shuffle. Exact
+    * integral basis points; the suite deliberately mixes passing and
+    * failing constraints (source is NOT unique, short docs exist). */
+  val dqSuite: Q = (s, d) =>
+    graft.operators.ScaleOps.dqSuite(Tables.documents(s, d),
+      rowChecks = dqRowChecks :+
+        ("n_chars_consistent" -> (col("n_chars") === length(col("text")))),
+      completeness = Seq("text", "lang", "source"),
+      uniqueness = Seq(Seq("doc_id"), Seq("source")))
+
+  val dqSuiteSql: String = {
+    def checkRow(label: String, pred: String) =
+      s"SELECT '$label' AS \"constraint\", " +
+        s"CAST(sum(CASE WHEN NOT coalesce($pred, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad " +
+        "FROM documents"
+    val checks = Seq(
+      checkRow("check:text_nonempty", "text IS NOT NULL AND length(text) > 0"),
+      checkRow("check:min_chars_100", "n_chars >= 100"),
+      checkRow("check:latin_script", "lang <> 'zh'"),
+      checkRow("check:n_chars_consistent", "n_chars = length(text)"),
+      checkRow("complete:text", "text IS NOT NULL"),
+      checkRow("complete:lang", "lang IS NOT NULL"),
+      checkRow("complete:source", "source IS NOT NULL"))
+    def uniqRow(key: String) =
+      s"SELECT 'unique:$key' AS \"constraint\", " +
+        s"CAST((SELECT count(*) FROM documents) - (SELECT count(DISTINCT $key) FROM documents) AS BIGINT) AS n_bad"
+    s"WITH t AS (SELECT count(*) AS total FROM documents), " +
+      s"rows_and_comp AS (${checks.mkString(" UNION ALL ")}), " +
+      s"uniq AS (${Seq(uniqRow("doc_id"), uniqRow("source")).mkString(" UNION ALL ")}), " +
+      "u AS (SELECT * FROM rows_and_comp UNION ALL SELECT * FROM uniq) " +
+      "SELECT \"constraint\", n_bad, " +
+      "CAST(CASE WHEN t.total > 0 THEN (t.total - n_bad) * 10000 // t.total ELSE 10000 END AS BIGINT) AS value_bp, " +
+      "n_bad = 0 AS passed FROM u CROSS JOIN t"
+  }
+
+  /** Row-level quarantine routing (X165): every document routed with
+    * its reason list — valid rows carry is_valid=true and an empty
+    * reasons string; quarantined rows name every check they failed in
+    * declaration order. Pure map-side projection (zero added
+    * shuffles in an ingest). */
+  val quarantine: Q = (s, d) =>
+    graft.operators.ScaleOps.checkConstraints(
+      spread(Tables.documents(s, d)), dqRowChecks)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (size(col("_violations")) === 0).as("is_valid"),
+        array_join(col("_violations"), ",").as("reasons"))
+
+  val quarantineSql: String = {
+    val cases = Seq(
+      "CASE WHEN NOT coalesce(text IS NOT NULL AND length(text) > 0, FALSE) THEN 'text_nonempty' END",
+      "CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 'min_chars_100' END",
+      "CASE WHEN NOT coalesce(lang <> 'zh', FALSE) THEN 'latin_script' END")
+    s"WITH v AS (SELECT doc_id, lang, n_chars, " +
+      s"list_filter([${cases.mkString(", ")}], x -> x IS NOT NULL) AS vio FROM documents) " +
+      "SELECT doc_id, lang, n_chars, len(vio) = 0 AS is_valid, " +
+      "array_to_string(vio, ',') AS reasons FROM v"
+  }
+
   val langId: Q = (s, d) =>
     spread(Tables.documents(s, d)).select(
       col("doc_id"), col("lang").as("tagged"),
@@ -4649,6 +4719,8 @@ object Extensions {
     "q_stream_manifest" -> streamManifest,
     "q_manifest_asof" -> manifestAsOf,
     "q_embed_binary" -> embedBinary,
+    "q_dq_suite" -> dqSuite,
+    "q_quarantine" -> quarantine,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
     "q_temperature_mix" -> temperatureMix,
@@ -4789,6 +4861,8 @@ object Extensions {
     "q_stream_manifest" -> corpusDigestSql,
     "q_manifest_asof" -> manifestAsOfSql,
     "q_embed_binary" -> embedBinarySql,
+    "q_dq_suite" -> dqSuiteSql,
+    "q_quarantine" -> quarantineSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,
     "q_temperature_mix" -> temperatureMixSql,

@@ -290,6 +290,59 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dqSuite/quarantine: exact metrics, NULL fails a predicate, split is a partition") {
+    val df = Seq(
+      (1L, Some("hello world"), Some("en")),
+      (2L, Some(""), Some("de")),
+      (3L, None: Option[String], Some("en")),
+      (4L, Some("ok text"), None: Option[String]),
+      (1L, Some("dup id"), Some("fr")))
+      .toDF("id", "text", "lang")
+    val checks = Seq(
+      "text_nonempty" -> (col("text").isNotNull && length(col("text")) > 0),
+      "lang_known" -> col("lang").isin("en", "de", "fr"))
+    // NULL text fails text_nonempty; NULL lang fails lang_known
+    val vio = ScaleOps.checkConstraints(df, checks)
+      .select(col("id"), col("text"), array_join(col("_violations"), ","))
+      .as[(Long, Option[String], String)].collect()
+      .map(r => (r._1, r._2.getOrElse("")) -> r._3).toMap
+    assert(vio((3L, "")) == "text_nonempty")
+    assert(vio((2L, "")) == "text_nonempty")
+    assert(vio((4L, "ok text")) == "lang_known")
+    assert(vio((1L, "hello world")) == "")
+    val (valid, quarantined) = ScaleOps.quarantineSplit(df, checks)
+    assert(valid.count() + quarantined.count() == df.count())
+    assert(valid.columns.toSeq == df.columns.toSeq, "valid side unchanged")
+    assert(quarantined.count() == 3)
+    val suite = ScaleOps.dqSuite(df, checks,
+      completeness = Seq("text", "lang"), uniqueness = Seq(Seq("id")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(suite("check:text_nonempty") == ((2L, 6000L, false)))
+    assert(suite("check:lang_known") == ((1L, 8000L, false)))
+    assert(suite("complete:text") == ((1L, 8000L, false)))
+    assert(suite("complete:lang") == ((1L, 8000L, false)))
+    // 5 rows over 4 distinct ids: 1 excess row, 4/5 distinct share
+    assert(suite("unique:id") == ((1L, 8000L, false)))
+    // all-passing frame: every constraint true, bp 10000
+    val clean = ScaleOps.dqSuite(
+      Seq((1L, "a", "en"), (2L, "b", "de")).toDF("id", "text", "lang"),
+      checks, completeness = Seq("text"), uniqueness = Seq(Seq("id")))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(clean.forall(r => r._2 == 0L && r._3 == 10000L && r._4))
+    // empty input: zero totals answer bp 10000, passed
+    val empty = ScaleOps.dqSuite(
+      Seq.empty[(Long, String, String)].toDF("id", "text", "lang"),
+      checks, uniqueness = Seq(Seq("id")))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(empty.length == 3 &&
+      empty.forall(r => r._2 == 0L && r._3 == 10000L && r._4))
+    intercept[IllegalArgumentException] {
+      ScaleOps.checkConstraints(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+    intercept[IllegalArgumentException] { ScaleOps.dqSuite(df, Nil) }
+  }
+
   test("intervalOverlapJoin == brute-force theta join, boundary-exact") {
     val a = Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 200L, 200L))
       .toDF("aid", "sa", "ea")
