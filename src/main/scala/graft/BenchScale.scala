@@ -63,7 +63,10 @@ object BenchScale {
     // rows above; the binary quantization tier rides the recall
     // harness too, so both stay on record
     "q_embed_rp", "q_mmr_rerank", "q_digest_merge", "q_digest_retract",
-    "q_stream_manifest", "q_manifest_asof", "q_embed_binary")
+    "q_stream_manifest", "q_manifest_asof", "q_embed_binary",
+    // round-15: the X164/X165 DQ pair (landed r14 without bench rows —
+    // the evidence-debt payoff) plus the new r15 operators
+    "q_dq_suite", "q_quarantine")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS

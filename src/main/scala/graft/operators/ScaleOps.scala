@@ -1062,6 +1062,10 @@ object ScaleOps {
   def checkConstraints(df: DataFrame,
       checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "checkConstraints: no checks given")
+    require(!df.columns.contains("_violations"),
+      "checkConstraints: input already has a _violations column — " +
+        "withColumn would silently overwrite it (and quarantineSplit " +
+        "would then drop caller data from the valid side)")
     val names = checks.map(_._1)
     require(names.distinct.size == names.size,
       s"checkConstraints: duplicate check names in ${names.mkString(", ")}")
@@ -1109,12 +1113,16 @@ object ScaleOps {
     require(rowChecks.nonEmpty || completeness.nonEmpty || uniqueness.nonEmpty,
       "dqSuite: no constraints given")
     val spark = df.sparkSession
+    // coalesce: sum over ZERO rows is SQL NULL — an empty corpus must
+    // report n_bad=0 / passed=true, not a NULL verdict (the uniqueness
+    // branch below already guards the same way)
     val rowAggs = rowChecks.map { case (name, pred) =>
-      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L))
-        .as(s"check:$name")
+      coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)),
+        lit(0L)).as(s"check:$name")
     }
     val compAggs = completeness.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"complete:$c"))
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"complete:$c"))
     val base = df.agg((rowAggs ++ compAggs :+
       count(lit(1)).as("_total")).head,
       (rowAggs ++ compAggs :+ count(lit(1)).as("_total")).tail: _*)

@@ -153,9 +153,14 @@ object Extensions {
       checkRow("complete:text", "text IS NOT NULL"),
       checkRow("complete:lang", "lang IS NOT NULL"),
       checkRow("complete:source", "source IS NOT NULL"))
+    // GROUP BY subquery, NOT count(DISTINCT ...): DuckDB's DISTINCT
+    // excludes NULL keys, but Spark's dqSuite groupBy counts the NULL
+    // group as one distinct key (dedup semantics) — the shapes must
+    // agree the moment a NULL key appears
     def uniqRow(key: String) =
       s"SELECT 'unique:$key' AS \"constraint\", " +
-        s"CAST((SELECT count(*) FROM documents) - (SELECT count(DISTINCT $key) FROM documents) AS BIGINT) AS n_bad"
+        s"CAST((SELECT count(*) FROM documents) - " +
+        s"(SELECT count(*) FROM (SELECT 1 FROM documents GROUP BY $key)) AS BIGINT) AS n_bad"
     s"WITH t AS (SELECT count(*) AS total FROM documents), " +
       s"rows_and_comp AS (${checks.mkString(" UNION ALL ")}), " +
       s"uniq AS (${Seq(uniqRow("doc_id"), uniqRow("source")).mkString(" UNION ALL ")}), " +
@@ -185,7 +190,9 @@ object Extensions {
     s"WITH v AS (SELECT doc_id, lang, n_chars, " +
       s"list_filter([${cases.mkString(", ")}], x -> x IS NOT NULL) AS vio FROM documents) " +
       "SELECT doc_id, lang, n_chars, len(vio) = 0 AS is_valid, " +
-      "array_to_string(vio, ',') AS reasons FROM v"
+      // coalesce: some DuckDB builds return NULL (not '') for
+      // array_to_string of an EMPTY list; Spark's array_join gives ''
+      "coalesce(array_to_string(vio, ','), '') AS reasons FROM v"
   }
 
   val langId: Q = (s, d) =>

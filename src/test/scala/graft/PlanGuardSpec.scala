@@ -66,7 +66,11 @@ class PlanGuardSpec extends SparkSpec {
       // MMR candidate generation IS the q_embed_topk brute-force pass;
       // the pairwise-sim and rerank joins are keyed equi-joins and the
       // greedy fold is map-side
-      "q_mmr_rerank")
+      "q_mmr_rerank",
+      // binary-tier coarse stage is crossJoin(broadcast(q)) over packed
+      // sign codes — the q_quant_topk broadcast-query scoring shape
+      // (bounded by the broadcast side); the rerank is a keyed equi-join
+      "q_embed_binary")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
