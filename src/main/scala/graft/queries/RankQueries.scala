@@ -116,6 +116,46 @@ object RankQueries {
         col("top_partner"), col("partner_amount"))
   }
 
+  /** README headline, IMPORTS direction: top 50 countries by PageRank,
+    * each with the country it IMPORTS the most from
+    * (`/root/reference/README.md:26`, `img/imports.svg`) — the mirror
+    * of [[top50Partners]]: the partner pick ranks INCOMING edges per
+    * destination (rank-1 source by edge amount, tie-break source name
+    * asc). Same one-edge-aggregation shape: the persisted edge table
+    * feeds both the ranks and the partner window; the window is a
+    * per-destination partial order over a #nations²-bounded table, so
+    * the whole query stays on the rank backbone — no fact-table
+    * rescan. */
+  val top50ImportPartners: Q = (s, dir) => {
+    val edges = graft.SparkEntry.nationTradeEdges(s, dir)
+      .persistTracked()
+    val ranks = graft.graph.Ranks
+      .rankTable(edges, "src_nation", "dst_nation")
+      .select(col("name"), round(col("pagerank"), 6).as("pagerank"))
+    val wPart = Window.partitionBy("dst_nation")
+      .orderBy(desc("amount"), asc("src_nation"))
+    val top1 = edges.withColumn("_rn", row_number().over(wPart))
+      .filter(col("_rn") === 1)
+      .select(col("dst_nation").as("name"), col("src_nation").as("top_source"),
+        col("amount").as("source_amount"))
+    val wAll = Window.orderBy(desc("pagerank"), asc("name"))
+    ranks.withColumn("rrank", row_number().over(wAll))
+      .filter(col("rrank") <= 50)
+      .join(top1, Seq("name"), "left")
+      .select(col("name"), col("pagerank"), col("rrank"),
+        col("top_source"), col("source_amount"))
+  }
+
+  def top50ImportPartnersSql(iters: Int = 20, damping: Double = 0.85): String =
+    rankSeriesCtes(iters, damping) +
+      s", $amtCte" +
+      ", p1 AS (SELECT src, dst, amount FROM (SELECT src, dst, amount, " +
+      "row_number() OVER (PARTITION BY dst ORDER BY amount DESC, src ASC) AS rn FROM amt) WHERE rn = 1)" +
+      s", rk AS (SELECT name, round(pr, 6) AS pagerank, " +
+      s"CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, name ASC) AS INT) AS rrank FROM t${iters - 1}) " +
+      "SELECT r.name, r.pagerank, r.rrank, p.src AS top_source, p.amount AS source_amount " +
+      "FROM rk r LEFT JOIN p1 p ON p.dst = r.name WHERE r.rrank <= 50"
+
   /** Weighted nation-edge aggregate (same pipeline as
     * SparkEntry.nationTradeEdges WITH the amount) — shared by the
     * top-50 and community oracles. */
@@ -460,6 +500,7 @@ object RankQueries {
     "q_recursive_sql" -> recursiveSql,
     "q_warm_ranks" -> warmRanks,
     "q_top50_partners" -> top50Partners,
+    "q_top50_import_partners" -> top50ImportPartners,
     "q_triangles" -> triangles,
     "q_hops" -> hops,
     "q_communities" -> communities,
@@ -474,6 +515,7 @@ object RankQueries {
     "q_trade_ranks" -> tradeRanksSql(),
     "q_warm_ranks" -> tradeRanksSql(iters = 24),
     "q_top50_partners" -> top50PartnersSql(),
+    "q_top50_import_partners" -> top50ImportPartnersSql(),
     "q_triangles" -> trianglesSql,
     "q_hops" -> hopsSql(),
     "q_communities" -> communitiesSql(),
