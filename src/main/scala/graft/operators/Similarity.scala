@@ -673,8 +673,6 @@ object Similarity {
       lambdaPct: Int, idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     require(fetchK >= k && k >= 1, s"need fetchK >= k >= 1, got $fetchK/$k")
-    require(lambdaPct >= 0 && lambdaPct <= 100,
-      s"lambdaPct must be 0..100, got $lambdaPct")
     def cos6(df: DataFrame, a: Column, b: Column): Column =
       floor(cosineAuto(df, a, b) * 1e6 + 0.5).cast("long")
     // stage 1: fetchK most-relevant candidates per query, integer rel
@@ -684,7 +682,37 @@ object Similarity {
     // finishTopK's heap orders on double scores; rel6 ≤ 1e6 ≪ 2^53 so
     // the round trip back to BIGINT is exact
     val cand = finishTopK(scored, qIdCol, idCol, fetchK)
-      .select(col(qIdCol), col(idCol), col("score").cast("long").as("_rel"))
+      .select(col(qIdCol), col(idCol), col("score").cast("long").as("rel"))
+    mmrRerank(corpus, cand, k, lambdaPct, idCol, vecCol, qIdCol)
+  }
+
+  /** MMR greedy selection over a PRECOMPUTED candidate table — the
+    * serving composition: any retrieval tier (brute force, binary,
+    * IVF-PQ, hybrid fusion) produces `(qIdCol, idCol, rel)` candidates
+    * (rel = 1e-6-quantized relevance, BIGINT) and this pass diversifies
+    * them. [[mmrTopK]] is exactly bruteForce-candidates → this method,
+    * so mmr-over-bruteforce ≡ mmrTopK by construction (spec-pinned).
+    *
+    * Scale shape: identical to [[mmrTopK]] stages 2-3 — candidates
+    * broadcast back into the corpus ONCE for their vectors (the
+    * candidate table is |Q|·fetchK short rows), the pairwise-sim table
+    * is |Q|·fetchK² short rows, and the greedy fold runs map-side over
+    * per-query bounded state. The corpus is only touched by the one
+    * keyed vector join; at 100 TB everything after the candidate join
+    * is per-query-bounded. */
+  def mmrRerank(corpus: DataFrame, candidates: DataFrame, k: Int,
+      lambdaPct: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", qIdCol: String = "q_id"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be 0..100, got $lambdaPct")
+    require(candidates.columns.contains("rel"),
+      "mmrRerank: candidates must carry a BIGINT `rel` column " +
+        "(1e-6-quantized relevance)")
+    def cos6(df: DataFrame, a: Column, b: Column): Column =
+      floor(cosineAuto(df, a, b) * 1e6 + 0.5).cast("long")
+    val cand = candidates
+      .select(col(qIdCol), col(idCol), col("rel").cast("long").as("_rel"))
     // stage 2: pairwise candidate sims — candidates rejoin the corpus
     // for their vectors ONCE (fetchK·|Q| rows), then self-join per
     // query: |Q|·fetchK² short (q, a, b, sim) rows, never corpus-sized

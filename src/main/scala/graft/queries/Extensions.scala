@@ -2843,6 +2843,66 @@ object Extensions {
     Similarity.mmrTopK(Tables.embeddings(s, d), queriesDf(s, d),
       k = MMR_K, fetchK = MMR_FETCH, lambdaPct = MMR_LAMBDA)
 
+  /** MMR over the BINARY ANN tier (X166) — the actual serving
+    * composition: the sign-bit coarse pass (xor+popcount over
+    * 32×-smaller codes) feeds exact-cosine-reranked fetchK candidates
+    * into the same all-integer greedy MMR selection. The candidate
+    * table arrives as (q_id, vec_id, rel6) — [[Similarity.mmrRerank]]
+    * never touches the corpus except the one keyed vector join, so
+    * swapping brute force for the binary tier changes ONLY the
+    * candidate scan cost (the 100 TB term). */
+  val mmrBinary: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    // binary tier: coarse top-50 by agreeing bits, exact cosine rerank
+    // to fetchK; score is the 6dp cosine — quantize to rel6 exactly
+    val cand = graft.operators.Similarity.binaryRerankTopK(
+      emb, queriesDf(s, d), coarseK = 50, k = MMR_FETCH, dims = EMB_DIMS)
+      .select(col("q_id"), col("vec_id"),
+        floor(col("score") * 1e6 + 0.5).cast("long").as("rel"))
+    Similarity.mmrRerank(emb, cand, k = MMR_K, lambdaPct = MMR_LAMBDA)
+  }
+
+  /** Same greedy unroll as [[mmrRerankSql]], with `cand` swapped from
+    * brute-force top-fetchK to the binary tier's coarse-50 →
+    * cosine-rerank-fetchK chain (the [[embedBinarySql]] stages). */
+  val mmrBinarySql: String = {
+    val lam = MMR_LAMBDA
+    val oneM = 100 - MMR_LAMBDA
+    def cosQ(a: String, b: String) =
+      s"CAST(floor(round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), 6)*1000000.0 + 0.5) AS BIGINT)"
+    val steps = (2 to MMR_K).map { n =>
+      val prev = (1 until n).map(i => s"SELECT q_id, vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"p$n AS MATERIALIZED ($prev), " +
+        s"s$n AS (SELECT q_id, vec_id, rel, mmr, $n AS step FROM (" +
+        s"SELECT c.q_id, c.vec_id, c.rel, $lam*c.rel - $oneM*coalesce(m.ms, 0) AS mmr, " +
+        s"row_number() OVER (PARTITION BY c.q_id ORDER BY $lam*c.rel - $oneM*coalesce(m.ms, 0) DESC, c.vec_id ASC) AS rk " +
+        s"FROM cand c LEFT JOIN (SELECT si.q_id, si.av, max(si.sim) AS ms " +
+        s"FROM sims si JOIN p$n p ON p.q_id = si.q_id AND p.vec_id = si.bv " +
+        "GROUP BY si.q_id, si.av) m ON m.q_id = c.q_id AND m.av = c.vec_id " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM p$n p2 WHERE p2.q_id = c.q_id AND p2.vec_id = c.vec_id)" +
+        ") WHERE rk = 1)"
+    }.mkString(", ")
+    val union = (1 to MMR_K).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed, ${duckBinaryCode("embedding")} AS code FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, ed AS qd, code AS qc FROM e WHERE vec_id % 50 = 0), " +
+      s"bs AS (SELECT q_id, e.vec_id AS vec_id, $EMB_DIMS - bit_count(xor(e.code, q.qc)) AS s FROM e, q), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM bs) WHERE rk <= 50), " +
+      s"rr AS (SELECT co.q_id, co.vec_id, ${cosQ("e.ed", "q.qd")} AS rel " +
+      "FROM co JOIN e ON e.vec_id = co.vec_id JOIN q ON q.q_id = co.q_id), " +
+      "cand AS MATERIALIZED (SELECT q_id, vec_id, rel FROM (SELECT q_id, vec_id, rel, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id ASC) AS rk FROM rr) " +
+      s"WHERE rk <= $MMR_FETCH), " +
+      "cv AS MATERIALIZED (SELECT c.q_id, c.vec_id, e.ed FROM cand c JOIN e ON e.vec_id = c.vec_id), " +
+      "sims AS MATERIALIZED (SELECT a.q_id, a.vec_id AS av, b.vec_id AS bv, " +
+      s"${cosQ("a.ed", "b.ed")} AS sim FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id), " +
+      s"s1 AS (SELECT q_id, vec_id, rel, $lam*rel AS mmr, 1 AS step FROM (" +
+      s"SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id ORDER BY $lam*rel DESC, vec_id ASC) AS rk FROM cand) WHERE rk = 1), " +
+      s"$steps " +
+      s"SELECT q_id, vec_id, rel, mmr, CAST(step AS INT) AS step FROM ($union)"
+  }
+
   val mmrRerankSql: String = {
     val lam = MMR_LAMBDA
     val oneM = 100 - MMR_LAMBDA
@@ -4721,6 +4781,7 @@ object Extensions {
     "q_embed_ivfpq_norm" -> embedIvfPqNorm,
     "q_embed_rp" -> embedRp,
     "q_mmr_rerank" -> mmrRerank,
+    "q_mmr_binary" -> mmrBinary,
     "q_digest_merge" -> digestMerge,
     "q_digest_retract" -> digestRetract,
     "q_stream_manifest" -> streamManifest,
@@ -4863,6 +4924,7 @@ object Extensions {
     "q_embed_ivfpq_norm" -> embedIvfPqNormSql,
     "q_embed_rp" -> embedRpSql,
     "q_mmr_rerank" -> mmrRerankSql,
+    "q_mmr_binary" -> mmrBinarySql,
     "q_digest_merge" -> digestMergeSql,
     "q_digest_retract" -> digestRetractSql,
     "q_stream_manifest" -> corpusDigestSql,

@@ -70,7 +70,10 @@ class PlanGuardSpec extends SparkSpec {
       // binary-tier coarse stage is crossJoin(broadcast(q)) over packed
       // sign codes — the q_quant_topk broadcast-query scoring shape
       // (bounded by the broadcast side); the rerank is a keyed equi-join
-      "q_embed_binary")
+      "q_embed_binary",
+      // composes the q_embed_binary coarse pass; the MMR stages after
+      // the candidate table are all keyed equi-joins + a map-side fold
+      "q_mmr_binary")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)

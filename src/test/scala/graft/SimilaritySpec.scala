@@ -676,6 +676,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank: over brute-force candidates == mmrTopK; accepts any ANN tier") {
+    import spark.implicits._
+    // deterministic 12-vector corpus, 2 queries
+    val emb = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(6)(d =>
+        (math.sin(i * 7 + d * 3) * 0.9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = Seq(
+      (100L, Array.tabulate(6)(d => (math.cos(d) * 0.8).toFloat)),
+      (101L, Array.tabulate(6)(d => (math.sin(d * 2) * 0.8).toFloat)))
+      .toDF("q_id", "q_vec")
+    val direct = Similarity.mmrTopK(emb, qs, k = 3, fetchK = 6, lambdaPct = 70)
+      .select("q_id", "vec_id", "rel", "mmr", "step")
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    // externally-built brute-force candidate table → mmrRerank must
+    // reproduce mmrTopK exactly (the delegation contract)
+    val cand = Similarity.bruteForceTopK(emb, qs, k = 6)
+      .select(col("q_id"), col("vec_id"),
+        floor(col("score") * 1e6 + 0.5).cast("long").as("rel"))
+    val viaRerank = Similarity.mmrRerank(emb, cand, k = 3, lambdaPct = 70)
+      .select("q_id", "vec_id", "rel", "mmr", "step")
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(viaRerank == direct)
+    // a different candidate tier (binary) feeds the same pass: results
+    // are a valid greedy selection FROM that candidate set
+    val binCand = Similarity.binaryRerankTopK(emb, qs, coarseK = 10, k = 6,
+      dims = 6)
+      .select(col("q_id"), col("vec_id"),
+        floor(col("score") * 1e6 + 0.5).cast("long").as("rel"))
+    val binIds = binCand.select("q_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val viaBin = Similarity.mmrRerank(emb, binCand, k = 3, lambdaPct = 70)
+      .select("q_id", "vec_id", "step").as[(Long, Long, Int)].collect()
+    assert(viaBin.length == 6 &&
+      viaBin.forall(r => binIds((r._1, r._2))))
+    // missing rel column fails loud
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(emb, cand.drop("rel"), k = 3, lambdaPct = 70)
+    }
+  }
+
   test("binaryCode packs sign bits exactly; matchBits == dims - Hamming") {
     // 70 dims forces two words: word 0 full, word 1 holds 6 bits
     val dims = 70
