@@ -70,6 +70,16 @@ object AnnSweep {
       println(f"rp         outDims=$od%2d coarseK=$ck%4d " +
         f"recall@10=$r%.3f (${(System.nanoTime() - t0) / 1e9}%.1fs)")
     }
+    // X162 binary sign tier: recall vs coarseK — the single knob of
+    // the 1-bit rung (no training, no dims trade; the coarse budget
+    // IS the recall budget)
+    for (ck <- Seq(20, 50, 100, 200)) {
+      val t0 = System.nanoTime()
+      val r = meanRecall(Similarity.binaryRerankTopK(emb, qs,
+        coarseK = ck, k = 10, dims = 64))
+      println(f"binary     coarseK=$ck%4d " +
+        f"recall@10=$r%.3f (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+    }
     spark.stop()
   }
 }

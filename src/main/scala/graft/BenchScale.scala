@@ -66,7 +66,8 @@ object BenchScale {
     "q_stream_manifest", "q_manifest_asof", "q_embed_binary",
     // round-15: the X164/X165 DQ pair (landed r14 without bench rows —
     // the evidence-debt payoff) plus the new r15 operators
-    "q_dq_suite", "q_quarantine")
+    "q_dq_suite", "q_quarantine", "q_mmr_binary",
+    "q_top50_import_partners")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS
