@@ -993,6 +993,87 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Incremental (cross-snapshot) FINGERPRINT near-dup (X167) — the
+    * [[incrementalNearDup]] store contract for the MULTIMODAL
+    * fingerprint family: a new batch of integer fingerprints (the
+    * X154 56-bit image grid phash, the X124 audio block hash, or any
+    * [[fingerprintNearDupPairs]]-compatible hash) dedups against the
+    * already-ingested corpus represented ONLY by its `(id, sig)` hash
+    * store — history is never re-decoded (the store is 8 bytes +
+    * id per media object; payloads stay in cold storage).
+    *
+    * Banding runs batch-vs-store instead of self-join: band keys are
+    * bit-slices of the STORED hashes, derived per increment (the X113
+    * rule — cheap slices are recomputed, expensive evidence is
+    * stored; here the hash IS the full verification evidence, so the
+    * store carries nothing else). Candidate shuffles carry
+    * (band, bucket, id, sig) — short keys + one BIGINT, volume
+    * O(batch·bands + store·bands), never all-pairs and never a
+    * payload byte. Verification is EXACT `bit_count(xor) ≤ maxDist`
+    * inline on the candidate rows — no second fetch join (the win
+    * over the text form, whose store must carry shingle sets).
+    *
+    * Within-batch near-dups resolve by the same deterministic
+    * PAIRWISE lowest-id rule as [[incrementalNearDup]]: a batch doc
+    * drops iff it verifies against any store doc or any SMALLER-id
+    * batch doc (pairwise, not transitive closure). Empty store ≡ the
+    * batch-only pass (spec-pinned): survivors are exactly the batch
+    * minus [[fingerprintNearDupPairs]]' id2 side.
+    *
+    * Returns surviving `(id, sig)` rows — the store-append record:
+    * the caller's next increment is `store.unionByName(survivors)`. */
+  def incrementalFingerprintNearDup(newHashes: DataFrame, store: DataFrame,
+      idCol: String, hashCol: String, bits: Int, bands: Int,
+      maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(bands >= 1 && bits % bands == 0,
+      s"bands ($bands) must divide bits ($bits)")
+    require(maxDist >= 0 && maxDist < bands,
+      s"pigeonhole losslessness needs bands > maxDist, got bands=$bands maxDist=$maxDist")
+    require(Set("id", "sig").subsetOf(store.columns.toSet),
+      s"incrementalFingerprintNearDup: store must have columns id/sig, " +
+        s"got ${store.columns.mkString(", ")}")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    def bandRows(df: DataFrame, id: Column, sig: Column, idName: String,
+        sigName: String): DataFrame =
+      df.select(id.as(idName), sig.as(sigName),
+        posexplode(array((0 until bands).map(q =>
+          shiftrightunsigned(sig, q * w).bitwiseAND(lit(mask))): _*)))
+        .select(col(idName), col(sigName), col("pos").as("band"),
+          col("col").as("bucket"))
+    // batch hash records feed banding twice + the survivor anti-join;
+    // one short (id, sig) frame — persist once (registry-released)
+    val batch = newHashes
+      .select(col(idCol).cast("long").as("id"), col(hashCol).as("sig"))
+      .persistTracked()
+    val bBands = bandRows(batch, col("id"), col("sig"), "_bid", "_bsig")
+    val sBands = bandRows(store, col("id"), col("sig"), "_sid", "_ssig")
+    def ham(a: Column, b: Column): Column =
+      call_function("bit_count", a.bitwiseXOR(b)).cast("int")
+    // batch-vs-store: build side = the (smaller) batch, probe side =
+    // the store — pinned shuffle-hash, never a broadcast assumption on
+    // a corpus-sized index. The hash rides the band rows, so verify is
+    // inline — candidates never re-join either input.
+    val dupVsStore = bBands.hint("shuffle_hash")
+      .join(sBands, Seq("band", "bucket"))
+      .filter(ham(col("_bsig"), col("_ssig")) <= maxDist)
+      .select(col("_bid"))
+    // within-batch: the X144 self-join shape; id1 < id2 drops the
+    // larger id (the pairwise lowest-id rule)
+    val cb1 = bBands.select(col("band"), col("bucket"),
+      col("_bid").as("_id1"), col("_bsig").as("_s1"))
+    val cb2 = bBands.select(col("band"), col("bucket"),
+      col("_bid").as("_id2"), col("_bsig").as("_s2"))
+    val dupInBatch = cb1.hint("shuffle_hash").join(cb2, Seq("band", "bucket"))
+      .filter(col("_id1") < col("_id2"))
+      .filter(ham(col("_s1"), col("_s2")) <= maxDist)
+      .select(col("_id2").as("_bid"))
+    val dups = dupVsStore.unionByName(dupInBatch).distinct()
+    batch.join(dups.hint("shuffle_hash"),
+      batch("id") === dups("_bid"), "left_anti")
+  }
+
   /** Connected components over an undirected pair list — the cluster-
     * resolution step that turns near-dup PAIRS (MinHash/SimHash output)
     * into dedup CLUSTERS, so a pipeline can keep one canonical document

@@ -184,6 +184,65 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalFingerprintNearDup: store drops, pairwise in-batch rule, empty store == batch pass") {
+    // 12-bit fingerprints (the audio X124 width — the generic op IS
+    // the audio/image store form), 4 bands of 3, maxDist 3
+    val base = 0xABCL
+    val store = Seq((100L, base)).toDF("id", "sig")
+    val batch = Seq(
+      (10L, base ^ 0x5L),          // hamming 2 vs store -> drops
+      (11L, 0x321L),               // fresh
+      (12L, 0x321L ^ 0x1L),        // hamming 1 vs batch 11 -> drops (larger id)
+      (13L, 0x7FFL))               // fresh
+      .toDF("media_id", "phash")
+    val got = graft.operators.Dedup.incrementalFingerprintNearDup(
+      batch, store, "media_id", "phash", bits = 12, bands = 4, maxDist = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((11L, 0x321L), (13L, 0x7FFL)))
+    // chain a≈b≈c with a !≈ c: BOTH b and c drop, each against its
+    // smaller-id neighbour (the pairwise rule, not transitive closure)
+    val chain = Seq(
+      (20L, 0x000L),               // a
+      (21L, 0x007L),               // b: hamming 3 vs a -> drops
+      (22L, 0x03FL))               // c: hamming 3 vs b (but 6 vs a) -> drops
+      .toDF("media_id", "phash")
+    val chainGot = graft.operators.Dedup.incrementalFingerprintNearDup(
+      chain, Seq.empty[(Long, Long)].toDF("id", "sig"),
+      "media_id", "phash", bits = 12, bands = 4, maxDist = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(chainGot == Set((20L, 0x000L)))
+    // empty store == the batch-only pass: survivors are exactly the
+    // batch minus fingerprintNearDupPairs' id2 side
+    val emptyStore = Seq.empty[(Long, Long)].toDF("id", "sig")
+    val viaIncr = graft.operators.Dedup.incrementalFingerprintNearDup(
+      batch, emptyStore, "media_id", "phash", bits = 12, bands = 4,
+      maxDist = 3).select("id").as[Long].collect().toSet
+    val droppedBatchOnly = graft.operators.Dedup.fingerprintNearDupPairs(
+      batch, "media_id", "phash", bits = 12, bands = 4, maxDist = 3)
+      .select("id2").as[Long].collect().toSet
+    assert(viaIncr == Set(10L, 11L, 12L, 13L) -- droppedBatchOnly)
+    // store-append contract: survivors union the store for the next
+    // increment, and a re-arrival of a survivor then drops
+    val store2 = store.unionByName(
+      graft.operators.Dedup.incrementalFingerprintNearDup(
+        batch, store, "media_id", "phash", bits = 12, bands = 4,
+        maxDist = 3))
+    val rearrival = Seq((30L, 0x321L)).toDF("media_id", "phash")
+    assert(graft.operators.Dedup.incrementalFingerprintNearDup(
+      rearrival, store2, "media_id", "phash", bits = 12, bands = 4,
+      maxDist = 3).count() == 0)
+    // guards delegate the banding laws; store schema fails loud
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.incrementalFingerprintNearDup(
+        batch, store, "media_id", "phash", bits = 12, bands = 3, maxDist = 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.incrementalFingerprintNearDup(
+        batch, store.withColumnRenamed("sig", "hash"),
+        "media_id", "phash", bits = 12, bands = 4, maxDist = 3)
+    }
+  }
+
   test("simhash near-dup pairs at maxDist keeps exact dups") {
     val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
