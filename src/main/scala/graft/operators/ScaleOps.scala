@@ -1154,6 +1154,53 @@ object ScaleOps {
     (scan +: uniq).reduce(_ unionByName _)
   }
 
+  /** DQ DRIFT report (X168) — the "quality moved" signal over a
+    * [[dqSuite]] verdict HISTORY (one row per constraint per batch,
+    * the streaming DQ store's layout): for each (constraint, batch),
+    * compare `value_bp` against the mean of the constraint's trailing
+    * `windowBatches` verdicts — all INTEGER arithmetic (basis-point
+    * sums + integer division), so the anomaly flags are hash-portable
+    * facts, not float judgement calls. A batch with no trailing
+    * history (the first verdict of a constraint) reports n_trail=0
+    * with NULL trail/delta and anomaly=false — no history is no
+    * evidence of drift.
+    *
+    * Scale shape: the input is #constraints·#batches SHORT rows (the
+    * verdict history, never the corpus), the window partitions by
+    * constraint — one short-key shuffle over a table that grows by
+    * #constraints rows per ingest batch. At 100 TB the drift monitor
+    * costs nothing measurable; the corpus was already paid for by the
+    * per-batch suites. */
+  def dqDrift(history: DataFrame, windowBatches: Int,
+      thresholdBp: Long): DataFrame = {
+    require(windowBatches >= 1,
+      s"dqDrift: windowBatches must be >= 1, got $windowBatches")
+    require(thresholdBp >= 0,
+      s"dqDrift: thresholdBp must be >= 0, got $thresholdBp")
+    require(history.columns.contains("batch"),
+      "dqDrift: history must carry the batch partition column " +
+        "(the streaming DQ store layout)")
+    val w = Window.partitionBy("constraint")
+      .orderBy(col("batch").cast("long"))
+      .rowsBetween(-windowBatches, -1)
+    history
+      .select(col("constraint"), col("batch").cast("long").as("batch"),
+        col("n_bad"), col("value_bp"))
+      .withColumn("_ts", sum(col("value_bp")).over(w))
+      .withColumn("n_trail", count(lit(1)).over(w))
+      // `div`: exact integer division (the dqSuite convention) —
+      // value_bp sums are non-negative so floor/truncate agree
+      .withColumn("trail_mean_bp",
+        when(col("n_trail") > 0, expr("_ts div n_trail")))
+      .withColumn("delta_bp",
+        when(col("n_trail") > 0, col("value_bp") - col("trail_mean_bp")))
+      .withColumn("anomaly",
+        coalesce(abs(col("delta_bp")) > thresholdBp, lit(false)))
+      .select(col("constraint"), col("batch"), col("n_bad"),
+        col("value_bp"), col("n_trail"), col("trail_mean_bp"),
+        col("delta_bp"), col("anomaly"))
+  }
+
   /** Both sketch-backed operators (CMS, Bloom) insert by runtime type:
     * integral columns as longs, strings as UTF-8 bytes. Any other type
     * (double, decimal, binary, struct…) has no guaranteed insert/probe

@@ -3168,6 +3168,89 @@ object Extensions {
       s"${digest(1, "TRUE")}"
   }
 
+  /** Streaming DQ maintenance + drift (X168): the store carries a
+    * bootstrap verdict partition (doc_id%3==0 at batch=-1) and two
+    * REAL sequential micro-batches through one checkpoint (%3==1 →
+    * batch 0, %3==2 → batch 1); the output is the
+    * [[graft.operators.ScaleOps.dqDrift]] report over the verdict
+    * history — each constraint's value_bp vs its trailing-window
+    * integer mean, anomaly beyond 50 bp. The oracle replays the
+    * per-slice suite verdicts and the window fold in SQL. */
+  val streamDq: Q = (s, d) => withStreamShuffle(s, 8) {
+    val base = java.nio.file.Files.createTempDirectory("graft-dqstream").toString
+    val srcDir = s"$base/src"
+    val storeDir = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val checks = dqRowChecks :+
+      ("n_chars_consistent" -> (col("n_chars") === length(col("text"))))
+    val completeness = Seq("text", "lang", "source")
+    val uniqueness = Seq(Seq("doc_id"), Seq("source"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+        col("source"))
+    try {
+      graft.operators.ScaleOps.dqSuite(
+        docs.filter(col("doc_id") % 3 === 0), checks, completeness, uniqueness)
+        .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+      def runOnce(): Unit = {
+        val q = graft.streaming.EventsStreaming.streamingDqMaintenance(
+          s.readStream.schema(docs.schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          storeDir, checks, completeness, uniqueness) { (_, _) => () }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f1")
+      runOnce()
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f2")
+      runOnce()
+      graft.operators.ScaleOps.dqDrift(
+        graft.streaming.EventsStreaming.readDqStore(s, storeDir),
+        windowBatches = 3, thresholdBp = 50)
+        .localCheckpoint()
+    } finally deleteRecursively(base)
+  }
+
+  val streamDqSql: String = {
+    def slice(batchId: Long, where: String): String = {
+      def checkRow(label: String, pred: String) =
+        s"SELECT '$label' AS \"constraint\", " +
+          s"CAST(coalesce(sum(CASE WHEN NOT coalesce($pred, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad " +
+          s"FROM documents WHERE $where"
+      val checks = Seq(
+        checkRow("check:text_nonempty", "text IS NOT NULL AND length(text) > 0"),
+        checkRow("check:min_chars_100", "n_chars >= 100"),
+        checkRow("check:latin_script", "lang <> 'zh'"),
+        checkRow("check:n_chars_consistent", "n_chars = length(text)"),
+        checkRow("complete:text", "text IS NOT NULL"),
+        checkRow("complete:lang", "lang IS NOT NULL"),
+        checkRow("complete:source", "source IS NOT NULL"))
+      def uniqRow(key: String) =
+        s"SELECT 'unique:$key' AS \"constraint\", " +
+          s"CAST((SELECT count(*) FROM documents WHERE $where) - " +
+          s"(SELECT count(*) FROM (SELECT 1 FROM documents WHERE $where GROUP BY $key)) AS BIGINT) AS n_bad"
+      s"SELECT \"constraint\", CAST($batchId AS BIGINT) AS batch, n_bad, " +
+        "CAST(CASE WHEN t.total > 0 THEN (t.total - n_bad) * 10000 // t.total ELSE 10000 END AS BIGINT) AS value_bp " +
+        s"FROM ((${checks.mkString(") UNION ALL (")}) UNION ALL " +
+        s"(${uniqRow("doc_id")}) UNION ALL (${uniqRow("source")})) u " +
+        s"CROSS JOIN (SELECT count(*) AS total FROM documents WHERE $where) t"
+    }
+    s"WITH v AS ((${slice(-1, "doc_id % 3 = 0")}) UNION ALL " +
+      s"(${slice(0, "doc_id % 3 = 1")}) UNION ALL " +
+      s"(${slice(1, "doc_id % 3 = 2")})), " +
+      "dr AS (SELECT \"constraint\", batch, n_bad, value_bp, " +
+      "CAST(count(*) OVER w AS BIGINT) AS n_trail, " +
+      "CAST(sum(value_bp) OVER w AS BIGINT) AS ts FROM v " +
+      "WINDOW w AS (PARTITION BY \"constraint\" ORDER BY batch ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) " +
+      "SELECT \"constraint\", batch, n_bad, value_bp, n_trail, " +
+      "CASE WHEN n_trail > 0 THEN ts // n_trail END AS trail_mean_bp, " +
+      "CASE WHEN n_trail > 0 THEN value_bp - ts // n_trail END AS delta_bp, " +
+      "coalesce(abs(CASE WHEN n_trail > 0 THEN value_bp - ts // n_trail END) > 50, FALSE) AS anomaly " +
+      "FROM dr"
+  }
+
   /** ANN recall harness (X115): retrieval QUALITY of the three ANN
     * variants measured as per-query recall@10 against the brute-force
     * ground truth — all four top-k tables are deterministic given the
@@ -4844,6 +4927,7 @@ object Extensions {
     "q_manifest_asof" -> manifestAsOf,
     "q_embed_binary" -> embedBinary,
     "q_dq_suite" -> dqSuite,
+    "q_stream_dq" -> streamDq,
     "q_quarantine" -> quarantine,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
@@ -4988,6 +5072,7 @@ object Extensions {
     "q_manifest_asof" -> manifestAsOfSql,
     "q_embed_binary" -> embedBinarySql,
     "q_dq_suite" -> dqSuiteSql,
+    "q_stream_dq" -> streamDqSql,
     "q_quarantine" -> quarantineSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,

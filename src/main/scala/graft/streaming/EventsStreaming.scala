@@ -788,6 +788,53 @@ object EventsStreaming {
     graft.operators.ScaleOps.mergeManifests(upTo, groupCol)
   }
 
+  /** Streaming DATA-QUALITY maintenance (X168) — X164 connected to the
+    * ops loop the way X160 did for manifests: each micro-batch runs
+    * [[graft.operators.ScaleOps.dqSuite]] over the batch and appends
+    * the #constraints-row verdict table under `batch=<id>`; the
+    * constraint HISTORY is the store, and
+    * [[graft.operators.ScaleOps.dqDrift]] over it gives the
+    * Deequ-style "quality moved" anomaly signal (metric vs trailing
+    * window, integer arithmetic). The store contracts apply verbatim:
+    * retry idempotence via per-batch overwrite, the
+    * one-checkpoint-per-store lineage guard ([[storeForBatch]] —
+    * probe only; the verdict never reads the store), bootstrap
+    * partitions at negative ids, X155 compaction layout. Per-batch
+    * cost is dqSuite's ONE aggregation pass over the batch (+ one
+    * short-key shuffle per uniqueness key set) and a
+    * #constraints-row write — the corpus is never rescanned and the
+    * history never rewritten. */
+  def streamingDqMaintenance(docs: DataFrame, storePath: String,
+      rowChecks: Seq[(String, org.apache.spark.sql.Column)],
+      completeness: Seq[String] = Nil,
+      uniqueness: Seq[Seq[String]] = Nil)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          // lineage guard only — the verdict never reads the store
+          storeForBatch(readDqStore(spark, storePath), batchId)
+          val verdict = graft.operators.ScaleOps.dqSuite(
+            batch.toDF(), rowChecks, completeness, uniqueness)
+          verdict.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          sink(verdict, batchId)
+        }
+        ()
+    }
+
+  /** The per-batch DQ verdict store (constraint, n_bad, value_bp,
+    * passed), empty-with-schema when the path does not exist yet; same
+    * narrow catch and partition-layout contract as
+    * [[readNearDupStore]]. */
+  def readDqStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("constraint", StringType),
+        StructField("n_bad", LongType),
+        StructField("value_bp", LongType),
+        StructField("passed", BooleanType))))
+
   /** The semantic-dedup store (id, embedding, cell), empty-with-schema
     * when the path does not exist yet; same narrow catch and
     * partition-layout contract as [[readNearDupStore]]. */

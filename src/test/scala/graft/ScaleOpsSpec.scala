@@ -343,6 +343,38 @@ class ScaleOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ScaleOps.dqSuite(df, Nil) }
   }
 
+  test("dqDrift: trailing-window integer mean, first-batch no-evidence, window truncation") {
+    val hist = Seq(
+      ("check:a", -1L, 0L, 10000L),
+      ("check:a", 0L, 0L, 10000L),
+      ("check:a", 1L, 50L, 9000L),   // drops 1000 bp vs trail mean
+      ("check:b", 0L, 0L, 9990L),
+      ("check:b", 1L, 1L, 9960L))    // -30 bp: inside threshold
+      .toDF("constraint", "batch", "n_bad", "value_bp")
+    val got = ScaleOps.dqDrift(hist, windowBatches = 3, thresholdBp = 50)
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long], Boolean)]
+      .collect().map(r => (r._1, r._2) -> ((r._5, r._6, r._7, r._8))).toMap
+    // first verdict of a constraint: no history, no drift evidence
+    assert(got(("check:a", -1L)) == ((0L, None, None, false)))
+    assert(got(("check:b", 0L)) == ((0L, None, None, false)))
+    // integer trailing mean over both priors; -1000 bp trips at 50
+    assert(got(("check:a", 0L)) == ((1L, Some(10000L), Some(0L), false)))
+    assert(got(("check:a", 1L)) == ((2L, Some(10000L), Some(-1000L), true)))
+    assert(got(("check:b", 1L)) == ((1L, Some(9990L), Some(-30L), false)))
+    // window truncation: windowBatches=1 sees only the previous batch
+    val w1 = ScaleOps.dqDrift(hist, windowBatches = 1, thresholdBp = 50)
+      .filter(col("constraint") === "check:a" && col("batch") === 1L)
+      .select(col("n_trail"), col("trail_mean_bp"))
+      .as[(Long, Long)].head()
+    assert(w1 == ((1L, 10000L)))
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqDrift(hist, windowBatches = 0, thresholdBp = 50)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqDrift(hist.drop("batch"), windowBatches = 3, thresholdBp = 50)
+    }
+  }
+
   test("intervalOverlapJoin == brute-force theta join, boundary-exact") {
     val a = Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 200L, 200L))
       .toDF("aid", "sa", "ea")

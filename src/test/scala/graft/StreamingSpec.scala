@@ -711,6 +711,73 @@ class StreamingSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("streaming DQ maintenance: per-batch verdicts, drift over history, lineage guard") {
+    val base = Files.createTempDirectory("graft-dqstream-spec").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/dq"
+    val ckpt = s"$base/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("txt",
+        org.apache.spark.sql.types.StringType)))
+    val checks = Seq("txt_nonempty" ->
+      (col("txt").isNotNull && length(col("txt")) > 0))
+    val t1 = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+    val t2 = Seq((5L, "ee"), (6L, ""), (7L, null.asInstanceOf[String]), (8L, "hh"))
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingDqMaintenance(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, checks, completeness = Seq("txt"),
+        uniqueness = Seq(Seq("id"))) { (_, _) => () }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    t1.toDF("id", "txt").coalesce(1).write.parquet(s"$srcDir/f1")
+    runOnce()
+    t2.toDF("id", "txt").coalesce(1).write.parquet(s"$srcDir/f2")
+    runOnce()
+    // one verdict partition per batch; per-batch rows == dqSuite of
+    // exactly that batch (batch 1: 2 bad rows of 4 -> 5000 bp)
+    val hist = EventsStreaming.readDqStore(spark, store)
+    assert(hist.select(col("batch").cast("long")).distinct()
+      .as[Long].collect().toSet == Set(0L, 1L))
+    val b1 = hist.filter(col("batch").cast("long") === 1L)
+      .select("constraint", "n_bad", "value_bp", "passed")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(b1 == Set(
+      ("check:txt_nonempty", 2L, 5000L, false),
+      ("complete:txt", 1L, 7500L, false),
+      ("unique:id", 0L, 10000L, true)))
+    // drift: batch 1's txt_nonempty drops 5000 bp vs batch 0's 10000
+    val drift = graft.operators.ScaleOps.dqDrift(hist,
+      windowBatches = 3, thresholdBp = 50)
+      .filter(col("constraint") === "check:txt_nonempty" &&
+        col("batch") === 1L)
+      .select("trail_mean_bp", "delta_bp", "anomaly")
+      .as[(Long, Long, Boolean)].head()
+    assert(drift == ((10000L, -5000L, true)))
+    // a foreign checkpoint against the existing store trips the guard
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = EventsStreaming.streamingDqMaintenance(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, checks) { (_, _) => () }
+        .option("checkpointLocation", s"$base/ckpt-foreign")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(e).exists(_.contains("checkpoint lineage")),
+      s"expected lineage guard, got: ${rootMessages(e)}")
+  }
+
   test("compactStore: interrupted swap never silently bootstraps empty history") {
     // simulate a crash mid-swap: the live store has renamed to .old,
     // the compacted content has not renamed in yet — the store path is
