@@ -67,7 +67,8 @@ object BenchScale {
     // round-15: the X164/X165 DQ pair (landed r14 without bench rows —
     // the evidence-debt payoff) plus the new r15 operators
     "q_dq_suite", "q_quarantine", "q_mmr_binary",
-    "q_top50_import_partners")
+    "q_top50_import_partners", "q_incremental_image_neardup",
+    "q_stream_dq")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS
