@@ -1318,6 +1318,100 @@ object Extensions {
       "AND media_id NOT IN (SELECT bid FROM cvs UNION ALL SELECT bid FROM cvb)"
   }
 
+  /** Streaming incremental image near-dup (X169): the store carries a
+    * bootstrap hash partition (doc_id%3==0 at batch=-1) and two REAL
+    * sequential micro-batches through one checkpoint (%3==1 → batch 0,
+    * %3==2 → batch 1); decode + phash run UPSTREAM in the streaming
+    * DAG (typed mapPartitions — payloads never reach the store), each
+    * batch dedups against the store-so-far, and the output is the
+    * final store content: bootstrap + batch-0 survivors + batch-1
+    * survivors (the oracle replays the two-batch sequence, batch 1
+    * matching against batch 0's survivors too). */
+  val streamIncrImageNearDup: Q = (s, d) => withStreamShuffle(s, 8) {
+    val base = java.nio.file.Files.createTempDirectory("graft-fpstream").toString
+    val srcDir = s"$base/src"
+    val storeDir = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    def hashesOf(docs: org.apache.spark.sql.DataFrame) =
+      Multimodal.imagePerceptualHashGrid(
+        Multimodal.bmpMediaFromDocuments(docs),
+        PHASH_GRID_W, PHASH_GRID_H).toDF()
+        .filter(col("decoded")).select(col("media_id"), col("phash"))
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    try {
+      hashesOf(docs.filter(col("doc_id") % 3 === 0))
+        .select(col("media_id").as("id"), col("phash").as("sig"))
+        .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+      def runOnce(): Unit = {
+        val src = s.readStream.schema(docs.schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir)
+        val q = graft.streaming.EventsStreaming
+          .streamingIncrementalFingerprintNearDup(
+            hashesOf(src), storeDir, "media_id", "phash",
+            bits = PHASH_GRID_W * PHASH_GRID_H, bands = PHASH_BANDS,
+            maxDist = PHASH_MAXDIST) { (_, _) => () }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f1")
+      runOnce()
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f2")
+      runOnce()
+      graft.streaming.EventsStreaming.readFingerprintStore(s, storeDir)
+        .select(col("id").as("media_id"), col("sig").as("phash"))
+        .localCheckpoint()
+    } finally deleteRecursively(base)
+  }
+
+  /** Sequential two-batch replay of [[incrementalImageNearDupSql]]'s
+    * chain: batch 0 (%3==1) dedups vs the bootstrap (%3==0); batch 1
+    * (%3==2) dedups vs bootstrap + batch-0 SURVIVORS; output is the
+    * final store content. */
+  val streamIncrImageNearDupSql: String = {
+    val bandW = PHASH_GRID_W * PHASH_GRID_H / PHASH_BANDS
+    val mask = (1L << bandW) - 1
+    val bandRows = (0 until PHASH_BANDS).map(b => s"($b)").mkString(",")
+    s"WITH m AS (SELECT doc_id AS media_id, CAST(4 + doc_id % 13 AS BIGINT) AS w, " +
+      "CAST(3 + doc_id % 7 AS BIGINT) AS h FROM documents), " +
+      "xs AS (SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m), " +
+      "ps AS (SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs), " +
+      s"px AS (SELECT media_id, (y*$PHASH_GRID_H)//h*$PHASH_GRID_W + (x*$PHASH_GRID_W)//w AS cell, " +
+      "(media_id + 7*x + 13*y) % 256 + (2*media_id + 5*x + 3*y) % 256 + (media_id + x*y) % 256 AS g3 FROM ps), " +
+      "cs AS (SELECT media_id, cell, CAST(sum(g3) AS BIGINT) AS s, count(*) AS n FROM px GROUP BY media_id, cell), " +
+      "tot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(n) AS BIGINT) AS tn FROM cs GROUP BY media_id), " +
+      "ph AS MATERIALIZED (SELECT cs.media_id, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.n THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT) AS phash " +
+      "FROM cs JOIN tot ON cs.media_id = tot.media_id GROUP BY cs.media_id), " +
+      s"bands AS MATERIALIZED (SELECT media_id, phash, bb.band, (phash >> (bb.band*$bandW)) & $mask AS bucket " +
+      s"FROM ph CROSS JOIN (VALUES $bandRows) bb(band)), " +
+      // batch 0: %3==1 vs bootstrap %3==0, plus within-batch
+      "d0 AS (SELECT DISTINCT b.media_id AS bid FROM bands b " +
+      "JOIN bands st ON b.band = st.band AND b.bucket = st.bucket " +
+      "WHERE b.media_id % 3 = 1 AND st.media_id % 3 = 0 " +
+      s"AND bit_count(xor(b.phash, st.phash)) <= $PHASH_MAXDIST " +
+      "UNION SELECT DISTINCT b2.media_id FROM bands b1 " +
+      "JOIN bands b2 ON b1.band = b2.band AND b1.bucket = b2.bucket AND b1.media_id < b2.media_id " +
+      "WHERE b1.media_id % 3 = 1 AND b2.media_id % 3 = 1 " +
+      s"AND bit_count(xor(b1.phash, b2.phash)) <= $PHASH_MAXDIST), " +
+      "s0 AS MATERIALIZED (SELECT media_id FROM ph WHERE media_id % 3 = 1 " +
+      "AND media_id NOT IN (SELECT bid FROM d0)), " +
+      // batch 1: %3==2 vs bootstrap + batch-0 survivors, plus within-batch
+      "d1 AS (SELECT DISTINCT b.media_id AS bid FROM bands b " +
+      "JOIN bands st ON b.band = st.band AND b.bucket = st.bucket " +
+      "WHERE b.media_id % 3 = 2 AND (st.media_id % 3 = 0 OR st.media_id IN (SELECT media_id FROM s0)) " +
+      s"AND bit_count(xor(b.phash, st.phash)) <= $PHASH_MAXDIST " +
+      "UNION SELECT DISTINCT b2.media_id FROM bands b1 " +
+      "JOIN bands b2 ON b1.band = b2.band AND b1.bucket = b2.bucket AND b1.media_id < b2.media_id " +
+      "WHERE b1.media_id % 3 = 2 AND b2.media_id % 3 = 2 " +
+      s"AND bit_count(xor(b1.phash, b2.phash)) <= $PHASH_MAXDIST), " +
+      "s1 AS (SELECT media_id FROM ph WHERE media_id % 3 = 2 " +
+      "AND media_id NOT IN (SELECT bid FROM d1)) " +
+      "SELECT media_id, phash FROM ph WHERE media_id % 3 = 0 " +
+      "OR media_id IN (SELECT media_id FROM s0) " +
+      "OR media_id IN (SELECT media_id FROM s1)"
+  }
+
   /** Audio block-energy fingerprint (X124): the audio sibling of
     * q_image_phash — real PCM16 decode, 12 contiguous blocks, bit set
     * iff block mean |sample| > clip mean via integer
@@ -4888,6 +4982,7 @@ object Extensions {
     "q_image_phash" -> imagePhash,
     "q_image_neardup" -> imageNearDup,
     "q_incremental_image_neardup" -> incrementalImageNearDup,
+    "q_stream_incr_image_neardup" -> streamIncrImageNearDup,
     "q_audio_phash" -> audioPhash,
     "q_audio_decode" -> audioDecode,
     "q_audio_search" -> audioSearch,
@@ -5033,6 +5128,7 @@ object Extensions {
     "q_image_phash" -> imagePhashSql,
     "q_image_neardup" -> imageNearDupSql,
     "q_incremental_image_neardup" -> incrementalImageNearDupSql,
+    "q_stream_incr_image_neardup" -> streamIncrImageNearDupSql,
     "q_audio_phash" -> audioPhashSql,
     "q_audio_decode" -> audioDecodeSql,
     "q_audio_search" -> audioSearchSql,

@@ -823,6 +823,53 @@ object EventsStreaming {
         ()
     }
 
+  /** Streaming incremental FINGERPRINT near-dup, micro-batch-composed
+    * (X169) — the streaming form of
+    * [[graft.operators.Dedup.incrementalFingerprintNearDup]], closing
+    * the modality symmetry: the perceptual-hash family (image grid
+    * phash, audio block hash) now has batch → increment → stream
+    * forms like the text families. The stream input is HASH records
+    * (idCol, hashCol) — decode/phash are map-side projections the
+    * caller composes upstream in the streaming DAG (typed
+    * mapPartitions, streaming-compatible), so payloads never reach
+    * the store or the shuffle. Each micro-batch dedups against the
+    * store (band keys bit-sliced from STORED hashes — history never
+    * re-decoded), then appends its survivors under `batch=<id>`.
+    * Store layout, retry idempotence (per-batch overwrite +
+    * self-excluded read), the lineage guard, and scoped cache release
+    * follow [[streamingIncrementalNearDup]] exactly; the survivors
+    * localCheckpoint eagerly because their plan READS the store path
+    * the write below extends (the recacheByPath hazard). */
+  def streamingIncrementalFingerprintNearDup(hashes: DataFrame,
+      storePath: String, idCol: String, hashCol: String, bits: Int,
+      bands: Int, maxDist: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hashes.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          val store = storeForBatch(
+            readFingerprintStore(spark, storePath), batchId)
+          val survivors = Dedup.incrementalFingerprintNearDup(
+            batch.toDF(), store, idCol, hashCol, bits, bands, maxDist)
+            .localCheckpoint()
+          survivors.write.mode("overwrite")
+            .parquet(s"$storePath/batch=$batchId")
+          sink(survivors, batchId)
+        }
+        ()
+    }
+
+  /** The fingerprint near-dup store (id, sig — one integer hash per
+    * media object), empty-with-schema when the path does not exist
+    * yet; same narrow catch and partition-layout contract as
+    * [[readNearDupStore]]. */
+  def readFingerprintStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("sig", LongType))))
+
   /** The per-batch DQ verdict store (constraint, n_bad, value_bp,
     * passed), empty-with-schema when the path does not exist yet; same
     * narrow catch and partition-layout contract as

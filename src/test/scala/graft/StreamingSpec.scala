@@ -778,6 +778,69 @@ class StreamingSpec extends SparkSpec {
       s"expected lineage guard, got: ${rootMessages(e)}")
   }
 
+  test("streaming fingerprint near-dup: cross-batch store dedup, survivors append, lineage guard") {
+    val base = Files.createTempDirectory("graft-fpstream-spec").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/fp"
+    val ckpt = s"$base/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("phash",
+        org.apache.spark.sql.types.LongType)))
+    // bootstrap: one stored hash at batch=-1
+    Seq((100L, 0xABCL)).toDF("id", "sig")
+      .write.parquet(s"$store/batch=-1")
+    // batch 0: 10 drops vs bootstrap (hamming 2), 11 survives
+    val t1 = Seq((10L, 0xABCL ^ 0x5L), (11L, 0x321L))
+    // batch 1: 20 drops vs batch-0 SURVIVOR 11 (hamming 1 — the
+    // cross-batch store hand-off), 21 fresh
+    val t2 = Seq((20L, 0x321L ^ 0x1L), (21L, 0x7FFL))
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingIncrementalFingerprintNearDup(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "media_id", "phash", bits = 12, bands = 4, maxDist = 3) {
+        (_, _) => ()
+      }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    t1.toDF("media_id", "phash").coalesce(1).write.parquet(s"$srcDir/f1")
+    runOnce()
+    t2.toDF("media_id", "phash").coalesce(1).write.parquet(s"$srcDir/f2")
+    runOnce()
+    val got = EventsStreaming.readFingerprintStore(spark, store)
+      .select(col("id"), col("sig"),
+        col("batch").cast("long").as("batch"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (100L, 0xABCL, -1L),
+      (11L, 0x321L, 0L),
+      (21L, 0x7FFL, 1L)),
+      s"store must hold bootstrap + per-batch survivors, got $got")
+    // a foreign checkpoint against the existing store trips the guard
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = EventsStreaming.streamingIncrementalFingerprintNearDup(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "media_id", "phash", bits = 12, bands = 4, maxDist = 3) {
+        (_, _) => ()
+      }
+        .option("checkpointLocation", s"$base/ckpt-foreign")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(e).exists(_.contains("checkpoint lineage")),
+      s"expected lineage guard, got: ${rootMessages(e)}")
+  }
+
   test("compactStore: interrupted swap never silently bootstraps empty history") {
     // simulate a crash mid-swap: the live store has renamed to .old,
     // the compacted content has not renamed in yet — the store path is
