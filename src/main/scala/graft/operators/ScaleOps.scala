@@ -1201,6 +1201,55 @@ object ScaleOps {
         col("delta_bp"), col("anomaly"))
   }
 
+  /** APPROXIMATE uniqueness DQ constraints (X170) — the 100 TB form
+    * of [[dqSuite]]'s uniqueness rows: exact uniqueness shuffles one
+    * short key PER ROW (the dedup shape — O(corpus) shuffle volume
+    * per key set), while the portable-HLL form ships 256 mergeable
+    * register maxes per key set ([[Sketches.hllDistinct]]'s layout:
+    * md5-derived registers, all-integer harmonic sum, one IEEE
+    * division at the edge — the estimate is a hash-portable FACT,
+    * not an engine-dependent approximation). This is the Deequ
+    * `approxCountDistinct` trade: ±~6% standard error at m=256 in
+    * exchange for per-day / per-partition sketches that combine by
+    * register max without rescanning anything.
+    *
+    * Key sets canonicalize like contentDigest: values cast to
+    * strings, NULL → chr(0) sentinel, joined by chr(1) — so NULL
+    * keys count as one key (the exact branch's dedup semantics) and
+    * multi-column sets hash as one value. Emits one row per key set:
+    * (constraint, n_rows, est_distinct, ratio_bp, passed) with
+    * ratio_bp = floor(est·10⁴/n + 0.5) from the ALREADY-4dp-ROUNDED
+    * estimate (identical IEEE ops in any engine) and passed iff
+    * ratio_bp ≥ minRatioBp. An empty corpus reports est 0.0 /
+    * ratio 10000 / passed — the [[dqSuite]] empty-verdict rule. */
+  def dqApproxUniqueness(df: DataFrame, keySets: Seq[Seq[String]],
+      minRatioBp: Long, hashSeed: Int = 777): DataFrame = {
+    require(keySets.nonEmpty, "dqApproxUniqueness: no key sets given")
+    require(minRatioBp >= 0 && minRatioBp <= 10000,
+      s"dqApproxUniqueness: minRatioBp must be 0..10000, got $minRatioBp")
+    val total = df.agg(count(lit(1)).as("_total"))
+    val rows = keySets.map { keys =>
+      require(keys.nonEmpty, "dqApproxUniqueness: empty key set")
+      val canon = concat_ws("\u0001",
+        keys.map(k => coalesce(col(k).cast("string"), lit("\u0000"))): _*)
+      Sketches.hllDistinct(df.select(canon.as("_k")), Nil, "_k", hashSeed)
+        .select(
+          lit(s"approx_unique:${keys.mkString(",")}").as("constraint"),
+          // empty corpus: no registers -> NULL estimate -> 0 distinct
+          coalesce(col("hll_distinct"), lit(0.0)).as("est_distinct"))
+    }.reduce(_ unionByName _)
+    // 1-row corpus total attached to the #keySets-row estimate table
+    // (the q_profile scalar-broadcast shape)
+    rows.crossJoin(total)
+      .select(col("constraint"), col("_total").as("n_rows"),
+        col("est_distinct"),
+        when(col("_total") > 0,
+          floor(col("est_distinct") * 10000.0 / col("_total") + 0.5)
+            .cast("long"))
+          .otherwise(10000L).as("ratio_bp"))
+      .withColumn("passed", col("ratio_bp") >= minRatioBp)
+  }
+
   /** Both sketch-backed operators (CMS, Bloom) insert by runtime type:
     * integral columns as longs, strings as UTF-8 bytes. Any other type
     * (double, decimal, binary, struct…) has no guaranteed insert/probe

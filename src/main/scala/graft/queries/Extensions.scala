@@ -170,6 +170,44 @@ object Extensions {
       "n_bad = 0 AS passed FROM u CROSS JOIN t"
   }
 
+  /** Approximate-uniqueness DQ constraints (X170): the 100 TB form of
+    * the suite's uniqueness rows — 256 mergeable portable-HLL register
+    * maxes per key set instead of a per-row key shuffle; the estimate
+    * is integer-register arithmetic + one IEEE division, so
+    * est/ratio/passed are hash-portable facts. Three key sets: doc_id
+    * (unique — passes at 9000 bp), source (dup-heavy — fails),
+    * (lang, source) composite (canonicalized chr(1)-joined,
+    * NULL → chr(0)). */
+  val dqApprox: Q = (s, d) =>
+    graft.operators.ScaleOps.dqApproxUniqueness(Tables.documents(s, d),
+      keySets = Seq(Seq("doc_id"), Seq("source"), Seq("lang", "source")),
+      minRatioBp = 9000)
+
+  val dqApproxSql: String = {
+    def estSub(keyExpr: String) =
+      "(WITH hh AS (SELECT CAST('0x' || substr(md5('777:' || CAST(" +
+        keyExpr + " AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM documents), " +
+        "bb AS (SELECT h % 256 AS reg, h >> 8 AS suffix FROM hh), " +
+        "rr AS (SELECT reg, CASE WHEN suffix = 0 THEN 53 ELSE 53 - length(bin(suffix)) END AS rho FROM bb), " +
+        "mx AS (SELECT reg, max(rho) AS m FROM rr GROUP BY reg), " +
+        "ss AS (SELECT sum(CAST(1 AS BIGINT) << (53 - m)) + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s, 256 - count(*) AS zeros FROM mx), " +
+        "ee AS (SELECT CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))*CAST(65536.0 AS DOUBLE)*CAST(9007199254740992.0 AS DOUBLE)/CAST(s AS DOUBLE) AS raw, zeros FROM ss) " +
+        "SELECT round(CASE WHEN raw <= 640.0 AND zeros > 0 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE)/CAST(zeros AS DOUBLE)) ELSE raw END, 4) FROM ee)"
+    def row(label: String, keyExpr: String) =
+      s"SELECT 'approx_unique:$label' AS \"constraint\", ${estSub(keyExpr)} AS est"
+    val rows = Seq(
+      row("doc_id", "coalesce(CAST(doc_id AS VARCHAR), chr(0))"),
+      row("source", "coalesce(source, chr(0))"),
+      row("lang,source",
+        "concat_ws(chr(1), coalesce(lang, chr(0)), coalesce(source, chr(0)))"))
+    s"WITH t AS (SELECT count(*) AS total FROM documents), " +
+      s"u AS ((${rows.mkString(") UNION ALL (")})) " +
+      "SELECT \"constraint\", t.total AS n_rows, est AS est_distinct, " +
+      "CAST(CASE WHEN t.total > 0 THEN floor(est * 10000.0 / t.total + 0.5) ELSE 10000 END AS BIGINT) AS ratio_bp, " +
+      "CAST(CASE WHEN t.total > 0 THEN floor(est * 10000.0 / t.total + 0.5) ELSE 10000 END AS BIGINT) >= 9000 AS passed " +
+      "FROM u CROSS JOIN t"
+  }
+
   /** Row-level quarantine routing (X165): every document routed with
     * its reason list — valid rows carry is_valid=true and an empty
     * reasons string; quarantined rows name every check they failed in
@@ -5022,6 +5060,7 @@ object Extensions {
     "q_manifest_asof" -> manifestAsOf,
     "q_embed_binary" -> embedBinary,
     "q_dq_suite" -> dqSuite,
+    "q_dq_approx" -> dqApprox,
     "q_stream_dq" -> streamDq,
     "q_quarantine" -> quarantine,
     "q_stratified_sample" -> stratifiedSample,
@@ -5168,6 +5207,7 @@ object Extensions {
     "q_manifest_asof" -> manifestAsOfSql,
     "q_embed_binary" -> embedBinarySql,
     "q_dq_suite" -> dqSuiteSql,
+    "q_dq_approx" -> dqApproxSql,
     "q_stream_dq" -> streamDqSql,
     "q_quarantine" -> quarantineSql,
     "q_stratified_sample" -> stratifiedSampleSql,

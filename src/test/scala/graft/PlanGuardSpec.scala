@@ -73,7 +73,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_embed_binary",
       // composes the q_embed_binary coarse pass; the MMR stages after
       // the candidate table are all keyed equi-joins + a map-side fold
-      "q_mmr_binary")
+      "q_mmr_binary",
+      // 1-row corpus total attached to the #keySets-row HLL estimate
+      // table, like q_profile's 1-row aggregate attach
+      "q_dq_approx")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)

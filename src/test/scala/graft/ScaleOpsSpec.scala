@@ -343,6 +343,47 @@ class ScaleOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ScaleOps.dqSuite(df, Nil) }
   }
 
+  test("dqApproxUniqueness: sketch == hllDistinct, NULL is a key, empty corpus passes") {
+    val df = Seq(
+      (1L, Some("a"), "en"), (2L, Some("a"), "en"), (3L, Some("b"), "de"),
+      (4L, None: Option[String], "en"), (5L, Some("b"), "de"))
+      .toDF("id", "src", "lang")
+    val got = ScaleOps.dqApproxUniqueness(df,
+      keySets = Seq(Seq("id"), Seq("src"), Seq("lang", "src")),
+      minRatioBp = 9000)
+      .as[(String, Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // the estimate IS hllDistinct over the canonicalized key — same
+    // registers, same integer fold (NULL src -> chr(0) counts as a key:
+    // 3 distinct src values {a, b, NULL})
+    import graft.operators.Sketches
+    def est(c: org.apache.spark.sql.Column): Double =
+      Sketches.hllDistinct(df.select(c.cast("string").as("_k")), Nil, "_k")
+        .as[Double].head()
+    val idEst = est(col("id"))
+    val srcEst = est(coalesce(col("src"), lit("\u0000")))
+    assert(got("approx_unique:id") ==
+      ((5L, idEst, math.floor(idEst * 10000.0 / 5 + 0.5).toLong,
+        math.floor(idEst * 10000.0 / 5 + 0.5) >= 9000)))
+    assert(got("approx_unique:src")._2 == srcEst)
+    // at these cardinalities linear counting is near-exact: 5 ids vs
+    // 3 sources must order the ratios
+    assert(got("approx_unique:id")._4 > got("approx_unique:src")._4)
+    assert(got("approx_unique:lang,src")._2 > 0.0)
+    // empty corpus: no registers -> 0 distinct, vacuous pass
+    val empty = ScaleOps.dqApproxUniqueness(
+      Seq.empty[(Long, String)].toDF("id", "src"),
+      keySets = Seq(Seq("id")), minRatioBp = 9000)
+      .as[(String, Long, Double, Long, Boolean)].head()
+    assert(empty == (("approx_unique:id", 0L, 0.0, 10000L, true)))
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqApproxUniqueness(df, Nil, 9000)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqApproxUniqueness(df, Seq(Seq("id")), 10001)
+    }
+  }
+
   test("dqDrift: trailing-window integer mean, first-batch no-evidence, window truncation") {
     val hist = Seq(
       ("check:a", -1L, 0L, 10000L),
