@@ -80,6 +80,26 @@ object AnnSweep {
       println(f"binary     coarseK=$ck%4d " +
         f"recall@10=$r%.3f (${(System.nanoTime() - t0) / 1e9}%.1fs)")
     }
+    // X158 MMR: the relevance/diversity trade vs lambda — mean
+    // selected relevance (rel6/1e6) against mean pairwise cosine of
+    // each query's selected set (the redundancy MMR suppresses)
+    for (lam <- Seq(100, 85, 70, 50, 30)) {
+      val t0 = System.nanoTime()
+      val sel = Similarity.mmrTopK(emb, qs, k = 10, fetchK = 50,
+        lambdaPct = lam)
+      val meanRel = sel.agg(avg(col("rel") / 1e6)).head().getDouble(0)
+      val withVec = sel.select(col("q_id"), col("vec_id")).join(emb, Seq("vec_id"))
+      val a = withVec.select(col("q_id"), col("vec_id").as("_a"),
+        col("embedding").as("_va"))
+      val b = withVec.select(col("q_id"), col("vec_id").as("_b"),
+        col("embedding").as("_vb"))
+      val meanPairSim = a.join(b, Seq("q_id"))
+        .filter(col("_a") < col("_b"))
+        .agg(avg(Similarity.cosine(col("_va"), col("_vb"))))
+        .head().getDouble(0)
+      println(f"mmr        lambda=$lam%3d meanRel=$meanRel%.3f " +
+        f"meanPairSim=$meanPairSim%.3f (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+    }
     spark.stop()
   }
 }
