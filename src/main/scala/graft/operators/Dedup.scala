@@ -1074,6 +1074,45 @@ object Dedup {
       batch("id") === dups("_bid"), "left_anti")
   }
 
+  /** FINGERPRINT store retraction (X171) — the forget half of the
+    * X167/X169 multimodal ingest lifecycle (the X140-substring /
+    * X149-label / X161-manifest convention, hash-store flavored):
+    * remove retracted media ids from the `(id, sig)` store so future
+    * batches stop deduping against them — a re-arrival of retracted
+    * content is READMITTED, which is exactly what a takedown /
+    * opt-out requires (spec-pinned). One id-keyed equi-join (pinned
+    * shuffle-hash — no broadcast assumption on either side); the
+    * store is never re-decoded, the history partitions are
+    * REPLACED by the caller persisting the returned frame (the X155
+    * compaction path, which this output feeds directly).
+    *
+    * Fail-loud: retracting an id the store never held is an upstream
+    * bookkeeping bug (the retract list drifted from the ingest
+    * record) — the guard RIDES the output sig column, so Catalyst
+    * cannot prune an orphan row before its guard runs. */
+  def retractFingerprints(store: DataFrame, ids: DataFrame,
+      idCol: String = "id"): DataFrame = {
+    require(Set("id", "sig").subsetOf(store.columns.toSet),
+      s"retractFingerprints: store must have columns id/sig, got " +
+        store.columns.mkString(", "))
+    require(ids.columns.contains(idCol),
+      s"retractFingerprints: retract list has no '$idCol' column " +
+        s"(got ${ids.columns.mkString(", ")})")
+    val r = ids.select(col(idCol).cast("long").as("_rid")).distinct()
+    val s = store.select(col("id").as("_sid"), col("sig").as("_ssig"))
+    val joined = s.join(r.hint("shuffle_hash"),
+      col("_sid") === col("_rid"), "full_outer")
+    val guard = when(col("_sid").isNull,
+      raise_error(concat(
+        lit("retractFingerprints: id "), col("_rid").cast("string"),
+        lit(" is not in the store — retracting never-stored content " +
+          "means the retract list drifted from the ingest record"))))
+      .otherwise(col("_ssig"))
+    joined
+      .filter(col("_rid").isNull || col("_sid").isNull)
+      .select(col("_sid").as("id"), guard.as("sig"))
+  }
+
   /** Connected components over an undirected pair list — the cluster-
     * resolution step that turns near-dup PAIRS (MinHash/SimHash output)
     * into dedup CLUSTERS, so a pipeline can keep one canonical document

@@ -1450,6 +1450,58 @@ object Extensions {
       "OR media_id IN (SELECT media_id FROM s1)"
   }
 
+  /** Fingerprint-store retraction (X171): retract the media_id%15==0
+    * slice from the %3==0 bootstrap store, then run the SAME batch
+    * increment as [[incrementalImageNearDup]] against the retracted
+    * store — batch docs whose only store match was a retracted row
+    * are READMITTED (the takedown/opt-out semantics). Output =
+    * surviving batch `(media_id, phash)`; the oracle replays the
+    * chain with the store slice minus the retracted ids. */
+  val fingerprintRetraction: Q = (s, d) => {
+    val media = Multimodal.bmpMediaFromDocuments(spread(Tables.documents(s, d)))
+    val hashes = Multimodal.imagePerceptualHashGrid(
+      media, PHASH_GRID_W, PHASH_GRID_H).toDF()
+      .filter(col("decoded")).select(col("media_id"), col("phash"))
+    val storeH = hashes.filter(col("media_id") % 3 === 0)
+      .select(col("media_id").as("id"), col("phash").as("sig"))
+    val retracted = graft.operators.Dedup.retractFingerprints(
+      storeH, storeH.filter(col("id") % 15 === 0).select(col("id")))
+    graft.operators.Dedup.incrementalFingerprintNearDup(
+      hashes.filter(col("media_id") % 3 === 1), retracted,
+      "media_id", "phash", bits = PHASH_GRID_W * PHASH_GRID_H,
+      bands = PHASH_BANDS, maxDist = PHASH_MAXDIST)
+      .select(col("id").as("media_id"), col("sig").as("phash"))
+  }
+
+  val fingerprintRetractionSql: String = {
+    val bandW = PHASH_GRID_W * PHASH_GRID_H / PHASH_BANDS
+    val mask = (1L << bandW) - 1
+    val bandRows = (0 until PHASH_BANDS).map(b => s"($b)").mkString(",")
+    s"WITH m AS (SELECT doc_id AS media_id, CAST(4 + doc_id % 13 AS BIGINT) AS w, " +
+      "CAST(3 + doc_id % 7 AS BIGINT) AS h FROM documents), " +
+      "xs AS (SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m), " +
+      "ps AS (SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs), " +
+      s"px AS (SELECT media_id, (y*$PHASH_GRID_H)//h*$PHASH_GRID_W + (x*$PHASH_GRID_W)//w AS cell, " +
+      "(media_id + 7*x + 13*y) % 256 + (2*media_id + 5*x + 3*y) % 256 + (media_id + x*y) % 256 AS g3 FROM ps), " +
+      "cs AS (SELECT media_id, cell, CAST(sum(g3) AS BIGINT) AS s, count(*) AS n FROM px GROUP BY media_id, cell), " +
+      "tot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(n) AS BIGINT) AS tn FROM cs GROUP BY media_id), " +
+      "ph AS MATERIALIZED (SELECT cs.media_id, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.n THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT) AS phash " +
+      "FROM cs JOIN tot ON cs.media_id = tot.media_id GROUP BY cs.media_id), " +
+      s"bands AS MATERIALIZED (SELECT media_id, phash, bb.band, (phash >> (bb.band*$bandW)) & $mask AS bucket " +
+      s"FROM ph CROSS JOIN (VALUES $bandRows) bb(band)), " +
+      // store after retraction: %3==0 minus %15==0
+      "cvs AS (SELECT DISTINCT b.media_id AS bid FROM bands b " +
+      "JOIN bands st ON b.band = st.band AND b.bucket = st.bucket " +
+      "WHERE b.media_id % 3 = 1 AND st.media_id % 3 = 0 AND st.media_id % 15 <> 0 " +
+      s"AND bit_count(xor(b.phash, st.phash)) <= $PHASH_MAXDIST), " +
+      "cvb AS (SELECT DISTINCT b2.media_id AS bid FROM bands b1 " +
+      "JOIN bands b2 ON b1.band = b2.band AND b1.bucket = b2.bucket AND b1.media_id < b2.media_id " +
+      "WHERE b1.media_id % 3 = 1 AND b2.media_id % 3 = 1 " +
+      s"AND bit_count(xor(b1.phash, b2.phash)) <= $PHASH_MAXDIST) " +
+      "SELECT media_id, phash FROM ph WHERE media_id % 3 = 1 " +
+      "AND media_id NOT IN (SELECT bid FROM cvs UNION ALL SELECT bid FROM cvb)"
+  }
+
   /** Audio block-energy fingerprint (X124): the audio sibling of
     * q_image_phash — real PCM16 decode, 12 contiguous blocks, bit set
     * iff block mean |sample| > clip mean via integer
@@ -5021,6 +5073,7 @@ object Extensions {
     "q_image_neardup" -> imageNearDup,
     "q_incremental_image_neardup" -> incrementalImageNearDup,
     "q_stream_incr_image_neardup" -> streamIncrImageNearDup,
+    "q_fingerprint_retraction" -> fingerprintRetraction,
     "q_audio_phash" -> audioPhash,
     "q_audio_decode" -> audioDecode,
     "q_audio_search" -> audioSearch,
@@ -5168,6 +5221,7 @@ object Extensions {
     "q_image_neardup" -> imageNearDupSql,
     "q_incremental_image_neardup" -> incrementalImageNearDupSql,
     "q_stream_incr_image_neardup" -> streamIncrImageNearDupSql,
+    "q_fingerprint_retraction" -> fingerprintRetractionSql,
     "q_audio_phash" -> audioPhashSql,
     "q_audio_decode" -> audioDecodeSql,
     "q_audio_search" -> audioSearchSql,

@@ -243,6 +243,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("retractFingerprints: readmission after retract, unknown id fails loud") {
+    val store = Seq((100L, 0xABCL), (200L, 0x321L)).toDF("id", "sig")
+    // retract 100 -> only 200 remains
+    val after = graft.operators.Dedup.retractFingerprints(
+      store, Seq(100L).toDF("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(after == Set((200L, 0x321L)))
+    // READMISSION: a batch doc matching ONLY the retracted row now
+    // survives; one matching the remaining row still drops
+    val batch = Seq((10L, 0xABCL), (11L, 0x321L)).toDF("media_id", "phash")
+    val survivors = graft.operators.Dedup.incrementalFingerprintNearDup(
+      batch,
+      graft.operators.Dedup.retractFingerprints(store, Seq(100L).toDF("id")),
+      "media_id", "phash", bits = 12, bands = 4, maxDist = 3)
+      .select("id").as[Long].collect().toSet
+    assert(survivors == Set(10L),
+      s"retracted content must readmit, surviving store must still drop: $survivors")
+    // unknown retract id: the guard rides the output column
+    val e = intercept[Exception] {
+      graft.operators.Dedup.retractFingerprints(
+        store, Seq(999L).toDF("id")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("not in the store"),
+      s"expected the drift guard, got: ${e.getMessage}")
+    // schema guards
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.retractFingerprints(
+        store.withColumnRenamed("sig", "hash"), Seq(100L).toDF("id"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.retractFingerprints(store, Seq(100L).toDF("rid"))
+    }
+  }
+
   test("simhash near-dup pairs at maxDist keeps exact dups") {
     val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
