@@ -727,6 +727,58 @@ object Extensions {
       .select(col("id").as("doc_id"), col("cell"))
   }
 
+  /** GATED ingest (X172): the DQ quarantine gate (X165) composed IN
+    * FRONT of the incremental exact dedup — the production ingest
+    * shape: route first (pure map-side, zero shuffles), dedup only
+    * what passed. Every batch doc gets exactly one fate row:
+    * `quarantined` (with its declaration-ordered reason list — and its
+    * fingerprint never enters dedup: a routed-out doc must not shadow
+    * a valid one), `dropped_dup` (prior-store fingerprint or a
+    * smaller-id valid batch doc), or `kept`. */
+  val ingestGated: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val checked = graft.operators.ScaleOps.checkConstraints(
+      spread(batch), dqRowChecks)
+    val quarantined = checked.filter(size(col("_violations")) > 0)
+      .select(col("doc_id"), lit("quarantined").as("fate"),
+        array_join(col("_violations"), ",").as("detail"))
+    val valid = checked.filter(size(col("_violations")) === 0)
+      .drop("_violations")
+    val priorFps = docs.filter(col("doc_id") % 3 === 0)
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
+    val kept = Dedup.incrementalExactDedup(valid, priorFps, "text", "doc_id")
+      .select(col("doc_id"))
+    val keptRows = kept
+      .select(col("doc_id"), lit("kept").as("fate"), lit("").as("detail"))
+    val dupRows = valid.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("dropped_dup").as("fate"),
+        lit("").as("detail"))
+    quarantined.unionByName(keptRows).unionByName(dupRows)
+  }
+
+  val ingestGatedSql: String = {
+    val cases = Seq(
+      "CASE WHEN NOT coalesce(text IS NOT NULL AND length(text) > 0, FALSE) THEN 'text_nonempty' END",
+      "CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 'min_chars_100' END",
+      "CASE WHEN NOT coalesce(lang <> 'zh', FALSE) THEN 'latin_script' END")
+    s"WITH f AS MATERIALIZED (SELECT doc_id, md5($duckNormText) AS fp FROM documents), " +
+      s"v AS MATERIALIZED (SELECT doc_id, list_filter([${cases.mkString(", ")}], x -> x IS NOT NULL) AS vio " +
+      "FROM documents WHERE doc_id % 3 <> 0), " +
+      "quar AS (SELECT doc_id, 'quarantined' AS fate, " +
+      "coalesce(array_to_string(vio, ','), '') AS detail FROM v WHERE len(vio) > 0), " +
+      "valid AS MATERIALIZED (SELECT f.doc_id, f.fp FROM f JOIN v ON f.doc_id = v.doc_id WHERE len(v.vio) = 0), " +
+      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0), " +
+      "kept AS MATERIALIZED (SELECT doc_id FROM (" +
+      "SELECT n.doc_id, row_number() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn " +
+      "FROM valid n LEFT JOIN prior p ON n.fp = p.fp WHERE p.fp IS NULL) WHERE rn = 1) " +
+      "SELECT doc_id, fate, detail FROM quar " +
+      "UNION ALL SELECT doc_id, 'kept' AS fate, '' AS detail FROM kept " +
+      "UNION ALL SELECT doc_id, 'dropped_dup' AS fate, '' AS detail FROM valid " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM kept)"
+  }
+
   lazy val ingestFullSql: String = {
     val sigElems = (0 until MINHASH_BANDS * MINHASH_RPB).map(seed =>
       s"coalesce(list_min(list_transform(s, x -> md5('$seed:' || x))), 'zz_empty')")
@@ -5074,6 +5126,7 @@ object Extensions {
     "q_incremental_image_neardup" -> incrementalImageNearDup,
     "q_stream_incr_image_neardup" -> streamIncrImageNearDup,
     "q_fingerprint_retraction" -> fingerprintRetraction,
+    "q_ingest_gated" -> ingestGated,
     "q_audio_phash" -> audioPhash,
     "q_audio_decode" -> audioDecode,
     "q_audio_search" -> audioSearch,
@@ -5222,6 +5275,7 @@ object Extensions {
     "q_incremental_image_neardup" -> incrementalImageNearDupSql,
     "q_stream_incr_image_neardup" -> streamIncrImageNearDupSql,
     "q_fingerprint_retraction" -> fingerprintRetractionSql,
+    "q_ingest_gated" -> ingestGatedSql,
     "q_audio_phash" -> audioPhashSql,
     "q_audio_decode" -> audioDecodeSql,
     "q_audio_search" -> audioSearchSql,
