@@ -1250,6 +1250,66 @@ object ScaleOps {
       .withColumn("passed", col("ratio_bp") >= minRatioBp)
   }
 
+  /** SCHEMA DRIFT report (X173) — the structural half of snapshot
+    * comparison (X129's contentDigest diff answers "did the rows
+    * change"; this answers "did the SHAPE change"): per column across
+    * two snapshots, presence, Catalyst type, and NULL share in exact
+    * basis points, classified by precedence added / removed /
+    * type_changed / null_rate_shift (|Δbp| > thresholdBp) / none.
+    * The classic silent killers of a 100 TB ingest — a producer
+    * dropping a column, widening a type, or starting to emit NULLs —
+    * become one #columns-row report.
+    *
+    * Scale shape: types come from the DRIVER-side schema (no data
+    * pass at all); null rates fold into ONE single-row aggregation
+    * pass per side (the dqSuite arrangement — every column's counter
+    * rides the same scan), then a stack unpivot and a #columns-row
+    * full-outer join. Two corpus scans total, zero per-row shuffles,
+    * all-integer metrics. */
+  def schemaDrift(a: DataFrame, b: DataFrame,
+      thresholdBp: Long = 100L): DataFrame = {
+    require(thresholdBp >= 0,
+      s"schemaDrift: thresholdBp must be >= 0, got $thresholdBp")
+    require(a.columns.nonEmpty && b.columns.nonEmpty,
+      "schemaDrift: both sides need at least one column")
+    val spark = a.sparkSession
+    import spark.implicits._
+    def stats(df: DataFrame, nullsName: String,
+        bpName: String): DataFrame = {
+      val cols = df.columns
+      require(cols.forall(c => !c.contains("`") && !c.contains("'")),
+        "schemaDrift: column names must not contain quotes/backticks")
+      val aggs = cols.map(c =>
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"_n_$c")) :+ count(lit(1)).as("_total")
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(col("_total"), expr(
+          s"stack(${cols.length}, " +
+            cols.map(c => s"'$c', `_n_$c`").mkString(", ") +
+            ") AS (column, _nulls)"))
+        .select(col("column"), col("_nulls").as(nullsName),
+          when(col("_total") > 0, expr(s"_nulls * 10000 div _total"))
+            .otherwise(0L).as(bpName))
+    }
+    def types(df: DataFrame, name: String): DataFrame =
+      df.schema.fields.toSeq
+        .map(f => (f.name, f.dataType.catalogString))
+        .toDF("column", name)
+    val sa = stats(a, "nulls_a", "null_bp_a")
+      .join(types(a, "type_a"), Seq("column"))
+    val sb = stats(b, "nulls_b", "null_bp_b")
+      .join(types(b, "type_b"), Seq("column"))
+    sa.join(sb, Seq("column"), "full_outer")
+      .select(col("column"), col("type_a"), col("type_b"),
+        col("null_bp_a"), col("null_bp_b"),
+        when(col("type_a").isNull, lit("added"))
+          .when(col("type_b").isNull, lit("removed"))
+          .when(col("type_a") =!= col("type_b"), lit("type_changed"))
+          .when(abs(col("null_bp_b") - col("null_bp_a")) > thresholdBp,
+            lit("null_rate_shift"))
+          .otherwise(lit("none")).as("drift"))
+  }
+
   /** Both sketch-backed operators (CMS, Bloom) insert by runtime type:
     * integral columns as longs, strings as UTF-8 bytes. Any other type
     * (double, decimal, binary, struct…) has no guaranteed insert/probe

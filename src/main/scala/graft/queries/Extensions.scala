@@ -208,6 +208,48 @@ object Extensions {
       "FROM u CROSS JOIN t"
   }
 
+  /** Schema drift report (X173): documents vs a producer-drifted
+    * snapshot of itself — `source` dropped (removed), `extra_tag`
+    * appended (added), `n_chars` narrowed bigint→int (type_changed),
+    * `lang` NULLed for doc_id%4==0 (null_rate_shift at ~2500 bp),
+    * doc_id/text untouched (none). Types come from the driver-side
+    * schema; null rates from ONE single-row agg pass per side. */
+  val schemaDrift: Q = (s, d) => {
+    val a = Tables.documents(s, d)
+    val b = a.drop("source")
+      .withColumn("extra_tag", lit("x"))
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      .withColumn("lang",
+        when(col("doc_id") % 4 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")))
+    graft.operators.ScaleOps.schemaDrift(a, b, thresholdBp = 100L)
+  }
+
+  val schemaDriftSql: String =
+    "WITH t AS (SELECT count(*) AS total, " +
+      "CAST(coalesce(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nl_a, " +
+      "CAST(coalesce(sum(CASE WHEN doc_id % 4 = 0 OR lang IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nl_b, " +
+      "CAST(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nid, " +
+      "CAST(coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS ntx, " +
+      "CAST(coalesce(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nsr, " +
+      "CAST(coalesce(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nnc " +
+      "FROM documents), " +
+      "u AS (" +
+      "SELECT 'doc_id' AS \"column\", 'bigint' AS type_a, 'bigint' AS type_b, nid AS na, nid AS nb FROM t " +
+      "UNION ALL SELECT 'text', 'string', 'string', ntx, ntx FROM t " +
+      "UNION ALL SELECT 'lang', 'string', 'string', nl_a, nl_b FROM t " +
+      "UNION ALL SELECT 'source', 'string', NULL, nsr, NULL FROM t " +
+      "UNION ALL SELECT 'n_chars', 'bigint', 'int', nnc, nnc FROM t " +
+      "UNION ALL SELECT 'extra_tag', NULL, 'string', NULL, CAST(0 AS BIGINT) FROM t) " +
+      "SELECT \"column\", type_a, type_b, " +
+      "CASE WHEN type_a IS NOT NULL THEN CAST(CASE WHEN t.total > 0 THEN na * 10000 // t.total ELSE 0 END AS BIGINT) END AS null_bp_a, " +
+      "CASE WHEN type_b IS NOT NULL THEN CAST(CASE WHEN t.total > 0 THEN nb * 10000 // t.total ELSE 0 END AS BIGINT) END AS null_bp_b, " +
+      "CASE WHEN type_a IS NULL THEN 'added' WHEN type_b IS NULL THEN 'removed' " +
+      "WHEN type_a <> type_b THEN 'type_changed' " +
+      "WHEN abs(nb * 10000 // t.total - na * 10000 // t.total) > 100 THEN 'null_rate_shift' " +
+      "ELSE 'none' END AS drift " +
+      "FROM u CROSS JOIN t"
+
   /** Row-level quarantine routing (X165): every document routed with
     * its reason list — valid rows carry is_valid=true and an empty
     * reasons string; quarantined rows name every check they failed in
@@ -5167,6 +5209,7 @@ object Extensions {
     "q_embed_binary" -> embedBinary,
     "q_dq_suite" -> dqSuite,
     "q_dq_approx" -> dqApprox,
+    "q_schema_drift" -> schemaDrift,
     "q_stream_dq" -> streamDq,
     "q_quarantine" -> quarantine,
     "q_stratified_sample" -> stratifiedSample,
@@ -5316,6 +5359,7 @@ object Extensions {
     "q_embed_binary" -> embedBinarySql,
     "q_dq_suite" -> dqSuiteSql,
     "q_dq_approx" -> dqApproxSql,
+    "q_schema_drift" -> schemaDriftSql,
     "q_stream_dq" -> streamDqSql,
     "q_quarantine" -> quarantineSql,
     "q_stratified_sample" -> stratifiedSampleSql,

@@ -384,6 +384,38 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("schemaDrift: added/removed/type/null-shift precedence, identical frames report none") {
+    val a = Seq((1L, Some("x"), 10L), (2L, Some("y"), 20L),
+      (3L, None: Option[String], 30L), (4L, Some("z"), 40L))
+      .toDF("id", "tag", "n")
+    val b = a.drop("n")                               // removed
+      .withColumn("extra", lit(1.5))                  // added
+      .withColumn("id", col("id").cast("int"))        // type_changed
+      .withColumn("tag",                              // nulls 1/4 -> 3/4
+        when(col("id") > 1, lit(null).cast("string")).otherwise(col("tag")))
+    val got = ScaleOps.schemaDrift(a, b, thresholdBp = 100)
+      .as[(String, Option[String], Option[String], Option[Long], Option[Long], String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("n") == ((Some("bigint"), None, Some(0L), None, "removed")))
+    assert(got("extra") == ((None, Some("double"), None, Some(0L), "added")))
+    assert(got("id") == ((Some("bigint"), Some("int"), Some(0L), Some(0L), "type_changed")))
+    // 1/4 nulls (2500 bp) -> 3/4 (7500 bp): shift of 5000 bp
+    assert(got("tag") == ((Some("string"), Some("string"), Some(2500L),
+      Some(7500L), "null_rate_shift")))
+    // identical frames: every column reports none
+    val same = ScaleOps.schemaDrift(a, a, thresholdBp = 100)
+      .select("drift").as[String].collect()
+    assert(same.length == 3 && same.forall(_ == "none"))
+    // a shift inside the threshold is none
+    val mild = ScaleOps.schemaDrift(a,
+      a.withColumn("tag", col("tag")), thresholdBp = 10000)
+      .filter(col("column") === "tag").select("drift").as[String].head()
+    assert(mild == "none")
+    intercept[IllegalArgumentException] {
+      ScaleOps.schemaDrift(a, b, thresholdBp = -1)
+    }
+  }
+
   test("dqDrift: trailing-window integer mean, first-batch no-evidence, window truncation") {
     val hist = Seq(
       ("check:a", -1L, 0L, 10000L),
