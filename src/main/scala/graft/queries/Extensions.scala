@@ -671,6 +671,68 @@ object Extensions {
 
   lazy val minhashPairsSql: String = minhashPairsSqlFrom("documents")
 
+  /** Near-dup BANDING recall harness (X174) — the dedup sibling of
+    * the X115 ANN recall harness: ground truth is the exact-Jaccard
+    * pair set (inverted-index join at the same threshold — banded
+    * results are exact-verified, so found ⊆ exact and recall =
+    * found/exact), measured across three 12-hash banding layouts
+    * (4×3 / 6×2 / 2×6 — the s-curve trade: more, shorter bands catch
+    * lower-J pairs at more candidate cost). Deterministic given the
+    * fixed md5 hash family, so recall is a hash-verified FACT, not a
+    * flaky metric (the X115 convention). Ground truth is persisted
+    * once; the per-config counts are 1-row aggregates. */
+  val neardupRecall: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.7, shingleN = 3)
+      .select(col("id1"), col("id2")).persistTracked()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    Seq(("b4r3", 4, 3), ("b6r2", 6, 2), ("b2r6", 2, 6)).map {
+      case (name, b, r) =>
+        val found = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          threshold = 0.7, shingleN = 3, bands = b, rowsPerBand = r)
+        nExact.crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .select(lit(name).as("config"), col("n_exact"), col("n_found"),
+            when(col("n_exact") > 0,
+              expr("n_found * 10000 div n_exact")).otherwise(10000L)
+              .as("recall_bp"))
+    }.reduce(_ unionByName _)
+  }
+
+  val neardupRecallSql: String = {
+    def foundCount(b: Int, r: Int): String = {
+      val sigElems = (0 until b * r).map(seed =>
+        s"coalesce(list_min(list_transform(s, x -> md5('$seed:' || x))), 'zz_empty')")
+        .mkString("[", ", ", "]")
+      val bandRows = (0 until b).map(i => s"($i)").mkString(",")
+      s"(WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+        s"shl AS (SELECT doc_id, $duckShingles AS s FROM toks), " +
+        s"sig AS (SELECT doc_id, $sigElems AS sg FROM shl), " +
+        s"bands AS (SELECT doc_id, bb.band AS band, array_to_string(list_slice(sg, bb.band*$r + 1, bb.band*$r + $r), '|') AS bucket " +
+        s"FROM sig, (VALUES $bandRows) bb(band)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+        "dsh AS (SELECT doc_id, list_distinct(s) AS ds FROM shl) " +
+        "SELECT count(*) FROM cand JOIN dsh x ON id1 = x.doc_id JOIN dsh y ON id2 = y.doc_id " +
+        "WHERE CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE)/len(list_distinct(list_concat(x.ds, y.ds))) >= 0.7)"
+    }
+    val exactCount =
+      s"(WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+        s"sh AS (SELECT doc_id, list_distinct($duckShingles) AS s FROM toks), " +
+        "inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh), " +
+        "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1, b.sz AS s2, count(*) AS inter " +
+        "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY ALL) " +
+        "SELECT count(*) FROM p WHERE CAST(inter AS DOUBLE)/(s1 + s2 - inter) >= 0.7)"
+    val rows = Seq(("b4r3", 4, 3), ("b6r2", 6, 2), ("b2r6", 2, 6)).map {
+      case (name, b, r) =>
+        s"SELECT '$name' AS config, e.n_exact, CAST(${foundCount(b, r)} AS BIGINT) AS n_found FROM e"
+    }
+    s"WITH e AS (SELECT CAST($exactCount AS BIGINT) AS n_exact) " +
+      s"SELECT config, n_exact, n_found, " +
+      "CAST(CASE WHEN n_exact > 0 THEN n_found * 10000 // n_exact ELSE 10000 END AS BIGINT) AS recall_bp " +
+      s"FROM ((${rows.mkString(") UNION ALL (")}))"
+  }
+
   /** Incremental cross-snapshot NEAR-dup (X113), the ingestion-time
     * sibling of [[incrementalDedup]]: the doc_id % 3 == 0 slice plays
     * the already-ingested corpus — present ONLY as its
@@ -5210,6 +5272,7 @@ object Extensions {
     "q_dq_suite" -> dqSuite,
     "q_dq_approx" -> dqApprox,
     "q_schema_drift" -> schemaDrift,
+    "q_neardup_recall" -> neardupRecall,
     "q_stream_dq" -> streamDq,
     "q_quarantine" -> quarantine,
     "q_stratified_sample" -> stratifiedSample,
@@ -5360,6 +5423,7 @@ object Extensions {
     "q_dq_suite" -> dqSuiteSql,
     "q_dq_approx" -> dqApproxSql,
     "q_schema_drift" -> schemaDriftSql,
+    "q_neardup_recall" -> neardupRecallSql,
     "q_stream_dq" -> streamDqSql,
     "q_quarantine" -> quarantineSql,
     "q_stratified_sample" -> stratifiedSampleSql,

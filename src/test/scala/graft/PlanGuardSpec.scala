@@ -76,7 +76,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_mmr_binary",
       // 1-row corpus total attached to the #keySets-row HLL estimate
       // table, like q_profile's 1-row aggregate attach
-      "q_dq_approx")
+      "q_dq_approx",
+      // three 1-row x 1-row count joins (ground-truth count x per-
+      // config found count), like q_profile's two 1-row agg passes
+      "q_neardup_recall")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
