@@ -1310,6 +1310,67 @@ object ScaleOps {
           .otherwise(lit("none")).as("drift"))
   }
 
+  /** WATER-FILLING token-budget allocation (X175) — the fair-share
+    * mixing primitive the per-domain cap family (X95/X104/X119)
+    * composes with: given per-domain available tokens t_i and a total
+    * budget B, allocate a_i = min(t_i, λ) with the water level λ
+    * chosen so Σa_i = min(B, Σt_i) — small domains keep everything,
+    * large domains cap at the level, no domain starves another. ALL
+    * INTEGER: λ = (B − P_k) div (n − k) after saturating the k
+    * domains with t ≤ λ, with the remainder distributed +1 to the
+    * first `rem` unsaturated domains in (tokens asc, key asc) order —
+    * the allocation is an exact deterministic fact, not a float
+    * heuristic.
+    *
+    * Closed form, not iteration: sort by (tokens asc, key asc), prefix
+    * sums; a domain at rank j is saturated iff
+    * P_{j−1} + (n−j+1)·t_j ≤ B (monotone in j, so k = count of
+    * saturated rows — one window pass + a 1-row stats attach). The
+    * window is a single global order over #domains rows — domains are
+    * bounded by construction (sources/languages, not documents); the
+    * corpus itself was already reduced by the caller's groupBy.
+    *
+    * Fail-loud (guards ride the allocation column): duplicate keys
+    * (double-allocation) and negative token counts raise. */
+  def waterFillBudget(domains: DataFrame, keyCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"waterFillBudget: budget must be >= 0, got $budget")
+    val w = Window.orderBy(col(tokensCol).asc, col(keyCol).asc)
+    val base = domains
+      .select(col(keyCol), col(tokensCol).cast("long").as(tokensCol))
+      .withColumn("_dupn",
+        count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("_rank", row_number().over(w))
+      .withColumn("_pprev", coalesce(
+        sum(col(tokensCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("_sat",
+        col("_pprev") + (col("_n") - col("_rank") + 1) * col(tokensCol)
+          <= budget)
+    val stats = base.agg(
+      coalesce(sum(when(col("_sat"), 1L)), lit(0L)).as("_k"),
+      coalesce(sum(when(col("_sat"), col(tokensCol))), lit(0L)).as("_pk"))
+    // `div`/`%`, not float division: the level must stay EXACT integer
+    // arithmetic (only evaluated on unsaturated rows, where _n - _k >= 1)
+    val baseAlloc = when(col("_sat"), col(tokensCol)).otherwise(
+      expr(s"(${budget}L - _pk) div (_n - _k)") +
+        when(col("_rank") - col("_k") <=
+          expr(s"(${budget}L - _pk) % (_n - _k)"), 1L).otherwise(0L))
+    val guarded = when(col("_dupn") > 1,
+      raise_error(concat(lit("waterFillBudget: duplicate domain key "),
+        col(keyCol).cast("string"),
+        lit(" — one row per domain required (double-allocation)"))))
+      .when(col(tokensCol) < 0,
+        raise_error(concat(lit("waterFillBudget: negative tokens for "),
+          col(keyCol).cast("string"))))
+      .otherwise(baseAlloc)
+    base.crossJoin(stats)
+      .select(col(keyCol), col(tokensCol),
+        guarded.cast("long").as("allocation"), col("_sat").as("saturated"))
+  }
+
   /** Both sketch-backed operators (CMS, Bloom) insert by runtime type:
     * integral columns as longs, strings as UTF-8 bytes. Any other type
     * (double, decimal, binary, struct…) has no guaranteed insert/probe

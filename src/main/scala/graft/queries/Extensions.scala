@@ -250,6 +250,39 @@ object Extensions {
       "ELSE 'none' END AS drift " +
       "FROM u CROSS JOIN t"
 
+  /** Water-filling token budget (X175): per-source char totals with a
+    * budget of half the corpus — small sources keep everything
+    * (saturated), large sources cap at the integer water level with
+    * the remainder distributed deterministically. The budget derives
+    * from one bounded #sources-row action (the rank-table gate
+    * convention). */
+  val waterFill: Q = (s, d) => {
+    val dom = Tables.documents(s, d)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("tokens"))
+    val total = dom.agg(coalesce(sum(col("tokens")), lit(0L)))
+      .head().getLong(0)
+    graft.operators.ScaleOps.waterFillBudget(dom, "source", "tokens",
+      budget = total / 2)
+  }
+
+  val waterFillSql: String =
+    "WITH dom AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens " +
+      "FROM documents GROUP BY source), " +
+      "bt AS (SELECT CAST(sum(tokens) // 2 AS BIGINT) AS b FROM dom), " +
+      "r AS (SELECT source, tokens, " +
+      "row_number() OVER w AS rk, " +
+      "CAST(coalesce(sum(tokens) OVER (ORDER BY tokens ASC, source ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pprev, " +
+      "count(*) OVER () AS n FROM dom " +
+      "WINDOW w AS (ORDER BY tokens ASC, source ASC)), " +
+      "sflag AS (SELECT *, pprev + (n - rk + 1) * tokens <= bt.b AS sat FROM r CROSS JOIN bt), " +
+      "st AS (SELECT CAST(coalesce(sum(CASE WHEN sat THEN 1 END), 0) AS BIGINT) AS k, " +
+      "CAST(coalesce(sum(CASE WHEN sat THEN tokens END), 0) AS BIGINT) AS pk FROM sflag) " +
+      "SELECT source, tokens, " +
+      "CAST(CASE WHEN sat THEN tokens ELSE (bt.b - st.pk) // (n - st.k) + " +
+      "(CASE WHEN rk - st.k <= (bt.b - st.pk) % (n - st.k) THEN 1 ELSE 0 END) END AS BIGINT) AS allocation, " +
+      "sat AS saturated " +
+      "FROM sflag CROSS JOIN st CROSS JOIN bt"
+
   /** Row-level quarantine routing (X165): every document routed with
     * its reason list — valid rows carry is_valid=true and an empty
     * reasons string; quarantined rows name every check they failed in
@@ -5273,6 +5306,7 @@ object Extensions {
     "q_dq_approx" -> dqApprox,
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
+    "q_water_fill" -> waterFill,
     "q_stream_dq" -> streamDq,
     "q_quarantine" -> quarantine,
     "q_stratified_sample" -> stratifiedSample,
@@ -5424,6 +5458,7 @@ object Extensions {
     "q_dq_approx" -> dqApproxSql,
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
+    "q_water_fill" -> waterFillSql,
     "q_stream_dq" -> streamDqSql,
     "q_quarantine" -> quarantineSql,
     "q_stratified_sample" -> stratifiedSampleSql,

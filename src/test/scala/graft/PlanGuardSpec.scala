@@ -79,7 +79,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_dq_approx",
       // three 1-row x 1-row count joins (ground-truth count x per-
       // config found count), like q_profile's two 1-row agg passes
-      "q_neardup_recall")
+      "q_neardup_recall",
+      // 1-row (k, P_k) water-level stats attached to the #domains-row
+      // table, like q_gap_fill's 1-row bounds attach
+      "q_water_fill")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)

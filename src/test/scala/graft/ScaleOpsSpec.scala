@@ -416,6 +416,46 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("waterFillBudget: exact level, remainder order, saturation, guards") {
+    val dom = Seq(("a", 10L), ("b", 100L), ("c", 100L), ("d", 3L))
+      .toDF("k", "t")
+    // budget 120: d(3) and a(10) saturate (13 used), level for b/c =
+    // (120-13) div 2 = 53 rem 1 -> b gets 54 (first unsaturated by
+    // (t asc, key asc)), c gets 53
+    val got = ScaleOps.waterFillBudget(dom, "k", "t", budget = 120L)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("d") == ((3L, 3L, true)))
+    assert(got("a") == ((10L, 10L, true)))
+    assert(got("b") == ((100L, 54L, false)))
+    assert(got("c") == ((100L, 53L, false)))
+    // allocations sum exactly to the budget
+    assert(got.values.map(_._2).sum == 120L)
+    // budget >= total: everyone keeps everything
+    val all = ScaleOps.waterFillBudget(dom, "k", "t", budget = 1000L)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(all.forall(r => r._3 == r._2 && r._4))
+    // budget 0: nothing allocated (zero-token domains saturate at 0)
+    val zero = ScaleOps.waterFillBudget(dom, "k", "t", budget = 0L)
+      .select("allocation").as[Long].collect()
+    assert(zero.forall(_ == 0L) && zero.length == 4)
+    // guards: duplicate keys and negative tokens raise at evaluation
+    val eDup = intercept[Exception] {
+      ScaleOps.waterFillBudget(
+        dom.unionByName(Seq(("a", 5L)).toDF("k", "t")), "k", "t", 120L)
+        .collect()
+    }
+    assert(eDup.getMessage.contains("duplicate domain key"))
+    val eNeg = intercept[Exception] {
+      ScaleOps.waterFillBudget(
+        Seq(("x", -1L)).toDF("k", "t"), "k", "t", 10L).collect()
+    }
+    assert(eNeg.getMessage.contains("negative tokens"))
+    intercept[IllegalArgumentException] {
+      ScaleOps.waterFillBudget(dom, "k", "t", budget = -1L)
+    }
+  }
+
   test("dqDrift: trailing-window integer mean, first-batch no-evidence, window truncation") {
     val hist = Seq(
       ("check:a", -1L, 0L, 10000L),
