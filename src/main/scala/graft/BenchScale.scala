@@ -70,7 +70,7 @@ object BenchScale {
     "q_top50_import_partners", "q_incremental_image_neardup",
     "q_stream_dq", "q_stream_incr_image_neardup", "q_dq_approx",
     "q_fingerprint_retraction", "q_ingest_gated", "q_schema_drift",
-    "q_neardup_recall", "q_water_fill")
+    "q_neardup_recall", "q_water_fill", "q_budget_trim")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS

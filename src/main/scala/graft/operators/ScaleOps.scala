@@ -1371,6 +1371,44 @@ object ScaleOps {
         guarded.cast("long").as("allocation"), col("_sat").as("saturated"))
   }
 
+  /** Deterministic BUDGET TRIM (X176) — the apply half of [[
+    * waterFillBudget]]: given a per-domain allocation, keep each
+    * domain's docs in salted-md5 hash order (a stable pseudo-random
+    * shuffle — no RNG, any engine derives the same order) until the
+    * cumulative weight would exceed the allocation. The kept set is
+    * an exact deterministic fact: doc d survives iff its inclusive
+    * hash-order running weight ≤ the domain's allocation (the
+    * boundary doc that would cross is EXCLUDED — trims never
+    * overshoot; spec-pinned with the exact boundary case).
+    *
+    * Scale shape: one per-domain window (partitionBy key, orderBy
+    * (hash, id) — the W1 window-dedup shape; a pathologically giant
+    * domain pays its own sort, the X31 two-phase prefix-sum rewrite
+    * applies if one domain outgrows a partition) + the #domains-row
+    * allocation broadcast into the filter. No collect, no RNG, no
+    * float. */
+  def budgetTrim(docs: DataFrame, keyCol: String, idCol: String,
+      weightCol: String, alloc: DataFrame,
+      hashSeed: Int = 777): DataFrame = {
+    require(alloc.columns.contains(keyCol) &&
+      alloc.columns.contains("allocation"),
+      s"budgetTrim: alloc must carry ($keyCol, allocation) — " +
+        "waterFillBudget's output shape")
+    val clash = docs.columns.filter(Set("_h", "_cum", "allocation")).distinct
+    require(clash.isEmpty,
+      s"budgetTrim: input columns ${clash.mkString(", ")} collide with internal markers")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_h").asc, col(idCol).asc)
+    docs
+      .withColumn("_h", graft.functions.TextFunctions.hexHash60(
+        col(idCol).cast("string"), hashSeed))
+      .withColumn("_cum", sum(col(weightCol)).over(w))
+      .join(broadcast(alloc.select(col(keyCol), col("allocation"))),
+        Seq(keyCol))
+      .filter(col("_cum") <= col("allocation"))
+      .drop("_h", "_cum", "allocation")
+  }
+
   /** Both sketch-backed operators (CMS, Bloom) insert by runtime type:
     * integral columns as longs, strings as UTF-8 bytes. Any other type
     * (double, decimal, binary, struct…) has no guaranteed insert/probe

@@ -283,6 +283,54 @@ object Extensions {
       "sat AS saturated " +
       "FROM sflag CROSS JOIN st CROSS JOIN bt"
 
+  /** Budget trim (X176): the water-fill allocation APPLIED — each
+    * source keeps its docs in salted-md5 hash order until the next
+    * doc would cross its allocation. Output is the per-source audit
+    * summary: docs kept, chars kept, the allocation, and the
+    * never-overshoot verdict (chars_kept ≤ allocation, all true —
+    * verified in-query, the digestMerge convention). */
+  val budgetTrim: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dom = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("tokens"))
+    val total = dom.agg(coalesce(sum(col("tokens")), lit(0L)))
+      .head().getLong(0)
+    val alloc = graft.operators.ScaleOps.waterFillBudget(
+      dom, "source", "tokens", budget = total / 2)
+    val kept = graft.operators.ScaleOps.budgetTrim(
+      docs, "source", "doc_id", "n_chars", alloc)
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+      .join(alloc.select(col("source"), col("allocation")), Seq("source"))
+      .select(col("source"), col("n_docs_kept"), col("chars_kept"),
+        col("allocation"),
+        (col("chars_kept") <= col("allocation")).as("within_budget"))
+  }
+
+  val budgetTrimSql: String =
+    "WITH dom AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens " +
+      "FROM documents GROUP BY source), " +
+      "bt AS (SELECT CAST(sum(tokens) // 2 AS BIGINT) AS b FROM dom), " +
+      "r AS (SELECT source, tokens, row_number() OVER w AS rk, " +
+      "CAST(coalesce(sum(tokens) OVER (ORDER BY tokens ASC, source ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pprev, " +
+      "count(*) OVER () AS n FROM dom " +
+      "WINDOW w AS (ORDER BY tokens ASC, source ASC)), " +
+      "sflag AS (SELECT *, pprev + (n - rk + 1) * tokens <= bt.b AS sat FROM r CROSS JOIN bt), " +
+      "st AS (SELECT CAST(coalesce(sum(CASE WHEN sat THEN 1 END), 0) AS BIGINT) AS k, " +
+      "CAST(coalesce(sum(CASE WHEN sat THEN tokens END), 0) AS BIGINT) AS pk FROM sflag), " +
+      "alloc AS (SELECT source, CAST(CASE WHEN sat THEN tokens ELSE (bt.b - st.pk) // (n - st.k) + " +
+      "(CASE WHEN rk - st.k <= (bt.b - st.pk) % (n - st.k) THEN 1 ELSE 0 END) END AS BIGINT) AS allocation " +
+      "FROM sflag CROSS JOIN st CROSS JOIN bt), " +
+      "h AS (SELECT source, doc_id, n_chars, " +
+      "CAST('0x' || substr(md5('777:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh FROM documents), " +
+      "cum AS (SELECT source, doc_id, n_chars, " +
+      "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY hh ASC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm FROM h), " +
+      "kept AS (SELECT c.source, c.doc_id, c.n_chars FROM cum c JOIN alloc a ON c.source = a.source WHERE c.cm <= a.allocation) " +
+      "SELECT k.source, count(*) AS n_docs_kept, CAST(sum(k.n_chars) AS BIGINT) AS chars_kept, " +
+      "a.allocation, CAST(sum(k.n_chars) AS BIGINT) <= a.allocation AS within_budget " +
+      "FROM kept k JOIN alloc a ON k.source = a.source GROUP BY k.source, a.allocation"
+
   /** Row-level quarantine routing (X165): every document routed with
     * its reason list — valid rows carry is_valid=true and an empty
     * reasons string; quarantined rows name every check they failed in
@@ -5307,6 +5355,7 @@ object Extensions {
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
     "q_water_fill" -> waterFill,
+    "q_budget_trim" -> budgetTrim,
     "q_stream_dq" -> streamDq,
     "q_quarantine" -> quarantine,
     "q_stratified_sample" -> stratifiedSample,
@@ -5459,6 +5508,7 @@ object Extensions {
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
     "q_water_fill" -> waterFillSql,
+    "q_budget_trim" -> budgetTrimSql,
     "q_stream_dq" -> streamDqSql,
     "q_quarantine" -> quarantineSql,
     "q_stratified_sample" -> stratifiedSampleSql,

@@ -82,7 +82,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_neardup_recall",
       // 1-row (k, P_k) water-level stats attached to the #domains-row
       // table, like q_gap_fill's 1-row bounds attach
-      "q_water_fill")
+      "q_water_fill",
+      // composes q_water_fill's 1-row stats attach; the trim itself is
+      // a keyed window + broadcast equi-join
+      "q_budget_trim")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)

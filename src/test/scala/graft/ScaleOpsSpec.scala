@@ -456,6 +456,46 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("budgetTrim: hash-order prefix, boundary doc excluded, never overshoots") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (4L, "b", 5L)).toDF("id", "src", "w")
+    // replicate the salted hash order for source a
+    import graft.functions.TextFunctions
+    val order = docs.filter(col("src") === "a")
+      .select(col("id"),
+        TextFunctions.hexHash60(col("id").cast("string"), 777).as("h"))
+      .orderBy(col("h"), col("id")).select("id").as[Long].collect().toSeq
+    // allocation 25 for a: first two docs in hash order fit (20), the
+    // third would cross (30) and is EXCLUDED; b keeps its 5
+    val alloc = Seq(("a", 25L), ("b", 5L)).toDF("src", "allocation")
+    val kept = ScaleOps.budgetTrim(docs, "src", "id", "w", alloc)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(order(0), order(1), 4L), s"kept $kept order $order")
+    // allocation 0: nothing kept for that source
+    val none = ScaleOps.budgetTrim(docs, "src", "id", "w",
+      Seq(("a", 0L), ("b", 5L)).toDF("src", "allocation"))
+      .select("id").as[Long].collect().toSet
+    assert(none == Set(4L))
+    // composes with waterFillBudget's output shape directly, and the
+    // kept weight never exceeds any domain's allocation
+    val wf = ScaleOps.waterFillBudget(
+      docs.groupBy(col("src")).agg(sum(col("w")).as("t")), "src", "t", 17L)
+    val viaWf = ScaleOps.budgetTrim(docs, "src", "id", "w", wf)
+      .groupBy(col("src")).agg(sum(col("w")).as("kept"))
+      .join(wf.select(col("src"), col("allocation")), Seq("src"))
+      .as[(String, Long, Long)].collect()
+    assert(viaWf.nonEmpty && viaWf.forall(r => r._2 <= r._3))
+    intercept[IllegalArgumentException] {
+      ScaleOps.budgetTrim(docs, "src", "id", "w",
+        alloc.withColumnRenamed("allocation", "alloc"))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.budgetTrim(docs.withColumn("_cum", lit(1)),
+        "src", "id", "w", alloc)
+    }
+  }
+
   test("dqDrift: trailing-window integer mean, first-batch no-evidence, window truncation") {
     val hist = Seq(
       ("check:a", -1L, 0L, 10000L),
