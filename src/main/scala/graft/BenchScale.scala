@@ -70,7 +70,13 @@ object BenchScale {
     "q_top50_import_partners", "q_incremental_image_neardup",
     "q_stream_dq", "q_stream_incr_image_neardup", "q_dq_approx",
     "q_fingerprint_retraction", "q_ingest_gated", "q_schema_drift",
-    "q_neardup_recall", "q_water_fill", "q_budget_trim")
+    "q_neardup_recall", "q_water_fill", "q_budget_trim",
+    "q_stream_quarantine",
+    // round-15 bench drift watch: the one noisy full-bench run's
+    // >1.5x flags on untouched paths (adjudicated host noise —
+    // steady-state 1.11 s / 0.96 s vs flagged 1.46 / 1.68); rows kept
+    // on record per the r8/r9 convention
+    "q_stream_dedup", "q_linear_quality")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS

@@ -3672,6 +3672,65 @@ object Extensions {
       "FROM dr"
   }
 
+  /** Streaming quarantine routing (X177): two REAL micro-batches
+    * through one checkpoint (%3==1 → batch 0, %3==2 → batch 1), each
+    * split map-side on the shared row checks; the output is the
+    * DEAD-LETTER store content — every quarantined doc with its
+    * reason list and the batch that routed it — plus the valid-side
+    * row counts the sink observed, appended as verdict rows
+    * (doc_id = -batch-1, reasons = 'valid_count:<n>'). */
+  val streamQuarantine: Q = (s, d) => withStreamShuffle(s, 8) {
+    val base = java.nio.file.Files.createTempDirectory("graft-quarstream").toString
+    val srcDir = s"$base/src"
+    val storeDir = s"$base/dead"
+    val ckpt = s"$base/ckpt"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val validCounts = scala.collection.mutable.Map[Long, Long]()
+    def runOnce(): Unit = {
+      val q = graft.streaming.EventsStreaming.streamingQuarantine(
+        s.readStream.schema(docs.schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        storeDir, dqRowChecks) { (ok, b) =>
+        validCounts(b) = ok.count()
+      }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f1")
+      runOnce()
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f2")
+      runOnce()
+      val dead = graft.streaming.EventsStreaming
+        .readDeadLetterStore(s, storeDir, docs.schema)
+        .select(col("doc_id"), col("batch").cast("long").as("batch"),
+          array_join(col("_violations"), ",").as("reasons"))
+      import s.implicits._
+      val verdicts = validCounts.toSeq.map { case (b, n) =>
+        (-b - 1, b, s"valid_count:$n")
+      }.toDF("doc_id", "batch", "reasons")
+      dead.unionByName(verdicts).localCheckpoint()
+    } finally deleteRecursively(base)
+  }
+
+  val streamQuarantineSql: String = {
+    val cases = Seq(
+      "CASE WHEN NOT coalesce(text IS NOT NULL AND length(text) > 0, FALSE) THEN 'text_nonempty' END",
+      "CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 'min_chars_100' END",
+      "CASE WHEN NOT coalesce(lang <> 'zh', FALSE) THEN 'latin_script' END")
+    s"WITH v AS (SELECT doc_id, doc_id % 3 - 1 AS batch, " +
+      s"list_filter([${cases.mkString(", ")}], x -> x IS NOT NULL) AS vio " +
+      "FROM documents WHERE doc_id % 3 <> 0) " +
+      "SELECT doc_id, CAST(batch AS BIGINT) AS batch, " +
+      "coalesce(array_to_string(vio, ','), '') AS reasons FROM v WHERE len(vio) > 0 " +
+      "UNION ALL SELECT CAST(-b.batch - 1 AS BIGINT) AS doc_id, b.batch, " +
+      "'valid_count:' || CAST((SELECT count(*) FROM v WHERE v.batch = b.batch AND len(v.vio) = 0) AS VARCHAR) AS reasons " +
+      "FROM (SELECT CAST(0 AS BIGINT) AS batch UNION ALL SELECT CAST(1 AS BIGINT)) b"
+  }
+
   /** ANN recall harness (X115): retrieval QUALITY of the three ANN
     * variants measured as per-query recall@10 against the brute-force
     * ground truth — all four top-k tables are deterministic given the
@@ -5357,6 +5416,7 @@ object Extensions {
     "q_water_fill" -> waterFill,
     "q_budget_trim" -> budgetTrim,
     "q_stream_dq" -> streamDq,
+    "q_stream_quarantine" -> streamQuarantine,
     "q_quarantine" -> quarantine,
     "q_stratified_sample" -> stratifiedSample,
     "q_domain_mix" -> domainMix,
@@ -5510,6 +5570,7 @@ object Extensions {
     "q_water_fill" -> waterFillSql,
     "q_budget_trim" -> budgetTrimSql,
     "q_stream_dq" -> streamDqSql,
+    "q_stream_quarantine" -> streamQuarantineSql,
     "q_quarantine" -> quarantineSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_domain_mix" -> domainMixSql,

@@ -870,6 +870,47 @@ object EventsStreaming {
         StructField("id", LongType),
         StructField("sig", LongType))))
 
+  /** Streaming QUARANTINE routing (X177) — X165 connected to the
+    * stream: each micro-batch splits on the row checks (pure map-side
+    * — routing adds ZERO shuffles to the stream), valid rows flow to
+    * the caller's sink, and quarantined rows land in a DEAD-LETTER
+    * store under `batch=<id>` carrying their `_violations` reason
+    * list — the audit trail a takedown/review loop replays. Store
+    * contracts verbatim: per-batch overwrite (retry idempotence), the
+    * one-checkpoint-per-store lineage guard (a foreign checkpoint
+    * would silently overwrite audit history), negative-id bootstrap
+    * partitions, X155 compaction layout. The guard read derives its
+    * empty-bootstrap schema from the batch itself (the dead-letter
+    * schema IS the input schema + `_violations`). */
+  def streamingQuarantine(docs: DataFrame, deadLetterPath: String,
+      checks: Seq[(String, org.apache.spark.sql.Column)])(
+      valid: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          // lineage guard only — routing never reads the store
+          storeForBatch(readDeadLetterStore(spark, deadLetterPath,
+            batch.schema), batchId)
+          val (ok, bad) = graft.operators.ScaleOps.quarantineSplit(
+            batch.toDF(), checks)
+          bad.write.mode("overwrite")
+            .parquet(s"$deadLetterPath/batch=$batchId")
+          valid(ok, batchId)
+        }
+        ()
+    }
+
+  /** The dead-letter store: the ROUTED rows' own schema plus their
+    * `_violations` reason list; empty-with-schema when the path does
+    * not exist yet (same narrow catch and partition-layout contract
+    * as [[readNearDupStore]]). Callers pass the row schema the
+    * stream routes (reason list appended here). */
+  def readDeadLetterStore(spark: SparkSession, path: String,
+      rowSchema: StructType): DataFrame =
+    readStoreOrEmpty(spark, path, StructType(rowSchema.fields :+
+      StructField("_violations", ArrayType(StringType))))
+
   /** The per-batch DQ verdict store (constraint, n_bad, value_bp,
     * passed), empty-with-schema when the path does not exist yet; same
     * narrow catch and partition-layout contract as

@@ -841,6 +841,65 @@ class StreamingSpec extends SparkSpec {
       s"expected lineage guard, got: ${rootMessages(e)}")
   }
 
+  test("streaming quarantine: map-side split, dead-letter audit per batch, lineage guard") {
+    val base = Files.createTempDirectory("graft-quar-spec").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/dead"
+    val ckpt = s"$base/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("txt",
+        org.apache.spark.sql.types.StringType)))
+    val checks = Seq("txt_nonempty" ->
+      (col("txt").isNotNull && length(col("txt")) > 0))
+    val t1 = Seq((1L, "aa"), (2L, ""), (3L, "cc"))
+    val t2 = Seq((4L, null.asInstanceOf[String]), (5L, "ee"))
+    val validSeen = scala.collection.mutable.Map[Long, Set[Long]]()
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingQuarantine(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, checks) { (ok, b) =>
+        validSeen(b) = ok.select("id").as[Long].collect().toSet
+      }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    t1.toDF("id", "txt").coalesce(1).write.parquet(s"$srcDir/f1")
+    runOnce()
+    t2.toDF("id", "txt").coalesce(1).write.parquet(s"$srcDir/f2")
+    runOnce()
+    // valid rows reached the sink unchanged; quarantined rows landed
+    // in the dead-letter store with reasons, one partition per batch
+    assert(validSeen(0L) == Set(1L, 3L) && validSeen(1L) == Set(5L))
+    val dead = EventsStreaming.readDeadLetterStore(spark, store, schema)
+      .select(col("id"), col("batch").cast("long"),
+        array_join(col("_violations"), ","))
+      .as[(Long, Long, String)].collect().toSet
+    assert(dead == Set(
+      (2L, 0L, "txt_nonempty"),
+      (4L, 1L, "txt_nonempty")))
+    // a foreign checkpoint against the existing store trips the guard
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = EventsStreaming.streamingQuarantine(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, checks) { (_, _) => () }
+        .option("checkpointLocation", s"$base/ckpt-foreign")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(e).exists(_.contains("checkpoint lineage")),
+      s"expected lineage guard, got: ${rootMessages(e)}")
+  }
+
   test("compactStore: interrupted swap never silently bootstraps empty history") {
     // simulate a crash mid-swap: the live store has renamed to .old,
     // the compacted content has not renamed in yet — the store path is
