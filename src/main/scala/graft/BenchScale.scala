@@ -71,7 +71,7 @@ object BenchScale {
     "q_stream_dq", "q_stream_incr_image_neardup", "q_dq_approx",
     "q_fingerprint_retraction", "q_ingest_gated", "q_schema_drift",
     "q_neardup_recall", "q_water_fill", "q_budget_trim",
-    "q_stream_quarantine",
+    "q_stream_quarantine", "q_dq_by_group",
     // round-15 bench drift watch: the one noisy full-bench run's
     // >1.5x flags on untouched paths (adjudicated host noise —
     // steady-state 1.11 s / 0.96 s vs flagged 1.46 / 1.68); rows kept

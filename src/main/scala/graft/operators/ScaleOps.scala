@@ -1154,6 +1154,73 @@ object ScaleOps {
     (scan +: uniq).reduce(_ unionByName _)
   }
 
+  /** Per-GROUP DQ constraint suite (X178) — the multi-tenant form of
+    * [[dqSuite]]: one verdict row per (group, constraint), so a
+    * multi-source ingest publishes per-tenant quality instead of one
+    * corpus blur (a failing source must not hide inside a passing
+    * aggregate). Same scale shape, now keyed: all row checks +
+    * completeness fold into ONE partial-agg pass keyed by the group
+    * column (#groups rows out — the corpus is read once no matter how
+    * many constraints ride), each uniqueness key set adds one
+    * (group, keys) partial-agg shuffle. A NULL group is a legitimate
+    * group and gets its own verdicts (the dedup NULL-key rule); an
+    * empty corpus has no groups and reports an EMPTY verdict table
+    * (unlike the global suite's vacuous pass — no tenants, no
+    * verdicts; spec-pinned). */
+  def dqSuiteByGroup(df: DataFrame, groupCol: String,
+      rowChecks: Seq[(String, Column)],
+      completeness: Seq[String] = Nil,
+      uniqueness: Seq[Seq[String]] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || completeness.nonEmpty || uniqueness.nonEmpty,
+      "dqSuiteByGroup: no constraints given")
+    require(!uniqueness.exists(_.contains(groupCol)),
+      s"dqSuiteByGroup: uniqueness keys must not include the group " +
+        s"column '$groupCol' (already the partition of every check)")
+    val rowAggs = rowChecks.map { case (name, pred) =>
+      coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)),
+        lit(0L)).as(s"check:$name")
+    }
+    val compAggs = completeness.map(c =>
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"complete:$c"))
+    val base = df.groupBy(col(groupCol)).agg(
+      (rowAggs ++ compAggs :+ count(lit(1)).as("_total")).head,
+      (rowAggs ++ compAggs :+ count(lit(1)).as("_total")).tail: _*)
+    val constraints = rowChecks.map(c => s"check:${c._1}") ++
+      completeness.map(c => s"complete:$c")
+    val scan =
+      if (constraints.isEmpty)
+        base.select(col(groupCol)).limit(0)
+          .withColumn("constraint", lit(""))
+          .withColumn("n_bad", lit(0L))
+          .withColumn("value_bp", lit(0L))
+          .withColumn("passed", lit(true))
+      else base.select(col(groupCol), col("_total"), expr(
+        s"stack(${constraints.size}, " +
+          constraints.map(c => s"'$c', `$c`").mkString(", ") +
+          ") AS (constraint, n_bad)"))
+        .select(col(groupCol), col("constraint"), col("n_bad"),
+          when(col("_total") > 0,
+            expr("(_total - n_bad) * 10000 div _total"))
+            .otherwise(10000L).as("value_bp"),
+          (col("n_bad") === 0L).as("passed"))
+    val uniq = uniqueness.map { keys =>
+      df.groupBy((groupCol +: keys).map(col): _*)
+        .agg(count(lit(1)).as("_n"))
+        .groupBy(col(groupCol))
+        .agg(coalesce(sum(col("_n") - 1L), lit(0L)).as("n_bad"),
+          count(lit(1)).as("_distinct"),
+          coalesce(sum(col("_n")), lit(0L)).as("_total"))
+        .select(col(groupCol),
+          lit(s"unique:${keys.mkString(",")}").as("constraint"),
+          col("n_bad"),
+          when(col("_total") > 0, expr("_distinct * 10000 div _total"))
+            .otherwise(10000L).as("value_bp"),
+          (col("n_bad") === 0L).as("passed"))
+    }
+    (scan +: uniq).reduce(_ unionByName _)
+  }
+
   /** DQ DRIFT report (X168) — the "quality moved" signal over a
     * [[dqSuite]] verdict HISTORY (one row per constraint per batch,
     * the streaming DQ store's layout): for each (constraint, batch),

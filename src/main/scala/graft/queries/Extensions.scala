@@ -170,6 +170,48 @@ object Extensions {
       "n_bad = 0 AS passed FROM u CROSS JOIN t"
   }
 
+  /** Per-group DQ suite (X178): the q_dq_suite constraint set keyed
+    * by source — one verdict row per (source, constraint), so a
+    * failing tenant cannot hide inside a passing corpus aggregate.
+    * Uniqueness is doc_id WITHIN source. */
+  val dqByGroup: Q = (s, d) =>
+    graft.operators.ScaleOps.dqSuiteByGroup(Tables.documents(s, d),
+      "source",
+      rowChecks = dqRowChecks :+
+        ("n_chars_consistent" -> (col("n_chars") === length(col("text")))),
+      completeness = Seq("text", "lang"),
+      uniqueness = Seq(Seq("doc_id")))
+
+  val dqByGroupSql: String = {
+    def checkExpr(label: String, pred: String) =
+      (label, s"CAST(coalesce(sum(CASE WHEN NOT coalesce($pred, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)")
+    val checks = Seq(
+      checkExpr("check:text_nonempty", "text IS NOT NULL AND length(text) > 0"),
+      checkExpr("check:min_chars_100", "n_chars >= 100"),
+      checkExpr("check:latin_script", "lang <> 'zh'"),
+      checkExpr("check:n_chars_consistent", "n_chars = length(text)"),
+      checkExpr("complete:text", "text IS NOT NULL"),
+      checkExpr("complete:lang", "lang IS NOT NULL"))
+    val aggCols = checks.zipWithIndex
+      .map { case ((_, e), i) => s"$e AS c$i" }.mkString(", ")
+    val rows = checks.zipWithIndex.map { case ((label, _), i) =>
+      s"SELECT source, '$label' AS \"constraint\", c$i AS n_bad, total FROM t"
+    }
+    s"WITH t AS (SELECT source, count(*) AS total, $aggCols " +
+      "FROM documents GROUP BY source), " +
+      "uq AS (SELECT source, CAST(count(*) AS BIGINT) AS d, " +
+      "CAST(sum(n) AS BIGINT) AS total, CAST(sum(n - 1) AS BIGINT) AS n_bad " +
+      "FROM (SELECT source, doc_id, count(*) AS n FROM documents GROUP BY source, doc_id) " +
+      "GROUP BY source), " +
+      s"u AS ((${rows.mkString(") UNION ALL (")})) " +
+      "SELECT source, \"constraint\", n_bad, " +
+      "CAST(CASE WHEN total > 0 THEN (total - n_bad) * 10000 // total ELSE 10000 END AS BIGINT) AS value_bp, " +
+      "n_bad = 0 AS passed FROM u " +
+      "UNION ALL SELECT source, 'unique:doc_id' AS \"constraint\", n_bad, " +
+      "CAST(CASE WHEN total > 0 THEN d * 10000 // total ELSE 10000 END AS BIGINT) AS value_bp, " +
+      "n_bad = 0 AS passed FROM uq"
+  }
+
   /** Approximate-uniqueness DQ constraints (X170): the 100 TB form of
     * the suite's uniqueness rows — 256 mergeable portable-HLL register
     * maxes per key set instead of a per-row key shuffle; the estimate
@@ -5411,6 +5453,7 @@ object Extensions {
     "q_embed_binary" -> embedBinary,
     "q_dq_suite" -> dqSuite,
     "q_dq_approx" -> dqApprox,
+    "q_dq_by_group" -> dqByGroup,
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
     "q_water_fill" -> waterFill,
@@ -5565,6 +5608,7 @@ object Extensions {
     "q_embed_binary" -> embedBinarySql,
     "q_dq_suite" -> dqSuiteSql,
     "q_dq_approx" -> dqApproxSql,
+    "q_dq_by_group" -> dqByGroupSql,
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
     "q_water_fill" -> waterFillSql,

@@ -496,6 +496,39 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dqSuiteByGroup: per-group exact metrics, NULL group is a group, empty is empty") {
+    val df = Seq(
+      (1L, Some("hello"), Some("s1")),
+      (2L, None: Option[String], Some("s1")),
+      (1L, Some("dup"), Some("s1")),
+      (3L, Some("ok"), None: Option[String]))
+      .toDF("id", "text", "src")
+    val checks = Seq("text_nonempty" ->
+      (col("text").isNotNull && length(col("text")) > 0))
+    val got = ScaleOps.dqSuiteByGroup(df, "src", checks,
+      completeness = Seq("text"), uniqueness = Seq(Seq("id")))
+      .as[(Option[String], String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // s1: 3 rows, 1 null text (fails check + completeness), 1 dup id
+    assert(got((Some("s1"), "check:text_nonempty")) == ((1L, 6666L, false)))
+    assert(got((Some("s1"), "complete:text")) == ((1L, 6666L, false)))
+    assert(got((Some("s1"), "unique:id")) == ((1L, 6666L, false)))
+    // the NULL source is its own group with clean verdicts
+    assert(got((None, "check:text_nonempty")) == ((0L, 10000L, true)))
+    assert(got((None, "unique:id")) == ((0L, 10000L, true)))
+    // empty corpus: no groups -> EMPTY verdict table (not a vacuous pass)
+    assert(ScaleOps.dqSuiteByGroup(
+      Seq.empty[(Long, String, String)].toDF("id", "text", "src"),
+      "src", checks, uniqueness = Seq(Seq("id"))).count() == 0)
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqSuiteByGroup(df, "src", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqSuiteByGroup(df, "src", checks,
+        uniqueness = Seq(Seq("src", "id")))
+    }
+  }
+
   test("dqDrift: trailing-window integer mean, first-batch no-evidence, window truncation") {
     val hist = Seq(
       ("check:a", -1L, 0L, 10000L),
