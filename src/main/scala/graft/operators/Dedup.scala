@@ -961,13 +961,29 @@ object Dedup {
     * contiguous bit-slices; a pair is a candidate iff SOME band agrees
     * exactly — pigeonhole-lossless for hamming ≤ maxDist whenever
     * bands > maxDist (enforced) — and candidates verify by exact
-    * `bit_count(xor)`. Shuffles carry (band, bucket, id, sig) only;
-    * the banded self-join is pinned shuffle-hash (both sides are the
-    * corpus-sized index). Gate coverage: q_simhash_pairs runs through
-    * this core; the perceptual-hash application is spec-pinned on
-    * crafted fingerprints (12-bit hashes over a synthetic corpus
-    * collide too densely for a statistically meaningful corpus gate
-    * row — documented, not hidden). */
+    * `bit_count(xor)`.
+    *
+    * HOT-BUCKET GUARD (the 100 TB shape): identical sigs are COLLAPSED
+    * before banding. Perceptual hashes are low-entropy by design —
+    * millions of blank/monochrome/boilerplate media objects share one
+    * sig exactly, and banding raw doc rows would put all of them (×
+    * bands) into the same buckets: a quadratic candidate explosion in
+    * one shuffle partition. Instead the banded self-join runs over
+    * DISTINCT sigs only, so a band bucket holds at most
+    * min(#distinct sigs, 2^(bits − bits/bands)) rows no matter how
+    * skewed the corpus — multiplicity cannot inflate a bucket.
+    * Verified sig-level pairs then re-expand to member pairs by two
+    * sig-keyed joins (cross-sig pairs) plus one sig-keyed self-join
+    * (within-sig pairs, Hamming 0 by definition) — LOSSLESS: the
+    * output pair set is bit-identical to the uncollapsed form
+    * (spec-pinned on a heavy-multiplicity corpus), and any remaining
+    * skew is proportional to the caller-requested OUTPUT, never to
+    * spurious candidates. Shuffles carry (band, bucket, sig) /
+    * (sig, id) only. Gate coverage: q_simhash_pairs runs through this
+    * core; the perceptual-hash application is spec-pinned on crafted
+    * fingerprints (12-bit hashes over a synthetic corpus collide too
+    * densely for a statistically meaningful corpus gate row —
+    * documented, not hidden). */
   def fingerprintNearDupPairs(hashes: DataFrame, idCol: String,
       hashCol: String, bits: Int, bands: Int, maxDist: Int): DataFrame = {
     require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
@@ -977,20 +993,44 @@ object Dedup {
       s"pigeonhole losslessness needs bands > maxDist, got bands=$bands maxDist=$maxDist")
     val w = bits / bands
     val mask = (1L << w) - 1
-    val banded = hashes.select(col(idCol).as("id"), col(hashCol).as("sig"))
-      .select(col("id"), col("sig"),
+    // docs feed the distinct-sig collapse plus three expansion scans —
+    // persist once (registry-released)
+    val docs = hashes.select(col(idCol).as("id"), col(hashCol).as("sig"))
+      .persistTracked()
+    val sigs = docs.select(col("sig")).distinct()
+    val banded = sigs
+      .select(col("sig"),
         posexplode(array((0 until bands).map(q =>
           shiftrightunsigned(col("sig"), q * w).bitwiseAND(lit(mask))): _*)))
-      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("_sig1"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("_sig2"))
-    a.hint("shuffle_hash").join(b, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        call_function("bit_count", col("_sig1").bitwiseXOR(col("_sig2")))
+      .select(col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("sig").as("_sigA"))
+    val b = banded.select(col("band"), col("bucket"), col("sig").as("_sigB"))
+    // sig-level candidates: bucket population is entropy-bounded (see
+    // doc above); canonical _sigA < _sigB halves the pair space and
+    // distinct() collapses multi-band rediscoveries of one sig pair
+    val repPairs = a.hint("shuffle_hash").join(b, Seq("band", "bucket"))
+      .filter(col("_sigA") < col("_sigB"))
+      .select(col("_sigA"), col("_sigB"),
+        call_function("bit_count", col("_sigA").bitwiseXOR(col("_sigB")))
           .cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+    // re-expand: cross-sig member pairs (every member of A × every
+    // member of B is at the same verified distance)...
+    val mA = docs.select(col("sig").as("_sigA"), col("id").as("_idA"))
+    val mB = docs.select(col("sig").as("_sigB"), col("id").as("_idB"))
+    val cross = repPairs.hint("shuffle_hash").join(mA, Seq("_sigA"))
+      .hint("shuffle_hash").join(mB, Seq("_sigB"))
+      .select(least(col("_idA"), col("_idB")).as("id1"),
+        greatest(col("_idA"), col("_idB")).as("id2"), col("hamming"))
+    // ...plus within-sig pairs — identical fingerprints, Hamming 0,
+    // no banding or verification needed
+    val d1 = docs.select(col("sig"), col("id").as("id1"))
+    val d2 = docs.select(col("sig"), col("id").as("id2"))
+    val within = d1.hint("shuffle_hash").join(d2, Seq("sig"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Incremental (cross-snapshot) FINGERPRINT near-dup (X167) — the
@@ -1007,18 +1047,34 @@ object Dedup {
     * rule — cheap slices are recomputed, expensive evidence is
     * stored; here the hash IS the full verification evidence, so the
     * store carries nothing else). Candidate shuffles carry
-    * (band, bucket, id, sig) — short keys + one BIGINT, volume
-    * O(batch·bands + store·bands), never all-pairs and never a
-    * payload byte. Verification is EXACT `bit_count(xor) ≤ maxDist`
-    * inline on the candidate rows — no second fetch join (the win
-    * over the text form, whose store must carry shingle sets).
+    * (band, bucket, sig) — short keys + one BIGINT, never all-pairs
+    * and never a payload byte. Verification is EXACT
+    * `bit_count(xor) ≤ maxDist` inline on the candidate rows — no
+    * second fetch join (the win over the text form, whose store must
+    * carry shingle sets).
+    *
+    * HOT-BUCKET GUARD (shared with [[fingerprintNearDupPairs]] — see
+    * there): BOTH sides band DISTINCT sigs only. Blank/monochrome
+    * media collapse to one banded row per distinct fingerprint, so a
+    * band bucket is bounded by min(#distinct sigs, 2^(bits −
+    * bits/bands)) regardless of corpus skew, and candidate volume is
+    * O(distinct_batch·bands + distinct_store·bands). The collapse is
+    * LOSSLESS for the survivor semantics below: members of one sig
+    * group are mutual exact dups (Hamming 0), so only the group's
+    * lowest id can ever survive, and it survives iff its sig survives
+    * at group level — spec-pinned collapsed ≡ uncollapsed on a
+    * heavy-multiplicity batch.
     *
     * Within-batch near-dups resolve by the same deterministic
     * PAIRWISE lowest-id rule as [[incrementalNearDup]]: a batch doc
     * drops iff it verifies against any store doc or any SMALLER-id
-    * batch doc (pairwise, not transitive closure). Empty store ≡ the
-    * batch-only pass (spec-pinned): survivors are exactly the batch
-    * minus [[fingerprintNearDupPairs]]' id2 side.
+    * batch doc (pairwise, not transitive closure). At sig level that
+    * is exactly: group G's min id drops iff some store sig is within
+    * maxDist of sig_G, or some batch group H within maxDist has
+    * min(H) < min(G); every non-min member drops against its own
+    * group min (distance 0). Empty store ≡ the batch-only pass
+    * (spec-pinned): survivors are exactly the batch minus
+    * [[fingerprintNearDupPairs]]' id2 side.
     *
     * Returns surviving `(id, sig)` rows — the store-append record:
     * the caller's next increment is `store.unionByName(survivors)`. */
@@ -1035,43 +1091,48 @@ object Dedup {
         s"got ${store.columns.mkString(", ")}")
     val w = bits / bands
     val mask = (1L << w) - 1
-    def bandRows(df: DataFrame, id: Column, sig: Column, idName: String,
-        sigName: String): DataFrame =
-      df.select(id.as(idName), sig.as(sigName),
-        posexplode(array((0 until bands).map(q =>
-          shiftrightunsigned(sig, q * w).bitwiseAND(lit(mask))): _*)))
-        .select(col(idName), col(sigName), col("pos").as("band"),
-          col("col").as("bucket"))
-    // batch hash records feed banding twice + the survivor anti-join;
-    // one short (id, sig) frame — persist once (registry-released)
-    val batch = newHashes
+    def bandRows(df: DataFrame, keep: Seq[String]): DataFrame =
+      df.select(keep.map(col) :+
+          posexplode(array((0 until bands).map(q =>
+            shiftrightunsigned(col("sig"), q * w).bitwiseAND(lit(mask))): _*)): _*)
+        .select(keep.map(col) :+ col("pos").as("band") :+
+          col("col").as("bucket"): _*)
+    // collapse the batch to one (sig, min id) row per distinct sig —
+    // feeds banding twice + the survivor anti-join; persist once
+    // (registry-released)
+    val bGroups = newHashes
       .select(col(idCol).cast("long").as("id"), col(hashCol).as("sig"))
+      .groupBy(col("sig")).agg(min(col("id")).as("_minId"))
       .persistTracked()
-    val bBands = bandRows(batch, col("id"), col("sig"), "_bid", "_bsig")
-    val sBands = bandRows(store, col("id"), col("sig"), "_sid", "_ssig")
+    val bBands = bandRows(
+      bGroups.select(col("sig"), col("_minId")), Seq("sig", "_minId"))
+    val sBands = bandRows(store.select(col("sig")).distinct(), Seq("sig"))
+      .select(col("sig").as("_ssig"), col("band"), col("bucket"))
     def ham(a: Column, b: Column): Column =
       call_function("bit_count", a.bitwiseXOR(b)).cast("int")
-    // batch-vs-store: build side = the (smaller) batch, probe side =
-    // the store — pinned shuffle-hash, never a broadcast assumption on
-    // a corpus-sized index. The hash rides the band rows, so verify is
-    // inline — candidates never re-join either input.
-    val dupVsStore = bBands.hint("shuffle_hash")
+    // batch-vs-store at sig level: build side = the (smaller) batch,
+    // probe side = the store — pinned shuffle-hash, never a broadcast
+    // assumption on a corpus-sized index. The sig rides the band rows,
+    // so verify is inline — candidates never re-join either input.
+    val dropVsStore = bBands.hint("shuffle_hash")
       .join(sBands, Seq("band", "bucket"))
-      .filter(ham(col("_bsig"), col("_ssig")) <= maxDist)
-      .select(col("_bid"))
-    // within-batch: the X144 self-join shape; id1 < id2 drops the
-    // larger id (the pairwise lowest-id rule)
-    val cb1 = bBands.select(col("band"), col("bucket"),
-      col("_bid").as("_id1"), col("_bsig").as("_s1"))
-    val cb2 = bBands.select(col("band"), col("bucket"),
-      col("_bid").as("_id2"), col("_bsig").as("_s2"))
-    val dupInBatch = cb1.hint("shuffle_hash").join(cb2, Seq("band", "bucket"))
-      .filter(col("_id1") < col("_id2"))
+      .filter(ham(col("sig"), col("_ssig")) <= maxDist)
+      .select(col("sig").as("_dsig"))
+    // within-batch at group level: G's min drops iff some group H
+    // within maxDist has a strictly smaller min (the pairwise
+    // lowest-id rule, collapsed)
+    val g1 = bBands.select(col("band"), col("bucket"),
+      col("sig").as("_s1"), col("_minId").as("_m1"))
+    val g2 = bBands.select(col("band"), col("bucket"),
+      col("sig").as("_s2"), col("_minId").as("_m2"))
+    val dropInBatch = g1.hint("shuffle_hash").join(g2, Seq("band", "bucket"))
+      .filter(col("_m1") < col("_m2"))
       .filter(ham(col("_s1"), col("_s2")) <= maxDist)
-      .select(col("_id2").as("_bid"))
-    val dups = dupVsStore.unionByName(dupInBatch).distinct()
-    batch.join(dups.hint("shuffle_hash"),
-      batch("id") === dups("_bid"), "left_anti")
+      .select(col("_s2").as("_dsig"))
+    val dropped = dropVsStore.unionByName(dropInBatch).distinct()
+    bGroups.join(dropped.hint("shuffle_hash"),
+        bGroups("sig") === dropped("_dsig"), "left_anti")
+      .select(col("_minId").as("id"), col("sig"))
   }
 
   /** FINGERPRINT store retraction (X171) — the forget half of the
@@ -1088,8 +1149,12 @@ object Dedup {
     *
     * Fail-loud: retracting an id the store never held is an upstream
     * bookkeeping bug (the retract list drifted from the ingest
-    * record) — the guard RIDES the output sig column, so Catalyst
-    * cannot prune an orphan row before its guard runs. */
+    * record) — the guard rides the row FILTER (the [[
+    * graft.operators.ScaleOps.retractManifest]] convention), so it
+    * fires for every joined row no matter which output columns a
+    * consumer later prunes: a `.select("id")` or a bare `.count()`
+    * still trips the orphan check, and no phantom NULL-id row can
+    * ever reach the output. */
   def retractFingerprints(store: DataFrame, ids: DataFrame,
       idCol: String = "id"): DataFrame = {
     require(Set("id", "sig").subsetOf(store.columns.toSet),
@@ -1102,15 +1167,19 @@ object Dedup {
     val s = store.select(col("id").as("_sid"), col("sig").as("_ssig"))
     val joined = s.join(r.hint("shuffle_hash"),
       col("_sid") === col("_rid"), "full_outer")
-    val guard = when(col("_sid").isNull,
+    // survivors = store rows the retract list never matched; orphan
+    // retract ids (no store row) raise INSIDE the filter so the guard
+    // is unprunable regardless of downstream column selection
+    val keep = when(col("_sid").isNull,
       raise_error(concat(
         lit("retractFingerprints: id "), col("_rid").cast("string"),
         lit(" is not in the store — retracting never-stored content " +
-          "means the retract list drifted from the ingest record"))))
-      .otherwise(col("_ssig"))
+          "means the retract list drifted from the ingest record")))
+        .cast("boolean"))
+      .otherwise(col("_rid").isNull)
     joined
-      .filter(col("_rid").isNull || col("_sid").isNull)
-      .select(col("_sid").as("id"), guard.as("sig"))
+      .filter(keep)
+      .select(col("_sid").as("id"), col("_ssig").as("sig"))
   }
 
   /** Connected components over an undirected pair list — the cluster-

@@ -1429,6 +1429,12 @@ object ScaleOps {
       raise_error(concat(lit("waterFillBudget: duplicate domain key "),
         col(keyCol).cast("string"),
         lit(" — one row per domain required (double-allocation)"))))
+      // NULL tokens (e.g. sum() over an all-NULL group upstream) would
+      // sort first, get _sat = NULL, and silently skew the level — and
+      // `NULL < 0` is NULL, so the negative branch cannot catch them
+      .when(col(tokensCol).isNull,
+        raise_error(concat(lit("waterFillBudget: NULL tokens for "),
+          coalesce(col(keyCol).cast("string"), lit("NULL")))))
       .when(col(tokensCol) < 0,
         raise_error(concat(lit("waterFillBudget: negative tokens for "),
           col(keyCol).cast("string"))))
@@ -1464,8 +1470,12 @@ object ScaleOps {
     val clash = docs.columns.filter(Set("_h", "_cum", "allocation")).distinct
     require(clash.isEmpty,
       s"budgetTrim: input columns ${clash.mkString(", ")} collide with internal markers")
+    // explicit ROWS frame: the default RANGE frame makes ordering
+    // peers (duplicate (hash, id) rows) share one inclusive running
+    // total, diverging from the per-row boundary-excluded semantics
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("_h", graft.functions.TextFunctions.hexHash60(
         col(idCol).cast("string"), hashSeed))

@@ -277,6 +277,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint sig-collapse: heavy-multiplicity corpus stays bit-identical to brute force") {
+    // the 100 TB failure mode in miniature: many media objects share
+    // one fingerprint exactly (blank thumbnails). The sig-collapse must
+    // keep the banding buckets bounded by DISTINCT sigs while the
+    // output pair set stays bit-identical to uncollapsed all-pairs
+    // semantics, and the incremental survivors stay bit-identical to
+    // the pairwise lowest-id rule.
+    val rnd = new scala.util.Random(11)
+    val hot = Seq.tabulate(40)(i => (i.toLong, 0x000L)) // one hot sig, 40 members
+    val near = Seq((100L, 0x001L), (101L, 0x003L)) // hamming 1 / 2 vs the hot sig
+    val far = Seq.tabulate(10)(i => (200L + i, rnd.nextInt(4096).toLong | 0x800L))
+    val rows = hot ++ near ++ far
+    val hashes = rows.toDF("media_id", "phash")
+    val got = Dedup.fingerprintNearDupPairs(hashes, "media_id", "phash",
+      bits = 12, bands = 4, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (i, hi) <- rows; (j, hj) <- rows if i < j
+      h = java.lang.Long.bitCount(hi ^ hj) if h <= 3
+    } yield (i, j, h)).toSet
+    assert(got == brute,
+      s"collapsed banding diverged from brute force: extra=${got -- brute} missing=${brute -- got}")
+    assert(got.size >= 40 * 39 / 2, "the hot-sig clique must re-expand in full")
+    // incremental over the same batch, store with DUPLICATE sigs (the
+    // store side collapses too): survivors == the pairwise-rule brute
+    val storeDup = Seq((500L, 0x800L), (501L, 0x800L)).toDF("id", "sig")
+    val survivors = graft.operators.Dedup.incrementalFingerprintNearDup(
+      hashes, storeDup, "media_id", "phash", bits = 12, bands = 4, maxDist = 3)
+      .as[(Long, Long)].collect().toSet
+    val bruteSurv = rows.filter { case (i, hi) =>
+      java.lang.Long.bitCount(hi ^ 0x800L) > 3 &&
+        !rows.exists { case (j, hj) =>
+          j < i && java.lang.Long.bitCount(hi ^ hj) <= 3 }
+    }.toSet
+    assert(survivors == bruteSurv,
+      s"incremental collapsed diverged: extra=${survivors -- bruteSurv} missing=${bruteSurv -- survivors}")
+  }
+
   test("simhash near-dup pairs at maxDist keeps exact dups") {
     val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
