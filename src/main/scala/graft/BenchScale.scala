@@ -72,6 +72,9 @@ object BenchScale {
     "q_fingerprint_retraction", "q_ingest_gated", "q_schema_drift",
     "q_neardup_recall", "q_water_fill", "q_budget_trim",
     "q_stream_quarantine", "q_dq_by_group",
+    // round-16: sig-collapse hot-bucket fix (watch the fingerprint
+    // family) + the audio modality gate
+    "q_incremental_audio_neardup", "q_dq_group_drift",
     // round-15 bench drift watch: the one noisy full-bench run's
     // >1.5x flags on untouched paths (adjudicated host noise —
     // steady-state 1.11 s / 0.96 s vs flagged 1.46 / 1.68); rows kept

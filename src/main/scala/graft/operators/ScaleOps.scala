@@ -1268,6 +1268,57 @@ object ScaleOps {
         col("delta_bp"), col("anomaly"))
   }
 
+  /** Per-GROUP DQ drift (X179) — [[dqSuiteByGroup]] × [[dqDrift]]:
+    * the trailing-window anomaly fold over a PER-TENANT verdict
+    * history (one row per (group, constraint, batch) — the keyed DQ
+    * store layout), window keyed by (group, constraint). This closes
+    * the blind spot the two parents leave open when used alone: a
+    * drifting tenant inside a stable corpus is exactly as invisible
+    * to the GLOBAL drift monitor as the failing tenant X178 was built
+    * to expose — per-tenant shares can swing wildly while the corpus
+    * aggregate nets out flat (spec-pinned: a tenant collapse flagged
+    * here while [[dqDrift]] over the aggregated history stays quiet).
+    *
+    * Same exact-integer arithmetic as [[dqDrift]] (basis-point sums +
+    * `div`); a (group, constraint) pair's first verdict has no
+    * trailing history → n_trail=0, NULL trail/delta, anomaly=false.
+    * Scale shape: input is #groups·#constraints·#batches SHORT rows
+    * (never the corpus), one short-key window shuffle keyed by
+    * (group, constraint) — per-tenant monitoring costs nothing
+    * measurable at 100 TB; the corpus was paid for by the per-batch
+    * keyed suites. */
+  def dqGroupDrift(history: DataFrame, groupCol: String,
+      windowBatches: Int, thresholdBp: Long): DataFrame = {
+    require(windowBatches >= 1,
+      s"dqGroupDrift: windowBatches must be >= 1, got $windowBatches")
+    require(thresholdBp >= 0,
+      s"dqGroupDrift: thresholdBp must be >= 0, got $thresholdBp")
+    require(history.columns.contains("batch"),
+      "dqGroupDrift: history must carry the batch partition column " +
+        "(the keyed DQ store layout)")
+    require(history.columns.contains(groupCol),
+      s"dqGroupDrift: history has no group column '$groupCol' — " +
+        "build it with dqSuiteByGroup, not the global suite")
+    val w = Window.partitionBy(col(groupCol), col("constraint"))
+      .orderBy(col("batch").cast("long"))
+      .rowsBetween(-windowBatches, -1)
+    history
+      .select(col(groupCol), col("constraint"),
+        col("batch").cast("long").as("batch"),
+        col("n_bad"), col("value_bp"))
+      .withColumn("_ts", sum(col("value_bp")).over(w))
+      .withColumn("n_trail", count(lit(1)).over(w))
+      .withColumn("trail_mean_bp",
+        when(col("n_trail") > 0, expr("_ts div n_trail")))
+      .withColumn("delta_bp",
+        when(col("n_trail") > 0, col("value_bp") - col("trail_mean_bp")))
+      .withColumn("anomaly",
+        coalesce(abs(col("delta_bp")) > thresholdBp, lit(false)))
+      .select(col(groupCol), col("constraint"), col("batch"),
+        col("n_bad"), col("value_bp"), col("n_trail"),
+        col("trail_mean_bp"), col("delta_bp"), col("anomaly"))
+  }
+
   /** APPROXIMATE uniqueness DQ constraints (X170) — the 100 TB form
     * of [[dqSuite]]'s uniqueness rows: exact uniqueness shuffles one
     * short key PER ROW (the dedup shape — O(corpus) shuffle volume

@@ -212,6 +212,55 @@ object Extensions {
       "n_bad = 0 AS passed FROM uq"
   }
 
+  /** Per-group DQ drift (X179): X178 × X168 — three ingest slices
+    * (doc_id % 3) produce a per-(source, constraint) verdict history
+    * via [[graft.operators.ScaleOps.dqSuiteByGroup]], then
+    * [[graft.operators.ScaleOps.dqGroupDrift]] folds every
+    * (source, constraint) series against its trailing-2-batch integer
+    * mean, anomaly beyond 50 bp — the monitor that catches a drifting
+    * tenant the corpus-level X168 report averages away. */
+  val dqGroupDriftQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val history = Seq(0L, 1L, 2L).map { b =>
+      graft.operators.ScaleOps.dqSuiteByGroup(
+        docs.filter(col("doc_id") % 3 === b), "source",
+        rowChecks = dqRowChecks,
+        completeness = Seq("lang"))
+        .withColumn("batch", lit(b))
+    }.reduce(_ unionByName _)
+    graft.operators.ScaleOps.dqGroupDrift(history, "source",
+      windowBatches = 2, thresholdBp = 50)
+  }
+
+  val dqGroupDriftSql: String = {
+    def checkExpr(label: String, pred: String) =
+      (label, s"CAST(coalesce(sum(CASE WHEN NOT coalesce($pred, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)")
+    val checks = Seq(
+      checkExpr("check:text_nonempty", "text IS NOT NULL AND length(text) > 0"),
+      checkExpr("check:min_chars_100", "n_chars >= 100"),
+      checkExpr("check:latin_script", "lang <> 'zh'"),
+      checkExpr("complete:lang", "lang IS NOT NULL"))
+    val aggCols = checks.zipWithIndex
+      .map { case ((_, e), i) => s"$e AS c$i" }.mkString(", ")
+    val rows = checks.zipWithIndex.map { case ((label, _), i) =>
+      s"SELECT source, '$label' AS \"constraint\", batch, c$i AS n_bad, total FROM t"
+    }
+    s"WITH t AS MATERIALIZED (SELECT doc_id % 3 AS batch, source, count(*) AS total, $aggCols " +
+      "FROM documents GROUP BY doc_id % 3, source), " +
+      s"u AS ((${rows.mkString(") UNION ALL (")})), " +
+      "v AS (SELECT source, \"constraint\", CAST(batch AS BIGINT) AS batch, n_bad, " +
+      "CAST(CASE WHEN total > 0 THEN (total - n_bad) * 10000 // total ELSE 10000 END AS BIGINT) AS value_bp FROM u), " +
+      "dr AS (SELECT source, \"constraint\", batch, n_bad, value_bp, " +
+      "CAST(count(*) OVER w AS BIGINT) AS n_trail, " +
+      "CAST(sum(value_bp) OVER w AS BIGINT) AS ts FROM v " +
+      "WINDOW w AS (PARTITION BY source, \"constraint\" ORDER BY batch ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)) " +
+      "SELECT source, \"constraint\", batch, n_bad, value_bp, n_trail, " +
+      "CASE WHEN n_trail > 0 THEN ts // n_trail END AS trail_mean_bp, " +
+      "CASE WHEN n_trail > 0 THEN value_bp - ts // n_trail END AS delta_bp, " +
+      "coalesce(abs(CASE WHEN n_trail > 0 THEN value_bp - ts // n_trail END) > 50, FALSE) AS anomaly " +
+      "FROM dr"
+  }
+
   /** Approximate-uniqueness DQ constraints (X170): the 100 TB form of
     * the suite's uniqueness rows — 256 mergeable portable-HLL register
     * maxes per key set instead of a per-row key shuffle; the estimate
@@ -1778,6 +1827,61 @@ object Extensions {
       "WHERE b1.media_id % 3 = 1 AND b2.media_id % 3 = 1 " +
       s"AND bit_count(xor(b1.phash, b2.phash)) <= $PHASH_MAXDIST) " +
       "SELECT media_id, phash FROM ph WHERE media_id % 3 = 1 " +
+      "AND media_id NOT IN (SELECT bid FROM cvs UNION ALL SELECT bid FROM cvb)"
+  }
+
+  /** Incremental (cross-snapshot) AUDIO near-dup — the X167 store
+    * contract exercised end-to-end through the AUDIO modality
+    * ([[Multimodal.audioPerceptualHash]], X124): until this gate the
+    * audio increment was claimed by genericity only. Real PCM16 WAV
+    * payloads decode map-side to 12-bit block-energy fingerprints;
+    * store = media_id%3==0 hashes, batch = the rest; 4 × 3-bit bands,
+    * maxDist 1 (pigeonhole-lossless). The 12-bit space is DENSE by
+    * design here — many clips collide exactly — which makes this gate
+    * double as corpus-level coverage for the sig-collapse hot-bucket
+    * guard: banding runs over distinct sigs only and the result is
+    * still bit-identical to the uncollapsed pairwise rule (the oracle
+    * replays that rule from the closed-form samples). */
+  private val AUDIO_FP_BANDS = 4
+  private val AUDIO_FP_MAXDIST = 1
+
+  val incrementalAudioNearDup: Q = (s, d) => {
+    val media = Multimodal.wavMediaFromDocuments(spread(Tables.documents(s, d)))
+    val hashes = Multimodal.audioPerceptualHash(media).toDF()
+      .filter(col("decoded")).select(col("media_id"), col("phash"))
+    val storeH = hashes.filter(col("media_id") % 3 === 0)
+      .select(col("media_id").as("id"), col("phash").as("sig"))
+    graft.operators.Dedup.incrementalFingerprintNearDup(
+      hashes.filter(col("media_id") % 3 =!= 0), storeH,
+      "media_id", "phash", bits = 12, bands = AUDIO_FP_BANDS,
+      maxDist = AUDIO_FP_MAXDIST)
+      .select(col("id").as("media_id"), col("sig").as("phash"))
+  }
+
+  /** The audioPhash closed-form replay + the incremental banding/drop
+    * chain of [[incrementalImageNearDupSql]] at 12-bit width. */
+  val incrementalAudioNearDupSql: String = {
+    val bandW = 12 / AUDIO_FP_BANDS
+    val mask = (1L << bandW) - 1
+    val bandRows = (0 until AUDIO_FP_BANDS).map(b => s"($b)").mkString(",")
+    "WITH m AS (SELECT doc_id AS media_id, CAST(16 + doc_id % 33 AS BIGINT) AS n FROM documents), " +
+      "ss AS (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM m), " +
+      "px AS (SELECT media_id, (i*12)//n AS blk, abs((media_id*31 + i*17) % 4096 - 2048) AS v FROM ss), " +
+      "cs AS (SELECT media_id, blk, CAST(sum(v) AS BIGINT) AS s, count(*) AS c FROM px GROUP BY media_id, blk), " +
+      "tot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(c) AS BIGINT) AS tn FROM cs GROUP BY media_id), " +
+      "ph AS MATERIALIZED (SELECT cs.media_id, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.c THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END) AS BIGINT) AS phash " +
+      "FROM cs JOIN tot ON cs.media_id = tot.media_id GROUP BY cs.media_id), " +
+      s"bands AS MATERIALIZED (SELECT media_id, phash, bb.band, (phash >> (bb.band*$bandW)) & $mask AS bucket " +
+      s"FROM ph CROSS JOIN (VALUES $bandRows) bb(band)), " +
+      "cvs AS (SELECT DISTINCT b.media_id AS bid FROM bands b " +
+      "JOIN bands st ON b.band = st.band AND b.bucket = st.bucket " +
+      "WHERE b.media_id % 3 <> 0 AND st.media_id % 3 = 0 " +
+      s"AND bit_count(xor(b.phash, st.phash)) <= $AUDIO_FP_MAXDIST), " +
+      "cvb AS (SELECT DISTINCT b2.media_id AS bid FROM bands b1 " +
+      "JOIN bands b2 ON b1.band = b2.band AND b1.bucket = b2.bucket AND b1.media_id < b2.media_id " +
+      "WHERE b1.media_id % 3 <> 0 AND b2.media_id % 3 <> 0 " +
+      s"AND bit_count(xor(b1.phash, b2.phash)) <= $AUDIO_FP_MAXDIST) " +
+      "SELECT media_id, phash FROM ph WHERE media_id % 3 <> 0 " +
       "AND media_id NOT IN (SELECT bid FROM cvs UNION ALL SELECT bid FROM cvb)"
   }
 
@@ -5410,6 +5514,7 @@ object Extensions {
     "q_image_phash" -> imagePhash,
     "q_image_neardup" -> imageNearDup,
     "q_incremental_image_neardup" -> incrementalImageNearDup,
+    "q_incremental_audio_neardup" -> incrementalAudioNearDup,
     "q_stream_incr_image_neardup" -> streamIncrImageNearDup,
     "q_fingerprint_retraction" -> fingerprintRetraction,
     "q_ingest_gated" -> ingestGated,
@@ -5454,6 +5559,7 @@ object Extensions {
     "q_dq_suite" -> dqSuite,
     "q_dq_approx" -> dqApprox,
     "q_dq_by_group" -> dqByGroup,
+    "q_dq_group_drift" -> dqGroupDriftQ,
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
     "q_water_fill" -> waterFill,
@@ -5565,6 +5671,7 @@ object Extensions {
     "q_image_phash" -> imagePhashSql,
     "q_image_neardup" -> imageNearDupSql,
     "q_incremental_image_neardup" -> incrementalImageNearDupSql,
+    "q_incremental_audio_neardup" -> incrementalAudioNearDupSql,
     "q_stream_incr_image_neardup" -> streamIncrImageNearDupSql,
     "q_fingerprint_retraction" -> fingerprintRetractionSql,
     "q_ingest_gated" -> ingestGatedSql,
@@ -5609,6 +5716,7 @@ object Extensions {
     "q_dq_suite" -> dqSuiteSql,
     "q_dq_approx" -> dqApproxSql,
     "q_dq_by_group" -> dqByGroupSql,
+    "q_dq_group_drift" -> dqGroupDriftSql,
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
     "q_water_fill" -> waterFillSql,

@@ -561,6 +561,50 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dqGroupDrift flags a drifting tenant the corpus aggregate hides") {
+    // two tenants, three batches: tenant A collapses at batch 1 while
+    // tenant B improves by the same amount — the GLOBAL mean is flat,
+    // so the corpus-level monitor must stay quiet while the keyed
+    // monitor flags A (the exact blind spot X178's doc names)
+    val hist = Seq(
+      ("A", "check:q", -1L, 0L, 9000L),
+      ("A", "check:q", 0L, 0L, 9000L),
+      ("A", "check:q", 1L, 90L, 8000L),  // -1000 bp vs trail: drifts
+      ("B", "check:q", -1L, 0L, 9000L),
+      ("B", "check:q", 0L, 0L, 9000L),
+      ("B", "check:q", 1L, 0L, 10000L))  // +1000 bp: drifts the other way
+      .toDF("src", "constraint", "batch", "n_bad", "value_bp")
+    val keyed = ScaleOps.dqGroupDrift(hist, "src",
+      windowBatches = 2, thresholdBp = 50)
+      .as[(String, String, Long, Long, Long, Long, Option[Long], Option[Long], Boolean)]
+      .collect().map(r => (r._1, r._3) -> ((r._6, r._7, r._8, r._9))).toMap
+    assert(keyed(("A", 1L)) == ((2L, Some(9000L), Some(-1000L), true)),
+      "the collapsing tenant must be flagged")
+    assert(keyed(("B", 1L)) == ((2L, Some(9000L), Some(1000L), true)))
+    assert(keyed(("A", -1L)) == ((0L, None, None, false)),
+      "first verdict of a (group, constraint) has no drift evidence")
+    // the aggregated (corpus-level) history over the same batches:
+    // global value_bp = integer mean of the tenants' bps — flat 9000,
+    // so dqDrift sees nothing
+    val agg = hist.groupBy(col("constraint"), col("batch"))
+      .agg(sum("n_bad").as("n_bad"),
+        expr("sum(value_bp) div count(1)").as("value_bp"))
+    val global = ScaleOps.dqDrift(agg, windowBatches = 2, thresholdBp = 50)
+      .filter(col("anomaly")).count()
+    assert(global == 0L,
+      "the corpus aggregate must stay quiet on offsetting tenant drifts")
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqGroupDrift(hist, "nope", windowBatches = 2, thresholdBp = 50)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqGroupDrift(hist.drop("batch"), "src",
+        windowBatches = 2, thresholdBp = 50)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqGroupDrift(hist, "src", windowBatches = 0, thresholdBp = 50)
+    }
+  }
+
   test("intervalOverlapJoin == brute-force theta join, boundary-exact") {
     val a = Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 200L, 200L))
       .toDF("aid", "sa", "ea")
