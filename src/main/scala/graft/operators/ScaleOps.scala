@@ -1087,6 +1087,51 @@ object ScaleOps {
       checked.filter(size(col("_violations")) > 0))
   }
 
+  /** DEAD-LETTER retraction (X180) — the review loop's second half:
+    * once a quarantined row has been reviewed (corrected and
+    * re-ingested, or judged unrecoverable), its audit rows leave the
+    * dead-letter store so the review queue only ever shows OPEN
+    * cases. One id-keyed pinned shuffle-hash equi-join (no broadcast
+    * assumption on either side); an id quarantined in several batches
+    * retracts ALL its rows; the caller persists the returned frame
+    * (the X155 compaction path).
+    *
+    * Fail-loud: retracting an id the dead-letter store never held
+    * means the review list drifted from the quarantine record — the
+    * raise_error guard rides the row FILTER (the retractManifest
+    * convention), so any evaluation of the frame trips it regardless
+    * of which output columns a consumer prunes.
+    *
+    * The re-admission contract this composes with (gate + spec): a
+    * quarantined row never entered any dedup store — routing is
+    * upstream of fingerprinting — so a CORRECTED re-arrival dedups
+    * only against genuinely-kept content and is never shadowed by its
+    * own quarantined first arrival. */
+  def retractDeadLetter(deadLetter: DataFrame, ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    require(deadLetter.columns.contains(idCol),
+      s"retractDeadLetter: dead-letter store has no '$idCol' column " +
+        s"(got ${deadLetter.columns.mkString(", ")})")
+    require(ids.columns.contains(idCol),
+      s"retractDeadLetter: review list has no '$idCol' column " +
+        s"(got ${ids.columns.mkString(", ")})")
+    require(!deadLetter.columns.contains("_rid"),
+      "retractDeadLetter: dead-letter store column '_rid' collides " +
+        "with the internal marker")
+    val r = ids.select(col(idCol).cast("long").as("_rid")).distinct()
+    val joined = deadLetter.join(r.hint("shuffle_hash"),
+      deadLetter(idCol).cast("long") === r("_rid"), "full_outer")
+    val keep = when(deadLetter(idCol).isNull,
+      raise_error(concat(
+        lit("retractDeadLetter: id "), col("_rid").cast("string"),
+        lit(" is not in the dead-letter store — reviewing a row that " +
+          "was never quarantined means the review list drifted from " +
+          "the quarantine record")))
+        .cast("boolean"))
+      .otherwise(col("_rid").isNull)
+    joined.filter(keep).drop("_rid")
+  }
+
   /** Data-quality constraint SUITE (X165) — the dataset-level verdict
     * a Deequ-style expectations gate publishes per snapshot: one row
     * per constraint with exact integral metrics (basis points via

@@ -1055,6 +1055,100 @@ object Extensions {
       "WHERE doc_id NOT IN (SELECT doc_id FROM kept)"
   }
 
+  /** Dead-letter re-admission (X180): the review loop's second half,
+    * composed end-to-end — the X172 gated ingest quarantines its
+    * violators into a dead-letter frame; a deterministic "review"
+    * corrects every violation (empty text → 'corrected doc <id>',
+    * short n_chars → 100, zh/NULL lang → 'en'); the corrected rows
+    * re-enter the gate AND the exact-dedup increment against
+    * prior ∪ batch-1-kept fingerprints — NOT shadowed by their own
+    * quarantined first arrival (quarantine is upstream of
+    * fingerprinting, so a corrected row drops only on a GENUINE
+    * collision with kept content); and the reviewed ids retract from
+    * the dead-letter store, whose emptiness is asserted in-query
+    * (the deadletter_remaining row). One fate row per batch doc:
+    * kept / dropped_dup / readmit_kept / readmit_dup (detail = the
+    * original violation list the review corrected). */
+  val deadletterReadmit: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val checked = graft.operators.ScaleOps.checkConstraints(
+      spread(batch), dqRowChecks)
+    val deadLetter = checked.filter(size(col("_violations")) > 0)
+    val valid = checked.filter(size(col("_violations")) === 0)
+      .drop("_violations")
+    val priorFps = docs.filter(col("doc_id") % 3 === 0)
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
+    val kept = Dedup.incrementalExactDedup(valid, priorFps, "text", "doc_id")
+      .select(col("doc_id")).persistTracked()
+    // the review: deterministic corrections, every violation fixed
+    val corrected = deadLetter.select(
+      col("doc_id"),
+      when(col("text").isNull || length(col("text")) === 0,
+        concat(lit("corrected doc "), col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"),
+      array_join(col("_violations"), ",").as("detail"))
+    // re-ingest: dedup against prior ∪ batch-1-kept — the quarantined
+    // first arrival left no fingerprint, so no self-shadowing
+    val store2 = priorFps.unionByName(
+      valid.join(kept, Seq("doc_id"), "left_semi")
+        .select(TextFunctions.fingerprintMd5(col("text")).as("fp"))).distinct()
+    val readmitKept = Dedup.incrementalExactDedup(
+      corrected, store2, "text", "doc_id").select(col("doc_id"))
+    // the reviewed ids leave the dead-letter store; it must be empty
+    val remaining = graft.operators.ScaleOps.retractDeadLetter(
+      deadLetter, deadLetter.select(col("doc_id")))
+    val remainingRow = remaining.agg(count(lit(1)).as("_n"))
+      .select(lit(-1L).as("doc_id"), lit("deadletter_remaining").as("fate"),
+        col("_n").cast("string").as("detail"))
+    kept.select(col("doc_id"), lit("kept").as("fate"), lit("").as("detail"))
+      .unionByName(valid.select(col("doc_id"))
+        .join(kept, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("dropped_dup").as("fate"),
+          lit("").as("detail")))
+      .unionByName(corrected.join(readmitKept, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), lit("readmit_kept").as("fate"), col("detail")))
+      .unionByName(corrected.join(readmitKept, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("readmit_dup").as("fate"), col("detail")))
+      .unionByName(remainingRow)
+  }
+
+  val deadletterReadmitSql: String = {
+    val cases = Seq(
+      "CASE WHEN NOT coalesce(text IS NOT NULL AND length(text) > 0, FALSE) THEN 'text_nonempty' END",
+      "CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 'min_chars_100' END",
+      "CASE WHEN NOT coalesce(lang <> 'zh', FALSE) THEN 'latin_script' END")
+    s"WITH f AS MATERIALIZED (SELECT doc_id, md5($duckNormText) AS fp FROM documents), " +
+      s"v AS MATERIALIZED (SELECT doc_id, list_filter([${cases.mkString(", ")}], x -> x IS NOT NULL) AS vio " +
+      "FROM documents WHERE doc_id % 3 <> 0), " +
+      "prior AS MATERIALIZED (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0), " +
+      "valid AS MATERIALIZED (SELECT f.doc_id, f.fp FROM f JOIN v ON f.doc_id = v.doc_id WHERE len(v.vio) = 0), " +
+      "kept AS MATERIALIZED (SELECT doc_id FROM (" +
+      "SELECT n.doc_id, row_number() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn " +
+      "FROM valid n LEFT JOIN prior p ON n.fp = p.fp WHERE p.fp IS NULL) WHERE rn = 1), " +
+      // the review: corrected text per quarantined doc, re-fingerprinted
+      "corr AS MATERIALIZED (SELECT d.doc_id, " +
+      "CASE WHEN d.text IS NULL OR length(d.text) = 0 " +
+      "THEN 'corrected doc ' || d.doc_id ELSE d.text END AS text, " +
+      "array_to_string(v.vio, ',') AS detail " +
+      "FROM documents d JOIN v ON d.doc_id = v.doc_id WHERE len(v.vio) > 0), " +
+      s"cfp AS MATERIALIZED (SELECT doc_id, md5($duckNormText) AS fp, detail FROM corr), " +
+      "store2 AS MATERIALIZED (SELECT fp FROM prior " +
+      "UNION SELECT f.fp FROM f JOIN kept ON f.doc_id = kept.doc_id), " +
+      "rkept AS MATERIALIZED (SELECT doc_id FROM (" +
+      "SELECT c.doc_id, row_number() OVER (PARTITION BY c.fp ORDER BY c.doc_id) AS rn " +
+      "FROM cfp c LEFT JOIN store2 st ON c.fp = st.fp WHERE st.fp IS NULL) WHERE rn = 1) " +
+      "SELECT doc_id, 'kept' AS fate, '' AS detail FROM kept " +
+      "UNION ALL SELECT doc_id, 'dropped_dup' AS fate, '' AS detail FROM valid " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM kept) " +
+      "UNION ALL SELECT doc_id, 'readmit_kept' AS fate, detail FROM cfp " +
+      "WHERE doc_id IN (SELECT doc_id FROM rkept) " +
+      "UNION ALL SELECT doc_id, 'readmit_dup' AS fate, detail FROM cfp " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM rkept) " +
+      "UNION ALL SELECT CAST(-1 AS BIGINT) AS doc_id, " +
+      "'deadletter_remaining' AS fate, '0' AS detail"
+  }
+
   lazy val ingestFullSql: String = {
     val sigElems = (0 until MINHASH_BANDS * MINHASH_RPB).map(seed =>
       s"coalesce(list_min(list_transform(s, x -> md5('$seed:' || x))), 'zz_empty')")
@@ -5518,6 +5612,7 @@ object Extensions {
     "q_stream_incr_image_neardup" -> streamIncrImageNearDup,
     "q_fingerprint_retraction" -> fingerprintRetraction,
     "q_ingest_gated" -> ingestGated,
+    "q_deadletter_readmit" -> deadletterReadmit,
     "q_audio_phash" -> audioPhash,
     "q_audio_decode" -> audioDecode,
     "q_audio_search" -> audioSearch,
@@ -5675,6 +5770,7 @@ object Extensions {
     "q_stream_incr_image_neardup" -> streamIncrImageNearDupSql,
     "q_fingerprint_retraction" -> fingerprintRetractionSql,
     "q_ingest_gated" -> ingestGatedSql,
+    "q_deadletter_readmit" -> deadletterReadmitSql,
     "q_audio_phash" -> audioPhashSql,
     "q_audio_decode" -> audioDecodeSql,
     "q_audio_search" -> audioSearchSql,

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.ScaleOps
+import graft.operators.{Dedup, ScaleOps}
+import graft.functions.TextFunctions
 
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -602,6 +603,51 @@ class ScaleOpsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       ScaleOps.dqGroupDrift(hist, "src", windowBatches = 0, thresholdBp = 50)
+    }
+  }
+
+  test("retractDeadLetter: reviewed ids leave, re-admission is never self-shadowed") {
+    val checks = Seq("text_nonempty" ->
+      (col("text").isNotNull && length(col("text")) > 0))
+    // doc 2 fails the gate; doc 1 passes and enters the dedup store
+    val batch = Seq((1L, "unique kept text"), (2L, ""))
+      .toDF("doc_id", "text")
+    val (valid, dead) = ScaleOps.quarantineSplit(batch, checks)
+    assert(dead.select("doc_id").as[Long].collect().toSet == Set(2L))
+    // retract the reviewed id: store empties; multi-batch rows would
+    // all leave (ids are retracted, not (id, batch) pairs)
+    val remaining = ScaleOps.retractDeadLetter(dead, Seq(2L).toDF("doc_id"))
+    assert(remaining.count() == 0)
+    assert(remaining.columns.toSeq == dead.columns.toSeq,
+      "retraction must preserve the dead-letter schema")
+    // NO SELF-SHADOWING: the corrected row's text is brand new, and its
+    // quarantined first arrival left no fingerprint — it must be KEPT
+    // by the increment against the store built from batch-1 survivors
+    val storeFps = valid
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
+    val corrected = Seq((2L, "corrected doc 2")).toDF("doc_id", "text")
+    val survivors = Dedup.incrementalExactDedup(
+      corrected, storeFps, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(2L),
+      s"a corrected re-arrival must not be shadowed by its quarantined first arrival: $survivors")
+    // ...but a correction colliding with KEPT content is a genuine dup
+    val collide = Seq((3L, "unique kept text")).toDF("doc_id", "text")
+    assert(Dedup.incrementalExactDedup(collide, storeFps, "text", "doc_id")
+      .count() == 0)
+    // unknown review id: the drift guard rides the filter — even a
+    // bare count trips it
+    val e = intercept[Exception] {
+      ScaleOps.retractDeadLetter(dead, Seq(999L).toDF("doc_id")).count()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("not in the dead-letter store"),
+      s"expected the drift guard, got: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      ScaleOps.retractDeadLetter(dead, Seq(2L).toDF("rid"))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.retractDeadLetter(dead.drop("doc_id"), Seq(2L).toDF("doc_id"))
     }
   }
 
