@@ -3230,18 +3230,20 @@ object Extensions {
     terms.grouped(8).map(_.mkString("(", " | ", ")")).mkString("(", " | ", ")")
   }
 
-  val embedBinarySql: String =
+  private def embedBinarySqlAt(coarseK: Int): String =
     s"WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed, ${duckBinaryCode("embedding")} AS code FROM embeddings), " +
       "q AS (SELECT vec_id AS q_id, ed AS qd, code AS qc FROM e WHERE vec_id % 50 = 0), " +
       s"sc AS (SELECT q_id, e.vec_id AS vec_id, $EMB_DIMS - bit_count(xor(e.code, q.qc)) AS s FROM e, q), " +
       "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
-      "(PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM sc) WHERE rk <= 50), " +
+      s"(PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM sc) WHERE rk <= $coarseK), " +
       "re AS (SELECT co.q_id, co.vec_id, " +
       "round(list_dot_product(e.ed, q.qd)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(q.qd, q.qd))), 6) AS score " +
       "FROM co JOIN e ON e.vec_id = co.vec_id JOIN q ON q.q_id = co.q_id) " +
       "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
       "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
       "WHERE rank <= 10"
+
+  val embedBinarySql: String = embedBinarySqlAt(50)
 
   /** Product-quantization ANN tier (X150): per-sub-space codebooks
     * trained with the exact fixed-point k-means, corpus encoded to
@@ -4026,6 +4028,12 @@ object Extensions {
         coarseK = 50, k = 10)))
       .unionByName(rec("binary", Similarity.binaryRerankTopK(emb, qs,
         coarseK = 50, k = 10, dims = EMB_DIMS)))
+      // the measured knee of the r15 coarseK sweep (0.53/0.78/0.88/0.94
+      // at 20/50/100/200): at coarseK=100 the training-free 8 B/vector
+      // binary tier overtakes IVF — the serving default, on record in
+      // the harness like every other parameter decision
+      .unionByName(rec("binary_100", Similarity.binaryRerankTopK(emb, qs,
+        coarseK = 100, k = 10, dims = EMB_DIMS)))
   }
 
   val annRecallSql: String = {
@@ -4037,13 +4045,15 @@ object Extensions {
       s"ivf AS ($embedIvfSql), pq AS ($embedPqSql), " +
       s"ivfpq AS ($embedIvfPqSql), ivfpqn AS ($embedIvfPqNormSql), " +
       s"rr AS ($annRerankSql), bq AS ($embedBinarySql), " +
+      s"bq100 AS (${embedBinarySqlAt(100)}), " +
       s"rec AS (${rec("lsh", "lsh")} UNION ALL ${rec("lsh_multi", "lshm")} " +
       s"UNION ALL ${rec("lsh_probe", "lshp")} " +
       s"UNION ALL ${rec("ivf", "ivf")} UNION ALL ${rec("pq", "pq")} " +
       s"UNION ALL ${rec("ivfpq", "ivfpq")} " +
       s"UNION ALL ${rec("ivfpq_norm", "ivfpqn")} " +
       s"UNION ALL ${rec("rerank", "rr")} " +
-      s"UNION ALL ${rec("binary", "bq")}) " +
+      s"UNION ALL ${rec("binary", "bq")} " +
+      s"UNION ALL ${rec("binary_100", "bq100")}) " +
       "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
       "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
   }
