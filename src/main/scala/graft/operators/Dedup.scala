@@ -1612,4 +1612,61 @@ object Dedup {
       .join(rh, col(idCol) === rh("_doc"), "left")
       .select(col(idCol), coalesce(col("text"), lit("")).as("text"))
   }
+
+  /** QUALITY-CANONICAL cluster resolution (X181) — the selection
+    * policy upgrade over [[connectedComponents]]' lowest-id rule: a
+    * near-dup cluster keeps its HIGHEST-QUALITY member (max score,
+    * ties broken by MIN id so the pick stays a deterministic fact),
+    * not whichever member happened to carry the smallest id. This is
+    * what a real training-data pipeline wants from dedup: of N copies
+    * of an article, keep the cleanest one.
+    *
+    * Input: `labels` = (id, cluster_id) — [[connectedComponents]]'
+    * output; `scores` = (idCol, scoreCol) with one row per labeled id
+    * (quality score, n_chars, any orderable numeric).
+    *
+    * Scale shape: one id-keyed equi-join to attach scores (pinned
+    * shuffle-hash — both sides can be corpus-sized) + one partial-agg
+    * max(struct(score, −id)) per cluster + one cluster-keyed
+    * re-join — NO per-cluster window sort, so a pathological
+    * million-member cluster costs a partial aggregate, not a
+    * single-partition sort. Fail-loud: a labeled id missing from the
+    * score table means the score side drifted from the corpus — the
+    * raise_error guard rides the `score` output column AND the
+    * canonical pick would be silently wrong, so it raises on the
+    * join, not downstream.
+    *
+    * Returns (id, cluster_id, score, is_canonical) — one row per
+    * labeled id; downstream keeps `is_canonical` rows plus every
+    * unlabeled (never-paired) doc. */
+  def canonicalByScore(labels: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    require(Set("id", "cluster_id").subsetOf(labels.columns.toSet),
+      s"canonicalByScore: labels must be connectedComponents output " +
+        s"(id, cluster_id), got ${labels.columns.mkString(", ")}")
+    require(scores.columns.contains(idCol) && scores.columns.contains(scoreCol),
+      s"canonicalByScore: scores must carry ($idCol, $scoreCol), got " +
+        scores.columns.mkString(", "))
+    val sc = scores.select(col(idCol).cast("long").as("_sid"),
+      col(scoreCol).cast("long").as("_score"))
+    val joined = labels.select(col("id").cast("long").as("id"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .join(sc.hint("shuffle_hash"), col("id") === col("_sid"), "left")
+    val guardedScore = when(col("_sid").isNull,
+      raise_error(concat(
+        lit("canonicalByScore: labeled id "), col("id").cast("string"),
+        lit(" has no score row — the score table drifted from the corpus"))))
+      .otherwise(col("_score"))
+    val withScore = joined
+      .select(col("id"), col("cluster_id"), guardedScore.as("score"))
+    // argmax by (score desc, id asc) as ONE partial-agg shuffle:
+    // max(struct(score, -id)) — no per-cluster sort anywhere
+    val best = withScore.groupBy(col("cluster_id"))
+      .agg(max(struct(col("score"), (-col("id")).as("_negid"))).as("_best"))
+      .select(col("cluster_id"),
+        (-col("_best._negid")).as("_canonical_id"))
+    withScore.join(best.hint("shuffle_hash"), Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("score"),
+        (col("id") === col("_canonical_id")).as("is_canonical"))
+  }
 }

@@ -4230,6 +4230,40 @@ object Extensions {
       "SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size, " +
       "doc_id = cluster_id AS is_canonical FROM comp"
 
+  /** Quality-canonical dedup (X181): same MinHash-pairs → connected
+    * components chain as q_dedup_clusters, but the cluster keeps its
+    * HIGHEST-QUALITY member (score = n_chars; ties → min doc_id) —
+    * the selection policy a real pipeline wants (of N copies, keep
+    * the cleanest), computed as one partial-agg argmax with no
+    * per-cluster sort. Oracle replays the transitive closure and the
+    * (score desc, id asc) pick. */
+  val qualityDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.7, shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+    Dedup.canonicalByScore(
+      Dedup.connectedComponents(pairs, "id1", "id2"),
+      docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("score"),
+        col("is_canonical"))
+  }
+
+  val qualityDedupSql: String =
+    s"WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($minhashPairsSql)), " +
+      "edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs " +
+      "UNION SELECT id2 AS a, id1 AS b FROM pairs), " +
+      "reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) " +
+      "UNION SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a), " +
+      "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "sc AS (SELECT comp.doc_id, comp.cluster_id, " +
+      "CAST(d.n_chars AS BIGINT) AS score FROM comp JOIN documents d ON comp.doc_id = d.doc_id), " +
+      "pick AS (SELECT cluster_id, doc_id AS canonical_id FROM (" +
+      "SELECT cluster_id, doc_id, row_number() OVER " +
+      "(PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rk FROM sc) WHERE rk = 1) " +
+      "SELECT sc.doc_id, sc.cluster_id, sc.score, " +
+      "sc.doc_id = pick.canonical_id AS is_canonical " +
+      "FROM sc JOIN pick ON sc.cluster_id = pick.cluster_id"
+
   /** Content-defined chunking (X143): every document chunked at
     * content-decided boundaries (token hash ≡ 0 mod 8), one row per
     * chunk with the global first-occurrence dup flag — the
@@ -5680,6 +5714,7 @@ object Extensions {
     "q_partitioned_sink" -> partitionedSink,
     "q_partition_overwrite" -> partitionOverwrite,
     "q_dedup_clusters" -> dedupClusters,
+    "q_quality_dedup" -> qualityDedup,
     "q_incremental_clusters" -> incrementalClusters,
     "q_cluster_retraction" -> clusterRetraction,
     "q_decontaminate" -> decontaminate,
@@ -5838,6 +5873,7 @@ object Extensions {
     "q_partitioned_sink" -> partitionedSinkSql,
     "q_partition_overwrite" -> partitionOverwriteSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_quality_dedup" -> qualityDedupSql,
     "q_incremental_clusters" -> incrementalClustersSql,
     "q_cluster_retraction" -> clusterRetractionSql,
     "q_decontaminate" -> decontaminateSql,

@@ -328,6 +328,41 @@ class DedupSpec extends SparkSpec {
     assert(got.head.isEmpty)
   }
 
+  test("canonicalByScore: argmax per cluster, min-id ties, missing score fails loud") {
+    // clusters {1,2,3} and {10,11}; scores make 2 the best of the
+    // first (not the min id) and tie 10/11 (min id wins)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 7L), (11L, 7L))
+      .toDF("doc_id", "q")
+    val got = Dedup.canonicalByScore(labels, scores, "doc_id", "q")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // 2 and 3 tie at 9 -> min id 2 is canonical; 1 loses on score
+    assert(got(2L) == ((9L, true)) && got(3L) == ((9L, false)) &&
+      got(1L) == ((5L, false)))
+    assert(got(10L) == ((7L, true)) && got(11L) == ((7L, false)))
+    // exactly one canonical per cluster
+    val canon = Dedup.canonicalByScore(labels, scores, "doc_id", "q")
+      .filter(col("is_canonical"))
+      .groupBy("cluster_id").count().as[(Long, Long)].collect().toMap
+    assert(canon == Map(1L -> 1L, 10L -> 1L))
+    // a labeled id with no score row: the pick would be silently wrong
+    val e = intercept[Exception] {
+      Dedup.canonicalByScore(labels,
+        scores.filter(col("doc_id") =!= 3L), "doc_id", "q").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("no score row"),
+      s"expected the drift guard, got: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      Dedup.canonicalByScore(labels.withColumnRenamed("id", "v"),
+        scores, "doc_id", "q")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.canonicalByScore(labels, scores, "doc_id", "nope")
+    }
+  }
+
   test("connectedComponents labels a chain, a clique, and keeps them apart — both paths") {
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
     // triangle 10-11-12, isolated pair 20-21
