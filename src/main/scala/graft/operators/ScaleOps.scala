@@ -1266,6 +1266,56 @@ object ScaleOps {
     (scan +: uniq).reduce(_ unionByName _)
   }
 
+  /** REFERENTIAL-INTEGRITY DQ constraint (X182) — the cross-TABLE half
+    * of the [[dqSuite]] family (row checks / completeness /
+    * uniqueness are all single-table): for a declared relation
+    * child.childKeys → parent.parentKeys, emit two verdict rows in
+    * the suite's exact layout:
+    *
+    *  - `ref_orphans:<relation>` — child ROWS whose key matches no
+    *    parent (n_bad); a NULL child key cannot reference anything
+    *    and counts as an orphan (the dqSuite NULL-fails rule);
+    *    value_bp = non-orphan share.
+    *  - `ref_coverage:<relation>` — parent rows no child references
+    *    (n_bad); the dangling-dimension signal; value_bp = referenced
+    *    share.
+    *
+    * The classic silent killer this catches at 100 TB: a partial
+    * upstream load drops a parent partition and every child row in it
+    * silently falls out of inner joins downstream.
+    *
+    * Scale shape: parent keys reduce to ONE distinct partial-agg
+    * (short keys), then one shuffle-hash anti-join per direction —
+    * never a broadcast assumption on either side, never a payload
+    * column in a shuffle (both sides project to keys first). */
+  def dqReferentialIntegrity(child: DataFrame, parent: DataFrame,
+      childKeys: Seq[String], parentKeys: Seq[String],
+      relation: String): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.size == parentKeys.size,
+      s"dqReferentialIntegrity: key lists must be non-empty and equal " +
+        s"length, got $childKeys vs $parentKeys")
+    val ck = child.select(childKeys.map(col): _*).toDF(parentKeys: _*)
+    val pk = parent.select(parentKeys.map(col): _*)
+    val pkDistinct = pk.distinct()
+    // NULL child keys never equi-match -> anti-join keeps them: orphans
+    val orphanStats = ck.join(pkDistinct.hint("shuffle_hash"),
+        parentKeys, "left_anti")
+      .agg(count(lit(1)).as("_bad"))
+      .crossJoin(ck.agg(count(lit(1)).as("_n")))
+    val childlessStats = pk.join(ck.distinct().hint("shuffle_hash"),
+        parentKeys, "left_anti")
+      .agg(count(lit(1)).as("_bad"))
+      .crossJoin(pk.agg(count(lit(1)).as("_n")))
+    def row(df: DataFrame, name: String): DataFrame =
+      df.select(lit(name).as("constraint"),
+        col("_n").as("n_rows"), col("_bad").as("n_bad"),
+        when(col("_n") > 0, expr("(_n - _bad) * 10000 div _n"))
+          .otherwise(10000L).as("value_bp"),
+        (col("_bad") === 0L).as("passed"))
+    row(orphanStats, s"ref_orphans:$relation")
+      .unionByName(row(childlessStats, s"ref_coverage:$relation"))
+  }
+
   /** DQ DRIFT report (X168) — the "quality moved" signal over a
     * [[dqSuite]] verdict HISTORY (one row per constraint per batch,
     * the streaming DQ store's layout): for each (constraint, batch),

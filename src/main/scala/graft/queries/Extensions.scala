@@ -261,6 +261,45 @@ object Extensions {
       "FROM dr"
   }
 
+  /** Referential-integrity DQ (X182): three declared relations across
+    * the star schema + the multimodal pair — lineitem→orders,
+    * orders→customer, embeddings→documents — each publishing its
+    * orphan and coverage verdicts in the dqSuite layout. */
+  val dqRef: Q = (s, d) => {
+    def rel(c: DataFrame, p: DataFrame, ck: String, pk: String,
+        name: String) =
+      graft.operators.ScaleOps.dqReferentialIntegrity(
+        c, p, Seq(ck), Seq(pk), name)
+    rel(Tables.lineitem(s, d), Tables.orders(s, d),
+      "l_orderkey", "o_orderkey", "lineitem->orders")
+      .unionByName(rel(Tables.orders(s, d), Tables.customer(s, d),
+        "o_custkey", "c_custkey", "orders->customer"))
+      .unionByName(rel(Tables.embeddings(s, d), Tables.documents(s, d),
+        "vec_id", "doc_id", "embeddings->documents"))
+  }
+
+  val dqRefSql: String = {
+    def rel(childTbl: String, parentTbl: String, ck: String, pk: String,
+        name: String): String =
+      s"SELECT 'ref_orphans:$name' AS \"constraint\", " +
+        s"CAST((SELECT count(*) FROM $childTbl) AS BIGINT) AS n_rows, " +
+        s"CAST((SELECT count(*) FROM $childTbl c WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM $parentTbl p WHERE p.$pk = c.$ck)) AS BIGINT) AS n_bad " +
+        "UNION ALL " +
+        s"SELECT 'ref_coverage:$name' AS \"constraint\", " +
+        s"CAST((SELECT count(*) FROM $parentTbl) AS BIGINT) AS n_rows, " +
+        s"CAST((SELECT count(*) FROM $parentTbl p WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM $childTbl c WHERE c.$ck = p.$pk)) AS BIGINT) AS n_bad "
+    val rels = Seq(
+      rel("lineitem", "orders", "l_orderkey", "o_orderkey", "lineitem->orders"),
+      rel("orders", "customer", "o_custkey", "c_custkey", "orders->customer"),
+      rel("embeddings", "documents", "vec_id", "doc_id", "embeddings->documents"))
+    s"WITH u AS (${rels.mkString(" UNION ALL ")}) " +
+      "SELECT \"constraint\", n_rows, n_bad, " +
+      "CAST(CASE WHEN n_rows > 0 THEN (n_rows - n_bad) * 10000 // n_rows ELSE 10000 END AS BIGINT) AS value_bp, " +
+      "n_bad = 0 AS passed FROM u"
+  }
+
   /** Approximate-uniqueness DQ constraints (X170): the 100 TB form of
     * the suite's uniqueness rows — 256 mergeable portable-HLL register
     * maxes per key set instead of a per-row key shuffle; the estimate
@@ -5699,6 +5738,7 @@ object Extensions {
     "q_dq_approx" -> dqApprox,
     "q_dq_by_group" -> dqByGroup,
     "q_dq_group_drift" -> dqGroupDriftQ,
+    "q_dq_ref" -> dqRef,
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
     "q_water_fill" -> waterFill,
@@ -5858,6 +5898,7 @@ object Extensions {
     "q_dq_approx" -> dqApproxSql,
     "q_dq_by_group" -> dqByGroupSql,
     "q_dq_group_drift" -> dqGroupDriftSql,
+    "q_dq_ref" -> dqRefSql,
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
     "q_water_fill" -> waterFillSql,

@@ -606,6 +606,39 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dqReferentialIntegrity: orphans (NULL FK counts), coverage, clean relation passes") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val got = ScaleOps.dqReferentialIntegrity(
+      child, parent, Seq("fk"), Seq("pk"), "c->p")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // 4 child rows: fk=9 orphan + NULL fk orphan -> 2 bad, 5000 bp
+    assert(got("ref_orphans:c->p") == ((4L, 2L, 5000L, false)))
+    // 3 parents: 2 and 3 unreferenced -> 2 bad, 3333 bp
+    assert(got("ref_coverage:c->p") == ((3L, 2L, 3333L, false)))
+    // a clean relation passes both ways
+    val clean = ScaleOps.dqReferentialIntegrity(
+      Seq(1L, 2L, 3L, 3L).toDF("fk"), parent, Seq("fk"), Seq("pk"), "ok")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(clean == Map("ref_orphans:ok" -> true, "ref_coverage:ok" -> true))
+    // empty child: vacuous orphans pass, full coverage failure
+    val empty = ScaleOps.dqReferentialIntegrity(
+      Seq.empty[Long].toDF("fk"), parent, Seq("fk"), Seq("pk"), "e")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(empty("ref_orphans:e") == ((0L, 0L, 10000L, true)))
+    assert(empty("ref_coverage:e") == ((3L, 3L, 0L, false)))
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqReferentialIntegrity(child, parent, Nil, Nil, "bad")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqReferentialIntegrity(child, parent,
+        Seq("fk"), Seq("pk", "pk2"), "bad")
+    }
+  }
+
   test("retractDeadLetter: reviewed ids leave, re-admission is never self-shadowed") {
     val checks = Seq("text_nonempty" ->
       (col("text").isNotNull && length(col("text")) > 0))
