@@ -1316,6 +1316,76 @@ object ScaleOps {
       .unionByName(row(childlessStats, s"ref_coverage:$relation"))
   }
 
+  /** FUNCTIONAL-DEPENDENCY DQ constraint (X183) — the "one value per
+    * key" expectation the single-column suite rows cannot express:
+    * lhs → rhs holds iff every lhs group carries exactly one distinct
+    * rhs combination (a customer has one region, a doc_id has one
+    * source). Emits two suite-layout verdict rows per dependency:
+    *
+    *  - `fd_rows:<name>` — n_bad = the REPAIR COST: rows that would
+    *    have to change for the dependency to hold = Σ over groups
+    *    (group rows − majority-rhs rows). Counts only disagreeing
+    *    minorities, so one bad row in a million-row group costs 1,
+    *    not the group.
+    *  - `fd_groups:<name>` — n_bad = lhs groups with > 1 distinct
+    *    rhs; n_rows = total lhs groups.
+    *
+    * NULLs canonicalize like contentDigest (NULL → chr(0) sentinel,
+    * columns joined by chr(1)) so a NULL rhs is ONE value, not a
+    * wildcard, and a NULL lhs is a legitimate group (the dedup
+    * NULL-key rule).
+    *
+    * Scale shape: two stacked partial-agg shuffles on short canonical
+    * keys — groupBy(lhs, rhs).count, then groupBy(lhs) folding
+    * (Σcnt, max cnt, distinct-rhs count) — never a window, never a
+    * per-group sort; the majority count needs no tie-break because
+    * only its SIZE enters the metric. */
+  def dqFunctionalDependency(df: DataFrame, lhs: Seq[String],
+      rhs: Seq[String], name: String): DataFrame = {
+    require(lhs.nonEmpty && rhs.nonEmpty,
+      s"dqFunctionalDependency: lhs and rhs must be non-empty, got " +
+        s"lhs=$lhs rhs=$rhs")
+    require(lhs.intersect(rhs).isEmpty,
+      s"dqFunctionalDependency: lhs and rhs overlap on " +
+        s"${lhs.intersect(rhs).mkString(", ")} — the dependency is vacuous there")
+    def canon(cols: Seq[String]): Column = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val counts = df.select(canon(lhs).as("_l"), canon(rhs).as("_r"))
+      .groupBy(col("_l"), col("_r")).agg(count(lit(1)).as("_c"))
+    val groups = counts.groupBy(col("_l"))
+      .agg(sum(col("_c")).as("_rows"), max(col("_c")).as("_maj"),
+        count(lit(1)).as("_d"))
+    val stats = groups.agg(
+      coalesce(sum(col("_rows")), lit(0L)).as("_total"),
+      coalesce(sum(col("_rows") - col("_maj")), lit(0L)).as("_badRows"),
+      count(lit(1)).as("_nGroups"),
+      coalesce(sum(when(col("_d") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("_badGroups"))
+    // `div`: exact integer basis points (the dqSuite convention); both
+    // verdict rows ride ONE explode off the single stats row, so the
+    // corpus is aggregated once, not once per verdict
+    stats.select(col("_total"), col("_badRows"), col("_nGroups"),
+        col("_badGroups"),
+        when(col("_total") > 0,
+          expr("(_total - _badRows) * 10000 div _total"))
+          .otherwise(10000L).as("_bpRows"),
+        when(col("_nGroups") > 0,
+          expr("(_nGroups - _badGroups) * 10000 div _nGroups"))
+          .otherwise(10000L).as("_bpGroups"))
+      .select(explode(array(
+        struct(lit(s"fd_rows:$name").as("constraint"),
+          col("_total").as("n_rows"), col("_badRows").as("n_bad"),
+          col("_bpRows").as("value_bp"),
+          (col("_badRows") === 0L).as("passed")),
+        struct(lit(s"fd_groups:$name").as("constraint"),
+          col("_nGroups").as("n_rows"), col("_badGroups").as("n_bad"),
+          col("_bpGroups").as("value_bp"),
+          (col("_badGroups") === 0L).as("passed")))).as("_row"))
+      .select(col("_row.constraint").as("constraint"),
+        col("_row.n_rows").as("n_rows"), col("_row.n_bad").as("n_bad"),
+        col("_row.value_bp").as("value_bp"), col("_row.passed").as("passed"))
+  }
+
   /** DQ DRIFT report (X168) — the "quality moved" signal over a
     * [[dqSuite]] verdict HISTORY (one row per constraint per batch,
     * the streaming DQ store's layout): for each (constraint, batch),

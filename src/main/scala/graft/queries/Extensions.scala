@@ -261,6 +261,41 @@ object Extensions {
       "FROM dr"
   }
 
+  /** Functional-dependency DQ (X183): two declared dependencies over
+    * documents — doc_id → source (unique key, holds) and
+    * source → lang (a source emits many languages, fails with a
+    * measured repair cost) — so the gate exercises both verdicts. */
+  val dqFd: Q = (s, d) =>
+    graft.operators.ScaleOps.dqFunctionalDependency(
+      Tables.documents(s, d), Seq("doc_id"), Seq("source"), "doc_id->source")
+      .unionByName(graft.operators.ScaleOps.dqFunctionalDependency(
+        Tables.documents(s, d), Seq("source"), Seq("lang"), "source->lang"))
+
+  val dqFdSql: String = {
+    def fd(lhs: String, rhs: String, name: String): String =
+      s"SELECT 'fd_rows:$name' AS \"constraint\", total AS n_rows, bad_rows AS n_bad " +
+        s"FROM st_$name UNION ALL " +
+        s"SELECT 'fd_groups:$name' AS \"constraint\", n_groups AS n_rows, bad_groups AS n_bad " +
+        s"FROM st_$name"
+    def stats(lhs: String, rhs: String, name: String): String =
+      s"c_$name AS (SELECT coalesce(CAST($lhs AS VARCHAR), chr(0)) AS l, " +
+        s"coalesce(CAST($rhs AS VARCHAR), chr(0)) AS r, count(*) AS c " +
+        s"FROM documents GROUP BY 1, 2), " +
+        s"g_$name AS (SELECT l, CAST(sum(c) AS BIGINT) AS rows_, " +
+        s"CAST(max(c) AS BIGINT) AS maj, count(*) AS d FROM c_$name GROUP BY l), " +
+        s"st_$name AS (SELECT CAST(coalesce(sum(rows_), 0) AS BIGINT) AS total, " +
+        s"CAST(coalesce(sum(rows_ - maj), 0) AS BIGINT) AS bad_rows, " +
+        s"CAST(count(*) AS BIGINT) AS n_groups, " +
+        s"CAST(coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_groups " +
+        s"FROM g_$name)"
+    s"WITH ${stats("doc_id", "source", "ds")}, ${stats("source", "lang", "sl")}, " +
+      s"u AS (${fd("doc_id", "source", "ds")} UNION ALL ${fd("source", "lang", "sl")}) " +
+      "SELECT replace(replace(\"constraint\", ':ds', ':doc_id->source'), ':sl', ':source->lang') AS \"constraint\", " +
+      "n_rows, n_bad, " +
+      "CAST(CASE WHEN n_rows > 0 THEN (n_rows - n_bad) * 10000 // n_rows ELSE 10000 END AS BIGINT) AS value_bp, " +
+      "n_bad = 0 AS passed FROM u"
+  }
+
   /** Referential-integrity DQ (X182): three declared relations across
     * the star schema + the multimodal pair — lineitem→orders,
     * orders→customer, embeddings→documents — each publishing its
@@ -5739,6 +5774,7 @@ object Extensions {
     "q_dq_by_group" -> dqByGroup,
     "q_dq_group_drift" -> dqGroupDriftQ,
     "q_dq_ref" -> dqRef,
+    "q_dq_fd" -> dqFd,
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
     "q_water_fill" -> waterFill,
@@ -5899,6 +5935,7 @@ object Extensions {
     "q_dq_by_group" -> dqByGroupSql,
     "q_dq_group_drift" -> dqGroupDriftSql,
     "q_dq_ref" -> dqRefSql,
+    "q_dq_fd" -> dqFdSql,
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
     "q_water_fill" -> waterFillSql,

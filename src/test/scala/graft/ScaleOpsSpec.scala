@@ -639,6 +639,41 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dqFunctionalDependency: repair cost, NULL-as-value, empty corpus, guards") {
+    // group a: 3 rows, rhs {x, x, y} -> majority x, repair cost 1
+    // group b: 2 rows, rhs {z, z}    -> holds
+    // group NULL: 2 rows, rhs {x, NULL} -> NULL is ONE value -> cost 1
+    val df = Seq(
+      (Some("a"), Some("x")), (Some("a"), Some("x")), (Some("a"), Some("y")),
+      (Some("b"), Some("z")), (Some("b"), Some("z")),
+      (None: Option[String], Some("x")), (None: Option[String], None: Option[String]))
+      .toDF("k", "v")
+    val got = ScaleOps.dqFunctionalDependency(df, Seq("k"), Seq("v"), "k->v")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("fd_rows:k->v") == ((7L, 2L, 7142L, false)),
+      s"repair cost must count only disagreeing minorities: $got")
+    assert(got("fd_groups:k->v") == ((3L, 2L, 3333L, false)))
+    // a clean dependency passes both rows
+    val clean = ScaleOps.dqFunctionalDependency(
+      df.filter(col("k") === "b"), Seq("k"), Seq("v"), "ok")
+      .as[(String, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r._5).toMap
+    assert(clean == Map("fd_rows:ok" -> true, "fd_groups:ok" -> true))
+    // empty corpus: vacuous pass (the dqSuite empty-verdict rule)
+    val empty = ScaleOps.dqFunctionalDependency(
+      Seq.empty[(String, String)].toDF("k", "v"), Seq("k"), Seq("v"), "e")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(empty("fd_rows:e") == ((0L, 0L, 10000L, true)))
+    assert(empty("fd_groups:e") == ((0L, 0L, 10000L, true)))
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqFunctionalDependency(df, Seq("k"), Seq("k", "v"), "bad")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqFunctionalDependency(df, Nil, Seq("v"), "bad")
+    }
+  }
+
   test("retractDeadLetter: reviewed ids leave, re-admission is never self-shadowed") {
     val checks = Seq("text_nonempty" ->
       (col("text").isNotNull && length(col("text")) > 0))
