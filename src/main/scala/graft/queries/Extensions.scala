@@ -3988,6 +3988,86 @@ object Extensions {
       "FROM dr"
   }
 
+  /** Streaming PER-GROUP DQ maintenance + keyed drift (X184): the
+    * keyed sibling of q_stream_dq — bootstrap verdicts (doc_id%3==0
+    * at batch=-1) plus two REAL micro-batches through one checkpoint
+    * (%3==1 → 0, %3==2 → 1), each appending a per-(source,
+    * constraint) verdict partition; output is the
+    * [[graft.operators.ScaleOps.dqGroupDrift]] report over the keyed
+    * history — the per-tenant anomaly monitor fed by the stream. */
+  val streamDqGroup: Q = (s, d) => withStreamShuffle(s, 8) {
+    val base = java.nio.file.Files.createTempDirectory("graft-dqgstream").toString
+    val srcDir = s"$base/src"
+    val storeDir = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val completeness = Seq("lang")
+    val uniqueness = Seq(Seq("doc_id"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+        col("source"))
+    try {
+      graft.operators.ScaleOps.dqSuiteByGroup(
+        docs.filter(col("doc_id") % 3 === 0), "source", dqRowChecks,
+        completeness, uniqueness)
+        .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+      def runOnce(): Unit = {
+        val q = graft.streaming.EventsStreaming.streamingDqByGroupMaintenance(
+          s.readStream.schema(docs.schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          storeDir, "source", dqRowChecks, completeness, uniqueness) {
+          (_, _) => ()
+        }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f1")
+      runOnce()
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f2")
+      runOnce()
+      graft.operators.ScaleOps.dqGroupDrift(
+        graft.streaming.EventsStreaming.readDqGroupStore(s, storeDir, "source"),
+        "source", windowBatches = 3, thresholdBp = 50)
+        .localCheckpoint()
+    } finally deleteRecursively(base)
+  }
+
+  val streamDqGroupSql: String = {
+    def checkExpr(label: String, pred: String) =
+      (label, s"CAST(coalesce(sum(CASE WHEN NOT coalesce($pred, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)")
+    val checks = Seq(
+      checkExpr("check:text_nonempty", "text IS NOT NULL AND length(text) > 0"),
+      checkExpr("check:min_chars_100", "n_chars >= 100"),
+      checkExpr("check:latin_script", "lang <> 'zh'"),
+      checkExpr("complete:lang", "lang IS NOT NULL"))
+    val aggCols = checks.zipWithIndex
+      .map { case ((_, e), i) => s"$e AS c$i" }.mkString(", ")
+    val rows = checks.zipWithIndex.map { case ((label, _), i) =>
+      s"SELECT source, '$label' AS \"constraint\", batch, c$i AS n_bad, " +
+        "CAST(CASE WHEN total > 0 THEN (total - c" + i +
+        ") * 10000 // total ELSE 10000 END AS BIGINT) AS value_bp FROM t"
+    }
+    s"WITH t AS MATERIALIZED (SELECT doc_id % 3 - 1 AS batch, source, " +
+      s"count(*) AS total, $aggCols FROM documents GROUP BY doc_id % 3 - 1, source), " +
+      "uq AS (SELECT batch, source, CAST(count(*) AS BIGINT) AS d, " +
+      "CAST(sum(n) AS BIGINT) AS total, CAST(sum(n - 1) AS BIGINT) AS n_bad " +
+      "FROM (SELECT doc_id % 3 - 1 AS batch, source, doc_id, count(*) AS n " +
+      "FROM documents GROUP BY doc_id % 3 - 1, source, doc_id) GROUP BY batch, source), " +
+      s"v AS ((${rows.mkString(") UNION ALL (")}) UNION ALL " +
+      "(SELECT source, 'unique:doc_id' AS \"constraint\", batch, n_bad, " +
+      "CAST(CASE WHEN total > 0 THEN d * 10000 // total ELSE 10000 END AS BIGINT) AS value_bp FROM uq)), " +
+      "dr AS (SELECT source, \"constraint\", CAST(batch AS BIGINT) AS batch, n_bad, value_bp, " +
+      "CAST(count(*) OVER w AS BIGINT) AS n_trail, " +
+      "CAST(sum(value_bp) OVER w AS BIGINT) AS ts FROM v " +
+      "WINDOW w AS (PARTITION BY source, \"constraint\" ORDER BY batch ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) " +
+      "SELECT source, \"constraint\", batch, n_bad, value_bp, n_trail, " +
+      "CASE WHEN n_trail > 0 THEN ts // n_trail END AS trail_mean_bp, " +
+      "CASE WHEN n_trail > 0 THEN value_bp - ts // n_trail END AS delta_bp, " +
+      "coalesce(abs(CASE WHEN n_trail > 0 THEN value_bp - ts // n_trail END) > 50, FALSE) AS anomaly " +
+      "FROM dr"
+  }
+
   /** Streaming quarantine routing (X177): two REAL micro-batches
     * through one checkpoint (%3==1 → batch 0, %3==2 → batch 1), each
     * split map-side on the shared row checks; the output is the
@@ -5780,6 +5860,7 @@ object Extensions {
     "q_water_fill" -> waterFill,
     "q_budget_trim" -> budgetTrim,
     "q_stream_dq" -> streamDq,
+    "q_stream_dq_group" -> streamDqGroup,
     "q_stream_quarantine" -> streamQuarantine,
     "q_quarantine" -> quarantine,
     "q_stratified_sample" -> stratifiedSample,
@@ -5941,6 +6022,7 @@ object Extensions {
     "q_water_fill" -> waterFillSql,
     "q_budget_trim" -> budgetTrimSql,
     "q_stream_dq" -> streamDqSql,
+    "q_stream_dq_group" -> streamDqGroupSql,
     "q_stream_quarantine" -> streamQuarantineSql,
     "q_quarantine" -> quarantineSql,
     "q_stratified_sample" -> stratifiedSampleSql,

@@ -823,6 +823,57 @@ object EventsStreaming {
         ()
     }
 
+  /** Streaming PER-GROUP DQ maintenance (X184) — the keyed form of
+    * [[streamingDqMaintenance]], completing the DQ family's ladder
+    * the way the dedup families did (suite → keyed suite → stream →
+    * keyed stream): each micro-batch runs
+    * [[graft.operators.ScaleOps.dqSuiteByGroup]] and appends the
+    * (group × constraint)-row verdict table under `batch=<id>`; the
+    * keyed history is the store, and
+    * [[graft.operators.ScaleOps.dqGroupDrift]] over it is the
+    * per-TENANT anomaly signal — the monitor that catches a drifting
+    * source the global X168 report averages away. Store contracts
+    * verbatim (per-batch overwrite retry idempotence, the
+    * one-checkpoint-per-store lineage guard, negative-id bootstrap,
+    * X155 compaction layout). Per-batch cost is ONE group-keyed
+    * partial-agg pass over the batch (+ one (group, keys) shuffle per
+    * uniqueness set) and a #groups·#constraints-row write — the
+    * corpus is never rescanned, the history never rewritten. */
+  def streamingDqByGroupMaintenance(docs: DataFrame, storePath: String,
+      groupCol: String,
+      rowChecks: Seq[(String, org.apache.spark.sql.Column)],
+      completeness: Seq[String] = Nil,
+      uniqueness: Seq[Seq[String]] = Nil)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          // lineage guard only — the verdict never reads the store
+          storeForBatch(readDqGroupStore(spark, storePath, groupCol),
+            batchId)
+          val verdict = graft.operators.ScaleOps.dqSuiteByGroup(
+            batch.toDF(), groupCol, rowChecks, completeness, uniqueness)
+          verdict.write.mode("overwrite")
+            .parquet(s"$storePath/batch=$batchId")
+          sink(verdict, batchId)
+        }
+        ()
+    }
+
+  /** The per-batch KEYED DQ verdict store — [[readDqStore]]'s layout
+    * with the group column in front (stored as string; the suite's
+    * group values round-trip through parquet as written). */
+  def readDqGroupStore(spark: SparkSession, path: String,
+      groupCol: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField(groupCol, StringType),
+        StructField("constraint", StringType),
+        StructField("n_bad", LongType),
+        StructField("value_bp", LongType),
+        StructField("passed", BooleanType))))
+
   /** Streaming incremental FINGERPRINT near-dup, micro-batch-composed
     * (X169) — the streaming form of
     * [[graft.operators.Dedup.incrementalFingerprintNearDup]], closing

@@ -778,6 +778,73 @@ class StreamingSpec extends SparkSpec {
       s"expected lineage guard, got: ${rootMessages(e)}")
   }
 
+  test("streaming per-group DQ: keyed verdicts per batch, keyed drift flags the tenant, lineage guard") {
+    val base = Files.createTempDirectory("graft-dqgstream-spec").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/dqg"
+    val ckpt = s"$base/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("txt",
+        org.apache.spark.sql.types.StringType)))
+    val checks = Seq("txt_nonempty" ->
+      (col("txt").isNotNull && length(col("txt")) > 0))
+    // batch 0: both tenants clean; batch 1: tenant A collapses (both
+    // rows empty) while tenant B stays clean
+    val t1 = Seq((1L, "A", "aa"), (2L, "A", "bb"), (3L, "B", "cc"), (4L, "B", "dd"))
+    val t2 = Seq((5L, "A", ""), (6L, "A", ""), (7L, "B", "gg"), (8L, "B", "hh"))
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingDqByGroupMaintenance(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "src", checks) { (_, _) => () }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    t1.toDF("id", "src", "txt").coalesce(1).write.parquet(s"$srcDir/f1")
+    runOnce()
+    t2.toDF("id", "src", "txt").coalesce(1).write.parquet(s"$srcDir/f2")
+    runOnce()
+    // one KEYED verdict partition per batch
+    val hist = EventsStreaming.readDqGroupStore(spark, store, "src")
+    val b1 = hist.filter(col("batch").cast("long") === 1L)
+      .select("src", "constraint", "n_bad", "value_bp", "passed")
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    assert(b1 == Set(
+      ("A", "check:txt_nonempty", 2L, 0L, false),
+      ("B", "check:txt_nonempty", 0L, 10000L, true)))
+    // keyed drift flags tenant A at batch 1, tenant B stays quiet
+    val drift = graft.operators.ScaleOps.dqGroupDrift(hist, "src",
+      windowBatches = 3, thresholdBp = 50)
+      .filter(col("batch") === 1L)
+      .select("src", "delta_bp", "anomaly")
+      .as[(String, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(drift("A") == ((Some(-10000L), true)))
+    assert(drift("B") == ((Some(0L), false)))
+    // a foreign checkpoint against the existing store trips the guard
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = EventsStreaming.streamingDqByGroupMaintenance(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "src", checks) { (_, _) => () }
+        .option("checkpointLocation", s"$base/ckpt-foreign")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(e).exists(_.contains("checkpoint lineage")),
+      s"expected lineage guard, got: ${rootMessages(e)}")
+  }
+
   test("streaming fingerprint near-dup: cross-batch store dedup, survivors append, lineage guard") {
     val base = Files.createTempDirectory("graft-fpstream-spec").toString
     val srcDir = s"$base/src"
