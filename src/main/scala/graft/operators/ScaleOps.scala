@@ -1316,6 +1316,60 @@ object ScaleOps {
       .unionByName(row(childlessStats, s"ref_coverage:$relation"))
   }
 
+  /** MONOTONICITY (ordering) DQ constraint (X185) — the sequence-
+    * validity expectation the row-local suite checks cannot express:
+    * within each key, walking the rows in `seqCol` order, `valCol`
+    * must never move the wrong way (event time never runs backwards
+    * within a session, a version counter never decreases). Emits one
+    * suite-layout verdict row: n_rows = rows WITH a predecessor (the
+    * comparable population — a key's first row can't violate), n_bad
+    * = inversions, value_bp / passed as usual. A comparison that
+    * cannot affirm (NULL value on either side) counts as a violation
+    * — the dqSuite NULL-fails rule.
+    *
+    * Fail-loud (guards ride the violation indicator, so the single
+    * aggregation evaluates them): a NULL `seqCol` has no position and
+    * raises; a DUPLICATE (key, seq) makes "previous row" ambiguous —
+    * lag() would answer nondeterministically — and raises instead of
+    * guessing.
+    *
+    * Scale shape: ONE key-partitioned window sort (the W1 shape — a
+    * pathological giant key pays its own sort; the X31 two-phase
+    * rewrite is the escape hatch) + a single-row aggregation. The
+    * shuffle carries (keys, seq, val) only. */
+  def dqMonotonic(df: DataFrame, keys: Seq[String], seqCol: String,
+      valCol: String, name: String,
+      nonDecreasing: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "dqMonotonic: keys must be non-empty")
+    require(!keys.contains(seqCol) && !keys.contains(valCol),
+      s"dqMonotonic: seq/value columns must not be keys (got keys=$keys)")
+    val wSeq = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol))
+    val dupN = count(lit(1))
+      .over(Window.partitionBy((keys :+ seqCol).map(col): _*))
+    val prevVal = lag(col(valCol), 1).over(wSeq)
+    val prevSeq = lag(col(seqCol), 1).over(wSeq)
+    val ok = if (nonDecreasing) col(valCol) >= prevVal
+      else col(valCol) <= prevVal
+    val bad = when(col(seqCol).isNull,
+      raise_error(lit(s"dqMonotonic: NULL $seqCol has no position in " +
+        "the sequence — fill or filter upstream")).cast("long"))
+      .when(dupN > 1,
+        raise_error(concat(lit(s"dqMonotonic: duplicate (key, $seqCol) "),
+          col(seqCol).cast("string"),
+          lit(" — the previous row is ambiguous"))).cast("long"))
+      .when(prevSeq.isNull, lit(null).cast("long")) // first row: exempt
+      .otherwise(when(!coalesce(ok, lit(false)), 1L).otherwise(0L))
+    df.select(bad.as("_bad"))
+      .agg(count(col("_bad")).as("_n"),
+        coalesce(sum(col("_bad")), lit(0L)).as("_nb"))
+      .select(
+        lit(s"monotonic:$name").as("constraint"),
+        col("_n").as("n_rows"), col("_nb").as("n_bad"),
+        when(col("_n") > 0, expr("(_n - _nb) * 10000 div _n"))
+          .otherwise(10000L).as("value_bp"),
+        (col("_nb") === 0L).as("passed"))
+  }
+
   /** FUNCTIONAL-DEPENDENCY DQ constraint (X183) — the "one value per
     * key" expectation the single-column suite rows cannot express:
     * lhs → rhs holds iff every lhs group carries exactly one distinct

@@ -296,6 +296,38 @@ object Extensions {
       "n_bad = 0 AS passed FROM u"
   }
 
+  /** Monotonicity DQ (X185): two declared orderings over events, per
+    * user in event_id order — ts never runs backwards (holds: the
+    * generator assigns ids in time order) and value never decreases
+    * (fails with a measured inversion count), so the gate exercises
+    * both verdicts. */
+  val dqOrder: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    graft.operators.ScaleOps.dqMonotonic(
+      ev, Seq("user_id"), "event_id", "ts", "ts_by_event_id")
+      .unionByName(graft.operators.ScaleOps.dqMonotonic(
+        ev, Seq("user_id"), "event_id", "value", "value_by_event_id"))
+  }
+
+  val dqOrderSql: String = {
+    // the predecessor indicator is lag(event_id), NOT lag(value):
+    // a predecessor whose VALUE is NULL still makes this row
+    // comparable (and failing, per the NULL-fails rule)
+    def mono(valCol: String, name: String): String =
+      s"SELECT 'monotonic:$name' AS \"constraint\", " +
+        "CAST(coalesce(sum(CASE WHEN ps IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rows, " +
+        s"CAST(coalesce(sum(CASE WHEN ps IS NOT NULL AND NOT coalesce($valCol >= pv, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad " +
+        s"FROM (SELECT $valCol, lag($valCol) OVER " +
+        s"(PARTITION BY user_id ORDER BY event_id) AS pv, " +
+        "lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS ps " +
+        "FROM events)"
+    s"WITH u AS ((${mono("ts", "ts_by_event_id")}) UNION ALL " +
+      s"(${mono("value", "value_by_event_id")})) " +
+      "SELECT \"constraint\", n_rows, n_bad, " +
+      "CAST(CASE WHEN n_rows > 0 THEN (n_rows - n_bad) * 10000 // n_rows ELSE 10000 END AS BIGINT) AS value_bp, " +
+      "n_bad = 0 AS passed FROM u"
+  }
+
   /** Referential-integrity DQ (X182): three declared relations across
     * the star schema + the multimodal pair — lineitem→orders,
     * orders→customer, embeddings→documents — each publishing its
@@ -5855,6 +5887,7 @@ object Extensions {
     "q_dq_group_drift" -> dqGroupDriftQ,
     "q_dq_ref" -> dqRef,
     "q_dq_fd" -> dqFd,
+    "q_dq_order" -> dqOrder,
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
     "q_water_fill" -> waterFill,
@@ -6017,6 +6050,7 @@ object Extensions {
     "q_dq_group_drift" -> dqGroupDriftSql,
     "q_dq_ref" -> dqRefSql,
     "q_dq_fd" -> dqFdSql,
+    "q_dq_order" -> dqOrderSql,
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
     "q_water_fill" -> waterFillSql,

@@ -639,6 +639,53 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dqMonotonic: inversions, NULL-fails, first-row exempt, direction, guards") {
+    // key a: 1,3,2,NULL -> inversion at seq 3 (2 < 3), NULL fails
+    // key b: 5,5 -> holds; singleton key c contributes nothing
+    val df = Seq(
+      ("a", 1L, Some(1L)), ("a", 2L, Some(3L)), ("a", 3L, Some(2L)),
+      ("a", 4L, None: Option[Long]),
+      ("b", 1L, Some(5L)), ("b", 2L, Some(5L)),
+      ("c", 1L, Some(9L)))
+      .toDF("k", "seq", "v")
+    val got = ScaleOps.dqMonotonic(df, Seq("k"), "seq", "v", "t")
+      .as[(String, Long, Long, Long, Boolean)].head()
+    // comparable rows: a@2, a@3, a@4, b@2 = 4; bad: a@3 + a@4 (NULL)
+    assert(got == (("monotonic:t", 4L, 2L, 5000L, false)), s"got $got")
+    // the row AFTER a NULL value also fails (NULL predecessor can't affirm)
+    val afterNull = Seq(("a", 1L, None: Option[Long]), ("a", 2L, Some(1L)))
+      .toDF("k", "seq", "v")
+    assert(ScaleOps.dqMonotonic(afterNull, Seq("k"), "seq", "v", "t")
+      .select("n_bad").as[Long].head() == 1L)
+    // non-increasing direction
+    val dec = ScaleOps.dqMonotonic(
+      Seq(("a", 1L, 5L), ("a", 2L, 3L), ("a", 3L, 4L)).toDF("k", "seq", "v"),
+      Seq("k"), "seq", "v", "d", nonDecreasing = false)
+      .as[(String, Long, Long, Long, Boolean)].head()
+    assert(dec == (("monotonic:d", 2L, 1L, 5000L, false)))
+    // duplicate (key, seq): previous row is ambiguous -> raise
+    val eDup = intercept[Exception] {
+      ScaleOps.dqMonotonic(
+        Seq(("a", 1L, 1L), ("a", 1L, 2L)).toDF("k", "seq", "v"),
+        Seq("k"), "seq", "v", "t").collect()
+    }
+    assert(eDup.getMessage != null && eDup.getMessage.contains("ambiguous"))
+    // NULL seq: no position -> raise
+    val eNull = intercept[Exception] {
+      ScaleOps.dqMonotonic(
+        Seq(("a", Some(1L), 1L), ("a", None: Option[Long], 2L))
+          .toDF("k", "seq", "v"),
+        Seq("k"), "seq", "v", "t").collect()
+    }
+    assert(eNull.getMessage != null && eNull.getMessage.contains("no position"))
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqMonotonic(df, Nil, "seq", "v", "t")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.dqMonotonic(df, Seq("seq"), "seq", "v", "t")
+    }
+  }
+
   test("dqFunctionalDependency: repair cost, NULL-as-value, empty corpus, guards") {
     // group a: 3 rows, rhs {x, x, y} -> majority x, repair cost 1
     // group b: 2 rows, rhs {z, z}    -> holds
