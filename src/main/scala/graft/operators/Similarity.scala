@@ -580,6 +580,73 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Per-(position, relevance) DCG term table, micro-units:
+    * floor(rel·10⁶ / log2(pos+1) + 0.5). Computed ONCE driver-side so
+    * neither engine evaluates a float log — the metric becomes pure
+    * integer lookups + sums (the oracle embeds the same literals,
+    * generated from this function). */
+  def dcgTermMicro(pos: Int, rel: Int): Long =
+    math.floor(rel * 1e6 / (math.log(pos + 1.0) / math.log(2.0)) + 0.5).toLong
+
+  /** Ideal DCG in micro-units for a query with n ground-truth rows at
+    * depth k: the ideal ranking places relevance k, k−1, … at
+    * positions 1, 2, … */
+  def idcgMicro(n: Int, k: Int): Long =
+    (1 to n).map(j => dcgTermMicro(j, k - j + 1)).sum
+
+  /** Retrieval-quality metrics BEYOND recall (X186) — MRR and nDCG@k
+    * of an ANN tier against the brute-force ground truth, as exact
+    * integers: graded relevance of a retrieved doc = k − gt_rank + 1
+    * (the true top hit is worth k, the k-th worth 1), DCG folds the
+    * driver-precomputed [[dcgTermMicro]] table (NO in-engine float
+    * log), MRR is the all-integer rounding
+    * (2·10⁶ + rank) div (2·rank) ≡ floor(10⁶/rank + 0.5), and
+    * ndcg_bp = dcg·10⁴ div idcg. Every value is a hash-portable fact.
+    *
+    * Scale shape: one (q_id, vec_id)-keyed equi-join (k·|Q| rows per
+    * side) + one q_id partial agg + one #queries-row join against the
+    * ground-truth counts — eval infrastructure costs nothing next to
+    * the tiers it measures. A query the tier missed entirely scores
+    * 0/0 (mrr, dcg), never NULL. */
+  def retrievalMetrics(groundTruth: DataFrame, ann: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"retrievalMetrics: k must be 1..100, got $k")
+    val dcgMap = typedlit((for {
+      pos <- 1 to k; rel <- 1 to k
+    } yield (pos.toLong * 1000L + rel, dcgTermMicro(pos, rel))).toMap)
+    val idcgMap = typedlit((1 to k).map(n => (n.toLong, idcgMicro(n, k))).toMap)
+    // floor(1e6/rank + 0.5) as a driver-side literal table too — the
+    // whole metric is integer lookups + sums in-engine
+    val rrMap = typedlit((1 to k).map(r =>
+      (r.toLong, (2000000L + r) / (2L * r))).toMap)
+    val gt = groundTruth.select(col("q_id"), col("vec_id"),
+      (lit(k + 1) - col("rank")).cast("long").as("_rel"))
+    val a = ann.select(col("q_id"), col("vec_id"),
+      col("rank").cast("long").as("_arank"))
+    val perHit = a.join(gt, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"),
+        when(col("_rel").isNotNull,
+          try_element_at(dcgMap, col("_arank") * 1000L + col("_rel")))
+          .otherwise(0L).as("_dcg"),
+        when(col("_rel").isNotNull,
+          try_element_at(rrMap, col("_arank"))).as("_rr"),
+        when(col("_rel").isNotNull, 1L).otherwise(0L).as("_hit"))
+    val perQuery = perHit.groupBy(col("q_id"))
+      .agg(sum(col("_dcg")).as("_dcgSum"),
+        max(col("_rr")).as("_rrMax"),
+        sum(col("_hit")).as("n_rel"))
+    val gtCounts = groundTruth.groupBy(col("q_id"))
+      .agg(count(lit(1)).cast("long").as("_ngt"))
+    gtCounts.join(perQuery, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("_rrMax"), lit(0L)).cast("long").as("mrr_micro"),
+        coalesce(col("_dcgSum"), lit(0L)).as("dcg_micro"),
+        try_element_at(idcgMap, col("_ngt")).as("idcg_micro"))
+      .withColumn("ndcg_bp",
+        expr("dcg_micro * 10000 div idcg_micro"))
+  }
+
   /** Deterministic ±1 Johnson–Lindenstrauss sign: md5-derived from
     * (j, d) like [[planeCoef]], so any engine reproduces the exact
     * projection matrix (the oracle embeds it as a literal). */

@@ -4244,6 +4244,67 @@ object Extensions {
       "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
   }
 
+  /** Retrieval metrics harness (X186) — MRR and nDCG@10 as exact
+    * integers (driver-precomputed DCG/IDCG/reciprocal tables, no
+    * in-engine float log) for three tiers against the brute-force
+    * ground truth: recall says WHETHER the true top-k came back,
+    * these say WHERE — a tier that returns all ten hits in reverse
+    * order recalls 1.0 but loses nDCG. The oracle embeds the same
+    * integer tables, generated from the same Scala functions. */
+  val retrievalMetricsQ: Q = (s, d) => {
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
+    val bf = graft.core.Caches.persistTracked(
+      Similarity.bruteForceTopK(emb, qs, k = 10))
+    def m(method: String, ann: org.apache.spark.sql.DataFrame) =
+      Similarity.retrievalMetrics(bf, ann, k = 10)
+        .withColumn("method", lit(method))
+        .select(col("method"), col("q_id"), col("n_rel"), col("mrr_micro"),
+          col("dcg_micro"), col("idcg_micro"), col("ndcg_bp"))
+    m("rerank", Similarity.quantizedRerankTopK(emb, qs, coarseK = 50, k = 10))
+      .unionByName(m("binary", Similarity.binaryRerankTopK(emb, qs,
+        coarseK = 50, k = 10, dims = EMB_DIMS)))
+      .unionByName(m("lsh", Similarity.lshTopK(emb, qs, k = 10,
+        bits = ANN_BITS, dims = EMB_DIMS)))
+  }
+
+  val retrievalMetricsSql: String = {
+    val k = 10
+    val dt = (for { pos <- 1 to k; rel <- 1 to k }
+      yield s"($pos, $rel, ${Similarity.dcgTermMicro(pos, rel)})").mkString(", ")
+    val idt = (1 to k).map(n => s"($n, ${Similarity.idcgMicro(n, k)})")
+      .mkString(", ")
+    val rrt = (1 to k).map(r => s"($r, ${(2000000L + r) / (2L * r)})")
+      .mkString(", ")
+    def metrics(method: String, cte: String): String =
+      s"SELECT '$method' AS method, gc.q_id, " +
+        s"coalesce(pq.n_rel, 0) AS n_rel, coalesce(pq.mrr_micro, 0) AS mrr_micro, " +
+        s"coalesce(pq.dcg_micro, 0) AS dcg_micro, it.v AS idcg_micro " +
+        s"FROM gc LEFT JOIN (" +
+        s"SELECT q_id, CAST(sum(dcg) AS BIGINT) AS dcg_micro, " +
+        "CAST(coalesce(max(rr_v), 0) AS BIGINT) AS mrr_micro, " +
+        "CAST(sum(hit) AS BIGINT) AS n_rel FROM (" +
+        s"SELECT a.q_id, coalesce(d.v, 0) AS dcg, " +
+        "CASE WHEN g.vec_id IS NOT NULL THEN rt.v END AS rr_v, " +
+        "CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+        s"FROM $cte a LEFT JOIN bf g ON a.q_id = g.q_id AND a.vec_id = g.vec_id " +
+        s"LEFT JOIN dt d ON d.pos = a.rank AND d.rel = ${k + 1} - g.rank " +
+        "LEFT JOIN rrt rt ON rt.r = a.rank" +
+        ") GROUP BY q_id) pq ON gc.q_id = pq.q_id " +
+        "JOIN idt it ON it.n = gc.ngt"
+    s"WITH bf AS MATERIALIZED ($embedTopKSql), rr AS ($annRerankSql), " +
+      s"bq AS ($embedBinarySql), lsh AS ($embedAnnSql), " +
+      s"dt AS (SELECT * FROM (VALUES $dt) t(pos, rel, v)), " +
+      s"idt AS (SELECT * FROM (VALUES $idt) t(n, v)), " +
+      s"rrt AS (SELECT * FROM (VALUES $rrt) t(r, v)), " +
+      "gc AS MATERIALIZED (SELECT q_id, count(*) AS ngt FROM bf GROUP BY q_id), " +
+      s"m AS ((${metrics("rerank", "rr")}) UNION ALL " +
+      s"(${metrics("binary", "bq")}) UNION ALL (${metrics("lsh", "lsh")})) " +
+      "SELECT method, q_id, n_rel, mrr_micro, dcg_micro, " +
+      "CAST(idcg_micro AS BIGINT) AS idcg_micro, " +
+      "CAST(dcg_micro * 10000 // idcg_micro AS BIGINT) AS ndcg_bp FROM m"
+  }
+
   /** Deterministic per-stratum sampling by language: keep 50% of en,
     * 25% of de, 10% of everything else ("strat:"-salted md5 bucket —
     * independent of the hashSplit assignment). */
@@ -5870,6 +5931,7 @@ object Extensions {
     "q_quant_topk" -> quantTopK,
     "q_ann_rerank" -> annRerank,
     "q_ann_recall" -> annRecall,
+    "q_retrieval_metrics" -> retrievalMetricsQ,
     "q_embed_pq" -> embedPq,
     "q_embed_ivfpq" -> embedIvfPq,
     "q_embed_ivfpq_norm" -> embedIvfPqNorm,
@@ -6033,6 +6095,7 @@ object Extensions {
     "q_quant_topk" -> quantTopKSql,
     "q_ann_rerank" -> annRerankSql,
     "q_ann_recall" -> annRecallSql,
+    "q_retrieval_metrics" -> retrievalMetricsSql,
     "q_embed_pq" -> embedPqSql,
     "q_embed_ivfpq" -> embedIvfPqSql,
     "q_embed_ivfpq_norm" -> embedIvfPqNormSql,

@@ -761,4 +761,40 @@ class SimilaritySpec extends SparkSpec {
       Similarity.binaryRerankTopK(emb, queries, coarseK = 5, k = 10, dims = 64)
     }
   }
+
+  test("retrievalMetrics: perfect ranking, reversed ranking, partial, missed query") {
+    val k = 3
+    // ground truth for q1: docs 10 (rank 1), 11 (2), 12 (3)
+    val gt = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2))
+      .toDF("q_id", "vec_id", "rank")
+    def metrics(rows: Seq[(Long, Long, Int)]) =
+      Similarity.retrievalMetrics(gt, rows.toDF("q_id", "vec_id", "rank"), k)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // perfect ranking: dcg == idcg -> ndcg 10000, mrr 1e6
+    val perfect = metrics(Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)))
+    assert(perfect(1L)._1 == 3L && perfect(1L)._2 == 1000000L)
+    assert(perfect(1L)._3 == perfect(1L)._4 && perfect(1L)._5 == 10000L)
+    // reversed ranking: full recall, mrr still 1e6 (a relevant doc at
+    // position 1), but nDCG strictly below perfect
+    val reversed = metrics(Seq((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3)))
+    assert(reversed(1L)._1 == 3L && reversed(1L)._2 == 1000000L)
+    assert(reversed(1L)._5 < 10000L,
+      s"reversed order must lose nDCG: ${reversed(1L)}")
+    // the ndcg value is the exact integer fold of the driver tables
+    val wantDcg = Similarity.dcgTermMicro(1, 1) +
+      Similarity.dcgTermMicro(2, 2) + Similarity.dcgTermMicro(3, 3)
+    assert(reversed(1L)._3 == wantDcg &&
+      reversed(1L)._4 == Similarity.idcgMicro(3, 3))
+    // first relevant at position 2 -> mrr = floor(1e6/2 + .5) = 500000
+    val partial = metrics(Seq((1L, 99L, 1), (1L, 10L, 2), (1L, 98L, 3)))
+    assert(partial(1L)._1 == 1L && partial(1L)._2 == 500000L)
+    // a query the tier never answered scores zeros, not NULLs; its
+    // idcg reflects its own ground-truth size (2 rows at k=3)
+    assert(partial(2L) == ((0L, 0L, 0L, Similarity.idcgMicro(2, 3), 0L)))
+    intercept[IllegalArgumentException] {
+      Similarity.retrievalMetrics(gt, gt, k = 0)
+    }
+  }
 }
