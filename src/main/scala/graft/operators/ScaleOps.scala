@@ -1316,6 +1316,72 @@ object ScaleOps {
       .unionByName(row(childlessStats, s"ref_coverage:$relation"))
   }
 
+  /** DISTRIBUTION-DRIFT DQ constraint (X187) — the VALUE-distribution
+    * half of snapshot comparison (X173 schemaDrift answers "did the
+    * shape/null-rates change", X168 tracks constraint trends; this
+    * answers "did the values move"): TOTAL-VARIATION distance between
+    * two snapshots' binned histograms of one column, in exact basis
+    * points. TV = ½·Σ|p_i − q_i| is the PSI/KL alternative that needs
+    * NO logarithm, so the whole metric stays integer cross-
+    * multiplication: tv_bp = Σ|c_a·N_b − c_b·N_a|·10⁴ div (2·N_a·N_b),
+    * folded in DECIMAL(38,0) so 10¹²-row snapshots cannot overflow.
+    *
+    * Bins are floor(value/binWidth) with the pmod floor-division (a
+    * negative value bins DOWN, not toward zero). NULLs get their own
+    * sentinel bin (a null-rate shift IS distribution drift). An empty
+    * side vs a non-empty side is FULL drift (10000 bp); two empty
+    * sides are no drift (both spec-pinned).
+    *
+    * Scale shape: one per-side bin partial-agg (#bins rows out of a
+    * corpus scan) + a #bins-row full-outer join + a 1-row fold —
+    * mergeable per-partition histograms are the 100 TB path, and the
+    * drift fold itself never touches the corpus. */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      binWidth: Long, thresholdBp: Long, name: String): DataFrame = {
+    require(binWidth >= 1,
+      s"histogramDrift: binWidth must be >= 1, got $binWidth")
+    require(thresholdBp >= 0 && thresholdBp <= 10000,
+      s"histogramDrift: thresholdBp must be 0..10000, got $thresholdBp")
+    def bins(df: DataFrame, cName: String): DataFrame =
+      df.select(col(valueCol).cast("long").as("_v"))
+        .select(when(col("_v").isNull, lit(Long.MinValue))
+          .otherwise(expr(s"(_v - pmod(_v, ${binWidth}L)) div ${binWidth}L"))
+          .as("_bin"))
+        .groupBy(col("_bin")).agg(count(lit(1)).as(cName))
+    val ha = bins(a, "_ca")
+    val hb = bins(b, "_cb")
+    // the joined histogram is #bins rows and feeds the totals fold AND
+    // the cross-multiplied TV fold — persist once (registry-released)
+    val joined = ha.join(hb, Seq("_bin"), "full_outer")
+      .select(col("_bin"),
+        coalesce(col("_ca"), lit(0L)).cast("decimal(38,0)").as("_ca"),
+        coalesce(col("_cb"), lit(0L)).cast("decimal(38,0)").as("_cb"))
+      .persistTracked()
+    val totals = joined.agg(
+      coalesce(sum(col("_ca")), lit(0L).cast("decimal(38,0)")).as("_na"),
+      coalesce(sum(col("_cb")), lit(0L).cast("decimal(38,0)")).as("_nb"),
+      count(lit(1)).as("n_bins"))
+    joined.crossJoin(totals)
+      .agg(
+        coalesce(sum(abs(col("_ca") * col("_nb") - col("_cb") * col("_na"))),
+          lit(0L).cast("decimal(38,0)")).as("_num"),
+        max(col("_na")).as("_na"), max(col("_nb")).as("_nb"),
+        max(col("n_bins")).as("n_bins"))
+      .select(lit(s"dist_drift:$name").as("constraint"),
+        coalesce(col("n_bins"), lit(0L)).as("n_bins"),
+        coalesce(col("_na"), lit(0L).cast("decimal(38,0)"))
+          .cast("long").as("n_a"),
+        coalesce(col("_nb"), lit(0L).cast("decimal(38,0)"))
+          .cast("long").as("n_b"),
+        when(col("_na").isNull || (col("_na") === 0 && col("_nb") === 0),
+          lit(0L))
+          .when(col("_na") === 0 || col("_nb") === 0, lit(10000L))
+          .otherwise(expr(
+            "CAST((_num * 10000) div (2 * _na * _nb) AS BIGINT)"))
+          .as("tv_bp"))
+      .withColumn("drifted", col("tv_bp") > thresholdBp)
+  }
+
   /** MONOTONICITY (ordering) DQ constraint (X185) — the sequence-
     * validity expectation the row-local suite checks cannot express:
     * within each key, walking the rows in `seqCol` order, `valCol`

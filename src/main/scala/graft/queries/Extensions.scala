@@ -296,6 +296,62 @@ object Extensions {
       "n_bad = 0 AS passed FROM u"
   }
 
+  /** Distribution-drift DQ (X187): two declared comparisons — the
+    * doc_id%3==0 ingest slice vs the rest on n_chars (same generator,
+    * expect a small TV), and error-events vs purchase-events on value
+    * (different populations). Thresholds at 100 bp; all verdicts are
+    * exact integer facts either way. */
+  val distDrift: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ev = Tables.events(s, d)
+    graft.operators.ScaleOps.histogramDrift(
+      docs.filter(col("doc_id") % 3 === 0), docs.filter(col("doc_id") % 3 =!= 0),
+      "n_chars", binWidth = 50L, thresholdBp = 100L, "n_chars_slice")
+      .unionByName(graft.operators.ScaleOps.histogramDrift(
+        ev.filter(col("event_type") === "error"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", binWidth = 25L, thresholdBp = 100L, "value_error_vs_purchase"))
+  }
+
+  val distDriftSql: String = {
+    // Spark's double->long cast TRUNCATES; DuckDB's rounds — trunc()
+    // keeps the engines bit-identical on the events value column
+    def block(src: String, aWhere: String, bWhere: String, vExpr: String,
+        w: Long, name: String): String =
+      s"SELECT 'dist_drift:$name' AS \"constraint\", " +
+        "CAST(t.nbins AS BIGINT) AS n_bins, CAST(t.na AS BIGINT) AS n_a, " +
+        "CAST(t.nb AS BIGINT) AS n_b, " +
+        "CAST(CASE WHEN t.na = 0 AND t.nb = 0 THEN 0 " +
+        "WHEN t.na = 0 OR t.nb = 0 THEN 10000 " +
+        s"ELSE n.num * 10000 // (2 * t.na * t.nb) END AS BIGINT) AS tv_bp " +
+        "FROM (SELECT CAST(coalesce(sum(ca), 0) AS HUGEINT) AS na, " +
+        "CAST(coalesce(sum(cb), 0) AS HUGEINT) AS nb, count(*) AS nbins " +
+        s"FROM j_$name) t CROSS JOIN " +
+        "(SELECT CAST(coalesce(sum(abs(CAST(j.ca AS HUGEINT) * t2.nb - CAST(j.cb AS HUGEINT) * t2.na)), 0) AS HUGEINT) AS num " +
+        s"FROM j_$name j CROSS JOIN (SELECT CAST(coalesce(sum(ca), 0) AS HUGEINT) AS na, " +
+        s"CAST(coalesce(sum(cb), 0) AS HUGEINT) AS nb FROM j_$name) t2) n"
+    def binCte(src: String, aWhere: String, bWhere: String, vExpr: String,
+        w: Long, name: String): String =
+      s"ha_$name AS (SELECT bin, count(*) AS ca FROM (SELECT CASE WHEN v IS NULL " +
+        s"THEN ${Long.MinValue} ELSE (v - ((v % $w) + $w) % $w) // $w END AS bin " +
+        s"FROM (SELECT $vExpr AS v FROM $src WHERE $aWhere)) GROUP BY bin), " +
+        s"hb_$name AS (SELECT bin, count(*) AS cb FROM (SELECT CASE WHEN v IS NULL " +
+        s"THEN ${Long.MinValue} ELSE (v - ((v % $w) + $w) % $w) // $w END AS bin " +
+        s"FROM (SELECT $vExpr AS v FROM $src WHERE $bWhere)) GROUP BY bin), " +
+        s"j_$name AS MATERIALIZED (SELECT coalesce(ha_$name.bin, hb_$name.bin) AS bin, " +
+        s"coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb FROM ha_$name " +
+        s"FULL OUTER JOIN hb_$name ON ha_$name.bin = hb_$name.bin)"
+    s"WITH ${binCte("documents", "doc_id % 3 = 0", "doc_id % 3 <> 0",
+        "CAST(n_chars AS BIGINT)", 50L, "nc")}, " +
+      s"${binCte("events", "event_type = 'error'", "event_type = 'purchase'",
+        "CAST(trunc(value) AS BIGINT)", 25L, "ev")}, " +
+      s"u AS ((${block("documents", "", "", "", 50L, "nc")}) UNION ALL " +
+      s"(${block("events", "", "", "", 25L, "ev")})) " +
+      "SELECT CASE \"constraint\" WHEN 'dist_drift:nc' THEN 'dist_drift:n_chars_slice' " +
+      "ELSE 'dist_drift:value_error_vs_purchase' END AS \"constraint\", " +
+      "n_bins, n_a, n_b, tv_bp, tv_bp > 100 AS drifted FROM u"
+  }
+
   /** Monotonicity DQ (X185): two declared orderings over events, per
     * user in event_id order — ts never runs backwards (holds: the
     * generator assigns ids in time order) and value never decreases
@@ -5950,6 +6006,7 @@ object Extensions {
     "q_dq_ref" -> dqRef,
     "q_dq_fd" -> dqFd,
     "q_dq_order" -> dqOrder,
+    "q_dist_drift" -> distDrift,
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
     "q_water_fill" -> waterFill,
@@ -6114,6 +6171,7 @@ object Extensions {
     "q_dq_ref" -> dqRefSql,
     "q_dq_fd" -> dqFdSql,
     "q_dq_order" -> dqOrderSql,
+    "q_dist_drift" -> distDriftSql,
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
     "q_water_fill" -> waterFillSql,

@@ -639,6 +639,38 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogramDrift: TV distance exact, NULL bin, negative floor, empty sides") {
+    def drift(a: Seq[Option[Long]], b: Seq[Option[Long]], w: Long = 10L) =
+      ScaleOps.histogramDrift(a.toDF("v"), b.toDF("v"), "v", w, 100L, "t")
+        .as[(String, Long, Long, Long, Long, Boolean)].head()
+    // identical multisets -> 0 bp
+    val same = Seq(Some(1L), Some(15L), Some(15L), None: Option[Long])
+    assert(drift(same, same) == (("dist_drift:t", 3L, 4L, 4L, 0L, false)))
+    // disjoint bins -> full drift
+    assert(drift(Seq(Some(1L)), Seq(Some(100L)))._5 == 10000L)
+    // hand-computed: a = {bin0:2, bin1:0}, b = {bin0:1, bin1:1}
+    // TV = (|2*2-1*2| + |0*2-1*2|)*1e4 / (2*2*2) = 4e4/8 = 5000
+    assert(drift(Seq(Some(1L), Some(2L)), Seq(Some(1L), Some(15L)))._5 == 5000L)
+    // a NULL-rate shift IS drift: the sentinel bin diverges
+    assert(drift(Seq(Some(1L), None), Seq(Some(1L), Some(2L)))._5 == 5000L)
+    // negative values bin DOWN (floor), not toward zero: -1 and -10
+    // share bin -1 at width 10; +1 is bin 0 -> disjoint from -1
+    assert(drift(Seq(Some(-1L)), Seq(Some(-10L)))._5 == 0L)
+    assert(drift(Seq(Some(-1L)), Seq(Some(1L)))._5 == 10000L)
+    // empty vs non-empty = full drift; both empty = no drift
+    assert(drift(Nil, Seq(Some(1L))) ==
+      (("dist_drift:t", 1L, 0L, 1L, 10000L, true)))
+    assert(drift(Nil, Nil) == (("dist_drift:t", 0L, 0L, 0L, 0L, false)))
+    intercept[IllegalArgumentException] {
+      ScaleOps.histogramDrift(Seq(1L).toDF("v"), Seq(1L).toDF("v"),
+        "v", 0L, 100L, "t")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.histogramDrift(Seq(1L).toDF("v"), Seq(1L).toDF("v"),
+        "v", 10L, 20000L, "t")
+    }
+  }
+
   test("dqMonotonic: inversions, NULL-fails, first-row exempt, direction, guards") {
     // key a: 1,3,2,NULL -> inversion at seq 3 (2 < 3), NULL fails
     // key b: 5,5 -> holds; singleton key c contributes nothing
