@@ -1316,6 +1316,33 @@ object ScaleOps {
       .unionByName(row(childlessStats, s"ref_coverage:$relation"))
   }
 
+  /** EMBEDDING-column DQ check set (X188) — the vector-specific
+    * expectations a scalar suite cannot express, packaged as
+    * [[dqSuite]]/[[dqSuiteByGroup]]/streaming rowChecks so the whole
+    * DQ machinery (keyed suites, drift, quarantine, gated ingest)
+    * applies to vector columns unchanged:
+    *
+    *  - `<col>_dims_<d>`: exactly d elements (a ragged vector
+    *    silently breaks every dot product downstream);
+    *  - `<col>_finite`: no NaN/±Inf element (one NaN poisons a whole
+    *    centroid in training and every cosine it touches);
+    *  - `<col>_nonzero`: some element ≠ 0 (a zero vector has no
+    *    direction — cosine against it is undefined).
+    *
+    * A NULL vector fails all three (the suite's NULL-fails rule; pair
+    * with a completeness row for the explicit null count). All pure
+    * map-side HOFs over the array — zero shuffles beyond the suite's
+    * own one-pass aggregation. */
+  def embeddingChecks(vecCol: String, dims: Int): Seq[(String, Column)] = {
+    require(dims >= 1, s"embeddingChecks: dims must be >= 1, got $dims")
+    Seq(
+      s"${vecCol}_dims_$dims" -> (size(col(vecCol)) === dims),
+      s"${vecCol}_finite" -> forall(col(vecCol), x =>
+        !isnan(x) && x > lit(Float.NegativeInfinity) &&
+          x < lit(Float.PositiveInfinity)),
+      s"${vecCol}_nonzero" -> exists(col(vecCol), x => x =!= lit(0.0f)))
+  }
+
   /** DISTRIBUTION-DRIFT DQ constraint (X187) — the VALUE-distribution
     * half of snapshot comparison (X173 schemaDrift answers "did the
     * shape/null-rates change", X168 tracks constraint trends; this

@@ -296,6 +296,40 @@ object Extensions {
       "n_bad = 0 AS passed FROM u"
   }
 
+  /** Embedding-column DQ (X188): the vector check set through the
+    * standard suite — dims/finite/nonzero rowChecks + a completeness
+    * row + vec_id uniqueness, one aggregation pass over the
+    * embeddings table. */
+  val dqEmbed: Q = (s, d) =>
+    graft.operators.ScaleOps.dqSuite(Tables.embeddings(s, d),
+      rowChecks = graft.operators.ScaleOps.embeddingChecks(
+        "embedding", EMB_DIMS),
+      completeness = Seq("embedding"),
+      uniqueness = Seq(Seq("vec_id")))
+
+  lazy val dqEmbedSql: String = {
+    def checkRow(label: String, pred: String) =
+      s"SELECT '$label' AS \"constraint\", " +
+        s"CAST(coalesce(sum(CASE WHEN NOT coalesce($pred, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad " +
+        "FROM embeddings"
+    val checks = Seq(
+      checkRow(s"check:embedding_dims_$EMB_DIMS", s"len(embedding) = $EMB_DIMS"),
+      checkRow("check:embedding_finite",
+        "len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0"),
+      checkRow("check:embedding_nonzero",
+        "len(list_filter(embedding, x -> x <> 0)) > 0"),
+      checkRow("complete:embedding", "embedding IS NOT NULL"))
+    def uniqRow(key: String) =
+      s"SELECT 'unique:$key' AS \"constraint\", " +
+        s"CAST((SELECT count(*) FROM embeddings) - " +
+        s"(SELECT count(*) FROM (SELECT 1 FROM embeddings GROUP BY $key)) AS BIGINT) AS n_bad"
+    s"WITH t AS (SELECT count(*) AS total FROM embeddings), " +
+      s"u AS ((${checks.mkString(") UNION ALL (")}) UNION ALL (${uniqRow("vec_id")})) " +
+      "SELECT \"constraint\", n_bad, " +
+      "CAST(CASE WHEN t.total > 0 THEN (t.total - n_bad) * 10000 // t.total ELSE 10000 END AS BIGINT) AS value_bp, " +
+      "n_bad = 0 AS passed FROM u CROSS JOIN t"
+  }
+
   /** Distribution-drift DQ (X187): two declared comparisons — the
     * doc_id%3==0 ingest slice vs the rest on n_chars (same generator,
     * expect a small TV), and error-events vs purchase-events on value
@@ -6007,6 +6041,7 @@ object Extensions {
     "q_dq_fd" -> dqFd,
     "q_dq_order" -> dqOrder,
     "q_dist_drift" -> distDrift,
+    "q_dq_embed" -> dqEmbed,
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
     "q_water_fill" -> waterFill,
@@ -6172,6 +6207,7 @@ object Extensions {
     "q_dq_fd" -> dqFdSql,
     "q_dq_order" -> dqOrderSql,
     "q_dist_drift" -> distDriftSql,
+    "q_dq_embed" -> dqEmbedSql,
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
     "q_water_fill" -> waterFillSql,

@@ -639,6 +639,31 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("embeddingChecks: ragged, NaN/Inf, zero-vector, NULL all fail their rows") {
+    val rows = Seq(
+      (1L, Some(Seq(1.0f, 2.0f))),                       // clean
+      (2L, Some(Seq(1.0f, 2.0f, 3.0f))),                 // ragged
+      (3L, Some(Seq(Float.NaN, 1.0f))),                  // NaN
+      (4L, Some(Seq(Float.PositiveInfinity, 1.0f))),     // +Inf
+      (5L, Some(Seq(0.0f, 0.0f))),                       // zero vector
+      (6L, None: Option[Seq[Float]]))                    // NULL
+      .toDF("vec_id", "embedding")
+    val got = ScaleOps.dqSuite(rows,
+      rowChecks = ScaleOps.embeddingChecks("embedding", 2),
+      completeness = Seq("embedding"))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // dims: ragged + NULL fail; finite: NaN + Inf + NULL; nonzero:
+    // zero-vector + NULL
+    assert(got("check:embedding_dims_2") == 2L, s"got $got")
+    assert(got("check:embedding_finite") == 3L)
+    assert(got("check:embedding_nonzero") == 2L)
+    assert(got("complete:embedding") == 1L)
+    intercept[IllegalArgumentException] {
+      ScaleOps.embeddingChecks("embedding", 0)
+    }
+  }
+
   test("histogramDrift: TV distance exact, NULL bin, negative floor, empty sides") {
     def drift(a: Seq[Option[Long]], b: Seq[Option[Long]], w: Long = 10L) =
       ScaleOps.histogramDrift(a.toDF("v"), b.toDF("v"), "v", w, 100L, "t")
