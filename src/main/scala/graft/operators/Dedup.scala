@@ -994,8 +994,13 @@ object Dedup {
     val w = bits / bands
     val mask = (1L << w) - 1
     // docs feed the distinct-sig collapse plus three expansion scans —
-    // persist once (registry-released)
+    // persist once (registry-released), PRE-PARTITIONED on sig: the
+    // cached partitioning satisfies every downstream sig-keyed
+    // consumer (distinct's partial agg, the within-sig self-join's
+    // both sides, the member-expansion probe sides), so the collapse
+    // costs ONE up-front exchange instead of one per consumer
     val docs = hashes.select(col(idCol).as("id"), col(hashCol).as("sig"))
+      .repartition(col("sig"))
       .persistTracked()
     val sigs = docs.select(col("sig")).distinct()
     val banded = sigs

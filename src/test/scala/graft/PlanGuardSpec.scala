@@ -85,7 +85,18 @@ class PlanGuardSpec extends SparkSpec {
       "q_water_fill",
       // composes q_water_fill's 1-row stats attach; the trim itself is
       // a keyed window + broadcast equi-join
-      "q_budget_trim")
+      "q_budget_trim",
+      // per relation: two 1-row x 1-row count joins (anti-join count x
+      // side total), like q_neardup_recall's count attaches; the
+      // orphan/coverage anti-joins themselves are keyed equi-joins
+      "q_dq_ref",
+      // composes the q_ann_rerank / q_embed_binary / q_embed_topk
+      // coarse passes as candidate tiers; the metric joins are
+      // (q_id, vec_id) keyed equi-joins over k-bounded rows
+      "q_retrieval_metrics",
+      // 1-row (N_a, N_b) totals attached to the #bins-row joined
+      // histogram, like q_ivf_drift's two 1-row side totals
+      "q_dist_drift")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
