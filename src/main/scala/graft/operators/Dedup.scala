@@ -76,6 +76,50 @@ object Dedup {
       .drop("_rn", "_fp")
   }
 
+  /** TTL (freshness-aware) exact dedup (X189) — dedup with an expiry:
+    * re-publication of the same content AFTER `ttl` is a legitimate
+    * fresh observation (news refreshes, docs re-crawled after
+    * substantive-change windows), while repeats WITHIN the window are
+    * dups. Semantics are gap-based sessionization on the content
+    * fingerprint (the standard session rule, exactly expressible and
+    * oracle-replayable): a new session starts when the gap to the
+    * fp's PREVIOUS observation exceeds ttl; the survivor is each
+    * (fp, session)'s first row by (ts, id). Plain [[exactDedup]] is
+    * the ttl → ∞ limit (spec-pinned).
+    *
+    * Fail-loud riding the session counter: a NULL timestamp has no
+    * position in any freshness window and raises (fill or filter
+    * upstream) — silently sorting it first would quietly anchor the
+    * session chain at epoch.
+    *
+    * Scale shape: ONE fp-keyed window sort (16-byte md5 keys — the
+    * exactDedup shuffle with a (ts, id) sort instead of id); the
+    * session id is a running sum over the same window, no second
+    * shuffle. */
+  def ttlExactDedup(df: DataFrame, textCol: String, idCol: String,
+      tsCol: String, ttlSeconds: Long): DataFrame = {
+    require(ttlSeconds >= 1,
+      s"ttlExactDedup: ttlSeconds must be >= 1, got $ttlSeconds")
+    val clash = df.columns.filter(Set("_fp", "_t", "_gap"))
+    require(clash.isEmpty,
+      s"ttlExactDedup: input columns ${clash.mkString(", ")} collide with internal markers")
+    val w = Window.partitionBy(col("_fp"))
+      .orderBy(col("_t").asc, col(idCol).asc)
+    // the survivor of a session IS the row that opened it (the fp's
+    // first observation, or any row whose gap to the previous
+    // observation exceeds ttl) — one window, no second shuffle
+    df.withColumn("_fp", fingerprintMd5(col(textCol)))
+      .withColumn("_t",
+        when(col(tsCol).isNull, raise_error(lit(
+          "ttlExactDedup: NULL timestamp has no position in a " +
+            "freshness window — fill or filter upstream")).cast("long"))
+          .otherwise(unix_micros(col(tsCol))))
+      .withColumn("_gap", lag(col("_t"), 1).over(w).isNull ||
+        col("_t") - lag(col("_t"), 1).over(w) > ttlSeconds * 1000000L)
+      .filter(col("_gap"))
+      .drop("_fp", "_t", "_gap")
+  }
+
   /** Incremental (cross-snapshot) exact dedup — the INGESTION-time
     * shape of a 100 TB pipeline: a new batch dedups against the
     * already-ingested corpus represented ONLY by its content

@@ -296,6 +296,28 @@ object Extensions {
       "n_bad = 0 AS passed FROM u"
   }
 
+  /** TTL (freshness-aware) exact dedup (X189): events deduped on
+    * their props payload with a 1-day freshness window — repeats of
+    * the same payload within a day drop, a re-observation after the
+    * window is a legitimate fresh row. The synthetic props values
+    * collide heavily across the time range, so real session chains
+    * form; the oracle replays the gap rule per fingerprint. */
+  val ttlDedup: Q = (s, d) =>
+    Dedup.ttlExactDedup(Tables.events(s, d), "props", "event_id", "ts",
+      ttlSeconds = 86400L)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+
+  val ttlDedupSql: String = {
+    val norm = "array_to_string(list_filter(regexp_split_to_array(" +
+      "lower(props), '\\s+'), x -> x <> ''), ' ')"
+    s"WITH f AS (SELECT event_id, user_id, event_type, value, props, " +
+      s"md5($norm) AS fp, epoch_us(ts) AS t FROM events), " +
+      "g AS (SELECT *, lag(t) OVER (PARTITION BY fp ORDER BY t, event_id) AS pt FROM f) " +
+      "SELECT event_id, user_id, event_type, value, props FROM g " +
+      "WHERE pt IS NULL OR t - pt > 86400000000"
+  }
+
   /** Embedding-column DQ (X188): the vector check set through the
     * standard suite — dims/finite/nonzero rowChecks + a completeness
     * row + vec_id uniqueness, one aggregation pass over the
@@ -6042,6 +6064,7 @@ object Extensions {
     "q_dq_order" -> dqOrder,
     "q_dist_drift" -> distDrift,
     "q_dq_embed" -> dqEmbed,
+    "q_ttl_dedup" -> ttlDedup,
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
     "q_water_fill" -> waterFill,
@@ -6208,6 +6231,7 @@ object Extensions {
     "q_dq_order" -> dqOrderSql,
     "q_dist_drift" -> distDriftSql,
     "q_dq_embed" -> dqEmbedSql,
+    "q_ttl_dedup" -> ttlDedupSql,
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
     "q_water_fill" -> waterFillSql,

@@ -328,6 +328,49 @@ class DedupSpec extends SparkSpec {
     assert(got.head.isEmpty)
   }
 
+  test("ttlExactDedup: within-window repeats drop, expiry readmits, gap semantics, NULL ts raises") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ttl = 100L
+    val rows = Seq(
+      // fp A: t=0 kept; t=50 within window -> drop; t=160 gap 110 > ttl -> kept
+      (1L, "same text", ts(0)), (2L, "same text", ts(50)), (3L, "same text", ts(160)),
+      // fp B: the GAP-BASED session rule — each repeat is within ttl of
+      // its PREDECESSOR, so the chain never expires even though the
+      // last row is 180s after the kept row (documented semantics)
+      (10L, "chain text", ts(0)), (11L, "chain text", ts(90)), (12L, "chain text", ts(180)),
+      // unique doc always kept
+      (20L, "unique text", ts(10)))
+      .toDF("doc_id", "text", "ts")
+    val got = Dedup.ttlExactDedup(rows, "text", "doc_id", "ts", ttl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 10L, 20L), s"got $got")
+    // ttl -> effectively infinite == plain exactDedup
+    val inf = Dedup.ttlExactDedup(rows, "text", "doc_id", "ts", 1000000L)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = Dedup.exactDedup(rows, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(inf == plain && inf == Set(1L, 10L, 20L))
+    // simultaneous re-publication: ties order by id, the second drops
+    val tie = Seq((1L, "t", ts(0)), (2L, "t", ts(0)))
+      .toDF("doc_id", "text", "ts")
+    assert(Dedup.ttlExactDedup(tie, "text", "doc_id", "ts", ttl)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    // NULL ts has no position in a freshness window
+    val e = intercept[Exception] {
+      Dedup.ttlExactDedup(
+        Seq((1L, "t", null.asInstanceOf[Timestamp])).toDF("doc_id", "text", "ts"),
+        "text", "doc_id", "ts", ttl).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("freshness window"))
+    intercept[IllegalArgumentException] {
+      Dedup.ttlExactDedup(rows, "text", "doc_id", "ts", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ttlExactDedup(rows.withColumn("_fp", lit(1)), "text", "doc_id", "ts", ttl)
+    }
+  }
+
   test("canonicalByScore: argmax per cluster, min-id ties, missing score fails loud") {
     // clusters {1,2,3} and {10,11}; scores make 2 the best of the
     // first (not the min id) and tie 10/11 (min id wins)
