@@ -1807,6 +1807,115 @@ object ScaleOps {
         guarded.cast("long").as("allocation"), col("_sat").as("saturated"))
   }
 
+  /** PER-GROUP water-filling (X190) — [[waterFillBudget]] keyed by a
+    * partition column, with per-group budgets: the inner stage of
+    * HIERARCHICAL mixing (allocate the global budget across languages
+    * with X175, then fair-share each language's allocation across its
+    * domains here — [[hierarchicalWaterFill]] composes exactly that).
+    * The closed form is unchanged, evaluated per group: sort by
+    * (tokens asc, key asc) WITHIN the group, saturation by the same
+    * monotone prefix test against the group's budget, integer level +
+    * deterministic remainder. Per-group allocations sum to
+    * min(budget_g, Σ tokens_g) exactly.
+    *
+    * Budgets arrive as a (group, budget) table — #groups rows,
+    * broadcast onto the domain rows. Fail-loud (riding the allocation
+    * column): duplicate (group, key), NULL/negative tokens, a domain
+    * group with NO budget row (silent zero-allocation would starve a
+    * tenant), a NULL/negative budget, and a duplicate budget row
+    * (double allocation). EXTRA budget rows (groups with no domains
+    * yet) are permitted — pre-provisioning is legitimate.
+    *
+    * Scale shape: windows keyed by the group column (no global
+    * window at all — the keyed form scales better than its parent),
+    * one broadcast join of the #groups-row budget table. */
+  def waterFillBudgetByGroup(domains: DataFrame, groupCol: String,
+      keyCol: String, tokensCol: String, budgets: DataFrame): DataFrame = {
+    require(Set(groupCol, "budget").subsetOf(budgets.columns.toSet),
+      s"waterFillBudgetByGroup: budgets must carry ($groupCol, budget), " +
+        s"got ${budgets.columns.mkString(", ")}")
+    val b = budgets
+      .withColumn("_bdup",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .select(col(groupCol), col("budget").cast("long").as("_budget"),
+        col("_bdup"))
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(tokensCol).asc, col(keyCol).asc)
+    val wgAll = Window.partitionBy(col(groupCol))
+    val base = domains
+      .select(col(groupCol), col(keyCol),
+        col(tokensCol).cast("long").as(tokensCol))
+      .join(broadcast(b), Seq(groupCol), "left")
+      .withColumn("_dupn", count(lit(1)).over(
+        Window.partitionBy(col(groupCol), col(keyCol))))
+      .withColumn("_rank", row_number().over(wg))
+      .withColumn("_pprev", coalesce(
+        sum(col(tokensCol)).over(
+          wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", count(lit(1)).over(wgAll))
+      .withColumn("_sat",
+        col("_pprev") + (col("_n") - col("_rank") + 1) * col(tokensCol)
+          <= col("_budget"))
+      .withColumn("_k", coalesce(
+        sum(when(col("_sat"), 1L)).over(wgAll), lit(0L)))
+      .withColumn("_pk", coalesce(
+        sum(when(col("_sat"), col(tokensCol))).over(wgAll), lit(0L)))
+    val baseAlloc = when(col("_sat"), col(tokensCol)).otherwise(
+      expr("(_budget - _pk) div (_n - _k)") +
+        when(col("_rank") - col("_k") <= expr("(_budget - _pk) % (_n - _k)"),
+          1L).otherwise(0L))
+    // _bdup first: duplicate budget rows FAN OUT the join, so the
+    // (group, key) duplicate guard below would fire with the wrong
+    // diagnosis if it ran first
+    val guarded = when(col("_bdup") > 1,
+      raise_error(concat(
+        lit("waterFillBudgetByGroup: duplicate budget rows for group "),
+        coalesce(col(groupCol).cast("string"), lit("NULL")))))
+      .when(col("_dupn") > 1,
+        raise_error(concat(
+          lit("waterFillBudgetByGroup: duplicate (group, key) "),
+          coalesce(col(groupCol).cast("string"), lit("NULL")), lit("/"),
+          col(keyCol).cast("string"),
+          lit(" — one row per domain required (double-allocation)"))))
+      .when(col(tokensCol).isNull,
+        raise_error(concat(lit("waterFillBudgetByGroup: NULL tokens for "),
+          coalesce(col(keyCol).cast("string"), lit("NULL")))))
+      .when(col(tokensCol) < 0,
+        raise_error(concat(
+          lit("waterFillBudgetByGroup: negative tokens for "),
+          col(keyCol).cast("string"))))
+      .when(col("_budget").isNull,
+        raise_error(concat(
+          lit("waterFillBudgetByGroup: group "),
+          coalesce(col(groupCol).cast("string"), lit("NULL")),
+          lit(" has no budget row — a silent zero allocation would " +
+            "starve the tenant"))))
+      .when(col("_budget") < 0,
+        raise_error(concat(
+          lit("waterFillBudgetByGroup: negative budget for group "),
+          coalesce(col(groupCol).cast("string"), lit("NULL")))))
+      .otherwise(baseAlloc)
+    base.select(col(groupCol), col(keyCol), col(tokensCol),
+      guarded.cast("long").as("allocation"), col("_sat").as("saturated"))
+  }
+
+  /** HIERARCHICAL water-filling (X190): fair-share the global budget
+    * across level-1 groups (languages) by their token totals, then
+    * fair-share each group's allocation across its level-2 domains —
+    * the two-stage mixing recipe that keeps a giant language from
+    * starving small ones AND a giant domain from eating its own
+    * language's share. Level-1 runs [[waterFillBudget]] over #groups
+    * rows; level-2 runs the keyed form above. Total allocation still
+    * sums to min(budget, Σ tokens) exactly (spec-pinned). */
+  def hierarchicalWaterFill(domains: DataFrame, lvl1Col: String,
+      lvl2Col: String, tokensCol: String, budget: Long): DataFrame = {
+    val lvl1 = domains.groupBy(col(lvl1Col))
+      .agg(sum(col(tokensCol).cast("long")).as(tokensCol))
+    val budgets = waterFillBudget(lvl1, lvl1Col, tokensCol, budget)
+      .select(col(lvl1Col), col("allocation").as("budget"))
+    waterFillBudgetByGroup(domains, lvl1Col, lvl2Col, tokensCol, budgets)
+  }
+
   /** Deterministic BUDGET TRIM (X176) — the apply half of [[
     * waterFillBudget]]: given a per-domain allocation, keep each
     * domain's docs in salted-md5 hash order (a stable pseudo-random

@@ -592,6 +592,47 @@ object Extensions {
       "sat AS saturated " +
       "FROM sflag CROSS JOIN st CROSS JOIN bt"
 
+  /** Hierarchical water-fill (X190): the global budget (half the
+    * corpus tokens) fair-shares across LANGUAGES by token totals,
+    * then each language's allocation fair-shares across its SOURCES —
+    * the two-stage mixing recipe. Oracle replays both closed forms,
+    * the inner one keyed per language. */
+  val hierWaterFill: Q = (s, d) => {
+    val dom = Tables.documents(s, d).groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_chars")).as("tokens"))
+    val total = dom.agg(coalesce(sum(col("tokens")), lit(0L)))
+      .head().getLong(0)
+    graft.operators.ScaleOps.hierarchicalWaterFill(
+      dom, "lang", "source", "tokens", total / 2)
+  }
+
+  val hierWaterFillSql: String =
+    "WITH dom AS MATERIALIZED (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS tokens " +
+      "FROM documents GROUP BY lang, source), " +
+      "l1 AS (SELECT lang, CAST(sum(tokens) AS BIGINT) AS tokens FROM dom GROUP BY lang), " +
+      "bt AS (SELECT CAST(sum(tokens) // 2 AS BIGINT) AS b FROM l1), " +
+      "r1 AS (SELECT lang, tokens, row_number() OVER w AS rk, " +
+      "CAST(coalesce(sum(tokens) OVER (ORDER BY tokens ASC, lang ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pprev, " +
+      "count(*) OVER () AS n FROM l1 WINDOW w AS (ORDER BY tokens ASC, lang ASC)), " +
+      "s1 AS (SELECT *, pprev + (n - rk + 1) * tokens <= bt.b AS sat FROM r1 CROSS JOIN bt), " +
+      "st1 AS (SELECT CAST(coalesce(sum(CASE WHEN sat THEN 1 END), 0) AS BIGINT) AS k, " +
+      "CAST(coalesce(sum(CASE WHEN sat THEN tokens END), 0) AS BIGINT) AS pk FROM s1), " +
+      "budg AS MATERIALIZED (SELECT lang, CAST(CASE WHEN sat THEN tokens ELSE (bt.b - st1.pk) // (n - st1.k) + " +
+      "(CASE WHEN rk - st1.k <= (bt.b - st1.pk) % (n - st1.k) THEN 1 ELSE 0 END) END AS BIGINT) AS budget " +
+      "FROM s1 CROSS JOIN st1 CROSS JOIN bt), " +
+      "r2 AS (SELECT d.lang, d.source, d.tokens, b.budget, row_number() OVER w2 AS rk, " +
+      "CAST(coalesce(sum(d.tokens) OVER (PARTITION BY d.lang ORDER BY d.tokens ASC, d.source ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pprev, " +
+      "count(*) OVER (PARTITION BY d.lang) AS n " +
+      "FROM dom d JOIN budg b ON d.lang = b.lang " +
+      "WINDOW w2 AS (PARTITION BY d.lang ORDER BY d.tokens ASC, d.source ASC)), " +
+      "s2 AS MATERIALIZED (SELECT *, pprev + (n - rk + 1) * tokens <= budget AS sat FROM r2), " +
+      "st2 AS (SELECT lang, CAST(coalesce(sum(CASE WHEN sat THEN 1 END), 0) AS BIGINT) AS k, " +
+      "CAST(coalesce(sum(CASE WHEN sat THEN tokens END), 0) AS BIGINT) AS pk FROM s2 GROUP BY lang) " +
+      "SELECT s2.lang, s2.source, s2.tokens, " +
+      "CAST(CASE WHEN sat THEN s2.tokens ELSE (s2.budget - st2.pk) // (s2.n - st2.k) + " +
+      "(CASE WHEN s2.rk - st2.k <= (s2.budget - st2.pk) % (s2.n - st2.k) THEN 1 ELSE 0 END) END AS BIGINT) AS allocation, " +
+      "sat AS saturated FROM s2 JOIN st2 ON s2.lang = st2.lang"
+
   /** Budget trim (X176): the water-fill allocation APPLIED — each
     * source keeps its docs in salted-md5 hash order until the next
     * doc would cross its allocation. Output is the per-source audit
@@ -6068,6 +6109,7 @@ object Extensions {
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
     "q_water_fill" -> waterFill,
+    "q_hier_water_fill" -> hierWaterFill,
     "q_budget_trim" -> budgetTrim,
     "q_stream_dq" -> streamDq,
     "q_stream_dq_group" -> streamDqGroup,
@@ -6235,6 +6277,7 @@ object Extensions {
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
     "q_water_fill" -> waterFillSql,
+    "q_hier_water_fill" -> hierWaterFillSql,
     "q_budget_trim" -> budgetTrimSql,
     "q_stream_dq" -> streamDqSql,
     "q_stream_dq_group" -> streamDqGroupSql,

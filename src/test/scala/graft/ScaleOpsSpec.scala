@@ -639,6 +639,56 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("waterFillBudgetByGroup: per-group exact sums, guards; hierarchical total exact") {
+    val dom = Seq(
+      ("en", "a", 100L), ("en", "b", 10L), ("en", "c", 50L),
+      ("de", "x", 30L), ("de", "y", 30L))
+      .toDF("g", "k", "tokens")
+    val budgets = Seq(("en", 80L), ("de", 100L), ("fr", 7L)) // fr: pre-provisioned, unused
+      .toDF("g", "budget")
+    val got = ScaleOps.waterFillBudgetByGroup(dom, "g", "k", "tokens", budgets)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    // en: budget 80 < 160 total; b saturates at 10, level splits 70
+    // between a and c: λ = 35 -> a 35, c 35
+    assert(got(("en", "b")) == ((10L, true)))
+    assert(got(("en", "a")) == ((35L, false)) && got(("en", "c")) == ((35L, false)))
+    // de: budget covers everything -> both saturated
+    assert(got(("de", "x")) == ((30L, true)) && got(("de", "y")) == ((30L, true)))
+    // per-group sums are exactly min(budget_g, Σ tokens_g)
+    val sums = ScaleOps.waterFillBudgetByGroup(dom, "g", "k", "tokens", budgets)
+      .groupBy("g").agg(sum("allocation").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(sums == Map("en" -> 80L, "de" -> 60L))
+    // keyed form over ONE group == the global parent
+    val one = dom.filter(col("g") === "en")
+    val parent = ScaleOps.waterFillBudget(one, "k", "tokens", 80L)
+      .select("k", "allocation").as[(String, Long)].collect().toSet
+    val keyed = ScaleOps.waterFillBudgetByGroup(one, "g", "k", "tokens",
+      Seq(("en", 80L)).toDF("g", "budget"))
+      .select("k", "allocation").as[(String, Long)].collect().toSet
+    assert(keyed == parent)
+    // hierarchical: total allocation == min(B, Σ) exactly
+    val hier = ScaleOps.hierarchicalWaterFill(dom, "g", "k", "tokens", 90L)
+    assert(hier.agg(sum("allocation")).as[Long].head() == 90L)
+    // a domain group with no budget row fails loud
+    val eMiss = intercept[Exception] {
+      ScaleOps.waterFillBudgetByGroup(dom, "g", "k", "tokens",
+        Seq(("en", 80L)).toDF("g", "budget")).collect()
+    }
+    assert(eMiss.getMessage != null && eMiss.getMessage.contains("no budget row"))
+    // duplicate budget rows fail loud
+    val eDup = intercept[Exception] {
+      ScaleOps.waterFillBudgetByGroup(dom, "g", "k", "tokens",
+        Seq(("en", 80L), ("en", 80L), ("de", 1L)).toDF("g", "budget")).collect()
+    }
+    assert(eDup.getMessage != null && eDup.getMessage.contains("duplicate budget"))
+    intercept[IllegalArgumentException] {
+      ScaleOps.waterFillBudgetByGroup(dom, "g", "k", "tokens",
+        budgets.withColumnRenamed("budget", "b"))
+    }
+  }
+
   test("embeddingChecks: ragged, NaN/Inf, zero-vector, NULL all fail their rows") {
     val rows = Seq(
       (1L, Some(Seq(1.0f, 2.0f))),                       // clean
