@@ -1363,6 +1363,21 @@ object ScaleOps {
     * corpus scan) + a #bins-row full-outer join + a 1-row fold —
     * mergeable per-partition histograms are the 100 TB path, and the
     * drift fold itself never touches the corpus. */
+  /** The X187 binning, factored for every histogram consumer: pmod
+    * FLOOR-division buckets (negatives bin down), NULLs at the
+    * Long.MinValue sentinel bin. Returns the (bin, n) partial — the
+    * mergeable per-snapshot histogram record. */
+  def binnedCounts(df: DataFrame, valueCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1,
+      s"binnedCounts: binWidth must be >= 1, got $binWidth")
+    df.select(col(valueCol).cast("long").as("_v"))
+      .select(when(col("_v").isNull, lit(Long.MinValue))
+        .otherwise(expr(s"(_v - pmod(_v, ${binWidth}L)) div ${binWidth}L"))
+        .as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
   def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
       binWidth: Long, thresholdBp: Long, name: String): DataFrame = {
     require(binWidth >= 1,
@@ -1370,11 +1385,8 @@ object ScaleOps {
     require(thresholdBp >= 0 && thresholdBp <= 10000,
       s"histogramDrift: thresholdBp must be 0..10000, got $thresholdBp")
     def bins(df: DataFrame, cName: String): DataFrame =
-      df.select(col(valueCol).cast("long").as("_v"))
-        .select(when(col("_v").isNull, lit(Long.MinValue))
-          .otherwise(expr(s"(_v - pmod(_v, ${binWidth}L)) div ${binWidth}L"))
-          .as("_bin"))
-        .groupBy(col("_bin")).agg(count(lit(1)).as(cName))
+      binnedCounts(df, valueCol, binWidth)
+        .select(col("bin").as("_bin"), col("n").as(cName))
     val ha = bins(a, "_ca")
     val hb = bins(b, "_cb")
     // the joined histogram is #bins rows and feeds the totals fold AND
@@ -1407,6 +1419,81 @@ object ScaleOps {
             "CAST((_num * 10000) div (2 * _na * _nb) AS BIGINT)"))
           .as("tv_bp"))
       .withColumn("drifted", col("tv_bp") > thresholdBp)
+  }
+
+  /** Histogram-STORE drift (X191) — the [[histogramDrift]] TV fold
+    * over a per-batch histogram HISTORY (one (bin, n) partial per
+    * ingest batch — the streaming histogram store's layout): each
+    * batch's value distribution compares against the MERGED trailing
+    * `windowBatches` histograms, in the same exact DECIMAL(38,0)
+    * basis-point arithmetic. A batch with no trailing history reports
+    * n_trail=0 / NULL tv / anomaly=false — no history is no evidence
+    * (the X168 rule).
+    *
+    * Scale shape: everything runs over STORE rows (#bins·#batches
+    * short rows, never the corpus — the corpus was paid for by the
+    * per-batch [[binnedCounts]] partials, which merge by plain
+    * summation). The trailing window materializes as an offsets
+    * EXPLODE + equi-join (batch − 1 … batch − w), so no non-equi join
+    * and no nested loop anywhere. */
+  def histogramStoreDrift(store: DataFrame, windowBatches: Int,
+      thresholdBp: Long): DataFrame = {
+    require(windowBatches >= 1,
+      s"histogramStoreDrift: windowBatches must be >= 1, got $windowBatches")
+    require(thresholdBp >= 0 && thresholdBp <= 10000,
+      s"histogramStoreDrift: thresholdBp must be 0..10000, got $thresholdBp")
+    require(Set("batch", "bin", "n").subsetOf(store.columns.toSet),
+      s"histogramStoreDrift: store must carry (batch, bin, n), got " +
+        store.columns.mkString(", "))
+    // store rows feed the current side, the trailing side, and the
+    // batch list — short rows, persist once (registry-released)
+    val hist = store.select(col("batch").cast("long").as("_hb"),
+      col("bin").cast("long").as("bin"), col("n").cast("long").as("n"))
+      .persistTracked()
+    val batches = hist.select(col("_hb").as("batch")).distinct()
+    // trailing membership as an offsets explode -> EQUI-join
+    val pairs = batches.select(col("batch"),
+      explode(array((1 to windowBatches).map(o => col("batch") - o): _*))
+        .as("_hb"))
+    val trail = pairs.join(hist.select(col("_hb")).distinct(), Seq("_hb"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_trail"))
+    val ref = pairs.join(hist, Seq("_hb"))
+      .groupBy(col("batch"), col("bin")).agg(sum(col("n")).as("_cb"))
+    val cur = hist.select(col("_hb").as("batch"), col("bin"),
+      col("n").as("_ca"))
+    val merged = cur
+      .select(col("batch"), col("bin"), col("_ca"), lit(0L).as("_cb"))
+      .unionByName(ref.select(col("batch"), col("bin"),
+        lit(0L).as("_ca"), col("_cb")))
+      .groupBy(col("batch"), col("bin"))
+      .agg(sum(col("_ca")).cast("decimal(38,0)").as("_ca"),
+        sum(col("_cb")).cast("decimal(38,0)").as("_cb"))
+    val totals = merged.groupBy(col("batch")).agg(
+      coalesce(sum(col("_ca")), lit(0L).cast("decimal(38,0)")).as("_na"),
+      coalesce(sum(col("_cb")), lit(0L).cast("decimal(38,0)")).as("_nb"),
+      count(lit(1)).as("n_bins"))
+    merged.join(totals.hint("shuffle_hash"), Seq("batch"))
+      .groupBy(col("batch"))
+      .agg(
+        coalesce(sum(abs(col("_ca") * col("_nb") - col("_cb") * col("_na"))),
+          lit(0L).cast("decimal(38,0)")).as("_num"),
+        max(col("_na")).as("_na"), max(col("_nb")).as("_nb"),
+        max(col("n_bins")).as("n_bins"))
+      .join(trail.hint("shuffle_hash"), Seq("batch"), "left")
+      .select(col("batch"),
+        col("n_bins"),
+        col("_na").cast("long").as("n_cur"),
+        col("_nb").cast("long").as("n_ref"),
+        coalesce(col("n_trail"), lit(0L)).as("n_trail"),
+        when(coalesce(col("n_trail"), lit(0L)) === 0L,
+          lit(null).cast("long"))
+          .when(col("_na") === 0 && col("_nb") === 0, lit(0L))
+          .when(col("_na") === 0 || col("_nb") === 0, lit(10000L))
+          .otherwise(expr(
+            "CAST((_num * 10000) div (2 * _na * _nb) AS BIGINT)"))
+          .as("tv_bp"))
+      .withColumn("anomaly",
+        coalesce(col("tv_bp") > thresholdBp, lit(false)))
   }
 
   /** MONOTONICITY (ordering) DQ constraint (X185) — the sequence-

@@ -4253,6 +4253,72 @@ object Extensions {
       "FROM dr"
   }
 
+  /** Streaming distribution drift (X191): bootstrap histogram
+    * (doc_id%3==0 at batch=-1) plus two REAL micro-batches through
+    * one checkpoint (%3==1 → 0, %3==2 → 1), each appending its
+    * binnedCounts partial on n_chars (binWidth 50); output is the
+    * [[graft.operators.ScaleOps.histogramStoreDrift]] report — each
+    * batch's value distribution vs the merged trailing histograms,
+    * exact basis-point TV, anomaly beyond 100 bp. */
+  val streamDistDrift: Q = (s, d) => withStreamShuffle(s, 8) {
+    val base = java.nio.file.Files.createTempDirectory("graft-histstream").toString
+    val srcDir = s"$base/src"
+    val storeDir = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    try {
+      graft.operators.ScaleOps.binnedCounts(
+        docs.filter(col("doc_id") % 3 === 0), "n_chars", 50L)
+        .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+      def runOnce(): Unit = {
+        val q = graft.streaming.EventsStreaming.streamingHistogramMaintenance(
+          s.readStream.schema(docs.schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          storeDir, "n_chars", 50L) { (_, _) => () }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f1")
+      runOnce()
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f2")
+      runOnce()
+      graft.operators.ScaleOps.histogramStoreDrift(
+        graft.streaming.EventsStreaming.readHistogramStore(s, storeDir)
+          .select(col("batch").cast("long").as("batch"), col("bin"), col("n")),
+        windowBatches = 3, thresholdBp = 100L)
+        .localCheckpoint()
+    } finally deleteRecursively(base)
+  }
+
+  val streamDistDriftSql: String =
+    "WITH h AS MATERIALIZED (SELECT doc_id % 3 - 1 AS b, " +
+      "(v - ((v % 50) + 50) % 50) // 50 AS bin, CAST(count(*) AS BIGINT) AS n " +
+      "FROM (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents) GROUP BY 1, 2), " +
+      "bs AS (SELECT DISTINCT b FROM h), " +
+      "pairs AS (SELECT bs.b, hb.b AS hb FROM bs " +
+      "JOIN (SELECT DISTINCT b FROM h) hb ON hb.b BETWEEN bs.b - 3 AND bs.b - 1), " +
+      "trail AS (SELECT b, CAST(count(*) AS BIGINT) AS n_trail FROM pairs GROUP BY b), " +
+      "ref AS (SELECT p.b, h.bin, CAST(sum(h.n) AS BIGINT) AS cb " +
+      "FROM pairs p JOIN h ON h.b = p.hb GROUP BY p.b, h.bin), " +
+      "m AS MATERIALIZED (SELECT b, bin, CAST(sum(ca) AS HUGEINT) AS ca, CAST(sum(cb) AS HUGEINT) AS cb " +
+      "FROM (SELECT b, bin, n AS ca, 0 AS cb FROM h " +
+      "UNION ALL SELECT b, bin, 0 AS ca, cb FROM ref) GROUP BY b, bin), " +
+      "t AS MATERIALIZED (SELECT b, CAST(sum(ca) AS HUGEINT) AS na, CAST(sum(cb) AS HUGEINT) AS nb, " +
+      "count(*) AS nbins FROM m GROUP BY b), " +
+      "nm AS (SELECT m.b, CAST(sum(abs(m.ca * t.nb - m.cb * t.na)) AS HUGEINT) AS num " +
+      "FROM m JOIN t ON m.b = t.b GROUP BY m.b), " +
+      "r AS (SELECT t.b AS batch, CAST(t.nbins AS BIGINT) AS n_bins, " +
+      "CAST(t.na AS BIGINT) AS n_cur, CAST(t.nb AS BIGINT) AS n_ref, " +
+      "CAST(coalesce(trail.n_trail, 0) AS BIGINT) AS n_trail, " +
+      "CAST(CASE WHEN coalesce(trail.n_trail, 0) = 0 THEN NULL " +
+      "WHEN t.na = 0 AND t.nb = 0 THEN 0 WHEN t.na = 0 OR t.nb = 0 THEN 10000 " +
+      "ELSE nm.num * 10000 // (2 * t.na * t.nb) END AS BIGINT) AS tv_bp " +
+      "FROM t JOIN nm ON t.b = nm.b LEFT JOIN trail ON t.b = trail.b) " +
+      "SELECT batch, n_bins, n_cur, n_ref, n_trail, tv_bp, " +
+      "coalesce(tv_bp > 100, FALSE) AS anomaly FROM r"
+
   /** Streaming quarantine routing (X177): two REAL micro-batches
     * through one checkpoint (%3==1 → batch 0, %3==2 → batch 1), each
     * split map-side on the shared row checks; the output is the
@@ -6113,6 +6179,7 @@ object Extensions {
     "q_budget_trim" -> budgetTrim,
     "q_stream_dq" -> streamDq,
     "q_stream_dq_group" -> streamDqGroup,
+    "q_stream_dist_drift" -> streamDistDrift,
     "q_stream_quarantine" -> streamQuarantine,
     "q_quarantine" -> quarantine,
     "q_stratified_sample" -> stratifiedSample,
@@ -6281,6 +6348,7 @@ object Extensions {
     "q_budget_trim" -> budgetTrimSql,
     "q_stream_dq" -> streamDqSql,
     "q_stream_dq_group" -> streamDqGroupSql,
+    "q_stream_dist_drift" -> streamDistDriftSql,
     "q_stream_quarantine" -> streamQuarantineSql,
     "q_quarantine" -> quarantineSql,
     "q_stratified_sample" -> stratifiedSampleSql,

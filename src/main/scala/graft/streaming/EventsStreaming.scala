@@ -823,6 +823,46 @@ object EventsStreaming {
         ()
     }
 
+  /** Streaming HISTOGRAM maintenance (X191) — the distribution-drift
+    * monitor connected to the stream the way X168 did for constraint
+    * verdicts: each micro-batch appends its
+    * [[graft.operators.ScaleOps.binnedCounts]] partial (one (bin, n)
+    * row per occupied bin) under `batch=<id>`; the per-batch
+    * histogram HISTORY is the store, and
+    * [[graft.operators.ScaleOps.histogramStoreDrift]] over it is the
+    * "did the values move" signal per ingest batch. Store contracts
+    * verbatim (per-batch overwrite retry idempotence, the
+    * one-checkpoint-per-store lineage guard, negative-id bootstrap,
+    * X155 compaction layout). Per-batch cost: ONE bin partial-agg
+    * pass over the batch and a #bins-row write — the corpus is never
+    * rescanned, and histograms merge downstream by plain summation
+    * (the mergeable-partials property). */
+  def streamingHistogramMaintenance(docs: DataFrame, storePath: String,
+      valueCol: String, binWidth: Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          // lineage guard only — the histogram never reads the store
+          storeForBatch(readHistogramStore(spark, storePath), batchId)
+          val h = graft.operators.ScaleOps.binnedCounts(
+            batch.toDF(), valueCol, binWidth)
+          h.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          sink(h, batchId)
+        }
+        ()
+    }
+
+  /** The per-batch histogram store (bin, n), empty-with-schema when
+    * the path does not exist yet; same narrow catch and
+    * partition-layout contract as [[readNearDupStore]]. */
+  def readHistogramStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("bin", LongType),
+        StructField("n", LongType))))
+
   /** Streaming PER-GROUP DQ maintenance (X184) — the keyed form of
     * [[streamingDqMaintenance]], completing the DQ family's ladder
     * the way the dedup families did (suite → keyed suite → stream →

@@ -746,6 +746,39 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogramStoreDrift: trailing merge, no-history exemption, anomaly flags") {
+    // batch -1: {bin0: 4}; batch 0: {bin1: 4} (disjoint -> full drift
+    // vs trail); batch 1: {bin0: 2, bin1: 2} (half-overlaps the merged
+    // trail {bin0: 4, bin1: 4} -> TV 0)
+    val store = Seq(
+      (-1L, 0L, 4L),
+      (0L, 1L, 4L),
+      (1L, 0L, 2L), (1L, 1L, 2L))
+      .toDF("batch", "bin", "n")
+    val got = ScaleOps.histogramStoreDrift(store, windowBatches = 3,
+      thresholdBp = 100L)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._4, r._5, r._6, r._7))).toMap
+    // batch -1: no trailing history -> no evidence
+    assert(got(-1L) == ((0L, 0L, None, false)))
+    // batch 0 vs batch -1: disjoint bins -> 10000 bp, flagged
+    assert(got(0L) == ((4L, 1L, Some(10000L), true)))
+    // batch 1 vs merged {-1, 0}: p = (.5, .5) both sides -> 0 bp
+    assert(got(1L) == ((8L, 2L, Some(0L), false)))
+    // window truncation: w=1 makes batch 1 compare against batch 0
+    // only: cur (.5, .5) vs ref (0, 1) -> TV = 5000 bp
+    val w1 = ScaleOps.histogramStoreDrift(store, windowBatches = 1,
+      thresholdBp = 100L)
+      .filter(col("batch") === 1L).select("tv_bp").as[Long].head()
+    assert(w1 == 5000L)
+    intercept[IllegalArgumentException] {
+      ScaleOps.histogramStoreDrift(store, 0, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.histogramStoreDrift(store.drop("bin"), 3, 100L)
+    }
+  }
+
   test("dqMonotonic: inversions, NULL-fails, first-row exempt, direction, guards") {
     // key a: 1,3,2,NULL -> inversion at seq 3 (2 < 3), NULL fails
     // key b: 5,5 -> holds; singleton key c contributes nothing

@@ -845,6 +845,62 @@ class StreamingSpec extends SparkSpec {
       s"expected lineage guard, got: ${rootMessages(e)}")
   }
 
+  test("streaming histogram maintenance: per-batch partials, drift over history, lineage guard") {
+    val base = Files.createTempDirectory("graft-histstream-spec").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/hist"
+    val ckpt = s"$base/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    // batch 0 lives in bin 0; batch 1 moves entirely to bin 1
+    val t1 = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+    val t2 = Seq((5L, 15L), (6L, 16L), (7L, 17L), (8L, 18L))
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingHistogramMaintenance(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "v", binWidth = 10L) { (_, _) => () }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    t1.toDF("id", "v").coalesce(1).write.parquet(s"$srcDir/f1")
+    runOnce()
+    t2.toDF("id", "v").coalesce(1).write.parquet(s"$srcDir/f2")
+    runOnce()
+    // one histogram partial per batch
+    val hist = EventsStreaming.readHistogramStore(spark, store)
+      .select(col("batch").cast("long").as("batch"), col("bin"), col("n"))
+    assert(hist.as[(Long, Long, Long)].collect().toSet ==
+      Set((0L, 0L, 4L), (1L, 1L, 4L)))
+    // the drift fold flags the full distribution shift at batch 1
+    val drift = graft.operators.ScaleOps.histogramStoreDrift(
+      hist, windowBatches = 3, thresholdBp = 100L)
+      .filter(col("batch") === 1L)
+      .select("tv_bp", "anomaly").as[(Long, Boolean)].head()
+    assert(drift == ((10000L, true)))
+    // a foreign checkpoint against the existing store trips the guard
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = EventsStreaming.streamingHistogramMaintenance(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "v", binWidth = 10L) { (_, _) => () }
+        .option("checkpointLocation", s"$base/ckpt-foreign")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(e).exists(_.contains("checkpoint lineage")),
+      s"expected lineage guard, got: ${rootMessages(e)}")
+  }
+
   test("streaming fingerprint near-dup: cross-batch store dedup, survivors append, lineage guard") {
     val base = Files.createTempDirectory("graft-fpstream-spec").toString
     val srcDir = s"$base/src"
