@@ -287,4 +287,127 @@ object Sketches {
       "round(greatest(CAST(0.0 AS DOUBLE), ea.e + eb.e - eu.e), 4) AS est_intersection " +
       "FROM ea, eb, eu"
   }
+
+  /** Bit position i of a value in the portable Bloom layout —
+    * Kirsch–Mitzenmacher over the shared md5 kernel (pos_i =
+    * (h1 + i·h2) mod bits), the [[cmsBucket]] arithmetic with the bit
+    * array as the target space. Driver-side mirror of the column
+    * expression in [[bloomRecords]]; the oracle embeds the same
+    * positions as literals. */
+  private[operators] def bloomBit(hashSeed: Int, value: String, i: Int,
+      bits: Int): Long = cmsBucket(hashSeed, value, i, bits)
+
+  /** PORTABLE mergeable Bloom filter (X192) — the membership sketch
+    * completing the portable family (HLL X41 = cardinality, CMS X100
+    * = frequency, this = membership): the filter is a WORD TABLE
+    * (word_idx, bits) — bit pos of a value sits in word pos div 64 —
+    * built by one (word)-keyed `bit_or` partial-agg shuffle over k
+    * exploded positions per row. Mergeable by construction:
+    * [[bloomMerge]] is a union + per-word `bit_or`, so per-day /
+    * per-partition filters combine WITHOUT rescanning anything (the
+    * same property the HLL register tables have), and the merged
+    * table is bit-identical to the filter built from the union
+    * (spec-pinned). ⌈bits/64⌉ rows regardless of data size — the
+    * shipped sketch, not the data.
+    *
+    * Probes land as driver-computed literal positions (the CMS probe
+    * convention): might_contain iff ALL k probe bits are set. A Bloom
+    * filter never lies negative — the gate emits the
+    * never_false_negative verdict column alongside the exact check
+    * (the cmsFrequency convention). */
+  def bloomRecords(df: DataFrame, valueCol: String, bits: Int = 4096,
+      k: Int = 4, hashSeed: Int = 333): DataFrame = {
+    require(bits >= 64 && bits % 64 == 0,
+      s"bloomRecords: bits must be a positive multiple of 64, got $bits")
+    require(k >= 1 && k <= 16, s"bloomRecords: k must be 1..16, got $k")
+    requireSketchable(df, valueCol)
+    val v = col(valueCol).cast("long")
+    val h = TextFunctions.hexHash60(v.cast("string"), hashSeed)
+    val h1 = h % lit(1073741824L)
+    val h2 = shiftright(h, 30).bitwiseOR(lit(1L))
+    Dedup.spread(df)
+      .select(explode(array((0 until k).map(i =>
+        (h1 + lit(i.toLong) * h2) % bits): _*)).as("_p"))
+      .select(expr("_p div 64").as("word_idx"),
+        expr("shiftleft(1L, CAST(_p % 64 AS INT))").as("_m"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(_m)").as("bits"))
+  }
+
+  /** Merge two word-table Bloom filters built with the SAME
+    * (bits, k, seed) layout — union + per-word `bit_or`. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    for (df <- Seq(a, b))
+      require(Set("word_idx", "bits").subsetOf(df.columns.toSet),
+        s"bloomMerge: inputs must be bloomRecords word tables, got " +
+          df.columns.mkString(", "))
+    a.select(col("word_idx"), col("bits"))
+      .unionByName(b.select(col("word_idx"), col("bits")))
+      .groupBy(col("word_idx")).agg(expr("bit_or(bits)").as("bits"))
+  }
+
+  /** Probe a word-table Bloom filter: one row per probe key with
+    * might_contain = all k bits set. Probe positions are driver-side
+    * literals (the CMS probe convention); the k-row-per-probe check
+    * joins the ⌈bits/64⌉-row word table broadcast. */
+  def bloomProbe(records: DataFrame, probes: Seq[Long], bits: Int = 4096,
+      k: Int = 4, hashSeed: Int = 333): DataFrame = {
+    require(probes.nonEmpty, "bloomProbe: no probe keys given")
+    require(Set("word_idx", "bits").subsetOf(records.columns.toSet),
+      s"bloomProbe: records must be a bloomRecords word table, got " +
+        records.columns.mkString(", "))
+    val spark = records.sparkSession
+    import spark.implicits._
+    val pos = probes.flatMap { p =>
+      (0 until k).map { i =>
+        val bp = bloomBit(hashSeed, p.toString, i, bits)
+        (p, bp / 64, 1L << (bp % 64).toInt)
+      }
+    }.toDF("probe_key", "word_idx", "_m")
+    pos.join(broadcast(records), Seq("word_idx"), "left")
+      .groupBy(col("probe_key"))
+      .agg((count(when(col("bits").isNotNull &&
+        col("bits").bitwiseAND(col("_m")) === col("_m"), 1)) === k)
+        .as("might_contain"))
+  }
+
+  /** Generated DuckDB oracle for [[bloomProbe]] over a filter built
+    * from EVERY row of `table` (merge-of-slices ≡ built-from-all is
+    * the spec-pinned algebra, so the oracle replays the all-rows
+    * form): the set-bit positions come from the same md5 arithmetic,
+    * probe positions are the same driver literals. */
+  def bloomProbeSql(table: String, valueCol: String, probes: Seq[Long],
+      bits: Int = 4096, k: Int = 4, hashSeed: Int = 333): String = {
+    val h = s"CAST('0x' || substr(md5('$hashSeed:' || " +
+      s"CAST(CAST($valueCol AS BIGINT) AS VARCHAR)), 1, 15) AS BIGINT)"
+    val seedRows = (0 until k).map(s => s"($s)").mkString(", ")
+    val pbRows = probes.flatMap(p => (0 until k).map(i =>
+      s"($p, ${bloomBit(hashSeed, p.toString, i, bits)})")).mkString(", ")
+    val probeRows = probes.map(p => s"($p)").mkString(", ")
+    s"WITH seeds(s) AS (VALUES $seedRows), " +
+      s"pb(probe_key, p) AS (VALUES $pbRows), " +
+      s"pr(probe_key) AS (VALUES $probeRows), " +
+      s"pos AS MATERIALIZED (SELECT DISTINCT (($h % 1073741824) + s * (($h >> 30) | 1)) % $bits AS p " +
+      s"FROM $table, seeds), " +
+      "m AS (SELECT probe_key, count(*) AS hit FROM pb JOIN pos USING (p) GROUP BY probe_key), " +
+      s"ex AS (SELECT DISTINCT CAST($valueCol AS BIGINT) AS probe_key FROM $table) " +
+      s"SELECT pr.probe_key, coalesce(m.hit, 0) = $k AS might_contain, " +
+      "ex.probe_key IS NOT NULL AS exact_present, " +
+      s"(NOT ex.probe_key IS NOT NULL) OR coalesce(m.hit, 0) = $k AS never_false_negative " +
+      "FROM pr LEFT JOIN m ON pr.probe_key = m.probe_key " +
+      "LEFT JOIN ex ON pr.probe_key = ex.probe_key"
+  }
+
+  /** Shared integral-key gate for the portable sketches (the
+    * [[cmsFrequency]] rule): the hash input is
+    * cast-long-then-string, which only renders identically across
+    * engines for integral columns. */
+  private def requireSketchable(df: DataFrame, valueCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    require(df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }, s"portable bloom: $valueCol must be an integral column, got " +
+      df.schema(valueCol).dataType.simpleString)
+  }
 }

@@ -607,6 +607,38 @@ object Relational {
     graft.operators.Sketches.hllSetOpsSql("lineitem", "l_partkey",
       "l_returnflag = 'A'", "l_returnflag = 'R'")
 
+  /** Portable mergeable BLOOM filter (X192): membership completing
+    * the portable sketch family (HLL cardinality, CMS frequency).
+    * Two slice filters (o_orderkey parity) MERGE by per-word bit_or
+    * — merge ≡ built-from-all is spec-pinned, so the oracle replays
+    * the all-rows form — and the probe set mixes present and absent
+    * customer keys; a Bloom filter never lies negative, verified by
+    * the never_false_negative column. */
+  private val BLOOM_PROBES: Seq[Long] =
+    (1 to 15).map(_ * 7L) ++ Seq(-5L, -77L, 1000000007L)
+
+  val bloomPortable: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val a = graft.operators.Sketches.bloomRecords(
+      o.filter(col("o_orderkey") % 2 === 0), "o_custkey")
+    val b = graft.operators.Sketches.bloomRecords(
+      o.filter(col("o_orderkey") % 2 =!= 0), "o_custkey")
+    val probed = graft.operators.Sketches.bloomProbe(
+      graft.operators.Sketches.bloomMerge(a, b), BLOOM_PROBES)
+    val exact = o.select(col("o_custkey").cast("long").as("probe_key"))
+      .filter(col("probe_key").isin(BLOOM_PROBES: _*))
+      .distinct().withColumn("_e", lit(true))
+    probed.join(exact, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("might_contain"),
+        coalesce(col("_e"), lit(false)).as("exact_present"))
+      .withColumn("never_false_negative",
+        !col("exact_present") || col("might_contain"))
+  }
+
+  val bloomPortableSql: String =
+    graft.operators.Sketches.bloomProbeSql("orders", "o_custkey",
+      BLOOM_PROBES)
+
   /** All relational queries + oracles. */
   val queries: Map[String, Q] = Map(
     "q_scan_project" -> scanProject,
@@ -647,7 +679,8 @@ object Relational {
     "q_hll_portable" -> hllPortable,
     "q_sketch_setops" -> sketchSetOps,
     "q_group_mad" -> groupMad,
-    "q_cms_portable" -> cmsPortable)
+    "q_cms_portable" -> cmsPortable,
+    "q_bloom_portable" -> bloomPortable)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> scanProjectSql,
@@ -688,5 +721,6 @@ object Relational {
     "q_hll_portable" -> hllPortableSql,
     "q_sketch_setops" -> sketchSetOpsSql,
     "q_group_mad" -> groupMadSql,
-    "q_cms_portable" -> cmsPortableSql)
+    "q_cms_portable" -> cmsPortableSql,
+    "q_bloom_portable" -> bloomPortableSql)
 }

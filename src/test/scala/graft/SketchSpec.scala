@@ -122,4 +122,44 @@ class SketchSpec extends SparkSpec {
         s"$t p=$p: est $est vs order-stat $target (bin $bin)")
     }
   }
+
+  test("portable Bloom: no false negatives, merge == built-from-all, fpp sane, guards") {
+    import graft.operators.Sketches
+    val keys = (1L to 200L).map(_ * 3L)
+    val df = keys.toDF("k")
+    val bits = 4096
+    // EVERY inserted key must probe positive (a Bloom never lies negative)
+    val present = Sketches.bloomProbe(
+      Sketches.bloomRecords(df, "k", bits), keys, bits)
+      .as[(Long, Boolean)].collect().toMap
+    assert(present.values.forall(identity),
+      s"false negative: ${present.filterNot(_._2)}")
+    // merge of halves is BIT-IDENTICAL to the filter over the union
+    val a = Sketches.bloomRecords(df.filter(col("k") <= 300L), "k", bits)
+    val b = Sketches.bloomRecords(df.filter(col("k") > 300L), "k", bits)
+    val merged = Sketches.bloomMerge(a, b)
+      .as[(Long, Long)].collect().toSet
+    val whole = Sketches.bloomRecords(df, "k", bits)
+      .as[(Long, Long)].collect().toSet
+    assert(merged == whole)
+    // absent keys: some may collide (fpp), but at m/n = 4096/200 with
+    // k=4 the false-positive rate is well under 10%
+    val absent = (1L to 200L).map(_ * 3L + 1L)
+    val fp = Sketches.bloomProbe(
+      Sketches.bloomRecords(df, "k", bits), absent, bits)
+      .filter(col("might_contain")).count()
+    assert(fp <= 20L, s"implausible false-positive count: $fp")
+    intercept[IllegalArgumentException] {
+      Sketches.bloomRecords(df, "k", bits = 100)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomRecords(Seq(1.5).toDF("k"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomProbe(whole.toSeq.toDF("w", "b"), Seq(1L))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomMerge(df, df)
+    }
+  }
 }
