@@ -562,6 +562,52 @@ object Corpus {
     * top-N plans as TakeOrderedAndProject over the partially-aggregated
     * counts — per-partition heaps, no full sort — and the rank window
     * runs on ≤ topN rows (bounded regardless of corpus size). */
+  /** VOCABULARY COVERAGE / OOV rate (X193) — the tokenizer-fit DQ a
+    * pretraining pipeline publishes per source: what share of a
+    * tenant's token OCCURRENCES falls outside the working vocabulary
+    * (a source full of OOV tokens either needs vocab growth or is the
+    * wrong data for this tokenizer). One row per group: total token
+    * occurrences, OOV occurrences, coverage in exact basis points.
+    *
+    * Scale shape: the token explode shrinks at the FIRST partial agg
+    * — groupBy (group, term) — so the vocab join touches one row per
+    * distinct (group, term), never per occurrence; the vocab side
+    * (bounded: topN terms) broadcasts under the byte budget with the
+    * pinned shuffle-hash fallback (the boilerplateRemoval gate). A
+    * group whose docs tokenize to nothing reports 0/0 with full
+    * coverage — no tokens, no OOV evidence. */
+  def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
+      vocab: DataFrame, termBroadcastBudget: Long = 1000000L): DataFrame = {
+    require(vocab.columns.contains("term"),
+      s"vocabCoverage: vocab must carry a 'term' column, got " +
+        vocab.columns.mkString(", "))
+    val counts = Dedup.spread(docs)
+      .select(col(groupCol).as("_g"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("_g"), col("term")).agg(count(lit(1)).as("_n"))
+    val v = vocab.select(col("term")).distinct()
+      .withColumn("_inv", lit(true))
+    val vb =
+      if (Dedup.fitsBudget(v, termBroadcastBudget)) broadcast(v)
+      else v.hint("shuffle_hash")
+    val agg = counts.join(vb, Seq("term"), "left")
+      .groupBy(col("_g"))
+      .agg(sum(col("_n")).as("n_tokens"),
+        coalesce(sum(when(col("_inv").isNull, col("_n"))), lit(0L))
+          .as("n_oov"))
+    // group spine: a group whose docs tokenize to nothing vanished at
+    // the explode but must still report (0, 0, full coverage)
+    Dedup.spread(docs).select(col(groupCol).as("_g")).distinct()
+      .join(agg, Seq("_g"), "left")
+      .select(col("_g").as(groupCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("coverage_bp",
+        when(col("n_tokens") > 0,
+          expr("(n_tokens - n_oov) * 10000 div n_tokens"))
+          .otherwise(10000L))
+  }
+
   def vocabulary(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
     val counts = Dedup.spread(docs)
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))

@@ -3410,6 +3410,33 @@ object Extensions {
       "(SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c) " +
       "WHERE rank <= 200"
 
+  /** Vocabulary coverage (X193): the top-200 corpus vocabulary's
+    * OOV rate per source — the tokenizer-fit report a multi-tenant
+    * ingest publishes. The oracle replays the vocabulary build and
+    * the per-(source, term) coverage fold. */
+  val vocabCoverageQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Corpus.vocabCoverage(docs, "source", "text",
+      Corpus.vocabulary(docs, "text", topN = 200))
+  }
+
+  val vocabCoverageSql: String =
+    s"WITH c AS (SELECT term, count(*) AS n FROM " +
+      s"(SELECT unnest($duckToksLower) AS term FROM documents) GROUP BY term), " +
+      "v AS MATERIALIZED (SELECT term FROM " +
+      "(SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c) " +
+      "WHERE rank <= 200), " +
+      s"gc AS (SELECT source, term, count(*) AS n FROM " +
+      s"(SELECT source, unnest($duckToksLower) AS term FROM documents) GROUP BY source, term), " +
+      "agg AS (SELECT source, CAST(sum(gc.n) AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(sum(CASE WHEN v.term IS NULL THEN gc.n END), 0) AS BIGINT) AS n_oov " +
+      "FROM gc LEFT JOIN v ON gc.term = v.term GROUP BY source), " +
+      // group spine: token-less sources still report full coverage
+      "sp AS (SELECT DISTINCT source FROM documents) " +
+      "SELECT sp.source, coalesce(n_tokens, 0) AS n_tokens, coalesce(n_oov, 0) AS n_oov, " +
+      "CAST(CASE WHEN coalesce(n_tokens, 0) > 0 THEN (n_tokens - n_oov) * 10000 // n_tokens ELSE 10000 END AS BIGINT) AS coverage_bp " +
+      "FROM sp LEFT JOIN agg ON sp.source = agg.source"
+
   /** Symmetric int8 embedding quantization; qvec emitted as a
     * comma-joined string for engine-neutral rendering, rounding as
     * floor(x + 0.5) which every engine computes identically. */
@@ -6146,6 +6173,7 @@ object Extensions {
     "q_sessionize" -> sessionize,
     "q_tfidf" -> tfidf,
     "q_vocab" -> vocab,
+    "q_vocab_coverage" -> vocabCoverageQ,
     "q_embed_quant" -> embedQuant,
     "q_quant_topk" -> quantTopK,
     "q_ann_rerank" -> annRerank,
@@ -6315,6 +6343,7 @@ object Extensions {
     "q_sessionize" -> sessionizeSql,
     "q_tfidf" -> tfidfSql,
     "q_vocab" -> vocabSql,
+    "q_vocab_coverage" -> vocabCoverageSql,
     "q_embed_quant" -> embedQuantSql,
     "q_quant_topk" -> quantTopKSql,
     "q_ann_rerank" -> annRerankSql,

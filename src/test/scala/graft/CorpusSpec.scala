@@ -553,4 +553,31 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.cdcChunks(Seq((7L, "alpha bravo charlie"))
       .toDF("doc_id", "text"), "doc_id", "text").count() >= 1)
   }
+
+  test("vocabCoverage: exact OOV share per group, empty-token group, vocab guard") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      ("s1", "alpha beta alpha"),   // all in vocab
+      ("s1", "alpha gamma"),        // gamma OOV -> s1: 1/5 OOV
+      ("s2", "delta delta delta"),  // all OOV
+      ("s3", ""))                   // tokenizes to nothing
+      .toDF("src", "text")
+    val vocab = Seq("alpha", "beta").toDF("term")
+    val got = Corpus.vocabCoverage(docs, "src", "text", vocab)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("s1") == ((5L, 1L, 8000L)), s"got $got")
+    assert(got("s2") == ((3L, 3L, 0L)))
+    assert(got("s3") == ((0L, 0L, 10000L)),
+      "no tokens is no OOV evidence: full coverage")
+    // occurrences, not distinct terms: repeating an OOV term weighs it
+    val rep = Corpus.vocabCoverage(
+      Seq(("s", "x x x alpha")).toDF("src", "text"), "src", "text", vocab)
+      .as[(String, Long, Long, Long)].head()
+    assert(rep == (("s", 4L, 3L, 2500L)))
+    intercept[IllegalArgumentException] {
+      Corpus.vocabCoverage(docs, "src", "text",
+        vocab.withColumnRenamed("term", "t"))
+    }
+  }
 }
