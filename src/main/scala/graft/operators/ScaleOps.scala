@@ -1378,6 +1378,94 @@ object ScaleOps {
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
   }
 
+  /** Keyed [[binnedCounts]]: one mergeable (group, bin, n) histogram
+    * partial per group — the per-tenant snapshot record. */
+  def binnedCountsByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, binWidth: Long): DataFrame = {
+    require(binWidth >= 1,
+      s"binnedCountsByGroup: binWidth must be >= 1, got $binWidth")
+    df.select(col(groupCol), col(valueCol).cast("long").as("_v"))
+      .select(col(groupCol),
+        when(col("_v").isNull, lit(Long.MinValue))
+          .otherwise(expr(s"(_v - pmod(_v, ${binWidth}L)) div ${binWidth}L"))
+          .as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-GROUP histogram-store drift (X194) — [[histogramStoreDrift]]
+    * keyed by tenant, closing the same blind spot X179 closed for
+    * constraint drift: offsetting tenant distribution shifts net the
+    * corpus histogram flat, so a tenant whose values moved is
+    * invisible to the GLOBAL monitor (spec-pinned: a full per-tenant
+    * swap flagged keyed while the global fold over the summed
+    * histograms stays quiet). Every fold from [[histogramStoreDrift]]
+    * runs keyed by (group): trailing merge, totals, the DECIMAL(38,0)
+    * TV — one (group, batch) verdict row each. Same offsets-explode
+    * equi-join for the window; everything runs over STORE rows. */
+  def histogramStoreDriftByGroup(store: DataFrame, groupCol: String,
+      windowBatches: Int, thresholdBp: Long): DataFrame = {
+    require(windowBatches >= 1,
+      s"histogramStoreDriftByGroup: windowBatches must be >= 1, got $windowBatches")
+    require(thresholdBp >= 0 && thresholdBp <= 10000,
+      s"histogramStoreDriftByGroup: thresholdBp must be 0..10000, got $thresholdBp")
+    require(Set("batch", groupCol, "bin", "n").subsetOf(store.columns.toSet),
+      s"histogramStoreDriftByGroup: store must carry (batch, $groupCol, " +
+        s"bin, n), got ${store.columns.mkString(", ")}")
+    val hist = store.select(col("batch").cast("long").as("_hb"),
+      col(groupCol).as("_g"), col("bin").cast("long").as("bin"),
+      col("n").cast("long").as("n"))
+      .persistTracked()
+    // a (group, batch) participates iff the group REPORTED a
+    // histogram in that batch — trailing membership per group
+    val gBatches = hist.select(col("_g"), col("_hb").as("batch")).distinct()
+    val pairs = gBatches.select(col("_g"), col("batch"),
+      explode(array((1 to windowBatches).map(o => col("batch") - o): _*))
+        .as("_hb"))
+    val trail = pairs.join(
+        gBatches.select(col("_g"), col("batch").as("_hb")).distinct(),
+        Seq("_g", "_hb"))
+      .groupBy(col("_g"), col("batch")).agg(count(lit(1)).as("n_trail"))
+    val ref = pairs.join(hist, Seq("_g", "_hb"))
+      .groupBy(col("_g"), col("batch"), col("bin"))
+      .agg(sum(col("n")).as("_cb"))
+    val cur = hist.select(col("_g"), col("_hb").as("batch"), col("bin"),
+      col("n").as("_ca"))
+    val merged = cur
+      .select(col("_g"), col("batch"), col("bin"), col("_ca"),
+        lit(0L).as("_cb"))
+      .unionByName(ref.select(col("_g"), col("batch"), col("bin"),
+        lit(0L).as("_ca"), col("_cb")))
+      .groupBy(col("_g"), col("batch"), col("bin"))
+      .agg(sum(col("_ca")).cast("decimal(38,0)").as("_ca"),
+        sum(col("_cb")).cast("decimal(38,0)").as("_cb"))
+    val totals = merged.groupBy(col("_g"), col("batch")).agg(
+      coalesce(sum(col("_ca")), lit(0L).cast("decimal(38,0)")).as("_na"),
+      coalesce(sum(col("_cb")), lit(0L).cast("decimal(38,0)")).as("_nb"),
+      count(lit(1)).as("n_bins"))
+    merged.join(totals.hint("shuffle_hash"), Seq("_g", "batch"))
+      .groupBy(col("_g"), col("batch"))
+      .agg(
+        coalesce(sum(abs(col("_ca") * col("_nb") - col("_cb") * col("_na"))),
+          lit(0L).cast("decimal(38,0)")).as("_num"),
+        max(col("_na")).as("_na"), max(col("_nb")).as("_nb"),
+        max(col("n_bins")).as("n_bins"))
+      .join(trail.hint("shuffle_hash"), Seq("_g", "batch"), "left")
+      .select(col("_g").as(groupCol), col("batch"),
+        col("n_bins"),
+        col("_na").cast("long").as("n_cur"),
+        col("_nb").cast("long").as("n_ref"),
+        coalesce(col("n_trail"), lit(0L)).as("n_trail"),
+        when(coalesce(col("n_trail"), lit(0L)) === 0L,
+          lit(null).cast("long"))
+          .when(col("_na") === 0 && col("_nb") === 0, lit(0L))
+          .when(col("_na") === 0 || col("_nb") === 0, lit(10000L))
+          .otherwise(expr(
+            "CAST((_num * 10000) div (2 * _na * _nb) AS BIGINT)"))
+          .as("tv_bp"))
+      .withColumn("anomaly",
+        coalesce(col("tv_bp") > thresholdBp, lit(false)))
+  }
+
   def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
       binWidth: Long, thresholdBp: Long, name: String): DataFrame = {
     require(binWidth >= 1,

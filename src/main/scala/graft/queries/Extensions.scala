@@ -318,6 +318,51 @@ object Extensions {
       "WHERE pt IS NULL OR t - pt > 86400000000"
   }
 
+  /** Per-group distribution drift (X194): three ingest slices
+    * (doc_id % 3) produce per-(source, batch) histogram partials on
+    * n_chars; the keyed TV fold flags tenants whose value
+    * distribution moved vs their own trailing histograms — the
+    * monitor the corpus-level X191 fold averages away. */
+  val distDriftGroup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val store = Seq(0L, 1L, 2L).map { b =>
+      graft.operators.ScaleOps.binnedCountsByGroup(
+        docs.filter(col("doc_id") % 3 === b), "source", "n_chars", 50L)
+        .withColumn("batch", lit(b))
+    }.reduce(_ unionByName _)
+    graft.operators.ScaleOps.histogramStoreDriftByGroup(
+      store, "source", windowBatches = 2, thresholdBp = 100L)
+  }
+
+  val distDriftGroupSql: String =
+    "WITH h AS MATERIALIZED (SELECT doc_id % 3 AS b, source, " +
+      "(v - ((v % 50) + 50) % 50) // 50 AS bin, CAST(count(*) AS BIGINT) AS n " +
+      "FROM (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents) GROUP BY 1, 2, 3), " +
+      "gb AS (SELECT DISTINCT source, b FROM h), " +
+      "pairs AS (SELECT gb.source, gb.b, hb.b AS hb FROM gb " +
+      "JOIN (SELECT DISTINCT source, b FROM h) hb " +
+      "ON hb.source = gb.source AND hb.b BETWEEN gb.b - 2 AND gb.b - 1), " +
+      "trail AS (SELECT source, b, CAST(count(*) AS BIGINT) AS n_trail FROM pairs GROUP BY source, b), " +
+      "ref AS (SELECT p.source, p.b, h.bin, CAST(sum(h.n) AS BIGINT) AS cb " +
+      "FROM pairs p JOIN h ON h.source = p.source AND h.b = p.hb GROUP BY p.source, p.b, h.bin), " +
+      "m AS MATERIALIZED (SELECT source, b, bin, CAST(sum(ca) AS HUGEINT) AS ca, CAST(sum(cb) AS HUGEINT) AS cb " +
+      "FROM (SELECT source, b, bin, n AS ca, 0 AS cb FROM h " +
+      "UNION ALL SELECT source, b, bin, 0 AS ca, cb FROM ref) GROUP BY source, b, bin), " +
+      "t AS MATERIALIZED (SELECT source, b, CAST(sum(ca) AS HUGEINT) AS na, CAST(sum(cb) AS HUGEINT) AS nb, " +
+      "count(*) AS nbins FROM m GROUP BY source, b), " +
+      "nm AS (SELECT m.source, m.b, CAST(sum(abs(m.ca * t.nb - m.cb * t.na)) AS HUGEINT) AS num " +
+      "FROM m JOIN t ON m.source = t.source AND m.b = t.b GROUP BY m.source, m.b), " +
+      "r AS (SELECT t.source, t.b AS batch, CAST(t.nbins AS BIGINT) AS n_bins, " +
+      "CAST(t.na AS BIGINT) AS n_cur, CAST(t.nb AS BIGINT) AS n_ref, " +
+      "CAST(coalesce(trail.n_trail, 0) AS BIGINT) AS n_trail, " +
+      "CAST(CASE WHEN coalesce(trail.n_trail, 0) = 0 THEN NULL " +
+      "WHEN t.na = 0 AND t.nb = 0 THEN 0 WHEN t.na = 0 OR t.nb = 0 THEN 10000 " +
+      "ELSE nm.num * 10000 // (2 * t.na * t.nb) END AS BIGINT) AS tv_bp " +
+      "FROM t JOIN nm ON t.source = nm.source AND t.b = nm.b " +
+      "LEFT JOIN trail ON t.source = trail.source AND t.b = trail.b) " +
+      "SELECT source, batch, n_bins, n_cur, n_ref, n_trail, tv_bp, " +
+      "coalesce(tv_bp > 100, FALSE) AS anomaly FROM r"
+
   /** Embedding-column DQ (X188): the vector check set through the
     * standard suite — dims/finite/nonzero rowChecks + a completeness
     * row + vec_id uniqueness, one aggregation pass over the
@@ -6198,6 +6243,7 @@ object Extensions {
     "q_dq_fd" -> dqFd,
     "q_dq_order" -> dqOrder,
     "q_dist_drift" -> distDrift,
+    "q_dist_drift_group" -> distDriftGroup,
     "q_dq_embed" -> dqEmbed,
     "q_ttl_dedup" -> ttlDedup,
     "q_schema_drift" -> schemaDrift,
@@ -6368,6 +6414,7 @@ object Extensions {
     "q_dq_fd" -> dqFdSql,
     "q_dq_order" -> dqOrderSql,
     "q_dist_drift" -> distDriftSql,
+    "q_dist_drift_group" -> distDriftGroupSql,
     "q_dq_embed" -> dqEmbedSql,
     "q_ttl_dedup" -> ttlDedupSql,
     "q_schema_drift" -> schemaDriftSql,

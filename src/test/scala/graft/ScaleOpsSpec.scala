@@ -779,6 +779,38 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogramStoreDriftByGroup flags a tenant swap the global fold hides") {
+    // batch 1 swaps the tenants' distributions: each tenant fully
+    // drifts (TV 10000), but the SUMMED corpus histogram is identical
+    // across batches — the global monitor must stay quiet
+    val store = Seq(
+      (0L, "A", 0L, 4L), (0L, "B", 1L, 4L),
+      (1L, "A", 1L, 4L), (1L, "B", 0L, 4L))
+      .toDF("batch", "g", "bin", "n")
+    val keyed = ScaleOps.histogramStoreDriftByGroup(store, "g",
+      windowBatches = 2, thresholdBp = 100L)
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Boolean)]
+      .collect().map(r => (r._1, r._2) -> ((r._6, r._7, r._8))).toMap
+    assert(keyed(("A", 1L)) == ((1L, Some(10000L), true)),
+      s"the swapped tenant must be flagged: $keyed")
+    assert(keyed(("B", 1L)) == ((1L, Some(10000L), true)))
+    assert(keyed(("A", 0L)) == ((0L, None, false)),
+      "first batch of a tenant has no drift evidence")
+    // the global fold over the summed histograms sees no movement
+    val global = ScaleOps.histogramStoreDrift(
+      store.groupBy("batch", "bin").agg(sum("n").as("n")),
+      windowBatches = 2, thresholdBp = 100L)
+      .filter(col("anomaly")).count()
+    assert(global == 0L,
+      "offsetting tenant drifts must net the corpus fold flat")
+    intercept[IllegalArgumentException] {
+      ScaleOps.histogramStoreDriftByGroup(store.drop("g"), "g", 2, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.histogramStoreDriftByGroup(store, "g", 0, 100L)
+    }
+  }
+
   test("dqMonotonic: inversions, NULL-fails, first-row exempt, direction, guards") {
     // key a: 1,3,2,NULL -> inversion at seq 3 (2 < 3), NULL fails
     // key b: 5,5 -> holds; singleton key c contributes nothing
