@@ -96,7 +96,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_retrieval_metrics",
       // 1-row (N_a, N_b) totals attached to the #bins-row joined
       // histogram, like q_ivf_drift's two 1-row side totals
-      "q_dist_drift")
+      "q_dist_drift",
+      // level-1 IS q_water_fill's 1-row (k, P_k) stats attach; the
+      // keyed level-2 stage uses group windows + a broadcast equi-join
+      "q_hier_water_fill")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
