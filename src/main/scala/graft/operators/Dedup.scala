@@ -1718,4 +1718,77 @@ object Dedup {
       .select(col("id"), col("cluster_id"), col("score"),
         (col("id") === col("_canonical_id")).as("is_canonical"))
   }
+
+  /** INCREMENTAL canonical maintenance (X195) — the serving-store
+    * form of [[canonicalByScore]]: the canonical-pick table
+    * (cluster_id, canonical_id, score) is what retrieval reads, and a
+    * batch of new near-dup pairs can change picks three ways — a
+    * cluster MERGE must re-elect one winner, a fresh higher-quality
+    * arrival must take its cluster over, and everything else must
+    * survive verbatim. This folds a batch into the stored labels via
+    * [[incrementalConnectedComponents]] (zero corpus-sized shuffles)
+    * and re-runs the argmax ONLY over clusters containing a batch
+    * endpoint; stored picks of untouched clusters pass through
+    * unread. Result provably equals the full
+    * [[canonicalByScore]](updated labels, scores) pick table
+    * (spec-pinned: merge re-election, fresh-winner takeover,
+    * untouched-verbatim, and equality on a random two-increment
+    * chain).
+    *
+    * Correctness of the touched set: a cluster's membership changes
+    * only if some new pair endpoint lies in it (merges happen along
+    * new edges; fresh ids form new clusters), so clusters whose OLD
+    * label no endpoint carries keep their pick; and distinct
+    * components have disjoint members, so a recomputed (new-label)
+    * row can never collide with a kept one.
+    *
+    * Scale shape: the touched NEW-cluster id set is batch-bounded and
+    * broadcasts into the label-table scan (budget-gated, shuffle-hash
+    * fallback); the argmax recompute is [[canonicalByScore]]'s
+    * partial-agg over touched members only; the scores side joins
+    * id-keyed (16-byte rows). Returns the complete updated pick
+    * table — what the caller persists for the next increment,
+    * alongside the labels. */
+  def incrementalCanonical(storedLabels: DataFrame, storedPicks: DataFrame,
+      newPairs: DataFrame, scores: DataFrame, idCol: String,
+      scoreCol: String, mapBroadcastBudget: Long = 1000000L): DataFrame = {
+    require(Set("cluster_id", "canonical_id", "score")
+      .subsetOf(storedPicks.columns.toSet),
+      s"incrementalCanonical: storedPicks must carry (cluster_id, " +
+        s"canonical_id, score), got ${storedPicks.columns.mkString(", ")}")
+    val labels2 = graft.core.Caches.persistTracked(
+      incrementalConnectedComponents(storedLabels, newPairs,
+        mapBroadcastBudget = mapBroadcastBudget))
+    val ends = newPairs
+      .select(explode(array(col("id1").cast("long"),
+        col("id2").cast("long"))).as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .persistTracked() // old-touched + new-touched lookups
+    val endsJoin =
+      if (fitsBudget(ends, mapBroadcastBudget)) broadcast(ends)
+      else ends.hint("shuffle_hash")
+    // clusters whose membership could have changed: old labels of the
+    // endpoints (their picks retire) and new labels of the endpoints
+    // (their picks recompute)
+    val oldTouched = storedLabels
+      .select(col("id").cast("long").as("id"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .join(endsJoin, Seq("id")).select(col("cluster_id")).distinct()
+    val newTouched = labels2.join(endsJoin, Seq("id"))
+      .select(col("cluster_id")).distinct()
+    val touchJoin =
+      if (fitsBudget(newTouched, mapBroadcastBudget)) broadcast(newTouched)
+      else newTouched.hint("shuffle_hash")
+    val touchedMembers = labels2.join(touchJoin, Seq("cluster_id"),
+      "left_semi")
+    val recomputed = canonicalByScore(touchedMembers, scores, idCol, scoreCol)
+      .filter(col("is_canonical"))
+      .select(col("cluster_id"), col("id").as("canonical_id"), col("score"))
+    val kept = storedPicks
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("canonical_id").cast("long").as("canonical_id"),
+        col("score").cast("long").as("score"))
+      .join(oldTouched.hint("shuffle_hash"), Seq("cluster_id"), "left_anti")
+    kept.unionByName(recomputed)
+  }
 }

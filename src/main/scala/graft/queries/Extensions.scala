@@ -4802,6 +4802,47 @@ object Extensions {
       "sc.doc_id = pick.canonical_id AS is_canonical " +
       "FROM sc JOIN pick ON sc.cluster_id = pick.cluster_id"
 
+  /** Incremental canonical maintenance (X195): the q_quality_dedup
+    * pick table maintained across an ingest increment — stored labels
+    * + picks from the %3==0 pair slice, batch = every pair touching a
+    * non-store doc; picks recompute ONLY for clusters containing a
+    * batch endpoint. The oracle is the FULL recompute (recursive-CTE
+    * closure over all pairs + the argmax), which is exactly the
+    * equality the operator guarantees. */
+  val incrementalCanonical: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scores = docs.select(col("doc_id"), col("n_chars"))
+    val pairs = graft.core.Caches.persistTracked(
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.7, shingleN = 3,
+        bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+        .select(col("id1"), col("id2")))
+    val storedPairs = pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0)
+    val newPairs = pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
+    val storedLabels = graft.core.Caches.persistTracked(
+      Dedup.connectedComponents(storedPairs, "id1", "id2"))
+    val storedPicks = Dedup.canonicalByScore(storedLabels, scores,
+      "doc_id", "n_chars")
+      .filter(col("is_canonical"))
+      .select(col("cluster_id"), col("id").as("canonical_id"), col("score"))
+    Dedup.incrementalCanonical(storedLabels, storedPicks, newPairs,
+      scores, "doc_id", "n_chars")
+  }
+
+  val incrementalCanonicalSql: String =
+    s"WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($minhashPairsSql)), " +
+      "edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs " +
+      "UNION SELECT id2 AS a, id1 AS b FROM pairs), " +
+      "reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) " +
+      "UNION SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a), " +
+      "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "sc AS (SELECT comp.doc_id, comp.cluster_id, " +
+      "CAST(d.n_chars AS BIGINT) AS score FROM comp JOIN documents d ON comp.doc_id = d.doc_id), " +
+      "pick AS (SELECT cluster_id, doc_id AS canonical_id, score FROM (" +
+      "SELECT cluster_id, doc_id, score, row_number() OVER " +
+      "(PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rk FROM sc) WHERE rk = 1) " +
+      "SELECT cluster_id, canonical_id, score FROM pick"
+
   /** Content-defined chunking (X143): every document chunked at
     * content-decided boundaries (token hash ≡ 0 mod 8), one row per
     * chunk with the global first-occurrence dup flag — the
@@ -6265,6 +6306,7 @@ object Extensions {
     "q_partition_overwrite" -> partitionOverwrite,
     "q_dedup_clusters" -> dedupClusters,
     "q_quality_dedup" -> qualityDedup,
+    "q_incremental_canonical" -> incrementalCanonical,
     "q_incremental_clusters" -> incrementalClusters,
     "q_cluster_retraction" -> clusterRetraction,
     "q_decontaminate" -> decontaminate,
@@ -6436,6 +6478,7 @@ object Extensions {
     "q_partition_overwrite" -> partitionOverwriteSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_quality_dedup" -> qualityDedupSql,
+    "q_incremental_canonical" -> incrementalCanonicalSql,
     "q_incremental_clusters" -> incrementalClustersSql,
     "q_cluster_retraction" -> clusterRetractionSql,
     "q_decontaminate" -> decontaminateSql,

@@ -406,6 +406,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalCanonical: merge re-election, fresh takeover, untouched verbatim, == full recompute") {
+    def picks(labels: org.apache.spark.sql.DataFrame,
+        scores: org.apache.spark.sql.DataFrame) =
+      Dedup.canonicalByScore(labels, scores, "doc_id", "q")
+        .filter(col("is_canonical"))
+        .select(col("cluster_id"), col("id").as("canonical_id"), col("score"))
+    // stored: clusters {1,2} (2 best), {10,11} (10 best), {20,21}
+    // (untouched — must survive verbatim, not be recomputed)
+    val storedPairs = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("id1", "id2")
+    val scores = Seq((1L, 5L), (2L, 9L), (10L, 8L), (11L, 3L),
+      (20L, 4L), (21L, 6L), (30L, 100L)).toDF("doc_id", "q")
+    val stored = Dedup.connectedComponents(storedPairs, "id1", "id2")
+    val storedPicks = picks(stored, scores)
+    // batch: merge {1,2} with {10,11} (re-elect: 2 wins at 9) and a
+    // fresh high-quality arrival 30 joining nothing else via 11
+    val newPairs = Seq((2L, 10L), (11L, 30L)).toDF("id1", "id2")
+    val got = Dedup.incrementalCanonical(stored, storedPicks, newPairs,
+      scores, "doc_id", "q")
+      .as[(Long, Long, Long)].collect().toSet
+    // merged component {1,2,10,11,30}: 30 wins at 100; {20,21} verbatim
+    val labels2 = Dedup.incrementalConnectedComponents(stored, newPairs)
+    val full = picks(labels2, scores).as[(Long, Long, Long)].collect().toSet
+    assert(got == full, s"incremental $got must equal full recompute $full")
+    assert(got.contains((1L, 30L, 100L)), s"fresh arrival must take over: $got")
+    assert(got.contains((20L, 21L, 6L)), "untouched cluster pick survives")
+    assert(got.size == 2)
+    // random two-increment chain == full recompute
+    val rnd = new scala.util.Random(13)
+    val allPairs = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    val rScores = (0L until 40L).map(i => (i, (i * 17 % 23))).toDF("doc_id", "q")
+    val (p1, p2) = allPairs.splitAt(30)
+    val l1 = Dedup.connectedComponents(p1.toDF("id1", "id2"), "id1", "id2")
+    val inc = Dedup.incrementalCanonical(l1, picks(l1, rScores),
+      p2.toDF("id1", "id2"), rScores, "doc_id", "q")
+      .as[(Long, Long, Long)].collect().toSet
+    val fullL = Dedup.connectedComponents(allPairs.toDF("id1", "id2"), "id1", "id2")
+    val fullP = picks(fullL, rScores).as[(Long, Long, Long)].collect().toSet
+    assert(inc == fullP, s"chain: extra=${inc -- fullP} missing=${fullP -- inc}")
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalCanonical(stored,
+        storedPicks.withColumnRenamed("score", "s"), newPairs,
+        scores, "doc_id", "q")
+    }
+  }
+
   test("connectedComponents labels a chain, a clique, and keeps them apart — both paths") {
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
     // triangle 10-11-12, isolated pair 20-21
