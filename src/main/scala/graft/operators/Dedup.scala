@@ -1791,4 +1791,74 @@ object Dedup {
       .join(oldTouched.hint("shuffle_hash"), Seq("cluster_id"), "left_anti")
     kept.unionByName(recomputed)
   }
+
+  /** Canonical-pick RETRACTION (X196) — the forget half of the X195
+    * serving store, the one retraction the row-deletion rule cannot
+    * handle twice over: a retracted doc that IS a cluster's canonical
+    * forces a RE-ELECTION among the survivors, and a retracted bridge
+    * doc can SPLIT a component into several clusters that each need
+    * their own pick. Labels update via [[retractClusterLabels]]
+    * (X149 — affected-component reruns over the kept pair store);
+    * picks then recompute ONLY for the new clusters of the affected
+    * components' surviving members, stored picks of untouched
+    * clusters pass through unread, and a cluster that retracts away
+    * entirely simply loses its row. Result provably equals the full
+    * [[canonicalByScore]] over the post-retraction labels
+    * (spec-pinned: canonical re-election, component split into
+    * per-fragment picks, full-cluster disappearance, untouched
+    * verbatim).
+    *
+    * Scale shape: the retract-id and affected-cluster sets are
+    * retraction-bounded and broadcast (budget-gated, shuffle-hash
+    * fallback); the argmax recompute is [[canonicalByScore]]'s
+    * partial-agg over affected members only. Returns the complete
+    * updated pick table. */
+  def retractCanonical(storedLabels: DataFrame, storedPicks: DataFrame,
+      storedPairs: DataFrame, scores: DataFrame, retractIds: DataFrame,
+      idCol: String, scoreCol: String,
+      broadcastBudget: Long = 1000000L): DataFrame = {
+    require(Set("cluster_id", "canonical_id", "score")
+      .subsetOf(storedPicks.columns.toSet),
+      s"retractCanonical: storedPicks must carry (cluster_id, " +
+        s"canonical_id, score), got ${storedPicks.columns.mkString(", ")}")
+    val labels2 = graft.core.Caches.persistTracked(
+      retractClusterLabels(storedLabels, storedPairs, retractIds,
+        broadcastBudget = broadcastBudget))
+    val stored = storedLabels.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    val rids = retractIds.select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+    val ridsJoin =
+      if (fitsBudget(rids, broadcastBudget)) broadcast(rids)
+      else rids.hint("shuffle_hash")
+    // clusters containing a retracted id: their picks retire; their
+    // surviving members' NEW clusters recompute
+    val oldAffected = stored.join(ridsJoin, Seq("id"))
+      .select(col("cluster_id")).distinct()
+    val oldAffJoin =
+      if (fitsBudget(oldAffected, broadcastBudget)) broadcast(oldAffected)
+      else oldAffected.hint("shuffle_hash")
+    val survivors = stored.join(oldAffJoin, Seq("cluster_id"), "left_semi")
+      .select(col("id"))
+      .join(ridsJoin, Seq("id"), "left_anti")
+    val newTouched = labels2.join(
+        if (fitsBudget(survivors, broadcastBudget)) broadcast(survivors)
+        else survivors.hint("shuffle_hash"),
+        Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val touchJoin =
+      if (fitsBudget(newTouched, broadcastBudget)) broadcast(newTouched)
+      else newTouched.hint("shuffle_hash")
+    val recomputed = canonicalByScore(
+      labels2.join(touchJoin, Seq("cluster_id"), "left_semi"),
+      scores, idCol, scoreCol)
+      .filter(col("is_canonical"))
+      .select(col("cluster_id"), col("id").as("canonical_id"), col("score"))
+    storedPicks
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("canonical_id").cast("long").as("canonical_id"),
+        col("score").cast("long").as("score"))
+      .join(oldAffJoin, Seq("cluster_id"), "left_anti")
+      .unionByName(recomputed)
+  }
 }

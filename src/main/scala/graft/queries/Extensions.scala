@@ -4948,6 +4948,45 @@ object Extensions {
       .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  /** Canonical-pick retraction (X196): the q_quality_dedup pick
+    * table after forgetting the doc_id%5==0 slice — retracted
+    * canonicals force re-elections, split components get per-fragment
+    * picks, clusters that retract away lose their rows. The oracle
+    * is the full recompute over the surviving pairs. */
+  val canonicalRetraction: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scores = docs.select(col("doc_id"), col("n_chars"))
+    val pairs = graft.core.Caches.persistTracked(
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.7, shingleN = 3,
+        bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+        .select(col("id1"), col("id2")))
+    val labels = graft.core.Caches.persistTracked(
+      Dedup.connectedComponents(pairs, "id1", "id2"))
+    val storedPicks = Dedup.canonicalByScore(labels, scores,
+      "doc_id", "n_chars")
+      .filter(col("is_canonical"))
+      .select(col("cluster_id"), col("id").as("canonical_id"), col("score"))
+    val retract = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id"))
+    Dedup.retractCanonical(labels, storedPicks, pairs, scores, retract,
+      "doc_id", "n_chars")
+  }
+
+  val canonicalRetractionSql: String =
+    s"WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($minhashPairsSql) " +
+      "WHERE id1 % 5 <> 0 AND id2 % 5 <> 0), " +
+      "edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs " +
+      "UNION SELECT id2 AS a, id1 AS b FROM pairs), " +
+      "reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) " +
+      "UNION SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a), " +
+      "comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "sc AS (SELECT comp.doc_id, comp.cluster_id, " +
+      "CAST(d.n_chars AS BIGINT) AS score FROM comp JOIN documents d ON comp.doc_id = d.doc_id) " +
+      "SELECT cluster_id, doc_id AS canonical_id, score FROM (" +
+      "SELECT cluster_id, doc_id, score, row_number() OVER " +
+      "(PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rk FROM sc) WHERE rk = 1"
+
   val clusterRetractionSql: String =
     s"WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($minhashPairsSql) " +
       "WHERE id1 % 5 <> 0 AND id2 % 5 <> 0), " +
@@ -6309,6 +6348,7 @@ object Extensions {
     "q_incremental_canonical" -> incrementalCanonical,
     "q_incremental_clusters" -> incrementalClusters,
     "q_cluster_retraction" -> clusterRetraction,
+    "q_canonical_retraction" -> canonicalRetraction,
     "q_decontaminate" -> decontaminate,
     "q_incremental_decontam" -> incrementalDecontam,
     "q_blocklist" -> blocklist,
@@ -6481,6 +6521,7 @@ object Extensions {
     "q_incremental_canonical" -> incrementalCanonicalSql,
     "q_incremental_clusters" -> incrementalClustersSql,
     "q_cluster_retraction" -> clusterRetractionSql,
+    "q_canonical_retraction" -> canonicalRetractionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_incremental_decontam" -> decontaminateSql,
     "q_blocklist" -> blocklistSql,

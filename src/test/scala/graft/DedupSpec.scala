@@ -452,6 +452,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("retractCanonical: re-election, component split, disappearance, == full recompute") {
+    def picks(labels: org.apache.spark.sql.DataFrame,
+        scores: org.apache.spark.sql.DataFrame) =
+      Dedup.canonicalByScore(labels, scores, "doc_id", "q")
+        .filter(col("is_canonical"))
+        .select(col("cluster_id"), col("id").as("canonical_id"), col("score"))
+    // chain 1-2-3 (retracting bridge 2 isolates 1 and 3 — both leave
+    // the label store entirely, the X149 semantics), triangle
+    // {10,11,12} (10 canonical; retracting it re-elects 12 over the
+    // surviving 11-12 pair), pair {20,21} (retract both: the cluster
+    // disappears), untouched {30,31}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (30L, 31L)).toDF("id1", "id2")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 8L), (11L, 2L),
+      (12L, 6L), (20L, 1L), (21L, 1L), (30L, 4L), (31L, 6L))
+      .toDF("doc_id", "q")
+    val labels = Dedup.connectedComponents(pairs, "id1", "id2")
+    val storedPicks = picks(labels, scores)
+    val retract = Seq(2L, 10L, 20L, 21L).toDF("id")
+    val got = Dedup.retractCanonical(labels, storedPicks, pairs, scores,
+      retract, "doc_id", "q")
+      .as[(Long, Long, Long)].collect().toSet
+    val labels2 = Dedup.retractClusterLabels(labels, pairs, retract)
+    val full = picks(labels2, scores).as[(Long, Long, Long)].collect().toSet
+    assert(got == full, s"retract picks $got must equal full recompute $full")
+    assert(got.contains((11L, 12L, 6L)), s"re-election after canonical retract: $got")
+    assert(got.contains((30L, 31L, 6L)), "untouched cluster pick survives")
+    assert(!got.exists(_._1 == 20L), "a fully retracted cluster loses its row")
+    assert(!got.exists(r => r._1 == 1L || r._2 == 1L || r._2 == 3L),
+      "isolated survivors of a bridge retraction leave the pick store")
+    // a split that leaves FRAGMENTS: chain 40-41-42-43, retract 41 ->
+    // 42-43 survive as a fragment with their own pick
+    val p2 = Seq((40L, 41L), (41L, 42L), (42L, 43L)).toDF("id1", "id2")
+    val s2 = Seq((40L, 1L), (41L, 9L), (42L, 3L), (43L, 8L)).toDF("doc_id", "q")
+    val l2 = Dedup.connectedComponents(p2, "id1", "id2")
+    val got2 = Dedup.retractCanonical(l2, picks(l2, s2), p2, s2,
+      Seq(41L).toDF("id"), "doc_id", "q")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((42L, 43L, 8L)),
+      s"fragment must re-elect among its own members: $got2")
+    intercept[IllegalArgumentException] {
+      Dedup.retractCanonical(labels, storedPicks.drop("score"), pairs,
+        scores, retract, "doc_id", "q")
+    }
+  }
+
   test("connectedComponents labels a chain, a clique, and keeps them apart — both paths") {
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
     // triangle 10-11-12, isolated pair 20-21
