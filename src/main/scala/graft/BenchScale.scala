@@ -80,7 +80,7 @@ object BenchScale {
     "q_dist_drift", "q_dq_embed", "q_ttl_dedup", "q_hier_water_fill",
     "q_stream_dist_drift", "q_bloom_portable", "q_vocab_coverage",
     "q_dist_drift_group", "q_incremental_canonical",
-    "q_canonical_retraction",
+    "q_canonical_retraction", "q_stream_canonical",
     // round-15 bench drift watch: the one noisy full-bench run's
     // >1.5x flags on untouched paths (adjudicated host noise —
     // steady-state 1.11 s / 0.96 s vs flagged 1.46 / 1.68); rows kept

@@ -3079,6 +3079,64 @@ object Extensions {
   // an eager val here would silently interpolate null
   lazy val streamIncrClustersSql: String = incrementalClustersSql
 
+  /** Streaming canonical maintenance (X197): the q_stream_incr_clusters
+    * staging with BOTH snapshot stores — bootstrap labels + picks from
+    * the %3==0 pair slice at batch=-1, the remaining pairs streamed
+    * through one checkpoint, each batch re-electing picks for touched
+    * clusters only; output is the final pick table, which must equal
+    * the full argmax over all pairs (the oracle). */
+  val streamCanonical: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-scan")
+    val lblDir =
+      java.nio.file.Files.createTempDirectory("graft-lblstore2").toString
+    val pickDir =
+      java.nio.file.Files.createTempDirectory("graft-pickstore").toString
+    val pairsDir =
+      java.nio.file.Files.createTempDirectory("graft-pairsrc2").toString
+    val docs = Tables.documents(s, d)
+    val scores = docs.select(col("doc_id"), col("n_chars"))
+    val pairs = graft.core.Caches.persistTracked(
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.7, shingleN = 3,
+        bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+        .select(col("id1"), col("id2")))
+    val bootLabels = graft.core.Caches.persistTracked(
+      Dedup.connectedComponents(
+        pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0),
+        "id1", "id2"))
+    bootLabels.write.mode("overwrite").parquet(s"$lblDir/batch=-1")
+    Dedup.canonicalByScore(bootLabels, scores, "doc_id", "n_chars")
+      .filter(col("is_canonical"))
+      .select(col("cluster_id"), col("id").as("canonical_id"), col("score"))
+      .write.mode("overwrite").parquet(s"$pickDir/batch=-1")
+    pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
+      .coalesce(1).write.mode("overwrite").parquet(pairsDir)
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id2",
+        org.apache.spark.sql.types.LongType)))
+    val src = s.readStream.schema(pairSchema).parquet(pairsDir)
+    var result: Array[(Long, Long, Long)] = Array.empty
+    val q = EventsStreaming.streamingCanonicalMaintenance(src, lblDir,
+      pickDir, scores, "doc_id", "n_chars") { (upd, _) =>
+      result = upd.select(col("cluster_id"), col("canonical_id"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally {
+      deleteRecursively(lblDir); deleteRecursively(pickDir)
+      deleteRecursively(pairsDir)
+    }
+    import s.implicits._
+    result.toSeq.toDF("cluster_id", "canonical_id", "score")
+  }
+
+  lazy val streamCanonicalSql: String = incrementalCanonicalSql
+
   /** X24 as a driver-gate query: stream-stream inner join with
     * watermarks + interval condition (purchases × same-user signups in
     * the preceding hour), run to completion. Oracle = the identical
@@ -6346,6 +6404,7 @@ object Extensions {
     "q_dedup_clusters" -> dedupClusters,
     "q_quality_dedup" -> qualityDedup,
     "q_incremental_canonical" -> incrementalCanonical,
+    "q_stream_canonical" -> streamCanonical,
     "q_incremental_clusters" -> incrementalClusters,
     "q_cluster_retraction" -> clusterRetraction,
     "q_canonical_retraction" -> canonicalRetraction,
@@ -6519,6 +6578,7 @@ object Extensions {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_quality_dedup" -> qualityDedupSql,
     "q_incremental_canonical" -> incrementalCanonicalSql,
+    "q_stream_canonical" -> streamCanonicalSql,
     "q_incremental_clusters" -> incrementalClustersSql,
     "q_cluster_retraction" -> clusterRetractionSql,
     "q_canonical_retraction" -> canonicalRetractionSql,

@@ -528,6 +528,64 @@ object EventsStreaming {
         StructField("id", LongType),
         StructField("cluster_id", LongType))))
 
+  /** Streaming CANONICAL maintenance (X197) — the streaming form of
+    * [[graft.operators.Dedup.incrementalCanonical]], completing the
+    * canonical family's ladder (X181 batch → X195 increment → X196
+    * retract → this): each micro-batch of verified duplicate PAIRS
+    * folds into the label SNAPSHOT store (the X152 contraction — zero
+    * corpus-sized shuffles) AND re-elects canonical picks for touched
+    * clusters only, writing both whole-table snapshots under
+    * `batch=<id>`. The pick store is what serving reads; after any
+    * batch it equals the full argmax over the current labels
+    * (spec-pinned through the increment law). Store contracts
+    * verbatim: snapshot layout, per-batch overwrite retry idempotence,
+    * the one-checkpoint-per-store lineage guard, negative-id
+    * bootstrap, eager localCheckpoint before the writes that extend
+    * the read paths (the recacheByPath hazard). `scores` is a STATIC
+    * id-keyed table (quality scores are per-doc ingest facts). */
+  def streamingCanonicalMaintenance(pairs: DataFrame,
+      labelStorePath: String, pickStorePath: String, scores: DataFrame,
+      idCol: String, scoreCol: String,
+      id1: String = "id1", id2: String = "id2")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          val priorLabels = labelSnapshotForBatch(
+            readLabelStore(spark, labelStorePath), batchId)
+          val priorPicks = snapshotForBatch(
+            readPickStore(spark, pickStorePath), batchId,
+            StructType(Seq(
+              StructField("cluster_id", LongType),
+              StructField("canonical_id", LongType),
+              StructField("score", LongType))))
+          val b = batch.toDF().localCheckpoint()
+          val updatedLabels = Dedup.incrementalConnectedComponents(
+            priorLabels, b, id1, id2).localCheckpoint()
+          val updatedPicks = Dedup.incrementalCanonical(
+            priorLabels, priorPicks, b, scores, idCol, scoreCol)
+            .localCheckpoint()
+          updatedLabels.write.mode("overwrite")
+            .parquet(s"$labelStorePath/batch=$batchId")
+          updatedPicks.write.mode("overwrite")
+            .parquet(s"$pickStorePath/batch=$batchId")
+          sink(updatedPicks, batchId)
+        }
+        ()
+    }
+
+  /** The canonical-pick store (cluster_id, canonical_id, score),
+    * empty-with-schema when the path does not exist yet;
+    * SNAPSHOT-per-batch layout, same narrow catch as
+    * [[readNearDupStore]]. */
+  def readPickStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("cluster_id", LongType),
+        StructField("canonical_id", LongType),
+        StructField("score", LongType))))
+
   /** Max batch id present in a partitioned store, derived from the
     * store's FILE LISTING on the driver — each input file path carries
     * its `batch=<id>` partition directory segment, so the probe is
@@ -558,11 +616,23 @@ object EventsStreaming {
     * per-batch store scan. */
   private def labelSnapshotForBatch(store0: DataFrame,
       batchId: Long): DataFrame =
+    snapshotForBatch(store0, batchId, StructType(Seq(
+      StructField("id", LongType),
+      StructField("cluster_id", LongType))))
+
+  /** SNAPSHOT-layout store read for batch `batchId`: the latest prior
+    * snapshot (whole-table-per-batch stores — labels, canonical
+    * picks), with the one-checkpoint-per-store lineage guard and the
+    * empty-with-schema stream-first bootstrap. Both probes are
+    * driver-side file-listing parses ([[maxBatchFromFiles]]) — no
+    * per-batch store scan. */
+  private def snapshotForBatch(store0: DataFrame, batchId: Long,
+      emptySchema: StructType): DataFrame =
     if (store0.columns.contains("batch")) {
       val maxAll = maxBatchFromFiles(store0)
       val maxPrev = maxBatchFromFiles(store0, excluding = Some(batchId))
       require(maxAll.forall(_ <= batchId),
-        s"streaming label store: found batch=${maxAll.get} snapshot beyond " +
+        s"streaming snapshot store: found batch=${maxAll.get} snapshot beyond " +
           s"this run's batch id $batchId — the store was written by a " +
           "different checkpoint lineage (one checkpoint per store); " +
           "restarting with a fresh checkpoint needs the store " +
@@ -571,9 +641,7 @@ object EventsStreaming {
         case None =>
           store0.sparkSession.createDataFrame(
             store0.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(
-              StructField("id", LongType),
-              StructField("cluster_id", LongType))))
+            emptySchema)
         case Some(mp) =>
           store0.filter(col("batch") === mp).drop("batch")
       }

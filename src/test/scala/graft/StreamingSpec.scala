@@ -901,6 +901,60 @@ class StreamingSpec extends SparkSpec {
       s"expected lineage guard, got: ${rootMessages(e)}")
   }
 
+  test("streaming canonical maintenance: cross-batch takeover, fresh clusters, snapshot layout") {
+    val base = Files.createTempDirectory("graft-canstream-spec").toString
+    val srcDir = s"$base/src"
+    val lblStore = s"$base/lbl"
+    val pickStore = s"$base/pick"
+    val ckpt = s"$base/ckpt"
+    val scores = Seq((1L, 5L), (2L, 9L), (10L, 20L), (20L, 3L), (21L, 7L))
+      .toDF("doc_id", "q")
+    // bootstrap: cluster {1,2}, canonical 2 (score 9)
+    val boot = graft.operators.Dedup.connectedComponents(
+      Seq((1L, 2L)).toDF("id1", "id2"), "id1", "id2")
+    boot.write.parquet(s"$lblStore/batch=-1")
+    graft.operators.Dedup.canonicalByScore(boot, scores, "doc_id", "q")
+      .filter(col("is_canonical"))
+      .select(col("cluster_id"), col("id").as("canonical_id"), col("score"))
+      .write.parquet(s"$pickStore/batch=-1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id2",
+        org.apache.spark.sql.types.LongType)))
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingCanonicalMaintenance(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        lblStore, pickStore, scores, "doc_id", "q") { (_, _) => () }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 0: 10 (score 20) joins the bootstrap cluster -> TAKEOVER
+    Seq((2L, 10L)).toDF("id1", "id2").coalesce(1).write.parquet(s"$srcDir/f1")
+    runOnce()
+    // batch 1: fresh cluster {20,21} -> its own pick (21, score 7)
+    Seq((20L, 21L)).toDF("id1", "id2").coalesce(1).write.parquet(s"$srcDir/f2")
+    runOnce()
+    val finalPicks = EventsStreaming.readPickStore(spark, pickStore)
+      .filter(col("batch").cast("long") === 1L)
+      .select("cluster_id", "canonical_id", "score")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(finalPicks == Set((1L, 10L, 20L), (20L, 21L, 7L)),
+      s"got $finalPicks")
+    // snapshot layout: one whole pick table per batch
+    assert(EventsStreaming.readPickStore(spark, pickStore)
+      .select(col("batch").cast("long")).distinct()
+      .as[Long].collect().toSet == Set(-1L, 0L, 1L))
+    // the batch-0 snapshot already carried the takeover
+    assert(EventsStreaming.readPickStore(spark, pickStore)
+      .filter(col("batch").cast("long") === 0L)
+      .select("cluster_id", "canonical_id", "score")
+      .as[(Long, Long, Long)].collect().toSet == Set((1L, 10L, 20L)))
+  }
+
   test("streaming fingerprint near-dup: cross-batch store dedup, survivors append, lineage guard") {
     val base = Files.createTempDirectory("graft-fpstream-spec").toString
     val srcDir = s"$base/src"
