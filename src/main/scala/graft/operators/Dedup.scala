@@ -1671,8 +1671,12 @@ object Dedup {
     * of an article, keep the cleanest one.
     *
     * Input: `labels` = (id, cluster_id) — [[connectedComponents]]'
-    * output; `scores` = (idCol, scoreCol) with one row per labeled id
-    * (quality score, n_chars, any orderable numeric).
+    * output; `scores` = (idCol, scoreCol) with one row per labeled id.
+    * The score must be an INTEGRAL column (quality rank, n_chars,
+    * fixed-point score) — enforced fail-loud below, because the
+    * argmax casts to long and a fractional score would silently
+    * truncate 1.9 vs 1.2 into a tie. Fixed-point-encode fractional
+    * quality upstream (the engine-wide hash-exact convention).
     *
     * Scale shape: one id-keyed equi-join to attach scores (pinned
     * shuffle-hash — both sides can be corpus-sized) + one partial-agg
@@ -1696,6 +1700,18 @@ object Dedup {
     require(scores.columns.contains(idCol) && scores.columns.contains(scoreCol),
       s"canonicalByScore: scores must carry ($idCol, $scoreCol), got " +
         scores.columns.mkString(", "))
+    // Integral-score gate (the requireSketchable pattern): the argmax
+    // casts to long, so a DoubleType score would truncate — 1.9 vs 1.2
+    // becomes a tie and the min-id tiebreak picks the WRONG member.
+    require({
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      scores.schema(scoreCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }, s"canonicalByScore: $scoreCol must be an integral column " +
+      s"(fixed-point-encode fractional quality upstream), got " +
+      scores.schema(scoreCol).dataType.simpleString)
     val sc = scores.select(col(idCol).cast("long").as("_sid"),
       col(scoreCol).cast("long").as("_score"))
     val joined = labels.select(col("id").cast("long").as("id"),

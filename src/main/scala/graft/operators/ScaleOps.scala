@@ -1115,13 +1115,19 @@ object ScaleOps {
     require(ids.columns.contains(idCol),
       s"retractDeadLetter: review list has no '$idCol' column " +
         s"(got ${ids.columns.mkString(", ")})")
-    require(!deadLetter.columns.contains("_rid"),
-      "retractDeadLetter: dead-letter store column '_rid' collides " +
-        "with the internal marker")
+    require(!deadLetter.columns.contains("_rid") &&
+      !deadLetter.columns.contains("_dlm"),
+      "retractDeadLetter: dead-letter store columns '_rid'/'_dlm' " +
+        "collide with the internal markers")
     val r = ids.select(col(idCol).cast("long").as("_rid")).distinct()
-    val joined = deadLetter.join(r.hint("shuffle_hash"),
-      deadLetter(idCol).cast("long") === r("_rid"), "full_outer")
-    val keep = when(deadLetter(idCol).isNull,
+    // Orphan detection uses an added ALWAYS-NON-NULL marker (_dlm, the
+    // retractFingerprints _sid pattern), NOT the raw id's nullness: a
+    // genuine dead-letter row whose doc_id is NULL must remain a
+    // retractable store row, not a phantom orphan.
+    val dl = deadLetter.withColumn("_dlm", lit(1))
+    val joined = dl.join(r.hint("shuffle_hash"),
+      dl(idCol).cast("long") === r("_rid"), "full_outer")
+    val keep = when(col("_dlm").isNull,
       raise_error(concat(
         lit("retractDeadLetter: id "), col("_rid").cast("string"),
         lit(" is not in the dead-letter store — reviewing a row that " +
@@ -1129,7 +1135,7 @@ object ScaleOps {
           "the quarantine record")))
         .cast("boolean"))
       .otherwise(col("_rid").isNull)
-    joined.filter(keep).drop("_rid")
+    joined.filter(keep).drop("_rid", "_dlm")
   }
 
   /** Data-quality constraint SUITE (X165) — the dataset-level verdict

@@ -619,8 +619,15 @@ object Similarity {
     // whole metric is integer lookups + sums in-engine
     val rrMap = typedlit((1 to k).map(r =>
       (r.toLong, (2000000L + r) / (2L * r))).toMap)
+    // Fail-loud contract-drift guards (the engine convention): ground
+    // truth deeper than k would yield _rel <= 0 (a dcgMap miss) and
+    // _ngt beyond the idcgMap — both silently NULL the metrics. The
+    // raise_error rides the _rel/_ngt columns so no projection prunes it.
     val gt = groundTruth.select(col("q_id"), col("vec_id"),
-      (lit(k + 1) - col("rank")).cast("long").as("_rel"))
+      when(col("rank") > k, raise_error(concat(
+        lit(s"retrievalMetrics: ground-truth rank "), col("rank").cast("string"),
+        lit(s" exceeds k=$k — trim the ground truth to depth k"))))
+        .otherwise((lit(k + 1) - col("rank")).cast("long")).as("_rel"))
     val a = ann.select(col("q_id"), col("vec_id"),
       col("rank").cast("long").as("_arank"))
     val perHit = a.join(gt, Seq("q_id", "vec_id"), "left")
@@ -636,7 +643,12 @@ object Similarity {
         max(col("_rr")).as("_rrMax"),
         sum(col("_hit")).as("n_rel"))
     val gtCounts = groundTruth.groupBy(col("q_id"))
-      .agg(count(lit(1)).cast("long").as("_ngt"))
+      .agg(count(lit(1)).cast("long").as("_ngt0"))
+      .select(col("q_id"),
+        when(col("_ngt0") > k, raise_error(concat(
+          lit("retrievalMetrics: query "), col("q_id").cast("string"),
+          lit(s" carries more than k=$k ground-truth rows — idcg undefined"))))
+          .otherwise(col("_ngt0")).as("_ngt"))
     gtCounts.join(perQuery, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),

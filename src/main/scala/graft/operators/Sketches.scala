@@ -358,7 +358,9 @@ object Sketches {
         records.columns.mkString(", "))
     val spark = records.sparkSession
     import spark.implicits._
-    val pos = probes.flatMap { p =>
+    // Dedup probe keys: a duplicated key would contribute 2k rows and
+    // break the count === k never-false-negative contract.
+    val pos = probes.distinct.flatMap { p =>
       (0 until k).map { i =>
         val bp = bloomBit(hashSeed, p.toString, i, bits)
         (p, bp / 64, 1L << (bp % 64).toInt)
@@ -381,9 +383,9 @@ object Sketches {
     val h = s"CAST('0x' || substr(md5('$hashSeed:' || " +
       s"CAST(CAST($valueCol AS BIGINT) AS VARCHAR)), 1, 15) AS BIGINT)"
     val seedRows = (0 until k).map(s => s"($s)").mkString(", ")
-    val pbRows = probes.flatMap(p => (0 until k).map(i =>
+    val pbRows = probes.distinct.flatMap(p => (0 until k).map(i =>
       s"($p, ${bloomBit(hashSeed, p.toString, i, bits)})")).mkString(", ")
-    val probeRows = probes.map(p => s"($p)").mkString(", ")
+    val probeRows = probes.distinct.map(p => s"($p)").mkString(", ")
     s"WITH seeds(s) AS (VALUES $seedRows), " +
       s"pb(probe_key, p) AS (VALUES $pbRows), " +
       s"pr(probe_key) AS (VALUES $probeRows), " +

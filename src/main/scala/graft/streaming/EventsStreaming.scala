@@ -560,9 +560,16 @@ object EventsStreaming {
               StructField("cluster_id", LongType),
               StructField("canonical_id", LongType),
               StructField("score", LongType))))
-          val b = batch.toDF().localCheckpoint()
+          // Normalize the pair columns to the default (id1, id2) names
+          // BEFORE both calls: incrementalCanonical's inner explode and
+          // contraction use the defaults, so a non-default-named batch
+          // would fail with an AnalysisException on the picks path while
+          // the labels path silently honored the params.
+          val b = batch.toDF()
+            .select(col(id1).as("id1"), col(id2).as("id2"))
+            .localCheckpoint()
           val updatedLabels = Dedup.incrementalConnectedComponents(
-            priorLabels, b, id1, id2).localCheckpoint()
+            priorLabels, b, "id1", "id2").localCheckpoint()
           val updatedPicks = Dedup.incrementalCanonical(
             priorLabels, priorPicks, b, scores, idCol, scoreCol)
             .localCheckpoint()

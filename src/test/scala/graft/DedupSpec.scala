@@ -1072,4 +1072,20 @@ class DedupSpec extends SparkSpec {
     }
     graft.core.Caches.release(spark)
   }
+
+  test("canonicalByScore: fractional score type fails loud (truncation would flip picks)") {
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    // 1.9 vs 1.2 would truncate to a 1-vs-1 tie and min-id would pick
+    // the LOWER-quality member — the integral gate refuses up front
+    val fractional = Seq((1L, 1.2), (2L, 1.9)).toDF("doc_id", "q")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.canonicalByScore(labels, fractional, "doc_id", "q")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // int scores still pass (the fixed-point encoding path)
+    val fixed = Seq((1L, 12L), (2L, 19L)).toDF("doc_id", "q")
+    val pick = Dedup.canonicalByScore(labels, fixed, "doc_id", "q")
+      .filter(col("is_canonical")).select("id").as[Long].collect().toSeq
+    assert(pick == Seq(2L))
+  }
 }

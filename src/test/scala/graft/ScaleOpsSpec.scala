@@ -938,6 +938,19 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("retractDeadLetter: a NULL-id store row is retained, never a phantom orphan") {
+    // a genuinely quarantined row can carry a NULL doc_id (the id
+    // extraction itself failed the gate) — orphan detection must use
+    // the added marker, not the raw id's nullness
+    val dead = Seq((Some(1L), "bad text"), (None, "bad id"), (Some(2L), "bad lang"))
+      .toDF("doc_id", "reason")
+    val remaining = ScaleOps.retractDeadLetter(dead, Seq(1L).toDF("doc_id"))
+    assert(remaining.count() == 2)
+    assert(remaining.filter(col("doc_id").isNull).count() == 1,
+      "the NULL-id dead-letter row must survive an unrelated retraction")
+    assert(remaining.columns.toSeq == dead.columns.toSeq)
+  }
+
   test("intervalOverlapJoin == brute-force theta join, boundary-exact") {
     val a = Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 200L, 200L))
       .toDF("aid", "sa", "ea")

@@ -797,4 +797,27 @@ class SimilaritySpec extends SparkSpec {
       Similarity.retrievalMetrics(gt, gt, k = 0)
     }
   }
+
+  test("retrievalMetrics: ground truth deeper than k fails loud, not silent NULLs") {
+    val ann = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q_id", "vec_id", "rank")
+    // rank 4 at k=3: _rel would be <= 0 (a dcgMap miss) — must raise
+    val deepRank = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4))
+      .toDF("q_id", "vec_id", "rank")
+    val e1 = intercept[Exception] {
+      Similarity.retrievalMetrics(deepRank, ann, k = 3).collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("exceeds k"),
+      s"expected the depth guard, got: ${e1.getMessage}")
+    // 4 rows per query with ranks <= k (a duplicated rank): _ngt
+    // beyond the idcgMap — must raise, not NULL idcg/ndcg
+    val deepCount = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 3))
+      .toDF("q_id", "vec_id", "rank")
+    val e2 = intercept[Exception] {
+      Similarity.retrievalMetrics(deepCount, ann, k = 3).collect()
+    }
+    assert(e2.getMessage != null &&
+      e2.getMessage.contains("more than k"),
+      s"expected the count guard, got: ${e2.getMessage}")
+  }
 }

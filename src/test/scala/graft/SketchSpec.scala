@@ -162,4 +162,16 @@ class SketchSpec extends SparkSpec {
       Sketches.bloomMerge(df, df)
     }
   }
+
+  test("bloomProbe: duplicated probe keys dedup — never-false-negative survives") {
+    import graft.operators.Sketches
+    val df = (1L to 50L).map(_ * 3L).toDF("k")
+    val rec = Sketches.bloomRecords(df, "k")
+    // a duplicated present key used to expand to 2k position rows and
+    // fail the count === k check — might_contain must stay true, one
+    // row per DISTINCT probe key
+    val got = Sketches.bloomProbe(rec, Seq(3L, 3L, 9L, 3L))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got.size == 2 && got(3L) && got(9L), s"got $got")
+  }
 }

@@ -955,6 +955,34 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == Set((1L, 10L, 20L)))
   }
 
+  test("streaming canonical maintenance honors non-default pair column names") {
+    // regression: the picks path used to hardcode id1/id2 and fail
+    // with an AnalysisException when the stream named its pair
+    // columns differently from the labels path
+    val base = Files.createTempDirectory("graft-cannames-spec").toString
+    val srcDir = s"$base/src"
+    val scores = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "q")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dst",
+        org.apache.spark.sql.types.LongType)))
+    Seq((1L, 2L)).toDF("src", "dst").coalesce(1).write.parquet(s"$srcDir/f1")
+    val q = EventsStreaming.streamingCanonicalMaintenance(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      s"$base/lbl", s"$base/pick", scores, "doc_id", "q",
+      id1 = "src", id2 = "dst") { (_, _) => () }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val picks = EventsStreaming.readPickStore(spark, s"$base/pick")
+      .select("cluster_id", "canonical_id", "score")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(picks == Set((1L, 2L, 9L)), s"got $picks")
+  }
+
   test("streaming fingerprint near-dup: cross-batch store dedup, survivors append, lineage guard") {
     val base = Files.createTempDirectory("graft-fpstream-spec").toString
     val srcDir = s"$base/src"
