@@ -351,15 +351,18 @@ object Similarity {
     * element-wise BIGINT subtraction — no re-quantization round
     * trip), the shared front half of IVF-PQ training and encoding. */
   private def residualFrame(df: DataFrame, idCol: String, vecCol: String,
-      coarseCents: Array[(Int, Array[Long])], scale: Double): DataFrame = {
+      coarseCents: Array[(Int, Array[Long])], scale: Double,
+      metaCols: Seq[String] = Nil): DataFrame = {
     val centLit = typedlit(coarseCents.sortBy(_._1).map(_._2.toSeq).toSeq)
-    val q = df.select(col(idCol),
-      Clustering.fixedPoint(col(vecCol), scale).as("qv"))
+    val q = df.select(
+      (col(idCol) +: metaCols.map(col)) :+
+        Clustering.fixedPoint(col(vecCol), scale).as("qv"): _*)
     Clustering.assignTo(coarseCents)(q)
-      .select(col(idCol), col("cluster").as("cell"),
-        zip_with(col("qv"),
-          element_at(centLit, (col("cluster") + 1).cast("int")),
-          (x, y) => x - y).as("rv"))
+      .select(
+        (col(idCol) +: metaCols.map(col)) :+ col("cluster").as("cell") :+
+          zip_with(col("qv"),
+            element_at(centLit, (col("cluster") + 1).cast("int")),
+            (x, y) => x - y).as("rv"): _*)
   }
 
   /** Train an IVF-PQ index (X151; Jégou et al. 2011 §IV) — the
@@ -437,27 +440,37 @@ object Similarity {
   def ivfPqCodes(vecs: DataFrame, idCol: String, vecCol: String,
       coarseCents: Array[(Int, Array[Long])],
       codebooks: Array[Array[(Int, Array[Long])]],
-      scale: Double = 1e6): DataFrame = {
+      scale: Double = 1e6, metaCols: Seq[String] = Nil): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
       "ivfPqCodes: empty codebooks")
     require(coarseCents.nonEmpty, "ivfPqCodes: empty coarse centroids")
+    require(!metaCols.exists(Set("vec_id", "cell", "codes", "qv", "rv",
+      "cluster", "dist", "_best")),
+      s"ivfPqCodes: metaCols collide with reserved store/internal names: " +
+        metaCols.mkString(", "))
     val m = codebooks.length
     val subDim = codebooks(0)(0)._2.length
     // cell + residual sub-slices -> m codes (map-side argmin per
-    // sub-space against literal codebooks; k-means' tie rule)
-    val res = residualFrame(vecs, idCol, vecCol, coarseCents, scale)
+    // sub-space against literal codebooks; k-means' tie rule).
+    // metaCols denormalize filterable attributes INTO the store row
+    // (lang, source, license, ...) — still a pure projection, and the
+    // one design that lets a later predicate-constrained search run
+    // as a scan filter on the codes store instead of an id join.
+    val res = residualFrame(vecs, idCol, vecCol, coarseCents, scale, metaCols)
     val enc0 = res.select(
-      (col(idCol).cast("long").as("vec_id") +: col("cell") +:
-        (0 until m).map(i =>
-          slice(col("rv"), i * subDim + 1, subDim).as(s"_r$i"))): _*)
-    enc0.select(col("vec_id"), col("cell"),
-      array((0 until m).map { i =>
-        val entries = codebooks(i).map { case (cid, cw) =>
-          struct(Clustering.sqDistToLit(enc0, col(s"_r$i"), cw).as("d"),
-            lit(cid.toLong).as("c"))
-        }
-        sort_array(array(entries: _*)).getItem(0).getField("c")
-      }: _*).as("codes"))
+      (col(idCol).cast("long").as("vec_id") +: metaCols.map(col)) ++
+        (col("cell") +:
+          (0 until m).map(i =>
+            slice(col("rv"), i * subDim + 1, subDim).as(s"_r$i"))): _*)
+    enc0.select(
+      (col("vec_id") +: metaCols.map(col)) :+ col("cell") :+
+        array((0 until m).map { i =>
+          val entries = codebooks(i).map { case (cid, cw) =>
+            struct(Clustering.sqDistToLit(enc0, col(s"_r$i"), cw).as("d"),
+              lit(cid.toLong).as("c"))
+          }
+          sort_array(array(entries: _*)).getItem(0).getField("c")
+        }: _*).as("codes"): _*)
   }
 
   /** IVF-PQ probe against a PRE-ENCODED codes store (X157) — the
@@ -527,6 +540,69 @@ object Similarity {
       .withColumn("score", cosineAuto(rerankVecs, col("embedding"), col("q_vec")))
     finishTopK(rescored, "q_id", "vec_id", k)
   }
+
+  /** FILTERED (predicate-constrained) binary-rerank top-k (X198) —
+    * the most common real retrieval call: "top-k among lang='en' AND
+    * source=X", not top-k over the whole corpus. This is PRE-filter
+    * semantics (the only correct kind for a scan tier): the metadata
+    * predicate is pushed INTO the corpus scan BEFORE coding, so
+    *
+    *  - the coarse xor+popcount pass reads only qualifying rows — on
+    *    a selective predicate the scan cost drops by the selectivity,
+    *    and when `pred` hits a partition/stats column the parquet
+    *    reader prunes row groups before decoding anything;
+    *  - every candidate satisfies `pred` by construction, so the
+    *    exact-rerank contract is untouched and the result provably
+    *    equals [[binaryRerankTopK]] over the filtered slice;
+    *  - recall CANNOT collapse with selectivity — the coarse stage
+    *    ranks coarseK candidates out of the qualifying rows only, so
+    *    a 1%-selective predicate makes the coarse budget ~100× MORE
+    *    generous relative to its slice, never less (the opposite of
+    *    post-filtering a fixed top-k, which starves: top-50 overall
+    *    may contain zero qualifying rows).
+    *
+    * POST-filter (search first, filter after) is the tempting wrong
+    * plan and deliberately not offered: it reads the whole corpus AND
+    * under-fills k on selective predicates. */
+  def filteredBinaryRerankTopK(corpus: DataFrame, queries: DataFrame,
+      pred: Column, coarseK: Int, k: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame =
+    binaryRerankTopK(corpus.filter(pred), queries, coarseK, k, dims,
+      idCol, vecCol, qIdCol, qVecCol)
+
+  /** FILTERED IVF-PQ probe against a pre-encoded codes store (X198) —
+    * filter-THEN-probe under a frozen index: the metadata predicate
+    * evaluates on the codes-store row itself (attributes denormalized
+    * at encode time via [[ivfPqCodes]]' `metaCols` — the production
+    * store layout), so the filter is a SCAN predicate on 16-bit/vector
+    * store rows, pushed to parquet like any other filter: zero joins,
+    * and the probe's cell equi-join then touches only qualifying
+    * codes. Candidates inherit `pred`, the exact float-cosine rerank
+    * contract is untouched, and the result provably equals the
+    * unfiltered probe over the filtered store slice.
+    *
+    * Recall under selective predicates: nprobe stays a CELL budget,
+    * not a row budget — probing the query's nprobe nearest cells
+    * scans whatever qualifying rows live there, so selectivity thins
+    * each cell uniformly (in expectation) rather than starving the
+    * candidate set the way post-filtering a fixed top-k would. The
+    * failure mode that remains (a predicate CORRELATED with cell
+    * geometry empties the probed cells) is the caller's signal to
+    * raise nprobe — measured in the q_filtered_ann_recall gate rather
+    * than hidden. The centroids/codebooks stay trained on the FULL
+    * corpus: retraining per predicate would make results
+    * filter-dependent and the store unshareable. */
+  def filteredIvfPqTopKFromCodes(codes: DataFrame, rerankVecs: DataFrame,
+      queries: DataFrame, k: Int,
+      coarseCents: Array[(Int, Array[Long])],
+      codebooks: Array[Array[(Int, Array[Long])]],
+      nprobe: Int, coarseK: Int, pred: Column, scale: Double = 1e6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqTopKFromCodes(
+      codes.filter(pred).select(col("vec_id"), col("cell"), col("codes")),
+      rerankVecs, queries, k, coarseCents, codebooks, nprobe, coarseK,
+      scale, idCol, vecCol)
 
   /** Spread per-row-heavy vector compute across all cores (single-file
     * benchmark inputs arrive as one scan split). */

@@ -798,6 +798,59 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN: pre-filter == unfiltered over the slice, metaCols ride the store") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val pred = col("label") % 2 === 0
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // binary tier: filtered search provably equals the unfiltered
+    // operator run over the pre-filtered slice (same code path)
+    val fb = Similarity.filteredBinaryRerankTopK(emb, q, pred,
+      coarseK = 50, k = 10, dims = 64)
+    assert(rows(fb) == rows(Similarity.binaryRerankTopK(
+      emb.filter(pred), q, coarseK = 50, k = 10, dims = 64)))
+    // every returned candidate satisfies the predicate (pre-filter
+    // semantics — no post-hoc leakage through the rerank join)
+    val even = emb.filter(pred).select("vec_id").as[Long].collect().toSet
+    assert(rows(fb).forall { case (_, v, _) => even.contains(v) })
+    // IVF-PQ tier: metaCols denormalize into the codes store without
+    // touching (vec_id, cell, codes)...
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = 64, cells = 4, cellIters = 2, m = 4, codes = 8, pqIters = 2)
+    val codesMeta = Similarity.ivfPqCodes(emb, "vec_id", "embedding",
+      coarse, books, metaCols = Seq("label"))
+    assert(codesMeta.columns.toSet ==
+      Set("vec_id", "label", "cell", "codes"))
+    val bare = Similarity.ivfPqCodes(emb, "vec_id", "embedding", coarse, books)
+    assert(codesMeta.select("vec_id", "cell", "codes")
+      .exceptAll(bare).isEmpty &&
+      bare.exceptAll(codesMeta.select("vec_id", "cell", "codes")).isEmpty,
+      "metaCols must not perturb the encoded store")
+    // ...and filter-then-probe equals the unfiltered probe over the
+    // filtered store slice
+    val fp = Similarity.filteredIvfPqTopKFromCodes(codesMeta, emb, q,
+      k = 10, coarse, books, nprobe = 2, coarseK = 50, pred)
+    val manual = Similarity.ivfPqTopKFromCodes(
+      codesMeta.filter(pred).select("vec_id", "cell", "codes"),
+      emb, q, k = 10, coarse, books, nprobe = 2, coarseK = 50)
+    assert(rows(fp) == rows(manual))
+    assert(rows(fp).forall { case (_, v, _) => even.contains(v) })
+    // probing every cell + uncut coarseK recovers brute force over the
+    // slice — the approximation surface stays confined to the cut
+    val exhaustive = Similarity.filteredIvfPqTopKFromCodes(codesMeta, emb,
+      q, k = 10, coarse, books, nprobe = 4,
+      coarseK = emb.count().toInt, pred)
+    assert(rows(exhaustive) ==
+      rows(Similarity.bruteForceTopK(emb.filter(pred), q, 10)))
+    // reserved-name collision fails loud
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqCodes(emb.withColumnRenamed("label", "cell"),
+        "vec_id", "embedding", coarse, books, metaCols = Seq("cell"))
+    }
+  }
+
   test("retrievalMetrics: ground truth deeper than k fails loud, not silent NULLs") {
     val ann = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("q_id", "vec_id", "rank")
