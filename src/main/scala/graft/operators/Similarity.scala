@@ -604,6 +604,133 @@ object Similarity {
       rerankVecs, queries, k, coarseCents, codebooks, nprobe, coarseK,
       scale, idCol, vecCol)
 
+  /** INCREMENTAL IVF-PQ serving-store maintenance (X200) — the X116
+    * frozen-quantizer contract extended to the serving index: a new
+    * batch encodes MAP-SIDE under the frozen (centroids, codebooks)
+    * — [[ivfPqCodes]] is arrival-time-invariant, so a vector gets
+    * identical codes whether it sat in the bootstrap corpus or lands
+    * years later — and appends to the (id, cell, codes) store. The
+    * merged store is therefore PROVABLY frame-equal to a full rebuild
+    * over the union (spec-pinned), and every probe over it equals the
+    * rebuild's probe. Zero corpus-sized work per increment: the
+    * encode is a projection of the batch, the append writes
+    * 16-bit/vector rows.
+    *
+    * The one store read this wraps around the raw
+    * encode-and-append: a serving store is ID-KEYED, so a batch id
+    * that already exists would silently duplicate probe candidates —
+    * that is upstream dedup drift and fails loud (the
+    * incrementalCanonical convention; the raise rides the appended
+    * rows' id column so no projection prunes it). The guard is one
+    * id-keyed anti-join-shaped left join on 16-byte keys per
+    * increment; callers whose upstream already guarantees
+    * id-uniqueness can compose [[ivfPqCodes]] + unionByName
+    * themselves and skip it. */
+  def incrementalIvfPqCodes(store: DataFrame, newBatch: DataFrame,
+      idCol: String, vecCol: String,
+      coarseCents: Array[(Int, Array[Long])],
+      codebooks: Array[Array[(Int, Array[Long])]],
+      scale: Double = 1e6, metaCols: Seq[String] = Nil): DataFrame =
+    store.unionByName(guardedIvfPqEncode(store, newBatch, idCol, vecCol,
+      coarseCents, codebooks, scale, metaCols))
+
+  /** The increment's NEW rows only — [[incrementalIvfPqCodes]] minus
+    * the store pass-through; what a streaming micro-batch appends
+    * under its own `batch=<id>` partition. */
+  def guardedIvfPqEncode(store: DataFrame, newBatch: DataFrame,
+      idCol: String, vecCol: String,
+      coarseCents: Array[(Int, Array[Long])],
+      codebooks: Array[Array[(Int, Array[Long])]],
+      scale: Double = 1e6, metaCols: Seq[String] = Nil): DataFrame = {
+    val want = (Seq("vec_id") ++ metaCols ++ Seq("cell", "codes")).toSet
+    require(store.columns.toSet == want,
+      s"incrementalIvfPqCodes: store must be an ivfPqCodes store " +
+        s"(${want.mkString(", ")}), got ${store.columns.mkString(", ")}")
+    val enc = ivfPqCodes(newBatch, idCol, vecCol, coarseCents, codebooks,
+      scale, metaCols)
+    val known = store.select(col("vec_id").as("_kid"))
+    // guard rides the row FILTER (the retractManifest convention) so
+    // no projection — not even a bare count — can prune it
+    enc.join(known.hint("shuffle_hash"),
+        enc("vec_id") === col("_kid"), "left")
+      .filter(when(col("_kid").isNotNull, raise_error(concat(
+        lit("incrementalIvfPqCodes: id "), col("vec_id").cast("string"),
+        lit(" is already in the codes store — a re-arriving id means" +
+          " upstream dedup drifted; retract it first"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(
+        (col("vec_id") +: metaCols.map(col)) :+
+          col("cell") :+ col("codes"): _*)
+  }
+
+  /** IVF-PQ store RETRACTION (X200) — the forget half: rows leave the
+    * serving store by id (one id-keyed anti-join on 16-byte keys; the
+    * store's rows are independent by construction, so nothing else
+    * recomputes). Fail-loud on an id the store never held — a retract
+    * list drifted from the store is a bug, not a no-op — via the
+    * non-null marker pattern ([[graft.operators.Dedup.retractFingerprints]]). */
+  def retractIvfPqCodes(store: DataFrame, ids: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    require(store.columns.contains("vec_id"),
+      s"retractIvfPqCodes: store has no vec_id (ivfPqCodes schema), " +
+        s"got ${store.columns.mkString(", ")}")
+    require(ids.columns.contains(idCol),
+      s"retractIvfPqCodes: retract list has no '$idCol'")
+    require(!store.columns.contains("_rid") && !store.columns.contains("_sid"),
+      "retractIvfPqCodes: store columns _rid/_sid collide with markers")
+    val r = ids.select(col(idCol).cast("long").as("_rid")).distinct()
+    val s = store.withColumn("_sid", lit(1))
+    val joined = s.join(r.hint("shuffle_hash"),
+      s("vec_id") === col("_rid"), "full_outer")
+    val keep = when(col("_sid").isNull,
+      raise_error(concat(
+        lit("retractIvfPqCodes: id "), col("_rid").cast("string"),
+        lit(" is not in the codes store — the retract list drifted")))
+        .cast("boolean"))
+      .otherwise(col("_rid").isNull)
+    joined.filter(keep).drop("_rid", "_sid")
+  }
+
+  /** IVF-PQ index REFRESH with store migration (X200) — X148's
+    * refresh extended to the quantized serving store, closing the
+    * drift→retrain→migrate loop for the PQ codes too: retraining the
+    * (centroids, codebooks) invalidates every stored cell AND code,
+    * and unlike the semantic store the codes rows are NOT
+    * self-contained (codes aren't invertible), so migration
+    * re-encodes from the authoritative float vector table — the same
+    * `rerankVecs` the serving stack already holds for the exact
+    * rerank stage. One scan of the store's id slice + rewrite: the
+    * store ids semi-join the vector table (id-keyed), then
+    * [[ivfPqCodes]] under the NEW index map-side. Fail-loud when a
+    * store id is missing from the vector table (the payload and the
+    * index drifted — re-encoding would silently shrink the store).
+    * Result is frame-equal to bootstrapping the codes store from the
+    * same vectors under the new index (spec-pinned), so post-refresh
+    * increments behave as if ingested under it from day one. */
+  def refreshIvfPqStore(store: DataFrame, rerankVecs: DataFrame,
+      idCol: String, vecCol: String,
+      newCoarse: Array[(Int, Array[Long])],
+      newBooks: Array[Array[(Int, Array[Long])]],
+      scale: Double = 1e6, metaCols: Seq[String] = Nil): DataFrame = {
+    require(store.columns.contains("vec_id"),
+      s"refreshIvfPqStore: store has no vec_id (ivfPqCodes schema), " +
+        s"got ${store.columns.mkString(", ")}")
+    val ids = store.select(col("vec_id").as("_mid")).distinct()
+    // guard rides the row FILTER so no downstream projection (not even
+    // a bare count) can prune the payload-drift check
+    val vecs = rerankVecs.join(ids.hint("shuffle_hash"),
+        rerankVecs(idCol).cast("long") === col("_mid"), "right")
+      .filter(when(rerankVecs(idCol).isNull, raise_error(concat(
+        lit("refreshIvfPqStore: store id "), col("_mid").cast("string"),
+        lit(" has no vector row — the payload table drifted from the" +
+          " store"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(
+        (rerankVecs(idCol) +: metaCols.map(rerankVecs(_))) :+
+          rerankVecs(vecCol): _*)
+    ivfPqCodes(vecs, idCol, vecCol, newCoarse, newBooks, scale, metaCols)
+  }
+
   /** Spread per-row-heavy vector compute across all cores (single-file
     * benchmark inputs arrive as one scan split). */
   private def spread(df: DataFrame): DataFrame =

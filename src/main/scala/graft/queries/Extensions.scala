@@ -3831,6 +3831,84 @@ object Extensions {
       " UNION ALL " + tier("l3", "e.label = 3", "em.label = 3")
   }
 
+  /** INCREMENTAL IVF-PQ serving-store maintenance (X200) — the X116
+    * frozen-quantizer contract extended to the serving index: the
+    * index trains ONCE on the full corpus, the %3 == 0 slice
+    * bootstraps the codes store, the rest arrives as an increment
+    * (map-side encode + guarded append — zero corpus-sized work), and
+    * the gate probes the MERGED store. The oracle is the full-rebuild
+    * X151 replay verbatim: merged-store probe ≡ rebuild probe is the
+    * whole contract, so the strongest possible oracle is the rebuild
+    * itself. Retraction and index refresh (re-encode from the rerank
+    * vector table under new codebooks) are spec-pinned in
+    * SimilaritySpec. */
+  val incrementalIvfPq: Q = (s, d) => {
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, cells = IVFPQ_CELLS, cellIters = IVFPQ_CELL_ITERS,
+      m = PQ_M, codes = IVFPQ_CODES, pqIters = PQ_ITERS)
+    val boot = Similarity.ivfPqCodes(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", coarse, books)
+    val merged = Similarity.incrementalIvfPqCodes(boot,
+      emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      coarse, books)
+    Similarity.ivfPqTopKFromCodes(merged, emb, queriesDf(s, d), k = 10,
+      coarse, books, nprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  val incrementalIvfPqSql: String = embedIvfPqSqlAt()
+
+  /** Streaming IVF-PQ codes maintenance (X201): the X200 split run
+    * through the REAL foreachBatch composition — frozen index trained
+    * on the full corpus, store bootstrapped under batch=-1, the rest
+    * streams to AvailableNow completion, then the gate probes the
+    * store the stream grew. Single-file source → one micro-batch, so
+    * the store equals the batch increment's and the full-rebuild
+    * oracle is reused verbatim; the multi-batch hand-off is pinned by
+    * StreamingSpec with an explicit two-run checkpoint chain. */
+  val streamIvfPqCodes: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-sipq")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-ivfpqcodes").toString
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, cells = IVFPQ_CELLS, cellIters = IVFPQ_CELL_ITERS,
+      m = PQ_M, codes = IVFPQ_CODES, pqIters = PQ_ITERS)
+    Similarity.ivfPqCodes(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", coarse, books)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val src = s.readStream.schema(embSchema).parquet(s"$d/embeddings.parque[t]")
+      .filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val q = EventsStreaming.streamingIncrementalIvfPqCodes(
+      src, storeDir, coarse, books) { (_, _) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      runStreamThenCleanCkpt(q, ckpt)
+      // result computed EAGERLY so the temp store can be deleted
+      // before the driver consumes the frame
+      Similarity.ivfPqTopKFromCodes(
+          s.read.option("basePath", storeDir).parquet(storeDir)
+            .select(col("vec_id"), col("cell"), col("codes")),
+          emb, queriesDf(s, d), k = 10, coarse, books,
+          nprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE)
+        .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+        .localCheckpoint()
+    } finally deleteRecursively(storeDir)
+  }
+
+  val streamIvfPqCodesSql: String = embedIvfPqSqlAt()
+
   /** Brute-force top-10 over the PREDICATE-FILTERED corpus slice —
     * the ground truth the filtered tiers are measured against. */
   private def filteredBruteSql(predSql: String): String =
@@ -6490,6 +6568,8 @@ object Extensions {
     "q_embed_ivfpq_norm" -> embedIvfPqNorm,
     "q_filtered_ann" -> filteredAnn,
     "q_filtered_ann_recall" -> filteredAnnRecall,
+    "q_incremental_ivfpq" -> incrementalIvfPq,
+    "q_stream_ivfpq_codes" -> streamIvfPqCodes,
     "q_embed_rp" -> embedRp,
     "q_mmr_rerank" -> mmrRerank,
     "q_mmr_binary" -> mmrBinary,
@@ -6666,6 +6746,8 @@ object Extensions {
     "q_embed_ivfpq_norm" -> embedIvfPqNormSql,
     "q_filtered_ann" -> filteredAnnSql,
     "q_filtered_ann_recall" -> filteredAnnRecallSql,
+    "q_incremental_ivfpq" -> incrementalIvfPqSql,
+    "q_stream_ivfpq_codes" -> streamIvfPqCodesSql,
     "q_embed_rp" -> embedRpSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_mmr_binary" -> mmrBinarySql,

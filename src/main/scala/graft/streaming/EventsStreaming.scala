@@ -345,6 +345,53 @@ object EventsStreaming {
         ()
     }
 
+  /** Streaming IVF-PQ serving-store maintenance (X200) — the
+    * always-on form of
+    * [[graft.operators.Similarity.incrementalIvfPqCodes]], following
+    * the X146 template: each micro-batch of embedded vectors encodes
+    * MAP-SIDE under the caller's FROZEN (centroids, codebooks) — the
+    * index rides the closure as plan literals, so every batch's codes
+    * are bit-identical to a full rebuild's — and appends its (id,
+    * cell, codes) rows under `batch=<id>` before the batch completes.
+    * The duplicate-id fail-loud guard runs against the store snapshot
+    * each batch (a serving store is id-keyed; see the batch
+    * operator). Store layout, retry idempotence (batch=<id>
+    * partitions, self-excluded reads, per-batch overwrite), the
+    * one-checkpoint-per-store lineage guard, negative-id bootstrap,
+    * the pre-write localCheckpoint (recacheByPath) and scoped cache
+    * release all follow [[streamingIncrementalNearDup]]. */
+  def streamingIncrementalIvfPqCodes(vecs: DataFrame, storePath: String,
+      coarseCents: Array[(Int, Array[Long])],
+      codebooks: Array[Array[(Int, Array[Long])]],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Double = 1e6)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          val store = storeForBatch(readCodesStore(spark, storePath), batchId)
+          val newRows = graft.operators.Similarity
+            .guardedIvfPqEncode(store, batch.toDF(), idCol, vecCol,
+              coarseCents, codebooks, scale)
+            .localCheckpoint()
+          newRows.write.mode("overwrite")
+            .parquet(s"$storePath/batch=$batchId")
+          sink(newRows, batchId)
+        }
+        ()
+    }
+
+  /** The IVF-PQ codes store (vec_id, cell, codes), empty-with-schema
+    * when the path does not exist yet; same narrow catch and
+    * partition-layout contract as [[readNearDupStore]]. */
+  def readCodesStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("cell", LongType),
+        StructField("codes", ArrayType(LongType)))))
+
   /** Streaming incremental SUBSTRING dedup, micro-batch-composed
     * (X147) — the fourth dedup family's always-on form, completing the
     * streaming quartet (exact X145, near-dup X134, semantic X146):

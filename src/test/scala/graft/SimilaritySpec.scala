@@ -851,6 +851,73 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental IVF-PQ store: increment == rebuild, retract, refresh, guards") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = 64, cells = 4, cellIters = 2, m = 4, codes = 8, pqIters = 2)
+    val sliceA = emb.filter(col("vec_id") % 3 === 0)
+    val sliceB = emb.filter(col("vec_id") % 3 =!= 0)
+    def codeRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Seq[Long])] =
+      df.select("vec_id", "cell", "codes")
+        .as[(Long, Long, Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // arrival-time invariance: bootstrap(A) + increment(B) == rebuild(A∪B)
+    val boot = Similarity.ivfPqCodes(sliceA, "vec_id", "embedding",
+      coarse, books)
+    val merged = Similarity.incrementalIvfPqCodes(boot, sliceB,
+      "vec_id", "embedding", coarse, books)
+    val rebuild = Similarity.ivfPqCodes(emb, "vec_id", "embedding",
+      coarse, books)
+    assert(codeRows(merged) == codeRows(rebuild))
+    // ...and the merged-store probe equals the rebuild's probe
+    def probe(codes: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      Similarity.ivfPqTopKFromCodes(codes, emb, q, k = 10, coarse, books,
+          nprobe = 2, coarseK = 50)
+        .select("q_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(probe(merged) == probe(rebuild))
+    // a re-arriving id fails loud (serving stores are id-keyed)
+    val e = intercept[Exception] {
+      Similarity.incrementalIvfPqCodes(boot, sliceA.limit(1),
+        "vec_id", "embedding", coarse, books).count()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("already in the codes store"), e.getMessage)
+    // retraction: forget slice B -> back to the bootstrap store
+    val shrunk = Similarity.retractIvfPqCodes(merged,
+      sliceB.select("vec_id"))
+    assert(codeRows(shrunk) == codeRows(boot))
+    val e2 = intercept[Exception] {
+      Similarity.retractIvfPqCodes(boot,
+        Seq(999999L).toDF("vec_id")).count()
+    }
+    assert(e2.getMessage != null &&
+      e2.getMessage.contains("not in the codes store"), e2.getMessage)
+    // refresh: retrained index migrates the store's id slice by
+    // re-encoding from the vector table == fresh bootstrap under the
+    // new index; post-refresh probes and increments see one world
+    val (c2, b2) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = 64, cells = 5, cellIters = 2, m = 4, codes = 8, pqIters = 2)
+    val migrated = Similarity.refreshIvfPqStore(boot, emb,
+      "vec_id", "embedding", c2, b2)
+    assert(codeRows(migrated) == codeRows(
+      Similarity.ivfPqCodes(sliceA, "vec_id", "embedding", c2, b2)))
+    // a store id missing from the vector table fails loud
+    val e3 = intercept[Exception] {
+      Similarity.refreshIvfPqStore(boot,
+        emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+        c2, b2).count()
+    }
+    assert(e3.getMessage != null &&
+      e3.getMessage.contains("no vector row"), e3.getMessage)
+    intercept[IllegalArgumentException] {
+      Similarity.incrementalIvfPqCodes(boot.drop("cell"), sliceB,
+        "vec_id", "embedding", coarse, books)
+    }
+  }
+
   test("retrievalMetrics: ground truth deeper than k fails loud, not silent NULLs") {
     val ann = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("q_id", "vec_id", "rank")

@@ -955,6 +955,60 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == Set((1L, 10L, 20L)))
   }
 
+  test("streaming IVF-PQ codes maintenance: frozen-index append across batches == rebuild") {
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("graft-ivfpqstream-spec").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/codes"
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = 64, cells = 4, cellIters = 2, m = 4, codes = 8, pqIters = 2)
+    // bootstrap slice under batch=-1 (the negative-id convention)
+    Similarity.ivfPqCodes(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", coarse, books)
+      .write.parquet(s"$store/batch=-1")
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingIncrementalIvfPqCodes(
+        spark.readStream.schema(emb.schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, coarse, books) { (_, _) => () }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    emb.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.parquet(s"$srcDir/f1")
+    runOnce()
+    emb.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.parquet(s"$srcDir/f2")
+    runOnce()
+    // the streamed store IS the full rebuild, row for row — the
+    // frozen-index encode is arrival-time-invariant
+    def codeRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Seq[Long])] =
+      df.select("vec_id", "cell", "codes")
+        .as[(Long, Long, Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val streamed = EventsStreaming.readCodesStore(spark, store)
+    assert(codeRows(streamed) == codeRows(
+      Similarity.ivfPqCodes(emb, "vec_id", "embedding", coarse, books)))
+    // ...and so is the probe it serves
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def probe(codes: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      Similarity.ivfPqTopKFromCodes(
+          codes.select("vec_id", "cell", "codes"), emb, qs, k = 10,
+          coarse, books, nprobe = 2, coarseK = 50)
+        .select("q_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(probe(streamed) == probe(
+      Similarity.ivfPqCodes(emb, "vec_id", "embedding", coarse, books)))
+    // snapshot layout: bootstrap + one partition per micro-batch
+    assert(streamed.select(col("batch").cast("long")).distinct()
+      .as[Long].collect().toSet == Set(-1L, 0L, 1L))
+  }
+
   test("streaming canonical maintenance honors non-default pair column names") {
     // regression: the picks path used to hardcode id1/id2 and fail
     // with an AnalysisException when the stream named its pair
