@@ -2302,6 +2302,50 @@ object Extensions {
       "SELECT cs.media_id, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.c THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END) AS BIGINT) AS phash " +
       "FROM cs JOIN tot ON cs.media_id = tot.media_id GROUP BY cs.media_id"
 
+  /** WIDE audio near-dup (X202) — the audio modality at statistically
+    * meaningful fingerprint width, closing the last X154 asymmetry:
+    * the 12-bit block-energy hash is width-saturated (measured at
+    * sf0.1: 25 distinct sigs over 5,000 clips, 44% of ALL pairs
+    * within Hamming 3 — banding that is quadratic noise), while the
+    * 56-block form leaves collisions bounded by content entropy only
+    * (388 distinct sigs, 1.3% of pairs — 33× fewer candidates, the
+    * survivors genuine generator near-dups). 4×14-bit bands satisfy
+    * the pigeonhole contract (bands > maxDist); the distinct-sig
+    * collapse bounds the remaining content-duplicate hot buckets.
+    * Decode is map-side (payloads never shuffle); the oracle replays
+    * the wide hash from the closed-form samples + the banding
+    * arithmetic. */
+  private val AUDIO_WIDE_BLOCKS = 56
+
+  val audioNearDup: Q = (s, d) => {
+    val hashes = Multimodal.audioPerceptualHashBlocks(
+      Multimodal.wavMediaFromDocuments(spread(Tables.documents(s, d))),
+      blocks = AUDIO_WIDE_BLOCKS).toDF()
+      .filter(col("decoded")).select(col("media_id"), col("phash"))
+    graft.operators.Dedup.fingerprintNearDupPairs(hashes, "media_id",
+      "phash", bits = AUDIO_WIDE_BLOCKS, bands = PHASH_BANDS,
+      maxDist = PHASH_MAXDIST)
+  }
+
+  val audioNearDupSql: String = {
+    val bandW = AUDIO_WIDE_BLOCKS / PHASH_BANDS
+    val mask = (1L << bandW) - 1
+    val bandRows = (0 until PHASH_BANDS).map(b => s"($b)").mkString(",")
+    "WITH m AS (SELECT doc_id AS media_id, CAST(16 + doc_id % 33 AS BIGINT) AS n FROM documents), " +
+      "ss AS (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM m), " +
+      s"px AS (SELECT media_id, (i*$AUDIO_WIDE_BLOCKS)//n AS blk, abs((media_id*31 + i*17) % 4096 - 2048) AS v FROM ss), " +
+      "cs AS (SELECT media_id, blk, CAST(sum(v) AS BIGINT) AS s, count(*) AS c FROM px GROUP BY media_id, blk), " +
+      "tot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(c) AS BIGINT) AS tn FROM cs GROUP BY media_id), " +
+      "ph AS MATERIALIZED (SELECT cs.media_id, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.c THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END) AS BIGINT) AS phash " +
+      "FROM cs JOIN tot ON cs.media_id = tot.media_id GROUP BY cs.media_id), " +
+      s"bands AS MATERIALIZED (SELECT media_id, phash, bb.band, (phash >> (bb.band*$bandW)) & $mask AS bucket " +
+      s"FROM ph CROSS JOIN (VALUES $bandRows) bb(band)), " +
+      "pairs AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2, " +
+      "bit_count(xor(a.phash, b.phash)) AS hamming FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.media_id < b.media_id) " +
+      s"SELECT id1, id2, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= $PHASH_MAXDIST"
+  }
+
   /** Cross-modal retrieval closure (X110): similarity search OVER a
     * multimodal column — real BMP payloads decode (javax.imageio) to
     * [w, h, Σr, Σg, Σb] feature vectors which run through the exact
@@ -6535,6 +6579,7 @@ object Extensions {
     "q_ingest_gated" -> ingestGated,
     "q_deadletter_readmit" -> deadletterReadmit,
     "q_audio_phash" -> audioPhash,
+    "q_audio_neardup" -> audioNearDup,
     "q_audio_decode" -> audioDecode,
     "q_audio_search" -> audioSearch,
     "q_bpe_merges" -> bpeMerges,
@@ -6713,6 +6758,7 @@ object Extensions {
     "q_ingest_gated" -> ingestGatedSql,
     "q_deadletter_readmit" -> deadletterReadmitSql,
     "q_audio_phash" -> audioPhashSql,
+    "q_audio_neardup" -> audioNearDupSql,
     "q_audio_decode" -> audioDecodeSql,
     "q_audio_search" -> audioSearchSql,
     "q_bpe_merges" -> bpeMergesSql,

@@ -307,4 +307,54 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) == ((true, 0L)))
     assert(got(4L) == ((false, -1L)))
   }
+
+  test("audioPerceptualHashBlocks: wide 56-block hash matches a local recomputation, banding reach") {
+    def wav(id: Long, samples: Array[Short]) =
+      (id, Multimodal.encodeWavPcm16(8000, samples), "wav", 0, 0)
+    // brute-force the wide hash from the same sample function
+    def localHash(samples: Array[Short], blocks: Int): Long = {
+      val n = samples.length
+      val bs = new Array[Long](blocks); val bn = new Array[Long](blocks)
+      for (i <- 0 until n) {
+        val b = (i.toLong * blocks / n).toInt
+        bs(b) += math.abs(samples(i).toLong); bn(b) += 1
+      }
+      val ts = bs.sum; val tn = bn.sum
+      (0 until blocks).foldLeft(0L)((acc, c) =>
+        if (bs(c) * tn > ts * bn(c)) acc | (1L << c) else acc)
+    }
+    val base = Array.tabulate(112)(i => ((i * 37) % 4096 - 2048).toShort)
+    // one bumped sample — flips at most a few block bits
+    val bump = base.clone(); bump(0) = 2047.toShort
+    val other = Array.tabulate(112)(i => ((i * 53 + 999) % 4096 - 2048).toShort)
+    val rows = Seq(wav(1L, base), wav(2L, bump), wav(3L, other))
+      .toDF("media_id", "payload", "kind", "width", "height")
+    val got = Multimodal.audioPerceptualHashBlocks(rows, blocks = 56)
+      .collect().map(p => p.media_id -> p.phash).toMap
+    assert(got(1L) == localHash(base, 56),
+      "wide hash must equal the local recomputation")
+    assert(got(2L) == localHash(bump, 56))
+    assert(got(3L) == localHash(other, 56))
+    // blocks = 12 degrades to the narrow operator exactly
+    val narrow = Multimodal.audioPerceptualHash(rows)
+      .collect().map(p => p.media_id -> p.phash).toMap
+    val via12 = Multimodal.audioPerceptualHashBlocks(rows, blocks = 12)
+      .collect().map(p => p.media_id -> p.phash).toMap
+    assert(narrow == via12)
+    // the X202 gate composition: the perturbed clip is a candidate of
+    // the original through the 4x14-bit banding and verifies <= 3
+    val hashes = Multimodal.audioPerceptualHashBlocks(rows, 56).toDF()
+      .select(col("media_id"), col("phash"))
+    val d12 = java.lang.Long.bitCount(got(1L) ^ got(2L))
+    assert(d12 <= 3, s"one-sample bump moved $d12 bits — fixture needs retuning")
+    val pairs = graft.operators.Dedup.fingerprintNearDupPairs(
+      hashes, "media_id", "phash", bits = 56, bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 3L) } ||
+      java.lang.Long.bitCount(got(1L) ^ got(3L)) <= 3)
+    intercept[IllegalArgumentException] {
+      Multimodal.audioPerceptualHashBlocks(rows, blocks = 64)
+    }
+  }
 }
