@@ -4840,11 +4840,15 @@ object Extensions {
 
   /** Retrieval metrics harness (X186) — MRR and nDCG@10 as exact
     * integers (driver-precomputed DCG/IDCG/reciprocal tables, no
-    * in-engine float log) for three tiers against the brute-force
-    * ground truth: recall says WHETHER the true top-k came back,
-    * these say WHERE — a tier that returns all ten hits in reverse
-    * order recalls 1.0 but loses nDCG. The oracle embeds the same
-    * integer tables, generated from the same Scala functions. */
+    * in-engine float log) against the brute-force ground truth:
+    * recall says WHETHER the true top-k came back, these say WHERE —
+    * a tier that returns all ten hits in reverse order recalls 1.0
+    * but loses nDCG. Covers the WHOLE serving ladder like
+    * [[annRecall]] does — rerank/binary/lsh plus the quantized tiers
+    * (pq, ivfpq, ivfpq_norm) and the JL reduction (rp) — so the
+    * ranking-quality story is measured everywhere the recall story
+    * is. The oracle embeds the same integer tables, generated from
+    * the same Scala functions, and reuses each tier's full replay. */
   val retrievalMetricsQ: Q = (s, d) => {
     val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
     val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
@@ -4855,11 +4859,32 @@ object Extensions {
         .withColumn("method", lit(method))
         .select(col("method"), col("q_id"), col("n_rel"), col("mrr_micro"),
           col("dcg_micro"), col("idcg_micro"), col("ndcg_bp"))
+    val pqBooks = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, m = PQ_M, codes = PQ_CODES, iters = PQ_ITERS)
+    val (ivfpqCoarse, ivfpqBooks) = Similarity.ivfPqIndex(emb, "vec_id",
+      "embedding", dims = EMB_DIMS, cells = IVFPQ_CELLS,
+      cellIters = IVFPQ_CELL_ITERS, m = PQ_M, codes = IVFPQ_CODES,
+      pqIters = PQ_ITERS)
+    val (embN, qsN) = normalizedEmbQueries(emb, qs)
+    val (normCoarse, normBooks) = Similarity.ivfPqIndex(embN, "vec_id",
+      "embedding", dims = EMB_DIMS, cells = IVFPQ_CELLS,
+      cellIters = IVFPQ_CELL_ITERS, m = PQ_M, codes = IVFPQ_CODES,
+      pqIters = PQ_ITERS, scale = 1.0)
     m("rerank", Similarity.quantizedRerankTopK(emb, qs, coarseK = 50, k = 10))
       .unionByName(m("binary", Similarity.binaryRerankTopK(emb, qs,
         coarseK = 50, k = 10, dims = EMB_DIMS)))
       .unionByName(m("lsh", Similarity.lshTopK(emb, qs, k = 10,
         bits = ANN_BITS, dims = EMB_DIMS)))
+      .unionByName(m("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
+        coarseK = PQ_COARSE)))
+      .unionByName(m("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
+        ivfpqCoarse, ivfpqBooks, nprobe = IVFPQ_NPROBE,
+        coarseK = PQ_COARSE)))
+      .unionByName(m("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
+        normCoarse, normBooks, nprobe = IVFPQ_NORM_NPROBE,
+        coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)))
+      .unionByName(m("rp", Similarity.rpTopK(emb, qs, k = 10,
+        outDims = RP_OUT, dims = EMB_DIMS, coarseK = RP_COARSE)))
   }
 
   val retrievalMetricsSql: String = {
@@ -4888,12 +4913,18 @@ object Extensions {
         "JOIN idt it ON it.n = gc.ngt"
     s"WITH bf AS MATERIALIZED ($embedTopKSql), rr AS ($annRerankSql), " +
       s"bq AS ($embedBinarySql), lsh AS ($embedAnnSql), " +
+      s"pqt AS ($embedPqSql), ivfpq AS ($embedIvfPqSql), " +
+      s"ivfpqn AS ($embedIvfPqNormSql), rpt AS ($embedRpSql), " +
       s"dt AS (SELECT * FROM (VALUES $dt) t(pos, rel, v)), " +
       s"idt AS (SELECT * FROM (VALUES $idt) t(n, v)), " +
       s"rrt AS (SELECT * FROM (VALUES $rrt) t(r, v)), " +
       "gc AS MATERIALIZED (SELECT q_id, count(*) AS ngt FROM bf GROUP BY q_id), " +
       s"m AS ((${metrics("rerank", "rr")}) UNION ALL " +
-      s"(${metrics("binary", "bq")}) UNION ALL (${metrics("lsh", "lsh")})) " +
+      s"(${metrics("binary", "bq")}) UNION ALL (${metrics("lsh", "lsh")}) " +
+      s"UNION ALL (${metrics("pq", "pqt")}) " +
+      s"UNION ALL (${metrics("ivfpq", "ivfpq")}) " +
+      s"UNION ALL (${metrics("ivfpq_norm", "ivfpqn")}) " +
+      s"UNION ALL (${metrics("rp", "rpt")})) " +
       "SELECT method, q_id, n_rel, mrr_micro, dcg_micro, " +
       "CAST(idcg_micro AS BIGINT) AS idcg_micro, " +
       "CAST(dcg_micro * 10000 // idcg_micro AS BIGINT) AS ndcg_bp FROM m"
