@@ -120,6 +120,78 @@ object Dedup {
       .drop("_fp", "_t", "_gap")
   }
 
+  /** The TTL chain's store-append record: each fingerprint's LATEST
+    * observation time in this batch — OBSERVATIONS, not survivors,
+    * advance a gap-sessionization chain (a within-window repeat drops
+    * but still resets the freshness clock), which is why the store
+    * tracks max(ts) per fp rather than survivor rows. Append-only
+    * layout: the reader folds max(last_ts) per fp across partitions
+    * (max is the fold of the monotone chain, so append + fold ≡ the
+    * running state). Same NULL-timestamp fail-loud as
+    * [[ttlExactDedup]]. */
+  def ttlStoreRecords(df: DataFrame, textCol: String,
+      tsCol: String): DataFrame =
+    df.select(fingerprintMd5(col(textCol)).as("fp"),
+        when(col(tsCol).isNull, raise_error(lit(
+          "ttlStoreRecords: NULL timestamp has no position in a " +
+            "freshness window — fill or filter upstream")).cast("long"))
+          .otherwise(unix_micros(col(tsCol))).as("_t"))
+      .groupBy(col("fp")).agg(max(col("_t")).as("last_ts"))
+
+  /** INCREMENTAL TTL dedup (X203) — the cross-snapshot form of
+    * [[ttlExactDedup]], seeding each fingerprint's in-batch session
+    * chain with the STORE's last observation: a batch row survives
+    * iff its gap to the fp's previous observation (the in-batch lag,
+    * or the stored `last_ts` for the fp's first in-batch row) exceeds
+    * ttl. With an empty store this IS [[ttlExactDedup]] (spec-pinned),
+    * and batch-then-increment equals the one-shot batch over the
+    * concatenation whenever batches arrive in event-time order.
+    *
+    * That ordering is the contract, ENFORCED fail-loud riding the row
+    * filter: a batch row older than its fingerprint's stored last
+    * observation is out-of-order arrival the monotone chain cannot
+    * rewrite (the stored max would have to be undone) — raise, don't
+    * silently mis-session. Ties (equal micros) are in-window repeats,
+    * not disorder.
+    *
+    * Scale shape: one fp-keyed pinned shuffle-hash join against the
+    * (fp, last_ts) store — 24-byte rows, history never rescanned —
+    * plus [[ttlExactDedup]]'s single fp-keyed window. */
+  def incrementalTtlDedup(newDocs: DataFrame, store: DataFrame,
+      textCol: String, idCol: String, tsCol: String,
+      ttlSeconds: Long): DataFrame = {
+    require(ttlSeconds >= 1,
+      s"incrementalTtlDedup: ttlSeconds must be >= 1, got $ttlSeconds")
+    require(Set("fp", "last_ts").subsetOf(store.columns.toSet),
+      s"incrementalTtlDedup: store must carry (fp, last_ts) — " +
+        s"ttlStoreRecords' schema — got ${store.columns.mkString(", ")}")
+    val clash = newDocs.columns.filter(Set("_fp", "_t", "_st", "_prev"))
+    require(clash.isEmpty,
+      s"incrementalTtlDedup: input columns ${clash.mkString(", ")} " +
+        "collide with internal markers")
+    val w = Window.partitionBy(col("_fp"))
+      .orderBy(col("_t").asc, col(idCol).asc)
+    newDocs.withColumn("_fp", fingerprintMd5(col(textCol)))
+      .withColumn("_t",
+        when(col(tsCol).isNull, raise_error(lit(
+          "incrementalTtlDedup: NULL timestamp has no position in a " +
+            "freshness window — fill or filter upstream")).cast("long"))
+          .otherwise(unix_micros(col(tsCol))))
+      .join(store.select(col("fp").as("_fp"), col("last_ts").as("_st"))
+        .hint("shuffle_hash"), Seq("_fp"), "left")
+      .filter(when(col("_st").isNotNull && col("_t") < col("_st"),
+        raise_error(lit(
+          "incrementalTtlDedup: batch row is older than its " +
+            "fingerprint's stored last observation — out-of-order " +
+            "arrival cannot extend a monotone freshness chain"))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumn("_prev", coalesce(lag(col("_t"), 1).over(w), col("_st")))
+      .filter(col("_prev").isNull ||
+        col("_t") - col("_prev") > ttlSeconds * 1000000L)
+      .drop("_fp", "_t", "_st", "_prev")
+  }
+
   /** Incremental (cross-snapshot) exact dedup — the INGESTION-time
     * shape of a 100 TB pipeline: a new batch dedups against the
     * already-ingested corpus represented ONLY by its content

@@ -318,6 +318,59 @@ object Extensions {
       "WHERE pt IS NULL OR t - pt > 86400000000"
   }
 
+  /** Streaming TTL dedup (X203): the q_ttl_dedup freshness rule run
+    * through the real foreachBatch composition with a TIME-split
+    * store hand-off — events before 2024-01-15 bootstrap the
+    * (fp, last_ts) observation store under batch=-1, the rest streams
+    * to AvailableNow completion and sessions against the STORED last
+    * observations (a time split, not an id split, because the
+    * monotone-chain contract fails loud on out-of-order arrival).
+    * Single-file source → one micro-batch; the cross-batch
+    * expiry-readmission and observation-advance laws are pinned by
+    * StreamingSpec with an explicit two-run checkpoint chain. The
+    * oracle replays the seeded gap rule: per-fp max prior observation
+    * + coalesce(lag, prior) over the late slice. */
+  private val TTL_SPLIT_MICROS = 1705276800000000L // 2024-01-15T00:00:00Z
+
+  val streamTtlDedup: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-sttl")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-ttlstore").toString
+    val early = Tables.events(s, d)
+      .filter(unix_micros(col("ts")) < TTL_SPLIT_MICROS)
+    Dedup.ttlStoreRecords(early, "props", "ts")
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val src = EventsStreaming.readDriverEventsStream(s, s"$d/events.parque[t]")
+      .filter(unix_micros(col("ts")) >= TTL_SPLIT_MICROS)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Double, String)]()
+    val q = EventsStreaming.streamingTtlDedup(src, storeDir,
+      "props", "event_id", "ts", ttlSeconds = 86400L) { (sv, _) =>
+      buf ++= sv.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3), r.getString(4)))
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally deleteRecursively(storeDir)
+    import s.implicits._
+    buf.toSeq.toDF("event_id", "user_id", "event_type", "value", "props")
+  }
+
+  val streamTtlDedupSql: String = {
+    val norm = "array_to_string(list_filter(regexp_split_to_array(" +
+      "lower(props), '\\s+'), x -> x <> ''), ' ')"
+    s"WITH f AS (SELECT event_id, user_id, event_type, value, props, " +
+      s"md5($norm) AS fp, epoch_us(ts) AS t FROM events), " +
+      s"prior AS (SELECT fp, max(t) AS st FROM f WHERE t < $TTL_SPLIT_MICROS GROUP BY fp), " +
+      s"l AS (SELECT f.*, prior.st FROM f LEFT JOIN prior USING (fp) WHERE f.t >= $TTL_SPLIT_MICROS), " +
+      "g AS (SELECT *, coalesce(lag(t) OVER (PARTITION BY fp ORDER BY t, event_id), st) AS pt FROM l) " +
+      "SELECT event_id, user_id, event_type, value, props FROM g " +
+      "WHERE pt IS NULL OR t - pt > 86400000000"
+  }
+
   /** Per-group distribution drift (X194): three ingest slices
     * (doc_id % 3) produce per-(source, batch) histogram partials on
     * n_chars; the keyed TV fold flags tenants whose value
@@ -6665,6 +6718,7 @@ object Extensions {
     "q_dist_drift_group" -> distDriftGroup,
     "q_dq_embed" -> dqEmbed,
     "q_ttl_dedup" -> ttlDedup,
+    "q_stream_ttl_dedup" -> streamTtlDedup,
     "q_schema_drift" -> schemaDrift,
     "q_neardup_recall" -> neardupRecall,
     "q_water_fill" -> waterFill,
@@ -6844,6 +6898,7 @@ object Extensions {
     "q_dist_drift_group" -> distDriftGroupSql,
     "q_dq_embed" -> dqEmbedSql,
     "q_ttl_dedup" -> ttlDedupSql,
+    "q_stream_ttl_dedup" -> streamTtlDedupSql,
     "q_schema_drift" -> schemaDriftSql,
     "q_neardup_recall" -> neardupRecallSql,
     "q_water_fill" -> waterFillSql,

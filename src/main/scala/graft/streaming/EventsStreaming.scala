@@ -311,6 +311,56 @@ object EventsStreaming {
         ()
     }
 
+  /** Streaming TTL dedup, micro-batch-composed (X203) — the always-on
+    * form of the freshness-aware dedup, the one dedup variant that
+    * previously had no streaming ladder: each micro-batch runs
+    * [[graft.operators.Dedup.incrementalTtlDedup]] against the folded
+    * (fp, last_ts) store — the fp's first in-batch row sessions
+    * against the STORED last observation, so a within-window repeat
+    * drops across any batch gap and a post-expiry re-arrival is
+    * READMITTED as fresh — and appends
+    * [[graft.operators.Dedup.ttlStoreRecords]] (the batch's per-fp
+    * max observation time: observations, not survivors, advance the
+    * chain). APPEND layout: the read folds max(last_ts) per fp across
+    * partitions, exact because the chain is monotone — which is also
+    * why out-of-order arrival fails loud inside the increment rather
+    * than silently mis-sessioning. Store contracts verbatim
+    * (batch=<id> partitions, self-excluded reads, per-batch
+    * overwrite retry idempotence, one-checkpoint-per-store lineage
+    * guard, negative-id bootstrap, pre-write localCheckpoint, scoped
+    * cache release). */
+  def streamingTtlDedup(docs: DataFrame, storePath: String,
+      textCol: String, idCol: String, tsCol: String, ttlSeconds: Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          val folded = storeForBatch(readTtlStore(spark, storePath), batchId)
+            .groupBy(col("fp")).agg(max(col("last_ts")).as("last_ts"))
+          // the batch feeds two plans (survivors + store records):
+          // checkpoint once so the source is read once and the records
+          // plan cannot observe the path its own write extends
+          val b = batch.toDF().localCheckpoint()
+          val survivors = Dedup.incrementalTtlDedup(b, folded,
+            textCol, idCol, tsCol, ttlSeconds).localCheckpoint()
+          Dedup.ttlStoreRecords(b, textCol, tsCol)
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          sink(survivors, batchId)
+        }
+        ()
+    }
+
+  /** The TTL-dedup observation store (fp, last_ts — micros),
+    * empty-with-schema when the path does not exist yet; APPEND
+    * layout (fold max per fp on read), same narrow catch as
+    * [[readNearDupStore]]. */
+  def readTtlStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("fp", StringType),
+        StructField("last_ts", LongType))))
+
   /** Streaming incremental SEMANTIC dedup, micro-batch-composed
     * (X146) — the third member of the streaming increment family
     * (exact X145, near-dup X134): each micro-batch of embedded docs

@@ -1073,6 +1073,65 @@ class DedupSpec extends SparkSpec {
     graft.core.Caches.release(spark)
   }
 
+  test("incrementalTtlDedup: store-seeded sessions, observation-advance, readmission, guards") {
+    import org.apache.spark.sql.functions.{col => c}
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ttl = 100L
+    // empty store degrades to the batch operator exactly
+    val rows = Seq(
+      (1L, "alpha", ts(0)), (2L, "alpha", ts(50)), (3L, "alpha", ts(160)),
+      (4L, "beta", ts(10)))
+      .toDF("doc_id", "text", "ts")
+    val emptyStore = Seq.empty[(String, Long)].toDF("fp", "last_ts")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    assert(ids(Dedup.incrementalTtlDedup(rows, emptyStore,
+      "text", "doc_id", "ts", ttl)) ==
+      ids(Dedup.ttlExactDedup(rows, "text", "doc_id", "ts", ttl)))
+    // seeded store: alpha last observed at t=500
+    val store = Dedup.ttlStoreRecords(
+      Seq((0L, "alpha", ts(500))).toDF("doc_id", "text", "ts"),
+      "text", "ts")
+    // within-window repeat drops across the store hand-off; a
+    // post-expiry re-arrival is readmitted as fresh; a NON-surviving
+    // within-window observation still advances the chain (docs 11+12:
+    // 12 is > ttl after the STORE obs but only 60s after doc 11)
+    val batch = Seq(
+      (10L, "alpha", ts(550)),  // gap 50 <= ttl -> drop
+      (11L, "alpha", ts(590)),  // gap 40 to obs 550 -> drop
+      (12L, "alpha", ts(650)),  // gap 60 to obs 590 -> drop (150 > ttl vs store!)
+      (13L, "alpha", ts(800)),  // gap 150 to obs 650 -> readmitted
+      (14L, "gamma", ts(5)))    // fresh fp -> survives
+      .toDF("doc_id", "text", "ts")
+    assert(ids(Dedup.incrementalTtlDedup(batch, store,
+      "text", "doc_id", "ts", ttl)) == Set(13L, 14L))
+    // batch-then-increment == one-shot over the concatenation
+    val all = Seq((0L, "alpha", ts(500))).toDF("doc_id", "text", "ts")
+      .unionByName(batch)
+    assert(ids(Dedup.incrementalTtlDedup(batch, store,
+      "text", "doc_id", "ts", ttl)) + 0L ==
+      ids(Dedup.ttlExactDedup(all, "text", "doc_id", "ts", ttl)))
+    // out-of-order arrival fails loud (the monotone-chain contract)
+    val late = Seq((20L, "alpha", ts(400))).toDF("doc_id", "text", "ts")
+    val e = intercept[Exception] {
+      Dedup.incrementalTtlDedup(late, store,
+        "text", "doc_id", "ts", ttl).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("out-of-order"),
+      e.getMessage)
+    // equal-micros tie is an in-window repeat, not disorder
+    val tie = Seq((21L, "alpha", ts(500))).toDF("doc_id", "text", "ts")
+    assert(ids(Dedup.incrementalTtlDedup(tie, store,
+      "text", "doc_id", "ts", ttl)).isEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalTtlDedup(batch, store.drop("last_ts"),
+        "text", "doc_id", "ts", ttl)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalTtlDedup(batch, store, "text", "doc_id", "ts", 0L)
+    }
+  }
+
   test("canonicalByScore: fractional score type fails loud (truncation would flip picks)") {
     val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
     // 1.9 vs 1.2 would truncate to a 1-vs-1 tie and min-id would pick

@@ -955,6 +955,57 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == Set((1L, 10L, 20L)))
   }
 
+  test("streaming TTL dedup: cross-batch expiry readmission, observation-advance, store fold") {
+    val base = Files.createTempDirectory("graft-ttlstream-spec").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/ttl"
+    val ttl = 100L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    // bootstrap: alpha observed at t=0 (batch=-1)
+    graft.operators.Dedup.ttlStoreRecords(
+      Seq((0L, "alpha", ts(0))).toDF("doc_id", "text", "ts"), "text", "ts")
+      .write.parquet(s"$store/batch=-1")
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingTtlDedup(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "text", "doc_id", "ts", ttl) { (sv, _) =>
+        got ++= sv.select("doc_id").as[Long].collect()
+      }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 0: within-window repeat vs the BOOTSTRAP -> drops, but its
+    // observation advances the chain; a fresh fp survives
+    Seq((1L, "alpha", ts(80)), (2L, "beta", ts(10)))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$srcDir/f1")
+    runOnce()
+    // batch 1: alpha at t=150 is >ttl after the bootstrap (t=0) but
+    // only 70s after batch 0's NON-SURVIVING observation (t=80) ->
+    // still a dup (the store tracks observations, not survivors);
+    // alpha at t=300 is >ttl after t=150 -> READMITTED after expiry
+    Seq((3L, "alpha", ts(150)), (4L, "alpha", ts(300)))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$srcDir/f2")
+    runOnce()
+    assert(got.toSet == Set(2L, 4L), s"got ${got.toSet}")
+    // the folded store carries each fp's LATEST observation
+    val folded = EventsStreaming.readTtlStore(spark, store)
+      .groupBy(col("fp")).agg(max(col("last_ts")).as("last_ts"))
+      .as[(String, Long)].collect().toMap
+    assert(folded.values.toSet == Set(300000000L, 10000000L),
+      s"folded store must hold max observation micros per fp: $folded")
+  }
+
   test("streaming IVF-PQ codes maintenance: frozen-index append across batches == rebuild") {
     import graft.operators.Similarity
     val base = Files.createTempDirectory("graft-ivfpqstream-spec").toString
