@@ -1,0 +1,1576 @@
+package graft.queries
+
+
+import graft.core.Caches.TrackedPersist
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
+import graft.streaming.EventsStreaming
+
+/** ANN serving-ladder and corpus-statistics gates: quantized tiers, filtered ANN, IVF-PQ store maintenance, mixing/sampling.
+  *
+  * Part of [[Extensions]]'s mixin chain (see [[ExtAllGates]]): the
+  * chain's linearization order IS the val-initialization order the
+  * original single-object layout had, so the "a val referencing a
+  * later val silently interpolates null" contract is unchanged --
+  * forward references stay `lazy val`, exactly as before the split.
+  * Members are `private[queries]` where the single object had
+  * `private` (trait-private would hide them from sibling traits);
+  * nothing else changed in the move.
+  */
+trait ExtSimilarityGates { this: ExtAllGates =>
+  // -------------------- corpus statistics / curation --------------------
+
+  /** TF-IDF top-5 terms per document (Corpus.tfIdfTopTerms): tf and df
+    * shuffles on short keys, df table broadcast, rank window bounded
+    * per document. Score rounded to 6dp BEFORE ranking on both sides
+    * so order and rank agree across engines. */
+  val tfidf: Q = (s, d) =>
+    graft.operators.Corpus.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", 5)
+
+  val tfidfSql: String =
+    s"WITH terms AS (SELECT doc_id, unnest($duckToksLower) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term), " +
+      "dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents), " +
+      "s AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df, " +
+      "round(tf.tf * ln(CAST(n_docs AS DOUBLE)/df), 6) AS score " +
+      "FROM tf JOIN dfr USING (term) CROSS JOIN n) " +
+      "SELECT doc_id, term, tf, df, score, rank FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s) " +
+      "WHERE rank <= 5"
+
+  /** Corpus vocabulary, top 200 terms (count desc, term asc). */
+  val vocab: Q = (s, d) =>
+    graft.operators.Corpus.vocabulary(Tables.documents(s, d), "text", 200)
+
+  val vocabSql: String =
+    s"WITH c AS (SELECT term, count(*) AS n FROM " +
+      s"(SELECT unnest($duckToksLower) AS term FROM documents) GROUP BY term) " +
+      "SELECT term, n, rank FROM " +
+      "(SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c) " +
+      "WHERE rank <= 200"
+
+  /** Vocabulary coverage (X193): the top-200 corpus vocabulary's
+    * OOV rate per source — the tokenizer-fit report a multi-tenant
+    * ingest publishes. The oracle replays the vocabulary build and
+    * the per-(source, term) coverage fold. */
+  val vocabCoverageQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Corpus.vocabCoverage(docs, "source", "text",
+      Corpus.vocabulary(docs, "text", topN = 200))
+  }
+
+  val vocabCoverageSql: String =
+    s"WITH c AS (SELECT term, count(*) AS n FROM " +
+      s"(SELECT unnest($duckToksLower) AS term FROM documents) GROUP BY term), " +
+      "v AS MATERIALIZED (SELECT term FROM " +
+      "(SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c) " +
+      "WHERE rank <= 200), " +
+      s"gc AS (SELECT source, term, count(*) AS n FROM " +
+      s"(SELECT source, unnest($duckToksLower) AS term FROM documents) GROUP BY source, term), " +
+      "agg AS (SELECT source, CAST(sum(gc.n) AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(sum(CASE WHEN v.term IS NULL THEN gc.n END), 0) AS BIGINT) AS n_oov " +
+      "FROM gc LEFT JOIN v ON gc.term = v.term GROUP BY source), " +
+      // group spine: token-less sources still report full coverage
+      "sp AS (SELECT DISTINCT source FROM documents) " +
+      "SELECT sp.source, coalesce(n_tokens, 0) AS n_tokens, coalesce(n_oov, 0) AS n_oov, " +
+      "CAST(CASE WHEN coalesce(n_tokens, 0) > 0 THEN (n_tokens - n_oov) * 10000 // n_tokens ELSE 10000 END AS BIGINT) AS coverage_bp " +
+      "FROM sp LEFT JOIN agg ON sp.source = agg.source"
+
+  /** Symmetric int8 embedding quantization; qvec emitted as a
+    * comma-joined string for engine-neutral rendering, rounding as
+    * floor(x + 0.5) which every engine computes identically. */
+  val embedQuant: Q = (s, d) =>
+    graft.operators.Similarity.quantizeInt8(
+      Tables.embeddings(s, d), "vec_id", "embedding")
+
+  val embedQuantSql: String =
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM v) " +
+      "SELECT vec_id, round(ma/127.0, 6) AS scale6, " +
+      "CASE WHEN ma > 0 THEN array_to_string(list_transform(e, x -> CAST(CAST(floor(x/(ma/127.0) + 0.5) AS BIGINT) AS VARCHAR)), ',') " +
+      "ELSE array_to_string(list_transform(e, x -> '0'), ',') END AS qvec FROM m"
+
+  /** Quantized top-k: both sides int8-quantized, candidate scores are
+    * EXACT integer dot products (ties common ⇒ the deterministic
+    * (score desc, vec_id asc) break is load-bearing), bounded-heap
+    * aggregator shuffle. Oracle uses list_dot_product on the same
+    * integer codes — exact ≤ 2^53, so CAST to BIGINT loses nothing. */
+  val quantTopK: Q = (s, d) =>
+    graft.operators.Similarity.quantizedTopK(
+      Tables.embeddings(s, d), queriesDf(s, d), k = 10)
+
+  val quantTopKSql: String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "m AS (SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) AS ma FROM e), " +
+      "qz AS (SELECT vec_id, CASE WHEN ma > 0 THEN list_transform(ed, x -> CAST(floor(x/(ma/127.0)+0.5) AS BIGINT)) " +
+      "ELSE list_transform(ed, x -> CAST(0 AS BIGINT)) END AS code FROM m), " +
+      "q AS (SELECT vec_id AS q_id, code AS qq FROM qz WHERE vec_id % 50 = 0), " +
+      "sc AS (SELECT q_id, qz.vec_id AS vec_id, CAST(list_dot_product(code, qq) AS BIGINT) AS score FROM qz, q), " +
+      "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
+
+  /** Two-stage ANN serving (X7c): int8-quantized coarse top-50 per
+    * query, exact float-cosine re-rank to top-10 — the cheap-filter /
+    * exact-refine shape every billion-vector serving stack uses. Both
+    * stages individually oracled elsewhere (q_quant_topk,
+    * q_embed_topk); here the composition is hash-verified end-to-end. */
+  val annRerank: Q = (s, d) =>
+    graft.operators.Similarity.quantizedRerankTopK(
+      Tables.embeddings(s, d), queriesDf(s, d), coarseK = 50, k = 10)
+
+  val annRerankSql: String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "m AS (SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) AS ma FROM e), " +
+      "qz AS (SELECT vec_id, CASE WHEN ma > 0 THEN list_transform(ed, x -> CAST(floor(x/(ma/127.0)+0.5) AS BIGINT)) " +
+      "ELSE list_transform(ed, x -> CAST(0 AS BIGINT)) END AS code FROM m), " +
+      "q AS (SELECT vec_id AS q_id, code AS qq FROM qz WHERE vec_id % 50 = 0), " +
+      "sc AS (SELECT q_id, qz.vec_id AS vec_id, CAST(list_dot_product(code, qq) AS BIGINT) AS s FROM qz, q), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM sc) WHERE rk <= 50), " +
+      "qf AS (SELECT vec_id AS q_id, ed AS qv FROM e WHERE vec_id % 50 = 0), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, qf.qv)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(qf.qv, qf.qv))), 6) AS score " +
+      "FROM co JOIN e ON e.vec_id = co.vec_id JOIN qf ON qf.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+
+  /** Binary (sign-bit) quantization ANN tier (X162): the 1-bit rung of
+    * the quantization ladder — corpus codes pack to ⌈dims/64⌉ BIGINT
+    * words (32× smaller than float32), the coarse pass counts
+    * agreeing sign bits via xor+popcount, and exact float cosine
+    * reranks the coarseK survivors. The code is a sign COMPARISON,
+    * bit-identical on any engine with no rounding contract at all. */
+  val embedBinary: Q = (s, d) =>
+    graft.operators.Similarity.binaryRerankTopK(
+      Tables.embeddings(s, d), queriesDf(s, d), coarseK = 50, k = 10,
+      dims = EMB_DIMS)
+
+  /** Packed sign-bit word: bit d set iff embedding[d+1] ≥ 0 — the
+    * 64 OR-terms chunked 8-wide (DuckDB binder depth). */
+  private[queries] def duckBinaryCode(vecExpr: String): String = {
+    val terms = (0 until EMB_DIMS).map { dd =>
+      s"(CASE WHEN $vecExpr[${dd + 1}] >= 0 THEN CAST(${java.lang.Long.toString(1L << (dd % 64))} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    terms.grouped(8).map(_.mkString("(", " | ", ")")).mkString("(", " | ", ")")
+  }
+
+  private[queries] def embedBinarySqlAt(coarseK: Int,
+      predSql: String = "TRUE"): String =
+    s"WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed, ${duckBinaryCode("embedding")} AS code FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, ed AS qd, code AS qc FROM e WHERE vec_id % 50 = 0), " +
+      s"sc AS (SELECT q_id, e.vec_id AS vec_id, $EMB_DIMS - bit_count(xor(e.code, q.qc)) AS s FROM e, q WHERE ($predSql)), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
+      s"(PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM sc) WHERE rk <= $coarseK), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, q.qd)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(q.qd, q.qd))), 6) AS score " +
+      "FROM co JOIN e ON e.vec_id = co.vec_id JOIN q ON q.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+
+  val embedBinarySql: String = embedBinarySqlAt(50)
+
+  /** Product-quantization ANN tier (X150): per-sub-space codebooks
+    * trained with the exact fixed-point k-means, corpus encoded to
+    * m=4 sub-codes map-side, per-query integer ADC lookup tables,
+    * coarse top-50 by LUT sums, float-cosine rerank to top-10. The
+    * oracle unrolls FOUR independent k-means CTE chains (one per
+    * sub-space, prefixed) and scores via list_dot_product of each
+    * vector's assigned codeword against the query's quantized
+    * sub-vector — the same exact integers the Spark LUT holds. */
+  // measured sweep at sf0.01 (PLANS.md): recall@10 vs config —
+  // (m=4,codes=8,coarse=50) 0.52 · (4,16,50) 0.66 · (4,8,100) 0.72 ·
+  // (4,16,100) 0.81 · (8,8,50) 0.57 · (4,4,50) 0.48. Shipped: 16
+  // codes/sub at the 10%-of-corpus coarse budget — the best
+  // same-candidate-cost point; raising coarseK is the runtime knob.
+  private[queries] val PQ_M = 4
+  private[queries] val PQ_CODES = 16
+  private[queries] val PQ_ITERS = 2
+  private[queries] val PQ_COARSE = 50
+
+  val embedPq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, m = PQ_M, codes = PQ_CODES, iters = PQ_ITERS)
+    Similarity.pqTopK(emb, queriesDf(s, d), k = 10, books,
+      coarseK = PQ_COARSE)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  val embedPqSql: String = {
+    val sub = EMB_DIMS / PQ_M
+    val chains = (0 until PQ_M).map { i =>
+      kmeansCtes(PQ_CODES, PQ_ITERS, finalAssign = true,
+        src = s"(SELECT vec_id, list_slice(embedding, ${i * sub + 1}, ${(i + 1) * sub}) AS embedding FROM embeddings)",
+        prefix = s"p$i")
+    }.mkString(", ")
+    val cm = (0 until PQ_M).map(i =>
+      s"cm$i AS MATERIALIZED (SELECT a.vec_id, c.cv FROM p${i}a$PQ_ITERS a " +
+        s"JOIN p${i}c${PQ_ITERS - 1} c ON a.c = c.c)").mkString(", ")
+    val qm = (0 until PQ_M).map(i =>
+      s"qm$i AS MATERIALIZED (SELECT vec_id AS q_id, qv FROM p${i}q " +
+        "WHERE vec_id % 50 = 0)").mkString(", ")
+    val dotSum = (0 until PQ_M).map(i =>
+      s"list_dot_product(c$i.cv, q$i.qv)").mkString(" + ")
+    val joinsC = (1 until PQ_M).map(i =>
+      s"JOIN cm$i c$i ON c$i.vec_id = c0.vec_id").mkString(" ")
+    val joinsQ = (1 until PQ_M).map(i =>
+      s"JOIN qm$i q$i ON q$i.q_id = q0.q_id").mkString(" ")
+    s"WITH $chains, $cm, $qm, " +
+      s"sc AS (SELECT q0.q_id, c0.vec_id, CAST($dotSum AS BIGINT) AS s " +
+      s"FROM cm0 c0 $joinsC CROSS JOIN qm0 q0 $joinsQ), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM sc) " +
+      s"WHERE rk <= $PQ_COARSE), " +
+      "cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "qf AS (SELECT vec_id AS q_id, ed AS qd FROM cd WHERE vec_id % 50 = 0), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, qf.qd)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(qf.qd, qf.qd))), 6) AS score " +
+      "FROM co JOIN cd e ON e.vec_id = co.vec_id JOIN qf ON qf.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+  }
+
+  /** IVF-PQ (X151): the composed serving index — coarse cells shard
+    * the corpus, PQ codebooks quantize the RESIDUALS, and a query
+    * probes only its nprobe nearest cells with an integer
+    * asymmetric-distance LUT per probed cell. The oracle chains the
+    * coarse k-means CTEs, an exact-integer residual CTE, FOUR
+    * residual-domain k-means chains at quant scale 1.0, and the
+    * probe/LUT/rerank joins. */
+  private[queries] val IVFPQ_CELLS = 8
+  private[queries] val IVFPQ_CELL_ITERS = 2
+  private[queries] val IVFPQ_NPROBE = 2
+  private[queries] val IVFPQ_CODES = 16
+
+  val embedIvfPq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, cells = IVFPQ_CELLS, cellIters = IVFPQ_CELL_ITERS,
+      m = PQ_M, codes = IVFPQ_CODES, pqIters = PQ_ITERS)
+    Similarity.ivfPqTopK(emb, queriesDf(s, d), k = 10, coarse, books,
+      nprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  private[queries] def embedIvfPqSqlAt(predSql: String = "TRUE",
+      nprobe: Int = IVFPQ_NPROBE): String = {
+    val sub = EMB_DIMS / PQ_M
+    def sqs(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val gFin = s"ga$IVFPQ_CELL_ITERS"
+    val gCents = s"gc${IVFPQ_CELL_ITERS - 1}"
+    val coarseChain = kmeansCtes(IVFPQ_CELLS, IVFPQ_CELL_ITERS,
+      finalAssign = true, prefix = "g")
+    val residChains = (0 until PQ_M).map { i =>
+      kmeansCtes(IVFPQ_CODES, PQ_ITERS, finalAssign = true,
+        src = s"(SELECT vec_id, list_slice(rv, ${i * sub + 1}, ${(i + 1) * sub}) AS embedding FROM rv)",
+        prefix = s"r$i", qscale = "1.0")
+    }.mkString(", ")
+    val cm = (0 until PQ_M).map(i =>
+      s"cm$i AS MATERIALIZED (SELECT a.vec_id, c.cv FROM r${i}a$PQ_ITERS a " +
+        s"JOIN r${i}c${PQ_ITERS - 1} c ON a.c = c.c)").mkString(", ")
+    val joinsC = (1 until PQ_M).map(i =>
+      s"JOIN cm$i c$i ON c$i.vec_id = v.vec_id").mkString(" ")
+    val distSum = (0 until PQ_M).map(i =>
+      sqs(s"list_slice(qp.qr, ${i * sub + 1}, ${(i + 1) * sub})", s"c$i.cv"))
+      .mkString(" + ")
+    s"WITH $coarseChain, " +
+      // exact integer residual of every vector vs its assigned centroid
+      s"rv AS MATERIALIZED (SELECT a.vec_id, a.c AS cell, " +
+      s"list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] - c.cv[i]) AS rv " +
+      s"FROM $gFin a JOIN $gCents c ON a.c = c.c), " +
+      s"$residChains, $cm, " +
+      // query side: nprobe nearest cells by the same integer argmin,
+      // residual per probed cell
+      s"qp AS MATERIALIZED (SELECT q_id, cell, " +
+      "list_transform(generate_series(1, len(qv)), i -> qv[i] - cv[i]) AS qr FROM " +
+      "(SELECT q.vec_id AS q_id, q.qv, c.c AS cell, c.cv, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqs("q.qv", "c.cv")}, c.c) AS rn " +
+      s"FROM gq q CROSS JOIN $gCents c WHERE q.vec_id % 50 = 0) WHERE rn <= $nprobe), " +
+      // probe = keyed join on cell; ADC distance = sum of per-sub
+      // sqdists of the query residual vs each vector's codewords
+      s"sc AS (SELECT qp.q_id, v.vec_id, CAST($distSum AS BIGINT) AS s " +
+      s"FROM rv v JOIN cm0 c0 ON c0.vec_id = v.vec_id $joinsC " +
+      "JOIN qp ON qp.cell = v.cell " +
+      s"JOIN embeddings em ON em.vec_id = v.vec_id WHERE ($predSql)), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY s ASC, vec_id ASC) AS rk FROM sc) " +
+      s"WHERE rk <= $PQ_COARSE), " +
+      "cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "qf AS (SELECT vec_id AS q_id, ed AS qd FROM cd WHERE vec_id % 50 = 0), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, qf.qd)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(qf.qd, qf.qd))), 6) AS score " +
+      "FROM co JOIN cd e ON e.vec_id = co.vec_id JOIN qf ON qf.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+  }
+
+  val embedIvfPqSql: String = embedIvfPqSqlAt()
+
+  /** FILTERED (predicate-constrained) ANN top-k (X198) — the most
+    * common real retrieval call: top-k among rows satisfying a
+    * metadata predicate, here over the corpus `label` at two
+    * selectivities (~50% `label % 2 = 0` and ~10% `label = 3`).
+    * PRE-filter semantics on both tiers: the binary tier pushes the
+    * predicate into the corpus scan before coding
+    * ([[Similarity.filteredBinaryRerankTopK]]); the IVF-PQ tier
+    * filters its pre-encoded codes STORE — label denormalized into
+    * the store row at encode time via `metaCols`, so the filter is a
+    * parquet scan predicate, zero joins — then probes
+    * ([[Similarity.filteredIvfPqTopKFromCodes]]). Index trained on
+    * the FULL corpus (a shared store must serve every predicate);
+    * exact-rerank contract untouched; the oracle replays both
+    * pipelines with the same filter injected at the same stage.
+    *
+    * nprobe=4 (vs the unfiltered gate's 2) is MEASURED, not guessed:
+    * at nprobe=2 the filtered probe recalls 0.42/0.37 (even/l3 — the
+    * cell-recall ceiling thins with the slice); at nprobe=4 it's
+    * 0.60/0.68, the selective predicate now BEATING the broad one
+    * exactly as the coarseK-vs-slice theory predicts. A filtered
+    * probe should widen its cell budget as selectivity rises — that
+    * is the serving guidance this pair of gates puts on record. */
+  private[queries] val FILT_NPROBE = 4
+
+  val filteredAnn: Q = (s, d) => {
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, cells = IVFPQ_CELLS, cellIters = IVFPQ_CELL_ITERS,
+      m = PQ_M, codes = IVFPQ_CODES, pqIters = PQ_ITERS)
+    val codes = graft.core.Caches.persistTracked(
+      Similarity.ivfPqCodes(emb, "vec_id", "embedding", coarse, books,
+        metaCols = Seq("label")))
+    def tiers(name: String, pred: org.apache.spark.sql.Column) =
+      Similarity.filteredBinaryRerankTopK(emb, qs, pred, coarseK = 50,
+          k = 10, dims = EMB_DIMS)
+        .withColumn("method", lit(s"binary_$name"))
+        .unionByName(
+          Similarity.filteredIvfPqTopKFromCodes(codes, emb, qs, k = 10,
+            coarse, books, nprobe = FILT_NPROBE, coarseK = PQ_COARSE, pred)
+            .withColumn("method", lit(s"ivfpq_$name")))
+    tiers("even", col("label") % 2 === 0)
+      .unionByName(tiers("l3", col("label") === 3))
+      .select(col("method"), col("q_id"), col("vec_id"), col("score"),
+        col("rank"))
+  }
+
+  val filteredAnnSql: String = {
+    def tier(name: String, binPred: String, ivfPred: String) =
+      s"SELECT 'binary_$name' AS method, * FROM (${embedBinarySqlAt(50, binPred)}) " +
+        s"UNION ALL SELECT 'ivfpq_$name' AS method, * FROM (${embedIvfPqSqlAt(ivfPred, FILT_NPROBE)})"
+    tier("even", "e.label % 2 = 0", "em.label % 2 = 0") +
+      " UNION ALL " + tier("l3", "e.label = 3", "em.label = 3")
+  }
+
+  /** INCREMENTAL IVF-PQ serving-store maintenance (X200) — the X116
+    * frozen-quantizer contract extended to the serving index: the
+    * index trains ONCE on the full corpus, the %3 == 0 slice
+    * bootstraps the codes store, the rest arrives as an increment
+    * (map-side encode + guarded append — zero corpus-sized work), and
+    * the gate probes the MERGED store. The oracle is the full-rebuild
+    * X151 replay verbatim: merged-store probe ≡ rebuild probe is the
+    * whole contract, so the strongest possible oracle is the rebuild
+    * itself. Retraction and index refresh (re-encode from the rerank
+    * vector table under new codebooks) are spec-pinned in
+    * SimilaritySpec. */
+  val incrementalIvfPq: Q = (s, d) => {
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, cells = IVFPQ_CELLS, cellIters = IVFPQ_CELL_ITERS,
+      m = PQ_M, codes = IVFPQ_CODES, pqIters = PQ_ITERS)
+    val boot = Similarity.ivfPqCodes(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", coarse, books)
+    val merged = Similarity.incrementalIvfPqCodes(boot,
+      emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      coarse, books)
+    Similarity.ivfPqTopKFromCodes(merged, emb, queriesDf(s, d), k = 10,
+      coarse, books, nprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  val incrementalIvfPqSql: String = embedIvfPqSqlAt()
+
+  /** Streaming IVF-PQ codes maintenance (X201): the X200 split run
+    * through the REAL foreachBatch composition — frozen index trained
+    * on the full corpus, store bootstrapped under batch=-1, the rest
+    * streams to AvailableNow completion, then the gate probes the
+    * store the stream grew. Single-file source → one micro-batch, so
+    * the store equals the batch increment's and the full-rebuild
+    * oracle is reused verbatim; the multi-batch hand-off is pinned by
+    * StreamingSpec with an explicit two-run checkpoint chain. */
+  val streamIvfPqCodes: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-sipq")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-ivfpqcodes").toString
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, cells = IVFPQ_CELLS, cellIters = IVFPQ_CELL_ITERS,
+      m = PQ_M, codes = IVFPQ_CODES, pqIters = PQ_ITERS)
+    Similarity.ivfPqCodes(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", coarse, books)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val src = s.readStream.schema(embSchema).parquet(s"$d/embeddings.parque[t]")
+      .filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val q = EventsStreaming.streamingIncrementalIvfPqCodes(
+      src, storeDir, coarse, books) { (_, _) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      runStreamThenCleanCkpt(q, ckpt)
+      // result computed EAGERLY so the temp store can be deleted
+      // before the driver consumes the frame
+      Similarity.ivfPqTopKFromCodes(
+          s.read.option("basePath", storeDir).parquet(storeDir)
+            .select(col("vec_id"), col("cell"), col("codes")),
+          emb, queriesDf(s, d), k = 10, coarse, books,
+          nprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE)
+        .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+        .localCheckpoint()
+    } finally deleteRecursively(storeDir)
+  }
+
+  val streamIvfPqCodesSql: String = embedIvfPqSqlAt()
+
+  /** Brute-force top-10 over the PREDICATE-FILTERED corpus slice —
+    * the ground truth the filtered tiers are measured against. */
+  private[queries] def filteredBruteSql(predSql: String): String =
+    "WITH c AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd FROM embeddings WHERE vec_id % 50 = 0), " +
+      s"sc AS (SELECT q_id, vec_id, $duckCos AS score FROM c, q WHERE ($predSql)), " +
+      "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
+
+  /** Filtered-ANN recall harness (X199) — recall@10 of each filtered
+    * tier against BRUTE FORCE OVER THE FILTERED SLICE, at both
+    * selectivities. This is the evidence the filter does not silently
+    * collapse recall: pre-filtering makes the coarse budget MORE
+    * generous relative to its slice as selectivity rises (coarseK
+    * candidates out of fewer qualifying rows), so the selective
+    * predicate's recall should match or beat the broad one — measured
+    * and hash-pinned rather than asserted. */
+  val filteredAnnRecall: Q = (s, d) => {
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, cells = IVFPQ_CELLS, cellIters = IVFPQ_CELL_ITERS,
+      m = PQ_M, codes = IVFPQ_CODES, pqIters = PQ_ITERS)
+    val codes = graft.core.Caches.persistTracked(
+      Similarity.ivfPqCodes(emb, "vec_id", "embedding", coarse, books,
+        metaCols = Seq("label")))
+    def forPred(name: String, pred: org.apache.spark.sql.Column) = {
+      val bf = graft.core.Caches.persistTracked(
+        Similarity.bruteForceTopK(emb.filter(pred), qs, k = 10))
+      def rec(m: String, ann: DataFrame) =
+        Similarity.recallAtK(bf, ann).withColumn("method", lit(m))
+          .select(col("method"), col("q_id"), col("hits"), col("n"),
+            col("recall"))
+      rec(s"binary_$name",
+        Similarity.filteredBinaryRerankTopK(emb, qs, pred, coarseK = 50,
+          k = 10, dims = EMB_DIMS))
+        .unionByName(rec(s"ivfpq_$name",
+          Similarity.filteredIvfPqTopKFromCodes(codes, emb, qs, k = 10,
+            coarse, books, nprobe = FILT_NPROBE, coarseK = PQ_COARSE,
+            pred)))
+    }
+    forPred("even", col("label") % 2 === 0)
+      .unionByName(forPred("l3", col("label") === 3))
+  }
+
+  val filteredAnnRecallSql: String = {
+    def rec(method: String, bf: String, cte: String): String =
+      s"SELECT '$method' AS method, $bf.q_id, count($cte.vec_id) AS hits, count(*) AS n " +
+        s"FROM $bf LEFT JOIN $cte ON $bf.q_id = $cte.q_id AND $bf.vec_id = $cte.vec_id GROUP BY $bf.q_id"
+    s"WITH bfe AS MATERIALIZED (${filteredBruteSql("c.label % 2 = 0")}), " +
+      s"bf3 AS MATERIALIZED (${filteredBruteSql("c.label = 3")}), " +
+      s"bqe AS (${embedBinarySqlAt(50, "e.label % 2 = 0")}), " +
+      s"bq3 AS (${embedBinarySqlAt(50, "e.label = 3")}), " +
+      s"ive AS (${embedIvfPqSqlAt("em.label % 2 = 0", FILT_NPROBE)}), " +
+      s"iv3 AS (${embedIvfPqSqlAt("em.label = 3", FILT_NPROBE)}), " +
+      s"rec AS (${rec("binary_even", "bfe", "bqe")} " +
+      s"UNION ALL ${rec("ivfpq_even", "bfe", "ive")} " +
+      s"UNION ALL ${rec("binary_l3", "bf3", "bq3")} " +
+      s"UNION ALL ${rec("ivfpq_l3", "bf3", "iv3")}) " +
+      "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
+      "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
+  }
+
+  /** NORMALIZED-INGEST IVF-PQ (X153) — the ingest contract that
+    * resolves X151's documented L2-residual vs cosine-ground-truth
+    * metric question: corpus and queries L2-normalize at ingest via
+    * [[Similarity.normalizeFixedPoint]]'s exact-integer rounding
+    * contract, putting every vector on the ‖·‖ ≈ 10⁶ sphere where
+    * squared-L2 order EQUALS cosine order — so coarse cells, residual
+    * codebooks, and the ADC probe all rank by the metric the ground
+    * truth uses, for ANY input corpus. The index is
+    * [[Similarity.ivfPqIndex]] at scale 1.0 over the normalized
+    * integers (the residual chains' identity-pass trick end-to-end);
+    * the oracle prepends the normalization CTE and reruns the X151
+    * chain verbatim.
+    *
+    * MEASURED HONESTLY (AnnSweep, sf0.01, PLANS.md round-13): this
+    * corpus's embeddings ship exactly unit-norm, so normalization is
+    * value-neutral HERE (raw and normalized recall identical at every
+    * config) and r12's "normalize to close the 0.50 gap" hypothesis is
+    * refuted on this data — the real ceiling is the coarse quantizer's
+    * CELL recall on a near-isotropic corpus (top-10 cosine neighbors
+    * share the generator label only ~21% of the time, so neighbors
+    * scatter across cells). The measured trade is probe width:
+    * recall@10 0.40/0.55/0.69/0.79 at nprobe 1/2/4/8 with coarseK=100.
+    * Shipped config: nprobe=4, coarseK=100 — 0.69 recall at a 50%
+    * cell scan, the knee of the curve and materially above the r12
+    * 0.50 row at its same ≤4-probe budget. */
+  private[queries] val IVFPQ_NORM_NPROBE = 4
+  private[queries] val IVFPQ_NORM_COARSEK = 100
+
+  /** Shared normalization front for the X153 family: (corpus, queries)
+    * with embeddings replaced by their exact-integer L2-normalized
+    * form (as array<double> holding integers — the residual chains'
+    * convention for scale-1.0 inputs). Both frames persistTracked:
+    * normalizeFixedPoint is a nested aggregate/transform expression
+    * TREE, and without materialization it re-inlines into every
+    * downstream consumer (each k-means quantize, the residual frames,
+    * the rerank) — a fixed plan-cost multiplier at any data size,
+    * measured 8.9 s → materialized-cost at sf0.1 on the gate row. */
+  private[queries] def normalizedEmbQueries(emb: DataFrame,
+      qs: DataFrame): (DataFrame, DataFrame) = {
+    val embN = graft.core.Caches.persistTracked(
+      emb.select(col("vec_id"),
+        Similarity.normalizeFixedPoint(col("embedding"))
+          .cast("array<double>").as("embedding")))
+    val qsN = graft.core.Caches.persistTracked(
+      qs.select(col("q_id"),
+        Similarity.normalizeFixedPoint(col("q_vec"))
+          .cast("array<double>").as("q_vec")))
+    (embN, qsN)
+  }
+
+  val embedIvfPqNorm: Q = (s, d) => {
+    val (embN, qsN) = normalizedEmbQueries(
+      Tables.embeddings(s, d), queriesDf(s, d))
+    val (coarse, books) = Similarity.ivfPqIndex(embN, "vec_id", "embedding",
+      dims = EMB_DIMS, cells = IVFPQ_CELLS, cellIters = IVFPQ_CELL_ITERS,
+      m = PQ_M, codes = IVFPQ_CODES, pqIters = PQ_ITERS, scale = 1.0)
+    Similarity.ivfPqTopK(embN, qsN, k = 10, coarse, books,
+      nprobe = IVFPQ_NORM_NPROBE, coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  /** The exact-integer normalization as a DuckDB CTE: quantize at 1e6,
+    * then renormalize each element by sqrt of the exact integer Σq² —
+    * the [[Similarity.normalizeFixedPoint]] rounding contract, every
+    * step correctly-rounded IEEE over exactly-representable values. */
+  private[queries] val duckNormalizeCte: String =
+    "nz AS MATERIALIZED (SELECT vec_id, CASE WHEN s2 > 0 THEN " +
+      "list_transform(qv, q -> CAST(floor(CAST(q AS DOUBLE)*1000000.0/sqrt(CAST(s2 AS DOUBLE)) + 0.5) AS BIGINT)) " +
+      "ELSE qv END AS embedding FROM " +
+      "(SELECT vec_id, qv, CAST(list_sum(list_transform(qv, q -> q*q)) AS BIGINT) AS s2 FROM " +
+      "(SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qv FROM embeddings)))"
+
+  val embedIvfPqNormSql: String = {
+    val sub = EMB_DIMS / PQ_M
+    def sqs(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val gFin = s"ga$IVFPQ_CELL_ITERS"
+    val gCents = s"gc${IVFPQ_CELL_ITERS - 1}"
+    val coarseChain = kmeansCtes(IVFPQ_CELLS, IVFPQ_CELL_ITERS,
+      finalAssign = true, src = "nz", prefix = "g", qscale = "1.0")
+    val residChains = (0 until PQ_M).map { i =>
+      kmeansCtes(IVFPQ_CODES, PQ_ITERS, finalAssign = true,
+        src = s"(SELECT vec_id, list_slice(rv, ${i * sub + 1}, ${(i + 1) * sub}) AS embedding FROM rv)",
+        prefix = s"r$i", qscale = "1.0")
+    }.mkString(", ")
+    val cm = (0 until PQ_M).map(i =>
+      s"cm$i AS MATERIALIZED (SELECT a.vec_id, c.cv FROM r${i}a$PQ_ITERS a " +
+        s"JOIN r${i}c${PQ_ITERS - 1} c ON a.c = c.c)").mkString(", ")
+    val joinsC = (1 until PQ_M).map(i =>
+      s"JOIN cm$i c$i ON c$i.vec_id = v.vec_id").mkString(" ")
+    val distSum = (0 until PQ_M).map(i =>
+      sqs(s"list_slice(qp.qr, ${i * sub + 1}, ${(i + 1) * sub})", s"c$i.cv"))
+      .mkString(" + ")
+    s"WITH $duckNormalizeCte, $coarseChain, " +
+      s"rv AS MATERIALIZED (SELECT a.vec_id, a.c AS cell, " +
+      s"list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] - c.cv[i]) AS rv " +
+      s"FROM $gFin a JOIN $gCents c ON a.c = c.c), " +
+      s"$residChains, $cm, " +
+      s"qp AS MATERIALIZED (SELECT q_id, cell, " +
+      "list_transform(generate_series(1, len(qv)), i -> qv[i] - cv[i]) AS qr FROM " +
+      "(SELECT q.vec_id AS q_id, q.qv, c.c AS cell, c.cv, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqs("q.qv", "c.cv")}, c.c) AS rn " +
+      s"FROM gq q CROSS JOIN $gCents c WHERE q.vec_id % 50 = 0) WHERE rn <= $IVFPQ_NORM_NPROBE), " +
+      s"sc AS (SELECT qp.q_id, v.vec_id, CAST($distSum AS BIGINT) AS s " +
+      s"FROM rv v JOIN cm0 c0 ON c0.vec_id = v.vec_id $joinsC " +
+      "JOIN qp ON qp.cell = v.cell), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY s ASC, vec_id ASC) AS rk FROM sc) " +
+      s"WHERE rk <= $IVFPQ_NORM_COARSEK), " +
+      "cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM nz), " +
+      "qf AS (SELECT vec_id AS q_id, ed AS qd FROM cd WHERE vec_id % 50 = 0), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, qf.qd)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(qf.qd, qf.qd))), 6) AS score " +
+      "FROM co JOIN cd e ON e.vec_id = co.vec_id JOIN qf ON qf.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+  }
+
+  /** Johnson–Lindenstrauss random-projection ANN tier (X157): corpus
+    * and queries project map-side onto RP_OUT deterministic ±1 rows
+    * (exact BIGINT arithmetic over the fixed-point integers), coarse
+    * top-50 by exact integer dot in the 4×-smaller space, float-cosine
+    * rerank to top-10. The oracle embeds the SAME md5-derived sign
+    * matrix as a literal and replays the integer projection and dot
+    * exactly. */
+  // measured sweep at sf0.01 (PLANS.md): recall@10 0.24/0.39/0.54 at
+  // outDims=8 (coarseK 20/50/100), 0.31/0.49/0.66 at 16, 0.49/0.69/0.84
+  // at 32 — this corpus is near-isotropic, so JL needs ~dims/2 to keep
+  // cosine ORDER (the distortion bound protects distances, not ranks,
+  // and isotropy puts the true neighbors within the distortion).
+  // Shipped: 32/50 — 0.69 recall at 2× reduced coarse arithmetic.
+  private[queries] val RP_OUT = 32
+  private[queries] val RP_COARSE = 50
+
+  val embedRp: Q = (s, d) =>
+    Similarity.rpTopK(Tables.embeddings(s, d), queriesDf(s, d), k = 10,
+      outDims = RP_OUT, dims = EMB_DIMS, coarseK = RP_COARSE)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+
+  val embedRpSql: String = {
+    val matLit = (0 until RP_OUT).map(j =>
+      (0 until EMB_DIMS).map(d => Similarity.rpSign(j, d))
+        .mkString("[", ",", "]")).mkString("[", ",", "]")
+    "WITH e AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qv FROM embeddings), " +
+      s"rp AS MATERIALIZED (SELECT vec_id, list_transform($matLit, " +
+      "r -> CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*r[i])) AS BIGINT)) AS rv FROM e), " +
+      "q AS (SELECT vec_id AS q_id, rv AS qrv FROM rp WHERE vec_id % 50 = 0), " +
+      s"sc AS (SELECT q.q_id, rp.vec_id, CAST(list_sum(list_transform(generate_series(1, $RP_OUT), i -> rv[i]*qrv[i])) AS BIGINT) AS s " +
+      "FROM rp, q), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM sc) " +
+      s"WHERE rk <= $RP_COARSE), " +
+      "cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "qf AS (SELECT vec_id AS q_id, ed AS qd FROM cd WHERE vec_id % 50 = 0), " +
+      "re AS (SELECT co.q_id, co.vec_id, " +
+      "round(list_dot_product(e.ed, qf.qd)/(sqrt(list_dot_product(e.ed, e.ed))*sqrt(list_dot_product(qf.qd, qf.qd))), 6) AS score " +
+      "FROM co JOIN cd e ON e.vec_id = co.vec_id JOIN qf ON qf.q_id = co.q_id) " +
+      "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM re) " +
+      "WHERE rank <= 10"
+  }
+
+  /** MMR diversified top-k (X158): greedy maximal-marginal-relevance
+    * selection of 5 results from each query's 20 most-relevant
+    * candidates at λ=0.7 — all-integer MMR scores (1e-6-quantized
+    * cosines, integer λ percentage), so the greedy trajectory is
+    * engine-exact and the oracle unrolls the five selection steps as
+    * chained CTEs. */
+  private[queries] val MMR_K = 5
+  private[queries] val MMR_FETCH = 20
+  private[queries] val MMR_LAMBDA = 70
+
+  val mmrRerank: Q = (s, d) =>
+    Similarity.mmrTopK(Tables.embeddings(s, d), queriesDf(s, d),
+      k = MMR_K, fetchK = MMR_FETCH, lambdaPct = MMR_LAMBDA)
+
+  /** MMR over the BINARY ANN tier (X166) — the actual serving
+    * composition: the sign-bit coarse pass (xor+popcount over
+    * 32×-smaller codes) feeds exact-cosine-reranked fetchK candidates
+    * into the same all-integer greedy MMR selection. The candidate
+    * table arrives as (q_id, vec_id, rel6) — [[Similarity.mmrRerank]]
+    * never touches the corpus except the one keyed vector join, so
+    * swapping brute force for the binary tier changes ONLY the
+    * candidate scan cost (the 100 TB term). */
+  val mmrBinary: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    // binary tier: coarse top-50 by agreeing bits, exact cosine rerank
+    // to fetchK; score is the 6dp cosine — quantize to rel6 exactly
+    val cand = graft.operators.Similarity.binaryRerankTopK(
+      emb, queriesDf(s, d), coarseK = 50, k = MMR_FETCH, dims = EMB_DIMS)
+      .select(col("q_id"), col("vec_id"),
+        floor(col("score") * 1e6 + 0.5).cast("long").as("rel"))
+    Similarity.mmrRerank(emb, cand, k = MMR_K, lambdaPct = MMR_LAMBDA)
+  }
+
+  /** Same greedy unroll as [[mmrRerankSql]], with `cand` swapped from
+    * brute-force top-fetchK to the binary tier's coarse-50 →
+    * cosine-rerank-fetchK chain (the [[embedBinarySql]] stages). */
+  val mmrBinarySql: String = {
+    val lam = MMR_LAMBDA
+    val oneM = 100 - MMR_LAMBDA
+    def cosQ(a: String, b: String) =
+      s"CAST(floor(round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), 6)*1000000.0 + 0.5) AS BIGINT)"
+    val steps = (2 to MMR_K).map { n =>
+      val prev = (1 until n).map(i => s"SELECT q_id, vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"p$n AS MATERIALIZED ($prev), " +
+        s"s$n AS (SELECT q_id, vec_id, rel, mmr, $n AS step FROM (" +
+        s"SELECT c.q_id, c.vec_id, c.rel, $lam*c.rel - $oneM*coalesce(m.ms, 0) AS mmr, " +
+        s"row_number() OVER (PARTITION BY c.q_id ORDER BY $lam*c.rel - $oneM*coalesce(m.ms, 0) DESC, c.vec_id ASC) AS rk " +
+        s"FROM cand c LEFT JOIN (SELECT si.q_id, si.av, max(si.sim) AS ms " +
+        s"FROM sims si JOIN p$n p ON p.q_id = si.q_id AND p.vec_id = si.bv " +
+        "GROUP BY si.q_id, si.av) m ON m.q_id = c.q_id AND m.av = c.vec_id " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM p$n p2 WHERE p2.q_id = c.q_id AND p2.vec_id = c.vec_id)" +
+        ") WHERE rk = 1)"
+    }.mkString(", ")
+    val union = (1 to MMR_K).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed, ${duckBinaryCode("embedding")} AS code FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, ed AS qd, code AS qc FROM e WHERE vec_id % 50 = 0), " +
+      s"bs AS (SELECT q_id, e.vec_id AS vec_id, $EMB_DIMS - bit_count(xor(e.code, q.qc)) AS s FROM e, q), " +
+      "co AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk FROM bs) WHERE rk <= 50), " +
+      s"rr AS (SELECT co.q_id, co.vec_id, ${cosQ("e.ed", "q.qd")} AS rel " +
+      "FROM co JOIN e ON e.vec_id = co.vec_id JOIN q ON q.q_id = co.q_id), " +
+      "cand AS MATERIALIZED (SELECT q_id, vec_id, rel FROM (SELECT q_id, vec_id, rel, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id ASC) AS rk FROM rr) " +
+      s"WHERE rk <= $MMR_FETCH), " +
+      "cv AS MATERIALIZED (SELECT c.q_id, c.vec_id, e.ed FROM cand c JOIN e ON e.vec_id = c.vec_id), " +
+      "sims AS MATERIALIZED (SELECT a.q_id, a.vec_id AS av, b.vec_id AS bv, " +
+      s"${cosQ("a.ed", "b.ed")} AS sim FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id), " +
+      s"s1 AS (SELECT q_id, vec_id, rel, $lam*rel AS mmr, 1 AS step FROM (" +
+      s"SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id ORDER BY $lam*rel DESC, vec_id ASC) AS rk FROM cand) WHERE rk = 1), " +
+      s"$steps " +
+      s"SELECT q_id, vec_id, rel, mmr, CAST(step AS INT) AS step FROM ($union)"
+  }
+
+  val mmrRerankSql: String = {
+    val lam = MMR_LAMBDA
+    val oneM = 100 - MMR_LAMBDA
+    def cosQ(a: String, b: String) =
+      s"CAST(floor(round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), 6)*1000000.0 + 0.5) AS BIGINT)"
+    val steps = (2 to MMR_K).map { n =>
+      val prev = (1 until n).map(i => s"SELECT q_id, vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"p$n AS MATERIALIZED ($prev), " +
+        s"s$n AS (SELECT q_id, vec_id, rel, mmr, $n AS step FROM (" +
+        s"SELECT c.q_id, c.vec_id, c.rel, $lam*c.rel - $oneM*coalesce(m.ms, 0) AS mmr, " +
+        s"row_number() OVER (PARTITION BY c.q_id ORDER BY $lam*c.rel - $oneM*coalesce(m.ms, 0) DESC, c.vec_id ASC) AS rk " +
+        s"FROM cand c LEFT JOIN (SELECT si.q_id, si.av, max(si.sim) AS ms " +
+        s"FROM sims si JOIN p$n p ON p.q_id = si.q_id AND p.vec_id = si.bv " +
+        "GROUP BY si.q_id, si.av) m ON m.q_id = c.q_id AND m.av = c.vec_id " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM p$n p2 WHERE p2.q_id = c.q_id AND p2.vec_id = c.vec_id)" +
+        ") WHERE rk = 1)"
+    }.mkString(", ")
+    val union = (1 to MMR_K).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    "WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, ed AS qd FROM e WHERE vec_id % 50 = 0), " +
+      s"sc AS (SELECT q.q_id, e.vec_id, ${cosQ("e.ed", "q.qd")} AS rel FROM e, q), " +
+      "cand AS MATERIALIZED (SELECT q_id, vec_id, rel FROM (SELECT q_id, vec_id, rel, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id ASC) AS rk FROM sc) " +
+      s"WHERE rk <= $MMR_FETCH), " +
+      "cv AS MATERIALIZED (SELECT c.q_id, c.vec_id, e.ed FROM cand c JOIN e ON e.vec_id = c.vec_id), " +
+      "sims AS MATERIALIZED (SELECT a.q_id, a.vec_id AS av, b.vec_id AS bv, " +
+      s"${cosQ("a.ed", "b.ed")} AS sim FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id), " +
+      s"s1 AS (SELECT q_id, vec_id, rel, $lam*rel AS mmr, 1 AS step FROM (" +
+      s"SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id ORDER BY $lam*rel DESC, vec_id ASC) AS rk FROM cand) WHERE rk = 1), " +
+      s"$steps " +
+      s"SELECT q_id, vec_id, rel, mmr, CAST(step AS INT) AS step FROM ($union)"
+  }
+
+  /** Manifest merge (X159): the corpus digest maintained INCREMENTALLY
+    * — three per-tranche contentDigest manifests fold into the corpus
+    * manifest (counts add, XORs xor, mod-p sums add under one final
+    * mod), and the gate row re-verifies merge ≡ full-scan digest
+    * in-query (`matches_full`, all true). */
+  val digestMerge: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cols = Seq("doc_id", "lang", "text")
+    val tranches = (0 until 3).map(i =>
+      graft.operators.ScaleOps.contentDigest(
+        docs.filter(col("doc_id") % 3 === i), "source", cols))
+      .reduce(_ unionByName _)
+    val merged = graft.operators.ScaleOps.mergeManifests(tranches, "source")
+    val full = graft.operators.ScaleOps.contentDigest(docs, "source", cols)
+      .select(col("source"), col("n_rows").as("_fn"),
+        col("xor_digest").as("_fx"), col("sum_digest").as("_fs"))
+    merged.join(full, Seq("source"))
+      .select(col("source"), col("n_rows"), col("xor_digest"),
+        col("sum_digest"),
+        (col("n_rows") === col("_fn") && col("xor_digest") === col("_fx") &&
+          col("sum_digest") === col("_fs")).as("matches_full"))
+  }
+
+  val digestMergeSql: String = {
+    val canon = "concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)), " +
+      "coalesce(lang, chr(0)), coalesce(text, chr(0)))"
+    val trs = (0 until 3).map(i =>
+      s"SELECT source, count(*) AS n_rows, bit_xor(h) AS x, " +
+        "CAST(CAST(sum(h % 1000000007) AS HUGEINT) % 1000000007 AS BIGINT) AS sm " +
+        s"FROM h WHERE doc_id % 3 = $i GROUP BY source").mkString(" UNION ALL ")
+    s"WITH h AS MATERIALIZED (SELECT source, doc_id, " +
+      s"CAST(CAST('0x' || substr(md5($canon), 1, 15) AS UBIGINT) AS BIGINT) AS h FROM documents), " +
+      s"tr AS ($trs), " +
+      "m AS (SELECT source, CAST(sum(n_rows) AS BIGINT) AS n_rows, bit_xor(x) AS xor_digest, " +
+      "CAST(CAST(sum(sm) AS HUGEINT) % 1000000007 AS BIGINT) AS sum_digest FROM tr GROUP BY source), " +
+      "f AS (SELECT source, count(*) AS fn, bit_xor(h) AS fx, " +
+      "CAST(CAST(sum(h % 1000000007) AS HUGEINT) % 1000000007 AS BIGINT) AS fs FROM h GROUP BY source) " +
+      "SELECT m.source, m.n_rows, m.xor_digest, m.sum_digest, " +
+      "(m.n_rows = f.fn AND m.xor_digest = f.fx AND m.sum_digest = f.fs) AS matches_full " +
+      "FROM m JOIN f ON m.source = f.source"
+  }
+
+  /** Manifest retraction (X161): the subtraction half of the digest
+    * algebra — merge all three doc_id%3 tranche manifests, retract
+    * tranche 1's, and the result must equal the direct digest of the
+    * remaining corpus (matches_rebuild, all true; XOR retracts by
+    * self-inverse, counts subtract, mod-p sums subtract under one
+    * final mod). */
+  val digestRetract: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cols = Seq("doc_id", "lang", "text")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.ScaleOps.contentDigest(df, "source", cols)
+    val tranches = (0 until 3).map(i =>
+      digest(docs.filter(col("doc_id") % 3 === i))).reduce(_ unionByName _)
+    val merged = graft.operators.ScaleOps.mergeManifests(tranches, "source")
+    val retracted = graft.operators.ScaleOps.retractManifest(
+      merged, digest(docs.filter(col("doc_id") % 3 === 1)), "source")
+    val rebuilt = digest(docs.filter(col("doc_id") % 3 =!= 1))
+      .select(col("source"), col("n_rows").as("_rn"),
+        col("xor_digest").as("_rx"), col("sum_digest").as("_rs"))
+    retracted.join(rebuilt, Seq("source"))
+      .select(col("source"), col("n_rows"), col("xor_digest"),
+        col("sum_digest"),
+        (col("n_rows") === col("_rn") && col("xor_digest") === col("_rx") &&
+          col("sum_digest") === col("_rs")).as("matches_rebuild"))
+  }
+
+  val digestRetractSql: String = {
+    val canon = "concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)), " +
+      "coalesce(lang, chr(0)), coalesce(text, chr(0)))"
+    def man(where: String) =
+      s"SELECT source, count(*) AS n, bit_xor(h) AS x, " +
+        "CAST(CAST(sum(h % 1000000007) AS HUGEINT) % 1000000007 AS BIGINT) AS sm " +
+        s"FROM h $where GROUP BY source"
+    s"WITH h AS MATERIALIZED (SELECT source, doc_id, " +
+      s"CAST(CAST('0x' || substr(md5($canon), 1, 15) AS UBIGINT) AS BIGINT) AS h FROM documents), " +
+      s"m AS (${man("")}), b AS (${man("WHERE doc_id % 3 = 1")}), " +
+      "r AS (SELECT m.source, m.n - coalesce(b.n, 0) AS n_rows, " +
+      "xor(m.x, coalesce(b.x, 0)) AS xor_digest, " +
+      "CAST(((m.sm - coalesce(b.sm, 0)) % 1000000007 + 1000000007) % 1000000007 AS BIGINT) AS sum_digest " +
+      "FROM m LEFT JOIN b ON m.source = b.source), " +
+      s"f AS (${man("WHERE doc_id % 3 <> 1")}) " +
+      "SELECT r.source, r.n_rows, r.xor_digest, r.sum_digest, " +
+      "(r.n_rows = f.n AND r.xor_digest = f.x AND r.sum_digest = f.sm) AS matches_rebuild " +
+      "FROM r JOIN f ON r.source = f.source WHERE r.n_rows > 0"
+  }
+
+  /** Streaming manifest maintenance (X160): the already-ingested
+    * doc_id%3==0 slice's manifest bootstraps the store at batch=-1,
+    * the rest streams through the REAL foreachBatch maintenance
+    * (per-batch digest appended before the batch completes), and the
+    * merged store manifest must equal a full-corpus digest — the
+    * oracle IS the full-scan digest SQL, which is exactly the
+    * never-rescan claim. */
+  val streamManifest: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-smm")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-manstore").toString
+    val cols = Seq("doc_id", "lang", "text")
+    graft.operators.ScaleOps.contentDigest(
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0), "source", cols)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"), col("source"))
+    val q = graft.streaming.EventsStreaming.streamingManifestMaintenance(
+      src, storeDir, "source", cols) { (_, _) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      runStreamThenCleanCkpt(q, ckpt)
+      graft.streaming.EventsStreaming.mergedManifest(s, storeDir, "source")
+        .localCheckpoint()
+    } finally deleteRecursively(storeDir)
+  }
+
+  /** Time-travel manifest read (X163): the store carries a bootstrap
+    * partition (doc_id%3==0 at batch=-1) and two REAL sequential
+    * micro-batches through one checkpoint (%3==1 → batch 0, %3==2 →
+    * batch 1, staged as separate source files between runs); the
+    * as-of fold at each of the three ingest points must equal the
+    * direct digest of exactly the data ingested through that point —
+    * history reads are a partition-pruned #groups·#batches fold,
+    * never a corpus rescan. */
+  val manifestAsOf: Q = (s, d) => withStreamShuffle(s, 8) {
+    val base = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val srcDir = s"$base/src"
+    val storeDir = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val cols = Seq("doc_id", "lang", "text")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), col("source"))
+    try {
+      graft.operators.ScaleOps.contentDigest(
+        docs.filter(col("doc_id") % 3 === 0), "source", cols)
+        .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+      def runOnce(): Unit = {
+        val q = graft.streaming.EventsStreaming.streamingManifestMaintenance(
+          s.readStream.schema(docs.schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          storeDir, "source", cols) { (_, _) => () }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f1")
+      runOnce()
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f2")
+      runOnce()
+      Seq(-1L, 0L, 1L).map { b =>
+        graft.streaming.EventsStreaming.manifestAsOf(s, storeDir, "source", b)
+          .withColumn("as_of", lit(b))
+          .select(col("as_of"), col("source"), col("n_rows"),
+            col("xor_digest"), col("sum_digest"))
+      }.reduce(_ unionByName _).localCheckpoint()
+    } finally deleteRecursively(base)
+  }
+
+  val manifestAsOfSql: String = {
+    val canon = "concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)), " +
+      "coalesce(lang, chr(0)), coalesce(text, chr(0)))"
+    def digest(asOf: Long, where: String) =
+      s"SELECT CAST($asOf AS BIGINT) AS as_of, source, count(*) AS n_rows, " +
+        "bit_xor(h) AS xor_digest, " +
+        "CAST(CAST(sum(h % 1000000007) AS HUGEINT) % 1000000007 AS BIGINT) AS sum_digest " +
+        s"FROM h WHERE $where GROUP BY source"
+    s"WITH h AS MATERIALIZED (SELECT source, doc_id, " +
+      s"CAST(CAST('0x' || substr(md5($canon), 1, 15) AS UBIGINT) AS BIGINT) AS h FROM documents) " +
+      s"${digest(-1, "doc_id % 3 = 0")} UNION ALL " +
+      s"${digest(0, "doc_id % 3 IN (0, 1)")} UNION ALL " +
+      s"${digest(1, "TRUE")}"
+  }
+
+  /** Streaming DQ maintenance + drift (X168): the store carries a
+    * bootstrap verdict partition (doc_id%3==0 at batch=-1) and two
+    * REAL sequential micro-batches through one checkpoint (%3==1 →
+    * batch 0, %3==2 → batch 1); the output is the
+    * [[graft.operators.ScaleOps.dqDrift]] report over the verdict
+    * history — each constraint's value_bp vs its trailing-window
+    * integer mean, anomaly beyond 50 bp. The oracle replays the
+    * per-slice suite verdicts and the window fold in SQL. */
+  val streamDq: Q = (s, d) => withStreamShuffle(s, 8) {
+    val base = java.nio.file.Files.createTempDirectory("graft-dqstream").toString
+    val srcDir = s"$base/src"
+    val storeDir = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val checks = dqRowChecks :+
+      ("n_chars_consistent" -> (col("n_chars") === length(col("text"))))
+    val completeness = Seq("text", "lang", "source")
+    val uniqueness = Seq(Seq("doc_id"), Seq("source"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+        col("source"))
+    try {
+      graft.operators.ScaleOps.dqSuite(
+        docs.filter(col("doc_id") % 3 === 0), checks, completeness, uniqueness)
+        .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+      def runOnce(): Unit = {
+        val q = graft.streaming.EventsStreaming.streamingDqMaintenance(
+          s.readStream.schema(docs.schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          storeDir, checks, completeness, uniqueness) { (_, _) => () }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f1")
+      runOnce()
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f2")
+      runOnce()
+      graft.operators.ScaleOps.dqDrift(
+        graft.streaming.EventsStreaming.readDqStore(s, storeDir),
+        windowBatches = 3, thresholdBp = 50)
+        .localCheckpoint()
+    } finally deleteRecursively(base)
+  }
+
+  val streamDqSql: String = {
+    def slice(batchId: Long, where: String): String = {
+      def checkRow(label: String, pred: String) =
+        s"SELECT '$label' AS \"constraint\", " +
+          s"CAST(coalesce(sum(CASE WHEN NOT coalesce($pred, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad " +
+          s"FROM documents WHERE $where"
+      val checks = Seq(
+        checkRow("check:text_nonempty", "text IS NOT NULL AND length(text) > 0"),
+        checkRow("check:min_chars_100", "n_chars >= 100"),
+        checkRow("check:latin_script", "lang <> 'zh'"),
+        checkRow("check:n_chars_consistent", "n_chars = length(text)"),
+        checkRow("complete:text", "text IS NOT NULL"),
+        checkRow("complete:lang", "lang IS NOT NULL"),
+        checkRow("complete:source", "source IS NOT NULL"))
+      def uniqRow(key: String) =
+        s"SELECT 'unique:$key' AS \"constraint\", " +
+          s"CAST((SELECT count(*) FROM documents WHERE $where) - " +
+          s"(SELECT count(*) FROM (SELECT 1 FROM documents WHERE $where GROUP BY $key)) AS BIGINT) AS n_bad"
+      s"SELECT \"constraint\", CAST($batchId AS BIGINT) AS batch, n_bad, " +
+        "CAST(CASE WHEN t.total > 0 THEN (t.total - n_bad) * 10000 // t.total ELSE 10000 END AS BIGINT) AS value_bp " +
+        s"FROM ((${checks.mkString(") UNION ALL (")}) UNION ALL " +
+        s"(${uniqRow("doc_id")}) UNION ALL (${uniqRow("source")})) u " +
+        s"CROSS JOIN (SELECT count(*) AS total FROM documents WHERE $where) t"
+    }
+    s"WITH v AS ((${slice(-1, "doc_id % 3 = 0")}) UNION ALL " +
+      s"(${slice(0, "doc_id % 3 = 1")}) UNION ALL " +
+      s"(${slice(1, "doc_id % 3 = 2")})), " +
+      "dr AS (SELECT \"constraint\", batch, n_bad, value_bp, " +
+      "CAST(count(*) OVER w AS BIGINT) AS n_trail, " +
+      "CAST(sum(value_bp) OVER w AS BIGINT) AS ts FROM v " +
+      "WINDOW w AS (PARTITION BY \"constraint\" ORDER BY batch ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) " +
+      "SELECT \"constraint\", batch, n_bad, value_bp, n_trail, " +
+      "CASE WHEN n_trail > 0 THEN ts // n_trail END AS trail_mean_bp, " +
+      "CASE WHEN n_trail > 0 THEN value_bp - ts // n_trail END AS delta_bp, " +
+      "coalesce(abs(CASE WHEN n_trail > 0 THEN value_bp - ts // n_trail END) > 50, FALSE) AS anomaly " +
+      "FROM dr"
+  }
+
+  /** Streaming PER-GROUP DQ maintenance + keyed drift (X184): the
+    * keyed sibling of q_stream_dq — bootstrap verdicts (doc_id%3==0
+    * at batch=-1) plus two REAL micro-batches through one checkpoint
+    * (%3==1 → 0, %3==2 → 1), each appending a per-(source,
+    * constraint) verdict partition; output is the
+    * [[graft.operators.ScaleOps.dqGroupDrift]] report over the keyed
+    * history — the per-tenant anomaly monitor fed by the stream. */
+  val streamDqGroup: Q = (s, d) => withStreamShuffle(s, 8) {
+    val base = java.nio.file.Files.createTempDirectory("graft-dqgstream").toString
+    val srcDir = s"$base/src"
+    val storeDir = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val completeness = Seq("lang")
+    val uniqueness = Seq(Seq("doc_id"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+        col("source"))
+    try {
+      graft.operators.ScaleOps.dqSuiteByGroup(
+        docs.filter(col("doc_id") % 3 === 0), "source", dqRowChecks,
+        completeness, uniqueness)
+        .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+      def runOnce(): Unit = {
+        val q = graft.streaming.EventsStreaming.streamingDqByGroupMaintenance(
+          s.readStream.schema(docs.schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          storeDir, "source", dqRowChecks, completeness, uniqueness) {
+          (_, _) => ()
+        }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f1")
+      runOnce()
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f2")
+      runOnce()
+      graft.operators.ScaleOps.dqGroupDrift(
+        graft.streaming.EventsStreaming.readDqGroupStore(s, storeDir, "source"),
+        "source", windowBatches = 3, thresholdBp = 50)
+        .localCheckpoint()
+    } finally deleteRecursively(base)
+  }
+
+  val streamDqGroupSql: String = {
+    def checkExpr(label: String, pred: String) =
+      (label, s"CAST(coalesce(sum(CASE WHEN NOT coalesce($pred, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)")
+    val checks = Seq(
+      checkExpr("check:text_nonempty", "text IS NOT NULL AND length(text) > 0"),
+      checkExpr("check:min_chars_100", "n_chars >= 100"),
+      checkExpr("check:latin_script", "lang <> 'zh'"),
+      checkExpr("complete:lang", "lang IS NOT NULL"))
+    val aggCols = checks.zipWithIndex
+      .map { case ((_, e), i) => s"$e AS c$i" }.mkString(", ")
+    val rows = checks.zipWithIndex.map { case ((label, _), i) =>
+      s"SELECT source, '$label' AS \"constraint\", batch, c$i AS n_bad, " +
+        "CAST(CASE WHEN total > 0 THEN (total - c" + i +
+        ") * 10000 // total ELSE 10000 END AS BIGINT) AS value_bp FROM t"
+    }
+    s"WITH t AS MATERIALIZED (SELECT doc_id % 3 - 1 AS batch, source, " +
+      s"count(*) AS total, $aggCols FROM documents GROUP BY doc_id % 3 - 1, source), " +
+      "uq AS (SELECT batch, source, CAST(count(*) AS BIGINT) AS d, " +
+      "CAST(sum(n) AS BIGINT) AS total, CAST(sum(n - 1) AS BIGINT) AS n_bad " +
+      "FROM (SELECT doc_id % 3 - 1 AS batch, source, doc_id, count(*) AS n " +
+      "FROM documents GROUP BY doc_id % 3 - 1, source, doc_id) GROUP BY batch, source), " +
+      s"v AS ((${rows.mkString(") UNION ALL (")}) UNION ALL " +
+      "(SELECT source, 'unique:doc_id' AS \"constraint\", batch, n_bad, " +
+      "CAST(CASE WHEN total > 0 THEN d * 10000 // total ELSE 10000 END AS BIGINT) AS value_bp FROM uq)), " +
+      "dr AS (SELECT source, \"constraint\", CAST(batch AS BIGINT) AS batch, n_bad, value_bp, " +
+      "CAST(count(*) OVER w AS BIGINT) AS n_trail, " +
+      "CAST(sum(value_bp) OVER w AS BIGINT) AS ts FROM v " +
+      "WINDOW w AS (PARTITION BY source, \"constraint\" ORDER BY batch ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) " +
+      "SELECT source, \"constraint\", batch, n_bad, value_bp, n_trail, " +
+      "CASE WHEN n_trail > 0 THEN ts // n_trail END AS trail_mean_bp, " +
+      "CASE WHEN n_trail > 0 THEN value_bp - ts // n_trail END AS delta_bp, " +
+      "coalesce(abs(CASE WHEN n_trail > 0 THEN value_bp - ts // n_trail END) > 50, FALSE) AS anomaly " +
+      "FROM dr"
+  }
+
+  /** Streaming distribution drift (X191): bootstrap histogram
+    * (doc_id%3==0 at batch=-1) plus two REAL micro-batches through
+    * one checkpoint (%3==1 → 0, %3==2 → 1), each appending its
+    * binnedCounts partial on n_chars (binWidth 50); output is the
+    * [[graft.operators.ScaleOps.histogramStoreDrift]] report — each
+    * batch's value distribution vs the merged trailing histograms,
+    * exact basis-point TV, anomaly beyond 100 bp. */
+  val streamDistDrift: Q = (s, d) => withStreamShuffle(s, 8) {
+    val base = java.nio.file.Files.createTempDirectory("graft-histstream").toString
+    val srcDir = s"$base/src"
+    val storeDir = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    try {
+      graft.operators.ScaleOps.binnedCounts(
+        docs.filter(col("doc_id") % 3 === 0), "n_chars", 50L)
+        .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+      def runOnce(): Unit = {
+        val q = graft.streaming.EventsStreaming.streamingHistogramMaintenance(
+          s.readStream.schema(docs.schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          storeDir, "n_chars", 50L) { (_, _) => () }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f1")
+      runOnce()
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f2")
+      runOnce()
+      graft.operators.ScaleOps.histogramStoreDrift(
+        graft.streaming.EventsStreaming.readHistogramStore(s, storeDir)
+          .select(col("batch").cast("long").as("batch"), col("bin"), col("n")),
+        windowBatches = 3, thresholdBp = 100L)
+        .localCheckpoint()
+    } finally deleteRecursively(base)
+  }
+
+  val streamDistDriftSql: String =
+    "WITH h AS MATERIALIZED (SELECT doc_id % 3 - 1 AS b, " +
+      "(v - ((v % 50) + 50) % 50) // 50 AS bin, CAST(count(*) AS BIGINT) AS n " +
+      "FROM (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents) GROUP BY 1, 2), " +
+      "bs AS (SELECT DISTINCT b FROM h), " +
+      "pairs AS (SELECT bs.b, hb.b AS hb FROM bs " +
+      "JOIN (SELECT DISTINCT b FROM h) hb ON hb.b BETWEEN bs.b - 3 AND bs.b - 1), " +
+      "trail AS (SELECT b, CAST(count(*) AS BIGINT) AS n_trail FROM pairs GROUP BY b), " +
+      "ref AS (SELECT p.b, h.bin, CAST(sum(h.n) AS BIGINT) AS cb " +
+      "FROM pairs p JOIN h ON h.b = p.hb GROUP BY p.b, h.bin), " +
+      "m AS MATERIALIZED (SELECT b, bin, CAST(sum(ca) AS HUGEINT) AS ca, CAST(sum(cb) AS HUGEINT) AS cb " +
+      "FROM (SELECT b, bin, n AS ca, 0 AS cb FROM h " +
+      "UNION ALL SELECT b, bin, 0 AS ca, cb FROM ref) GROUP BY b, bin), " +
+      "t AS MATERIALIZED (SELECT b, CAST(sum(ca) AS HUGEINT) AS na, CAST(sum(cb) AS HUGEINT) AS nb, " +
+      "count(*) AS nbins FROM m GROUP BY b), " +
+      "nm AS (SELECT m.b, CAST(sum(abs(m.ca * t.nb - m.cb * t.na)) AS HUGEINT) AS num " +
+      "FROM m JOIN t ON m.b = t.b GROUP BY m.b), " +
+      "r AS (SELECT t.b AS batch, CAST(t.nbins AS BIGINT) AS n_bins, " +
+      "CAST(t.na AS BIGINT) AS n_cur, CAST(t.nb AS BIGINT) AS n_ref, " +
+      "CAST(coalesce(trail.n_trail, 0) AS BIGINT) AS n_trail, " +
+      "CAST(CASE WHEN coalesce(trail.n_trail, 0) = 0 THEN NULL " +
+      "WHEN t.na = 0 AND t.nb = 0 THEN 0 WHEN t.na = 0 OR t.nb = 0 THEN 10000 " +
+      "ELSE nm.num * 10000 // (2 * t.na * t.nb) END AS BIGINT) AS tv_bp " +
+      "FROM t JOIN nm ON t.b = nm.b LEFT JOIN trail ON t.b = trail.b) " +
+      "SELECT batch, n_bins, n_cur, n_ref, n_trail, tv_bp, " +
+      "coalesce(tv_bp > 100, FALSE) AS anomaly FROM r"
+
+  /** Streaming quarantine routing (X177): two REAL micro-batches
+    * through one checkpoint (%3==1 → batch 0, %3==2 → batch 1), each
+    * split map-side on the shared row checks; the output is the
+    * DEAD-LETTER store content — every quarantined doc with its
+    * reason list and the batch that routed it — plus the valid-side
+    * row counts the sink observed, appended as verdict rows
+    * (doc_id = -batch-1, reasons = 'valid_count:<n>'). */
+  val streamQuarantine: Q = (s, d) => withStreamShuffle(s, 8) {
+    val base = java.nio.file.Files.createTempDirectory("graft-quarstream").toString
+    val srcDir = s"$base/src"
+    val storeDir = s"$base/dead"
+    val ckpt = s"$base/ckpt"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val validCounts = scala.collection.mutable.Map[Long, Long]()
+    def runOnce(): Unit = {
+      val q = graft.streaming.EventsStreaming.streamingQuarantine(
+        s.readStream.schema(docs.schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        storeDir, dqRowChecks) { (ok, b) =>
+        validCounts(b) = ok.count()
+      }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f1")
+      runOnce()
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f2")
+      runOnce()
+      val dead = graft.streaming.EventsStreaming
+        .readDeadLetterStore(s, storeDir, docs.schema)
+        .select(col("doc_id"), col("batch").cast("long").as("batch"),
+          array_join(col("_violations"), ",").as("reasons"))
+      import s.implicits._
+      val verdicts = validCounts.toSeq.map { case (b, n) =>
+        (-b - 1, b, s"valid_count:$n")
+      }.toDF("doc_id", "batch", "reasons")
+      dead.unionByName(verdicts).localCheckpoint()
+    } finally deleteRecursively(base)
+  }
+
+  val streamQuarantineSql: String = {
+    val cases = Seq(
+      "CASE WHEN NOT coalesce(text IS NOT NULL AND length(text) > 0, FALSE) THEN 'text_nonempty' END",
+      "CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 'min_chars_100' END",
+      "CASE WHEN NOT coalesce(lang <> 'zh', FALSE) THEN 'latin_script' END")
+    s"WITH v AS (SELECT doc_id, doc_id % 3 - 1 AS batch, " +
+      s"list_filter([${cases.mkString(", ")}], x -> x IS NOT NULL) AS vio " +
+      "FROM documents WHERE doc_id % 3 <> 0) " +
+      "SELECT doc_id, CAST(batch AS BIGINT) AS batch, " +
+      "coalesce(array_to_string(vio, ','), '') AS reasons FROM v WHERE len(vio) > 0 " +
+      "UNION ALL SELECT CAST(-b.batch - 1 AS BIGINT) AS doc_id, b.batch, " +
+      "'valid_count:' || CAST((SELECT count(*) FROM v WHERE v.batch = b.batch AND len(v.vio) = 0) AS VARCHAR) AS reasons " +
+      "FROM (SELECT CAST(0 AS BIGINT) AS batch UNION ALL SELECT CAST(1 AS BIGINT)) b"
+  }
+
+  /** ANN recall harness (X115): retrieval QUALITY of the three ANN
+    * variants measured as per-query recall@10 against the brute-force
+    * ground truth — all four top-k tables are deterministic given the
+    * fixed hyperplanes/centroids/quantizer, so recall itself is a
+    * hash-verifiable quantity, not a flaky metric. Ground truth is
+    * persisted once (three recall joins consume it); the recall join
+    * is k·|queries|-sized. Measured at sf0.01 (see PLANS.md): rerank
+    * 1.0, ivf ~0.9, lsh lower — the documented evidence behind the
+    * parameter choices. */
+  val annRecall: Q = (s, d) => {
+    // ONE persisted corpus + query set feeds all variant pipelines:
+    // per-row this harness used to re-read and re-decode the parquet
+    // for every variant (and the pq/ivfpq rows re-scan it once per
+    // k-means iteration while training) — the cached frames cut that
+    // to one scan total without touching any variant's result (same
+    // functions, same parameters, same values)
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
+    val bf = graft.core.Caches.persistTracked(
+      Similarity.bruteForceTopK(emb, qs, k = 10))
+    def rec(method: String, ann: DataFrame): DataFrame =
+      Similarity.recallAtK(bf, ann).withColumn("method", lit(method))
+        .select(col("method"), col("q_id"), col("hits"), col("n"), col("recall"))
+    val pqBooks = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, m = PQ_M, codes = PQ_CODES, iters = PQ_ITERS)
+    val (ivfpqCoarse, ivfpqBooks) = Similarity.ivfPqIndex(emb, "vec_id",
+      "embedding", dims = EMB_DIMS, cells = IVFPQ_CELLS,
+      cellIters = IVFPQ_CELL_ITERS, m = PQ_M, codes = IVFPQ_CODES,
+      pqIters = PQ_ITERS)
+    val (embN, qsN) = normalizedEmbQueries(emb, qs)
+    val (normCoarse, normBooks) = Similarity.ivfPqIndex(embN, "vec_id",
+      "embedding", dims = EMB_DIMS, cells = IVFPQ_CELLS,
+      cellIters = IVFPQ_CELL_ITERS, m = PQ_M, codes = IVFPQ_CODES,
+      pqIters = PQ_ITERS, scale = 1.0)
+    rec("lsh", Similarity.lshTopK(emb, qs, k = 10,
+        bits = ANN_BITS, dims = EMB_DIMS))
+      .unionByName(rec("lsh_multi", Similarity.lshTopKMultiBand(emb, qs,
+        k = 10, bands = ANN_MULTI_BANDS, bits = ANN_MULTI_BITS,
+        dims = EMB_DIMS)))
+      .unionByName(rec("lsh_probe", Similarity.lshMultiProbeTopK(emb, qs,
+        k = 10, bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T,
+        poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
+      .unionByName(rec("ivf", Similarity.ivfTopK(emb, qs, k = 10,
+        centroidEvery = 200, nprobe = 2)))
+      .unionByName(rec("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
+        coarseK = PQ_COARSE)))
+      .unionByName(rec("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
+        ivfpqCoarse, ivfpqBooks, nprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE)))
+      .unionByName(rec("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
+        normCoarse, normBooks, nprobe = IVFPQ_NORM_NPROBE,
+        coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)))
+      .unionByName(rec("rerank", Similarity.quantizedRerankTopK(emb, qs,
+        coarseK = 50, k = 10)))
+      .unionByName(rec("binary", Similarity.binaryRerankTopK(emb, qs,
+        coarseK = 50, k = 10, dims = EMB_DIMS)))
+      // the measured knee of the r15 coarseK sweep (0.53/0.78/0.88/0.94
+      // at 20/50/100/200): at coarseK=100 the training-free 8 B/vector
+      // binary tier overtakes IVF — the serving default, on record in
+      // the harness like every other parameter decision
+      .unionByName(rec("binary_100", Similarity.binaryRerankTopK(emb, qs,
+        coarseK = 100, k = 10, dims = EMB_DIMS)))
+  }
+
+  val annRecallSql: String = {
+    def rec(method: String, cte: String): String =
+      s"SELECT '$method' AS method, bf.q_id, count($cte.vec_id) AS hits, count(*) AS n " +
+        s"FROM bf LEFT JOIN $cte ON bf.q_id = $cte.q_id AND bf.vec_id = $cte.vec_id GROUP BY bf.q_id"
+    s"WITH bf AS MATERIALIZED ($embedTopKSql), lsh AS ($embedAnnSql), " +
+      s"lshm AS ($embedAnnMultiSql), lshp AS ($embedAnnProbeSql), " +
+      s"ivf AS ($embedIvfSql), pq AS ($embedPqSql), " +
+      s"ivfpq AS ($embedIvfPqSql), ivfpqn AS ($embedIvfPqNormSql), " +
+      s"rr AS ($annRerankSql), bq AS ($embedBinarySql), " +
+      s"bq100 AS (${embedBinarySqlAt(100)}), " +
+      s"rec AS (${rec("lsh", "lsh")} UNION ALL ${rec("lsh_multi", "lshm")} " +
+      s"UNION ALL ${rec("lsh_probe", "lshp")} " +
+      s"UNION ALL ${rec("ivf", "ivf")} UNION ALL ${rec("pq", "pq")} " +
+      s"UNION ALL ${rec("ivfpq", "ivfpq")} " +
+      s"UNION ALL ${rec("ivfpq_norm", "ivfpqn")} " +
+      s"UNION ALL ${rec("rerank", "rr")} " +
+      s"UNION ALL ${rec("binary", "bq")} " +
+      s"UNION ALL ${rec("binary_100", "bq100")}) " +
+      "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
+      "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
+  }
+
+  /** Retrieval metrics harness (X186) — MRR and nDCG@10 as exact
+    * integers (driver-precomputed DCG/IDCG/reciprocal tables, no
+    * in-engine float log) against the brute-force ground truth:
+    * recall says WHETHER the true top-k came back, these say WHERE —
+    * a tier that returns all ten hits in reverse order recalls 1.0
+    * but loses nDCG. Covers the WHOLE serving ladder like
+    * [[annRecall]] does — rerank/binary/lsh plus the quantized tiers
+    * (pq, ivfpq, ivfpq_norm) and the JL reduction (rp) — so the
+    * ranking-quality story is measured everywhere the recall story
+    * is. The oracle embeds the same integer tables, generated from
+    * the same Scala functions, and reuses each tier's full replay. */
+  val retrievalMetricsQ: Q = (s, d) => {
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
+    val bf = graft.core.Caches.persistTracked(
+      Similarity.bruteForceTopK(emb, qs, k = 10))
+    def m(method: String, ann: org.apache.spark.sql.DataFrame) =
+      Similarity.retrievalMetrics(bf, ann, k = 10)
+        .withColumn("method", lit(method))
+        .select(col("method"), col("q_id"), col("n_rel"), col("mrr_micro"),
+          col("dcg_micro"), col("idcg_micro"), col("ndcg_bp"))
+    val pqBooks = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dims = EMB_DIMS, m = PQ_M, codes = PQ_CODES, iters = PQ_ITERS)
+    val (ivfpqCoarse, ivfpqBooks) = Similarity.ivfPqIndex(emb, "vec_id",
+      "embedding", dims = EMB_DIMS, cells = IVFPQ_CELLS,
+      cellIters = IVFPQ_CELL_ITERS, m = PQ_M, codes = IVFPQ_CODES,
+      pqIters = PQ_ITERS)
+    val (embN, qsN) = normalizedEmbQueries(emb, qs)
+    val (normCoarse, normBooks) = Similarity.ivfPqIndex(embN, "vec_id",
+      "embedding", dims = EMB_DIMS, cells = IVFPQ_CELLS,
+      cellIters = IVFPQ_CELL_ITERS, m = PQ_M, codes = IVFPQ_CODES,
+      pqIters = PQ_ITERS, scale = 1.0)
+    m("rerank", Similarity.quantizedRerankTopK(emb, qs, coarseK = 50, k = 10))
+      .unionByName(m("binary", Similarity.binaryRerankTopK(emb, qs,
+        coarseK = 50, k = 10, dims = EMB_DIMS)))
+      .unionByName(m("lsh", Similarity.lshTopK(emb, qs, k = 10,
+        bits = ANN_BITS, dims = EMB_DIMS)))
+      .unionByName(m("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
+        coarseK = PQ_COARSE)))
+      .unionByName(m("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
+        ivfpqCoarse, ivfpqBooks, nprobe = IVFPQ_NPROBE,
+        coarseK = PQ_COARSE)))
+      .unionByName(m("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
+        normCoarse, normBooks, nprobe = IVFPQ_NORM_NPROBE,
+        coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)))
+      .unionByName(m("rp", Similarity.rpTopK(emb, qs, k = 10,
+        outDims = RP_OUT, dims = EMB_DIMS, coarseK = RP_COARSE)))
+  }
+
+  val retrievalMetricsSql: String = {
+    val k = 10
+    val dt = (for { pos <- 1 to k; rel <- 1 to k }
+      yield s"($pos, $rel, ${Similarity.dcgTermMicro(pos, rel)})").mkString(", ")
+    val idt = (1 to k).map(n => s"($n, ${Similarity.idcgMicro(n, k)})")
+      .mkString(", ")
+    val rrt = (1 to k).map(r => s"($r, ${(2000000L + r) / (2L * r)})")
+      .mkString(", ")
+    def metrics(method: String, cte: String): String =
+      s"SELECT '$method' AS method, gc.q_id, " +
+        s"coalesce(pq.n_rel, 0) AS n_rel, coalesce(pq.mrr_micro, 0) AS mrr_micro, " +
+        s"coalesce(pq.dcg_micro, 0) AS dcg_micro, it.v AS idcg_micro " +
+        s"FROM gc LEFT JOIN (" +
+        s"SELECT q_id, CAST(sum(dcg) AS BIGINT) AS dcg_micro, " +
+        "CAST(coalesce(max(rr_v), 0) AS BIGINT) AS mrr_micro, " +
+        "CAST(sum(hit) AS BIGINT) AS n_rel FROM (" +
+        s"SELECT a.q_id, coalesce(d.v, 0) AS dcg, " +
+        "CASE WHEN g.vec_id IS NOT NULL THEN rt.v END AS rr_v, " +
+        "CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+        s"FROM $cte a LEFT JOIN bf g ON a.q_id = g.q_id AND a.vec_id = g.vec_id " +
+        s"LEFT JOIN dt d ON d.pos = a.rank AND d.rel = ${k + 1} - g.rank " +
+        "LEFT JOIN rrt rt ON rt.r = a.rank" +
+        ") GROUP BY q_id) pq ON gc.q_id = pq.q_id " +
+        "JOIN idt it ON it.n = gc.ngt"
+    s"WITH bf AS MATERIALIZED ($embedTopKSql), rr AS ($annRerankSql), " +
+      s"bq AS ($embedBinarySql), lsh AS ($embedAnnSql), " +
+      s"pqt AS ($embedPqSql), ivfpq AS ($embedIvfPqSql), " +
+      s"ivfpqn AS ($embedIvfPqNormSql), rpt AS ($embedRpSql), " +
+      s"dt AS (SELECT * FROM (VALUES $dt) t(pos, rel, v)), " +
+      s"idt AS (SELECT * FROM (VALUES $idt) t(n, v)), " +
+      s"rrt AS (SELECT * FROM (VALUES $rrt) t(r, v)), " +
+      "gc AS MATERIALIZED (SELECT q_id, count(*) AS ngt FROM bf GROUP BY q_id), " +
+      s"m AS ((${metrics("rerank", "rr")}) UNION ALL " +
+      s"(${metrics("binary", "bq")}) UNION ALL (${metrics("lsh", "lsh")}) " +
+      s"UNION ALL (${metrics("pq", "pqt")}) " +
+      s"UNION ALL (${metrics("ivfpq", "ivfpq")}) " +
+      s"UNION ALL (${metrics("ivfpq_norm", "ivfpqn")}) " +
+      s"UNION ALL (${metrics("rp", "rpt")})) " +
+      "SELECT method, q_id, n_rel, mrr_micro, dcg_micro, " +
+      "CAST(idcg_micro AS BIGINT) AS idcg_micro, " +
+      "CAST(dcg_micro * 10000 // idcg_micro AS BIGINT) AS ndcg_bp FROM m"
+  }
+
+  /** Deterministic per-stratum sampling by language: keep 50% of en,
+    * 25% of de, 10% of everything else ("strat:"-salted md5 bucket —
+    * independent of the hashSplit assignment). */
+  val stratifiedSample: Q = (s, d) =>
+    graft.operators.ScaleOps.stratifiedSample(
+      Tables.documents(s, d), "doc_id", "lang",
+      rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val stratifiedSampleSql: String =
+    "SELECT doc_id, lang, source FROM documents WHERE " +
+      "CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < " +
+      "CASE lang WHEN 'de' THEN 2500.0 WHEN 'en' THEN 5000.0 ELSE 1000.0 END"
+
+  /** Join-key skew report (X142): the event_type distribution with
+    * exact integral shares, hot-key-vs-mean ratios, and the salt
+    * bucket counts that would level each key — the diagnostic that
+    * picks between plain shuffle, AQE skew split, and saltedJoin. */
+  val skewReport: Q = (s, d) =>
+    graft.operators.ScaleOps.skewReport(Tables.events(s, d), "event_type")
+
+  val skewReportSql: String =
+    "WITH c AS (SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1), " +
+      "t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total, count(*) AS nd FROM c) " +
+      "SELECT key, n, n * 10000 // total AS share_bp, " +
+      "CAST(CAST(n AS HUGEINT) * nd * 100 // total AS BIGINT) AS vs_mean_x100, " +
+      "CAST((CAST(n AS HUGEINT) * nd + total - 1) // total AS BIGINT) AS salt_buckets " +
+      "FROM c CROSS JOIN t WHERE total > 0 ORDER BY n DESC, key ASC NULLS LAST LIMIT 20"
+
+  /** Pretraining domain mixing: per-source keep-rates derived from
+    * the corpus (basis points, floor) to hit a 5000-token budget per
+    * source, applied as a salted-hash sample. */
+  val domainMix: Q = (s, d) =>
+    graft.operators.ScaleOps.domainMix(
+      Tables.documents(s, d), "doc_id", "source", col("n_chars"),
+      budgetPerSource = 5000L)
+
+  val domainMixSql: String =
+    "WITH act AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS actual FROM documents GROUP BY source), " +
+      "r AS (SELECT source, CAST(CASE WHEN actual > 0 THEN least(10000, (5000 * 10000) // actual) " +
+      "ELSE 10000 END AS BIGINT) AS keep_bp FROM act) " +
+      "SELECT doc_id, source, keep_bp FROM documents JOIN r USING (source) " +
+      "WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < keep_bp"
+
+  /** Temperature-weighted domain mixing (X104, the mT5/XLM-R τ=0.5
+    * rule): p_i ∝ √n_i — √ because IEEE requires it correctly rounded
+    * where general pow() is libm-dependent; √n quantized to 1e-6
+    * fixed-point BIGINT before the normalizing sum so the keep-rate
+    * chain is exact-integer + two IEEE divisions, portable across
+    * engines. */
+  val temperatureMix: Q = (s, d) =>
+    graft.operators.ScaleOps.temperatureMix(
+      Tables.documents(s, d), "doc_id", "source", col("n_chars"),
+      totalBudget = 30000L)
+
+  val temperatureMixSql: String =
+    "WITH act AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS actual FROM documents GROUP BY source), " +
+      "w AS (SELECT source, actual, CAST(floor(sqrt(CAST(actual AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w6 FROM act), " +
+      "ws AS (SELECT CAST(sum(w6) AS BIGINT) AS wsum FROM w), " +
+      "r AS (SELECT source, CAST(CASE WHEN actual > 0 THEN least(10000, CAST(floor(300000000.0 * w6 / wsum / actual) AS BIGINT)) " +
+      "ELSE 10000 END AS BIGINT) AS keep_bp FROM w CROSS JOIN ws) " +
+      "SELECT doc_id, source, keep_bp FROM documents JOIN r USING (source) " +
+      "WHERE CAST('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < keep_bp"
+
+  /** Epoch (repeat-factor) mixing (X106, the upsampling counterpart of
+    * q_domain_mix): each source repeats toward a 20k-token budget,
+    * capped at 3 epochs; full copies from the integer part, the
+    * fractional epoch as a deterministic salted-hash sample. */
+  val epochMix: Q = (s, d) =>
+    graft.operators.ScaleOps.epochMix(
+      Tables.documents(s, d), "doc_id", "source", col("n_chars"),
+      budgetPerSource = 20000L, maxEpochs = 3)
+
+  val epochMixSql: String =
+    "WITH act AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS actual FROM documents GROUP BY source), " +
+      "r AS (SELECT source, CAST(CASE WHEN actual > 0 THEN least(30000, (20000 * 10000) // actual) " +
+      "ELSE 10000 END AS BIGINT) AS rf_bp FROM act), " +
+      "nc AS (SELECT doc_id, source, rf_bp, rf_bp // 10000 + " +
+      "CASE WHEN CAST('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 < rf_bp % 10000 THEN 1 ELSE 0 END AS n_copies " +
+      "FROM documents JOIN r USING (source)) " +
+      "SELECT doc_id, source, rf_bp, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx " +
+      "FROM nc WHERE n_copies > 0"
+
+  /** Unicode text normalization via the native kernel (NFC,
+    * accent-strip, lowercase, control/whitespace cleanup). The oracle
+    * mirrors it with DuckDB's own Unicode functions
+    * (nfc_normalize/strip_accents) — identical on ASCII; the
+    * non-ASCII agreement (café/ü/naïve) is pinned by
+    * NativeExpressionsSpec rather than the all-ASCII corpus. */
+  val textNormalize: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val norm = TextFunctions.normalizeText(docs, col("text"))
+    docs.select(col("doc_id"), norm.as("norm_text"),
+      length(norm).as("n_chars_norm"))
+  }
+
+  val textNormalizeSql: String =
+    "SELECT doc_id, " +
+      "trim(regexp_replace(regexp_replace(lower(strip_accents(nfc_normalize(text))), '[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text, " +
+      "length(trim(regexp_replace(regexp_replace(lower(strip_accents(nfc_normalize(text))), '[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g'))) AS n_chars_norm " +
+      "FROM documents"
+
+  /** Partitioned-parquet sink round trip: write documents Hive-style
+    * partitioned by lang, read back ONE partition through the pruned
+    * directory layout, hash-verify against the source-of-truth table.
+    * Fixed target path + overwrite keeps repeated runs idempotent. */
+  val partitionedSink: Q = (s, d) => {
+    val target = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sink-docs-by-lang").toString
+    graft.sources.ParquetSink.writePartitioned(
+      Tables.documents(s, d), target, Seq("lang"))
+    graft.sources.ParquetSink.readPartitioned(s, target)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  val partitionedSinkSql: String =
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'"
+
+  /** Dynamic partition overwrite round trip: base table partitioned by
+    * event_type, then ONLY the 'error' partition refreshed with
+    * transformed rows — the other partitions' files are untouched.
+    * Readback must show the refreshed partition merged with the
+    * original rest (the incremental nightly-refresh semantics). */
+  val partitionOverwrite: Q = (s, d) => {
+    val target = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sink-events-dyn").toString
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sources.ParquetSink.writePartitioned(ev, target, Seq("event_type"))
+    val delta = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("event_type"),
+        (col("value") * 2).as("value"))
+    graft.sources.ParquetSink.overwritePartitionsDynamic(
+      delta, target, Seq("event_type"))
+    graft.sources.ParquetSink.readPartitioned(s, target)
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  val partitionOverwriteSql: String =
+    "SELECT event_id, event_type, " +
+      "CASE WHEN event_type = 'error' THEN value * 2 ELSE value END AS value " +
+      "FROM events"
+
+}

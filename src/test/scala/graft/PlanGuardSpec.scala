@@ -99,7 +99,14 @@ class PlanGuardSpec extends SparkSpec {
       "q_dist_drift",
       // level-1 IS q_water_fill's 1-row (k, P_k) stats attach; the
       // keyed level-2 stage uses group windows + a broadcast equi-join
-      "q_hier_water_fill")
+      "q_hier_water_fill",
+      // the q_embed_binary coarse scan (broadcast bounded query set ×
+      // corpus codes) run over the PRE-FILTERED slice; the IVF-PQ tier
+      // inside is a keyed cell equi-join like q_embed_ivfpq
+      "q_filtered_ann",
+      // same tiers + the q_embed_topk-shaped brute pass over the
+      // filtered slice as ground truth; recall joins are keyed
+      "q_filtered_ann_recall")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
