@@ -1644,6 +1644,66 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).as("embedding"), col("cell"))
   }
 
+  /** SEMANTIC decontamination (X204) — the paraphrase-robust sibling
+    * of the lexical 13-gram decontamination
+    * ([[graft.operators.Corpus.contaminationFlags]]): n-gram overlap
+    * misses an eval item that was reworded, translated, or
+    * format-shifted into the training corpus, while embedding cosine
+    * catches it. One verdict row per train doc: contaminated +
+    * n_matches (distinct eval docs at cosine ≥ threshold) + max_sim.
+    *
+    * Scale shape — the SemDeDup confinement applied to a bipartite
+    * problem: the TRAIN side assigns map-side to its one nearest cell
+    * (frozen centroids as plan literals, zero shuffles before the
+    * join); the EVAL side — small by nature, it's an eval set —
+    * explodes to its `nprobe` nearest cells and BROADCASTS, so the
+    * whole pass is one broadcast equi-join on cell over the train
+    * scan, never train × eval. Recall semantics are explicit, not
+    * hidden: a contaminated pair is missed only when the train doc's
+    * cell is outside its eval match's nprobe probed cells — the
+    * eval-side probe width is the recall knob (raise nprobe, not
+    * retrain), mirroring the filtered-ANN guidance. Exact arithmetic
+    * end to end (integer argmin assignment, 6dp cosine), so the flags
+    * hash-replay on any engine. A train doc matches an eval doc at
+    * most once (train has ONE cell; the eval explode probes distinct
+    * cells), so n_matches counts distinct eval docs with no dedup
+    * pass. */
+  def semanticContaminationFlags(train: DataFrame, evalSet: DataFrame,
+      cents: Array[(Int, Array[Long])], threshold: Double,
+      nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding", scale: Double = 1e6): DataFrame = {
+    require(cents.nonEmpty, "semanticContaminationFlags: empty centroids")
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"semanticContaminationFlags: nprobe=$nprobe must be in " +
+        s"[1, ${cents.length}]")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"semanticContaminationFlags: threshold=$threshold must be in (0, 1]")
+    val t = Clustering.assignCells(spread(train), idCol, vecCol, cents, scale)
+      .select(col("cell"), col(idCol).cast("long").as("_tid"),
+        col(vecCol).as("_tv"))
+    val eq = evalSet.select(col(idCol).cast("long").as("_eid"),
+      col(vecCol).as("_ev"),
+      Clustering.fixedPoint(col(vecCol), scale).as("_eq"))
+    val entries = cents.map { case (cid, cv) =>
+      struct(Clustering.sqDistToLit(eq, col("_eq"), cv).as("d"),
+        lit(cid.toLong).as("c"))
+    }
+    val probed = eq
+      .withColumn("_pc",
+        explode(slice(sort_array(array(entries: _*)), 1, nprobe)))
+      .select(col("_eid"), col("_ev"), col("_pc").getField("c").as("cell"))
+    val matches = t.join(broadcast(probed), Seq("cell"))
+      .withColumn("_sim", cosineAuto(train, col("_tv"), col("_ev")))
+      .filter(col("_sim") >= threshold)
+      .groupBy(col("_tid"))
+      .agg(count(lit(1)).as("n_matches"), max(col("_sim")).as("max_sim"))
+    train.select(col(idCol).cast("long").as(idCol))
+      .join(matches.hint("shuffle_hash"), col(idCol) === col("_tid"), "left")
+      .select(col(idCol), col("_tid").isNotNull.as("contaminated"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine
     * ≥ threshold, candidates restricted to banded LSH sign-buckets —
     * `bands` independent `bits`-bit slices of one `bands·bits`-plane

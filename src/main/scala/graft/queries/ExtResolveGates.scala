@@ -304,6 +304,59 @@ trait ExtResolveGates { this: ExtAllGates =>
       "coalesce(h.n, 0) > 0 AS contaminated " +
       "FROM toks t LEFT JOIN hits h USING (doc_id) WHERE t.hb >= 10"
 
+  /** SEMANTIC decontamination (X204): the paraphrase-robust sibling of
+    * q_decontaminate — embedding cosine vs the eval slice catches what
+    * 13-gram overlap misses (rewordings, translations, format shifts).
+    * Quantizer trained on the TRAIN side (the production direction —
+    * the eval set must not shape the index); the eval side probes its
+    * 2 nearest cells and broadcasts; one cell equi-join over the train
+    * scan, never train × eval. Threshold 0.3 sits just under the
+    * corpus's p90 cross max-sim (0.294 at sf0.001), so a small nonzero
+    * flag set survives the celled confinement. Oracle replays the
+    * k-means chain, the nprobe eval assignment, and the flag fold. */
+  private[queries] val SEMDECON_T = 0.3
+  private[queries] val SEMDECON_NPROBE = 2
+
+  val semanticDecontam: Q = (s, d) => {
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val train = emb.filter(col("vec_id") % 37 =!= 0)
+    val evalSet = emb.filter(col("vec_id") % 37 === 0)
+    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
+      train, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    Similarity.semanticContaminationFlags(train, evalSet, cents,
+      threshold = SEMDECON_T, nprobe = SEMDECON_NPROBE)
+  }
+
+  // lazy: SEMDEDUP_K/ITERS are declared later in this trait — an
+  // eager val here would silently interpolate 0 (the documented
+  // object-val-order hazard)
+  lazy val semanticDecontamSql: String = {
+    def sq(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), 6)"
+    val quant = "list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
+    val cPrev = s"c${SEMDEDUP_ITERS - 1}"
+    "WITH " + kmeansCtes(SEMDEDUP_K, SEMDEDUP_ITERS, finalAssign = true,
+      src = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0)") +
+      s", qe AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM embeddings WHERE vec_id % 37 = 0)" +
+      s", ep AS MATERIALIZED (SELECT vec_id AS eid, cell FROM (SELECT q.vec_id, c.c AS cell, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sq("q.qv", "c.cv")}, c.c) AS rn " +
+      s"FROM qe q CROSS JOIN $cPrev c) WHERE rn <= $SEMDECON_NPROBE)" +
+      ", cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings)" +
+      s", td AS MATERIALIZED (SELECT a.vec_id AS tid, a.c AS cell, cd.ed FROM a$SEMDEDUP_ITERS a JOIN cd USING (vec_id))" +
+      ", ed2 AS MATERIALIZED (SELECT ep.eid, ep.cell, cd.ed FROM ep JOIN cd ON cd.vec_id = ep.eid)" +
+      s", m AS (SELECT t.tid, count(*) AS n, max(${cos("t.ed", "e.ed")}) AS mx " +
+      s"FROM td t JOIN ed2 e ON t.cell = e.cell WHERE ${cos("t.ed", "e.ed")} >= $SEMDECON_T GROUP BY t.tid) " +
+      "SELECT t2.vec_id, m.tid IS NOT NULL AS contaminated, " +
+      "CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches, " +
+      "coalesce(m.mx, 0.0) AS max_sim " +
+      "FROM (SELECT vec_id FROM embeddings WHERE vec_id % 37 <> 0) t2 " +
+      "LEFT JOIN m ON t2.vec_id = m.tid"
+  }
+
   /** Blocklist term filter: zero-shuffle map-side anti-filter against a
     * literal term list (the broadcast-dim degenerate case). The term is
     * the corpus's planted spam marker — present in ~5% of docs; any

@@ -918,6 +918,67 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticContaminationFlags: celled cosine flags, probe-width recall, clean spine") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val train = emb.filter(col("vec_id") % 37 =!= 0)
+    val evalSet = emb.filter(col("vec_id") % 37 === 0)
+    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
+      train, "vec_id", "embedding", k = 5, iters = 2)
+    def flags(threshold: Double, nprobe: Int): Map[Long, (Boolean, Long, Double)] =
+      Similarity.semanticContaminationFlags(train, evalSet, cents,
+        threshold, nprobe)
+        .as[(Long, Boolean, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val got = flags(0.3, 2)
+    // one verdict row per train doc — clean docs keep the spine with
+    // zeroed metrics, never disappear
+    assert(got.size == train.count())
+    assert(got.values.filterNot(_._1).forall(v => v._2 == 0L && v._3 == 0.0))
+    // the flags replay the celled rule exactly: local recomputation
+    // over (train cell, eval nprobe cells) with 6dp cosine
+    val cellsOf = graft.operators.Clustering.assignCells(
+      train, "vec_id", "embedding", cents, 1e6)
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos6(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // eval-side probe cells via the same integer argmin
+    def q(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+    val cl = cents.sortBy(_._1)
+    def probeCells(v: Seq[Float], nprobe: Int): Seq[Long] = {
+      val qv = q(v)
+      cl.map { case (cid, cv) =>
+        (cv.zip(qv).map { case (c, x) => (x - c) * (x - c) }.sum, cid.toLong)
+      }.sortBy(identity).take(nprobe).map(_._2).toSeq
+    }
+    val evalIds = evalSet.select("vec_id").as[Long].collect()
+    for ((tid, (cont, n, mx)) <- got) {
+      val sims = evalIds.filter(e =>
+        probeCells(vecs(e), 2).contains(cellsOf(tid)))
+        .map(e => cos6(vecs(tid), vecs(e))).filter(_ >= 0.3)
+      assert(cont == sims.nonEmpty && n == sims.length,
+        s"doc $tid: got ($cont, $n), want ${sims.length} matches")
+      if (sims.nonEmpty) assert(mx == sims.max, s"doc $tid max_sim")
+    }
+    // recall knob: widening the probe can only add matches
+    val wide = flags(0.3, cents.length)
+    assert(got.keys.forall(tid => wide(tid)._2 >= got(tid)._2))
+    assert(wide.values.count(_._1) >= got.values.count(_._1))
+    intercept[IllegalArgumentException] {
+      Similarity.semanticContaminationFlags(train, evalSet, cents, 0.3,
+        nprobe = cents.length + 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.semanticContaminationFlags(train, evalSet, cents, 0.0)
+    }
+  }
+
   test("retrievalMetrics: ground truth deeper than k fails loud, not silent NULLs") {
     val ann = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("q_id", "vec_id", "rank")
