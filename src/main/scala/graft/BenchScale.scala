@@ -85,7 +85,15 @@ object BenchScale {
     // >1.5x flags on untouched paths (adjudicated host noise —
     // steady-state 1.11 s / 0.96 s vs flagged 1.46 / 1.68); rows kept
     // on record per the r8/r9 convention
-    "q_stream_dedup", "q_linear_quality")
+    "q_stream_dedup", "q_linear_quality",
+    // round-17 additions: filtered ANN pair, incremental IVF-PQ store
+    // (batch + streaming), wide audio near-dup, streaming TTL dedup,
+    // semantic decontamination — plus q_range_join (one noisy-run
+    // 1.6x flag on an untouched path, steady-state row for the
+    // adjudication record)
+    "q_filtered_ann", "q_filtered_ann_recall", "q_incremental_ivfpq",
+    "q_stream_ivfpq_codes", "q_audio_neardup", "q_stream_ttl_dedup",
+    "q_semantic_decontam", "q_range_join")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS
