@@ -204,49 +204,58 @@ object Multimodal {
       s"grid ${gridW}x$gridH must have 1..63 cells to fit a signed long")
     val spark = media.sparkSession
     import spark.implicits._
-    val cells = gridW * gridH
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val res: Option[Long] =
-            if (!isImageMagic(payload)) None
-            else try {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(payload))
-              if (img == null) None
-              else {
-                val w = img.getWidth; val h = img.getHeight
-                val cellSum = new Array[Long](cells)
-                val cellN = new Array[Long](cells)
-                var y = 0
-                while (y < h) {
-                  val cy = y * gridH / h
-                  var x = 0
-                  while (x < w) {
-                    val cx = x * gridW / w
-                    val rgb = img.getRGB(x, y)
-                    val g3 = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                    val c = cy * gridW + cx
-                    cellSum(c) += g3; cellN(c) += 1
-                    x += 1
-                  }
-                  y += 1
-                }
-                val ts = cellSum.sum; val tn = cellN.sum
-                var hash = 0L; var c = 0
-                while (c < cells) {
-                  if (cellSum(c) * tn > ts * cellN(c)) hash |= (1L << c)
-                  c += 1
-                }
-                Some(hash)
-              }
-            } catch { case scala.util.control.NonFatal(_) => None }
-          res match {
+          imageGridHash(payload, gridW, gridH) match {
             case Some(hsh) => ImagePHash(id, decoded = true, hsh)
             case None => ImagePHash(id, decoded = false, -1L)
           }
         }
       }
+  }
+
+  /** The block-mean grid hash of ONE image payload — shared by
+    * [[imagePerceptualHashGrid]] (whole images) and
+    * [[videoFrameSignatures]] (per-frame): real ImageIO decode, bit
+    * cy·gridW+cx set iff the cell's mean gray exceeds the image mean
+    * via integer cross-multiplication. None for non-image /
+    * undecodable payloads. */
+  private def imageGridHash(payload: Array[Byte], gridW: Int,
+      gridH: Int): Option[Long] = {
+    val cells = gridW * gridH
+    if (!isImageMagic(payload)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val cellSum = new Array[Long](cells)
+        val cellN = new Array[Long](cells)
+        var y = 0
+        while (y < h) {
+          val cy = y * gridH / h
+          var x = 0
+          while (x < w) {
+            val cx = x * gridW / w
+            val rgb = img.getRGB(x, y)
+            val g3 = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            val c = cy * gridW + cx
+            cellSum(c) += g3; cellN(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val ts = cellSum.sum; val tn = cellN.sum
+        var hash = 0L; var c = 0
+        while (c < cells) {
+          if (cellSum(c) * tn > ts * cellN(c)) hash |= (1L << c)
+          c += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Minimal 24-bit uncompressed BMP encoder (BITMAPINFOHEADER,
@@ -613,5 +622,141 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
           .as("frame"))
+  }
+
+  // -------------------- video (X205) --------------------
+
+  /** Fixed frame geometry of the synthetic video corpus: 16×14 BMP24
+    * frames — rowBytes = (16·3+3)/4·4 = 48, frame size = 54 + 48·14 =
+    * 726 bytes. A constant frame size is what makes [[sampleFrames]]'
+    * substr slicing a REAL demuxer for this container. */
+  val VideoFrameW = 16
+  val VideoFrameH = 14
+  val VideoFrameBytes = 54 + ((VideoFrameW * 3 + 3) / 4 * 4) * VideoFrameH
+
+  /** Real-VIDEO media table derived from `documents` — the video
+    * sibling of [[bmpMediaFromDocuments]]: a "video" is a
+    * concatenation of 4 + id % 5 equal-size real BMP frames (the
+    * fixed-frame container [[sampleFrames]] demuxes by substr, each
+    * slice a decodable image), with frame f's pixels a CLOSED-FORM
+    * function of the content seed c = id % 199 + f — the blue channel
+    * interacts c with the pixel POSITION (c·(x+1)·(y+1)), because a
+    * seed that merely shifts every pixel cancels out of a
+    * mean-threshold hash (cell means and the global mean move
+    * together), which would collapse every frame to one signature.
+    * The seed structure plants genuine overlap: videos with the same
+    * id % 199 share every
+    * common-index frame, and videos whose seed ranges overlap share a
+    * frame RUN — partial near-dups with a computable Jaccard, which
+    * is exactly what the frame-signature dedup must measure. (A
+    * production deployment swaps this for a real demuxer behind the
+    * SAME fixed-frame schema/batching contract.) */
+  def videoMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val frames = (4 + id % 5).toInt
+        val bufs = (0 until frames).map { f =>
+          val c = id % 199 + f
+          encodeBmp24(VideoFrameW, VideoFrameH, (x, y) => {
+            val r = ((c + 7L * x + 13L * y) % 256).toInt
+            val g = ((2L * c + 5L * x + 3L * y) % 256).toInt
+            val bb = ((c * (x + 1L) * (y + 1L)) % 256).toInt
+            (r << 16) | (g << 8) | bb
+          })
+        }
+        val payload = new Array[Byte](bufs.map(_.length).sum)
+        var off = 0
+        bufs.foreach { b =>
+          System.arraycopy(b, 0, payload, off, b.length); off += b.length
+        }
+        MediaRow(id, payload, "vbmp", VideoFrameW, VideoFrameH)
+      }
+    }.toDF()
+  }
+
+  case class VideoFrameSig(media_id: Long, frame_idx: Int,
+      decoded: Boolean, fhash: Long)
+
+  /** Per-frame perceptual signatures of a fixed-frame video column
+    * (X205) — the frame-fingerprint front half of video near-dup:
+    * [[sampleFrames]] demuxes the container (everyNth = the
+    * frame-sampling cost knob — production samples ~1 fps, the gate
+    * hashes every frame), each sampled frame REALLY decodes through
+    * ImageIO and hashes with the shared wide block-mean grid
+    * ([[imagePerceptualHashGrid]]'s arithmetic — any grid
+    * oracle-replayable from closed-form pixels). Batched
+    * mapPartitions; payloads never leave the map stage — the rows
+    * that shuffle downstream are (id, frame_idx, 8-byte hash).
+    * Undecodable frames keep their row with decoded=false / fhash −1
+    * so no frame silently disappears from the index. */
+  def videoFrameSignatures(media: DataFrame, frameBytes: Int,
+      everyNth: Int = 1, gridW: Int = 8, gridH: Int = 7): Dataset[VideoFrameSig] = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 63,
+      s"grid ${gridW}x$gridH must have 1..63 cells to fit a signed long")
+    require(frameBytes >= 1 && everyNth >= 1,
+      s"videoFrameSignatures: bad frameBytes=$frameBytes / everyNth=$everyNth")
+    val spark = media.sparkSession
+    import spark.implicits._
+    sampleFrames(media, frameBytes, everyNth)
+      .select(col("media_id"), col("frame_idx"), col("frame"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, f, frame) =>
+          imageGridHash(frame, gridW, gridH) match {
+            case Some(hsh) => VideoFrameSig(id, f, decoded = true, hsh)
+            case None => VideoFrameSig(id, f, decoded = false, -1L)
+          }
+        }
+      }
+  }
+
+  /** VIDEO near-dup by frame-signature set overlap (X205) — the
+    * production pattern for video dedup at scale (per-frame
+    * fingerprints + set containment, not raw-pixel comparison): two
+    * videos pair when the Jaccard of their DISTINCT frame-hash sets
+    * meets the threshold. The [[graft.operators.Dedup.ngramJaccardPairs]]
+    * shape applied to the frame domain: one inverted index on the
+    * 8-byte frame hash (never all-pairs — candidates only where a
+    * hash is shared), one (id1, id2) partial-agg count, exact Jaccard
+    * from the per-video distinct-hash sizes, 6dp-rounded for
+    * hash-portability. `maxFrameDf` drops frame hashes shared by more
+    * than that many videos from the index — the hot-shingle cap:
+    * a ubiquitous frame (intro card, black frame) is the stopword of
+    * the video domain, and its inverted-index bucket is the quadratic
+    * hazard; dropped hashes leave BOTH the index and the set sizes,
+    * so the Jaccard stays a true set statistic over the retained
+    * vocabulary (spec-pinned). */
+  def videoNearDupPairs(sigs: DataFrame, threshold: Double,
+      idCol: String = "media_id", sigCol: String = "fhash",
+      maxFrameDf: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"videoNearDupPairs: threshold=$threshold must be in (0, 1]")
+    require(sigs.columns.contains(idCol) && sigs.columns.contains(sigCol),
+      s"videoNearDupPairs: sigs must carry ($idCol, $sigCol), got " +
+        sigs.columns.mkString(", "))
+    val d0 = sigs.select(col(idCol).cast("long").as("id"),
+      col(sigCol).cast("long").as("h")).distinct()
+    val d =
+      if (maxFrameDf == Long.MaxValue) d0
+      else {
+        val hot = d0.groupBy(col("h")).count()
+          .filter(col("count") > maxFrameDf).select(col("h"))
+        d0.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    val sized = d.join(
+      d.groupBy(col("id")).agg(count(lit(1)).as("_size"))
+        .hint("shuffle_hash"), Seq("id"))
+    val a = sized.select(col("h"), col("id").as("id1"), col("_size").as("_s1"))
+    val b = sized.select(col("h"), col("id").as("id2"), col("_size").as("_s2"))
+    a.hint("shuffle_hash").join(b, Seq("h"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("_s1"), col("_s2"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("_s1") + col("_s2") - col("shared")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("shared"), col("jaccard"))
   }
 }

@@ -706,6 +706,52 @@ trait ExtMediaGates { this: ExtAllGates =>
       s"SELECT id1, id2, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= $PHASH_MAXDIST"
   }
 
+  /** Video near-dup (X205) — the third modality's dedup, closing the
+    * image/audio/video triad: a fixed-frame video container REALLY
+    * demuxes through sampleFrames' substr slicing, every frame REALLY
+    * decodes through ImageIO and hashes with the shared wide grid
+    * kernel, and two videos pair on the Jaccard of their distinct
+    * frame-hash sets (the production frame-fingerprint pattern —
+    * inverted index on the 8-byte hash, never all-pairs). The
+    * synthetic container plants genuine partial overlap (content seed
+    * c = id % 199 + frame, so same-seed videos share all common frames
+    * and staggered seeds share a run); the oracle replays the per-c
+    * pixel closed form, the grid hash, and the set-Jaccard fold. */
+  private[queries] val VIDEO_JACCARD_T = 0.4
+
+  val videoNearDup: Q = (s, d) => {
+    val media = Multimodal.videoMediaFromDocuments(
+      spread(Tables.documents(s, d)))
+    val sigs = Multimodal.videoFrameSignatures(media,
+      Multimodal.VideoFrameBytes).toDF()
+      .filter(col("decoded")).select(col("media_id"), col("fhash"))
+    Multimodal.videoNearDupPairs(sigs, threshold = VIDEO_JACCARD_T)
+  }
+
+  val videoNearDupSql: String = {
+    val w = graft.operators.Multimodal.VideoFrameW
+    val h = graft.operators.Multimodal.VideoFrameH
+    "WITH m AS (SELECT doc_id AS media_id, CAST(4 + doc_id % 5 AS BIGINT) AS nf FROM documents), " +
+      "fr AS (SELECT media_id, media_id % 199 + unnest(generate_series(0, nf - 1)) AS c FROM m), " +
+      "cset AS (SELECT DISTINCT c FROM fr), " +
+      s"xs AS (SELECT c, unnest(generate_series(0, ${w - 1})) AS x FROM cset), " +
+      s"ps AS (SELECT c, x, unnest(generate_series(0, ${h - 1})) AS y FROM xs), " +
+      s"px AS (SELECT c, (y*7)//$h*8 + (x*8)//$w AS cell, " +
+      "(c + 7*x + 13*y) % 256 + (2*c + 5*x + 3*y) % 256 + (c*(x+1)*(y+1)) % 256 AS g3 FROM ps), " +
+      "cs AS (SELECT c, cell, CAST(sum(g3) AS BIGINT) AS s, count(*) AS n FROM px GROUP BY c, cell), " +
+      "tot AS (SELECT c, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(n) AS BIGINT) AS tn FROM cs GROUP BY c), " +
+      "ph AS MATERIALIZED (SELECT cs.c, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.n THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT) AS fhash " +
+      "FROM cs JOIN tot ON cs.c = tot.c GROUP BY cs.c), " +
+      "sig AS MATERIALIZED (SELECT DISTINCT fr.media_id, ph.fhash FROM fr JOIN ph ON ph.c = fr.c), " +
+      "sz AS (SELECT media_id, count(*) AS sizes FROM sig GROUP BY media_id), " +
+      "pr AS (SELECT a.media_id AS id1, b.media_id AS id2, count(*) AS shared " +
+      "FROM sig a JOIN sig b ON a.fhash = b.fhash AND a.media_id < b.media_id GROUP BY a.media_id, b.media_id), " +
+      "jc AS (SELECT pr.id1, pr.id2, pr.shared, " +
+      "round(CAST(pr.shared AS DOUBLE) / (s1.sizes + s2.sizes - pr.shared), 6) AS jaccard " +
+      "FROM pr JOIN sz s1 ON s1.media_id = pr.id1 JOIN sz s2 ON s2.media_id = pr.id2) " +
+      s"SELECT id1, id2, CAST(shared AS BIGINT) AS shared, jaccard FROM jc WHERE jaccard >= $VIDEO_JACCARD_T"
+  }
+
   /** Cross-modal retrieval closure (X110): similarity search OVER a
     * multimodal column — real BMP payloads decode (javax.imageio) to
     * [w, h, Σr, Σg, Σb] feature vectors which run through the exact

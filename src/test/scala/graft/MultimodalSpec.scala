@@ -308,6 +308,74 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L) == ((false, -1L)))
   }
 
+  test("video: container demuxes to real frames, signatures exact, set-Jaccard pairs") {
+    import graft.operators.Multimodal.{VideoFrameW, VideoFrameH, VideoFrameBytes}
+    val docs = Seq(1L, 2L, 200L, 40L).toDF("doc_id") // 200 = 1 + 199 (same seed as 1)
+    val media = Multimodal.videoMediaFromDocuments(docs)
+    // the fixed-frame container REALLY demuxes: every substr slice is
+    // a decodable BMP whose pixels are the closed form of c = id%37+f
+    val frames = Multimodal.sampleFrames(media, VideoFrameBytes, everyNth = 1)
+      .as[(Long, Int, Array[Byte])].collect()
+    assert(frames.nonEmpty)
+    for ((id, f, frame) <- frames) {
+      val c = id % 199 + f
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frame))
+      assert(img != null && img.getWidth == VideoFrameW &&
+        img.getHeight == VideoFrameH, s"video $id frame $f did not decode")
+      val rgb = img.getRGB(3, 2)
+      assert(((rgb >> 16) & 0xff) == ((c + 7 * 3 + 13 * 2) % 256).toInt,
+        s"video $id frame $f pixel mismatch")
+    }
+    // frame counts follow 4 + id % 5
+    val perVideo = frames.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perVideo == Map(1L -> 5, 2L -> 6, 200L -> 4, 40L -> 4))
+    // same content seed (1 vs 200 = 1+199): every common-index frame
+    // hash agrees, so the shorter video's set is CONTAINED in the
+    // longer's
+    val sigs = Multimodal.videoFrameSignatures(media, VideoFrameBytes)
+      .collect()
+    assert(sigs.forall(_.decoded))
+    def hset(id: Long): Set[Long] =
+      sigs.filter(_.media_id == id).map(_.fhash).toSet
+    assert(hset(200L).subsetOf(hset(1L)))
+    // pairs == brute-force set Jaccard at the threshold
+    val sigDf = sigs.toSeq.toDF()
+      .select(col("media_id"), col("fhash"))
+    val got = Multimodal.videoNearDupPairs(sigDf, threshold = 0.4)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ids = Seq(1L, 2L, 200L, 40L)
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      inter = (hset(i) & hset(j)).size
+      if inter > 0
+      jac = BigDecimal(inter.toDouble / (hset(i).size + hset(j).size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= 0.4
+    } yield (i, j) -> jac).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.contains((1L, 200L)), "same-seed videos must pair")
+    // hot-frame cap: a hash shared by more than maxFrameDf videos
+    // leaves the index AND the set sizes (stopword semantics)
+    val planted = sigDf.unionByName(
+      Seq((1L, 999L), (2L, 999L), (200L, 999L), (40L, 999L))
+        .toDF("media_id", "fhash"))
+    val capped = Multimodal.videoNearDupPairs(planted, threshold = 0.4,
+      maxFrameDf = 3)
+    assert(capped.select("id1", "id2", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap == want,
+      "a ubiquitous planted frame must be capped out, restoring the base pairs")
+    intercept[IllegalArgumentException] {
+      Multimodal.videoNearDupPairs(sigDf, threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.videoFrameSignatures(media, VideoFrameBytes, gridW = 8,
+        gridH = 8)
+    }
+  }
+
   test("audioPerceptualHashBlocks: wide 56-block hash matches a local recomputation, banding reach") {
     def wav(id: Long, samples: Array[Short]) =
       (id, Multimodal.encodeWavPcm16(8000, samples), "wav", 0, 0)
