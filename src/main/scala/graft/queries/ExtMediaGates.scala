@@ -592,39 +592,47 @@ trait ExtMediaGates { this: ExtAllGates =>
     * contract exercised end-to-end through the AUDIO modality
     * ([[Multimodal.audioPerceptualHash]], X124): until this gate the
     * audio increment was claimed by genericity only. Real PCM16 WAV
-    * payloads decode map-side to 12-bit block-energy fingerprints;
-    * store = media_id%3==0 hashes, batch = the rest; 4 × 3-bit bands,
-    * maxDist 1 (pigeonhole-lossless). The 12-bit space is DENSE by
-    * design here — many clips collide exactly — which makes this gate
-    * double as corpus-level coverage for the sig-collapse hot-bucket
-    * guard: banding runs over distinct sigs only and the result is
-    * still bit-identical to the uncollapsed pairwise rule (the oracle
+    * payloads decode map-side to block-energy fingerprints — the
+    * X202 wide 56-block form since r17, matching the batch gate (the
+    * 12-bit original measured 44% of all pairs within Hamming 3, so a
+    * store built on it re-dropped nearly everything); store =
+    * media_id%3==0 hashes, batch = the rest; 4 × 14-bit bands,
+    * maxDist 3 (pigeonhole-lossless). Duplicate sigs still occur
+    * (content-entropy-bounded short clips), so the gate keeps its
+    * corpus-level coverage of the sig-collapse hot-bucket guard:
+    * banding runs over distinct sigs only and the result is still
+    * bit-identical to the uncollapsed pairwise rule (the oracle
     * replays that rule from the closed-form samples). */
-  private[queries] val AUDIO_FP_BANDS = 4
-  private[queries] val AUDIO_FP_MAXDIST = 1
 
   val incrementalAudioNearDup: Q = (s, d) => {
+    // r17: upgraded from the width-saturated 12-bit hash to the X202
+    // wide 56-block form, so the increment matches the batch gate's
+    // fingerprint (12-bit measured 44% of ALL pairs within Hamming 3 —
+    // a store built on it re-drops almost everything)
     val media = Multimodal.wavMediaFromDocuments(spread(Tables.documents(s, d)))
-    val hashes = Multimodal.audioPerceptualHash(media).toDF()
+    val hashes = Multimodal.audioPerceptualHashBlocks(media,
+      blocks = AUDIO_WIDE_BLOCKS).toDF()
       .filter(col("decoded")).select(col("media_id"), col("phash"))
     val storeH = hashes.filter(col("media_id") % 3 === 0)
       .select(col("media_id").as("id"), col("phash").as("sig"))
     graft.operators.Dedup.incrementalFingerprintNearDup(
       hashes.filter(col("media_id") % 3 =!= 0), storeH,
-      "media_id", "phash", bits = 12, bands = AUDIO_FP_BANDS,
-      maxDist = AUDIO_FP_MAXDIST)
+      "media_id", "phash", bits = AUDIO_WIDE_BLOCKS, bands = PHASH_BANDS,
+      maxDist = PHASH_MAXDIST)
       .select(col("id").as("media_id"), col("sig").as("phash"))
   }
 
   /** The audioPhash closed-form replay + the incremental banding/drop
     * chain of [[incrementalImageNearDupSql]] at 12-bit width. */
-  val incrementalAudioNearDupSql: String = {
-    val bandW = 12 / AUDIO_FP_BANDS
+  // lazy: AUDIO_WIDE_BLOCKS is declared later in this trait — an eager
+  // val here would silently interpolate 0 (the val-order hazard)
+  lazy val incrementalAudioNearDupSql: String = {
+    val bandW = AUDIO_WIDE_BLOCKS / PHASH_BANDS
     val mask = (1L << bandW) - 1
-    val bandRows = (0 until AUDIO_FP_BANDS).map(b => s"($b)").mkString(",")
+    val bandRows = (0 until PHASH_BANDS).map(b => s"($b)").mkString(",")
     "WITH m AS (SELECT doc_id AS media_id, CAST(16 + doc_id % 33 AS BIGINT) AS n FROM documents), " +
       "ss AS (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM m), " +
-      "px AS (SELECT media_id, (i*12)//n AS blk, abs((media_id*31 + i*17) % 4096 - 2048) AS v FROM ss), " +
+      s"px AS (SELECT media_id, (i*$AUDIO_WIDE_BLOCKS)//n AS blk, abs((media_id*31 + i*17) % 4096 - 2048) AS v FROM ss), " +
       "cs AS (SELECT media_id, blk, CAST(sum(v) AS BIGINT) AS s, count(*) AS c FROM px GROUP BY media_id, blk), " +
       "tot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(c) AS BIGINT) AS tn FROM cs GROUP BY media_id), " +
       "ph AS MATERIALIZED (SELECT cs.media_id, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.c THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END) AS BIGINT) AS phash " +
@@ -634,11 +642,11 @@ trait ExtMediaGates { this: ExtAllGates =>
       "cvs AS (SELECT DISTINCT b.media_id AS bid FROM bands b " +
       "JOIN bands st ON b.band = st.band AND b.bucket = st.bucket " +
       "WHERE b.media_id % 3 <> 0 AND st.media_id % 3 = 0 " +
-      s"AND bit_count(xor(b.phash, st.phash)) <= $AUDIO_FP_MAXDIST), " +
+      s"AND bit_count(xor(b.phash, st.phash)) <= $PHASH_MAXDIST), " +
       "cvb AS (SELECT DISTINCT b2.media_id AS bid FROM bands b1 " +
       "JOIN bands b2 ON b1.band = b2.band AND b1.bucket = b2.bucket AND b1.media_id < b2.media_id " +
       "WHERE b1.media_id % 3 <> 0 AND b2.media_id % 3 <> 0 " +
-      s"AND bit_count(xor(b1.phash, b2.phash)) <= $AUDIO_FP_MAXDIST) " +
+      s"AND bit_count(xor(b1.phash, b2.phash)) <= $PHASH_MAXDIST) " +
       "SELECT media_id, phash FROM ph WHERE media_id % 3 <> 0 " +
       "AND media_id NOT IN (SELECT bid FROM cvs UNION ALL SELECT bid FROM cvb)"
   }
