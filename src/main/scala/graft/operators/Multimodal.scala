@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -728,6 +728,77 @@ object Multimodal {
     * hazard; dropped hashes leave BOTH the index and the set sizes,
     * so the Jaccard stays a true set statistic over the retained
     * vocabulary (spec-pinned). */
+  /** INCREMENTAL (cross-snapshot) video near-dup (X206) — the
+    * ingestion form, following the family discipline (batch →
+    * increment → stream) every dedup family keeps: a batch of new
+    * videos dedups against the already-kept corpus represented ONLY
+    * by its frame-signature rows (id + 8-byte hash per distinct
+    * frame — payloads stay in cold storage, history is never
+    * re-decoded). Drop rule matches `incrementalFingerprintNearDup`'s
+    * pairwise convention: a batch video drops when its frame-set
+    * Jaccard vs ANY stored video meets the threshold, or vs a
+    * LOWER-ID batch sibling; survivors' (id, fhash) rows are the
+    * store-append record. Empty store ≡ the batch pairwise rule over
+    * [[videoNearDupPairs]]' pair set (spec-pinned, plus a re-arrival
+    * drop and a two-increment chain).
+    *
+    * The `maxFrameDf` stopword cap counts document frequency over
+    * store ∪ batch — the same vocabulary a batch run over the union
+    * would see, which is what makes increment ≡ union-batch exact
+    * rather than approximate. Scale shape: inverted index on the
+    * hash (candidates only where a hash is shared — never
+    * batch × store), (bid, sid) partial-agg counts, pinned
+    * shuffle-hash joins on 16-byte rows. */
+  def incrementalVideoNearDup(batchSigs: DataFrame, storeSigs: DataFrame,
+      threshold: Double, idCol: String = "media_id",
+      sigCol: String = "fhash",
+      maxFrameDf: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"incrementalVideoNearDup: threshold=$threshold must be in (0, 1]")
+    for ((df, side) <- Seq((batchSigs, "batch"), (storeSigs, "store")))
+      require(df.columns.contains(idCol) && df.columns.contains(sigCol),
+        s"incrementalVideoNearDup: $side sigs must carry ($idCol, $sigCol)" +
+          s", got ${df.columns.mkString(", ")}")
+    val b0 = batchSigs.select(col(idCol).cast("long").as("id"),
+      col(sigCol).cast("long").as("h")).distinct()
+    val s0 = storeSigs.select(col(idCol).cast("long").as("id"),
+      col(sigCol).cast("long").as("h")).distinct()
+    // stopword vocabulary over store ∪ batch (the union-batch rule)
+    val (b, s) =
+      if (maxFrameDf == Long.MaxValue) (b0, s0)
+      else {
+        val hot = b0.unionByName(s0).groupBy(col("h")).count()
+          .filter(col("count") > maxFrameDf).select(col("h"))
+        (b0.join(broadcast(hot), Seq("h"), "left_anti"),
+          s0.join(broadcast(hot), Seq("h"), "left_anti"))
+      }
+    def sized(d: DataFrame): DataFrame =
+      d.join(d.groupBy(col("id")).agg(count(lit(1)).as("_size"))
+        .hint("shuffle_hash"), Seq("id"))
+    val bS = sized(b).select(col("h"), col("id").as("bid"),
+      col("_size").as("_sb"))
+    val sS = sized(s).select(col("h"), col("id").as("sid"),
+      col("_size").as("_ss"))
+    def jac(shared: Column, n1: Column, n2: Column): Column =
+      round(shared.cast("double") / (n1 + n2 - shared).cast("double"), 6)
+    val vsStore = bS.hint("shuffle_hash").join(sS, Seq("h"))
+      .groupBy(col("bid"), col("sid"), col("_sb"), col("_ss"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(jac(col("_shared"), col("_sb"), col("_ss")) >= threshold)
+      .select(col("bid"))
+    val b2 = bS.select(col("h"), col("bid").as("bid2"),
+      col("_sb").as("_sb2"))
+    val within = bS.hint("shuffle_hash").join(b2, Seq("h"))
+      .filter(col("bid") < col("bid2"))
+      .groupBy(col("bid"), col("bid2"), col("_sb"), col("_sb2"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(jac(col("_shared"), col("_sb"), col("_sb2")) >= threshold)
+      .select(col("bid2").as("bid"))
+    val dups = vsStore.unionByName(within).distinct()
+    b0.join(dups.hint("shuffle_hash"), b0("id") === dups("bid"), "left_anti")
+      .select(col("id").as(idCol), col("h").as(sigCol))
+  }
+
   def videoNearDupPairs(sigs: DataFrame, threshold: Double,
       idCol: String = "media_id", sigCol: String = "fhash",
       maxFrameDf: Long = Long.MaxValue): DataFrame = {

@@ -736,7 +736,10 @@ trait ExtMediaGates { this: ExtAllGates =>
     Multimodal.videoNearDupPairs(sigs, threshold = VIDEO_JACCARD_T)
   }
 
-  val videoNearDupSql: String = {
+  /** Shared oracle front for the video family: closed-form per-seed
+    * pixels → grid hash → the distinct (media_id, fhash) signature
+    * table + per-video set sizes. */
+  private[queries] def videoSigCtes: String = {
     val w = graft.operators.Multimodal.VideoFrameW
     val h = graft.operators.Multimodal.VideoFrameH
     "WITH m AS (SELECT doc_id AS media_id, CAST(4 + doc_id % 5 AS BIGINT) AS nf FROM documents), " +
@@ -751,14 +754,97 @@ trait ExtMediaGates { this: ExtAllGates =>
       "ph AS MATERIALIZED (SELECT cs.c, CAST(sum(CASE WHEN cs.s * tot.tn > tot.ts * cs.n THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT) AS fhash " +
       "FROM cs JOIN tot ON cs.c = tot.c GROUP BY cs.c), " +
       "sig AS MATERIALIZED (SELECT DISTINCT fr.media_id, ph.fhash FROM fr JOIN ph ON ph.c = fr.c), " +
-      "sz AS (SELECT media_id, count(*) AS sizes FROM sig GROUP BY media_id), " +
-      "pr AS (SELECT a.media_id AS id1, b.media_id AS id2, count(*) AS shared " +
+      "sz AS (SELECT media_id, count(*) AS sizes FROM sig GROUP BY media_id)"
+  }
+
+  val videoNearDupSql: String =
+    videoSigCtes +
+      ", pr AS (SELECT a.media_id AS id1, b.media_id AS id2, count(*) AS shared " +
       "FROM sig a JOIN sig b ON a.fhash = b.fhash AND a.media_id < b.media_id GROUP BY a.media_id, b.media_id), " +
       "jc AS (SELECT pr.id1, pr.id2, pr.shared, " +
       "round(CAST(pr.shared AS DOUBLE) / (s1.sizes + s2.sizes - pr.shared), 6) AS jaccard " +
       "FROM pr JOIN sz s1 ON s1.media_id = pr.id1 JOIN sz s2 ON s2.media_id = pr.id2) " +
       s"SELECT id1, id2, CAST(shared AS BIGINT) AS shared, jaccard FROM jc WHERE jaccard >= $VIDEO_JACCARD_T"
+
+  /** Incremental video near-dup (X206): the X205 fingerprinting with
+    * the store hand-off — media_id % 3 == 0 videos' signature rows
+    * bootstrap the kept store, the rest arrive as a batch; a batch
+    * video drops on frame-set Jaccard >= t vs any stored video or a
+    * lower-id batch sibling; survivors' signature rows are the
+    * store-append record. The ingestion threshold is STRICTER (0.8)
+    * than the pair-mining gate's 0.4: dropping on loose overlap at
+    * ingest would discard 100% of this corpus (measured: 0/113/333
+    * survivors at t 0.4/0.8/0.9) — mining wants candidates, ingest
+    * wants near-identicals. Oracle replays the split set-Jaccard
+    * folds and the pairwise NOT IN drop. */
+  private[queries] val VIDEO_INCR_T = 0.8
+  val incrementalVideoNearDup: Q = (s, d) => {
+    val media = Multimodal.videoMediaFromDocuments(
+      spread(Tables.documents(s, d)))
+    val sigs = Multimodal.videoFrameSignatures(media,
+      Multimodal.VideoFrameBytes).toDF()
+      .filter(col("decoded")).select(col("media_id"), col("fhash"))
+    Multimodal.incrementalVideoNearDup(
+      sigs.filter(col("media_id") % 3 =!= 0),
+      sigs.filter(col("media_id") % 3 === 0),
+      threshold = VIDEO_INCR_T)
   }
+
+  val incrementalVideoNearDupSql: String =
+    videoSigCtes +
+      ", cvs AS (SELECT DISTINCT p.bid FROM (" +
+      "SELECT b.media_id AS bid, st.media_id AS sid, count(*) AS shared " +
+      "FROM sig b JOIN sig st ON b.fhash = st.fhash " +
+      "WHERE b.media_id % 3 <> 0 AND st.media_id % 3 = 0 GROUP BY 1, 2) p " +
+      "JOIN sz s1 ON s1.media_id = p.bid JOIN sz s2 ON s2.media_id = p.sid " +
+      s"WHERE round(CAST(p.shared AS DOUBLE) / (s1.sizes + s2.sizes - p.shared), 6) >= $VIDEO_INCR_T), " +
+      "cvb AS (SELECT DISTINCT p.bid2 FROM (" +
+      "SELECT b1.media_id AS bid1, b2.media_id AS bid2, count(*) AS shared " +
+      "FROM sig b1 JOIN sig b2 ON b1.fhash = b2.fhash AND b1.media_id < b2.media_id " +
+      "WHERE b1.media_id % 3 <> 0 AND b2.media_id % 3 <> 0 GROUP BY 1, 2) p " +
+      "JOIN sz s1 ON s1.media_id = p.bid1 JOIN sz s2 ON s2.media_id = p.bid2 " +
+      s"WHERE round(CAST(p.shared AS DOUBLE) / (s1.sizes + s2.sizes - p.shared), 6) >= $VIDEO_INCR_T) " +
+      "SELECT media_id, fhash FROM sig WHERE media_id % 3 <> 0 " +
+      "AND media_id NOT IN (SELECT bid FROM cvs UNION ALL SELECT bid2 FROM cvb)"
+
+  /** Streaming incremental video near-dup (X207): the X206 split run
+    * through the real foreachBatch composition — decode + hash
+    * upstream in the streaming DAG (typed mapPartitions; payloads
+    * never reach the store), bootstrap signature rows under batch=-1,
+    * the rest streams to AvailableNow completion; single-file source
+    * -> one micro-batch, so the survivor set equals the increment and
+    * the oracle is reused verbatim. The multi-batch hand-off is
+    * pinned by StreamingSpec with a two-run checkpoint chain. */
+  val streamIncrVideoNearDup: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-sivn")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-vidstore").toString
+    def sigsOf(docs: org.apache.spark.sql.DataFrame) =
+      Multimodal.videoFrameSignatures(
+        Multimodal.videoMediaFromDocuments(docs),
+        Multimodal.VideoFrameBytes).toDF()
+        .filter(col("decoded")).select(col("media_id"), col("fhash"))
+    sigsOf(Tables.documents(s, d).filter(col("doc_id") % 3 === 0))
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val src = sigsOf(
+      s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
+        .filter(col("doc_id") % 3 =!= 0))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = EventsStreaming.streamingIncrementalVideoNearDup(
+      src, storeDir, threshold = VIDEO_INCR_T) { (sv, _) =>
+      buf ++= sv.select(col("media_id"), col("fhash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally deleteRecursively(storeDir)
+    import s.implicits._
+    buf.toSeq.toDF("media_id", "fhash")
+  }
+
+  lazy val streamIncrVideoNearDupSql: String = incrementalVideoNearDupSql
 
   /** Cross-modal retrieval closure (X110): similarity search OVER a
     * multimodal column — real BMP payloads decode (javax.imageio) to

@@ -442,6 +442,48 @@ object EventsStreaming {
         StructField("cell", LongType),
         StructField("codes", ArrayType(LongType)))))
 
+  /** Streaming incremental VIDEO near-dup (X207) — the always-on form
+    * of [[graft.operators.Multimodal.incrementalVideoNearDup]],
+    * completing the video family's ladder (batch X205 → increment
+    * X206 → this): each micro-batch of frame-signature rows (decode +
+    * hash run UPSTREAM in the streaming DAG — payloads never reach
+    * the store) dedups against the store's kept (id, fhash) rows by
+    * frame-set Jaccard and appends its survivors' signature rows
+    * under `batch=<id>`. Store contracts verbatim (append layout,
+    * self-excluded reads + per-batch overwrite retry idempotence,
+    * one-checkpoint-per-store lineage guard, negative-id bootstrap,
+    * pre-write localCheckpoint, scoped cache release). */
+  def streamingIncrementalVideoNearDup(sigs: DataFrame, storePath: String,
+      threshold: Double, idCol: String = "media_id",
+      sigCol: String = "fhash", maxFrameDf: Long = Long.MaxValue)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    sigs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          val store = storeForBatch(
+            readVideoSigStore(spark, storePath), batchId)
+          val survivors = graft.operators.Multimodal
+            .incrementalVideoNearDup(batch.toDF(), store, threshold,
+              idCol, sigCol, maxFrameDf)
+            .localCheckpoint()
+          survivors.select(col(idCol).as("media_id"),
+              col(sigCol).as("fhash"))
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          sink(survivors, batchId)
+        }
+        ()
+    }
+
+  /** The video frame-signature store (media_id, fhash),
+    * empty-with-schema when the path does not exist yet; APPEND
+    * layout, same narrow catch as [[readNearDupStore]]. */
+  def readVideoSigStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("fhash", LongType))))
+
   /** Streaming incremental SUBSTRING dedup, micro-batch-composed
     * (X147) — the fourth dedup family's always-on form, completing the
     * streaming quartet (exact X145, near-dup X134, semantic X146):

@@ -376,6 +376,60 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("incrementalVideoNearDup: empty store == batch rule, re-arrival drops, chain law") {
+    // synthetic signature rows: sets over small hash vocabularies with
+    // known overlaps (operator is codec-agnostic — sigs in, ids out)
+    def sigs(rows: (Long, Seq[Long])*): org.apache.spark.sql.DataFrame =
+      rows.flatMap { case (id, hs) => hs.map(h => (id, h)) }
+        .toDF("media_id", "fhash")
+    val empty = sigs()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("media_id").as[Long].collect().toSet
+    // batch: 1 = {a,b,c,d}, 2 = {a,b,c,e} (J=0.6 vs 1), 3 = {x,y}
+    val batch = sigs(1L -> Seq(10, 11, 12, 13), 2L -> Seq(10, 11, 12, 14),
+      3L -> Seq(90, 91))
+    // empty store == the batch pairwise rule over videoNearDupPairs
+    val surv0 = ids(Multimodal.incrementalVideoNearDup(batch, empty, 0.5))
+    val pairDrops = Multimodal.videoNearDupPairs(batch, 0.5)
+      .select("id2").as[Long].collect().toSet
+    assert(surv0 == Set(1L, 2L, 3L) -- pairDrops && surv0 == Set(1L, 3L))
+    // re-arrival: a batch video identical to a stored one drops; a
+    // disjoint batch video survives
+    val store = sigs(100L -> Seq(10, 11, 12, 13))
+    val surv1 = ids(Multimodal.incrementalVideoNearDup(batch, store, 0.5))
+    assert(surv1 == Set(3L),
+      s"1 drops vs store (J=1), 2 drops vs store (J=0.6): $surv1")
+    // two-increment chain == one increment of the concatenation: the
+    // store grows by each increment's SURVIVOR rows
+    val b1 = sigs(1L -> Seq(10, 11, 12, 13), 3L -> Seq(90, 91))
+    val b2 = sigs(4L -> Seq(10, 11, 12, 14), 5L -> Seq(50, 51, 52))
+    val s1 = Multimodal.incrementalVideoNearDup(b1, store, 0.5)
+    val chained = ids(Multimodal.incrementalVideoNearDup(b2,
+      store.unionByName(s1.select(col("media_id"), col("fhash"))), 0.5))
+    val oneShot = ids(Multimodal.incrementalVideoNearDup(
+      b1.unionByName(b2), store, 0.5))
+    // 4 drops vs the ORIGINAL store member (J=0.6 vs 100) in both
+    // forms; 5 is fresh
+    assert(chained == Set(5L) && oneShot -- ids(s1) == Set(5L))
+    // the union-vocabulary stopword cap: a hash ubiquitous across
+    // store+batch leaves both sides' sets
+    val planted = batch.unionByName(sigs(7L -> Seq(10)))
+    val capped = ids(Multimodal.incrementalVideoNearDup(planted,
+      store.unionByName(sigs(101L -> Seq(10))), threshold = 0.5,
+      maxFrameDf = 3))
+    // hash 10 appears in videos 1,2,7,100,101 (df=5 > 3) -> capped;
+    // video 7's whole set was the capped hash -> it has no remaining
+    // frames and cannot pair (empty sets never meet the index)
+    assert(capped.contains(7L),
+      s"a video whose only frame was capped survives vacuously: $capped")
+    intercept[IllegalArgumentException] {
+      Multimodal.incrementalVideoNearDup(batch, empty, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.incrementalVideoNearDup(batch.drop("fhash"), empty, 0.5)
+    }
+  }
+
   test("audioPerceptualHashBlocks: wide 56-block hash matches a local recomputation, banding reach") {
     def wav(id: Long, samples: Array[Short]) =
       (id, Multimodal.encodeWavPcm16(8000, samples), "wav", 0, 0)

@@ -1006,6 +1006,49 @@ class StreamingSpec extends SparkSpec {
       s"folded store must hold max observation micros per fp: $folded")
   }
 
+  test("streaming video near-dup: cross-batch store hand-off through two real micro-batches") {
+    val base = Files.createTempDirectory("graft-vidstream-spec").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/sigs"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("fhash",
+        org.apache.spark.sql.types.LongType)))
+    // bootstrap: video 100 = {1,2,3,4}
+    Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L))
+      .toDF("media_id", "fhash").write.parquet(s"$store/batch=-1")
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingIncrementalVideoNearDup(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, threshold = 0.5) { (sv, _) =>
+        got ++= sv.select("media_id").distinct().as[Long].collect()
+      }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 0: 10 drops vs the bootstrap (J=3/5); 11 is fresh and
+    // SURVIVES into the store
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 9L),
+      (11L, 50L), (11L, 51L), (11L, 52L))
+      .toDF("media_id", "fhash").coalesce(1).write.parquet(s"$srcDir/f1")
+    runOnce()
+    // batch 1: 20 drops vs batch-0 SURVIVOR 11 (the cross-batch
+    // hand-off — J=2/4); 21 fresh
+    Seq((20L, 50L), (20L, 51L), (20L, 99L), (21L, 70L), (21L, 71L))
+      .toDF("media_id", "fhash").coalesce(1).write.parquet(s"$srcDir/f2")
+    runOnce()
+    assert(got.toSet == Set(11L, 21L), s"got ${got.toSet}")
+    // the store holds bootstrap + survivors' signature rows only
+    val kept = EventsStreaming.readVideoSigStore(spark, store)
+      .select("media_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(100L, 11L, 21L), s"store: $kept")
+  }
+
   test("streaming IVF-PQ codes maintenance: frozen-index append across batches == rebuild") {
     import graft.operators.Similarity
     val base = Files.createTempDirectory("graft-ivfpqstream-spec").toString
