@@ -93,7 +93,9 @@ object BenchScale {
     // adjudication record)
     "q_filtered_ann", "q_filtered_ann_recall", "q_incremental_ivfpq",
     "q_stream_ivfpq_codes", "q_audio_neardup", "q_stream_ttl_dedup",
-    "q_semantic_decontam", "q_range_join")
+    "q_semantic_decontam", "q_range_join",
+    "q_video_neardup", "q_incremental_video_neardup",
+    "q_stream_incr_video_neardup")
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS

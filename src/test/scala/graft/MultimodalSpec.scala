@@ -428,6 +428,15 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.incrementalVideoNearDup(batch.drop("fhash"), empty, 0.5)
     }
+    // the forget half reuses the generic fingerprint retraction — a
+    // multi-row signature SET leaves by id (rows are independent), so
+    // the video family has all four forms without a new operator
+    val multiStore = store.unionByName(sigs(200L -> Seq(70, 71)))
+      .select(col("media_id").as("id"), col("fhash").as("sig"))
+    val shrunk = graft.operators.Dedup.retractFingerprints(
+      multiStore, Seq(100L).toDF("id"))
+    assert(shrunk.select("id").as[Long].collect().toSet == Set(200L) &&
+      shrunk.count() == 2)
   }
 
   test("audioPerceptualHashBlocks: wide 56-block hash matches a local recomputation, banding reach") {
