@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Caches.TrackedPersist
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`), on the
@@ -729,6 +729,52 @@ object Similarity {
         (rerankVecs(idCol) +: metaCols.map(rerankVecs(_))) :+
           rerankVecs(vecCol): _*)
     ivfPqCodes(vecs, idCol, vecCol, newCoarse, newBooks, scale, metaCols)
+  }
+
+  /** Serialize an IVF-PQ index to rows (X200's persistence half): the
+    * (centroids, codebooks) pair the probe needs is driver-resident
+    * by design — a few thousand integer vectors — but a serving
+    * deployment must VERSION it alongside the codes store it encoded
+    * (an index that lives only in one JVM cannot be shared, migrated,
+    * or rolled back). One row per entry: part = −1 for the coarse
+    * centroids, i ≥ 0 for sub-space i's codebook; vectors stay the
+    * exact fixed-point integers, so the round-trip is lossless by
+    * construction (spec-pinned: load(save(idx)) probes identically). */
+  def ivfPqIndexRecords(spark: SparkSession,
+      coarse: Array[(Int, Array[Long])],
+      books: Array[Array[(Int, Array[Long])]]): DataFrame = {
+    import spark.implicits._
+    val rows =
+      coarse.toSeq.map { case (cid, v) => (-1, cid, v.toSeq) } ++
+        books.toSeq.zipWithIndex.flatMap { case (book, i) =>
+          book.toSeq.map { case (cid, v) => (i, cid, v.toSeq) }
+        }
+    rows.toDF("part", "cid", "vec")
+  }
+
+  /** Load an IVF-PQ index from its [[ivfPqIndexRecords]] rows — the
+    * collect is the index itself (bounded by cells + m·codes entries,
+    * never corpus-sized). Fail-loud on a malformed store: a missing
+    * coarse part or a sub-space gap means the index table was
+    * corrupted or mixed between versions. */
+  def ivfPqIndexFromRecords(df: DataFrame): (Array[(Int, Array[Long])], Array[Array[(Int, Array[Long])]]) = {
+    require(Set("part", "cid", "vec").subsetOf(df.columns.toSet),
+      s"ivfPqIndexFromRecords: need (part, cid, vec) — " +
+        s"ivfPqIndexRecords' schema — got ${df.columns.mkString(", ")}")
+    val rows = df.select(col("part").cast("int"), col("cid").cast("int"),
+        col("vec").cast("array<long>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val coarse = rows.filter(_._1 == -1).map(r => (r._2, r._3)).sortBy(_._1)
+    require(coarse.nonEmpty, "ivfPqIndexFromRecords: no coarse part (-1)")
+    val subs = rows.filter(_._1 >= 0).groupBy(_._1)
+    val m = if (subs.isEmpty) 0 else subs.keys.max + 1
+    require(subs.keySet == (0 until m).toSet,
+      s"ivfPqIndexFromRecords: sub-space gap — found parts " +
+        s"${subs.keys.toSeq.sorted.mkString(", ")}")
+    val books = (0 until m).toArray.map(i =>
+      subs(i).map(r => (r._2, r._3)).sortBy(_._1))
+    (coarse, books)
   }
 
   /** Spread per-row-heavy vector compute across all cores (single-file

@@ -979,6 +979,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqIndexRecords: save/load round-trip is lossless, probes identically") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val (coarse, books) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = 64, cells = 4, cellIters = 2, m = 4, codes = 8, pqIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    Similarity.ivfPqIndexRecords(spark, coarse, books)
+      .write.mode("overwrite").parquet(dir)
+    val (c2, b2) = Similarity.ivfPqIndexFromRecords(spark.read.parquet(dir))
+    assert(c2.map(x => (x._1, x._2.toSeq)).toSeq ==
+      coarse.map(x => (x._1, x._2.toSeq)).toSeq)
+    assert(b2.map(_.map(x => (x._1, x._2.toSeq)).toSeq).toSeq ==
+      books.map(_.map(x => (x._1, x._2.toSeq)).toSeq).toSeq)
+    def probe(c: Array[(Int, Array[Long])],
+        b: Array[Array[(Int, Array[Long])]]): Set[(Long, Long, Int)] =
+      Similarity.ivfPqTopK(emb, q, k = 10, c, b, nprobe = 2, coarseK = 50)
+        .select("q_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(probe(c2, b2) == probe(coarse, books))
+    // malformed stores fail loud, never probe wrong
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexFromRecords(
+        spark.read.parquet(dir).filter(col("part") =!= -1))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexFromRecords(
+        spark.read.parquet(dir).filter(col("part") =!= 2))
+    }
+  }
+
   test("retrievalMetrics: ground truth deeper than k fails loud, not silent NULLs") {
     val ann = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("q_id", "vec_id", "rank")
