@@ -177,7 +177,13 @@ object Dedup {
           "incrementalTtlDedup: NULL timestamp has no position in a " +
             "freshness window — fill or filter upstream")).cast("long"))
           .otherwise(unix_micros(col(tsCol))))
-      .join(store.select(col("fp").as("_fp"), col("last_ts").as("_st"))
+      // fold max(last_ts) per fp INSIDE the operator: an append-layout
+      // store hands multiple rows per fp, and an unfolded join would
+      // fan rows out and silently corrupt the session chain (max is
+      // the exact fold of the monotone chain, so folding twice is
+      // harmless for callers that already folded)
+      .join(store.groupBy(col("fp")).agg(max(col("last_ts")).as("_st"))
+        .select(col("fp").as("_fp"), col("_st"))
         .hint("shuffle_hash"), Seq("_fp"), "left")
       .filter(when(col("_st").isNotNull && col("_t") < col("_st"),
         raise_error(lit(

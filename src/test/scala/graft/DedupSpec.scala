@@ -1123,6 +1123,13 @@ class DedupSpec extends SparkSpec {
     val tie = Seq((21L, "alpha", ts(500))).toDF("doc_id", "text", "ts")
     assert(ids(Dedup.incrementalTtlDedup(tie, store,
       "text", "doc_id", "ts", ttl)).isEmpty)
+    // an UNFOLDED append store (multiple rows per fp) folds inside the
+    // operator — no fan-out, the max observation wins
+    val unfolded = store.unionByName(Dedup.ttlStoreRecords(
+      Seq((0L, "alpha", ts(300))).toDF("doc_id", "text", "ts"),
+      "text", "ts"))
+    assert(ids(Dedup.incrementalTtlDedup(batch, unfolded,
+      "text", "doc_id", "ts", ttl)) == Set(13L, 14L))
     intercept[IllegalArgumentException] {
       Dedup.incrementalTtlDedup(batch, store.drop("last_ts"),
         "text", "doc_id", "ts", ttl)
