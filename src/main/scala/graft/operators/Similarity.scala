@@ -649,10 +649,21 @@ object Similarity {
     val enc = ivfPqCodes(newBatch, idCol, vecCol, coarseCents, codebooks,
       scale, metaCols)
     val known = store.select(col("vec_id").as("_kid"))
-    // guard rides the row FILTER (the retractManifest convention) so
-    // no projection — not even a bare count — can prune it
-    enc.join(known.hint("shuffle_hash"),
+    // a duplicated id WITHIN the batch is the same upstream-dedup
+    // drift as a store re-arrival — it would silently double the
+    // store's probe candidates, so it raises the same way (one extra
+    // id-keyed partial agg over the batch only)
+    val bCounts = enc.groupBy(col("vec_id")).agg(count(lit(1)).as("_bn"))
+    // guards ride the row FILTER (the retractManifest convention) so
+    // no projection — not even a bare count — can prune them
+    enc.join(bCounts.hint("shuffle_hash"), Seq("vec_id"))
+      .join(known.hint("shuffle_hash"),
         enc("vec_id") === col("_kid"), "left")
+      .filter(when(col("_bn") > 1, raise_error(concat(
+        lit("incrementalIvfPqCodes: id "), col("vec_id").cast("string"),
+        lit(" appears more than once in the batch — upstream dedup" +
+          " drifted"))).cast("boolean"))
+        .otherwise(lit(true)))
       .filter(when(col("_kid").isNotNull, raise_error(concat(
         lit("incrementalIvfPqCodes: id "), col("vec_id").cast("string"),
         lit(" is already in the codes store — a re-arriving id means" +

@@ -885,6 +885,16 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage != null &&
       e.getMessage.contains("already in the codes store"), e.getMessage)
+    // ...and so does a duplicated id WITHIN the batch (it would
+    // silently double the store's probe candidates)
+    val oneB = sliceB.limit(1)
+    val eDup = intercept[Exception] {
+      Similarity.incrementalIvfPqCodes(boot, oneB.unionByName(oneB),
+        "vec_id", "embedding", coarse, books).count()
+    }
+    assert(eDup.getMessage != null &&
+      eDup.getMessage.contains("more than once in the batch"),
+      eDup.getMessage)
     // retraction: forget slice B -> back to the bootstrap store
     val shrunk = Similarity.retractIvfPqCodes(merged,
       sliceB.select("vec_id"))
