@@ -43,6 +43,24 @@ class PushdownSpec extends SparkSpec {
       s"expected pruned ReadSchema (<$full cols) in: $read")
   }
 
+  test("filtered ANN pushes the metadata predicate to the parquet scan") {
+    // the X198 design claim held by a test: over a RAW scan (the gate
+    // caches the corpus for tier sharing, which absorbs the filter
+    // into the cache scan instead), the binary tier's pre-filter
+    // reaches the parquet reader as a pushed filter — at 100 TB this
+    // is row-group pruning, not a post-scan filter
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val plan = graft.operators.Similarity.filteredBinaryRerankTopK(
+      emb, q, col("label") === 3, coarseK = 50, k = 10, dims = 64)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString(" | ")
+    assert(pushed.contains("EqualTo(label,3)"),
+      s"label predicate must reach the scan: $pushed")
+  }
+
   test("dimension joins in the flagship edges broadcast, not shuffle") {
     val plan = SparkEntry.nationTradeEdges(spark, sfDir)
       .queryExecution.executedPlan.toString
