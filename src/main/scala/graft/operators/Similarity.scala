@@ -742,6 +742,45 @@ object Similarity {
     ivfPqCodes(vecs, idCol, vecCol, newCoarse, newBooks, scale, metaCols)
   }
 
+  /** Merge two [[semanticContaminationFlags]] verdict tables (X204's
+    * incremental half): flag matches are per-(train doc, eval doc)
+    * independent facts, so for DISJOINT eval sets —
+    * benchmarks are disjoint by construction —
+    * flags(train, e1 ∪ e2) ≡ merge(flags(train, e1), flags(train, e2))
+    * EXACTLY (spec-pinned): contaminated ORs, n_matches sums, max_sim
+    * maxes. That algebra is what makes decontamination incrementally
+    * maintainable: a NEW benchmark costs one flag pass of the train
+    * corpus against the new eval docs only (the broadcast side shrinks
+    * to the delta), merged into the stored verdicts — never a re-scan
+    * against every benchmark ever onboarded. Fail-loud on verdict
+    * tables over different train corpora (an id present on one side
+    * only means the snapshots drifted). */
+  def mergeContaminationFlags(a: DataFrame, b: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    val want = Set(idCol, "contaminated", "n_matches", "max_sim")
+    for ((df, side) <- Seq((a, "left"), (b, "right")))
+      require(df.columns.toSet == want,
+        s"mergeContaminationFlags: $side must be a " +
+          s"semanticContaminationFlags verdict table (${want.mkString(", ")})" +
+          s", got ${df.columns.mkString(", ")}")
+    val l = a.select(col(idCol), col("contaminated").as("_c1"),
+      col("n_matches").as("_n1"), col("max_sim").as("_m1"))
+    val r = b.select(col(idCol).as("_rid"), col("contaminated").as("_c2"),
+      col("n_matches").as("_n2"), col("max_sim").as("_m2"))
+    l.join(r.hint("shuffle_hash"), l(idCol) === col("_rid"), "full_outer")
+      .filter(when(l(idCol).isNull || col("_rid").isNull,
+        raise_error(concat(
+          lit("mergeContaminationFlags: train id "),
+          coalesce(l(idCol), col("_rid")).cast("string"),
+          lit(" is present on one side only — the verdict tables cover" +
+            " different train snapshots"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(l(idCol),
+        (col("_c1") || col("_c2")).as("contaminated"),
+        (col("_n1") + col("_n2")).as("n_matches"),
+        greatest(col("_m1"), col("_m2")).as("max_sim"))
+  }
+
   /** Serialize an IVF-PQ index to rows (X200's persistence half): the
     * (centroids, codebooks) pair the probe needs is driver-resident
     * by design — a few thousand integer vectors — but a serving

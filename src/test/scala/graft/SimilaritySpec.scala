@@ -987,6 +987,28 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.semanticContaminationFlags(train, evalSet, cents, 0.0)
     }
+    // the merge algebra: for disjoint eval sets (benchmarks), flags
+    // over the union == merge of the per-benchmark flags — the law
+    // that makes a new benchmark a delta pass, never a full re-flag
+    val e1 = evalSet.filter(col("vec_id") % 2 === 0)
+    val e2 = evalSet.filter(col("vec_id") % 2 =!= 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Boolean, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val merged = asMap(Similarity.mergeContaminationFlags(
+      Similarity.semanticContaminationFlags(train, e1, cents, 0.3, 2),
+      Similarity.semanticContaminationFlags(train, e2, cents, 0.3, 2)))
+    assert(merged == got, "merge of disjoint-benchmark flags must equal" +
+      " the union flags")
+    // drifted train snapshots fail loud
+    val eDrift = intercept[Exception] {
+      Similarity.mergeContaminationFlags(
+        Similarity.semanticContaminationFlags(train, e1, cents, 0.3, 2),
+        Similarity.semanticContaminationFlags(
+          train.filter(col("vec_id") =!= 1L), e2, cents, 0.3, 2)).count()
+    }
+    assert(eDrift.getMessage != null &&
+      eDrift.getMessage.contains("one side only"), eDrift.getMessage)
   }
 
   test("ivfPqIndexRecords: save/load round-trip is lossless, probes identically") {
