@@ -763,11 +763,15 @@ object Multimodal {
       col(sigCol).cast("long").as("h")).distinct()
     val s0 = storeSigs.select(col(idCol).cast("long").as("id"),
       col(sigCol).cast("long").as("h")).distinct()
-    // stopword vocabulary over store ∪ batch (the union-batch rule)
+    // stopword vocabulary over store ∪ batch (the union-batch rule).
+    // The union is DEDUPLICATED across sides: a re-arrived id present
+    // in both batch and store must count each (id, h) row once — the
+    // df a one-shot batch over the deduplicated union would see — or
+    // a hash could cross maxFrameDf only in the increment.
     val (b, s) =
       if (maxFrameDf == Long.MaxValue) (b0, s0)
       else {
-        val hot = b0.unionByName(s0).groupBy(col("h")).count()
+        val hot = b0.unionByName(s0).distinct().groupBy(col("h")).count()
           .filter(col("count") > maxFrameDf).select(col("h"))
         (b0.join(broadcast(hot), Seq("h"), "left_anti"),
           s0.join(broadcast(hot), Seq("h"), "left_anti"))

@@ -444,9 +444,11 @@ object Similarity {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
       "ivfPqCodes: empty codebooks")
     require(coarseCents.nonEmpty, "ivfPqCodes: empty coarse centroids")
-    require(!metaCols.exists(Set("vec_id", "cell", "codes", "qv", "rv",
-      "cluster", "dist", "_best")),
-      s"ivfPqCodes: metaCols collide with reserved store/internal names: " +
+    require(!metaCols.exists(c =>
+      Set("vec_id", "cell", "codes", "qv", "rv", "cluster", "dist",
+        "_best")(c) || c.matches("_r\\d+")),
+      s"ivfPqCodes: metaCols collide with reserved store/internal names " +
+        s"(vec_id, cell, codes, qv, rv, cluster, dist, _best, _r<i>): " +
         metaCols.mkString(", "))
     val m = codebooks.length
     val subDim = codebooks(0)(0)._2.length
@@ -815,6 +817,14 @@ object Similarity {
         col("vec").cast("array<long>"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    // duplicate (part, cid) rows mean the index was written twice or
+    // two versions were mixed — repeated centroid/codebook entries
+    // silently change probe tie-breaking, so raise here instead.
+    val keys = rows.map(r => (r._1, r._2))
+    require(keys.distinct.length == keys.length,
+      s"ivfPqIndexFromRecords: duplicate (part, cid) rows — " +
+        s"${keys.diff(keys.distinct).distinct.take(5).mkString(", ")}; " +
+        "index table written twice or versions mixed")
     val coarse = rows.filter(_._1 == -1).map(r => (r._2, r._3)).sortBy(_._1)
     require(coarse.nonEmpty, "ivfPqIndexFromRecords: no coarse part (-1)")
     val subs = rows.filter(_._1 >= 0).groupBy(_._1)

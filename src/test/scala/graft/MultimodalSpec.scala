@@ -422,6 +422,18 @@ class MultimodalSpec extends SparkSpec {
     // frames and cannot pair (empty sets never meet the index)
     assert(capped.contains(7L),
       s"a video whose only frame was capped survives vacuously: $capped")
+    // the df vocabulary deduplicates ACROSS sides: a re-arrived id
+    // present in both batch and store counts each (id, h) row once —
+    // here h=10 lives in {7, 100, 101} after dedup (df=3, at the cap,
+    // NOT hot), while double-counting the re-arrived (100, 10) row
+    // would read df=4 > 3 and wrongly cap it, letting 7 survive
+    val reBatch = sigs(100L -> Seq(10), 7L -> Seq(10))
+    val reStore = sigs(100L -> Seq(10), 101L -> Seq(10))
+    val reSurv = ids(Multimodal.incrementalVideoNearDup(reBatch, reStore,
+      threshold = 0.5, maxFrameDf = 3))
+    assert(reSurv.isEmpty,
+      s"h=10 must stay in the vocabulary (deduped df=3 <= cap) so 7 " +
+        s"drops vs store (J=1): $reSurv")
     intercept[IllegalArgumentException] {
       Multimodal.incrementalVideoNearDup(batch, empty, 0.0)
     }

@@ -844,10 +844,16 @@ class SimilaritySpec extends SparkSpec {
       coarseK = emb.count().toInt, pred)
     assert(rows(exhaustive) ==
       rows(Similarity.bruteForceTopK(emb.filter(pred), q, 10)))
-    // reserved-name collision fails loud
+    // reserved-name collision fails loud — including the internal
+    // residual-slice names _r0.._r{m-1}, which would otherwise die
+    // later with an opaque ambiguous-column error
     intercept[IllegalArgumentException] {
       Similarity.ivfPqCodes(emb.withColumnRenamed("label", "cell"),
         "vec_id", "embedding", coarse, books, metaCols = Seq("cell"))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqCodes(emb.withColumnRenamed("label", "_r0"),
+        "vec_id", "embedding", coarse, books, metaCols = Seq("_r0"))
     }
   }
 
@@ -1039,6 +1045,12 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.ivfPqIndexFromRecords(
         spark.read.parquet(dir).filter(col("part") =!= 2))
+    }
+    // a double-written / version-mixed table has duplicate (part, cid)
+    // rows — repeated entries would silently change probe tie-breaking
+    val once = spark.read.parquet(dir)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexFromRecords(once.unionByName(once))
     }
   }
 
