@@ -965,6 +965,208 @@ object Corpus {
       size(filter(split(cells, " "), c => c =!= "")).as("n_symbols"))
   }
 
+  /** All (start, end) substring spans of a word up to `maxPieceLen`
+    * chars — the unigram-LM candidate lattice. 0-based half-open
+    * spans; 1 ≤ e−s ≤ maxPieceLen, so single characters are always
+    * candidates and every lattice position stays reachable. */
+  private def unigramSpans(w: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(0), length(w) - 1), s =>
+      transform(sequence(s + 1, least(s + lit(maxPieceLen), length(w))),
+        e => struct(s.as("s"), e.as("e")))))
+
+  /** Viterbi DP over a word's piece lattice: dp(i) = min cost of
+    * segmenting the first i chars, with the back-pointer to the best
+    * last-piece start. `edges` is the word's (s, e, c [fixed-point
+    * −ln p]) lattice; min over struct(cost, bp) breaks cost ties on
+    * the SMALLEST start (= longest final piece) — deterministic and
+    * identical to the oracle's struct ordering. Pure column compute:
+    * the whole DP is one `aggregate` HOF over positions, map-side,
+    * zero shuffles. */
+  private def viterbiDp(w: Column, edges: Column): Column =
+    aggregate(sequence(lit(1), length(w)),
+      array(struct(lit(0L).as("cost"), lit(-1).as("bp"))),
+      (acc, i) => concat(acc, array(array_min(transform(
+        filter(edges, ed => ed.getField("e") === i),
+        ed => struct(
+          (element_at(acc, ed.getField("s") + 1).getField("cost") +
+            ed.getField("c")).as("cost"),
+          ed.getField("s").as("bp")))))))
+
+  /** Back-trace of [[viterbiDp]]: the argmin segmentation as (s, e)
+    * spans, walked from the end via the back-pointers (≤ length(w)
+    * steps; once the walk reaches 0 the accumulator passes through). */
+  private def viterbiSegs(w: Column, dp: Column): Column =
+    aggregate(sequence(lit(1), length(w)),
+      struct(length(w).as("pos"),
+        array().cast("array<struct<s:int,e:int>>").as("segs")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val bp = element_at(dp, pos + 1).getField("bp")
+        when(pos > lit(0),
+          struct(bp.as("pos"),
+            concat(acc.getField("segs"),
+              array(struct(bp.as("s"), pos.as("e")))).as("segs")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("segs"))
+
+  /** Add-one-smoothed fixed-point piece costs from a count table:
+    * lp = ⌊−ln((cnt+1)/(total+V))·1e9 + 0.5⌋ — the [[unigramSurprisal]]
+    * quantization over the smoothed unigram-LM distribution, so zero-
+    * count pieces keep a finite (worst) cost and the EM recurrence is
+    * integer-replayable in any engine. V rides as the count of the
+    * table itself (the vocabulary is frozen at seeding, every round's
+    * table carries all V rows). */
+  private def unigramSmoothed(cnt: DataFrame): DataFrame = {
+    val stats = cnt.agg(sum(col("cnt")).as("_tot"), count(lit(1)).as("_v"))
+    cnt.crossJoin(broadcast(stats)).select(col("piece"), col("cnt"),
+      floor((-log((col("cnt") + lit(1L)).cast("double") /
+        (col("_tot") + col("_v")).cast("double"))) * lit(1e9) + lit(0.5))
+        .cast("long").as("lp"))
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training — the
+    * EM-trained sibling of [[bpeMerges]] (Kudo 2018: a vocabulary of
+    * subword pieces with probabilities, learned by EM over each
+    * word's segmentation lattice; BPE greedily grows merges, the
+    * unigram model starts from a large candidate set and re-estimates).
+    * This is the deterministic hard-EM (Viterbi) variant with add-one
+    * smoothing, integer end to end:
+    *   seed   — candidate vocabulary = every substring (≤ maxPieceLen)
+    *            of every distinct word, count = Σ word-freq over its
+    *            occurrence positions; smoothed fixed-point costs.
+    *   E-step — per distinct word, the min-cost segmentation under
+    *            the current costs ([[viterbiDp]]; cost ties break on
+    *            the longest final piece).
+    *   M-step — piece usage = Σ word-freq over argmin segments;
+    *            re-smooth over the FROZEN seed vocabulary.
+    * Returns the full smoothed score table (piece, cnt, lp) after
+    * `emRounds` rounds; cnt is that round's Viterbi usage.
+    *
+    * Scale shape: ONE corpus-wide shuffle total — the token explode
+    * into the distinct-word dict (map-side combine collapses repeats
+    * in flight). Everything after runs at VOCAB scale: the span
+    * lattice is |words|·len·maxPieceLen rows, each EM round is one
+    * piece-keyed join (pinned shuffle-hash — the substring vocabulary
+    * grows superlinearly in the word vocab, the [[bigramSurprisal]]
+    * argument against broadcast), one word-keyed collect_list whose
+    * lists are ≤ len·maxPieceLen structs, a pure-map DP, and one
+    * piece-keyed usage fold. Job count is O(emRounds) with a small
+    * constant (measured by `runMain graft.UnigramJobs`, PLANS.md
+    * "Unigram-LM training bound") — no per-piece iteration anywhere,
+    * the structural win over BPE's per-merge recurrence. Train on a
+    * SEED SLICE (the caller filters), encode the full corpus with
+    * [[unigramLmEncode]] — the slice bounds the dict the same way
+    * [[ngramPerplexity]]'s seed does. */
+  def unigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int, emRounds: Int): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    val words = Dedup.spread(docs)
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    // span lattice + piece strings — static across rounds
+    val edges = words
+      .select(col("w"), col("f"),
+        explode(unigramSpans(col("w"), maxPieceLen)).as("se"))
+      .select(col("w"), col("f"), col("se.s").as("s"), col("se.e").as("e"),
+        col("w").substr(col("se.s") + 1, col("se.e") - col("se.s"))
+          .as("piece"))
+      .localCheckpoint()
+    // seed counts; the vocabulary is FROZEN here (V rows, every round)
+    val vocab = edges.groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      .localCheckpoint()
+    var scores = unigramSmoothed(vocab).localCheckpoint()
+    for (_ <- 1 to emRounds) {
+      val ew = edges
+        .join(scores.select(col("piece"), col("lp").as("c"))
+          .hint("shuffle_hash"), Seq("piece"))
+        .groupBy(col("w"), col("f"))
+        .agg(collect_list(struct(col("s"), col("e"), col("c"))).as("edges"))
+      // E-step: argmin segmentation per word (collect_list order is
+      // irrelevant — the DP takes array_min over all edges at each
+      // position and usage re-aggregates)
+      val seg = ew
+        .withColumn("dp", viterbiDp(col("w"), col("edges")))
+        .select(col("w"), col("f"),
+          explode(viterbiSegs(col("w"), col("dp"))).as("sg"))
+        .select(col("f"),
+          col("w").substr(col("sg.s") + 1, col("sg.e") - col("sg.s"))
+            .as("piece"))
+      // M-step: usage-weighted counts over the frozen vocabulary
+      val usage = seg.groupBy(col("piece")).agg(sum(col("f")).as("u"))
+      val cntR = vocab.select(col("piece"))
+        .join(usage.hint("shuffle_hash"), Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("u"), lit(0L)).as("cnt"))
+      // superseded checkpoints are ContextCleaner-reclaimed once the
+      // loop drops their references (the bpeMerges note)
+      scores = unigramSmoothed(cntR).localCheckpoint()
+    }
+    scores
+  }
+
+  /** The learned vocabulary: [[unigramLmScores]] restricted to pieces
+    * the final Viterbi pass actually used — what a pipeline ships as
+    * its tokenizer model (the zero-usage candidates exist only to keep
+    * the smoothing denominator honest). */
+  def unigramLmTrain(docs: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int, emRounds: Int): DataFrame =
+    unigramLmScores(docs, idCol, textCol, maxPieceLen, emRounds)
+      .filter(col("cnt") > 0)
+
+  /** Tokenizer APPLY under a trained unigram model (the
+    * [[bpeApply]] counterpart): per document, token count and total
+    * Viterbi piece count under `scores` ([[unigramLmScores]]' full
+    * table — cnt is needed to derive the smoothed zero-count cost).
+    * Out-of-vocabulary handling is the standard unigram-encoder rule:
+    * a span missing from the vocabulary is admissible only as a
+    * SINGLE-CHAR piece at the add-one zero-count cost (admitting
+    * longer unseen spans at that cost would beat any real pieces);
+    * single-char fallbacks keep every word encodable, chars unseen at
+    * train time included.
+    *
+    * Scale shape: the Viterbi DP runs once per DISTINCT corpus word
+    * (dict-sized, the word vocab — Heaps' law), then broadcasts back
+    * onto the token stream exactly like [[unigramSurprisal]]'s
+    * probability table; the corpus-side work is one explode +
+    * broadcast join + per-doc fold. */
+  def unigramLmEncode(docs: DataFrame, idCol: String, textCol: String,
+      scores: DataFrame, maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(Set("piece", "cnt", "lp").subsetOf(scores.columns.toSet),
+      s"unigramLmEncode: scores must carry (piece, cnt, lp) — " +
+        s"unigramLmScores' schema — got ${scores.columns.mkString(", ")}")
+    val terms = Dedup.spread(docs).select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+    val words = terms.select(col("w")).distinct()
+    val stats = scores.agg(sum(col("cnt")).as("_tot"), count(lit(1)).as("_v"))
+    val lpUnk = floor((-log(lit(1.0) /
+      (col("_tot") + col("_v")).cast("double"))) * lit(1e9) + lit(0.5))
+      .cast("long")
+    val edges = words
+      .select(col("w"), explode(unigramSpans(col("w"), maxPieceLen)).as("se"))
+      .select(col("w"), col("se.s").as("s"), col("se.e").as("e"),
+        col("w").substr(col("se.s") + 1, col("se.e") - col("se.s"))
+          .as("piece"))
+      .join(scores.select(col("piece"), col("lp")).hint("shuffle_hash"),
+        Seq("piece"), "left")
+      .crossJoin(broadcast(stats))
+      .filter(col("lp").isNotNull || (col("e") - col("s")) === 1)
+      .select(col("w"), col("s"), col("e"), coalesce(col("lp"), lpUnk).as("c"))
+    val perWord = edges.groupBy(col("w"))
+      .agg(collect_list(struct(col("s"), col("e"), col("c"))).as("edges"))
+      .withColumn("dp", viterbiDp(col("w"), col("edges")))
+      .select(col("w"), size(viterbiSegs(col("w"), col("dp"))).as("n_pieces"))
+    val per = terms.join(broadcast(perWord), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_pieces")).as("n_pieces"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
   /** Overlapping fixed-size character chunks — the RAG / context-window
     * preparation step: each document yields windows of `chunkSize`
     * chars starting every `stride` chars (`stride <= chunkSize` keeps

@@ -1274,6 +1274,132 @@ trait ExtResolveGates { this: ExtAllGates =>
       "CAST(len(list_filter(string_split(cells, ' '), x -> x <> '')) AS INT) AS n_symbols " +
       s"FROM documents JOIN s$BPE_MERGES USING (doc_id)"
 
+  /** Unigram-LM tokenizer training (X208): hard-EM (Viterbi) with
+    * add-one smoothing over the substring candidate lattice of a SEED
+    * SLICE's word dict — the EM-trained sibling of the BPE gate. The
+    * oracle replays every stage: seed counts, smoothed fixed-point
+    * costs, and per round the lattice join, the list_reduce Viterbi
+    * DP (same struct(cost, bp) min ordering as Spark's array_min),
+    * the back-pointer walk, and the usage re-estimation — all exact
+    * integers, chained as generated CTEs like the BPE oracle. */
+  val UNI_MAXLEN = 4
+  val UNI_ROUNDS = 2
+  private val uniSeedPred = "doc_id % 3 = 0"
+
+  val unigramLm: Q = (s, d) =>
+    Corpus.unigramLmTrain(Tables.documents(s, d).filter(expr(uniSeedPred)),
+      "doc_id", "text", UNI_MAXLEN, UNI_ROUNDS)
+
+  /** X208b: tokenizer APPLY — the trained model encodes the FULL
+    * corpus (train-on-slice, apply-everywhere): per doc the token and
+    * Viterbi piece counts, OOV spans admissible only as single-char
+    * UNK pieces at the smoothed zero-count cost. */
+  val unigramEncode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Corpus.unigramLmEncode(docs, "doc_id", "text",
+      Corpus.unigramLmScores(docs.filter(expr(uniSeedPred)),
+        "doc_id", "text", UNI_MAXLEN, UNI_ROUNDS), UNI_MAXLEN)
+  }
+
+  /** Shared CTE chain for the unigram-LM oracles: uw (seed word
+    * dict), ued (span lattice), uv (seed counts = frozen vocab),
+    * usc0..usc_R (per-round smoothed scores), and — `withEncode` —
+    * the full-corpus word dict encoded under usc_R.
+    *
+    * The oracle's E-step is FROM FIRST PRINCIPLES, not a replay of
+    * the engine's DP: a recursive CTE enumerates EVERY segmentation
+    * of every dict word (words are short, so 2^(len−1) paths are
+    * oracle-cheap) and argmin picks by (cost, reversed-starts list
+    * ASC) — provably the segmentation Viterbi-with-min-(cost, bp)
+    * back-tracing returns, since an optimal segmentation's prefix
+    * cost always equals dp(prefix) and the back-trace resolves ties
+    * from the end by smallest start. So the distributed DP is
+    * value-checked against brute-force enumeration, the
+    * dedupClusters precedent. (A lambda-based list_reduce replay was
+    * tried first and abandoned: DuckDB 1.0's list_reduce inside a
+    * chained-CTE plan returned run-to-run NONDETERMINISTIC results;
+    * the enumeration uses only joins/unnest/windows.) */
+  private[queries] def unigramOracleChain(withEncode: Boolean): String = {
+    def smooth(src: String): String =
+      s"SELECT piece, cnt, CAST(floor((-ln(CAST(cnt + 1 AS DOUBLE) / " +
+        s"CAST(tot + v AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) AS lp " +
+        s"FROM $src CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS tot, " +
+        s"count(*) AS v FROM $src)"
+    def lattice(src: String, cols: String): String =
+      s"SELECT $cols, CAST(s AS INT) AS s, CAST(e AS INT) AS e, " +
+        s"substr(w, s+1, e-s) AS piece " +
+        s"FROM (SELECT $cols, s, unnest(generate_series(s+1, " +
+        s"least(s+$UNI_MAXLEN, len(w)))) AS e " +
+        s"FROM (SELECT $cols, unnest(generate_series(0, len(w)-1)) AS s " +
+        s"FROM $src))"
+    // recursive enumeration of all segmentations of `srcWords`' words
+    // over `edgeSrc` (w, s, e, c), then the (cost, starts) argmin;
+    // `starts` is built by PREPEND so it reads [s_last, ..., 0] and
+    // list-lex ASC ordering reproduces the back-trace tie rule
+    def segCtes(tag: String, srcWords: String, cols: String,
+        edgeSrc: String): String = {
+      val gCols = cols.split(", ").map("g." + _).mkString(", ")
+      s", usg$tag AS (SELECT $cols, CAST(0 AS INT) AS pos, " +
+        s"CAST([] AS INT[]) AS starts, CAST(0 AS BIGINT) AS cost " +
+        s"FROM $srcWords " +
+        s"UNION ALL SELECT $gCols, ed.e AS pos, [ed.s] || g.starts AS starts, " +
+        s"g.cost + ed.c AS cost " +
+        s"FROM usg$tag g JOIN $edgeSrc ed ON ed.w = g.w AND ed.s = g.pos)" +
+        s", ubest$tag AS (SELECT $cols, starts FROM (" +
+        s"SELECT $cols, starts, row_number() OVER " +
+        s"(PARTITION BY w ORDER BY cost, starts) AS rn " +
+        s"FROM usg$tag WHERE pos = len(w)) WHERE rn = 1)"
+    }
+    val sb = new StringBuilder(
+      s"WITH RECURSIVE uw AS MATERIALIZED (SELECT w, count(*) AS f FROM " +
+        s"(SELECT unnest($duckToksLower) AS w FROM documents " +
+        s"WHERE $uniSeedPred) GROUP BY w)")
+    sb.append(s", ued AS MATERIALIZED (${lattice("uw", "w, f")})")
+    sb.append(", uv AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT)" +
+      " AS cnt FROM ued GROUP BY piece)")
+    sb.append(s", usc0 AS MATERIALIZED (${smooth("uv")})")
+    for (k <- 1 to UNI_ROUNDS) {
+      sb.append(s", ue$k AS MATERIALIZED (SELECT w, f, s, e, lp AS c " +
+        s"FROM ued JOIN usc${k - 1} USING (piece))")
+      sb.append(segCtes(s"$k", "uw", "w, f", s"ue$k"))
+      sb.append(s", uus$k AS (SELECT piece, CAST(sum(f) AS BIGINT) AS u " +
+        s"FROM (SELECT f, substr(w, starts[i] + 1, (CASE WHEN i = 1 " +
+        s"THEN len(w) ELSE starts[i-1] END) - starts[i]) AS piece " +
+        s"FROM (SELECT w, f, starts, unnest(generate_series(1, " +
+        s"len(starts))) AS i FROM ubest$k)) GROUP BY piece)")
+      sb.append(s", ucn$k AS MATERIALIZED (SELECT uv.piece, " +
+        s"CAST(coalesce(u, 0) AS BIGINT) AS cnt " +
+        s"FROM uv LEFT JOIN uus$k USING (piece))")
+      sb.append(s", usc$k AS MATERIALIZED (${smooth(s"ucn$k")})")
+    }
+    if (withEncode) {
+      val R = UNI_ROUNDS
+      sb.append(s", xw AS MATERIALIZED (SELECT DISTINCT w FROM " +
+        s"(SELECT unnest($duckToksLower) AS w FROM documents))")
+      sb.append(s", xe AS MATERIALIZED (SELECT w, s, e, coalesce(lp, " +
+        s"CAST(floor((-ln(1.0 / CAST(tot + v AS DOUBLE))) * 1000000000.0 " +
+        s"+ 0.5) AS BIGINT)) AS c " +
+        s"FROM (${lattice("xw", "w")}) LEFT JOIN usc$R USING (piece) " +
+        s"CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS v " +
+        s"FROM usc$R) WHERE lp IS NOT NULL OR e - s = 1)")
+      sb.append(segCtes("x", "xw", "w", "xe"))
+      sb.append(s", xper AS (SELECT doc_id, count(*) AS n_tokens, " +
+        s"CAST(sum(len(starts)) AS BIGINT) AS np FROM " +
+        s"(SELECT doc_id, unnest($duckToksLower) AS w FROM documents) t " +
+        s"JOIN ubestx USING (w) GROUP BY doc_id)")
+    }
+    sb.toString
+  }
+
+  val unigramLmSql: String =
+    unigramOracleChain(withEncode = false) +
+      s" SELECT piece, cnt, lp FROM usc$UNI_ROUNDS WHERE cnt > 0"
+
+  val unigramEncodeSql: String =
+    unigramOracleChain(withEncode = true) +
+      " SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, " +
+      "coalesce(np, 0) AS n_pieces FROM documents d LEFT JOIN xper USING (doc_id)"
+
   val unigramSurprisalSql: String =
     s"WITH trm AS (SELECT doc_id, unnest($duckToksLower) AS term FROM documents), " +
       "tf AS (SELECT term, count(*) AS cnt FROM trm GROUP BY term), " +

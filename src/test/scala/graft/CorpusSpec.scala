@@ -52,6 +52,65 @@ class CorpusSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("unigramLmScores: hand-computed seed, EM round, and train filter") {
+    // one distinct word "ab" (f=3); maxLen 2 -> vocab {a, b, ab}, all
+    // seed counts 3: lp = floor(-ln(4/12)*1e9 + 0.5) = 1098612289.
+    // Viterbi picks the whole word (1 piece beats 2 at equal cost),
+    // so round-1 usage is ab=3, a=b=0: tot=3, V=3 ->
+    // lp(ab) = floor(-ln(4/6)*1e9+0.5) = 405465108,
+    // lp(a) = lp(b) = floor(-ln(1/6)*1e9+0.5) = 1791759469.
+    val docs = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = Corpus.unigramLmScores(docs, "doc_id", "text",
+      maxPieceLen = 2, emRounds = 1)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 0L, 1791759469L), ("ab", 3L, 405465108L),
+      ("b", 0L, 1791759469L)))
+    val trained = Corpus.unigramLmTrain(docs, "doc_id", "text", 2, 1)
+      .as[(String, Long, Long)].collect()
+    assert(trained.toSeq == Seq(("ab", 3L, 405465108L)))
+    intercept[IllegalArgumentException] {
+      Corpus.unigramLmScores(docs, "doc_id", "text", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.unigramLmScores(docs, "doc_id", "text", 2, 0)
+    }
+  }
+
+  test("unigramLm EM: frequent sibling words pull a rare word's segmentation") {
+    // "a" and "bc" are frequent words; "abc" is rare. Seed counts make
+    // lp(a) = lp(bc) < lp(abc) (the whole-word candidate is rare), so
+    // the E-step segments "abc" as a + bc — the EM redistribution BPE's
+    // greedy merges cannot express. The usage counts then FIX this
+    // point: rounds 1 and 2 agree exactly (convergence law).
+    val docs = Seq(
+      (1L, "a a a a a a a a a a"),
+      (2L, "bc bc bc bc bc bc bc bc bc bc"),
+      (3L, "abc")).toDF("doc_id", "text")
+    def run(r: Int): Seq[(String, Long, Long)] =
+      Corpus.unigramLmTrain(docs, "doc_id", "text", maxPieceLen = 3,
+        emRounds = r).as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val r1 = run(1)
+    // usage: a = 10 (word) + 1 (inside abc) = 11, bc = 10 + 1 = 11;
+    // tot = 22, V = 6 -> lp = floor(-ln(12/28)*1e9+0.5) = 847297860
+    assert(r1 == Seq(("a", 11L, 847297860L), ("bc", 11L, 847297860L)), r1)
+    assert(run(2) == r1, "EM fixed point: round 2 must equal round 1")
+  }
+
+  test("unigramLmEncode: trained pieces, OOV single-char fallback, empty docs") {
+    val train = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val scores = Corpus.unigramLmScores(train, "doc_id", "text", 2, 1)
+    // "ab" encodes as the 1 learned piece; "xy" is fully OOV -> 2
+    // single-char UNK pieces; the empty doc keeps its (0, 0) spine row
+    val target = Seq((10L, "ab xy"), (11L, ""), (12L, "ab ab ab"))
+      .toDF("doc_id", "text")
+    val got = Corpus.unigramLmEncode(target, "doc_id", "text", scores, 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((10L, 2L, 3L), (11L, 0L, 0L), (12L, 3L, 3L)))
+    intercept[IllegalArgumentException] {
+      Corpus.unigramLmEncode(target, "doc_id", "text", scores.drop("cnt"), 2)
+    }
+  }
+
   test("tfIdfTopTerms matches a hand-computed fixture with tie-breaks") {
     // 4 docs; "common" appears in all (idf = ln(1) = 0), "rare" in one
     val docs = Seq(

@@ -106,7 +106,15 @@ class PlanGuardSpec extends SparkSpec {
       "q_filtered_ann",
       // same tiers + the q_embed_topk-shaped brute pass over the
       // filtered slice as ground truth; recall joins are keyed
-      "q_filtered_ann_recall")
+      "q_filtered_ann_recall",
+      // 1-row (tot, V) smoothing-stats attach per EM round, like
+      // q_water_fill's 1-row bounds attach; the lattice/usage joins
+      // are piece-keyed shuffle-hash equi-joins
+      "q_unigram_lm",
+      // composes q_unigram_lm's 1-row stats attaches (train chain +
+      // the OOV-cost scalar); the dict join back onto the token
+      // stream is a broadcast equi-join
+      "q_unigram_encode")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
