@@ -766,6 +766,45 @@ trait ExtMediaGates { this: ExtAllGates =>
       "FROM pr JOIN sz s1 ON s1.media_id = pr.id1 JOIN sz s2 ON s2.media_id = pr.id2) " +
       s"SELECT id1, id2, CAST(shared AS BIGINT) AS shared, jaccard FROM jc WHERE jaccard >= $VIDEO_JACCARD_T"
 
+  /** The X205 gate WITH the hot-frame stopword cap engaged — the
+    * guard the r17 verdict flagged as spec-pinned but never
+    * oracle-exercised. This fixture's ~n/199 seed replication makes
+    * hash document frequency grow LINEARLY with corpus size (median
+    * df 14 at 500 docs, 150 at 5,000), so the uncapped pair term
+    * grows with class² — exactly the intro-card/black-frame pathology
+    * the cap exists for. With the cap at 8, hot hashes leave the
+    * index AND the set sizes (true-set semantics), the candidate
+    * phase is BOUNDED at any corpus scale (measured: 35 pairs at 500
+    * docs, 10 at 5,000 — the survivors are the rare-frame tail), and
+    * the oracle replays the df vocabulary + capped set-Jaccard fold. */
+  private[queries] val VIDEO_FRAME_DF_CAP = 8L
+
+  val videoNearDupCapped: Q = (s, d) => {
+    val media = Multimodal.videoMediaFromDocuments(
+      spread(Tables.documents(s, d)))
+    val sigs = Multimodal.videoFrameSignatures(media,
+      Multimodal.VideoFrameBytes).toDF()
+      .filter(col("decoded")).select(col("media_id"), col("fhash"))
+    Multimodal.videoNearDupPairs(sigs, threshold = VIDEO_JACCARD_T,
+      maxFrameDf = VIDEO_FRAME_DF_CAP)
+  }
+
+  val videoNearDupCappedSql: String =
+    videoSigCtes +
+      s", hot AS (SELECT fhash FROM sig GROUP BY fhash " +
+      s"HAVING count(*) > $VIDEO_FRAME_DF_CAP), " +
+      "sigc AS (SELECT media_id, fhash FROM sig " +
+      "WHERE fhash NOT IN (SELECT fhash FROM hot)), " +
+      "szc AS (SELECT media_id, count(*) AS sizes FROM sigc GROUP BY media_id), " +
+      "pr AS (SELECT a.media_id AS id1, b.media_id AS id2, count(*) AS shared " +
+      "FROM sigc a JOIN sigc b ON a.fhash = b.fhash AND a.media_id < b.media_id " +
+      "GROUP BY a.media_id, b.media_id), " +
+      "jc AS (SELECT pr.id1, pr.id2, pr.shared, " +
+      "round(CAST(pr.shared AS DOUBLE) / (s1.sizes + s2.sizes - pr.shared), 6) AS jaccard " +
+      "FROM pr JOIN szc s1 ON s1.media_id = pr.id1 JOIN szc s2 ON s2.media_id = pr.id2) " +
+      s"SELECT id1, id2, CAST(shared AS BIGINT) AS shared, jaccard FROM jc " +
+      s"WHERE jaccard >= $VIDEO_JACCARD_T"
+
   /** Incremental video near-dup (X206): the X205 fingerprinting with
     * the store hand-off — media_id % 3 == 0 videos' signature rows
     * bootstrap the kept store, the rest arrive as a batch; a batch
