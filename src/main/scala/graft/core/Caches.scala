@@ -69,6 +69,29 @@ object Caches {
     p
   }
 
+  private val artifactMemo =
+    new java.util.HashMap[(SparkSession, String), AnyRef]()
+
+  /** Per-session memo for DRIVER-SIDE trained index artifacts
+    * (k-means centroids, PQ codebooks, IVF-PQ index pairs): several
+    * gate rows train the SAME index over the same (table, params) —
+    * deterministic fixed-point training, so the memoized arrays are
+    * bit-identical to a retrain and every downstream hash is
+    * unchanged; what's saved is the repeated training jobs per
+    * Verify/Bench run. Keys must encode the input table (sfDir +
+    * slice) and every training parameter. Values are plain arrays —
+    * no Spark resources — so they survive [[release]] between queries
+    * (that is the point) and are bounded by the number of distinct
+    * (gate-family, sfDir) keys; stopped sessions' entries are swept
+    * with the registry. Training runs under the map lock: concurrent
+    * first callers would otherwise train twice, and gate rows are
+    * driver-sequential anyway. */
+  def memoizedArtifact[T <: AnyRef](spark: SparkSession, key: String)(
+      train: => T): T = artifactMemo.synchronized {
+    artifactMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    artifactMemo.computeIfAbsent((spark, key), _ => train).asInstanceOf[T]
+  }
+
   /** Register an ALREADY-persisted frame for [[release]] without
     * re-persisting (the CC loop persists per-round and eagerly frees
     * all but the final frame — only that survivor is registered).

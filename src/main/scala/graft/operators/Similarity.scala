@@ -606,6 +606,90 @@ object Similarity {
       rerankVecs, queries, k, coarseCents, codebooks, nprobe, coarseK,
       scale, idCol, vecCol)
 
+  /** FILTERED PQ top-k (X198 extended to the PQ tier): pre-filter
+    * semantics — the predicate pushes into the corpus scan BEFORE
+    * encoding, so candidates inherit it and the result provably
+    * equals [[pqTopK]] over the filtered slice (encoding is per-row
+    * independent, so filter-then-encode ≡ encode-then-filter).
+    * Codebooks stay trained on the FULL corpus — a shared quantizer
+    * must serve every predicate; retraining per filter would make
+    * results filter-dependent. */
+  def filteredPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Array[Array[(Int, Array[Long])]], coarseK: Int,
+      pred: Column, scale: Double = 1e6): DataFrame =
+    pqTopK(corpus.filter(pred), queries, k, codebooks, coarseK, scale)
+
+  /** FILTERED random-projection top-k (X198 extended to the RP tier):
+    * the predicate pushes into the corpus scan before the projection
+    * — the RP matrix is a deterministic function of (plane, dim), so
+    * there is no trained state to share and pre-filtering is exactly
+    * [[rpTopK]] over the slice; the scan-cost and recall arguments
+    * are [[filteredBinaryRerankTopK]]'s verbatim (coarseK candidates
+    * out of fewer qualifying rows — recall RISES with selectivity). */
+  def filteredRpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      outDims: Int, dims: Int, coarseK: Int, pred: Column,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      scale: Double = 1e6): DataFrame =
+    rpTopK(corpus.filter(pred), queries, k, outDims, dims, coarseK,
+      idCol, vecCol, qIdCol, qVecCol, scale)
+
+  /** FILTERED multi-probe LSH top-k (X198 extended to the last
+    * serving tier): the predicate pushes into the corpus scan before
+    * signing, so only qualifying rows enter the bucket index and the
+    * probe equi-join touches only them — ≡ [[lshMultiProbeTopK]] over
+    * the slice. The recall caveat is the IVF-PQ one transposed to
+    * buckets: a predicate correlated with bucket geometry empties the
+    * probed buckets, and the probe count (nprobe) is the runtime
+    * knob, not a rebuild. */
+  def filteredLshMultiProbeTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int, bits: Int, dims: Int, nprobe: Int, pred: Column,
+      poolSize: Int = 6, maxFlips: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame =
+    lshMultiProbeTopK(corpus.filter(pred), queries, k, bits, dims,
+      nprobe, poolSize, maxFlips, idCol, vecCol, qIdCol, qVecCol)
+
+  /** SELECTIVITY-ADAPTIVE cell budget (operationalizing X199's
+    * serving guidance "widen the cell budget as selectivity rises"):
+    * derive nprobe from the predicate's MEASURED selectivity over the
+    * codes store so the expected number of qualifying rows under the
+    * probed cells matches the unfiltered tier's candidate mass —
+    * nprobe = min(cells, max(base, ⌈base · total/qualifying⌉)). One
+    * cheap two-counter aggregate over the 16-bit/vector store rows
+    * per call (a store-kept histogram amortizes it in production; the
+    * collect is ONE row — documented bounded collect). Fail-loud on
+    * an empty store or a predicate selecting nothing: an nprobe
+    * derived from zero would silently serve garbage. */
+  def adaptiveNprobe(codes: DataFrame, pred: Column, baseNprobe: Int,
+      cells: Int): Int = {
+    require(baseNprobe >= 1, s"baseNprobe must be >= 1, got $baseNprobe")
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val r = codes.agg(count(lit(1)).as("n"),
+      count(when(pred, lit(1))).as("q")).head()
+    val (n, q) = (r.getLong(0), r.getLong(1))
+    require(n > 0, "adaptiveNprobe: empty codes store")
+    require(q > 0, "adaptiveNprobe: predicate selects zero store rows")
+    math.min(cells.toLong,
+      math.max(baseNprobe.toLong, (baseNprobe * n + q - 1) / q)).toInt
+  }
+
+  /** [[filteredIvfPqTopKFromCodes]] with the cell budget derived by
+    * [[adaptiveNprobe]] instead of hand-tuned — the X199 recall law
+    * says the derived budget matches or beats a fixed one on
+    * selective predicates (gate-measured, not asserted). */
+  def filteredIvfPqTopKAdaptive(codes: DataFrame, rerankVecs: DataFrame,
+      queries: DataFrame, k: Int,
+      coarseCents: Array[(Int, Array[Long])],
+      codebooks: Array[Array[(Int, Array[Long])]],
+      baseNprobe: Int, coarseK: Int, pred: Column,
+      scale: Double = 1e6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    filteredIvfPqTopKFromCodes(codes, rerankVecs, queries, k, coarseCents,
+      codebooks,
+      adaptiveNprobe(codes, pred, baseNprobe, coarseCents.length),
+      coarseK, pred, scale, idCol, vecCol)
+
   /** INCREMENTAL IVF-PQ serving-store maintenance (X200) — the X116
     * frozen-quantizer contract extended to the serving index: a new
     * batch encodes MAP-SIDE under the frozen (centroids, codebooks)

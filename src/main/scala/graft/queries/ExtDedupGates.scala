@@ -537,8 +537,7 @@ trait ExtDedupGates { this: ExtAllGates =>
       .select(col("doc_id"))
     // stage 3: semantic, over the survivors' embeddings (shared id space)
     val embStore = emb.filter(col("vec_id") % 3 === 0)
-    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
-      embStore, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    val cents = sharedSemStoreCents(s, d)
     val semStore = Similarity.semanticStoreRecords(embStore, "vec_id", "embedding", cents)
     val batchEmb = emb.join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     Similarity.incrementalSemanticDedup(batchEmb, semStore, cents, threshold = SEMDEDUP_T)
@@ -794,8 +793,7 @@ trait ExtDedupGates { this: ExtAllGates =>
     val s3 = graft.core.Caches.persistTracked(
       sub.join(s2, Seq("doc_id")))
     val embStore = emb.filter(col("vec_id") % 3 === 0)
-    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
-      embStore, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    val cents = sharedSemStoreCents(s, d)
     val semStore = Similarity.semanticStoreRecords(embStore, "vec_id", "embedding", cents)
     val batchEmb = emb.join(s3.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     Similarity.incrementalSemanticDedup(batchEmb, semStore, cents, threshold = SEMDEDUP_T)

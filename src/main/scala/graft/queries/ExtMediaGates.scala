@@ -42,12 +42,16 @@ trait ExtMediaGates { this: ExtAllGates =>
   private[queries] val duckCos =
     "round(list_dot_product(ed, qd)/(sqrt(list_dot_product(ed, ed))*sqrt(list_dot_product(qd, qd))), 6)"
 
-  val embedTopKSql: String =
-    "WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), " +
+  /** Brute-force oracle, optionally PRE-FILTERED on the corpus side
+    * (the filtered-metrics ground truth); queries stay unfiltered. */
+  private[queries] def embedTopKSqlAt(predSql: String = "TRUE"): String =
+    s"WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings WHERE $predSql), " +
       "q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd FROM embeddings WHERE vec_id % 50 = 0), " +
       s"sc AS (SELECT q_id, vec_id, $duckCos AS score FROM c, q), " +
       "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
       "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
+
+  val embedTopKSql: String = embedTopKSqlAt()
 
   /** Generated sign-signature SQL: bit b set iff Σ_d vec[d]·coef(b,d) ≥ 0,
     * with the same literal coefficients the Scala side folds in. */
@@ -142,7 +146,12 @@ trait ExtMediaGates { this: ExtAllGates =>
       poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)
       .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
 
-  val embedAnnProbeSql: String = {
+  /** Multi-probe LSH oracle, optionally PRE-FILTERED (X198
+    * extension): the predicate filters the corpus-side signature
+    * table `c` — the query probes derive from the separate q0 scan
+    * and stay unfiltered, exactly the filteredLshMultiProbeTopK
+    * plan. */
+  private[queries] def embedAnnProbeSqlAt(predSql: String = "TRUE"): String = {
     def proj(b: Int) = (0 until EMB_DIMS).map(d =>
       s"CAST(embedding[${d + 1}] AS DOUBLE)*${Similarity.planeCoef(b, d)}")
       .mkString(" + ")
@@ -158,7 +167,7 @@ trait ExtMediaGates { this: ExtAllGates =>
       .flatMap(r => (0 until ANN_PROBE_POOL).combinations(r).map(_.toSeq))
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     "WITH c AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed, " +
-      s"${duckSignature("embedding")} AS sig FROM embeddings), " +
+      s"${duckSignature("embedding")} AS sig FROM embeddings WHERE $predSql), " +
       s"q0 AS MATERIALIZED (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd, $projCols " +
       "FROM embeddings WHERE vec_id % 50 = 0), " +
       s"q1 AS (SELECT q_id, qd, $base AS base, " +
@@ -174,6 +183,8 @@ trait ExtMediaGates { this: ExtAllGates =>
       "r AS (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank FROM sc) " +
       "SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
   }
+
+  val embedAnnProbeSql: String = embedAnnProbeSqlAt()
 
   /** IVF scale path: deterministic coarse centroids (vec_id % 200),
     * nearest-cell assignment, 2-cell probe, top-10 within probed

@@ -395,8 +395,7 @@ trait ExtStreamGates { this: ExtAllGates =>
       java.nio.file.Files.createTempDirectory("graft-semstore").toString
     val emb = Tables.embeddings(s, d)
     val storeSlice = emb.filter(col("vec_id") % 3 === 0)
-    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
-      storeSlice, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    val cents = sharedSemStoreCents(s, d)
     Similarity.semanticStoreRecords(storeSlice, "vec_id", "embedding", cents)
       .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
     val embSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -536,8 +535,7 @@ trait ExtStreamGates { this: ExtAllGates =>
     Dedup.substringStoreRecords(storeSlice, "doc_id", "text", L = SUBSTR_L)
       .write.mode("overwrite").parquet(s"$base/substring/batch=-1")
     val embStore = emb.filter(col("vec_id") % 3 === 0)
-    val cents = graft.operators.Clustering.kmeansCentroidsFixed(
-      embStore, "vec_id", "embedding", k = SEMDEDUP_K, iters = SEMDEDUP_ITERS)
+    val cents = sharedSemStoreCents(s, d)
     Similarity.semanticStoreRecords(embStore, "vec_id", "embedding", cents)
       .write.mode("overwrite").parquet(s"$base/semantic/batch=-1")
     val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")

@@ -798,6 +798,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filtered PQ/RP/LSH-probe tiers == unfiltered over the slice") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val pred = col("label") % 2 === 0
+    val slice = emb.filter(pred)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // PQ: books trained on the FULL corpus, scan filtered
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dims = 64, m = 4, codes = 8, iters = 2)
+    assert(rows(Similarity.filteredPqTopK(emb, q, k = 10, books,
+        coarseK = 50, pred)) ==
+      rows(Similarity.pqTopK(slice, q, k = 10, books, coarseK = 50)))
+    assert(rows(Similarity.filteredRpTopK(emb, q, k = 10, outDims = 16,
+        dims = 64, coarseK = 50, pred)) ==
+      rows(Similarity.rpTopK(slice, q, k = 10, outDims = 16, dims = 64,
+        coarseK = 50)))
+    assert(rows(Similarity.filteredLshMultiProbeTopK(emb, q, k = 10,
+        bits = 8, dims = 64, nprobe = 8, pred)) ==
+      rows(Similarity.lshMultiProbeTopK(slice, q, k = 10, bits = 8,
+        dims = 64, nprobe = 8)))
+  }
+
+  test("adaptiveNprobe: derived budget arithmetic, caps, and guards") {
+    val codes = Seq.tabulate(80)(i => (i.toLong, i % 8))
+      .toDF("vec_id", "label")
+    // 1/2 selective at base 2 -> 4; 1/8 selective -> 16, capped at 8;
+    // non-selective predicate keeps the base
+    assert(Similarity.adaptiveNprobe(codes, col("label") % 2 === 0,
+      baseNprobe = 2, cells = 8) == 4)
+    assert(Similarity.adaptiveNprobe(codes, col("label") === 3,
+      baseNprobe = 2, cells = 8) == 8)
+    assert(Similarity.adaptiveNprobe(codes, col("label") >= 0,
+      baseNprobe = 2, cells = 8) == 2)
+    // non-divisible selectivity rounds UP (ceil): 80/30 -> ceil(16/3)=6
+    assert(Similarity.adaptiveNprobe(codes, col("label") < 3,
+      baseNprobe = 2, cells = 8) == 6)
+    intercept[IllegalArgumentException] {
+      Similarity.adaptiveNprobe(codes, col("label") === 99, 2, 8)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.adaptiveNprobe(codes.limit(0), col("label") === 0, 2, 8)
+    }
+  }
+
   test("filtered ANN: pre-filter == unfiltered over the slice, metaCols ride the store") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") % 50 === 0)
