@@ -611,16 +611,31 @@ object Multimodal {
     * "frame" (fixed-size byte slice), keeping (media_id, frame_idx,
     * frame_bytes). Pure column ops — the slicing pattern a real
     * frame sampler follows after decode. */
-  def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
-    val nFrames = floor(length(col("payload")) / frameBytes).cast("int")
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame =
+    sampleFrames(media, lit(frameBytes), everyNth)
+
+  /** PER-ROW frame-size form (r17 verdict #6): real container
+    * varieties carry their frame geometry in per-file metadata, so
+    * the demux stand-in takes the frame size as a COLUMN — one media
+    * table can mix containers with different geometries and each row
+    * slices by its own size. Still pure column ops at zero plan cost
+    * (the constant-size form above is exactly this with a literal, so
+    * every existing gate plan and hash is unchanged). Frames are
+    * constant-size WITHIN a video; a length-prefixed variable-frame
+    * container needs a real demuxer behind the same schema/batching
+    * contract. */
+  def sampleFrames(media: DataFrame, frameBytes: Column,
+      everyNth: Int): DataFrame = {
+    val fb = frameBytes.cast("int")
+    val nFrames = floor(length(col("payload")) / fb).cast("int")
     media
-      .select(col("media_id"), col("payload"), nFrames.as("_n"))
+      .select(col("media_id"), col("payload"), fb.as("_fb"), nFrames.as("_n"))
       .filter(col("_n") > 0)
-      .select(col("media_id"),
+      .select(col("media_id"), col("_fb"),
         explode(sequence(lit(0), col("_n") - 1, lit(everyNth))).as("frame_idx"),
         col("payload"))
       .select(col("media_id"), col("frame_idx"),
-        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+        col("payload").substr(col("frame_idx") * col("_fb") + 1, col("_fb"))
           .as("frame"))
   }
 
@@ -693,10 +708,23 @@ object Multimodal {
     * so no frame silently disappears from the index. */
   def videoFrameSignatures(media: DataFrame, frameBytes: Int,
       everyNth: Int = 1, gridW: Int = 8, gridH: Int = 7): Dataset[VideoFrameSig] = {
+    require(frameBytes >= 1,
+      s"videoFrameSignatures: bad frameBytes=$frameBytes")
+    videoFrameSignatures(media, lit(frameBytes), everyNth, gridW, gridH)
+  }
+
+  /** PER-ROW frame-size form of [[videoFrameSignatures]] (the
+    * [[sampleFrames]] Column overload carried through decode+hash):
+    * one media table can mix container geometries, each row demuxing
+    * by its own `frameBytes` column. The block-mean grid hash is
+    * geometry-agnostic (ImageIO reads each frame's own header), so
+    * mixed-geometry corpora index into the same fhash domain. */
+  def videoFrameSignatures(media: DataFrame, frameBytes: Column,
+      everyNth: Int, gridW: Int, gridH: Int): Dataset[VideoFrameSig] = {
     require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 63,
       s"grid ${gridW}x$gridH must have 1..63 cells to fit a signed long")
-    require(frameBytes >= 1 && everyNth >= 1,
-      s"videoFrameSignatures: bad frameBytes=$frameBytes / everyNth=$everyNth")
+    require(everyNth >= 1,
+      s"videoFrameSignatures: bad everyNth=$everyNth")
     val spark = media.sparkSession
     import spark.implicits._
     sampleFrames(media, frameBytes, everyNth)

@@ -376,6 +376,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sampleFrames per-row frame size: mixed geometries in one corpus") {
+    import graft.operators.Multimodal.{VideoFrameW, VideoFrameH, VideoFrameBytes}
+    // geometry A: the fixture's 16x14 (726 B); geometry B: 8x6 BMP ->
+    // rowBytes (8*3+3)/4*4 = 24, frame = 54 + 24*6 = 198 B
+    val fbB = 54 + ((8 * 3 + 3) / 4 * 4) * 6
+    def catFrames(n: Int, w: Int, h: Int, seed: Int): Array[Byte] =
+      (0 until n).flatMap(f => Multimodal.encodeBmp24(w, h, (x, y) =>
+        ((seed + f + x) % 256 << 16) | ((y * 31) % 256 << 8) |
+          ((seed * (x + 1) * (y + 1)) % 256))).toArray
+    val media = Seq(
+      (1L, catFrames(3, VideoFrameW, VideoFrameH, 5), VideoFrameBytes),
+      (2L, catFrames(4, 8, 6, 9), fbB))
+      .toDF("media_id", "payload", "frame_bytes")
+    // each row demuxes by ITS OWN size column; every slice decodes at
+    // its own geometry
+    val frames = Multimodal.sampleFrames(media, col("frame_bytes"), 1)
+      .as[(Long, Int, Array[Byte])].collect()
+    assert(frames.count(_._1 == 1L) == 3 && frames.count(_._1 == 2L) == 4)
+    for ((id, _, frame) <- frames) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frame))
+      assert(img != null, s"frame of video $id did not decode")
+      assert((img.getWidth, img.getHeight) ==
+        (if (id == 1L) (VideoFrameW, VideoFrameH) else (8, 6)))
+    }
+    // mixed-geometry signatures land in the same fhash domain
+    val sigs = Multimodal.videoFrameSignatures(media, col("frame_bytes"),
+      1, 4, 3).collect()
+    assert(sigs.length == 7 && sigs.forall(_.decoded))
+    // constant-column path == Int path exactly (the gate-hash
+    // preservation law: the fixed-size form IS the literal-column form)
+    val mono = Multimodal.videoMediaFromDocuments(
+      Seq(1L, 2L, 7L).toDF("doc_id"))
+    val viaInt = Multimodal.videoFrameSignatures(mono, VideoFrameBytes)
+      .collect().map(s => (s.media_id, s.frame_idx, s.decoded, s.fhash)).toSet
+    val viaCol = Multimodal.videoFrameSignatures(mono, lit(VideoFrameBytes),
+      1, 8, 7)
+      .collect().map(s => (s.media_id, s.frame_idx, s.decoded, s.fhash)).toSet
+    assert(viaInt == viaCol)
+  }
+
   test("incrementalVideoNearDup: empty store == batch rule, re-arrival drops, chain law") {
     // synthetic signature rows: sets over small hash vocabularies with
     // known overlaps (operator is codec-agnostic — sigs in, ids out)
