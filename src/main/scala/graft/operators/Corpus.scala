@@ -1058,10 +1058,12 @@ object Corpus {
     * SEED SLICE (the caller filters), encode the full corpus with
     * [[unigramLmEncode]] — the slice bounds the dict the same way
     * [[ngramPerplexity]]'s seed does. */
-  def unigramLmScores(docs: DataFrame, idCol: String, textCol: String,
-      maxPieceLen: Int, emRounds: Int): DataFrame = {
-    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
-    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+  /** Word dict → span lattice → seed vocabulary (counts) — the shared
+    * front of [[unigramLmScores]] and [[unigramLmPruned]]. The token
+    * explode into the dict is the ONE corpus-wide shuffle; everything
+    * downstream is vocab-scale. */
+  private def unigramLattice(docs: DataFrame, textCol: String,
+      maxPieceLen: Int): (DataFrame, DataFrame) = {
     val words = Dedup.spread(docs)
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -1077,33 +1079,85 @@ object Corpus {
     // seed counts; the vocabulary is FROZEN here (V rows, every round)
     val vocab = edges.groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
       .localCheckpoint()
+    (edges, vocab)
+  }
+
+  def unigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int, emRounds: Int): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    val (edges, vocab) = unigramLattice(docs, textCol, maxPieceLen)
     var scores = unigramSmoothed(vocab).localCheckpoint()
     for (_ <- 1 to emRounds) {
-      val ew = edges
-        .join(scores.select(col("piece"), col("lp").as("c"))
-          .hint("shuffle_hash"), Seq("piece"))
-        .groupBy(col("w"), col("f"))
-        .agg(collect_list(struct(col("s"), col("e"), col("c"))).as("edges"))
-      // E-step: argmin segmentation per word (collect_list order is
-      // irrelevant — the DP takes array_min over all edges at each
-      // position and usage re-aggregates)
-      val seg = ew
-        .withColumn("dp", viterbiDp(col("w"), col("edges")))
-        .select(col("w"), col("f"),
-          explode(viterbiSegs(col("w"), col("dp"))).as("sg"))
-        .select(col("f"),
-          col("w").substr(col("sg.s") + 1, col("sg.e") - col("sg.s"))
-            .as("piece"))
-      // M-step: usage-weighted counts over the frozen vocabulary
-      val usage = seg.groupBy(col("piece")).agg(sum(col("f")).as("u"))
-      val cntR = vocab.select(col("piece"))
-        .join(usage.hint("shuffle_hash"), Seq("piece"), "left")
-        .select(col("piece"), coalesce(col("u"), lit(0L)).as("cnt"))
       // superseded checkpoints are ContextCleaner-reclaimed once the
       // loop drops their references (the bpeMerges note)
-      scores = unigramSmoothed(cntR).localCheckpoint()
+      scores = unigramSmoothed(
+        unigramEmStep(edges, vocab.select(col("piece")), scores))
+        .localCheckpoint()
     }
     scores
+  }
+
+  /** EM + PRUNE — the vocabulary-size-targeting loop real
+    * SentencePiece training runs (Kudo 2018 §3.2: train, keep the
+    * best pieces, re-estimate): after `emRounds` hard-EM rounds the
+    * vocabulary prunes to the top `keepTop` pieces by (usage desc,
+    * piece asc) PLUS every single character (coverage: chars keep any
+    * word encodable — the paper's seed-character rule), then ONE more
+    * EM round re-estimates usage and costs over the pruned lattice
+    * (smoothing denominator = the pruned V′). The lattice restricts
+    * by the score join itself, so pruning is zero extra plan shape.
+    * The top-K is a TakeOrdered (bounded by the vocab TARGET — the
+    * 32k-piece production number, never corpus- or vocab-sized), not
+    * a global window. Returns the pruned vocabulary's final
+    * (piece, cnt, lp). */
+  def unigramLmPruned(docs: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int, emRounds: Int, keepTop: Int): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    require(keepTop >= 1, s"keepTop must be >= 1, got $keepTop")
+    val (edges, vocab) = unigramLattice(docs, textCol, maxPieceLen)
+    var scores = unigramSmoothed(vocab).localCheckpoint()
+    var cnt = vocab
+    for (_ <- 1 to emRounds) {
+      cnt = unigramEmStep(edges, vocab.select(col("piece")), scores)
+        .localCheckpoint()
+      scores = unigramSmoothed(cnt).localCheckpoint()
+    }
+    val top = cnt.orderBy(col("cnt").desc, col("piece").asc)
+      .limit(keepTop).select(col("piece"), col("cnt"))
+    val prunedVocab = top.unionByName(
+      cnt.filter(length(col("piece")) === 1)
+        .join(top.select(col("piece")), Seq("piece"), "left_anti"))
+      .localCheckpoint()
+    unigramSmoothed(unigramEmStep(edges,
+      prunedVocab.select(col("piece")), unigramSmoothed(prunedVocab)))
+  }
+
+  /** One hard-EM round: E-step = Viterbi argmin segmentation of every
+    * dict word under `scores` (collect_list order is irrelevant — the
+    * DP takes array_min over all edges at each position and usage
+    * re-aggregates); M-step = usage-weighted counts over
+    * `vocabPieces`. Edges restrict to `scores`' pieces by the join,
+    * so a pruned score table IS a pruned lattice. */
+  private def unigramEmStep(edges: DataFrame, vocabPieces: DataFrame,
+      scores: DataFrame): DataFrame = {
+    val ew = edges
+      .join(scores.select(col("piece"), col("lp").as("c"))
+        .hint("shuffle_hash"), Seq("piece"))
+      .groupBy(col("w"), col("f"))
+      .agg(collect_list(struct(col("s"), col("e"), col("c"))).as("edges"))
+    val seg = ew
+      .withColumn("dp", viterbiDp(col("w"), col("edges")))
+      .select(col("w"), col("f"),
+        explode(viterbiSegs(col("w"), col("dp"))).as("sg"))
+      .select(col("f"),
+        col("w").substr(col("sg.s") + 1, col("sg.e") - col("sg.s"))
+          .as("piece"))
+    val usage = seg.groupBy(col("piece")).agg(sum(col("f")).as("u"))
+    vocabPieces.select(col("piece"))
+      .join(usage.hint("shuffle_hash"), Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("u"), lit(0L)).as("cnt"))
   }
 
   /** The learned vocabulary: [[unigramLmScores]] restricted to pieces

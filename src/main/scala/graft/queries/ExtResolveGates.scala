@@ -1311,6 +1311,18 @@ trait ExtResolveGates { this: ExtAllGates =>
         "doc_id", "text", UNI_MAXLEN, UNI_ROUNDS), UNI_MAXLEN)
   }
 
+  /** X208c: EM + PRUNE — the vocabulary-size-targeting loop (top
+    * UNI_KEEP pieces by usage + every single char, one re-estimation
+    * round over the pruned lattice). Oracle extends the shared chain
+    * with the prune CTEs and one more first-principles enumeration
+    * round. */
+  val UNI_KEEP = 12
+
+  val unigramPruned: Q = (s, d) =>
+    Corpus.unigramLmPruned(Tables.documents(s, d).filter(expr(uniSeedPred)),
+      "doc_id", "text", UNI_MAXLEN, UNI_ROUNDS, UNI_KEEP)
+      .filter(col("cnt") > 0)
+
   /** Shared CTE chain for the unigram-LM oracles: uw (seed word
     * dict), ued (span lattice), uv (seed counts = frozen vocab),
     * usc0..usc_R (per-round smoothed scores), and — `withEncode` —
@@ -1329,7 +1341,8 @@ trait ExtResolveGates { this: ExtAllGates =>
     * tried first and abandoned: DuckDB 1.0's list_reduce inside a
     * chained-CTE plan returned run-to-run NONDETERMINISTIC results;
     * the enumeration uses only joins/unnest/windows.) */
-  private[queries] def unigramOracleChain(withEncode: Boolean): String = {
+  private[queries] def unigramOracleChain(withEncode: Boolean,
+      withPrune: Boolean = false): String = {
     def smooth(src: String): String =
       s"SELECT piece, cnt, CAST(floor((-ln(CAST(cnt + 1 AS DOUBLE) / " +
         s"CAST(tot + v AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) AS lp " +
@@ -1382,6 +1395,29 @@ trait ExtResolveGates { this: ExtAllGates =>
         s"FROM uv LEFT JOIN uus$k USING (piece))")
       sb.append(s", usc$k AS MATERIALIZED (${smooth(s"ucn$k")})")
     }
+    if (withPrune) {
+      val R = UNI_ROUNDS
+      // prune: top UNI_KEEP by (usage desc, piece asc) + all single
+      // chars; re-smooth over the pruned V′; one more enumeration round
+      sb.append(s", utop AS MATERIALIZED (SELECT piece, cnt FROM ucn$R " +
+        s"ORDER BY cnt DESC, piece ASC LIMIT $UNI_KEEP)")
+      sb.append(s", upv AS MATERIALIZED (SELECT piece, cnt FROM utop " +
+        s"UNION ALL SELECT piece, cnt FROM ucn$R WHERE len(piece) = 1 " +
+        "AND piece NOT IN (SELECT piece FROM utop))")
+      sb.append(s", upsc AS MATERIALIZED (${smooth("upv")})")
+      sb.append(s", uep AS MATERIALIZED (SELECT w, f, s, e, lp AS c " +
+        "FROM ued JOIN upsc USING (piece))")
+      sb.append(segCtes("p", "uw", "w, f", "uep"))
+      sb.append(s", uusp AS (SELECT piece, CAST(sum(f) AS BIGINT) AS u " +
+        s"FROM (SELECT f, substr(w, starts[i] + 1, (CASE WHEN i = 1 " +
+        s"THEN len(w) ELSE starts[i-1] END) - starts[i]) AS piece " +
+        s"FROM (SELECT w, f, starts, unnest(generate_series(1, " +
+        s"len(starts))) AS i FROM ubestp)) GROUP BY piece)")
+      sb.append(s", ucnp AS MATERIALIZED (SELECT upv.piece, " +
+        s"CAST(coalesce(u, 0) AS BIGINT) AS cnt " +
+        s"FROM upv LEFT JOIN uusp USING (piece))")
+      sb.append(s", uscp AS MATERIALIZED (${smooth("ucnp")})")
+    }
     if (withEncode) {
       val R = UNI_ROUNDS
       sb.append(s", xw AS MATERIALIZED (SELECT DISTINCT w FROM " +
@@ -1404,6 +1440,10 @@ trait ExtResolveGates { this: ExtAllGates =>
   val unigramLmSql: String =
     unigramOracleChain(withEncode = false) +
       s" SELECT piece, cnt, lp FROM usc$UNI_ROUNDS WHERE cnt > 0"
+
+  val unigramPrunedSql: String =
+    unigramOracleChain(withEncode = false, withPrune = true) +
+      " SELECT piece, cnt, lp FROM uscp WHERE cnt > 0"
 
   val unigramEncodeSql: String =
     unigramOracleChain(withEncode = true) +

@@ -96,6 +96,41 @@ class CorpusSpec extends SparkSpec {
     assert(run(2) == r1, "EM fixed point: round 2 must equal round 1")
   }
 
+  test("unigramLmPruned: prune law, char coverage, no-prune == extra EM round") {
+    val docs = Seq(
+      (1L, "a a a a a a a a a a"),
+      (2L, "bc bc bc bc bc bc bc bc bc bc"),
+      (3L, "abc")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.as[(String, Long, Long)].collect().toSet
+    // keepTop >= V keeps the whole vocabulary -> the pruned pass IS
+    // one more EM round over the full lattice
+    val noPrune = Corpus.unigramLmPruned(docs, "doc_id", "text",
+      maxPieceLen = 3, emRounds = 1, keepTop = 1000)
+    assert(rows(noPrune) ==
+      rows(Corpus.unigramLmScores(docs, "doc_id", "text", 3, 2)))
+    // aggressive prune: keepTop=1 keeps the top piece ("a", usage 11,
+    // ties to "a" < "bc" alphabetically) + ALL single chars; "bc" is
+    // gone from the vocabulary, so "bc" and "abc" re-segment to chars
+    // and usage shifts onto b and c
+    val pruned = Corpus.unigramLmPruned(docs, "doc_id", "text",
+      maxPieceLen = 3, emRounds = 1, keepTop = 1)
+      .filter(col("cnt") > 0)
+    val got = rows(pruned).map { case (p, c, _) => p -> c }.toMap
+    assert(got == Map("a" -> 11L, "b" -> 11L, "c" -> 11L), got.toString)
+    // pruned vocabulary is a subset of the seed vocabulary and keeps
+    // every single character
+    val vocabAll = Corpus.unigramLmScores(docs, "doc_id", "text", 3, 1)
+      .select("piece").as[String].collect().toSet
+    val prunedVocab = Corpus.unigramLmPruned(docs, "doc_id", "text", 3, 1, 2)
+      .select("piece").as[String].collect().toSet
+    assert(prunedVocab.subsetOf(vocabAll))
+    assert(vocabAll.filter(_.length == 1).subsetOf(prunedVocab))
+    intercept[IllegalArgumentException] {
+      Corpus.unigramLmPruned(docs, "doc_id", "text", 3, 1, 0)
+    }
+  }
+
   test("unigramLmEncode: trained pieces, OOV single-char fallback, empty docs") {
     val train = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
     val scores = Corpus.unigramLmScores(train, "doc_id", "text", 2, 1)
