@@ -1323,6 +1323,18 @@ trait ExtResolveGates { this: ExtAllGates =>
       "doc_id", "text", UNI_MAXLEN, UNI_ROUNDS, UNI_KEEP)
       .filter(col("cnt") > 0)
 
+  /** X211b: the full production tokenizer path — train on the seed
+    * slice, PRUNE to the vocab target, encode the whole corpus under
+    * the shipped (pruned) model. The pruned table keeps its zero-
+    * usage single chars, so OOV fallback costs derive from the pruned
+    * V′ exactly as the encoder contract requires. */
+  val unigramPrunedEncode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Corpus.unigramLmEncode(docs, "doc_id", "text",
+      Corpus.unigramLmPruned(docs.filter(expr(uniSeedPred)),
+        "doc_id", "text", UNI_MAXLEN, UNI_ROUNDS, UNI_KEEP), UNI_MAXLEN)
+  }
+
   /** Shared CTE chain for the unigram-LM oracles: uw (seed word
     * dict), ued (span lattice), uv (seed counts = frozen vocab),
     * usc0..usc_R (per-round smoothed scores), and — `withEncode` —
@@ -1419,15 +1431,17 @@ trait ExtResolveGates { this: ExtAllGates =>
       sb.append(s", uscp AS MATERIALIZED (${smooth("ucnp")})")
     }
     if (withEncode) {
-      val R = UNI_ROUNDS
+      // the shipped model: the final full-vocab scores, or — with
+      // prune — the pruned vocabulary's re-estimated scores
+      val model = if (withPrune) "uscp" else s"usc$UNI_ROUNDS"
       sb.append(s", xw AS MATERIALIZED (SELECT DISTINCT w FROM " +
         s"(SELECT unnest($duckToksLower) AS w FROM documents))")
       sb.append(s", xe AS MATERIALIZED (SELECT w, s, e, coalesce(lp, " +
         s"CAST(floor((-ln(1.0 / CAST(tot + v AS DOUBLE))) * 1000000000.0 " +
         s"+ 0.5) AS BIGINT)) AS c " +
-        s"FROM (${lattice("xw", "w")}) LEFT JOIN usc$R USING (piece) " +
+        s"FROM (${lattice("xw", "w")}) LEFT JOIN $model USING (piece) " +
         s"CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS v " +
-        s"FROM usc$R) WHERE lp IS NOT NULL OR e - s = 1)")
+        s"FROM $model) WHERE lp IS NOT NULL OR e - s = 1)")
       sb.append(segCtes("x", "xw", "w", "xe"))
       sb.append(s", xper AS (SELECT doc_id, count(*) AS n_tokens, " +
         s"CAST(sum(len(starts)) AS BIGINT) AS np FROM " +
@@ -1444,6 +1458,11 @@ trait ExtResolveGates { this: ExtAllGates =>
   val unigramPrunedSql: String =
     unigramOracleChain(withEncode = false, withPrune = true) +
       " SELECT piece, cnt, lp FROM uscp WHERE cnt > 0"
+
+  val unigramPrunedEncodeSql: String =
+    unigramOracleChain(withEncode = true, withPrune = true) +
+      " SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, " +
+      "coalesce(np, 0) AS n_pieces FROM documents d LEFT JOIN xper USING (doc_id)"
 
   val unigramEncodeSql: String =
     unigramOracleChain(withEncode = true) +
