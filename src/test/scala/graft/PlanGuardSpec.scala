@@ -114,7 +114,10 @@ class PlanGuardSpec extends SparkSpec {
       // composes q_unigram_lm's 1-row stats attaches (train chain +
       // the OOV-cost scalar); the dict join back onto the token
       // stream is a broadcast equi-join
-      "q_unigram_encode")
+      "q_unigram_encode",
+      // same 1-row smoothing-stats attaches, over the pruned vocab
+      "q_unigram_pruned",
+      "q_unigram_pruned_encode")
 
   test("no declared query plans an accidental cross join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
