@@ -713,6 +713,114 @@ object Corpus {
         col("n_bigrams") === 0L || col("log_ppl") <= lit(keepThreshold))
   }
 
+  /** Interpolated KNESER–NEY bigram perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1999 §4's interpolated form) — the smoothing the
+    * production n-gram stack (KenLM, hence CCNet's perplexity filter,
+    * Wenzek et al. 2020) actually runs, vs [[ngramPerplexity]]'s
+    * add-one classroom form. The structural difference is WHAT the
+    * lower-order model estimates: add-one backs off to raw unigram
+    * frequency, so "Francisco" (frequent, but only ever after "San")
+    * scores high in novel contexts; KN's continuation probability
+    * P_cont(w₂) = (N₁₊(·w₂)+1)/(B+V+1) counts DISTINCT LEFT CONTEXTS,
+    * so a word glued to one context stops leaking probability into all
+    * the others. Per bigram, with D the absolute discount in basis
+    * points (D_bp/10⁴, Ney et al. 1994's single fixed discount):
+    *
+    *   seen context c(w₁·) > 0:
+    *     P = max(10⁴·c(w₁w₂) − D_bp, 0)/(10⁴·c(w₁·))
+    *       + D_bp·N₁₊(w₁·)/(10⁴·c(w₁·)) · P_cont(w₂)
+    *   unseen context (incl. OOV w₁): P = P_cont(w₂)
+    *
+    * N₁₊(w₁·) = distinct continuations of w₁, N₁₊(·w₂) = distinct left
+    * contexts of w₂, B = distinct bigram types, V = seed unigram vocab
+    * — the +1/(B+V+1) add-one on the continuation distribution keeps
+    * OOV w₂ finite (KenLM reserves <unk> mass the same way). The
+    * discounted mass is exactly conserved: Σ_w₂ P(w₂|w₁) over the seed
+    * vocab is 1 under the unsmoothed P_cont; the add-one variant stays
+    * a proper distribution over vocab ∪ {unk}.
+    *
+    * Determinism: every P term is a ratio of BIGINT counts times an
+    * exact-decimal discount (basis points), combined in IEEE doubles
+    * with one expression shape the oracle mirrors operator-for-
+    * operator; log-probs quantize to 1e-9 fixed point BEFORE the per-
+    * doc Σ n·lp (the repo's order-exact convention). D_bp ∈ [1, 10⁴]:
+    * D = 0 would let a seen context with an unseen continuation score
+    * P = 0 (−ln 0 = ∞ — the exact hole discounting exists to plug), so
+    * the degenerate setting is rejected rather than overflowed.
+    *
+    * Plan shape is [[ngramPerplexity]]'s verbatim — ONE seed bigram
+    * partial agg feeds all three model tables (c(w₁w₂); per-w₁
+    * (c(w₁·), N₁₊(w₁·)) in one groupBy; per-w₂ N₁₊(·w₂)), the two
+    * vocab-sized sides broadcast under `seedBroadcastBudget` with the
+    * one-probe shuffle-hash fallback, the bigram table is shuffle-hash
+    * pinned (superlinear in vocab, never broadcast), and the corpus
+    * side shuffles distinct grams-per-doc weighted by count. Returns
+    * (idCol, n_bigrams, kn_log_ppl, keep); docs with < 2 tokens carry
+    * no evidence and keep. */
+  def knPerplexity(docs: DataFrame, seed: DataFrame, idCol: String,
+      textCol: String, discountBp: Int = 7500,
+      keepThreshold: Double = 9.0,
+      seedBroadcastBudget: Long = 4000000L): DataFrame = {
+    require(discountBp >= 1 && discountBp <= 10000,
+      s"discountBp must be in [1, 10000], got $discountBp")
+    require(!seed.isEmpty, "knPerplexity: empty seed corpus")
+
+    // one persisted seed bigram-count table feeds the bigram join and
+    // both per-word marginals — the ngramPerplexity arrangement
+    val sbg = graft.core.Caches.persistTracked(Dedup.spread(seed)
+      .select(explode(Dedup.shinglesAuto(seed, textCol, 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("_cbg")))
+    // per-w1: total count c(w1·) AND distinct-continuation N1+(w1·)
+    // in ONE pass over the type table (each sbg row is one type)
+    val ctx = sbg.groupBy(substring_index(col("bg"), " ", 1).as("_cw1"))
+      .agg(sum(col("_cbg")).cast("long").as("_ctx"),
+        count(lit(1)).cast("long").as("_n1fw"))
+    // per-w2: distinct-left-context N1+(·w2)
+    val cont = sbg.groupBy(substring_index(col("bg"), " ", -1).as("_cw2"))
+      .agg(count(lit(1)).cast("long").as("_n1bw"))
+    // B = distinct bigram types; V = seed unigram vocab
+    val scal = sbg.agg(count(lit(1)).cast("long").as("_b")).crossJoin(
+      Dedup.spread(seed)
+        .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("_uw"))
+        .agg(count_distinct(col("_uw")).cast("long").as("_v")))
+
+    val ctxFits = Dedup.fitsBudget(ctx, seedBroadcastBudget)
+    def vocabSide(df: DataFrame): DataFrame =
+      if (ctxFits) broadcast(df) else df.hint("shuffle_hash")
+
+    val tfd = Dedup.spread(docs).select(col(idCol),
+      explode(Dedup.shinglesAuto(docs, textCol, 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("_n"))
+    val d = lit(discountBp.toLong)
+    val pcont = (coalesce(col("_n1bw"), lit(0L)) + lit(1L)).cast("double") /
+      (col("_b") + col("_v") + lit(1L)).cast("double")
+    val denom = (lit(10000L) * col("_ctx")).cast("double")
+    val pSeen =
+      greatest(lit(10000L) * coalesce(col("_cbg"), lit(0L)) - d, lit(0L))
+        .cast("double") / denom +
+        (d * col("_n1fw")).cast("double") / denom * pcont
+    val p = when(col("_ctx").isNull, pcont).otherwise(pSeen)
+    val per = tfd
+      .join(sbg.hint("shuffle_hash"), Seq("bg"), "left")
+      .join(vocabSide(ctx),
+        substring_index(col("bg"), " ", 1) === col("_cw1"), "left")
+      .join(vocabSide(cont),
+        substring_index(col("bg"), " ", -1) === col("_cw2"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("_lp",
+        floor((-log(p)) * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).cast("long").as("n_bigrams"),
+        sum(col("_n") * col("_lp")).as("_s"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("_s").cast("double") / (col("n_bigrams") * lit(1e9)), 6),
+          lit(0.0)).as("kn_log_ppl"))
+      .withColumn("keep",
+        col("n_bigrams") === 0L || col("kn_log_ppl") <= lit(keepThreshold))
+  }
+
   /** DCLM's learned quality classifier (Li et al. 2024,
     * arXiv:2406.11794 §3.2) in its fastText-shaped linear form
     * (Joulin et al. 2016, arXiv:1607.01759): a linear bag-of-ngrams

@@ -1112,6 +1112,58 @@ trait ExtResolveGates { this: ExtAllGates =>
       "FROM documents d LEFT JOIN per p USING (doc_id)"
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (X212): the KenLM/CCNet
+    * smoothing, trained on the doc_id % 5 == 0 seed slice, every
+    * document scored by mean KN surprisal. The oracle trains the
+    * identical model from the identical slice, mirroring the operator
+    * expression operator-for-operator (discount in basis points, all
+    * model terms ratios of BIGINT counts, 1e-9 fixed-point log-probs
+    * before the per-doc sum). */
+  private[queries] val KN_DISCOUNT_BP = 7500
+  private[queries] val KN_KEEP_THRESHOLD = 3.5
+
+  val knPerplexity: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Corpus.knPerplexity(docs, docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", discountBp = KN_DISCOUNT_BP,
+      keepThreshold = KN_KEEP_THRESHOLD)
+  }
+
+  val knPerplexitySql: String = {
+    val bigrams = "CASE WHEN len(t) >= 2 THEN " +
+      "list_transform(generate_series(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+1), ' ')) " +
+      "ELSE []::VARCHAR[] END"
+    val dbp = KN_DISCOUNT_BP
+    val pcont = "(CAST(coalesce(ct.n1bw, 0) + 1 AS DOUBLE)/" +
+      "CAST(scal.b + scal.v + 1 AS DOUBLE))"
+    val denom = "CAST(10000 * c.ctx AS DOUBLE)"
+    val pseen = s"CAST(greatest(10000*coalesce(s.cbg, 0) - $dbp, 0) AS DOUBLE)/$denom + " +
+      s"CAST($dbp * c.n1fw AS DOUBLE)/$denom * $pcont"
+    s"WITH toks AS MATERIALIZED (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"sbg AS MATERIALIZED (SELECT bg, CAST(count(*) AS BIGINT) AS cbg FROM " +
+      s"(SELECT unnest($bigrams) AS bg FROM toks WHERE doc_id % 5 = 0) GROUP BY bg), " +
+      "ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cbg) AS BIGINT) AS ctx, " +
+      "CAST(count(*) AS BIGINT) AS n1fw FROM sbg GROUP BY 1), " +
+      "cont AS (SELECT split_part(bg, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS n1bw FROM sbg GROUP BY 1), " +
+      "scal AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM sbg) AS b, " +
+      "(SELECT CAST(count(DISTINCT w) AS BIGINT) FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 5 = 0)) AS v), " +
+      s"bg AS (SELECT doc_id, bg, count(*) AS n FROM " +
+      s"(SELECT doc_id, unnest($bigrams) AS bg FROM toks) GROUP BY doc_id, bg), " +
+      "sc AS (SELECT b.doc_id, b.n, CAST(floor((-ln(" +
+      s"CASE WHEN c.ctx IS NULL THEN $pcont ELSE $pseen END" +
+      ")) * 1000000000.0 + 0.5) AS BIGINT) AS lp " +
+      "FROM bg b LEFT JOIN sbg s USING (bg) " +
+      "LEFT JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1 " +
+      "LEFT JOIN cont ct ON split_part(b.bg, ' ', 2) = ct.w2 " +
+      "CROSS JOIN scal), " +
+      "per AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, CAST(sum(n * lp) AS BIGINT) AS s FROM sc GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, " +
+      "coalesce(round(CAST(p.s AS DOUBLE)/(p.n_bigrams * 1000000000.0), 6), 0.0) AS kn_log_ppl, " +
+      "(coalesce(p.n_bigrams, 0) = 0 OR " +
+      s"coalesce(round(CAST(p.s AS DOUBLE)/(p.n_bigrams * 1000000000.0), 6), 0.0) <= $KN_KEEP_THRESHOLD) AS keep " +
+      "FROM documents d LEFT JOIN per p USING (doc_id)"
+  }
+
   /** DCLM's learned quality classifier (X109, Li et al. 2024 §3.2) in
     * its fastText-shaped linear form: closed-form NB log-count-ratio
     * weights over unigrams+bigrams trained on the doc_id % 5 == 0 seed

@@ -417,6 +417,88 @@ class CorpusSpec extends SparkSpec {
     assert(g.sameElements(b), "fallback path must produce identical rows")
   }
 
+  test("knPerplexity: exact interpolated Kneser-Ney math on a tiny seed model") {
+    // seed bigram types: "a b" c=2, "a c" c=1 -> ctx(a)=3, N1+(a.)=2;
+    // N1+(.b)=1, N1+(.c)=1; B=2 types; V=3 unigrams (a b c)
+    val seed = Seq((100L, "a b"), (101L, "a b"), (102L, "a c"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),   // seen bigram, discounted head + backoff
+      (2L, "a c"),   // seen once: head = (1e4 - 7500)/3e4
+      (3L, "a z"),   // seen context, OOV continuation: pure backoff
+      (4L, "z a"),   // unseen context: pure continuation (N1+(.a)=0
+                     // -- "a" never appears as a continuation)
+      (5L, "x"))     // single token: no evidence, keeps
+      .toDF("doc_id", "text")
+    def quant(p: Double): Double = {
+      val s = math.floor(-math.log(p) * 1e9 + 0.5) / 1e9
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def pcont(n1bw: Long): Double = (n1bw + 1).toDouble / (2 + 3 + 1)
+    def pSeen(cbg: Long, n1bw: Long): Double =
+      math.max(10000L * cbg - 7500L, 0L).toDouble / 30000.0 +
+        (7500.0 * 2) / 30000.0 * pcont(n1bw)
+    val got = Corpus.knPerplexity(docs, seed, "doc_id", "text",
+      discountBp = 7500, keepThreshold = 1.0)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, quant(pSeen(2, 1)), quant(pSeen(2, 1)) <= 1.0)))
+    assert(got(2L) == ((1L, quant(pSeen(1, 1)), quant(pSeen(1, 1)) <= 1.0)))
+    assert(got(3L) == ((1L, quant(pSeen(0, 0)), quant(pSeen(0, 0)) <= 1.0)))
+    assert(got(4L) == ((1L, quant(pcont(0)), quant(pcont(0)) <= 1.0)))
+    assert(got(5L) == ((0L, 0.0, true)))
+    // the discount ladder orders correctly: twice-seen < once-seen <
+    // seen-context-OOV-continuation
+    assert(got(1L)._2 < got(2L)._2 && got(2L)._2 < got(3L)._2)
+  }
+
+  test("knPerplexity: continuation counts beat raw frequency (the Francisco effect)") {
+    // "francisco" and "dog" have EQUAL unigram frequency (6 each) in
+    // the seed — an add-one unigram backoff ties them. KN's
+    // continuation count separates: francisco follows ONE context
+    // (san), dog follows THREE (a/b/c), so in the novel context "the"
+    // P_KN(dog|the) > P_KN(francisco|the).
+    val seed = (
+      (0 until 6).map(i => (100L + i, "san francisco")) ++
+        Seq((110L, "a dog"), (111L, "a dog"), (112L, "b dog"),
+          (113L, "b dog"), (114L, "c dog"), (115L, "c dog"),
+          (116L, "the x"))).toDF("doc_id", "text")
+    val docs = Seq((1L, "the francisco"), (2L, "the dog"))
+      .toDF("doc_id", "text")
+    val got = Corpus.knPerplexity(docs, seed, "doc_id", "text")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L) > got(2L),
+      s"one-context francisco must score higher surprisal than " +
+        s"multi-context dog: ${got(1L)} vs ${got(2L)}")
+  }
+
+  test("knPerplexity: in-domain keeps, gibberish drops; budget fallback identical") {
+    val seed = (100L to 119L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zxq wvut ponm lkji hgfe dcba qqqq zzzz xxxx yyyy"))
+      .toDF("doc_id", "text")
+    val broad = Corpus.knPerplexity(docs, seed, "doc_id", "text",
+      keepThreshold = 2.0)
+    val b = broad.as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    val byId = b.map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(byId(1L)._2, s"in-domain doc must keep: ${byId(1L)}")
+    assert(!byId(2L)._2, s"gibberish must drop: ${byId(2L)}")
+    val gated = Corpus.knPerplexity(docs, seed, "doc_id", "text",
+      keepThreshold = 2.0, seedBroadcastBudget = 1L)
+    val gatedPlan = gated.queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin".r.findAllIn(gatedPlan).length >= 3,
+      s"tiny budget must force shuffle-hash on the vocab joins:\n$gatedPlan")
+    val g = gated.as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(g.sameElements(b), "fallback path must produce identical rows")
+    intercept[IllegalArgumentException] {
+      Corpus.knPerplexity(docs, seed, "doc_id", "text", discountBp = 0)
+    }
+  }
+
   test("linearQuality: exact NB log-count-ratio weights on a tiny corpus") {
     val pos = Seq((0L, "good text")).toDF("doc_id", "text")
     val neg = Seq((1L, "bad stuff")).toDF("doc_id", "text")
