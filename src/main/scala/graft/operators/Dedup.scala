@@ -1426,6 +1426,51 @@ object Dedup {
     parent.keys.toArray.sorted.map(v => (v, minOf(find(v))))
   }
 
+  /** SOFT dedup — down-WEIGHT near-duplicate clusters instead of
+    * dropping them (the SoftDeDup observation, He et al. 2024,
+    * arXiv:2407.06654: hard removal throws away the signal that a
+    * document was worth duplicating; reweighting keeps every document
+    * while restoring the effective token distribution). Each document
+    * gets its MinHash-CC cluster and the sampling weight
+    * weight_bp = ⌊10⁴ / cluster_size⌋ — a cluster of N near-copies
+    * contributes ONE expected doc-equivalent, a singleton keeps weight
+    * 10000 exactly. Two downstream uses, both emitted: `weight_bp` is
+    * the per-example loss/sampling weight a trainer consumes directly;
+    * `keep` is the materialized deterministic sample at that rate
+    * (salted-md5 bucket < weight_bp — the [[ScaleOps.stratifiedSample]]
+    * convention, salt "soft:" so membership is independent of the
+    * split/mix/shard salts). Unlike [[canonicalByScore]] there is no
+    * canonical pick: survivors are a uniform pseudo-random slice of
+    * each cluster, so no single crawl variant dominates.
+    *
+    * Scale shape: the pair mining is [[minhashNearDupPairs]]' banded
+    * index (never all-pairs), labels come from [[connectedComponents]]
+    * (affected-component bounded), and the new work is ONE
+    * cluster-keyed partial-agg count over the LABELS table (pair-
+    * involved docs only — the clustered slice, not the corpus) plus
+    * two id/cluster-keyed joins back onto the corpus spine; the weight
+    * and keep columns are pure map-side integer arithmetic. Unclustered
+    * docs never enter any shuffle beyond the spine's left join. */
+  def softDedup(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3,
+      bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, idCol, textCol, threshold,
+      shingleN, bands, rowsPerBand)
+    val labels = connectedComponents(pairs, "id1", "id2")
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("_csize"))
+    val lbl = labels.join(sizes, Seq("cluster_id"))
+    val bucket = conv(substring(
+      md5(concat(lit("soft:"), col(idCol).cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000
+    docs.select(col(idCol)).join(lbl, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol).cast("long")).as("cluster_id"),
+        coalesce(col("_csize"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_bp", expr("10000L div cluster_size"))
+      .withColumn("keep", bucket < col("weight_bp"))
+  }
+
   /** Incremental (cross-snapshot) cluster maintenance (X133) — the
     * canonicalization pass that closes the ingestion story: the
     * increments (X112/X113/X116/X132) resolve duplicates by a

@@ -52,6 +52,33 @@ trait ExtResolveGates { this: ExtAllGates =>
       "SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size, " +
       "doc_id = cluster_id AS is_canonical FROM comp"
 
+  /** Soft dedup (X213): the same MinHash-pairs → connected-components
+    * chain as q_dedup_clusters, but clusters are DOWN-WEIGHTED
+    * (weight_bp = ⌊10⁴/size⌋) instead of dropped, with the
+    * deterministic salted-md5 sample at that rate materialized as
+    * `keep`. The oracle replays the transitive closure, the per-
+    * cluster count, and the md5 bucket predicate. */
+  val softDedup: Q = (s, d) =>
+    Dedup.softDedup(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.7, shingleN = 3,
+      bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+
+  val softDedupSql: String =
+    s"WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($minhashPairsSql)), " +
+      "edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs " +
+      "UNION SELECT id2 AS a, id1 AS b FROM pairs), " +
+      "reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) " +
+      "UNION SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a), " +
+      "comp AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize FROM comp GROUP BY 1), " +
+      "lbl AS (SELECT comp.id, comp.cluster_id, sz.csize FROM comp JOIN sz USING (cluster_id)) " +
+      "SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, " +
+      "coalesce(l.csize, 1) AS cluster_size, " +
+      "10000 // coalesce(l.csize, 1) AS weight_bp, " +
+      "CAST('0x' || substr(md5('soft:' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 " +
+      "< (10000 // coalesce(l.csize, 1)) AS keep " +
+      "FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id"
+
   /** Quality-canonical dedup (X181): same MinHash-pairs → connected
     * components chain as q_dedup_clusters, but the cluster keeps its
     * HIGHEST-QUALITY member (score = n_chars; ties → min doc_id) —

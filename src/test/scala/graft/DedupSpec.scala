@@ -498,6 +498,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("softDedup: clusters down-weight by 1/size, singletons keep at full weight") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (10L, "one two three four five six seven"),
+      (11L, "one two three four five six seven"),
+      (20L, "completely unrelated text about nothing at all"),
+      (21L, "another standalone document with unique words"))
+      .toDF("doc_id", "text")
+    val got = Dedup.softDedup(docs, "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // the test-side replica of the operator's salted bucket
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"soft:$id".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    for (id <- Seq(1L, 2L, 3L))
+      assert(got(id) == ((1L, 3L, 3333L, bucket(id) < 3333L)))
+    for (id <- Seq(10L, 11L))
+      assert(got(id) == ((10L, 2L, 5000L, bucket(id) < 5000L)))
+    // singletons: own cluster, size 1, full weight, always kept
+    for (id <- Seq(20L, 21L))
+      assert(got(id) == ((id, 1L, 10000L, true)))
+    // expected-mass law: a cluster's total weight is 10^4 up to the
+    // floor loss (< size basis points)
+    val w3 = Seq(1L, 2L, 3L).map(got(_)._3).sum
+    assert(w3 > 10000L - 3 && w3 <= 10000L)
+  }
+
   test("connectedComponents labels a chain, a clique, and keeps them apart — both paths") {
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
     // triangle 10-11-12, isolated pair 20-21
