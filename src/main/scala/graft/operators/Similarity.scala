@@ -1120,6 +1120,157 @@ object Similarity {
     finishTopK(rescored, qIdCol, idCol, k)
   }
 
+  /** Deterministic md5-derived power-iteration seed for PCA component
+    * `c`, dimension `d` — in [1, vScale], strictly positive so the
+    * start vector is never the zero projection; the oracle rebuilds
+    * the identical value from DuckDB's md5 ('0x'+15 hex chars). */
+  def pcaSeed(c: Int, d: Int, vScale: Long = 1000000L): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pca:$c:$d".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString.substring(0, 15)
+    1L + java.lang.Long.parseLong(hex, 16) % vScale
+  }
+
+  /** TRAINED PCA components (X214) — the learned sibling of the JL
+    * tier ([[rpProject]] is training-free ±1 signs; PCA spends one
+    * corpus pass to point the projection at the data's actual
+    * variance, the classical embedding-compression trade). Exact
+    * integer arithmetic end to end so training is hash-replayable:
+    *
+    *  1. ONE corpus scan computes the raw moment matrix over the
+    *     HOMOGENEOUS fixed-point vectors a = [q₁..q_dims, 1]:
+    *     M = Σ a·aᵀ — per-row products are BIGINT (< 2⁶³ through
+    *     |x| ≈ 100 at the default scale), summed as DECIMAL(38,0)
+    *     (exact and overflow-CHECKED at 100 TB row counts, where a
+    *     BIGINT Σ would silently wrap). The corner block carries
+    *     Σq_i and n, so mean-centering needs NO second scan:
+    *     S_ij = M_ij − μ_i·Σq_j − μ_j·Σq_i + n·μ_i·μ_j with
+    *     μ = ⌊Σq/n⌋ (trunc) — exact integer algebra.
+    *  2. DRIVER-side power iteration with deflation over the
+    *     (dims+1)²-bounded collect (the [[Clustering]] convention:
+    *     training state is dims-bounded, never corpus-bounded):
+    *     per component, `iters` rounds of w = S·v followed by L∞
+    *     renormalization v = ⌊w·vScale/max|w|⌋ (BigInt, trunc toward
+    *     zero — DuckDB `//` and Spark `div` agree); then Rayleigh
+    *     λ = ⌊vᵀSv/vᵀv⌋ and deflation S −= ⌊λ·v_i·v_j/vᵀv⌋. Every
+    *     quotient truncates toward zero in both engines, so the whole
+    *     trajectory — converged or not — is the bit-identical object
+    *     the oracle re-derives; convergence quality only affects
+    *     RECALL, never correctness.
+    *
+    * Returns outDims rows of dims L∞-normalized integer components
+    * (|entry| ≤ vScale). Fail-loud on an empty corpus and on a
+    * collapsed iteration (zero matrix — outDims exceeded the
+    * spectrum). */
+  def pcaComponents(corpus: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dims: Int, iters: Int = 5,
+      scale: Double = 1e6, vScale: Long = 1000000L): Array[Array[Long]] = {
+    require(outDims >= 1 && outDims <= dims,
+      s"pcaComponents: outDims must be in [1, $dims], got $outDims")
+    require(iters >= 1 && iters <= 100,
+      s"pcaComponents: iters must be in [1, 100], got $iters")
+    val dAug = dims + 1
+    val aug = concat(Clustering.fixedPoint(col(vecCol), scale),
+      array(lit(1L)))
+    val rows = spread(corpus)
+      .select(explode(flatten(transform(aug, (xi, i) =>
+        transform(aug, (xj, j) =>
+          struct((i.cast("long") * dAug + j).as("k"),
+            (xi * xj).cast("decimal(38,0)").as("p")))))).as("t"))
+      .groupBy(col("t.k").as("k")).agg(sum(col("t.p")).as("s"))
+      .collect()
+    require(rows.nonEmpty, "pcaComponents: empty corpus")
+    val m = Array.fill(dAug, dAug)(BigInt(0))
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      m((k / dAug).toInt)((k % dAug).toInt) = BigInt(r.getDecimal(1).toBigInteger)
+    }
+    val n = m(dims)(dims)
+    require(n > 0, "pcaComponents: empty corpus")
+    val sq = Array.tabulate(dims)(i => m(i)(dims))
+    val mu = sq.map(_ / n)
+    var a = Array.tabulate(dims, dims)((i, j) =>
+      m(i)(j) - mu(i) * sq(j) - mu(j) * sq(i) + n * mu(i) * mu(j))
+    val vs = BigInt(vScale)
+    Array.tabulate(outDims) { c =>
+      var v = Array.tabulate(dims)(d => BigInt(pcaSeed(c, d, vScale)))
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dims)(i =>
+          (0 until dims).map(j => a(i)(j) * v(j)).sum)
+        val mx = w.map(_.abs).max
+        require(mx > 0,
+          s"pcaComponents: power iteration collapsed at component $c — " +
+            "outDims exceeds the data's spectrum")
+        v = w.map(x => x * vs / mx)
+      }
+      val den = v.map(x => x * x).sum
+      val num = (for (i <- 0 until dims; j <- 0 until dims)
+        yield v(i) * a(i)(j) * v(j)).sum
+      val lam = num / den
+      a = Array.tabulate(dims, dims)((i, j) =>
+        a(i)(j) - lam * v(i) * v(j) / den)
+      v.map(_.toLong)
+    }
+  }
+
+  /** Project onto trained PCA components: out_c = ⌊(Σ_d comp_cd·q_d) /
+    * vScale⌋ — the same one-typedlit-matrix zip_with/aggregate fold as
+    * [[rpProject]], plus the vScale down-shift that returns the
+    * reduced coordinates to the ±dims·scale·max|x| range the ±1 JL
+    * rows get for free (so reduced dots stay far from 2⁶³). The trunc
+    * division runs in doubles but is EXACT: |Σ| < 2⁵³ holds through
+    * |x| ≈ 100, so the double quotient's absolute error (≤ |q|·2⁻⁵³)
+    * is far below the 1e-6 gap to the nearest integer crossing —
+    * floor/negate-floor equals the integer trunc DuckDB's `//`
+    * computes. */
+  def pcaProject(vec: Column, comps: Array[Array[Long]],
+      scale: Double = 1e6, vScale: Long = 1000000L): Column = {
+    require(comps.nonEmpty, "pcaProject: no components")
+    val mat = typedlit(comps.map(_.toSeq).toSeq)
+    val qv = Clustering.fixedPoint(vec, scale)
+    transform(mat, row => {
+      val s = aggregate(zip_with(qv, row, (x, c) => x * c),
+        lit(0L), (acc, t) => acc + t)
+      when(s >= 0, floor(s / vScale.toDouble))
+        .otherwise(-floor(-s / vScale.toDouble)).cast("long")
+    })
+  }
+
+  /** PCA-reduced ANN top-k — the TRAINED dimensionality-reduction
+    * tier of the serving ladder, same serving plan as [[rpTopK]]
+    * (corpus and queries project map-side, exact integer dot in the
+    * reduced space, bounded-heap top-coarseK, exact float-cosine
+    * rerank; queries broadcast, corpus never shuffles) with the
+    * projection matrix TRAINED by [[pcaComponents]] instead of drawn
+    * from md5 signs. The components ride the plan as one typedlit —
+    * train once, serve everywhere, persist alongside the index like
+    * the IVF-PQ codebooks. Where JL needs outDims = O(log n/ε²) to
+    * protect ALL directions, PCA spends its budget on the directions
+    * the corpus actually occupies — the measured-recall trade the
+    * gate records. */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      comps: Array[Array[Long]], coarseK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      scale: Double = 1e6): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val c = spread(corpus).select(col(idCol),
+      pcaProject(col(vecCol), comps, scale).as("_rv"))
+    val q = queries.select(col(qIdCol),
+      pcaProject(col(qVecCol), comps, scale).as("_qrv"))
+    val scored = c.join(broadcast(q))
+      .select(col(qIdCol), col(idCol),
+        aggregate(zip_with(col("_rv"), col("_qrv"), (x, y) => x * y),
+          lit(0L), (a, v) => a + v).as("score"))
+    val cand = finishTopK(scored, qIdCol, idCol, coarseK)
+      .select(col(qIdCol), col(idCol))
+    val rescored = corpus
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(queries), Seq(qIdCol))
+      .withColumn("score", cosineAuto(corpus, col(vecCol), col(qVecCol)))
+    finishTopK(rescored, qIdCol, idCol, k)
+  }
+
   /** MAXIMAL MARGINAL RELEVANCE diversified top-k (X158; Carbonell &
     * Goldstein 1998) — the serving-side pass between retrieval and a
     * context window: from each query's `fetchK` most-relevant

@@ -584,6 +584,80 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
   }
 
+  test("pcaComponents: recovers the dominant direction of an anisotropic cloud") {
+    import spark.implicits._
+    // points spread along (3, 1)/sqrt(10) with small orthogonal noise:
+    // the first principal component must align with (3, 1)
+    val emb = (0 until 60).map { i =>
+      val t = (i - 30) * 0.02
+      val eps = math.sin(i * 2.17) * 0.03
+      (i.toLong, Array((3 * t - eps).toFloat, (t + 3 * eps).toFloat))
+    }.toDF("vec_id", "embedding")
+    val comps = Similarity.pcaComponents(emb, "vec_id", "embedding",
+      outDims = 2, dims = 2, iters = 8)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val c0 = comps(0).map(_.toDouble)
+    val c1 = comps(1).map(_.toDouble)
+    assert(math.abs(cos(c0, Array(3.0, 1.0))) > 0.999,
+      s"first component must align with (3,1): ${c0.toSeq}")
+    assert(math.abs(cos(c0, c1)) < 0.05,
+      s"deflated second component must be near-orthogonal: ${c1.toSeq}")
+    // L-inf normalization: the largest entry is exactly vScale
+    assert(comps(0).map(math.abs).max == 1000000L)
+    // determinism: bit-identical across runs
+    val again = Similarity.pcaComponents(emb, "vec_id", "embedding",
+      outDims = 2, dims = 2, iters = 8)
+    assert(comps.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("pcaProject: exact trunc-division projection under a literal matrix") {
+    import spark.implicits._
+    val v = Array(0.5f, -0.25f, 1.0f, 0.0f)
+    val comps = Array(Array(1000000L, -500000L, 250000L, 1L),
+      Array(-3L, 7L, 1000000L, -999999L))
+    val got = Seq((1L, v)).toDF("vec_id", "embedding")
+      .select(Similarity.pcaProject(col("embedding"), comps).as("rv"))
+      .as[Array[Long]].collect().head
+    val q = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val want = comps.map { row =>
+      val s = row.zip(q).map { case (c, x) => c * x }.sum
+      BigInt(s) / BigInt(1000000L) // trunc toward zero, the div contract
+    }.map(_.toLong).toSeq
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+  }
+
+  test("pcaTopK: coarseK covering the corpus degrades to exact brute force") {
+    import spark.implicits._
+    val n = 40
+    val dims = 8
+    val emb = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dims)(d =>
+        (math.sin(i * 0.7 + d * 1.3) * 0.9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val comps = Similarity.pcaComponents(emb, "vec_id", "embedding",
+      outDims = 4, dims = dims)
+    val pca = Similarity.pcaTopK(emb, qs, k = 5, comps, coarseK = n)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, qs, k = 5)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pca == bf)
+    val narrow = Similarity.pcaTopK(emb, qs, k = 5, comps, coarseK = 10)
+    assert(narrow.groupBy(col("q_id")).count()
+      .select(col("count")).as[Long].collect().forall(_ == 5L))
+    intercept[IllegalArgumentException] {
+      Similarity.pcaTopK(emb, qs, k = 5, comps, coarseK = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pcaComponents(emb, "vec_id", "embedding",
+        outDims = dims + 1, dims = dims)
+    }
+  }
+
   test("rpTopK: coarseK covering the corpus degrades to exact brute force") {
     import spark.implicits._
     val n = 40
