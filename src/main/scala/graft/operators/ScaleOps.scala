@@ -264,6 +264,73 @@ object ScaleOps {
         col("_n").as("n_tokens"))
   }
 
+  /** BOUNDARY-RESPECTING best-fit packing (X215; Ding et al. 2024,
+    * arXiv:2404.10830 "Fewer Truncations Improve Language Modeling"):
+    * pack WHOLE documents into fixed `ctxLen` token bins —
+    * [[packSequences]] (X31) concatenates and chunks, so ~one document
+    * per context window is truncated mid-thought; best-fit packing
+    * never splits a document, trading a few percent of fill for intact
+    * training examples (the paper's measured quality win).
+    *
+    * Algorithm: best-fit-DECREASING within deterministic salted-md5
+    * groups — docs hash to `numGroups` groups (salt "pack:", so
+    * grouping is independent of the split/mix/shard/soft salts), each
+    * group sorts by (tokens DESC, id ASC) and places every doc into
+    * the bin with the SMALLEST remaining capacity that still fits
+    * (ties → lowest bin index), opening a new bin when none fits. The
+    * whole trajectory is integer comparisons on a deterministic order,
+    * so the (group, bin) assignment is engine-exact and the oracle
+    * replays it as a recursive CTE carrying the bin-load list.
+    *
+    * Scale shape: global FFD/BFD is inherently sequential, so the
+    * distributed form packs within BOUNDED groups — the standard
+    * practical scheme: `numGroups` is the caller's parallelism ×
+    * group-size knob (n/numGroups docs per group must fit one task —
+    * the X176 giant-domain caveat applies; at 100 TB pick numGroups so
+    * groups hold ~10⁴–10⁵ docs). ONE group-keyed exchange + an
+    * in-memory per-group pack (`flatMapGroups` — genuine per-group
+    * imperative logic, the mapPartitions rule); random group mixing
+    * keeps each group length-diverse, so per-group BFD fill tracks
+    * global BFD closely. A doc longer than `ctxLen` cannot pack and
+    * raises (compose [[Corpus.chunkDocuments]]/X31 upstream for those).
+    * Emits (id, pack_group, bin_idx, n_tokens). */
+  def packBestFit(df: DataFrame, idCol: String, tokenCount: Column,
+      ctxLen: Long, numGroups: Int): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
+    require(numGroups >= 1, s"numGroups must be >= 1, got $numGroups")
+    requireIntegralId(df, idCol, "packBestFit")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grp = conv(substring(
+      md5(concat(lit("pack:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long") % numGroups
+    val ctx = ctxLen
+    df.select(col(idCol).cast("long"), tokenCount.cast("long"), grp)
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (g, it) =>
+        val docs = it.toArray.sortBy(r => (-r._2, r._1))
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { case (id, tok, _) =>
+          require(tok <= ctx && tok >= 0,
+            s"packBestFit: doc $id carries $tok tokens, outside [0, $ctx] " +
+              "— chunk oversize docs upstream (chunkDocuments/packSequences)")
+          var best = -1
+          var bestRem = Long.MaxValue
+          var i = 0
+          while (i < bins.length) {
+            val rem = ctx - bins(i) - tok
+            if (rem >= 0 && rem < bestRem) { best = i; bestRem = rem }
+            i += 1
+          }
+          if (best < 0) { bins += tok; best = bins.length - 1 }
+          else bins(best) += tok
+          (id, g, best.toLong, tok)
+        }
+      }
+      .toDF(idCol, "pack_group", "bin_idx", "n_tokens")
+  }
+
   /** Token-budget head selection (X119): keep documents in priority
     * order — (`priority` DESC, id ASC) — while the cumulative token
     * count stays ≤ `budget`; the first document that would cross the

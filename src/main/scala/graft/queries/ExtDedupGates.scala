@@ -297,6 +297,41 @@ trait ExtDedupGates { this: ExtAllGates =>
       "SELECT doc_id, unnest(generate_series(CAST(floor((e - nt)/512.0) AS BIGINT), CAST(floor((e - 1)/512.0) AS BIGINT))) AS pack_id, " +
       "e - nt AS token_start, nt AS n_tokens FROM t WHERE nt > 0"
 
+  /** Boundary-respecting best-fit packing (X215): whole docs into
+    * 256-token bins, best-fit-decreasing within 8 salted groups. The
+    * oracle replays the exact greedy trajectory as a recursive CTE
+    * carrying each group's bin-load list — every placement an integer
+    * argmin over (remaining capacity, bin index). */
+  private[queries] val PACK_CTX = 256L
+  private[queries] val PACK_GROUPS = 8
+
+  val packBestFit: Q = (s, d) =>
+    graft.operators.ScaleOps.packBestFit(
+      Tables.documents(s, d), "doc_id",
+      TextFunctions.tokenCount(col("text")),
+      ctxLen = PACK_CTX, numGroups = PACK_GROUPS)
+
+  val packBestFitSql: String =
+    s"WITH RECURSIVE pn AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS nt FROM documents), " +
+      "pdocs AS (SELECT doc_id, nt, CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) " +
+      s"% $PACK_GROUPS AS grp FROM pn), " +
+      "prk AS (SELECT doc_id, nt, grp, CAST(row_number() OVER (PARTITION BY grp ORDER BY nt DESC, doc_id ASC) AS BIGINT) AS rn FROM pdocs), " +
+      "pst AS (" +
+      "SELECT grp, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS bins, " +
+      "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS nt " +
+      "FROM (SELECT DISTINCT grp FROM prk) " +
+      "UNION ALL " +
+      "SELECT grp, rn, " +
+      "CASE WHEN pos IS NULL THEN list_append(bins, nt) " +
+      "ELSE list_transform(bins, (b, i) -> CASE WHEN i = pos THEN b + nt ELSE b END) END AS bins, " +
+      "doc_id, " +
+      "CASE WHEN pos IS NULL THEN CAST(len(bins) AS BIGINT) ELSE CAST(pos - 1 AS BIGINT) END AS bin, nt " +
+      "FROM (SELECT s.grp, r.rn, s.bins, r.doc_id, r.nt, " +
+      s"list_sort(list_transform(list_filter(generate_series(1, len(s.bins)), i -> s.bins[i] + r.nt <= $PACK_CTX), " +
+      "i -> struct_pack(rem := " + PACK_CTX + " - s.bins[i] - r.nt, i := i)))[1].i AS pos " +
+      "FROM pst s JOIN prk r ON r.grp = s.grp AND r.rn = s.rn + 1)) " +
+      "SELECT doc_id, grp AS pack_group, CAST(bin AS BIGINT) AS bin_idx, nt AS n_tokens FROM pst WHERE rn >= 1"
+
   /** Token-budget head selection (X119): keep the best 20k tokens —
     * priority = per-doc token count (densest docs first), doc_id
     * tie-break — cutting at the first doc that would cross the

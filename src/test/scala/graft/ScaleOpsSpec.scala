@@ -1006,6 +1006,53 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("packBestFit: exact best-fit-decreasing trajectory in one group") {
+    import spark.implicits._
+    // one group (numGroups = 1) so the trajectory is hand-checkable:
+    // sorted desc: 70(a) 50(b) 40(c) 30(d) 20(e) 10(f), ctx = 100
+    //   70 -> bin0[70]; 50 -> bin1[50]; 40 -> bin1[90] (rem 10 < bin0's 30... no:
+    //   rem0 = 100-70-40 < 0 -> only bin1 fits (rem 10)); 30 -> bin0[100];
+    //   20 -> no bin fits (rem0 -20, rem1 -10) -> bin2[20]; 10 -> bin1[100]
+    //   (rem1 0 beats bin2's 70)
+    val docs = Seq((1L, 70L), (2L, 50L), (3L, 40L), (4L, 30L),
+      (5L, 20L), (6L, 10L))
+      .toDF("doc_id", "nt")
+    val got = graft.operators.ScaleOps.packBestFit(docs, "doc_id",
+      col("nt"), ctxLen = 100L, numGroups = 1)
+      .select("doc_id", "bin_idx").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 2L, 6L -> 1L), s"got $got")
+  }
+
+  test("packBestFit: never splits a doc, never overfills a bin, covers every doc") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, 10 + (i * 37) % 90))
+      .toDF("doc_id", "nt")
+    val got = graft.operators.ScaleOps.packBestFit(docs, "doc_id",
+      col("nt"), ctxLen = 128L, numGroups = 4)
+    val rows = got.as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 200 && rows.map(_._1).distinct.length == 200,
+      "every doc packed exactly once")
+    // bin loads never exceed ctx
+    val loads = rows.groupBy(r => (r._2, r._3)).map(_._2.map(_._4).sum)
+    assert(loads.forall(_ <= 128L), s"overfilled bin: ${loads.max}")
+    // determinism
+    val again = graft.operators.ScaleOps.packBestFit(docs, "doc_id",
+      col("nt"), ctxLen = 128L, numGroups = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // fill sanity: best-fit-decreasing wastes little on this mix
+    val fill = rows.map(_._4).sum.toDouble / (loads.size * 128L)
+    assert(fill > 0.85, s"fill rate suspiciously low: $fill")
+    // an oversize doc fails loud
+    val bad = Seq((1L, 200L)).toDF("doc_id", "nt")
+    val ex = intercept[Exception] {
+      graft.operators.ScaleOps.packBestFit(bad, "doc_id", col("nt"),
+        ctxLen = 100L, numGroups = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("tokenBudgetFilter: greedy head == naive priority-ordered running sum") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val tc = graft.functions.TextFunctions.tokenCount(col("text"))
