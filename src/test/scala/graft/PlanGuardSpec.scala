@@ -37,6 +37,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_temperature_mix",
       // 1-row seed (N, V) scalar broadcast, like q_unigram_surprisal
       "q_ngram_perplexity",
+      // 1-row seed (B, V) scalar broadcast — the q_ngram_perplexity
+      // shape with Kneser-Ney model tables
+      "q_kn_perplexity",
       // 1-row (N_pos, N_neg, V) scalar broadcast in the training pass
       "q_linear_quality",
       // the q_embed_topk shape over decoded image-feature vectors
@@ -63,6 +66,12 @@ class PlanGuardSpec extends SparkSpec {
       // queries — the q_quant_topk shape in the projected space; the
       // rerank joins are keyed equi-joins
       "q_embed_rp",
+      // PCA coarse stage is q_embed_rp's shape with the TRAINED matrix
+      // as the plan literal; rerank joins are keyed equi-joins
+      "q_embed_pca",
+      // composes the q_embed_topk ground-truth pass + the q_embed_pca
+      // coarse pass; the recall joins are keyed equi-joins
+      "q_pca_recall",
       // MMR candidate generation IS the q_embed_topk brute-force pass;
       // the pairwise-sim and rerank joins are keyed equi-joins and the
       // greedy fold is map-side
