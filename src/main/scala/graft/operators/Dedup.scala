@@ -1549,6 +1549,125 @@ object Dedup {
     remapped.unionByName(fresh)
   }
 
+  /** Incremental SOFT-dedup weight maintenance (X216) — the ingestion
+    * form of [[softDedup]], keeping the family discipline (every dedup
+    * variant gets its increment): the (id, cluster_id, cluster_size,
+    * weight_bp, keep) table is what a down-weighting trainer READS, and
+    * unlike the canonical-pick store a cluster merge invalidates EVERY
+    * member's row (the weight is 1/size — all siblings re-weight, not
+    * just a pick). A batch of new docs + verified near-dup pairs folds
+    * in with work bounded by the AFFECTED components:
+    *
+    *  - an old cluster can change only if one of its members is a new
+    *    pair's endpoint (contraction edges connect endpoint labels, so
+    *    an endpoint-free cluster cannot merge) — `affectedOld` is the
+    *    endpoint→stored-cluster lookup, batch-bounded;
+    *  - the contracted CC over (endpoint labels ∪ batch ids) yields
+    *    the old→new mapping and the batch labels — bounded graphs,
+    *    [[incrementalConnectedComponents]]' warm-start argument;
+    *  - new sizes count over (affected stored members ∪ batch rows)
+    *    ONLY — every member of a changed cluster is in that set;
+    *  - untouched rows pass through VERBATIM (their cluster gained no
+    *    member, so size, weight, and keep are provably unchanged).
+    *
+    * Result provably equals [[softDedup]]'s tail over the union corpus
+    * under (stored pairs ∪ new pairs) — the oracle IS the full
+    * recompute. Scale shape: ONE store scan (map-side against the
+    * broadcast batch/affected sets, budget-gated shuffle-hash
+    * fallback), bounded CC, bounded re-weight; the re-arrival guard
+    * (a batch id already in the store — the X112-family id contract)
+    * rides the cluster_id column so no projection prunes it. Batch
+    * ids must cover every new-pair endpoint that is not stored. */
+  def incrementalSoftDedup(storedWeights: DataFrame, newPairs: DataFrame,
+      batchIds: DataFrame, idCol: String = "id",
+      mapBroadcastBudget: Long = 1000000L): DataFrame = {
+    val needed = Set("id", "cluster_id", "cluster_size", "weight_bp", "keep")
+    require(needed.subsetOf(storedWeights.columns.toSet),
+      "incrementalSoftDedup: storedWeights must carry softDedup's schema " +
+        s"(id, cluster_id, cluster_size, weight_bp, keep), got ${storedWeights.columns.mkString(", ")}")
+    val batch = batchIds.select(col(idCol).cast("long").as("id")).distinct()
+      .persistTracked() // spine, dup guard, endpoint slice, singleton slice
+    def gated(df: DataFrame): DataFrame =
+      if (fitsBudget(df, mapBroadcastBudget)) broadcast(df)
+      else df.hint("shuffle_hash")
+    // ONE store scan: dup-arrival guard + endpoint/affected routing.
+    // The raise rides cluster_id so Catalyst cannot prune it.
+    val st = storedWeights.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("cluster_id"),
+      col("cluster_size").cast("long").as("cluster_size"),
+      col("weight_bp").cast("long").as("weight_bp"), col("keep"))
+      .join(gated(batch.withColumn("_dup", lit(1))), Seq("id"), "left")
+      .withColumn("cluster_id",
+        when(col("_dup") === 1, raise_error(concat(
+          lit("incrementalSoftDedup: batch id "), col("id").cast("string"),
+          lit(" already stored — re-arrival violates the snapshot-disjoint id contract"))))
+          .otherwise(col("cluster_id")))
+      .drop("_dup")
+      .persistTracked()
+    val pairs = newPairs
+      .select(col("id1").cast("long").as("_a"), col("id2").cast("long").as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull && col("_a") =!= col("_b"))
+      .persistTracked()
+    val ends = pairs.select(explode(array(col("_a"), col("_b"))).as("id"))
+      .distinct().persistTracked()
+    // endpoint → stored label (null = batch-new endpoint)
+    val endLabels = ends.join(st.join(gated(ends), Seq("id"))
+        .select(col("id"), col("cluster_id")), Seq("id"), "left")
+      .select(col("id"), col("cluster_id").as("_lbl"))
+      .persistTracked()
+    val la = endLabels.select(col("id").as("_a"), col("_lbl").as("_la"))
+    val lb = endLabels.select(col("id").as("_b"), col("_lbl").as("_lb"))
+    val contracted = pairs.join(la, Seq("_a")).join(lb, Seq("_b"))
+      .select(coalesce(col("_la"), col("_a")).as("ra"),
+        coalesce(col("_lb"), col("_b")).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+    val cc = graft.core.Caches.persistTracked(
+      connectedComponents(contracted, "ra", "rb"))
+    // affected old clusters = stored labels of pair endpoints
+    val affectedOld = endLabels.filter(col("_lbl").isNotNull)
+      .select(col("_lbl").as("cluster_id")).distinct().persistTracked()
+    val mapping = cc.select(col("id").as("_old"), col("cluster_id").as("_new"))
+    // affected stored members relabeled through the bounded mapping
+    val affMembers = st.join(gated(affectedOld), Seq("cluster_id"))
+      .join(gated(mapping), col("cluster_id") === col("_old"), "left")
+      .select(col("id"),
+        coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
+    // batch rows: pair-touched take their contracted-CC label (a
+    // stored label as minimum stays the global minimum), singletons
+    // label themselves
+    val batchLbl = batch
+      .join(cc.select(col("id"), col("cluster_id").as("_bl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_bl"), col("id")).as("cluster_id"))
+    // a new-pair endpoint that is neither stored nor in the batch has
+    // no row to carry its weight — raise instead of silently dropping
+    // a cluster member (the count below would under-size the cluster)
+    val orphan = endLabels.filter(col("_lbl").isNull)
+      .join(batch, Seq("id"), "left_anti")
+      .select(col("id"), raise_error(concat(
+        lit("incrementalSoftDedup: new-pair endpoint "),
+        col("id").cast("string"),
+        lit(" is neither stored nor in the batch"))).cast("long")
+        .as("cluster_id"))
+    // re-weight ONLY the affected + batch rows
+    val rewrite = affMembers.unionByName(batchLbl).unionByName(orphan)
+      .persistTracked()
+    val sizes = rewrite.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    val bucket = conv(substring(
+      md5(concat(lit("soft:"), col("id").cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000
+    val rewritten = rewrite.join(gated(sizes), Seq("cluster_id"))
+      .withColumn("weight_bp", expr("10000L div cluster_size"))
+      .withColumn("keep", bucket < col("weight_bp"))
+      .select(col("id"), col("cluster_id"), col("cluster_size"),
+        col("weight_bp"), col("keep"))
+    // untouched rows pass through verbatim (anti on the bounded set)
+    val untouched = st.join(gated(affectedOld), Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"), col("cluster_size"),
+        col("weight_bp"), col("keep"))
+    untouched.unionByName(rewritten)
+  }
+
   /** CLUSTER-LABEL retraction (X149) — right-to-be-forgotten for the
     * X133 label store, completing the retraction story across all five
     * stores (the substring postings retract via

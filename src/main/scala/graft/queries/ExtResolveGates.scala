@@ -79,6 +79,39 @@ trait ExtResolveGates { this: ExtAllGates =>
       "< (10000 // coalesce(l.csize, 1)) AS keep " +
       "FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id"
 
+  /** Incremental soft-dedup weight maintenance (X216): the q_soft_dedup
+    * weight table maintained across an ingest increment — bootstrap
+    * from an EMPTY store over the %3==0 pair slice (empty store ≡ the
+    * batch pass, spec-pinned), then fold in every pair touching a
+    * non-store doc. The oracle is the FULL recompute over all pairs —
+    * q_soft_dedup's SQL verbatim — which is exactly the equality the
+    * operator guarantees. */
+  val incrementalSoftDedup: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = graft.core.Caches.persistTracked(
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.7, shingleN = 3,
+        bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+        .select(col("id1"), col("id2")))
+    val storedPairs = pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0)
+    val newPairs = pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
+    val empty = Seq.empty[(Long, Long, Long, Long, Boolean)]
+      .toDF("id", "cluster_id", "cluster_size", "weight_bp", "keep")
+    // the bootstrap store is consumed by MANY actions inside the
+    // second increment (budget probes, the CC gate, the store scan) —
+    // cut its lineage once, or every probe re-runs the whole bootstrap
+    val store0 = Dedup.incrementalSoftDedup(empty, storedPairs,
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("id")))
+      .localCheckpoint()
+    Dedup.incrementalSoftDedup(store0, newPairs,
+      docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("weight_bp"), col("keep"))
+  }
+
+  lazy val incrementalSoftDedupSql: String = softDedupSql
+
   /** Quality-canonical dedup (X181): same MinHash-pairs → connected
     * components chain as q_dedup_clusters, but the cluster keeps its
     * HIGHEST-QUALITY member (score = n_chars; ties → min doc_id) —

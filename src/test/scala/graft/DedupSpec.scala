@@ -531,6 +531,66 @@ class DedupSpec extends SparkSpec {
     assert(w3 > 10000L - 3 && w3 <= 10000L)
   }
 
+  test("incrementalSoftDedup: merge re-weights every sibling, untouched rows verbatim") {
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"soft:$id".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    def row(id: Long, cl: Long, sz: Long) =
+      (id, cl, sz, 10000L / sz, bucket(id) < 10000L / sz)
+    // store: cluster {1,2}, cluster {10,11}, singletons 20, 21
+    val stored = Seq(row(1L, 1L, 2L), row(2L, 1L, 2L), row(10L, 10L, 2L),
+      row(11L, 10L, 2L), row(20L, 20L, 1L), row(21L, 21L, 1L))
+      .toDF("id", "cluster_id", "cluster_size", "weight_bp", "keep")
+    // batch: 30 joins via (2, 30); (30, 10) bridges the two clusters;
+    // 31 arrives pair-free (singleton)
+    val pairs = Seq((2L, 30L), (30L, 10L)).toDF("id1", "id2")
+    val batch = Seq(30L, 31L).toDF("id")
+    val got = Dedup.incrementalSoftDedup(stored, pairs, batch)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // merged cluster {1,2,10,11,30} -> label 1, size 5, weight 2000
+    for (id <- Seq(1L, 2L, 10L, 11L, 30L))
+      assert(got(id) == ((1L, 5L, 2000L, bucket(id) < 2000L)), s"id $id: ${got(id)}")
+    // untouched singletons verbatim
+    assert(got(20L) == ((20L, 1L, 10000L, true)))
+    assert(got(21L) == ((21L, 1L, 10000L, true)))
+    // batch singleton at full weight
+    assert(got(31L) == ((31L, 1L, 10000L, true)))
+    assert(got.size == 8)
+  }
+
+  test("incrementalSoftDedup: empty store ≡ batch pass; guards raise") {
+    val empty = Seq.empty[(Long, Long, Long, Long, Boolean)]
+      .toDF("id", "cluster_id", "cluster_size", "weight_bp", "keep")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val batch = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val got = Dedup.incrementalSoftDedup(empty, pairs, batch)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((1L, 3L)), 2L -> ((1L, 3L)),
+      3L -> ((1L, 3L)), 4L -> ((4L, 1L))))
+    // re-arrival: a batch id already stored raises
+    def row(id: Long, cl: Long, sz: Long) =
+      (id, cl, sz, 10000L / sz, true)
+    val stored = Seq(row(1L, 1L, 1L))
+      .toDF("id", "cluster_id", "cluster_size", "weight_bp", "keep")
+    val ex = intercept[Exception] {
+      Dedup.incrementalSoftDedup(stored, pairs, batch).collect()
+    }
+    assert(ex.getMessage.contains("re-arrival") ||
+      ex.getMessage.contains("already stored"))
+    // orphan endpoint: a pair touching an id neither stored nor batched
+    val ex2 = intercept[Exception] {
+      Dedup.incrementalSoftDedup(stored,
+        Seq((1L, 99L)).toDF("id1", "id2"),
+        Seq(50L).toDF("id")).collect()
+    }
+    assert(ex2.getMessage.contains("neither stored nor in the batch"))
+  }
+
   test("connectedComponents labels a chain, a clique, and keeps them apart — both paths") {
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
     // triangle 10-11-12, isolated pair 20-21
