@@ -1271,6 +1271,52 @@ object Similarity {
     finishTopK(rescored, qIdCol, idCol, k)
   }
 
+  /** Persist a trained PCA projection as a (c, d, x) table — the
+    * [[ivfPqIndexRecords]] convention for the reduction tier: a
+    * serving projection must be versionable alongside the reduced
+    * vectors it produced, not JVM-resident. Entries are exact integers
+    * by construction, so the round trip is lossless. */
+  def pcaIndexRecords(spark: SparkSession,
+      comps: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    comps.toSeq.zipWithIndex.flatMap { case (row, c) =>
+      row.toSeq.zipWithIndex.map { case (x, d) => (c, d, x) }
+    }.toDF("c", "d", "x")
+  }
+
+  /** Load a PCA projection from its [[pcaIndexRecords]] rows — the
+    * collect is the matrix itself (outDims·dims entries, never
+    * corpus-sized). Fail-loud on a malformed store: duplicate (c, d)
+    * cells (written twice / versions mixed) or a ragged component
+    * (a dimension gap) would silently corrupt every projection. */
+  def pcaIndexFromRecords(df: DataFrame): Array[Array[Long]] = {
+    require(Set("c", "d", "x").subsetOf(df.columns.toSet),
+      s"pcaIndexFromRecords: need (c, d, x) — pcaIndexRecords' " +
+        s"schema — got ${df.columns.mkString(", ")}")
+    val rows = df.select(col("c").cast("int"), col("d").cast("int"),
+        col("x").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    require(rows.nonEmpty, "pcaIndexFromRecords: empty index table")
+    val keys = rows.map(r => (r._1, r._2))
+    require(keys.distinct.length == keys.length,
+      s"pcaIndexFromRecords: duplicate (c, d) cells — " +
+        s"${keys.diff(keys.distinct).distinct.take(5).mkString(", ")}; " +
+        "index table written twice or versions mixed")
+    val byC = rows.groupBy(_._1)
+    val cs = byC.keys.toArray.sorted
+    require(cs.head == 0 && cs.last == cs.length - 1,
+      s"pcaIndexFromRecords: component ids must be 0..${cs.length - 1}, " +
+        s"got ${cs.take(8).mkString(", ")}")
+    val dims = byC(0).length
+    cs.map { c =>
+      val ds = byC(c).sortBy(_._2)
+      require(ds.length == dims && ds.head._2 == 0 && ds.last._2 == dims - 1,
+        s"pcaIndexFromRecords: component $c is ragged — " +
+          s"${ds.length} cells vs $dims in component 0")
+      ds.map(_._3)
+    }
+  }
+
   /** MAXIMAL MARGINAL RELEVANCE diversified top-k (X158; Carbonell &
     * Goldstein 1998) — the serving-side pass between retrieval and a
     * context window: from each query's `fetchK` most-relevant

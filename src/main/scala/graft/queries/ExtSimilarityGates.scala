@@ -797,10 +797,16 @@ trait ExtSimilarityGates { this: ExtAllGates =>
         "embedding", outDims = PCA_OUT, dims = EMB_DIMS, iters = PCA_ITERS)
     }
 
-  val embedPca: Q = (s, d) =>
+  val embedPca: Q = (s, d) => {
+    // serve through the PERSISTED index round trip (lossless by
+    // construction — exact integers), so the versionable form is what
+    // the hash gate actually exercises
+    val comps = Similarity.pcaIndexFromRecords(
+      Similarity.pcaIndexRecords(s, sharedPcaComps(s, d)))
     Similarity.pcaTopK(Tables.embeddings(s, d), queriesDf(s, d), k = 10,
-      sharedPcaComps(s, d), coarseK = PCA_COARSE)
+      comps, coarseK = PCA_COARSE)
       .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+  }
 
   /** PCA training chain: homogeneous moment matrix (the appended 1
     * carries Σq and n so centering needs no second scan), exact

@@ -629,6 +629,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
   }
 
+  test("pcaIndexRecords: lossless round trip; malformed tables fail loud") {
+    import spark.implicits._
+    val comps = Array(Array(1000000L, -7L, 42L), Array(-999999L, 3L, 0L))
+    val table = Similarity.pcaIndexRecords(spark, comps)
+    val back = Similarity.pcaIndexFromRecords(table)
+    assert(back.map(_.toSeq).toSeq == comps.map(_.toSeq).toSeq)
+    // duplicate cell (written twice / versions mixed)
+    intercept[IllegalArgumentException] {
+      Similarity.pcaIndexFromRecords(table.unionAll(
+        Seq((0, 0, 5L)).toDF("c", "d", "x")))
+    }
+    // ragged component (dimension gap)
+    intercept[IllegalArgumentException] {
+      Similarity.pcaIndexFromRecords(table.filter(
+        !(col("c") === 1 && col("d") === 2)))
+    }
+    // component-id gap
+    intercept[IllegalArgumentException] {
+      Similarity.pcaIndexFromRecords(table.filter(col("c") =!= 0))
+    }
+  }
+
   test("pcaTopK: coarseK covering the corpus degrades to exact brute force") {
     import spark.implicits._
     val n = 40
