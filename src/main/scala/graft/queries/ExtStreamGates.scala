@@ -675,6 +675,65 @@ trait ExtStreamGates { this: ExtAllGates =>
 
   lazy val streamCanonicalSql: String = incrementalCanonicalSql
 
+  /** Streaming soft-dedup weight maintenance (X217): bootstrap the
+    * weight snapshot store from the %3==0 pair slice, stream every
+    * pair touching a non-store doc PLUS a self-loop per pair-free
+    * batch doc (the singleton spine), read back the final snapshot.
+    * Oracle = q_soft_dedup's full recompute verbatim — the equality
+    * the snapshot store guarantees after any batch. */
+  val streamSoftDedup: Q = (s, d) => withStreamShuffle(s, 8) {
+    import s.implicits._
+    val ckpt = streamCkptDir("graft-ckpt-softw")
+    val wDir =
+      java.nio.file.Files.createTempDirectory("graft-softwstore").toString
+    val pairsDir =
+      java.nio.file.Files.createTempDirectory("graft-softwsrc").toString
+    val docs = Tables.documents(s, d)
+    val pairs = graft.core.Caches.persistTracked(
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.7, shingleN = 3,
+        bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+        .select(col("id1"), col("id2")))
+    val empty = Seq.empty[(Long, Long, Long, Long, Boolean)]
+      .toDF("id", "cluster_id", "cluster_size", "weight_bp", "keep")
+    Dedup.incrementalSoftDedup(empty,
+      pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("id")))
+      .write.mode("overwrite").parquet(s"$wDir/batch=-1")
+    // stream: cross/batch pairs + a self-loop per batch doc (so a
+    // pair-free doc still enters the spine)
+    pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
+      .unionByName(docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("id1"), col("doc_id").as("id2")))
+      .coalesce(1).write.mode("overwrite").parquet(pairsDir)
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id2",
+        org.apache.spark.sql.types.LongType)))
+    var result: Array[(Long, Long, Long, Long, Boolean)] = Array.empty
+    val q = EventsStreaming.streamingSoftDedupMaintenance(
+      s.readStream.schema(pairSchema).parquet(pairsDir), wDir) { (upd, _) =>
+      result = upd
+        .select(col("id"), col("cluster_id"), col("cluster_size"),
+          col("weight_bp"), col("keep"))
+        .as[(Long, Long, Long, Long, Boolean)](
+          org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Boolean)])
+        .collect()
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally {
+      deleteRecursively(wDir); deleteRecursively(pairsDir)
+    }
+    result.toSeq
+      .toDF("doc_id", "cluster_id", "cluster_size", "weight_bp", "keep")
+  }
+
+  lazy val streamSoftDedupSql: String = softDedupSql
+
   /** X24 as a driver-gate query: stream-stream inner join with
     * watermarks + interval condition (purchases × same-user signups in
     * the preceding hour), run to completion. Oracle = the identical

@@ -721,6 +721,69 @@ object EventsStreaming {
         ()
     }
 
+  /** Streaming SOFT-DEDUP weight maintenance (X217) — the always-on
+    * form completing the soft-dedup ladder (X213 batch → X216
+    * increment → this), and the second member of the SNAPSHOT-store
+    * family after the canonical picks: the weight table is serving
+    * state a trainer reads, and a cluster merge rewrites EVERY
+    * member's row (weight = 1/size), so the store is replaced
+    * per batch, not appended. Each micro-batch of verified duplicate
+    * PAIRS folds in via [[graft.operators.Dedup.incrementalSoftDedup]]
+    * (affected-component-bounded re-weight, one map-side store scan);
+    * a pair-free new document streams as a SELF-LOOP (id, id) — the
+    * operator's pair filter drops the loop but the endpoint enters the
+    * batch spine, so singletons get their full-weight row. The batch
+    * spine derives as the non-stored endpoints; doc-level re-arrival
+    * protection therefore lives in the upstream doc-dedup streams
+    * (at the pair level a stored endpoint IS the normal cross-pair
+    * case). Store contracts verbatim from the canonical family:
+    * snapshot layout under `batch=<id>`, per-batch overwrite retry
+    * idempotence via self-excluded latest-snapshot reads, the
+    * one-checkpoint-per-store lineage guard, negative-id bootstrap,
+    * eager localCheckpoint before the write that extends the read
+    * path. After any batch the store equals the batch operator over
+    * everything streamed (spec-pinned through the increment law). */
+  def streamingSoftDedupMaintenance(pairs: DataFrame,
+      weightStorePath: String, id1: String = "id1", id2: String = "id2")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          val prior = snapshotForBatch(
+            readWeightStore(spark, weightStorePath), batchId,
+            weightStoreSchema)
+          val b = batch.toDF()
+            .select(col(id1).cast("long").as("id1"),
+              col(id2).cast("long").as("id2"))
+            .localCheckpoint()
+          val ends = b.select(explode(array(col("id1"), col("id2"))).as("id"))
+            .distinct()
+          val storedEnds = prior.join(broadcast(ends), Seq("id"))
+            .select(col("id"))
+          val batchIds = ends.exceptAll(storedEnds)
+          val updated = graft.operators.Dedup.incrementalSoftDedup(
+            prior, b, batchIds).localCheckpoint()
+          updated.write.mode("overwrite")
+            .parquet(s"$weightStorePath/batch=$batchId")
+          sink(updated, batchId)
+        }
+        ()
+    }
+
+  private val weightStoreSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("cluster_id", LongType),
+    StructField("cluster_size", LongType),
+    StructField("weight_bp", LongType),
+    StructField("keep", BooleanType)))
+
+  /** The soft-dedup weight store (softDedup's schema), empty-with-
+    * schema when the path does not exist yet; SNAPSHOT-per-batch
+    * layout, same narrow catch as [[readNearDupStore]]. */
+  def readWeightStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path, weightStoreSchema)
+
   /** The canonical-pick store (cluster_id, canonical_id, score),
     * empty-with-schema when the path does not exist yet;
     * SNAPSHOT-per-batch layout, same narrow catch as

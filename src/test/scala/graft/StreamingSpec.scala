@@ -955,6 +955,71 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == Set((1L, 10L, 20L)))
   }
 
+  test("streaming soft-dedup maintenance: merge re-weights siblings, self-loop singletons, snapshot layout") {
+    val base = Files.createTempDirectory("graft-softstream-spec").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/weights"
+    val ckpt = s"$base/ckpt"
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"soft:$id".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    def row(id: Long, cl: Long, sz: Long) =
+      (id, cl, sz, 10000L / sz, bucket(id) < 10000L / sz)
+    // bootstrap: cluster {1,2} + singleton 20
+    Seq(row(1L, 1L, 2L), row(2L, 1L, 2L), row(20L, 20L, 1L))
+      .toDF("id", "cluster_id", "cluster_size", "weight_bp", "keep")
+      .write.parquet(s"$store/batch=-1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id2",
+        org.apache.spark.sql.types.LongType)))
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingSoftDedupMaintenance(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir), store) {
+        (_, _) => ()
+      }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 0: 10 joins the stored cluster (all siblings re-weight);
+    // 30 arrives pair-free as a SELF-LOOP -> full-weight singleton
+    Seq((2L, 10L), (30L, 30L)).toDF("id1", "id2")
+      .coalesce(1).write.parquet(s"$srcDir/f1")
+    runOnce()
+    // batch 1: 30 pairs with the grown cluster -> size 5
+    Seq((30L, 10L)).toDF("id1", "id2")
+      .coalesce(1).write.parquet(s"$srcDir/f2")
+    runOnce()
+    val fin = EventsStreaming.readWeightStore(spark, store)
+      .filter(col("batch").cast("long") === 1L)
+      .select("id", "cluster_id", "cluster_size", "weight_bp", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    for (id <- Seq(1L, 2L, 10L, 30L))
+      assert(fin(id) == ((1L, 4L, 2500L, bucket(id) < 2500L)),
+        s"id $id: ${fin(id)}")
+    assert(fin(20L) == ((20L, 1L, 10000L, true)), "untouched singleton verbatim")
+    assert(fin.size == 5)
+    // the batch-0 snapshot already carried the merge + the singleton
+    val mid = EventsStreaming.readWeightStore(spark, store)
+      .filter(col("batch").cast("long") === 0L)
+      .select("id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mid(10L) == ((1L, 3L)) && mid(30L) == ((30L, 1L)), s"got $mid")
+    // snapshot layout: one whole weight table per batch
+    assert(EventsStreaming.readWeightStore(spark, store)
+      .select(col("batch").cast("long")).distinct()
+      .as[Long].collect().toSet == Set(-1L, 0L, 1L))
+  }
+
   test("streaming TTL dedup: cross-batch expiry readmission, observation-advance, store fold") {
     val base = Files.createTempDirectory("graft-ttlstream-spec").toString
     val srcDir = s"$base/src"
