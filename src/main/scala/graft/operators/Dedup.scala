@@ -1668,6 +1668,90 @@ object Dedup {
     untouched.unionByName(rewritten)
   }
 
+  /** SOFT-DEDUP WEIGHT retraction (X218) — right-to-be-forgotten for
+    * the X213 weight store, completing the family's lifecycle (batch →
+    * increment → stream → retract, the ladder every serving store
+    * keeps). Like the canonical picks (X196), rows cannot simply be
+    * deleted — twice over: a retracted member shrinks its cluster, so
+    * every SURVIVING sibling's weight moves UP (weight = 1/size), and
+    * a retracted bridge can SPLIT a component into fragments that each
+    * re-weight independently (or become full-weight singletons).
+    * Labels update via [[retractClusterLabels]]' affected-component
+    * reruns over the kept pair store; weights recompute ONLY for the
+    * affected survivors (new sizes count over that bounded set —
+    * retraction never merges clusters, so every member of a
+    * post-retraction fragment came from an affected old cluster);
+    * untouched rows pass through verbatim; a retracted singleton's row
+    * simply disappears. Unknown retract ids raise (the raise rides the
+    * cluster_id column through the re-weight — a silent no-op forget
+    * is the failure a forget API must not have). Result ≡ the batch
+    * operator over surviving docs under surviving pairs — the oracle
+    * is that full recompute. */
+  def retractSoftDedup(storedWeights: DataFrame, storedPairs: DataFrame,
+      retractIds: DataFrame, broadcastBudget: Long = 1000000L): DataFrame = {
+    val needed = Set("id", "cluster_id", "cluster_size", "weight_bp", "keep")
+    require(needed.subsetOf(storedWeights.columns.toSet),
+      "retractSoftDedup: storedWeights must carry softDedup's schema " +
+        s"(id, cluster_id, cluster_size, weight_bp, keep), got ${storedWeights.columns.mkString(", ")}")
+    val stored = storedWeights.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("cluster_id"),
+      col("cluster_size").cast("long").as("cluster_size"),
+      col("weight_bp").cast("long").as("weight_bp"), col("keep"))
+      .persistTracked()
+    val rids = retractIds.select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct().persistTracked()
+    def gated(df: DataFrame): DataFrame =
+      if (fitsBudget(df, broadcastBudget)) broadcast(df)
+      else df.hint("shuffle_hash")
+    // the weight store carries singleton self-labels the LABEL store
+    // does not (X149 validates its input against the pair store) —
+    // only the clustered slice re-clusters; a retracted singleton has
+    // no siblings to re-weight and simply drops below
+    val labels2 = graft.core.Caches.persistTracked(
+      retractClusterLabels(
+        stored.filter(col("cluster_size") > 1)
+          .select(col("id"), col("cluster_id")),
+        storedPairs, rids, broadcastBudget = broadcastBudget))
+    val found = stored.join(gated(rids), Seq("id")).select(col("id"))
+      .persistTracked()
+    val affectedOld = stored.join(gated(rids), Seq("id"))
+      .select(col("cluster_id")).distinct().persistTracked()
+    // a retract id with no stored row is a silent-no-op forget — raise
+    val unknown = rids.exceptAll(found)
+      .select(col("id"), raise_error(concat(
+        lit("retractSoftDedup: retract id "), col("id").cast("string"),
+        lit(" is not stored — nothing to forget"))).cast("long")
+        .as("cluster_id"))
+    // affected survivors take their post-retraction labels (bounded:
+    // members of affected clusters minus the retracted slice)
+    val members = stored.join(gated(affectedOld), Seq("cluster_id"))
+      .select(col("id"))
+      .join(gated(rids), Seq("id"), "left_anti")
+    // X149 drops pair-less survivors from the LABEL store (labels only
+    // track pair-involved docs); the WEIGHT store must keep them — an
+    // isolated survivor becomes its own full-weight singleton
+    val labeled = labels2.join(gated(members), Seq("id"))
+      .select(col("id"), col("cluster_id"))
+    val isolated = members.exceptAll(labeled.select(col("id")))
+      .select(col("id"), col("id").as("cluster_id"))
+    val rewrite = labeled.unionByName(isolated).unionByName(unknown)
+      .persistTracked()
+    val sizes = rewrite.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    val bucket = conv(substring(
+      md5(concat(lit("soft:"), col("id").cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000
+    val rewritten = rewrite.join(gated(sizes), Seq("cluster_id"))
+      .withColumn("weight_bp", expr("10000L div cluster_size"))
+      .withColumn("keep", bucket < col("weight_bp"))
+      .select(col("id"), col("cluster_id"), col("cluster_size"),
+        col("weight_bp"), col("keep"))
+    val untouched = stored.join(gated(affectedOld), Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"), col("cluster_size"),
+        col("weight_bp"), col("keep"))
+    untouched.unionByName(rewritten)
+  }
+
   /** CLUSTER-LABEL retraction (X149) — right-to-be-forgotten for the
     * X133 label store, completing the retraction story across all five
     * stores (the substring postings retract via

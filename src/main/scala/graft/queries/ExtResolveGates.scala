@@ -112,6 +112,46 @@ trait ExtResolveGates { this: ExtAllGates =>
 
   lazy val incrementalSoftDedupSql: String = softDedupSql
 
+  /** Soft-dedup weight retraction (X218): forget the doc_id % 5 == 0
+    * slice from the full-corpus weight table — siblings re-weight up,
+    * bridge splits re-fragment, untouched rows verbatim. Oracle = the
+    * batch recompute over surviving docs under surviving pairs. */
+  val softDedupRetraction: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = graft.core.Caches.persistTracked(
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.7, shingleN = 3,
+        bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+        .select(col("id1"), col("id2")))
+    val stored = Dedup.softDedup(docs, "doc_id", "text",
+      threshold = 0.7, shingleN = 3,
+      bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+      .withColumnRenamed("doc_id", "id")
+      .localCheckpoint()
+    Dedup.retractSoftDedup(stored, pairs,
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("weight_bp"), col("keep"))
+  }
+
+  val softDedupRetractionSql: String =
+    s"WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($minhashPairsSql) " +
+      "WHERE id1 % 5 <> 0 AND id2 % 5 <> 0), " +
+      "edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs " +
+      "UNION SELECT id2 AS a, id1 AS b FROM pairs), " +
+      "reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) " +
+      "UNION SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a), " +
+      "comp AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize FROM comp GROUP BY 1), " +
+      "lbl AS (SELECT comp.id, comp.cluster_id, sz.csize FROM comp JOIN sz USING (cluster_id)) " +
+      "SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, " +
+      "coalesce(l.csize, 1) AS cluster_size, " +
+      "10000 // coalesce(l.csize, 1) AS weight_bp, " +
+      "CAST('0x' || substr(md5('soft:' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 " +
+      "< (10000 // coalesce(l.csize, 1)) AS keep " +
+      "FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id " +
+      "WHERE d.doc_id % 5 <> 0"
+
   /** Quality-canonical dedup (X181): same MinHash-pairs → connected
     * components chain as q_dedup_clusters, but the cluster keeps its
     * HIGHEST-QUALITY member (score = n_chars; ties → min doc_id) —

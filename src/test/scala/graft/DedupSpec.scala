@@ -591,6 +591,46 @@ class DedupSpec extends SparkSpec {
     assert(ex2.getMessage.contains("neither stored nor in the batch"))
   }
 
+  test("retractSoftDedup: siblings re-weight UP, bridge splits to full-weight singletons") {
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"soft:$id".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    def row(id: Long, cl: Long, sz: Long) =
+      (id, cl, sz, 10000L / sz, bucket(id) < 10000L / sz)
+    // store: chain 1-2-3 (cluster 1, size 3), clique {10,11,12}
+    // (cluster 10), singletons 20, 21
+    val stored = Seq(row(1L, 1L, 3L), row(2L, 1L, 3L), row(3L, 1L, 3L),
+      row(10L, 10L, 3L), row(11L, 10L, 3L), row(12L, 10L, 3L),
+      row(20L, 20L, 1L), row(21L, 21L, 1L))
+      .toDF("id", "cluster_id", "cluster_size", "weight_bp", "keep")
+    val pairs = Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("id1", "id2")
+    // retract the 1-2-3 BRIDGE (2) and one clique member (12) and a
+    // singleton (20)
+    val retract = Seq(2L, 12L, 20L).toDF("id")
+    val got = Dedup.retractSoftDedup(stored, pairs, retract)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // bridge split: 1 and 3 are isolated full-weight singletons now
+    assert(got(1L) == ((1L, 1L, 10000L, true)), s"got ${got(1L)}")
+    assert(got(3L) == ((3L, 1L, 10000L, true)), s"got ${got(3L)}")
+    // clique survivors re-weight UP: size 3 -> 2
+    for (id <- Seq(10L, 11L))
+      assert(got(id) == ((10L, 2L, 5000L, bucket(id) < 5000L)), s"id $id: ${got(id)}")
+    // untouched singleton verbatim; retracted rows gone
+    assert(got(21L) == ((21L, 1L, 10000L, true)))
+    assert(!got.contains(2L) && !got.contains(12L) && !got.contains(20L))
+    assert(got.size == 5)
+    // unknown retract id raises instead of a silent no-op forget
+    val ex = intercept[Exception] {
+      Dedup.retractSoftDedup(stored, pairs, Seq(99L).toDF("id")).collect()
+    }
+    assert(ex.getMessage.contains("not stored"))
+  }
+
   test("connectedComponents labels a chain, a clique, and keeps them apart — both paths") {
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
     // triangle 10-11-12, isolated pair 20-21
