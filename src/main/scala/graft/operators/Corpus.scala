@@ -1073,6 +1073,112 @@ object Corpus {
       size(filter(split(cells, " "), c => c =!= "")).as("n_symbols"))
   }
 
+  /** WORDPIECE-style merge training (Schuster & Nakajima 2012; the
+    * BERT tokenizer's criterion) — the third tokenizer-training
+    * recurrence, completing the family (X96 BPE = greedy pair COUNT;
+    * X208 unigram-LM = EM; WordPiece = greedy LIKELIHOOD GAIN): each
+    * round merges the adjacent pair maximizing
+    * score = count(ab) / (count(a)·count(b)) — the pair whose parts
+    * co-occur far beyond their independent rates — instead of raw
+    * frequency, so "of the" (frequent parts, no association) loses to
+    * a genuine collocation BPE would only reach later. Everything else
+    * is [[bpeMerges]]' machinery verbatim: cell encoding (chr(2)+sym+
+    * ' ', so replace() IS the leftmost non-overlapping merge),
+    * incremental pair-count maintenance (round 1 pays the one full
+    * explode; later rounds shuffle only the ±1 deltas of rows
+    * containing the merged pair), per-round localCheckpoint, ONE
+    * argmax row to the driver per round.
+    *
+    * The score is the QUANTIZED integral ratio
+    * ⌊c·10¹² / (l·r)⌋ computed in DECIMAL(38,0) (c·10¹² overflows
+    * BIGINT once c > 9.2·10⁶ — a 100 TB corpus gets there; the
+    * quotient itself is ≤ 10¹² because l, r ≥ c always), truncation
+    * exact in both engines; ties break (count desc, pair asc) —
+    * deterministic. Symbol counts are maintained incrementally on the
+    * SAME delta scan as the pair counts (a merge of m occurrences
+    * moves a −m, b −m, ab +m, and nothing else). Returns
+    * (merge_rank, lhs, rhs, pair_count, score). */
+  def wordpieceMerges(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val M = BpeMarker
+    val J = BpeJoiner
+    var state = Dedup.spread(docs).select(
+      array_join(transform(TextFunctions.tokens(lower(col(textCol))),
+        t => concat(lit(M), t, lit(" "))), "").as("cells"))
+      .localCheckpoint()
+    def symsOf(cells: Column): Column =
+      filter(split(cells, " "), c => c =!= "")
+    def pairsOf(cells: Column): Column = {
+      val syms = symsOf(cells)
+      val n1 = greatest(size(syms) - 1, lit(0))
+      zip_with(slice(syms, lit(1), n1), slice(syms, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    var counts = state.select(explode(pairsOf(col("cells"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    var symCounts = state.select(explode(symsOf(col("cells"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var done = false
+    for (k <- 1 to numMerges if !done) {
+      val best = counts
+        .join(symCounts.select(col("s").as("_ls"), col("c").as("_lc")),
+          split(col("p"), " ").getItem(0) === col("_ls"))
+        .join(symCounts.select(col("s").as("_rs"), col("c").as("_rc")),
+          split(col("p"), " ").getItem(1) === col("_rs"))
+        .withColumn("sc", expr(
+          "CAST(c AS DECIMAL(38,0)) * 1000000000000 div " +
+            "(CAST(_lc AS DECIMAL(38,0)) * CAST(_rc AS DECIMAL(38,0)))"))
+        .orderBy(col("sc").desc, col("c").desc, col("p").asc).limit(1)
+        .select(col("p"), col("c"), col("sc"))
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val p = best(0).getString(0)
+        val c = best(0).getLong(1)
+        val sc = best(0).getLong(2)
+        val Array(a, b) = p.split(" ", 2)
+        val pat = p + " "
+        val rep = a + J + b.substring(1) + " "
+        merges += ((k, a.substring(1).replace(J, " "),
+          b.substring(1).replace(J, " "), c, sc))
+        val rewritten =
+          call_function("replace", col("cells"), lit(pat), lit(rep))
+        val changed = state.filter(col("cells").contains(pat))
+          .localCheckpoint()
+        val pairDelta = changed
+          .select(explode(concat(
+            transform(pairsOf(col("cells")),
+              q => struct(q.as("p"), lit(-1L).as("d"))),
+            transform(pairsOf(rewritten),
+              q => struct(q.as("p"), lit(1L).as("d"))))).as("e"))
+          .groupBy(col("e.p").as("p")).agg(sum(col("e.d")).as("c"))
+        val symDelta = changed
+          .select(explode(concat(
+            transform(symsOf(col("cells")),
+              q => struct(q.as("s"), lit(-1L).as("d"))),
+            transform(symsOf(rewritten),
+              q => struct(q.as("s"), lit(1L).as("d"))))).as("e"))
+          .groupBy(col("e.s").as("s")).agg(sum(col("e.d")).as("c"))
+        counts = counts.unionByName(pairDelta)
+          .groupBy(col("p")).agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint()
+        symCounts = symCounts.unionByName(symDelta)
+          .groupBy(col("s")).agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint()
+        state = state.select(rewritten.as("cells")).localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count", "score")
+  }
+
   /** All (start, end) substring spans of a word up to `maxPieceLen`
     * chars — the unigram-LM candidate lattice. 0-based half-open
     * spans; 1 ≤ e−s ≤ maxPieceLen, so single characters are always

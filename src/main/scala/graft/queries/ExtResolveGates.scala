@@ -1408,6 +1408,54 @@ trait ExtResolveGates { this: ExtAllGates =>
     sb.toString
   }
 
+  /** WordPiece merge training (X219): four rounds of the likelihood-
+    * gain criterion — argmax ⌊c·10¹²/(l·r)⌋, ties (count desc, pair
+    * asc) — over the same cell-encoded recurrence as BPE. The oracle
+    * chains the identical rounds with per-round symbol-count tables
+    * and the HUGEINT integral score. */
+  private[queries] val WP_MERGES = 4
+
+  val wordpieceMerges: Q = (s, d) =>
+    Corpus.wordpieceMerges(Tables.documents(s, d), "doc_id", "text",
+      WP_MERGES)
+
+  val wordpieceMergesSql: String = {
+    val cells =
+      s"array_to_string(list_transform($duckToksLower, t -> chr(2) || t || ' '), '')"
+    val sb = new StringBuilder(
+      s"WITH w0 AS MATERIALIZED (SELECT doc_id, $cells AS cells FROM documents)")
+    for (k <- 1 to WP_MERGES) {
+      val prev = s"w${k - 1}"
+      sb.append(
+        s", wp$k AS (SELECT list_extract(arr, i) || ' ' || list_extract(arr, i + 1) AS pr " +
+          s"FROM (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i " +
+          s"FROM (SELECT list_filter(string_split(cells, ' '), x -> x <> '') AS arr FROM $prev)))")
+      sb.append(
+        s", wy$k AS MATERIALIZED (SELECT sym AS s, CAST(count(*) AS BIGINT) AS c FROM " +
+          s"(SELECT unnest(list_filter(string_split(cells, ' '), x -> x <> '')) AS sym FROM $prev) GROUP BY 1)")
+      sb.append(
+        s", wb$k AS MATERIALIZED (SELECT pr, c, la, rb, sc FROM " +
+          s"(SELECT j.pr, j.c, j.la, j.rb, " +
+          s"CAST(j.c AS HUGEINT) * 1000000000000 // (CAST(yl.c AS HUGEINT) * yr.c) AS sc " +
+          s"FROM (SELECT pr, count(*) AS c, split_part(pr, ' ', 1) AS la, " +
+          s"split_part(pr, ' ', 2) AS rb FROM wp$k GROUP BY pr) j " +
+          s"JOIN wy$k yl ON j.la = yl.s JOIN wy$k yr ON j.rb = yr.s) " +
+          s"ORDER BY sc DESC, c DESC, pr ASC LIMIT 1)")
+      if (k < WP_MERGES) sb.append(
+        s", w$k AS MATERIALIZED (SELECT doc_id, " +
+          s"coalesce(replace(cells, (SELECT pr || ' ' FROM wb$k), " +
+          s"(SELECT la || chr(1) || substr(rb, 2) || ' ' FROM wb$k)), cells) AS cells " +
+          s"FROM $prev)")
+    }
+    sb.toString + " " +
+      (1 to WP_MERGES).map(k =>
+        s"SELECT CAST($k AS INT) AS merge_rank, " +
+          s"replace(substr(la, 2), chr(1), ' ') AS lhs, " +
+          s"replace(substr(rb, 2), chr(1), ' ') AS rhs, " +
+          s"CAST(c AS BIGINT) AS pair_count, CAST(sc AS BIGINT) AS score FROM wb$k")
+        .mkString(" UNION ALL ")
+  }
+
   val bpeMergesSql: String =
     bpeOracleChain(withFinalState = false) + " " +
       (1 to BPE_MERGES).map(k =>

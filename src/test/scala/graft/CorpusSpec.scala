@@ -499,6 +499,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("wordpieceMerges: likelihood gain beats raw frequency; exact scores; early stop") {
+    // "a b" is the most FREQUENT pair (4) but its parts are everywhere
+    // (a: 10, b: 10 -> score 4e12/100); "u v" occurs 3 times but its
+    // parts occur ONLY together (3 each -> score 3e12/9) — WordPiece
+    // merges (u, v) first, BPE would merge (a, b)
+    val docs = (
+      (1L to 4L).map(i => (i, "a b")) ++
+        (11L to 16L).map(i => (i, "a")) ++
+        (21L to 26L).map(i => (i, "b")) ++
+        (31L to 33L).map(i => (i, "u v"))).toDF("doc_id", "text")
+    val got = Corpus.wordpieceMerges(docs, "doc_id", "text", numMerges = 5)
+      .as[(Int, String, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 2, s"early stop after pairs exhaust: ${got.toSeq}")
+    assert(got(0) == ((1, "u", "v", 3L, 3000000000000L / 9L)), s"got ${got(0)}")
+    assert(got(1) == ((2, "a", "b", 4L, 4000000000000L / 100L)), s"got ${got(1)}")
+    // the BPE criterion picks the frequent pair first — the divergence
+    // that makes WordPiece a different tokenizer
+    val bpeFirst = Corpus.bpeMerges(docs, "doc_id", "text", 1)
+      .as[(Int, String, String, Long)].collect().head
+    assert((bpeFirst._2, bpeFirst._3) == (("a", "b")))
+  }
+
   test("linearQuality: exact NB log-count-ratio weights on a tiny corpus") {
     val pos = Seq((0L, "good text")).toDF("doc_id", "text")
     val neg = Seq((1L, "bad stuff")).toDF("doc_id", "text")
