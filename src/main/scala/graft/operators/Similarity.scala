@@ -1164,29 +1164,85 @@ object Similarity {
     * spectrum). */
   def pcaComponents(corpus: DataFrame, idCol: String, vecCol: String,
       outDims: Int, dims: Int, iters: Int = 5,
-      scale: Double = 1e6, vScale: Long = 1000000L): Array[Array[Long]] = {
-    require(outDims >= 1 && outDims <= dims,
-      s"pcaComponents: outDims must be in [1, $dims], got $outDims")
-    require(iters >= 1 && iters <= 100,
-      s"pcaComponents: iters must be in [1, 100], got $iters")
+      scale: Double = 1e6, vScale: Long = 1000000L): Array[Array[Long]] =
+    pcaComponentsFromMoments(pcaMomentRecords(corpus, vecCol, dims, scale),
+      outDims, dims, iters, vScale)
+
+  /** The PCA TRAINING STATE as a mergeable-partial table (X220): one
+    * (i, j, s) row per cell of the homogeneous moment matrix
+    * M = Σ a·aᵀ, a = [q, 1] — the X128 manifest idea applied to a
+    * trained index. Because M is a plain SUM, per-batch moment tables
+    * are exact mergeable partials: merge = element-wise add, retract =
+    * element-wise subtract, and since [[pcaComponentsFromMoments]] is
+    * a PURE FUNCTION of M, the refreshed components after any
+    * merge/retract chain are BIT-EQUAL to a full retrain — not merely
+    * frame-equal. A 100 TB corpus maintains its PCA index by folding
+    * (dims+1)²-row tables, never rescanning. DECIMAL(38,0) sums:
+    * exact and overflow-checked. */
+  def pcaMomentRecords(corpus: DataFrame, vecCol: String, dims: Int,
+      scale: Double = 1e6): DataFrame = {
     val dAug = dims + 1
     val aug = concat(Clustering.fixedPoint(col(vecCol), scale),
       array(lit(1L)))
-    val rows = spread(corpus)
+    spread(corpus)
       .select(explode(flatten(transform(aug, (xi, i) =>
         transform(aug, (xj, j) =>
-          struct((i.cast("long") * dAug + j).as("k"),
+          struct(i.cast("int").as("i"), j.cast("int").as("j"),
             (xi * xj).cast("decimal(38,0)").as("p")))))).as("t"))
-      .groupBy(col("t.k").as("k")).agg(sum(col("t.p")).as("s"))
-      .collect()
-    require(rows.nonEmpty, "pcaComponents: empty corpus")
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).cast("decimal(38,0)").as("s"))
+  }
+
+  /** Fold two moment tables: moments(A ∪ B) ≡ merge(moments(A),
+    * moments(B)) exactly — cells add, absent cells pass through. */
+  def pcaMergeMoments(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("i"), col("j"))
+      .agg(sum(col("s")).cast("decimal(38,0)").as("s"))
+
+  /** Un-fold a batch's contribution: retract(merge(m, b), b) ≡ m
+    * exactly. Fail-loud when the row-count corner goes negative — the
+    * retracted batch was never merged in (the raise rides the `s`
+    * column so no projection prunes it). */
+  def pcaRetractMoments(m: DataFrame, b: DataFrame): DataFrame =
+    m.unionByName(b.select(col("i"), col("j"), (col("s") * lit(-1)).as("s")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("s")).cast("decimal(38,0)").as("s"))
+      .withColumn("s",
+        when(col("i") === col("j") && col("s") < 0, raise_error(concat(
+          lit("pcaRetractMoments: diagonal cell ("), col("i").cast("string"),
+          lit(") went negative — the retracted batch was never merged into "
+            + "this moment table"))))
+          .otherwise(col("s")))
+
+  /** Train components from a (i, j, s) moment table — the pure
+    * function of M that [[pcaComponents]], the incremental
+    * maintenance loop, and the refresh-after-retract all share. The
+    * collect is the (dims+1)²-bounded training state, never corpus
+    * data. */
+  def pcaComponentsFromMoments(moments: DataFrame, outDims: Int,
+      dims: Int, iters: Int = 5,
+      vScale: Long = 1000000L): Array[Array[Long]] = {
+    require(outDims >= 1 && outDims <= dims,
+      s"pcaComponentsFromMoments: outDims must be in [1, $dims], got $outDims")
+    require(iters >= 1 && iters <= 100,
+      s"pcaComponentsFromMoments: iters must be in [1, 100], got $iters")
+    require(Set("i", "j", "s").subsetOf(moments.columns.toSet),
+      s"pcaComponentsFromMoments: need (i, j, s) — pcaMomentRecords' " +
+        s"schema — got ${moments.columns.mkString(", ")}")
+    val dAug = dims + 1
+    val rows = moments.select(col("i").cast("int"), col("j").cast("int"),
+      col("s").cast("decimal(38,0)")).collect()
+    require(rows.nonEmpty, "pcaComponentsFromMoments: empty corpus")
     val m = Array.fill(dAug, dAug)(BigInt(0))
     rows.foreach { r =>
-      val k = r.getLong(0)
-      m((k / dAug).toInt)((k % dAug).toInt) = BigInt(r.getDecimal(1).toBigInteger)
+      require(r.getInt(0) >= 0 && r.getInt(0) < dAug &&
+        r.getInt(1) >= 0 && r.getInt(1) < dAug,
+        s"pcaComponentsFromMoments: cell (${r.getInt(0)}, ${r.getInt(1)}) " +
+          s"outside the ${dAug}x$dAug moment matrix — dims mismatch")
+      m(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
     }
     val n = m(dims)(dims)
-    require(n > 0, "pcaComponents: empty corpus")
+    require(n > 0, "pcaComponentsFromMoments: empty corpus")
     val sq = Array.tabulate(dims)(i => m(i)(dims))
     val mu = sq.map(_ / n)
     var a = Array.tabulate(dims, dims)((i, j) =>
@@ -1199,7 +1255,7 @@ object Similarity {
           (0 until dims).map(j => a(i)(j) * v(j)).sum)
         val mx = w.map(_.abs).max
         require(mx > 0,
-          s"pcaComponents: power iteration collapsed at component $c — " +
+          s"pcaComponentsFromMoments: power iteration collapsed at component $c — " +
             "outDims exceeds the data's spectrum")
         v = w.map(x => x * vs / mx)
       }

@@ -814,43 +814,81 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     * deflation CTEs — every `//` truncates toward zero, bit-matching
     * the driver's BigInt arithmetic. Emits `comps(c, d, x)`, c
     * 1-based. */
-  private[queries] def pcaTrainCtes(outDims: Int, iters: Int): String = {
+  private[queries] def pcaTrainCtes(outDims: Int, iters: Int,
+      src: String = "embeddings", p: String = ""): String = {
     val dAug = EMB_DIMS + 1
     val sb = new StringBuilder
-    sb ++= "pe AS MATERIALIZED (SELECT vec_id, list_append(list_transform(embedding, " +
-      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)), CAST(1 AS BIGINT)) AS av FROM embeddings), "
-    sb ++= "pu AS MATERIALIZED (SELECT vec_id, u.d AS d, u.x AS x FROM " +
-      "(SELECT vec_id, unnest(list_transform(av, (x, i) -> struct_pack(d := i, x := x))) AS u FROM pe)), "
-    sb ++= "mom AS MATERIALIZED (SELECT a.d AS i, b.d AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS s " +
-      "FROM pu a JOIN pu b USING (vec_id) GROUP BY 1, 2), "
-    sb ++= s"pn AS (SELECT s AS n FROM mom WHERE i = $dAug AND j = $dAug), "
-    sb ++= s"mu AS (SELECT i, s // (SELECT n FROM pn) AS m, s AS sq FROM mom WHERE j = $dAug AND i <= $EMB_DIMS), "
-    sb ++= "a0 AS MATERIALIZED (SELECT mo.i, mo.j, " +
-      "mo.s - mi.m*mj.sq - mj.m*mi.sq + (SELECT n FROM pn)*mi.m*mj.m AS s " +
-      s"FROM mom mo JOIN mu mi ON mo.i = mi.i JOIN mu mj ON mo.j = mj.i " +
+    sb ++= s"${p}pe AS MATERIALIZED (SELECT vec_id, list_append(list_transform(embedding, " +
+      s"x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)), CAST(1 AS BIGINT)) AS av FROM $src), "
+    sb ++= s"${p}pu AS MATERIALIZED (SELECT vec_id, u.d AS d, u.x AS x FROM " +
+      s"(SELECT vec_id, unnest(list_transform(av, (x, i) -> struct_pack(d := i, x := x))) AS u FROM ${p}pe)), "
+    sb ++= s"${p}mom AS MATERIALIZED (SELECT a.d AS i, b.d AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS s " +
+      s"FROM ${p}pu a JOIN ${p}pu b USING (vec_id) GROUP BY 1, 2), "
+    sb ++= s"${p}pn AS (SELECT s AS n FROM ${p}mom WHERE i = $dAug AND j = $dAug), "
+    sb ++= s"${p}mu AS (SELECT i, s // (SELECT n FROM ${p}pn) AS m, s AS sq FROM ${p}mom WHERE j = $dAug AND i <= $EMB_DIMS), "
+    sb ++= s"${p}a0 AS MATERIALIZED (SELECT mo.i, mo.j, " +
+      s"mo.s - mi.m*mj.sq - mj.m*mi.sq + (SELECT n FROM ${p}pn)*mi.m*mj.m AS s " +
+      s"FROM ${p}mom mo JOIN ${p}mu mi ON mo.i = mi.i JOIN ${p}mu mj ON mo.j = mj.i " +
       s"WHERE mo.i <= $EMB_DIMS AND mo.j <= $EMB_DIMS), "
     for (c <- 0 until outDims) {
-      sb ++= s"v${c}_0 AS (SELECT d, 1 + CAST('0x' || substr(md5('pca:$c:' || CAST(d - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS x " +
+      sb ++= s"${p}v${c}_0 AS (SELECT d, 1 + CAST('0x' || substr(md5('pca:$c:' || CAST(d - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS x " +
         s"FROM (SELECT unnest(generate_series(1, $EMB_DIMS)) AS d)), "
       for (t <- 1 to iters) {
-        sb ++= s"w${c}_$t AS (SELECT A.i AS d, CAST(sum(A.s * v.x) AS HUGEINT) AS x " +
-          s"FROM a$c A JOIN v${c}_${t - 1} v ON A.j = v.d GROUP BY 1), "
-        sb ++= s"v${c}_$t AS MATERIALIZED (SELECT d, x * 1000000 // (SELECT max(abs(x)) FROM w${c}_$t) AS x FROM w${c}_$t), "
+        sb ++= s"${p}w${c}_$t AS (SELECT A.i AS d, CAST(sum(A.s * v.x) AS HUGEINT) AS x " +
+          s"FROM ${p}a$c A JOIN ${p}v${c}_${t - 1} v ON A.j = v.d GROUP BY 1), "
+        sb ++= s"${p}v${c}_$t AS MATERIALIZED (SELECT d, x * 1000000 // (SELECT max(abs(x)) FROM ${p}w${c}_$t) AS x FROM ${p}w${c}_$t), "
       }
       if (c < outDims - 1) {
-        sb ++= s"ray$c AS (SELECT num // den AS l, den FROM (SELECT " +
-          s"(SELECT CAST(sum(vi.x * A.s * vj.x) AS HUGEINT) FROM a$c A " +
-          s"JOIN v${c}_$iters vi ON A.i = vi.d JOIN v${c}_$iters vj ON A.j = vj.d) AS num, " +
-          s"(SELECT CAST(sum(x * x) AS HUGEINT) FROM v${c}_$iters) AS den)), "
-        sb ++= s"a${c + 1} AS MATERIALIZED (SELECT A.i, A.j, A.s - (r.l * vi.x * vj.x // r.den) AS s " +
-          s"FROM a$c A JOIN v${c}_$iters vi ON A.i = vi.d JOIN v${c}_$iters vj ON A.j = vj.d CROSS JOIN ray$c r), "
+        sb ++= s"${p}ray$c AS (SELECT num // den AS l, den FROM (SELECT " +
+          s"(SELECT CAST(sum(vi.x * A.s * vj.x) AS HUGEINT) FROM ${p}a$c A " +
+          s"JOIN ${p}v${c}_$iters vi ON A.i = vi.d JOIN ${p}v${c}_$iters vj ON A.j = vj.d) AS num, " +
+          s"(SELECT CAST(sum(x * x) AS HUGEINT) FROM ${p}v${c}_$iters) AS den)), "
+        sb ++= s"${p}a${c + 1} AS MATERIALIZED (SELECT A.i, A.j, A.s - (r.l * vi.x * vj.x // r.den) AS s " +
+          s"FROM ${p}a$c A JOIN ${p}v${c}_$iters vi ON A.i = vi.d JOIN ${p}v${c}_$iters vj ON A.j = vj.d CROSS JOIN ${p}ray$c r), "
       }
     }
     sb ++= (0 until outDims).map(c =>
-      s"SELECT ${c + 1} AS c, d, x FROM v${c}_$iters").mkString(
-      "comps AS MATERIALIZED (", " UNION ALL ", ")")
+      s"SELECT ${c + 1} AS c, d, x FROM ${p}v${c}_$iters").mkString(
+      s"${p}comps AS MATERIALIZED (", " UNION ALL ", ")")
     sb.toString
   }
+
+  /** Incremental PCA training-state maintenance (X220): the moment
+    * matrix is a SUM, so per-tranche moment tables are exact mergeable
+    * partials and the trained components are a pure function of the
+    * fold — merged-tranche training is BIT-EQUAL to full-corpus
+    * training, and retraining after a retraction is bit-equal to
+    * training on the remainder. The gate folds three %3 tranches,
+    * trains, retracts one, retrains; the oracle trains from scratch on
+    * the full corpus and on the remainder — equality IS the algebra. */
+  val incrementalPca: Q = (s, d) => {
+    import s.implicits._
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    def moments(k: Int) = Similarity.pcaMomentRecords(
+      emb.filter(col("vec_id") % 3 === k), "embedding", EMB_DIMS)
+    val merged = Similarity.pcaMergeMoments(
+      Similarity.pcaMergeMoments(moments(0), moments(1)), moments(2))
+      .localCheckpoint()
+    val compsAll = Similarity.pcaComponentsFromMoments(
+      merged, PCA_OUT, EMB_DIMS, PCA_ITERS)
+    val compsRetr = Similarity.pcaComponentsFromMoments(
+      Similarity.pcaRetractMoments(merged, moments(1)),
+      PCA_OUT, EMB_DIMS, PCA_ITERS)
+    def rows(method: String, comps: Array[Array[Long]]) =
+      comps.zipWithIndex.flatMap { case (row, c) =>
+        row.zipWithIndex.map { case (x, dd) => (method, c, dd, x) }
+      }.toSeq
+    (rows("merged", compsAll) ++ rows("retracted", compsRetr))
+      .toDF("method", "c", "d", "x")
+  }
+
+  val incrementalPcaSql: String =
+    "WITH " + pcaTrainCtes(PCA_OUT, PCA_ITERS) + ", " +
+      pcaTrainCtes(PCA_OUT, PCA_ITERS,
+        src = "(SELECT * FROM embeddings WHERE vec_id % 3 <> 1) emb_r",
+        p = "r_") +
+      " SELECT 'merged' AS method, CAST(c - 1 AS INT) AS c, CAST(d - 1 AS INT) AS d, CAST(x AS BIGINT) AS x FROM comps " +
+      "UNION ALL SELECT 'retracted' AS method, CAST(c - 1 AS INT) AS c, CAST(d - 1 AS INT) AS d, CAST(x AS BIGINT) AS x FROM r_comps"
 
   /** Shared projection + per-coarseK probe CTEs over [[pcaTrainCtes]]'
     * `comps`: each requested coarseK yields a `pcat<K>` top-10 CTE

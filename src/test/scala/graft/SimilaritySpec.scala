@@ -629,6 +629,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
   }
 
+  test("pcaMoments: merge/retract algebra makes incremental training BIT-equal to retrain") {
+    import spark.implicits._
+    val emb = (0 until 45).map { i =>
+      (i.toLong, Array.tabulate(4)(d =>
+        (math.sin(i * 0.9 + d * 1.7) * 0.8).toFloat))
+    }.toDF("vec_id", "embedding")
+    def slice(k: Int) = emb.filter(col("vec_id") % 3 === k)
+    val m0 = Similarity.pcaMomentRecords(slice(0), "embedding", 4)
+    val m1 = Similarity.pcaMomentRecords(slice(1), "embedding", 4)
+    val m2 = Similarity.pcaMomentRecords(slice(2), "embedding", 4)
+    val merged = Similarity.pcaMergeMoments(Similarity.pcaMergeMoments(m0, m1), m2)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("i"), col("j"), col("s").cast("string"))
+        .as[(Int, Int, String)].collect().toSet
+    // merge law: moments(A ∪ B ∪ C) == fold of tranche moments, cell-exact
+    assert(cells(merged) ==
+      cells(Similarity.pcaMomentRecords(emb, "embedding", 4)))
+    // trained components from the fold are BIT-equal to a full retrain
+    val viaFold = Similarity.pcaComponentsFromMoments(merged, 2, 4, iters = 6)
+    val direct = Similarity.pcaComponents(emb, "vec_id", "embedding",
+      outDims = 2, dims = 4, iters = 6)
+    assert(viaFold.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+    // retract law: retract(merge(m, b), b) == m, and retraining equals
+    // training on the remainder
+    val retr = Similarity.pcaRetractMoments(merged, m1)
+    assert(cells(retr) == cells(Similarity.pcaMergeMoments(m0, m2)))
+    val viaRetr = Similarity.pcaComponentsFromMoments(retr, 2, 4, iters = 6)
+    val remainder = Similarity.pcaComponents(
+      emb.filter(col("vec_id") % 3 =!= 1), "vec_id", "embedding",
+      outDims = 2, dims = 4, iters = 6)
+    assert(viaRetr.map(_.toSeq).toSeq == remainder.map(_.toSeq).toSeq)
+    // retracting a batch that was never merged fails loud (diagonal
+    // row count goes negative)
+    val ex = intercept[Exception] {
+      Similarity.pcaRetractMoments(m0, Similarity.pcaMergeMoments(m0, m1))
+        .collect()
+    }
+    assert(ex.getMessage.contains("never merged"))
+  }
+
   test("pcaIndexRecords: lossless round trip; malformed tables fail loud") {
     import spark.implicits._
     val comps = Array(Array(1000000L, -7L, 42L), Array(-999999L, 3L, 0L))
