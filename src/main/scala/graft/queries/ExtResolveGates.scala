@@ -1419,7 +1419,11 @@ trait ExtResolveGates { this: ExtAllGates =>
     Corpus.wordpieceMerges(Tables.documents(s, d), "doc_id", "text",
       WP_MERGES)
 
-  val wordpieceMergesSql: String = {
+  /** Shared WordPiece CTE chain (the bpeOracleChain arrangement):
+    * states w0..; per round the pair table wp_k, symbol counts wy_k,
+    * score argmax wb_k; `withFinalState` adds the last rewritten
+    * state (the apply oracle reads it). */
+  private[queries] def wordpieceOracleChain(withFinalState: Boolean): String = {
     val cells =
       s"array_to_string(list_transform($duckToksLower, t -> chr(2) || t || ' '), '')"
     val sb = new StringBuilder(
@@ -1441,20 +1445,43 @@ trait ExtResolveGates { this: ExtAllGates =>
           s"split_part(pr, ' ', 2) AS rb FROM wp$k GROUP BY pr) j " +
           s"JOIN wy$k yl ON j.la = yl.s JOIN wy$k yr ON j.rb = yr.s) " +
           s"ORDER BY sc DESC, c DESC, pr ASC LIMIT 1)")
-      if (k < WP_MERGES) sb.append(
+      if (k < WP_MERGES || withFinalState) sb.append(
         s", w$k AS MATERIALIZED (SELECT doc_id, " +
           s"coalesce(replace(cells, (SELECT pr || ' ' FROM wb$k), " +
           s"(SELECT la || chr(1) || substr(rb, 2) || ' ' FROM wb$k)), cells) AS cells " +
           s"FROM $prev)")
     }
-    sb.toString + " " +
+    sb.toString
+  }
+
+  val wordpieceMergesSql: String =
+    wordpieceOracleChain(withFinalState = false) + " " +
       (1 to WP_MERGES).map(k =>
         s"SELECT CAST($k AS INT) AS merge_rank, " +
           s"replace(substr(la, 2), chr(1), ' ') AS lhs, " +
           s"replace(substr(rb, 2), chr(1), ' ') AS rhs, " +
           s"CAST(c AS BIGINT) AS pair_count, CAST(sc AS BIGINT) AS score FROM wb$k")
         .mkString(" UNION ALL ")
+
+  /** WordPiece train-then-APPLY round trip (X219's second half): the
+    * learned merge table applied corpus-wide as the chained literal
+    * replace — [[Corpus.bpeApply]] is criterion-agnostic (it replays a
+    * merge TABLE; which argmax chose the merges is the trainer's
+    * business), so the apply half is shared machinery. Oracle reads
+    * the WordPiece chain's final state. */
+  val wordpieceApply: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = Corpus.wordpieceMerges(docs, "doc_id", "text", WP_MERGES)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Corpus.bpeApply(docs, "doc_id", "text", merges)
   }
+
+  lazy val wordpieceApplySql: String =
+    wordpieceOracleChain(withFinalState = true) +
+      s" SELECT doc_id, CAST(len($duckToksLower) AS INT) AS n_tokens, " +
+      "CAST(len(list_filter(string_split(cells, ' '), x -> x <> '')) AS INT) AS n_symbols " +
+      s"FROM documents JOIN w$WP_MERGES USING (doc_id)"
 
   val bpeMergesSql: String =
     bpeOracleChain(withFinalState = false) + " " +

@@ -734,6 +734,53 @@ trait ExtStreamGates { this: ExtAllGates =>
 
   lazy val streamSoftDedupSql: String = softDedupSql
 
+  /** Streaming PCA training-state maintenance (X221): bootstrap the
+    * moment store from the %3==0 tranche, stream the other two as
+    * real micro-batches, train from the folded store. The oracle
+    * trains FROM SCRATCH on the full corpus — bit-equality is the
+    * moment algebra. */
+  val streamPca: Q = (s, d) => withStreamShuffle(s, 8) {
+    import s.implicits._
+    val ckpt = streamCkptDir("graft-ckpt-pcam")
+    val mDir =
+      java.nio.file.Files.createTempDirectory("graft-pcamstore").toString
+    val srcDir =
+      java.nio.file.Files.createTempDirectory("graft-pcamsrc").toString
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    graft.operators.Similarity.pcaMomentRecords(
+      emb.filter(col("vec_id") % 3 === 0), "embedding", EMB_DIMS)
+      .write.mode("overwrite").parquet(s"$mDir/batch=-1")
+    emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val q = EventsStreaming.streamingPcaMoments(
+      s.readStream.schema(schema).parquet(srcDir),
+      mDir, "embedding", EMB_DIMS) { (_, _) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally deleteRecursively(srcDir)
+    val comps =
+      try graft.operators.Similarity.pcaComponentsFromMoments(
+        EventsStreaming.foldedMoments(s, mDir), PCA_OUT, EMB_DIMS, PCA_ITERS)
+      finally deleteRecursively(mDir)
+    comps.zipWithIndex.flatMap { case (row, c) =>
+      row.zipWithIndex.map { case (x, dd) => (c, dd, x) }
+    }.toSeq.toDF("c", "d", "x")
+  }
+
+  lazy val streamPcaSql: String =
+    "WITH " + pcaTrainCtes(PCA_OUT, PCA_ITERS) +
+      " SELECT CAST(c - 1 AS INT) AS c, CAST(d - 1 AS INT) AS d, " +
+      "CAST(x AS BIGINT) AS x FROM comps"
+
   /** X24 as a driver-gate query: stream-stream inner join with
     * watermarks + interval condition (purchases × same-user signups in
     * the preceding hour), run to completion. Oracle = the identical

@@ -1018,6 +1018,54 @@ object EventsStreaming {
         ()
     }
 
+  /** Streaming PCA training-state maintenance (X221) — the X160
+    * manifest pattern applied to the X220 moment algebra: each
+    * micro-batch of vectors reduces to its (dims+1)²-row moment table
+    * and APPENDS it under `batch=<id>` (moments are exact mergeable
+    * partials, so the layout is append + merge-at-read like the
+    * manifests, not snapshot-per-batch); the corpus training state at
+    * any moment is [[foldedMoments]] over the store, and components
+    * trained from it are BIT-EQUAL to a full-corpus retrain — the
+    * always-on PCA index never rescans what the stream ingested.
+    * Append contracts verbatim: retry idempotence by per-batch
+    * overwrite, the one-checkpoint-per-store lineage guard, negative-id
+    * bootstrap; no pre-write localCheckpoint needed (the batch moment
+    * plan never reads the store path). */
+  def streamingPcaMoments(vectors: DataFrame, storePath: String,
+      vecCol: String, dims: Int, scale: Double = 1e6)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          // lineage guard only — the batch moments never read the store
+          storeForBatch(readMomentStore(spark, storePath), batchId)
+          val m = graft.operators.Similarity.pcaMomentRecords(
+            batch.toDF(), vecCol, dims, scale)
+          m.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          sink(m, batchId)
+        }
+        ()
+    }
+
+  /** The per-batch PCA moment store (i, j, s), empty-with-schema when
+    * the path does not exist yet; append layout, same narrow catch as
+    * [[readNearDupStore]]. */
+  def readMomentStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("i", IntegerType),
+        StructField("j", IntegerType),
+        StructField("s", DecimalType(38, 0)))))
+
+  /** The corpus training state AS OF NOW: every batch partition's
+    * moment table folded cell-wise — a (dims+1)²·#batches-row
+    * aggregation, never a vector scan. */
+  def foldedMoments(spark: SparkSession, path: String): DataFrame =
+    readMomentStore(spark, path).drop("batch")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("s")).cast("decimal(38,0)").as("s"))
+
   /** The per-batch manifest store (groupCol, n_rows, xor_digest,
     * sum_digest), empty-with-schema when the path does not exist yet;
     * same narrow catch and partition-layout contract as

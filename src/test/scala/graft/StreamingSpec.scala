@@ -1020,6 +1020,53 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(-1L, 0L, 1L))
   }
 
+  test("streaming PCA moments: fold across real micro-batches trains bit-equal to full retrain") {
+    val base = Files.createTempDirectory("graft-pcastream-spec").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/moments"
+    val dims = 4
+    val emb = (0 until 45).map { i =>
+      (i.toLong, Array.tabulate(dims)(d =>
+        (math.sin(i * 0.9 + d * 1.7) * 0.8).toFloat))
+    }.toDF("vec_id", "embedding")
+    // bootstrap: tranche 0's moments at batch=-1
+    graft.operators.Similarity.pcaMomentRecords(
+      emb.filter(col("vec_id") % 3 === 0), "embedding", dims)
+      .write.parquet(s"$store/batch=-1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingPcaMoments(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "embedding", dims) { (_, _) => () }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    emb.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.parquet(s"$srcDir/f1")
+    runOnce()
+    emb.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.parquet(s"$srcDir/f2")
+    runOnce()
+    val viaStream = graft.operators.Similarity.pcaComponentsFromMoments(
+      EventsStreaming.foldedMoments(spark, store), 2, dims, iters = 6)
+    val direct = graft.operators.Similarity.pcaComponents(
+      emb, "vec_id", "embedding", outDims = 2, dims = dims, iters = 6)
+    assert(viaStream.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq,
+      "streamed moment fold must train bit-equal to a full retrain")
+    // append layout: one moment table per batch
+    assert(EventsStreaming.readMomentStore(spark, store)
+      .select(col("batch").cast("long")).distinct()
+      .as[Long].collect().toSet == Set(-1L, 0L, 1L))
+  }
+
   test("streaming TTL dedup: cross-batch expiry readmission, observation-advance, store fold") {
     val base = Files.createTempDirectory("graft-ttlstream-spec").toString
     val srcDir = s"$base/src"
