@@ -634,6 +634,22 @@ object Similarity {
     rpTopK(corpus.filter(pred), queries, k, outDims, dims, coarseK,
       idCol, vecCol, qIdCol, qVecCol, scale)
 
+  /** FILTERED trained-PCA top-k (X198 extended to the sixth serving
+    * tier): the predicate pushes into the corpus scan before the
+    * projection; the component matrix stays FULL-CORPUS-trained (a
+    * shared projection must serve every predicate — the X198
+    * shared-index rule, and the X220 moment store is predicate-blind
+    * by construction), so pre-filtering is exactly [[pcaTopK]] over
+    * the slice with the same comps literal; scan-cost and recall
+    * arguments are [[filteredBinaryRerankTopK]]'s verbatim. */
+  def filteredPcaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      comps: Array[Array[Long]], coarseK: Int, pred: Column,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      scale: Double = 1e6): DataFrame =
+    pcaTopK(corpus.filter(pred), queries, k, comps, coarseK,
+      idCol, vecCol, qIdCol, qVecCol, scale)
+
   /** FILTERED multi-probe LSH top-k (X198 extended to the last
     * serving tier): the predicate pushes into the corpus scan before
     * signing, so only qualifying rows enter the bucket index and the

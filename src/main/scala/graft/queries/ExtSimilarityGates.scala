@@ -418,6 +418,10 @@ trait ExtSimilarityGates { this: ExtAllGates =>
             bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T, pred,
             poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)
             .withColumn("method", lit(s"lshp_$name")))
+        .unionByName(
+          Similarity.filteredPcaTopK(emb, qs, k = 10, sharedPcaComps(s, d),
+            coarseK = PCA_COARSE, pred)
+            .withColumn("method", lit(s"pca_$name")))
     tiers("even", col("label") % 2 === 0)
       .unionByName(tiers("l3", col("label") === 3))
       .select(col("method"), col("q_id"), col("vec_id"), col("score"),
@@ -434,7 +438,8 @@ trait ExtSimilarityGates { this: ExtAllGates =>
         s"UNION ALL SELECT 'ivfpq_$name' AS method, * FROM (${embedIvfPqSqlAt(ivfPred, FILT_NPROBE)}) " +
         s"UNION ALL SELECT 'pq_$name' AS method, * FROM (${embedPqSqlAt(pred)}) " +
         s"UNION ALL SELECT 'rp_$name' AS method, * FROM (${embedRpSqlAt(pred)}) " +
-        s"UNION ALL SELECT 'lshp_$name' AS method, * FROM (${embedAnnProbeSqlAt(pred)})"
+        s"UNION ALL SELECT 'lshp_$name' AS method, * FROM (${embedAnnProbeSqlAt(pred)}) " +
+        s"UNION ALL SELECT 'pca_$name' AS method, * FROM (${embedPcaSqlAt(pred)})"
     tier("even", "e.label % 2 = 0", "em.label % 2 = 0", "label % 2 = 0") +
       " UNION ALL " + tier("l3", "e.label = 3", "em.label = 3", "label = 3")
   }
@@ -893,7 +898,14 @@ trait ExtSimilarityGates { this: ExtAllGates =>
   /** Shared projection + per-coarseK probe CTEs over [[pcaTrainCtes]]'
     * `comps`: each requested coarseK yields a `pcat<K>` top-10 CTE
     * (q_id, vec_id, score, rank). */
-  private[queries] def pcaProbeCtes(coarseKs: Seq[Int]): String = {
+  private[queries] def pcaProbeCtes(coarseKs: Seq[Int],
+      predSql: String = "TRUE"): String = {
+    // the predicate pre-filters the CORPUS side of the coarse scoring
+    // only — the query side and the trained comps stay full-corpus
+    // (the filteredPcaTopK plan)
+    val flt =
+      if (predSql == "TRUE") ""
+      else s" WHERE p.vec_id IN (SELECT vec_id FROM embeddings WHERE $predSql)"
     val sb = new StringBuilder
     sb ++= ", peq AS MATERIALIZED (SELECT vec_id, u.d AS d, u.x AS x FROM " +
       "(SELECT vec_id, unnest(list_transform(list_transform(embedding, " +
@@ -904,7 +916,7 @@ trait ExtSimilarityGates { this: ExtAllGates =>
       "FROM peq JOIN comps cp USING (d) GROUP BY 1, 2), "
     sb ++= "pq2 AS (SELECT vec_id AS q_id, c, rv FROM pv WHERE vec_id % 50 = 0), "
     sb ++= "psc AS MATERIALIZED (SELECT pq2.q_id, p.vec_id, CAST(sum(p.rv * pq2.rv) AS BIGINT) AS s " +
-      "FROM pv p JOIN pq2 ON p.c = pq2.c GROUP BY 1, 2), "
+      s"FROM pv p JOIN pq2 ON p.c = pq2.c$flt GROUP BY 1, 2), "
     sb ++= "pcd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), "
     sb ++= "pqf AS (SELECT vec_id AS q_id, ed AS qd FROM pcd WHERE vec_id % 50 = 0), "
     sb ++= coarseKs.map { ck =>
@@ -921,9 +933,12 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     sb.toString
   }
 
-  val embedPcaSql: String =
-    "WITH " + pcaTrainCtes(PCA_OUT, PCA_ITERS) + pcaProbeCtes(Seq(PCA_COARSE)) +
+  private[queries] def embedPcaSqlAt(predSql: String = "TRUE"): String =
+    "WITH " + pcaTrainCtes(PCA_OUT, PCA_ITERS) +
+      pcaProbeCtes(Seq(PCA_COARSE), predSql) +
       s" SELECT q_id, vec_id, score, rank FROM pcat$PCA_COARSE"
+
+  val embedPcaSql: String = embedPcaSqlAt()
 
   /** PCA recall rows (X214's quality evidence): recall@10 of the
     * trained tier vs brute force at two coarse budgets — the same

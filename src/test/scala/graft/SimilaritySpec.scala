@@ -669,6 +669,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("never merged"))
   }
 
+  test("filteredPcaTopK: pre-filter equals the unfiltered operator over the slice") {
+    import spark.implicits._
+    val n = 40
+    val dims = 8
+    val emb = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dims)(d =>
+        (math.sin(i * 0.7 + d * 1.3) * 0.9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // comps stay FULL-corpus trained — the shared-index rule
+    val comps = Similarity.pcaComponents(emb, "vec_id", "embedding",
+      outDims = 4, dims = dims)
+    val pred = col("vec_id") % 2 === 0
+    val filtered = Similarity.filteredPcaTopK(emb, qs, k = 5, comps,
+      coarseK = 10, pred)
+      .select("q_id", "vec_id", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    val overSlice = Similarity.pcaTopK(emb.filter(pred), qs, k = 5, comps,
+      coarseK = 10)
+      .select("q_id", "vec_id", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(filtered == overSlice)
+    assert(filtered.forall(_._2 % 2 == 0), "every hit satisfies the predicate")
+  }
+
   test("pcaIndexRecords: lossless round trip; malformed tables fail loud") {
     import spark.implicits._
     val comps = Array(Array(1000000L, -7L, 42L), Array(-999999L, 3L, 0L))
