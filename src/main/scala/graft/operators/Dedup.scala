@@ -1459,13 +1459,19 @@ object Dedup {
     val labels = connectedComponents(pairs, "id1", "id2")
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).cast("long").as("_csize"))
+    // Rename the label side before joining: connectedComponents emits
+    // literally (id, cluster_id), so a caller whose idCol is "id" (or
+    // "cluster_id") would otherwise hit an ambiguous-column
+    // AnalysisException on the join condition.
     val lbl = labels.join(sizes, Seq("cluster_id"))
+      .select(col("id").as("_lid"), col("cluster_id").as("_lcid"),
+        col("_csize"))
     val bucket = conv(substring(
       md5(concat(lit("soft:"), col(idCol).cast("string"))), 1, 4), 16, 10)
       .cast("long") % 10000
-    docs.select(col(idCol)).join(lbl, col(idCol) === col("id"), "left")
+    docs.select(col(idCol)).join(lbl, col(idCol) === col("_lid"), "left")
       .select(col(idCol),
-        coalesce(col("cluster_id"), col(idCol).cast("long")).as("cluster_id"),
+        coalesce(col("_lcid"), col(idCol).cast("long")).as("cluster_id"),
         coalesce(col("_csize"), lit(1L)).as("cluster_size"))
       .withColumn("weight_bp", expr("10000L div cluster_size"))
       .withColumn("keep", bucket < col("weight_bp"))

@@ -1197,9 +1197,17 @@ object Similarity {
     * exact and overflow-checked. */
   def pcaMomentRecords(corpus: DataFrame, vecCol: String, dims: Int,
       scale: Double = 1e6): DataFrame = {
-    val dAug = dims + 1
-    val aug = concat(Clustering.fixedPoint(col(vecCol), scale),
-      array(lit(1L)))
+    // Fail-loud at MOMENT time on a vector-length/dims mismatch: a
+    // wrong-dims moment table is silently mergeable into a store and
+    // only surfaces later in pcaComponentsFromMoments as a misleading
+    // "empty corpus" / "outside the moment matrix" error. The guard
+    // rides the projected vector column so Catalyst cannot prune it.
+    val checked = when(size(col(vecCol)) === dims,
+      Clustering.fixedPoint(col(vecCol), scale))
+      .otherwise(raise_error(concat(
+        lit(s"pcaMomentRecords: expected $dims-dim vectors in '$vecCol', got "),
+        size(col(vecCol)).cast("string"), lit(" dims"))))
+    val aug = concat(checked, array(lit(1L)))
     spread(corpus)
       .select(explode(flatten(transform(aug, (xi, i) =>
         transform(aug, (xj, j) =>

@@ -315,6 +315,12 @@ trait ExtDedupGates { this: ExtAllGates =>
     s"WITH RECURSIVE pn AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS nt FROM documents), " +
       "pdocs AS (SELECT doc_id, nt, CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) " +
       s"% $PACK_GROUPS AS grp FROM pn), " +
+      // Mirror the Spark side's fail-loud oversize guard (packBestFit
+      // raises on nt > ctxLen): without this, the recursive best-fit
+      // CTE would silently OPEN an overfull bin (the fits-filter finds
+      // none and the doc starts a new bin regardless of size) and the
+      // two engines would diverge the first time a >ctxLen doc lands.
+      s"pchk AS (SELECT count(*) AS oversize FROM pn WHERE nt > $PACK_CTX), " +
       "prk AS (SELECT doc_id, nt, grp, CAST(row_number() OVER (PARTITION BY grp ORDER BY nt DESC, doc_id ASC) AS BIGINT) AS rn FROM pdocs), " +
       "pst AS (" +
       "SELECT grp, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS bins, " +
@@ -330,7 +336,9 @@ trait ExtDedupGates { this: ExtAllGates =>
       s"list_sort(list_transform(list_filter(generate_series(1, len(s.bins)), i -> s.bins[i] + r.nt <= $PACK_CTX), " +
       "i -> struct_pack(rem := " + PACK_CTX + " - s.bins[i] - r.nt, i := i)))[1].i AS pos " +
       "FROM pst s JOIN prk r ON r.grp = s.grp AND r.rn = s.rn + 1)) " +
-      "SELECT doc_id, grp AS pack_group, CAST(bin AS BIGINT) AS bin_idx, nt AS n_tokens FROM pst WHERE rn >= 1"
+      "SELECT doc_id, grp AS pack_group, CAST(bin AS BIGINT) AS bin_idx, nt AS n_tokens FROM pst WHERE rn >= 1 " +
+      "AND (SELECT CASE WHEN oversize > 0 THEN CAST(error('packBestFit oracle: doc exceeds ctxLen " +
+      PACK_CTX + "') AS BIGINT) ELSE 0 END FROM pchk) = 0"
 
   /** Token-budget head selection (X119): keep the best 20k tokens —
     * priority = per-doc token count (densest docs first), doc_id

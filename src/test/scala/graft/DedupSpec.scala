@@ -531,6 +531,21 @@ class DedupSpec extends SparkSpec {
     assert(w3 > 10000L - 3 && w3 <= 10000L)
   }
 
+  test("softDedup: idCol named 'id' does not collide with the label join") {
+    // connectedComponents emits literally (id, cluster_id); before the
+    // label-side rename this was an ambiguous-column AnalysisException.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "completely unrelated text about nothing at all"))
+      .toDF("id", "text")
+    val got = Dedup.softDedup(docs, "id", "text", threshold = 0.7)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, 2L)) && got(2L) == ((1L, 2L)))
+    assert(got(9L) == ((9L, 1L)))
+  }
+
   test("incrementalSoftDedup: merge re-weights every sibling, untouched rows verbatim") {
     def bucket(id: Long): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")

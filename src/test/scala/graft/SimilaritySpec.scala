@@ -669,6 +669,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("never merged"))
   }
 
+  test("pcaMomentRecords: vector-length/dims mismatch fails loud at moment time") {
+    import spark.implicits._
+    // Before the guard, a wrong-dims moment table could be merged into
+    // a store and only surface later in pcaComponentsFromMoments as a
+    // misleading 'empty corpus' / 'outside the moment matrix' error.
+    val emb = Seq(
+      (1L, Array(0.1f, 0.2f, 0.3f, 0.4f)),
+      (2L, Array(0.5f, 0.6f, 0.7f))) // 3-dim row in a dims=4 corpus
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pcaMomentRecords(emb, "embedding", 4).collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("pcaMomentRecords"),
+      s"expected the dims guard, got: ${ex.getMessage}")
+  }
+
   test("filteredPcaTopK: pre-filter equals the unfiltered operator over the slice") {
     import spark.implicits._
     val n = 40
