@@ -180,4 +180,25 @@ class CachesSpec extends SparkSpec {
     assert(before == after)
     Caches.release(spark)
   }
+
+  test("memoizedTable: builds once per key, rows identical, survives clearCache") {
+    var builds = 0
+    def build() = { builds += 1; spark.range(50).toDF("id")
+      .select(col("id"), (col("id") * 3 % 7).as("v")) }
+    val key = s"spec-memo-${System.identityHashCode(this)}"
+    val first = Caches.memoizedTable(spark, key)(build())
+      .as[(Long, Long)].collect().toSet
+    // clearCache between harness queries must NOT evict the spill
+    spark.catalog.clearCache()
+    val second = Caches.memoizedTable(spark, key) {
+      fail("second call must reuse the spilled table"); build()
+    }.as[(Long, Long)].collect().toSet
+    assert(builds == 1)
+    assert(first == second && first.size == 50)
+    // a different key is a different table
+    val other = Caches.memoizedTable(spark, key + ":other")(
+      spark.range(3).toDF("id").select(col("id"), col("id").as("v")))
+      .as[(Long, Long)].collect().toSet
+    assert(other.size == 3)
+  }
 }
