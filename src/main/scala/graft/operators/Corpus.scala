@@ -1277,10 +1277,63 @@ object Corpus {
     * explode into the dict is the ONE corpus-wide shuffle; everything
     * downstream is vocab-scale. */
   private def unigramLattice(docs: DataFrame, textCol: String,
-      maxPieceLen: Int): (DataFrame, DataFrame) = {
-    val words = Dedup.spread(docs)
+      maxPieceLen: Int): (DataFrame, DataFrame) =
+    unigramLatticeFromCounts(unigramWordCounts(docs, textCol), maxPieceLen)
+
+  /** The ONE corpus-wide pass of unigram-LM training: the
+    * word-frequency dictionary (w, f). Everything downstream of it —
+    * lattice, seed vocabulary, EM, prune — is a PURE FUNCTION of this
+    * table, and word counts are an EXACT mergeable partial
+    * (occurrences are per-doc, so counts(A ∪ B) ≡
+    * merge(counts(A), counts(B)) cell-for-cell): the X128/X220
+    * manifest idea applied to tokenizer training. A growing corpus
+    * maintains its tokenizer by folding dict tables and re-running
+    * the VOCAB-scale training tail — never rescanning old data. */
+  def unigramWordCounts(docs: DataFrame, textCol: String): DataFrame =
+    Dedup.spread(docs)
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  private def requireWordCounts(df: DataFrame, who: String): Unit =
+    require(Set("w", "f").subsetOf(df.columns.toSet),
+      s"$who: word-count tables carry (w, f) — unigramWordCounts' " +
+        s"schema — got ${df.columns.mkString(", ")}")
+
+  /** Fold two word-count tables: counts(A ∪ B) ≡ merge — exact,
+    * spec-pinned (the [[bm25MergeStats]] / pcaMergeMoments law). */
+  def unigramMergeCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    requireWordCounts(a, "unigramMergeCounts")
+    requireWordCounts(b, "unigramMergeCounts")
+    a.select(col("w"), col("f")).unionByName(b.select(col("w"), col("f")))
+      .groupBy(col("w")).agg(sum(col("f")).as("f"))
+  }
+
+  /** Retract a slice's word counts from a store (right-to-be-
+    * forgotten for the tokenizer's training state): subtract
+    * cell-wise, drop words reaching zero. Fails LOUD — riding the
+    * projected count column — when the retraction carries a word the
+    * store never saw or more occurrences than stored: both mean the
+    * slice was never merged, and training on silently-negative counts
+    * would serve garbage costs. retract(merge(s, b), b) ≡ s,
+    * spec-pinned. */
+  def unigramRetractCounts(store: DataFrame, retract: DataFrame): DataFrame = {
+    requireWordCounts(store, "unigramRetractCounts")
+    requireWordCounts(retract, "unigramRetractCounts")
+    store.select(col("w"), col("f"))
+      .join(retract.select(col("w"), col("f").as("_rf")), Seq("w"), "full")
+      .select(col("w"),
+        when(col("f").isNull.or(col("_rf").isNotNull && col("_rf") > col("f")),
+          raise_error(concat(
+            lit("unigramRetractCounts: word '"), col("w"),
+            lit("' retracts more occurrences than stored — " +
+              "the slice was never merged"))))
+          .otherwise(col("f") - coalesce(col("_rf"), lit(0L))).as("f"))
+      .filter(col("f") > 0)
+  }
+
+  private def unigramLatticeFromCounts(wordCounts: DataFrame,
+      maxPieceLen: Int): (DataFrame, DataFrame) = {
+    val words = wordCounts.select(col("w"), col("f"))
       .localCheckpoint()
     // span lattice + piece strings — static across rounds
     val edges = words
@@ -1297,10 +1350,24 @@ object Corpus {
   }
 
   def unigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int, emRounds: Int): DataFrame =
+    unigramLmScoresFromCounts(unigramWordCounts(docs, textCol),
+      maxPieceLen, emRounds)
+
+  /** [[unigramLmScores]] from a word-count table instead of a corpus
+    * — the INCREMENTAL training entry point: fold new slices' dicts
+    * with [[unigramMergeCounts]] (or retract with
+    * [[unigramRetractCounts]]) and re-run this VOCAB-scale tail;
+    * because training is a pure function of the dict and the dict
+    * folds exactly, the result is BIT-equal to a full retrain over
+    * the union — not merely frame-equal (spec-pinned, the X220
+    * discipline applied to the third trained-artifact family). */
+  def unigramLmScoresFromCounts(wordCounts: DataFrame,
       maxPieceLen: Int, emRounds: Int): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
-    val (edges, vocab) = unigramLattice(docs, textCol, maxPieceLen)
+    requireWordCounts(wordCounts, "unigramLmScoresFromCounts")
+    val (edges, vocab) = unigramLatticeFromCounts(wordCounts, maxPieceLen)
     var scores = unigramSmoothed(vocab).localCheckpoint()
     for (_ <- 1 to emRounds) {
       // superseded checkpoints are ContextCleaner-reclaimed once the
@@ -1311,6 +1378,14 @@ object Corpus {
     }
     scores
   }
+
+  /** [[unigramLmTrain]]'s shipped-vocabulary filter over
+    * [[unigramLmScoresFromCounts]] — the incremental-training
+    * counterpart. */
+  def unigramLmTrainFromCounts(wordCounts: DataFrame,
+      maxPieceLen: Int, emRounds: Int): DataFrame =
+    unigramLmScoresFromCounts(wordCounts, maxPieceLen, emRounds)
+      .filter(col("cnt") > 0)
 
   /** EM + PRUNE — the vocabulary-size-targeting loop real
     * SentencePiece training runs (Kudo 2018 §3.2: train, keep the

@@ -1581,7 +1581,8 @@ trait ExtResolveGates { this: ExtAllGates =>
     * chained-CTE plan returned run-to-run NONDETERMINISTIC results;
     * the enumeration uses only joins/unnest/windows.) */
   private[queries] def unigramOracleChain(withEncode: Boolean,
-      withPrune: Boolean = false): String = {
+      withPrune: Boolean = false,
+      seedPred: String = uniSeedPred): String = {
     def smooth(src: String): String =
       s"SELECT piece, cnt, CAST(floor((-ln(CAST(cnt + 1 AS DOUBLE) / " +
         s"CAST(tot + v AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) AS lp " +
@@ -1615,7 +1616,7 @@ trait ExtResolveGates { this: ExtAllGates =>
     val sb = new StringBuilder(
       s"WITH RECURSIVE uw AS MATERIALIZED (SELECT w, count(*) AS f FROM " +
         s"(SELECT unnest($duckToksLower) AS w FROM documents " +
-        s"WHERE $uniSeedPred) GROUP BY w)")
+        s"WHERE $seedPred) GROUP BY w)")
     sb.append(s", ued AS MATERIALIZED (${lattice("uw", "w, f")})")
     sb.append(", uv AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT)" +
       " AS cnt FROM ued GROUP BY piece)")
@@ -1680,6 +1681,56 @@ trait ExtResolveGates { this: ExtAllGates =>
 
   val unigramLmSql: String =
     unigramOracleChain(withEncode = false) +
+      s" SELECT piece, cnt, lp FROM usc$UNI_ROUNDS WHERE cnt > 0"
+
+  /** Incremental unigram-LM training-state maintenance (X222) — the
+    * trained-artifact increment discipline (PCA X220, IVF-PQ X200,
+    * BM25 X136) reaching the tokenizer family: the training state is
+    * the word-frequency DICT ([[Corpus.unigramWordCounts]], the one
+    * corpus-wide pass), an exact mergeable partial; a corpus-growth
+    * increment folds the new slice's dict into the store
+    * ([[Corpus.unigramMergeCounts]] — word-keyed count algebra) and
+    * re-runs the VOCAB-scale EM tail, never rescanning old docs.
+    * Training is a pure function of the dict and the dict folds
+    * exactly, so the incremented model is BIT-equal to a full retrain
+    * on the union — which is exactly what the oracle computes: the
+    * union-slice chain from scratch. */
+  val incrementalUnigram: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val stored = Corpus.unigramWordCounts(
+      docs.filter(expr(uniSeedPred)), "text")
+    val arriving = Corpus.unigramWordCounts(
+      docs.filter(expr("doc_id % 3 = 1")), "text")
+    Corpus.unigramLmTrainFromCounts(
+      Corpus.unigramMergeCounts(stored, arriving), UNI_MAXLEN, UNI_ROUNDS)
+  }
+
+  val incrementalUnigramSql: String =
+    unigramOracleChain(withEncode = false,
+      seedPred = "doc_id % 3 IN (0, 1)") +
+      s" SELECT piece, cnt, lp FROM usc$UNI_ROUNDS WHERE cnt > 0"
+
+  /** Unigram-LM training-state RETRACTION (X223 — right-to-be-
+    * forgotten for the tokenizer): retract the doc_id%15==0 docs'
+    * dict from the merged X222 store
+    * ([[Corpus.unigramRetractCounts]] — cell-wise subtract, fail-loud
+    * on never-merged words) and re-run the vocab-scale tail; the
+    * result is BIT-equal to retraining without the retracted docs,
+    * which is what the oracle computes from scratch. */
+  val unigramRetraction: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merged = Corpus.unigramMergeCounts(
+      Corpus.unigramWordCounts(docs.filter(expr(uniSeedPred)), "text"),
+      Corpus.unigramWordCounts(docs.filter(expr("doc_id % 3 = 1")), "text"))
+    val gone = Corpus.unigramWordCounts(
+      docs.filter(expr("doc_id % 3 IN (0, 1) AND doc_id % 15 = 0")), "text")
+    Corpus.unigramLmTrainFromCounts(
+      Corpus.unigramRetractCounts(merged, gone), UNI_MAXLEN, UNI_ROUNDS)
+  }
+
+  val unigramRetractionSql: String =
+    unigramOracleChain(withEncode = false,
+      seedPred = "doc_id % 3 IN (0, 1) AND doc_id % 15 <> 0") +
       s" SELECT piece, cnt, lp FROM usc$UNI_ROUNDS WHERE cnt > 0"
 
   val unigramPrunedSql: String =

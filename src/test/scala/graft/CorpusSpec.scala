@@ -76,6 +76,42 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("unigram count algebra: merge/retract make incremental training BIT-equal to retrain") {
+    val a = Seq((1L, "ab ab cd"), (2L, "ab ef")).toDF("doc_id", "text")
+    val b = Seq((3L, "cd cd gh"), (4L, "ab")).toDF("doc_id", "text")
+    val union = a.unionByName(b)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long)].collect().toSet
+    val ca = Corpus.unigramWordCounts(a, "text")
+    val cb = Corpus.unigramWordCounts(b, "text")
+    val merged = Corpus.unigramMergeCounts(ca, cb)
+    // merge law: counts(A ∪ B) == fold of slice counts, cell-exact
+    assert(cells(merged.select(col("w"), col("f"))) ==
+      cells(Corpus.unigramWordCounts(union, "text")
+        .select(col("w"), col("f"))))
+    // trained model from the fold is BIT-equal to a full retrain
+    def model(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().toSet
+    assert(model(Corpus.unigramLmTrainFromCounts(merged, 2, 2)) ==
+      model(Corpus.unigramLmTrain(union, "doc_id", "text", 2, 2)))
+    // retract law: retract(merge(s, b), b) == s, and retraining equals
+    // training on the remainder
+    val retr = Corpus.unigramRetractCounts(merged, cb)
+    assert(cells(retr.select(col("w"), col("f"))) ==
+      cells(ca.select(col("w"), col("f"))))
+    assert(model(Corpus.unigramLmTrainFromCounts(retr, 2, 2)) ==
+      model(Corpus.unigramLmTrain(a, "doc_id", "text", 2, 2)))
+    // retracting a slice that was never merged fails loud
+    val ex = intercept[Exception] {
+      Corpus.unigramRetractCounts(ca, cb).collect()
+    }
+    assert(ex.getMessage.contains("never merged"))
+    // schema guard
+    intercept[IllegalArgumentException] {
+      Corpus.unigramMergeCounts(ca.withColumnRenamed("f", "n"), cb)
+    }
+  }
+
   test("unigramLm EM: frequent sibling words pull a rare word's segmentation") {
     // "a" and "bc" are frequent words; "abc" is rare. Seed counts make
     // lp(a) = lp(bc) < lp(abc) (the whole-word candidate is rare), so
