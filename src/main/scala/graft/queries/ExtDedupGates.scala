@@ -407,7 +407,7 @@ trait ExtDedupGates { this: ExtAllGates =>
     * for the standalone query; a curation CTE when composed). The
     * inner WITH is scope-local, so embedding it as a parenthesized
     * subquery never collides with outer CTE names. */
-  def minhashPairsSqlFrom(src: String): String = {
+  def minhashPairsSqlFrom(src: String, threshold: Double = 0.7): String = {
     val sigElems = (0 until MINHASH_BANDS * MINHASH_RPB).map(seed =>
       s"coalesce(list_min(list_transform(s, x -> md5('$seed:' || x))), 'zz_empty')")
       .mkString("[", ", ", "]")
@@ -423,7 +423,7 @@ trait ExtDedupGates { this: ExtAllGates =>
       "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
       "round(CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE)/len(list_distinct(list_concat(x.ds, y.ds))), 6) AS jaccard, " +
       "CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE)/len(list_distinct(list_concat(x.ds, y.ds))) AS _j " +
-      "FROM cand JOIN dsh x ON id1 = x.doc_id JOIN dsh y ON id2 = y.doc_id) WHERE _j >= 0.7"
+      s"FROM cand JOIN dsh x ON id1 = x.doc_id JOIN dsh y ON id2 = y.doc_id) WHERE _j >= $threshold"
   }
 
   lazy val minhashPairsSql: String = minhashPairsSqlFrom("documents")
@@ -920,6 +920,136 @@ trait ExtDedupGates { this: ExtAllGates =>
       "SELECT bd.vec_id AS doc_id, bd.cell, s3.n_kept FROM bd " +
       "JOIN s3 ON s3.doc_id = bd.vec_id WHERE bd.vec_id NOT IN " +
       "(SELECT vec_id FROM sm1 UNION SELECT vec_id FROM sm2)"
+  }
+
+  /** The composed ingestion with SOFT-DEDUP WEIGHTS (X224 — closing
+    * the one store family absent from the quartet): the He et al.
+    * 2024 alternative POLICY composition — exact dedup, substring
+    * scrub, and semantic dedup stay HARD drops (verbatim/embedding
+    * redundancy carries no training signal), but the near-dup stage
+    * is replaced by the X213 DOWN-WEIGHTING pass: 0.7-Jaccard
+    * clusters (spanning store ∪ stage-1 survivors, so an arriving
+    * variant of a stored doc weights correctly) survive with
+    * weight_bp = ⌊10⁴/size⌋ instead of dropping. Measured first
+    * (PLANS.md r19): weighting AFTER the quartet's hard drop is
+    * provably vacuous on this corpus — survivors carry no ≥0.7 pair
+    * by construction and the generator's Jaccard is bimodal (25
+    * pairs at ≥0.7, none in 0.15–0.7 at sf0.01) — so the non-trivial
+    * composition is the policy swap, not an epilogue. Output = the
+    * arriving docs' store-append records (doc_id, cell, n_kept) with
+    * the weight columns riding; weights are global cluster stats, so
+    * the weight store is snapshot-layout (the X216 convention). The
+    * stage-1 survivor frame is localCheckpointed once — the weight
+    * pass's pair mining, the substring coverage, and the semantic
+    * probe each re-run the exact-dedup chain otherwise. */
+  val ingestWeighted: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val storeSlice = docs.filter(col("doc_id") % 3 === 0)
+    val priorFps = docs
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
+    val s1 = Dedup.incrementalExactDedup(
+      docs.filter(col("doc_id") % 3 =!= 0), priorFps, "text", "doc_id")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val weights = Dedup.softDedup(
+      storeSlice.select(col("doc_id"), col("text")).unionByName(s1),
+      "doc_id", "text", threshold = 0.7, shingleN = 3,
+      bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+    val grams = Dedup.substringStoreRecords(storeSlice, "doc_id", "text",
+      L = SUBSTR_L)
+    val s3 = graft.core.Caches.persistTracked(
+      Dedup.incrementalSubstringDedup(s1, grams, "doc_id", "text",
+        L = SUBSTR_L)
+        .filter(col("n_kept") > 0)
+        .select(col("id").as("doc_id"), col("n_kept")))
+    val embStore = emb.filter(col("vec_id") % 3 === 0)
+    val cents = sharedSemStoreCents(s, d)
+    val semStore = Similarity.semanticStoreRecords(
+      embStore, "vec_id", "embedding", cents)
+    val batchEmb = emb.join(s3.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    Similarity.incrementalSemanticDedup(batchEmb, semStore, cents,
+      threshold = SEMDEDUP_T)
+      .select(col("id").as("doc_id"), col("cell"))
+      .join(s3, Seq("doc_id"))
+      .join(weights.select(col("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("weight_bp"), col("keep")), Seq("doc_id"))
+      .select(col("doc_id"), col("cell"), col("n_kept"),
+        col("cluster_id"), col("cluster_size"), col("weight_bp"),
+        col("keep"))
+  }
+
+  lazy val ingestWeightedSql: String = {
+    def sq(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), 6)"
+    val quant = "list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
+    val cPrev = s"c${SEMDEDUP_ITERS - 1}"
+    val L = SUBSTR_L
+    // stage 1: exact (the quartet's CTE verbatim)
+    s"WITH RECURSIVE f AS MATERIALIZED (SELECT doc_id, md5($duckNormText) AS fp FROM documents), " +
+      "prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0 OR doc_id % 5 = 0), " +
+      "s1 AS MATERIALIZED (SELECT doc_id FROM (" +
+      "SELECT n.doc_id, row_number() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn " +
+      "FROM (SELECT doc_id, fp FROM f WHERE doc_id % 3 <> 0) n " +
+      "LEFT JOIN prior p ON n.fp = p.fp WHERE p.fp IS NULL) WHERE rn = 1), " +
+      // soft stage: 0.7 clusters over store ∪ stage-1 survivors,
+      // transitive closure + per-cluster count + md5 keep bucket
+      "udocs AS MATERIALIZED (SELECT doc_id, text FROM documents " +
+      "WHERE doc_id % 3 = 0 OR doc_id IN (SELECT doc_id FROM s1)), " +
+      s"spairs AS MATERIALIZED (SELECT id1, id2 FROM (${minhashPairsSqlFrom("udocs")})), " +
+      "sedges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM spairs " +
+      "UNION SELECT id2 AS a, id1 AS b FROM spairs), " +
+      "sreach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM sedges) " +
+      "UNION SELECT e.a, r.b FROM sedges e JOIN sreach r ON e.b = r.a), " +
+      "scomp AS (SELECT a AS id, min(b) AS cluster_id FROM sreach GROUP BY a), " +
+      "ssz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize FROM scomp GROUP BY 1), " +
+      "slbl AS MATERIALIZED (SELECT scomp.id, scomp.cluster_id, ssz.csize FROM scomp JOIN ssz USING (cluster_id)), " +
+      // substring stage over the stage-1 survivors (no hard near-dup
+      // gate in this policy, so s3 gates on s1 alone)
+      s"toks AS MATERIALIZED (SELECT doc_id, $duckToksLower AS t FROM documents), " +
+      s"g3 AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, doc_id * 100000 + i - 1 AS occ, " +
+      s"md5(array_to_string(list_slice(t, i, i + $L - 1), chr(1))) AS gh " +
+      s"FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - $L + 1)) AS i FROM toks " +
+      s"WHERE (doc_id % 3 = 0 OR doc_id IN (SELECT doc_id FROM s1)) AND len(t) >= $L)), " +
+      "st3 AS MATERIALIZED (SELECT DISTINCT gh FROM g3 WHERE doc_id % 3 = 0), " +
+      "bg3 AS MATERIALIZED (SELECT * FROM g3 WHERE doc_id % 3 <> 0), " +
+      "cov3s AS (SELECT doc_id, pos FROM bg3 JOIN st3 USING (gh)), " +
+      "d3 AS (SELECT gh, min(occ) AS first_occ FROM bg3 WHERE gh NOT IN (SELECT gh FROM st3) GROUP BY gh HAVING count(*) >= 2), " +
+      "cov3b AS (SELECT doc_id, pos FROM bg3 JOIN d3 USING (gh) WHERE occ <> first_occ), " +
+      s"cov3 AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + $L - 1)) AS tp " +
+      "FROM (SELECT * FROM cov3s UNION ALL SELECT * FROM cov3b)), " +
+      "covc AS (SELECT doc_id, count(*) AS nc FROM cov3 GROUP BY doc_id), " +
+      "s3 AS MATERIALIZED (SELECT s1.doc_id, CAST(len(t) - coalesce(nc, 0) AS BIGINT) AS n_kept " +
+      "FROM s1 JOIN toks USING (doc_id) " +
+      "LEFT JOIN covc USING (doc_id) " +
+      "WHERE len(t) > coalesce(nc, 0)), " +
+      // semantic stage (the quartet's CTEs, gated on s3)
+      kmeansCtes(SEMDEDUP_K, SEMDEDUP_ITERS, finalAssign = true,
+        src = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0)") +
+      s", qb AS MATERIALIZED (SELECT vec_id, $quant AS qv FROM embeddings " +
+      "WHERE vec_id IN (SELECT doc_id FROM s3))" +
+      s", ba AS MATERIALIZED (SELECT vec_id, c AS cell FROM (SELECT q.vec_id, c.c, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sq("q.qv", "c.cv")}, c.c) AS rn " +
+      s"FROM qb q CROSS JOIN $cPrev c) WHERE rn = 1)" +
+      ", cd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings)" +
+      ", bd AS MATERIALIZED (SELECT ba.vec_id, ba.cell, cd.ed FROM ba JOIN cd USING (vec_id))" +
+      s", sd AS MATERIALIZED (SELECT a.vec_id, a.c AS cell, cd.ed FROM a$SEMDEDUP_ITERS a JOIN cd USING (vec_id))" +
+      s", sm1 AS (SELECT DISTINCT b.vec_id FROM bd b JOIN sd s ON b.cell = s.cell WHERE ${cos("b.ed", "s.ed")} >= $SEMDEDUP_T)" +
+      s", sm2 AS (SELECT DISTINCT y.vec_id FROM bd x JOIN bd y ON x.cell = y.cell AND x.vec_id < y.vec_id WHERE ${cos("x.ed", "y.ed")} >= $SEMDEDUP_T) " +
+      "SELECT bd.vec_id AS doc_id, bd.cell, s3.n_kept, " +
+      "coalesce(l.cluster_id, bd.vec_id) AS cluster_id, " +
+      "coalesce(l.csize, 1) AS cluster_size, " +
+      "10000 // coalesce(l.csize, 1) AS weight_bp, " +
+      "CAST('0x' || substr(md5('soft:' || CAST(bd.vec_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 " +
+      "< (10000 // coalesce(l.csize, 1)) AS keep " +
+      "FROM bd JOIN s3 ON s3.doc_id = bd.vec_id " +
+      "LEFT JOIN slbl l ON l.id = bd.vec_id " +
+      "WHERE bd.vec_id NOT IN (SELECT vec_id FROM sm1 UNION SELECT vec_id FROM sm2)"
   }
 
   val simhashPairs: Q = (s, d) =>
