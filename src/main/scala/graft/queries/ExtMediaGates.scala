@@ -868,6 +868,48 @@ trait ExtMediaGates { this: ExtAllGates =>
       threshold = VIDEO_INCR_T)
   }
 
+  /** X206 WITH the hot-frame stopword cap engaged — the r19 sf1
+    * decade measured the UNCAPPED increment at α 1.77 (1.8 s at
+    * sf0.1 → 108.9 s on the ×10 corpus, PLANS r19): replica
+    * amplification multiplies per-seed class sizes ×10 and the
+    * uncapped inverted-index pair term grows with class², exactly the
+    * X205 pathology the cap exists for. The capped serving
+    * configuration (df ≤ 8 over the deduplicated store ∪ batch union
+    * — the union-batch vocabulary rule) bounds the candidate phase at
+    * any corpus scale; survivors still append their FULL signature
+    * rows (the cap prunes the matching vocabulary, not the store
+    * record). Oracle replays the df vocabulary + the capped split
+    * folds + the pairwise NOT IN drop. */
+  val incrementalVideoNearDupCapped: Q = (s, d) => {
+    val sigs = videoSigTable(s, d)
+    Multimodal.incrementalVideoNearDup(
+      sigs.filter(col("media_id") % 3 =!= 0),
+      sigs.filter(col("media_id") % 3 === 0),
+      threshold = VIDEO_INCR_T, maxFrameDf = VIDEO_FRAME_DF_CAP)
+  }
+
+  val incrementalVideoNearDupCappedSql: String =
+    videoSigCtes +
+      s", hot AS (SELECT fhash FROM sig GROUP BY fhash " +
+      s"HAVING count(*) > $VIDEO_FRAME_DF_CAP), " +
+      "sigc AS (SELECT media_id, fhash FROM sig " +
+      "WHERE fhash NOT IN (SELECT fhash FROM hot)), " +
+      "szc AS (SELECT media_id, count(*) AS sizes FROM sigc GROUP BY media_id), " +
+      "cvs AS (SELECT DISTINCT p.bid FROM (" +
+      "SELECT b.media_id AS bid, st.media_id AS sid, count(*) AS shared " +
+      "FROM sigc b JOIN sigc st ON b.fhash = st.fhash " +
+      "WHERE b.media_id % 3 <> 0 AND st.media_id % 3 = 0 GROUP BY 1, 2) p " +
+      "JOIN szc s1 ON s1.media_id = p.bid JOIN szc s2 ON s2.media_id = p.sid " +
+      s"WHERE round(CAST(p.shared AS DOUBLE) / (s1.sizes + s2.sizes - p.shared), 6) >= $VIDEO_INCR_T), " +
+      "cvb AS (SELECT DISTINCT p.bid2 FROM (" +
+      "SELECT b1.media_id AS bid1, b2.media_id AS bid2, count(*) AS shared " +
+      "FROM sigc b1 JOIN sigc b2 ON b1.fhash = b2.fhash AND b1.media_id < b2.media_id " +
+      "WHERE b1.media_id % 3 <> 0 AND b2.media_id % 3 <> 0 GROUP BY 1, 2) p " +
+      "JOIN szc s1 ON s1.media_id = p.bid1 JOIN szc s2 ON s2.media_id = p.bid2 " +
+      s"WHERE round(CAST(p.shared AS DOUBLE) / (s1.sizes + s2.sizes - p.shared), 6) >= $VIDEO_INCR_T) " +
+      "SELECT media_id, fhash FROM sig WHERE media_id % 3 <> 0 " +
+      "AND media_id NOT IN (SELECT bid FROM cvs UNION ALL SELECT bid2 FROM cvb)"
+
   val incrementalVideoNearDupSql: String =
     videoSigCtes +
       ", cvs AS (SELECT DISTINCT p.bid FROM (" +
