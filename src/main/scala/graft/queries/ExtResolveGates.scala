@@ -1733,6 +1733,43 @@ trait ExtResolveGates { this: ExtAllGates =>
       seedPred = "doc_id % 3 IN (0, 1) AND doc_id % 15 <> 0") +
       s" SELECT piece, cnt, lp FROM usc$UNI_ROUNDS WHERE cnt > 0"
 
+  /** STREAMING unigram-LM training-state maintenance (X225 — the
+    * always-on rung completing the tokenizer's trained-artifact
+    * ladder: X222 fold → X223 retract → stream; the X221 pattern on
+    * the word dict): the %3==0 slice's dict bootstraps under
+    * batch=-1, the %3==1 docs stream through one checkpoint to
+    * AvailableNow completion appending per-batch (w, f) tables, and
+    * the shipped model trains from the word-keyed FOLD over the store
+    * — never a corpus rescan. The oracle retrains the union slice
+    * from scratch (the X222 oracle verbatim): hash equality pins
+    * stream-fold ≡ full retrain cross-engine. */
+  val streamUnigram: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-uni")
+    val cDir =
+      java.nio.file.Files.createTempDirectory("graft-unistore").toString
+    val docs = Tables.documents(s, d)
+    Corpus.unigramWordCounts(docs.filter(expr(uniSeedPred)), "text")
+      .write.mode("overwrite").parquet(s"$cDir/batch=-1")
+    val src = s.readStream.schema(docsSchema)
+      .parquet(s"$d/documents.parque[t]")
+      .filter(col("doc_id") % 3 === 1)
+    val q = EventsStreaming.streamingUnigramCounts(src, cDir, "text") {
+      (_, _) => ()
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    runStreamThenCleanCkpt(q, ckpt)
+    // eager checkpoint so the temp store can be deleted before the
+    // driver consumes the frame (the streamIvfPqCodes convention)
+    try Corpus.unigramLmTrainFromCounts(
+      EventsStreaming.foldedWordCounts(s, cDir), UNI_MAXLEN, UNI_ROUNDS)
+      .localCheckpoint()
+    finally deleteRecursively(cDir)
+  }
+
+  lazy val streamUnigramSql: String = incrementalUnigramSql
+
   val unigramPrunedSql: String =
     unigramOracleChain(withEncode = false, withPrune = true) +
       " SELECT piece, cnt, lp FROM uscp WHERE cnt > 0"

@@ -1048,6 +1048,54 @@ object EventsStreaming {
         ()
     }
 
+  /** STREAMING unigram-LM training-state maintenance (X225) — the
+    * X221 pattern applied to the tokenizer's word-frequency dict:
+    * each micro-batch of documents reduces to its (w, f) word-count
+    * table and APPENDS it under `batch=<id>` (word counts are exact
+    * mergeable partials — [[graft.operators.Corpus.unigramWordCounts]]
+    * — so the layout is append + merge-at-read like the moment and
+    * manifest stores, NOT snapshot-per-batch); the training state at
+    * any moment is the word-keyed fold over the store
+    * ([[foldedWordCounts]], a vocab·#batches-row aggregation, never a
+    * corpus rescan), and a model trained from the fold is BIT-equal
+    * to a full retrain over everything streamed. Append contracts
+    * verbatim: per-batch overwrite retry idempotence, the
+    * one-checkpoint-per-store lineage guard, negative-id bootstrap;
+    * no pre-write localCheckpoint needed (the batch dict plan never
+    * reads the store path). */
+  def streamingUnigramCounts(docs: DataFrame, storePath: String,
+      textCol: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.core.Caches.releaseScoped[Unit] {
+          // lineage guard only — the batch dict never reads the store
+          storeForBatch(readWordCountStore(spark, storePath), batchId)
+          val c = graft.operators.Corpus.unigramWordCounts(
+            batch.toDF(), textCol)
+          c.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          sink(c, batchId)
+        }
+        ()
+    }
+
+  /** The per-batch word-count store (w, f), empty-with-schema when
+    * the path does not exist yet; append layout, same narrow catch as
+    * [[readNearDupStore]]. */
+  def readWordCountStore(spark: SparkSession, path: String): DataFrame =
+    readStoreOrEmpty(spark, path,
+      StructType(Seq(
+        StructField("w", StringType),
+        StructField("f", LongType))))
+
+  /** The tokenizer training state AS OF NOW: every batch partition's
+    * dict folded word-wise — feed it to
+    * [[graft.operators.Corpus.unigramLmTrainFromCounts]]. */
+  def foldedWordCounts(spark: SparkSession, path: String): DataFrame =
+    readWordCountStore(spark, path).drop("batch")
+      .groupBy(col("w")).agg(sum(col("f")).as("f"))
+
   /** The per-batch PCA moment store (i, j, s), empty-with-schema when
     * the path does not exist yet; append layout, same narrow catch as
     * [[readNearDupStore]]. */

@@ -1067,6 +1067,53 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(-1L, 0L, 1L))
   }
 
+  test("streaming unigram counts: fold across real micro-batches trains bit-equal to full retrain") {
+    val base = Files.createTempDirectory("graft-unistream-spec").toString
+    val srcDir = s"$base/src"
+    val store = s"$base/counts"
+    val docs = Seq(
+      (0L, "ab ab cd"), (1L, "cd ef ab"), (2L, "ef ef gh"),
+      (3L, "ab gh gh"), (4L, "cd cd ab"), (5L, "gh ef ab"))
+      .toDF("doc_id", "text")
+    // bootstrap: tranche 0's dict at batch=-1
+    graft.operators.Corpus.unigramWordCounts(
+      docs.filter(col("doc_id") % 3 === 0), "text")
+      .write.parquet(s"$store/batch=-1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = EventsStreaming.streamingUnigramCounts(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        store, "text") { (_, _) => () }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.parquet(s"$srcDir/f1")
+    runOnce()
+    docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.parquet(s"$srcDir/f2")
+    runOnce()
+    def model(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().toSet
+    val viaStream = model(graft.operators.Corpus.unigramLmTrainFromCounts(
+      EventsStreaming.foldedWordCounts(spark, store), 2, 2))
+    val direct = model(graft.operators.Corpus.unigramLmTrain(
+      docs, "doc_id", "text", 2, 2))
+    assert(viaStream == direct,
+      "streamed dict fold must train bit-equal to a full retrain")
+    // append layout: one dict table per batch
+    assert(EventsStreaming.readWordCountStore(spark, store)
+      .select(col("batch").cast("long")).distinct()
+      .as[Long].collect().toSet == Set(-1L, 0L, 1L))
+  }
+
   test("streaming TTL dedup: cross-batch expiry readmission, observation-advance, store fold") {
     val base = Files.createTempDirectory("graft-ttlstream-spec").toString
     val srcDir = s"$base/src"
