@@ -1050,6 +1050,86 @@ object Corpus {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Dictionary-weighted CHARACTER-level BPE training (Sennrich et
+    * al. 2016 — the standard subword-BPE arrangement): merges are
+    * WITHIN-word adjacent character pairs, weighted by word
+    * frequency, so training is a PURE FUNCTION of the word-count
+    * dict ([[unigramWordCounts]] — the same mergeable-partial state
+    * the unigram family trains from). That purity is the increment
+    * story [[bpeMerges]]' word-level form cannot have (cross-word
+    * pairs make its sufficient statistic the corpus n-gram stream):
+    * fold new slices' dicts with [[unigramMergeCounts]] (or retract
+    * with [[unigramRetractCounts]]) and re-run this VOCAB-scale
+    * trainer — the result is BIT-equal to a full retrain on the
+    * union, never rescanning old docs.
+    *
+    * Machinery is [[bpeMerges]]' audited recurrence, weighted: cell
+    * encoding (chr(2)+char+' ', replace() IS the leftmost
+    * non-overlapping merge), incremental pair-count maintenance
+    * (round 1 pays ONE dict-wide explode; later rounds shuffle only
+    * the ±f deltas of dict rows containing the merged pair), one
+    * argmax row to the driver per round, per-round localCheckpoint.
+    * Everything runs at DICT scale (distinct words — Heaps' law), the
+    * structural reason tokenizer training never touches the corpus
+    * after the one word-count pass. */
+  def bpeMergesFromCounts(wordCounts: DataFrame,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    requireWordCounts(wordCounts, "bpeMergesFromCounts")
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+    val M = BpeMarker
+    val J = BpeJoiner
+    val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    var state = Dedup.spread(wordCounts).select(
+      array_join(transform(chars, ch => concat(lit(M), ch, lit(" "))), "")
+        .as("cells"),
+      col("f").cast("long").as("f"))
+      .localCheckpoint()
+    def pairsOf(cells: Column): Column = {
+      val syms = filter(split(cells, " "), c => c =!= "")
+      val n1 = greatest(size(syms) - 1, lit(0))
+      zip_with(slice(syms, lit(1), n1), slice(syms, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    var counts = state
+      .select(col("f"), explode(pairsOf(col("cells"))).as("p"))
+      .groupBy(col("p")).agg(sum(col("f")).as("c"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (k <- 1 to numMerges if !done) {
+      val best = counts.orderBy(col("c").desc, col("p").asc).limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val p = best(0).getString(0)
+        val c = best(0).getLong(1)
+        val Array(a, b) = p.split(" ", 2)
+        val pat = p + " "
+        val rep = a + J + b.substring(1) + " "
+        merges += ((k, a.substring(1).replace(J, " "),
+          b.substring(1).replace(J, " "), c))
+        val rewritten =
+          call_function("replace", col("cells"), lit(pat), lit(rep))
+        val delta = state.filter(col("cells").contains(pat))
+          .select(explode(concat(
+            transform(pairsOf(col("cells")),
+              q => struct(q.as("p"), (-col("f")).as("d"))),
+            transform(pairsOf(rewritten),
+              q => struct(q.as("p"), col("f").as("d"))))).as("e"))
+          .groupBy(col("e.p").as("p")).agg(sum(col("e.d")).as("c"))
+        counts = counts.unionByName(delta)
+          .groupBy(col("p")).agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint()
+        state = state.select(rewritten.as("cells"), col("f"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
   /** Apply a learned merge table (rank order, from [[bpeMerges]] —
     * lhs/rhs with spaces marking earlier joins) to the whole corpus:
     * per doc, the symbol count before and after the merges — the

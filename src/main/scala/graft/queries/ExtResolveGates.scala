@@ -1770,6 +1770,73 @@ trait ExtResolveGates { this: ExtAllGates =>
 
   lazy val streamUnigramSql: String = incrementalUnigramSql
 
+  /** Incremental CHARACTER-level BPE training (X226 — the BPE
+    * family's increment story, closing the last tokenizer asymmetry):
+    * [[Corpus.bpeMergesFromCounts]] trains the standard Sennrich
+    * subword BPE from the word-count dict — within-word character
+    * pairs weighted by word frequency — so training is a pure
+    * function of the same mergeable-partial state the unigram family
+    * folds (X222's `unigramWordCounts`/`unigramMergeCounts` algebra,
+    * shared verbatim); the gate folds the %3==1 slice's dict into the
+    * %3==0 store and trains, while the oracle replays the weighted
+    * char-BPE recurrence over the union slice FROM SCRATCH — hash
+    * equality IS the increment law. (The word-LEVEL X96 form keeps
+    * retraining: cross-word pairs make its sufficient statistic the
+    * corpus n-gram stream, not a compact dict — documented, not
+    * hidden.) */
+  private[queries] val CBPE_MERGES = 6
+
+  val incrementalBpe: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Corpus.bpeMergesFromCounts(
+      Corpus.unigramMergeCounts(
+        Corpus.unigramWordCounts(docs.filter(expr(uniSeedPred)), "text"),
+        Corpus.unigramWordCounts(
+          docs.filter(expr("doc_id % 3 = 1")), "text")),
+      CBPE_MERGES)
+  }
+
+  /** Weighted char-level replay of the [[bpeOracleChain]]
+    * arrangement over the union slice's word dict: cells are
+    * chr(2)+char+' ' per character of each DISTINCT word, pair counts
+    * are Σ word-freq, per round one argmax (count desc, pair asc) and
+    * one replace() rewrite; the final SELECT unions each round's
+    * argmax row as (merge_rank, lhs, rhs, pair_count). */
+  private[queries] def charBpeOracleChain(seedPred: String): String = {
+    val sb = new StringBuilder(
+      s"WITH cud AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM " +
+        s"(SELECT unnest($duckToksLower) AS w FROM documents " +
+        s"WHERE $seedPred) GROUP BY w), " +
+        "cc0 AS MATERIALIZED (SELECT w, f, array_to_string(" +
+        "list_transform(generate_series(1, len(w)), i -> chr(2) || substr(w, i, 1) || ' '), '') AS cells FROM cud)")
+    for (k <- 1 to CBPE_MERGES) {
+      val prev = s"cc${k - 1}"
+      sb.append(
+        s", cp$k AS (SELECT f, list_extract(arr, i) || ' ' || list_extract(arr, i + 1) AS pr " +
+          s"FROM (SELECT f, arr, unnest(generate_series(1, len(arr) - 1)) AS i " +
+          s"FROM (SELECT f, list_filter(string_split(cells, ' '), x -> x <> '') AS arr FROM $prev)))")
+      sb.append(
+        s", cb$k AS MATERIALIZED (SELECT pr, CAST(sum(f) AS BIGINT) AS c, " +
+          s"split_part(pr, ' ', 1) AS la, split_part(pr, ' ', 2) AS rb " +
+          s"FROM cp$k GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 1)")
+      if (k < CBPE_MERGES) sb.append(
+        s", cc$k AS MATERIALIZED (SELECT w, f, " +
+          s"coalesce(replace(cells, (SELECT pr || ' ' FROM cb$k), " +
+          s"(SELECT la || chr(1) || substr(rb, 2) || ' ' FROM cb$k)), cells) AS cells " +
+          s"FROM $prev)")
+    }
+    sb.toString
+  }
+
+  lazy val incrementalBpeSql: String =
+    charBpeOracleChain("doc_id % 3 IN (0, 1)") + " " +
+      (1 to CBPE_MERGES).map { k =>
+        s"SELECT CAST($k AS INT) AS merge_rank, " +
+          "replace(substr(la, 2), chr(1), ' ') AS lhs, " +
+          "replace(substr(rb, 2), chr(1), ' ') AS rhs, " +
+          s"c AS pair_count FROM cb$k"
+      }.mkString(" UNION ALL ")
+
   val unigramPrunedSql: String =
     unigramOracleChain(withEncode = false, withPrune = true) +
       " SELECT piece, cnt, lp FROM uscp WHERE cnt > 0"

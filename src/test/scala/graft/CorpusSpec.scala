@@ -112,6 +112,32 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bpeMergesFromCounts: hand-computed weighted char merges + increment law") {
+    // dict {abab: 2, ab: 3}: round-1 pairs (a b)·2·2 + (a b)·3 = 7,
+    // (b a)·2 = 2 -> merge (a, b) count 7; round 2: abab's two merged
+    // cells pair once each word -> (ab, ab) count 2; round 3: no pairs.
+    val dict = Seq(("abab", 2L), ("ab", 3L)).toDF("w", "f")
+    val got = Corpus.bpeMergesFromCounts(dict, 5)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "a", "b", 7L), (2, "a b", "a b", 2L)),
+      s"got ${got.toSeq}")
+    // increment law: train-from-fold is BIT-equal to a retrain on the
+    // union (training is a pure function of the dict)
+    val a = Seq((1L, "rock rock roll"), (2L, "rock on")).toDF("doc_id", "text")
+    val b = Seq((3L, "roll roll rock"), (4L, "onon")).toDF("doc_id", "text")
+    def model(wc: org.apache.spark.sql.DataFrame) =
+      Corpus.bpeMergesFromCounts(wc, 4)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(model(Corpus.unigramMergeCounts(
+      Corpus.unigramWordCounts(a, "text"),
+      Corpus.unigramWordCounts(b, "text"))) ==
+      model(Corpus.unigramWordCounts(a.unionByName(b), "text")))
+    // schema guard
+    intercept[IllegalArgumentException] {
+      Corpus.bpeMergesFromCounts(dict.withColumnRenamed("f", "n"), 2)
+    }
+  }
+
   test("unigramLm EM: frequent sibling words pull a rare word's segmentation") {
     // "a" and "bc" are frequent words; "abc" is rare. Seed counts make
     // lp(a) = lp(bc) < lp(abc) (the whole-word candidate is rare), so
