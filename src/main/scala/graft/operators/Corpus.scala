@@ -1130,6 +1130,102 @@ object Corpus {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Dictionary-weighted CHARACTER-level WordPiece training — the
+    * [[bpeMergesFromCounts]] arrangement under [[wordpieceMerges]]'
+    * likelihood-gain criterion (argmax ⌊c·10¹²/(l·r)⌋, ties (count
+    * desc, pair asc)): within-word character pairs AND symbol counts
+    * are Σ word-freq over the dict, so training is a pure function of
+    * the word-count state and the X222 fold/retract algebra applies
+    * verbatim — the increment story for the third and last tokenizer
+    * family. Pair- and symbol-count tables are maintained on the SAME
+    * ±f delta scan; one argmax row to the driver per round. */
+  def wordpieceMergesFromCounts(wordCounts: DataFrame,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    requireWordCounts(wordCounts, "wordpieceMergesFromCounts")
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+    val M = BpeMarker
+    val J = BpeJoiner
+    val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    var state = Dedup.spread(wordCounts).select(
+      array_join(transform(chars, ch => concat(lit(M), ch, lit(" "))), "")
+        .as("cells"),
+      col("f").cast("long").as("f"))
+      .localCheckpoint()
+    def symsOf(cells: Column): Column =
+      filter(split(cells, " "), c => c =!= "")
+    def pairsOf(cells: Column): Column = {
+      val syms = symsOf(cells)
+      val n1 = greatest(size(syms) - 1, lit(0))
+      zip_with(slice(syms, lit(1), n1), slice(syms, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    var counts = state
+      .select(col("f"), explode(pairsOf(col("cells"))).as("p"))
+      .groupBy(col("p")).agg(sum(col("f")).as("c"))
+      .localCheckpoint()
+    var symCounts = state
+      .select(col("f"), explode(symsOf(col("cells"))).as("s"))
+      .groupBy(col("s")).agg(sum(col("f")).as("c"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var done = false
+    for (k <- 1 to numMerges if !done) {
+      val best = counts
+        .join(symCounts.select(col("s").as("_ls"), col("c").as("_lc")),
+          split(col("p"), " ").getItem(0) === col("_ls"))
+        .join(symCounts.select(col("s").as("_rs"), col("c").as("_rc")),
+          split(col("p"), " ").getItem(1) === col("_rs"))
+        .withColumn("sc", expr(
+          "CAST(c AS DECIMAL(38,0)) * 1000000000000 div " +
+            "(CAST(_lc AS DECIMAL(38,0)) * CAST(_rc AS DECIMAL(38,0)))"))
+        .orderBy(col("sc").desc, col("c").desc, col("p").asc).limit(1)
+        .select(col("p"), col("c"), col("sc"))
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val p = best(0).getString(0)
+        val c = best(0).getLong(1)
+        val sc = best(0).getLong(2)
+        val Array(a, b) = p.split(" ", 2)
+        val pat = p + " "
+        val rep = a + J + b.substring(1) + " "
+        merges += ((k, a.substring(1).replace(J, " "),
+          b.substring(1).replace(J, " "), c, sc))
+        val rewritten =
+          call_function("replace", col("cells"), lit(pat), lit(rep))
+        val changed = state.filter(col("cells").contains(pat))
+          .localCheckpoint()
+        val pairDelta = changed
+          .select(explode(concat(
+            transform(pairsOf(col("cells")),
+              q => struct(q.as("p"), (-col("f")).as("d"))),
+            transform(pairsOf(rewritten),
+              q => struct(q.as("p"), col("f").as("d"))))).as("e"))
+          .groupBy(col("e.p").as("p")).agg(sum(col("e.d")).as("c"))
+        val symDelta = changed
+          .select(explode(concat(
+            transform(symsOf(col("cells")),
+              q => struct(q.as("s"), (-col("f")).as("d"))),
+            transform(symsOf(rewritten),
+              q => struct(q.as("s"), col("f").as("d"))))).as("e"))
+          .groupBy(col("e.s").as("s")).agg(sum(col("e.d")).as("c"))
+        counts = counts.unionByName(pairDelta)
+          .groupBy(col("p")).agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint()
+        symCounts = symCounts.unionByName(symDelta)
+          .groupBy(col("s")).agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint()
+        state = state.select(rewritten.as("cells"), col("f"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count", "score")
+  }
+
   /** Apply a learned merge table (rank order, from [[bpeMerges]] —
     * lhs/rhs with spaces marking earlier joins) to the whole corpus:
     * per doc, the symbol count before and after the merges — the

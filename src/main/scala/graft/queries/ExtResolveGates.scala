@@ -1837,6 +1837,69 @@ trait ExtResolveGates { this: ExtAllGates =>
           s"c AS pair_count FROM cb$k"
       }.mkString(" UNION ALL ")
 
+  /** Incremental CHARACTER-level WordPiece training (X227 — the
+    * likelihood-gain criterion on the X226 dict arrangement,
+    * completing the increment story for all three tokenizer
+    * families): pair AND symbol counts are Σ word-freq over the dict,
+    * the argmax is ⌊c·10¹²/(l·r)⌋ with (count desc, pair asc) ties,
+    * and training is a pure function of the fold-exact word-count
+    * state. Gate folds the %3==1 dict into the %3==0 store; the
+    * oracle replays the weighted char recurrence with per-round
+    * HUGEINT score argmaxes over the union dict from scratch. */
+  private[queries] val CWP_MERGES = 4
+
+  val incrementalWordpiece: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Corpus.wordpieceMergesFromCounts(
+      Corpus.unigramMergeCounts(
+        Corpus.unigramWordCounts(docs.filter(expr(uniSeedPred)), "text"),
+        Corpus.unigramWordCounts(
+          docs.filter(expr("doc_id % 3 = 1")), "text")),
+      CWP_MERGES)
+  }
+
+  private[queries] def charWpOracleChain(seedPred: String): String = {
+    val sb = new StringBuilder(
+      s"WITH xud AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM " +
+        s"(SELECT unnest($duckToksLower) AS w FROM documents " +
+        s"WHERE $seedPred) GROUP BY w), " +
+        "xc0 AS MATERIALIZED (SELECT w, f, array_to_string(" +
+        "list_transform(generate_series(1, len(w)), i -> chr(2) || substr(w, i, 1) || ' '), '') AS cells FROM xud)")
+    for (k <- 1 to CWP_MERGES) {
+      val prev = s"xc${k - 1}"
+      sb.append(
+        s", xp$k AS (SELECT f, list_extract(arr, i) || ' ' || list_extract(arr, i + 1) AS pr " +
+          s"FROM (SELECT f, arr, unnest(generate_series(1, len(arr) - 1)) AS i " +
+          s"FROM (SELECT f, list_filter(string_split(cells, ' '), x -> x <> '') AS arr FROM $prev)))")
+      sb.append(
+        s", xy$k AS MATERIALIZED (SELECT sym AS s, CAST(sum(f) AS BIGINT) AS c FROM " +
+          s"(SELECT f, unnest(list_filter(string_split(cells, ' '), x -> x <> '')) AS sym FROM $prev) GROUP BY 1)")
+      sb.append(
+        s", xb$k AS MATERIALIZED (SELECT pr, c, la, rb, sc FROM " +
+          s"(SELECT j.pr, j.c, j.la, j.rb, " +
+          s"CAST(j.c AS HUGEINT) * 1000000000000 // (CAST(yl.c AS HUGEINT) * yr.c) AS sc " +
+          s"FROM (SELECT pr, CAST(sum(f) AS BIGINT) AS c, split_part(pr, ' ', 1) AS la, " +
+          s"split_part(pr, ' ', 2) AS rb FROM xp$k GROUP BY pr) j " +
+          s"JOIN xy$k yl ON j.la = yl.s JOIN xy$k yr ON j.rb = yr.s) " +
+          s"ORDER BY sc DESC, c DESC, pr ASC LIMIT 1)")
+      if (k < CWP_MERGES) sb.append(
+        s", xc$k AS MATERIALIZED (SELECT w, f, " +
+          s"coalesce(replace(cells, (SELECT pr || ' ' FROM xb$k), " +
+          s"(SELECT la || chr(1) || substr(rb, 2) || ' ' FROM xb$k)), cells) AS cells " +
+          s"FROM $prev)")
+    }
+    sb.toString
+  }
+
+  lazy val incrementalWordpieceSql: String =
+    charWpOracleChain("doc_id % 3 IN (0, 1)") + " " +
+      (1 to CWP_MERGES).map { k =>
+        s"SELECT CAST($k AS INT) AS merge_rank, " +
+          "replace(substr(la, 2), chr(1), ' ') AS lhs, " +
+          "replace(substr(rb, 2), chr(1), ' ') AS rhs, " +
+          s"CAST(c AS BIGINT) AS pair_count, CAST(sc AS BIGINT) AS score FROM xb$k"
+      }.mkString(" UNION ALL ")
+
   val unigramPrunedSql: String =
     unigramOracleChain(withEncode = false, withPrune = true) +
       " SELECT piece, cnt, lp FROM uscp WHERE cnt > 0"

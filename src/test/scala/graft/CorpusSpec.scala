@@ -138,6 +138,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("wordpieceMergesFromCounts: likelihood-gain argmax + increment law") {
+    // dict {abc: 4, ab: 1, bc: 1}: counts a=5, b=6, c=5;
+    // pair (a b) c=5 -> sc = 5e12/(5*6) = 166666666666;
+    // pair (b c) c=5 -> sc = 5e12/(6*5) = same 166666666666; ties
+    // break (count desc, pair asc): both c=5, pair asc picks
+    // "a b" < "b c" -> merge 1 = (a, b).
+    val dict = Seq(("abc", 4L), ("ab", 1L), ("bc", 1L)).toDF("w", "f")
+    val got = Corpus.wordpieceMergesFromCounts(dict, 1)
+      .as[(Int, String, String, Long, Long)].collect()
+    assert(got.head == ((1, "a", "b", 5L, 166666666666L)), s"got ${got.head}")
+    // increment law: train-from-fold BIT-equal to retrain on the union
+    val a = Seq((1L, "hip hop hip"), (2L, "hop it")).toDF("doc_id", "text")
+    val b = Seq((3L, "hip it hop"), (4L, "tip top")).toDF("doc_id", "text")
+    def model(wc: org.apache.spark.sql.DataFrame) =
+      Corpus.wordpieceMergesFromCounts(wc, 3)
+        .as[(Int, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(model(Corpus.unigramMergeCounts(
+      Corpus.unigramWordCounts(a, "text"),
+      Corpus.unigramWordCounts(b, "text"))) ==
+      model(Corpus.unigramWordCounts(a.unionByName(b), "text")))
+  }
+
   test("unigramLm EM: frequent sibling words pull a rare word's segmentation") {
     // "a" and "bc" are frequent words; "abc" is rare. Seed counts make
     // lp(a) = lp(bc) < lp(abc) (the whole-word candidate is rare), so
