@@ -49,7 +49,10 @@ object BenchScaleUp {
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS
-    val base = "/root/testdata/sf0.1"
+    // same contract as Bench.scala: the decade's BASE scale comes from
+    // the environment (ADVICE r19 — a hardcoded base silently diverges
+    // from what the driver benches)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -84,9 +87,11 @@ object BenchScaleUp {
       t
     }
 
-    // untimed warm pass at sf0.1 (JVM/codegen warmup + the decode-once
-    // memo build must not land on a timed cell)
-    queryNames.foreach(q => time(q, base))
+    // untimed warm pass at BOTH scales (JVM/codegen warmup + the
+    // decode-once memo build must not land on a timed cell — the sf1
+    // memo build is corpus-sized, so warming only the base scale would
+    // charge it to the first timed sf1 cell; ADVICE r19)
+    queryNames.foreach { q => time(q, base); time(q, sf1) }
     println(f"${"query"}%-28s ${"sf0.1"}%8s ${"sf1"}%8s ${"alpha"}%7s")
     queryNames.foreach { q =>
       val t01 = math.min(time(q, base), time(q, base))

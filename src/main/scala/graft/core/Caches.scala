@@ -92,17 +92,51 @@ object Caches {
     artifactMemo.computeIfAbsent((spark, key), _ => train).asInstanceOf[T]
   }
 
+  /** One spill entry: the dir is recorded at RESERVATION time (under
+    * the memo lock) so a sweep can always delete it; the future is
+    * completed by the reserving thread AFTER the distributed write
+    * finishes OUTSIDE the lock — concurrent callers with unrelated
+    * keys reserve-and-build in parallel, and a build that itself calls
+    * [[memoizedTable]] re-enters cleanly (no `computeIfAbsent`
+    * mutation mid-computation, which is undefined for HashMap). */
+  private final case class TableSpill(dir: java.nio.file.Path,
+      path: java.util.concurrent.CompletableFuture[String])
   private val tableMemo =
-    new java.util.HashMap[(SparkSession, String), String]()
-  private val tableMemoDirs = new java.util.ArrayList[java.nio.file.Path]()
-  private lazy val tableMemoCleanup: Unit = Runtime.getRuntime.addShutdownHook(
-    new Thread(() => tableMemoDirs.forEach { root =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
-    }))
+    new java.util.HashMap[(SparkSession, String), TableSpill]()
+
+  private def deleteTreeQuietly(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+
+  /** Per-PROCESS spill root (`graft-table-memo-<pid>` under the temp
+    * dir): a later run can garbage-collect roots whose pid is dead —
+    * the SIGKILL story the shutdown hook alone cannot cover. The
+    * liveness probe is `ProcessHandle.of(pid)` (portable, no /proc
+    * parsing); GC of dead roots runs once, at first use. */
+  private lazy val tableMemoRoot: java.nio.file.Path = {
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft-table-memo-"))
+        .foreach { stale =>
+          val pid = stale.getFileName.toString
+            .stripPrefix("graft-table-memo-")
+          val alive = pid.toLongOption
+            .exists(p => java.lang.ProcessHandle.of(p).isPresent)
+          if (!alive) deleteTreeQuietly(stale)
+        }
+    } catch { case _: Throwable => () }
+    val root = java.nio.file.Files.createDirectories(
+      tmp.resolve(s"graft-table-memo-${java.lang.ProcessHandle.current.pid}"))
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteTreeQuietly(root)))
+    root
+  }
 
   /** The [[memoizedArtifact]] discipline for DISTRIBUTED derived
     * tables whose recompute cost is a full map-side corpus pass —
@@ -122,23 +156,53 @@ object Caches {
     * bit-identical to a recompute — row ORDER may differ, which every
     * downstream consumer already tolerates (shuffled inputs carry no
     * order). Keys must encode the input dir + every parameter, the
-    * [[memoizedArtifact]] contract. Spill dirs are removed by a JVM
-    * shutdown hook; entries of stopped sessions are swept like the
-    * artifact memo's. */
+    * [[memoizedArtifact]] contract. Spill dirs live under a
+    * per-process root ([[tableMemoRoot]]) removed by a JVM shutdown
+    * hook AND garbage-collected by the next process if this one is
+    * SIGKILLed; entries of stopped sessions are swept like the
+    * artifact memo's — including their spill dirs, so a long-lived
+    * JVM cycling sessions does not accumulate dead spills. The memo
+    * lock is held only to RESERVE a key (and sweep); the distributed
+    * write runs outside it, so unrelated keys build concurrently and
+    * a build that itself memoizes a sub-table cannot deadlock or
+    * corrupt the map. A failed build withdraws its reservation so a
+    * later caller retries instead of inheriting the failure. */
   def memoizedTable(spark: SparkSession, key: String)(
       build: => DataFrame): DataFrame = {
-    val path = tableMemo.synchronized {
-      tableMemoCleanup
-      tableMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
-      tableMemo.computeIfAbsent((spark, key), _ => {
-        val dir = java.nio.file.Files.createTempDirectory("graft-table-memo")
-        tableMemoDirs.add(dir)
-        val p = s"$dir/t"
-        build.write.mode("overwrite").parquet(p)
-        p
-      })
+    val memoKey = (spark, key)
+    val (spill, reserved) = tableMemo.synchronized {
+      val it = tableMemo.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1.sparkContext.isStopped) {
+          deleteTreeQuietly(e.getValue.dir)
+          it.remove()
+        }
+      }
+      val existing = tableMemo.get(memoKey)
+      if (existing != null) (existing, false)
+      else {
+        val fresh = TableSpill(
+          java.nio.file.Files.createTempDirectory(tableMemoRoot, "t"),
+          new java.util.concurrent.CompletableFuture[String]())
+        tableMemo.put(memoKey, fresh)
+        (fresh, true)
+      }
     }
-    spark.read.parquet(path)
+    if (reserved) {
+      try {
+        val p = s"${spill.dir}/t"
+        build.write.mode("overwrite").parquet(p)
+        spill.path.complete(p)
+      } catch {
+        case t: Throwable =>
+          tableMemo.synchronized { tableMemo.remove(memoKey, spill) }
+          deleteTreeQuietly(spill.dir)
+          spill.path.completeExceptionally(t)
+          throw t
+      }
+    }
+    spark.read.parquet(spill.path.join())
   }
 
   /** Register an ALREADY-persisted frame for [[release]] without

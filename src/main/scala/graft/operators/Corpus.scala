@@ -1075,13 +1075,13 @@ object Corpus {
   def bpeMergesFromCounts(wordCounts: DataFrame,
       numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    requireWordCounts(wordCounts, "bpeMergesFromCounts")
+    val dict = normalizedWordCounts(wordCounts, "bpeMergesFromCounts")
     val spark = wordCounts.sparkSession
     import spark.implicits._
     val M = BpeMarker
     val J = BpeJoiner
     val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    var state = Dedup.spread(wordCounts).select(
+    var state = Dedup.spread(dict).select(
       array_join(transform(chars, ch => concat(lit(M), ch, lit(" "))), "")
         .as("cells"),
       col("f").cast("long").as("f"))
@@ -1142,13 +1142,13 @@ object Corpus {
   def wordpieceMergesFromCounts(wordCounts: DataFrame,
       numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    requireWordCounts(wordCounts, "wordpieceMergesFromCounts")
+    val dict = normalizedWordCounts(wordCounts, "wordpieceMergesFromCounts")
     val spark = wordCounts.sparkSession
     import spark.implicits._
     val M = BpeMarker
     val J = BpeJoiner
     val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    var state = Dedup.spread(wordCounts).select(
+    var state = Dedup.spread(dict).select(
       array_join(transform(chars, ch => concat(lit(M), ch, lit(" "))), "")
         .as("cells"),
       col("f").cast("long").as("f"))
@@ -1473,7 +1473,22 @@ object Corpus {
   private def requireWordCounts(df: DataFrame, who: String): Unit =
     require(Set("w", "f").subsetOf(df.columns.toSet),
       s"$who: word-count tables carry (w, f) — unigramWordCounts' " +
-        s"schema — got ${df.columns.mkString(", ")}")
+        s"schema, ONE row per distinct word — got " +
+        s"${df.columns.mkString(", ")}")
+
+  /** Trainer-entry normalization of a word-count table (ADVICE r19):
+    * the (w, f) contract is one row per distinct word, but a caller
+    * handing a trainer a non-aggregated frame would silently
+    * double-count lattice edges and pair counts — merge/retract
+    * re-group on w, the trainers' delta scans do not. Re-aggregating
+    * here makes duplicate rows MEAN their sum (the only coherent
+    * reading) instead of garbage; on a contract-conforming dict the
+    * group-by is a vocab-scale identity. */
+  private def normalizedWordCounts(df: DataFrame, who: String): DataFrame = {
+    requireWordCounts(df, who)
+    df.select(col("w"), col("f"))
+      .groupBy(col("w")).agg(sum(col("f")).as("f"))
+  }
 
   /** Fold two word-count tables: counts(A ∪ B) ≡ merge — exact,
     * spec-pinned (the [[bm25MergeStats]] / pcaMergeMoments law). */
@@ -1497,19 +1512,29 @@ object Corpus {
     requireWordCounts(retract, "unigramRetractCounts")
     store.select(col("w"), col("f"))
       .join(retract.select(col("w"), col("f").as("_rf")), Seq("w"), "full")
+      // the over-retraction guard is anchored in a FILTER (ADVICE
+      // r19): a Filter survives column pruning whatever the consumer
+      // projects, so a w-only reader still trips it. The guard and
+      // the drop-zeros test are fused into ONE conjunct on purpose —
+      // as separate conjuncts, EliminateOuterJoin would see the
+      // null-rejecting `f > 0` term alone, convert the full join to
+      // LEFT, and silently drop never-merged (store-null) rows before
+      // the raise could see them (pinned by CorpusSpec's pruned-
+      // consumer test)
+      .filter(when(
+        col("f").isNull.or(col("_rf").isNotNull && col("_rf") > col("f")),
+        raise_error(concat(
+          lit("unigramRetractCounts: word '"), col("w"),
+          lit("' retracts more occurrences than stored — " +
+            "the slice was never merged"))).isNotNull)
+        .otherwise((col("f") - coalesce(col("_rf"), lit(0L))) > 0))
       .select(col("w"),
-        when(col("f").isNull.or(col("_rf").isNotNull && col("_rf") > col("f")),
-          raise_error(concat(
-            lit("unigramRetractCounts: word '"), col("w"),
-            lit("' retracts more occurrences than stored — " +
-              "the slice was never merged"))))
-          .otherwise(col("f") - coalesce(col("_rf"), lit(0L))).as("f"))
-      .filter(col("f") > 0)
+        (col("f") - coalesce(col("_rf"), lit(0L))).as("f"))
   }
 
   private def unigramLatticeFromCounts(wordCounts: DataFrame,
       maxPieceLen: Int): (DataFrame, DataFrame) = {
-    val words = wordCounts.select(col("w"), col("f"))
+    val words = normalizedWordCounts(wordCounts, "unigramLatticeFromCounts")
       .localCheckpoint()
     // span lattice + piece strings — static across rounds
     val edges = words

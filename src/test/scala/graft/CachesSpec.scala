@@ -201,4 +201,29 @@ class CachesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(other.size == 3)
   }
+
+  test("memoizedTable: re-entrant builds and failed-build retry (ADVICE r19)") {
+    val key = s"spec-memo-reent-${System.identityHashCode(this)}"
+    // a build that itself memoizes a sub-table must not corrupt the
+    // memo or deadlock (the old computeIfAbsent-under-lock shape was
+    // undefined for exactly this re-entry)
+    val outer = Caches.memoizedTable(spark, key) {
+      val inner = Caches.memoizedTable(spark, key + ":inner")(
+        spark.range(4).toDF("id"))
+      inner.select(col("id"), (col("id") + 100).as("v"))
+    }.as[(Long, Long)].collect().toSet
+    assert(outer == (0L until 4L).map(i => (i, i + 100)).toSet)
+    // a failed build withdraws its reservation: the next caller with
+    // the same key runs a fresh build instead of inheriting the error
+    val failKey = key + ":fail"
+    intercept[RuntimeException] {
+      Caches.memoizedTable(spark, failKey) {
+        throw new RuntimeException("boom")
+      }
+    }
+    val retried = Caches.memoizedTable(spark, failKey)(
+      spark.range(2).toDF("id").select(col("id"), col("id").as("v")))
+      .as[(Long, Long)].collect().toSet
+    assert(retried.size == 2)
+  }
 }

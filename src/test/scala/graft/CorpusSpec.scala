@@ -112,6 +112,45 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("trainer entry points re-aggregate duplicate (w,f) rows (ADVICE r19)") {
+    // a non-aggregated dict (duplicate word rows) must train exactly
+    // like its grouped form — duplicates mean their sum, never a
+    // silent double-count of lattice edges / pair counts
+    val dup = Seq(("ab", 1L), ("ab", 2L), ("cd", 1L)).toDF("w", "f")
+    val agg = Seq(("ab", 3L), ("cd", 1L)).toDF("w", "f")
+    def uni(df: org.apache.spark.sql.DataFrame) =
+      Corpus.unigramLmTrainFromCounts(df, 2, 2)
+        .as[(String, Long, Long)].collect().toSet
+    def bpe(df: org.apache.spark.sql.DataFrame) =
+      Corpus.bpeMergesFromCounts(df, 3)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    def wp(df: org.apache.spark.sql.DataFrame) =
+      Corpus.wordpieceMergesFromCounts(df, 2)
+        .as[(Int, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(uni(dup) == uni(agg))
+    assert(bpe(dup) == bpe(agg))
+    assert(wp(dup) == wp(agg))
+  }
+
+  test("unigramRetractCounts: guard fires even when the consumer prunes f (ADVICE r19)") {
+    val ca = Corpus.unigramWordCounts(
+      Seq((1L, "ab ab")).toDF("doc_id", "text"), "text")
+    val cb = Corpus.unigramWordCounts(
+      Seq((2L, "ab zz")).toDF("doc_id", "text"), "text")
+    // the consumer reads ONLY w — a guard riding the projected f
+    // column would be pruned away with it; the filter-anchored assert
+    // must still raise on the never-merged slice
+    val ex = intercept[Exception] {
+      Corpus.unigramRetractCounts(ca, cb).select("w").collect()
+    }
+    assert(ex.getMessage.contains("never merged"), ex.getMessage)
+    // and a legitimate retraction with a pruned consumer still works
+    val merged = Corpus.unigramMergeCounts(ca, cb)
+    val ws = Corpus.unigramRetractCounts(merged, cb)
+      .select("w").as[String].collect().toSet
+    assert(ws == Set("ab"))
+  }
+
   test("bpeMergesFromCounts: hand-computed weighted char merges + increment law") {
     // dict {abab: 2, ab: 3}: round-1 pairs (a b)·2·2 + (a b)·3 = 7,
     // (b a)·2 = 2 -> merge (a, b) count 7; round 2: abab's two merged
