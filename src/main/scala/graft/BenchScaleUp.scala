@@ -47,6 +47,27 @@ object BenchScaleUp {
     // the composed ingest increments
     "q_ingest_quartet", "q_ingest_weighted")
 
+  /** Materialize the sf1 decade corpus if absent: ten id-offset
+    * replicas of the base `documents`/`embeddings` tables (offset 10⁷
+    * dwarfs every real id; content columns carried verbatim). Shared
+    * by the bench decade ([[BenchScaleUp]]) and the sf1 ORACLE slice
+    * ([[VerifyScaleUp]]) so both measure the SAME corpus. */
+  def ensureReplicas(spark: SparkSession, base: String, sf1: String,
+      parts: Int): Unit =
+    if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
+      System.err.println(s"[scaleup] materializing $sf1 from $base (x10)")
+      val reps = spark.range(0, 10).select(col("id").as("_rep"))
+      def amp(table: String, idCol: String): Unit =
+        spark.read.parquet(s"$base/$table.parquet")
+          .crossJoin(reps)
+          .withColumn(idCol, col(idCol) + col("_rep") * 10000000L)
+          .drop("_rep")
+          .repartition(parts)
+          .write.mode("overwrite").parquet(s"$sf1/$table.parquet")
+      amp("documents", "doc_id")
+      amp("embeddings", "vec_id")
+    }
+
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS
     // same contract as Bench.scala: the decade's BASE scale comes from
@@ -64,19 +85,7 @@ object BenchScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
-      System.err.println(s"[scaleup] materializing $sf1 from $base (x10)")
-      val reps = spark.range(0, 10).select(col("id").as("_rep"))
-      def amp(table: String, idCol: String): Unit =
-        spark.read.parquet(s"$base/$table.parquet")
-          .crossJoin(reps)
-          .withColumn(idCol, col(idCol) + col("_rep") * 10000000L)
-          .drop("_rep")
-          .repartition(cpus.toInt)
-          .write.mode("overwrite").parquet(s"$sf1/$table.parquet")
-      amp("documents", "doc_id")
-      amp("embeddings", "vec_id")
-    }
+    ensureReplicas(spark, base, sf1, cpus.toInt)
 
     def time(name: String, sfDir: String): Double = {
       val t0 = System.nanoTime()

@@ -666,6 +666,81 @@ object Similarity {
     lshMultiProbeTopK(corpus.filter(pred), queries, k, bits, dims,
       nprobe, poolSize, maxFlips, idCol, vecCol, qIdCol, qVecCol)
 
+  /** Number of probe perturbations reachable with `poolSize`
+    * lowest-margin bits and ≤`maxFlips` flips — the exact size of
+    * [[lshMultiProbeTopK]]'s subset enumeration, so
+    * `1 + probeCapacity` is that operator's hard nprobe ceiling. */
+  def probeCapacity(poolSize: Int, maxFlips: Int): Int = {
+    require(poolSize >= 1 && maxFlips >= 1 && maxFlips <= poolSize,
+      s"need 1 <= maxFlips <= poolSize, got $maxFlips/$poolSize")
+    var total = 0L
+    for (r <- 1 to maxFlips) {
+      var c = 1L
+      for (i <- 0 until r) c = c * (poolSize - i) / (i + 1)
+      total = math.min(total + c, Int.MaxValue.toLong)
+    }
+    total.toInt
+  }
+
+  /** SELECTIVITY-ADAPTIVE multi-probe geometry (the X210
+    * [[adaptiveNprobe]] discipline applied to the ONE filtered tier
+    * whose recall FALLS with selectivity — measured .35 → .27 on the
+    * gate corpus, the r19 bucket-geometry caveat): a fixed flip-probe
+    * count explores a fixed bucket neighborhood, so thinning the
+    * buckets starves the candidate set. The cure is the same
+    * candidate-mass parity rule: scale the probe budget by the
+    * INVERSE of the predicate's measured selectivity —
+    * `target = min(2^bits, ⌈base · total/qualifying⌉)` — and, because
+    * multi-probe's reachable neighborhood is bounded by its
+    * (poolSize, maxFlips) subset enumeration, WIDEN that geometry
+    * deterministically (flips first, then pool, the cheapest-probe-
+    * first order) until it can rank `target − 1` perturbations. At
+    * the cap the tier degrades GRACEFULLY and HONESTLY: probing all
+    * 2^bits buckets is exactly a brute-force scan of the filtered
+    * slice — recall 1.0 by construction — which is the correct
+    * serving answer when bucket geometry cannot carry the predicate
+    * (an 8-bit table serving a ~10% slice saturates; the gate pins
+    * that saturated row rather than hiding it). One two-counter
+    * aggregate over the corpus per call (one bounded collect row, the
+    * [[adaptiveNprobe]] cost shape); fail-loud on an empty corpus or
+    * a predicate selecting nothing. */
+  def adaptiveLshProbeGeometry(corpus: DataFrame, pred: Column, bits: Int,
+      baseNprobe: Int, poolSize: Int, maxFlips: Int): (Int, Int, Int) = {
+    require(bits >= 1 && bits <= 30, s"bits must be in [1, 30], got $bits")
+    require(baseNprobe >= 1, s"baseNprobe must be >= 1, got $baseNprobe")
+    val r = corpus.agg(count(lit(1)).as("n"),
+      count(when(pred, lit(1))).as("q")).head()
+    val (n, q) = (r.getLong(0), r.getLong(1))
+    require(n > 0, "adaptiveLshProbeGeometry: empty corpus")
+    require(q > 0,
+      "adaptiveLshProbeGeometry: predicate selects zero corpus rows")
+    val buckets = 1L << bits
+    val target = math.min(buckets,
+      math.max(baseNprobe.toLong, (baseNprobe * n + q - 1) / q)).toInt
+    var (p, f) = (math.min(poolSize, bits), math.min(maxFlips, poolSize))
+    while (1 + probeCapacity(p, f) < target && (f < p || p < bits)) {
+      if (f < p) f += 1 else p += 1
+    }
+    (math.min(target, 1 + probeCapacity(p, f)), p, f)
+  }
+
+  /** [[filteredLshMultiProbeTopK]] with the probe budget AND the
+    * perturbation geometry derived by [[adaptiveLshProbeGeometry]]
+    * instead of hand-tuned — closing the r19 negative result: the
+    * derived budget makes the selective predicate parity-or-better
+    * vs the broad one (gate-measured, not asserted). */
+  def filteredLshMultiProbeTopKAdaptive(corpus: DataFrame,
+      queries: DataFrame, k: Int, bits: Int, dims: Int,
+      baseNprobe: Int, pred: Column,
+      poolSize: Int = 6, maxFlips: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val (np, p, f) = adaptiveLshProbeGeometry(corpus, pred, bits,
+      baseNprobe, poolSize, maxFlips)
+    filteredLshMultiProbeTopK(corpus, queries, k, bits, dims, np, pred,
+      p, f, idCol, vecCol, qIdCol, qVecCol)
+  }
+
   /** SELECTIVITY-ADAPTIVE cell budget (operationalizing X199's
     * serving guidance "widen the cell budget as selectivity rises"):
     * derive nprobe from the predicate's MEASURED selectivity over the

@@ -150,8 +150,14 @@ trait ExtMediaGates { this: ExtAllGates =>
     * extension): the predicate filters the corpus-side signature
     * table `c` — the query probes derive from the separate q0 scan
     * and stay unfiltered, exactly the filteredLshMultiProbeTopK
-    * plan. */
-  private[queries] def embedAnnProbeSqlAt(predSql: String = "TRUE"): String = {
+    * plan. The probe budget and perturbation geometry default to the
+    * serving constants; the ADAPTIVE gate rows (X228) pass the
+    * values `Similarity.adaptiveLshProbeGeometry` derives from the
+    * predicate's measured selectivity — pinned in the SQL, so
+    * fixture drift that changes the derivation fails loud. */
+  private[queries] def embedAnnProbeSqlAt(predSql: String = "TRUE",
+      nprobe: Int = ANN_PROBE_T, pool: Int = ANN_PROBE_POOL,
+      flips: Int = ANN_PROBE_FLIPS): String = {
     def proj(b: Int) = (0 until EMB_DIMS).map(d =>
       s"CAST(embedding[${d + 1}] AS DOUBLE)*${Similarity.planeCoef(b, d)}")
       .mkString(" + ")
@@ -163,19 +169,19 @@ trait ExtMediaGates { this: ExtAllGates =>
     val poolElems = (0 until ANN_BITS).map(b =>
       s"struct_pack(m := round(abs(p$b), 9), b := $b, bm := CAST(${1L << b} AS BIGINT))")
       .mkString("[", ", ", "]")
-    val subsets = (1 to ANN_PROBE_FLIPS)
-      .flatMap(r => (0 until ANN_PROBE_POOL).combinations(r).map(_.toSeq))
+    val subsets = (1 to flips)
+      .flatMap(r => (0 until pool).combinations(r).map(_.toSeq))
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     "WITH c AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed, " +
       s"${duckSignature("embedding")} AS sig FROM embeddings WHERE $predSql), " +
       s"q0 AS MATERIALIZED (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd, $projCols " +
       "FROM embeddings WHERE vec_id % 50 = 0), " +
       s"q1 AS (SELECT q_id, qd, $base AS base, " +
-      s"list_sort($poolElems)[1:$ANN_PROBE_POOL] AS pool FROM q0), " +
+      s"list_sort($poolElems)[1:$pool] AS pool FROM q0), " +
       s"q2 AS (SELECT q_id, qd, base, list_sort(list_transform($subsets, ss -> struct_pack(" +
       "ms := round(list_reduce(list_prepend(0.0, list_transform(ss, i -> pool[i+1].m)), (a, b) -> a + b), 9), " +
       "mask := list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ss, i -> pool[i+1].bm)), (a, b) -> a | b))))" +
-      s"[1:${ANN_PROBE_T - 1}] AS alts FROM q1), " +
+      s"[1:${nprobe - 1}] AS alts FROM q1), " +
       "probes AS (SELECT q_id, qd, unnest(list_prepend(base, list_transform(alts, a -> xor(base, a.mask)))) AS sig FROM q2), " +
       "sc AS (SELECT probes.q_id, c.vec_id, " +
       "round(list_dot_product(c.ed, probes.qd)/(sqrt(list_dot_product(c.ed, c.ed))*sqrt(list_dot_product(probes.qd, probes.qd))), 6) AS score " +

@@ -584,6 +584,22 @@ trait ExtSimilarityGates { this: ExtAllGates =>
         .unionByName(rec(s"pca_$name",
           Similarity.filteredPcaTopK(emb, qs, k = 10, sharedPcaComps(s, d),
             coarseK = PCA_COARSE, pred)))
+        // r20 (X228): the ADAPTIVE multi-probe row at BOTH
+        // selectivities — nprobe and the (pool, flips) perturbation
+        // geometry derived from the predicate's measured selectivity
+        // (Similarity.adaptiveLshProbeGeometry), closing the one
+        // recall inversion the fixed geometry pinned (.35 → .27):
+        // even derives 66 probes over (pool 7, flips 6); label=3
+        // saturates the 2^8-bucket table (256 probes = an honest
+        // brute-force scan of the ~10% slice, recall 1.0 by
+        // construction — the correct serving degradation when bucket
+        // geometry cannot carry the predicate). The oracle pins the
+        // derived triples; selectivity drift that changes them fails
+        // loud.
+        .unionByName(rec(s"lshp_adapt_$name",
+          Similarity.filteredLshMultiProbeTopKAdaptive(emb, qs, k = 10,
+            bits = ANN_BITS, dims = EMB_DIMS, baseNprobe = ANN_PROBE_T,
+            pred, poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
     }
     // the SELECTIVE predicate additionally runs with the
     // selectivity-DERIVED cell budget (X199's guidance made a knob:
@@ -626,6 +642,14 @@ trait ExtSimilarityGates { this: ExtAllGates =>
       s"rp3 AS (${embedRpSqlAt("label = 3")}), " +
       s"lpe AS (${embedAnnProbeSqlAt("label % 2 = 0")}), " +
       s"lp3 AS (${embedAnnProbeSqlAt("label = 3")}), " +
+      // X228 adaptive multi-probe: pinned derivations of
+      // adaptiveLshProbeGeometry at both test SFs — even selects
+      // ~1/2 of 500 rows, so target = ceil(32·500/246|244) = 66 and
+      // the geometry widens (6,3) → (7,6) (first capacity ≥ 65);
+      // label=3 selects ~1/10, target caps at 2^8 = 256 with the
+      // full (8,8) enumeration — the saturated brute-scan row
+      s"lpae AS (${embedAnnProbeSqlAt("label % 2 = 0", 66, 7, 6)}), " +
+      s"lpa3 AS (${embedAnnProbeSqlAt("label = 3", 256, 8, 8)}), " +
       s"pce AS (${embedPcaSqlAt("label % 2 = 0")}), " +
       s"pc3 AS (${embedPcaSqlAt("label = 3")}), " +
       // the adaptive row's derived budget: label=3 selects ~1/8 of the
@@ -638,12 +662,14 @@ trait ExtSimilarityGates { this: ExtAllGates =>
       s"UNION ALL ${rec("pq_even", "bfe", "pqe")} " +
       s"UNION ALL ${rec("rp_even", "bfe", "rpe")} " +
       s"UNION ALL ${rec("lshp_even", "bfe", "lpe")} " +
+      s"UNION ALL ${rec("lshp_adapt_even", "bfe", "lpae")} " +
       s"UNION ALL ${rec("pca_even", "bfe", "pce")} " +
       s"UNION ALL ${rec("binary_l3", "bf3", "bq3")} " +
       s"UNION ALL ${rec("ivfpq_l3", "bf3", "iv3")} " +
       s"UNION ALL ${rec("pq_l3", "bf3", "pq3")} " +
       s"UNION ALL ${rec("rp_l3", "bf3", "rp3")} " +
       s"UNION ALL ${rec("lshp_l3", "bf3", "lp3")} " +
+      s"UNION ALL ${rec("lshp_adapt_l3", "bf3", "lpa3")} " +
       s"UNION ALL ${rec("pca_l3", "bf3", "pc3")} " +
       s"UNION ALL ${rec("ivfpq_adapt_l3", "bf3", "iva3")}) " +
       "SELECT method, q_id, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n, " +
@@ -1770,6 +1796,129 @@ trait ExtSimilarityGates { this: ExtAllGates =>
       s"UNION ALL (${metrics("ivfpq_norm", "ivfpqn")}) " +
       s"UNION ALL (${metrics("rp", "rpt")}) " +
       s"UNION ALL (${metrics("ivfpq_filt", "ivfpqf", "bff", "gcf")})) " +
+      "SELECT method, q_id, n_rel, mrr_micro, dcg_micro, " +
+      "CAST(idcg_micro AS BIGINT) AS idcg_micro, " +
+      "CAST(dcg_micro * 10000 // idcg_micro AS BIGINT) AS ndcg_bp FROM m"
+  }
+
+  /** FILTERED retrieval-metrics harness (X229) — the r19 asymmetry
+    * closed one level up: `q_retrieval_metrics` measured ranking
+    * quality under a predicate for ONE tier (ivfpq at one
+    * selectivity); this gate carries nDCG/MRR for ALL SEVEN filtered
+    * serving tiers (binary, ivfpq, pq, rp, lshp fixed, lshp adaptive,
+    * pca) at BOTH selectivities, against brute force over each
+    * filtered slice — the X199 six-of-six recall law applied to the
+    * ranking story. Same integer DCG/IDCG/reciprocal tables, same
+    * shared trained artifacts (codebooks/components/codes memoized
+    * once per (dir, params)), same derived adaptive geometry as
+    * X228's recall rows (pinned in the oracle; drift fails loud). */
+  val filteredRetrievalMetricsQ: Q = (s, d) => {
+    val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
+    val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
+    val (coarse, books) = sharedIvfPqIndex(s, d)
+    val codes = graft.core.Caches.persistTracked(
+      Similarity.ivfPqCodes(emb, "vec_id", "embedding", coarse, books,
+        metaCols = Seq("label")))
+    def forPred(name: String, pred: org.apache.spark.sql.Column) = {
+      val bf = graft.core.Caches.persistTracked(
+        Similarity.bruteForceTopK(emb.filter(pred), qs, k = 10))
+      def m(method: String, ann: DataFrame) =
+        Similarity.retrievalMetrics(bf, ann, k = 10)
+          .withColumn("method", lit(s"${method}_$name"))
+          .select(col("method"), col("q_id"), col("n_rel"),
+            col("mrr_micro"), col("dcg_micro"), col("idcg_micro"),
+            col("ndcg_bp"))
+      m("binary", Similarity.filteredBinaryRerankTopK(emb, qs, pred,
+          coarseK = 50, k = 10, dims = EMB_DIMS))
+        .unionByName(m("ivfpq",
+          Similarity.filteredIvfPqTopKFromCodes(codes, emb, qs, k = 10,
+            coarse, books, nprobe = FILT_NPROBE, coarseK = PQ_COARSE,
+            pred)))
+        .unionByName(m("pq",
+          Similarity.filteredPqTopK(emb, qs, k = 10, sharedPqBooks(s, d),
+            coarseK = PQ_COARSE, pred)))
+        .unionByName(m("rp",
+          Similarity.filteredRpTopK(emb, qs, k = 10, outDims = RP_OUT,
+            dims = EMB_DIMS, coarseK = RP_COARSE, pred)))
+        .unionByName(m("lshp",
+          Similarity.filteredLshMultiProbeTopK(emb, qs, k = 10,
+            bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T, pred,
+            poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
+        .unionByName(m("lshp_adapt",
+          Similarity.filteredLshMultiProbeTopKAdaptive(emb, qs, k = 10,
+            bits = ANN_BITS, dims = EMB_DIMS, baseNprobe = ANN_PROBE_T,
+            pred, poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
+        .unionByName(m("pca",
+          Similarity.filteredPcaTopK(emb, qs, k = 10, sharedPcaComps(s, d),
+            coarseK = PCA_COARSE, pred)))
+    }
+    forPred("even", col("label") % 2 === 0)
+      .unionByName(forPred("l3", col("label") === 3))
+  }
+
+  // lazy: references the RP/PCA/multi-probe oracle fronts declared
+  // below in the mixin linearization (the filteredAnnSql contract)
+  lazy val filteredRetrievalMetricsSql: String = {
+    val k = 10
+    val dt = (for { pos <- 1 to k; rel <- 1 to k }
+      yield s"($pos, $rel, ${Similarity.dcgTermMicro(pos, rel)})").mkString(", ")
+    val idt = (1 to k).map(n => s"($n, ${Similarity.idcgMicro(n, k)})")
+      .mkString(", ")
+    val rrt = (1 to k).map(r => s"($r, ${(2000000L + r) / (2L * r)})")
+      .mkString(", ")
+    def metrics(method: String, cte: String, bf: String,
+        gc: String): String =
+      s"SELECT '$method' AS method, $gc.q_id, " +
+        s"coalesce(pq.n_rel, 0) AS n_rel, coalesce(pq.mrr_micro, 0) AS mrr_micro, " +
+        s"coalesce(pq.dcg_micro, 0) AS dcg_micro, it.v AS idcg_micro " +
+        s"FROM $gc LEFT JOIN (" +
+        s"SELECT q_id, CAST(sum(dcg) AS BIGINT) AS dcg_micro, " +
+        "CAST(coalesce(max(rr_v), 0) AS BIGINT) AS mrr_micro, " +
+        "CAST(sum(hit) AS BIGINT) AS n_rel FROM (" +
+        s"SELECT a.q_id, coalesce(d.v, 0) AS dcg, " +
+        "CASE WHEN g.vec_id IS NOT NULL THEN rt.v END AS rr_v, " +
+        "CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+        s"FROM $cte a LEFT JOIN $bf g ON a.q_id = g.q_id AND a.vec_id = g.vec_id " +
+        s"LEFT JOIN dt d ON d.pos = a.rank AND d.rel = ${k + 1} - g.rank " +
+        "LEFT JOIN rrt rt ON rt.r = a.rank" +
+        s") GROUP BY q_id) pq ON $gc.q_id = pq.q_id " +
+        s"JOIN idt it ON it.n = $gc.ngt"
+    s"WITH bfe AS MATERIALIZED (${embedTopKSqlAt("label % 2 = 0")}), " +
+      s"bf3 AS MATERIALIZED (${embedTopKSqlAt("label = 3")}), " +
+      s"bqe AS (${embedBinarySqlAt(50, "e.label % 2 = 0")}), " +
+      s"bq3 AS (${embedBinarySqlAt(50, "e.label = 3")}), " +
+      s"ive AS (${embedIvfPqSqlAt("em.label % 2 = 0", FILT_NPROBE)}), " +
+      s"iv3 AS (${embedIvfPqSqlAt("em.label = 3", FILT_NPROBE)}), " +
+      s"pqe AS (${embedPqSqlAt("label % 2 = 0")}), " +
+      s"pq3 AS (${embedPqSqlAt("label = 3")}), " +
+      s"rpe AS (${embedRpSqlAt("label % 2 = 0")}), " +
+      s"rp3 AS (${embedRpSqlAt("label = 3")}), " +
+      s"lpe AS (${embedAnnProbeSqlAt("label % 2 = 0")}), " +
+      s"lp3 AS (${embedAnnProbeSqlAt("label = 3")}), " +
+      // the X228 derived triples, pinned (see filteredAnnRecallSql)
+      s"lpae AS (${embedAnnProbeSqlAt("label % 2 = 0", 66, 7, 6)}), " +
+      s"lpa3 AS (${embedAnnProbeSqlAt("label = 3", 256, 8, 8)}), " +
+      s"pce AS (${embedPcaSqlAt("label % 2 = 0")}), " +
+      s"pc3 AS (${embedPcaSqlAt("label = 3")}), " +
+      s"dt AS (SELECT * FROM (VALUES $dt) t(pos, rel, v)), " +
+      s"idt AS (SELECT * FROM (VALUES $idt) t(n, v)), " +
+      s"rrt AS (SELECT * FROM (VALUES $rrt) t(r, v)), " +
+      "gce AS MATERIALIZED (SELECT q_id, count(*) AS ngt FROM bfe GROUP BY q_id), " +
+      "gc3 AS MATERIALIZED (SELECT q_id, count(*) AS ngt FROM bf3 GROUP BY q_id), " +
+      s"m AS ((${metrics("binary_even", "bqe", "bfe", "gce")}) " +
+      s"UNION ALL (${metrics("ivfpq_even", "ive", "bfe", "gce")}) " +
+      s"UNION ALL (${metrics("pq_even", "pqe", "bfe", "gce")}) " +
+      s"UNION ALL (${metrics("rp_even", "rpe", "bfe", "gce")}) " +
+      s"UNION ALL (${metrics("lshp_even", "lpe", "bfe", "gce")}) " +
+      s"UNION ALL (${metrics("lshp_adapt_even", "lpae", "bfe", "gce")}) " +
+      s"UNION ALL (${metrics("pca_even", "pce", "bfe", "gce")}) " +
+      s"UNION ALL (${metrics("binary_l3", "bq3", "bf3", "gc3")}) " +
+      s"UNION ALL (${metrics("ivfpq_l3", "iv3", "bf3", "gc3")}) " +
+      s"UNION ALL (${metrics("pq_l3", "pq3", "bf3", "gc3")}) " +
+      s"UNION ALL (${metrics("rp_l3", "rp3", "bf3", "gc3")}) " +
+      s"UNION ALL (${metrics("lshp_l3", "lp3", "bf3", "gc3")}) " +
+      s"UNION ALL (${metrics("lshp_adapt_l3", "lpa3", "bf3", "gc3")}) " +
+      s"UNION ALL (${metrics("pca_l3", "pc3", "bf3", "gc3")})) " +
       "SELECT method, q_id, n_rel, mrr_micro, dcg_micro, " +
       "CAST(idcg_micro AS BIGINT) AS idcg_micro, " +
       "CAST(dcg_micro * 10000 // idcg_micro AS BIGINT) AS ndcg_bp FROM m"

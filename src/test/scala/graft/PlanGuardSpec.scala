@@ -116,6 +116,11 @@ class PlanGuardSpec extends SparkSpec {
       // same tiers + the q_embed_topk-shaped brute pass over the
       // filtered slice as ground truth; recall joins are keyed
       "q_filtered_ann_recall",
+      // q_filtered_ann_recall's tier passes scored with
+      // q_retrieval_metrics' (q_id, vec_id)-keyed metric joins over
+      // k-bounded rows — every crossJoin is an allowlisted coarse or
+      // brute shape composed verbatim
+      "q_filtered_retrieval_metrics",
       // 1-row (tot, V) smoothing-stats attach per EM round, like
       // q_water_fill's 1-row bounds attach; the lattice/usage joins
       // are piece-keyed shuffle-hash equi-joins

@@ -1023,6 +1023,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("adaptiveLshProbeGeometry: widening ladder, saturation cap, guards") {
+    // probeCapacity == the operator's subset enumeration size
+    assert(Similarity.probeCapacity(6, 3) == 41)
+    assert(Similarity.probeCapacity(7, 6) == 126)
+    assert(Similarity.probeCapacity(8, 8) == 255)
+    val corpus = Seq.tabulate(80)(i => (i.toLong, i % 8))
+      .toDF("vec_id", "label")
+    // non-selective predicate keeps the base budget and geometry
+    assert(Similarity.adaptiveLshProbeGeometry(corpus, col("label") >= 0,
+      bits = 8, baseNprobe = 32, poolSize = 6, maxFlips = 3) == ((32, 6, 3)))
+    // exactly-1/2 selective at base 32 -> 64 probes = base + 63 alts;
+    // flips widen 3 -> 6 (capacity 63, first >= 63) with the pool kept
+    assert(Similarity.adaptiveLshProbeGeometry(corpus, col("label") % 2 === 0,
+      bits = 8, baseNprobe = 32, poolSize = 6, maxFlips = 3) == ((64, 6, 6)))
+    // one row past half (39/80) needs 66 probes -> the pool widens to 7
+    assert(Similarity.adaptiveLshProbeGeometry(corpus,
+      col("label") % 2 === 0 && col("vec_id") =!= 0,
+      bits = 8, baseNprobe = 32, poolSize = 6, maxFlips = 3) == ((66, 7, 6)))
+    // 1/8 selective -> 256, saturating the 2^8-bucket table with the
+    // full (8, 8) enumeration — the honest brute-scan degradation
+    assert(Similarity.adaptiveLshProbeGeometry(corpus, col("label") === 3,
+      bits = 8, baseNprobe = 32, poolSize = 6, maxFlips = 3) == ((256, 8, 8)))
+    intercept[IllegalArgumentException] {
+      Similarity.adaptiveLshProbeGeometry(corpus, col("label") === 99,
+        bits = 8, baseNprobe = 32, poolSize = 6, maxFlips = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.adaptiveLshProbeGeometry(corpus.limit(0), col("label") === 0,
+        bits = 8, baseNprobe = 32, poolSize = 6, maxFlips = 3)
+    }
+  }
+
+  test("filteredLshMultiProbeTopKAdaptive: == fixed operator at the derived params; saturated == brute over slice") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val predE = col("label") % 2 === 0
+    val (np, p, f) = Similarity.adaptiveLshProbeGeometry(emb, predE,
+      bits = 8, baseNprobe = 32, poolSize = 6, maxFlips = 3)
+    assert(rows(Similarity.filteredLshMultiProbeTopKAdaptive(emb, q, k = 10,
+        bits = 8, dims = 64, baseNprobe = 32, predE)) ==
+      rows(Similarity.filteredLshMultiProbeTopK(emb, q, k = 10,
+        bits = 8, dims = 64, nprobe = np, predE, poolSize = p, maxFlips = f)))
+    // the saturated geometry probes every bucket == brute force over
+    // the filtered slice (recall 1.0 by construction)
+    val pred3 = col("label") === 3
+    val (np3, p3, f3) = Similarity.adaptiveLshProbeGeometry(emb, pred3,
+      bits = 8, baseNprobe = 32, poolSize = 6, maxFlips = 3)
+    assert(np3 == 256 && p3 == 8 && f3 == 8)
+    assert(rows(Similarity.filteredLshMultiProbeTopKAdaptive(emb, q, k = 10,
+        bits = 8, dims = 64, baseNprobe = 32, pred3)) ==
+      rows(Similarity.bruteForceTopK(emb.filter(pred3), q, k = 10)))
+  }
+
   test("filtered ANN: pre-filter == unfiltered over the slice, metaCols ride the store") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") % 50 === 0)
