@@ -33,7 +33,8 @@ object VerifyScaleUp {
     "q_incremental_video_neardup_capped",
     "q_embed_pca",
     "q_incremental_unigram", "q_incremental_bpe",
-    "q_exact_dedup")
+    "q_incremental_wordpiece",
+    "q_exact_dedup", "q_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "target/verify_sf1"
