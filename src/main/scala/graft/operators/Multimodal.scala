@@ -776,7 +776,17 @@ object Multimodal {
     * rather than approximate. Scale shape: inverted index on the
     * hash (candidates only where a hash is shared — never
     * batch × store), (bid, sid) partial-agg counts, pinned
-    * shuffle-hash joins on 16-byte rows. */
+    * shuffle-hash joins on 16-byte rows.
+    *
+    * SERVING CONTRACT (r19 sf1 decade, PLANS.md): call this with a
+    * FINITE `maxFrameDf` — the capped configuration
+    * (`q_incremental_video_neardup_capped`, df ≤ 8) is the serving
+    * entry point, measured FLAT across the sf0.1→sf1 decade
+    * (α ≈ 0). The uncapped form (`maxFrameDf = Long.MaxValue`) is the
+    * MINING/PARITY configuration only: on a corpus whose duplicate
+    * classes densify, its inverted-index pair term grows with
+    * class² — measured α 1.77 on the ×10 replica corpus — so it must
+    * not appear in any always-on ingest recipe. */
   def incrementalVideoNearDup(batchSigs: DataFrame, storeSigs: DataFrame,
       threshold: Double, idCol: String = "media_id",
       sigCol: String = "fhash",

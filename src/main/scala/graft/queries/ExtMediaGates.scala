@@ -974,6 +974,51 @@ trait ExtMediaGates { this: ExtAllGates =>
 
   lazy val streamIncrVideoNearDupSql: String = incrementalVideoNearDupSql
 
+  /** CAPPED streaming incremental video near-dup — the SERVING
+    * configuration of X207, the streaming mirror of
+    * `q_incremental_video_neardup_capped` (the r19 convention: when a
+    * gate runs an operator without its scale guard, the guarded form
+    * becomes its OWN oracle-verified row). The r20 decade measured
+    * the uncapped streaming gate at α 1.54 (5.4 s → 187 s on the ×10
+    * replica corpus — the inverted-index dup-class² term arriving
+    * per micro-batch); this row engages `maxFrameDf` (df ≤ 8 over
+    * store ∪ batch, the same vocabulary a union-batch run would see)
+    * and is the form an always-on ingest recipe composes. Oracle =
+    * the capped increment chain verbatim (single-file source → one
+    * micro-batch → survivors ≡ the increment). */
+  val streamIncrVideoNearDupCapped: Q = (s, d) => withStreamShuffle(s, 8) {
+    val ckpt = streamCkptDir("graft-ckpt-sivnc")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-vidstore-c").toString
+    def sigsOf(docs: org.apache.spark.sql.DataFrame) =
+      Multimodal.videoFrameSignatures(
+        Multimodal.videoMediaFromDocuments(docs),
+        Multimodal.VideoFrameBytes).toDF()
+        .filter(col("decoded")).select(col("media_id"), col("fhash"))
+    videoSigTable(s, d).filter(col("media_id") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    val src = sigsOf(
+      s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
+        .filter(col("doc_id") % 3 =!= 0))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = EventsStreaming.streamingIncrementalVideoNearDup(
+      src, storeDir, threshold = VIDEO_INCR_T,
+      maxFrameDf = VIDEO_FRAME_DF_CAP) { (sv, _) =>
+      buf ++= sv.select(col("media_id"), col("fhash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try runStreamThenCleanCkpt(q, ckpt)
+    finally deleteRecursively(storeDir)
+    import s.implicits._
+    buf.toSeq.toDF("media_id", "fhash")
+  }
+
+  lazy val streamIncrVideoNearDupCappedSql: String =
+    incrementalVideoNearDupCappedSql
+
   /** Cross-modal retrieval closure (X110): similarity search OVER a
     * multimodal column — real BMP payloads decode (javax.imageio) to
     * [w, h, Σr, Σg, Σb] feature vectors which run through the exact

@@ -453,6 +453,15 @@ object EventsStreaming {
     * self-excluded reads + per-batch overwrite retry idempotence,
     * one-checkpoint-per-store lineage guard, negative-id bootstrap,
     * pre-write localCheckpoint, scoped cache release). */
+  /** SERVING CONTRACT (r20 decade, PLANS.md "streaming video cap"):
+    * pass a FINITE `maxFrameDf` in any always-on composition — the
+    * per-micro-batch increment inherits
+    * [[graft.operators.Multimodal.incrementalVideoNearDup]]'s
+    * inverted-index pair term, and uncapped on a densifying corpus
+    * that term grows with dup-class² (measured: the uncapped
+    * streaming gate hit α 1.54 across the sf0.1→sf1 decade, 5.4 s →
+    * 187 s, while the capped form stays flat). The uncapped default
+    * exists for mining/parity runs only. */
   def streamingIncrementalVideoNearDup(sigs: DataFrame, storePath: String,
       threshold: Double, idCol: String = "media_id",
       sigCol: String = "fhash", maxFrameDf: Long = Long.MaxValue)(
