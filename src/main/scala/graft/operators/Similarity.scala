@@ -1814,6 +1814,14 @@ object Similarity {
       aggregate(ss, lit(0L),
         (acc, i) => acc.bitwiseOR(element_at(col("_pool"), i + 1).getField("bm")))
         .as("mask")))
+    // the probe LIST materializes BEFORE the explode (localCheckpoint
+    // on the queries-sized frame — the side that broadcasts anyway):
+    // left lazy, the generator re-evaluates the full collapsed
+    // margin-subset tree per EMITTED probe row, which at the
+    // saturated adaptive geometry (pool 8, flips 8 → 255 subsets ×
+    // inlined pool/projection folds) measured 25 s for 40 queries vs
+    // 0.3 s materialized — a plan-shape constant, independent of
+    // corpus size (r20, PLANS "adaptive multi-probe cost")
     val q = queries
       .withColumn("_proj", projArr)
       .withColumn("_base", baseSig)
@@ -1822,6 +1830,8 @@ object Similarity {
       .withColumn("_probes", array_distinct(concat(
         array(col("_base")),
         transform(col("_alts"), a => col("_base").bitwiseXOR(a.getField("mask"))))))
+      .select(col(qIdCol), col(qVecCol), col("_probes"))
+      .localCheckpoint()
       .select(col(qIdCol), col(qVecCol), explode(col("_probes")).as("_sig"))
     val c = spread(corpus)
       .withColumn("_sig", signSignatureAuto(corpus, col(vecCol), bits, dims))
