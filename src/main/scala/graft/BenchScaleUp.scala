@@ -53,8 +53,18 @@ object BenchScaleUp {
     * by the bench decade ([[BenchScaleUp]]) and the sf1 ORACLE slice
     * ([[VerifyScaleUp]]) so both measure the SAME corpus. */
   def ensureReplicas(spark: SparkSession, base: String, sf1: String,
-      parts: Int): Unit =
-    if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
+      parts: Int): Unit = {
+    // completeness = the _SUCCESS marker of the LAST-written table (a
+    // run killed mid-write must rebuild, not silently reuse a partial
+    // corpus) and a sentinel recording the BASE dir (changing
+    // SPARK_GRAFT_SF_DIR between runs must not silently keep replicas
+    // of the old base) — r20 advisor finding
+    val sentinel = java.nio.file.Paths.get(s"$sf1/_graft_base")
+    val complete =
+      new java.io.File(s"$sf1/embeddings.parquet/_SUCCESS").exists() &&
+        java.nio.file.Files.exists(sentinel) &&
+        new String(java.nio.file.Files.readAllBytes(sentinel), "UTF-8") == base
+    if (!complete) {
       System.err.println(s"[scaleup] materializing $sf1 from $base (x10)")
       val reps = spark.range(0, 10).select(col("id").as("_rep"))
       def amp(table: String, idCol: String): Unit =
@@ -66,7 +76,10 @@ object BenchScaleUp {
           .write.mode("overwrite").parquet(s"$sf1/$table.parquet")
       amp("documents", "doc_id")
       amp("embeddings", "vec_id")
+      java.nio.file.Files.createDirectories(sentinel.getParent)
+      java.nio.file.Files.write(sentinel, base.getBytes("UTF-8"))
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val queryNames = if (args.nonEmpty) args.toSeq else DEFAULTS

@@ -53,8 +53,12 @@ object BpeWordBound {
           .as("w"))
       val bigrams = docs.select(
         graft.functions.TextFunctions.tokens(lower(col("text"))).as("ts"))
+        // guard short docs: sequence(1, 0) steps DOWN to [1, 0] (two
+        // out-of-bounds lookups → null bigram rows skewing B), so docs
+        // with < 2 tokens must emit an empty array (r20 advisor finding)
         .select(explode(expr(
-          "transform(sequence(1, greatest(size(ts) - 1, 0)), " +
+          "transform(CASE WHEN size(ts) >= 2 THEN sequence(1, size(ts) - 1) " +
+            "ELSE array() END, " +
             "i -> concat(ts[i - 1], ' ', ts[i]))")).as("b"))
       val t = toks.count()
       val dw = toks.distinct().count()

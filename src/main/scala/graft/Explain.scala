@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   * 100 TB" iteration loop. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    // comma-separated list → one warm JVM measures them all (per-query
+    // JVM startup would otherwise dominate an optimization loop)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -30,21 +32,23 @@ object Explain {
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
     })
-    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-    spark.catalog.clearCache()
-    (1 to 3).foreach { i =>
-      // build INSIDE the timer: queries with driver-side fixpoint loops
-      // (connected components, k-means, localCheckpoint supersteps) do
-      // real work at construction — Bench pays it, so Explain must too
-      jobs.set(0); stages.set(0)
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"[explain] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs " +
-        s"(${jobs.get()} jobs, ${stages.get()} stages)")
-      // cold-cache, warm-JVM: drop what the query persisted so run2/3
-      // time the real per-pass cost Bench pays, not a cache replay
+    names.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       spark.catalog.clearCache()
+      (1 to 3).foreach { i =>
+        // build INSIDE the timer: queries with driver-side fixpoint loops
+        // (connected components, k-means, localCheckpoint supersteps) do
+        // real work at construction — Bench pays it, so Explain must too
+        jobs.set(0); stages.set(0)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[explain] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+          s"(${jobs.get()} jobs, ${stages.get()} stages)")
+        // cold-cache, warm-JVM: drop what the query persisted so run2/3
+        // time the real per-pass cost Bench pays, not a cache replay
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

@@ -166,7 +166,10 @@ object Caches {
     * write runs outside it, so unrelated keys build concurrently and
     * a build that itself memoizes a sub-table cannot deadlock or
     * corrupt the map. A failed build withdraws its reservation so a
-    * later caller retries instead of inheriting the failure. */
+    * LATER caller retries instead of inheriting the failure; callers
+    * already blocked on the in-flight build inherit it as a
+    * CompletionException wrapping the original (r20 advisor note —
+    * only arrivals after the withdrawal observe a fresh slot). */
   def memoizedTable(spark: SparkSession, key: String)(
       build: => DataFrame): DataFrame = {
     val memoKey = (spark, key)

@@ -47,4 +47,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Widen a frame to the session's parallelism ONLY when its plan
+    * yields fewer partitions than that (guide §2.4/§2.5): small
+    * single-file bench inputs arrive as one scan split, which would
+    * serialize per-row-heavy kernels on one core — those still get the
+    * round-robin widening. A 100 TB input already carries thousands of
+    * scan splits, and the old unconditional `repartition(parallelism)`
+    * forced a full corpus round-robin exchange (plus Spark's
+    * sort-before-repartition pass) that did nothing but REDUCE
+    * parallelism to the core count. The probe is plan-side
+    * (`rdd.getNumPartitions` — no job runs); results are identical
+    * either way because every downstream consumer is
+    * partitioning-agnostic (partial aggs, deterministic tie-breaks). */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -179,7 +179,16 @@ object Traversal {
     // (the max() below would read NULL off an empty aggregate)
     if (e.isEmpty)
       return verts.withColumn("authority", lit(0L)).withColumn("hub", lit(0L))
-    def normalized(raw: DataFrame, scoreName: String): DataFrame = {
+    def normalized(raw0: DataFrame, scoreName: String): DataFrame = {
+      // materialize the edge-join + partial agg ONCE (r21, guide §1.2):
+      // checkpointing the NORMALIZED frame after the max action computed
+      // the same join+agg twice per half-step — checkpoint the RAW
+      // scores instead, read the max off the checkpointed rows, and let
+      // the vertex-sized normalize join pipeline into the next
+      // half-step's job. Halves the per-iteration shuffle work; the
+      // per-round lineage truncation the checkpoint exists for is
+      // unchanged (raw is the only frame the next step references).
+      val raw = raw0.localCheckpoint()
       // O(1)-result action; non-null because e is non-empty and hub
       // scores start positive
       val mx = raw.agg(max(col("_raw"))).first().getLong(0)
@@ -187,7 +196,6 @@ object Traversal {
       verts.join(raw.hint("shuffle_hash"), Seq("name"), "left")
         .select(col("name"),
           coalesce(expr(s"_raw * ${scale}L div ${mx}L"), lit(0L)).as(scoreName))
-        .localCheckpoint()
     }
     var hub = verts.withColumn("hub", lit(scale))
     // assigned on the first half-step (iters >= 1) — only hubs seed

@@ -77,9 +77,11 @@ object Clustering {
     require(k > 0 && iters > 0, "k and iters must be positive")
     import org.apache.spark.storage.StorageLevel
     val spark = corpus.sparkSession
-    val q = corpus.select(col(idCol).cast("long").as("vec_id"),
-      fixedPoint(col(vecCol), scale).as("qv"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    // scale-adaptive widening: only single-split bench inputs pay the
+    // round-robin exchange (see Tables.spreadIfNarrow)
+    val q = graft.core.Tables.spreadIfNarrow(
+      corpus.select(col(idCol).cast("long").as("vec_id"),
+        fixedPoint(col(vecCol), scale).as("qv")))
       .persistTracked()
 
     // deterministic seed: the k lowest-id vectors, cluster = seed rank

@@ -47,11 +47,13 @@ object Dedup {
 
   /** Spread per-row-heavy compute across the cluster: small single-file
     * benchmark inputs arrive as one scan split, which would serialize
-    * the hash kernels on one core. Cost: one round-robin shuffle of the
-    * (tiny relative to compute) input. Real 100 TB inputs already have
-    * thousands of splits — this keeps the small-file case honest. */
+    * the hash kernels on one core. Scale-adaptive (r21, guide §2.4):
+    * inputs already at-or-above the session parallelism — every real
+    * 100 TB table — skip the round-robin exchange entirely instead of
+    * paying a full-corpus shuffle that only REDUCED their parallelism
+    * to the core count (see [[graft.core.Tables.spreadIfNarrow]]). */
   private[operators] def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.core.Tables.spreadIfNarrow(df)
 
   /** ONE bounded action deciding a broadcast-vs-shuffle gate:
     * `limit(budget+1).count()` stops early above the budget instead of

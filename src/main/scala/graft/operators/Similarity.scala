@@ -717,7 +717,11 @@ object Similarity {
     val buckets = 1L << bits
     val target = math.min(buckets,
       math.max(baseNprobe.toLong, (baseNprobe * n + q - 1) / q)).toInt
-    var (p, f) = (math.min(poolSize, bits), math.min(maxFlips, poolSize))
+    // clamp flips to the already-clamped pool: with poolSize > bits and
+    // maxFlips > bits, f > p would trip probeCapacity's require instead
+    // of computing a geometry (r20 advisor finding)
+    var p = math.min(poolSize, bits)
+    var f = math.min(maxFlips, p)
     while (1 + probeCapacity(p, f) < target && (f < p || p < bits)) {
       if (f < p) f += 1 else p += 1
     }
@@ -1014,8 +1018,12 @@ object Similarity {
 
   /** Spread per-row-heavy vector compute across all cores (single-file
     * benchmark inputs arrive as one scan split). */
+  /** Scale-adaptive widening (see [[graft.core.Tables.spreadIfNarrow]]):
+    * repartition ONLY when the scan is narrower than the session
+    * parallelism — a 100 TB corpus with thousands of splits no longer
+    * pays a full round-robin exchange here. */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.core.Tables.spreadIfNarrow(df)
 
   /** Final per-query top-k over a scored frame — aggregator path
     * (bounded per-partition heaps, map-side combine), NOT a window:
@@ -1060,6 +1068,35 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(count(col("_hit")).as("hits"), count(lit(1)).as("n"))
       .select(col("q_id"), col("hits"), col("n"),
+        round(col("hits").cast("double") / col("n").cast("double"), 6)
+          .as("recall"))
+  }
+
+  /** [[recallAtK]] for MANY tiers in ONE pass (r21, guide §2.4 "two
+    * operations keyed the same way can share one exchange"): the ann
+    * side arrives as a UNION tagged with a `method` column, the
+    * ground-truth row universe is expanded by the (driver-known,
+    * broadcast) method list, and the whole harness is ONE
+    * (method, q_id, vec_id) left join + ONE (method, q_id) partial
+    * agg — where the per-tier form paid a join + agg exchange PER
+    * tier (10 tiers = 20 exchanges → 2). Per method the result is
+    * provably [[recallAtK]]'s: restricting the crossJoin to one tag
+    * yields exactly its gt/hits join. Same counting, same rounding,
+    * same columns — only the exchange count changes. */
+  def recallAtKTagged(groundTruth: DataFrame, annTagged: DataFrame,
+      methods: Seq[String]): DataFrame = {
+    val spark = groundTruth.sparkSession
+    import spark.implicits._
+    require(methods.nonEmpty && methods.distinct == methods,
+      s"recallAtKTagged: methods must be non-empty and distinct, got $methods")
+    val gtm = groundTruth.select(col("q_id"), col("vec_id"))
+      .crossJoin(broadcast(methods.toDF("method")))
+    val hits = annTagged.select(col("method"), col("q_id"), col("vec_id"),
+      lit(1L).as("_hit"))
+    gtm.join(hits, Seq("method", "q_id", "vec_id"), "left")
+      .groupBy(col("method"), col("q_id"))
+      .agg(count(col("_hit")).as("hits"), count(lit(1)).as("n"))
+      .select(col("method"), col("q_id"), col("hits"), col("n"),
         round(col("hits").cast("double") / col("n").cast("double"), 6)
           .as("recall"))
   }
@@ -1135,6 +1172,67 @@ object Similarity {
           .otherwise(col("_ngt0")).as("_ngt"))
     gtCounts.join(perQuery, Seq("q_id"), "left")
       .select(col("q_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("_rrMax"), lit(0L)).cast("long").as("mrr_micro"),
+        coalesce(col("_dcgSum"), lit(0L)).as("dcg_micro"),
+        try_element_at(idcgMap, col("_ngt")).as("idcg_micro"))
+      .withColumn("ndcg_bp",
+        expr("dcg_micro * 10000 div idcg_micro"))
+  }
+
+  /** [[retrievalMetrics]] for MANY tiers in ONE pass (r21 — the
+    * [[recallAtKTagged]] discipline applied to the nDCG/MRR harness):
+    * ann results arrive unioned with a `method` tag; the hit join,
+    * the per-query aggregation, and the ground-truth-count join each
+    * run ONCE over the union instead of once per tier (7 tiers ≈ 21
+    * exchanges → 3). Identical integer tables, identical fail-loud
+    * guards, identical per-(method, q_id) arithmetic — restricting to
+    * one tag reproduces [[retrievalMetrics]] exactly; a tier that
+    * missed a query still emits its 0/0 row via the
+    * (gt-counts × methods) universe. Output already carries `method`
+    * first, the gate-row column order. */
+  def retrievalMetricsTagged(groundTruth: DataFrame, annTagged: DataFrame,
+      k: Int, methods: Seq[String]): DataFrame = {
+    require(k >= 1 && k <= 100, s"retrievalMetrics: k must be 1..100, got $k")
+    require(methods.nonEmpty && methods.distinct == methods,
+      s"retrievalMetricsTagged: methods must be non-empty and distinct, got $methods")
+    val spark = groundTruth.sparkSession
+    import spark.implicits._
+    val dcgMap = typedlit((for {
+      pos <- 1 to k; rel <- 1 to k
+    } yield (pos.toLong * 1000L + rel, dcgTermMicro(pos, rel))).toMap)
+    val idcgMap = typedlit((1 to k).map(n => (n.toLong, idcgMicro(n, k))).toMap)
+    val rrMap = typedlit((1 to k).map(r =>
+      (r.toLong, (2000000L + r) / (2L * r))).toMap)
+    val gt = groundTruth.select(col("q_id"), col("vec_id"),
+      when(col("rank") > k, raise_error(concat(
+        lit(s"retrievalMetrics: ground-truth rank "), col("rank").cast("string"),
+        lit(s" exceeds k=$k — trim the ground truth to depth k"))))
+        .otherwise((lit(k + 1) - col("rank")).cast("long")).as("_rel"))
+    val a = annTagged.select(col("method"), col("q_id"), col("vec_id"),
+      col("rank").cast("long").as("_arank"))
+    val perHit = a.join(gt, Seq("q_id", "vec_id"), "left")
+      .select(col("method"), col("q_id"),
+        when(col("_rel").isNotNull,
+          try_element_at(dcgMap, col("_arank") * 1000L + col("_rel")))
+          .otherwise(0L).as("_dcg"),
+        when(col("_rel").isNotNull,
+          try_element_at(rrMap, col("_arank"))).as("_rr"),
+        when(col("_rel").isNotNull, 1L).otherwise(0L).as("_hit"))
+    val perQuery = perHit.groupBy(col("method"), col("q_id"))
+      .agg(sum(col("_dcg")).as("_dcgSum"),
+        max(col("_rr")).as("_rrMax"),
+        sum(col("_hit")).as("n_rel"))
+    val gtCounts = groundTruth.groupBy(col("q_id"))
+      .agg(count(lit(1)).cast("long").as("_ngt0"))
+      .select(col("q_id"),
+        when(col("_ngt0") > k, raise_error(concat(
+          lit("retrievalMetrics: query "), col("q_id").cast("string"),
+          lit(s" carries more than k=$k ground-truth rows — idcg undefined"))))
+          .otherwise(col("_ngt0")).as("_ngt"))
+    gtCounts.crossJoin(broadcast(methods.toDF("method")))
+      .join(perQuery, Seq("method", "q_id"), "left")
+      .select(col("method"), col("q_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         coalesce(col("_rrMax"), lit(0L)).cast("long").as("mrr_micro"),
         coalesce(col("_dcgSum"), lit(0L)).as("dcg_micro"),

@@ -553,17 +553,23 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     val codes = graft.core.Caches.persistTracked(
       Similarity.ivfPqCodes(emb, "vec_id", "embedding", coarse, books,
         metaCols = Seq("label")))
-    def forPred(name: String, pred: org.apache.spark.sql.Column) = {
+    // r21: per predicate, the recall join/agg runs ONCE over the
+    // method-tagged union of all tier replays against that predicate's
+    // ground truth (Similarity.recallAtKTagged) — ~2 exchanges per
+    // tier → 2 per predicate, same rows (guide §2.4). The l3
+    // predicate's brute-force slice is also persisted ONCE and shared
+    // with the adaptive-ivfpq row (it was computed and persisted twice
+    // before — same values, one less pass).
+    def forPred(name: String, pred: org.apache.spark.sql.Column,
+        extra: Option[(String, DataFrame)] = None) = {
       val bf = graft.core.Caches.persistTracked(
         Similarity.bruteForceTopK(emb.filter(pred), qs, k = 10))
-      def rec(m: String, ann: DataFrame) =
-        Similarity.recallAtK(bf, ann).withColumn("method", lit(m))
-          .select(col("method"), col("q_id"), col("hits"), col("n"),
-            col("recall"))
-      rec(s"binary_$name",
+      def tag(m: String, ann: DataFrame) =
+        ann.select(lit(m).as("method"), col("q_id"), col("vec_id"))
+      val base = tag(s"binary_$name",
         Similarity.filteredBinaryRerankTopK(emb, qs, pred, coarseK = 50,
           k = 10, dims = EMB_DIMS))
-        .unionByName(rec(s"ivfpq_$name",
+        .unionByName(tag(s"ivfpq_$name",
           Similarity.filteredIvfPqTopKFromCodes(codes, emb, qs, k = 10,
             coarse, books, nprobe = FILT_NPROBE, coarseK = PQ_COARSE,
             pred)))
@@ -571,17 +577,17 @@ trait ExtSimilarityGates { this: ExtAllGates =>
         // not asserted — six of six serving tiers now carry the X199
         // parity-or-better law as hash-pinned rows at both
         // selectivities (VERDICT r18 #3)
-        .unionByName(rec(s"pq_$name",
+        .unionByName(tag(s"pq_$name",
           Similarity.filteredPqTopK(emb, qs, k = 10, sharedPqBooks(s, d),
             coarseK = PQ_COARSE, pred)))
-        .unionByName(rec(s"rp_$name",
+        .unionByName(tag(s"rp_$name",
           Similarity.filteredRpTopK(emb, qs, k = 10, outDims = RP_OUT,
             dims = EMB_DIMS, coarseK = RP_COARSE, pred)))
-        .unionByName(rec(s"lshp_$name",
+        .unionByName(tag(s"lshp_$name",
           Similarity.filteredLshMultiProbeTopK(emb, qs, k = 10,
             bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T, pred,
             poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
-        .unionByName(rec(s"pca_$name",
+        .unionByName(tag(s"pca_$name",
           Similarity.filteredPcaTopK(emb, qs, k = 10, sharedPcaComps(s, d),
             coarseK = PCA_COARSE, pred)))
         // r20 (X228): the ADAPTIVE multi-probe row at BOTH
@@ -596,10 +602,17 @@ trait ExtSimilarityGates { this: ExtAllGates =>
         // geometry cannot carry the predicate). The oracle pins the
         // derived triples; selectivity drift that changes them fails
         // loud.
-        .unionByName(rec(s"lshp_adapt_$name",
+        .unionByName(tag(s"lshp_adapt_$name",
           Similarity.filteredLshMultiProbeTopKAdaptive(emb, qs, k = 10,
             bits = ANN_BITS, dims = EMB_DIMS, baseNprobe = ANN_PROBE_T,
             pred, poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
+      val tagged = extra match {
+        case Some((m, ann)) => base.unionByName(tag(m, ann))
+        case None => base
+      }
+      val methods = Seq("binary", "ivfpq", "pq", "rp", "lshp", "pca",
+        "lshp_adapt").map(m => s"${m}_$name") ++ extra.map(_._1)
+      Similarity.recallAtKTagged(bf, tagged, methods)
     }
     // the SELECTIVE predicate additionally runs with the
     // selectivity-DERIVED cell budget (X199's guidance made a knob:
@@ -609,18 +622,10 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     // drifts enough to change it fails loud, by design)
     val predL3 = col("label") === 3
     forPred("even", col("label") % 2 === 0)
-      .unionByName(forPred("l3", predL3))
-      .unionByName {
-        val bf3 = graft.core.Caches.persistTracked(
-          Similarity.bruteForceTopK(emb.filter(predL3), qs, k = 10))
-        Similarity.recallAtK(bf3,
-          Similarity.filteredIvfPqTopKAdaptive(codes, emb, qs, k = 10,
-            coarse, books, baseNprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE,
-            predL3))
-          .withColumn("method", lit("ivfpq_adapt_l3"))
-          .select(col("method"), col("q_id"), col("hits"), col("n"),
-            col("recall"))
-      }
+      .unionByName(forPred("l3", predL3, extra = Some(("ivfpq_adapt_l3",
+        Similarity.filteredIvfPqTopKAdaptive(codes, emb, qs, k = 10,
+          coarse, books, baseNprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE,
+          predL3)))))
   }
 
   // lazy: references the RP/PCA/multi-probe oracle fronts, whose
@@ -1636,40 +1641,45 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
     val bf = graft.core.Caches.persistTracked(
       Similarity.bruteForceTopK(emb, qs, k = 10))
-    def rec(method: String, ann: DataFrame): DataFrame =
-      Similarity.recallAtK(bf, ann).withColumn("method", lit(method))
-        .select(col("method"), col("q_id"), col("hits"), col("n"), col("recall"))
+    // r21: the recall join/agg runs ONCE over the method-tagged union
+    // of all ten tier replays (Similarity.recallAtKTagged) instead of
+    // once per tier — ~20 exchanges → 2, same rows (guide §2.4)
+    def tag(method: String, ann: DataFrame): DataFrame =
+      ann.select(lit(method).as("method"), col("q_id"), col("vec_id"))
     val pqBooks = sharedPqBooks(s, d)
     val (ivfpqCoarse, ivfpqBooks) = sharedIvfPqIndex(s, d)
     val (embN, qsN) = normalizedEmbQueries(emb, qs)
     val (normCoarse, normBooks) = sharedNormIvfPqIndex(s, d, embN)
-    rec("lsh", Similarity.lshTopK(emb, qs, k = 10,
+    val tagged = tag("lsh", Similarity.lshTopK(emb, qs, k = 10,
         bits = ANN_BITS, dims = EMB_DIMS))
-      .unionByName(rec("lsh_multi", Similarity.lshTopKMultiBand(emb, qs,
+      .unionByName(tag("lsh_multi", Similarity.lshTopKMultiBand(emb, qs,
         k = 10, bands = ANN_MULTI_BANDS, bits = ANN_MULTI_BITS,
         dims = EMB_DIMS)))
-      .unionByName(rec("lsh_probe", Similarity.lshMultiProbeTopK(emb, qs,
+      .unionByName(tag("lsh_probe", Similarity.lshMultiProbeTopK(emb, qs,
         k = 10, bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T,
         poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
-      .unionByName(rec("ivf", Similarity.ivfTopK(emb, qs, k = 10,
+      .unionByName(tag("ivf", Similarity.ivfTopK(emb, qs, k = 10,
         centroidEvery = 200, nprobe = 2)))
-      .unionByName(rec("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
+      .unionByName(tag("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
         coarseK = PQ_COARSE)))
-      .unionByName(rec("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
+      .unionByName(tag("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
         ivfpqCoarse, ivfpqBooks, nprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE)))
-      .unionByName(rec("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
+      .unionByName(tag("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
         normCoarse, normBooks, nprobe = IVFPQ_NORM_NPROBE,
         coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)))
-      .unionByName(rec("rerank", Similarity.quantizedRerankTopK(emb, qs,
+      .unionByName(tag("rerank", Similarity.quantizedRerankTopK(emb, qs,
         coarseK = 50, k = 10)))
-      .unionByName(rec("binary", Similarity.binaryRerankTopK(emb, qs,
+      .unionByName(tag("binary", Similarity.binaryRerankTopK(emb, qs,
         coarseK = 50, k = 10, dims = EMB_DIMS)))
       // the measured knee of the r15 coarseK sweep (0.53/0.78/0.88/0.94
       // at 20/50/100/200): at coarseK=100 the training-free 8 B/vector
       // binary tier overtakes IVF — the serving default, on record in
       // the harness like every other parameter decision
-      .unionByName(rec("binary_100", Similarity.binaryRerankTopK(emb, qs,
+      .unionByName(tag("binary_100", Similarity.binaryRerankTopK(emb, qs,
         coarseK = 100, k = 10, dims = EMB_DIMS)))
+    Similarity.recallAtKTagged(bf, tagged, Seq("lsh", "lsh_multi",
+      "lsh_probe", "ivf", "pq", "ivfpq", "ivfpq_norm", "rerank",
+      "binary", "binary_100"))
   }
 
   val annRecallSql: String = {
@@ -1710,30 +1720,35 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
     val bf = graft.core.Caches.persistTracked(
       Similarity.bruteForceTopK(emb, qs, k = 10))
-    def m(method: String, ann: org.apache.spark.sql.DataFrame) =
-      Similarity.retrievalMetrics(bf, ann, k = 10)
-        .withColumn("method", lit(method))
-        .select(col("method"), col("q_id"), col("n_rel"), col("mrr_micro"),
-          col("dcg_micro"), col("idcg_micro"), col("ndcg_bp"))
+    // r21: the seven shared-ground-truth tiers run through ONE tagged
+    // metrics pass (Similarity.retrievalMetricsTagged) instead of one
+    // join+agg chain per tier (~21 exchanges → 3); the filtered row
+    // keeps its own pass (different ground truth). Same rows.
+    def tag(method: String, ann: org.apache.spark.sql.DataFrame) =
+      ann.select(lit(method).as("method"), col("q_id"), col("vec_id"),
+        col("rank"))
     val pqBooks = sharedPqBooks(s, d)
     val (ivfpqCoarse, ivfpqBooks) = sharedIvfPqIndex(s, d)
     val (embN, qsN) = normalizedEmbQueries(emb, qs)
     val (normCoarse, normBooks) = sharedNormIvfPqIndex(s, d, embN)
-    m("rerank", Similarity.quantizedRerankTopK(emb, qs, coarseK = 50, k = 10))
-      .unionByName(m("binary", Similarity.binaryRerankTopK(emb, qs,
+    val tagged = tag("rerank", Similarity.quantizedRerankTopK(emb, qs,
+        coarseK = 50, k = 10))
+      .unionByName(tag("binary", Similarity.binaryRerankTopK(emb, qs,
         coarseK = 50, k = 10, dims = EMB_DIMS)))
-      .unionByName(m("lsh", Similarity.lshTopK(emb, qs, k = 10,
+      .unionByName(tag("lsh", Similarity.lshTopK(emb, qs, k = 10,
         bits = ANN_BITS, dims = EMB_DIMS)))
-      .unionByName(m("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
+      .unionByName(tag("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
         coarseK = PQ_COARSE)))
-      .unionByName(m("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
+      .unionByName(tag("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
         ivfpqCoarse, ivfpqBooks, nprobe = IVFPQ_NPROBE,
         coarseK = PQ_COARSE)))
-      .unionByName(m("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
+      .unionByName(tag("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
         normCoarse, normBooks, nprobe = IVFPQ_NORM_NPROBE,
         coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)))
-      .unionByName(m("rp", Similarity.rpTopK(emb, qs, k = 10,
+      .unionByName(tag("rp", Similarity.rpTopK(emb, qs, k = 10,
         outDims = RP_OUT, dims = EMB_DIMS, coarseK = RP_COARSE)))
+    Similarity.retrievalMetricsTagged(bf, tagged, k = 10,
+      Seq("rerank", "binary", "lsh", "pq", "ivfpq", "ivfpq_norm", "rp"))
       .unionByName {
         // the FILTERED ranking-quality row (the X198/X199 demand that
         // nDCG be measured under a predicate too): ground truth is
@@ -1819,38 +1834,42 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     val codes = graft.core.Caches.persistTracked(
       Similarity.ivfPqCodes(emb, "vec_id", "embedding", coarse, books,
         metaCols = Seq("label")))
+    // r21: per predicate, the seven tiers run through ONE tagged
+    // metrics pass against that predicate's ground truth
+    // (Similarity.retrievalMetricsTagged) instead of one join+agg
+    // chain per tier (~21 exchanges → 3 per predicate). Same rows.
     def forPred(name: String, pred: org.apache.spark.sql.Column) = {
       val bf = graft.core.Caches.persistTracked(
         Similarity.bruteForceTopK(emb.filter(pred), qs, k = 10))
-      def m(method: String, ann: DataFrame) =
-        Similarity.retrievalMetrics(bf, ann, k = 10)
-          .withColumn("method", lit(s"${method}_$name"))
-          .select(col("method"), col("q_id"), col("n_rel"),
-            col("mrr_micro"), col("dcg_micro"), col("idcg_micro"),
-            col("ndcg_bp"))
-      m("binary", Similarity.filteredBinaryRerankTopK(emb, qs, pred,
-          coarseK = 50, k = 10, dims = EMB_DIMS))
-        .unionByName(m("ivfpq",
+      def tag(method: String, ann: DataFrame) =
+        ann.select(lit(s"${method}_$name").as("method"), col("q_id"),
+          col("vec_id"), col("rank"))
+      val tagged = tag("binary", Similarity.filteredBinaryRerankTopK(emb,
+          qs, pred, coarseK = 50, k = 10, dims = EMB_DIMS))
+        .unionByName(tag("ivfpq",
           Similarity.filteredIvfPqTopKFromCodes(codes, emb, qs, k = 10,
             coarse, books, nprobe = FILT_NPROBE, coarseK = PQ_COARSE,
             pred)))
-        .unionByName(m("pq",
+        .unionByName(tag("pq",
           Similarity.filteredPqTopK(emb, qs, k = 10, sharedPqBooks(s, d),
             coarseK = PQ_COARSE, pred)))
-        .unionByName(m("rp",
+        .unionByName(tag("rp",
           Similarity.filteredRpTopK(emb, qs, k = 10, outDims = RP_OUT,
             dims = EMB_DIMS, coarseK = RP_COARSE, pred)))
-        .unionByName(m("lshp",
+        .unionByName(tag("lshp",
           Similarity.filteredLshMultiProbeTopK(emb, qs, k = 10,
             bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T, pred,
             poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
-        .unionByName(m("lshp_adapt",
+        .unionByName(tag("lshp_adapt",
           Similarity.filteredLshMultiProbeTopKAdaptive(emb, qs, k = 10,
             bits = ANN_BITS, dims = EMB_DIMS, baseNprobe = ANN_PROBE_T,
             pred, poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
-        .unionByName(m("pca",
+        .unionByName(tag("pca",
           Similarity.filteredPcaTopK(emb, qs, k = 10, sharedPcaComps(s, d),
             coarseK = PCA_COARSE, pred)))
+      Similarity.retrievalMetricsTagged(bf, tagged, k = 10,
+        Seq("binary", "ivfpq", "pq", "rp", "lshp", "lshp_adapt", "pca")
+          .map(m => s"${m}_$name"))
     }
     forPred("even", col("label") % 2 === 0)
       .unionByName(forPred("l3", col("label") === 3))

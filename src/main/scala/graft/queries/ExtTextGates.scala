@@ -29,9 +29,10 @@ trait ExtTextGates { this: ExtAllGates =>
   // -------------------- text analysis --------------------
 
   /** Spread per-row-heavy text compute across all cores (single-file
-    * inputs arrive as one scan split). */
+    * inputs arrive as one scan split) — scale-adaptive: wide inputs
+    * skip the exchange (see [[graft.core.Tables.spreadIfNarrow]]). */
   private[queries] def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.core.Tables.spreadIfNarrow(df)
 
   val textStats: Q = (s, d) =>
     spread(Tables.documents(s, d)).select(
