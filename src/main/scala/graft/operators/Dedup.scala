@@ -252,10 +252,16 @@ object Dedup {
     // first increment: an empty fingerprint store means everything is
     // fresh — and Spark's stat.bloomFilter NPEs on an empty frame
     // (null aggregation buffer), so this is a correctness guard, not
-    // just a fast path
-    if (pf.isEmpty) return dedupInBatch(withFp)
-    val bloom = pf.stat.bloomFilter(fpCol,
-      bloomKeysFor(pf, expectedPriorKeys), fpp)
+    // just a fast path. r21: when the key count is derived from the
+    // store anyway (the common call), ONE count() doubles as the
+    // emptiness probe — the old isEmpty + bloomKeysFor-count shape
+    // paid two store passes before the bloom build's third; a caller
+    // that supplies expectedPriorKeys keeps the cheaper isEmpty.
+    val derivedKeys =
+      if (expectedPriorKeys > 0L) { if (pf.isEmpty) -1L else expectedPriorKeys }
+      else pf.count()
+    if (derivedKeys <= 0L) return dedupInBatch(withFp)
+    val bloom = pf.stat.bloomFilter(fpCol, derivedKeys, fpp)
     // null-text rows fingerprint to a null _fp: bloomSplit routes them
     // FRESH (a null fp can never equal a stored one — exactly what the
     // plain anti-join would conclude), and the in-batch window then
@@ -363,14 +369,33 @@ object Dedup {
       threshold: Double, shingleN: Int = 3,
       bands: Int = 4, rowsPerBand: Int = 3,
       spreadInput: Boolean = true,
-      pairBroadcastBudget: Long = 1000000L): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val base = (if (spreadInput) spread(df) else df)
+      pairBroadcastBudget: Long = 1000000L): DataFrame =
+    minhashNearDupPairsFromBase(
+      graft.core.Caches.persistTracked(
+        shingleBase(df, idCol, textCol, shingleN, spreadInput)),
+      threshold, bands, rowsPerBand, pairBroadcastBudget)
+
+  /** Shared `(id, _sh = distinct-shingle array)` base table — the one
+    * tokenize+shingle pass every pair miner starts from (r21): a
+    * harness comparing several banding layouts (or banded candidates
+    * vs the exact inverted index) over the SAME corpus persists this
+    * once and feeds each miner the `...FromBase` form, instead of
+    * re-tokenizing and re-shingling the corpus per configuration. */
+  def shingleBase(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, spreadInput: Boolean = true): DataFrame =
+    (if (spreadInput) spread(df) else df)
       .select(col(idCol).as("id"),
         array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
-      .persistTracked()
+
+  /** [[minhashNearDupPairs]] over a prepared [[shingleBase]] (callers
+    * persist the base — it is consumed by the signature/banding scan
+    * AND the verification join). Identical output. */
+  def minhashNearDupPairsFromBase(base: DataFrame, threshold: Double,
+      bands: Int = 4, rowsPerBand: Int = 3,
+      pairBroadcastBudget: Long = 1000000L): DataFrame = {
+    val numHashes = bands * rowsPerBand
     val banded = base
-      .select(col("id"), minhashOfShingles(df, col("_sh"), numHashes).as("_sig"))
+      .select(col("id"), minhashOfShingles(base, col("_sh"), numHashes).as("_sig"))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => array_join(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "|"))))
@@ -588,10 +613,16 @@ object Dedup {
     * with the default the behavior is exact). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
+      maxDocFreq: Long = Long.MaxValue): DataFrame =
+    ngramJaccardPairsFromBase(shingleBase(df, idCol, textCol, shingleN),
+      threshold, maxDocFreq)
+
+  /** [[ngramJaccardPairs]] over a prepared [[shingleBase]] — shares the
+    * tokenize+shingle pass with the banded miners (r21). Identical
+    * output. */
+  def ngramJaccardPairsFromBase(base: DataFrame, threshold: Double,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = spread(df).select(col(idCol).as("id"),
-      array_distinct(shinglesAuto(df, textCol, shingleN)).as("_sh"))
-      .withColumn("_size", size(col("_sh")))
+    val sh = base.withColumn("_size", size(col("_sh")))
     val inv = sh.select(col("id"), col("_size"), explode(col("_sh")).as("shingle"))
     val invF =
       if (maxDocFreq == Long.MaxValue) inv
@@ -1526,9 +1557,8 @@ object Dedup {
     // broadcasts INTO the store scan (inner join, map-side — the store
     // is never shuffled), then the label attach happens small-vs-small
     val ends = pairs.select(explode(array(col("_a"), col("_b"))).as("id")).distinct()
-    val endsJoin =
-      if (fitsBudget(ends, mapBroadcastBudget)) broadcast(ends)
-      else ends.hint("shuffle_hash")
+    val endsFits = fitsBudget(ends, mapBroadcastBudget)
+    val endsJoin = if (endsFits) broadcast(ends) else ends.hint("shuffle_hash")
     val endLabels = ends.join(stored.join(endsJoin, Seq("id")), Seq("id"), "left")
       .select(col("id"), col("cluster_id").as("_lbl"))
       .persistTracked() // three consumers: two edge maps + new-id slice
@@ -1543,8 +1573,12 @@ object Dedup {
     val cc = graft.core.Caches.persistTracked(
       connectedComponents(contracted, "ra", "rb"))
     val mapping = cc.select(col("id").as("_old"), col("cluster_id").as("_new"))
+    // |mapping| = |contracted nodes| ≤ |ends| (each node is an
+    // endpoint's label or the endpoint itself) — when ends fit the
+    // budget, mapping provably does too, so the probe action is
+    // derived, not re-run (r21, guide §1.2: each probe is a driver job)
     val mapJoin =
-      if (fitsBudget(mapping, mapBroadcastBudget)) broadcast(mapping)
+      if (endsFits || fitsBudget(mapping, mapBroadcastBudget)) broadcast(mapping)
       else mapping.hint("shuffle_hash")
     val remapped = stored.join(mapJoin, col("cluster_id") === col("_old"), "left")
       .select(col("id"), coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
@@ -1595,16 +1629,23 @@ object Dedup {
         s"(id, cluster_id, cluster_size, weight_bp, keep), got ${storedWeights.columns.mkString(", ")}")
     val batch = batchIds.select(col(idCol).cast("long").as("id")).distinct()
       .persistTracked() // spine, dup guard, endpoint slice, singleton slice
+    def gatedIf(df: DataFrame, fits: Boolean): DataFrame =
+      if (fits) broadcast(df) else df.hint("shuffle_hash")
     def gated(df: DataFrame): DataFrame =
-      if (fitsBudget(df, mapBroadcastBudget)) broadcast(df)
-      else df.hint("shuffle_hash")
+      gatedIf(df, fitsBudget(df, mapBroadcastBudget))
+    // probe ONCE per independent set; derived sets provably bounded by
+    // a probed one reuse its verdict instead of paying another driver
+    // job (r21, guide §1.2 — each probe is an action, and with AQE an
+    // action is several scheduled jobs)
+    val batchFits = fitsBudget(batch, mapBroadcastBudget)
     // ONE store scan: dup-arrival guard + endpoint/affected routing.
     // The raise rides cluster_id so Catalyst cannot prune it.
     val st = storedWeights.select(col("id").cast("long").as("id"),
       col("cluster_id").cast("long").as("cluster_id"),
       col("cluster_size").cast("long").as("cluster_size"),
       col("weight_bp").cast("long").as("weight_bp"), col("keep"))
-      .join(gated(batch.withColumn("_dup", lit(1))), Seq("id"), "left")
+      .join(gatedIf(batch.withColumn("_dup", lit(1)), batchFits),
+        Seq("id"), "left")
       .withColumn("cluster_id",
         when(col("_dup") === 1, raise_error(concat(
           lit("incrementalSoftDedup: batch id "), col("id").cast("string"),
@@ -1618,8 +1659,9 @@ object Dedup {
       .persistTracked()
     val ends = pairs.select(explode(array(col("_a"), col("_b"))).as("id"))
       .distinct().persistTracked()
+    val endsFits = fitsBudget(ends, mapBroadcastBudget)
     // endpoint → stored label (null = batch-new endpoint)
-    val endLabels = ends.join(st.join(gated(ends), Seq("id"))
+    val endLabels = ends.join(st.join(gatedIf(ends, endsFits), Seq("id"))
         .select(col("id"), col("cluster_id")), Seq("id"), "left")
       .select(col("id"), col("cluster_id").as("_lbl"))
       .persistTracked()
@@ -1631,13 +1673,20 @@ object Dedup {
       .filter(col("ra") =!= col("rb"))
     val cc = graft.core.Caches.persistTracked(
       connectedComponents(contracted, "ra", "rb"))
-    // affected old clusters = stored labels of pair endpoints
+    // affected old clusters = stored labels of pair endpoints —
+    // |affectedOld| ≤ |ends|, and |mapping| = |contracted nodes| ≤
+    // |ends| too: both reuse the ends verdict instead of re-probing
     val affectedOld = endLabels.filter(col("_lbl").isNotNull)
       .select(col("_lbl").as("cluster_id")).distinct().persistTracked()
+    val affectedOldFits = endsFits ||
+      fitsBudget(affectedOld, mapBroadcastBudget)
     val mapping = cc.select(col("id").as("_old"), col("cluster_id").as("_new"))
     // affected stored members relabeled through the bounded mapping
-    val affMembers = st.join(gated(affectedOld), Seq("cluster_id"))
-      .join(gated(mapping), col("cluster_id") === col("_old"), "left")
+    val affMembers = st.join(gatedIf(affectedOld, affectedOldFits),
+        Seq("cluster_id"))
+      .join(gatedIf(mapping,
+        endsFits || fitsBudget(mapping, mapBroadcastBudget)),
+        col("cluster_id") === col("_old"), "left")
       .select(col("id"),
         coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
     // batch rows: pair-touched take their contracted-CC label (a
@@ -1664,13 +1713,21 @@ object Dedup {
     val bucket = conv(substring(
       md5(concat(lit("soft:"), col("id").cast("string"))), 1, 4), 16, 10)
       .cast("long") % 10000
-    val rewritten = rewrite.join(gated(sizes), Seq("cluster_id"))
+    // |sizes| (one row per rewritten cluster) ≤ |affectedOld| + |batch|
+    // — every rewritten cluster either existed (had an endpoint) or is
+    // batch-new. Within 2× of the probed budget, a safety-margin
+    // heuristic, not a hard cap (budget rows ≈ 16 MB of longs) — so
+    // the verdict derives from the two probes already paid.
+    val rewritten = rewrite.join(gatedIf(sizes,
+        (affectedOldFits && batchFits) ||
+          fitsBudget(sizes, mapBroadcastBudget)), Seq("cluster_id"))
       .withColumn("weight_bp", expr("10000L div cluster_size"))
       .withColumn("keep", bucket < col("weight_bp"))
       .select(col("id"), col("cluster_id"), col("cluster_size"),
         col("weight_bp"), col("keep"))
     // untouched rows pass through verbatim (anti on the bounded set)
-    val untouched = st.join(gated(affectedOld), Seq("cluster_id"), "left_anti")
+    val untouched = st.join(gatedIf(affectedOld, affectedOldFits),
+      Seq("cluster_id"), "left_anti")
       .select(col("id"), col("cluster_id"), col("cluster_size"),
         col("weight_bp"), col("keep"))
     untouched.unionByName(rewritten)
@@ -1708,9 +1765,13 @@ object Dedup {
       .persistTracked()
     val rids = retractIds.select(col("id").cast("long").as("id"))
       .filter(col("id").isNotNull).distinct().persistTracked()
-    def gated(df: DataFrame): DataFrame =
-      if (fitsBudget(df, broadcastBudget)) broadcast(df)
-      else df.hint("shuffle_hash")
+    def gatedIf(df: DataFrame, fits: Boolean): DataFrame =
+      if (fits) broadcast(df) else df.hint("shuffle_hash")
+    // probe each independent set ONCE; sets provably bounded by a
+    // probed one derive its verdict instead of paying another driver
+    // job (r21, guide §1.2 — rids was probed three times here)
+    val ridsFits = fitsBudget(rids, broadcastBudget)
+    val ridsJ = gatedIf(rids, ridsFits)
     // the weight store carries singleton self-labels the LABEL store
     // does not (X149 validates its input against the pair store) —
     // only the clustered slice re-clusters; a retracted singleton has
@@ -1720,10 +1781,13 @@ object Dedup {
         stored.filter(col("cluster_size") > 1)
           .select(col("id"), col("cluster_id")),
         storedPairs, rids, broadcastBudget = broadcastBudget))
-    val found = stored.join(gated(rids), Seq("id")).select(col("id"))
+    val found = stored.join(ridsJ, Seq("id")).select(col("id"))
       .persistTracked()
-    val affectedOld = stored.join(gated(rids), Seq("id"))
+    // |affectedOld| ≤ |rids| (one label per retracted id) — derive
+    val affectedOld = stored.join(ridsJ, Seq("id"))
       .select(col("cluster_id")).distinct().persistTracked()
+    val affectedOldFits = ridsFits || fitsBudget(affectedOld, broadcastBudget)
+    val affectedOldJ = gatedIf(affectedOld, affectedOldFits)
     // a retract id with no stored row is a silent-no-op forget — raise
     val unknown = rids.exceptAll(found)
       .select(col("id"), raise_error(concat(
@@ -1732,13 +1796,14 @@ object Dedup {
         .as("cluster_id"))
     // affected survivors take their post-retraction labels (bounded:
     // members of affected clusters minus the retracted slice)
-    val members = stored.join(gated(affectedOld), Seq("cluster_id"))
+    val members = stored.join(affectedOldJ, Seq("cluster_id"))
       .select(col("id"))
-      .join(gated(rids), Seq("id"), "left_anti")
+      .join(ridsJ, Seq("id"), "left_anti")
     // X149 drops pair-less survivors from the LABEL store (labels only
     // track pair-involved docs); the WEIGHT store must keep them — an
     // isolated survivor becomes its own full-weight singleton
-    val labeled = labels2.join(gated(members), Seq("id"))
+    val membersFits = fitsBudget(members, broadcastBudget)
+    val labeled = labels2.join(gatedIf(members, membersFits), Seq("id"))
       .select(col("id"), col("cluster_id"))
     val isolated = members.exceptAll(labeled.select(col("id")))
       .select(col("id"), col("id").as("cluster_id"))
@@ -1749,12 +1814,17 @@ object Dedup {
     val bucket = conv(substring(
       md5(concat(lit("soft:"), col("id").cast("string"))), 1, 4), 16, 10)
       .cast("long") % 10000
-    val rewritten = rewrite.join(gated(sizes), Seq("cluster_id"))
+    // |sizes| ≤ |rewrite| = |members| + |unknown ids| ≤ |members| +
+    // |rids| — within 2× of the probed budgets (safety-margin
+    // heuristic, not a hard cap), so the verdict derives
+    val rewritten = rewrite.join(gatedIf(sizes,
+        (membersFits && ridsFits) || fitsBudget(sizes, broadcastBudget)),
+        Seq("cluster_id"))
       .withColumn("weight_bp", expr("10000L div cluster_size"))
       .withColumn("keep", bucket < col("weight_bp"))
       .select(col("id"), col("cluster_id"), col("cluster_size"),
         col("weight_bp"), col("keep"))
-    val untouched = stored.join(gated(affectedOld), Seq("cluster_id"), "left_anti")
+    val untouched = stored.join(affectedOldJ, Seq("cluster_id"), "left_anti")
       .select(col("id"), col("cluster_id"), col("cluster_size"),
         col("weight_bp"), col("keep"))
     untouched.unionByName(rewritten)
@@ -1810,14 +1880,16 @@ object Dedup {
       col("cluster_id").cast("long").as("cluster_id"))
     val rids = retractIds.select(col("id").cast("long").as("id"))
       .filter(col("id").isNotNull).distinct().persistTracked()
-    def gated(df: DataFrame): DataFrame =
-      if (fitsBudget(df, broadcastBudget)) broadcast(df)
-      else df.hint("shuffle_hash")
-    val ridsJ = gated(rids)
-    // labels of the retracted ids — bounded by the retract batch
+    val ridsFits = fitsBudget(rids, broadcastBudget)
+    val ridsJ = if (ridsFits) broadcast(rids) else rids.hint("shuffle_hash")
+    // labels of the retracted ids — bounded by the retract batch:
+    // |affected| ≤ |rids|, so the probe verdict derives (r21)
     val affected = stored.join(ridsJ, Seq("id"))
       .select(col("cluster_id")).distinct().persistTracked()
-    val affectedJ = gated(affected)
+    val affectedJ =
+      if (ridsFits || fitsBudget(affected, broadcastBudget))
+        broadcast(affected)
+      else affected.hint("shuffle_hash")
     // untouched components keep their rows verbatim (map-side anti
     // against the broadcast affected set — the store streams once)
     val keep = stored.join(affectedJ, Seq("cluster_id"), "left_anti")
@@ -1882,10 +1954,19 @@ object Dedup {
         "pair: " + orphans.take(5).map(_.get(0)).mkString(", ") +
         " — refresh the label store (incrementalConnectedComponents) " +
         "before retracting")
-    val membersJ = gated(members.select(col("id").as("_a")))
+    // rids' verdict was probed once above — its two renamed projections
+    // reuse it (this path probed rids twice more before r21)
+    def ridsAs(c: String) = {
+      val r = rids.select(col("id").as(c))
+      if (ridsFits) broadcast(r) else r.hint("shuffle_hash")
+    }
+    val membersA = members.select(col("id").as("_a"))
+    val membersJ =
+      if (fitsBudget(membersA, broadcastBudget)) broadcast(membersA)
+      else membersA.hint("shuffle_hash")
     val survPairs = pairs.join(membersJ, Seq("_a"))
-      .join(gated(rids.select(col("id").as("_a"))), Seq("_a"), "left_anti")
-      .join(gated(rids.select(col("id").as("_b"))), Seq("_b"), "left_anti")
+      .join(ridsAs("_a"), Seq("_a"), "left_anti")
+      .join(ridsAs("_b"), Seq("_b"), "left_anti")
     val cc = connectedComponents(survPairs, "_a", "_b")
     keep.unionByName(cc.select(col("id"), col("cluster_id")))
   }
@@ -2114,9 +2195,8 @@ object Dedup {
         col("id2").cast("long"))).as("id"))
       .filter(col("id").isNotNull).distinct()
       .persistTracked() // old-touched + new-touched lookups
-    val endsJoin =
-      if (fitsBudget(ends, mapBroadcastBudget)) broadcast(ends)
-      else ends.hint("shuffle_hash")
+    val endsFits = fitsBudget(ends, mapBroadcastBudget)
+    val endsJoin = if (endsFits) broadcast(ends) else ends.hint("shuffle_hash")
     // clusters whose membership could have changed: old labels of the
     // endpoints (their picks retire) and new labels of the endpoints
     // (their picks recompute)
@@ -2126,8 +2206,11 @@ object Dedup {
       .join(endsJoin, Seq("id")).select(col("cluster_id")).distinct()
     val newTouched = labels2.join(endsJoin, Seq("id"))
       .select(col("cluster_id")).distinct()
+    // |newTouched| ≤ |ends| (one new label per endpoint) — the probe
+    // verdict derives from the ends probe already paid (r21)
     val touchJoin =
-      if (fitsBudget(newTouched, mapBroadcastBudget)) broadcast(newTouched)
+      if (endsFits || fitsBudget(newTouched, mapBroadcastBudget))
+        broadcast(newTouched)
       else newTouched.hint("shuffle_hash")
     val touchedMembers = labels2.join(touchJoin, Seq("cluster_id"),
       "left_semi")
@@ -2178,26 +2261,30 @@ object Dedup {
       col("cluster_id").cast("long").as("cluster_id"))
     val rids = retractIds.select(col("id").cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
-    val ridsJoin =
-      if (fitsBudget(rids, broadcastBudget)) broadcast(rids)
-      else rids.hint("shuffle_hash")
+    // probe once; bounded derivations reuse the verdict (r21):
+    // |oldAffected| ≤ |rids|, |newTouched| ≤ |survivors|
+    val ridsFits = fitsBudget(rids, broadcastBudget)
+    val ridsJoin = if (ridsFits) broadcast(rids) else rids.hint("shuffle_hash")
     // clusters containing a retracted id: their picks retire; their
     // surviving members' NEW clusters recompute
     val oldAffected = stored.join(ridsJoin, Seq("id"))
       .select(col("cluster_id")).distinct()
     val oldAffJoin =
-      if (fitsBudget(oldAffected, broadcastBudget)) broadcast(oldAffected)
+      if (ridsFits || fitsBudget(oldAffected, broadcastBudget))
+        broadcast(oldAffected)
       else oldAffected.hint("shuffle_hash")
     val survivors = stored.join(oldAffJoin, Seq("cluster_id"), "left_semi")
       .select(col("id"))
       .join(ridsJoin, Seq("id"), "left_anti")
+    val survivorsFits = fitsBudget(survivors, broadcastBudget)
     val newTouched = labels2.join(
-        if (fitsBudget(survivors, broadcastBudget)) broadcast(survivors)
+        if (survivorsFits) broadcast(survivors)
         else survivors.hint("shuffle_hash"),
         Seq("id"), "left_semi")
       .select(col("cluster_id")).distinct()
     val touchJoin =
-      if (fitsBudget(newTouched, broadcastBudget)) broadcast(newTouched)
+      if (survivorsFits || fitsBudget(newTouched, broadcastBudget))
+        broadcast(newTouched)
       else newTouched.hint("shuffle_hash")
     val recomputed = canonicalByScore(
       labels2.join(touchJoin, Seq("cluster_id"), "left_semi"),

@@ -291,6 +291,21 @@ object Multimodal {
     b.array()
   }
 
+  /** Widen the doc-id spine BEFORE payload generation (r21, guide
+    * §2.5/§8): the rows entering the exchange are 8-byte ids — a proxy
+    * shuffle — while everything downstream (encode, decode, hash) is
+    * per-row heavy. Batch inputs widen only when narrower than the
+    * session parallelism ([[graft.core.Tables.spreadIfNarrow]] — a
+    * 100 TB scan with thousands of splits skips the exchange);
+    * STREAMING inputs always widen, because a single-file micro-batch
+    * source arrives as ONE split (the r20-measured 1-task decode
+    * floor: 6,500 fps on one core vs 13,500 across 32) and a streaming
+    * plan cannot be partition-probed. */
+  private def spreadIds(ids: DataFrame): DataFrame =
+    if (ids.isStreaming)
+      ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    else graft.core.Tables.spreadIfNarrow(ids)
+
   /** Real-BMP media table derived from `documents`: width/height and
     * every pixel are CLOSED-FORM functions of doc_id, so an oracle can
     * compute the decoded features arithmetically — while Spark really
@@ -299,7 +314,7 @@ object Multimodal {
   def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    spreadIds(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val w = (4 + id % 13).toInt
         val h = (3 + id % 7).toInt
@@ -490,7 +505,7 @@ object Multimodal {
   def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    spreadIds(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val n = (16 + id % 33).toInt
         val samples = Array.tabulate(n)(i =>
@@ -669,7 +684,7 @@ object Multimodal {
   def videoMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    spreadIds(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val frames = (4 + id % 5).toInt
         val bufs = (0 until frames).map { f =>

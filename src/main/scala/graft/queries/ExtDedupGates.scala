@@ -440,14 +440,18 @@ trait ExtDedupGates { this: ExtAllGates =>
     * once; the per-config counts are 1-row aggregates. */
   val neardupRecall: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      threshold = 0.7, shingleN = 3)
+    // r21: ONE tokenize+shingle pass feeds the exact ground truth AND
+    // all three banding layouts (four corpus-wide shingle passes → 1;
+    // same arrays, identical pair sets — guide §1.2)
+    val base = graft.core.Caches.persistTracked(
+      Dedup.shingleBase(docs, "doc_id", "text", shingleN = 3))
+    val exact = Dedup.ngramJaccardPairsFromBase(base, threshold = 0.7)
       .select(col("id1"), col("id2")).persistTracked()
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     Seq(("b4r3", 4, 3), ("b6r2", 6, 2), ("b2r6", 2, 6)).map {
       case (name, b, r) =>
-        val found = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-          threshold = 0.7, shingleN = 3, bands = b, rowsPerBand = r)
+        val found = Dedup.minhashNearDupPairsFromBase(base,
+          threshold = 0.7, bands = b, rowsPerBand = r)
         nExact.crossJoin(found.agg(count(lit(1)).as("n_found")))
           .select(lit(name).as("config"), col("n_exact"), col("n_found"),
             when(col("n_exact") > 0,

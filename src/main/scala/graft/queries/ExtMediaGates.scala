@@ -318,7 +318,7 @@ trait ExtMediaGates { this: ExtAllGates =>
     * features arithmetically (no codec needed on its side) — a real
     * codec round-trip the driver hash-verifies. */
   val mediaDecode: Q = (s, d) => {
-    val media = Multimodal.bmpMediaFromDocuments(spread(Tables.documents(s, d)))
+    val media = Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))
     Multimodal.decodeFeatures(media).toDF()
       .select(col("media_id"), col("decoded"), col("img_width"),
         col("img_height"), col("pixel_sum"))
@@ -340,7 +340,7 @@ trait ExtMediaGates { this: ExtAllGates =>
     * arithmetic from the closed-form pixels (mediaDecode convention). */
   val imagePhash: Q = (s, d) =>
     Multimodal.imagePerceptualHash(
-      Multimodal.bmpMediaFromDocuments(spread(Tables.documents(s, d)))).toDF()
+      Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))).toDF()
       .select(col("media_id"), col("phash"))
 
   val imagePhashSql: String =
@@ -391,7 +391,7 @@ trait ExtMediaGates { this: ExtAllGates =>
     graft.core.Caches.memoizedTable(s,
       s"imgphash:$d:${PHASH_GRID_W}x$PHASH_GRID_H") {
       Multimodal.imagePerceptualHashGrid(
-        Multimodal.bmpMediaFromDocuments(spread(Tables.documents(s, d))),
+        Multimodal.bmpMediaFromDocuments(Tables.documents(s, d)),
         PHASH_GRID_W, PHASH_GRID_H).toDF()
         .filter(col("decoded")).select(col("media_id"), col("phash"))
     }
@@ -399,7 +399,7 @@ trait ExtMediaGates { this: ExtAllGates =>
   private[queries] def audioWidePhashTable(s: SparkSession, d: String): DataFrame =
     graft.core.Caches.memoizedTable(s, s"audphash:$d:$AUDIO_WIDE_BLOCKS") {
       Multimodal.audioPerceptualHashBlocks(
-        Multimodal.wavMediaFromDocuments(spread(Tables.documents(s, d))),
+        Multimodal.wavMediaFromDocuments(Tables.documents(s, d)),
         blocks = AUDIO_WIDE_BLOCKS).toDF()
         .filter(col("decoded")).select(col("media_id"), col("phash"))
     }
@@ -408,7 +408,7 @@ trait ExtMediaGates { this: ExtAllGates =>
     graft.core.Caches.memoizedTable(s,
       s"vidsig:$d:${Multimodal.VideoFrameBytes}") {
       Multimodal.videoFrameSignatures(
-        Multimodal.videoMediaFromDocuments(spread(Tables.documents(s, d))),
+        Multimodal.videoMediaFromDocuments(Tables.documents(s, d)),
         Multimodal.VideoFrameBytes).toDF()
         .filter(col("decoded")).select(col("media_id"), col("fhash"))
     }
@@ -416,14 +416,14 @@ trait ExtMediaGates { this: ExtAllGates =>
   private[queries] def imageFeatureTable(s: SparkSession, d: String): DataFrame =
     graft.core.Caches.memoizedTable(s, s"imgfeat:$d") {
       Multimodal.imageFeatureVectors(
-        Multimodal.bmpMediaFromDocuments(spread(Tables.documents(s, d)))).toDF()
+        Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))).toDF()
         .select(col("media_id"), col("features"))
     }
 
   private[queries] def audioFeatureTable(s: SparkSession, d: String): DataFrame =
     graft.core.Caches.memoizedTable(s, s"audfeat:$d") {
       Multimodal.audioFeatureVectors(
-        Multimodal.wavMediaFromDocuments(spread(Tables.documents(s, d)))).toDF()
+        Multimodal.wavMediaFromDocuments(Tables.documents(s, d))).toDF()
         .select(col("media_id"), col("features"))
     }
 
@@ -721,7 +721,7 @@ trait ExtMediaGates { this: ExtAllGates =>
     * closed-form samples. */
   val audioPhash: Q = (s, d) =>
     Multimodal.audioPerceptualHash(
-      Multimodal.wavMediaFromDocuments(spread(Tables.documents(s, d)))).toDF()
+      Multimodal.wavMediaFromDocuments(Tables.documents(s, d))).toDF()
       .select(col("media_id"), col("phash"))
 
   val audioPhashSql: String =
@@ -1063,7 +1063,7 @@ trait ExtMediaGates { this: ExtAllGates =>
     * decoded features arithmetically — the audio sibling of
     * [[mediaDecode]]. */
   val audioDecode: Q = (s, d) => {
-    val media = Multimodal.wavMediaFromDocuments(spread(Tables.documents(s, d)))
+    val media = Multimodal.wavMediaFromDocuments(Tables.documents(s, d))
     Multimodal.decodeAudioFeatures(media).toDF()
       .select(col("media_id"), col("decoded"), col("sample_rate"),
         col("n_samples"), col("sample_sum"))
