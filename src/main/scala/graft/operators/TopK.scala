@@ -16,35 +16,87 @@ object TopK {
 
   type Entry = (Double, Long) // (score, id)
 
-  /** Min-heap of the current top k under (score desc, id asc):
-    * the WORST kept entry sits at the head for O(log k) replacement.
-    * "a beats b" == a.score > b.score || (equal && a.id < b.id). */
-  private def beats(a: Entry, b: Entry): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** "a beats b" == a.score > b.score || (equal && a.id < b.id) —
+    * the (score desc, id asc) total order every consumer tie-breaks
+    * by. */
+  private def beatsE(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
 
-  class TopKAgg(k: Int) extends Aggregator[Entry, List[Entry], Seq[Entry]] {
-    override def zero: List[Entry] = Nil
+  /** Mutable bounded binary min-heap buffer: the WORST kept entry sits
+    * at index 0 for O(log k) replacement. r21 (guide §1.2 step 2,
+    * per-task work): the previous `List[Entry]` buffer paid three O(k)
+    * list walks plus boxed-tuple allocations PER ROW and Kryo-encoded
+    * a linked list of tuples at every partial-buffer shuffle; the
+    * primitive arrays make the per-row cost O(log k) with zero
+    * allocation and serialize as two flat arrays. Selection under a
+    * total order is unique as a multiset, so results are identical to
+    * the list form (TopKSpec pins window-equivalence). */
+  final class TopKBuf(val scores: Array[Double], val ids: Array[Long],
+      var n: Int) extends Serializable
 
-    override def reduce(buf: List[Entry], e: Entry): List[Entry] =
-      if (buf.size < k) e :: buf
-      else {
-        val worst = buf.reduceLeft((a, b) => if (beats(a, b)) b else a)
-        if (beats(e, worst)) {
-          // evict exactly ONE occurrence — filterNot would drop every
-          // copy of a duplicated (score, id) entry and shrink the buffer
-          val i = buf.indexOf(worst)
-          e :: (buf.take(i) ::: buf.drop(i + 1))
-        } else buf
+  class TopKAgg(k: Int) extends Aggregator[Entry, TopKBuf, Seq[Entry]] {
+    override def zero: TopKBuf =
+      new TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+
+    // heap property: parent is beaten-or-tied by children (worst at
+    // root). "i worse than j" == beatsE(j, i).
+    private def siftUp(b: TopKBuf, i0: Int): Unit = {
+      var i = i0
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        // parent must be worse-or-equal than child: swap while the
+        // CHILD is worse than the parent (parent beats child)
+        if (beatsE(b.scores(p), b.ids(p), b.scores(i), b.ids(i))) {
+          val s = b.scores(p); b.scores(p) = b.scores(i); b.scores(i) = s
+          val id = b.ids(p); b.ids(p) = b.ids(i); b.ids(i) = id
+          i = p
+        } else return
       }
+    }
 
-    override def merge(a: List[Entry], b: List[Entry]): List[Entry] =
-      b.foldLeft(a)(reduce)
+    private def siftDown(b: TopKBuf): Unit = {
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var w = i // index of the worst among i and its children
+        if (l < b.n && beatsE(b.scores(w), b.ids(w), b.scores(l), b.ids(l)))
+          w = l
+        if (r < b.n && beatsE(b.scores(w), b.ids(w), b.scores(r), b.ids(r)))
+          w = r
+        if (w == i) return
+        val s = b.scores(i); b.scores(i) = b.scores(w); b.scores(w) = s
+        val id = b.ids(i); b.ids(i) = b.ids(w); b.ids(w) = id
+        i = w
+      }
+    }
 
-    override def finish(buf: List[Entry]): Seq[Entry] =
-      buf.sortWith(beats)
+    private def add(b: TopKBuf, score: Double, id: Long): TopKBuf = {
+      if (b.n < k) {
+        b.scores(b.n) = score; b.ids(b.n) = id; b.n += 1
+        siftUp(b, b.n - 1)
+      } else if (beatsE(score, id, b.scores(0), b.ids(0))) {
+        b.scores(0) = score; b.ids(0) = id
+        siftDown(b)
+      }
+      b
+    }
 
-    override def bufferEncoder: Encoder[List[Entry]] =
-      Encoders.kryo[List[Entry]]
+    override def reduce(buf: TopKBuf, e: Entry): TopKBuf =
+      add(buf, e._1, e._2)
+
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      var i = 0
+      while (i < b.n) { add(a, b.scores(i), b.ids(i)); i += 1 }
+      a
+    }
+
+    override def finish(buf: TopKBuf): Seq[Entry] =
+      (0 until buf.n).map(i => (buf.scores(i), buf.ids(i)))
+        .sortWith((x, y) => beatsE(x._1, x._2, y._1, y._2))
+
+    override def bufferEncoder: Encoder[TopKBuf] =
+      Encoders.kryo[TopKBuf]
     override def outputEncoder: Encoder[Seq[Entry]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
