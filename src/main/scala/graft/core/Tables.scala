@@ -56,12 +56,37 @@ object Tables {
     * scan splits, and the old unconditional `repartition(parallelism)`
     * forced a full corpus round-robin exchange (plus Spark's
     * sort-before-repartition pass) that did nothing but REDUCE
-    * parallelism to the core count. The probe is plan-side
-    * (`rdd.getNumPartitions` — no job runs); results are identical
-    * either way because every downstream consumer is
+    * parallelism to the core count.
+    *
+    * The probe must not run jobs, which constrains it to NARROW plans:
+    * `df.rdd` under AQE materializes every intermediate query stage of
+    * a plan containing exchanges (AdaptiveSparkPlanExec executes them
+    * to pick the final plan — measured +10 silently-run jobs on
+    * q_ingest_full when this probe was unconditional), and executing
+    * the NON-adaptive `sparkPlan` instead trips planner edges AQE
+    * normally papers over (a 1-vs-32 zip in a non-adaptive
+    * shuffled-join under a bloom-split union). So: plans made of only
+    * a leaf + narrow operators (project/filter/generate) — the raw
+    * table scans that matter at 100 TB — are probed via `.rdd` (no
+    * stages exist, nothing materializes) and skip the exchange when
+    * already wide; anything containing a shuffle keeps the pre-r21
+    * unconditional widening (its input is already
+    * shuffle-partitioned, so the round-robin there is
+    * parallelism-neutral, and probing it is what was unsafe). Results
+    * are identical either way: every downstream consumer is
     * partitioning-agnostic (partial aggs, deterministic tie-breaks). */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    def narrowOnly(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.LeafNode => true
+      case _: logical.Project | _: logical.Filter | _: logical.Generate |
+          _: logical.SubqueryAlias =>
+        narrowOnly(p.children.head)
+      case _ => false
+    }
+    if (narrowOnly(df.queryExecution.analyzed)) {
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    } else df.repartition(target)
   }
 }

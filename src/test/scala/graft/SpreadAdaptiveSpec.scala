@@ -25,15 +25,29 @@ class SpreadAdaptiveSpec extends SparkSpec {
     assert(out.count() == 1000L)
   }
 
-  test("spreadIfNarrow is a no-op on an already-wide input (no exchange)") {
+  test("spreadIfNarrow is a no-op on an already-wide scan (no exchange)") {
     val target = spark.sparkContext.defaultParallelism
-    val wide = spark.range(0, 1000).toDF("id").repartition(target * 4)
+    // a wide LEAF input (the 100 TB-scan shape: many splits, no
+    // upstream shuffle) — probed and left alone
+    val wide = spark.range(0, 1000, 1, target * 4).toDF("id")
     val out = Tables.spreadIfNarrow(wide)
     // partition count preserved — the old form would have REDUCED it
     // to `target` through a fresh round-robin exchange
     assert(out.rdd.getNumPartitions == target * 4)
     // plan object unchanged: no repartition node was added at all
     assert(out eq wide)
+  }
+
+  test("spreadIfNarrow keeps the unconditional widening above a shuffle") {
+    // a plan containing an exchange cannot be partition-probed without
+    // executing it (AQE materializes its stages) — those keep the
+    // pre-r21 behavior: one round-robin widening, parallelism-neutral
+    val target = spark.sparkContext.defaultParallelism
+    val shuffled = spark.range(0, 1000).toDF("id")
+      .groupBy((col("id") % 7).as("k")).count()
+    val out = Tables.spreadIfNarrow(shuffled)
+    assert(out.rdd.getNumPartitions == target)
+    assert(out.count() == 7L)
   }
 
   test("adaptiveLshProbeGeometry clamps flips to the clamped pool") {
