@@ -78,11 +78,23 @@ object Tables {
   def spreadIfNarrow(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // streaming plans cannot be partition-probed (`.rdd` throws) and a
+    // single-file micro-batch arrives as one split — keep the
+    // pre-r21 unconditional widening for every streaming caller,
+    // present or future (r22, ADVICE item; the guard previously lived
+    // only in Multimodal.spreadIds)
+    if (df.isStreaming) return df.repartition(target)
     def narrowOnly(p: logical.LogicalPlan): Boolean = p match {
       case _: logical.LeafNode => true
       case _: logical.Project | _: logical.Filter | _: logical.Generate |
           _: logical.SubqueryAlias =>
         narrowOnly(p.children.head)
+      // a union of narrow subtrees is itself exchange-free: probing its
+      // .rdd materializes nothing, and skipping the round-robin when it
+      // is already wide removes the one remaining shape on which a wide
+      // non-trivial input silently paid a full corpus shuffle (r22,
+      // VERDICT item 5)
+      case u: logical.Union => u.children.forall(narrowOnly)
       case _ => false
     }
     if (narrowOnly(df.queryExecution.analyzed)) {

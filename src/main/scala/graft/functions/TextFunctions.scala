@@ -149,12 +149,25 @@ object TextFunctions {
 
   /** Word n-gram shingles: overlapping windows of `n` tokens joined by
     * a single space. Documents shorter than n tokens → empty array. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(lower(text)), n)
+
+  /** [[shingles]] over an ALREADY-materialized token array — the
+    * shared-token-table form (r22): given `toks = tokens(lower(text))`
+    * the strings are byte-identical to `shingles(text, n)`, including
+    * the NULL case (null tokens → null size → the otherwise branch →
+    * empty array, exactly what the text form produced). */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks)
     when(cnt >= n,
       transform(sequence(lit(1), cnt - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** [[fingerprintMd5]] over an ALREADY-materialized token array —
+    * byte-identical given `toks = tokens(lower(text))` (null tokens →
+    * null join → null md5, as the text form). */
+  def fingerprintOfTokens(toks: Column): Column =
+    md5(array_join(toks, " ").cast("binary"))
 }

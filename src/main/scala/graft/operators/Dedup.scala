@@ -39,6 +39,26 @@ object Dedup {
       call_function("graft_shingles", tokens(lower(col(textCol))), lit(n))
     else shingles(col(textCol), n)
 
+  /** [[shinglesAuto]] over an ALREADY-materialized token array (the
+    * shared-token-table form, r22): the native kernel receives the
+    * token array either way, so given `toks = tokens(lower(text))`
+    * the strings are byte-identical on both paths. */
+  private def shinglesOfToksAuto(df: DataFrame, toks: Column, n: Int): Column =
+    if (df.sparkSession.catalog.functionExists("graft_shingles"))
+      call_function("graft_shingles", toks, lit(n))
+    else graft.functions.TextFunctions.shinglesOfTokens(toks, n)
+
+  /** Shared `(idCol, _t = tokens(lower(text)))` TOKEN table (r22) —
+    * one level below the r21 [[shingleBase]]: the exact-dedup
+    * fingerprint, the near-dup shingles, and the substring windows are
+    * ALL pure functions of this array, so a composition that runs
+    * several dedup families over the same corpus (the ingest gates)
+    * persists this once and feeds every stage a `...FromToks` form,
+    * instead of re-tokenizing the corpus once per family per side.
+    * At 100 TB each avoided re-tokenize is a full corpus pass. */
+  def tokenBase(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(df).select(col(idCol), tokens(lower(col(textCol))).as("_t"))
+
   private def minhashAuto(df: DataFrame, textCol: String, shingleN: Int,
       numHashes: Int): Column =
     if (df.sparkSession.catalog.functionExists("graft_minhash"))
@@ -229,11 +249,39 @@ object Dedup {
   def incrementalExactDedup(newDocs: DataFrame, priorFps: DataFrame,
       textCol: String, idCol: String, fpCol: String = "fp",
       expectedPriorKeys: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    require(expectedPriorKeys >= 0L,
-      s"expectedPriorKeys must be >= 0 (0 = derive from the store), got $expectedPriorKeys")
     val clash = newDocs.columns.filter(Set("_fp", "_rn", "_pfp", fpCol)).distinct
     require(clash.isEmpty,
       s"incrementalExactDedup: input columns ${clash.mkString(", ")} collide with internal markers")
+    incrementalExactDedupCore(
+      newDocs.withColumn("_fp", fingerprintMd5(col(textCol))),
+      priorFps, idCol, fpCol, expectedPriorKeys, fpp)
+  }
+
+  /** [[incrementalExactDedup]] over a prepared [[tokenBase]] batch
+    * (r22): the fingerprint is computed from the shared token array —
+    * byte-identical to the text form — so a composition that already
+    * tokenized the batch pays no second corpus pass. Survivors keep
+    * their `_t` column for the downstream `...FromToks` stages. */
+  def incrementalExactDedupFromToks(batchToks: DataFrame, priorFps: DataFrame,
+      idCol: String, fpCol: String = "fp",
+      expectedPriorKeys: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    require(batchToks.columns.contains("_t"),
+      s"incrementalExactDedupFromToks: batch must carry the tokenBase _t column, " +
+        s"got ${batchToks.columns.mkString(", ")}")
+    val clash = batchToks.columns.filter(Set("_fp", "_rn", "_pfp", fpCol)).distinct
+    require(clash.isEmpty,
+      s"incrementalExactDedupFromToks: input columns ${clash.mkString(", ")} collide with internal markers")
+    incrementalExactDedupCore(
+      batchToks.withColumn("_fp",
+        graft.functions.TextFunctions.fingerprintOfTokens(col("_t"))),
+      priorFps, idCol, fpCol, expectedPriorKeys, fpp)
+  }
+
+  private def incrementalExactDedupCore(withFp: DataFrame, priorFps: DataFrame,
+      idCol: String, fpCol: String,
+      expectedPriorKeys: Long, fpp: Double): DataFrame = {
+    require(expectedPriorKeys >= 0L,
+      s"expectedPriorKeys must be >= 0 (0 = derive from the store), got $expectedPriorKeys")
     // the fingerprint store is consumed THREE times (empty probe,
     // bloom build, anti-join right side) — persist the projection so
     // the caller's store pipeline runs once (the persist-before-probe
@@ -242,7 +290,6 @@ object Dedup {
     // map-side filters, and two scans cost less than materializing
     // full document text.
     val pf = graft.core.Caches.persistTracked(priorFps.select(col(fpCol)))
-    val withFp = newDocs.withColumn("_fp", fingerprintMd5(col(textCol)))
     val w = Window.partitionBy(col("_fp")).orderBy(col(idCol).asc)
     def dedupInBatch(df: DataFrame): DataFrame = df
       .withColumn("_rn", row_number().over(w))
@@ -440,6 +487,20 @@ object Dedup {
         minhashOfShingles(docs, col("shingles"), numHashes).as("sig"))
   }
 
+  /** [[nearDupStoreRecords]] over a prepared [[tokenBase]] (r22) —
+    * identical records; the tokenize pass is the caller's shared
+    * token table, so no spread and no re-tokenize here. */
+  def nearDupStoreRecordsFromToks(toks: DataFrame, idCol: String,
+      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    toks
+      .withColumn("shingles", coalesce(
+        array_distinct(shinglesOfToksAuto(toks, col("_t"), shingleN)),
+        typedLit(Seq.empty[String])))
+      .select(col(idCol).as("id"), col("shingles"),
+        minhashOfShingles(toks, col("shingles"), numHashes).as("sig"))
+  }
+
   /** Distinct shingle set with NULL text coalesced to the EMPTY set —
     * null text carries the same (non-)evidence as empty text, and the
     * coalesce keeps the native minhash kernel (null-in → null-out) and
@@ -491,24 +552,53 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
       spreadInput: Boolean = true,
       pairBroadcastBudget: Long = 1000000L): DataFrame = {
+    val clash = newDocs.columns.filter(Set("_sh", "_sig", "_bid", "_sid",
+      "_id1", "_id2", "_ab", "_j", "band", "bucket",
+      "shingles", "sig", "band_keys")).distinct
+    require(clash.isEmpty,
+      s"incrementalNearDup: input columns ${clash.mkString(", ")} collide with internal markers")
+    incrementalNearDupCore(
+      (if (spreadInput) spread(newDocs) else newDocs)
+        .withColumn("_sh", distinctShingles(newDocs, textCol, shingleN)),
+      store, idCol, threshold, bands, rowsPerBand, pairBroadcastBudget)
+  }
+
+  /** [[incrementalNearDup]] over a prepared [[tokenBase]] batch (r22):
+    * identical survivor ids and store-append records; the shared token
+    * table replaces the tokenize+shingle pass. Output columns are
+    * (idCol, shingles, sig, band_keys) — the token column is dropped
+    * before the persist so the cache carries hashes, not text. */
+  def incrementalNearDupFromToks(batchToks: DataFrame, store: DataFrame,
+      idCol: String, threshold: Double,
+      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      pairBroadcastBudget: Long = 1000000L): DataFrame = {
+    require(batchToks.columns.contains("_t"),
+      s"incrementalNearDupFromToks: batch must carry the tokenBase _t column, " +
+        s"got ${batchToks.columns.mkString(", ")}")
+    incrementalNearDupCore(
+      batchToks
+        .withColumn("_sh", coalesce(
+          array_distinct(shinglesOfToksAuto(batchToks, col("_t"), shingleN)),
+          typedLit(Seq.empty[String])))
+        .drop("_t"),
+      store, idCol, threshold, bands, rowsPerBand, pairBroadcastBudget)
+  }
+
+  private def incrementalNearDupCore(withSh: DataFrame, store: DataFrame,
+      idCol: String, threshold: Double, bands: Int, rowsPerBand: Int,
+      pairBroadcastBudget: Long): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val needed = Set("id", "shingles", "sig")
     require(needed.subsetOf(store.columns.toSet),
       s"incrementalNearDup: store must have columns id/shingles/sig " +
         s"(nearDupStoreRecords' schema), got ${store.columns.mkString(", ")}")
-    val clash = newDocs.columns.filter(Set("_sh", "_sig", "_bid", "_sid",
-      "_id1", "_id2", "_ab", "_j", "band", "bucket",
-      "shingles", "sig", "band_keys")).distinct
-    require(clash.isEmpty,
-      s"incrementalNearDup: input columns ${clash.mkString(", ")} collide with internal markers")
     val numHashes = bands * rowsPerBand
 
     // batch records: consumed by banding, both verify joins, and the
     // survivor anti-join — persist once (registry-released)
-    val batch = (if (spreadInput) spread(newDocs) else newDocs)
-      .withColumn("_sh", distinctShingles(newDocs, textCol, shingleN))
-      .withColumn("_sig", minhashOfShingles(newDocs, col("_sh"), numHashes))
+    val batch = withSh
+      .withColumn("_sig", minhashOfShingles(withSh, col("_sh"), numHashes))
       .persistTracked()
 
     // fail fast on a store built with different bands/rowsPerBand: a
@@ -865,7 +955,15 @@ object Dedup {
     * fail loud instead of silently colliding _occ values). NOT
     * persisted — callers persist per their consumer count. */
   private def substringToks(df: DataFrame, idCol: String, textCol: String,
-      L: Int, posBase: Long): DataFrame = {
+      L: Int, posBase: Long): DataFrame =
+    substringToksGuarded(spread(df), idCol, tokens(lower(col(textCol))),
+      L, posBase)
+
+  /** The guard half of [[substringToks]], parameterized over the token
+    * expression so the shared-token-table form ([[tokenBase]]) applies
+    * the SAME per-row injectivity guards without re-tokenizing. */
+  private def substringToksGuarded(src: DataFrame, idCol: String,
+      rawToks: Column, L: Int, posBase: Long): DataFrame = {
     require(L >= 2, s"window must be >= 2 tokens, got $L")
     require(posBase >= 2, s"posBase must be >= 2, got $posBase")
     val maxId = Long.MaxValue / posBase
@@ -876,14 +974,13 @@ object Dedup {
           s"for posBase=$posBase, got "),
         coalesce(col(idCol).cast("string"), lit("NULL")))))
       .otherwise(idLong)
-    val rawToks = tokens(lower(col(textCol)))
     val guardedToks = when(size(rawToks) > posBase,
       raise_error(concat(
         lit(s"exactSubstringDedup: document exceeds posBase=$posBase tokens " +
           "(occurrence encoding would collide) — raise posBase; id="),
         idLong.cast("string"), lit(", n_tokens="), size(rawToks).cast("string"))))
       .otherwise(rawToks)
-    spread(df).select(guardedId.as("id"), guardedToks.as("_t"))
+    src.select(guardedId.as("id"), guardedToks.as("_t"))
   }
 
   /** Per-document window-hash STORE records for the incremental
@@ -899,6 +996,14 @@ object Dedup {
   def substringStoreRecords(df: DataFrame, idCol: String, textCol: String,
       L: Int, posBase: Long = 100000L): DataFrame =
     substringGramsOf(substringToks(df, idCol, textCol, L, posBase), L, posBase)
+      .select(col("_gh").as("gh")).distinct()
+
+  /** [[substringStoreRecords]] over a prepared [[tokenBase]] (r22) —
+    * identical index, same injectivity guards, no re-tokenize. */
+  def substringStoreRecordsFromToks(toks: DataFrame, idCol: String,
+      L: Int, posBase: Long = 100000L): DataFrame =
+    substringGramsOf(
+      substringToksGuarded(toks, idCol, col("_t"), L, posBase), L, posBase)
       .select(col("_gh").as("gh")).distinct()
 
   /** Per-document window-hash POSTINGS (X140) — the RETRACTION-capable
@@ -971,12 +1076,26 @@ object Dedup {
     * for the next increment. */
   def incrementalSubstringDedup(newBatch: DataFrame, storeGrams: DataFrame,
       idCol: String, textCol: String, L: Int,
-      posBase: Long = 100000L): DataFrame = {
+      posBase: Long = 100000L): DataFrame =
+    incrementalSubstringCore(
+      substringToks(newBatch, idCol, textCol, L, posBase),
+      storeGrams, L, posBase)
+
+  /** [[incrementalSubstringDedup]] over a prepared [[tokenBase]] batch
+    * (r22) — identical output, same guards, no re-tokenize. */
+  def incrementalSubstringDedupFromToks(batchToks: DataFrame,
+      storeGrams: DataFrame, idCol: String, L: Int,
+      posBase: Long = 100000L): DataFrame =
+    incrementalSubstringCore(
+      substringToksGuarded(batchToks, idCol, col("_t"), L, posBase),
+      storeGrams, L, posBase)
+
+  private def incrementalSubstringCore(guardedToks: DataFrame,
+      storeGrams: DataFrame, L: Int, posBase: Long): DataFrame = {
     require(storeGrams.columns.contains("gh"),
       s"incrementalSubstringDedup: store must have column gh " +
         s"(substringStoreRecords' schema), got ${storeGrams.columns.mkString(", ")}")
-    val toks = substringToks(newBatch, idCol, textCol, L, posBase)
-      .persistTracked()
+    val toks = guardedToks.persistTracked()
     // marked feeds three structurally different consumers (store-hit
     // slice, fresh-dup agg, fresh cover join) — persist the postings
     // (id/pos/hash only, no text rides the cache)
@@ -1486,9 +1605,38 @@ object Dedup {
     * docs never enter any shuffle beyond the spine's left join. */
   def softDedup(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
-      bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
-    val pairs = minhashNearDupPairs(docs, idCol, textCol, threshold,
-      shingleN, bands, rowsPerBand)
+      bands: Int = 4, rowsPerBand: Int = 3): DataFrame =
+    softDedupTail(docs.select(col(idCol)), idCol,
+      minhashNearDupPairs(docs, idCol, textCol, threshold,
+        shingleN, bands, rowsPerBand))
+
+  /** [[softDedup]] over a prepared [[tokenBase]] (r22) — identical
+    * table; the pair mining consumes the shared token table's shingles
+    * instead of re-tokenizing the corpus. */
+  def softDedupFromToks(toks: DataFrame, idCol: String, threshold: Double,
+      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    require(toks.columns.contains("_t"),
+      s"softDedupFromToks: input must carry the tokenBase _t column, " +
+        s"got ${toks.columns.mkString(", ")}")
+    softDedupTail(toks.select(col(idCol)), idCol,
+      minhashNearDupPairsFromBase(
+        graft.core.Caches.persistTracked(
+          toks.select(col(idCol).as("id"),
+            array_distinct(shinglesOfToksAuto(toks, col("_t"), shingleN))
+              .as("_sh"))),
+        threshold, bands, rowsPerBand))
+  }
+
+  /** [[softDedup]] over an ALREADY-mined verified pair list (r22) —
+    * identical table: callers that also need the raw pairs (the
+    * retraction/increment gates) mine them once and feed both
+    * consumers, instead of running the full banded pipeline twice. */
+  def softDedupFromPairs(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    softDedupTail(docs.select(col(idCol)), idCol, pairs)
+
+  private def softDedupTail(spine: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val labels = connectedComponents(pairs, "id1", "id2")
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).cast("long").as("_csize"))
@@ -1502,7 +1650,7 @@ object Dedup {
     val bucket = conv(substring(
       md5(concat(lit("soft:"), col(idCol).cast("string"))), 1, 4), 16, 10)
       .cast("long") % 10000
-    docs.select(col(idCol)).join(lbl, col(idCol) === col("_lid"), "left")
+    spine.join(lbl, col(idCol) === col("_lid"), "left")
       .select(col(idCol),
         coalesce(col("_lcid"), col(idCol).cast("long")).as("cluster_id"),
         coalesce(col("_csize"), lit(1L)).as("cluster_size"))
@@ -1619,7 +1767,14 @@ object Dedup {
     * fallback), bounded CC, bounded re-weight; the re-arrival guard
     * (a batch id already in the store — the X112-family id contract)
     * rides the cluster_id column so no projection prunes it. Batch
-    * ids must cover every new-pair endpoint that is not stored. */
+    * ids must cover every new-pair endpoint that is not stored.
+    *
+    * `mapBroadcastBudget` is a row-count HEURISTIC for picking the
+    * join strategy, not a hard memory cap: sets provably within 2× of
+    * a probed set reuse its verdict (the r21 derive-bounded
+    * discipline), so a frame of up to 2× the budget can broadcast —
+    * size executors for 2× budget rows of longs (~32 MB at the
+    * default) or lower the budget. */
   def incrementalSoftDedup(storedWeights: DataFrame, newPairs: DataFrame,
       batchIds: DataFrame, idCol: String = "id",
       mapBroadcastBudget: Long = 1000000L): DataFrame = {

@@ -571,6 +571,12 @@ trait ExtDedupGates { this: ExtAllGates =>
     // covers more history than the heavier near-dup/semantic indexes),
     // which also puts genuine re-arrivals in the batch's path: the
     // corpus has no exact repeats, so a disjoint store would no-op
+    // r22 note: the tokenBase/FromToks rewrite was MEASURED here and
+    // reverted — s1 has a single consumer in this trilogy, so the
+    // shared token table only traded cheap re-splits for an eager
+    // materialization (paired A/B: 5.3s → 5.6s; contrast ingestQuartet,
+    // where the same rewrite removes a double-executed stage-1 chain
+    // and wins 1.45×).
     val priorFps = docs
       .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
       .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
@@ -816,24 +822,31 @@ trait ExtDedupGates { this: ExtAllGates =>
   val ingestQuartet: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
-    val storeSlice = docs.filter(col("doc_id") % 3 === 0)
-    val batch = docs.filter(col("doc_id") % 3 =!= 0)
-    val priorFps = docs
+    // r22 (guide §1.2): ONE persisted token table + a persisted stage-1
+    // survivor frame — see ingestFull; the quartet previously tokenized
+    // the store slice twice (near-dup + substring store builders) and
+    // the batch three times (fingerprints, shingles, windows), and
+    // re-ran the exact-dedup chain once per stage-2/3 consumer.
+    val toksAll = Dedup.tokenBase(docs, "doc_id", "text").localCheckpoint()
+    val storeToks = toksAll.filter(col("doc_id") % 3 === 0)
+    val priorFps = toksAll
       .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
-      .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
-    val s1 = Dedup.incrementalExactDedup(batch, priorFps, "text", "doc_id")
-      .select(col("doc_id"), col("text"))
-    val ndStore = Dedup.nearDupStoreRecords(storeSlice, "doc_id", "text",
+      .select(TextFunctions.fingerprintOfTokens(col("_t")).as("fp")).distinct()
+    val s1 =
+      Dedup.incrementalExactDedupFromToks(
+        toksAll.filter(col("doc_id") % 3 =!= 0), priorFps, "doc_id")
+        .select(col("doc_id"), col("_t")).localCheckpoint()
+    val ndStore = Dedup.nearDupStoreRecordsFromToks(storeToks, "doc_id",
       shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
-    val s2 = Dedup.incrementalNearDup(s1, ndStore, "text", "doc_id",
+    val s2 = Dedup.incrementalNearDupFromToks(s1, ndStore, "doc_id",
       threshold = 0.7, shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
       .select(col("doc_id"))
-    val grams = Dedup.substringStoreRecords(storeSlice, "doc_id", "text",
+    val grams = Dedup.substringStoreRecordsFromToks(storeToks, "doc_id",
       L = SUBSTR_L)
     // stage 3 runs on the stage-1 survivors (parallel to stage 2) and
     // its surviving docs intersect stage 2's; n_kept rides into the
     // output so the coverage ARITHMETIC is pinned, not just the drop set
-    val sub = Dedup.incrementalSubstringDedup(s1, grams, "doc_id", "text",
+    val sub = Dedup.incrementalSubstringDedupFromToks(s1, grams, "doc_id",
       L = SUBSTR_L)
       .filter(col("n_kept") > 0)
       .select(col("id").as("doc_id"), col("n_kept"))
@@ -949,6 +962,10 @@ trait ExtDedupGates { this: ExtAllGates =>
   val ingestWeighted: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
+    // r22 note: the tokenBase/FromToks rewrite was MEASURED here and
+    // reverted — s1 was ALREADY localCheckpointed (no double-executed
+    // chain to remove), so the shared token table only added an eager
+    // full-corpus materialization (paired A/B: 7.0-7.4s → 7.8-8.2s).
     val storeSlice = docs.filter(col("doc_id") % 3 === 0)
     val priorFps = docs
       .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)

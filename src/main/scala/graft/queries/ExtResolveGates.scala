@@ -123,9 +123,10 @@ trait ExtResolveGates { this: ExtAllGates =>
         threshold = 0.7, shingleN = 3,
         bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
         .select(col("id1"), col("id2")))
-    val stored = Dedup.softDedup(docs, "doc_id", "text",
-      threshold = 0.7, shingleN = 3,
-      bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+    // r22: the weight table derives from the SAME pair list mined
+    // above — softDedup(docs) re-ran the whole banded pipeline
+    // (tokenize, minhash, band join, verify) a second time
+    val stored = Dedup.softDedupFromPairs(docs, "doc_id", pairs)
       .withColumnRenamed("doc_id", "id")
       .localCheckpoint()
     Dedup.retractSoftDedup(stored, pairs,

@@ -525,14 +525,20 @@ trait ExtStreamGates { this: ExtAllGates =>
       java.nio.file.Files.createTempDirectory("graft-quartet").toString
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
-    val storeSlice = docs.filter(col("doc_id") % 3 === 0)
-    docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
-      .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
+    // r22 (guide §1.2): one persisted token table over the bootstrap
+    // slice feeds all three text-store builders — the pre-r22 shape
+    // tokenized the store slice once per store
+    val toksBoot = Dedup.tokenBase(
+      docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0),
+      "doc_id", "text").localCheckpoint()
+    val storeToks = toksBoot.filter(col("doc_id") % 3 === 0)
+    toksBoot
+      .select(TextFunctions.fingerprintOfTokens(col("_t")).as("fp")).distinct()
       .write.mode("overwrite").parquet(s"$base/exact/batch=-1")
-    Dedup.nearDupStoreRecords(storeSlice, "doc_id", "text",
+    Dedup.nearDupStoreRecordsFromToks(storeToks, "doc_id",
       shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
       .write.mode("overwrite").parquet(s"$base/neardup/batch=-1")
-    Dedup.substringStoreRecords(storeSlice, "doc_id", "text", L = SUBSTR_L)
+    Dedup.substringStoreRecordsFromToks(storeToks, "doc_id", L = SUBSTR_L)
       .write.mode("overwrite").parquet(s"$base/substring/batch=-1")
     val embStore = emb.filter(col("vec_id") % 3 === 0)
     val cents = sharedSemStoreCents(s, d)

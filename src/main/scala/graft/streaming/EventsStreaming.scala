@@ -585,7 +585,10 @@ object EventsStreaming {
           val semStore = storeForBatch(
             readSemanticStore(spark, s"$basePath/semantic"), batchId)
           // stage 1: exact — survivors checkpointed before ANY write
-          // below (three downstream plans read s1)
+          // below (three downstream plans read s1). r22 note: the
+          // per-batch tokenBase/FromToks rewrite was MEASURED and
+          // reverted — the extra eager checkpoint action per micro-batch
+          // outweighed the saved re-splits of a bounded batch.
           val s1 = Dedup.incrementalExactDedup(batch.toDF(), exactStore,
             textCol, idCol).localCheckpoint()
           // stage 2 ∥ 3 over the stage-1 survivors (the X139 shape)
