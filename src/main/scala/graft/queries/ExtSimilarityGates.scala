@@ -24,6 +24,31 @@ import graft.streaming.EventsStreaming
   * nothing else changed in the move.
   */
 trait ExtSimilarityGates { this: ExtAllGates =>
+
+  /** Materialize independent tier frames CONCURRENTLY (r22, guide
+    * §2.6): actions are only sequential because driver code awaits
+    * them one at a time, and a harness unioning N independent ANN tier
+    * replays under ONE action serializes their AQE stage chains — each
+    * tier's exchanges become a stage wave the next tier waits out.
+    * Eagerly localCheckpoint each tier from a small thread pool so the
+    * scheduler backfills freed cores with the next tier's stages:
+    * wall-clock approaches the slowest tier, not the sum. Results are
+    * identical — localCheckpoint pins each tier's own rows, callers
+    * union in their original order, and every downstream consumer is
+    * row-order-agnostic (per-(method, q_id) aggregation). 2-4 jobs in
+    * flight is the guide's "enough to fill the tail" band. */
+  private[queries] def materializeConcurrent(
+      frames: Seq[DataFrame]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence(frames.map(f => Future(f.localCheckpoint()))),
+      Duration.Inf)
+    finally pool.shutdown()
+  }
+
   // -------------------- corpus statistics / curation --------------------
 
   /** TF-IDF top-5 terms per document (Corpus.tfIdfTopTerms): tf and df
@@ -397,33 +422,33 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     val codes = graft.core.Caches.persistTracked(
       Similarity.ivfPqCodes(emb, "vec_id", "embedding", coarse, books,
         metaCols = Seq("label")))
-    def tiers(name: String, pred: org.apache.spark.sql.Column) =
+    def tiers(name: String, pred: org.apache.spark.sql.Column) = Seq(
       Similarity.filteredBinaryRerankTopK(emb, qs, pred, coarseK = 50,
           k = 10, dims = EMB_DIMS)
-        .withColumn("method", lit(s"binary_$name"))
-        .unionByName(
-          Similarity.filteredIvfPqTopKFromCodes(codes, emb, qs, k = 10,
-            coarse, books, nprobe = FILT_NPROBE, coarseK = PQ_COARSE, pred)
-            .withColumn("method", lit(s"ivfpq_$name")))
-        .unionByName(
-          Similarity.filteredPqTopK(emb, qs, k = 10, sharedPqBooks(s, d),
-            coarseK = PQ_COARSE, pred)
-            .withColumn("method", lit(s"pq_$name")))
-        .unionByName(
-          Similarity.filteredRpTopK(emb, qs, k = 10, outDims = RP_OUT,
-            dims = EMB_DIMS, coarseK = RP_COARSE, pred)
-            .withColumn("method", lit(s"rp_$name")))
-        .unionByName(
-          Similarity.filteredLshMultiProbeTopK(emb, qs, k = 10,
-            bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T, pred,
-            poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)
-            .withColumn("method", lit(s"lshp_$name")))
-        .unionByName(
-          Similarity.filteredPcaTopK(emb, qs, k = 10, sharedPcaComps(s, d),
-            coarseK = PCA_COARSE, pred)
-            .withColumn("method", lit(s"pca_$name")))
-    tiers("even", col("label") % 2 === 0)
-      .unionByName(tiers("l3", col("label") === 3))
+        .withColumn("method", lit(s"binary_$name")),
+      Similarity.filteredIvfPqTopKFromCodes(codes, emb, qs, k = 10,
+        coarse, books, nprobe = FILT_NPROBE, coarseK = PQ_COARSE, pred)
+        .withColumn("method", lit(s"ivfpq_$name")),
+      Similarity.filteredPqTopK(emb, qs, k = 10, sharedPqBooks(s, d),
+        coarseK = PQ_COARSE, pred)
+        .withColumn("method", lit(s"pq_$name")),
+      Similarity.filteredRpTopK(emb, qs, k = 10, outDims = RP_OUT,
+        dims = EMB_DIMS, coarseK = RP_COARSE, pred)
+        .withColumn("method", lit(s"rp_$name")),
+      Similarity.filteredLshMultiProbeTopK(emb, qs, k = 10,
+        bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T, pred,
+        poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)
+        .withColumn("method", lit(s"lshp_$name")),
+      Similarity.filteredPcaTopK(emb, qs, k = 10, sharedPcaComps(s, d),
+        coarseK = PCA_COARSE, pred)
+        .withColumn("method", lit(s"pca_$name")))
+    // r22 (guide §2.6): the 12 tier replays are independent subtrees —
+    // materialize them concurrently instead of letting one action
+    // serialize their stage waves
+    materializeConcurrent(
+      tiers("even", col("label") % 2 === 0) ++
+        tiers("l3", col("label") === 3))
+      .reduce(_.unionByName(_))
       .select(col("method"), col("q_id"), col("vec_id"), col("score"),
         col("rank"))
   }
@@ -562,34 +587,33 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     // before — same values, one less pass).
     def forPred(name: String, pred: org.apache.spark.sql.Column,
         extra: Option[(String, DataFrame)] = None) = {
-      val bf = graft.core.Caches.persistTracked(
-        Similarity.bruteForceTopK(emb.filter(pred), qs, k = 10))
+      val bf = Similarity.bruteForceTopK(emb.filter(pred), qs, k = 10)
       def tag(m: String, ann: DataFrame) =
         ann.select(lit(m).as("method"), col("q_id"), col("vec_id"))
-      val base = tag(s"binary_$name",
+      val base = Seq(tag(s"binary_$name",
         Similarity.filteredBinaryRerankTopK(emb, qs, pred, coarseK = 50,
-          k = 10, dims = EMB_DIMS))
-        .unionByName(tag(s"ivfpq_$name",
+          k = 10, dims = EMB_DIMS)),
+        tag(s"ivfpq_$name",
           Similarity.filteredIvfPqTopKFromCodes(codes, emb, qs, k = 10,
             coarse, books, nprobe = FILT_NPROBE, coarseK = PQ_COARSE,
-            pred)))
+            pred)),
         // r19: the remaining four filtered tiers' recall is MEASURED,
         // not asserted — six of six serving tiers now carry the X199
         // parity-or-better law as hash-pinned rows at both
         // selectivities (VERDICT r18 #3)
-        .unionByName(tag(s"pq_$name",
+        tag(s"pq_$name",
           Similarity.filteredPqTopK(emb, qs, k = 10, sharedPqBooks(s, d),
-            coarseK = PQ_COARSE, pred)))
-        .unionByName(tag(s"rp_$name",
+            coarseK = PQ_COARSE, pred)),
+        tag(s"rp_$name",
           Similarity.filteredRpTopK(emb, qs, k = 10, outDims = RP_OUT,
-            dims = EMB_DIMS, coarseK = RP_COARSE, pred)))
-        .unionByName(tag(s"lshp_$name",
+            dims = EMB_DIMS, coarseK = RP_COARSE, pred)),
+        tag(s"lshp_$name",
           Similarity.filteredLshMultiProbeTopK(emb, qs, k = 10,
             bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T, pred,
-            poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
-        .unionByName(tag(s"pca_$name",
+            poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)),
+        tag(s"pca_$name",
           Similarity.filteredPcaTopK(emb, qs, k = 10, sharedPcaComps(s, d),
-            coarseK = PCA_COARSE, pred)))
+            coarseK = PCA_COARSE, pred)),
         // r20 (X228): the ADAPTIVE multi-probe row at BOTH
         // selectivities — nprobe and the (pool, flips) perturbation
         // geometry derived from the predicate's measured selectivity
@@ -602,17 +626,14 @@ trait ExtSimilarityGates { this: ExtAllGates =>
         // geometry cannot carry the predicate). The oracle pins the
         // derived triples; selectivity drift that changes them fails
         // loud.
-        .unionByName(tag(s"lshp_adapt_$name",
+        tag(s"lshp_adapt_$name",
           Similarity.filteredLshMultiProbeTopKAdaptive(emb, qs, k = 10,
             bits = ANN_BITS, dims = EMB_DIMS, baseNprobe = ANN_PROBE_T,
             pred, poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
-      val tagged = extra match {
-        case Some((m, ann)) => base.unionByName(tag(m, ann))
-        case None => base
-      }
+      val tiers = base ++ extra.map { case (m, ann) => tag(m, ann) }.toSeq
       val methods = Seq("binary", "ivfpq", "pq", "rp", "lshp", "pca",
         "lshp_adapt").map(m => s"${m}_$name") ++ extra.map(_._1)
-      Similarity.recallAtKTagged(bf, tagged, methods)
+      (bf, tiers, methods)
     }
     // the SELECTIVE predicate additionally runs with the
     // selectivity-DERIVED cell budget (X199's guidance made a knob:
@@ -621,11 +642,23 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     // oracle pins the derived value (a fixture whose selectivity
     // drifts enough to change it fails loud, by design)
     val predL3 = col("label") === 3
-    forPred("even", col("label") % 2 === 0)
-      .unionByName(forPred("l3", predL3, extra = Some(("ivfpq_adapt_l3",
+    val (bfE, tiersE, methodsE) = forPred("even", col("label") % 2 === 0)
+    val (bfL, tiersL, methodsL) = forPred("l3", predL3,
+      extra = Some(("ivfpq_adapt_l3",
         Similarity.filteredIvfPqTopKAdaptive(codes, emb, qs, k = 10,
           coarse, books, baseNprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE,
-          predL3)))))
+          predL3))))
+    // r22 (guide §2.6): both predicates' ground truths and all 16 tier
+    // replays are independent subtrees — materialize concurrently,
+    // then run each predicate's tagged agg over its slice
+    val frames = materializeConcurrent(Seq(bfE, bfL) ++ tiersE ++ tiersL)
+    val (gtE, gtL) = (frames(0), frames(1))
+    val outE = frames.slice(2, 2 + tiersE.length)
+    val outL = frames.drop(2 + tiersE.length)
+    Similarity.recallAtKTagged(gtE, outE.reduce(_.unionByName(_)), methodsE)
+      .unionByName(
+        Similarity.recallAtKTagged(gtL, outL.reduce(_.unionByName(_)),
+          methodsL))
   }
 
   // lazy: references the RP/PCA/multi-probe oracle fronts, whose
@@ -1639,8 +1672,6 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     // functions, same parameters, same values)
     val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
     val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
-    val bf = graft.core.Caches.persistTracked(
-      Similarity.bruteForceTopK(emb, qs, k = 10))
     // r21: the recall join/agg runs ONCE over the method-tagged union
     // of all ten tier replays (Similarity.recallAtKTagged) instead of
     // once per tier — ~20 exchanges → 2, same rows (guide §2.4)
@@ -1650,36 +1681,42 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     val (ivfpqCoarse, ivfpqBooks) = sharedIvfPqIndex(s, d)
     val (embN, qsN) = normalizedEmbQueries(emb, qs)
     val (normCoarse, normBooks) = sharedNormIvfPqIndex(s, d, embN)
-    val tagged = tag("lsh", Similarity.lshTopK(emb, qs, k = 10,
-        bits = ANN_BITS, dims = EMB_DIMS))
-      .unionByName(tag("lsh_multi", Similarity.lshTopKMultiBand(emb, qs,
+    // r22 (guide §2.6): ground truth + the ten tier replays are
+    // independent subtrees — materialize concurrently, then run the
+    // shared tagged agg over their union
+    val frames = materializeConcurrent(Seq(
+      Similarity.bruteForceTopK(emb, qs, k = 10),
+      tag("lsh", Similarity.lshTopK(emb, qs, k = 10,
+        bits = ANN_BITS, dims = EMB_DIMS)),
+      tag("lsh_multi", Similarity.lshTopKMultiBand(emb, qs,
         k = 10, bands = ANN_MULTI_BANDS, bits = ANN_MULTI_BITS,
-        dims = EMB_DIMS)))
-      .unionByName(tag("lsh_probe", Similarity.lshMultiProbeTopK(emb, qs,
+        dims = EMB_DIMS)),
+      tag("lsh_probe", Similarity.lshMultiProbeTopK(emb, qs,
         k = 10, bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T,
-        poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
-      .unionByName(tag("ivf", Similarity.ivfTopK(emb, qs, k = 10,
-        centroidEvery = 200, nprobe = 2)))
-      .unionByName(tag("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
-        coarseK = PQ_COARSE)))
-      .unionByName(tag("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
-        ivfpqCoarse, ivfpqBooks, nprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE)))
-      .unionByName(tag("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
+        poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)),
+      tag("ivf", Similarity.ivfTopK(emb, qs, k = 10,
+        centroidEvery = 200, nprobe = 2)),
+      tag("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
+        coarseK = PQ_COARSE)),
+      tag("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
+        ivfpqCoarse, ivfpqBooks, nprobe = IVFPQ_NPROBE, coarseK = PQ_COARSE)),
+      tag("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
         normCoarse, normBooks, nprobe = IVFPQ_NORM_NPROBE,
-        coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)))
-      .unionByName(tag("rerank", Similarity.quantizedRerankTopK(emb, qs,
-        coarseK = 50, k = 10)))
-      .unionByName(tag("binary", Similarity.binaryRerankTopK(emb, qs,
-        coarseK = 50, k = 10, dims = EMB_DIMS)))
+        coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)),
+      tag("rerank", Similarity.quantizedRerankTopK(emb, qs,
+        coarseK = 50, k = 10)),
+      tag("binary", Similarity.binaryRerankTopK(emb, qs,
+        coarseK = 50, k = 10, dims = EMB_DIMS)),
       // the measured knee of the r15 coarseK sweep (0.53/0.78/0.88/0.94
       // at 20/50/100/200): at coarseK=100 the training-free 8 B/vector
       // binary tier overtakes IVF — the serving default, on record in
       // the harness like every other parameter decision
-      .unionByName(tag("binary_100", Similarity.binaryRerankTopK(emb, qs,
-        coarseK = 100, k = 10, dims = EMB_DIMS)))
-    Similarity.recallAtKTagged(bf, tagged, Seq("lsh", "lsh_multi",
-      "lsh_probe", "ivf", "pq", "ivfpq", "ivfpq_norm", "rerank",
-      "binary", "binary_100"))
+      tag("binary_100", Similarity.binaryRerankTopK(emb, qs,
+        coarseK = 100, k = 10, dims = EMB_DIMS))))
+    Similarity.recallAtKTagged(frames.head,
+      frames.tail.reduce(_.unionByName(_)), Seq("lsh", "lsh_multi",
+        "lsh_probe", "ivf", "pq", "ivfpq", "ivfpq_norm", "rerank",
+        "binary", "binary_100"))
   }
 
   val annRecallSql: String = {
@@ -1718,8 +1755,6 @@ trait ExtSimilarityGates { this: ExtAllGates =>
   val retrievalMetricsQ: Q = (s, d) => {
     val emb = graft.core.Caches.persistTracked(Tables.embeddings(s, d))
     val qs = graft.core.Caches.persistTracked(queriesDf(s, d))
-    val bf = graft.core.Caches.persistTracked(
-      Similarity.bruteForceTopK(emb, qs, k = 10))
     // r21: the seven shared-ground-truth tiers run through ONE tagged
     // metrics pass (Similarity.retrievalMetricsTagged) instead of one
     // join+agg chain per tier (~21 exchanges → 3); the filtered row
@@ -1731,41 +1766,46 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     val (ivfpqCoarse, ivfpqBooks) = sharedIvfPqIndex(s, d)
     val (embN, qsN) = normalizedEmbQueries(emb, qs)
     val (normCoarse, normBooks) = sharedNormIvfPqIndex(s, d, embN)
-    val tagged = tag("rerank", Similarity.quantizedRerankTopK(emb, qs,
-        coarseK = 50, k = 10))
-      .unionByName(tag("binary", Similarity.binaryRerankTopK(emb, qs,
-        coarseK = 50, k = 10, dims = EMB_DIMS)))
-      .unionByName(tag("lsh", Similarity.lshTopK(emb, qs, k = 10,
-        bits = ANN_BITS, dims = EMB_DIMS)))
-      .unionByName(tag("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
-        coarseK = PQ_COARSE)))
-      .unionByName(tag("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
+    // the FILTERED ranking-quality row (the X198/X199 demand that
+    // nDCG be measured under a predicate too): ground truth is
+    // brute force over the filtered slice, the tier is the
+    // filtered IVF-PQ probe at the shipped serving nprobe
+    val predF = col("label") % 2 === 0
+    val bfF = graft.core.Caches.persistTracked(
+      Similarity.bruteForceTopK(emb.filter(predF), qs, k = 10))
+    val filteredRow = Similarity.retrievalMetrics(bfF,
+      Similarity.ivfPqTopK(emb.filter(predF), qs, k = 10,
+        ivfpqCoarse, ivfpqBooks, nprobe = FILT_NPROBE,
+        coarseK = PQ_COARSE), k = 10)
+      .withColumn("method", lit("ivfpq_filt"))
+      .select(col("method"), col("q_id"), col("n_rel"),
+        col("mrr_micro"), col("dcg_micro"), col("idcg_micro"),
+        col("ndcg_bp"))
+    // r22 (guide §2.6): ground truth, the seven tiers, and the whole
+    // filtered row are independent subtrees — materialize concurrently
+    val frames = materializeConcurrent(Seq(
+      Similarity.bruteForceTopK(emb, qs, k = 10),
+      tag("rerank", Similarity.quantizedRerankTopK(emb, qs,
+        coarseK = 50, k = 10)),
+      tag("binary", Similarity.binaryRerankTopK(emb, qs,
+        coarseK = 50, k = 10, dims = EMB_DIMS)),
+      tag("lsh", Similarity.lshTopK(emb, qs, k = 10,
+        bits = ANN_BITS, dims = EMB_DIMS)),
+      tag("pq", Similarity.pqTopK(emb, qs, k = 10, pqBooks,
+        coarseK = PQ_COARSE)),
+      tag("ivfpq", Similarity.ivfPqTopK(emb, qs, k = 10,
         ivfpqCoarse, ivfpqBooks, nprobe = IVFPQ_NPROBE,
-        coarseK = PQ_COARSE)))
-      .unionByName(tag("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
+        coarseK = PQ_COARSE)),
+      tag("ivfpq_norm", Similarity.ivfPqTopK(embN, qsN, k = 10,
         normCoarse, normBooks, nprobe = IVFPQ_NORM_NPROBE,
-        coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)))
-      .unionByName(tag("rp", Similarity.rpTopK(emb, qs, k = 10,
-        outDims = RP_OUT, dims = EMB_DIMS, coarseK = RP_COARSE)))
-    Similarity.retrievalMetricsTagged(bf, tagged, k = 10,
+        coarseK = IVFPQ_NORM_COARSEK, scale = 1.0)),
+      tag("rp", Similarity.rpTopK(emb, qs, k = 10,
+        outDims = RP_OUT, dims = EMB_DIMS, coarseK = RP_COARSE)),
+      filteredRow))
+    Similarity.retrievalMetricsTagged(frames.head,
+      frames.slice(1, 8).reduce(_.unionByName(_)), k = 10,
       Seq("rerank", "binary", "lsh", "pq", "ivfpq", "ivfpq_norm", "rp"))
-      .unionByName {
-        // the FILTERED ranking-quality row (the X198/X199 demand that
-        // nDCG be measured under a predicate too): ground truth is
-        // brute force over the filtered slice, the tier is the
-        // filtered IVF-PQ probe at the shipped serving nprobe
-        val predF = col("label") % 2 === 0
-        val bfF = graft.core.Caches.persistTracked(
-          Similarity.bruteForceTopK(emb.filter(predF), qs, k = 10))
-        Similarity.retrievalMetrics(bfF,
-          Similarity.ivfPqTopK(emb.filter(predF), qs, k = 10,
-            ivfpqCoarse, ivfpqBooks, nprobe = FILT_NPROBE,
-            coarseK = PQ_COARSE), k = 10)
-          .withColumn("method", lit("ivfpq_filt"))
-          .select(col("method"), col("q_id"), col("n_rel"),
-            col("mrr_micro"), col("dcg_micro"), col("idcg_micro"),
-            col("ndcg_bp"))
-      }
+      .unionByName(frames.last)
   }
 
   val retrievalMetricsSql: String = {
@@ -1839,40 +1879,49 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     // (Similarity.retrievalMetricsTagged) instead of one join+agg
     // chain per tier (~21 exchanges → 3 per predicate). Same rows.
     def forPred(name: String, pred: org.apache.spark.sql.Column) = {
-      val bf = graft.core.Caches.persistTracked(
-        Similarity.bruteForceTopK(emb.filter(pred), qs, k = 10))
+      val bf = Similarity.bruteForceTopK(emb.filter(pred), qs, k = 10)
       def tag(method: String, ann: DataFrame) =
         ann.select(lit(s"${method}_$name").as("method"), col("q_id"),
           col("vec_id"), col("rank"))
-      val tagged = tag("binary", Similarity.filteredBinaryRerankTopK(emb,
-          qs, pred, coarseK = 50, k = 10, dims = EMB_DIMS))
-        .unionByName(tag("ivfpq",
+      val tiers = Seq(
+        tag("binary", Similarity.filteredBinaryRerankTopK(emb,
+          qs, pred, coarseK = 50, k = 10, dims = EMB_DIMS)),
+        tag("ivfpq",
           Similarity.filteredIvfPqTopKFromCodes(codes, emb, qs, k = 10,
             coarse, books, nprobe = FILT_NPROBE, coarseK = PQ_COARSE,
-            pred)))
-        .unionByName(tag("pq",
+            pred)),
+        tag("pq",
           Similarity.filteredPqTopK(emb, qs, k = 10, sharedPqBooks(s, d),
-            coarseK = PQ_COARSE, pred)))
-        .unionByName(tag("rp",
+            coarseK = PQ_COARSE, pred)),
+        tag("rp",
           Similarity.filteredRpTopK(emb, qs, k = 10, outDims = RP_OUT,
-            dims = EMB_DIMS, coarseK = RP_COARSE, pred)))
-        .unionByName(tag("lshp",
+            dims = EMB_DIMS, coarseK = RP_COARSE, pred)),
+        tag("lshp",
           Similarity.filteredLshMultiProbeTopK(emb, qs, k = 10,
             bits = ANN_BITS, dims = EMB_DIMS, nprobe = ANN_PROBE_T, pred,
-            poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
-        .unionByName(tag("lshp_adapt",
+            poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)),
+        tag("lshp_adapt",
           Similarity.filteredLshMultiProbeTopKAdaptive(emb, qs, k = 10,
             bits = ANN_BITS, dims = EMB_DIMS, baseNprobe = ANN_PROBE_T,
-            pred, poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)))
-        .unionByName(tag("pca",
+            pred, poolSize = ANN_PROBE_POOL, maxFlips = ANN_PROBE_FLIPS)),
+        tag("pca",
           Similarity.filteredPcaTopK(emb, qs, k = 10, sharedPcaComps(s, d),
             coarseK = PCA_COARSE, pred)))
-      Similarity.retrievalMetricsTagged(bf, tagged, k = 10,
+      (bf, tiers,
         Seq("binary", "ivfpq", "pq", "rp", "lshp", "lshp_adapt", "pca")
           .map(m => s"${m}_$name"))
     }
-    forPred("even", col("label") % 2 === 0)
-      .unionByName(forPred("l3", col("label") === 3))
+    val (bfE, tiersE, methodsE) = forPred("even", col("label") % 2 === 0)
+    val (bfL, tiersL, methodsL) = forPred("l3", col("label") === 3)
+    // r22 (guide §2.6): both ground truths and all 14 tier replays are
+    // independent subtrees — materialize concurrently
+    val frames = materializeConcurrent(Seq(bfE, bfL) ++ tiersE ++ tiersL)
+    val outE = frames.slice(2, 2 + tiersE.length)
+    val outL = frames.drop(2 + tiersE.length)
+    Similarity.retrievalMetricsTagged(frames(0),
+      outE.reduce(_.unionByName(_)), k = 10, methodsE)
+      .unionByName(Similarity.retrievalMetricsTagged(frames(1),
+        outL.reduce(_.unionByName(_)), k = 10, methodsL))
   }
 
   // lazy: references the RP/PCA/multi-probe oracle fronts declared
