@@ -303,6 +303,28 @@ object Caches {
     }
   }
 
+  /** Run independent Spark actions CONCURRENTLY from a small pool
+    * (r22, guide §2.6) and return results in input order: actions are
+    * only sequential because driver code awaits them one at a time, so
+    * N independent materializations/writes under one driver thread
+    * serialize their stage waves; 2-4 in flight lets the scheduler
+    * backfill freed cores. Callers must pass thunks whose PLANS were
+    * built on the calling thread — plan construction may run
+    * persistTracked/probe actions whose scope ([[releaseScoped]]) and
+    * tracking are thread-local; only the materialization belongs in
+    * the thunk. Degenerate sizes run inline. */
+  def runConcurrently[T](thunks: Seq[() => T], slots: Int = 4): Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    if (thunks.lengthCompare(2) < 0) return thunks.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(slots, thunks.length))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(thunks.map(t => Future(t()))),
+      Duration.Inf)
+    finally pool.shutdown()
+  }
+
   /** Postfix syntax for operator code: `df.persistTracked()` reads as
     * `.persist(...)` did at the call sites, keeping the plan-building
     * chains intact. */

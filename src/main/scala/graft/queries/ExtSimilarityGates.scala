@@ -38,16 +38,9 @@ trait ExtSimilarityGates { this: ExtAllGates =>
     * row-order-agnostic (per-(method, q_id) aggregation). 2-4 jobs in
     * flight is the guide's "enough to fill the tail" band. */
   private[queries] def materializeConcurrent(
-      frames: Seq[DataFrame]): Seq[DataFrame] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(
-      Future.sequence(frames.map(f => Future(f.localCheckpoint()))),
-      Duration.Inf)
-    finally pool.shutdown()
-  }
+      frames: Seq[DataFrame]): Seq[DataFrame] =
+    graft.core.Caches.runConcurrently(
+      frames.map(f => () => f.localCheckpoint()))
 
   // -------------------- corpus statistics / curation --------------------
 

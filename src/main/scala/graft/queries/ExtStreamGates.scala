@@ -532,18 +532,23 @@ trait ExtStreamGates { this: ExtAllGates =>
       docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0),
       "doc_id", "text").localCheckpoint()
     val storeToks = toksBoot.filter(col("doc_id") % 3 === 0)
-    toksBoot
-      .select(TextFunctions.fingerprintOfTokens(col("_t")).as("fp")).distinct()
-      .write.mode("overwrite").parquet(s"$base/exact/batch=-1")
-    Dedup.nearDupStoreRecordsFromToks(storeToks, "doc_id",
-      shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
-      .write.mode("overwrite").parquet(s"$base/neardup/batch=-1")
-    Dedup.substringStoreRecordsFromToks(storeToks, "doc_id", L = SUBSTR_L)
-      .write.mode("overwrite").parquet(s"$base/substring/batch=-1")
     val embStore = emb.filter(col("vec_id") % 3 === 0)
     val cents = sharedSemStoreCents(s, d)
-    Similarity.semanticStoreRecords(embStore, "vec_id", "embedding", cents)
-      .write.mode("overwrite").parquet(s"$base/semantic/batch=-1")
+    // r22 (guide §2.6): the four bootstrap stores are independent
+    // writes over materialized inputs — run them concurrently
+    graft.core.Caches.runConcurrently[Unit](Seq(
+      () => toksBoot
+        .select(TextFunctions.fingerprintOfTokens(col("_t")).as("fp")).distinct()
+        .write.mode("overwrite").parquet(s"$base/exact/batch=-1"),
+      () => Dedup.nearDupStoreRecordsFromToks(storeToks, "doc_id",
+          shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
+        .write.mode("overwrite").parquet(s"$base/neardup/batch=-1"),
+      () => Dedup.substringStoreRecordsFromToks(storeToks, "doc_id",
+          L = SUBSTR_L)
+        .write.mode("overwrite").parquet(s"$base/substring/batch=-1"),
+      () => Similarity.semanticStoreRecords(embStore, "vec_id", "embedding",
+          cents)
+        .write.mode("overwrite").parquet(s"$base/semantic/batch=-1")))
     val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parque[t]")
       .filter(col("doc_id") % 3 =!= 0)
       .select(col("doc_id"), col("text"))
@@ -648,13 +653,15 @@ trait ExtStreamGates { this: ExtAllGates =>
       Dedup.connectedComponents(
         pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0),
         "id1", "id2"))
-    bootLabels.write.mode("overwrite").parquet(s"$lblDir/batch=-1")
-    Dedup.canonicalByScore(bootLabels, scores, "doc_id", "n_chars")
-      .filter(col("is_canonical"))
-      .select(col("cluster_id"), col("id").as("canonical_id"), col("score"))
-      .write.mode("overwrite").parquet(s"$pickDir/batch=-1")
-    pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
-      .coalesce(1).write.mode("overwrite").parquet(pairsDir)
+    // r22 (guide §2.6): three independent bootstrap writes — concurrent
+    graft.core.Caches.runConcurrently[Unit](Seq(
+      () => bootLabels.write.mode("overwrite").parquet(s"$lblDir/batch=-1"),
+      () => Dedup.canonicalByScore(bootLabels, scores, "doc_id", "n_chars")
+        .filter(col("is_canonical"))
+        .select(col("cluster_id"), col("id").as("canonical_id"), col("score"))
+        .write.mode("overwrite").parquet(s"$pickDir/batch=-1"),
+      () => pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
+        .coalesce(1).write.mode("overwrite").parquet(pairsDir)))
     val pairSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id1",
         org.apache.spark.sql.types.LongType),
@@ -702,16 +709,20 @@ trait ExtStreamGates { this: ExtAllGates =>
         .select(col("id1"), col("id2")))
     val empty = Seq.empty[(Long, Long, Long, Long, Boolean)]
       .toDF("id", "cluster_id", "cluster_size", "weight_bp", "keep")
-    Dedup.incrementalSoftDedup(empty,
+    // r22 (guide §2.6): the weight-store bootstrap and the pair-source
+    // dump are independent writes — build the bootstrap plan on this
+    // thread (its construction runs probes/persists), run both
+    // concurrently. The stream side: cross/batch pairs + a self-loop
+    // per batch doc (so a pair-free doc still enters the spine).
+    val bootPlan = Dedup.incrementalSoftDedup(empty,
       pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0),
       docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("id")))
-      .write.mode("overwrite").parquet(s"$wDir/batch=-1")
-    // stream: cross/batch pairs + a self-loop per batch doc (so a
-    // pair-free doc still enters the spine)
-    pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
-      .unionByName(docs.filter(col("doc_id") % 3 =!= 0)
-        .select(col("doc_id").as("id1"), col("doc_id").as("id2")))
-      .coalesce(1).write.mode("overwrite").parquet(pairsDir)
+    graft.core.Caches.runConcurrently[Unit](Seq(
+      () => bootPlan.write.mode("overwrite").parquet(s"$wDir/batch=-1"),
+      () => pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
+        .unionByName(docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id").as("id1"), col("doc_id").as("id2")))
+        .coalesce(1).write.mode("overwrite").parquet(pairsDir)))
     val pairSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id1",
         org.apache.spark.sql.types.LongType),

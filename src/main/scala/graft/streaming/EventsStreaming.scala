@@ -591,17 +591,27 @@ object EventsStreaming {
           // outweighed the saved re-splits of a bounded batch.
           val s1 = Dedup.incrementalExactDedup(batch.toDF(), exactStore,
             textCol, idCol).localCheckpoint()
-          // stage 2 ∥ 3 over the stage-1 survivors (the X139 shape)
-          val s2 = Dedup.incrementalNearDup(s1, ndStore, textCol, idCol,
-            threshold, shingleN, bands, rowsPerBand).localCheckpoint()
-          val sub = Dedup.incrementalSubstringDedup(s1, subStore,
+          // stage 2 ∥ 3 over the stage-1 survivors (the X139 shape).
+          // r22 (guide §2.6): the three s1 consumers are independent —
+          // plans built HERE (construction runs the budget probes on
+          // the batch thread, the releaseScoped contract), then
+          // materialized concurrently instead of three sequential
+          // checkpoint waves.
+          val s2Plan = Dedup.incrementalNearDup(s1, ndStore, textCol, idCol,
+            threshold, shingleN, bands, rowsPerBand)
+          val subPlan = Dedup.incrementalSubstringDedup(s1, subStore,
             idCol, textCol, L, posBase)
             .filter(col("n_kept") > 0)
             .select(col("id").as(idCol), col("n_kept"))
+          val recPlan = Dedup.substringStoreRecords(s1, idCol, textCol,
+            L, posBase)
+          val cps = graft.core.Caches.runConcurrently[DataFrame](Seq(
+            () => s2Plan.localCheckpoint(),
+            () => subPlan.localCheckpoint(),
+            () => recPlan.localCheckpoint()))
+          val (s2, sub, records) = (cps(0), cps(1), cps(2))
           val s3 = sub.join(s2.select(col(idCol)), Seq(idCol))
             .localCheckpoint()
-          val records = Dedup.substringStoreRecords(s1, idCol, textCol,
-            L, posBase).localCheckpoint()
           // stage 4: semantic over the embeddings of the docs both
           // passes keep (stream-static left-semi on the shared ids)
           val batchEmb = emb.join(
@@ -611,17 +621,20 @@ object EventsStreaming {
             batchEmb, semStore, cents, semThreshold, embIdCol, embVecCol)
             .localCheckpoint()
           // all four store appends AFTER every read of prior state is
-          // pinned; a retry overwrites its own partitions and re-reads
-          // exactly what the first attempt saw
-          s1.select(col("fp"))
-            .write.mode("overwrite").parquet(s"$basePath/exact/batch=$batchId")
-          s2.select(col(idCol).cast("long").as("id"),
-              col("shingles"), col("sig"))
-            .write.mode("overwrite").parquet(s"$basePath/neardup/batch=$batchId")
-          records
-            .write.mode("overwrite").parquet(s"$basePath/substring/batch=$batchId")
-          sem
-            .write.mode("overwrite").parquet(s"$basePath/semantic/batch=$batchId")
+          // pinned (everything above is checkpointed); a retry
+          // overwrites its own partitions and re-reads exactly what the
+          // first attempt saw. The four writes land on four disjoint
+          // paths — run them concurrently (§2.6).
+          graft.core.Caches.runConcurrently[Unit](Seq(
+            () => s1.select(col("fp"))
+              .write.mode("overwrite").parquet(s"$basePath/exact/batch=$batchId"),
+            () => s2.select(col(idCol).cast("long").as("id"),
+                col("shingles"), col("sig"))
+              .write.mode("overwrite").parquet(s"$basePath/neardup/batch=$batchId"),
+            () => records
+              .write.mode("overwrite").parquet(s"$basePath/substring/batch=$batchId"),
+            () => sem
+              .write.mode("overwrite").parquet(s"$basePath/semantic/batch=$batchId")))
           val out = sem.select(col("id").as(idCol), col("cell"))
             .join(s3, Seq(idCol))
             .select(col(idCol), col("cell"), col("n_kept"))
@@ -719,15 +732,23 @@ object EventsStreaming {
           val b = batch.toDF()
             .select(col(id1).as("id1"), col(id2).as("id2"))
             .localCheckpoint()
-          val updatedLabels = Dedup.incrementalConnectedComponents(
-            priorLabels, b, "id1", "id2").localCheckpoint()
-          val updatedPicks = Dedup.incrementalCanonical(
+          // r22 (guide §2.6): the two snapshots are independent plans —
+          // build both on the batch thread (construction runs probes
+          // and tracked persists), then checkpoint and write each pair
+          // concurrently instead of two sequential waves
+          val lblPlan = Dedup.incrementalConnectedComponents(
+            priorLabels, b, "id1", "id2")
+          val pickPlan = Dedup.incrementalCanonical(
             priorLabels, priorPicks, b, scores, idCol, scoreCol)
-            .localCheckpoint()
-          updatedLabels.write.mode("overwrite")
-            .parquet(s"$labelStorePath/batch=$batchId")
-          updatedPicks.write.mode("overwrite")
-            .parquet(s"$pickStorePath/batch=$batchId")
+          val cps = graft.core.Caches.runConcurrently[DataFrame](Seq(
+            () => lblPlan.localCheckpoint(),
+            () => pickPlan.localCheckpoint()))
+          val (updatedLabels, updatedPicks) = (cps(0), cps(1))
+          graft.core.Caches.runConcurrently[Unit](Seq(
+            () => updatedLabels.write.mode("overwrite")
+              .parquet(s"$labelStorePath/batch=$batchId"),
+            () => updatedPicks.write.mode("overwrite")
+              .parquet(s"$pickStorePath/batch=$batchId")))
           sink(updatedPicks, batchId)
         }
         ()
