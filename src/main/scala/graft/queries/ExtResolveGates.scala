@@ -87,7 +87,6 @@ trait ExtResolveGates { this: ExtAllGates =>
     * q_soft_dedup's SQL verbatim — which is exactly the equality the
     * operator guarantees. */
   val incrementalSoftDedup: Q = (s, d) => {
-    import s.implicits._
     val docs = Tables.documents(s, d)
     val pairs = graft.core.Caches.persistTracked(
       Dedup.minhashNearDupPairs(docs, "doc_id", "text",
@@ -96,13 +95,17 @@ trait ExtResolveGates { this: ExtAllGates =>
         .select(col("id1"), col("id2")))
     val storedPairs = pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0)
     val newPairs = pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
-    val empty = Seq.empty[(Long, Long, Long, Long, Boolean)]
-      .toDF("id", "cluster_id", "cluster_size", "weight_bp", "keep")
-    // the bootstrap store is consumed by MANY actions inside the
-    // second increment (budget probes, the CC gate, the store scan) —
-    // cut its lineage once, or every probe re-runs the whole bootstrap
-    val store0 = Dedup.incrementalSoftDedup(empty, storedPairs,
-      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("id")))
+    // r22: the empty-store bootstrap is the operator's own spec-pinned
+    // degenerate case (empty store ≡ the batch pass, and the store
+    // slice's pair endpoints are all %3==0 ids, inside the batch-ids
+    // contract) — run the batch pass directly over the already-mined
+    // pairs instead of paying the increment's store-scan joins and
+    // budget probes against an empty frame. Checkpointed once: the
+    // bootstrap store is consumed by MANY actions inside the second
+    // increment (budget probes, the CC gate, the store scan).
+    val store0 = Dedup.softDedupFromPairs(
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("id")),
+      "id", storedPairs)
       .localCheckpoint()
     Dedup.incrementalSoftDedup(store0, newPairs,
       docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id").as("id")))

@@ -707,16 +707,17 @@ trait ExtStreamGates { this: ExtAllGates =>
         threshold = 0.7, shingleN = 3,
         bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
         .select(col("id1"), col("id2")))
-    val empty = Seq.empty[(Long, Long, Long, Long, Boolean)]
-      .toDF("id", "cluster_id", "cluster_size", "weight_bp", "keep")
     // r22 (guide §2.6): the weight-store bootstrap and the pair-source
-    // dump are independent writes — build the bootstrap plan on this
-    // thread (its construction runs probes/persists), run both
-    // concurrently. The stream side: cross/batch pairs + a self-loop
-    // per batch doc (so a pair-free doc still enters the spine).
-    val bootPlan = Dedup.incrementalSoftDedup(empty,
-      pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0),
-      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("id")))
+    // dump are independent writes — run both concurrently. The
+    // bootstrap is the operator's spec-pinned empty-store degenerate
+    // case (empty store ≡ the batch pass over the %3==0 slice), so it
+    // runs the batch tail over the already-mined pairs instead of the
+    // increment machinery against an empty frame. The stream side:
+    // cross/batch pairs + a self-loop per batch doc (so a pair-free
+    // doc still enters the spine).
+    val bootPlan = Dedup.softDedupFromPairs(
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("id")),
+      "id", pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0))
     graft.core.Caches.runConcurrently[Unit](Seq(
       () => bootPlan.write.mode("overwrite").parquet(s"$wDir/batch=-1"),
       () => pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
