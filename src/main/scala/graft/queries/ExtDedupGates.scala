@@ -838,7 +838,7 @@ trait ExtDedupGates { this: ExtAllGates =>
         .select(col("doc_id"), col("_t")).localCheckpoint()
     val ndStore = Dedup.nearDupStoreRecordsFromToks(storeToks, "doc_id",
       shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
-    val s2 = Dedup.incrementalNearDupFromToks(s1, ndStore, "doc_id",
+    val s2Plan = Dedup.incrementalNearDupFromToks(s1, ndStore, "doc_id",
       threshold = 0.7, shingleN = 3, bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
       .select(col("doc_id"))
     val grams = Dedup.substringStoreRecordsFromToks(storeToks, "doc_id",
@@ -846,12 +846,17 @@ trait ExtDedupGates { this: ExtAllGates =>
     // stage 3 runs on the stage-1 survivors (parallel to stage 2) and
     // its surviving docs intersect stage 2's; n_kept rides into the
     // output so the coverage ARITHMETIC is pinned, not just the drop set
-    val sub = Dedup.incrementalSubstringDedupFromToks(s1, grams, "doc_id",
+    val subPlan = Dedup.incrementalSubstringDedupFromToks(s1, grams, "doc_id",
       L = SUBSTR_L)
       .filter(col("n_kept") > 0)
       .select(col("id").as("doc_id"), col("n_kept"))
+    // r22 (guide §2.6): stages 2 and 3 are independent consumers of the
+    // checkpointed s1 — materialize them concurrently instead of two
+    // sequential stage waves under the final action
+    val cps = graft.core.Caches.runConcurrently[org.apache.spark.sql.DataFrame](
+      Seq(() => s2Plan.localCheckpoint(), () => subPlan.localCheckpoint()))
     val s3 = graft.core.Caches.persistTracked(
-      sub.join(s2, Seq("doc_id")))
+      cps(1).join(cps(0), Seq("doc_id")))
     val embStore = emb.filter(col("vec_id") % 3 === 0)
     val cents = sharedSemStoreCents(s, d)
     val semStore = Similarity.semanticStoreRecords(embStore, "vec_id", "embedding", cents)
@@ -973,17 +978,23 @@ trait ExtDedupGates { this: ExtAllGates =>
     val s1 = Dedup.incrementalExactDedup(
       docs.filter(col("doc_id") % 3 =!= 0), priorFps, "text", "doc_id")
       .select(col("doc_id"), col("text")).localCheckpoint()
-    val weights = Dedup.softDedup(
+    val weightsPlan = Dedup.softDedup(
       storeSlice.select(col("doc_id"), col("text")).unionByName(s1),
       "doc_id", "text", threshold = 0.7, shingleN = 3,
       bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
     val grams = Dedup.substringStoreRecords(storeSlice, "doc_id", "text",
       L = SUBSTR_L)
-    val s3 = graft.core.Caches.persistTracked(
-      Dedup.incrementalSubstringDedup(s1, grams, "doc_id", "text",
-        L = SUBSTR_L)
-        .filter(col("n_kept") > 0)
-        .select(col("id").as("doc_id"), col("n_kept")))
+    val s3Plan = Dedup.incrementalSubstringDedup(s1, grams, "doc_id", "text",
+      L = SUBSTR_L)
+      .filter(col("n_kept") > 0)
+      .select(col("id").as("doc_id"), col("n_kept"))
+    // r22 (guide §2.6): the weight pass (pair mining over store ∪ s1)
+    // and the substring coverage are independent consumers of the
+    // checkpointed s1 — materialize concurrently. Plans were built
+    // above on this thread (probes/persists keep their scope).
+    val cps = graft.core.Caches.runConcurrently[org.apache.spark.sql.DataFrame](
+      Seq(() => weightsPlan.localCheckpoint(), () => s3Plan.localCheckpoint()))
+    val (weights, s3) = (cps(0), cps(1))
     val embStore = emb.filter(col("vec_id") % 3 === 0)
     val cents = sharedSemStoreCents(s, d)
     val semStore = Similarity.semanticStoreRecords(
