@@ -88,11 +88,19 @@ trait ExtResolveGates { this: ExtAllGates =>
     * operator guarantees. */
   val incrementalSoftDedup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val pairs = graft.core.Caches.persistTracked(
-      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+    // r22: localCheckpoint, not persist — the second increment embeds
+    // this subtree in its plan MANY times (store scan, endpoint lookup,
+    // contraction, relabel, re-weight), and with a merely-persisted
+    // mining pipeline the logical plan grows multiplicatively: the
+    // formatted plan hit 3036 Exchange nodes at sf0.1, and at the sf1
+    // decade AQE's per-update explainString exceeded the JVM's 1 GB
+    // string cap and OOMed the DRIVER (guide §3.3 — truncate enormous
+    // plans by materializing the shared intermediate).
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
         threshold = 0.7, shingleN = 3,
         bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
-        .select(col("id1"), col("id2")))
+      .select(col("id1"), col("id2"))
+      .localCheckpoint()
     val storedPairs = pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0)
     val newPairs = pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
     // r22: the empty-store bootstrap is the operator's own spec-pinned
@@ -200,11 +208,15 @@ trait ExtResolveGates { this: ExtAllGates =>
   val incrementalCanonical: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val scores = docs.select(col("doc_id"), col("n_chars"))
-    val pairs = graft.core.Caches.persistTracked(
-      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+    // r22: localCheckpoint, not persist — the increment embeds this
+    // subtree in its plan many times (the q_incremental_soft_dedup
+    // plan-blowup class: 1484 Exchange nodes in the formatted plan,
+    // and AQE stringifies the plan on every update; guide §3.3)
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
         threshold = 0.7, shingleN = 3,
         bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
-        .select(col("id1"), col("id2")))
+      .select(col("id1"), col("id2"))
+      .localCheckpoint()
     val storedPairs = pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0)
     val newPairs = pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
     val storedLabels = graft.core.Caches.persistTracked(
@@ -294,11 +306,13 @@ trait ExtResolveGates { this: ExtAllGates =>
     * warm-start result provably equals full CC over ALL pairs, so the
     * oracle is the exact recursive-CTE transitive closure. */
   val incrementalClusters: Q = (s, d) => {
-    val pairs = graft.core.Caches.persistTracked(
-      Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+    // r22: localCheckpoint — same plan-blowup class as the canonical
+    // increment above (guide §3.3)
+    val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.7, shingleN = 3,
         bands = MINHASH_BANDS, rowsPerBand = MINHASH_RPB)
-        .select(col("id1"), col("id2")))
+      .select(col("id1"), col("id2"))
+      .localCheckpoint()
     val storedPairs = pairs.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0)
     val newPairs = pairs.filter(col("id1") % 3 =!= 0 || col("id2") % 3 =!= 0)
     val stored = Dedup.connectedComponents(storedPairs, "id1", "id2")
